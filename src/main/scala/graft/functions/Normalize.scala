@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Value normalization — the Spark-native form of the reference's
+  * per-record, per-field type dispatch
+  * (reference: lib/DataProcessor.py:27-63). Everything here is a built-in
+  * Catalyst expression: codegen'd, null-safe, no UDFs.
+  */
+object Normalize {
+
+  /** Cast a column per its declared source type
+    * (reference: lib/DataProcessor.py:40-63). */
+  def castTo(c: Column, sourceType: String): Column = sourceType match {
+    case "singleLineText" | "multilineText" => c.cast("string")
+    case "number" => c.cast("double")
+    case "checkbox" => c.cast("boolean")
+    // Lenient datetime parsing (reference uses dateutil.parser.parse,
+    // lib/DataProcessor.py:50-57) — but gated on ISO-8601 shape so that
+    // bare numbers don't "parse" (reference hazard: parser.parse("5")
+    // succeeds, lib/DataProcessor.py:135-140).
+    case "date" => to_date(c.cast("string"))
+    case "dateTime" => lenientTimestamp(c.cast("string"))
+    // Attachment arrays keep only the url (reference: lib/DataProcessor.py:58-59).
+    case "multipleAttachments" => transform(c, a => a.getField("url"))
+    case "multipleSelects" => c.cast("array<string>")
+    case _ => c // pass-through (reference: lib/DataProcessor.py:62-63)
+  }
+
+  /** Multi-format timestamp parse: ISO-8601 with/without zone or millis,
+    * date-only; first match wins (reference: lib/DataProcessor.py:120-133 —
+    * naive datetimes are assumed UTC; session TZ is pinned to UTC). */
+  def lenientTimestamp(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  /** "Looks like a datetime" probe, restricted to ISO shapes — the strict
+    * replacement for the reference's try-parse
+    * (reference: lib/DataProcessor.py:135-140). */
+  def isDatetimeLike(c: Column): Column =
+    c.rlike("^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?([+-]\\d{2}:?\\d{2}|Z)?)?$")
+
+  /** Strip tabs and trim — applied to every string leaf on export
+    * (reference: lib/utils.py:28). */
+  def cleanString(c: Column): Column = trim(regexp_replace(c, "[\\t]+", ""))
+
+  /** Drop rows whose primary key is null or empty; the reference counts and
+    * warns per skipped record (reference: lib/DataProcessor.py:79-82,94-95). */
+  def filterValidPk(df: DataFrame, pk: String): DataFrame =
+    df.filter(col(pk).isNotNull && col(pk).cast("string") =!= "")
+
+  /** Recursive key exclusion + string cleanup over nested structures
+    * (reference: lib/utils.py:7-31): drop listed fields at any struct
+    * depth, clean every string leaf. Arrays of structs are transformed
+    * element-wise. */
+  def cleanProjection(df: DataFrame, dropKeys: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def rewrite(c: Column, dt: DataType): Column = dt match {
+      case StringType => cleanString(c)
+      case st: StructType =>
+        val kept = st.fields.filterNot(f => dropKeys(f.name))
+        if (kept.isEmpty) lit(null) else
+          struct(kept.toSeq.map(f => rewrite(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case ArrayType(et, _) => transform(c, e => rewrite(e, et))
+      case _ => c
+    }
+    val cols = df.schema.fields.filterNot(f => dropKeys(f.name)).toSeq
+      .map(f => rewrite(col(f.name), f.dataType).as(f.name))
+    df.select(cols: _*)
+  }
+}

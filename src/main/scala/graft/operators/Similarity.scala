@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine — one codegen'd expression per row, no
+  * shuffle, then a top-k. Scale path: random-hyperplane LSH bucketing —
+  * probe only matching buckets, turning O(N) scans per query into
+  * O(N / 2^bits) with recall tunable via multi-probe.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays in index order (deterministic
+    * left-to-right fold, double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** All vectors with cosine(v, probe) above `threshold` (set semantics —
+    * robust to floating-point ordering at the margin). */
+  def aboveThreshold(embeddings: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Float], threshold: Double): DataFrame = {
+    val p = lit(probe.toArray)
+    embeddings.select(col(idCol), cosine(col(vecCol), p).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
+  /** Brute-force top-k nearest by cosine to a probe vector; deterministic
+    * tie-break on id. */
+  def topK(embeddings: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Float], k: Int): DataFrame = {
+    val p = lit(probe.toArray)
+    embeddings.select(col(idCol), cosine(col(vecCol), p).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
+    * mapped to [-1, 1). No RNG — reproducible across runs and engines. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane.toLong), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH code: `bits` sign bits of <v, plane_i>. Vectors
+    * close in cosine agree on most bits. */
+  def lshCode(vec: Column, bits: Int): Column = {
+    val proj = (i: Int) => aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => x.cast("double") * planeComponent(i, d)),
+      lit(0.0), (acc, v) => acc + v)
+    (0 until bits).map(i => when(proj(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed ANN index: one pass computing the LSH code per vector.
+    * Persist partitioned/bucketed by `lsh_code` so probes prune to
+    * matching buckets (partition pruning at the scan). */
+  def buildIndex(embeddings: DataFrame, vecCol: String, bits: Int = 8): DataFrame =
+    embeddings.withColumn("lsh_code", lshCode(col(vecCol), bits))
+
+  /** ANN query: search only buckets whose code is within `probeHamming`
+    * bits of the probe's code (multi-probe recall knob), then exact-rank
+    * the survivors. Scans 1/2^bits of the corpus per probed bucket. */
+  def annTopK(index: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Float], k: Int, bits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val probeCodeRow = index.sparkSession.range(1)
+      .select(lshCode(lit(probe.toArray), bits).as("c")).collect()(0)
+    val probeCode = probeCodeRow.getLong(0)
+    val candidates = index.filter(
+      bit_count(col("lsh_code").bitwiseXOR(lit(probeCode))) <= probeHamming)
+    topK(candidates, idCol, vecCol, probe, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket self-join + exact
+    * cosine verification within buckets (same shape as MinHash LSH). */
+  def cosineNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val idx = buildIndex(embeddings, vecCol, bits)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_code"))
+    val a = idx.select(col("lsh_code"), col("id").as("id_a"), col("v").as("_va"))
+    val b = idx.select(col("lsh_code"), col("id").as("id_b"), col("v").as("_vb"))
+    a.join(b, Seq("lsh_code")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Catalyst expressions — codegen'd, no UDFs, embarrassingly
+  * parallel (no shuffle), so they scan at parquet speed at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count via pure string arithmetic (identical
+    * semantics in any SQL engine, unlike split() edge cases):
+    * tokens = spaces-in-normalized-text + 1, 0 for blank text. */
+  def tokenCount(text: Column): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    when(norm === "", lit(0L))
+      .otherwise(length(norm) - length(regexp_replace(norm, " ", "")) + lit(1L))
+  }
+
+  /** BPE-ish subword count: words get ceil(chars/4) pieces — a cheap,
+    * deterministic proxy for tokenizer budgeting at corpus scale. */
+  def subwordCount(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    (chars + lit(3)).cast("long") / lit(4)
+  }
+
+  /** Quality signals: length, alpha ratio, punctuation density, stopword
+    * ratio, mean token length. Composable score in [0,1]. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val stop = stopwordCount(text, EnglishStopwords).cast("double")
+    Seq(
+      "n_chars" -> n.cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "alpha_ratio" -> round(alpha / greatest(n, lit(1.0)), 4),
+      "punct_ratio" -> round(punct / greatest(n, lit(1.0)), 4),
+      "stopword_ratio" -> round(stop / greatest(toks, lit(1.0)), 4),
+      "mean_token_len" -> round(alpha / greatest(toks, lit(1.0)), 4))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Occurrences of any listed word (word-bounded). */
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    val re = words.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(re), lit(0))).cast("long")
+  }
+
+  /** N-gram-heuristic language ID: score marker-word hit counts per
+    * language, take the argmax (deterministic tie-break on language code).
+    * Markers are public high-frequency function words. */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "pt" -> Seq("o", "que", "de", "da", "em"))
+
+  def languageId(text: Column): Column = {
+    val scored = LanguageMarkers.map { case (lang, words) =>
+      struct(stopwordCount(text, words).as("score"), lit(lang).as("lang"))
+    }
+    // max over (score, lang): highest score wins; lexicographically largest
+    // lang breaks ties deterministically.
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit content hash over normalized text
+    * (case-folded, whitespace-collapsed) — the rolling-hash family's
+    * fixed-window degenerate case, exact-dup robust to formatting. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Shingle fingerprints: xxhash64 of each k-word window (rolling hash
+    * over tokens) — the near-dup building block shared with MinHash. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val n = size(toks)
+    when(n < k, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(sequence(lit(0), n - lit(k)),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** Full per-document analysis frame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val sig = qualitySignals(t) ++ Seq(
+      "subword_count" -> subwordCount(t).cast("long"),
+      "lang_pred" -> languageId(t),
+      "fingerprint" -> fingerprint(t))
+    docs.select((docs.columns.toSeq.map(col) ++ sig.map { case (n, c) => c.as(n) }): _*)
+  }
+}

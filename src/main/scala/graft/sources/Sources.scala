@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.SchemaMapper
+
+/** A named projection over a table: ordered visible fields minus hidden
+  * ones (reference: lib/UpdateStrategies.py:379-418). Catalyst's
+  * ColumnPruning pushes the resulting `select` into the parquet scan, which
+  * is the Spark-native form of the reference passing a field list to the
+  * source API (reference: lib/UpdateStrategies.py:365). */
+final case class View(
+    name: String,
+    visibleFieldOrder: Seq[String],
+    hiddenFields: Set[String] = Set.empty) {
+  /** Visible fields in view order (reference: lib/UpdateStrategies.py:408-418). */
+  def visibleFields: Seq[String] = visibleFieldOrder.filterNot(hiddenFields)
+}
+
+/** In-memory view catalog, the engine's stand-in for the reference's
+  * view-metadata API scan (reference: lib/UpdateStrategies.py:379-406). */
+final class ViewCatalog(views: Map[String, View]) {
+  def get(name: String): View =
+    views.getOrElse(name, throw new IllegalArgumentException(s"View '$name' not found"))
+  def apply(df: DataFrame, viewName: String): DataFrame =
+    Sources.applyView(df, get(viewName))
+}
+
+object Sources {
+
+  /** Full table scan of a driver-generated parquet table
+    * (reference: lib/AirtableDataFetcher.py:14-37). */
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Record-shaped ingestion: JSON rows `{id, createdTime, fields:{...}}`
+    * as produced by the reference's fetcher
+    * (reference: lib/AirtableDataFetcher.py:27-34). Flattens `fields.*` to
+    * top-level columns and casts per the discovered field-type map —
+    * sparse keys become nulls under a fixed nullable schema. */
+  def readRecords(spark: SparkSession, path: String,
+      fieldTypes: Map[String, String]): DataFrame = {
+    val raw = spark.read.json(path)
+    val fieldCols = raw.select(col("fields.*")).columns
+    val typed = fieldCols.toSeq.map { f =>
+      val t = fieldTypes.getOrElse(f, SchemaMapper.DefaultType)
+      graft.functions.Normalize.castTo(col(s"fields.`$f`"), t).as(f)
+    }
+    raw.select(
+      (Seq(col("id").as("_record_id"), col("createdTime").cast("timestamp").as("_created_time"))
+        ++ typed): _*)
+  }
+
+  /** View scan = projection pushdown
+    * (reference: lib/UpdateStrategies.py:353-377). Only view-visible fields
+    * survive; Catalyst prunes the scan to exactly those columns. */
+  def applyView(df: DataFrame, view: View): DataFrame = {
+    val present = df.columns.toSet
+    val cols = view.visibleFields.filter(present)
+    df.select(cols.map(col): _*)
+  }
+}

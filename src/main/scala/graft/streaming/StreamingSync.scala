@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.PipelineConfig
+import graft.operators.Strategies
+import graft.state.StateStore
+
+/** Structured-Streaming surface. The reference is strictly batch
+  * (reference: lib/AirtableToDatastore.py:28-49) — re-running the pipeline
+  * is its "incremental" mode. Here the same strategies run continuously:
+  * each micro-batch is one MERGE via foreachBatch, giving exactly the
+  * batch semantics per trigger with checkpointed progress.
+  */
+object StreamingSync {
+
+  /** Continuous sync: apply the configured update strategy to every
+    * micro-batch of source records. Single-writer per state path. */
+  def run(spark: SparkSession, stream: DataFrame, cfg: PipelineConfig,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val store = new StateStore(spark, cfg.store.statePath)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val src = graft.functions.Normalize.filterValidPk(batch, cfg.primaryKey)
+        val state = Strategies.purgeOtherUpdateTypes(
+          Strategies.alignState(store.load(), src), cfg)
+        store.overwrite(Strategies.get(cfg.updateType)(src, state, cfg))
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregate over an event stream —
+    * the standard streaming-analytics shape on the events table. */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+}
