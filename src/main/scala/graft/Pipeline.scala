@@ -37,16 +37,25 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
       if (keyed.columns.contains("_created_time")) Some("_created_time")
       else if (keyed.columns.contains("Created")) Some("Created")
       else None
-    orderCol.map(oc => Dedup.latestWins(keyed, cfg.primaryKey, oc)).getOrElse(keyed)
+    val tiebreak = if (keyed.columns.contains("_record_id")) Some("_record_id") else None
+    orderCol.map(oc => Dedup.latestWins(keyed, cfg.primaryKey, oc, tiebreak)).getOrElse(keyed)
+  }
+
+  /** Align record-level state with the source schema; table-level
+    * snapshots keep their own fixed schema and must NOT be aligned — the
+    * snapshot frame has none of the source's data columns, and aligning it
+    * would persist spurious null columns (and break the versioned union on
+    * the next changed run). */
+  private def staged(state: DataFrame, src: DataFrame): DataFrame = {
+    val aligned = if (cfg.updateType.isTableLevel) state
+      else Strategies.alignState(state, src)
+    Strategies.purgeOtherUpdateTypes(aligned, cfg)
   }
 
   /** Run one sync: returns the new state (already persisted). */
   def run(raw: DataFrame): DataFrame = {
     val src = prepare(raw)
-    val state = Strategies.purgeOtherUpdateTypes(
-      Strategies.alignState(store.load(), src), cfg)
-    val strategy = Strategies.get(cfg.updateType)
-    val newState = strategy(src, state, cfg)
+    val newState = Strategies.get(cfg.updateType)(src, staged(store.load(), src), cfg)
     store.overwrite(newState)
     store.load()
   }
@@ -54,8 +63,6 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
   /** Pure (non-persisting) form for tests and dry runs. */
   def plan(raw: DataFrame, state: DataFrame): DataFrame = {
     val src = prepare(raw)
-    val aligned = Strategies.purgeOtherUpdateTypes(
-      Strategies.alignState(state, src), cfg)
-    Strategies.get(cfg.updateType)(src, aligned, cfg)
+    Strategies.get(cfg.updateType)(src, staged(state, src), cfg)
   }
 }

@@ -1,13 +1,722 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Checksums, Normalize}
+import graft.operators.{Dedup, DedupApprox, Export, Multimodal, Similarity, Strategies, TextAnalysis}
+import graft.sources.Sources
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with a
+  * DuckDB-equivalent `oracleSql` where SQL-expressible.
+  *
+  * Oracle-parity rules used throughout:
+  *  - double aggregation goes through DECIMAL (exact) and back to DOUBLE,
+  *    so partial-aggregation order cannot perturb the result;
+  *  - rounding is `floor(x*10^k + 0.5)/10^k` — identical IEEE ops in both
+  *    engines, unlike round() whose tie-handling is engine-specific;
+  *  - every query ends in a deterministic ORDER BY;
+  *  - hashes on oracle-checked paths are md5-over-strings (portable);
+  *    xxhash64 variants exist for production speed and are checked
+  *    rows-only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    Sources.readTable(s, dir, t)
+
+  private def cfg(ut: UpdateType, v: Long, pk: String, table: String): PipelineConfig =
+    PipelineConfig(SourceConfig("/", table), StoreConfig("/na", table), ut, pk, v)
+
+  /** floor-based half-up rounding: bit-identical across engines. */
+  private def r(c: Column, k: Int): Column = {
+    val m = math.pow(10, k)
+    floor(c * m + 0.5) / m
+  }
+
+  // --- shared synthetic source/state pair built from `customer` (the
+  // upsert-strategy fixtures: ~9% deletes, ~11% inserts, ~14% updates) ---
+  private val custCols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+  private def custState(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").filter(col("c_custkey") % 11 =!= 3)
+      .select(custCols.map(col): _*)
+  private def custSrc(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").filter(col("c_custkey") % 9 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(1.0)).otherwise(col("c_acctbal")))
+      .select(custCols.map(col): _*)
+
+  /** Oracle-side mirror of custState/custSrc as SQL CTEs. */
+  private val custCtes =
+    """WITH state AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 11 != 3),
+      |src AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 9 != 5)""".stripMargin
+  private val anyColChanged =
+    custCols.map(c => s"s.$c IS DISTINCT FROM t.$c").mkString("(", " OR ", ")")
+
+  // --- documents corpora with injected exact/near duplicates (the base
+  // corpus is fully distinct, so dedup queries would otherwise be vacuous) --
+  private def docsBase(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select("doc_id", "text")
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsBase(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsBase(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+  private val exactDupCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+  private val nearDupCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  private def probeVec(s: SparkSession, dir: String): Seq[Float] =
+    rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+  /** Flagship: full sync pipeline end-to-end on sf=0.001 (scan ->
+    * normalize -> dedupe -> checksum upsert -> atomic state snapshot).
+    * Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val statePath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_entry_state").getAbsolutePath
+    val c = PipelineConfig(
+      SourceConfig(dir, "customer"), StoreConfig(statePath, "customer"),
+      UpdateType.UpsertChecksum, "c_custkey", 1L)
+    val pipe = new SyncPipeline(spark, c)
+    pipe.store.truncate()
+    pipe.run(spark.read.parquet(s"$dir/customer.parquet"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- aggregation (A1/A4) + scan --------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      val l = rd(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ----- predicate + projection pushdown (S2/S6/P3) ----------------
+    "q02_filter_pushdown" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp") &&
+          col("l_discount") > lit(0.03))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ----- multi-way join + agg (J1-family physical: broadcast dims) --
+    "q03_join_agg" -> ((s, dir) => {
+      val n = broadcast(rd(s, dir, "nation"))
+      val rg = broadcast(rd(s, dir, "region"))
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(rg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ----- source<->target diff classification (J1/J5) ---------------
+    "q04_diff_classify" -> ((s, dir) => {
+      val c = cfg(UpdateType.UpsertChecksum, 2L, "c_custkey", "customer")
+      Strategies.classify(custSrc(s, dir), custState(s, dir), c).orderBy("c_custkey")
+    }),
+
+    // ----- UPSERT_CHECKSUM strategy (J1 + merge) ---------------------
+    "q05_upsert" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.UpsertChecksum, 1L, "c_custkey", "customer")
+      val state = Strategies.fullRefresh(custState(s, dir), s.emptyDataFrame, c1)
+      Strategies.upsertChecksum(custSrc(s, dir), state, c1.copy(versionId = 2L))
+        .select((custCols.map(col) :+ col("version_id")): _*)
+        .orderBy("c_custkey")
+    }),
+
+    // ----- UPSERT_CHECKSUM_WITH_DELETE (J1 + J2) ---------------------
+    "q06_upsert_delete" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.UpsertChecksumWithDelete, 1L, "c_custkey", "customer")
+      val state = Strategies.fullRefresh(custState(s, dir), s.emptyDataFrame, c1)
+      Strategies.upsertChecksumWithDelete(custSrc(s, dir), state, c1.copy(versionId = 2L))
+        .select((custCols.map(col) :+ col("version_id")): _*)
+        .orderBy("c_custkey")
+    }),
+
+    // ----- SOFT_DELETE strategy --------------------------------------
+    "q07_soft_delete" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.SoftDelete, 1L, "c_custkey", "customer")
+      val state = Strategies.fullRefresh(custState(s, dir), s.emptyDataFrame, c1)
+      Strategies.softDelete(custSrc(s, dir), state, c1.copy(versionId = 2L))
+        .select(col("c_custkey"), col("c_acctbal"), col("is_deleted"))
+        .orderBy("c_custkey")
+    }),
+
+    // ----- VERSIONED_CHECKSUM strategy (SCD-2 chains, W1) ------------
+    "q08_versioned_checksum" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.VersionedChecksum, 1L, "c_custkey", "customer")
+      val run1 = Strategies.versionedChecksum(custState(s, dir), s.emptyDataFrame, c1)
+      Strategies.versionedChecksum(custSrc(s, dir), run1, c1.copy(versionId = 2L))
+        .select(col("c_custkey"), col("version_id"), col("latest"), col("c_acctbal"))
+        .orderBy("c_custkey", "version_id")
+    }),
+
+    // ----- anti-join (J2/E1) -----------------------------------------
+    "q09_anti_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders").filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ----- semi-join (E2) --------------------------------------------
+    "q10_semi_join" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // ----- set ops: EXCEPT/symmetric difference (E1/E3) --------------
+    "q11_set_ops" -> ((s, dir) => {
+      val a = rd(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+      val b = rd(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("key")).distinct()
+      a.except(b).withColumn("side", lit("only_orders"))
+        .unionByName(b.except(a).withColumn("side", lit("only_customers")))
+        .orderBy("key", "side")
+    }),
+
+    // ----- latest-wins dedup (A3/W2) ---------------------------------
+    "q12_dedup_latest" -> ((s, dir) => {
+      Dedup.latestWins(rd(s, dir, "events"), "user_id", "ts", Some("event_id"))
+        .select("user_id", "event_id", "event_type").orderBy("user_id")
+    }),
+
+    // ----- portable row checksum (A1/F6) -----------------------------
+    "q13_row_checksum" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .select(col("c_custkey"), Checksums.portableRowChecksum(custCols).as("ck"))
+        .orderBy("c_custkey")
+    }),
+
+    // ----- table checksum (A2) ---------------------------------------
+    "q14_table_checksum" -> ((s, dir) => {
+      Checksums.portableTableChecksum(rd(s, dir, "nation"), "n_nationkey",
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+    }),
+
+    // ----- scalar string functions (F1/F8/F13) -----------------------
+    "q15_string_funcs" -> ((s, dir) => {
+      rd(s, dir, "nation").select(
+        col("n_nationkey"),
+        upper(col("n_name")).as("u"),
+        lower(col("n_name")).as("lo"),
+        concat(upper(substring(col("n_name"), 1, 1)),
+          lower(substring(col("n_name"), 2, 1000))).as("capped"),
+        Normalize.cleanString(concat(lit("\t "), col("n_name"), lit("\t"))).as("cleaned"),
+        lpad(col("n_name"), 12, ".").as("padded"),
+        regexp_replace(col("n_name"), "[AEIOU]", "_").as("devoweled"),
+        length(col("n_name")).cast("long").as("len"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ----- top-k (O1/O3) ---------------------------------------------
+    "q16_topk" -> ((s, dir) => {
+      rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+    }),
+
+    // ----- window analytics (W1 + lag) -------------------------------
+    "q17_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"),
+        row_number().over(w).cast("long").as("seq"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ----- schema-union export projection (E4/S16) -------------------
+    "q18_schema_union" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("segment"),
+        lit("customer").as("src_table"))
+      val sup = rd(s, dir, "supplier").select(
+        col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("bal"), col("s_nationkey").as("nationkey"),
+        lit("supplier").as("src_table"))
+      Export.project(
+        c.unionByName(sup, allowMissingColumns = true), Seq("src_table", "id"))
+        .orderBy("src_table", "id")
+    }),
+
+    // ----- UPSERT_TABLE_CHECKSUM: snapshot + checksum short-circuit --
+    "q19_table_snapshot" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.UpsertTableChecksum, 1L, "n_nationkey", "nation")
+      val nation = rd(s, dir, "nation")
+      val run1 = Strategies.upsertTableChecksum(nation, s.emptyDataFrame, c1)
+      // second run with identical data: checksum short-circuit keeps run1
+      Strategies.upsertTableChecksum(nation, run1, c1.copy(versionId = 2L))
+        .select(col("doc_id"), col("update_type"), col("version_id"),
+          col("latest"), size(col("table_data")).as("n_entries"))
+    }),
+
+    // ----- VERSIONED_TABLE_CHECKSUM: changed second run (SCD-2 snap) --
+    "q20_versioned_snapshot" -> ((s, dir) => {
+      val c1 = cfg(UpdateType.VersionedTableChecksum, 1L, "n_nationkey", "nation")
+      val nation = rd(s, dir, "nation")
+      val changed = nation.withColumn("n_name",
+        when(col("n_nationkey") === 0, concat(col("n_name"), lit("_x")))
+          .otherwise(col("n_name")))
+      val run1 = Strategies.versionedTableChecksum(nation, s.emptyDataFrame, c1)
+      Strategies.versionedTableChecksum(changed, run1, c1.copy(versionId = 2L))
+        .select(col("version_id"), col("latest"), size(col("table_data")).as("n_entries"))
+        .orderBy("version_id")
+    }),
+
+    // ----- text stats: token counting (training-data ops) ------------
+    "q21_text_stats" -> ((s, dir) => {
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- text quality scoring --------------------------------------
+    "q22_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      val n = length(t).cast("double")
+      val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+      val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+      val toks = TextAnalysis.tokenCount(t).cast("double")
+      val stop = TextAnalysis.stopwordCount(t, TextAnalysis.EnglishStopwords).cast("double")
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        r(alpha / greatest(n, lit(1.0)), 4).as("alpha_ratio"),
+        r(punct / greatest(n, lit(1.0)), 4).as("punct_ratio"),
+        r(stop / greatest(toks, lit(1.0)), 4).as("stopword_ratio"),
+        r(alpha / greatest(toks, lit(1.0)), 4).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- language ID (n-gram heuristic) ----------------------------
+    "q23_lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- exact dedup by content hash -------------------------------
+    "q24_dedup_exact" -> ((s, dir) => {
+      DedupApprox.exactByContent(docsWithExactDups(s, dir), "doc_id", "text",
+        md5Family = true).orderBy("fp")
+    }),
+
+    // ----- MinHash+LSH near-dup detection ----------------------------
+    "q25_minhash_neardup" -> ((s, dir) => {
+      DedupApprox.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+    }),
+
+    // ----- SimHash near-dup (xxhash64 — rows-only check) -------------
+    "q26_simhash_neardup" -> ((s, dir) => {
+      DedupApprox.simhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
+        maxHamming = 12).orderBy("id_a", "id_b")
+    }),
+
+    // ----- brute-force cosine top-k ----------------------------------
+    "q27_cosine_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.topK(e, "vec_id", "embedding", probeVec(s, dir), 20)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+    }),
+
+    // ----- cosine threshold scan -------------------------------------
+    "q28_cosine_threshold" -> ((s, dir) => {
+      Similarity.aboveThreshold(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        probeVec(s, dir), 0.15)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
+
+    // ----- embedding near-dup via hyperplane LSH (rows-only) ---------
+    "q29_embed_neardup" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      // inject exact-duplicate vectors (scaled copies have cosine 1.0)
+      val dup = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.cosineNearDups(
+        e.select("vec_id", "embedding").unionByName(dup),
+        "vec_id", "embedding", threshold = 0.999, bits = 8)
+        .select(col("id_a"), col("id_b"), r(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----- ANN top-k via LSH buckets (rows-only) ---------------------
+    "q30_ann_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val idx = Similarity.buildIndex(e, "embedding", bits = 8)
+      Similarity.annTopK(idx, "vec_id", "embedding", probeVec(s, dir),
+        k = 10, bits = 8, probeHamming = 8)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+    }),
+
+    // ----- event-time tumbling window aggregation --------------------
+    "q31_events_window" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ----- multimodal metadata plumbing ------------------------------
+    "q32_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, rd(s, dir, "documents"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("mime"), col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Portable-value encoding mirrors Checksums.portableValue.
+  // ---------------------------------------------------------------------
+
+  private def enc(x: String): String =
+    s"coalesce('v' || length(CAST($x AS VARCHAR)) || ':' || CAST($x AS VARCHAR), 'n')"
+
+  private val langScores = TextAnalysis.LanguageMarkers.map { case (lang, words) =>
+    lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b', 0))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+        |  AND l_discount > 0.03
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_diff_classify" -> (custCtes +
+      s"""
+        |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |       WHEN s.c_custkey IS NULL THEN 'delete'
+        |       WHEN $anyColChanged THEN 'update'
+        |       ELSE 'unchanged' END AS action
+        |FROM src s FULL OUTER JOIN state t ON s.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+    "q05_upsert" -> (custCtes +
+      s"""
+        |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR $anyColChanged)
+        |       THEN CAST(2 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS version_id
+        |FROM src s FULL OUTER JOIN state t ON s.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+    "q06_upsert_delete" -> (custCtes +
+      s"""
+        |SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment, s.c_nationkey,
+        |  CASE WHEN t.c_custkey IS NULL OR $anyColChanged
+        |       THEN CAST(2 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS version_id
+        |FROM src s LEFT OUTER JOIN state t ON s.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+    "q07_soft_delete" -> (custCtes +
+      s"""
+        |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN s.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR $anyColChanged)
+        |         THEN false
+        |       WHEN s.c_custkey IS NULL THEN true
+        |       ELSE CAST(NULL AS BOOLEAN) END AS is_deleted
+        |FROM src s FULL OUTER JOIN state t ON s.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+    "q08_versioned_checksum" -> (custCtes.replace("WITH state AS", "WITH s1 AS")
+      .replace("src AS", "s2 AS") +
+      """,
+        |chg AS (SELECT s2.c_custkey FROM s2 JOIN s1 USING (c_custkey)
+        |        WHERE s2.c_acctbal IS DISTINCT FROM s1.c_acctbal)
+        |SELECT c_custkey, CAST(1 AS BIGINT) AS version_id,
+        |  c_custkey NOT IN (SELECT c_custkey FROM chg) AS latest, c_acctbal
+        |FROM s1
+        |UNION ALL
+        |SELECT c_custkey, CAST(2 AS BIGINT), true, c_acctbal
+        |FROM s2 WHERE c_custkey IN (SELECT c_custkey FROM chg)
+        |   OR c_custkey NOT IN (SELECT c_custkey FROM s1)
+        |ORDER BY c_custkey, version_id""".stripMargin),
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_set_ops" ->
+      """SELECT key, side FROM (
+        |  SELECT key, 'only_orders' AS side FROM
+        |    (SELECT DISTINCT o_custkey AS key FROM orders
+        |     EXCEPT
+        |     SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0)
+        |  UNION ALL
+        |  SELECT key, 'only_customers' AS side FROM
+        |    (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 0
+        |     EXCEPT
+        |     SELECT DISTINCT o_custkey FROM orders)
+        |) ORDER BY key, side""".stripMargin,
+
+    "q12_dedup_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q13_row_checksum" -> {
+      val fields = custCols.sorted.map(enc).mkString(" || '|' || ")
+      s"""SELECT c_custkey, md5($fields) AS ck FROM customer ORDER BY c_custkey"""
+    },
+
+    "q14_table_checksum" -> {
+      val fields = Seq("n_nationkey", "n_name", "n_regionkey").map(enc).mkString(" || '|' || ")
+      s"""SELECT md5(string_agg(e, chr(10) ORDER BY e)) AS table_checksum
+         |FROM (SELECT $fields AS e FROM nation)""".stripMargin
+    },
+
+    "q15_string_funcs" ->
+      """SELECT n_nationkey,
+        |  upper(n_name) AS u,
+        |  lower(n_name) AS lo,
+        |  upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2)) AS capped,
+        |  trim(regexp_replace(chr(9) || ' ' || n_name || chr(9), '[\t]+', '', 'g')) AS cleaned,
+        |  lpad(n_name, 12, '.') AS padded,
+        |  regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+        |  CAST(length(n_name) AS BIGINT) AS len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q17_window_lag" ->
+      """SELECT o_orderkey,
+        |  o_totalprice - lag(o_totalprice) OVER w AS delta,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q18_schema_union" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+        |  c_mktsegment AS segment, 'customer' AS src_table,
+        |  CAST(NULL AS INTEGER) AS nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, CAST(NULL AS VARCHAR),
+        |  'supplier', s_nationkey
+        |FROM supplier
+        |ORDER BY src_table, id""".stripMargin,
+
+    "q19_table_snapshot" ->
+      """SELECT 'nation' AS doc_id, 'upsert_table_checksum' AS update_type,
+        |  CAST(1 AS BIGINT) AS version_id, true AS latest,
+        |  CAST(count(*) AS INTEGER) AS n_entries
+        |FROM nation""".stripMargin,
+
+    "q20_versioned_snapshot" ->
+      """SELECT CAST(1 AS BIGINT) AS version_id, false AS latest,
+        |  CAST(count(*) AS INTEGER) AS n_entries FROM nation
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), true, CAST(count(*) AS INTEGER) FROM nation
+        |ORDER BY version_id""".stripMargin,
+
+    "q21_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+        |  CAST(floor((length(regexp_replace(text, '\s+', '', 'g')) + 3) / 4) AS BIGINT) AS n_subwords
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q22_text_quality" -> {
+      val stopRe = "\\b(" + TextAnalysis.EnglishStopwords.mkString("|") + ")\\b"
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(CASE WHEN regexp_replace(trim(text), '\\s+', ' ', 'g') = '' THEN 0
+         |       ELSE length(regexp_replace(trim(text), '\\s+', ' ', 'g')) -
+         |            length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1
+         |       END AS DOUBLE) AS toks,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopRe', 0)) AS DOUBLE) AS stop
+         |FROM documents)
+         |SELECT doc_id,
+         |  floor(alpha / greatest(n, 1.0) * 10000 + 0.5) / 10000 AS alpha_ratio,
+         |  floor(punct / greatest(n, 1.0) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |  floor(stop / greatest(toks, 1.0) * 10000 + 0.5) / 10000 AS stopword_ratio,
+         |  floor(alpha / greatest(toks, 1.0) * 10000 + 0.5) / 10000 AS mean_token_len
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_lang_id" -> {
+      val scores = langScores.map { case (l, e) => s"  CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n       ")
+      s"""WITH t AS (SELECT doc_id,\n$scores\nFROM documents),
+         |b AS (SELECT doc_id, *, $best AS best FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       $chain
+         |       END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q24_dedup_exact" -> (exactDupCte +
+      """
+        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin),
+
+    "q25_minhash_neardup" -> (nearDupCte +
+      """,
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |sig AS (SELECT doc_id, sh,
+        |  [list_min([md5(CAST(j AS VARCHAR) || '#' || s) FOR s IN sh]) FOR j IN range(0, 16)] AS sg
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b,
+        |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
+        |  FROM sig, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM bands a JOIN bands bb
+        |    ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
+        |pairs AS (SELECT id_a, id_b,
+        |  CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.id_a
+        |  JOIN sh sb ON sb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
+        |FROM pairs WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+
+    "q27_cosine_topk" ->
+      """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |  list_sum([CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |            FOR i IN range(1, len(embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(pv) + 1)]))) AS cos
+        |  FROM embeddings, p)
+        |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM c ORDER BY c.cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q28_cosine_threshold" ->
+      """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |  list_sum([CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |            FOR i IN range(1, len(embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(pv) + 1)]))) AS cos
+        |  FROM embeddings, p)
+        |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM c WHERE cos > 0.15 ORDER BY vec_id""".stripMargin,
+
+    "q31_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+        |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keep the latest row per `pk`, ordered by `orderCol` desc (nulls
-    * last), ties broken by `tiebreak` desc for determinism. */
+    * last), ties broken by `tiebreak` desc for determinism. When no
+    * tiebreak column is given, ties fall back to a stable content hash of
+    * every column, so reruns of the same input always keep the same
+    * witness row (same checksums/doc_ids downstream). */
   def latestWins(df: DataFrame, pk: String, orderCol: String,
       tiebreak: Option[String] = None): DataFrame = {
-    val ordering = col(orderCol).desc_nulls_last +:
-      tiebreak.map(col(_).desc).toSeq
-    val w = Window.partitionBy(col(pk)).orderBy(ordering: _*)
+    val tb = tiebreak.map(col(_).desc).getOrElse(
+      graft.functions.Checksums.portableRowChecksum(df.columns.toSeq).desc)
+    val w = Window.partitionBy(col(pk)).orderBy(col(orderCol).desc_nulls_last, tb)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")

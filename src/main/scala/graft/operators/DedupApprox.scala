@@ -19,23 +19,29 @@ object DedupApprox {
   /** Exact dedup by content hash: keep the smallest id per normalized-text
     * group. groupBy(hash) with map-side partial aggregation — one shuffle
     * on a uniformly distributed key. */
-  def exactByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+  def exactByContent(docs: DataFrame, idCol: String, textCol: String,
+      md5Family: Boolean = false): DataFrame = {
+    val fp = if (md5Family) TextAnalysis.md5Fingerprint(col(textCol))
+      else TextAnalysis.fingerprint(col(textCol)).cast("string")
+    docs.select(col(idCol), fp.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+  }
 
   /** MinHash signature as `numHashes` independent min-hashes over the
     * document's k-shingle set. Hash family: xxhash64 salted by the hash
-    * index (engine-fast); `md5Family=true` switches to min-of-md5-hex,
-    * reproducible verbatim in any SQL engine for oracle checks. */
+    * index (engine-fast); `md5Family=true` hashes the raw shingle STRINGS
+    * with min-of-md5-hex — reproducible verbatim in any SQL engine for
+    * oracle checks (no xxhash64 anywhere on that path). */
   def minhashSignature(text: Column, k: Int, numHashes: Int,
       md5Family: Boolean = false): Column = {
-    val sh = TextAnalysis.shingles(text, k)
     val sigs = (0 until numHashes).map { j =>
       if (md5Family)
-        array_min(transform(sh, s => md5(concat_ws("#", lit(j.toString), s.cast("string")))))
+        array_min(transform(TextAnalysis.shingleStrings(text, k),
+          s => md5(concat_ws("#", lit(j.toString), s))))
       else
-        array_min(transform(sh, s => xxhash64(lit(j.toLong), s))).cast("string")
+        array_min(transform(TextAnalysis.shingles(text, k),
+          s => xxhash64(lit(j.toLong), s))).cast("string")
     }
     array(sigs: _*)
   }
@@ -64,10 +70,11 @@ object DedupApprox {
   }
 
   /** Exact n-gram Jaccard similarity for a pair frame carrying both texts:
-    * |A ∩ B| / |A ∪ B| over distinct k-shingle sets. */
+    * |A ∩ B| / |A ∪ B| over distinct k-shingle STRING sets (portable —
+    * the same value is recomputable in any SQL engine). */
   def jaccard(textA: Column, textB: Column, k: Int): Column = {
-    val sa = array_distinct(TextAnalysis.shingles(textA, k))
-    val sb = array_distinct(TextAnalysis.shingles(textB, k))
+    val sa = array_distinct(TextAnalysis.shingleStrings(textA, k))
+    val sb = array_distinct(TextAnalysis.shingleStrings(textB, k))
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union > 0, inter / union).otherwise(lit(0.0))
@@ -85,7 +92,11 @@ object DedupApprox {
       .join(txt.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jtext", "_tb"), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("_ta"), col("_tb"), k))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops in any
+      // engine, so the DuckDB oracle reproduces the value bit-for-bit.
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   /** SimHash: 64-bit sketch where bit i is the sign of the sum over token

@@ -60,7 +60,8 @@ object Strategies {
     * dropped before the strategy applies
     * (reference: lib/UpdateStrategies.py:31-34). */
   def purgeOtherUpdateTypes(state: DataFrame, cfg: PipelineConfig): DataFrame =
-    state.filter(col("update_type").isNull || col("update_type") === lit(cfg.updateType.value))
+    if (!state.columns.contains("update_type")) state
+    else state.filter(col("update_type").isNull || col("update_type") === lit(cfg.updateType.value))
 
   // ---------------------------------------------------------------------
   // Shared join scaffolding: pack both sides into structs (no ambiguous
@@ -294,14 +295,15 @@ object Strategies {
   }
 
   /** UPSERT_TABLE_CHECKSUM: one snapshot doc per table, replaced only when
-    * the table checksum moves (reference: lib/UpdateStrategies.py:484-522). */
+    * the table checksum moves; the doc is keyed by the TABLE name
+    * (reference: lib/UpdateStrategies.py:484-522, doc id at :488-490). */
   val upsertTableChecksum: Strategy = (src, state, cfg) => {
     val snap = tableSnapshot(src, cfg)
-      .withColumn("doc_id", lit(cfg.store.collection))
+      .withColumn("doc_id", lit(cfg.source.table))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
     val unchanged = state.columns.contains("table_checksum") && {
-      val prev = state.filter(col("doc_id") === lit(cfg.store.collection))
+      val prev = state.filter(col("doc_id") === lit(cfg.source.table))
         .select("table_checksum").limit(1).collect()
       val cur = snap.select("table_checksum").collect().head.getString(0)
       prev.nonEmpty && prev.head.getString(0) == cur
@@ -311,10 +313,12 @@ object Strategies {
 
   /** VERSIONED_TABLE_CHECKSUM: append a new snapshot version when the
     * checksum moves; demote previous versions
-    * (reference: lib/UpdateStrategies.py:451-481). */
+    * (reference: lib/UpdateStrategies.py:451-481). State here is the raw
+    * snapshot frame (never schema-aligned with the source — the union
+    * below is on the snapshot's own fixed columns). */
   val versionedTableChecksum: Strategy = (src, state, cfg) => {
     val snap = tableSnapshot(src, cfg)
-      .withColumn("doc_id", md5(concat_ws("|", lit(cfg.store.collection), lit(cfg.versionId.toString))))
+      .withColumn("doc_id", md5(concat_ws("|", lit(cfg.source.table), lit(cfg.versionId.toString))))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
     val hasPrev = state.columns.contains("table_checksum")
@@ -326,7 +330,8 @@ object Strategies {
     }
     if (unchanged) state
     else if (!hasPrev) snap
-    else state.withColumn("latest", lit(false)).unionByName(snap.select(state.columns.map(col): _*))
+    else state.withColumn("latest", lit(false))
+      .unionByName(snap, allowMissingColumns = true)
   }
 
   // ---------------------------------------------------------------------

@@ -23,7 +23,7 @@ object TextAnalysis {
     * deterministic proxy for tokenizer budgeting at corpus scale. */
   def subwordCount(text: Column): Column = {
     val chars = length(regexp_replace(text, "\\s+", ""))
-    (chars + lit(3)).cast("long") / lit(4)
+    floor((chars + lit(3)) / lit(4)).cast("long")
   }
 
   /** Quality signals: length, alpha ratio, punctuation density, stopword
@@ -72,21 +72,34 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Canonical text normalization shared by all fingerprints: case-fold,
+    * collapse whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** Document fingerprint: 64-bit content hash over normalized text
     * (case-folded, whitespace-collapsed) — the rolling-hash family's
     * fixed-window degenerate case, exact-dup robust to formatting. */
-  def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprint(text: Column): Column = xxhash64(normText(text))
+
+  /** Portable document fingerprint: md5 hex of the normalized text —
+    * reproducible verbatim in any SQL engine for oracle checks. */
+  def md5Fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Raw k-word shingle strings (each k-token window of the normalized
+    * text; a single shingle of the whole text when shorter than k). */
+  def shingleStrings(text: Column, k: Int): Column = {
+    val toks = split(normText(text), " ")
+    val n = size(toks)
+    when(n < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), n - lit(k)),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
 
   /** Shingle fingerprints: xxhash64 of each k-word window (rolling hash
     * over tokens) — the near-dup building block shared with MinHash. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val n = size(toks)
-    when(n < k, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(sequence(lit(0), n - lit(k)),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    transform(shingleStrings(text, k), s => xxhash64(s))
 
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -29,9 +29,19 @@ final class ViewCatalog(views: Map[String, View]) {
 object Sources {
 
   /** Full table scan of a driver-generated parquet table
-    * (reference: lib/AirtableDataFetcher.py:14-37). */
-  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * (reference: lib/AirtableDataFetcher.py:14-37). Parquet TIMESTAMP(NANOS)
+    * columns (which Spark reads as nanosecond longs under
+    * `spark.sql.legacy.parquet.nanosAsLong`) are normalized to
+    * microsecond TimestampType via integer division — a double-based
+    * division would lose precision above 2^53 ns. */
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
 
   /** Record-shaped ingestion: JSON rows `{id, createdTime, fields:{...}}`
     * as produced by the reference's fetcher

@@ -23,33 +23,48 @@ final class StateStore(spark: SparkSession, val path: String) {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new Path(path))
+  private val dst = new Path(path)
+  private val old = new Path(path + ".old")
 
-  /** Load the current snapshot; empty 0-column frame if never written. */
+  def exists: Boolean = fs.exists(dst) || fs.exists(old)
+
+  private def livePath: Path = if (fs.exists(dst)) dst else old
+
+  /** Load the current snapshot; empty 0-column frame if never written.
+    * Falls back to the retired `.old` snapshot if a crash interrupted a
+    * promote between retire and delete (see [[overwrite]]). */
   def load(): DataFrame =
-    if (exists) spark.read.parquet(path)
+    if (exists) spark.read.parquet(livePath.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
 
   /** Load with a guaranteed schema (missing snapshot -> empty frame of
     * that schema, so strategy joins typecheck on first run). */
   def load(schema: StructType): DataFrame =
-    if (exists) spark.read.parquet(path)
+    if (exists) spark.read.parquet(livePath.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Atomic snapshot replacement: write to `<path>.tmp`, rename over the
-    * old snapshot (reference's batch atomicity: lib/FirestoreWrapper.py:102-123;
-    * truncate: :37-41). */
+  /** Atomic snapshot replacement with no zero-snapshot window
+    * (reference's batch atomicity: lib/FirestoreWrapper.py:102-123;
+    * truncate: :37-41): write to `<path>.tmp`, retire the live snapshot to
+    * `<path>.old`, promote tmp, delete the retired copy last. A crash at
+    * any point leaves either the old or the new snapshot loadable — load()
+    * prefers the promoted path and falls back to `.old`. */
   def overwrite(df: DataFrame, partitions: Int = 0): Unit = {
     val tmp = new Path(path + ".tmp")
-    val dst = new Path(path)
     val out = if (partitions > 0) df.repartition(partitions) else df
     out.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"retire $dst -> $old failed")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"atomic rename $tmp -> $dst failed")
+    fs.delete(old, true)
   }
 
-  def truncate(): Unit = if (exists) fs.delete(new Path(path), true)
+  def truncate(): Unit = {
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
 
   // --- Query surface (reference: lib/FirestoreWrapper.py:72-131) ---
 

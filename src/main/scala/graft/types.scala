@@ -6,7 +6,13 @@ package graft
   * (reference: lib/AirtablePipelineConfigs.py:5-15) plus APPEND, which the
   * reference documents but never implemented (reference: README.md:58-59).
   */
-sealed trait UpdateType { def value: String }
+sealed trait UpdateType {
+  def value: String
+  /** Table-level strategies persist one whole-table snapshot document, not
+    * per-record rows — their state must never be schema-aligned with the
+    * source (reference: lib/UpdateStrategies.py:420-522). */
+  def isTableLevel: Boolean = false
+}
 object UpdateType {
   case object FullRefresh extends UpdateType { val value = "full_refresh" }
   case object Replace extends UpdateType { val value = "replace" }
@@ -17,8 +23,10 @@ object UpdateType {
   case object VersionedSet extends UpdateType { val value = "versioned_set" }
   case object UpsertChecksum extends UpdateType { val value = "upsert_checksum" }
   case object UpsertChecksumWithDelete extends UpdateType { val value = "upsert_checksum_with_delete" }
-  case object UpsertTableChecksum extends UpdateType { val value = "upsert_table_checksum" }
-  case object VersionedTableChecksum extends UpdateType { val value = "versioned_table_checksum" }
+  case object UpsertTableChecksum extends UpdateType {
+    val value = "upsert_table_checksum"; override val isTableLevel = true }
+  case object VersionedTableChecksum extends UpdateType {
+    val value = "versioned_table_checksum"; override val isTableLevel = true }
 
   val all: Seq[UpdateType] = Seq(
     FullRefresh, Replace, Append, SoftDelete, Versioned, VersionedChecksum,

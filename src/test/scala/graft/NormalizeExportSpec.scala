@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.Normalize
+import graft.operators.Export
+import graft.sources.{Sources, View, ViewCatalog}
+
+class NormalizeExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cast matrix: text/number/checkbox/date/dateTime/selects") {
+    val df = Seq(("42", "7.5", "true", "2024-03-01", "2024-03-01T10:30:00Z", "x"))
+      .toDF("t", "n", "b", "d", "dt", "passthru")
+    val out = df.select(
+      Normalize.castTo($"t", "singleLineText").as("t"),
+      Normalize.castTo($"n", "number").as("n"),
+      Normalize.castTo($"b", "checkbox").as("b"),
+      Normalize.castTo($"d", "date").as("d"),
+      Normalize.castTo($"dt", "dateTime").as("dt"),
+      Normalize.castTo($"passthru", "unknownType").as("p"))
+    val r = out.head()
+    assert(r.getString(0) == "42")
+    assert(r.getDouble(1) == 7.5)
+    assert(r.getBoolean(2))
+    assert(r.getDate(3).toString == "2024-03-01")
+    assert(r.getTimestamp(4) == Timestamp.valueOf("2024-03-01 10:30:00"))
+    assert(r.getString(5) == "x")
+  }
+
+  test("attachment arrays keep only urls") {
+    val df = spark.sql(
+      "SELECT array(named_struct('url','http://a','size',1), named_struct('url','http://b','size',2)) AS att")
+    val out = df.select(Normalize.castTo(col("att"), "multipleAttachments").as("urls"))
+      .as[Seq[String]].head()
+    assert(out == Seq("http://a", "http://b"))
+  }
+
+  test("lenient timestamp accepts ISO variants; datetime probe rejects bare numbers") {
+    val df = Seq(
+      "2024-03-01T10:30:00.123+02:00",
+      "2024-03-01T10:30:00",
+      "2024-03-01 10:30:00",
+      "2024-03-01",
+      "5" // the reference's dateutil hazard: parses as a date — we must not
+    ).toDF("s")
+    val parsed = df.select(Normalize.lenientTimestamp($"s").as("ts")).collect()
+    assert(parsed.take(4).forall(_.get(0) != null))
+    assert(parsed(4).get(0) == null)
+    val probes = df.select(Normalize.isDatetimeLike($"s").as("p")).as[Boolean].collect()
+    assert(probes.toSeq == Seq(true, true, true, true, false))
+  }
+
+  test("null pk and empty pk rows are dropped") {
+    val df = Seq((Some("a"), 1), (None, 2), (Some(""), 3)).toDF("id", "v")
+    assert(Normalize.filterValidPk(df, "id").as[(String, Int)].collect().toSeq == Seq(("a", 1)))
+  }
+
+  test("cleanProjection drops keys at depth and cleans strings") {
+    val df = spark.sql(
+      """SELECT ' padded\t' AS s,
+        |  named_struct('keep', 'x\ty', 'secret', 'z') AS nested,
+        |  array(named_struct('keep', ' a ', 'secret', 'b')) AS arr,
+        |  'drop me' AS secret""".stripMargin)
+    val out = Normalize.cleanProjection(df, Set("secret"))
+    assert(out.columns.toSeq == Seq("s", "nested", "arr"))
+    val r = out.head()
+    assert(r.getString(0) == "padded")
+    assert(r.getStruct(1).schema.fieldNames.toSeq == Seq("keep"))
+    assert(r.getStruct(1).getString(0) == "xy")
+    assert(r.getSeq[org.apache.spark.sql.Row](2).head.getString(0) == "a")
+  }
+
+  test("view catalog projects visible fields in order, minus hidden") {
+    val df = Seq((1, "n", 2.0, "seg")).toDF("id", "name", "bal", "segment")
+    val cat = new ViewCatalog(Map("v1" -> View("v1", Seq("name", "id", "bal"), Set("bal"))))
+    assert(cat(df, "v1").columns.toSeq == Seq("name", "id"))
+    intercept[IllegalArgumentException](cat(df, "nope"))
+  }
+
+  test("export orders priority columns first, rest sorted; union fills nulls") {
+    assert(Export.orderedColumns(Seq("z", "a", "id", "m"), Seq("id", "missing", "m"))
+      == Seq("id", "m", "a", "z"))
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, "y")).toDF("id", "only_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val path = new java.io.File(dir, "out").getAbsolutePath
+    Export.writeCsv(Seq(a, b), Seq("id"), path)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.columns.toSeq == Seq("id", "only_a", "only_b"))
+    assert(back.count() == 2)
+  }
+
+  test("record-shaped ingestion flattens sparse fields under a typed schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec").toFile
+    val f = new java.io.File(dir, "recs.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id":"rec1","createdTime":"2024-01-01T00:00:00Z","fields":{"Name":"n1","Score":5}}
+        |{"id":"rec2","createdTime":"2024-01-02T00:00:00Z","fields":{"Name":"n2"}}""".stripMargin)
+    val out = Sources.readRecords(spark, f.getAbsolutePath,
+      Map("Name" -> "singleLineText", "Score" -> "number"))
+    assert(out.columns.toSeq == Seq("_record_id", "_created_time", "Name", "Score"))
+    val r = out.orderBy("_record_id").collect()
+    assert(r(0).getAs[Double]("Score") == 5.0)
+    assert(r(1).isNullAt(3)) // sparse field -> null
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.state.StateStore
+
+class PipelineStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpPath(tag: String): String =
+    new java.io.File(Files.createTempDirectory(s"graft_$tag").toFile, "state").getAbsolutePath
+
+  private def cfgFor(path: String, ut: UpdateType) = PipelineConfig(
+    SourceConfig("/src", "people"), StoreConfig(path, "people_col"), ut, "id", 1L)
+
+  test("state store: overwrite/load round-trip, no .old residue, query surface") {
+    val store = new StateStore(spark, tmpPath("store"))
+    val df = Seq(("d1", "upsert_checksum", 5L), ("d2", "upsert_checksum", 9L))
+      .toDF("doc_id", "update_type", "version_id")
+    store.overwrite(df)
+    assert(store.load().count() == 2)
+    store.overwrite(df.withColumn("version_id", $"version_id" + 1))
+    assert(store.load().filter($"version_id" === 10L).count() == 1)
+    // retired copy cleaned up after successful promote
+    val fsPath = new Path(store.path + ".old")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(fsPath))
+    assert(store.getDocument("d1").count() == 1)
+    assert(store.queryDocuments("version_id", ">", 9L).count() == 1)
+    assert(store.queryDocumentsNotEqual("doc_id", "d1").count() == 1)
+    val versions = store.queryAllVersions("upsert_checksum")
+      .select("version_id").as[Long].collect()
+    assert(versions.toSeq == versions.sorted.reverse.toSeq)
+  }
+
+  test("state store: load falls back to retired snapshot after simulated crash") {
+    val store = new StateStore(spark, tmpPath("crash"))
+    store.overwrite(Seq(("d1", 1L)).toDF("doc_id", "v"))
+    // simulate a crash between retire and promote: live dir renamed aside
+    val fs = new Path(store.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(store.path), new Path(store.path + ".old"))
+    assert(store.exists)
+    assert(store.load().count() == 1) // reader still sees a snapshot
+    store.overwrite(Seq(("d1", 2L), ("d2", 2L)).toDF("doc_id", "v"))
+    assert(store.load().count() == 2)
+  }
+
+  test("sync pipeline end-to-end: load, idempotent rerun, mutation, table-level") {
+    val path = tmpPath("pipe")
+    val cfg = cfgFor(path, UpdateType.UpsertChecksum)
+    val pipe = new SyncPipeline(spark, cfg)
+    val raw = Seq(("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("id", "score") // dup pk collapses? no Created col -> kept
+    val st1 = pipe.run(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score"))
+    assert(st1.count() == 2)
+    // rerun identical: same data survives, no new version stamps
+    val pipe2 = new SyncPipeline(spark, cfg.copy(versionId = 2L))
+    val st2 = pipe2.run(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score"))
+    assert(st2.count() == 2)
+    assert(st2.filter($"version_id" === 2L).isEmpty)
+    // mutate one row
+    val pipe3 = new SyncPipeline(spark, cfg.copy(versionId = 3L))
+    val st3 = pipe3.run(Seq(("a", 8.0), ("b", 2.0)).toDF("id", "score"))
+    assert(st3.filter($"version_id" === 3L).select("id").as[String].collect().toSeq == Seq("a"))
+    assert(raw.count() == 3)
+  }
+
+  test("pipeline dedupes on Created latest-wins before strategy") {
+    val path = tmpPath("dedup")
+    val cfg = cfgFor(path, UpdateType.FullRefresh)
+    val pipe = new SyncPipeline(spark, cfg)
+    val raw = Seq(
+      ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-01", 1.0),
+      ("", "2024-01-01", 9.0) // invalid pk dropped
+    ).toDF("id", "Created", "score")
+    val st = pipe.run(raw)
+    assert(st.count() == 1)
+    assert(st.select("score").as[Double].head() == 2.0)
+  }
+
+  test("table-level pipeline run: snapshot state, unchanged rerun keeps version") {
+    val path = tmpPath("tbl")
+    val cfg = cfgFor(path, UpdateType.VersionedTableChecksum)
+    val src = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score")
+    val st1 = new SyncPipeline(spark, cfg).run(src)
+    assert(st1.count() == 1)
+    assert(!st1.columns.contains("id")) // snapshot schema, not aligned with source
+    val st2 = new SyncPipeline(spark, cfg.copy(versionId = 2L)).run(src)
+    assert(st2.count() == 1) // unchanged -> no new version
+    val st3 = new SyncPipeline(spark, cfg.copy(versionId = 3L))
+      .run(Seq(("a", 5.0), ("b", 2.0)).toDF("id", "score"))
+    assert(st3.count() == 2) // changed -> appended version (round-1 crash regression)
+    assert(st3.filter($"latest").select("version_id").as[Long].head() == 3L)
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupApprox, Multimodal, Similarity, TextAnalysis}
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- text analysis ----------------------------------------------------
+
+  test("tokenCount handles blanks, runs of whitespace") {
+    val df = Seq("", "   ", "one", "a b  c", " lots   of \t space ").toDF("t")
+    val out = df.select(TextAnalysis.tokenCount($"t").as("n")).as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 1L, 3L, 3L))
+  }
+
+  test("subwordCount is ceil(chars/4) over non-space chars") {
+    val df = Seq(("abcd", 1L), ("abcde", 2L), ("a b", 1L), ("", 0L)).toDF("t", "want")
+    val bad = df.filter(TextAnalysis.subwordCount($"t") =!= $"want")
+    assert(bad.isEmpty)
+  }
+
+  test("language ID picks marker-heavy language, und when no markers") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "el perro de la casa que ladra los dias",
+      "qqq zzz xxx").toDF("text")
+    val out = df.select(TextAnalysis.languageId($"text").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("shingles: k-windows, short-text degenerate case") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingleStrings($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingleStrings($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprints are formatting-robust") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val same = df.select(
+      (TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y")).as("fx"),
+      (TextAnalysis.md5Fingerprint($"x") === TextAnalysis.md5Fingerprint($"y")).as("fm"))
+      .as[(Boolean, Boolean)].head()
+    assert(same == ((true, true)))
+  }
+
+  // --- dedup ------------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "quick brown fox jumps over the lazy dog near the river bank today"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact content dedup groups identical normalized texts") {
+    val groups = DedupApprox.exactByContent(corpus, "doc_id", "text", md5Family = true)
+    assert(groups.count() == 3)
+    val big = groups.filter($"group_size" === 2).select("keep_id").as[Long].head()
+    assert(big == 1L)
+  }
+
+  test("jaccard: identical=1, near-dup high, disjoint=0") {
+    val pairs = corpus.as("a").crossJoin(corpus.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        DedupApprox.jaccard($"a.text", $"b.text", 3).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.8)
+    assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("minhash LSH surfaces the near-dup and exact-dup pairs") {
+    val dups = DedupApprox.minhashNearDups(corpus, "doc_id", "text",
+      k = 3, bands = 8, rows = 2, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 4L)))
+    assert(dups.contains((1L, 2L)))
+    assert(!dups.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical at hamming 0; near-dups closer than unrelated docs") {
+    val sh = corpus.select($"doc_id", DedupApprox.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(1L, 4L) == 0)          // exact dup
+    assert(ham(1L, 2L) < ham(1L, 3L)) // near-dup closer than unrelated
+    // bucketed variant recovers exact dups (hamming 0 shares every quarter)
+    val pairs = DedupApprox.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+  }
+
+  // --- similarity -------------------------------------------------------
+
+  private val vecs = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(2f, 0f, 0f, 0f)),
+    (4L, Seq(0.9f, 0.1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0") {
+    val out = vecs.select($"vec_id",
+      Similarity.cosine($"embedding", lit(Array(1f, 0f, 0f, 0f))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+  }
+
+  test("topK ranks by cosine with id tiebreak") {
+    val top = Similarity.topK(vecs, "vec_id", "embedding", Seq(1f, 0f, 0f, 0f), 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSet == Set(1L, 3L)) // both cosine 1.0, ids 1,3
+    assert(top(2) == 4L)
+  }
+
+  test("ANN via hyperplane LSH recovers the exact-match bucket") {
+    val idx = Similarity.buildIndex(vecs, "embedding", bits = 4)
+    val hits = Similarity.annTopK(idx, "vec_id", "embedding",
+      Seq(1f, 0f, 0f, 0f), k = 2, bits = 4, probeHamming = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(1L)) // identical vector always shares its own bucket
+  }
+
+  test("cosineNearDups finds scaled (cosine-1) pairs within buckets") {
+    val dups = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.999, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 3L)))
+  }
+
+  // --- multimodal -------------------------------------------------------
+
+  test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
+    val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
+    val media = Multimodal.withDecodedMeta(
+      Multimodal.syntheticMedia(spark, docs), "payload", "mime")
+    val rows = media.select("doc_id", "mime", "media.byte_len", "media.n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(rows(0L)._1 == "image/png" && rows(0L)._2 == 11L && rows(0L)._3 == 1)
+    assert(rows(1L)._1 == "audio/wav")
+    assert(rows(2L)._1 == "video/mp4" && rows(2L)._3 >= 1)
+    // rerun -> identical metadata (stub is deterministic)
+    val again = Multimodal.withDecodedMeta(
+      Multimodal.syntheticMedia(spark, docs), "payload", "mime")
+    assertSameRows(media.select("doc_id", "media.width", "media.height"),
+      again.select("doc_id", "media.width", "media.height"))
+    val frames = Multimodal.sampleFrames(
+      media.filter($"doc_id" === 2L), stride = 10)
+    assert(frames.count() >= 1)
+  }
+}
