@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.DedupApprox
+
+/** Dev profiling harness for the heavy dedup pipelines: per-stage wall
+  * times for the MinHash-LSH near-dup flow on the bench corpus. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROFILE $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+
+    t("corpus")(corpus.count())
+    t("signatures")(DedupApprox.minhashSignatures(
+      corpus, "doc_id", "text", 3, 16, md5Family = true).count())
+    val bands = DedupApprox.lshBands(corpus, "doc_id", "text", 3, 8, 2, md5Family = true)
+    t("bands")(bands.count())
+    t("cands")(DedupApprox.lshCandidatePairs(bands).count())
+    t("hashsets")(DedupApprox.shingleHashSets(corpus, "doc_id", "text", 3).count())
+    t("full")(DedupApprox.minhashNearDups(
+      corpus, "doc_id", "text", 3, 8, 2, 0.6, md5Family = true).count())
+    t("full_again")(DedupApprox.minhashNearDups(
+      corpus, "doc_id", "text", 3, 8, 2, 0.6, md5Family = true).count())
+    t("simhash")(DedupApprox.simhashNearDups(corpus, "doc_id", "text", 12).count())
+    spark.stop()
+  }
+}

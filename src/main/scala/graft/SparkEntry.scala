@@ -664,7 +664,8 @@ object SparkEntry {
         |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
         |  END AS sh FROM toks),
         |sig AS (SELECT doc_id, sh,
-        |  [list_min([md5(CAST(j AS VARCHAR) || '#' || s) FOR s IN sh]) FOR j IN range(0, 16)] AS sg
+        |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+        |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
         |  FROM sh),
         |bands AS (SELECT doc_id, b,
         |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
@@ -672,12 +673,15 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
         |  FROM bands a JOIN bands bb
         |    ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
+        |hsh AS (SELECT doc_id,
+        |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
+        |  FROM sh),
         |pairs AS (SELECT id_a, id_b,
-        |  CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE) /
-        |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+        |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
         |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = cand.id_a
-        |  JOIN sh sb ON sb.doc_id = cand.id_b)
+        |  JOIN hsh sa ON sa.doc_id = cand.id_a
+        |  JOIN hsh sb ON sb.doc_id = cand.id_b)
         |SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
         |FROM pairs WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin),
 

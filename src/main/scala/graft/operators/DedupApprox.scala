@@ -29,68 +29,139 @@ object DedupApprox {
   }
 
   /** MinHash signature as `numHashes` independent min-hashes over the
-    * document's k-shingle set. Hash family: xxhash64 salted by the hash
-    * index (engine-fast); `md5Family=true` hashes the raw shingle STRINGS
-    * with min-of-md5-hex — reproducible verbatim in any SQL engine for
-    * oracle checks (no xxhash64 anywhere on that path). */
+    * document's k-shingle set — single-row expression form, used for ad
+    * hoc column work. Hash family: xxhash64 salted by the hash index
+    * (engine-fast); `md5Family=true` hashes the raw shingle STRINGS with
+    * min-of-md5-hex — reproducible verbatim in any SQL engine for oracle
+    * checks (no xxhash64 anywhere on that path).
+    *
+    * NOTE: this form re-evaluates the shingling expression once per hash
+    * lane; for whole-corpus work use [[minhashSignatures]], which
+    * materializes each shingle exactly once. */
+  /** Lane hash: a 60-bit numeric prefix of md5 (portable — DuckDB:
+    * `CAST(('0x'||substr(md5(j||'#'||s),1,15)) AS BIGINT)`) or salted
+    * xxhash64. Numeric lanes matter: min(long) aggregates in a
+    * HashAggregate, while min(string) falls back to sort-based
+    * aggregation (var-length buffers don't fit the unsafe hash map). */
+  private def laneHash(shingle: Column, j: Int, md5Family: Boolean): Column =
+    if (md5Family)
+      conv(substring(md5(concat_ws("#", lit(j.toString), shingle)), 1, 15), 16, 10)
+        .cast("long")
+    else xxhash64(lit(j.toLong), xxhash64(shingle))
+
   def minhashSignature(text: Column, k: Int, numHashes: Int,
       md5Family: Boolean = false): Column = {
     val sigs = (0 until numHashes).map { j =>
-      if (md5Family)
-        array_min(transform(TextAnalysis.shingleStrings(text, k),
-          s => md5(concat_ws("#", lit(j.toString), s))))
-      else
-        array_min(transform(TextAnalysis.shingles(text, k),
-          s => xxhash64(lit(j.toLong), s))).cast("string")
+      array_min(transform(TextAnalysis.shingleStrings(text, k),
+        s => laneHash(s, j, md5Family))).cast("string")
     }
     array(sigs: _*)
+  }
+
+  /** Whole-corpus MinHash signatures: explode shingles once, then ONE
+    * partially-aggregated groupBy computing every per-lane minimum. Each
+    * shingle string is materialized exactly once instead of `numHashes`
+    * re-evaluations of the shingling tree (16-64x less regex/string work),
+    * and the min-aggregation combines map-side, so the only shuffle
+    * carries `numHashes` partial minima per doc — the scale shape for a
+    * 100 TB corpus. Hash values are identical to [[minhashSignature]]. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, md5Family: Boolean = false): DataFrame = {
+    // hash-partition by id up front: spreads the hash-heavy explode stage
+    // across all cores even when the source is a single parquet row group,
+    // and the groupBy below reuses the partitioning (no second shuffle).
+    // Explicit partition count — AQE would coalesce a bare repartition(col)
+    // of a small corpus back to one partition and serialize the hashing.
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val exploded = docs.repartition(np, col(idCol)).select(col(idCol).as("id"),
+      explode(TextAnalysis.shingleStrings(col(textCol), k)).as("_shingle"))
+    val mins = (0 until numHashes).map { j =>
+      min(laneHash(col("_shingle"), j, md5Family)).as(s"_m$j")
+    }
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"_m$j").cast("string")): _*).as("_sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rows` hashes;
     * docs sharing any band key are candidate pairs. Returns
     * (id, band, band_key) — one output row per band per doc. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, rows: Int, md5Family: Boolean = false): DataFrame = {
-    val sig = minhashSignature(col(textCol), k, bands * rows, md5Family)
-    docs.select(col(idCol).as("id"), sig.as("_sig"))
+      k: Int, bands: Int, rows: Int, md5Family: Boolean = false): DataFrame =
+    minhashSignatures(docs, idCol, textCol, k, bands * rows, md5Family)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-  }
 
   /** Candidate near-dup pairs from LSH buckets (a < b, deduped across
-    * bands). The self-join happens only within (band, band_key) buckets. */
-  def lshCandidatePairs(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = bandsDf.select(col("band"), col("band_key"), col("id").as("id_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    * bands). Instead of a self-join — which would compute the whole
+    * upstream minhash pipeline once per side — buckets are collected with
+    * ONE groupBy and pairs expand inside each bucket with array
+    * expressions. `maxBucket` (0 = unlimited) drops degenerate buckets
+    * (e.g. a boilerplate band shared by millions of docs) whose quadratic
+    * expansion would dominate at corpus scale; real near-dup buckets are
+    * small by construction. */
+  def lshCandidatePairs(bandsDf: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val buckets = bandsDf.groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = if (maxBucket > 0) buckets.filter(size(col("ids")) <= maxBucket) else buckets
+    capped
+      .select(explode(flatten(transform(col("ids"),
+        a => transform(col("ids"), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .filter(col("p.id_a") < col("p.id_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for a pair frame carrying both texts:
-    * |A ∩ B| / |A ∪ B| over distinct k-shingle STRING sets (portable —
-    * the same value is recomputable in any SQL engine). */
+    * |A ∩ B| / |A ∪ B| over distinct k-shingle sets. Shingles are
+    * represented by their 60-bit md5 prefixes: still portable (DuckDB:
+    * `CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)`), and set ops over
+    * fixed-width longs run an order of magnitude faster than over
+    * variable-length strings. */
   def jaccard(textA: Column, textB: Column, k: Int): Column = {
-    val sa = array_distinct(TextAnalysis.shingleStrings(textA, k))
-    val sb = array_distinct(TextAnalysis.shingleStrings(textB, k))
+    def hs(t: Column) = array_distinct(transform(
+      TextAnalysis.shingleStrings(t, k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    val sa = hs(textA)
+    val sb = hs(textB)
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: band -> bucket-join -> verify
-    * with exact Jaccard >= `threshold`. `docs` needs (idCol, textCol). */
+  /** Distinct k-shingle sets per doc, as 60-bit md5-prefix longs (see
+    * [[jaccard]]), computed on the codegen-friendly explode path — one
+    * shingling pass per doc instead of one per candidate pair. */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shingleStrings(col(textCol), k)).as("_s"))
+      .select(col("id"),
+        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long").as("_h"))
+      .groupBy(col("id")).agg(collect_set(col("_h")).as("_hs"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: band -> bucket-group -> verify
+    * with exact Jaccard >= `threshold`. `docs` needs (idCol, textCol).
+    * Verification joins pre-hashed shingle sets (tiny, broadcastable)
+    * so the per-pair work is two long-array set ops — the interpreted
+    * per-pair re-shingling this replaces was ~50x slower. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.7, md5Family: Boolean = false): DataFrame = {
     val cands = lshCandidatePairs(lshBands(docs, idCol, textCol, k, bands, rows, md5Family))
-    val txt = docs.select(col(idCol).as("_jid"), col(textCol).as("_jtext"))
+    val hs = shingleHashSets(docs, idCol, textCol, k)
+    val inter = size(array_intersect(col("_ha"), col("_hb"))).cast("double")
+    val union = size(array_union(col("_ha"), col("_hb"))).cast("double")
     cands
-      .join(txt.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jtext", "_ta"), Seq("id_a"))
-      .join(txt.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jtext", "_tb"), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("_ta"), col("_tb"), k))
+      .join(broadcast(hs.select(col("id").as("id_a"), col("_hs").as("_ha"))), Seq("id_a"))
+      .join(broadcast(hs.select(col("id").as("id_b"), col("_hs").as("_hb"))), Seq("id_b"))
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops in any
       // engine, so the DuckDB oracle reproduces the value bit-for-bit.
@@ -101,7 +172,10 @@ object DedupApprox {
 
   /** SimHash: 64-bit sketch where bit i is the sign of the sum over token
     * hashes of (bit i ? +1 : -1). Near-dups have small Hamming distance.
-    * Pure expression tree — wide but codegen'd, zero shuffle. */
+    * Pure expression tree — wide but codegen'd, zero shuffle.
+    *
+    * NOTE: re-evaluates the token-hash array once per bit; for
+    * whole-corpus work use [[simhashes]] (explode once + one aggregation). */
   def simhash(text: Column): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
     val hashes = transform(toks, t => xxhash64(t))
@@ -109,6 +183,26 @@ object DedupApprox {
       (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
     (0 until 64).map(i => when(bitSum(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+  }
+
+  /** Whole-corpus SimHash: explode tokens once, hash each token once, and
+    * compute all 64 signed bit-sums in ONE partially-aggregated groupBy —
+    * 64x less token/regex work than the scalar form, map-side combined,
+    * one shuffle carrying 64 longs per doc. Sketch values match
+    * [[simhash]] bit for bit. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // see minhashSignatures: co-partition by id once, reuse for the agg
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val e = docs.repartition(np, col(idCol)).select(col(idCol).as("id"),
+      explode(split(TextAnalysis.normText(col(textCol)), " ")).as("_tok"))
+      .select(col("id"), xxhash64(col("_tok")).as("_h"))
+    val sums = (0 until 64).map(i =>
+      sum(shiftright(col("_h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$i"))
+    e.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh"))
   }
 
   /** Hamming distance between two 64-bit sketches. */
@@ -119,14 +213,20 @@ object DedupApprox {
     * quarter — pigeonhole), verify Hamming within buckets. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = simhashes(docs, idCol, textCol)
     val quarters = sh.select(col("id"), col("sh"), posexplode(array(
       (0 until 4).map(q => shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
-    val a = quarters.select(col("q"), col("qkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = quarters.select(col("q"), col("qkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("q", "qkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+    // one groupBy per (quarter, key) bucket; pair expansion inside the
+    // bucket (no self-join -> the sketch pipeline runs once, not twice)
+    quarters.groupBy(col("q"), col("qkey"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"),
+        a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .filter(col("p.a.id") < col("p.b.id"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

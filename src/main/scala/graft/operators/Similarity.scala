@@ -77,17 +77,22 @@ object Similarity {
     topK(candidates, idCol, vecCol, probe, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket self-join + exact
-    * cosine verification within buckets (same shape as MinHash LSH). */
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket grouping + exact
+    * cosine verification within buckets (same shape as MinHash LSH). One
+    * groupBy on the code — no self-join, so the hyperplane-projection
+    * pipeline runs once; pair expansion happens inside each bucket. */
   def cosineNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 8): DataFrame = {
     val idx = buildIndex(embeddings, vecCol, bits)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_code"))
-    val a = idx.select(col("lsh_code"), col("id").as("id_a"), col("v").as("_va"))
-    val b = idx.select(col("lsh_code"), col("id").as("id_b"), col("v").as("_vb"))
-    a.join(b, Seq("lsh_code")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
+    idx.groupBy(col("lsh_code"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"),
+        a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .filter(col("p.a.id") < col("p.b.id"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.v"), col("p.b.v")).as("cos"))
       .filter(col("cos") > threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }
