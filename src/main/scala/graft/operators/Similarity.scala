@@ -13,15 +13,27 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float arrays in index order (deterministic
-    * left-to-right fold, double accumulation). */
+    * left-to-right fold, double accumulation). Composable reference form;
+    * higher-order functions evaluate interpreted. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composable cosine (interpreted HOFs) — kept as the semantic
+    * reference; [[cosine]] is the fused native form. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd expression — one fused
+    * primitive loop per row, bit-identical to [[cosineHof]] on
+    * equal-length vectors. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.expression(a),
+        org.apache.spark.sql.graftbridge.expression(b)))
 
   /** All vectors with cosine(v, probe) above `threshold` (set semantics —
     * robust to floating-point ordering at the margin). */

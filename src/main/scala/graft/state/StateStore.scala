@@ -66,6 +66,45 @@ final class StateStore(spark: SparkSession, val path: String) {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
+  /** Batch atomic write (reference: lib/FirestoreWrapper.py:102-123): a
+    * heterogeneous action frame — `_action` in {create, update, delete}
+    * plus data columns — applied in ONE atomic snapshot rewrite.
+    *
+    *  - delete: remove rows matching `pk` (reference: :64-70)
+    *  - update: merge-upsert — provided non-null fields overwrite, absent
+    *    fields survive, missing keys are created, matching Firestore's
+    *    `set(merge=True)` (reference: :54-62)
+    *  - create: append as new rows (auto-id add, reference: :43-52)
+    *
+    * The reference batches at most 500 ops per atomic commit; here the
+    * whole frame is one commit because the snapshot swap is the atom.
+    */
+  def applyActions(actions: DataFrame, pk: String): Unit = {
+    import org.apache.spark.sql.Column
+    val dataCols = actions.columns.filterNot(_ == "_action").toSeq
+    val creates = actions.filter(col("_action") === "create").drop("_action")
+    val updates = actions.filter(col("_action") === "update").drop("_action")
+    val deletes = actions.filter(col("_action") === "delete").select(col(pk))
+    val state0 = load()
+    val state =
+      if (state0.columns.isEmpty) creates.limit(0)
+      else dataCols.filterNot(state0.columns.contains)
+        .foldLeft(state0) { (df, c) =>
+          df.withColumn(c, lit(null).cast(actions.schema(c).dataType))
+        }.select(dataCols.map(col): _*)
+    val kept = state.join(deletes, Seq(pk), "left_anti")
+    val u = updates.select((col(pk).as("_upk") +:
+      dataCols.filterNot(_ == pk).map(c => col(c).as(s"_u_$c"))): _*)
+    val merged = kept.join(u, col(pk) === col("_upk"), "full_outer")
+      .select(dataCols.map { c =>
+        val merge: Column =
+          if (c == pk) coalesce(col(pk), col("_upk"))
+          else coalesce(col(s"_u_$c"), col(c))
+        merge.as(c)
+      }: _*)
+    overwrite(merged.unionByName(creates))
+  }
+
   // --- Query surface (reference: lib/FirestoreWrapper.py:72-131) ---
 
   /** Point lookup by doc id (reference: lib/FirestoreWrapper.py:72-84). */

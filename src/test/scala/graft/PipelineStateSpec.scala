@@ -34,6 +34,33 @@ class PipelineStateSpec extends SparkSpec {
     assert(versions.toSeq == versions.sorted.reverse.toSeq)
   }
 
+  test("batch atomic write: create/update/delete in one snapshot rewrite") {
+    val store = new StateStore(spark, tmpPath("batch"))
+    store.overwrite(Seq(
+      ("a", Some("Alice"), Some(1.0)),
+      ("b", Some("Bob"), Some(2.0)),
+      ("c", Some("Cara"), Some(3.0))).toDF("id", "name", "score"))
+    val actions = Seq(
+      ("create", "d", Some("Dan"), Some(4.0)),
+      ("update", "a", None, Some(9.0)),      // partial: name survives merge
+      ("update", "e", Some("Eve"), None),    // merge-upsert creates missing key
+      ("delete", "c", None, None)
+    ).toDF("_action", "id", "name", "score")
+    store.applyActions(actions, "id")
+    val out = store.load().as[(String, Option[String], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "a" -> ((Some("Alice"), Some(9.0))), // score updated, name kept
+      "b" -> ((Some("Bob"), Some(2.0))),
+      "d" -> ((Some("Dan"), Some(4.0))),
+      "e" -> ((Some("Eve"), None))))
+    // batch against an empty store: only creates land
+    val fresh = new StateStore(spark, tmpPath("batch_empty"))
+    fresh.applyActions(actions, "id")
+    val ids = fresh.load().select("id").as[String].collect().toSet
+    assert(ids == Set("a", "d", "e")) // creates + both merge-upserts land
+  }
+
   test("state store: load falls back to retired snapshot after simulated crash") {
     val store = new StateStore(spark, tmpPath("crash"))
     store.overwrite(Seq(("d1", 1L)).toDF("doc_id", "v"))
