@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Strategies
+
+/** Property-based strategy laws (SURVEY.md §5.3): idempotence of rerun
+  * under checksum strategies, FULL_REFRESH ≡ source,
+  * UPSERT_CHECKSUM_WITH_DELETE converges to source, exactly one
+  * latest=true per pk in versioned chains, checksum equality ⇔
+  * normalized-record equality. ScalaCheck generators driven with fixed
+  * seeds (deterministic across runs; no scalatest bridge dependency). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic samples from a generator (seed base separates the
+    * argument positions so paired samples aren't correlated). */
+  private def samples[T](g: Gen[T], n: Int, seedBase: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default.withSize(12), Seed(seedBase + i)))
+
+  private def forAll[A](ga: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    samples(ga, n, 0L).foreach(f)
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(f: (A, B) => Unit): Unit =
+    samples(ga, n, 0L).zip(samples(gb, n, 1000L)).foreach { case (a, b) => f(a, b) }
+
+  private def forAll3[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C], n: Int = 5)(
+      f: (A, B, C) => Unit): Unit =
+    samples(ga, n, 0L).lazyZip(samples(gb, n, 1000L)).lazyZip(samples(gc, n, 2000L))
+      .foreach { case (a, b, c) => f(a, b, c) }
+
+  private val rowGen: Gen[(String, String, Double)] = for {
+    id <- Gen.oneOf((1 to 8).map("k" + _))
+    name <- Gen.oneOf("ann", "bob", "cho", "dee")
+    score <- Gen.chooseNum(0, 99).map(_.toDouble)
+  } yield (id, name, score)
+
+  // one row per pk (strategies receive deduped sources)
+  private val tableGen: Gen[Seq[(String, String, Double)]] =
+    Gen.listOf(rowGen).map(_.groupBy(_._1).map(_._2.head).toSeq)
+
+  private def df(rows: Seq[(String, String, Double)]): DataFrame =
+    if (rows.isEmpty) Seq.empty[(String, String, Double)].toDF("id", "name", "score")
+    else rows.toDF("id", "name", "score")
+
+  private def cfg(ut: UpdateType, v: Long) = PipelineConfig(
+    SourceConfig("/s", "t"), StoreConfig("/na", "c"), ut, "id", v)
+
+  private def data(state: DataFrame): Set[(String, String, Double)] =
+    state.select("id", "name", "score").as[(String, String, Double)].collect().toSet
+
+  test("FULL_REFRESH(state) ≡ source, for any prior state") {
+    forAll2(tableGen, tableGen) { (src, prior) =>
+      val c = cfg(UpdateType.FullRefresh, 2)
+      val st = Strategies.fullRefresh(df(src), df(prior), c)
+      assert(data(st) == src.toSet)
+    }
+  }
+
+  test("UPSERT_CHECKSUM_WITH_DELETE converges to source from any state") {
+    forAll2(tableGen, tableGen) { (src, prior) =>
+      val c = cfg(UpdateType.UpsertChecksumWithDelete, 1)
+      val st0 = Strategies.fullRefresh(df(prior), spark.emptyDataFrame, c)
+      val st = Strategies.upsertChecksumWithDelete(df(src), st0, c.copy(versionId = 2))
+      assert(data(st) == src.toSet)
+    }
+  }
+
+  test("checksum strategies are idempotent: rerunning the same source changes nothing") {
+    forAll(tableGen) { src =>
+      for (ut <- Seq(UpdateType.UpsertChecksum, UpdateType.UpsertChecksumWithDelete,
+          UpdateType.VersionedChecksum, UpdateType.VersionedSet)) {
+        val c = cfg(ut, 1)
+        val s = Strategies.get(ut)
+        val st1 = s(df(src), Strategies.alignState(spark.emptyDataFrame, df(src)), c)
+        val st2 = s(df(src), st1, c.copy(versionId = 2))
+        // no second-run stamps of any kind
+        assert(st2.filter(col("version_id") === 2 || col("version") === 2).isEmpty,
+          s"strategy $ut stamped on a no-change rerun")
+        assert(st2.count() == st1.count(), s"strategy $ut changed row count on rerun")
+      }
+    }
+  }
+
+  test("versioned chains keep exactly one latest=true per pk") {
+    forAll3(tableGen, tableGen, tableGen) { (s1, s2, s3) =>
+      val c = cfg(UpdateType.VersionedChecksum, 1)
+      val strat = Strategies.versionedChecksum
+      var st = strat(df(s1), spark.emptyDataFrame, c)
+      st = strat(df(s2), st, c.copy(versionId = 2))
+      st = strat(df(s3), st, c.copy(versionId = 3))
+      val offending = st.filter(coalesce(col("latest"), lit(false)))
+        .groupBy("id").count().filter(col("count") =!= 1)
+      assert(offending.isEmpty)
+      // every pk ever seen still has exactly one latest row
+      val pks = (s1 ++ s2 ++ s3).map(_._1).toSet
+      assert(st.filter(coalesce(col("latest"), lit(false))).count() == pks.size)
+    }
+  }
+
+  test("row checksum equality ⇔ record equality over data columns") {
+    forAll2(rowGen, rowGen, n = 12) { (a, b) =>
+      val ck = graft.functions.Checksums.portableRowChecksum(Seq("id", "name", "score"))
+      val hashes = Seq(a, b).toDF("id", "name", "score").select(ck).as[String].collect()
+      assert((hashes(0) == hashes(1)) == (a == b))
+    }
+  }
+}
