@@ -389,12 +389,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ----- ANN top-k via LSH buckets (rows-only) ---------------------
+    // ----- ANN top-k via LSH buckets ---------------------------------
     "q30_ann_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       val idx = Similarity.buildIndex(e, "embedding", bits = 8)
       Similarity.annTopK(idx, "vec_id", "embedding", probeVec(s, dir),
-        k = 10, bits = 8, probeHamming = 8)
+        k = 10, bits = 8, probeHamming = 2)
         .select(col("vec_id"), r(col("cos"), 6).as("cos"))
     }),
 
@@ -407,6 +407,24 @@ object SparkEntry {
         .select(unix_timestamp(col("w.start")).as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // ----- hierarchical rollup aggregation ---------------------------
+    "q33_rollup" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // ----- exact percentile (interpolated median) --------------------
+    "q34_percentile" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(r(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          r(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("o_orderstatus")
     }),
 
     // ----- multimodal metadata plumbing ------------------------------
@@ -685,6 +703,70 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
         |FROM pairs WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin),
 
+    "q26_simhash_neardup" -> (nearDupCte +
+      """,
+        |th AS (SELECT doc_id, list(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+        |  FROM (SELECT doc_id,
+        |        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |        FROM corpus)
+        |  GROUP BY doc_id),
+        |sh AS (SELECT doc_id,
+        |  list_sum([CASE WHEN list_sum([((h >> i) & 1) * 2 - 1 FOR h IN hs]) >= 0
+        |            THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+        |            FOR i IN range(0, 60)]) AS sh
+        |  FROM th),
+        |quarters AS (SELECT doc_id, sh, q, (sh >> (q * 16)) & 65535 AS qkey
+        |  FROM sh, range(0, 4) t(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+        |  FROM quarters a JOIN quarters b
+        |    ON a.q = b.q AND a.qkey = b.qkey AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sha, shb)) <= 12 ORDER BY id_a, id_b""".stripMargin),
+
+    "q29_embed_neardup" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, [CAST(x * CAST(2.0 AS FLOAT) AS FLOAT) FOR x IN embedding]
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |code AS (SELECT vec_id, embedding,
+        |  list_sum([CASE WHEN list_sum([CAST(embedding[d] AS DOUBLE) *
+        |      (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       / 1152921504606846975.0 * 2 - 1)
+        |      FOR d IN range(1, len(embedding) + 1)]) >= 0
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 8)]) AS lsh_code
+        |  FROM aug),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+        |            FOR d IN range(1, len(a.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(b.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(b.embedding) + 1)]))) AS cos
+        |  FROM code a JOIN code b ON a.lsh_code = b.lsh_code AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM pr WHERE cos > 0.999 ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_ann_topk" ->
+      """WITH code AS (SELECT vec_id, embedding,
+        |  list_sum([CASE WHEN list_sum([CAST(embedding[d] AS DOUBLE) *
+        |      (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       / 1152921504606846975.0 * 2 - 1)
+        |      FOR d IN range(1, len(embedding) + 1)]) >= 0
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 8)]) AS lsh_code
+        |  FROM embeddings),
+        |p AS (SELECT lsh_code AS pc, embedding AS pv FROM code ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id,
+        |  list_sum([CAST(embedding[d] AS DOUBLE) * CAST(pv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(pv[d] AS DOUBLE) * CAST(pv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(pv) + 1)]))) AS cos
+        |  FROM code, p WHERE bit_count(xor(lsh_code, pc)) <= 2)
+        |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
+
     "q27_cosine_topk" ->
       """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
         |c AS (SELECT vec_id,
@@ -716,6 +798,18 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q33_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q34_percentile" ->
+      """SELECT o_orderstatus,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id,

@@ -38,6 +38,14 @@ object Checksums {
   /** Row checksum over all non-system columns of `df`. */
   def rowChecksum(df: DataFrame): Column = rowChecksum(df.columns.toSeq)
 
+  /** 60-bit numeric md5 prefix of a string — the engine's portable hash:
+    * reproducible in any SQL engine (DuckDB:
+    * `CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`), and numeric, so
+    * aggregations over it stay in HashAggregate and array set-ops run on
+    * fixed-width values. */
+  def md5PrefixLong(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Length-prefixed canonical encoding of one value: `v<len>:<text>` for
     * non-null, `n` for null. The length prefix removes delimiter-collision
     * ambiguity ("a|b"+"x" hashing like "a"+"b|x"), and the whole form is

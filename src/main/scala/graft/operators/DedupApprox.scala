@@ -28,16 +28,6 @@ object DedupApprox {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
   }
 
-  /** MinHash signature as `numHashes` independent min-hashes over the
-    * document's k-shingle set — single-row expression form, used for ad
-    * hoc column work. Hash family: xxhash64 salted by the hash index
-    * (engine-fast); `md5Family=true` hashes the raw shingle STRINGS with
-    * min-of-md5-hex — reproducible verbatim in any SQL engine for oracle
-    * checks (no xxhash64 anywhere on that path).
-    *
-    * NOTE: this form re-evaluates the shingling expression once per hash
-    * lane; for whole-corpus work use [[minhashSignatures]], which
-    * materializes each shingle exactly once. */
   /** Lane hash: a 60-bit numeric prefix of md5 (portable — DuckDB:
     * `CAST(('0x'||substr(md5(j||'#'||s),1,15)) AS BIGINT)`) or salted
     * xxhash64. Numeric lanes matter: min(long) aggregates in a
@@ -45,10 +35,18 @@ object DedupApprox {
     * aggregation (var-length buffers don't fit the unsafe hash map). */
   private def laneHash(shingle: Column, j: Int, md5Family: Boolean): Column =
     if (md5Family)
-      conv(substring(md5(concat_ws("#", lit(j.toString), shingle)), 1, 15), 16, 10)
-        .cast("long")
+      graft.functions.Checksums.md5PrefixLong(concat_ws("#", lit(j.toString), shingle))
     else xxhash64(lit(j.toLong), xxhash64(shingle))
 
+  /** MinHash signature as `numHashes` independent min-hashes over the
+    * document's k-shingle set — single-row expression form, used for ad
+    * hoc column work. Hash family: salted xxhash64 (engine-fast) or, with
+    * `md5Family=true`, the portable md5-prefix lanes any SQL engine can
+    * recompute.
+    *
+    * NOTE: this form re-evaluates the shingling expression once per hash
+    * lane; for whole-corpus work use [[minhashSignatures]], which
+    * materializes each shingle exactly once. */
   def minhashSignature(text: Column, k: Int, numHashes: Int,
       md5Family: Boolean = false): Column = {
     val sigs = (0 until numHashes).map { j =>
@@ -124,7 +122,7 @@ object DedupApprox {
   def jaccard(textA: Column, textB: Column, k: Int): Column = {
     def hs(t: Column) = array_distinct(transform(
       TextAnalysis.shingleStrings(t, k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      s => graft.functions.Checksums.md5PrefixLong(s)))
     val sa = hs(textA)
     val sb = hs(textB)
     val inter = size(array_intersect(sa, sb)).cast("double")
@@ -141,8 +139,7 @@ object DedupApprox {
     docs.repartition(np, col(idCol))
       .select(col(idCol).as("id"),
         explode(TextAnalysis.shingleStrings(col(textCol), k)).as("_s"))
-      .select(col("id"),
-        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long").as("_h"))
+      .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_s")).as("_h"))
       .groupBy(col("id")).agg(collect_set(col("_h")).as("_hs"))
   }
 
@@ -170,37 +167,39 @@ object DedupApprox {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash: 64-bit sketch where bit i is the sign of the sum over token
-    * hashes of (bit i ? +1 : -1). Near-dups have small Hamming distance.
+  /** SimHash: 60-bit sketch where bit i is the sign of the sum over token
+    * hashes of (bit i ? +1 : -1); the token hash is the portable 60-bit
+    * md5 prefix, so any SQL engine can recompute the sketch verbatim.
+    * Near-dups have small Hamming distance.
     * Pure expression tree — wide but codegen'd, zero shuffle.
     *
     * NOTE: re-evaluates the token-hash array once per bit; for
     * whole-corpus work use [[simhashes]] (explode once + one aggregation). */
   def simhash(text: Column): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => graft.functions.Checksums.md5PrefixLong(t))
     val bitSum = (i: Int) => aggregate(hashes, lit(0L),
       (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
-    (0 until 64).map(i => when(bitSum(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
+    (0 until 60).map(i => when(bitSum(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
   }
 
   /** Whole-corpus SimHash: explode tokens once, hash each token once, and
-    * compute all 64 signed bit-sums in ONE partially-aggregated groupBy —
-    * 64x less token/regex work than the scalar form, map-side combined,
-    * one shuffle carrying 64 longs per doc. Sketch values match
+    * compute all 60 signed bit-sums in ONE partially-aggregated groupBy —
+    * 60x less token/regex work than the scalar form, map-side combined,
+    * one shuffle carrying 60 longs per doc. Sketch values match
     * [[simhash]] bit for bit. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // see minhashSignatures: co-partition by id once, reuse for the agg
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val e = docs.repartition(np, col(idCol)).select(col(idCol).as("id"),
       explode(split(TextAnalysis.normText(col(textCol)), " ")).as("_tok"))
-      .select(col("id"), xxhash64(col("_tok")).as("_h"))
-    val sums = (0 until 64).map(i =>
+      .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_tok")).as("_h"))
+    val sums = (0 until 60).map(i =>
       sum(shiftright(col("_h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$i"))
     e.groupBy(col("id")).agg(sums.head, sums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until 60).map(i =>
           when(col(s"_b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("sh"))
   }
@@ -209,8 +208,9 @@ object DedupApprox {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dups: bucket on the 4 16-bit quarters (any pair within
-    * Hamming distance 3 of the full 64 bits shares at least one exact
-    * quarter — pigeonhole), verify Hamming within buckets. */
+    * Hamming distance 3 shares at least one exact quarter — pigeonhole;
+    * the top quarter carries the sketch's high 12 bits), verify Hamming
+    * within buckets. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)

@@ -54,10 +54,15 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
-    * mapped to [-1, 1). No RNG — reproducible across runs and engines. */
+  /** Deterministic pseudo-random hyperplane component: the portable
+    * md5-prefix hash of "plane:dim" mapped to [0, 1) then recentered to
+    * [-1, 1). No RNG — reproducible across runs AND across engines, so a
+    * SQL oracle can rebuild the same hyperplanes:
+    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) / 1152921504606846975.0 * 2 - 1`. */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane.toLong), dim).cast("double") / lit(Long.MaxValue.toDouble))
+    graft.functions.Checksums.md5PrefixLong(
+      concat_ws(":", lit(plane.toString), dim.cast("string")))
+      .cast("double") / lit(0xFFFFFFFFFFFFFFFL.toDouble) * 2 - 1
 
   /** Random-hyperplane LSH code: `bits` sign bits of <v, plane_i>. Vectors
     * close in cosine agree on most bits. */
