@@ -427,11 +427,16 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
-    // ----- multimodal metadata plumbing ------------------------------
+    // ----- multimodal plumbing: decode meta -> resize -> features ----
     "q32_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, rd(s, dir, "documents"))
-      Multimodal.withDecodedMeta(media, "payload", "mime")
-        .select(col("doc_id"), col("mime"), col("media.byte_len").as("byte_len"))
+      val decoded = Multimodal.withDecodedMeta(media, "payload", "mime")
+      val resized = Multimodal.resizeTo(decoded, 64, 64)
+      Multimodal.extractFeatures(resized, dim = 4)
+        .select(col("doc_id"), col("mime"),
+          col("media.byte_len").as("byte_len"),
+          col("media.width").as("width"),
+          size(col("features")).as("n_features"))
         .orderBy("doc_id")
     }))
 
@@ -815,6 +820,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
         |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-        |  CAST(strlen(text) AS BIGINT) AS byte_len
+        |  CAST(least(strlen(text), 256) AS BIGINT) AS byte_len,
+        |  64 AS width,
+        |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

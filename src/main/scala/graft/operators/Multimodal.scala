@@ -66,6 +66,37 @@ object Multimodal {
     df.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0)), lit(stride))))
 
+  /** Resize plan ??? STUB: a real implementation re-encodes the payload
+    * at (w, h) via a codec; the stub deterministically truncates/pads the
+    * payload to the implied byte budget so downstream size accounting is
+    * exercised for real. Metadata is updated for real — schema contract
+    * identical to production. */
+  def resizeTo(df: DataFrame, w: Int, h: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val budget = lit(w * h / 16) // fake bytes-per-resized-image budget
+    df.withColumn(payloadCol,
+        expr(s"substring($payloadCol, 1, ${w * h / 16})"))
+      .withColumn("media", col("media")
+        .withField("width", lit(w))
+        .withField("height", lit(h))
+        .withField("byte_len", least(col("media.byte_len"), budget.cast("long"))))
+  }
+
+  /** Feature-extraction plan ??? STUB: a real implementation runs a
+    * vision/audio encoder over the payload per partition (amortized model
+    * load — same mapPartitions shape as [[withDecodedMeta]]); the stub
+    * derives a deterministic d-dim pseudo-embedding from payload hashes
+    * so the array schema, batching, and downstream similarity plumbing
+    * are the real thing. */
+  def extractFeatures(df: DataFrame, dim: Int = 8,
+      payloadCol: String = "payload"): DataFrame = {
+    val feats = (0 until dim).map { i =>
+      (xxhash64(lit(i.toLong), col(payloadCol)).cast("double") /
+        lit(Long.MaxValue.toDouble)).cast("float")
+    }
+    df.withColumn("features", array(feats: _*))
+  }
+
   /** Synthesize a media table from the documents fixture (texts as fake
     * payloads) — test harness for the plumbing above. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame =

@@ -153,5 +153,23 @@ class TrainingOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(
       media.filter($"doc_id" === 2L), stride = 10)
     assert(frames.count() >= 1)
+    // resize stub: metadata really updated, payload really truncated
+    val resized = Multimodal.resizeTo(media, 64, 64)
+    val r0 = resized.filter($"doc_id" === 0L)
+      .select("media.width", "media.height", "media.byte_len").head()
+    assert(r0.getInt(0) == 64 && r0.getInt(1) == 64 && r0.getLong(2) <= 64 * 64 / 16)
+    // feature-extract stub: deterministic d-dim float vector, usable by
+    // the similarity operators downstream
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val fv = feats.select("features").as[Seq[Float]].collect()
+    assert(fv.forall(_.length == 8))
+    val again2 = Multimodal.extractFeatures(media, dim = 8)
+      .select("features").as[Seq[Float]].collect()
+    assert(fv.toSeq == again2.toSeq)
+    val sim = graft.operators.Similarity.topK(
+      feats.select($"doc_id".as("vec_id"), $"features".as("embedding")),
+      "vec_id", "embedding",
+      fv.head, 2)
+    assert(sim.count() == 2)
   }
 }
