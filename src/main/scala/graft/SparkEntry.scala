@@ -427,6 +427,35 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ----- bucketed incremental state (the 100 TB rewrite path) ------
+    "q35_bucketed_upsert" -> ((s, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q35_state").getAbsolutePath
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val c = cfg(UpdateType.UpsertChecksum, 1L, "c_custkey", "customer")
+      val store = new graft.state.BucketedStateStore(s, path, nBuckets = 8)
+      store.mergeRun(custState(s, dir), c)
+      // incremental run touching only a key slice: only those buckets rewrite
+      store.mergeRun(custSrc(s, dir).filter(col("c_custkey") % 17 === 0),
+        c.copy(versionId = 2L))
+      store.load().select("c_custkey", "c_acctbal", "version_id")
+        .orderBy("c_custkey")
+    }),
+
+    // ----- skew-safe two-phase aggregation ---------------------------
+    "q36_salted_sum" -> ((s, dir) => {
+      val l = rd(s, dir, "lineitem")
+        .withColumn("q", col("l_quantity").cast("decimal(18,2)"))
+      graft.operators.Skew.saltedSum(l, "l_returnflag", "q", salts = 16)
+        .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ----- multimodal plumbing: decode meta -> resize -> features ----
     "q32_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, rd(s, dir, "documents"))
@@ -815,6 +844,24 @@ object SparkEntry {
         |  floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
         |  floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_bucketed_upsert" -> (custCtes +
+      s""",
+        |delta AS (SELECT * FROM src WHERE c_custkey % 17 = 0)
+        |SELECT coalesce(d.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN d.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR
+        |    (d.c_acctbal IS DISTINCT FROM t.c_acctbal OR d.c_name IS DISTINCT FROM t.c_name
+        |     OR d.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+        |     OR d.c_nationkey IS DISTINCT FROM t.c_nationkey))
+        |    THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS version_id
+        |FROM delta d FULL OUTER JOIN state t ON d.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+    "q36_salted_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id,

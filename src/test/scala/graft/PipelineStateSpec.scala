@@ -106,6 +106,39 @@ class PipelineStateSpec extends SparkSpec {
     assert(st.select("score").as[Double].head() == 2.0)
   }
 
+  test("bucketed state: incremental run rewrites only touched buckets") {
+    import graft.state.BucketedStateStore
+    val path = tmpPath("buckets")
+    val cfg = cfgFor(path, UpdateType.UpsertChecksum)
+    val store = new BucketedStateStore(spark, path, nBuckets = 8)
+    val keys = (1 to 64).map(i => (s"k$i", i.toDouble))
+    store.mergeRun(keys.toDF("id", "score"), cfg)
+    assert(store.load().count() == 64)
+    // record per-bucket file state before the incremental run
+    def bucketFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(path)
+      base.listFiles().filter(_.getName.startsWith("_bucket=")).map { d =>
+        d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    // touch exactly one key -> exactly one bucket
+    val src2 = Seq(("k1", 999.0)).toDF("id", "score")
+    store.mergeRun(src2, cfg.copy(versionId = 2L))
+    val after = bucketFiles()
+    val changed = before.keySet.filter(b => before(b) != after.getOrElse(b, Set()))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // merged content: k1 updated, every other key intact
+    val out = store.load().select("id", "score").as[(String, Double)].collect().toMap
+    assert(out("k1") == 999.0)
+    assert(out.size == 64)
+    assert(out("k2") == 2.0)
+    // and the touched-bucket read prunes partitions at the scan
+    val pruned = store.loadTouched(src2, "id")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("_bucket"), scan)
+  }
+
   test("table-level pipeline run: snapshot state, unchanged rerun keeps version") {
     val path = tmpPath("tbl")
     val cfg = cfgFor(path, UpdateType.VersionedTableChecksum)
