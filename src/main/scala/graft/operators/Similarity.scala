@@ -58,19 +58,27 @@ object Similarity {
     * md5-prefix hash of "plane:dim" mapped to [0, 1) then recentered to
     * [-1, 1). No RNG — reproducible across runs AND across engines, so a
     * SQL oracle can rebuild the same hyperplanes:
-    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) / 1152921504606846975.0 * 2 - 1`. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    graft.functions.Checksums.md5PrefixLong(
-      concat_ws(":", lit(plane.toString), dim.cast("string")))
-      .cast("double") / lit(0xFFFFFFFFFFFFFFFL.toDouble) * 2 - 1
+    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) / 1152921504606846975.0 * 2 - 1`.
+    *
+    * The components are row-INDEPENDENT, so they are computed once here
+    * at plan-build time and inlined as literals — an expression form
+    * would re-hash bits*dim md5s per row for values that never change. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 0xFFFFFFFFFFFFFFFL.toDouble * 2 - 1
+  }
 
   /** Random-hyperplane LSH code: `bits` sign bits of <v, plane_i>. Vectors
-    * close in cosine agree on most bits. */
-  def lshCode(vec: Column, bits: Int): Column = {
-    val proj = (i: Int) => aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x.cast("double") * planeComponent(i, d)),
-      lit(0.0), (acc, v) => acc + v)
+    * close in cosine agree on most bits. `dim` is the (fixed) embedding
+    * dimensionality; the unrolled sum keeps the whole computation inside
+    * whole-stage codegen with constant-folded plane components. */
+  def lshCode(vec: Column, bits: Int, dim: Int): Column = {
+    val proj = (i: Int) =>
+      (0 until dim).map(d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(i, d)))
+        .reduce(_ + _)
     (0 until bits).map(i => when(proj(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
   }
@@ -78,8 +86,9 @@ object Similarity {
   /** Bucketed ANN index: one pass computing the LSH code per vector.
     * Persist partitioned/bucketed by `lsh_code` so probes prune to
     * matching buckets (partition pruning at the scan). */
-  def buildIndex(embeddings: DataFrame, vecCol: String, bits: Int = 8): DataFrame =
-    embeddings.withColumn("lsh_code", lshCode(col(vecCol), bits))
+  def buildIndex(embeddings: DataFrame, vecCol: String, bits: Int = 8,
+      dim: Int = 64): DataFrame =
+    embeddings.withColumn("lsh_code", lshCode(col(vecCol), bits, dim))
 
   /** ANN query: search only buckets whose code is within `probeHamming`
     * bits of the probe's code (multi-probe recall knob), then exact-rank
@@ -87,7 +96,7 @@ object Similarity {
   def annTopK(index: DataFrame, idCol: String, vecCol: String,
       probe: Seq[Float], k: Int, bits: Int = 8, probeHamming: Int = 1): DataFrame = {
     val probeCodeRow = index.sparkSession.range(1)
-      .select(lshCode(lit(probe.toArray), bits).as("c")).collect()(0)
+      .select(lshCode(lit(probe.toArray), bits, probe.length).as("c")).collect()(0)
     val probeCode = probeCodeRow.getLong(0)
     val candidates = index.filter(
       bit_count(col("lsh_code").bitwiseXOR(lit(probeCode))) <= probeHamming)
@@ -99,8 +108,8 @@ object Similarity {
     * groupBy on the code — no self-join, so the hyperplane-projection
     * pipeline runs once; pair expansion happens inside each bucket. */
   def cosineNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
-    val idx = buildIndex(embeddings, vecCol, bits)
+      threshold: Double = 0.95, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val idx = buildIndex(embeddings, vecCol, bits, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_code"))
     idx.groupBy(col("lsh_code"))
       .agg(collect_list(struct(col("id"), col("v"))).as("ds"))

@@ -120,7 +120,7 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("ANN via hyperplane LSH recovers the exact-match bucket") {
-    val idx = Similarity.buildIndex(vecs, "embedding", bits = 4)
+    val idx = Similarity.buildIndex(vecs, "embedding", bits = 4, dim = 4)
     val hits = Similarity.annTopK(idx, "vec_id", "embedding",
       Seq(1f, 0f, 0f, 0f), k = 2, bits = 4, probeHamming = 0)
       .select("vec_id").as[Long].collect().toSet
@@ -129,7 +129,7 @@ class TrainingOpsSpec extends SparkSpec {
 
   test("cosineNearDups finds scaled (cosine-1) pairs within buckets") {
     val dups = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
-      threshold = 0.999, bits = 4)
+      threshold = 0.999, bits = 4, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(dups.contains((1L, 3L)))
   }
