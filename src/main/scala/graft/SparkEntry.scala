@@ -456,6 +456,53 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ----- cube aggregation ------------------------------------------
+    "q37_cube" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+    }),
+
+    // ----- edit-distance verification (another near-dup verifier) ----
+    "q38_edit_distance" -> ((s, dir) => {
+      val n = rd(s, dir, "nation").select(col("n_nationkey").as("ka"), col("n_name").as("na"))
+      val m = rd(s, dir, "nation").select(col("n_nationkey").as("kb"), col("n_name").as("nb"))
+      n.join(m, col("ka") < col("kb"))
+        .select(col("ka"), col("kb"), levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("ka", "kb")
+    }),
+
+    // ----- ranking window suite --------------------------------------
+    "q39_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("rnk") <= 100)
+        .orderBy("o_orderkey")
+    }),
+
+    // ----- datetime function breadth ---------------------------------
+    "q40_datetime_funcs" -> ((s, dir) => {
+      rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"))
+        .orderBy("o_orderkey").limit(5000)
+    }),
+
     // ----- multimodal plumbing: decode meta -> resize -> features ----
     "q32_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, rd(s, dir, "documents"))
@@ -862,6 +909,41 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q38_edit_distance" ->
+      """SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+        |ORDER BY ka, kb""".stripMargin,
+
+    "q39_rank_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY rnk <= 100
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q40_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders ORDER BY o_orderkey LIMIT 5000""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id,
