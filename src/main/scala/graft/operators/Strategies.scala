@@ -82,7 +82,7 @@ object Strategies {
     val sp = src.select(col(cfg.primaryKey).as("_spk"),
       struct(dataCols.map(col): _*).as("_s"), ck.as("_sck"))
     val tp = state.select(col(cfg.primaryKey).as("_tpk"),
-      struct(state.columns.map(col): _*).as("_t"), ck.as("_tck"))
+      struct(state.columns.toIndexedSeq.map(col): _*).as("_t"), ck.as("_tck"))
     val j = sp.join(tp, sp("_spk") === tp("_tpk"), "full_outer")
     Joined(j, dataCols,
       srcPresent = col("_s").isNotNull,
@@ -149,7 +149,7 @@ object Strategies {
     val state = alignState(state0, src)
     val newRows = stamped(
       src.join(state.select(col(cfg.primaryKey)), Seq(cfg.primaryKey), "left_anti"), cfg)
-    state.select(newRows.columns.map(col): _*).unionByName(newRows)
+    state.select(newRows.columns.toIndexedSeq.map(col): _*).unionByName(newRows)
   }
 
   /** UPSERT_CHECKSUM: matched+changed -> update in place (doc id kept, new
@@ -214,7 +214,7 @@ object Strategies {
       "start_date" -> current_timestamp(),
       "end_date" -> lit(null).cast(TimestampType),
       "latest" -> lit(true))
-    demoted.select(fresh.columns.map(col): _*).unionByName(fresh)
+    demoted.select(fresh.columns.toIndexedSeq.map(col): _*).unionByName(fresh)
   }
 
   /** VERSIONED_CHECKSUM: append a new version only for pks whose latest
@@ -242,7 +242,7 @@ object Strategies {
         when(col("_cpk").isNotNull && coalesce(col("latest"), lit(false)), lit(false))
           .otherwise(col("latest")))
       .drop("_cpk")
-    demoted.select(fresh.columns.map(col): _*).unionByName(fresh)
+    demoted.select(fresh.columns.toIndexedSeq.map(col): _*).unionByName(fresh)
   }
 
   /** VERSIONED_SET: if ANY change exists (new/changed/deleted pk vs the
@@ -261,7 +261,7 @@ object Strategies {
       val fresh = stamped(src, cfg,
         "version_id" -> lit(cfg.versionId),
         "latest" -> lit(true))
-      demoted.select(fresh.columns.map(col): _*).unionByName(fresh)
+      demoted.select(fresh.columns.toIndexedSeq.map(col): _*).unionByName(fresh)
     }
   }
 
