@@ -143,21 +143,48 @@ object DedupApprox {
       .groupBy(col("id")).agg(collect_set(col("_h")).as("_hs"))
   }
 
+  /** Per-doc sketch frame: minhash signature AND distinct shingle hash
+    * set from ONE explode + ONE aggregation. ~100 bytes per doc — cheap
+    * to persist so its three consumers (banding, and both sides of the
+    * verification join) don't re-run the shingling/hashing pipeline. */
+  private def docSketches(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, md5Family: Boolean): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val exploded = docs.repartition(np, col(idCol)).select(col(idCol).as("id"),
+      explode(TextAnalysis.shingleStrings(col(textCol), k)).as("_shingle"))
+    val mins = (0 until numHashes).map { j =>
+      min(laneHash(col("_shingle"), j, md5Family)).as(s"_m$j")
+    }
+    val aggs = mins :+ collect_set(
+      graft.functions.Checksums.md5PrefixLong(col("_shingle"))).as("_hs")
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"_m$j").cast("string")): _*).as("_sig"),
+        col("_hs"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: band -> bucket-group -> verify
     * with exact Jaccard >= `threshold`. `docs` needs (idCol, textCol).
-    * Verification joins pre-hashed shingle sets (tiny, broadcastable)
-    * so the per-pair work is two long-array set ops — the interpreted
+    * The per-doc sketch frame is computed once and persisted (spilling to
+    * disk if needed); verification joins its pre-hashed shingle sets so
+    * the per-pair work is two long-array set ops — the interpreted
     * per-pair re-shingling this replaces was ~50x slower. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.7, md5Family: Boolean = false): DataFrame = {
-    val cands = lshCandidatePairs(lshBands(docs, idCol, textCol, k, bands, rows, md5Family))
-    val hs = shingleHashSets(docs, idCol, textCol, k)
+    val sk = docSketches(docs, idCol, textCol, k, bands * rows, md5Family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sk
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cands = lshCandidatePairs(bandsDf)
     val inter = size(array_intersect(col("_ha"), col("_hb"))).cast("double")
     val union = size(array_union(col("_ha"), col("_hb"))).cast("double")
     cands
-      .join(broadcast(hs.select(col("id").as("id_a"), col("_hs").as("_ha"))), Seq("id_a"))
-      .join(broadcast(hs.select(col("id").as("id_b"), col("_hs").as("_hb"))), Seq("id_b"))
+      .join(broadcast(sk.select(col("id").as("id_a"), col("_hs").as("_ha"))), Seq("id_a"))
+      .join(broadcast(sk.select(col("id").as("id_b"), col("_hs").as("_hb"))), Seq("id_b"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops in any
