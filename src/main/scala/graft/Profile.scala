@@ -41,6 +41,24 @@ object Profile {
     t("full_again")(DedupApprox.minhashNearDups(
       corpus, "doc_id", "text", 3, 8, 2, 0.6, md5Family = true).count())
     t("simhash")(DedupApprox.simhashNearDups(corpus, "doc_id", "text", 12).count())
+
+    // streaming drive: the real events table through a file-source stream
+    // -> sessionize -> memory sink (AvailableNow = process-all-then-stop)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamingSync.sessionize(stream, gapMinutes = 60)
+      .writeStream.format("memory").queryName("profile_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    println("PROFILE streaming_sessions rows=" +
+      spark.table("profile_sessions").count())
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.PipelineConfig
@@ -40,4 +40,34 @@ object StreamingSync {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Streaming exactly-once-per-key dedup: drops duplicate keys across
+    * micro-batches, bounding state with the watermark (keys older than
+    * the watermark are forgotten — the streaming analog of the batch
+    * latest-wins dedup for at-least-once sources). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Stateful sessionization with the BUILT-IN session_window (gap-based
+    * dynamic windows, state managed by Spark): per-user sessions close
+    * when the watermark passes last_event + gap, then emit exactly once
+    * in append mode. `end_ts` is the session window's exclusive end
+    * (last event + gap) per Spark semantics.
+    *
+    * Chosen over a hand-rolled flatMapGroupsWithState implementation
+    * deliberately: session windows are expressible with a built-in
+    * operator, so the custom-state API (`KeyValueGroupedDataset
+    * .flatMapGroupsWithState`) stays reserved for semantics the engine
+    * genuinely can't compose — none of the reference's require it. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"), col("total_value"))
 }

@@ -34,6 +34,55 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("a" -> 9.0, "b" -> 2.0, "c" -> 3.0))
   }
 
+  test("streaming dedup drops cross-batch duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val dedup = StreamingSync.dedupStream(
+      in.toDF().toDF("ts", "event_id", "value"), Seq("event_id"), "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    in.addData((t, 1L, 1.0), (t, 1L, 1.0), (t, 2L, 2.0)) // in-batch dup
+    q.processAllAvailable()
+    in.addData((t, 1L, 1.0), (t, 3L, 3.0)) // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows close on gap once the watermark passes, emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = StreamingSync.sessionize(
+      in.toDF().toDF("ts", "user_id", "value"), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7 bursts at 10:00-10:10, again at 12:00; user 8 once at 10:20.
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (ts("2024-01-01 10:10:00"), 7L, 2.0),
+      (ts("2024-01-01 10:20:00"), 8L, 5.0))
+    q.processAllAvailable()
+    // nothing emitted yet: watermark hasn't passed any session end
+    assert(spark.table("sessions_out").isEmpty)
+    // 12:00 advances the watermark to 11:30 > both sessions' end -> emit
+    in.addData((ts("2024-01-01 12:00:00"), 7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_out")
+      .select("user_id", "start_ts", "end_ts", "n_events", "total_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 2)
+    val s7 = out(7L)
+    assert(s7._2 == ts("2024-01-01 10:00:00") && s7._3 == ts("2024-01-01 10:40:00"))
+    assert(s7._4 == 2L && s7._5 == 3.0) // end = last event + gap
+    val s8 = out(8L)
+    assert(s8._4 == 1L && s8._5 == 5.0)
+  }
+
   test("watermarked windowed counts aggregate an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
