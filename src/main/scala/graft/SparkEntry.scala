@@ -456,6 +456,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ----- gap-based sessionization (batch session_window) -----------
+    "q41_sessionize" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "60 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start_epoch"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_epoch")
+    }),
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -909,6 +921,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start_epoch,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_epoch""".stripMargin,
 
     "q37_cube" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
