@@ -456,6 +456,35 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ----- batch atomic write: heterogeneous actions in one commit ---
+    "q42_batch_actions" -> ((s, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q42_state").getAbsolutePath
+      val store = new graft.state.StateStore(s, path)
+      store.truncate()
+      store.overwrite(custState(s, dir))
+      // create: new ids above the key space; update: partial acctbal merge
+      // on %13 keys; delete: %19 keys
+      val creates = rd(s, dir, "customer").filter(col("c_custkey") % 23 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
+        .withColumn("_action", lit("create"))
+      val updates = rd(s, dir, "customer").filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          (col("c_acctbal") + lit(50.0)).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"),
+          lit(null).cast("int").as("c_nationkey"))
+        .withColumn("_action", lit("update"))
+      val deletes = rd(s, dir, "customer").filter(col("c_custkey") % 19 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"),
+          lit(null).cast("int").as("c_nationkey"))
+        .withColumn("_action", lit("delete"))
+      store.applyActions(creates.unionByName(updates).unionByName(deletes), "c_custkey")
+      store.load().select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+    }),
+
     // ----- gap-based sessionization (batch session_window) -----------
     "q41_sessionize" -> ((s, dir) => {
       rd(s, dir, "events")
@@ -921,6 +950,23 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_batch_actions" ->
+      """WITH state AS (SELECT c_custkey, c_name, c_acctbal
+        |               FROM customer WHERE c_custkey % 11 != 3),
+        |kept AS (SELECT * FROM state WHERE c_custkey % 19 != 0),
+        |upd AS (SELECT c_custkey, c_acctbal + 50.0 AS u_acctbal
+        |        FROM customer WHERE c_custkey % 13 = 0),
+        |merged AS (
+        |  SELECT coalesce(k.c_custkey, u.c_custkey) AS c_custkey,
+        |         k.c_name AS c_name,
+        |         coalesce(u.u_acctbal, k.c_acctbal) AS c_acctbal
+        |  FROM kept k FULL OUTER JOIN upd u ON k.c_custkey = u.c_custkey)
+        |SELECT c_custkey, c_name, c_acctbal FROM merged
+        |UNION ALL
+        |SELECT c_custkey + 100000, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 23 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, ts, value,
