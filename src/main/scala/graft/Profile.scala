@@ -59,6 +59,25 @@ object Profile {
     q.awaitTermination(120000)
     println("PROFILE streaming_sessions rows=" +
       spark.table("profile_sessions").count())
+
+    // DSv2 drive: export documents as record-shaped JSONL, read it back
+    // through the registered graft-records format with pruning
+    val recDir = java.nio.file.Files.createTempDirectory("graft_records").toFile
+    val recFile = new java.io.File(recDir, "docs.jsonl").getAbsolutePath
+    val jsonl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr(
+        "to_json(named_struct('id', concat('doc', doc_id), " +
+          "'createdTime', '2024-01-01T00:00:00Z', " +
+          "'fields', named_struct('Text', text, 'Chars', n_chars)))")
+    jsonl.coalesce(1).write.mode("overwrite").text(recDir.getAbsolutePath + "/out")
+    val src = spark.read.format("graft-records")
+      .option("path", recDir.getAbsolutePath + "/out")
+      .option("fieldTypes", "Text:singleLineText,Chars:number")
+      .load()
+    t("dsv2_full")(src.count())
+    t("dsv2_pruned")(src.select("Chars").agg(sum("Chars")).collect().head.getDouble(0).toLong)
+    println("PROFILE dsv2_plan_pruned=" +
+      src.select("Chars").queryExecution.executedPlan.toString.contains("ReadSchema=struct<Chars:double>"))
     spark.stop()
   }
 }

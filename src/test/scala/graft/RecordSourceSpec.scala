@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** DSv2 record source: typed read of the reference's wire shape, sparse
+  * fields as nulls, and column pruning pushed into the source scan. */
+class RecordSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("graft_dsv2").toFile
+    val f = new java.io.File(dir, "records.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id":"rec1","createdTime":"2024-01-01T00:00:00Z","fields":{"Name":"alpha","Score":5,"Active":true,"Tags":["x","y"],"Attachments":[{"url":"http://a","size":9}]}}
+        |{"id":"rec2","createdTime":"2024-01-02T12:30:00Z","fields":{"Name":"beta"}}
+        |{"id":"rec3","createdTime":"2024-01-03T00:00:00Z","fields":{"Name":"gamma","Score":2.5,"Active":false}}""".stripMargin)
+    f.getAbsolutePath
+  }
+
+  private def read() = spark.read.format("graft-records")
+    .option("path", fixture)
+    .option("fieldTypes",
+      "Name:singleLineText,Score:number,Active:checkbox,Tags:multipleSelects,Attachments:multipleAttachments")
+    .load()
+
+  test("reads typed records with sparse fields as nulls") {
+    val df = read()
+    assert(df.columns.toSeq == Seq("_record_id", "_created_time", "Name",
+      "Score", "Active", "Tags", "Attachments"))
+    val rows = df.orderBy("_record_id").collect()
+    assert(rows.length == 3)
+    val r1 = rows(0)
+    assert(r1.getString(0) == "rec1")
+    assert(r1.getAs[Double]("Score") == 5.0)
+    assert(r1.getAs[Boolean]("Active"))
+    assert(r1.getAs[scala.collection.Seq[String]]("Tags").toSeq == Seq("x", "y"))
+    assert(r1.getAs[scala.collection.Seq[String]]("Attachments").toSeq == Seq("http://a")) // urls only
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("Score"))) // sparse -> null
+    assert(r2.getTimestamp(1).toString.startsWith("2024-01-02 12:30:00"))
+  }
+
+  test("column pruning reaches the source scan") {
+    val df = read().select("Name", "Score")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RecordScan"), plan)
+    assert(plan.contains("ReadSchema=struct<Name:string,Score:double>"), plan)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("source feeds the sync pipeline end-to-end") {
+    val statePath = new java.io.File(
+      Files.createTempDirectory("graft_dsv2_pipe").toFile, "state").getAbsolutePath
+    val cfg = PipelineConfig(
+      SourceConfig(fixture, "records"), StoreConfig(statePath, "records"),
+      UpdateType.UpsertChecksum, "_record_id", 1L)
+    val state = new SyncPipeline(spark, cfg).run(read())
+    assert(state.count() == 3)
+    assert(state.filter(col("Name") === "beta").count() == 1)
+  }
+}
