@@ -100,6 +100,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("null-valued changes are detected; null vs absent cannot collide") {
+    // (a, null, "x") vs (a, "x", null): same value multiset, different
+    // columns — canonical key-sorted JSON keeps them distinct
+    val rows = Seq(
+      ("a", Option.empty[String], Some("x")),
+      ("a", Some("x"), Option.empty[String])).toDF("id", "name", "tag")
+    val cks = rows.select(
+      graft.functions.Checksums.rowChecksum(Seq("id", "name", "tag")).as("ck"))
+      .as[String].collect()
+    assert(cks(0) != cks(1))
+    // an upsert sees null -> value as a change
+    val c = cfg(UpdateType.UpsertChecksum, 1)
+    val st0 = Strategies.fullRefresh(
+      Seq(("a", Option.empty[String])).toDF("id", "name"), spark.emptyDataFrame, c)
+    val st1 = Strategies.upsertChecksum(
+      Seq(("a", Some("now-set"))).toDF("id", "name"), st0, c.copy(versionId = 2))
+    assert(st1.filter(col("version_id") === 2).count() == 1)
+  }
+
+  test("text op laws: token counts, jaccard bounds and symmetry, whitespace-robust sketches") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "del ta", "", " "))
+      .map(_.mkString(" "))
+    import graft.operators.{DedupApprox, TextAnalysis}
+    forAll2(textGen, textGen, n = 8) { (ta, tb) =>
+      val df = Seq((ta, tb)).toDF("a", "b")
+      val (j1, j2, jaa) = df.select(
+        DedupApprox.jaccard($"a", $"b", 2),
+        DedupApprox.jaccard($"b", $"a", 2),
+        DedupApprox.jaccard($"a", $"a", 2)).as[(Double, Double, Double)].head()
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+      assert(jaa == 1.0) // identical texts: even the empty shingle-set case
+      // token count equals the reference split-based count
+      val n = df.select(TextAnalysis.tokenCount($"a")).as[Long].head()
+      val expected = ta.trim.split("\\s+").count(_.nonEmpty)
+      assert(n == expected, s"tokenCount('$ta') = $n, want $expected")
+      // sketches ignore whitespace formatting
+      val sp = Seq((ta, "  " + ta.replace(" ", "   ") + " ")).toDF("x", "y")
+      val same = sp.select(
+        (DedupApprox.simhash($"x") === DedupApprox.simhash($"y")).as("s")).as[Boolean].head()
+      assert(same)
+    }
+  }
+
   test("row checksum equality ⇔ record equality over data columns") {
     forAll2(rowGen, rowGen, n = 12) { (a, b) =>
       val ck = graft.functions.Checksums.portableRowChecksum(Seq("id", "name", "score"))
