@@ -456,6 +456,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ----- correlated subquery (Catalyst decorrelation) via spark.sql -
+    "q43_correlated_subquery" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_v")
+      // orders priced above their customer's average: the correlated
+      // scalar subquery decorrelates to an aggregate + join
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(o_totalprice AS DOUBLE) AS price
+          |FROM orders_v o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+          |         CAST(COUNT(*) AS DOUBLE)
+          |  FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ----- INTERSECT set operation -----------------------------------
+    "q44_intersect" -> ((s, dir) => {
+      val big = rd(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("key"))
+      val urgent = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"))
+      big.intersect(urgent).orderBy("key")
+    }),
+
     // ----- batch atomic write: heterogeneous actions in one commit ---
     "q42_batch_actions" -> ((s, dir) => {
       val path = new java.io.File(
@@ -950,6 +975,21 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_correlated_subquery" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q44_intersect" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY key""".stripMargin,
 
     "q42_batch_actions" ->
       """WITH state AS (SELECT c_custkey, c_name, c_acctbal
