@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Approximate aggregates stay within their error bounds of the exact
+  * forms on real data (sf0.001 orders/lineitem). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("approx quantiles track exact percentiles") {
+    val approx = Stats.approxQuantiles(orders, Seq("o_orderstatus"),
+      "o_totalprice", Seq(0.5, 0.9))
+      .select($"o_orderstatus", $"quantiles"(0).as("p50"), $"quantiles"(1).as("p90"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((k, (a50, a90)) <- approx) {
+      assert(math.abs(a50 - exact(k)._1) / exact(k)._1 < 0.05, s"$k p50")
+      assert(math.abs(a90 - exact(k)._2) / exact(k)._2 < 0.05, s"$k p90")
+    }
+  }
+
+  test("approx distinct within rsd of exact; HLL sketches merge across groups") {
+    val approx = Stats.approxDistinct(orders, Seq("o_orderstatus"), "o_custkey")
+      .as[(String, Long)].collect().toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n")).as[(String, Long)].collect().toMap
+    for ((k, a) <- approx)
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.15, s"$k: $a vs ${exact(k)}")
+    // sketch -> union -> estimate equals a direct global approx count
+    val perGroup = orders.groupBy("o_orderstatus")
+      .agg(Stats.hllSketch($"o_custkey").as("sk"))
+    val merged = perGroup.agg(
+      Stats.hllEstimate(Stats.hllUnion($"sk")).as("est")).as[Long].head()
+    val globalExact = orders.select(countDistinct("o_custkey")).as[Long].head()
+    assert(math.abs(merged - globalExact).toDouble / globalExact < 0.15)
+  }
+}
