@@ -78,6 +78,13 @@ object Profile {
     t("dsv2_pruned")(src.select("Chars").agg(sum("Chars")).collect().head.getDouble(0).toLong)
     println("PROFILE dsv2_plan_pruned=" +
       src.select("Chars").queryExecution.executedPlan.toString.contains("ReadSchema=struct<Chars:double>"))
+
+    // approximate-aggregates drive on the bench tables
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    t("approx_quantiles")(graft.operators.Stats.approxQuantiles(
+      ord, Seq("o_orderstatus"), "o_totalprice", Seq(0.5, 0.9)).count())
+    t("approx_distinct")(graft.operators.Stats.approxDistinct(
+      ord, Seq("o_orderstatus"), "o_custkey").count())
     spark.stop()
   }
 }

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection for training-data curation: exact hashing,
   * MinHash+LSH, SimHash, and n-gram Jaccard verification.
   *
-  * Scale shape: everything reduces to (a) per-row expression work (no
-  * shuffle), then (b) one groupBy on a bucket key whose cardinality is
-  * tuned so buckets stay small, then (c) pair verification *within*
-  * buckets only. No all-pairs join ever materializes; at 100 TB the band
-  * join is the only shuffle and it is uniformly hash-distributed unless
-  * the corpus is pathologically self-similar (mitigate: salt the band key
-  * by a shingle-count band, or cap bucket size).
+  * Scale shape: (a) explode tokens/shingles once and sketch them in a
+  * partially-aggregated groupBy keyed by doc id; (b) one groupBy on the
+  * bucket key, with pair expansion INSIDE each bucket (no self-join — the
+  * sketch pipeline executes once); (c) exact verification only on
+  * candidate pairs, against pre-hashed sets. No all-pairs join ever
+  * materializes; bucket keys are uniformly hash-distributed unless the
+  * corpus is pathologically self-similar (mitigate: `maxBucket` cap on
+  * degenerate buckets).
   */
 object DedupApprox {
 
