@@ -18,18 +18,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // min of two runs per query: the first run pays one-time codegen
     // compilation for that query's plan shapes, and single-run numbers on
-    // a shared box swing +-50%; the min is the engine's repeatable cost
+    // a shared box swing +-50%; the min is the engine's repeatable cost.
+    // A failing query reports the -1 sentinel, never its time-to-crash.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

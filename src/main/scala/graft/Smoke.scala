@@ -15,10 +15,23 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val r1 = SparkEntry.entry(spark).count()
-    val r2 = SparkEntry.entry(spark).count() // rerun: state already present
-    println(s"SMOKE entry rows run1=$r1 run2=$r2 cols=" +
-      SparkEntry.entry(spark).columns.length)
+    // real rerun against the EXISTING state (entry() itself truncates, so
+    // drive the pipeline directly): identical source must change nothing
+    // and stamp no new versions
+    val dir = "/root/testdata/sf0.001"
+    val statePath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_entry_state").getAbsolutePath
+    val cfg = PipelineConfig(
+      SourceConfig(dir, "customer"), StoreConfig(statePath, "customer"),
+      UpdateType.UpsertChecksum, "c_custkey", 2L)
+    val rerun = new SyncPipeline(spark, cfg)
+      .run(spark.read.parquet(s"$dir/customer.parquet"))
+    val r2 = rerun.count()
+    val restamped = rerun.filter(
+      org.apache.spark.sql.functions.col("version_id") === 2L).count()
+    println(s"SMOKE entry rows run1=$r1 rerun=$r2 restamped=$restamped cols=" +
+      rerun.columns.length)
     spark.stop()
-    if (r1 <= 0 || r2 != r1) sys.exit(1)
+    if (r1 <= 0 || r2 != r1 || restamped != 0) sys.exit(1)
   }
 }

@@ -394,7 +394,7 @@ object SparkEntry {
       val e = rd(s, dir, "embeddings")
       val idx = Similarity.buildIndex(e, "embedding", bits = 8)
       Similarity.annTopK(idx, "vec_id", "embedding", probeVec(s, dir),
-        k = 10, bits = 8, probeHamming = 2)
+        k = 10, bits = 8, probeHamming = 2, dim = 64)
         .select(col("vec_id"), r(col("cos"), 6).as("cos"))
     }),
 

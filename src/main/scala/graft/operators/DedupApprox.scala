@@ -183,9 +183,12 @@ object DedupApprox {
     val cands = lshCandidatePairs(bandsDf)
     val inter = size(array_intersect(col("_ha"), col("_hb"))).cast("double")
     val union = size(array_union(col("_ha"), col("_hb"))).cast("double")
+    // no broadcast hint: the sketch frame is corpus-sized (one row per
+    // doc) — at training-corpus scale it must shuffle-join; AQE broadcasts
+    // it anyway when it is actually small
     cands
-      .join(broadcast(sk.select(col("id").as("id_a"), col("_hs").as("_ha"))), Seq("id_a"))
-      .join(broadcast(sk.select(col("id").as("id_b"), col("_hs").as("_hb"))), Seq("id_b"))
+      .join(sk.select(col("id").as("id_a"), col("_hs").as("_ha")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("_hs").as("_hb")), Seq("id_b"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops in any

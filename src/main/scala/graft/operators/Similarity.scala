@@ -92,11 +92,17 @@ object Similarity {
 
   /** ANN query: search only buckets whose code is within `probeHamming`
     * bits of the probe's code (multi-probe recall knob), then exact-rank
-    * the survivors. Scans 1/2^bits of the corpus per probed bucket. */
+    * the survivors. Scans 1/2^bits of the corpus per probed bucket.
+    * `dim` MUST equal the dim the index was built with — a mismatch would
+    * hash the probe against different hyperplanes and silently select
+    * wrong buckets, so it is enforced against the probe length. */
   def annTopK(index: DataFrame, idCol: String, vecCol: String,
-      probe: Seq[Float], k: Int, bits: Int = 8, probeHamming: Int = 1): DataFrame = {
+      probe: Seq[Float], k: Int, bits: Int = 8, probeHamming: Int = 1,
+      dim: Int = 64): DataFrame = {
+    require(probe.length == dim,
+      s"probe has ${probe.length} dims but the index was built with dim=$dim")
     val probeCodeRow = index.sparkSession.range(1)
-      .select(lshCode(lit(probe.toArray), bits, probe.length).as("c")).collect()(0)
+      .select(lshCode(lit(probe.toArray), bits, dim).as("c")).collect()(0)
     val probeCode = probeCodeRow.getLong(0)
     val candidates = index.filter(
       bit_count(col("lsh_code").bitwiseXOR(lit(probeCode))) <= probeHamming)

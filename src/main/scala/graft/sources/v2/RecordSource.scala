@@ -70,13 +70,23 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the session's Hadoop configuration (credentials, fs impls,
+    // spark.hadoop.* overrides) as a serializable map for the executors —
+    // a bare `new Configuration()` would ignore all session settings
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val confProps = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
     new RecordScanBuilder(schema,
       Option(options.get("path")).orElse(props.get("path"))
-        .getOrElse(throw new IllegalArgumentException("path option required")))
+        .getOrElse(throw new IllegalArgumentException("path option required")),
+      confProps)
+  }
 }
 
-private[v2] class RecordScanBuilder(fullSchema: StructType, path: String)
+private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
+    confProps: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -85,11 +95,18 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String)
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new RecordScan(required, path)
+  override def build(): Scan = new RecordScan(required, path, confProps)
 }
 
-private[v2] class RecordScan(readSchema: StructType, path: String)
+private[v2] class RecordScan(readSchema: StructType, path: String,
+    confProps: Map[String, String])
     extends Scan with Batch {
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   override def readSchema(): StructType = readSchema
   override def description(): String =
     s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString})"
@@ -97,7 +114,7 @@ private[v2] class RecordScan(readSchema: StructType, path: String)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -106,26 +123,30 @@ private[v2] class RecordScan(readSchema: StructType, path: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory(readSchema)
+    new RecordReaderFactory(readSchema, confProps)
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
 
-private[v2] class RecordReaderFactory(readSchema: StructType)
-    extends PartitionReaderFactory {
+private[v2] class RecordReaderFactory(readSchema: StructType,
+    confProps: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RecordPartitionReader(
-      partition.asInstanceOf[RecordInputPartition].file, readSchema)
+      partition.asInstanceOf[RecordInputPartition].file, readSchema, confProps)
 }
 
 /** Parses one JSONL file of records; emits only the pruned columns.
   * Jackson is the JSON parser already on Spark's classpath. */
-private[v2] class RecordPartitionReader(file: String, readSchema: StructType)
-    extends PartitionReader[InternalRow] {
+private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
+    confProps: Map[String, String]) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(file)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val in = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    p.getFileSystem(c).open(p)
+  }
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
 
@@ -158,8 +179,10 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType)
 
   private def tsMicros(n: JsonNode): java.lang.Long =
     if (n == null || n.isNull) null
-    else java.lang.Long.valueOf(
-      java.time.Instant.parse(n.asText()).toEpochMilli * 1000L)
+    else {
+      val i = java.time.Instant.parse(n.asText())
+      java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    }
 
   private def cast(v: JsonNode, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)

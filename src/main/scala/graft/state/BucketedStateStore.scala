@@ -55,9 +55,25 @@ final class BucketedStateStore(spark: SparkSession, val path: String, nBuckets: 
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
 
+  /** Update types whose semantics are safe against a PARTIAL source: they
+    * never delete/flag/demote state rows merely because a key is absent
+    * from the source. Whole-source strategies (deletes, soft-delete
+    * flagging, full refresh, set versioning) would silently misbehave on
+    * a touched-bucket slice — keys in untouched buckets could never be
+    * deleted while same-fate keys in touched buckets would be. */
+  private val deltaSafe: Set[graft.UpdateType] = Set(
+    graft.UpdateType.UpsertChecksum, graft.UpdateType.Append,
+    graft.UpdateType.VersionedChecksum, graft.UpdateType.Replace)
+
   /** One incremental strategy run: read touched buckets, apply the
-    * strategy to that slice, rewrite only those bucket directories. */
+    * strategy to that slice, rewrite only those bucket directories.
+    * Restricted to delta-safe update types (see [[deltaSafe]]); for
+    * whole-source semantics use [[StateStore]] and rewrite the snapshot. */
   def mergeRun(src: DataFrame, cfg: PipelineConfig): Unit = {
+    require(deltaSafe(cfg.updateType),
+      s"${cfg.updateType.value} needs the whole source; bucketed incremental " +
+        "runs support only delta-safe update types " +
+        deltaSafe.map(_.value).mkString("(", ", ", ")"))
     if (!exists) { initialize(applyStrategy(src, spark.emptyDataFrame, cfg), cfg.primaryKey); return }
     val state = loadTouched(src, cfg.primaryKey).drop("_bucket")
     val newSlice = applyStrategy(src, state, cfg)

@@ -28,20 +28,30 @@ final class StateStore(spark: SparkSession, val path: String) {
 
   def exists: Boolean = fs.exists(dst) || fs.exists(old)
 
-  private def livePath: Path = if (fs.exists(dst)) dst else old
+  /** Finish a previously interrupted swap: if the live snapshot is the
+    * retired `.old` copy (crash between retire and promote), promote it
+    * back before anyone reads or writes. Single-writer, so a reader
+    * performing recovery is safe, and lazy plans then always reference
+    * the primary path — never the transient `.old`. */
+  private def recover(): Unit =
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"recover $old -> $dst failed")
 
   /** Load the current snapshot; empty 0-column frame if never written.
-    * Falls back to the retired `.old` snapshot if a crash interrupted a
-    * promote between retire and delete (see [[overwrite]]). */
-  def load(): DataFrame =
-    if (exists) spark.read.parquet(livePath.toString)
+    * Recovers from a crash-interrupted swap first (see [[recover]]). */
+  def load(): DataFrame = {
+    recover()
+    if (fs.exists(dst)) spark.read.parquet(dst.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+  }
 
   /** Load with a guaranteed schema (missing snapshot -> empty frame of
     * that schema, so strategy joins typecheck on first run). */
-  def load(schema: StructType): DataFrame =
-    if (exists) spark.read.parquet(livePath.toString)
+  def load(schema: StructType): DataFrame = {
+    recover()
+    if (fs.exists(dst)) spark.read.parquet(dst.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Atomic snapshot replacement with no zero-snapshot window
     * (reference's batch atomicity: lib/FirestoreWrapper.py:102-123;
@@ -50,6 +60,7 @@ final class StateStore(spark: SparkSession, val path: String) {
     * any point leaves either the old or the new snapshot loadable — load()
     * prefers the promoted path and falls back to `.old`. */
   def overwrite(df: DataFrame, partitions: Int = 0): Unit = {
+    recover()
     val tmp = new Path(path + ".tmp")
     val out = if (partitions > 0) df.repartition(partitions) else df
     out.write.mode("overwrite").parquet(tmp.toString)
@@ -86,23 +97,28 @@ final class StateStore(spark: SparkSession, val path: String) {
     val updates = actions.filter(col("_action") === "update").drop("_action")
     val deletes = actions.filter(col("_action") === "delete").select(col(pk))
     val state0 = load()
+    // align: add action columns missing from state as typed nulls, but
+    // KEEP every existing state column — merge semantics must never drop
+    // persisted columns the action frame doesn't mention
     val state =
       if (state0.columns.isEmpty) creates.limit(0)
       else dataCols.filterNot(state0.columns.contains)
         .foldLeft(state0) { (df, c) =>
           df.withColumn(c, lit(null).cast(actions.schema(c).dataType))
-        }.select(dataCols.map(col): _*)
+        }
+    val outCols = state.columns.toSeq
     val kept = state.join(deletes, Seq(pk), "left_anti")
     val u = updates.select((col(pk).as("_upk") +:
       dataCols.filterNot(_ == pk).map(c => col(c).as(s"_u_$c"))): _*)
     val merged = kept.join(u, col(pk) === col("_upk"), "full_outer")
-      .select(dataCols.map { c =>
+      .select(outCols.map { c =>
         val merge: Column =
           if (c == pk) coalesce(col(pk), col("_upk"))
-          else coalesce(col(s"_u_$c"), col(c))
+          else if (dataCols.contains(c)) coalesce(col(s"_u_$c"), col(c))
+          else col(c) // state-only column: survives untouched
         merge.as(c)
       }: _*)
-    overwrite(merged.unionByName(creates))
+    overwrite(merged.unionByName(creates, allowMissingColumns = true))
   }
 
   // --- Query surface (reference: lib/FirestoreWrapper.py:72-131) ---

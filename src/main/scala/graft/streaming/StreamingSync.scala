@@ -41,13 +41,13 @@ object StreamingSync {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
-  /** Streaming exactly-once-per-key dedup: drops duplicate keys across
-    * micro-batches, bounding state with the watermark (keys older than
-    * the watermark are forgotten — the streaming analog of the batch
-    * latest-wins dedup for at-least-once sources). */
+  /** Streaming per-KEY dedup: emits the first arrival of each key and
+    * drops later re-deliveries even when they carry a different event
+    * time (at-least-once sources re-stamp on retry), bounding state with
+    * the watermark — the streaming analog of the batch latest-wins dedup. */
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close

@@ -61,6 +61,29 @@ class PipelineStateSpec extends SparkSpec {
     assert(ids == Set("a", "d", "e")) // creates + both merge-upserts land
   }
 
+  test("batch write preserves state columns the action frame doesn't carry") {
+    val store = new StateStore(spark, tmpPath("batch_keep"))
+    store.overwrite(Seq(("a", Some(1.0), "docA", 7L))
+      .toDF("id", "score", "doc_id", "version_id"))
+    store.applyActions(Seq(
+      ("update", "a", Some(9.0)),
+      ("create", "b", Some(2.0))).toDF("_action", "id", "score"), "id")
+    val rows = store.load().select("id", "score", "doc_id", "version_id")
+      .as[(String, Option[Double], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("a") == (("a", Some(9.0), Some("docA"), Some(7L)))) // survive
+    assert(rows("b") == (("b", Some(2.0), None, None)))
+  }
+
+  test("bucketed store rejects whole-source strategies on delta runs") {
+    import graft.state.BucketedStateStore
+    val store = new BucketedStateStore(spark, tmpPath("bucket_guard"), 4)
+    val cfg = cfgFor("/na", UpdateType.UpsertChecksumWithDelete)
+    val e = intercept[IllegalArgumentException](
+      store.mergeRun(Seq(("a", 1.0)).toDF("id", "score"), cfg))
+    assert(e.getMessage.contains("delta-safe"))
+  }
+
   test("state store: load falls back to retired snapshot after simulated crash") {
     val store = new StateStore(spark, tmpPath("crash"))
     store.overwrite(Seq(("d1", 1L)).toDF("doc_id", "v"))

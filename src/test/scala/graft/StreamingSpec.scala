@@ -42,9 +42,12 @@ class StreamingSpec extends SparkSpec {
     val q = dedup.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
     in.addData((t, 1L, 1.0), (t, 1L, 1.0), (t, 2L, 2.0)) // in-batch dup
     q.processAllAvailable()
-    in.addData((t, 1L, 1.0), (t, 3L, 3.0)) // cross-batch dup
+    // cross-batch re-delivery of key 1 with a DIFFERENT ts (retry
+    // re-stamping) must still be dropped — per-key dedup, not per-(key,ts)
+    in.addData((t2, 1L, 1.0), (t, 3L, 3.0))
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted

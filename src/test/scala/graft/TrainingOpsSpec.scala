@@ -122,7 +122,7 @@ class TrainingOpsSpec extends SparkSpec {
   test("ANN via hyperplane LSH recovers the exact-match bucket") {
     val idx = Similarity.buildIndex(vecs, "embedding", bits = 4, dim = 4)
     val hits = Similarity.annTopK(idx, "vec_id", "embedding",
-      Seq(1f, 0f, 0f, 0f), k = 2, bits = 4, probeHamming = 0)
+      Seq(1f, 0f, 0f, 0f), k = 2, bits = 4, probeHamming = 0, dim = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(hits.contains(1L)) // identical vector always shares its own bucket
   }
