@@ -456,6 +456,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ----- wide pivot ------------------------------------------------
+    "q45_pivot" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ----- generator: explode tokens + top-k frequency ---------------
+    "q46_token_freq" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(explode(split(TextAnalysis.normText(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // ----- correlated subquery (Catalyst decorrelation) via spark.sql -
     "q43_correlated_subquery" -> ((s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -975,6 +994,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q43_correlated_subquery" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
