@@ -32,7 +32,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // any failed query poisons the headline total: a missing 15s query
+    // must not read as a 15s speedup to a cross-round comparison
+    val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -18,14 +18,9 @@ object Smoke {
     // real rerun against the EXISTING state (entry() itself truncates, so
     // drive the pipeline directly): identical source must change nothing
     // and stamp no new versions
-    val dir = "/root/testdata/sf0.001"
-    val statePath = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_entry_state").getAbsolutePath
-    val cfg = PipelineConfig(
-      SourceConfig(dir, "customer"), StoreConfig(statePath, "customer"),
-      UpdateType.UpsertChecksum, "c_custkey", 2L)
+    val cfg = SparkEntry.entryConfig(2L)
     val rerun = new SyncPipeline(spark, cfg)
-      .run(spark.read.parquet(s"$dir/customer.parquet"))
+      .run(spark.read.parquet(s"${cfg.source.path}/customer.parquet"))
     val r2 = rerun.count()
     val restamped = rerun.filter(
       org.apache.spark.sql.functions.col("version_id") === 2L).count()

@@ -91,19 +91,25 @@ object SparkEntry {
     rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0)
 
+  /** The flagship pipeline's config — shared with Smoke so its
+    * rerun-against-existing-state check cannot drift from entry(). */
+  def entryConfig(versionId: Long): PipelineConfig = {
+    val dir = "/root/testdata/sf0.001"
+    val statePath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_entry_state").getAbsolutePath
+    PipelineConfig(
+      SourceConfig(dir, "customer"), StoreConfig(statePath, "customer"),
+      UpdateType.UpsertChecksum, "c_custkey", versionId)
+  }
+
   /** Flagship: full sync pipeline end-to-end on sf=0.001 (scan ->
     * normalize -> dedupe -> checksum upsert -> atomic state snapshot).
     * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val statePath = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_entry_state").getAbsolutePath
-    val c = PipelineConfig(
-      SourceConfig(dir, "customer"), StoreConfig(statePath, "customer"),
-      UpdateType.UpsertChecksum, "c_custkey", 1L)
+    val c = entryConfig(1L)
     val pipe = new SyncPipeline(spark, c)
     pipe.store.truncate()
-    pipe.run(spark.read.parquet(s"$dir/customer.parquet"))
+    pipe.run(spark.read.parquet(s"${c.source.path}/customer.parquet"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -47,6 +47,14 @@ class RecordSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 private[v2] object RecordSource {
+  /** Rebuild a Hadoop Configuration from captured session properties.
+    * Built once per deserialized factory (transient lazy), not per file. */
+  def confFrom(props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   def fieldTypes(options: CaseInsensitiveStringMap): Seq[(String, String)] =
     Option(options.get("fieldTypes")).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { kv =>
@@ -102,11 +110,8 @@ private[v2] class RecordScan(readSchema: StructType, path: String,
     confProps: Map[String, String])
     extends Scan with Batch {
 
-  private def hadoopConf: org.apache.hadoop.conf.Configuration = {
-    val c = new org.apache.hadoop.conf.Configuration(false)
-    confProps.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    RecordSource.confFrom(confProps)
   override def readSchema(): StructType = readSchema
   override def description(): String =
     s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString})"
@@ -130,23 +135,21 @@ private[v2] case class RecordInputPartition(file: String) extends InputPartition
 
 private[v2] class RecordReaderFactory(readSchema: StructType,
     confProps: Map[String, String]) extends PartitionReaderFactory {
+  @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RecordPartitionReader(
-      partition.asInstanceOf[RecordInputPartition].file, readSchema, confProps)
+      partition.asInstanceOf[RecordInputPartition].file, readSchema, conf)
 }
 
 /** Parses one JSONL file of records; emits only the pruned columns.
   * Jackson is the JSON parser already on Spark's classpath. */
 private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
-    confProps: Map[String, String]) extends PartitionReader[InternalRow] {
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(file)
-  private val in = {
-    val c = new org.apache.hadoop.conf.Configuration(false)
-    confProps.foreach { case (k, v) => c.set(k, v) }
-    p.getFileSystem(c).open(p)
-  }
+  private val in = p.getFileSystem(conf).open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
 

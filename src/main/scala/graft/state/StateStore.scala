@@ -28,30 +28,24 @@ final class StateStore(spark: SparkSession, val path: String) {
 
   def exists: Boolean = fs.exists(dst) || fs.exists(old)
 
-  /** Finish a previously interrupted swap: if the live snapshot is the
-    * retired `.old` copy (crash between retire and promote), promote it
-    * back before anyone reads or writes. Single-writer, so a reader
-    * performing recovery is safe, and lazy plans then always reference
-    * the primary path — never the transient `.old`. */
-  private def recover(): Unit =
-    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
-      throw new java.io.IOException(s"recover $old -> $dst failed")
+  /** The directory a reader should see: the primary path, or the retired
+    * `.old` copy while a crash-interrupted swap is pending. Reads NEVER
+    * mutate the store — a reader that renamed paths could race the single
+    * writer mid-swap and break its promote. */
+  private def livePath: Path = if (fs.exists(dst)) dst else old
 
   /** Load the current snapshot; empty 0-column frame if never written.
-    * Recovers from a crash-interrupted swap first (see [[recover]]). */
-  def load(): DataFrame = {
-    recover()
-    if (fs.exists(dst)) spark.read.parquet(dst.toString)
+    * Falls back to the retired `.old` snapshot if a crash interrupted a
+    * swap (see [[overwrite]]). */
+  def load(): DataFrame =
+    if (exists) spark.read.parquet(livePath.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
-  }
 
   /** Load with a guaranteed schema (missing snapshot -> empty frame of
     * that schema, so strategy joins typecheck on first run). */
-  def load(schema: StructType): DataFrame = {
-    recover()
-    if (fs.exists(dst)) spark.read.parquet(dst.toString)
+  def load(schema: StructType): DataFrame =
+    if (exists) spark.read.parquet(livePath.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 
   /** Atomic snapshot replacement with no zero-snapshot window
     * (reference's batch atomicity: lib/FirestoreWrapper.py:102-123;
@@ -60,16 +54,23 @@ final class StateStore(spark: SparkSession, val path: String) {
     * any point leaves either the old or the new snapshot loadable — load()
     * prefers the promoted path and falls back to `.old`. */
   def overwrite(df: DataFrame, partitions: Int = 0): Unit = {
-    recover()
     val tmp = new Path(path + ".tmp")
     val out = if (partitions > 0) df.repartition(partitions) else df
+    // 1. materialize first — the plan may be reading the live snapshot
+    //    (possibly .old after a crash), which must stay untouched until
+    //    the job finishes
     out.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"retire $dst -> $old failed")
+    if (fs.exists(dst)) {
+      // normal path: .old (if present) is stale junk because dst is live
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"retire $dst -> $old failed")
+    }
+    // crash-recovered path: dst absent, .old is live — keep it as the
+    // backup until the new snapshot is promoted, then drop it.
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"atomic rename $tmp -> $dst failed")
-    fs.delete(old, true)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   def truncate(): Unit = {

@@ -45,9 +45,11 @@ object StreamingSync {
     * drops later re-deliveries even when they carry a different event
     * time (at-least-once sources re-stamp on retry), bounding state with
     * the watermark — the streaming analog of the batch latest-wins dedup. */
-  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
