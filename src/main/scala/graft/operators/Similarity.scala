@@ -54,58 +54,53 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: the portable
-    * md5-prefix hash of "plane:dim" mapped to [0, 1) then recentered to
-    * [-1, 1). No RNG — reproducible across runs AND across engines, so a
-    * SQL oracle can rebuild the same hyperplanes:
-    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) / 1152921504606846975.0 * 2 - 1`.
-    *
-    * The components are row-INDEPENDENT, so they are computed once here
-    * at plan-build time and inlined as literals — an expression form
-    * would re-hash bits*dim md5s per row for values that never change. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$dim".getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16).toDouble / 0xFFFFFFFFFFFFFFFL.toDouble * 2 - 1
-  }
-
   /** Random-hyperplane LSH code: `bits` sign bits of <v, plane_i>. Vectors
-    * close in cosine agree on most bits. `dim` is the (fixed) embedding
-    * dimensionality; the unrolled sum keeps the whole computation inside
-    * whole-stage codegen with constant-folded plane components. */
-  def lshCode(vec: Column, bits: Int, dim: Int): Column = {
-    val proj = (i: Int) =>
-      (0 until dim).map(d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(i, d)))
-        .reduce(_ + _)
-    (0 until bits).map(i => when(proj(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-  }
+    * close in cosine agree on most bits. One native codegen'd expression
+    * per row (see [[graft.functions.LshCode]]) — the earlier composable
+    * form unrolled bits*dim `element_at * lit` terms into a ~1,500-node
+    * tree that fell out of whole-stage codegen and dominated the bench. */
+  def lshCode(vec: Column, bits: Int, dim: Int): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.LshCode(
+        org.apache.spark.sql.graftbridge.expression(vec), bits, dim))
 
-  /** Bucketed ANN index: one pass computing the LSH code per vector.
-    * Persist partitioned/bucketed by `lsh_code` so probes prune to
-    * matching buckets (partition pruning at the scan). */
+  /** Ad hoc ANN index: one pass computing the LSH code per vector. For
+    * repeated probes, persist it with [[writeIndex]] so queries prune to
+    * matching code partitions instead of rescanning the corpus. */
   def buildIndex(embeddings: DataFrame, vecCol: String, bits: Int = 8,
       dim: Int = 64): DataFrame =
     embeddings.withColumn("lsh_code", lshCode(col(vecCol), bits, dim))
 
+  /** Persist the ANN index partitioned by `lsh_code`: codes are computed
+    * ONCE, and every probe afterwards is a partition-pruned read of the
+    * Hamming-ball directories (<= sum C(bits,h) of 2^bits partitions) —
+    * O(N / 2^bits) per probed bucket instead of a full corpus scan. */
+  def writeIndex(embeddings: DataFrame, vecCol: String, path: String,
+      bits: Int = 8, dim: Int = 64): Unit =
+    buildIndex(embeddings, vecCol, bits, dim)
+      .write.mode("overwrite").partitionBy("lsh_code").parquet(path)
+
+  /** Open a persisted ANN index; `lsh_code` comes back as a partition
+    * column, so code predicates prune at planning time. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ANN query: search only buckets whose code is within `probeHamming`
     * bits of the probe's code (multi-probe recall knob), then exact-rank
-    * the survivors. Scans 1/2^bits of the corpus per probed bucket.
-    * `dim` MUST equal the dim the index was built with — a mismatch would
-    * hash the probe against different hyperplanes and silently select
-    * wrong buckets, so it is enforced against the probe length. */
+    * the survivors. The ball codes are enumerated on the driver (no Spark
+    * job) and pushed as an IN-list, so a [[writeIndex]]-persisted index
+    * prunes to the matching partitions at the scan. `dim` MUST equal the
+    * dim the index was built with — a mismatch would hash the probe
+    * against different hyperplanes and silently select wrong buckets, so
+    * it is enforced against the probe length. */
   def annTopK(index: DataFrame, idCol: String, vecCol: String,
       probe: Seq[Float], k: Int, bits: Int = 8, probeHamming: Int = 1,
       dim: Int = 64): DataFrame = {
     require(probe.length == dim,
       s"probe has ${probe.length} dims but the index was built with dim=$dim")
-    val probeCodeRow = index.sparkSession.range(1)
-      .select(lshCode(lit(probe.toArray), bits, dim).as("c")).collect()(0)
-    val probeCode = probeCodeRow.getLong(0)
-    val candidates = index.filter(
-      bit_count(col("lsh_code").bitwiseXOR(lit(probeCode))) <= probeHamming)
+    val probeCode = graft.functions.LshCode.codeOf(probe, bits, dim)
+    val ball = graft.functions.LshCode.hammingBall(probeCode, bits, probeHamming)
+    val candidates = index.filter(col("lsh_code").isin(ball: _*))
     topK(candidates, idCol, vecCol, probe, k)
   }
 

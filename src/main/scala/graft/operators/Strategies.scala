@@ -294,21 +294,45 @@ object Strategies {
         current_timestamp().as("write_timestamp"))
   }
 
+  /** Snapshot-size guard: the one-row table pivot is the REFERENCE's
+    * semantic (one snapshot doc — lib/UpdateStrategies.py:434-437) and is
+    * inherently a single-task fold. Beyond this many rows it risks an
+    * executor OOM; change detection over large tables should use
+    * [[graft.functions.Checksums.orderInsensitiveChecksum]] (commutative
+    * partial aggregation, constant-size state) instead of snapshotting. */
+  var maxSnapshotRows: Long = 5000000L
+
+  private def checkSnapshotSize(snap: DataFrame): String = {
+    // one collect over the (persisted) single snapshot row: checksum +
+    // pivot cardinality come back together, no second aggregation
+    val row = snap.select(col("table_checksum"), size(col("table_data")).cast("long").as("_n"))
+      .collect().head
+    require(row.getLong(1) <= maxSnapshotRows,
+      s"table snapshot has ${row.getLong(1)} rows (cap $maxSnapshotRows): the one-doc " +
+        "pivot is a single-task fold and will not scale — use " +
+        "Checksums.orderInsensitiveChecksum for change detection on large tables")
+    row.getString(0)
+  }
+
   /** UPSERT_TABLE_CHECKSUM: one snapshot doc per table, replaced only when
     * the table checksum moves; the doc is keyed by the TABLE name
-    * (reference: lib/UpdateStrategies.py:484-522, doc id at :488-490). */
+    * (reference: lib/UpdateStrategies.py:484-522, doc id at :488-490).
+    * The snapshot frame is persisted across the checksum probe so the
+    * whole-table pivot aggregation runs once, not once for the probe and
+    * again for the state write. */
   val upsertTableChecksum: Strategy = (src, state, cfg) => {
     val snap = tableSnapshot(src, cfg)
       .withColumn("doc_id", lit(cfg.source.table))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
+      .persist()
+    val cur = checkSnapshotSize(snap)
     val unchanged = state.columns.contains("table_checksum") && {
       val prev = state.filter(col("doc_id") === lit(cfg.source.table))
         .select("table_checksum").limit(1).collect()
-      val cur = snap.select("table_checksum").collect().head.getString(0)
       prev.nonEmpty && prev.head.getString(0) == cur
     }
-    if (unchanged) state else snap
+    if (unchanged) { snap.unpersist(); state } else snap
   }
 
   /** VERSIONED_TABLE_CHECKSUM: append a new snapshot version when the
@@ -321,14 +345,15 @@ object Strategies {
       .withColumn("doc_id", md5(concat_ws("|", lit(cfg.source.table), lit(cfg.versionId.toString))))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
+      .persist()
+    val cur = checkSnapshotSize(snap)
     val hasPrev = state.columns.contains("table_checksum")
     val unchanged = hasPrev && {
       val prev = state.filter(coalesce(col("latest"), lit(false)))
         .orderBy(col("version_id").desc).select("table_checksum").limit(1).collect()
-      val cur = snap.select("table_checksum").collect().head.getString(0)
       prev.nonEmpty && prev.head.getString(0) == cur
     }
-    if (unchanged) state
+    if (unchanged) { snap.unpersist(); state }
     else if (!hasPrev) snap
     else state.withColumn("latest", lit(false))
       .unionByName(snap, allowMissingColumns = true)

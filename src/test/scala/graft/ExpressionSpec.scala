@@ -41,6 +41,74 @@ class ExpressionSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("native lsh_code matches the unrolled composable form bit-for-bit") {
+    // the pre-native reference form: bits sign bits of an unrolled
+    // element_at * lit(plane) sum — the arithmetic LshCode must reproduce
+    def unrolled(vec: org.apache.spark.sql.Column, bits: Int, dim: Int) = {
+      val proj = (i: Int) =>
+        (0 until dim).map(d =>
+          element_at(vec, d + 1).cast("double") *
+            lit(graft.functions.LshCode.planeComponent(i, d)))
+          .reduce(_ + _)
+      (0 until bits).map(i => when(proj(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+    }
+    val df = vecs.select($"id",
+      Similarity.lshCode($"a", 8, 4).as("native"),
+      unrolled($"a", 8, 4).as("ref"))
+      .as[(Long, Long, Long)].collect()
+    df.foreach { case (id, n, u) => assert(n == u, s"id=$id native=$n unrolled=$u") }
+  }
+
+  test("lsh_code agrees between codegen and interpreted paths, and with driver-side codeOf") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val on = vecs.select($"id", Similarity.lshCode($"a", 8, 4).as("c"))
+        .as[(Long, Long)].collect().toMap
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = vecs.select($"id", Similarity.lshCode($"a", 8, 4).as("c"))
+        .as[(Long, Long)].collect().toMap
+      assert(on == off)
+      val local = Seq(
+        1L -> Seq(0.3f, -1.2f, 4.5f, 0.01f),
+        2L -> Seq(1f, 0f, 0f, 0f),
+        3L -> Seq(0.5f, 0.5f, 0.5f, 0.5f))
+      local.foreach { case (id, v) =>
+        assert(graft.functions.LshCode.codeOf(v, 8, 4) == on(id), s"id=$id")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("hammingBall enumerates exactly the codes within the radius") {
+    val ball = graft.functions.LshCode.hammingBall(0xA5L, 8, 2)
+    assert(ball.size == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
+    assert(ball.distinct.size == ball.size)
+    assert(ball.forall(c => java.lang.Long.bitCount(c ^ 0xA5L) <= 2))
+    assert(ball.contains(0xA5L))
+  }
+
+  test("annTopK over a persisted index prunes to the Hamming-ball partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    val n = 200
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin($"id" * 31 + d).cast("float")).as("embedding"))
+    Similarity.writeIndex(emb, "embedding", dir, bits = 6, dim = 16)
+    val idx = Similarity.readIndex(spark, dir)
+    val probe = emb.filter($"vec_id" === 7).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val res = Similarity.annTopK(idx, "vec_id", "embedding", probe,
+      k = 5, bits = 6, probeHamming = 1, dim = 16).collect()
+    assert(res.length == 5)
+    assert(res.head.getLong(0) == 7L) // the probe's own vector wins (cos=1)
+    // the scan must carry partition filters (pruned read), not a full scan
+    val planned = Similarity.annTopK(idx, "vec_id", "embedding", probe,
+      k = 5, bits = 6, probeHamming = 1, dim = 16)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters: [lsh_code"),
+      s"expected partition pruning on lsh_code in:\n$planned")
+  }
+
   test("GraftExtensions registers cosine_sim as a SQL function") {
     // a genuinely new session (getOrCreate would reuse the shared one and
     // skip extension installation); the SparkContext is shared

@@ -161,6 +161,32 @@ class StrategiesSpec extends SparkSpec {
     assert(latest.select("version_id").as[Long].head() == 4L)
   }
 
+  test("table-checksum strategies persist the snapshot across the probe and cap its size") {
+    val c = cfg(UpdateType.UpsertTableChecksum, 1)
+    // changed path returns the SAME (cached) frame the probe aggregated —
+    // the snapshot pivot must not recompute when the caller persists it
+    val st = Strategies.upsertTableChecksum(s0, empty, c)
+    assert(st.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "snapshot frame should stay cached between the checksum probe and the state write")
+    st.unpersist()
+    // size guard: beyond the cap, fail loudly and point at the scale path
+    val prevCap = Strategies.maxSnapshotRows
+    try {
+      Strategies.maxSnapshotRows = 2
+      val err = intercept[IllegalArgumentException] {
+        Strategies.upsertTableChecksum(s0, empty, c)
+      }
+      assert(err.getMessage.contains("orderInsensitiveChecksum"))
+      Strategies.maxSnapshotRows = prevCap
+      val vc = cfg(UpdateType.VersionedTableChecksum, 1)
+      Strategies.maxSnapshotRows = 2
+      val err2 = intercept[IllegalArgumentException] {
+        Strategies.versionedTableChecksum(s0, empty, vc)
+      }
+      assert(err2.getMessage.contains("orderInsensitiveChecksum"))
+    } finally Strategies.maxSnapshotRows = prevCap
+  }
+
   test("classify labels insert/update/delete/unchanged by pk") {
     val c = cfg(UpdateType.UpsertChecksum, 2)
     val m = Strategies.classify(s1, Strategies.alignState(
