@@ -93,28 +93,107 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
   }
 }
 
+/** Per-partition top-N pushed into the scan: sort key, direction, and the
+  * per-partition row cap. Always PARTIAL — Spark re-applies the global
+  * sort+limit over the (bounded) survivors, so the connector only has to
+  * shrink each partition's output, never totally order it. */
+private[v2] case class PushedTopN(field: String, descending: Boolean,
+    nullsFirst: Boolean, limit: Int)
+
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN {
+
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var topN: Option[PushedTopN] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the source's field order for the pruned subset
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new RecordScan(required, path, confProps)
+  /** The reference's target-side predicate surface — eq/neq/gt/ge/lt/le on
+    * typed fields (lib/FirestoreWrapper.py:86-100) — plus null probes and
+    * boolean combinations. A filter is accepted only when every leaf
+    * references a known top-level column with an exactly-evaluable
+    * comparison; everything else stays with Spark. */
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => leafOk(a, v)
+    case GreaterThan(a, v) => leafOk(a, v)
+    case GreaterThanOrEqual(a, v) => leafOk(a, v)
+    case LessThan(a, v) => leafOk(a, v)
+    case LessThanOrEqual(a, v) => leafOk(a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(leafOk(a, _))
+    case IsNull(a) => fieldOk(a)
+    case IsNotNull(a) => fieldOk(a)
+    case Not(inner) => supported(inner)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+  private def fieldOk(attr: String): Boolean =
+    !attr.contains(".") && fullSchema.fieldNames.contains(attr)
+  private def leafOk(attr: String, v: Any): Boolean = fieldOk(attr) && (v match {
+    case null => false
+    case _: String | _: java.lang.Double | _: java.lang.Float | _: java.lang.Long |
+         _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte |
+         _: java.lang.Boolean | _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  })
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(supported)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // partial: other partitions may still produce rows, Spark re-limits
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (orders.length != 1 || l <= 0 || l > 1000000) return false
+    val o = orders.head
+    o.expression() match {
+      case ref: org.apache.spark.sql.connector.expressions.NamedReference
+          if ref.fieldNames().length == 1 && fieldOk(ref.fieldNames()(0)) =>
+        topN = Some(PushedTopN(ref.fieldNames()(0),
+          o.direction() == SortDirection.DESCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+        true
+      case _ => false
+    }
+  }
+
+  override def build(): Scan =
+    new RecordScan(required, fullSchema, path, confProps, pushed, topN,
+      limit.filter(_ => topN.isEmpty))
 }
 
-private[v2] class RecordScan(readSchema: StructType, path: String,
-    confProps: Map[String, String])
+private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
+    path: String, confProps: Map[String, String],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    topN: Option[PushedTopN], limit: Option[Int])
     extends Scan with Batch {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
     RecordSource.confFrom(confProps)
   override def readSchema(): StructType = readSchema
   override def description(): String =
-    s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString})"
+    s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString}, " +
+      s"PushedFilters=[${filters.mkString(", ")}]" +
+      topN.map(t => s", PushedTopN=$t").getOrElse("") +
+      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -128,36 +207,106 @@ private[v2] class RecordScan(readSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory(readSchema, confProps)
+    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN, limit)
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
 
-private[v2] class RecordReaderFactory(readSchema: StructType,
-    confProps: Map[String, String]) extends PartitionReaderFactory {
+private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: StructType,
+    confProps: Map[String, String],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    topN: Option[PushedTopN], limit: Option[Int]) extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RecordPartitionReader(
-      partition.asInstanceOf[RecordInputPartition].file, readSchema, conf)
+      partition.asInstanceOf[RecordInputPartition].file, readSchema, fullSchema,
+      conf, filters, topN, limit)
 }
 
-/** Parses one JSONL file of records; emits only the pruned columns.
+/** Parses one JSONL file of records; emits only the pruned columns, only
+  * rows passing the pushed filters (evaluated on the raw parsed record,
+  * BEFORE any column conversion — non-matching rows never materialize),
+  * bounded by the pushed per-partition top-N/limit.
   * Jackson is the JSON parser already on Spark's classpath. */
 private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
-    conf: org.apache.hadoop.conf.Configuration)
+    fullSchema: StructType, conf: org.apache.hadoop.conf.Configuration,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    topN: Option[PushedTopN], limit: Option[Int])
     extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.sources._
 
   private val mapper = new ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(file)
   private val in = p.getFileSystem(conf).open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
+  private var emitted = 0
+  // lazily-built bounded heap for pushed top-N
+  private var heapIter: Iterator[InternalRow] = _
 
-  override def next(): Boolean = {
-    val line = lines.find(_.trim.nonEmpty)
-    line match {
-      case Some(l) => current = convert(mapper.readTree(l)); true
-      case None => false
+  override def next(): Boolean = topN match {
+    case Some(t) =>
+      if (heapIter == null) heapIter = buildTopN(t)
+      if (heapIter.hasNext) { current = heapIter.next(); true } else false
+    case None =>
+      if (limit.exists(emitted >= _)) return false
+      var found = false
+      while (!found && lines.hasNext) {
+        val l = lines.next()
+        if (l.trim.nonEmpty) {
+          val node = mapper.readTree(l)
+          if (passes(node)) { current = convert(node); found = true; emitted += 1 }
+        }
+      }
+      found
+  }
+
+  /** Keep the per-partition top `limit` rows by the pushed sort key in a
+    * bounded heap (worst-at-head). Output order is irrelevant — the push
+    * is partial, Spark re-sorts the survivors. */
+  private def buildTopN(t: PushedTopN): Iterator[InternalRow] = {
+    val keyType = fullSchema(t.field).dataType
+    // heap comparator: REVERSE of the sort order, so poll() evicts the worst
+    val cmp = new java.util.Comparator[(Any, InternalRow)] {
+      def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int =
+        -RecordFilterEval.nullAwareCompare(a._1, b._1, t.descending, t.nullsFirst)
+    }
+    val heap = new java.util.PriorityQueue[(Any, InternalRow)](t.limit + 1, cmp)
+    while (lines.hasNext) {
+      val l = lines.next()
+      if (l.trim.nonEmpty) {
+        val node = mapper.readTree(l)
+        if (passes(node)) {
+          heap.offer((rawValue(node, t.field, keyType), convert(node).copy()))
+          if (heap.size > t.limit) heap.poll()
+        }
+      }
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala.map(_._2)
+  }
+
+  private def passes(node: JsonNode): Boolean =
+    filters.forall(f => RecordFilterEval.eval(f, name =>
+      rawValue(node, name, fullSchema(name).dataType)).contains(true))
+
+  /** The comparable value of one field of the raw record: String, Double,
+    * Boolean, Long epoch-micros (timestamps) or Int epoch-days (dates). */
+  private def rawValue(node: JsonNode, name: String, dt: DataType): Any = {
+    val v = name match {
+      case "_record_id" => node.get("id")
+      case "_created_time" => node.get("createdTime")
+      case n => val fields = node.get("fields"); if (fields == null) null else fields.get(n)
+    }
+    if (v == null || v.isNull) null
+    else dt match {
+      case StringType => if (v.isTextual) v.asText() else v.toString
+      case DoubleType => java.lang.Double.valueOf(v.asDouble())
+      case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+      case TimestampType => tsMicros(v)
+      case DateType => java.lang.Integer.valueOf(
+        java.time.LocalDate.parse(v.asText().take(10)).toEpochDay.toInt)
+      case _ => if (v.isTextual) v.asText() else v.toString
     }
   }
 
@@ -203,4 +352,101 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
       new GenericArrayData(elems): ArrayData
     case _ => UTF8String.fromString(v.toString)
   }
+}
+
+/** Exact evaluator for the pushed filter subset, over raw record values
+  * (String / Double / Boolean / Long epoch-micros / Int epoch-days).
+  * SQL three-valued logic: None = NULL; a row passes a filter only on
+  * Some(true) — identical to what Spark would compute post-scan, which is
+  * the contract for claiming a filter as fully pushed. */
+private[v2] object RecordFilterEval {
+  import org.apache.spark.sql.sources._
+
+  def eval(f: Filter, lookup: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(lookup(a), v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(lookup(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(lookup(a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(lookup(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(lookup(a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val x = lookup(a)
+      if (x == null) None
+      else {
+        val hits = vs.map(v => cmp(x, v))
+        if (hits.exists(_.contains(0))) Some(true)
+        else if (hits.exists(_.isEmpty)) None
+        else Some(false)
+      }
+    case IsNull(a) => Some(lookup(a) == null)
+    case IsNotNull(a) => Some(lookup(a) != null)
+    case Not(inner) => eval(inner, lookup).map(!_)
+    case And(l, r) => (eval(l, lookup), eval(r, lookup)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, lookup), eval(r, lookup)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case _ => None // never pushed (supported() gates), defensive
+  }
+
+  /** Three-valued comparison of a raw record value with a Spark literal.
+    * None when either side is null or the pair is incomparable. */
+  def cmp(raw: Any, lit: Any): Option[Int] = {
+    if (raw == null || lit == null) return None
+    (raw, lit) match {
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: java.lang.Double, b) => numeric(b).map(a.compareTo(_))
+      case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+      case (a: java.lang.Long, b) => tsMicros(b).map(a.compareTo(_)) // timestamp field
+      case (a: java.lang.Integer, b) => epochDays(b).map(x => a.compareTo(x)) // date field
+      case _ => None
+    }
+  }
+
+  private def numeric(v: Any): Option[java.lang.Double] = v match {
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f.doubleValue())
+    case l: java.lang.Long => Some(l.doubleValue())
+    case i: java.lang.Integer => Some(i.doubleValue())
+    case s: java.lang.Short => Some(s.doubleValue())
+    case b: java.lang.Byte => Some(b.doubleValue())
+    case _ => None
+  }
+
+  private def tsMicros(v: Any): Option[java.lang.Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  private def epochDays(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
+  }
+
+  /** Null-aware key comparison in SORT order (direction + null placement
+    * applied): negative when `a` sorts before `b`. */
+  def nullAwareCompare(a: Any, b: Any, descending: Boolean, nullsFirst: Boolean): Int =
+    (a, b) match {
+      case (null, null) => 0
+      case (null, _) => if (nullsFirst) -1 else 1
+      case (_, null) => if (nullsFirst) 1 else -1
+      case _ =>
+        val c = (a, b) match {
+          case (x: String, y: String) => x.compareTo(y)
+          case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+          case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+          case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+          case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+          case _ => 0
+        }
+        if (descending) -c else c
+    }
 }

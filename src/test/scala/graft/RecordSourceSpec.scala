@@ -49,6 +49,58 @@ class RecordSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("predicate pushdown reaches the source scan and filters exactly") {
+    // the reference's Firestore surface: eq / neq / gt (lib/FirestoreWrapper.py:86-100)
+    val eq = read().filter($"Name" === "beta")
+    val eqPlan = eq.queryExecution.executedPlan.toString
+    assert(eqPlan.contains("PushedFilters=[") && eqPlan.contains("EqualTo(Name,beta)"), eqPlan)
+    assert(eq.collect().map(_.getString(0)).toSeq == Seq("rec2"))
+
+    val neq = read().filter($"Name" =!= "beta")
+    assert(neq.collect().map(_.getString(0)).sorted.toSeq == Seq("rec1", "rec3"))
+
+    val gt = read().filter($"Score" > 2.0)
+    val gtPlan = gt.queryExecution.executedPlan.toString
+    assert(gtPlan.contains("GreaterThan(Score,2.0)"), gtPlan)
+    assert(gt.collect().map(_.getString(0)).sorted.toSeq == Seq("rec1", "rec3"))
+
+    // null semantics: Score > x must NOT match the sparse (null-Score) row;
+    // IS NULL must
+    assert(read().filter($"Score".isNull).collect().map(_.getString(0)).toSeq == Seq("rec2"))
+    // boolean + timestamp leaves
+    assert(read().filter($"Active" === false).collect().map(_.getString(0)).toSeq == Seq("rec3"))
+    assert(read().filter($"_created_time" >= java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("rec2", "rec3"))
+  }
+
+  test("unsupported predicates stay with Spark (residual), results still exact") {
+    val df = read().filter(lower($"Name").startsWith("be"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the StartsWith-on-expression leaf stays in Spark's own Filter node;
+    // the scan pushes only what it can evaluate exactly (the null guard)
+    assert(plan.contains("Filter StartsWith(lower(Name"), plan)
+    val scanDesc = plan.linesIterator.find(_.contains("RecordScan(")).get
+    assert(!scanDesc.contains("StartsWith"), scanDesc)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("rec2"))
+  }
+
+  test("top-N pushdown bounds the scan and keeps exact order") {
+    val df = read().orderBy($"Score".desc_nulls_last).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN=PushedTopN(Score,true,false,2)"), plan)
+    assert(df.collect().map(_.getString(2)).toSeq == Seq("alpha", "gamma"))
+    // ascending with nulls first: the sparse row must win
+    val asc = read().orderBy($"Score".asc_nulls_first).limit(1)
+    assert(asc.collect().map(_.getString(2)).toSeq == Seq("beta"))
+  }
+
+  test("plain limit pushdown caps per-partition output") {
+    val df = read().limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit=2"), plan)
+    assert(df.collect().length == 2)
+  }
+
   test("source feeds the sync pipeline end-to-end") {
     val statePath = new java.io.File(
       Files.createTempDirectory("graft_dsv2_pipe").toFile, "state").getAbsolutePath
