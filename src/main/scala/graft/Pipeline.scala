@@ -22,9 +22,16 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
 
   val store = new StateStore(spark, cfg.store.statePath)
 
+  /** Metrics of the most recent [[run]]: `skipped_rows` / `input_rows`
+    * (the reference's per-skip counter, lib/DataProcessor.py:94-95) and
+    * `added_fields` / `removed_fields` (schema drift vs the prior state,
+    * lib/UpdateStrategies.py:501-511). Empty before the first run. */
+  @volatile var lastRunMetrics: Map[String, Any] = Map.empty
+
   /** Normalize + dedupe the raw source
     * (reference: lib/AirtableToDatastore.py:51-56). */
-  def prepare(raw: DataFrame): DataFrame = {
+  def prepare(raw: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val projected = view.map(v => Sources.applyView(raw, v)).getOrElse(raw)
     val typed =
       if (cfg.source.fieldTypes.isEmpty) projected
@@ -32,7 +39,10 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
         Normalize.castTo(org.apache.spark.sql.functions.col(c),
           cfg.source.fieldTypes.getOrElse(c, "passthrough")).as(c)
       }: _*)
-    val keyed = Normalize.filterValidPk(typed, cfg.primaryKey)
+    val keyed = obs match {
+      case Some(o) => Normalize.filterValidPkObserved(typed, cfg.primaryKey, o)
+      case None => Normalize.filterValidPk(typed, cfg.primaryKey)
+    }
     val orderCol =
       if (keyed.columns.contains("_created_time")) Some("_created_time")
       else if (keyed.columns.contains("Created")) Some("Created")
@@ -52,11 +62,42 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
     Strategies.purgeOtherUpdateTypes(aligned, cfg)
   }
 
-  /** Run one sync: returns the new state (already persisted). */
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SyncPipeline])
+
+  /** Run one sync: returns the new state (already persisted). Skip and
+    * schema-drift counters land in [[lastRunMetrics]]. */
   def run(raw: DataFrame): DataFrame = {
-    val src = prepare(raw)
-    val newState = Strategies.get(cfg.updateType)(src, staged(store.load(), src), cfg)
-    store.overwrite(newState)
+    val obs = org.apache.spark.sql.Observation()
+    // persist + count: completes the observation with EXACT counts (a
+    // probe action like limit(1) would otherwise latch partial metrics)
+    // and materializes src once for the strategies that reference it twice
+    val src = prepare(raw, Some(obs)).persist()
+    src.count()
+    val skips = obs.get
+    val skipped = skips("skipped_rows").asInstanceOf[Long]
+    if (skipped > 0)
+      log.warn(s"skipped $skipped record(s) with null/empty primary key " +
+        s"'${cfg.primaryKey}' (reference: lib/DataProcessor.py:94-95)")
+    val prior = store.load()
+    // schema drift vs prior state: fields the source grew/lost since the
+    // last run (reference warns per added/removed field,
+    // lib/UpdateStrategies.py:501-511) — a driver-side column-set compare
+    val priorData = prior.columns.toSet -- Strategies.systemCols
+    val added = if (prior.columns.isEmpty) Set.empty[String]
+      else src.columns.toSet -- priorData
+    val removed = if (prior.columns.isEmpty) Set.empty[String]
+      else priorData -- src.columns.toSet
+    if (added.nonEmpty || removed.nonEmpty)
+      log.warn(s"schema drift on ${cfg.source.table}: added=$added removed=$removed")
+    lastRunMetrics = Map(
+      "skipped_rows" -> skipped,
+      "input_rows" -> skips("input_rows").asInstanceOf[Long],
+      "added_fields" -> added,
+      "removed_fields" -> removed)
+    try {
+      val newState = Strategies.get(cfg.updateType)(src, staged(prior, src), cfg)
+      store.overwrite(newState)
+    } finally src.unpersist()
     store.load()
   }
 

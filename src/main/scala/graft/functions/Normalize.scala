@@ -54,6 +54,19 @@ object Normalize {
   def filterValidPk(df: DataFrame, pk: String): DataFrame =
     df.filter(col(pk).isNotNull && col(pk).cast("string") =!= "")
 
+  /** [[filterValidPk]] with the reference's skip counter surfaced as
+    * observed metrics (`skipped_rows`, `input_rows`) — collected as a
+    * side-output of whatever action runs downstream, no extra job
+    * (reference warns per skipped record: lib/DataProcessor.py:94-95). */
+  def filterValidPkObserved(df: DataFrame, pk: String,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val invalid = col(pk).isNull || col(pk).cast("string") === ""
+    df.observe(obs,
+      sum(when(invalid, 1L).otherwise(0L)).as("skipped_rows"),
+      count(lit(1)).as("input_rows"))
+      .filter(!invalid)
+  }
+
   /** Recursive key exclusion + string cleanup over nested structures
     * (reference: lib/utils.py:7-31): drop listed fields at any struct
     * depth, clean every string leaf. Arrays of structs are transformed

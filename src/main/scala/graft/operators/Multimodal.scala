@@ -30,7 +30,7 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("byte_len", LongType)))
 
-  /** STUB decoder ??? — deterministic fake: derives plausible metadata
+  /** STUB decoder — deterministic fake: derives plausible metadata
     * from the payload hash. Replace with a real codec (e.g. libjpeg via
     * JNI) in production; signature and batch shape stay identical. */
   def fakeDecode(payload: Array[Byte], mime: String): Row = {

@@ -17,13 +17,41 @@ final case class View(
   def visibleFields: Seq[String] = visibleFieldOrder.filterNot(hiddenFields)
 }
 
-/** In-memory view catalog, the engine's stand-in for the reference's
-  * view-metadata API scan (reference: lib/UpdateStrategies.py:379-406). */
+/** View catalog, the engine's stand-in for the reference's view-metadata
+  * API scan (reference: lib/UpdateStrategies.py:379-406). Construct
+  * in-memory, or resolve from a JSON sidecar via [[ViewCatalog.fromSidecar]]
+  * — the fixture-world equivalent of the metadata REST endpoint. */
 final class ViewCatalog(views: Map[String, View]) {
   def get(name: String): View =
     views.getOrElse(name, throw new IllegalArgumentException(s"View '$name' not found"))
+  def viewNames: Seq[String] = views.keys.toSeq.sorted
   def apply(df: DataFrame, viewName: String): DataFrame =
     Sources.applyView(df, get(viewName))
+}
+
+object ViewCatalog {
+  /** Load views from a JSON sidecar — an array of
+    * `{"name": ..., "visibleFieldOrder": [...], "hiddenFields": [...]}`
+    * objects, mirroring the reference's view-metadata response shape
+    * (`visibleFieldOrder` minus `hiddenFields`,
+    * lib/UpdateStrategies.py:408-418). Metadata is tiny by construction;
+    * the collect here is a catalog load, not a data scan. */
+  def fromSidecar(spark: SparkSession, path: String): ViewCatalog = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    require(df.columns.contains("name") && df.columns.contains("visibleFieldOrder"),
+      s"view sidecar $path needs 'name' and 'visibleFieldOrder' per view")
+    val hasHidden = df.columns.contains("hiddenFields")
+    val views = df.collect().map { r =>
+      val name = r.getAs[String]("name")
+      val vis = r.getAs[scala.collection.Seq[String]]("visibleFieldOrder").toSeq
+      val hidden =
+        if (hasHidden && !r.isNullAt(r.fieldIndex("hiddenFields")))
+          r.getAs[scala.collection.Seq[String]]("hiddenFields").toSet
+        else Set.empty[String]
+      name -> View(name, vis, hidden)
+    }.toMap
+    new ViewCatalog(views)
+  }
 }
 
 object Sources {

@@ -78,6 +78,19 @@ class NormalizeExportSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat(df, "nope"))
   }
 
+  test("view catalog loads from a JSON sidecar (metadata-API stand-in)") {
+    val f = java.nio.file.Files.createTempFile("graft_views", ".json")
+    java.nio.file.Files.writeString(f,
+      """[{"name": "v1", "visibleFieldOrder": ["name", "id", "bal"], "hiddenFields": ["bal"]},
+        | {"name": "v2", "visibleFieldOrder": ["id"]}]""".stripMargin)
+    val cat = ViewCatalog.fromSidecar(spark, f.toString)
+    assert(cat.viewNames == Seq("v1", "v2"))
+    val df = Seq((1, "n", 2.0, "seg")).toDF("id", "name", "bal", "segment")
+    assert(cat(df, "v1").columns.toSeq == Seq("name", "id")) // order kept, hidden dropped
+    assert(cat(df, "v2").columns.toSeq == Seq("id"))
+    intercept[IllegalArgumentException](cat.get("nope"))
+  }
+
   test("export orders priority columns first, rest sorted; union fills nulls") {
     assert(Export.orderedColumns(Seq("z", "a", "id", "m"), Seq("id", "missing", "m"))
       == Seq("id", "m", "a", "z"))

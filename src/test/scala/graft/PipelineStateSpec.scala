@@ -129,6 +129,23 @@ class PipelineStateSpec extends SparkSpec {
     assert(st.select("score").as[Double].head() == 2.0)
   }
 
+  test("pipeline surfaces skip counts and schema drift as run metrics") {
+    val path = tmpPath("metrics")
+    val cfg = cfgFor(path, UpdateType.UpsertChecksum)
+    val pipe = new SyncPipeline(spark, cfg)
+    pipe.run(Seq(("a", 1.0), ("", 2.0), (null, 3.0), ("b", 4.0))
+      .toDF("id", "score"))
+    assert(pipe.lastRunMetrics("skipped_rows") == 2L) // "" and null pks
+    assert(pipe.lastRunMetrics("input_rows") == 4L)
+    assert(pipe.lastRunMetrics("added_fields") == Set.empty[String]) // first run: no drift baseline
+    // second run with a grown+shrunk schema: drift vs prior state columns
+    val pipe2 = new SyncPipeline(spark, cfg.copy(versionId = 2L))
+    pipe2.run(Seq(("a", "x")).toDF("id", "label"))
+    assert(pipe2.lastRunMetrics("skipped_rows") == 0L)
+    assert(pipe2.lastRunMetrics("added_fields") == Set("label"))
+    assert(pipe2.lastRunMetrics("removed_fields") == Set("score"))
+  }
+
   test("bucketed state: incremental run rewrites only touched buckets") {
     import graft.state.BucketedStateStore
     val path = tmpPath("buckets")
