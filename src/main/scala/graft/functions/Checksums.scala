@@ -42,9 +42,12 @@ object Checksums {
     * reproducible in any SQL engine (DuckDB:
     * `CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`), and numeric, so
     * aggregations over it stay in HashAggregate and array set-ops run on
-    * fixed-width values. */
+    * fixed-width values. Computed by the native [[Md5Prefix60]] expression
+    * (digest bytes -> long, no hex round-trip); bit-identical to the
+    * composable `conv(substring(md5(c), 1, 15), 16, 10)` form. */
   def md5PrefixLong(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.column(Md5Prefix60(
+      org.apache.spark.sql.graftbridge.expression(c.cast("string"))))
 
   /** Length-prefixed canonical encoding of one value: `v<len>:<text>` for
     * non-null, `n` for null. The length prefix removes delimiter-collision

@@ -79,6 +79,27 @@ class ExpressionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native md5_prefix60 is bit-identical to the composable conv/substr/md5 form") {
+    val strs = Seq("", "a", "hello world", "héllo wörld 世界",
+      "0:0", "tab\tand\nnewline", "x" * 500).toDF("s")
+    val both = strs.select(
+      graft.functions.Checksums.md5PrefixLong($"s").as("native"),
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, r) => assert(n == r) }
+    // interpreted path (inside a HOF lambda) matches codegen'd projection
+    val hof = Seq(Seq("a", "b", "c")).toDF("arr")
+      .select(transform($"arr",
+        x => graft.functions.Checksums.md5PrefixLong(x)).as("hs"))
+      .collect().head.getSeq[Long](0)
+    val direct = Seq("a", "b", "c").toDF("s")
+      .select(graft.functions.Checksums.md5PrefixLong($"s")).as[Long].collect().toSeq
+    assert(hof == direct)
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.Checksums.md5PrefixLong($"s")).collect().head.isNullAt(0))
+  }
+
   test("hammingBall enumerates exactly the codes within the radius") {
     val ball = graft.functions.LshCode.hammingBall(0xA5L, 8, 2)
     assert(ball.size == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
