@@ -2,16 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, LshCode, Md5Prefix60}
 
 /** Session extensions: registers the engine's native expressions as SQL
-  * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` and
-  * `call_function("cosine_sim", ...)` work anywhere.
+  * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")`,
+  * `lsh_code(vec, bits, dim)`, `md5_prefix60(s)` and
+  * `call_function(...)` work anywhere.
   *
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -19,6 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_code"),
+      new ExpressionInfo(classOf[LshCode].getName, "lsh_code"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "lsh_code takes (vec, bits, dim)")
+        LshCode(args.head, intLit(args(1), "bits"), intLit(args(2), "dim"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_prefix60 takes exactly 1 argument")
+        Md5Prefix60(args.head)
       }))
   }
 }

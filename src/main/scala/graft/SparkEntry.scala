@@ -486,6 +486,29 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ----- TF-IDF top terms per doc (exact-IEEE log-free idf) --------
+    "q47_tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(docsBase(s, dir), "doc_id", "text", topK = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // ----- cross-doc shingle novelty / contamination fraction --------
+    "q48_shingle_novelty" -> ((s, dir) => {
+      TextAnalysis.shingleNovelty(docsWithNearDups(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ----- IVF-style ANN: coarse-quantized cells, probe nearest ------
+    "q49_ivf_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents, probeVec(s, dir),
+        k = 10, nProbe = 2)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+    }),
+
     // ----- correlated subquery (Catalyst decorrelation) via spark.sql -
     "q43_correlated_subquery" -> ((s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -1019,6 +1042,79 @@ object SparkEntry {
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q47_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term != '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |  (CAST(tf AS DOUBLE) * CAST(nd + 1 AS DOUBLE)) / CAST(df + 1 AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, rnk, floor(score * 1000000 + 0.5) / 1000000 AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q48_shingle_novelty" -> (nearDupCte +
+      """,
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |hp AS (SELECT DISTINCT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+        |dfreq AS (SELECT h, COUNT(*) AS df FROM hp GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
+        |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
+        |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q49_ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |probe AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |scored AS (SELECT e.vec_id, e.embedding, c.cell,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assigned AS (SELECT vec_id, embedding FROM (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored)
+        |  WHERE rn = 1 AND cell IN (
+        |    SELECT cell FROM (
+        |      SELECT c.cell,
+        |        list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]) /
+        |        (sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                        FOR d IN range(1, len(c.cv) + 1)])) *
+        |         sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |                        FOR d IN range(1, len(p.pv) + 1)]))) AS pcos
+        |      FROM cent c CROSS JOIN probe p)
+        |    ORDER BY pcos DESC, cell LIMIT 2)),
+        |c AS (SELECT a.vec_id,
+        |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(a.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(p.pv) + 1)]))) AS cos
+        |  FROM assigned a CROSS JOIN probe p)
+        |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q43_correlated_subquery" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price

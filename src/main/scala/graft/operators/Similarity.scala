@@ -104,6 +104,61 @@ object Similarity {
     topK(candidates, idCol, vecCol, probe, k)
   }
 
+  // ---------------------------------------------------------------------
+  // IVF-style ANN: coarse quantization into centroid cells, probe only
+  // the cells nearest the query — the inverted-file alternative to the
+  // hyperplane-LSH path above.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic seed centroids: the `k` vectors with the smallest ids.
+    * Production would refine these with k-means iterations (each a
+    * map-side assign + per-cell mean aggregation); the assignment/probe
+    * machinery below is identical either way, and deterministic seeds keep
+    * the operator oracle-checkable. */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Seq[Float]] =
+    embeddings.orderBy(col(idCol)).limit(k).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Cell assignment: argmax cosine over the centroid list. Ties break to
+    * the larger cell id (struct max is lexicographic on (cos, cell)).
+    * One native cosine per centroid per row — k fused loops, no shuffle. */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, lit(c.toArray)).as("cos"), lit(i).as("cell"))
+    }
+    greatest(scored: _*).getField("cell")
+  }
+
+  /** Driver-side mirror of the native cosine arithmetic (same interleaved
+    * accumulation order), for probe-side cell ranking without a job. */
+  private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF ANN query: assign every vector to its cell, scan only the
+    * `nProbe` cells whose centroids are nearest the probe, exact-rank the
+    * survivors — O(N * nProbe / k) scanned per query. Persist the
+    * assignment `partitionBy("ivf_cell")` (same pattern as [[writeIndex]])
+    * to make the cell filter a partition-pruned read at scale. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], probe: Seq[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cosineLocal(probe, c), i) }
+      .sortBy { case (cos, cell) => (-cos, cell) }
+      .take(nProbe).map(_._2)
+    val assigned = embeddings.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+    topK(assigned.filter(col("ivf_cell").isin(probeCells: _*)), idCol, vecCol, probe, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket grouping + exact
     * cosine verification within buckets (same shape as MinHash LSH). One
     * groupBy on the code — no self-join, so the hyperplane-projection

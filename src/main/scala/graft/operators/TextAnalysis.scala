@@ -101,6 +101,60 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     transform(shingleStrings(text, k), s => xxhash64(s))
 
+  /** Per-doc top-k terms by TF-IDF-style weighting:
+    * `score = tf * (N+1)/(df+1)` — a log-free idf ratio, chosen because
+    * every op (integer mul/add, one double divide) is IEEE-exact and so
+    * reproduces bit-for-bit in any SQL engine, unlike ln() whose last
+    * ulp is library-specific. Two shuffles: (doc,term) then term; the
+    * doc-count side is one row (broadcast); the vocabulary join is left
+    * to AQE (vocabulary outgrows broadcast at corpus scale). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("nd"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf").cast("double") * (col("nd") + 1).cast("double")) /
+          (col("df") + 1).cast("double"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("id"), col("term"), col("rnk"),
+        (floor(col("score") * 1000000 + 0.5) / 1000000).as("score"))
+  }
+
+  /** Cross-doc n-gram novelty: per doc, the fraction of its DISTINCT
+    * k-shingles that also occur in at least one other doc — the
+    * duplication/contamination fraction used to gate training corpora
+    * (a doc of entirely-shared shingles is boilerplate or a near-dup).
+    * Shingle identities are the portable 60-bit md5 prefixes, so a SQL
+    * oracle recomputes the exact same sets. Shape: one explode + distinct,
+    * one df-count shuffle on the hash, one per-doc aggregation —
+    * everything partial-aggregated, no self-join, no pair expansion. */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val pairs = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingleStrings(col(textCol), k)).as("_s"))
+      .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_s")).as("h"))
+      .distinct()
+    val dfreq = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    pairs.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        // sum of 0/1 doubles is order-exact; the divide is one rounded op
+        (floor(sum(when(col("df") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)).cast("double") * 1000000 + 0.5) / 1000000).as("dup_frac"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -145,6 +145,13 @@ class ExpressionSpec extends SparkSpec {
         "SELECT cosine_sim(array(cast(1 as float), cast(0 as float)), " +
           "array(cast(1 as float), cast(0 as float))) AS c").collect()
       assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+      val lsh = s2.sql(
+        "SELECT lsh_code(array(cast(1 as float), cast(0 as float)), 4, 2) AS c").collect()
+      assert(lsh.head.getLong(0) ==
+        graft.functions.LshCode.codeOf(Seq(1f, 0f), 4, 2))
+      val m = s2.sql("SELECT md5_prefix60('abc') AS h").collect()
+      assert(m.head.getLong(0) == graft.functions.Md5Hash.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -172,4 +172,54 @@ class TrainingOpsSpec extends SparkSpec {
       fv.head, 2)
     assert(sim.count() == 2)
   }
+
+  test("tf-idf: corpus-rare terms outrank corpus-common terms") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
+    val d1 = top.filter($"id" === 1L).orderBy("rnk")
+      .select("term").as[String].collect().toSeq
+    // 'common' has tf=2 but df=3; 'rare' tf=1 df=1:
+    // common: 2*(4)/4 = 2.0 ; rare: 1*4/2 = 2.0 -> tie, term asc
+    assert(d1 == Seq("common", "rare"))
+    val d2 = top.filter($"id" === 2L).orderBy("rnk")
+      .select("term").as[String].collect().toSeq
+    assert(d2.head == "other") // 1*4/2=2.0 beats common 1*4/4=1.0
+  }
+
+  test("shingle novelty: duplicated docs fully shared, unique doc fully novel") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val nv = TextAnalysis.shingleNovelty(docs, "doc_id", "text", k = 3)
+      .orderBy("id").collect()
+    assert(nv.length == 3)
+    assert(nv(0).getDouble(2) == 1.0) // every shingle shared with doc 2
+    assert(nv(1).getDouble(2) == 1.0)
+    assert(nv(2).getDouble(2) == 0.0) // nothing shared
+    assert(nv(0).getLong(1) == 3) // 5 tokens, k=3 -> 3 shingles
+  }
+
+  test("IVF ANN: self-retrieval wins, and full-probe equals brute force") {
+    val n = 50
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => sin($"id" * 13 + d).cast("float")).as("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4)
+    assert(cents.length == 4 && cents.forall(_.length == 8))
+    val probe = emb.filter($"vec_id" === 11).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val hit = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, probe,
+      k = 1, nProbe = 1).collect()
+    assert(hit.head.getLong(0) == 11L) // own cell always probed first
+    // probing every cell degrades gracefully to exact brute-force top-k
+    val all = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, probe,
+      k = 5, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.topK(emb, "vec_id", "embedding", probe, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == brute)
+  }
 }
