@@ -81,12 +81,17 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
     val prior = store.load()
     // schema drift vs prior state: fields the source grew/lost since the
     // last run (reference warns per added/removed field,
-    // lib/UpdateStrategies.py:501-511) — a driver-side column-set compare
-    val priorData = prior.columns.toSet -- Strategies.systemCols
-    val added = if (prior.columns.isEmpty) Set.empty[String]
-      else src.columns.toSet -- priorData
-    val removed = if (prior.columns.isEmpty) Set.empty[String]
-      else priorData -- src.columns.toSet
+    // lib/UpdateStrategies.py:501-511) — a driver-side column-set compare.
+    // All engine-managed columns (incl. the table-snapshot trio) are
+    // excluded from both sides; table-level states hold a pivoted
+    // snapshot, not source columns, so drift is undefined there.
+    val sysCols: Set[String] =
+      Strategies.systemCols.toSet ++ graft.functions.Checksums.SystemColumns
+    val driftDefined = prior.columns.nonEmpty && !cfg.updateType.isTableLevel
+    val priorData = prior.columns.toSet -- sysCols
+    val srcData = src.columns.toSet -- sysCols
+    val added = if (driftDefined) srcData -- priorData else Set.empty[String]
+    val removed = if (driftDefined) priorData -- srcData else Set.empty[String]
     if (added.nonEmpty || removed.nonEmpty)
       log.warn(s"schema drift on ${cfg.source.table}: added=$added removed=$removed")
     lastRunMetrics = Map(

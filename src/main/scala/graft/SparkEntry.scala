@@ -399,11 +399,16 @@ object SparkEntry {
     "q30_ann_topk" -> ((s, dir) => {
       // build-once/probe-many: codes are computed in ONE indexing pass and
       // persisted partitionBy(lsh_code); the probe enumerates its Hamming
-      // ball driver-side and reads only those partitions
+      // ball driver-side and reads only those partitions. The index path
+      // embeds the source file's length+mtime so regenerated data at the
+      // same dir can never serve a stale index.
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
-      val fs = new org.apache.hadoop.fs.Path(idxPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${st.getLen}_${st.getModificationTime}").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
       if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
         Similarity.writeIndex(rd(s, dir, "embeddings"), "embedding", idxPath, bits = 8)
       val idx = Similarity.readIndex(s, idxPath)

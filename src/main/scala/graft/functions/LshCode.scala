@@ -17,8 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * [[LshCode.planeComponent]]) and referenced from a fused primitive loop.
   *
   * Arithmetic is bit-identical to the unrolled form AND to the SQL-oracle
-  * rebuild: per plane, a left-to-right double accumulation of
+  * rebuild for well-formed vectors (length == dim, no null elements): per
+  * plane, a left-to-right double accumulation of
   * `(double) vec[d] * plane(i, d)`; bit set iff the sum is `>= 0`.
+  *
+  * Degenerate inputs: vectors SHORTER than `dim` project over their
+  * available elements only — matching the SQL-oracle form, whose loop runs
+  * over len(vec) (the old unrolled element_at form threw under ANSI);
+  * null elements read as 0.0, matching SQL list_sum's null-skip. Vectors
+  * LONGER than `dim` use only the first `dim` components — callers must
+  * pass the embedding's true dimensionality (annTopK enforces this on the
+  * probe side).
   */
 case class LshCode(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {

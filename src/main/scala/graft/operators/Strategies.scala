@@ -302,37 +302,40 @@ object Strategies {
     * partial aggregation, constant-size state) instead of snapshotting. */
   var maxSnapshotRows: Long = 5000000L
 
-  private def checkSnapshotSize(snap: DataFrame): String = {
-    // one collect over the (persisted) single snapshot row: checksum +
-    // pivot cardinality come back together, no second aggregation
-    val row = snap.select(col("table_checksum"), size(col("table_data")).cast("long").as("_n"))
-      .collect().head
-    require(row.getLong(1) <= maxSnapshotRows,
-      s"table snapshot has ${row.getLong(1)} rows (cap $maxSnapshotRows): the one-doc " +
-        "pivot is a single-task fold and will not scale — use " +
+  /** Build the snapshot with the size guard applied BEFORE the pivot: the
+    * row count is a cheap distributed count, so an over-cap table fails
+    * fast instead of OOMing the single fold task the cap exists to
+    * prevent. The pivot's one output row is then collected and rebuilt as
+    * a local frame — the checksum probe and the state write both read the
+    * local row, so the whole-table aggregation runs exactly once, with no
+    * cache entry left behind (a persisted plan would leak in the
+    * CacheManager on every changed run). */
+  private def guardedSnapshot(src: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val n = src.count()
+    require(n <= maxSnapshotRows,
+      s"table has $n rows (snapshot cap $maxSnapshotRows): the one-doc pivot " +
+        "is a single-task fold and will not scale — use " +
         "Checksums.orderInsensitiveChecksum for change detection on large tables")
-    row.getString(0)
+    val snap = tableSnapshot(src, cfg)
+    src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(snap.collect(): _*), snap.schema)
   }
 
   /** UPSERT_TABLE_CHECKSUM: one snapshot doc per table, replaced only when
     * the table checksum moves; the doc is keyed by the TABLE name
-    * (reference: lib/UpdateStrategies.py:484-522, doc id at :488-490).
-    * The snapshot frame is persisted across the checksum probe so the
-    * whole-table pivot aggregation runs once, not once for the probe and
-    * again for the state write. */
+    * (reference: lib/UpdateStrategies.py:484-522, doc id at :488-490). */
   val upsertTableChecksum: Strategy = (src, state, cfg) => {
-    val snap = tableSnapshot(src, cfg)
+    val snap = guardedSnapshot(src, cfg)
       .withColumn("doc_id", lit(cfg.source.table))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
-      .persist()
-    val cur = checkSnapshotSize(snap)
+    val cur = snap.select("table_checksum").collect().head.getString(0)
     val unchanged = state.columns.contains("table_checksum") && {
       val prev = state.filter(col("doc_id") === lit(cfg.source.table))
         .select("table_checksum").limit(1).collect()
       prev.nonEmpty && prev.head.getString(0) == cur
     }
-    if (unchanged) { snap.unpersist(); state } else snap
+    if (unchanged) state else snap
   }
 
   /** VERSIONED_TABLE_CHECKSUM: append a new snapshot version when the
@@ -341,19 +344,18 @@ object Strategies {
     * snapshot frame (never schema-aligned with the source — the union
     * below is on the snapshot's own fixed columns). */
   val versionedTableChecksum: Strategy = (src, state, cfg) => {
-    val snap = tableSnapshot(src, cfg)
+    val snap = guardedSnapshot(src, cfg)
       .withColumn("doc_id", md5(concat_ws("|", lit(cfg.source.table), lit(cfg.versionId.toString))))
       .withColumn("version_id", lit(cfg.versionId))
       .withColumn("latest", lit(true))
-      .persist()
-    val cur = checkSnapshotSize(snap)
+    val cur = snap.select("table_checksum").collect().head.getString(0)
     val hasPrev = state.columns.contains("table_checksum")
     val unchanged = hasPrev && {
       val prev = state.filter(coalesce(col("latest"), lit(false)))
         .orderBy(col("version_id").desc).select("table_checksum").limit(1).collect()
       prev.nonEmpty && prev.head.getString(0) == cur
     }
-    if (unchanged) { snap.unpersist(); state }
+    if (unchanged) state
     else if (!hasPrev) snap
     else state.withColumn("latest", lit(false))
       .unionByName(snap, allowMissingColumns = true)

@@ -138,7 +138,14 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     case _ => false
   }
   private def fieldOk(attr: String): Boolean =
-    !attr.contains(".") && fullSchema.fieldNames.contains(attr)
+    !attr.contains(".") && fullSchema.fieldNames.contains(attr) &&
+      atomicType(fullSchema(attr).dataType)
+  // only types with an exactly-reproducible total order are pushable —
+  // array/struct keys would compare as JSON text, not Spark's element order
+  private def atomicType(dt: DataType): Boolean = dt match {
+    case StringType | DoubleType | BooleanType | TimestampType | DateType => true
+    case _ => false
+  }
   private def leafOk(attr: String, v: Any): Boolean = fieldOk(attr) && (v match {
     case null => false
     case _: String | _: java.lang.Double | _: java.lang.Float | _: java.lang.Long |
@@ -393,13 +400,27 @@ private[v2] object RecordFilterEval {
     case _ => None // never pushed (supported() gates), defensive
   }
 
+  /** String comparison in Spark's order: UTF8String compares UTF-8 bytes
+    * (= code-point order), while java.lang.String.compareTo compares
+    * UTF-16 code units — they disagree for supplementary characters
+    * (surrogates sort above U+E000..U+FFFF in UTF-16 but below them in
+    * code-point order). A pushed filter must reproduce Spark exactly. */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Double comparison in Spark's order: -0.0 == 0.0 (unlike
+    * Double.compareTo); NaN sorts above everything, as in both. */
+  private def dblCmp(a: Double, b: Double): Int =
+    java.lang.Double.compare(a + 0.0d, b + 0.0d)
+
   /** Three-valued comparison of a raw record value with a Spark literal.
     * None when either side is null or the pair is incomparable. */
   def cmp(raw: Any, lit: Any): Option[Int] = {
     if (raw == null || lit == null) return None
     (raw, lit) match {
-      case (a: String, b: String) => Some(a.compareTo(b))
-      case (a: java.lang.Double, b) => numeric(b).map(a.compareTo(_))
+      case (a: String, b: String) => Some(utf8Cmp(a, b))
+      case (a: java.lang.Double, b) => numeric(b).map(x => dblCmp(a, x))
       case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
       case (a: java.lang.Long, b) => tsMicros(b).map(a.compareTo(_)) // timestamp field
       case (a: java.lang.Integer, b) => epochDays(b).map(x => a.compareTo(x)) // date field
@@ -419,8 +440,12 @@ private[v2] object RecordFilterEval {
 
   private def tsMicros(v: Any): Option[java.lang.Long] = v match {
     case t: java.sql.Timestamp =>
-      Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      // getTime is floored millis (incl. the nanos' ms part, negative-safe);
+      // add only the sub-millisecond micros — `/1000*1000000 + nanos/1000`
+      // double-counted millis and truncated toward zero pre-epoch
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
     case i: java.time.Instant =>
+      // getEpochSecond floors and getNano is in [0, 1e9): negative-safe
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
@@ -440,8 +465,8 @@ private[v2] object RecordFilterEval {
       case (_, null) => if (nullsFirst) 1 else -1
       case _ =>
         val c = (a, b) match {
-          case (x: String, y: String) => x.compareTo(y)
-          case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+          case (x: String, y: String) => utf8Cmp(x, y)
+          case (x: java.lang.Double, y: java.lang.Double) => dblCmp(x, y)
           case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
           case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
           case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)

@@ -161,15 +161,19 @@ class StrategiesSpec extends SparkSpec {
     assert(latest.select("version_id").as[Long].head() == 4L)
   }
 
-  test("table-checksum strategies persist the snapshot across the probe and cap its size") {
+  test("table-checksum strategies fold the snapshot once and cap its size up front") {
     val c = cfg(UpdateType.UpsertTableChecksum, 1)
-    // changed path returns the SAME (cached) frame the probe aggregated —
-    // the snapshot pivot must not recompute when the caller persists it
+    // changed path returns a LOCAL one-row frame: the whole-table pivot ran
+    // exactly once (at collect) — persisting it again re-reads local rows,
+    // never the aggregation; and nothing is left in the CacheManager
     val st = Strategies.upsertTableChecksum(s0, empty, c)
-    assert(st.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
-      "snapshot frame should stay cached between the checksum probe and the state write")
-    st.unpersist()
-    // size guard: beyond the cap, fail loudly and point at the scale path
+    val leaves = st.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"snapshot should be collected to a local relation, got $leaves")
+    assert(st.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // size guard: beyond the cap, fail loudly (BEFORE the fold) and point
+    // at the scale path
     val prevCap = Strategies.maxSnapshotRows
     try {
       Strategies.maxSnapshotRows = 2
