@@ -505,6 +505,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- incremental ingest near-dup gate (new vs corpus only) -----
+    "q50_incremental_neardup" -> ((s, dir) => {
+      val base = docsBase(s, dir)
+      val incoming = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      DedupApprox.incrementalNearDups(base, incoming, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // ----- IVF-style ANN: coarse-quantized cells, probe nearest ------
     "q49_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -1082,6 +1095,43 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q50_incremental_neardup" ->
+      """WITH tagged AS (
+        |  SELECT 'c' AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'n', doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'n', doc_id + 20000, text FROM documents WHERE doc_id % 13 = 0),
+        |toks AS (SELECT side, doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM tagged),
+        |sh AS (SELECT side, doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |sig AS (SELECT side, doc_id, sh,
+        |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+        |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
+        |  FROM sh),
+        |bands AS (SELECT side, doc_id, b,
+        |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
+        |  FROM sig, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands n JOIN bands c ON n.b = c.b AND n.band_key = c.band_key
+        |  WHERE n.side = 'n' AND c.side = 'c'),
+        |hsh AS (SELECT side, doc_id,
+        |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
+        |  FROM sh),
+        |pairs AS (SELECT new_id, corpus_id,
+        |  CAST(len(list_intersect(n.hs, c.hs)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(n.hs, c.hs))) AS DOUBLE) AS j
+        |  FROM cand
+        |  JOIN hsh n ON n.side = 'n' AND n.doc_id = cand.new_id
+        |  JOIN hsh c ON c.side = 'c' AND c.doc_id = cand.corpus_id)
+        |SELECT new_id, corpus_id, floor(j * 10000 + 0.5) / 10000 AS jaccard
+        |FROM pairs WHERE j >= 0.6 ORDER BY new_id, corpus_id""".stripMargin,
 
     "q49_ivf_topk" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding AS cv

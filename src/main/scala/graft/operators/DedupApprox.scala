@@ -198,6 +198,38 @@ object DedupApprox {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental near-dup gate — the daily-ingest question: which
+    * incoming docs near-duplicate a doc ALREADY IN the corpus? Incoming
+    * bands equi-join the corpus band frame on (band, band_key);
+    * incoming×incoming pairs are never formed and the corpus side never
+    * self-joins, so per-batch cost is |batch| × bucket hit rate, not
+    * |corpus|². Verification is exact Jaccard over pre-hashed shingle
+    * sets. At production scale, persist the corpus's band + sketch frames
+    * once (they are append-only as the corpus grows) instead of
+    * recomputing them per batch as this self-contained form does. */
+  def incrementalNearDups(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, bands: Int = 4,
+      rows: Int = 4, threshold: Double = 0.7,
+      md5Family: Boolean = false): DataFrame = {
+    val cb = lshBands(corpus, idCol, textCol, k, bands, rows, md5Family)
+      .withColumnRenamed("id", "corpus_id")
+    val ib = lshBands(incoming, idCol, textCol, k, bands, rows, md5Family)
+      .withColumnRenamed("id", "new_id")
+    val cands = ib.join(cb, Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val cs = shingleHashSets(corpus, idCol, textCol, k)
+      .select(col("id").as("corpus_id"), col("_hs").as("_hc"))
+    val is = shingleHashSets(incoming, idCol, textCol, k)
+      .select(col("id").as("new_id"), col("_hs").as("_hn"))
+    val inter = size(array_intersect(col("_hn"), col("_hc"))).cast("double")
+    val union = size(array_union(col("_hn"), col("_hc"))).cast("double")
+    cands.join(is, Seq("new_id")).join(cs, Seq("corpus_id"))
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+  }
+
   /** SimHash: 60-bit sketch where bit i is the sign of the sum over token
     * hashes of (bit i ? +1 : -1); the token hash is the portable 60-bit
     * md5 prefix, so any SQL engine can recompute the sketch verbatim.

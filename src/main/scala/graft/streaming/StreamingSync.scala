@@ -32,6 +32,27 @@ object StreamingSync {
       .start()
   }
 
+  /** Streaming ingestion dedup gate: per micro-batch of incoming docs,
+    * compute which near-duplicate the existing corpus
+    * ([[graft.operators.DedupApprox.incrementalNearDups]]) and hand the
+    * matches to `onMatches` (quarantine table, metric sink, ...).
+    * foreachBatch rather than a stream-static join because sketching the
+    * batch needs a per-batch aggregation, which an unaggregated
+    * stream-static equi-join cannot express; each micro-batch is a static
+    * frame, so the whole batch operator surface applies. */
+  def nearDupGate(stream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, checkpoint: String, onMatches: DataFrame => Unit,
+      k: Int = 3, bands: Int = 4, rows: Int = 4, threshold: Double = 0.7,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onMatches(graft.operators.DedupApprox.incrementalNearDups(
+          corpus, batch, idCol, textCol, k, bands, rows, threshold))
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregate over an event stream —
     * the standard streaming-analytics shape on the events table. */
   def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =

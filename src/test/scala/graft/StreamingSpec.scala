@@ -106,4 +106,28 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "click", 2L, 4.0),
       ("2024-01-01 10:10:00", "view", 1L, 4.0)))
   }
+
+  test("streaming near-dup gate flags incoming docs that duplicate the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingSync.nearDupGate(
+      in.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      Files.createTempDirectory("graft_gate_ckpt").toString,
+      m => seen ++= m.select("new_id", "corpus_id").as[(Long, Long)].collect(),
+      bands = 8, rows = 2, threshold = 0.5,
+      // continuous trigger: AvailableNow would stop after the first batch
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    in.addData(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (101L, "totally unrelated text about nothing shared at all"))
+    q.processAllAvailable()
+    in.addData((102L, "beta gamma delta epsilon zeta")) // near-dup of 1
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet == Set((100L, 1L), (102L, 1L))) // 101 passes the gate
+  }
 }

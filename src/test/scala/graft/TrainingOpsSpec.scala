@@ -203,6 +203,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(nv(0).getLong(1) == 3) // 5 tokens, k=3 -> 3 shingles
   }
 
+  test("incremental near-dup gate reports new-vs-corpus matches only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (101L, "beta gamma delta epsilon zeta"), // near-dup of 1
+      (102L, "fresh content with no overlap anywhere"),
+      (103L, "fresh content with no overlap anywhere") // dup of 102 — but both NEW
+    ).toDF("doc_id", "text")
+    // 8 bands x 2 rows: ~99.9% recall at J=0.75 (4x4 banding would miss
+    // ~22% of the time — LSH recall, not determinism)
+    val out = DedupApprox.incrementalNearDups(corpus, incoming,
+      "doc_id", "text", bands = 8, rows = 2, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // 102/103 duplicate EACH OTHER but neither matches the corpus: the
+    // gate must not report new x new pairs
+    assert(out == Set((100L, 1L), (101L, 1L)))
+  }
+
   test("IVF ANN: self-retrieval wins, and full-probe equals brute force") {
     val n = 50
     val emb = spark.range(n).select($"id".as("vec_id"),
