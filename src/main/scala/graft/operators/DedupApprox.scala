@@ -211,19 +211,26 @@ object DedupApprox {
       idCol: String, textCol: String, k: Int = 3, bands: Int = 4,
       rows: Int = 4, threshold: Double = 0.7,
       md5Family: Boolean = false): DataFrame = {
-    val cb = lshBands(corpus, idCol, textCol, k, bands, rows, md5Family)
-      .withColumnRenamed("id", "corpus_id")
-    val ib = lshBands(incoming, idCol, textCol, k, bands, rows, md5Family)
-      .withColumnRenamed("id", "new_id")
-    val cands = ib.join(cb, Seq("band", "band_key"))
+    // one sketch pass per side (signature AND shingle set together),
+    // persisted so the band derivation and the verification join both
+    // read it instead of re-running the explode/hash pipeline
+    val cs = docSketches(corpus, idCol, textCol, k, bands * rows, md5Family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = docSketches(incoming, idCol, textCol, k, bands * rows, md5Family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(sk: DataFrame, as: String) = sk
+      .select(col("id").as(as), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cands = bandsOf(ns, "new_id")
+      .join(bandsOf(cs, "corpus_id"), Seq("band", "band_key"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    val cs = shingleHashSets(corpus, idCol, textCol, k)
-      .select(col("id").as("corpus_id"), col("_hs").as("_hc"))
-    val is = shingleHashSets(incoming, idCol, textCol, k)
-      .select(col("id").as("new_id"), col("_hs").as("_hn"))
     val inter = size(array_intersect(col("_hn"), col("_hc"))).cast("double")
     val union = size(array_union(col("_hn"), col("_hc"))).cast("double")
-    cands.join(is, Seq("new_id")).join(cs, Seq("corpus_id"))
+    cands
+      .join(ns.select(col("id").as("new_id"), col("_hs").as("_hn")), Seq("new_id"))
+      .join(cs.select(col("id").as("corpus_id"), col("_hs").as("_hc")), Seq("corpus_id"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"),

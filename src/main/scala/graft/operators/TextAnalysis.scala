@@ -146,8 +146,14 @@ object TextAnalysis {
         explode(shingleStrings(col(textCol), k)).as("_s"))
       .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_s")).as("h"))
       .distinct()
-    val dfreq = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    pairs.join(dfreq, "h")
+    // single lineage: attach df as a window count over the hash — a join
+    // of `pairs` against a separate df-count aggregate would recompute the
+    // whole explode+distinct pipeline once per consumer, and a
+    // collect_list-per-hash regroup would build one giant row for any
+    // corpus-wide boilerplate shingle
+    pairs
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         // sum of 0/1 doubles is order-exact; the divide is one rounded op
