@@ -143,6 +143,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native hash laws: md5_prefix60 ≡ composable form; lsh_code ≡ driver codeOf") {
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '|', ':', 'é', '世')))
+      .map(_.mkString)
+    forAll(strGen, n = 20) { s =>
+      val both = Seq(s).toDF("s").select(
+        graft.functions.Checksums.md5PrefixLong($"s").as("n"),
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("r"))
+        .as[(Long, Long)].head()
+      assert(both._1 == both._2, s"mismatch for ${s.take(40)}")
+    }
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
+    forAll(vecGen, n = 15) { v =>
+      val expr = Seq(v).toDF("v")
+        .select(graft.operators.Similarity.lshCode($"v", 8, 16).as("c"))
+        .as[Long].head()
+      assert(expr == graft.functions.LshCode.codeOf(v, 8, 16))
+    }
+  }
+
   test("row checksum equality ⇔ record equality over data columns") {
     forAll2(rowGen, rowGen, n = 12) { (a, b) =>
       val ck = graft.functions.Checksums.portableRowChecksum(Seq("id", "name", "score"))
