@@ -100,6 +100,17 @@ class ExpressionSpec extends SparkSpec {
       .select(graft.functions.Checksums.md5PrefixLong($"s")).collect().head.isNullAt(0))
   }
 
+  test("lsh_code degenerate inputs: short vectors project over available dims; null vec is null") {
+    // shorter than dim: same as the SQL-oracle loop over len(vec) — the
+    // projection uses plane components 0..len-1
+    val short = Seq(Seq(1.0f, -2.0f)).toDF("v")
+      .select(Similarity.lshCode($"v", 8, 64).as("c")).as[Long].head()
+    assert(short == graft.functions.LshCode.codeOf(Seq(1.0f, -2.0f), 8, 2))
+    val nul = Seq(Option.empty[Seq[Float]]).toDF("v")
+      .select(Similarity.lshCode($"v", 8, 64)).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("hammingBall enumerates exactly the codes within the radius") {
     val ball = graft.functions.LshCode.hammingBall(0xA5L, 8, 2)
     assert(ball.size == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)

@@ -94,6 +94,35 @@ class RecordSourceSpec extends SparkSpec {
     assert(asc.collect().map(_.getString(2)).toSeq == Seq("beta"))
   }
 
+  test("pushed comparisons match Spark semantics at the edges") {
+    // supplementary characters: UTF8String byte order, not UTF-16 code units
+    val dir = Files.createTempDirectory("graft_dsv2_edge").toFile
+    val f = new java.io.File(dir, "edge.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id":"e1","createdTime":"1969-12-31T23:59:59.9Z","fields":{"Name":"😀","Score":-0.0}}
+        |{"id":"e2","createdTime":"1970-01-01T00:00:00.2Z","fields":{"Name":"�","Score":1.5}}""".stripMargin)
+    def readEdge() = spark.read.format("graft-records")
+      .option("path", f.getAbsolutePath)
+      .option("fieldTypes", "Name:singleLineText,Score:number").load()
+    // U+1F600 sorts ABOVE U+FFFD in code-point order (UTF-16 compareTo
+    // would say the opposite and silently drop e1 at the scan)
+    assert(readEdge().filter($"Name" > "￼").count() == 2)
+    assert(readEdge().filter($"Name" > "�").collect()
+      .map(_.getString(0)).toSeq == Seq("e1"))
+    // -0.0 == 0.0 per Spark comparison semantics
+    assert(readEdge().filter($"Score" === 0.0).collect()
+      .map(_.getString(0)).toSeq == Seq("e1"))
+    assert(readEdge().filter($"Score" >= 0.0).count() == 2)
+    // pre-epoch timestamp with fractional seconds: floored micros
+    val cut = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.95")
+    assert(readEdge().filter($"_created_time" <= cut).collect()
+      .map(_.getString(0)).toSeq == Seq("e1"))
+    // array-typed sort keys must NOT be pushed (JSON-text order != Spark's)
+    val arr = read().orderBy($"Tags").limit(2)
+    val plan = arr.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedTopN"), plan)
+  }
+
   test("plain limit pushdown caps per-partition output") {
     val df = read().limit(2)
     val plan = df.queryExecution.executedPlan.toString
