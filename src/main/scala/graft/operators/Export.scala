@@ -30,4 +30,17 @@ object Export {
   /** The ordered projection alone (testable without IO). */
   def project(df: DataFrame, priority: Seq[String]): DataFrame =
     df.select(orderedColumns(df.columns.toSeq, priority).map(col): _*)
+
+  /** Sharded JSONL export — the standard training-corpus handoff format:
+    * one JSON object per line, files capped at `maxRecordsPerFile` so
+    * shard size stays loader-friendly regardless of partition count.
+    * to_json drops null fields, which matches the sparse-record shape the
+    * engine ingests (absent ≡ null). Columns export in the same
+    * priority-then-sorted order as the CSV path. */
+  def writeJsonl(df: DataFrame, priority: Seq[String], path: String,
+      maxRecordsPerFile: Long = 100000): Unit =
+    project(df, priority)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .json(path)
 }

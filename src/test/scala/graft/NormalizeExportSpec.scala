@@ -104,6 +104,22 @@ class NormalizeExportSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("jsonl export shards by record cap, drops nulls, round-trips") {
+    val df = (1 to 10).map(i => (i.toLong, s"doc $i",
+      if (i % 2 == 0) Some(i * 1.5) else None)).toDF("doc_id", "text", "score")
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_jsonl").toFile, "out").getAbsolutePath
+    Export.writeJsonl(df, Seq("doc_id"), dir, maxRecordsPerFile = 3)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.forall(f =>
+      java.nio.file.Files.readAllLines(f.toPath).size() <= 3)) // shard cap holds
+    val back = spark.read.json(dir)
+    assert(back.count() == 10)
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "score", "text"))
+    // odd rows exported without a score key (null dropped), read back null
+    assert(back.filter(col("score").isNull).count() == 5)
+  }
+
   test("record-shaped ingestion flattens sparse fields under a typed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rec").toFile
     val f = new java.io.File(dir, "recs.json")
