@@ -407,7 +407,8 @@ object SparkEntry {
       val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${st.getLen}_${st.getModificationTime}").getAbsolutePath
+          s"_${st.getLen}_${st.getModificationTime}_" +
+          Similarity.indexSignature(bits = 8, dim = 64)).getAbsolutePath
       val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
       if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
         Similarity.writeIndex(rd(s, dir, "embeddings"), "embedding", idxPath, bits = 8)

@@ -33,6 +33,9 @@ case class LshCode(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+  // dim = 0 would make every projection the empty sum (>= 0), collapsing
+  // all vectors into one all-bits-set bucket with no error
+  require(dim >= 1, s"dim must be >= 1, got $dim")
 
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType

@@ -147,8 +147,10 @@ object DedupApprox {
   /** Per-doc sketch frame: minhash signature AND distinct shingle hash
     * set from ONE explode + ONE aggregation. ~100 bytes per doc — cheap
     * to persist so its three consumers (banding, and both sides of the
-    * verification join) don't re-run the shingling/hashing pipeline. */
-  private def docSketches(docs: DataFrame, idCol: String, textCol: String,
+    * verification join) don't re-run the shingling/hashing pipeline.
+    * Public so long-lived callers (e.g. a streaming gate's corpus side)
+    * can compute, persist, and RELEASE it on their own lifecycle. */
+  def docSketches(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, md5Family: Boolean): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val exploded = docs.repartition(np, col(idCol)).select(col(idCol).as("id"),
@@ -208,29 +210,42 @@ object DedupApprox {
     * once (they are append-only as the corpus grows) instead of
     * recomputing them per batch as this self-contained form does. */
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String, k: Int = 3, bands: Int = 4,
-      rows: Int = 4, threshold: Double = 0.7,
+      idCol: String, textCol: String, k: Int = 3, bands: Int = 8,
+      rows: Int = 2, threshold: Double = 0.7,
       md5Family: Boolean = false): DataFrame = {
     // one sketch pass per side (signature AND shingle set together),
     // persisted so the band derivation and the verification join both
-    // read it instead of re-running the explode/hash pipeline
+    // read it instead of re-running the explode/hash pipeline. The
+    // frames stay cached for the session (a lazy result gives no release
+    // point) — callers on a lifecycle (streaming gates, repeated probes)
+    // should build sketches with [[docSketches]], persist on their own
+    // terms, and use [[nearDupsFromSketches]]; see
+    // [[graft.streaming.StreamingSync.nearDupGate]].
     val cs = docSketches(corpus, idCol, textCol, k, bands * rows, md5Family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns = docSketches(incoming, idCol, textCol, k, bands * rows, md5Family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupsFromSketches(cs, ns, bands, rows, threshold)
+  }
+
+  /** The band-join + verify core over prebuilt sketch frames (each needs
+    * `id`, `_sig`, `_hs` as produced by [[docSketches]] with
+    * numHashes = bands*rows). Persistence is the caller's. */
+  def nearDupsFromSketches(corpusSk: DataFrame, incomingSk: DataFrame,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
     def bandsOf(sk: DataFrame, as: String) = sk
       .select(col("id").as(as), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cands = bandsOf(ns, "new_id")
-      .join(bandsOf(cs, "corpus_id"), Seq("band", "band_key"))
+    val cands = bandsOf(incomingSk, "new_id")
+      .join(bandsOf(corpusSk, "corpus_id"), Seq("band", "band_key"))
       .select(col("new_id"), col("corpus_id")).distinct()
     val inter = size(array_intersect(col("_hn"), col("_hc"))).cast("double")
     val union = size(array_union(col("_hn"), col("_hc"))).cast("double")
     cands
-      .join(ns.select(col("id").as("new_id"), col("_hs").as("_hn")), Seq("new_id"))
-      .join(cs.select(col("id").as("corpus_id"), col("_hs").as("_hc")), Seq("corpus_id"))
+      .join(incomingSk.select(col("id").as("new_id"), col("_hs").as("_hn")), Seq("new_id"))
+      .join(corpusSk.select(col("id").as("corpus_id"), col("_hs").as("_hc")), Seq("corpus_id"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"),

@@ -71,10 +71,17 @@ object Similarity {
       dim: Int = 64): DataFrame =
     embeddings.withColumn("lsh_code", lshCode(col(vecCol), bits, dim))
 
+  /** Signature identifying an index's code scheme: any change to bits,
+    * dim, or the plane-hash formula must change this string, so cached
+    * index paths keyed on it can never serve incompatible codes. */
+  def indexSignature(bits: Int, dim: Int): String =
+    s"b${bits}_d${dim}_md5planes1"
+
   /** Persist the ANN index partitioned by `lsh_code`: codes are computed
     * ONCE, and every probe afterwards is a partition-pruned read of the
     * Hamming-ball directories (<= sum C(bits,h) of 2^bits partitions) —
-    * O(N / 2^bits) per probed bucket instead of a full corpus scan. */
+    * O(N / 2^bits) per probed bucket instead of a full corpus scan.
+    * Key reusable paths by [[indexSignature]] + a source fingerprint. */
   def writeIndex(embeddings: DataFrame, vecCol: String, path: String,
       bits: Int = 8, dim: Int = 64): Unit =
     buildIndex(embeddings, vecCol, bits, dim)

@@ -118,10 +118,13 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.select(countDistinct(col(idCol)).as("nd"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    // doc count as a plan-time literal: the scan prunes to the id column
+    // and (nd+1) constant-folds; a crossJoin(broadcast(...)) carried the
+    // same scan as an extra plan branch on every downstream use
+    val nd = docs.select(countDistinct(col(idCol)).as("nd")).head().getLong(0)
+    val scored = tf.join(dfreq, "term")
       .withColumn("score",
-        (col("tf").cast("double") * (col("nd") + 1).cast("double")) /
+        (col("tf").cast("double") * lit((nd + 1).toDouble)) /
           (col("df") + 1).cast("double"))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w))

@@ -41,8 +41,12 @@ object ViewCatalog {
     require(df.columns.contains("name") && df.columns.contains("visibleFieldOrder"),
       s"view sidecar $path needs 'name' and 'visibleFieldOrder' per view")
     val hasHidden = df.columns.contains("hiddenFields")
-    val views = df.collect().map { r =>
+    val views = df.collect().zipWithIndex.map { case (r, i) =>
       val name = r.getAs[String]("name")
+      require(name != null && name.nonEmpty,
+        s"view sidecar $path: entry $i has a null/empty 'name'")
+      require(!r.isNullAt(r.fieldIndex("visibleFieldOrder")),
+        s"view sidecar $path: view '$name' has no 'visibleFieldOrder'")
       val vis = r.getAs[scala.collection.Seq[String]]("visibleFieldOrder").toSeq
       val hidden =
         if (hasHidden && !r.isNullAt(r.fieldIndex("hiddenFields")))
