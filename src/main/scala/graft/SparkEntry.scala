@@ -506,6 +506,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- explicit grouping sets + grouping_id ----------------------
+    "q51_grouping_sets" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+
+    // ----- unpivot (inverse of q45's pivot) --------------------------
+    "q52_unpivot" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nationkey")),
+          "measure", "value")
+        .orderBy("c_custkey", "measure")
+    }),
+
     // ----- incremental ingest near-dup gate (new vs corpus only) -----
     "q50_incremental_neardup" -> ((s, dir) => {
       val base = docsBase(s, dir)
@@ -1096,6 +1119,23 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q51_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q52_unpivot" ->
+      """SELECT c_custkey, measure, value FROM (
+        |  SELECT c_custkey, c_acctbal AS acctbal,
+        |    CAST(c_nationkey AS DOUBLE) AS nationkey
+        |  FROM customer)
+        |UNPIVOT (value FOR measure IN (acctbal, nationkey))
+        |ORDER BY c_custkey, measure""".stripMargin,
 
     "q50_incremental_neardup" ->
       """WITH tagged AS (
