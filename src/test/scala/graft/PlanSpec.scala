@@ -65,6 +65,43 @@ class PlanSpec extends SparkSpec {
     assert(agg.queryExecution.sparkPlan.toString.contains("HashAggregate"))
   }
 
+  test("lsh_code runs as one fused expression, not an unrolled tree") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(Similarity.lshCode(col("embedding"), 8, 64).as("c"))
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1) Project") && executed.contains("lsh_code"), executed)
+    // regression guard for the round-2 blowup: the projection prints as ONE
+    // compact expression — the unrolled form was ~1,500 nodes of
+    // element_at/multiply/add that overflowed the plan string
+    assert(executed.length < 5000, s"plan suspiciously large (${executed.length} chars)")
+  }
+
+  test("shingle novelty is single-lineage: one explode, no pair expansion") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.shingleNovelty(docs, "doc_id", "text", 3))
+    // exactly one Generate (the shingle explode) — a join-back shape would
+    // plan the explode subtree once per consumer
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1, s"expected 1 explode, got $generates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental gate: band equi-join, no cartesian, no new-side self-join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val incoming = docs.limit(50)
+    val p = plan(DedupApprox.incrementalNearDups(docs, incoming,
+      "doc_id", "text", bands = 8, rows = 2, threshold = 0.5, md5Family = true))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // candidates come from an equi-join on (band, band_key)
+    assert(p.contains("band_key"), p)
+  }
+
+  test("tf-idf folds the doc count to a literal (no crossJoin branch)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("strategy diff classify plans a single pk join, no N+1 artifacts") {
     val c = PipelineConfig(SourceConfig(dir, "customer"), StoreConfig("/na", "c"),
       UpdateType.UpsertChecksum, "c_custkey", 1L)
