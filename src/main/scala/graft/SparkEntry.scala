@@ -506,6 +506,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- n-gram repetition ratio (quality-filter rule) -------------
+    "q53_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionRatio(docsBase(s, dir), "doc_id", "text", n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ----- explicit grouping sets + grouping_id ----------------------
     "q51_grouping_sets" -> ((s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("orders_gs")
@@ -1119,6 +1126,21 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q53_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+        |  END AS sh FROM toks),
+        |grams AS (SELECT doc_id, g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        |  floor(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS top_frac
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q51_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,

@@ -164,6 +164,25 @@ object TextAnalysis {
           count(lit(1)).cast("double") * 1000000 + 0.5) / 1000000).as("dup_frac"))
   }
 
+  /** N-gram repetition ratio — the published quality-filter rule family
+    * (fraction of a doc's n-grams accounted for by its single most
+    * frequent n-gram; high values mark looping/boilerplate text). One
+    * explode + two partial-aggregated groupBys on uniform keys; the ratio
+    * is an integer-valued double division, so any SQL engine reproduces
+    * it bit-for-bit. */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingleStrings(col(textCol), n)).as("_g"))
+      .groupBy(col("id"), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_ngrams"),
+        (floor(max(col("_c")).cast("double") / sum(col("_c")).cast("double")
+          * 1000000 + 0.5) / 1000000).as("top_frac"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

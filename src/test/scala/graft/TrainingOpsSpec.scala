@@ -203,6 +203,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(nv(0).getLong(1) == 3) // 5 tokens, k=3 -> 3 shingles
   }
 
+  test("repetition ratio: looping text scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // "spam ham" dominates
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionRatio(docs, "doc_id", "text", n = 2)
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 7) // 8 tokens -> 7 bigrams
+    assert(r(0).getDouble(2) == math.floor(4.0 / 7.0 * 1000000 + 0.5) / 1000000)
+    assert(r(1).getDouble(2) == math.floor(1.0 / 7.0 * 1000000 + 0.5) / 1000000)
+  }
+
   test("incremental near-dup gate reports new-vs-corpus matches only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
