@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Diff two Bench JSON lines (e.g. BENCH_LOCAL_r03.json vs BENCH_r03.json):
+per-query deltas sorted by regression size, plus totals. Exit 1 if any
+query regressed more than --threshold (default 1.5x and >0.3s absolute).
+
+Usage: python3 scripts/compare_bench.py OLD.json NEW.json [--threshold 1.5]
+"""
+import json
+import sys
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(
+                sys.argv[sys.argv.index(a) + 1])
+    def load(p):
+        d = json.load(open(p))
+        if "queries" not in d:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
+            d = d.get("parsed") or {}
+        if "queries" not in d:
+            sys.exit(f"{p}: no parsed bench line (driver 'parsed' is null?)")
+        return d
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            rows.append((float("inf"), name, a, b, "added" if a is None else "removed"))
+        else:
+            ratio = b / a if a > 0 else float("inf")
+            flag = "REGRESSED" if (ratio > thr and b - a > 0.3) else ""
+            rows.append((ratio, name, a, b, flag))
+    rows.sort(reverse=True)
+    bad = 0
+    for ratio, name, a, b, flag in rows:
+        fa = "-" if a is None else f"{a:.2f}s"
+        fb = "-" if b is None else f"{b:.2f}s"
+        fr = "" if ratio == float("inf") else f" ({ratio:.2f}x)"
+        print(f"{name:32s} {fa:>8s} -> {fb:>8s}{fr} {flag}")
+        bad += flag == "REGRESSED"
+    print(f"\ntotal {old['value']:.2f}s -> {new['value']:.2f}s "
+          f"({len(oq)} -> {len(nq)} queries); {bad} regression(s) over {thr}x")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # harmless under `| head`
+        sys.exit(0)
