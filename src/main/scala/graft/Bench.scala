@@ -13,7 +13,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: round-2's driver run failed to parse the JSON line
+    // because warning spam (plan-truncation notices over a huge expression
+    // tree) interleaved with stdout in the merged capture
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session (codegen, FS client, scheduler) so the first timed
     // query doesn't absorb one-time startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -37,7 +40,9 @@ object Bench {
     // any failed query poisons the headline total: a missing 15s query
     // must not read as a 15s speedup to a cross-round comparison
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    System.out.flush(); System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
