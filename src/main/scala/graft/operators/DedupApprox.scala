@@ -312,7 +312,9 @@ object DedupApprox {
       .filter(col("p.a.id") < col("p.b.id"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
-      .distinct()
+      // filter BEFORE the cross-bucket dedup: the distinct's shuffle then
+      // carries only pairs inside the Hamming ball, not every bucket pair
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
