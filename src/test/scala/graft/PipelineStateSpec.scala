@@ -146,6 +146,18 @@ class PipelineStateSpec extends SparkSpec {
     assert(pipe2.lastRunMetrics("removed_fields") == Set("score"))
   }
 
+  test("pipeline run on an empty source: zero metrics, state intact") {
+    val path = tmpPath("empty_src")
+    val cfg = cfgFor(path, UpdateType.UpsertChecksum)
+    val pipe = new SyncPipeline(spark, cfg)
+    pipe.run(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score"))
+    val pipe2 = new SyncPipeline(spark, cfg.copy(versionId = 2L))
+    val st = pipe2.run(Seq.empty[(String, Double)].toDF("id", "score"))
+    assert(st.count() == 2) // upsert without delete: state survives
+    assert(pipe2.lastRunMetrics("skipped_rows") == 0L)
+    assert(pipe2.lastRunMetrics("input_rows") == 0L)
+  }
+
   test("bucketed state: incremental run rewrites only touched buckets") {
     import graft.state.BucketedStateStore
     val path = tmpPath("buckets")
