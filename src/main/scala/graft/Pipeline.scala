@@ -22,6 +22,8 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
 
   val store = new StateStore(spark, cfg.store.statePath)
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SyncPipeline])
+
   /** Metrics of the most recent [[run]]: `skipped_rows` / `input_rows`
     * (the reference's per-skip counter, lib/DataProcessor.py:94-95) and
     * `added_fields` / `removed_fields` (schema drift vs the prior state,
@@ -61,8 +63,6 @@ final class SyncPipeline(spark: SparkSession, cfg: PipelineConfig,
       else Strategies.alignState(state, src)
     Strategies.purgeOtherUpdateTypes(aligned, cfg)
   }
-
-  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SyncPipeline])
 
   /** Run one sync: returns the new state (already persisted). Skip and
     * schema-drift counters land in [[lastRunMetrics]]. */

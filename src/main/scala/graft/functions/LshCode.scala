@@ -96,12 +96,9 @@ object LshCode {
     * runs AND engines, so a SQL oracle can rebuild the identical planes:
     * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) / 1152921504606846975.0 * 2 - 1`.
     */
-  def planeComponent(plane: Int, dim: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$dim".getBytes("UTF-8"))
-    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16).toDouble / 0xFFFFFFFFFFFFFFFL.toDouble * 2 - 1
-  }
+  def planeComponent(plane: Int, dim: Int): Double =
+    Md5Hash.prefix60(org.apache.spark.unsafe.types.UTF8String
+      .fromString(s"$plane:$dim")).toDouble / 0xFFFFFFFFFFFFFFFL.toDouble * 2 - 1
 
   def planeMatrix(bits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(bits, dim)(planeComponent)
