@@ -506,6 +506,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- as-of join (composed: union + running last, one shuffle) --
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts") // unique per (key, ts): as-of contract
+        .agg(max(col("value").cast("decimal(18,4)")).cast("double").as("click_value"))
+      graft.operators.AsofJoin.backward(
+        purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_epoch"),
+          r(col("value"), 4).as("purchase_value"),
+          unix_timestamp(col("asof_ts")).as("click_epoch"),
+          r(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ----- n-gram repetition ratio (quality-filter rule) -------------
     "q53_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionRatio(docsBase(s, dir), "doc_id", "text", n = 2)
@@ -1126,6 +1144,20 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q54_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_epoch,
+        |  floor(p.value * 10000 + 0.5) / 10000 AS purchase_value,
+        |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
+        |  floor(c.click_value * 10000 + 0.5) / 10000 AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q53_repetition" ->
       """WITH toks AS (SELECT doc_id,

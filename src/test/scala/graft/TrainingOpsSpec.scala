@@ -203,6 +203,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(nv(0).getLong(1) == 3) // 5 tokens, k=3 -> 3 shingles
   }
 
+  test("as-of join: latest right at-or-before, equal-ts matches, left-outer nulls") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq( // right: (key, ts, px)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 105.0),
+      (2L, ts("2024-01-01 10:02:00"), 200.0)).toDF("k", "ts", "px")
+    val trades = Seq( // left: (key, ts, qty)
+      (1L, ts("2024-01-01 10:03:00"), 5.0), // -> 100.0 (10:00 quote)
+      (1L, ts("2024-01-01 10:05:00"), 6.0), // -> 105.0 (equal ts matches)
+      (2L, ts("2024-01-01 10:01:00"), 7.0), // -> null (no quote yet)
+      (3L, ts("2024-01-01 10:00:00"), 8.0)  // -> null (no key 3 quotes)
+    ).toDF("k", "ts", "qty")
+    val out = graft.operators.AsofJoin.backward(
+      trades, quotes, "k", "ts", "ts", Seq("px"))
+      .select("k", "qty", "px").as[(Long, Double, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 5.0, Some(100.0)), (1L, 6.0, Some(105.0)),
+      (2L, 7.0, None), (3L, 8.0, None)))
+  }
+
   test("repetition ratio: looping text scores high, varied text low") {
     val docs = Seq(
       (1L, "spam ham spam ham spam ham spam ham"), // "spam ham" dominates
