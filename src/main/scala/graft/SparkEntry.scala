@@ -524,6 +524,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ----- range join (binned interval join, no nested loop) ---------
+    "q55_range_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+      graft.operators.RangeJoin.byKeyAndWindow(
+        p, c, "user_id", "ts", "cts", beforeSec = 1800, afterSec = 0)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("cv").cast("decimal(18,4)")).cast("double").as("click_value_sum"))
+        .orderBy("event_id")
+    }),
+
     // ----- n-gram repetition ratio (quality-filter rule) -------------
     "q53_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionRatio(docsBase(s, dir), "doc_id", "text", n = 2)
@@ -1144,6 +1159,17 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q55_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, value AS cv FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.cv AS DECIMAL(18,4))) AS DOUBLE) AS click_value_sum
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.cts >= p.ts - INTERVAL 1800 SECOND AND c.cts <= p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "q54_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events

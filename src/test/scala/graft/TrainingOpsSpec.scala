@@ -224,6 +224,26 @@ class TrainingOpsSpec extends SparkSpec {
       (2L, 7.0, None), (3L, 8.0, None)))
   }
 
+  test("range join: exact in-window pairs via equi-join, no nested loop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")),
+      (11L, 1L, ts("2024-01-01 11:00:00")),
+      (12L, 2L, ts("2024-01-01 10:30:00"))).toDF("lid", "k", "ts")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0), // in window of 10 (30 min before)
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // equal ts: in window of 10; 30min before 11
+      (1L, ts("2024-01-01 09:59:59"), 3.0), // just outside 10's window
+      (2L, ts("2024-01-01 10:29:00"), 4.0)  // in window of 12
+    ).toDF("k", "rts", "rv")
+    val out = graft.operators.RangeJoin.byKeyAndWindow(
+      l, r, "k", "ts", "rts", beforeSec = 1800, afterSec = 0)
+    assert(out.select("lid", "rv").as[(Long, Double)].collect().toSet ==
+      Set((10L, 1.0), (10L, 2.0), (11L, 2.0), (12L, 4.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("repetition ratio: looping text scores high, varied text low") {
     val docs = Seq(
       (1L, "spam ham spam ham spam ham spam ham"), // "spam ham" dominates
