@@ -70,7 +70,19 @@ object PlanDump {
         "Cell assignment is k native cosine expressions in one codegen'd " +
           "project (no shuffle); the probe filters to nProbe cells before the " +
           "exact top-k, so each query scans N*nProbe/k rows.",
-        SparkEntry.queries("q49_ivf_topk")(spark, sfDir)))
+        SparkEntry.queries("q49_ivf_topk")(spark, sfDir)),
+      ("q54_asof_join — composed as-of join",
+        "No native as-of in Spark; a range theta-join would nested-loop. " +
+          "The composition unions both sides and carries right values with a " +
+          "running last(ignoreNulls) window: ONE hash exchange on the key, " +
+          "linear in |left|+|right|.",
+        SparkEntry.queries("q54_asof_join")(spark, sfDir)),
+      ("q55_range_join — binned interval join",
+        "Bin width = window span puts each right row in one bin and each " +
+          "left window across at most two, so the interval join plans as a " +
+          "plain SortMergeJoin/BroadcastHashJoin on (key, bin) + exact " +
+          "filter — no BroadcastNestedLoopJoin anywhere.",
+        SparkEntry.queries("q55_range_join")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
