@@ -23,17 +23,22 @@ object RangeJoin {
       afterSec: Long): DataFrame = {
     val span = beforeSec + afterSec
     require(span > 0, "window span must be positive")
-    // epoch seconds; floorDiv semantics via FLOOR on double division would
-    // drift on negatives — use integer floor division in the engine
-    def binOf(ts: org.apache.spark.sql.Column) =
-      floor(unix_timestamp(ts).cast("double") / span).cast("long")
-    val lBinLo = floor((unix_timestamp(col(leftTs)) - beforeSec).cast("double") / span).cast("long")
-    val lBinHi = floor((unix_timestamp(col(leftTs)) + afterSec).cast("double") / span).cast("long")
+    val reserved = Seq("_lbin", "_lk", "_rbin", "_rk")
+    require(!reserved.exists(left.columns.contains) &&
+      !reserved.exists(right.columns.contains),
+      s"columns named ${reserved.mkString("/")} are reserved by the range join")
+    // FLOOR over the double quotient IS floor division (correct for
+    // negative epochs too — do NOT "simplify" to integer `div`, which
+    // truncates toward zero and would shift pre-1970 bins by one)
+    def binOfEpoch(epochSec: org.apache.spark.sql.Column) =
+      floor(epochSec.cast("double") / span).cast("long")
     val l = left
-      .withColumn("_lbin", explode(sequence(lBinLo, lBinHi)))
+      .withColumn("_lbin", explode(sequence(
+        binOfEpoch(unix_timestamp(col(leftTs)) - beforeSec),
+        binOfEpoch(unix_timestamp(col(leftTs)) + afterSec))))
       .withColumn("_lk", col(keyCol))
     val r = right
-      .withColumn("_rbin", binOf(col(rightTs)))
+      .withColumn("_rbin", binOfEpoch(unix_timestamp(col(rightTs))))
       .withColumn("_rk", col(keyCol)).drop(keyCol)
     // bins use second-truncated epochs (coverage still holds: truncation
     // moves both sides the same way); the exact filter compares raw

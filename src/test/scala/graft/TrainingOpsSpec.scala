@@ -224,6 +224,36 @@ class TrainingOpsSpec extends SparkSpec {
       (2L, 7.0, None), (3L, 8.0, None)))
   }
 
+  test("as-of join null contracts: atomic payload, null keys/ts never match") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq( // (key, ts, px) with a NULL px on the latest row,
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (Some(1L), Some(ts("2024-01-01 10:05:00")), None), // matched row's null stays null
+      (Some(1L), None, Some(9.0)), // null ts: never matches
+      (None, Some(ts("2024-01-01 09:00:00")), Some(5.0)) // null key: never matches
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:06:00")), 1.0),
+      (None, Some(ts("2024-01-01 10:00:00")), 2.0), // null key left row: output, no match
+      (Some(1L), Option.empty[java.sql.Timestamp], 3.0) // null ts left row: output, no match
+    ).toDF("k", "ts", "qty")
+    val out = graft.operators.AsofJoin.backward(
+      trades, quotes, "k", "ts", "ts", Seq("px"))
+      .select("qty", "asof_ts", "px")
+      .as[(Double, Option[java.sql.Timestamp], Option[Double])].collect().toSet
+    assert(out == Set(
+      // matched the 10:05 quote ATOMICALLY: px is that row's null, not 7.0
+      (1.0, Some(ts("2024-01-01 10:05:00")), None),
+      (2.0, None, None),
+      (3.0, None, None)))
+    // output-name collision fails loudly, not with ambiguous columns
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.backward(
+        trades.withColumnRenamed("qty", "px"), quotes, "k", "ts", "ts", Seq("px"))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
   test("range join: exact in-window pairs via equi-join, no nested loop") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val l = Seq(
