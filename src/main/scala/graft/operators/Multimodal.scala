@@ -66,7 +66,7 @@ object Multimodal {
     df.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0)), lit(stride))))
 
-  /** Resize plan ??? STUB: a real implementation re-encodes the payload
+  /** Resize plan — STUB: a real implementation re-encodes the payload
     * at (w, h) via a codec; the stub deterministically truncates/pads the
     * payload to the implied byte budget so downstream size accounting is
     * exercised for real. Metadata is updated for real — schema contract
@@ -82,7 +82,7 @@ object Multimodal {
         .withField("byte_len", least(col("media.byte_len"), budget.cast("long"))))
   }
 
-  /** Feature-extraction plan ??? STUB: a real implementation runs a
+  /** Feature-extraction plan — STUB: a real implementation runs a
     * vision/audio encoder over the payload per partition (amortized model
     * load — same mapPartitions shape as [[withDecodedMeta]]); the stub
     * derives a deterministic d-dim pseudo-embedding from payload hashes
