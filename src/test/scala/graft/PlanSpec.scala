@@ -102,6 +102,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("as-of join: one exchange, no join operator at all") {
+    val ev = graft.sources.Sources.readTable(spark, dir, "events")
+    val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+    // executedPlan: the window's exchange is inserted by EnsureRequirements
+    val p = graft.operators.AsofJoin.backward(l, r, "user_id", "ts", "cts", Seq("cv"))
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(x =>
+      x.contains("Exchange hashpartitioning") && !x.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"as-of composes via window, not a join:\n$p")
+  }
+
+  test("range join plans an equi-join on (key, bin), never a nested loop") {
+    val ev = graft.sources.Sources.readTable(spark, dir, "events")
+    val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+    val p = plan(graft.operators.RangeJoin.byKeyAndWindow(
+      l, r, "user_id", "ts", "cts", 1800, 0))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("strategy diff classify plans a single pk join, no N+1 artifacts") {
     val c = PipelineConfig(SourceConfig(dir, "customer"), StoreConfig("/na", "c"),
       UpdateType.UpsertChecksum, "c_custkey", 1L)
