@@ -400,14 +400,16 @@ object SparkEntry {
       // build-once/probe-many: codes are computed in ONE indexing pass and
       // persisted partitionBy(lsh_code); the probe enumerates its Hamming
       // ball driver-side and reads only those partitions. The index path
-      // embeds the source file's length+mtime so regenerated data at the
-      // same dir can never serve a stale index.
+      // embeds a CONTENT fingerprint of the source (file names, lengths,
+      // and parquet footer bytes — the footer's row-group stats change
+      // with any data change), so regenerating fixtures in place — even
+      // same-length within the same mtime granule — can never serve a
+      // stale index.
       val hconf = s.sparkContext.hadoopConfiguration
       val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${st.getLen}_${st.getModificationTime}_" +
+          s"_${Sources.contentFingerprint(srcPath, hconf)}_" +
           Similarity.indexSignature(bits = 8, dim = 64)).getAbsolutePath
       val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
       if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))

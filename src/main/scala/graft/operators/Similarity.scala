@@ -138,8 +138,11 @@ object Similarity {
   }
 
   /** Driver-side mirror of the native cosine arithmetic (same interleaved
-    * accumulation order), for probe-side cell ranking without a job. */
-  private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    * accumulation order, same full-vector tail norms as
+    * [[graft.functions.CosineSimilarity]]), for probe-side cell ranking
+    * without a job — on unequal lengths both sides must rank cells
+    * identically or the probe reads the wrong cells. */
+  private[graft] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val n = math.min(a.length, b.length)
     var i = 0
@@ -147,6 +150,10 @@ object Similarity {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    var j = n // norms run over each full vector (matches the native expr)
+    while (j < a.length) { val v = a(j).toDouble; na += v * v; j += 1 }
+    j = n
+    while (j < b.length) { val v = b(j).toDouble; nb += v * v; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -158,6 +165,12 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Float]], probe: Seq[Float], k: Int,
       nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
+    centroids.find(_.length != probe.length).foreach { c =>
+      throw new IllegalArgumentException(
+        s"probe has ${probe.length} dims but a centroid has ${c.length} — " +
+          "a dim mismatch would rank cells against different geometry")
+    }
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (cosineLocal(probe, c), i) }
       .sortBy { case (cos, cell) => (-cos, cell) }

@@ -294,14 +294,6 @@ object Strategies {
         current_timestamp().as("write_timestamp"))
   }
 
-  /** Snapshot-size guard: the one-row table pivot is the REFERENCE's
-    * semantic (one snapshot doc — lib/UpdateStrategies.py:434-437) and is
-    * inherently a single-task fold. Beyond this many rows it risks an
-    * executor OOM; change detection over large tables should use
-    * [[graft.functions.Checksums.orderInsensitiveChecksum]] (commutative
-    * partial aggregation, constant-size state) instead of snapshotting. */
-  var maxSnapshotRows: Long = 5000000L
-
   /** Build the snapshot with the size guard applied BEFORE the pivot: the
     * row count is a cheap distributed count, so an over-cap table fails
     * fast instead of OOMing the single fold task the cap exists to
@@ -312,8 +304,8 @@ object Strategies {
     * CacheManager on every changed run). */
   private def guardedSnapshot(src: DataFrame, cfg: PipelineConfig): DataFrame = {
     val n = src.count()
-    require(n <= maxSnapshotRows,
-      s"table has $n rows (snapshot cap $maxSnapshotRows): the one-doc pivot " +
+    require(n <= cfg.maxSnapshotRows,
+      s"table has $n rows (snapshot cap ${cfg.maxSnapshotRows}): the one-doc pivot " +
         "is a single-task fold and will not scale — use " +
         "Checksums.orderInsensitiveChecksum for change detection on large tables")
     val snap = tableSnapshot(src, cfg)

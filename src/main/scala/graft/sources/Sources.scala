@@ -53,8 +53,15 @@ object ViewCatalog {
           r.getAs[scala.collection.Seq[String]]("hiddenFields").toSet
         else Set.empty[String]
       name -> View(name, vis, hidden)
-    }.toMap
-    new ViewCatalog(views)
+    }
+    // a duplicated name would silently last-write-win through toMap,
+    // masking a malformed sidecar — fail with the offending names instead
+    val dups = views.map(_._1).groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }.toSeq.sorted
+    require(dups.isEmpty,
+      s"view sidecar $path: duplicate view name(s) ${dups.mkString(", ")}")
+    new ViewCatalog(views.toMap)
   }
 }
 
@@ -91,6 +98,38 @@ object Sources {
     raw.select(
       (Seq(col("id").as("_record_id"), col("createdTime").cast("timestamp").as("_created_time"))
         ++ typed): _*)
+  }
+
+  /** Content fingerprint of a parquet table (file or directory): md5 over
+    * each data file's name, length, and tail bytes. A parquet footer lives
+    * in the tail and carries per-row-group stats, so any data change moves
+    * the fingerprint even when byte length and mtime stay identical —
+    * unlike len+mtime keys, which go stale on same-second in-place
+    * regeneration. Reads at most [[FingerprintTailBytes]] per file (a
+    * metadata-sized read, not a data scan). */
+  val FingerprintTailBytes: Int = 64 * 1024
+  def contentFingerprint(path: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val fs = path.getFileSystem(conf)
+    val files = fs.listStatus(path) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case sts => sts.filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+    }
+    val all = if (files.isEmpty) Array(fs.getFileStatus(path)) else files
+    val md = java.security.MessageDigest.getInstance("MD5")
+    all.foreach { st =>
+      md.update(st.getPath.getName.getBytes("UTF-8"))
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(st.getLen).array())
+      val tail = math.min(st.getLen, FingerprintTailBytes.toLong).toInt
+      if (tail > 0) {
+        val buf = new Array[Byte](tail)
+        val in = fs.open(st.getPath)
+        try { in.readFully(st.getLen - tail, buf, 0, tail) } finally in.close()
+        md.update(buf)
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** View scan = projection pushdown

@@ -58,33 +58,52 @@ object StreamingSync {
     val corpusSk = DedupApprox
       .docSketches(corpus, idCol, textCol, k, bands * rows, md5Family = false)
       .persist(lvl)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val batchSk = DedupApprox
-          .docSketches(batch, idCol, textCol, k, bands * rows, md5Family = false)
-          .persist(lvl)
-        try onMatches(DedupApprox.nearDupsFromSketches(
-          corpusSk, batchSk, bands, rows, threshold))
-        finally batchSk.unpersist()
-      }
-      .start()
-    // release the corpus sketch when this gate's query ends
-    corpus.sparkSession.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
-            corpusSk.unpersist()
-            corpus.sparkSession.streams.removeListener(this)
-          }
-      })
-    q
+    // Release the corpus sketch when this gate's query ends. The listener
+    // must be attached BEFORE start(): with a fast trigger (AvailableNow on
+    // an empty source) the query can terminate before a post-start
+    // registration sees the event, leaking both the cached sketch and the
+    // listener on the shared StreamingQueryManager. The gate's query is
+    // identified by a unique name: QueryStartedEvent is delivered
+    // synchronously inside start(), so the id is bound before any
+    // termination event can be compared against it.
+    val gateName = "graft-neardup-gate-" + java.util.UUID.randomUUID()
+    val streams = stream.sparkSession.streams
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      private val gateId =
+        new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == gateName) gateId.set(e.id)
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == gateId.get()) {
+          corpusSk.unpersist()
+          streams.removeListener(this)
+        }
+    }
+    streams.addListener(listener)
+    try {
+      stream.writeStream
+        .queryName(gateName)
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val batchSk = DedupApprox
+            .docSketches(batch, idCol, textCol, k, bands * rows, md5Family = false)
+            .persist(lvl)
+          try onMatches(DedupApprox.nearDupsFromSketches(
+            corpusSk, batchSk, bands, rows, threshold))
+          finally batchSk.unpersist()
+        }
+        .start()
+    } catch {
+      case t: Throwable =>
+        streams.removeListener(listener)
+        corpusSk.unpersist()
+        throw t
+    }
   }
 
   /** Watermarked tumbling-window aggregate over an event stream —

@@ -73,10 +73,15 @@ final case class PipelineConfig(
     store: StoreConfig,
     updateType: UpdateType,
     primaryKey: String,
-    versionId: Long) {
+    versionId: Long,
+    /** Row cap for the one-doc table-snapshot pivot (a single-task fold by
+      * the reference's semantics); per-pipeline rather than a JVM-global so
+      * concurrent pipelines can't race on a shared mutable cap. */
+    maxSnapshotRows: Long = 5000000L) {
   def validate(): Unit = {
     source.validate(); store.validate()
     require(primaryKey.nonEmpty, "primary key required")
+    require(maxSnapshotRows > 0, "maxSnapshotRows must be positive")
   }
 }
 

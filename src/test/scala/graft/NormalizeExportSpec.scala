@@ -89,6 +89,27 @@ class NormalizeExportSpec extends SparkSpec {
     assert(cat(df, "v1").columns.toSeq == Seq("name", "id")) // order kept, hidden dropped
     assert(cat(df, "v2").columns.toSeq == Seq("id"))
     intercept[IllegalArgumentException](cat.get("nope"))
+    // duplicate names must fail the load (last-write-wins would silently
+    // mask a malformed sidecar), and the error names the duplicate
+    val dup = java.nio.file.Files.createTempFile("graft_views_dup", ".json")
+    java.nio.file.Files.writeString(dup,
+      """[{"name": "v1", "visibleFieldOrder": ["a"]},
+        | {"name": "v1", "visibleFieldOrder": ["b"]}]""".stripMargin)
+    val err = intercept[IllegalArgumentException](
+      ViewCatalog.fromSidecar(spark, dup.toString))
+    assert(err.getMessage.contains("duplicate") && err.getMessage.contains("v1"))
+  }
+
+  test("content fingerprint is stable on unchanged data, moves on rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toFile
+    val p = new java.io.File(dir, "t.parquet").getAbsolutePath
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f1 = Sources.contentFingerprint(hp, conf)
+    assert(f1 == Sources.contentFingerprint(hp, conf)) // deterministic
+    spark.range(10).select(($"id" + 1).as("id")).write.mode("overwrite").parquet(p)
+    assert(f1 != Sources.contentFingerprint(hp, conf)) // content change moves it
   }
 
   test("export orders priority columns first, rest sorted; union fills nulls") {

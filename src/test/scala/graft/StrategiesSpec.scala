@@ -173,22 +173,18 @@ class StrategiesSpec extends SparkSpec {
       s"snapshot should be collected to a local relation, got $leaves")
     assert(st.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     // size guard: beyond the cap, fail loudly (BEFORE the fold) and point
-    // at the scale path
-    val prevCap = Strategies.maxSnapshotRows
-    try {
-      Strategies.maxSnapshotRows = 2
-      val err = intercept[IllegalArgumentException] {
-        Strategies.upsertTableChecksum(s0, empty, c)
-      }
-      assert(err.getMessage.contains("orderInsensitiveChecksum"))
-      Strategies.maxSnapshotRows = prevCap
-      val vc = cfg(UpdateType.VersionedTableChecksum, 1)
-      Strategies.maxSnapshotRows = 2
-      val err2 = intercept[IllegalArgumentException] {
-        Strategies.versionedTableChecksum(s0, empty, vc)
-      }
-      assert(err2.getMessage.contains("orderInsensitiveChecksum"))
-    } finally Strategies.maxSnapshotRows = prevCap
+    // at the scale path; the cap is per-pipeline config, not JVM-global
+    val err = intercept[IllegalArgumentException] {
+      Strategies.upsertTableChecksum(s0, empty, c.copy(maxSnapshotRows = 2))
+    }
+    assert(err.getMessage.contains("orderInsensitiveChecksum"))
+    val vc = cfg(UpdateType.VersionedTableChecksum, 1)
+    val err2 = intercept[IllegalArgumentException] {
+      Strategies.versionedTableChecksum(s0, empty, vc.copy(maxSnapshotRows = 2))
+    }
+    assert(err2.getMessage.contains("orderInsensitiveChecksum"))
+    // an un-capped config over the same rows still snapshots fine
+    assert(Strategies.upsertTableChecksum(s0, empty, c).count() == 1)
   }
 
   test("classify labels insert/update/delete/unchanged by pk") {

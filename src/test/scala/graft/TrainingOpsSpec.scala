@@ -324,5 +324,19 @@ class TrainingOpsSpec extends SparkSpec {
     val brute = Similarity.topK(emb, "vec_id", "embedding", probe, 5)
       .select("vec_id").as[Long].collect().toSeq
     assert(all == brute)
+    // dim mismatch must fail loudly, not silently rank against different
+    // geometry (the driver-side cosine would otherwise truncate the probe)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", cents, probe :+ 0.5f,
+        k = 1, nProbe = 1)
+    }
+    assert(err.getMessage.contains("dims"))
+    // driver-side cosine mirrors the native expression's full-tail norms:
+    // a zero-padded probe keeps the same dot but a longer-tail norm on one
+    // side only — both sides must agree it changes nothing (zeros) and that
+    // nonzero tails DO lower the score
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    assert(Similarity.cosineLocal(a, a :+ 0.0f) == Similarity.cosineLocal(a, a))
+    assert(Similarity.cosineLocal(a, a :+ 4.0f) < Similarity.cosineLocal(a, a))
   }
 }
