@@ -87,6 +87,73 @@ object SparkEntry {
       |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
+  /** The MinHash+LSH candidate/verify pipeline through verified `pairs`
+    * (doc pairs with exact n-gram Jaccard `j`) — shared by the pair query
+    * (q25) and the component-clustering query (q56). */
+  private val minhashPairsCtes = nearDupCte +
+    """,
+      |toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM corpus),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      |  END AS sh FROM toks),
+      |sig AS (SELECT doc_id, sh,
+      |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+      |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
+      |  FROM sh),
+      |bands AS (SELECT doc_id, b,
+      |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
+      |  FROM sig, range(0, 8) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
+      |hsh AS (SELECT doc_id,
+      |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
+      |  FROM sh),
+      |pairs AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
+      |  FROM cand
+      |  JOIN hsh sa ON sa.doc_id = cand.id_a
+      |  JOIN hsh sb ON sb.doc_id = cand.id_b)""".stripMargin
+
+  // --- documents with injected PII / URLs (the base corpus is plain
+  // lowercase words, so scrub/extract queries would otherwise be vacuous) --
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docsBase(s, dir)
+      .withColumn("text", when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com for details"))).otherwise(col("text")))
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(col("text")))
+  private val piiCte =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN t2 || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE t2 END AS text
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 4 = 0
+      |               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+      |               ELSE text END AS t2
+      |        FROM documents))""".stripMargin
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame =
+    docsBase(s, dir)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"))).otherwise(col("text")))
+  private val urlCte =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |              || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
   private def probeVec(s: SparkSession, dir: String): Seq[Float] =
     rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0)
@@ -541,6 +608,54 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ----- near-dup clusters: pairs -> connected components ----------
+    "q56_neardup_components" -> ((s, dir) => {
+      val pairs = DedupApprox.minhashNearDups(docsWithNearDups(s, dir),
+        "doc_id", "text", k = 3, bands = 8, rows = 2, threshold = 0.6,
+        md5Family = true)
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- deterministic stratified hash sampling --------------------
+    "q57_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(rd(s, dir, "lineitem"),
+        "l_returnflag", Map("A" -> 0.25, "N" -> 0.05, "R" -> 0.10),
+        defaultRate = 0.0, keyCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ----- PII scrub: count + redact emails/phones -------------------
+    "q58_pii_redact" -> ((s, dir) => {
+      docsWithPii(s, dir).select(col("doc_id"),
+        TextAnalysis.patternCount(col("text"), TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.patternCount(col("text"), TextAnalysis.PhoneRe).as("n_phones"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- URL domain extraction (corpus provenance report) ----------
+    "q59_url_domains" -> ((s, dir) => {
+      docsWithUrls(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.urlDomains(col("text"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_mentions"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    // ----- fixed-width length histogram ------------------------------
+    "q60_length_histogram" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .groupBy(TextAnalysis.histogramBin(col("n_chars"), 100L, 20).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("bin")
+    }),
+
     // ----- n-gram repetition ratio (quality-filter rule) -------------
     "q53_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionRatio(docsBase(s, dir), "doc_id", "text", n = 2)
@@ -956,36 +1071,60 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS group_size
         |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin),
 
-    "q25_minhash_neardup" -> (nearDupCte +
-      """,
-        |toks AS (SELECT doc_id,
-        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM corpus),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
-        |  END AS sh FROM toks),
-        |sig AS (SELECT doc_id, sh,
-        |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
-        |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
-        |  FROM sh),
-        |bands AS (SELECT doc_id, b,
-        |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
-        |  FROM sig, range(0, 8) t(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM bands a JOIN bands bb
-        |    ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
-        |hsh AS (SELECT doc_id,
-        |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
-        |  FROM sh),
-        |pairs AS (SELECT id_a, id_b,
-        |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-        |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
-        |  FROM cand
-        |  JOIN hsh sa ON sa.doc_id = cand.id_a
-        |  JOIN hsh sb ON sb.doc_id = cand.id_b)
+    "q25_minhash_neardup" -> (minhashPairsCtes +
+      """
         |SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
         |FROM pairs WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+
+    // near-dup pairs -> undirected edges -> min-reachable-id per node:
+    // the recursive closure IS the connected-component labeling
+    "q56_neardup_components" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node)
+        |SELECT node AS doc_id, min(label) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    "q57_stratified_sample" ->
+      s"""SELECT l_returnflag, count(*) AS n_sampled,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR),
+         |                                CAST(l_linenumber AS VARCHAR))), 1, 8) <
+         |  CASE l_returnflag
+         |    WHEN 'A' THEN '${graft.operators.Sampling.hexCutoff(0.25)}'
+         |    WHEN 'N' THEN '${graft.operators.Sampling.hexCutoff(0.05)}'
+         |    WHEN 'R' THEN '${graft.operators.Sampling.hexCutoff(0.10)}'
+         |    ELSE '00000000' END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q58_pii_redact" -> (piiCte +
+      s"""
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_fp
+         |FROM pii ORDER BY doc_id""".stripMargin),
+
+    "q59_url_domains" -> (urlCte +
+      s""",
+         |d AS (SELECT doc_id,
+         |        unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlRe}', 1)) AS domain
+         |      FROM u)
+         |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q60_length_histogram" ->
+      """SELECT CAST(least(floor(n_chars / 100.0), 19) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q26_simhash_neardup" -> (nearDupCte +
       """,

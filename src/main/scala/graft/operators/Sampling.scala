@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * Membership is a pure function of the row's key — `md5(key)`'s first
+  * 8 hex chars compared against a rate cutoff — not of an RNG seed or
+  * partition layout. That buys three properties `sample()` cannot give:
+  * reruns (and incremental reruns over grown data) keep exactly the same
+  * rows, the sample is reproducible in ANY engine that has md5, and the
+  * predicate is a plain filter — no shuffle, no state, evaluated at scan
+  * speed behind whatever pushdown the format supports.
+  *
+  * Stratified form: a per-stratum rate map (e.g. downsample the dominant
+  * language, keep all of a rare one) compiled to one CASE cutoff column.
+  */
+object Sampling {
+
+  /** First 8 md5 hex chars of the '#'-joined key — a uniform draw in
+    * [0, 2^32) encoded as zero-padded lowercase hex, so LEXICOGRAPHIC
+    * comparison equals numeric comparison and any SQL engine reproduces
+    * the exact sample membership. */
+  def uniformHex(keys: Seq[Column]): Column =
+    substring(md5(concat_ws("#", keys.map(_.cast("string")): _*)), 1, 8)
+
+  /** Hex cutoff for a sampling rate: `uniformHex < hexCutoff(rate)` keeps
+    * ~rate of rows (exactly round(rate * 2^32) of the hash space). */
+  def hexCutoff(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
+  }
+
+  /** Uniform deterministic sample: keep ~`rate` of rows keyed by
+    * `keyCols` (stable across reruns and engines). */
+  def hashSample(df: DataFrame, keyCols: Seq[String], rate: Double): DataFrame =
+    df.filter(uniformHex(keyCols.map(col)) < lit(hexCutoff(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates with an optional
+    * default for unlisted strata. One filter, no shuffle; the cutoff CASE
+    * folds to a constant per stratum value. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "stratified sample needs key columns")
+    val cutoff = rates.toSeq.sortBy(_._1).foldLeft(lit(hexCutoff(defaultRate))) {
+      case (els, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(hexCutoff(rate))).otherwise(els)
+    }
+    df.filter(uniformHex(keyCols.map(col)) < cutoff)
+  }
+}

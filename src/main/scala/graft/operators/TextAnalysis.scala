@@ -183,6 +183,43 @@ object TextAnalysis {
           * 1000000 + 0.5) / 1000000).as("top_frac"))
   }
 
+  // --- PII scrubbing + URL analysis (corpus-cleaning building blocks) ---
+  // Patterns are RE2-safe (char classes, bounded repeats, no lookaround),
+  // so the same pattern string runs verbatim in Spark (java.util.regex)
+  // and RE2-based engines (DuckDB, Go) — oracle-portable by construction.
+
+  /** Email address pattern (pragmatic form, lowercased text). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Phone pattern, NANP 555-prefixed exchange form (the fictional range;
+    * production pipelines swap in locale-specific patterns). */
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** URL pattern; group 1 captures the host for domain analysis. */
+  val UrlRe = "https?://([a-z0-9.-]+)[a-z0-9./_-]*"
+
+  /** Occurrence count of a pattern — pure expression, no shuffle. */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact emails then phones with typed placeholder tags. All
+    * occurrences are replaced (Spark regexp_replace is global; RE2
+    * engines need their 'g' flag to match). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** All URL hosts mentioned in the text (capture group 1 of [[UrlRe]]) —
+    * explode + groupBy downstream gives per-domain corpus composition,
+    * the standard provenance/contamination report. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(1))
+
+  /** Fixed-width histogram bin with an overflow bucket: values land in
+    * `floor(v / width)` capped at `nBins - 1`. Integer arithmetic only, so
+    * any engine bins identically. */
+  def histogramBin(v: Column, width: Long, nBins: Int): Column =
+    least(floor(v / lit(width.toDouble)), lit((nBins - 1).toDouble)).cast("long")
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Sampling, TextAnalysis}
+
+class ComponentsSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label every node with its cluster minimum") {
+    // chain 1-2-3-4 (transitive closure: 4 never pairs with 1 directly)
+    // plus a separate pair and an implicit singleton via canonicalize
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components fail loudly when maxIter is too small") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Components.connectedComponents(path, "a", "b", maxIter = 2)
+    }
+    assert(err.getMessage.contains("converge"))
+    // and with room to converge the same graph labels fine
+    val ok = Components.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
+  test("canonicalize maps unpaired docs to themselves, paired to cluster min") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Components.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // keep-rule: exactly one survivor per cluster + the singleton
+    assert(Components.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+      .filter(col("doc_id") === col("canonical_id")).count() == 2)
+  }
+
+  test("hash sampling is deterministic, rate-bounded, and engine-portable") {
+    val df = spark.range(2000).select($"id".as("k"))
+    assert(Sampling.hashSample(df, Seq("k"), 1.0).count() == 2000)
+    assert(Sampling.hashSample(df, Seq("k"), 0.0).count() == 0)
+    val a = Sampling.hashSample(df, Seq("k"), 0.3).as[Long].collect().toSet
+    val b = Sampling.hashSample(df, Seq("k"), 0.3).as[Long].collect().toSet
+    assert(a == b) // rerun-stable: membership is a function of the key
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // a smaller rate's sample is a SUBSET of a larger rate's (nested
+    // samples — the property that makes rate changes incremental)
+    val c = Sampling.hashSample(df, Seq("k"), 0.1).as[Long].collect().toSet
+    assert(c.subsetOf(a))
+    assert(Sampling.hexCutoff(0.0) == "00000000" && Sampling.hexCutoff(1.0) == "ffffffff")
+  }
+
+  test("stratified sampling applies per-stratum rates with a default") {
+    val df = spark.range(3000).select($"id".as("k"),
+      when($"id" % 3 === 0, "big").when($"id" % 3 === 1, "small")
+        .otherwise("other").as("stratum"))
+    val s = Sampling.stratifiedHashSample(df, "stratum",
+      Map("big" -> 1.0, "small" -> 0.2), defaultRate = 0.0, keyCols = Seq("k"))
+    val byStratum = s.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum("big") == 1000)
+    assert(byStratum.get("other").isEmpty) // default 0.0 drops unlisted strata
+    assert(math.abs(byStratum("small") / 1000.0 - 0.2) < 0.06)
+  }
+
+  test("PII patterns count and redact emails and phones") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@mail.example.org or call 555-0199 today"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.io c@d.co one phone 555-0000")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.patternCount($"text", TextAnalysis.EmailRe).as("e"),
+      TextAnalysis.patternCount($"text", TextAnalysis.PhoneRe).as("p"),
+      TextAnalysis.redactPii($"text").as("red"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == 1 && got(0)._3 == 1)
+    assert(got(0)._4 == "write to <EMAIL> or call <PHONE> today")
+    assert(got(1)._2 == 0 && got(1)._3 == 0 && got(1)._4 == "no pii here")
+    assert(got(2)._2 == 2 && got(2)._3 == 1)
+  }
+
+  test("URL domain extraction and histogram binning") {
+    val doms = Seq("visit https://a.example.com/x and http://b.org then no-url")
+      .toDF("text").select(TextAnalysis.urlDomains($"text"))
+      .as[Seq[String]].head()
+    assert(doms == Seq("a.example.com", "b.org"))
+    val bins = Seq(0L, 99L, 100L, 1999L, 2000L, 99999L).toDF("v")
+      .select(TextAnalysis.histogramBin($"v", 100L, 20)).as[Long].collect().toSeq
+    assert(bins == Seq(0L, 0L, 1L, 19L, 19L, 19L)) // overflow capped at last bin
+  }
+}
