@@ -25,7 +25,12 @@ object Bench {
     // compilation for that query's plan shapes, and single-run numbers on
     // a shared box swing +-50%; the min is the engine's repeatable cost.
     // A failing query reports the -1 sentinel, never its time-to-crash.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q56_...,q26_... times a subset;
+    // unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

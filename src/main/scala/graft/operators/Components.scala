@@ -37,35 +37,58 @@ object Components {
     * real clusters. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val np = edges.sparkSession.sparkContext.defaultParallelism
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // checkpoint the typed edge frame FIRST — this does two distinct jobs:
+    // (1) the undirected expansion below fans it into four plan branches,
+    // each of which would otherwise re-run the caller's whole upstream
+    // pipeline (e.g. the MinHash candidate/verify chain); (2) it TRUNCATES
+    // the logical plan, so each round's query re-analyzes a one-node
+    // LogicalRDD instead of the upstream pipeline's full tree — with a
+    // large upstream plan, per-round Catalyst analysis otherwise dwarfs
+    // the actual execution of a shallow graph's rounds.
     val e = edges.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-    // both directions once: every node then appears on the x side, so the
-    // per-round aggregation covers the full vertex set
-    val und = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
-      .distinct()
-      .repartition(np, col("y")) // pre-shuffled on the probe key, reused every round
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("x").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var changed = 1L
+    // both directions + a self-loop per node: the self-loop folds each
+    // node's own label into the neighbor-min, so a round is ONE join +
+    // ONE aggregation — no join-back to merge the previous label.
+    // No explicit repartition: AQE sizes the distinct/join/agg shuffles to
+    // the graph's actual volume (coalescing a toy graph's rounds to a
+    // task or two, fanning a 100 TB edge list wide), which a fixed
+    // repartition(n) would defeat in both directions.
+    val bidir = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+    val und = bidir.unionByName(bidir.select(col("x"), col("x").as("y")))
+      .distinct()
+      .persist(lvl)
+    // ONE action per round: the round's frame is materialized by an eager
+    // localCheckpoint (truncating lineage), and the convergence signal
+    // rides the SAME action as an observe() metric — labels are per-node
+    // non-increasing, so the label SUM is strictly monotone until
+    // fixpoint, and an unchanged sum IS convergence. On a cluster, swap
+    // localCheckpoint for a reliable `checkpoint` if executor loss
+    // mid-run must not restart the computation.
+    def propagate(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    // init already performs the first propagation: label = min(self, neighbors)
+    var (labels, prevSum) = propagate(
+      und.groupBy(col("x").as("node")).agg(min(col("y")).as("label")))
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxIter) {
-      val neighMin = und
-        .join(labels.select(col("node").as("y"), col("label").as("nlab")), Seq("y"))
-        .groupBy(col("x").as("node")).agg(min(col("nlab")).as("nmin"))
-      val next = labels.join(neighMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("_chg"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
-      changed = next.agg(sum(col("_chg"))).head().getLong(0)
-      labels = next.select("node", "label")
+    while (!converged && round < maxIter) {
+      val (next, s) = propagate(und
+        .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min(col("label")).as("label")))
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       round += 1
     }
-    und.unpersist()
-    require(changed == 0,
+    und.unpersist() // the only cache entry this call creates
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "pathologically deep graph; use large-star/small-star (O(log n) rounds)")
     labels
