@@ -647,6 +647,37 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- composed corpus-cleaning pipeline (C4-style) --------------
+    // raw crawl stand-in (PII + exact dups injected) -> language gate ->
+    // quality gate (token count, alpha ratio) -> PII redaction -> exact
+    // dedup on the redacted content (min doc_id is canonical). Every
+    // stage is an operator proven alone (q23, q21/q22, q58, q24); this
+    // query proves the COMPOSITION end-to-end against one oracle.
+    "q62_clean_pipeline" -> ((s, dir) => {
+      val base = docsWithPii(s, dir)
+      val raw = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val t = col("text")
+      val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0))
+      raw.filter(TextAnalysis.languageId(t) === "en")
+        .filter(TextAnalysis.tokenCount(t) >= 30 && alphaRatio > lit(0.55))
+        .select(col("doc_id"),
+          md5(TextAnalysis.normText(TextAnalysis.redactPii(t))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "fp", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // ----- deterministic per-group cap (max docs per source) ---------
+    "q61_source_cap" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(rd(s, dir, "documents"),
+        groupCols = Seq("source"), keyCols = Seq("doc_id"), k = 10)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    }),
+
     // ----- fixed-width length histogram ------------------------------
     "q60_length_histogram" -> ((s, dir) => {
       rd(s, dir, "documents")
@@ -1120,6 +1151,51 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q62_clean_pipeline" -> {
+      val scores = langScores.map { case (l, e) => s"    CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+      val redacted =
+        s"regexp_replace(regexp_replace(text, '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+          s"'${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g')"
+      piiCte + s""",
+        |raw AS (SELECT doc_id, text FROM pii
+        |        UNION ALL
+        |        SELECT doc_id + 10000, text FROM pii WHERE doc_id % 5 = 0),
+        |sc AS (SELECT doc_id, text,
+        |$scores
+        |  FROM raw),
+        |b AS (SELECT *, $best AS best FROM sc),
+        |lng AS (SELECT doc_id, text,
+        |    CASE WHEN best = 0 THEN 'und'
+        |            $chain
+        |            END AS lang_pred FROM b),
+        |gated AS (SELECT doc_id, text,
+        |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+        |  FROM lng WHERE lang_pred = 'en'),
+        |qual AS (SELECT doc_id, text,
+        |    CAST(CASE WHEN norm = '' THEN 0
+        |         ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END AS BIGINT) AS n_toks,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+        |  FROM gated),
+        |red AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim($redacted)), '\\s+', ' ', 'g')) AS fp
+        |  FROM qual WHERE n_toks >= 30 AND alpha_ratio > 0.55)
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+        |FROM red GROUP BY fp ORDER BY doc_id""".stripMargin
+    },
+
+    "q61_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
 
     "q60_length_histogram" ->
       """SELECT CAST(least(floor(n_chars / 100.0), 19) AS BIGINT) AS bin,

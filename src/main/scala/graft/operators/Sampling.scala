@@ -37,6 +37,27 @@ object Sampling {
   def hashSample(df: DataFrame, keyCols: Seq[String], rate: Double): DataFrame =
     df.filter(uniformHex(keyCols.map(col)) < lit(hexCutoff(rate)))
 
+  /** Deterministic per-group cap: keep at most `k` rows per group, chosen
+    * in uniform-hash-of-key order (the published "max documents per
+    * domain" corpus rule) — a fixed-size sample per group where
+    * [[stratifiedHashSample]] is fixed-RATE. Hash order makes the kept
+    * set a uniform draw that is stable across reruns and engines, with
+    * the key itself as tiebreak (first-8-hex md5 collisions exist).
+    * Plans as one hash exchange on the group key + WindowGroupLimit, so
+    * the shuffle carries at most k rows per group after the partial
+    * limit, not the full group. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"cap $k must be positive")
+    require(groupCols.nonEmpty && keyCols.nonEmpty, "group and key columns required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy((uniformHex(keyCols.map(col)) +: keyCols.map(col)): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Stratified deterministic sample: per-stratum rates with an optional
     * default for unlisted strata. One filter, no shuffle; the cutoff CASE
     * folds to a constant per stratum value. */

@@ -65,6 +65,24 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(math.abs(byStratum("small") / 1000.0 - 0.2) < 0.06)
   }
 
+  test("per-group cap keeps at most k rows per group, deterministically") {
+    val df = spark.range(500).select($"id".as("k"),
+      ($"id" % 5).cast("string").as("g"))
+    val capped = Sampling.capPerGroup(df, Seq("g"), Seq("k"), k = 7)
+    val sizes = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 7) && sizes.size == 5)
+    // deterministic: same kept set on rerun
+    val a = capped.select("k").as[Long].collect().toSet
+    assert(a == Sampling.capPerGroup(df, Seq("g"), Seq("k"), 7)
+      .select("k").as[Long].collect().toSet)
+    // groups smaller than k survive whole
+    val small = Sampling.capPerGroup(df.filter($"k" < 3), Seq("g"), Seq("k"), 7)
+    assert(small.count() == 3)
+    // plan: the window group limit prunes before the final sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("PII patterns count and redact emails and phones") {
     val df = Seq(
       (1L, "write to alice.smith+x@mail.example.org or call 555-0199 today"),
