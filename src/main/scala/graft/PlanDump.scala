@@ -82,7 +82,19 @@ object PlanDump {
           "left window across at most two, so the interval join plans as a " +
           "plain SortMergeJoin/BroadcastHashJoin on (key, bin) + exact " +
           "filter — no BroadcastNestedLoopJoin anywhere.",
-        SparkEntry.queries("q55_range_join")(spark, sfDir)))
+        SparkEntry.queries("q55_range_join")(spark, sfDir)),
+      ("q57_stratified_sample — deterministic hash sample",
+        "Sample membership is a md5-cutoff FILTER directly over the scan — " +
+          "no shuffle, no RNG state, no sample operator; the per-stratum " +
+          "CASE cutoff is constant-folded per row. The aggregation below it " +
+          "is the only exchange in the plan.",
+        SparkEntry.queries("q57_stratified_sample")(spark, sfDir)),
+      ("q61_source_cap — per-group cap via WindowGroupLimit",
+        "row_number <= k over (group, hash-order) plans with a PARTIAL " +
+          "WindowGroupLimit below the exchange and a final one above it: " +
+          "each map task forwards at most k rows per group, so the shuffle " +
+          "carries O(k * groups), not the corpus.",
+        SparkEntry.queries("q61_source_cap")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
