@@ -647,6 +647,18 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- z-order (Morton) clustering key ---------------------------
+    // the multi-dim layout key: sorting by z makes parquet row-group
+    // min/max stats tight in BOTH dims, so predicates on either prune
+    "q63_zorder" -> ((s, dir) => {
+      val z = graft.operators.ZOrder.zValue(Seq(
+        ((col("o_custkey") % 1000).cast("long"), 0.0, 1000.0),
+        (col("o_totalprice"), 0.0, 600000.0)), bitsPerDim = 8)
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), z.as("z"))
+        .orderBy("z", "o_orderkey")
+    }),
+
     // ----- composed corpus-cleaning pipeline (C4-style) --------------
     // raw crawl stand-in (PII + exact dups injected) -> language gate ->
     // quality gate (token count, alpha ratio) -> PII redaction -> exact
@@ -1151,6 +1163,20 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q63_zorder" -> {
+      def qsql(cexpr: String, mn: Double, mx: Double, bits: Int) = {
+        val lv = (1L << bits) - 1
+        s"least(greatest(CAST(floor((CAST($cexpr AS DOUBLE) - $mn) / ${mx - mn} * $lv.0) AS BIGINT), 0), $lv)"
+      }
+      val inter = (for { b <- 0 until 8; d <- 0 until 2 }
+        yield s"(((q$d >> $b) & 1) << ${b * 2 + d})").mkString(" | ")
+      s"""WITH q AS (SELECT o_orderkey,
+         |  ${qsql("o_custkey % 1000", 0.0, 1000.0, 8)} AS q0,
+         |  ${qsql("o_totalprice", 0.0, 600000.0, 8)} AS q1
+         |FROM orders)
+         |SELECT o_orderkey, $inter AS z FROM q ORDER BY z, o_orderkey""".stripMargin
+    },
 
     "q62_clean_pipeline" -> {
       val scores = langScores.map { case (l, e) => s"    CAST($e AS BIGINT) AS s_$l" }
