@@ -647,6 +647,27 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- cross-corpus contamination (benchmark decontamination) ----
+    "q64_contamination" -> ((s, dir) => {
+      val d = docsBase(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val eval_ = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      TextAnalysis.crossContamination(train, eval_, "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("contaminated_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- sliding token-window chunking -----------------------------
+    "q65_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(rd(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 40, stride = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ----- z-order (Morton) clustering key ---------------------------
     // the multi-dim layout key: sorting by z makes parquet row-group
     // min/max stats tight in BOTH dims, so predicates on either prune
@@ -1163,6 +1184,41 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q64_contamination" -> {
+      val shingle =
+        """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+          |     ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+          |     END""".stripMargin
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 30000, substr(text, strpos(text, ' ') + 1)
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |tw AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w FROM train),
+         |tsh AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |        FROM (SELECT unnest($shingle) AS s FROM tw)),
+         |ew AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w FROM ev),
+         |esh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |        FROM (SELECT doc_id, unnest($shingle) AS s FROM ew))
+         |SELECT esh.doc_id AS doc_id, count(*) AS n_shingles,
+         |  floor(CAST(sum(CASE WHEN tsh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS contaminated_frac
+         |FROM esh LEFT JOIN tsh ON esh.h = tsh.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q65_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n, w,
+        |        unnest([i FOR i IN range(0, greatest(len(w), 1)) IF i % 10 = 0]) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST(st // 10 AS BIGINT) AS chunk_id,
+        |  CAST(least(40, n - st) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(w[st+1:st+40], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q63_zorder" -> {
       def qsql(cexpr: String, mn: Double, mx: Double, bits: Int) = {

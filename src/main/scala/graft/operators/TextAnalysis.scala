@@ -220,6 +220,50 @@ object TextAnalysis {
   def histogramBin(v: Column, width: Long, nBins: Int): Column =
     least(floor(v / lit(width.toDouble)), lit((nBins - 1).toDouble)).cast("long")
 
+  /** Cross-corpus contamination: per EVAL doc, the fraction of its
+    * distinct k-shingles that appear anywhere in the TRAIN corpus — the
+    * benchmark-decontamination measure (an eval doc whose shingles are
+    * largely in-train is leaked). Shingle identities are portable 60-bit
+    * md5 prefixes. Shape: one distinct per side, one equi-join on the
+    * uniform hash key (AQE picks broadcast when the train shingle set is
+    * small, shuffle otherwise), one per-doc aggregation — no pair
+    * expansion, linear in total shingle count. */
+  def crossContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val np = train.sparkSession.sparkContext.defaultParallelism
+    def hashed(df: DataFrame, keep: Seq[String]) = df
+      .select(keep.map(col) :+ explode(shingleStrings(col(textCol), k)).as("_s"): _*)
+      .select(keep.map(col) :+ graft.functions.Checksums.md5PrefixLong(col("_s")).as("h"): _*)
+      .distinct()
+    val trainSh = hashed(train, Seq.empty).withColumn("_hit", lit(1L))
+    hashed(eval.repartition(np, col(idCol)).withColumnRenamed(idCol, "id"), Seq("id"))
+      .join(trainSh, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        (floor(sum(coalesce(col("_hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double") * 1000000 + 0.5) / 1000000)
+          .as("contaminated_frac"))
+  }
+
+  /** Sliding token-window chunking — the pretraining/RAG chunker: each
+    * doc becomes ceil(n/stride) windows of `chunkSize` tokens starting
+    * every `stride` tokens (the final windows are shorter). Pure
+    * expression work per row (split once, slice per window), one
+    * generator — no shuffle; chunk ids are per-doc ordinals. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = split(normText(col(textCol)), " ")
+    docs
+      .select(col(idCol).as("id"), toks.as("_w"), size(toks).as("_n"))
+      .select(col("id"), col("_w"), col("_n"),
+        posexplode(sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(stride))))
+      .select(col("id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("_n") - col("col")).cast("long").as("n_toks"),
+        md5(array_join(slice(col("_w"), col("col") + 1, lit(chunkSize)), " ")).as("chunk_fp"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -99,6 +99,35 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(got(2)._2 == 2 && got(2)._3 == 1)
   }
 
+  test("cross-corpus contamination separates leaked from fresh eval docs") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim leak
+      (11L, "totally fresh words nowhere in train corpus ever"),
+      (12L, "alpha beta gamma delta unrelated tail here now")) // partial
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.crossContamination(train, eval_, "doc_id", "text", k = 3)
+      .select("id", "contaminated_frac").as[(Long, Double)].collect().toMap
+    assert(got(10L) == 1.0)
+    assert(got(11L) == 0.0)
+    assert(got(12L) > 0.0 && got(12L) < 1.0) // only the shared prefix's shingles hit
+  }
+
+  test("token chunking emits stride-spaced windows with short tails") {
+    val df = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")), (2L, "only two"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 10, stride = 5)
+      .select("id", "chunk_id", "n_toks").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // 25 tokens, size 10 / stride 5: starts 0,5,10,15,20 -> 10,10,10,10,5
+    assert(got(1L) == Seq(10L, 10L, 10L, 10L, 5L))
+    assert(got(2L) == Seq(2L)) // shorter than one window: a single short chunk
+    // chunks re-assemble the doc: every token appears in ceil(size/stride) windows
+    val fps = TextAnalysis.chunkTokens(df, "doc_id", "text", 10, 5)
+      .select("chunk_fp").distinct().count()
+    assert(fps == 6) // 5 + 1 distinct windows
+  }
+
   test("URL domain extraction and histogram binning") {
     val doms = Seq("visit https://a.example.com/x and http://b.org then no-url")
       .toDF("text").select(TextAnalysis.urlDomains($"text"))
