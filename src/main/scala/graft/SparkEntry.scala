@@ -647,6 +647,17 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- per-key EMA (order-sensitive sequential fold) -------------
+    // alpha = 0.5 keeps every weight dyadic, so the left fold is
+    // bit-identical across engines; ties at microsecond precision break
+    // on event_id in BOTH engines (the oracle truncates its ns timestamps
+    // to Spark's microsecond precision before ordering)
+    "q66_ema" -> ((s, dir) => {
+      graft.operators.Stats.emaPerKey(rd(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value", alpha = 0.5)
+        .orderBy("user_id")
+    }),
+
     // ----- cross-corpus contamination (benchmark decontamination) ----
     "q64_contamination" -> ((s, dir) => {
       val d = docsBase(s, dir)
@@ -1184,6 +1195,13 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q66_ema" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(CAST(value AS DOUBLE)
+        |                   ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |              (acc, x) -> 0.5*x + 0.5*acc) AS ema
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q64_contamination" -> {
       val shingle =

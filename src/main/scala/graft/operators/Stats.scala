@@ -39,4 +39,31 @@ object Stats {
   def hllSketch(c: Column): Column = hll_sketch_agg(c)
   def hllUnion(c: Column): Column = hll_union_agg(c)
   def hllEstimate(c: Column): Column = hll_sketch_estimate(c)
+
+  /** Per-key exponential moving average over the key's events in
+    * `orderCols` order, seeded with the first value:
+    * `ema_1 = x_1; ema_i = alpha*x_i + (1-alpha)*ema_{i-1}`.
+    *
+    * The recurrence is order-sensitive, so it folds a sorted per-key
+    * array left-to-right — a deterministic sequential reduction that any
+    * engine with a list fold reproduces exactly (with a dyadic alpha
+    * like 0.5, bit-for-bit). The collect_list is bounded by the per-key
+    * event count; for unbounded keys use the streaming form
+    * ([[graft.streaming.StreamingSync.emaPerKey]]), whose state is O(1)
+    * per key. */
+  def emaPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val packed = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(valueCol).cast("double").as("_v"): _*)))
+    df.groupBy(col(keyCol))
+      .agg(packed.as("_a"))
+      .select(col(keyCol),
+        size(col("_a")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("_a"), lit(2), greatest(size(col("_a")) - 1, lit(0))),
+          element_at(col("_a"), 1).getField("_v"),
+          (acc, x) => lit(alpha) * x.getField("_v") + lit(1 - alpha) * acc)
+          .as("ema"))
+  }
 }

@@ -125,6 +125,59 @@ object StreamingSync {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Watermarked stream-stream interval join — the streaming analog of
+    * the batch range join (q55): left events join right events on a key
+    * within [leftTs - beforeSec, leftTs + afterSec]. The time-bound join
+    * condition is what lets Spark expire both sides' state past the
+    * watermark; without it a stream-stream join buffers forever. Column
+    * names must be disjoint across sides (Spark requirement for
+    * stream-stream joins on raw columns). */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      beforeSec: Long, afterSec: Long, watermark: String): DataFrame = {
+    require(leftTs != rightTs && leftKey != rightKey,
+      "stream-stream join needs distinct column names per side")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSec SECONDS") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"))
+  }
+
+  /** Custom-state streaming operator: running per-key exponential moving
+    * average via mapGroupsWithState — the one semantics here that no
+    * built-in windowed aggregate composes (the recurrence
+    * `ema_i = alpha*x_i + (1-alpha)*ema_{i-1}` is order-sensitive and
+    * unbounded, so it needs explicit O(1)-per-key state: the running ema
+    * and count survive across micro-batches in the state store). Events
+    * inside a batch fold in (event-time, value) order; emits one updated
+    * `(key, ema, n_events)` row per key per batch (update output mode).
+    * Batch counterpart: [[graft.operators.Stats.emaPerKey]]. */
+  def emaPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double): Dataset[(Long, Double, Long)] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
+        s"CAST($valueCol AS DOUBLE) AS _v")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+            st: GroupState[(Double, Long)]) =>
+          val xs = it.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var (ema, n) = st.getOption.getOrElse((0.0, 0L))
+          xs.foreach { case (_, _, v) =>
+            ema = if (n == 0) v else alpha * v + (1 - alpha) * ema
+            n += 1
+          }
+          st.update((ema, n))
+          (k, ema, n)
+      }
+  }
+
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
     * when the watermark passes last_event + gap, then emit exactly once

@@ -107,6 +107,62 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00", "view", 1L, 4.0)))
   }
 
+  test("stream-stream interval join matches clicks to purchases in-window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamingSync.streamIntervalJoin(
+      purchases.toDF().toDF("p_user", "p_ts"),
+      clicks.toDF().toDF("c_user", "c_ts", "c_value"),
+      "p_user", "c_user", "p_ts", "c_ts",
+      beforeSec = 1800, afterSec = 0, watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    clicks.addData((7L, ts("2024-01-01 10:00:00"), 1.5)) // in-window for 10:10
+    clicks.addData((7L, ts("2024-01-01 09:00:00"), 9.9)) // too early
+    clicks.addData((8L, ts("2024-01-01 10:05:00"), 2.5)) // wrong user
+    purchases.addData((7L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").select("p_user", "c_value")
+      .as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(got == Set((7L, 1.5)))
+  }
+
+  test("custom-state EMA carries the recurrence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ema = StreamingSync.emaPerKey(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value", 0.5)
+      .toDF("user_id", "ema", "n_events")
+    val q = ema.writeStream.format("memory").queryName("ema_out")
+      .outputMode("update").start()
+    // batch 1, key 7: fold 1.0 then 2.0 (event-time order) -> 1.5
+    in.addData((7L, ts("2024-01-01 10:01:00"), 2.0),
+      (7L, ts("2024-01-01 10:00:00"), 1.0), (9L, ts("2024-01-01 10:00:00"), 8.0))
+    q.processAllAvailable()
+    // batch 2, key 7: state 1.5 continues -> 0.5*4 + 0.5*1.5 = 2.75
+    in.addData((7L, ts("2024-01-01 10:02:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ema_out").groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ema"))).as("s"))
+      .select(col("user_id"), col("s.ema"), col("s.n_events"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(last(7L) == ((2.75, 3L)))
+    assert(last(9L) == ((8.0, 1L)))
+    // batch counterpart agrees with the streaming fold on the same data
+    val batch = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L, 1.0), (7L, ts("2024-01-01 10:01:00"), 2L, 2.0),
+      (7L, ts("2024-01-01 10:02:00"), 3L, 4.0), (9L, ts("2024-01-01 10:00:00"), 4L, 8.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val b = graft.operators.Stats.emaPerKey(batch, "user_id", Seq("ts", "event_id"), "value", 0.5)
+      .select("user_id", "ema").as[(Long, Double)].collect().toMap
+    assert(b == Map(7L -> 2.75, 9L -> 8.0))
+  }
+
   test("streaming near-dup gate flags incoming docs that duplicate the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
