@@ -303,18 +303,26 @@ object DedupApprox {
       (0 until 4).map(q => shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qkey")
     // one groupBy per (quarter, key) bucket; pair expansion inside the
-    // bucket (no self-join -> the sketch pipeline runs once, not twice)
+    // bucket (no self-join -> the sketch pipeline runs once, not twice).
+    // Cross-bucket dedup is a PREDICATE, not a shuffle: a pair sharing
+    // several quarters is emitted only from its FIRST matching quarter
+    // (both sketches ride the pair, so "does an earlier quarter match"
+    // is row-local arithmetic) — the classic LSH trick that replaces the
+    // distinct's full shuffle of all surviving pairs
+    def quarter(sh: Column, qq: Int): Column =
+      shiftright(sh, qq * 16).bitwiseAND(lit(0xFFFFL))
+    val earlierQuarterMatches = (0 until 3).map { qq =>
+      (col("q") > qq) && (quarter(col("p.a.sh"), qq) === quarter(col("p.b.sh"), qq))
+    }.reduce(_ || _)
     quarters.groupBy(col("q"), col("qkey"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(col("ds"),
+      .select(col("q"), explode(flatten(transform(col("ds"),
         a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
       .filter(col("p.a.id") < col("p.b.id"))
+      .filter(!earlierQuarterMatches)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
-      // filter BEFORE the cross-bucket dedup: the distinct's shuffle then
-      // carries only pairs inside the Hamming ball, not every bucket pair
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }
