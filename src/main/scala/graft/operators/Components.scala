@@ -71,7 +71,13 @@ object Components {
       val obs = org.apache.spark.sql.Observation()
       val ck = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      (ck, obs.get("s").asInstanceOf[java.math.BigDecimal])
+      // sum over an EMPTY frame is null — normalize so a no-edge graph
+      // (every doc a singleton upstream) converges instead of NPE-ing
+      val s = obs.get("s") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+      }
+      (ck, s)
     }
     // init already performs the first propagation: label = min(self, neighbors)
     var (labels, prevSum) = propagate(

@@ -26,10 +26,13 @@ object Sampling {
     substring(md5(concat_ws("#", keys.map(_.cast("string")): _*)), 1, 8)
 
   /** Hex cutoff for a sampling rate: `uniformHex < hexCutoff(rate)` keeps
-    * ~rate of rows (exactly round(rate * 2^32) of the hash space). */
+    * ~rate of rows (exactly round(rate * 2^32) of the hash space). Rate
+    * 1.0 returns "g", which every 8-hex-char draw sorts below — a cutoff
+    * of "ffffffff" would silently drop rows whose hash IS ffffffff. */
   def hexCutoff(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
-    f"${math.min(math.round(rate * 4294967296.0), 4294967295L)}%08x"
+    val cells = math.round(rate * 4294967296.0)
+    if (cells >= 4294967296L) "g" else f"$cells%08x"
   }
 
   /** Uniform deterministic sample: keep ~`rate` of rows keyed by

@@ -27,6 +27,16 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("connected components of an empty edge list is the empty labeling") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(none, "id_a", "id_b").count() == 0)
+    // canonicalize over no pairs: every doc is its own canonical
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Components.canonicalize(docs, none, "doc_id", "id_a", "id_b")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("canonicalize maps unpaired docs to themselves, paired to cluster min") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
@@ -50,7 +60,10 @@ class ComponentsSamplingSpec extends SparkSpec {
     // samples — the property that makes rate changes incremental)
     val c = Sampling.hashSample(df, Seq("k"), 0.1).as[Long].collect().toSet
     assert(c.subsetOf(a))
-    assert(Sampling.hexCutoff(0.0) == "00000000" && Sampling.hexCutoff(1.0) == "ffffffff")
+    // rate 1.0's cutoff sorts above every hex draw (a "ffffffff" cutoff
+    // would drop rows whose hash IS ffffffff); rate 0 keeps nothing
+    assert(Sampling.hexCutoff(0.0) == "00000000" && Sampling.hexCutoff(1.0) == "g")
+    assert("ffffffff" < Sampling.hexCutoff(1.0))
   }
 
   test("stratified sampling applies per-stratum rates with a default") {
