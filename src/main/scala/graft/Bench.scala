@@ -29,6 +29,11 @@ object Bench {
     // unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

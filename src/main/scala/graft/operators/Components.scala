@@ -46,6 +46,13 @@ object Components {
     // LogicalRDD instead of the upstream pipeline's full tree — with a
     // large upstream plan, per-round Catalyst analysis otherwise dwarfs
     // the actual execution of a shallow graph's rounds.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"edge column '$c' is $dt: a long cast would silently null " +
+          "non-numeric ids and return an empty labeling — map string ids " +
+          "to longs (e.g. xxhash64) before clustering")
+    }
     val e = edges.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .localCheckpoint()
@@ -79,6 +86,13 @@ object Components {
       }
       (ck, s)
     }
+    // release a superseded round's checkpointed blocks NOW rather than at
+    // GC time: up to maxIter full label sets would otherwise stay pinned
+    // in MEMORY_AND_DISK for the run's duration
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     // init already performs the first propagation: label = min(self, neighbors)
     var (labels, prevSum) = propagate(
       und.groupBy(col("x").as("node")).agg(min(col("y")).as("label")))
@@ -88,12 +102,14 @@ object Components {
       val (next, s) = propagate(und
         .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
         .groupBy(col("x").as("node")).agg(min(col("label")).as("label")))
+      release(labels) // next is materialized; the previous round is dead
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       round += 1
     }
-    und.unpersist() // the only cache entry this call creates
+    release(e)
+    und.unpersist() // the one CacheManager entry this call creates
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "pathologically deep graph; use large-star/small-star (O(log n) rounds)")

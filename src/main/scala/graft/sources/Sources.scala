@@ -111,15 +111,26 @@ object Sources {
   def contentFingerprint(path: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): String = {
     val fs = path.getFileSystem(conf)
-    val files = fs.listStatus(path) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case sts => sts.filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
+    // recursive: a partitioned table nests its data files under
+    // part_col=... directories, which a flat listStatus would miss
+    // (leaving a content-INDEPENDENT fingerprint — the stale-index bug
+    // this function exists to prevent)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(path).isFile) files += fs.getFileStatus(path)
+    else {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_")) files += st
+      }
     }
-    val all = if (files.isEmpty) Array(fs.getFileStatus(path)) else files
     val md = java.security.MessageDigest.getInstance("MD5")
-    all.foreach { st =>
-      md.update(st.getPath.getName.getBytes("UTF-8"))
+    // root-relative path (not bare name): part files in different
+    // partition dirs may share names
+    val root = path.toUri.getPath
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(files.size).array())
+    files.sortBy(_.getPath.toUri.getPath).foreach { st =>
+      md.update(st.getPath.toUri.getPath.stripPrefix(root).getBytes("UTF-8"))
       md.update(java.nio.ByteBuffer.allocate(8).putLong(st.getLen).array())
       val tail = math.min(st.getLen, FingerprintTailBytes.toLong).toInt
       if (tail > 0) {

@@ -135,8 +135,13 @@ object StreamingSync {
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       beforeSec: Long, afterSec: Long, watermark: String): DataFrame = {
-    require(leftTs != rightTs && leftKey != rightKey,
-      "stream-stream join needs distinct column names per side")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"stream-stream join needs fully disjoint column names per side; " +
+        s"shared: ${shared.toSeq.sorted.mkString(", ")}")
+    require(left.columns.contains(leftKey) && left.columns.contains(leftTs) &&
+      right.columns.contains(rightKey) && right.columns.contains(rightTs),
+      "key/ts columns must come from their own side")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
@@ -167,7 +172,13 @@ object StreamingSync {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
             st: GroupState[(Double, Long)]) =>
-          val xs = it.toSeq.sortBy(r => (r._2.getTime, r._3))
+          // order by the FULL timestamp (Timestamp.compareTo carries the
+          // nanos field; getTime truncates to milliseconds and would let
+          // sub-millisecond events fold in value order), value tiebreak
+          val xs = it.toSeq.sortWith { (a, b) =>
+            val c = a._2.compareTo(b._2)
+            c < 0 || (c == 0 && a._3 < b._3)
+          }
           var (ema, n) = st.getOption.getOrElse((0.0, 0L))
           xs.foreach { case (_, _, v) =>
             ema = if (n == 0) v else alpha * v + (1 - alpha) * ema

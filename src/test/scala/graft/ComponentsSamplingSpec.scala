@@ -27,6 +27,15 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("connected components reject non-numeric node ids up front") {
+    val strEdges = Seq(("a", "b")).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Components.connectedComponents(strEdges, "id_a", "id_b")
+    }
+    // a silent long cast would null every id and return an EMPTY labeling
+    assert(err.getMessage.contains("non-numeric"))
+  }
+
   test("connected components of an empty edge list is the empty labeling") {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.connectedComponents(none, "id_a", "id_b").count() == 0)

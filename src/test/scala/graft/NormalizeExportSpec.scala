@@ -110,6 +110,17 @@ class NormalizeExportSpec extends SparkSpec {
     assert(f1 == Sources.contentFingerprint(hp, conf)) // deterministic
     spark.range(10).select(($"id" + 1).as("id")).write.mode("overwrite").parquet(p)
     assert(f1 != Sources.contentFingerprint(hp, conf)) // content change moves it
+    // PARTITIONED tables nest data files under part dirs — the
+    // fingerprint must see them (a flat listing would fingerprint only
+    // directory metadata and never change on rewrite)
+    val pp = new java.io.File(dir, "part.parquet").getAbsolutePath
+    val php = new org.apache.hadoop.fs.Path(pp)
+    spark.range(20).select($"id", ($"id" % 2).as("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(pp)
+    val pf1 = Sources.contentFingerprint(php, conf)
+    spark.range(20).select(($"id" + 5).as("id"), ($"id" % 2).as("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(pp)
+    assert(pf1 != Sources.contentFingerprint(php, conf))
   }
 
   test("export orders priority columns first, rest sorted; union fills nulls") {

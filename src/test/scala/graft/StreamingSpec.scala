@@ -153,6 +153,30 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(last(7L) == ((2.75, 3L)))
     assert(last(9L) == ((8.0, 1L)))
+    // sub-millisecond events in ONE batch must fold in event-time order
+    // (Timestamp.getTime truncates to ms; compareTo carries the nanos):
+    // 8,4,2 in time order -> ema 4.0; a value-order fold would give 5.5
+    val in2 = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q2 = StreamingSync.emaPerKey(
+      in2.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value", 0.5)
+      .toDF("user_id", "ema", "n_events")
+      .writeStream.format("memory").queryName("ema_subms").outputMode("update").start()
+    in2.addData(
+      (1L, ts("2024-01-01 10:00:00.000300"), 2.0),
+      (1L, ts("2024-01-01 10:00:00.000100"), 8.0),
+      (1L, ts("2024-01-01 10:00:00.000200"), 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("ema_subms").select("ema").as[Double].head() == 4.0)
+    // disjoint-column guard on the stream-stream join fires up front
+    val err = intercept[IllegalArgumentException] {
+      StreamingSync.streamIntervalJoin(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k1", "t1", "value"),
+        Seq((1L, ts("2024-01-01 10:00:00"), 2.0)).toDF("k2", "t2", "value"),
+        "k1", "k2", "t1", "t2", 60, 0, "1 hour")
+    }
+    assert(err.getMessage.contains("value"))
+
     // batch counterpart agrees with the streaming fold on the same data
     val batch = Seq(
       (7L, ts("2024-01-01 10:00:00"), 1L, 1.0), (7L, ts("2024-01-01 10:01:00"), 2L, 2.0),
