@@ -647,6 +647,18 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- weighted (per-row dynamic rate) sampling ------------------
+    // keep-probability = the doc's own length-derived weight: longer
+    // docs survive at a higher rate, all in one scan-speed filter
+    "q67_weighted_sample" -> ((s, dir) => {
+      val rate = least(col("n_chars").cast("double") / lit(1000.0), lit(1.0))
+      graft.operators.Sampling.weightedHashSample(
+        rd(s, dir, "documents"), Seq("doc_id"), rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // ----- per-key EMA (order-sensitive sequential fold) -------------
     // alpha = 0.5 keeps every weight dyadic, so the left fold is
     // bit-identical across engines; ties at microsecond precision break
@@ -1195,6 +1207,14 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q67_weighted_sample" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
+        |  floor(least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0) * 4294967296.0 + 0.5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q66_ema" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -40,6 +40,27 @@ object Sampling {
   def hashSample(df: DataFrame, keyCols: Seq[String], rate: Double): DataFrame =
     df.filter(uniformHex(keyCols.map(col)) < lit(hexCutoff(rate)))
 
+  /** The same uniform draw as [[uniformHex]], decoded to a long in
+    * [0, 2^32) — for comparing against a PER-ROW rate, where a hex-string
+    * cutoff would need per-row formatting. */
+  def uniformLong(keys: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("#", keys.map(_.cast("string")): _*)), 1, 8),
+      16, 10).cast("long")
+
+  /** Weighted deterministic sample: each row's keep-probability is its
+    * OWN `rateCol` value (clamped to [0, 1]) — e.g. quality-weighted
+    * corpus downsampling, where high-quality docs survive at a higher
+    * rate. Still a pure scan-speed filter with all of [[hashSample]]'s
+    * properties (rerun-stable, engine-portable, and monotone in the
+    * rate: raising a row's rate can only add it, never swap it). */
+  def weightedHashSample(df: DataFrame, keyCols: Seq[String],
+      rateCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "weighted sample needs key columns")
+    val clamped = least(greatest(rateCol.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(uniformLong(keyCols.map(col)) <
+      floor(clamped * lit(4294967296.0) + 0.5))
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group, chosen
     * in uniform-hash-of-key order (the published "max documents per
     * domain" corpus rule) — a fixed-size sample per group where

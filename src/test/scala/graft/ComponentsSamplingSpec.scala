@@ -75,6 +75,25 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert("ffffffff" < Sampling.hexCutoff(1.0))
   }
 
+  test("weighted sampling keeps rows at their own per-row rate") {
+    val df = spark.range(4000).select($"id".as("k"),
+      when($"id" % 2 === 0, 1.0).otherwise(0.1).as("w"))
+    val kept = Sampling.weightedHashSample(df, Seq("k"), col("w"))
+      .groupBy($"w").count().as[(Double, Long)].collect().toMap
+    assert(kept(1.0) == 2000) // rate 1.0 keeps every row (no ffffffff loss)
+    assert(math.abs(kept(0.1) / 2000.0 - 0.1) < 0.05)
+    // rates outside [0,1] clamp instead of corrupting the cutoff
+    val wild = spark.range(100).select($"id".as("k"), lit(7.5).as("w"))
+    assert(Sampling.weightedHashSample(wild, Seq("k"), col("w")).count() == 100)
+    assert(Sampling.weightedHashSample(wild, Seq("k"), lit(-3.0)).count() == 0)
+    // monotone: a row kept at rate r stays kept at any higher rate
+    val at03 = Sampling.weightedHashSample(df, Seq("k"), lit(0.3))
+      .select("k").as[Long].collect().toSet
+    val at06 = Sampling.weightedHashSample(df, Seq("k"), lit(0.6))
+      .select("k").as[Long].collect().toSet
+    assert(at03.subsetOf(at06))
+  }
+
   test("stratified sampling applies per-stratum rates with a default") {
     val df = spark.range(3000).select($"id".as("k"),
       when($"id" % 3 === 0, "big").when($"id" % 3 === 1, "small")
