@@ -647,6 +647,15 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- k-means refinement step (Lloyd iteration for IVF) ---------
+    "q68_kmeans_step" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      Similarity.kmeansStep(e, "embedding", cents)
+        .select(col("cell"), col("dim"), col("n_members"), r(col("mean"), 6).as("mean"))
+        .orderBy("cell", "dim")
+    }),
+
     // ----- weighted (per-row dynamic rate) sampling ------------------
     // keep-probability = the doc's own length-derived weight: longer
     // docs survive at a higher rate, all in one scan-speed filter
@@ -1207,6 +1216,31 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q68_kmeans_step" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT e.vec_id, e.embedding, c.cell,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |pts AS (SELECT cell,
+        |  unnest([{'d': d, 'v': CAST(embedding[d] AS DOUBLE)}
+        |          FOR d IN range(1, len(embedding) + 1)]) AS s
+        |  FROM asg)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(s.d - 1 AS BIGINT) AS dim,
+        |  count(*) AS n_members,
+        |  floor(CAST(sum(CAST(s.v AS DECIMAL(28,12))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean
+        |FROM pts GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
 
     "q67_weighted_sample" ->
       """SELECT source, count(*) AS n_kept,

@@ -157,6 +157,28 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** One k-means refinement step for the IVF centroids: assign every
+    * vector to its nearest (cosine) centroid, then per-cell per-dim
+    * means. One map-side assign (k fused native cosine loops) + one
+    * partial-aggregated groupBy on (cell, dim) — the standard Lloyd
+    * iteration shape; loop it to refine, with each step one job.
+    * Sums route through DECIMAL(28,12) so partial-aggregation order
+    * cannot perturb the mean (the oracle-parity rule), then divide as
+    * doubles. Output: (cell, dim, n_members, mean) — `transpose` back to
+    * array form with collect_list over dim order if the next iteration
+    * needs Seq[Seq[Float]] centroids. */
+  def kmeansStep(embeddings: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame = {
+    val assigned = embeddings
+      .withColumn("_cell", ivfAssign(col(vecCol), centroids))
+    assigned
+      .select(col("_cell").cast("long").as("cell"), posexplode(col(vecCol)))
+      .groupBy(col("cell"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+  }
+
   /** IVF ANN query: assign every vector to its cell, scan only the
     * `nProbe` cells whose centroids are nearest the probe, exact-rank the
     * survivors — O(N * nProbe / k) scanned per query. Persist the

@@ -324,6 +324,20 @@ class TrainingOpsSpec extends SparkSpec {
     val brute = Similarity.topK(emb, "vec_id", "embedding", probe, 5)
       .select("vec_id").as[Long].collect().toSeq
     assert(all == brute)
+    // one Lloyd step: per-cell per-dim means over the cosine assignment
+    val emb2 = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), // the two seed centroids
+      (2L, Seq(2f, 0f)), (3L, Seq(4f, 0f)), // cosine 1.0 with (1,0)
+      (4L, Seq(0f, 3f))).toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfCentroids(emb2, "vec_id", "embedding", 2)
+    val step = Similarity.kmeansStep(emb2, "embedding", seeds)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(step((0L, 0L)) == ((3L, 7.0 / 3))) // cell 0: (1,0),(2,0),(4,0)
+    assert(step((0L, 1L)) == ((3L, 0.0)))
+    assert(step((1L, 0L)) == ((2L, 0.0)))     // cell 1: (0,1),(0,3)
+    assert(step((1L, 1L)) == ((2L, 2.0)))
+
     // dim mismatch must fail loudly, not silently rank against different
     // geometry (the driver-side cosine would otherwise truncate the probe)
     val err = intercept[IllegalArgumentException] {
