@@ -647,6 +647,13 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- one-pass column profile (data-audit report) ---------------
+    "q69_profile" -> ((s, dir) => {
+      graft.operators.Stats.columnProfile(rd(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
+        .orderBy("column")
+    }),
+
     // ----- k-means refinement step (Lloyd iteration for IVF) ---------
     "q68_kmeans_step" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -1216,6 +1223,24 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q69_profile" -> {
+      def prof(c: String, num: Boolean) = {
+        val minNum = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+        val maxStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str
+           |FROM customer""".stripMargin
+      }
+      Seq(("c_custkey", true), ("c_name", false), ("c_acctbal", true),
+        ("c_mktsegment", false), ("c_nationkey", true))
+        .map((prof _).tupled).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q68_kmeans_step" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding AS cv

@@ -40,6 +40,40 @@ object Stats {
   def hllUnion(c: Column): Column = hll_union_agg(c)
   def hllEstimate(c: Column): Column = hll_sketch_estimate(c)
 
+  /** One-pass column profile — the data-audit report (row counts, null
+    * counts, distinct cardinality, min/max) for every listed column in a
+    * SINGLE scan: all metrics are aggregate expressions in one agg, and
+    * the one-row result pivots to a per-column frame driver-side (it is
+    * metrics-sized, not data-sized). Numeric min/max surface as doubles,
+    * string min/max as strings — never engine-formatted number-to-string
+    * casts, which would not be portable. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val isNum = cols.map(c =>
+      c -> df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+    val aggs = cols.flatMap { c =>
+      val numOrNull = (f: Column => Column) =>
+        if (isNum(c)) f(col(c)).cast("double") else lit(null).cast("double")
+      val strOrNull = (f: Column => Column) =>
+        if (isNum(c)) lit(null).cast("string") else f(col(c)).cast("string")
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        numOrNull(min).as(s"${c}__min_num"), numOrNull(max).as(s"${c}__max_num"),
+        strOrNull(min).as(s"${c}__min_str"), strOrNull(max).as(s"${c}__max_str"))
+    } :+ count(lit(1)).as("__n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(col("__n_rows"), explode(array(cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min_num").as("min_num"), col(s"${c}__max_num").as("max_num"),
+        col(s"${c}__min_str").as("min_str"), col(s"${c}__max_str").as("max_str"))
+    }: _*)).as("p"))
+    rows.select(col("p.column").as("column"), col("__n_rows").as("n_rows"),
+      col("p.n_nulls"), col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+      col("p.min_str"), col("p.max_str"))
+  }
+
   /** Per-key exponential moving average over the key's events in
     * `orderCols` order, seeded with the first value:
     * `ema_1 = x_1; ema_i = alpha*x_i + (1-alpha)*ema_{i-1}`.

@@ -40,4 +40,18 @@ class StatsSpec extends SparkSpec {
     val globalExact = orders.select(countDistinct("o_custkey")).as[Long].head()
     assert(math.abs(merged - globalExact).toDouble / globalExact < 0.15)
   }
+
+  test("column profile reports nulls, cardinality, and typed min/max in one pass") {
+    val df = Seq((1L, Some("b"), Some(2.5)), (2L, None, Some(-1.0)),
+      (3L, Some("a"), None), (3L, Some("a"), Some(9.0)))
+      .toDF("k", "s", "v")
+    val got = Stats.columnProfile(df, Seq("k", "s", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = got("k"); val s = got("s"); val v = got("v")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 0 && k.getLong(3) == 3)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 3.0 && k.isNullAt(6))
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2) // nulls excluded from distinct
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
+    assert(v.getLong(2) == 1 && v.getDouble(4) == -1.0 && v.getDouble(5) == 9.0)
+  }
 }
