@@ -647,6 +647,14 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- funnel: ordered event-sequence matching -------------------
+    "q70_funnel" -> ((s, dir) => {
+      graft.operators.Sequence.funnelCounts(rd(s, dir, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("funnel_stage")
+    }),
+
     // ----- one-pass column profile (data-audit report) ---------------
     "q69_profile" -> ((s, dir) => {
       graft.operators.Stats.columnProfile(rd(s, dir, "customer"),
@@ -1223,6 +1231,22 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q70_funnel" ->
+      """WITH seq AS (SELECT user_id,
+        |    list({'t': event_type, 's': 0}
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS a
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT user_id,
+        |    list_reduce(list_prepend({'t': '', 's': 0}, a),
+        |      (acc, x) -> {'t': '',
+        |        's': CASE WHEN acc.s = 0 AND x.t = 'view' THEN 1
+        |                  WHEN acc.s = 1 AND x.t = 'click' THEN 2
+        |                  WHEN acc.s = 2 AND x.t = 'purchase' THEN 3
+        |                  ELSE acc.s END}).s AS stage
+        |  FROM seq)
+        |SELECT CAST(stage AS BIGINT) AS funnel_stage, count(*) AS n_keys
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_profile" -> {
       def prof(c: String, num: Boolean) = {

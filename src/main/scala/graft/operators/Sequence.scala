@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: per-key ORDERED pattern matching expressed
+  * as a deterministic left fold over the key's time-sorted events — the
+  * portable core of MATCH_RECOGNIZE-style funnels. The fold is plain
+  * expression arithmetic (a CASE chain over an integer state), so any
+  * engine with a list fold reproduces it exactly; the collect_list is
+  * bounded by the per-key event count (the same contract as
+  * [[Stats.emaPerKey]]; unbounded keys belong in the streaming
+  * custom-state API). */
+object Sequence {
+
+  /** Furthest funnel stage reached per key: stage i+1 is entered when an
+    * event of type `steps(i)` arrives while the key sits at stage i —
+    * strictly ordered, so a purchase BEFORE the first view does not
+    * count. Returns `(keyCol, funnel_stage)` with stage in
+    * [0, steps.length]. */
+  def funnelStages(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(orderCols.nonEmpty, "funnel needs ordering columns")
+    val arr = sort_array(collect_list(struct(
+      orderCols.map(col) :+ col(typeCol).as("_t"): _*)))
+    def advance(acc: Column, x: Column): Column =
+      steps.zipWithIndex.foldRight(acc) { case ((step, i), els) =>
+        when(acc === i && x.getField("_t") === step, lit(i + 1)).otherwise(els)
+      }
+    events.groupBy(col(keyCol))
+      .agg(arr.as("_a"))
+      .select(col(keyCol),
+        aggregate(col("_a"), lit(0), advance).cast("long").as("funnel_stage"))
+  }
+
+  /** Funnel report: how many keys reached each stage (exactly — not
+    * cumulative; cumulate downstream if needed). */
+  def funnelCounts(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelStages(events, keyCol, orderCols, typeCol, steps)
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_keys"))
+}

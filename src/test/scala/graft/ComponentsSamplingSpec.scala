@@ -169,6 +169,33 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(fps == 6) // 5 + 1 distinct windows
   }
 
+  test("funnel stages advance only on in-order steps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes the funnel, with noise events interleaved
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "error"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "click"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "purchase"),
+      // user 2 purchases BEFORE viewing: strictly ordered -> stalls at 1
+      (2L, ts("2024-01-01 10:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "view"),
+      // user 3 never clicks
+      (3L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 10:01:00"), 8L, "purchase"),
+      // user 4 does nothing relevant
+      (4L, ts("2024-01-01 10:00:00"), 9L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Sequence.funnelStages(ev, "user_id",
+      Seq("ts", "event_id"), "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    val counts = graft.operators.Sequence.funnelCounts(ev, "user_id",
+      Seq("ts", "event_id"), "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
   test("URL domain extraction and histogram binning") {
     val doms = Seq("visit https://a.example.com/x and http://b.org then no-url")
       .toDF("text").select(TextAnalysis.urlDomains($"text"))
