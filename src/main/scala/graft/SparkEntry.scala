@@ -647,6 +647,26 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- per-group z-score normalization (feature scaling) ---------
+    "q72_zscore" -> ((s, dir) => {
+      graft.operators.Stats.zscorePerGroup(rd(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("zscore")) > 2, 1L).otherwise(0L)).as("n_outliers"),
+          r(min(col("zscore")), 6).as("min_z"), r(max(col("zscore")), 6).as("max_z"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ----- deterministic train/val/test split ------------------------
+    "q71_dataset_split" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(rd(s, dir, "documents"),
+        Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "source")
+    }),
+
     // ----- funnel: ordered event-sequence matching -------------------
     "q70_funnel" -> ((s, dir) => {
       graft.operators.Sequence.funnelCounts(rd(s, dir, "events"),
@@ -1231,6 +1251,35 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q72_zscore" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY 1),
+        |z AS (SELECT l.l_returnflag,
+        |    (l.l_quantity - g.s1 / g.n) /
+        |      sqrt((g.s2 - g.s1 * g.s1 / g.n) / g.n) AS zs
+        |  FROM lineitem l JOIN g USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(zs) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(min(zs) * 1000000 + 0.5) / 1000000 AS min_z,
+        |  floor(max(zs) * 1000000 + 0.5) / 1000000 AS max_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q71_dataset_split" -> {
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      s"""WITH t AS (SELECT source, n_chars,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM t GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
 
     "q70_funnel" ->
       """WITH seq AS (SELECT user_id,

@@ -61,6 +61,31 @@ object Sampling {
       floor(clamped * lit(4294967296.0) + 0.5))
   }
 
+  /** Deterministic dataset split: label every row with the name of the
+    * hash range its uniform draw lands in — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Splits are
+    * DISJOINT and EXHAUSTIVE by construction (consecutive ranges over one
+    * draw), stable across reruns/engines, and adding data never moves an
+    * existing row between splits — the properties a train/eval split
+    * must have to avoid leakage. Fractions must sum to ~1. */
+  def splitAssign(df: DataFrame, keyCols: Seq[String],
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "need non-negative fractions")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions sum to $total, not 1")
+    val cums = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val draw = uniformHex(keyCols.map(col))
+    // ranges close with the rate-1.0 cutoff ("g"), so the last split
+    // also captures the maximal draw
+    // clamp accumulated float error (0.8 + 0.1 + 0.1 sums past 1.0 in
+    // doubles) so the final range's cutoff is exactly the total one
+    val assigned = splits.map(_._1).zip(cums.map(c => hexCutoff(math.min(c, 1.0)))).foldRight(
+      lit(null).cast("string")) { case ((name, hi), els) =>
+      when(draw < lit(hi), lit(name)).otherwise(els)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group, chosen
     * in uniform-hash-of-key order (the published "max documents per
     * domain" corpus rule) — a fixed-size sample per group where

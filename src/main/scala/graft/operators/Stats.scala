@@ -40,6 +40,24 @@ object Stats {
   def hllUnion(c: Column): Column = hll_union_agg(c)
   def hllEstimate(c: Column): Column = hll_sketch_estimate(c)
 
+  /** Per-group z-score normalization (feature scaling): attach
+    * `(v - mean) / stddev_pop` computed from window aggregates whose sums
+    * route through DECIMAL — the moments are aggregation-order-exact, so
+    * every downstream double op is deterministic and engine-portable
+    * (plain double window sums would drift in the last ulp with
+    * partition order). One hash exchange on the group key. */
+  def zscorePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      zCol: String = "zscore"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val v = col(valueCol).cast("double")
+    val s1 = sum(v.cast("decimal(28,12)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val mean = s1 / n
+    val variance = (s2 - s1 * s1 / n) / n
+    df.withColumn(zCol, (v - mean) / sqrt(variance))
+  }
+
   /** One-pass column profile — the data-audit report (row counts, null
     * counts, distinct cardinality, min/max) for every listed column in a
     * SINGLE scan: all metrics are aggregate expressions in one agg, and

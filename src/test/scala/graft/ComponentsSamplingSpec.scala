@@ -75,6 +75,24 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert("ffffffff" < Sampling.hexCutoff(1.0))
   }
 
+  test("dataset split is exhaustive, disjoint, and nested with sampling") {
+    val df = spark.range(5000).select($"id".as("k"))
+    val s = Sampling.splitAssign(df, Seq("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 5000) // exhaustive: no row unassigned
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // the train split IS the rate-0.8 hash sample: one draw, consecutive
+    // ranges — so sampling and splitting stay mutually consistent
+    val trainKeys = s.filter($"split" === "train").select("k").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(df, Seq("k"), 0.8).as[Long].collect().toSet
+    assert(trainKeys == sampled)
+    // float-error accumulation in fractions must not break the last range
+    assert(Sampling.splitAssign(df, Seq("k"),
+      Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)).filter($"split".isNull).count() == 0)
+  }
+
   test("weighted sampling keeps rows at their own per-row rate") {
     val df = spark.range(4000).select($"id".as("k"),
       when($"id" % 2 === 0, 1.0).otherwise(0.1).as("w"))

@@ -41,6 +41,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(merged - globalExact).toDouble / globalExact < 0.15)
   }
 
+  test("group z-scores normalize to mean 0 / unit spread per group") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    val z = Stats.zscorePerGroup(df, Seq("g"), "v")
+      .select("g", "v", "zscore").as[(String, Double, Double)].collect()
+    // group a: mean 4, pop std sqrt(8/3); group b: mean 15, std 5
+    val za = z.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert(za(4.0) == 0.0)
+    assert(math.abs(za(6.0) - 2.0 / math.sqrt(8.0 / 3)) < 1e-12)
+    assert(za(2.0) == -za(6.0))
+    val zb = z.filter(_._1 == "b").map(r => r._2 -> r._3).toMap
+    assert(zb(10.0) == -1.0 && zb(20.0) == 1.0)
+  }
+
   test("column profile reports nulls, cardinality, and typed min/max in one pass") {
     val df = Seq((1L, Some("b"), Some(2.5)), (2L, None, Some(-1.0)),
       (3L, Some("a"), None), (3L, Some("a"), Some(9.0)))
