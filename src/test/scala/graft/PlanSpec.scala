@@ -139,4 +139,37 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
     assert(p.contains("FullOuter"), p)
   }
+
+  test("contamination: one equi-join on the shingle hash, no pair expansion") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.crossContamination(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
+  }
+
+  test("sampling predicates sit directly on the scan — no shuffle, no sample node") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.operators.Sampling.stratifiedHashSample(li,
+      "l_returnflag", Map("A" -> 0.25), 0.0, Seq("l_orderkey", "l_linenumber")))
+    assert(!p.contains("Exchange") && !p.contains("Sample"), p)
+    val p2 = plan(graft.operators.Sampling.weightedHashSample(li,
+      Seq("l_orderkey"), col("l_quantity") / 100.0))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("k-means step: map-side assignment, one exchange for the mean agg") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 4)
+    val p = graft.operators.Similarity.kmeansStep(e, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(x =>
+      x.contains("Exchange hashpartitioning") && !x.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"assignment is a projection, not a join:\n$p")
+    assert(p.contains("partial"), p) // the mean agg is map-side combined
+  }
 }
