@@ -70,6 +70,8 @@ object Sampling {
     * must have to avoid leakage. Fractions must sum to ~1. */
   def splitAssign(df: DataFrame, keyCols: Seq[String],
       splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(keyCols.nonEmpty, "split assignment needs key columns — " +
+      "zero keys would hash a constant and put ALL rows in one split")
     require(splits.nonEmpty && splits.forall(_._2 >= 0), "need non-negative fractions")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions sum to $total, not 1")

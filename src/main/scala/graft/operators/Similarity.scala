@@ -174,9 +174,11 @@ object Similarity {
     assigned
       .select(col("_cell").cast("long").as("cell"), posexplode(col(vecCol)))
       .groupBy(col("cell"), col("pos").cast("long").as("dim"))
-      .agg(count(lit(1)).as("n_members"),
+      // count VALUES (array<float> permits null elements, which the sum
+      // skips — a row count would deflate that dim's mean)
+      .agg(count(col("col")).as("n_members"),
         (sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean"))
+          count(col("col")).cast("double")).as("mean"))
   }
 
   /** IVF ANN query: assign every vector to its cell, scan only the

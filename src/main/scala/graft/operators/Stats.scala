@@ -52,7 +52,10 @@ object Stats {
     val v = col(valueCol).cast("double")
     val s1 = sum(v.cast("decimal(28,12)")).over(w).cast("double")
     val s2 = sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
-    val n = count(lit(1)).over(w).cast("double")
+    // count the VALUES, not the rows: sums skip nulls, so a row count
+    // would deflate the mean and inflate the variance in null-bearing
+    // groups (null rows still get a null z, which is right)
+    val n = count(v).over(w).cast("double")
     val mean = s1 / n
     val variance = (s2 - s1 * s1 / n) / n
     df.withColumn(zCol, (v - mean) / sqrt(variance))

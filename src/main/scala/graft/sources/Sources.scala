@@ -111,26 +111,38 @@ object Sources {
   def contentFingerprint(path: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration): String = {
     val fs = path.getFileSystem(conf)
+    val rootSt = fs.getFileStatus(path)
+    // relativize against the QUALIFIED root (listFiles returns fully
+    // qualified paths, so stripping the caller's possibly-relative or
+    // differently-qualified form would leak machine-specific absolute
+    // prefixes into the digest)
+    val root = rootSt.getPath.toUri.getPath
+    def rel(st: org.apache.hadoop.fs.FileStatus): String =
+      st.getPath.toUri.getPath.stripPrefix(root)
+    // metadata/transient entries (_SUCCESS, _temporary/..., .staging/...)
+    // are excluded by ANY path component, not just the leaf — a task file
+    // nested under _temporary has an ordinary leaf name
+    def isMeta(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      rel(st).split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
     // recursive: a partitioned table nests its data files under
     // part_col=... directories, which a flat listStatus would miss
     // (leaving a content-INDEPENDENT fingerprint — the stale-index bug
     // this function exists to prevent)
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    if (fs.getFileStatus(path).isFile) files += fs.getFileStatus(path)
+    if (rootSt.isFile) files += rootSt
     else {
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val st = it.next()
-        if (!st.getPath.getName.startsWith("_")) files += st
+        if (!isMeta(st)) files += st
       }
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     // root-relative path (not bare name): part files in different
     // partition dirs may share names
-    val root = path.toUri.getPath
     md.update(java.nio.ByteBuffer.allocate(4).putInt(files.size).array())
-    files.sortBy(_.getPath.toUri.getPath).foreach { st =>
-      md.update(st.getPath.toUri.getPath.stripPrefix(root).getBytes("UTF-8"))
+    files.sortBy(st => rel(st)).foreach { st =>
+      md.update(rel(st).getBytes("UTF-8"))
       md.update(java.nio.ByteBuffer.allocate(8).putLong(st.getLen).array())
       val tail = math.min(st.getLen, FingerprintTailBytes.toLong).toInt
       if (tail > 0) {

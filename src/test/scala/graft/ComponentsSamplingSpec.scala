@@ -91,6 +91,10 @@ class ComponentsSamplingSpec extends SparkSpec {
     // float-error accumulation in fractions must not break the last range
     assert(Sampling.splitAssign(df, Seq("k"),
       Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)).filter($"split".isNull).count() == 0)
+    // zero key columns would hash a constant -> one split gets everything
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, Seq.empty, Seq("train" -> 1.0))
+    }
   }
 
   test("weighted sampling keeps rows at their own per-row rate") {

@@ -120,7 +120,22 @@ class NormalizeExportSpec extends SparkSpec {
     val pf1 = Sources.contentFingerprint(php, conf)
     spark.range(20).select(($"id" + 5).as("id"), ($"id" % 2).as("b"))
       .write.mode("overwrite").partitionBy("b").parquet(pp)
-    assert(pf1 != Sources.contentFingerprint(php, conf))
+    val pf2 = Sources.contentFingerprint(php, conf)
+    assert(pf1 != pf2)
+    // transient files NESTED under metadata dirs (a concurrent writer's
+    // _temporary task outputs) must not perturb the fingerprint — the
+    // leaf name alone looks like an ordinary part file
+    val tmpTask = new java.io.File(pp, "_temporary/0/task_1")
+    tmpTask.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(tmpTask, "part-00000.parquet").toPath, "uncommitted")
+    assert(Sources.contentFingerprint(php, conf) == pf2)
+    // and a RELATIVE path fingerprints identically to the absolute form
+    // (no machine-specific prefix leaks into the digest)
+    val rel = new org.apache.hadoop.fs.Path(
+      java.nio.file.Path.of("").toAbsolutePath.relativize(
+        java.nio.file.Path.of(pp)).toString)
+    assert(Sources.contentFingerprint(rel, conf) == pf2)
   }
 
   test("export orders priority columns first, rest sorted; union fills nulls") {

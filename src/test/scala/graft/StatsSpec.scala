@@ -53,6 +53,14 @@ class StatsSpec extends SparkSpec {
     assert(za(2.0) == -za(6.0))
     val zb = z.filter(_._1 == "b").map(r => r._2 -> r._3).toMap
     assert(zb(10.0) == -1.0 && zb(20.0) == 1.0)
+    // null values don't enter the moments (a row count would skew every
+    // non-null z in the group); the null row itself gets a null z
+    val withNull = Seq(("a", Some(0.0)), ("a", Some(2.0)), ("a", None))
+      .toDF("g", "v")
+    val zn = Stats.zscorePerGroup(withNull, Seq("g"), "v")
+      .select("v", "zscore").as[(Option[Double], Option[Double])].collect().toMap
+    assert(zn(Some(2.0)) == Some(1.0) && zn(Some(0.0)) == Some(-1.0))
+    assert(zn(None).isEmpty)
   }
 
   test("column profile reports nulls, cardinality, and typed min/max in one pass") {
