@@ -100,11 +100,17 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
 private[v2] case class PushedTopN(field: String, descending: Boolean,
     nullsFirst: Boolean, limit: Int)
 
+/** One pushed aggregate column: op in {count_star, count, min, max};
+  * `field` is empty for count_star. */
+private[v2] case class PushedAggCol(op: String, field: String)
+private[v2] case class PushedAggSpec(groupCols: Seq[String], aggs: Seq[PushedAggCol])
+
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources._
 
@@ -112,6 +118,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   private var pushed: Array[Filter] = Array.empty
   private var topN: Option[PushedTopN] = None
   private var limit: Option[Int] = None
+  private var agg: Option[PushedAggSpec] = None
+  private var aggSchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the source's field order for the pruned subset
@@ -182,15 +190,58 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     }
   }
 
+  /** MIN/MAX/COUNT/COUNT(*) (non-distinct) over atomic fields, grouped by
+    * atomic fields — the same function surface Spark's own parquet
+    * aggregate pushdown accepts, for the same reason: those partials
+    * merge exactly; SUM over doubles would make results depend on
+    * partition order. Partial pushdown only (`supportCompletePushDown`
+    * stays false): each partition emits pre-aggregated rows and Spark
+    * runs the final merge, so multi-file tables stay correct. */
+  override def pushAggregation(aggregation:
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (topN.nonEmpty || limit.nonEmpty) return false
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 &&
+          fieldOk(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val groups = aggregation.groupByExpressions.toSeq.map(name)
+    if (groups.exists(_.isEmpty)) return false
+    val cols = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAggCol("count_star", ""))
+      case c: Count if !c.isDistinct => name(c.column).map(PushedAggCol("count", _))
+      case m: Min => name(m.column).map(PushedAggCol("min", _))
+      case m: Max => name(m.column).map(PushedAggCol("max", _))
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) return false
+    val spec = PushedAggSpec(groups.map(_.get), cols.map(_.get))
+    // scan output convention (V2ScanRelationPushDown zips positionally):
+    // group columns first, then one column per aggregate — counts are
+    // non-null longs, min/max carry the field's type
+    val fields = spec.groupCols.map(fullSchema(_)) ++ spec.aggs.map {
+      case PushedAggCol("count_star", _) => StructField("count(*)", LongType, nullable = false)
+      case PushedAggCol("count", f) => StructField(s"count($f)", LongType, nullable = false)
+      case PushedAggCol(op, f) => StructField(s"$op($f)", fullSchema(f).dataType)
+    }
+    agg = Some(spec)
+    aggSchema = Some(StructType(fields))
+    true
+  }
+
   override def build(): Scan =
-    new RecordScan(required, fullSchema, path, confProps, pushed, topN,
-      limit.filter(_ => topN.isEmpty))
+    new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
+      pushed, topN, limit.filter(_ => topN.isEmpty), agg)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     path: String, confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    topN: Option[PushedTopN], limit: Option[Int])
+    topN: Option[PushedTopN], limit: Option[Int],
+    agg: Option[PushedAggSpec] = None)
     extends Scan with Batch {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
@@ -200,7 +251,9 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString}, " +
       s"PushedFilters=[${filters.mkString(", ")}]" +
       topN.map(t => s", PushedTopN=$t").getOrElse("") +
-      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
+      limit.map(l => s", PushedLimit=$l").getOrElse("") +
+      agg.map(a => s", PushedAggregation=[groupBy=${a.groupCols.mkString(",")}; " +
+        a.aggs.map(c => s"${c.op}(${c.field})").mkString(",") + "]").getOrElse("") + ")"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -214,7 +267,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN, limit)
+    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN, limit, agg)
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
@@ -222,12 +275,13 @@ private[v2] case class RecordInputPartition(file: String) extends InputPartition
 private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: StructType,
     confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    topN: Option[PushedTopN], limit: Option[Int]) extends PartitionReaderFactory {
+    topN: Option[PushedTopN], limit: Option[Int],
+    agg: Option[PushedAggSpec]) extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RecordPartitionReader(
       partition.asInstanceOf[RecordInputPartition].file, readSchema, fullSchema,
-      conf, filters, topN, limit)
+      conf, filters, topN, limit, agg)
 }
 
 /** Parses one JSONL file of records; emits only the pruned columns, only
@@ -238,7 +292,8 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
 private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     fullSchema: StructType, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    topN: Option[PushedTopN], limit: Option[Int])
+    topN: Option[PushedTopN], limit: Option[Int],
+    agg: Option[PushedAggSpec] = None)
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.sources._
@@ -251,8 +306,17 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   private var emitted = 0
   // lazily-built bounded heap for pushed top-N
   private var heapIter: Iterator[InternalRow] = _
+  // lazily-built per-partition pre-aggregation for pushed aggregates
+  private var aggIter: Iterator[InternalRow] = _
 
-  override def next(): Boolean = topN match {
+  override def next(): Boolean = agg match {
+    case Some(a) =>
+      if (aggIter == null) aggIter = buildAgg(a)
+      if (aggIter.hasNext) { current = aggIter.next(); true } else false
+    case None => nextPlain()
+  }
+
+  private def nextPlain(): Boolean = topN match {
     case Some(t) =>
       if (heapIter == null) heapIter = buildTopN(t)
       if (heapIter.hasNext) { current = heapIter.next(); true } else false
@@ -267,6 +331,58 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
         }
       }
       found
+  }
+
+  /** Pre-aggregate this partition's matching rows: one buffer per group
+    * key holding count/min/max partials. Filters apply BEFORE aggregation
+    * (Spark pushed them in that order). A GLOBAL aggregate (no group
+    * columns) always emits exactly one row, so an all-filtered-out
+    * partition still contributes count 0 to the final merge; a grouped
+    * aggregate rightly emits nothing for absent groups. */
+  private def buildAgg(a: PushedAggSpec): Iterator[InternalRow] = {
+    val groupTypes = a.groupCols.map(c => fullSchema(c).dataType)
+    val buf = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    def newBuffer(): Array[Any] = a.aggs.map {
+      case PushedAggCol("count_star", _) | PushedAggCol("count", _) => 0L: Any
+      case _ => null: Any
+    }.toArray
+    if (a.groupCols.isEmpty) buf(Seq.empty) = newBuffer()
+    while (lines.hasNext) {
+      val l = lines.next()
+      if (l.trim.nonEmpty) {
+        val node = mapper.readTree(l)
+        if (passes(node)) {
+          val key = a.groupCols.zip(groupTypes).map { case (c, dt) => rawValue(node, c, dt) }
+          val st = buf.getOrElseUpdate(key, newBuffer())
+          a.aggs.zipWithIndex.foreach { case (ac, i) =>
+            ac.op match {
+              case "count_star" => st(i) = st(i).asInstanceOf[Long] + 1L
+              case "count" =>
+                if (rawValue(node, ac.field, fullSchema(ac.field).dataType) != null)
+                  st(i) = st(i).asInstanceOf[Long] + 1L
+              case "min" | "max" =>
+                val v = rawValue(node, ac.field, fullSchema(ac.field).dataType)
+                val better = v != null && (st(i) == null || {
+                  val c = RecordFilterEval.nullAwareCompare(v, st(i),
+                    descending = false, nullsFirst = false)
+                  if (ac.op == "min") c < 0 else c > 0
+                })
+                if (better) st(i) = v
+            }
+          }
+        }
+      }
+    }
+    buf.iterator.map { case (key, st) =>
+      InternalRow.fromSeq((key ++ st.toSeq).map(toInternal))
+    }
+  }
+
+  /** Raw comparable values -> internal representation (strings are the
+    * only raw type whose internal form differs). */
+  private def toInternal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
   }
 
   /** Keep the per-partition top `limit` rows by the pushed sort key in a

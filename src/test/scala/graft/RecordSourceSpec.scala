@@ -140,4 +140,30 @@ class RecordSourceSpec extends SparkSpec {
     assert(state.count() == 3)
     assert(state.filter(col("Name") === "beta").count() == 1)
   }
+
+  test("aggregate pushdown pre-aggregates in the source, exactly") {
+    // grouped: count(*) / count(col) / min / max reach the scan
+    val grouped = read().groupBy($"Active")
+      .agg(count(lit(1)).as("n"), count($"Score").as("ns"),
+        min($"Score").as("mn"), max($"Name").as("mx"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[groupBy=Active"), plan)
+    val got = grouped.collect()
+      .map(r => Option(r.get(0)) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getString(4))).toMap
+    assert(got(Some(true)) == ((1L, 1L, Some(5.0), "alpha")))
+    assert(got(Some(false)) == ((1L, 1L, Some(2.5), "gamma")))
+    assert(got(None) == ((1L, 0L, None, "beta"))) // null group, sparse Score
+    // global aggregate over a fully-filtered scan still counts 0
+    val empty = read().filter($"Name" === "nope")
+      .agg(count(lit(1)).as("n"), max($"Score").as("mx"))
+    val eplan = empty.queryExecution.executedPlan.toString
+    assert(eplan.contains("PushedAggregation"), eplan)
+    val er = empty.collect().head
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+    // count distinct must NOT push (partials don't merge); results exact
+    val cd = read().agg(countDistinct($"Active").as("n"))
+    assert(!cd.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(cd.collect().head.getLong(0) == 2L)
+  }
 }
