@@ -647,6 +647,19 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ----- canonical deduped corpus (the pipeline's shipped output) --
+    // docs -> near-dup pairs -> connected components -> keep exactly one
+    // doc per cluster (the minimum id) plus every singleton
+    "q73_canonical_corpus" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      graft.operators.Components.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // ----- per-group z-score normalization (feature scaling) ---------
     "q72_zscore" -> ((s, dir) => {
       graft.operators.Stats.zscorePerGroup(rd(s, dir, "lineitem"),
@@ -1251,6 +1264,23 @@ object SparkEntry {
          |      FROM u)
          |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q73_canonical_corpus" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+        |SELECT c.doc_id,
+        |  md5(regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')) AS fp
+        |FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+        |WHERE coalesce(comp.component, c.doc_id) = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
 
     "q72_zscore" ->
       """WITH g AS (SELECT l_returnflag,
