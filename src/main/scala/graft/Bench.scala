@@ -50,8 +50,16 @@ object Bench {
     // any failed query poisons the headline total: a missing 15s query
     // must not read as a 15s speedup to a cross-round comparison
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    // box load self-documents a contended run (r4's driver artifact summed
+    // 104s of query time over 456s wall — pure contention noise)
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}""")
+    // compact single-metric line LAST: the full per-query line above grew
+    // past the driver's bounded tail capture (r4's artifact began mid-line
+    // at q11), so any tail window must still catch a complete JSON object
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"load_avg":$load}""")
     System.out.flush()
     spark.stop()
   }

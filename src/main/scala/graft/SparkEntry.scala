@@ -429,8 +429,10 @@ object SparkEntry {
 
     // ----- SimHash near-dup (xxhash64 — rows-only check) -------------
     "q26_simhash_neardup" -> ((s, dir) => {
+      // maxBucket caps degenerate sketch buckets (boilerplate corpora); far
+      // above any real bucket at this SF, so results are unaffected
       DedupApprox.simhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
-        maxHamming = 12).orderBy("id_a", "id_b")
+        maxHamming = 12, maxBucket = 100000).orderBy("id_a", "id_b")
     }),
 
     // ----- brute-force cosine top-k ----------------------------------
@@ -457,7 +459,8 @@ object SparkEntry {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       Similarity.cosineNearDups(
         e.select("vec_id", "embedding").unionByName(dup),
-        "vec_id", "embedding", threshold = 0.999, bits = 8)
+        "vec_id", "embedding", threshold = 0.999, bits = 8,
+        maxBucket = 100000)
         .select(col("id_a"), col("id_b"), r(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),

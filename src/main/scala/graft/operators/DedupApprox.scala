@@ -295,9 +295,18 @@ object DedupApprox {
   /** SimHash near-dups: bucket on the 4 16-bit quarters (any pair within
     * Hamming distance 3 shares at least one exact quarter — pigeonhole;
     * the top quarter carries the sketch's high 12 bits), verify Hamming
-    * within buckets. */
+    * within buckets.
+    *
+    * `maxBucket` (0 = unlimited) drops degenerate buckets, exactly as in
+    * [[lshCandidatePairs]]: a corpus with millions of near-empty or
+    * boilerplate docs collapses them onto ONE sketch (identical quarters),
+    * and without the cap that bucket's collect_list + quadratic pair
+    * expansion is a guaranteed executor OOM at 100 TB. Real near-dup
+    * buckets are small by construction; dropping a bucket of size >
+    * maxBucket loses only pairs that exact-dedup ([[exactByContent]])
+    * already catches more cheaply. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
     val quarters = sh.select(col("id"), col("sh"), posexplode(array(
       (0 until 4).map(q => shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -314,9 +323,12 @@ object DedupApprox {
     val earlierQuarterMatches = (0 until 3).map { qq =>
       (col("q") > qq) && (quarter(col("p.a.sh"), qq) === quarter(col("p.b.sh"), qq))
     }.reduce(_ || _)
-    quarters.groupBy(col("q"), col("qkey"))
+    val buckets = quarters.groupBy(col("q"), col("qkey"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    val capped =
+      if (maxBucket > 0) buckets.filter(size(col("ds")) <= maxBucket) else buckets
+    capped
       .select(col("q"), explode(flatten(transform(col("ds"),
         a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
       .filter(col("p.a.id") < col("p.b.id"))

@@ -206,14 +206,29 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: LSH-bucket grouping + exact
     * cosine verification within buckets (same shape as MinHash LSH). One
     * groupBy on the code — no self-join, so the hyperplane-projection
-    * pipeline runs once; pair expansion happens inside each bucket. */
+    * pipeline runs once; pair expansion happens inside each bucket.
+    *
+    * SIZE THE CODE TO THE CORPUS: `bits` bounds the key space at 2^bits
+    * buckets, so expected bucket occupancy is N / 2^bits REGARDLESS of the
+    * data — at bits=8 (256 buckets) a billion-vector corpus averages ~4M
+    * vectors per bucket and the in-bucket quadratic expansion cannot work.
+    * Grow bits with log2(N) (e.g. bits ≈ log2(N) − log2(targetBucket)), or
+    * band multiple independent codes as the MinHash path does. `maxBucket`
+    * (0 = unlimited) is the backstop, mirroring
+    * [[graft.operators.DedupApprox.lshCandidatePairs]]: buckets larger than
+    * the cap (boilerplate/zero vectors collapsing onto one code) are
+    * dropped rather than expanded quadratically. */
   def cosineNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8, dim: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
     val idx = buildIndex(embeddings, vecCol, bits, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_code"))
-    idx.groupBy(col("lsh_code"))
+    val buckets = idx.groupBy(col("lsh_code"))
       .agg(collect_list(struct(col("id"), col("v"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    val capped =
+      if (maxBucket > 0) buckets.filter(size(col("ds")) <= maxBucket) else buckets
+    capped
       .select(explode(flatten(transform(col("ds"),
         a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
       .filter(col("p.a.id") < col("p.b.id"))

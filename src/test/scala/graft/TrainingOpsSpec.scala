@@ -134,6 +134,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(dups.contains((1L, 3L)))
   }
 
+  test("maxBucket cap drops degenerate buckets; real buckets unaffected") {
+    // 100k identical docs collapse onto ONE simhash sketch — uncapped, that
+    // bucket expands to ~5e9 pairs; with the cap the query completes and
+    // the degenerate bucket contributes nothing.
+    val degenerateDocs = spark.range(100000).select($"id".as("doc_id"),
+      lit("same boilerplate text repeated everywhere").as("text"))
+    assert(DedupApprox.simhashNearDups(degenerateDocs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 64).count() == 0L)
+    // small real buckets survive the cap
+    val pairs = DedupApprox.simhashNearDups(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    // same for the embedding path: 100k copies of one vector share a code
+    val degenerateVecs = spark.range(100000).select($"id".as("vec_id"),
+      lit(Array(1f, 0f, 0f, 0f)).as("embedding"))
+    assert(Similarity.cosineNearDups(degenerateVecs, "vec_id", "embedding",
+      threshold = 0.999, bits = 4, dim = 4, maxBucket = 64).count() == 0L)
+    val dups = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.999, bits = 4, dim = 4, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 3L)))
+  }
+
   // --- multimodal -------------------------------------------------------
 
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
