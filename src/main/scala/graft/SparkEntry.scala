@@ -979,6 +979,43 @@ object SparkEntry {
           col("media.width").as("width"),
           size(col("features")).as("n_features"))
         .orderBy("doc_id")
+    }),
+
+    // ----- real container header decode (PNG IHDR / JPEG SOF / GIF) --
+    "q74_media_headers" -> ((s, dir) => {
+      // Round-trip proof for Multimodal.parseHeader: the payload BYTES are
+      // assembled in-plan (big-endian PNG/JPEG dims, little-endian GIF),
+      // the decoder reads dimensions back out of them, and the oracle
+      // predicts the dims from doc_id arithmetic alone. doc_id % 4 == 3
+      // rows carry a truncated PNG magic — recognized container, honest
+      // NULL dimensions.
+      val w = (col("doc_id") % 4000 + 16).cast("int")
+      val h = (col("doc_id") % 3000 + 16).cast("int")
+      def beHex(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def le16(c: Column) = // GIF u16 is little-endian: swap the hex byte pairs
+        unhex(concat(substring(beHex(c, 4), 3, 2), substring(beHex(c, 4), 1, 2)))
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        unhex(beHex(w, 8)), unhex(beHex(h, 8)), unhex(lit("0806000000")))
+      val jpeg = concat( // SOI, then SOF0: len=0x000B, precision 8, h, w
+        unhex(lit("FFD8" + "FFC0" + "000B" + "08")),
+        unhex(beHex(h, 4)), unhex(beHex(w, 4)), unhex(lit("010100")))
+      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h))
+      val truncatedPng = unhex(lit("89504E470D0A1A0A0000"))
+      val media = rd(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, jpeg)
+          .when(col("doc_id") % 4 === 2, gif)
+          .otherwise(truncatedPng).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"),
+          col("media.mime").as("detected_mime"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
     }))
 
   // ---------------------------------------------------------------------
@@ -1882,5 +1919,19 @@ object SparkEntry {
         |  CAST(least(strlen(text), 256) AS BIGINT) AS byte_len,
         |  64 AS width,
         |  4 AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q74_media_headers" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'image/gif' ELSE 'image/png' END AS detected_mime,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(doc_id % 4000 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(doc_id % 3000 + 16 AS INTEGER) END AS height,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN 29 WHEN 1 THEN 14 WHEN 2 THEN 10
+        |       ELSE 10 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata structs alongside.
   *
-  * The decode step is a clearly-marked STUB (no codec libraries in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the payload bytes. Everything around it — the schema contract, the
-  * per-partition batching, the partition sizing — is the real production
-  * plumbing: swap `fakeDecode` for a JNI/codec call and nothing else moves.
+  * Decode is two-tier: [[parseHeader]] reads REAL dimensions straight from
+  * the container header bytes for formats where no codec is needed
+  * (PNG IHDR, JPEG SOF0/SOF2 frame segments, GIF logical screen
+  * descriptor); payloads whose magic is unrecognized fall back to the
+  * clearly-marked STUB `fakeDecode` (pixel decode needs codec libraries
+  * this environment lacks). Everything around the stub — the schema
+  * contract, the per-partition batching, the partition sizing — is the
+  * real production plumbing: swap `fakeDecode` for a JNI/codec call and
+  * nothing else moves.
   *
   * Scale notes: payloads dominate row size, so `maxRecordsPerBatch` /
   * `spark.sql.files.maxPartitionBytes` keep partitions bounded; metadata
@@ -30,6 +34,74 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("byte_len", LongType)))
 
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+  private def le16(p: Array[Byte], i: Int): Int =
+    ((p(i + 1) & 0xFF) << 8) | (p(i) & 0xFF)
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** REAL header decode — no codec needed, just the container spec:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first) carries
+    *    width/height as big-endian u32 at offsets 16/20.
+    *  - JPEG: `FF D8` SOI, then a marker walk; the frame segment
+    *    (SOF0/1/2/... — every 0xC0-0xCF except DHT 0xC4, JPG 0xC8,
+    *    DAC 0xCC) carries height/width as big-endian u16 after the
+    *    1-byte precision field.
+    *  - GIF: `GIF87a`/`GIF89a`, then the logical screen descriptor's
+    *    little-endian u16 width/height at offsets 6/8.
+    *
+    * Returns None when the magic matches no known container (caller falls
+    * back to the stub); returns a metadata row with NULL width/height when
+    * the magic matches but the header is truncated or malformed — the
+    * dimensions are honestly unknown, not fake. */
+  def parseHeader(p: Array[Byte]): Option[Row] = {
+    def meta(mime: String, w: Any, h: Any): Option[Row] =
+      Some(Row(mime, w, h, 1, 0L, p.length.toLong))
+    def dims(mime: String, w: Long, h: Long): Option[Row] =
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        meta(mime, Int.box(w.toInt), Int.box(h.toInt))
+      else meta(mime, null, null)
+    if (p.length >= 8 && p.startsWith(PngMagic)) {
+      // IHDR: 4-byte length, "IHDR" tag, then width/height
+      if (p.length >= 24 && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        dims("image/png", be32(p, 16), be32(p, 20))
+      else meta("image/png", null, null)
+    } else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 1 < p.length) {
+        if ((p(i) & 0xFF) != 0xFF) return meta("image/jpeg", null, null)
+        var m = p(i + 1) & 0xFF
+        while (m == 0xFF && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xFF } // fill bytes
+        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // no payload
+        else if (m == 0xD9) return meta("image/jpeg", null, null) // EOI before SOF
+        else {
+          if (i + 3 >= p.length) return meta("image/jpeg", null, null)
+          val segLen = be16(p, i + 2)
+          if (segLen < 2) return meta("image/jpeg", null, null)
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            // segment: len(2) precision(1) height(2) width(2) ...
+            if (i + 9 <= p.length && segLen >= 7)
+              return dims("image/jpeg", be16(p, i + 7).toLong, be16(p, i + 5).toLong)
+            return meta("image/jpeg", null, null)
+          }
+          i += 2 + segLen
+        }
+      }
+      meta("image/jpeg", null, null)
+    } else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      if (p.length >= 10) dims("image/gif", le16(p, 6).toLong, le16(p, 8).toLong)
+      else meta("image/gif", null, null)
+    } else None
+  }
+
   /** STUB decoder — deterministic fake: derives plausible metadata
     * from the payload hash. Replace with a real codec (e.g. libjpeg via
     * JNI) in production; signature and batch shape stay identical. */
@@ -42,8 +114,11 @@ object Multimodal {
   }
 
   /** Attach decoded metadata to a frame carrying (binary payload, mime).
-    * mapPartitions keeps the decoder amortized per-batch (the real decoder
-    * would reuse codec contexts across a partition). */
+    * Content wins over the declared mime: a recognized container header
+    * ([[parseHeader]]) yields real dimensions and the sniffed mime; only
+    * unrecognized payloads take the stub path. mapPartitions keeps the
+    * decoder amortized per-batch (the real decoder would reuse codec
+    * contexts across a partition). */
   def withDecodedMeta(df: DataFrame, payloadCol: String, mimeCol: String): DataFrame = {
     val outSchema = df.schema.add(StructField("media", mediaMetaSchema))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -53,7 +128,9 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
         val mime = r.getString(mIdx)
-        val meta = if (payload == null) null else fakeDecode(payload, mime)
+        val meta =
+          if (payload == null) null
+          else parseHeader(payload).getOrElse(fakeDecode(payload, mime))
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)

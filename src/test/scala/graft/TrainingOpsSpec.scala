@@ -160,6 +160,52 @@ class TrainingOpsSpec extends SparkSpec {
 
   // --- multimodal -------------------------------------------------------
 
+  test("real header decode: PNG IHDR, JPEG SOF (marker walk), GIF; malformed -> null dims") {
+    import java.nio.ByteBuffer
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(29)
+      b.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(Array(8, 6, 0, 0, 0).map(_.toByte)).array()
+    }
+    def jpegWithApp0(w: Int, h: Int, sof: Int): Array[Byte] = {
+      // SOI, APP0 segment (walk must skip it), then the SOF frame header
+      val b = ByteBuffer.allocate(2 + 2 + 2 + 4 + 2 + 2 + 1 + 2 + 2 + 3)
+      b.put(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)).putShort(6.toShort)
+      b.put("JFIF".getBytes)
+      b.put(Array(0xFF, sof).map(_.toByte)).putShort(11.toShort)
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.put(Array(1, 1, 0).map(_.toByte)).array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort).array()
+    }
+    def dims(p: Array[Byte]) = Multimodal.parseHeader(p).map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    assert(dims(png(640, 480)) == Some(("image/png", Some(640), Some(480))))
+    assert(dims(jpegWithApp0(1920, 1080, 0xC0)) == Some(("image/jpeg", Some(1920), Some(1080))))
+    assert(dims(jpegWithApp0(320, 200, 0xC2)) == Some(("image/jpeg", Some(320), Some(200))))
+    assert(dims(gif(17, 23)) == Some(("image/gif", Some(17), Some(23))))
+    // malformed: recognized magic but truncated/SOF-less -> honest NULL dims
+    assert(dims(png(640, 480).take(10)) == Some(("image/png", None, None)))
+    assert(dims(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)) == Some(("image/jpeg", None, None)))
+    assert(dims(gif(17, 23).take(7)) == Some(("image/gif", None, None)))
+    // unrecognized magic -> None, so withDecodedMeta falls back to the stub
+    assert(Multimodal.parseHeader("not an image".getBytes).isEmpty)
+    val mixed = Seq(
+      (0L, png(12, 34), "application/octet-stream"),
+      (1L, "plain text".getBytes, "text/plain"),
+      (2L, png(640, 480).take(10), "application/octet-stream"))
+      .toDF("doc_id", "payload", "mime")
+    val out = Multimodal.withDecodedMeta(mixed, "payload", "mime")
+      .select("doc_id", "media.mime", "media.width").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out(0L) == ("image/png", Some(12)))
+    assert(out(1L)._1 == "text/plain" && out(1L)._2.isDefined) // stub path
+    assert(out(2L) == ("image/png", None))
+  }
+
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
     val media = Multimodal.withDecodedMeta(
