@@ -846,12 +846,28 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
-    // ----- IVF-style ANN: coarse-quantized cells, probe nearest ------
+    // ----- IVF-style ANN: persisted inverted file, pruned cell probe --
     "q49_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
-      Similarity.ivfTopK(e, "vec_id", "embedding", cents, probeVec(s, dir),
-        k = 10, nProbe = 2)
+      // build-once/probe-many (the q30 pattern): the cell assignment is
+      // computed in ONE indexing pass and persisted partitionBy(ivf_cell);
+      // the probe reads only its nProbe cell directories. The path embeds
+      // a CONTENT fingerprint of the source plus the centroid-value
+      // signature, so neither data changes nor refined centroids can ever
+      // serve a stale inverted file.
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q49_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${Sources.contentFingerprint(srcPath, hconf)}_" +
+          Similarity.ivfSignature(cents)).getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
+        Similarity.writeIvfIndex(e, "embedding", idxPath, cents)
+      val idx = Similarity.readIvfIndex(s, idxPath)
+      Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", cents,
+        probeVec(s, dir), k = 10, nProbe = 2)
         .select(col("vec_id"), r(col("cos"), 6).as("cos"))
     }),
 

@@ -186,21 +186,71 @@ object Similarity {
     * survivors — O(N * nProbe / k) scanned per query. Persist the
     * assignment `partitionBy("ivf_cell")` (same pattern as [[writeIndex]])
     * to make the cell filter a partition-pruned read at scale. */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Float]], probe: Seq[Float], k: Int,
-      nProbe: Int): DataFrame = {
-    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
+  /** Driver-side cell ranking for a probe (no Spark job): nProbe cells by
+    * centroid cosine, ties to the smaller cell id. Shared by the ad hoc
+    * and persisted probe paths so both read the SAME cells. */
+  private def rankProbeCells(centroids: Seq[Seq[Float]], probe: Seq[Float],
+      nProbe: Int): Seq[Int] = {
+    require(centroids.nonEmpty, "IVF probe needs at least one centroid")
     centroids.find(_.length != probe.length).foreach { c =>
       throw new IllegalArgumentException(
         s"probe has ${probe.length} dims but a centroid has ${c.length} — " +
           "a dim mismatch would rank cells against different geometry")
     }
-    val probeCells = centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) => (cosineLocal(probe, c), i) }
       .sortBy { case (cos, cell) => (-cos, cell) }
       .take(nProbe).map(_._2)
+  }
+
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], probe: Seq[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val probeCells = rankProbeCells(centroids, probe, nProbe)
     val assigned = embeddings.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
     topK(assigned.filter(col("ivf_cell").isin(probeCells: _*)), idCol, vecCol, probe, k)
+  }
+
+  /** Signature identifying an IVF index's geometry: the centroid VALUES
+    * are the code scheme (unlike the LSH path, where bits/dim suffice), so
+    * the signature hashes them — any reseed or k-means refinement changes
+    * the path, and a cached index can never serve stale cells. */
+  def ivfSignature(centroids: Seq[Seq[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    centroids.foreach(_.foreach { v =>
+      bb.clear(); bb.putFloat(v); md.update(bb.array(), 0, 4)
+    })
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    s"ivfk${centroids.length}_d${dim}_" +
+      md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Persist the IVF assignment partitioned by cell — the inverted file.
+    * Assignment runs ONCE; every [[ivfTopKIndexed]] probe afterwards is a
+    * partition-pruned read of its nProbe cell directories, O(N * nProbe/k)
+    * IO instead of re-assigning the whole corpus per query (the
+    * [[writeIndex]] pattern, cell-quantized instead of code-quantized).
+    * Key reusable paths by [[ivfSignature]] + a source fingerprint. */
+  def writeIvfIndex(embeddings: DataFrame, vecCol: String, path: String,
+      centroids: Seq[Seq[Float]]): Unit =
+    embeddings.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Open a persisted IVF index; `ivf_cell` comes back as a partition
+    * column, so the probe's cell IN-list prunes at planning time. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe a persisted IVF index: rank cells driver-side (no job), read
+    * only those partitions, exact-rank the survivors. `centroids` MUST be
+    * the set the index was written with — key the path by [[ivfSignature]]
+    * so a mismatch is structurally impossible. */
+  def ivfTopKIndexed(index: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], probe: Seq[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val probeCells = rankProbeCells(centroids, probe, nProbe)
+    topK(index.filter(col("ivf_cell").isin(probeCells: _*)), idCol, vecCol, probe, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket grouping + exact

@@ -141,6 +141,34 @@ class ExpressionSpec extends SparkSpec {
       s"expected partition pruning on lsh_code in:\n$planned")
   }
 
+  test("ivfTopKIndexed over a persisted inverted file prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val n = 200
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin($"id" * 31 + d).cast("float")).as("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 6)
+    Similarity.writeIvfIndex(emb, "embedding", dir, cents)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val probe = emb.filter($"vec_id" === 7).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val indexed = Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", cents,
+      probe, k = 5, nProbe = 2)
+    // identical results to the ad hoc (re-assigning) path
+    val adhoc = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
+      probe, k = 5, nProbe = 2)
+    assert(indexed.select("vec_id").as[Long].collect().toSeq ==
+      adhoc.select("vec_id").as[Long].collect().toSeq)
+    assert(indexed.collect().head.getLong(0) == 7L) // self-retrieval wins
+    // the scan must carry partition filters (pruned read), not a full scan
+    val planned = indexed.queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters: [ivf_cell"),
+      s"expected partition pruning on ivf_cell in:\n$planned")
+    // the centroid-value signature changes when geometry changes
+    assert(Similarity.ivfSignature(cents) !=
+      Similarity.ivfSignature(cents.map(_.map(_ + 1f))))
+  }
+
   test("GraftExtensions registers cosine_sim as a SQL function") {
     // a genuinely new session (getOrCreate would reuse the shared one and
     // skip extension installation); the SparkContext is shared
