@@ -112,8 +112,90 @@ object Components {
     und.unpersist() // the one CacheManager entry this call creates
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathologically deep graph; use large-star/small-star (O(log n) rounds)")
+        "pathologically deep graph; use connectedComponentsStar " +
+        "(alternating large-star/small-star, O(log n) rounds)")
     labels
+  }
+
+  /** O(log n)-round connected components via alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the fallback [[connectedComponents]]'s failure
+    * message advertises, for graphs whose diameter defeats per-round
+    * min-propagation (a depth-10⁶ path converges here in ~20 rounds).
+    *
+    * large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires its
+    * LARGER neighbors v > u to m. small-star: edges oriented larger→smaller,
+    * u rewires its smaller neighbors (and itself) to m. Both are one
+    * groupBy-min plus one equi-join back on the node key — per-node MIN
+    * aggregation only, so (unlike a collect_list formulation) a
+    * billion-degree hub node costs nothing special. The fixpoint is a star
+    * forest: every node points straight at its component's minimum id.
+    *
+    * Output matches [[connectedComponents]]: `(node, label)`, one row per
+    * distinct endpoint. Convergence is checked SOUNDLY (distinct edge-set
+    * equality via count + one-sided except, not a hash-sum that could
+    * collide), one count action per round and the except only on
+    * equal counts. */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    Seq(aCol, bCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"edge column '$c' is $dt: a long cast would silently null " +
+          "non-numeric ids and return an empty labeling — map string ids " +
+          "to longs (e.g. xxhash64) before clustering")
+    }
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    def largeStar(d: DataFrame): DataFrame = {
+      val b = d.unionByName(d.select(col("y").as("x"), col("x").as("y")))
+      val mins = b.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x").as("u"), least(col("mn"), col("x")).as("m"))
+      b.join(mins, b("x") === mins("u"))
+        .where(col("y") > col("x"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .where(col("x") =!= col("y"))
+        .distinct()
+    }
+    def smallStar(d: DataFrame): DataFrame = {
+      val o = d.select(greatest(col("x"), col("y")).as("x"),
+        least(col("x"), col("y")).as("y"))
+      val mins = o.groupBy(col("x")).agg(min(col("y")).as("m")) // m < x always
+      val members = o.join(mins, Seq("x"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .where(col("x") =!= col("y")) // v == m: already carried as (u, m)
+      members.unionByName(mins.select(col("x"), col("m").as("y"))).distinct()
+    }
+    // one checkpointed frame per round, count riding the same action
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, cnt) = materialize(
+      edges.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+        .distinct())
+    var converged = cnt == 0 // edgeless graph: nothing to label
+    var round = 0
+    while (!converged && round < maxIter) {
+      val (next, nextCnt) = materialize(smallStar(largeStar(e)))
+      converged = nextCnt == cnt && next.except(e).limit(1).isEmpty
+      release(e)
+      e = next
+      cnt = nextCnt
+      round += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "at ~20 rounds per 10^6-depth path this indicates a degenerate " +
+        "input, not a deep graph; inspect the edge frame")
+    // fixpoint is a star forest: x values are non-roots, y values roots
+    e.select(col("x").as("node"), col("y").as("label"))
+      .unionByName(e.select(col("y").as("node"), col("y").as("label")))
+      .distinct()
   }
 
   /** Canonical-doc assignment for a corpus given its near-dup pairs:

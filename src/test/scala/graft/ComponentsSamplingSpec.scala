@@ -46,6 +46,38 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("large-star/small-star converges on a path deeper than maxIter rounds") {
+    // a 200-deep path graph needs ~200 min-propagation rounds (so
+    // connectedComponents at maxIter=50 refuses it) but only O(log n)
+    // star alternations
+    val deep = spark.range(199).select($"id".as("a"), ($"id" + 1).as("b"))
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(deep, "a", "b", maxIter = 50)
+    }
+    val labels = Components.connectedComponentsStar(deep, "a", "b", maxIter = 50)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L)) // one component, min id 0
+  }
+
+  test("star and propagate algorithms produce identical labelings") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L), (8L, 8L),
+      (10L, 7L), (7L, 11L)).toDF("id_a", "id_b")
+    val prop = Components.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val star = Components.connectedComponentsStar(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    // empty edge list: empty labeling, same as propagate
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponentsStar(none, "id_a", "id_b").count() == 0)
+    // non-numeric ids rejected up front, same as propagate
+    intercept[IllegalArgumentException] {
+      Components.connectedComponentsStar(Seq(("a", "b")).toDF("id_a", "id_b"),
+        "id_a", "id_b")
+    }
+  }
+
   test("canonicalize maps unpaired docs to themselves, paired to cluster min") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
