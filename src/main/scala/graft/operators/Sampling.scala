@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * Stratified form: a per-stratum rate map (e.g. downsample the dominant
   * language, keep all of a rare one) compiled to one CASE cutoff column.
   */
+/** Collision-free temp-column names: `withColumn` with a fixed name like
+  * `_rn` would silently REPLACE an input column of that name and then drop
+  * it from the output — the name must be proven absent first. */
+private[operators] object TempCols {
+  def fresh(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+}
+
 object Sampling {
 
   /** First 8 md5 hex chars of the '#'-joined key — a uniform draw in
@@ -52,11 +61,14 @@ object Sampling {
     * corpus downsampling, where high-quality docs survive at a higher
     * rate. Still a pure scan-speed filter with all of [[hashSample]]'s
     * properties (rerun-stable, engine-portable, and monotone in the
-    * rate: raising a row's rate can only add it, never swap it). */
+    * rate: raising a row's rate can only add it, never swap it). A NULL
+    * rate is an EXPLICIT rate 0 — the row is dropped (coalesced, not
+    * left to null-comparison semantics that read as an accident). */
   def weightedHashSample(df: DataFrame, keyCols: Seq[String],
       rateCol: Column): DataFrame = {
     require(keyCols.nonEmpty, "weighted sample needs key columns")
-    val clamped = least(greatest(rateCol.cast("double"), lit(0.0)), lit(1.0))
+    val clamped = least(greatest(
+      coalesce(rateCol.cast("double"), lit(0.0)), lit(0.0)), lit(1.0))
     df.filter(uniformLong(keyCols.map(col)) <
       floor(clamped * lit(4294967296.0) + 0.5))
   }
@@ -104,9 +116,10 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy((uniformHex(keyCols.map(col)) +: keyCols.map(col)): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    val rn = TempCols.fresh(df, "_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Stratified deterministic sample: per-stratum rates with an optional

@@ -3,6 +3,27 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Shared guard for the bounded-per-key-events contract of the fold
+  * operators ([[Sequence.funnelStages]], [[Stats.emaPerKey]]): when a cap
+  * is set, a cheap partial-aggregated count runs FIRST and names the
+  * offending key, so one hot key fails loudly up front instead of
+  * silently OOMing an executor inside collect_list. Opt-in (cap 0 = off)
+  * because it costs one extra pass over the input. */
+private[operators] object BoundedKeys {
+  def enforce(df: DataFrame, keyCol: String, cap: Int, op: String): Unit =
+    if (cap > 0) {
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap)
+        .limit(1).collect().headOption.foreach { r =>
+          throw new IllegalArgumentException(
+            s"$op: key ${r.get(0)} has ${r.getLong(1)} events, over " +
+              s"maxEventsPerKey=$cap — the per-key fold materializes the " +
+              "key's full event list; unbounded keys belong in the " +
+              "streaming custom-state form")
+        }
+    }
+}
+
 /** Event-sequence analytics: per-key ORDERED pattern matching expressed
   * as a deterministic left fold over the key's time-sorted events — the
   * portable core of MATCH_RECOGNIZE-style funnels. The fold is plain
@@ -17,11 +38,13 @@ object Sequence {
     * event of type `steps(i)` arrives while the key sits at stage i —
     * strictly ordered, so a purchase BEFORE the first view does not
     * count. Returns `(keyCol, funnel_stage)` with stage in
-    * [0, steps.length]. */
+    * [0, steps.length]. `maxEventsPerKey` (0 = off) enforces the
+    * bounded-key contract up front via [[BoundedKeys]]. */
   def funnelStages(events: DataFrame, keyCol: String, orderCols: Seq[String],
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String], maxEventsPerKey: Int = 0): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(orderCols.nonEmpty, "funnel needs ordering columns")
+    BoundedKeys.enforce(events, keyCol, maxEventsPerKey, "funnelStages")
     val arr = sort_array(collect_list(struct(
       orderCols.map(col) :+ col(typeCol).as("_t"): _*)))
     def advance(acc: Column, x: Column): Column =

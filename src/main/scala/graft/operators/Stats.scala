@@ -58,7 +58,10 @@ object Stats {
     val n = count(v).over(w).cast("double")
     val mean = s1 / n
     val variance = (s2 - s1 * s1 / n) / n
-    df.withColumn(zCol, (v - mean) / sqrt(variance))
+    // explicit NULL for degenerate (constant or single-value) groups: a
+    // bare divide-by-zero happens to be NULL here but ±inf/NaN in
+    // IEEE-mode engines — the guard makes the semantics engine-portable
+    df.withColumn(zCol, when(variance > 0, (v - mean) / sqrt(variance)))
   }
 
   /** One-pass column profile — the data-audit report (row counts, null
@@ -105,10 +108,12 @@ object Stats {
     * like 0.5, bit-for-bit). The collect_list is bounded by the per-key
     * event count; for unbounded keys use the streaming form
     * ([[graft.streaming.StreamingSync.emaPerKey]]), whose state is O(1)
-    * per key. */
+    * per key. `maxEventsPerKey` (0 = off) enforces that contract up front
+    * via [[Sequence]]'s shared [[BoundedKeys]] guard. */
   def emaPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
-      valueCol: String, alpha: Double): DataFrame = {
+      valueCol: String, alpha: Double, maxEventsPerKey: Int = 0): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    BoundedKeys.enforce(df, keyCol, maxEventsPerKey, "emaPerKey")
     val packed = sort_array(collect_list(struct(
       orderCols.map(col) :+ col(valueCol).cast("double").as("_v"): _*)))
     df.groupBy(col(keyCol))

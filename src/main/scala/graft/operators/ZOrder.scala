@@ -56,10 +56,11 @@ object ZOrder {
   def cluster(df: DataFrame, dims: Seq[(String, Double, Double)],
       bitsPerDim: Int = 16, nFiles: Int = 0): DataFrame = {
     val z = zValue(dims.map { case (n, mn, mx) => (col(n), mn, mx) }, bitsPerDim)
-    val withZ = df.withColumn("_z", z)
+    val zc = TempCols.fresh(df, "_z")
+    val withZ = df.withColumn(zc, z)
     val ranged =
-      if (nFiles > 0) withZ.repartitionByRange(nFiles, col("_z"))
-      else withZ.repartitionByRange(col("_z"))
-    ranged.sortWithinPartitions("_z").drop("_z")
+      if (nFiles > 0) withZ.repartitionByRange(nFiles, col(zc))
+      else withZ.repartitionByRange(col(zc))
+    ranged.sortWithinPartitions(zc).drop(zc)
   }
 }

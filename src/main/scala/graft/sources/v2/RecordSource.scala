@@ -105,6 +105,14 @@ private[v2] case class PushedTopN(field: String, descending: Boolean,
 private[v2] case class PushedAggCol(op: String, field: String)
 private[v2] case class PushedAggSpec(groupCols: Seq[String], aggs: Seq[PushedAggCol])
 
+private[v2] object RecordScanBuilder {
+  /** Hard ceiling on distinct group keys a pushed aggregation may
+    * accumulate per partition: the reader's hash table cannot spill, so
+    * past this it fails loudly (see `buildAgg`) instead of OOMing. At
+    * ~100 bytes/entry the bound caps the table near 10 MB. */
+  val MaxPushedGroups: Int = 100000
+}
+
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -338,10 +346,27 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     * (Spark pushed them in that order). A GLOBAL aggregate (no group
     * columns) always emits exactly one row, so an all-filtered-out
     * partition still contributes count 0 to the final merge; a grouped
-    * aggregate rightly emits nothing for absent groups. */
+    * aggregate rightly emits nothing for absent groups.
+    *
+    * The buffer holds one entry per distinct group key and cannot spill
+    * (pushdown cannot be un-accepted mid-scan), so a group-by on a
+    * high-cardinality column (a string id, say) is bounded by
+    * [[RecordScanBuilder.MaxPushedGroups]] — past it the reader FAILS
+    * LOUDLY naming the fix (group on a bounded-cardinality column, or
+    * keep the aggregation in Spark) instead of growing until an executor
+    * OOM that would blame the wrong stage. */
   private def buildAgg(a: PushedAggSpec): Iterator[InternalRow] = {
     val groupTypes = a.groupCols.map(c => fullSchema(c).dataType)
     val buf = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    def checkBound(): Unit = // called pre-insert: size == keys already held
+      if (buf.size >= RecordScanBuilder.MaxPushedGroups)
+        throw new IllegalStateException(
+          s"graft-records aggregate pushdown exceeded MaxPushedGroups=" +
+            s"${RecordScanBuilder.MaxPushedGroups} distinct keys for group " +
+            s"columns ${a.groupCols.mkString("(", ", ", ")")} in one " +
+            "partition — the in-reader hash table cannot spill. Group on a " +
+            "bounded-cardinality column, or keep the aggregation in Spark " +
+            "(it spills) by aggregating a non-pushable expression")
     def newBuffer(): Array[Any] = a.aggs.map {
       case PushedAggCol("count_star", _) | PushedAggCol("count", _) => 0L: Any
       case _ => null: Any
@@ -353,7 +378,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
         val node = mapper.readTree(l)
         if (passes(node)) {
           val key = a.groupCols.zip(groupTypes).map { case (c, dt) => rawValue(node, c, dt) }
-          val st = buf.getOrElseUpdate(key, newBuffer())
+          val st = buf.getOrElseUpdate(key, { checkBound(); newBuffer() })
           a.aggs.zipWithIndex.foreach { case (ac, i) =>
             ac.op match {
               case "count_star" => st(i) = st(i).asInstanceOf[Long] + 1L

@@ -146,6 +146,12 @@ class ComponentsSamplingSpec extends SparkSpec {
     val at06 = Sampling.weightedHashSample(df, Seq("k"), lit(0.6))
       .select("k").as[Long].collect().toSet
     assert(at03.subsetOf(at06))
+    // NULL rate is an explicit rate 0: the row drops by coalesce, not by
+    // incidental null-comparison semantics
+    val withNullRate = spark.range(100).select($"id".as("k"),
+      when($"id" < 50, 1.0).as("w")) // ids 50+ get a NULL rate
+    assert(Sampling.weightedHashSample(withNullRate, Seq("k"), col("w"))
+      .count() == 50)
   }
 
   test("stratified sampling applies per-stratum rates with a default") {
@@ -248,6 +254,33 @@ class ComponentsSamplingSpec extends SparkSpec {
       Seq("ts", "event_id"), "event_type", Seq("view", "click", "purchase"))
       .as[(Long, Long)].collect().toMap
     assert(counts == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+    // bounded-key contract: a pathological hot key fails loudly up front
+    // (named in the error) instead of OOMing inside collect_list
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sequence.funnelStages(ev, "user_id",
+        Seq("ts", "event_id"), "event_type", Seq("view"), maxEventsPerKey = 2)
+    }
+    assert(err.getMessage.contains("maxEventsPerKey"))
+    // a sufficient cap changes nothing
+    val capped = graft.operators.Sequence.funnelStages(ev, "user_id",
+      Seq("ts", "event_id"), "event_type", Seq("view", "click", "purchase"),
+      maxEventsPerKey = 10).as[(Long, Long)].collect().toMap
+    assert(capped == got)
+  }
+
+  test("capPerGroup and zorder temp columns never clobber input columns") {
+    // an input column named like the operator's internal temp column must
+    // survive to the output unchanged
+    val df = spark.range(20).select(($"id" % 2).as("g"), $"id".as("k"),
+      ($"id" * 100).as("_rn"))
+    val out = Sampling.capPerGroup(df, Seq("g"), Seq("k"), k = 3)
+    assert(out.columns.contains("_rn"))
+    assert(out.select(sum($"_rn")).as[Long].head() > 0) // values intact
+    val zin = Seq((1.0, 2.0, 7L)).toDF("x", "y", "_z")
+    val zout = graft.operators.ZOrder.cluster(zin,
+      Seq(("x", 0.0, 10.0), ("y", 0.0, 10.0)), bitsPerDim = 8)
+    assert(zout.columns.toSeq == Seq("x", "y", "_z"))
+    assert(zout.select("_z").as[Long].head() == 7L)
   }
 
   test("URL domain extraction and histogram binning") {

@@ -166,4 +166,29 @@ class RecordSourceSpec extends SparkSpec {
     assert(!cd.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     assert(cd.collect().head.getLong(0) == 2L)
   }
+
+  test("pushed aggregation fails loudly past the group-key bound, not OOM") {
+    // the in-reader hash table cannot spill, so a high-cardinality group
+    // column must hit a clear ceiling instead of growing until executor OOM
+    val dir = Files.createTempDirectory("graft_dsv2_wide").toFile
+    val f = new java.io.File(dir, "wide.jsonl")
+    val sb = new StringBuilder
+    (0 to 100000).foreach { i => // MaxPushedGroups + 1 distinct keys
+      sb.append(s"""{"id":"r$i","createdTime":"2024-01-01T00:00:00Z","fields":{"Name":"k$i"}}""")
+      sb.append('\n')
+    }
+    java.nio.file.Files.writeString(f.toPath, sb.toString)
+    val wide = spark.read.format("graft-records")
+      .option("path", f.getAbsolutePath)
+      .option("fieldTypes", "Name:singleLineText")
+      .load()
+    val agg = wide.groupBy($"Name").agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation=[groupBy=Name"))
+    val ex = intercept[Exception] { agg.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("MaxPushedGroups")),
+      s"expected the MaxPushedGroups ceiling in: ${messages(ex)}")
+  }
 }

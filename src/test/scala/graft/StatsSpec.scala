@@ -61,6 +61,26 @@ class StatsSpec extends SparkSpec {
       .select("v", "zscore").as[(Option[Double], Option[Double])].collect().toMap
     assert(zn(Some(2.0)) == Some(1.0) && zn(Some(0.0)) == Some(-1.0))
     assert(zn(None).isEmpty)
+    // degenerate groups (constant or single value) yield an EXPLICIT null,
+    // not an engine-dependent divide-by-zero (±inf/NaN in IEEE mode)
+    val degen = Seq(("c", 5.0), ("c", 5.0), ("d", 42.0)).toDF("g", "v")
+    val zd = Stats.zscorePerGroup(degen, Seq("g"), "v")
+      .select("g", "zscore").as[(String, Option[Double])].collect()
+    assert(zd.forall(_._2.isEmpty))
+  }
+
+  test("emaPerKey bounded-key guard names the offending hot key") {
+    val hot = spark.range(1000).select(lit("hotkey").as("k"),
+      $"id".as("t"), ($"id" % 7).cast("double").as("v"))
+    val err = intercept[IllegalArgumentException] {
+      Stats.emaPerKey(hot, "k", Seq("t"), "v", alpha = 0.5, maxEventsPerKey = 100)
+    }
+    assert(err.getMessage.contains("hotkey") && err.getMessage.contains("1000"))
+    // under the cap: identical results to the unguarded form
+    val ok = Stats.emaPerKey(hot, "k", Seq("t"), "v", alpha = 0.5,
+      maxEventsPerKey = 1000)
+    val free = Stats.emaPerKey(hot, "k", Seq("t"), "v", alpha = 0.5)
+    assert(ok.collect().toSeq == free.collect().toSeq)
   }
 
   test("column profile reports nulls, cardinality, and typed min/max in one pass") {
