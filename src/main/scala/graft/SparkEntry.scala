@@ -707,6 +707,21 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- iterated k-means: refine once, then re-assign -------------
+    "q75_kmeans_refine" -> ((s, dir) => {
+      // one full Lloyd refinement (assign -> DECIMAL-routed means ->
+      // Float-rounded centroids) and then the SECOND step's aggregation
+      // over the refined geometry; the oracle unrolls both iterations as
+      // CTEs, so assignment, fallback, and Float rounding all replay
+      // engine-independently
+      val e = rd(s, dir, "embeddings")
+      val seeds = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      val (cents1, _) = Similarity.kmeansRefine(e, "embedding", seeds, iters = 1)
+      Similarity.kmeansStep(e, "embedding", cents1)
+        .select(col("cell"), col("dim"), col("n_members"), r(col("mean"), 6).as("mean"))
+        .orderBy("cell", "dim")
+    }),
+
     // ----- weighted (per-row dynamic rate) sampling ------------------
     // keep-probability = the doc's own length-derived weight: longer
     // docs survive at a higher rate, all in one scan-speed filter
@@ -1936,6 +1951,60 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both Lloyd iterations unrolled: assignment (argmax cosine, ties to
+    // the larger cell), DECIMAL-routed means, Float-rounded refined
+    // centroids (empty cells keep their seed), then the second
+    // assignment's aggregation — every stage replayed engine-side
+    "q75_kmeans_refine" ->
+      """WITH cent0 AS (SELECT vec_id AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored0 AS (SELECT e.vec_id, e.embedding, c.cell,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN cent0 c),
+        |asg0 AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored0) WHERE rn = 1),
+        |pts0 AS (SELECT cell,
+        |  unnest([{'d': d, 'v': CAST(embedding[d] AS DOUBLE)}
+        |          FOR d IN range(1, len(embedding) + 1)]) AS s
+        |  FROM asg0),
+        |m0 AS (SELECT cell, s.d AS d,
+        |  CAST(sum(CAST(s.v AS DECIMAL(28,12))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS mean
+        |  FROM pts0 GROUP BY 1, 2),
+        |cent1 AS (SELECT c0.cell,
+        |  coalesce(m.arr, c0.cv) AS cv
+        |  FROM cent0 c0 LEFT JOIN (
+        |    SELECT cell, list(CAST(mean AS FLOAT) ORDER BY d) AS arr
+        |    FROM m0 GROUP BY cell) m ON c0.cell = m.cell),
+        |scored1 AS (SELECT e.vec_id, e.embedding, c.cell,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN cent1 c),
+        |asg1 AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored1) WHERE rn = 1),
+        |pts1 AS (SELECT cell,
+        |  unnest([{'d': d, 'v': CAST(embedding[d] AS DOUBLE)}
+        |          FOR d IN range(1, len(embedding) + 1)]) AS s
+        |  FROM asg1)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(s.d - 1 AS BIGINT) AS dim,
+        |  count(*) AS n_members,
+        |  floor(CAST(sum(CAST(s.v AS DECIMAL(28,12))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean
+        |FROM pts1 GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
 
     "q74_media_headers" ->
       """SELECT doc_id,

@@ -186,6 +186,54 @@ object Similarity {
     * survivors — O(N * nProbe / k) scanned per query. Persist the
     * assignment `partitionBy("ivf_cell")` (same pattern as [[writeIndex]])
     * to make the cell filter a partition-pruned read at scale. */
+  /** Iterative Lloyd refinement: [[kmeansStep]] composed into a loop.
+    * Each iteration is ONE distributed job (map-side assign + one
+    * partial-aggregated mean per (cell, dim)); the per-iteration collect
+    * is CENTROID-sized (k*dim rows), never data-sized. New centroid
+    * components round through Float so the refined centroids are exactly
+    * representable in the embedding space (and in any engine that
+    * reproduces the DECIMAL-routed means — the oracle-parity rule).
+    * Cells that lose all members — and dims whose values are all null —
+    * keep their previous component, the standard Lloyd fallback.
+    *
+    * Convergence rides the same collect: iteration stops early once the
+    * max L2 centroid movement is <= `tol` (tol 0 = run all `iters`).
+    * Returns the refined centroids plus the per-iteration movement trace
+    * — the trace makes convergence testable and regressions visible. */
+  def kmeansRefine(embeddings: DataFrame, vecCol: String,
+      seeds: Seq[Seq[Float]], iters: Int,
+      tol: Double = 0.0): (Seq[Seq[Float]], Seq[Double]) = {
+    require(seeds.nonEmpty, "kmeansRefine needs seed centroids")
+    require(iters >= 1, s"iters $iters must be positive")
+    var cents = seeds
+    val moves = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val stepped = kmeansStep(embeddings, vecCol, cents).collect()
+      val byCell = stepped.groupBy(_.getLong(0))
+      val next = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c.toLong) match {
+          case Some(rows) =>
+            val dims = rows.iterator.filterNot(_.isNullAt(3))
+              .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+            old.indices.map(d =>
+              dims.get(d.toLong).map(_.toFloat).getOrElse(old(d))).toSeq
+          case None => old // empty cell: keep the previous centroid
+        }
+      }
+      val move = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum)
+      }.max
+      moves += move
+      cents = next
+      done = move <= tol
+      i += 1
+    }
+    (cents, moves.toSeq)
+  }
+
   /** Driver-side cell ranking for a probe (no Spark job): nProbe cells by
     * centroid cosine, ties to the smaller cell id. Shared by the ad hoc
     * and persisted probe paths so both read the SAME cells. */

@@ -423,4 +423,65 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Similarity.cosineLocal(a, a :+ 0.0f) == Similarity.cosineLocal(a, a))
     assert(Similarity.cosineLocal(a, a :+ 4.0f) < Similarity.cosineLocal(a, a))
   }
+
+  test("kmeansRefine: movement shrinks to convergence, refined centroids beat seeds") {
+    // two tight cosine clusters around (1,0,..) and (0,1,..); seeds are the
+    // two smallest-id vectors, both only roughly aligned with their cluster
+    val emb = spark.range(40).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(3)), d =>
+        (when(($"id" % 2 === 0) && (d === 0), 10.0)
+          .when(($"id" % 2 === 1) && (d === 1), 10.0)
+          .otherwise(0.0) + sin($"id" * 7 + d)).cast("float")).as("embedding"))
+    val seeds = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 2)
+    val (refined, moves) = Similarity.kmeansRefine(emb, "embedding", seeds,
+      iters = 6, tol = 1e-7)
+    assert(moves.nonEmpty && moves.length <= 6)
+    // movement shrinks monotonically on well-separated clusters and hits tol
+    moves.sliding(2).foreach { case Seq(prevMove, nextMove) =>
+      assert(nextMove <= prevMove, s"movement grew: $moves")
+    }
+    assert(moves.last <= 1e-7) // converged, not just ran out of iterations
+    // rerunning one step from the converged centroids moves nothing
+    val (_, again) = Similarity.kmeansRefine(emb, "embedding", refined, iters = 1)
+    assert(again.head <= 1e-7)
+    // the refined centroids align with their clusters better than the seeds
+    def meanBestCos(cents: Seq[Seq[Float]]): Double = {
+      val vs = emb.select("embedding").collect().map(_.getSeq[Float](0).toSeq)
+      vs.map(v => cents.map(c => Similarity.cosineLocal(v, c)).max).sum / vs.length
+    }
+    assert(meanBestCos(refined) > meanBestCos(seeds))
+  }
+
+  test("IVF recall@nProbe pinned against brute force") {
+    // deterministic corpus; recall measured once and PINNED so an index,
+    // assignment, or ranking change can never silently degrade recall
+    val n = 400
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin($"id" * 13 + d).cast("float")).as("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
+    val k = 10
+    val probes = Seq(3L, 97L, 211L, 333L)
+    val recalls = probes.map { pid =>
+      val probe = emb.filter($"vec_id" === pid).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val exact = Similarity.topK(emb, "vec_id", "embedding", probe, k)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, probe,
+        k = k, nProbe = 2).select("vec_id").as[Long].collect().toSet
+      approx.intersect(exact).size.toDouble / k
+    }
+    val meanRecall = recalls.sum / recalls.length
+    // pinned floor: measured 2-of-8-cells recall on this corpus; a drop
+    // below means the cell assignment or probe ranking regressed
+    assert(meanRecall >= 0.60, s"recall@nProbe=2 fell to $meanRecall ($recalls)")
+    // full probe is exact by construction — recall 1.0, no pin needed
+    val probe0 = emb.filter($"vec_id" === 3L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, probe0,
+      k = k, nProbe = 8).select("vec_id").as[Long].collect().toSet
+    val exact0 = Similarity.topK(emb, "vec_id", "embedding", probe0, k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact0)
+  }
 }
