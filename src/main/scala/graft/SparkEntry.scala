@@ -707,6 +707,16 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- sequence packing: concat-and-chunk placement plan ---------
+    "q76_sequence_packing" -> ((s, dir) => {
+      // shard by id hash, cumulative offsets within shard, budget-sized
+      // bins — the LLM-pretraining packing layout; oracle replays the
+      // same md5 shard/order and window arithmetic
+      graft.operators.Packing.packSequences(rd(s, dir, "documents"),
+        "doc_id", "n_chars", budget = 4096L, shards = 4)
+        .orderBy("shard", "start_offset", "doc_id")
+    }),
+
     // ----- iterated k-means: refine once, then re-assign -------------
     "q75_kmeans_refine" -> ((s, dir) => {
       // one full Lloyd refinement (assign -> DECIMAL-routed means ->
@@ -1951,6 +1961,21 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q76_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_toks,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents),
+        |o AS (SELECT shard, doc_id, n_toks,
+        |  CAST(coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY hx, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_toks, start_offset,
+        |  start_offset // 4096 AS first_bin,
+        |  (start_offset + greatest(n_toks - 1, 0)) // 4096 AS last_bin
+        |FROM o ORDER BY shard, start_offset, doc_id""".stripMargin,
 
     // both Lloyd iterations unrolled: assignment (argmax cosine, ties to
     // the larger cell), DECIMAL-routed means, Float-rounded refined

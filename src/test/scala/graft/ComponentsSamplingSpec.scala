@@ -268,6 +268,56 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(capped == got)
   }
 
+  test("sequence packing: contiguous per-shard offsets, correct bin spans, stable") {
+    import graft.operators.Packing
+    val docs = spark.range(60).select($"id".as("doc_id"),
+      (($"id" % 7) * 3 + 1).as("n_toks")) // lengths 1..19
+    val placed = Packing.packSequences(docs, "doc_id", "n_toks",
+      budget = 16L, shards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(placed.length == 60)
+    // per shard: offsets are a contiguous concat (each start = previous
+    // start + previous length, first starts at 0)
+    placed.groupBy(_._1).values.foreach { sh =>
+      val ordered = sh.sortBy(_._4)
+      assert(ordered.head._4 == 0L)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 == a._4 + a._3, s"gap between $a and $b")
+      }
+    }
+    // bin spans: first/last derive from offset arithmetic; docs longer
+    // than the budget legitimately span multiple bins
+    placed.foreach { case (_, _, n, start, first, last) =>
+      assert(first == start / 16)
+      assert(last == (start + math.max(n - 1, 0)) / 16)
+    }
+    assert(placed.exists { case (_, _, n, start, first, last) =>
+      last > first }) // 19-token docs must straddle a 16-token bin
+    // rerun-stable, and NULL lengths pack as 0-length at the same spot
+    val again = Packing.packSequences(docs, "doc_id", "n_toks", 16L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(again.toSet == placed.map(p => (p._1, p._2, p._4)).toSet)
+    val withNull = docs.withColumn("n_toks",
+      when($"doc_id" === 0, lit(null)).otherwise($"n_toks"))
+    val pn = Packing.packSequences(withNull, "doc_id", "n_toks", 16L, 3)
+      .filter($"doc_id" === 0).head()
+    assert(pn.getLong(2) == 0L && pn.getLong(4) == pn.getLong(5))
+    // occupancy: every bin holds exactly budget tokens except each
+    // shard's tail bin, and totals reconcile with the input
+    val occ = Packing.binOccupancy(
+      Packing.packSequences(docs, "doc_id", "n_toks", 16L, 3), 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totalTokens = docs.select(sum($"n_toks")).as[Long].head()
+    assert(occ.values.sum == totalTokens)
+    val lastBinPerShard = occ.keys.groupBy(_._1).map { case (s0, ks) =>
+      s0 -> ks.map(_._2).max }
+    occ.foreach { case ((s0, b), used) =>
+      if (b < lastBinPerShard(s0)) assert(used == 16L, s"non-tail bin ($s0,$b) short: $used")
+      else assert(used <= 16L)
+    }
+  }
+
   test("capPerGroup and zorder temp columns never clobber input columns") {
     // an input column named like the operator's internal temp column must
     // survive to the output unchanged
