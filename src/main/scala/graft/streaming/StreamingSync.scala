@@ -189,6 +189,44 @@ object StreamingSync {
       }
   }
 
+  /** Streaming funnel: the batch
+    * [[graft.operators.Sequence.funnelStages]] recurrence with O(1)
+    * explicit state per key — only the current stage survives across
+    * micro-batches, so a key's unbounded event history is never
+    * materialized (the batch form's maxEventsPerKey hazard cannot exist
+    * here). Events inside a batch advance the state machine in
+    * (event-time, type) order — the full-timestamp comparator, like
+    * [[emaPerKey]], so sub-millisecond events keep event-time order.
+    * Emits one updated `(key, funnel_stage)` row per key per batch
+    * (update output mode); stage is monotone, so the latest row per key
+    * is the answer. */
+  def funnelPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): Dataset[(Long, Long)] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
+        s"CAST($typeCol AS STRING) AS _y")
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+            st: GroupState[Int]) =>
+          val xs = it.toSeq.sortWith { (a, b) =>
+            val c = a._2.compareTo(b._2)
+            c < 0 || (c == 0 && a._3 < b._3)
+          }
+          var stage = st.getOption.getOrElse(0)
+          xs.foreach { case (_, _, t) =>
+            if (stage < steps.length && t == steps(stage)) stage += 1
+          }
+          st.update(stage)
+          (k, stage.toLong)
+      }
+  }
+
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
     * when the watermark passes last_event + gap, then emit exactly once

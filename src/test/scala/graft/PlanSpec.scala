@@ -172,4 +172,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment is a projection, not a join:\n$p")
     assert(p.contains("partial"), p) // the mean agg is map-side combined
   }
+
+  test("sequence packing: one hash exchange on the shard key, no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Packing.packSequences(docs, "doc_id", "n_chars",
+      budget = 4096L, shards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(x =>
+      x.contains("Exchange") && !x.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"per-shard window must not demand a global total order:\n$p")
+  }
 }

@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((7L, 1.5)))
   }
 
+  test("custom-state funnel advances stages across micro-batches, in order") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingSync.funnelPerKey(
+      in.toDF().toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .toDF("user_id", "funnel_stage")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    // batch 1: user 1's click arrives BEFORE its view in arrival order but
+    // AFTER in event time -> stage 2; user 2's purchase-before-view -> 1
+    in.addData((1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:01:00"), "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 completes; user 2's click continues from stage 1
+    in.addData((1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 10:02:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_out").groupBy("user_id")
+      .agg(max("funnel_stage").as("stage")) // stage is monotone
+      .as[(Long, Long)].collect().toMap
+    assert(last == Map(1L -> 3L, 2L -> 2L))
+    // cross-check: the batch operator over the union of both batches
+    val all = Seq(
+      (1L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 10:01:00"), 4L, "view"),
+      (1L, ts("2024-01-01 10:02:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 10:02:00"), 6L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batch = graft.operators.Sequence.funnelStages(all, "user_id",
+      Seq("ts", "event_id"), "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(batch == last)
+  }
+
   test("custom-state EMA carries the recurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
