@@ -707,6 +707,18 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- line-level boilerplate removal (CCNet/C4 rule) ------------
+    "q77_boilerplate_lines" -> ((s, dir) => {
+      // the fixture's text is single-line, so spaces become line breaks:
+      // "lines" are then words and the corpus-frequency rule drops filler
+      // words present in > 50 distinct docs — same operator, same oracle
+      // arithmetic as a real multi-line corpus
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 50)
+        .orderBy("doc_id")
+    }),
+
     // ----- sequence packing: concat-and-chunk placement plan ---------
     "q76_sequence_packing" -> ((s, dir) => {
       // shard by id hash, cumulative offsets within shard, budget-sized
@@ -1961,6 +1973,25 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q77_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, translate(text, ' ', chr(10)) AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': sp[i]} FOR i IN range(1, len(sp) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d)),
+        |boiler AS (SELECT trim(s.line) AS key FROM lines
+        |  WHERE trim(s.line) <> '' GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) > 50),
+        |j AS (SELECT l.doc_id, l.s.pos AS pos, l.s.line AS line,
+        |  (b.key IS NOT NULL) AS dropped
+        |  FROM lines l LEFT JOIN boiler b ON trim(l.s.line) = b.key)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(line ORDER BY pos)
+        |    FILTER (WHERE NOT dropped), chr(10)), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_lines_kept,
+        |  CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_lines_dropped
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q76_sequence_packing" ->
       """WITH t AS (SELECT doc_id,

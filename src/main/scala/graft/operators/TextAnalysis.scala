@@ -264,6 +264,42 @@ object TextAnalysis {
         md5(array_join(slice(col("_w"), col("col") + 1, lit(chunkSize)), " ")).as("chunk_fp"))
   }
 
+  /** Line-level boilerplate removal — the CCNet/C4 paragraph-dedup rule:
+    * a line whose TRIMMED text recurs in more than `maxDocFreq` distinct
+    * documents is boilerplate (nav bars, cookie banners, license
+    * footers) and is dropped from EVERY document; each document
+    * reassembles from its surviving lines in original order. Blank lines
+    * are structural, not content — never counted, never dropped.
+    *
+    * Scale shape: one explode lineage, one exact distinct-doc-count
+    * aggregation on the line text, one join back (AQE broadcasts the
+    * boilerplate side when small, which heavy-hitter sets above a
+    * frequency threshold usually are), one per-document reassembly
+    * aggregation — no self-joins, no collect to the driver. Output:
+    * `(idCol, clean_text, n_lines_kept, n_lines_dropped)`. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq $maxDocFreq must be positive")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .select(col(idCol), col("pos"), col("col").as("line"),
+        trim(col("col")).as("key"))
+    val boiler = lines.filter(col("key") =!= "")
+      .groupBy(col("key"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("key"), lit(1).as("_b"))
+    lines.join(boiler, Seq("key"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_b").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("_b").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("_b").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

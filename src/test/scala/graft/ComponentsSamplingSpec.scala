@@ -268,6 +268,32 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(capped == got)
   }
 
+  test("boilerplate lines drop corpus-wide; documents reassemble in order") {
+    val docs = Seq(
+      (1L, "unique one\n COOKIE BANNER \nbody text 1"),
+      (2L, "COOKIE BANNER\nbody text 2\n\nunique two"),
+      (3L, "body text 3\nCOOKIE BANNER"),
+      (4L, "all original here"),
+      (5L, "COOKIE BANNER")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text",
+      maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the banner recurs in 4 docs (> 2) -> dropped everywhere, matching on
+    // TRIMMED text; originals reassemble in line order
+    assert(out(1L) == (("unique one\nbody text 1", 2L, 1L)))
+    // blank lines are structural: kept, never counted as boilerplate
+    assert(out(2L) == (("body text 2\n\nunique two", 3L, 1L)))
+    assert(out(3L) == (("body text 3", 1L, 1L)))
+    assert(out(4L) == (("all original here", 1L, 0L)))
+    // an all-boilerplate doc survives as an empty (not missing) row
+    assert(out(5L) == (("", 0L, 1L)))
+    // under the threshold nothing drops
+    val loose = TextAnalysis.dropBoilerplateLines(docs, "doc_id", "text",
+      maxDocFreq = 10).select(sum("n_lines_dropped")).as[Long].head()
+    assert(loose == 0L)
+  }
+
   test("sequence packing: contiguous per-shard offsets, correct bin spans, stable") {
     import graft.operators.Packing
     val docs = spark.range(60).select($"id".as("doc_id"),
