@@ -707,6 +707,20 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- keep-rule dedup: canonical = best-scoring cluster member --
+    "q78_canonical_by_score" -> ((s, dir) => {
+      // same near-dup clusters as q56/q73, but the survivor is the
+      // LONGEST member (quality keep-rule), not the minimum id
+      val docs = docsWithNearDups(s, dir)
+      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      graft.operators.Components.canonicalizeBy(docs, pairs,
+        "doc_id", "id_a", "id_b", length(col("text")))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ----- line-level boilerplate removal (CCNet/C4 rule) ------------
     "q77_boilerplate_lines" -> ((s, dir) => {
       // the fixture's text is single-line, so spaces become line breaks:
@@ -1973,6 +1987,27 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_canonical_by_score" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |labeled AS (SELECT c.doc_id, length(c.text) AS score,
+        |  coalesce(comp.component, c.doc_id) AS lbl
+        |  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id),
+        |win AS (SELECT lbl, doc_id AS canonical_id FROM (
+        |  SELECT lbl, doc_id,
+        |    row_number() OVER (PARTITION BY lbl ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM labeled) WHERE rn = 1)
+        |SELECT l.doc_id, w.canonical_id, (l.doc_id = w.canonical_id) AS kept
+        |FROM labeled l JOIN win w USING (lbl) ORDER BY l.doc_id""".stripMargin),
 
     "q77_boilerplate_lines" ->
       """WITH d AS (SELECT doc_id, translate(text, ' ', chr(10)) AS text

@@ -209,4 +209,26 @@ object Components {
     docs.join(comp, Seq(idCol), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
   }
+
+  /** Canonical-doc assignment with an EXPLICIT keep-rule: every doc maps
+    * to the cluster member maximizing `(score, then smallest id)` — keep
+    * the longest / highest-quality duplicate instead of [[canonicalize]]'s
+    * arbitrary minimum id (published dedup pipelines keep by quality, not
+    * by id accident). Same cluster labeling and join shape, plus ONE
+    * window over the cluster label (one hash exchange — labels bound
+    * cluster size, so no hot-partition risk beyond the clusters
+    * themselves). Unpaired docs stay their own canonical. */
+  def canonicalizeBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String, score: org.apache.spark.sql.Column): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("label"))
+    val lbl = TempCols.fresh(docs, "_lbl")
+    val labeled = docs.join(comp, Seq(idCol), "left")
+      .withColumn(lbl, coalesce(col("label"), col(idCol))).drop("label")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(lbl))
+      .orderBy(score.desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    labeled.withColumn("canonical_id", first(col(idCol)).over(w)).drop(lbl)
+  }
 }

@@ -89,6 +89,23 @@ class ComponentsSamplingSpec extends SparkSpec {
       .filter(col("doc_id") === col("canonical_id")).count() == 2)
   }
 
+  test("canonicalizeBy keeps the best-scoring cluster member, not the min id") {
+    val docs = Seq((1L, "short", 5.0), (2L, "the longest doc", 9.0),
+      (3L, "mid", 7.0), (9L, "alone", 1.0)).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Components.canonicalizeBy(docs, pairs, "doc_id", "id_a", "id_b",
+      col("quality"))
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
+    // score ties break to the smallest id, deterministically
+    val tied = Components.canonicalizeBy(docs, pairs, "doc_id", "id_a", "id_b",
+      lit(1.0)).select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(tied == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // keep-rule filter yields one survivor per cluster plus the singleton
+    assert(Components.canonicalizeBy(docs, pairs, "doc_id", "id_a", "id_b",
+      col("quality")).filter(col("doc_id") === col("canonical_id")).count() == 2)
+  }
+
   test("hash sampling is deterministic, rate-bounded, and engine-portable") {
     val df = spark.range(2000).select($"id".as("k"))
     assert(Sampling.hashSample(df, Seq("k"), 1.0).count() == 2000)
