@@ -707,6 +707,18 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- per-group quantile clipping (winsorization) ---------------
+    "q79_winsorize" -> ((s, dir) => {
+      graft.operators.Stats.winsorizePerGroup(rd(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", pLo = 0.05, pHi = 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r(min(col("winsorized")), 6).as("min_w"),
+          r(max(col("winsorized")), 6).as("max_w"),
+          r(sum(col("winsorized").cast("decimal(28,12)")).cast("double"), 4).as("sum_w"))
+        .orderBy("l_returnflag")
+    }),
+
     // ----- keep-rule dedup: canonical = best-scoring cluster member --
     "q78_canonical_by_score" -> ((s, dir) => {
       // same near-dup clusters as q56/q73, but the survivor is the
@@ -1987,6 +1999,20 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q79_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS lo,
+        |    quantile_cont(l_quantity, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l.l_returnflag,
+        |    least(greatest(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi) AS wv
+        |  FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  floor(min(wv) * 1000000 + 0.5) / 1000000 AS min_w,
+        |  floor(max(wv) * 1000000 + 0.5) / 1000000 AS max_w,
+        |  floor(CAST(sum(CAST(wv AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_w
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q78_canonical_by_score" -> (
       minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +

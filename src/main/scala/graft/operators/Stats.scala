@@ -64,6 +64,33 @@ object Stats {
     df.withColumn(zCol, when(variance > 0, (v - mean) / sqrt(variance)))
   }
 
+  /** Per-group winsorization (quantile clipping): clamp `valueCol` into
+    * its group's exact continuous [pLo, pHi] quantiles — outlier-robust
+    * feature scaling. Exact `percentile` (linear interpolation — the
+    * engine-portable quantile_cont semantics, unlike approx sketches) is
+    * computed ONCE per group, and the one-row-per-group bounds frame is
+    * broadcast back, so the data-sized side never shuffles. Assumes
+    * bounded group cardinality (the broadcast hint makes that explicit);
+    * NULL values take no part in the quantiles and stay NULL. */
+  def winsorizePerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, pLo: Double, pHi: Double,
+      outCol: String = "winsorized"): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs group columns")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val lo = TempCols.fresh(df, "_lo")
+    val hi = TempCols.fresh(df, "_hi")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as(lo),
+        expr(s"percentile($valueCol, $pHi)").as(hi))
+    df.join(broadcast(bounds), groupCols)
+      // greatest/least IGNORE nulls (they would clamp a NULL value to the
+      // lower bound) — the null-in/null-out contract needs the guard
+      .withColumn(outCol, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast("double"), col(lo)), col(hi))))
+      .drop(lo, hi)
+  }
+
   /** One-pass column profile — the data-audit report (row counts, null
     * counts, distinct cardinality, min/max) for every listed column in a
     * SINGLE scan: all metrics are aggregate expressions in one agg, and

@@ -69,6 +69,25 @@ class StatsSpec extends SparkSpec {
     assert(zd.forall(_._2.isEmpty))
   }
 
+  test("winsorize clamps to exact group quantiles; nulls and mid values pass through") {
+    val df = ((1 to 99).map(i => ("a", Some(i.toDouble))) :+ (("a", None)) :+
+      (("b", Some(1000.0)))).toDF("g", "v")
+    val w = Stats.winsorizePerGroup(df, Seq("g"), "v", 0.10, 0.90)
+    val byV = w.filter($"g" === "a")
+      .select("v", "winsorized").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    // exact interpolated p10/p90 of 1..99 are 10.8 and 89.2
+    assert(byV(Some(1.0)) == Some(10.8))
+    assert(byV(Some(99.0)) == Some(89.2))
+    assert(byV(Some(50.0)) == Some(50.0)) // mid values untouched
+    assert(byV(None).isEmpty)             // null stays null
+    // single-value group: lo == hi == the value, nothing moves
+    assert(w.filter($"g" === "b").select("winsorized").as[Double].head() == 1000.0)
+    // the bounds side must broadcast — the data side never reshuffles
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("emaPerKey bounded-key guard names the offending hot key") {
     val hot = spark.range(1000).select(lit("hotkey").as("k"),
       $"id".as("t"), ($"id" % 7).cast("double").as("v"))
