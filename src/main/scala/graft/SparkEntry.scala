@@ -60,6 +60,27 @@ object SparkEntry {
   private val anyColChanged =
     custCols.map(c => s"s.$c IS DISTINCT FROM t.$c").mkString("(", " OR ", ")")
 
+  /** Build-once/probe-many index caching shared by the ANN queries (q30
+    * LSH, q49 IVF): the cache path embeds a CONTENT fingerprint of the
+    * source table (file names, lengths, and parquet footer bytes — the
+    * footer's row-group stats change with any data change) plus the
+    * index's code-scheme signature, so neither regenerated fixtures (even
+    * same-length within one mtime granule) nor a different scheme can
+    * ever serve a stale index. `write` runs only when the _SUCCESS marker
+    * is absent. */
+  private def cachedIndexPath(s: SparkSession, dir: String, prefix: String,
+      table: String, signature: String)(write: String => Unit): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${Sources.contentFingerprint(srcPath, hconf)}_" + signature).getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
+      write(idxPath)
+    idxPath
+  }
+
   // --- documents corpora with injected exact/near duplicates (the base
   // corpus is fully distinct, so dedup queries would otherwise be vacuous) --
   private def docsBase(s: SparkSession, dir: String): DataFrame =
@@ -467,23 +488,14 @@ object SparkEntry {
 
     // ----- ANN top-k via persisted LSH index (partition-pruned probe) --
     "q30_ann_topk" -> ((s, dir) => {
-      // build-once/probe-many: codes are computed in ONE indexing pass and
-      // persisted partitionBy(lsh_code); the probe enumerates its Hamming
-      // ball driver-side and reads only those partitions. The index path
-      // embeds a CONTENT fingerprint of the source (file names, lengths,
-      // and parquet footer bytes — the footer's row-group stats change
-      // with any data change), so regenerating fixtures in place — even
-      // same-length within the same mtime granule — can never serve a
-      // stale index.
-      val hconf = s.sparkContext.hadoopConfiguration
-      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q30_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${Sources.contentFingerprint(srcPath, hconf)}_" +
-          Similarity.indexSignature(bits = 8, dim = 64)).getAbsolutePath
-      val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
-        Similarity.writeIndex(rd(s, dir, "embeddings"), "embedding", idxPath, bits = 8)
+      // build-once/probe-many (cachedIndexPath): codes are computed in ONE
+      // indexing pass and persisted partitionBy(lsh_code); the probe
+      // enumerates its Hamming ball driver-side and reads only those
+      // partitions
+      val idxPath = cachedIndexPath(s, dir, "graft_q30_index", "embeddings",
+        Similarity.indexSignature(bits = 8, dim = 64)) { p =>
+        Similarity.writeIndex(rd(s, dir, "embeddings"), "embedding", p, bits = 8)
+      }
       val idx = Similarity.readIndex(s, idxPath)
       Similarity.annTopK(idx, "vec_id", "embedding", probeVec(s, dir),
         k = 10, bits = 8, probeHamming = 2, dim = 64)
@@ -913,21 +925,14 @@ object SparkEntry {
     "q49_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
-      // build-once/probe-many (the q30 pattern): the cell assignment is
-      // computed in ONE indexing pass and persisted partitionBy(ivf_cell);
-      // the probe reads only its nProbe cell directories. The path embeds
-      // a CONTENT fingerprint of the source plus the centroid-value
-      // signature, so neither data changes nor refined centroids can ever
-      // serve a stale inverted file.
-      val hconf = s.sparkContext.hadoopConfiguration
-      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q49_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${Sources.contentFingerprint(srcPath, hconf)}_" +
-          Similarity.ivfSignature(cents)).getAbsolutePath
-      val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
-        Similarity.writeIvfIndex(e, "embedding", idxPath, cents)
+      // build-once/probe-many (cachedIndexPath, keyed by the
+      // centroid-value signature): the cell assignment is computed in ONE
+      // indexing pass and persisted partitionBy(ivf_cell); the probe
+      // reads only its nProbe cell directories
+      val idxPath = cachedIndexPath(s, dir, "graft_q49_index", "embeddings",
+        Similarity.ivfSignature(cents)) { p =>
+        Similarity.writeIvfIndex(e, "embedding", p, cents)
+      }
       val idx = Similarity.readIvfIndex(s, idxPath)
       Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", cents,
         probeVec(s, dir), k = 10, nProbe = 2)

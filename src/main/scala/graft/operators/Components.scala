@@ -220,11 +220,15 @@ object Components {
     * themselves). Unpaired docs stay their own canonical. */
   def canonicalizeBy(docs: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String, bCol: String, score: org.apache.spark.sql.Column): DataFrame = {
+    // the component label travels under a fresh name: a docs frame with
+    // its own 'label' column (a common ML-corpus name) must not make the
+    // join ambiguous
+    val raw = TempCols.fresh(docs, "_complbl")
     val comp = connectedComponents(pairs, aCol, bCol)
-      .select(col("node").as(idCol), col("label"))
+      .select(col("node").as(idCol), col("label").as(raw))
     val lbl = TempCols.fresh(docs, "_lbl")
     val labeled = docs.join(comp, Seq(idCol), "left")
-      .withColumn(lbl, coalesce(col("label"), col(idCol))).drop("label")
+      .withColumn(lbl, coalesce(col(raw), col(idCol))).drop(raw)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(lbl))
       .orderBy(score.desc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -304,7 +304,16 @@ object DedupApprox {
     * expansion is a guaranteed executor OOM at 100 TB. Real near-dup
     * buckets are small by construction; dropping a bucket of size >
     * maxBucket loses only pairs that exact-dedup ([[exactByContent]])
-    * already catches more cheaply. */
+    * already catches more cheaply.
+    *
+    * Cross-bucket dedup: uncapped, a pair sharing several quarters is
+    * emitted only from its FIRST matching quarter — row-local arithmetic
+    * (both sketches ride the pair row) replacing a distinct shuffle. With
+    * a cap that predicate would be WRONG: a pair whose first matching
+    * quarter sits in a capped-out bucket would be suppressed in its
+    * surviving later-quarter bucket too (quarter equality is row-local,
+    * bucket survival is not), silently losing the pair everywhere — so
+    * the capped path dedups with dropDuplicates instead. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
@@ -328,11 +337,15 @@ object DedupApprox {
       .filter(size(col("ds")) > 1)
     val capped =
       if (maxBucket > 0) buckets.filter(size(col("ds")) <= maxBucket) else buckets
-    capped
+    val pairs = capped
       .select(col("q"), explode(flatten(transform(col("ds"),
         a => transform(col("ds"), b => struct(a.as("a"), b.as("b")))))).as("p"))
       .filter(col("p.a.id") < col("p.b.id"))
-      .filter(!earlierQuarterMatches)
+    val deduped =
+      if (maxBucket > 0) // predicate dedup unsound under the cap (see doc)
+        pairs.dropDuplicates("p")
+      else pairs.filter(!earlierQuarterMatches)
+    deduped
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -65,30 +65,47 @@ object Stats {
   }
 
   /** Per-group winsorization (quantile clipping): clamp `valueCol` into
-    * its group's exact continuous [pLo, pHi] quantiles — outlier-robust
-    * feature scaling. Exact `percentile` (linear interpolation — the
-    * engine-portable quantile_cont semantics, unlike approx sketches) is
-    * computed ONCE per group, and the one-row-per-group bounds frame is
-    * broadcast back, so the data-sized side never shuffles. Assumes
-    * bounded group cardinality (the broadcast hint makes that explicit);
-    * NULL values take no part in the quantiles and stay NULL. */
+    * its group's continuous [pLo, pHi] quantiles — outlier-robust
+    * feature scaling. Quantiles are computed ONCE per group, and the
+    * one-row-per-group bounds frame is broadcast back, so the data-sized
+    * side never shuffles. Assumes bounded group cardinality (the
+    * broadcast hint makes that explicit).
+    *
+    * `accuracy` picks the quantile engine: 0 = exact `percentile`
+    * (linear interpolation, the engine-portable quantile_cont semantics
+    * — but the exact aggregate BUFFERS every group value in its
+    * aggregation state, so a billion-row group belongs on the approx
+    * path); > 0 = `approx_percentile(accuracy)`, bounded memory at any
+    * group size with rank error ≤ 1/accuracy. NULL values take no part
+    * in the quantiles and stay NULL; a NULL GROUP is a group of its own
+    * (null-safe join — its rows clamp among themselves, matching groupBy
+    * semantics, instead of silently vanishing as a plain equi-join
+    * would). */
   def winsorizePerGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, pLo: Double, pHi: Double,
-      outCol: String = "winsorized"): DataFrame = {
+      outCol: String = "winsorized", accuracy: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "winsorize needs group columns")
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(accuracy >= 0, s"accuracy $accuracy must be >= 0 (0 = exact)")
     val lo = TempCols.fresh(df, "_lo")
     val hi = TempCols.fresh(df, "_hi")
+    def q(p: Double): Column =
+      if (accuracy == 0) expr(s"percentile($valueCol, $p)")
+      else expr(s"approx_percentile($valueCol, $p, $accuracy)").cast("double")
+    val grp = groupCols.map(c => TempCols.fresh(df, s"_g_$c"))
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $pLo)").as(lo),
-        expr(s"percentile($valueCol, $pHi)").as(hi))
-    df.join(broadcast(bounds), groupCols)
+      .agg(q(pLo).as(lo), q(pHi).as(hi))
+      .select(groupCols.zip(grp).map { case (c, g) => col(c).as(g) } ++
+        Seq(col(lo), col(hi)): _*)
+    val cond = groupCols.zip(grp).map { case (c, g) => df(c) <=> col(g) }
+      .reduce(_ && _)
+    df.join(broadcast(bounds), cond)
       // greatest/least IGNORE nulls (they would clamp a NULL value to the
       // lower bound) — the null-in/null-out contract needs the guard
       .withColumn(outCol, when(col(valueCol).isNotNull,
         least(greatest(col(valueCol).cast("double"), col(lo)), col(hi))))
-      .drop(lo, hi)
+      .drop(grp: _*).drop(lo, hi)
   }
 
   /** One-pass column profile — the data-audit report (row counts, null

@@ -104,6 +104,16 @@ class ComponentsSamplingSpec extends SparkSpec {
     // keep-rule filter yields one survivor per cluster plus the singleton
     assert(Components.canonicalizeBy(docs, pairs, "doc_id", "id_a", "id_b",
       col("quality")).filter(col("doc_id") === col("canonical_id")).count() == 2)
+    // a docs frame with its own 'label' column must not make the
+    // component join ambiguous, and the column must survive untouched
+    val labeledDocs = docs.withColumn("label", concat(lit("L"), col("doc_id")))
+    val withLabel = Components.canonicalizeBy(labeledDocs, pairs,
+      "doc_id", "id_a", "id_b", col("quality"))
+    assert(withLabel.columns.count(_ == "label") == 1)
+    assert(withLabel.select("doc_id", "label").as[(Long, String)]
+      .collect().toMap.apply(3L) == "L3")
+    assert(withLabel.select("doc_id", "canonical_id").as[(Long, Long)]
+      .collect().toMap == got)
   }
 
   test("hash sampling is deterministic, rate-bounded, and engine-portable") {

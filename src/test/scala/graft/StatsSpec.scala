@@ -86,6 +86,22 @@ class StatsSpec extends SparkSpec {
     // the bounds side must broadcast — the data side never reshuffles
     val plan = w.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // a NULL group is a group of its own: its rows clamp among themselves
+    // instead of vanishing through a null-never-matches equi-join
+    val withNullGroup = Seq((Some("a"), 1.0), (None, 10.0), (None, 20.0),
+      (None, 30.0)).toDF("g", "v")
+    val ng = Stats.winsorizePerGroup(withNullGroup, Seq("g"), "v", 0.25, 0.75)
+    assert(ng.count() == 4) // no row loss
+    val nulls = ng.filter($"g".isNull).select("v", "winsorized")
+      .as[(Double, Double)].collect().toMap
+    assert(nulls(10.0) == 15.0 && nulls(30.0) == 25.0 && nulls(20.0) == 20.0)
+    // approx path: bounded memory, quantiles within sketch tolerance
+    val approx = Stats.winsorizePerGroup(df, Seq("g"), "v", 0.10, 0.90,
+      accuracy = 10000).filter($"g" === "a")
+      .select("v", "winsorized").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    assert(math.abs(approx(Some(1.0)).get - 10.8) <= 1.0)
+    assert(math.abs(approx(Some(99.0)).get - 89.2) <= 1.0)
   }
 
   test("emaPerKey bounded-key guard names the offending hot key") {

@@ -147,6 +147,13 @@ class TrainingOpsSpec extends SparkSpec {
       maxHamming = 3, maxBucket = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 4L)) == 0)
+    // with no bucket actually over the cap, the capped path (distinct
+    // dedup — the first-matching-quarter predicate is unsound under a
+    // cap) must equal the uncapped path exactly, pair for pair
+    val uncapped = DedupApprox.simhashNearDups(corpus, "doc_id", "text",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == uncapped)
     // same for the embedding path: 100k copies of one vector share a code
     val degenerateVecs = spark.range(100000).select($"id".as("vec_id"),
       lit(Array(1f, 0f, 0f, 0f)).as("embedding"))
