@@ -719,6 +719,28 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- co-located (bucketed) fact-fact join ----------------------
+    "q80_bucketed_join" -> ((s, dir) => {
+      // both sides are written bucketBy(8, key) ONCE, so the join and the
+      // key aggregation plan zero exchanges (asserted in PlanSpec) — the
+      // pre-partitioned 100 TB fact-join path; results are identical to a
+      // plain shuffle join, which is exactly what the oracle replays
+      val tmp = sys.props("java.io.tmpdir")
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val or = rd(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Bucketing.writeBucketed(li, "g_b_lineitem",
+        Seq("l_orderkey"), 8, Some(s"$tmp/graft_q80_li"))
+      graft.operators.Bucketing.writeBucketed(or, "g_b_orders",
+        Seq("l_orderkey"), 8, Some(s"$tmp/graft_q80_or"))
+      graft.operators.Bucketing.joinBucketed(s, "g_b_lineitem", "g_b_orders",
+        Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ----- per-group quantile clipping (winsorization) ---------------
     "q79_winsorize" -> ((s, dir) => {
       graft.operators.Stats.winsorizePerGroup(rd(s, dir, "lineitem"),
@@ -2004,6 +2026,12 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q80_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q79_winsorize" ->
       """WITH b AS (SELECT l_returnflag,

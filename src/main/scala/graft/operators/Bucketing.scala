@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed tables for CO-LOCATED joins — the 100 TB fact-to-fact join
+  * path. A shuffle join moves both sides over the network every time;
+  * writing each table `bucketBy(n, key)` fixes the key-to-file layout at
+  * WRITE time, so every later join (or aggregation) on the key plans with
+  * NO Exchange on either side: the bucket layout IS the hash
+  * partitioning, paid once instead of per query. `sortBy` inside buckets
+  * additionally lets sort-merge join skip its per-task sort.
+  *
+  * This is the "pre-partition the big tables" answer the reference cannot
+  * express (its store is a document DB, one RPC per record —
+  * lib/FirestoreClient.py); on Spark it is catalog metadata plus file
+  * naming. Bucket counts must match across tables meant to join (document
+  * the convention per subject area; a mismatch silently reintroduces the
+  * shuffle on one side). */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted catalog table; joins and
+    * aggregations on `keyCols` then shuffle nothing. `nBuckets` sizes
+    * parallelism at read time — pick ~(table bytes / target partition
+    * bytes), and keep it IDENTICAL across tables that join. */
+  def writeBucketed(df: DataFrame, table: String, keyCols: Seq[String],
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    require(keyCols.nonEmpty, "bucketing needs key columns")
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+    // explicit path -> external table (data location decoupled from the
+    // session's warehouse directory)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Equi-join two bucketed tables on their bucket key. Provided for
+    * symmetry/discoverability — the point is that this is a PLAIN join:
+    * co-location comes from the tables' write-time layout, not from any
+    * runtime hint. */
+  def joinBucketed(spark: SparkSession, leftTable: String,
+      rightTable: String, keyCols: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keyCols)
+}

@@ -173,6 +173,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p) // the mean agg is map-side combined
   }
 
+  test("bucketed tables co-locate: join and aggregation plan ZERO exchanges") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val or = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // external paths: a leftover managed-table directory from a previous
+    // JVM would otherwise fail LOCATION_ALREADY_EXISTS (the in-memory
+    // catalog forgets tables, the filesystem does not)
+    val troot = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    graft.operators.Bucketing.writeBucketed(li, "b_lineitem",
+      Seq("l_orderkey"), 4, Some(s"$troot/li"))
+    graft.operators.Bucketing.writeBucketed(or, "b_orders",
+      Seq("l_orderkey"), 4, Some(s"$troot/or"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = graft.operators.Bucketing.joinBucketed(spark,
+        "b_lineitem", "b_orders", Seq("l_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      // results match the plain (shuffling) join exactly
+      val plain = li.join(or, Seq("l_orderkey"))
+      assert(joined.count() == plain.count())
+      // aggregation on the bucket key also rides the layout: no exchange
+      val agg = spark.table("b_lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sequence packing: one hash exchange on the shard key, no global sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.Packing.packSequences(docs, "doc_id", "n_chars",

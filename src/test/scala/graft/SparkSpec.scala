@@ -13,6 +13,11 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // bucketed-table specs saveAsTable into the warehouse — keep it out
+    // of the repo working tree
+    .config("spark.sql.warehouse.dir",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_test_warehouse")
+        .getAbsolutePath)
     .getOrCreate()
 }
 
