@@ -719,6 +719,17 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- corpus-wide exact paragraph dedup (RefinedWeb rule) --------
+    "q81_paragraph_dedup" -> ((s, dir) => {
+      // single-line fixture text: spaces become paragraph breaks (same
+      // trick as q77) — every repeated word keeps only its first global
+      // occurrence by (doc_id, pos); blank paragraphs are structural
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      TextAnalysis.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ----- co-located (bucketed) fact-fact join ----------------------
     "q80_bucketed_join" -> ((s, dir) => {
       // both sides are written bucketBy(8, key) ONCE, so the join and the
@@ -2026,6 +2037,27 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q81_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, translate(text, ' ', chr(10)) AS text
+        |  FROM documents),
+        |paras AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'para': sp[i]} FOR i IN range(1, len(sp) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d)),
+        |firsts AS (SELECT key, doc_id AS fid, pos AS fpos FROM (
+        |  SELECT trim(s.para) AS key, doc_id, s.pos AS pos,
+        |    row_number() OVER (PARTITION BY trim(s.para)
+        |      ORDER BY doc_id, s.pos) AS rn
+        |  FROM paras WHERE trim(s.para) <> '') WHERE rn = 1),
+        |j AS (SELECT p.doc_id, p.s.pos AS pos, p.s.para AS para,
+        |  (trim(p.s.para) = '' OR (p.doc_id = f.fid AND p.s.pos = f.fpos)) AS keep
+        |  FROM paras p LEFT JOIN firsts f ON trim(p.s.para) = f.key)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(para ORDER BY pos)
+        |    FILTER (WHERE keep), chr(10)), '') AS dedup_text,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_paras_kept,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_paras_dropped
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q80_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,

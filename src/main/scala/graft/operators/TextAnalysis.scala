@@ -300,6 +300,46 @@ object TextAnalysis {
         sum(when(col("_b").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
   }
 
+  /** Corpus-wide EXACT paragraph deduplication (the RefinedWeb exact
+    * line/paragraph rule): every non-blank paragraph is kept only at its
+    * FIRST occurrence in the whole corpus — first by `(idCol, pos)` — and
+    * removed everywhere else, including later repeats inside the same
+    * document. Blank paragraphs are structural and always survive.
+    *
+    * Scale shape: the first-occurrence reduction is `min(struct(id,pos))`
+    * grouped by the trimmed paragraph — a partial-aggregatable map-side
+    * combine, so a paragraph repeated a billion times costs one row per
+    * partition, never a per-key buffer (the `Window.row_number` phrasing
+    * would buffer the hot key). One join back on the paragraph key, one
+    * per-document reassembly aggregation; three exchanges total, all on
+    * keys the operator inherently requires.
+    * Output: `(idCol, dedup_text, n_paras_kept, n_paras_dropped)`. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .select(col(idCol), col("pos"), col("col").as("para"),
+        trim(col("col")).as("key"))
+    val fid = TempCols.fresh(paras, "_fid")
+    val fpos = TempCols.fresh(paras, "_fpos")
+    val keep = TempCols.fresh(paras, "_keep")
+    val first = paras.filter(col("key") =!= "")
+      .groupBy(col("key"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col("key"), col("f").getField(idCol).as(fid),
+        col("f").getField("pos").as(fpos))
+    paras.join(first, Seq("key"), "left")
+      .withColumn(keep, col("key") === "" ||
+        (col(idCol) === col(fid) && col("pos") === col(fpos)))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col(keep), struct(col("pos"), col("para"))))),
+          x => x.getField("para")), "\n").as("dedup_text"),
+        sum(when(col(keep), 1L).otherwise(0L)).as("n_paras_kept"),
+        sum(when(!col(keep), 1L).otherwise(0L)).as("n_paras_dropped"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -321,6 +321,26 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(loose == 0L)
   }
 
+  test("paragraph dedup keeps only the first global occurrence by (doc, pos)") {
+    val docs = Seq(
+      (1L, "alpha\nshared para\nbeta"),
+      (2L, "shared para\ngamma\n\nshared para"),
+      (3L, " shared para \ndelta"),
+      (4L, "shared para")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // first occurrence is (doc 1, pos 1) -> kept there, dropped everywhere
+    // else INCLUDING the within-doc repeat in doc 2; match is on TRIMMED
+    // text (doc 3's padded copy still drops) but originals reassemble
+    assert(out(1L) == (("alpha\nshared para\nbeta", 3L, 0L)))
+    // blank paragraphs are structural: kept, never dedup keys
+    assert(out(2L) == (("gamma\n", 2L, 2L)))
+    assert(out(3L) == (("delta", 1L, 1L)))
+    // an all-duplicate doc survives as an empty (not missing) row
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
   test("sequence packing: contiguous per-shard offsets, correct bin spans, stable") {
     import graft.operators.Packing
     val docs = spark.range(60).select($"id".as("doc_id"),
