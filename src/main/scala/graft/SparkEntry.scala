@@ -719,6 +719,16 @@ object SparkEntry {
         .orderBy("cell", "dim")
     }),
 
+    // ----- int8 embedding quantization (4x size cut) ------------------
+    "q82_quantize_int8" -> ((s, dir) => {
+      // per-vector max-abs int8: scalar order-independent summaries keep
+      // the frame exact-hash comparable (floor(v+0.5) rounding and pure
+      // IEEE mul/div reproduce bit-identically in DuckDB)
+      graft.operators.Quantize.int8Report(rd(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // ----- corpus-wide exact paragraph dedup (RefinedWeb rule) --------
     "q81_paragraph_dedup" -> ((s, dir) => {
       // single-line fixture text: spaces become paragraph breaks (same
@@ -2037,6 +2047,23 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings),
+        |z AS (SELECT vec_id, embedding, scale,
+        |  CASE WHEN scale > 0 THEN list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INT))
+        |  ELSE list_transform(embedding, x -> 0) END AS qv FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min,
+        |  list_max(qv) AS q_max,
+        |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+        |  list_max([abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127)
+        |    FOR i IN range(1, len(embedding) + 1)]) AS max_abs_err
+        |FROM z ORDER BY vec_id""".stripMargin,
 
     "q81_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id, translate(text, ' ', chr(10)) AS text

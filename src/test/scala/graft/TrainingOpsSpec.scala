@@ -491,4 +491,37 @@ class TrainingOpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(full == exact0)
   }
+
+  test("int8 quantization: half-step error bound, saturation, zero vector, cosine survives") {
+    import graft.operators.Quantize
+    val emb = spark.range(200).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (sin($"id" * 7 + d) * 3.5).cast("float")).as("embedding"))
+      .unionByName(Seq((999L, Seq.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val rep = Quantize.int8Report(emb, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rep.foreach { case (id, r) =>
+      val scale = r.getDouble(1)
+      val (qMin, qMax) = (r.getInt(3), r.getInt(4))
+      val err = r.getDouble(6)
+      assert(qMin >= -127 && qMax <= 127, s"vec $id out of int8 range")
+      // max-abs scaling: half a quantization step is the worst case
+      assert(err <= scale / 254 + 1e-12, s"vec $id err $err > ${scale / 254}")
+      if (id != 999L) {
+        // the max-magnitude coordinate always saturates to +-127
+        assert(r.getLong(5) >= 1L, s"vec $id never saturates")
+      } else {
+        // all-zero vector: scale 0, all q 0, zero error
+        assert(scale == 0.0 && r.getLong(2) == 0L && err == 0.0)
+      }
+    }
+    // round-trip: cosine(dequantized, original) stays ~1 for every vector
+    val q = Quantize.quantize(emb.filter($"vec_id" =!= 999L), "embedding")
+    val worst = q.select(Similarity.cosine(
+        transform(Quantize.dequantize(col("qvec"), col("scale")),
+          x => x.cast("float")),
+        col("embedding")).as("cos"))
+      .agg(min("cos")).as[Double].head()
+    assert(worst > 0.9999, s"quantization broke cosine: $worst")
+  }
 }
