@@ -720,6 +720,48 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- bloom-filter pre-filtered join ----------------------------
+    "q84_bloom_join" -> ((s, dir) => {
+      // selective build side (top ~10% of orders by price): the bloom
+      // sketch filters lineitem BEFORE its shuffle; the trailing exact
+      // join clears false positives, so the oracle is the plain join
+      val hi = rd(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin.bloomJoin(li, hi, "l_orderkey",
+          expectedItems = 65536)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ----- BM25 ranking (log-free idf, integer micro-score sum) ------
+    "q83_bm25" -> ((s, dir) => {
+      // 'dup' is rare (df 25/500 at sf0.01) while 'vector'/'spark' are
+      // common, so the idf ratio actually spreads the ranking
+      TextAnalysis.bm25Rank(docsBase(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "spark"), topK = 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ----- vocabulary coverage curve ---------------------------------
+    "q85_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(docsBase(s, dir), "doc_id", "text", topK = 20)
+        .orderBy("rnk")
+    }),
+
+    // ----- rare-token ratio quality signal ---------------------------
+    "q86_rare_tokens" -> ((s, dir) => {
+      TextAnalysis.rareTokenRatio(docsBase(s, dir), "doc_id", "text",
+        maxFreq = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q82_quantize_int8" -> ((s, dir) => {
       // per-vector max-abs int8: scalar order-independent summaries keep
       // the frame exact-hash comparable (floor(v+0.5) rounding and pure
@@ -2047,6 +2089,86 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_bloom_join" ->
+      """WITH hi AS (SELECT o_orderkey AS l_orderkey, o_orderstatus
+        |  FROM orders WHERE o_totalprice > 450000.0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN hi USING (l_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks
+        |  WHERE term IN ('dup', 'vector', 'spark')),
+        |dl AS (SELECT doc_id,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+        |       END AS BIGINT) AS dl
+        |  FROM (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |        FROM documents)),
+        |st AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT f.doc_id, d.dl, f.term, COUNT(*) AS tf
+        |  FROM ft f JOIN dl d ON f.doc_id = d.doc_id GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, df,
+        |  (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |    (CAST(df AS DOUBLE) + 0.5) AS idf
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(floor(idf.idf *
+        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |       ((1.0 - 0.75) + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) *
+        |    1000000.0 + 0.5) AS BIGINT) AS ms
+        |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st),
+        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)
+        |SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q85_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS n FROM toks
+        |  WHERE term != '' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CASE WHEN norm = '' THEN 0
+        |    ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END)
+        |    AS BIGINT) AS t
+        |  FROM (SELECT regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |        FROM documents)),
+        |top AS (SELECT term, n FROM freq ORDER BY n DESC, term LIMIT 20),
+        |rk AS (SELECT term, n,
+        |  row_number() OVER (ORDER BY n DESC, term) AS rnk FROM top)
+        |SELECT term, n, rnk,
+        |  CAST(SUM(n) OVER (ORDER BY rnk) AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS coverage
+        |FROM rk CROSS JOIN tot ORDER BY rnk""".stripMargin,
+
+    "q86_rare_tokens" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks WHERE term != ''),
+        |freq AS (SELECT term, COUNT(*) AS cf FROM ft GROUP BY 1),
+        |rare AS (SELECT term FROM freq WHERE cf <= 100),
+        |pd AS (SELECT f.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN r.term IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rare
+        |  FROM ft f LEFT JOIN rare r ON f.term = r.term GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(pd.n_rare, 0) AS BIGINT) AS n_rare,
+        |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+        |       THEN CAST(pd.n_rare AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+        |  END AS rare_ratio
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q82_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -340,6 +340,122 @@ object TextAnalysis {
         sum(when(!col(keep), 1L).otherwise(0L)).as("n_paras_dropped"))
   }
 
+  /** BM25 document ranking for a bag-of-words query. The idf is the same
+    * LOG-FREE ratio family as [[tfIdfTopTerms]] — `(N - df + 0.5) /
+    * (df + 0.5)` — because ln()'s last ulp is math-library-specific while
+    * add/mul/div are correctly-rounded IEEE ops that reproduce bit-exactly
+    * in any engine. Each per-term score is snapped to the 1e-6 lattice as
+    * LONG micro-units BEFORE the per-doc sum: integer addition is
+    * order-independent, where a double sum would hash-differently across
+    * engines and partition orders. Docs sharing no query term score 0 and
+    * are omitted.
+    *
+    * Scale shape: one tokenize+explode lineage filtered to the query
+    * terms BEFORE any shuffle (selectivity ~|q|/vocab at the scan), one
+    * (doc, term) aggregation carrying the doc length through the group
+    * key (no re-join with a lengths frame); df is a |q|-row broadcast;
+    * corpus doc count and average length fold to literals from a one-row
+    * aggregate. Top-k is TakeOrderedAndProject — bounded per-partition
+    * heaps, never a global sort. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    require(topK > 0, s"topK $topK must be positive")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(tokenCount(col(textCol))).as("tot")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25Rank needs a non-empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val toks = docs.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).as("dl"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+    val core = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("ms",
+        floor(col("idf") * core * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("id")).agg(sum(col("ms")).as("ms"))
+      .select(col("id"), (col("ms").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** Tokenizer-vocabulary coverage curve: the `topK` most frequent corpus
+    * tokens with each one's cumulative share of ALL token occurrences —
+    * the vocabulary-design step ("how many types cover 95% of the
+    * corpus?"). Counts are exact longs; the share is a single double
+    * divide per row, so the frame hash-reproduces in any engine.
+    *
+    * Scale shape: one explode + one partial-aggregated term count; the
+    * top-k is TakeOrderedAndProject (bounded per-partition heaps — the
+    * full vocabulary is never globally sorted); the rank/cumulative
+    * window then runs over `topK` rows only, where a single-partition
+    * window is free. The total token count comes from a separate pure
+    * column scan (no explode) and folds to a literal. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.agg(sum(tokenCount(col(textCol)))).head().getLong(0)
+    require(total > 0, "vocabCoverage needs a non-empty corpus")
+    val top = docs
+      .select(explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topK)
+    val ord = Window.orderBy(col("n").desc, col("term").asc)
+    top
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("coverage",
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / lit(total.toDouble))
+  }
+
+  /** Rare-token ratio: per document, the fraction of token OCCURRENCES
+    * whose corpus-wide frequency is at most `maxFreq` — a Gopher/C4-style
+    * quality signal (high ratio flags OCR noise, hashes, gibberish; a
+    * near-zero ratio flags boilerplate vocabulary). Counts are exact
+    * longs; the ratio is one guarded double divide (explicit NULL for
+    * zero-token docs — engine-portable, never 0/0).
+    *
+    * Scale shape: one explode lineage, one exact term-frequency shuffle,
+    * one join back on the term with the rare side filtered BEFORE the
+    * join (AQE broadcasts it when the rare vocabulary is small), one
+    * per-doc aggregation, and a final left join so token-less documents
+    * surface with zero counts instead of vanishing. */
+  def rareTokenRatio(docs: DataFrame, idCol: String, textCol: String,
+      maxFreq: Long): DataFrame = {
+    require(maxFreq > 0, s"maxFreq $maxFreq must be positive")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val mark = TempCols.fresh(toks, "_r")
+    val rare = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+      .filter(col("cf") <= maxFreq)
+      .select(col("term"), lit(1).as(mark))
+    val perDoc = toks.join(rare, Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col(mark).isNotNull, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_ratio", when(col("n_tokens") > 0,
+        col("n_rare").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -524,4 +524,90 @@ class TrainingOpsSpec extends SparkSpec {
       .agg(min("cos")).as[Double].head()
     assert(worst > 0.9999, s"quantization broke cosine: $worst")
   }
+
+  // --- BM25 / vocabulary / rare tokens ---------------------------------
+
+  test("bm25Rank: exact scores on a hand-checked corpus, non-matching docs omitted") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, "doc_id", "text", Seq("apple"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // mirror the operator's exact double math: N=3, df=2, avgdl=8/3
+    val idf = (3.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    val avgdl = 8L.toDouble / 3L.toDouble
+    def score(tf: Long, dl: Long): Double = {
+      val core = (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))
+      math.floor(idf * core * 1000000.0 + 0.5) / 1000000.0
+    }
+    assert(out.toSeq == Seq((1L, score(2, 3)), (2L, score(1, 2))))
+  }
+
+  test("bm25Rank: rarer term outweighs common term at equal tf") {
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common other"), (3L, "common filler"),
+      (4L, "common words"), (5L, "common stuff")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("common", "rare"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 1L, s"doc with the rare term must rank first: ${out.toSeq}")
+    assert(out.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("vocabCoverage: exact cumulative shares, deterministic tie order") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", topK = 2)
+      .orderBy("rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 3L, 1, 3.0 / 6.0), ("b", 2L, 2, 5.0 / 6.0)))
+  }
+
+  test("rareTokenRatio: counts occurrences, explicit NULL for empty docs") {
+    val docs = Seq((1L, "x x y"), (2L, "z"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenRatio(docs, "doc_id", "text", maxFreq = 1)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 1L, 1L), (3L, 0L, 0L)))
+    assert(out(0).getDouble(3) == 1.0 / 3.0 && out(1).getDouble(3) == 1.0)
+    assert(out(2).isNullAt(3), "zero-token doc must get NULL ratio, not 0/0")
+  }
+
+  // --- bloom-filter pre-filtered join ----------------------------------
+
+  test("bloomJoin equals the plain join and actually prunes the probe side") {
+    import graft.operators.BloomJoin
+    val probe = (1L to 2000L).map(k => (k, s"p$k")).toDF("k", "pv")
+    val build = (1L to 2000L).filter(_ % 100 == 0).map(k => (k, s"b$k"))
+      .toDF("k", "bv")
+    val got = BloomJoin.bloomJoin(probe, build, "k", expectedItems = 64)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = probe.join(build, Seq("k"), "inner")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq)
+    // the sketch filter itself removes the vast majority of probe rows
+    val sketch = BloomJoin.buildFilter(build, "k", expectedItems = 64, fpp = 0.03)
+    val kept = probe.filter(BloomJoin.mightContain(sketch, col("k"))).count()
+    assert(kept >= 20 && kept < 400, s"expected ~20 + fp of 2000 kept, got $kept")
+    // and the filter is a codegen'd expression in the plan, not a udf
+    // (range-backed frame: a LocalRelation would be folded away entirely)
+    val plan = spark.range(2000).withColumnRenamed("id", "k")
+      .filter(BloomJoin.mightContain(sketch, col("k")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("bloomJoin: NULL keys never match but never crash; outer joins rejected") {
+    import graft.operators.BloomJoin
+    val probe = Seq((Some(1L), "a"), (None, "n"), (Some(5L), "x"))
+      .toDF("k", "pv")
+    val build = Seq((Some(1L), "b"), (None, "bn")).toDF("k", "bv")
+    val got = BloomJoin.bloomJoin(probe, build, "k", expectedItems = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "a", "b")))
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomJoin(probe, build, "k", joinType = "left")
+    }
+  }
 }
