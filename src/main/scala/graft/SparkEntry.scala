@@ -720,6 +720,25 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- shingle containment (excerpt/quote detection) -------------
+    "q87_containment" -> ((s, dir) => {
+      // the injected near-dups are tail-substrings of their source doc,
+      // so containment is ~1.0 in one direction — exactly the subset
+      // relation Jaccard-tuned minhash banding under-recalls
+      DedupApprox.containmentPairs(docsWithNearDups(s, dir), "doc_id",
+        "text", k = 3, threshold = 0.5, maxShingleDf = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----- per-cluster embedding outlier audit -----------------------
+    "q88_centroid_outliers" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      Similarity.centroidOutliers(e, "vec_id", "embedding", cents, pctl = 0.9)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ----- bloom-filter pre-filtered join ----------------------------
     "q84_bloom_join" -> ((s, dir) => {
       // selective build side (top ~10% of orders by price): the bloom
@@ -2089,6 +2108,54 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q87_containment" -> (nearDupCte +
+      """,
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |shl AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |hs AS (SELECT DISTINCT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1),
+        |hot AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 100),
+        |cool AS (SELECT hs.doc_id, hs.h FROM hs
+        |  LEFT JOIN hot ON hs.h = hot.h WHERE hot.h IS NULL),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM cool a JOIN cool b ON a.h = b.h AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, shared, n AS n_a,
+        |  floor(CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS containment
+        |  FROM shared JOIN sizes ON sizes.doc_id = shared.id_a)
+        |SELECT id_a, id_b, shared, n_a, containment FROM sc
+        |WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+    "q88_centroid_outliers" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT e.vec_id, c.cell,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell, 1.0 - cos AS dist FROM (
+        |  SELECT vec_id, cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |b AS (SELECT cell, quantile_cont(dist, 0.9) AS bound FROM asg GROUP BY 1)
+        |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+        |  floor(dist * 1000000 + 0.5) / 1000000 AS dist,
+        |  floor(bound * 1000000 + 0.5) / 1000000 AS cutoff
+        |FROM asg JOIN b ON asg.cell = b.cell
+        |WHERE dist > bound ORDER BY asg.vec_id""".stripMargin,
 
     "q84_bloom_join" ->
       """WITH hi AS (SELECT o_orderkey AS l_orderkey, o_orderstatus

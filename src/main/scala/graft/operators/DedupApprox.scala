@@ -350,4 +350,51 @@ object DedupApprox {
         hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Asymmetric shingle CONTAINMENT — excerpt/quote detection. For the
+    * ORDERED doc pair (a, b), `containment = |Sa ∩ Sb| / |Sa|` over
+    * distinct k-shingle sets: ~1.0 when a is quoted inside b, even though
+    * the Jaccard that minhash LSH is tuned for is tiny for a small excerpt
+    * of a big doc. Candidates therefore do NOT come from minhash bands —
+    * docs pair when they SHARE a shingle, via one equi-join of the
+    * exploded distinct-shingle frames on the 60-bit shingle hash.
+    *
+    * Scale shape: one explode + distinct per doc; shingles occurring in
+    * more than `maxShingleDf` docs (boilerplate n-grams — the quadratic
+    * hazard: one shared stop-phrase would pair every doc with every other)
+    * are dropped BEFORE the self-join, bounding per-shingle pair fan-out
+    * at maxShingleDf²; the shared-count is a partial-aggregatable count on
+    * (id_a, id_b); per-doc set sizes join back once. Both directions are
+    * emitted, so the threshold reads directionally ("a is ≥ t inside b").
+    * The ratio is snapped to the 1e-4 lattice with IEEE-exact ops, so a
+    * SQL oracle reproduces it bit-for-bit. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 100): DataFrame = {
+    require(maxShingleDf > 1, s"maxShingleDf $maxShingleDf must exceed 1")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside [0, 1]")
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shingleStrings(col(textCol), k)).as("_s"))
+      .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_s")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("h"))
+    val cool = sh.join(hot, Seq("h"), "left_anti")
+    cool.select(col("h"), col("id").as("id_a"))
+      .join(cool.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .withColumn("containment",
+        floor(col("shared").cast("double") / col("n_a").cast("double") *
+          10000 + 0.5) / 10000)
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("containment"))
+  }
 }

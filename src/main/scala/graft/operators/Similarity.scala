@@ -334,4 +334,39 @@ object Similarity {
         cosine(col("p.a.v"), col("p.b.v")).as("cos"))
       .filter(col("cos") > threshold)
   }
+
+  /** Embedding outlier detection: flag vectors in the cosine-distance
+    * tail of their own cluster — mislabeled/garbage embeddings for corpus
+    * audit, or candidates for re-clustering. Each vector is assigned to
+    * its nearest centroid (the [[ivfAssign]] argmax, same tie-break), its
+    * distance is `1 - cos`, and rows beyond the cell's exact interpolated
+    * `pctl` quantile are returned.
+    *
+    * Scale shape: assignment is k fused native cosine loops per row (no
+    * shuffle); the per-cell quantile aggregates to k rows which join back
+    * broadcast; one filter. The exact `percentile` buffers each CELL's
+    * distances on one executor — fine for k ≪ N cells of bounded size;
+    * pass the approx path (accuracy knob, as in
+    * [[Stats.winsorizePerGroup]]) if cells outgrow memory. Output
+    * distances snap to the 1e-6 lattice (IEEE-exact ops only), so a SQL
+    * oracle reproduces the frame bit-for-bit. */
+  def centroidOutliers(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], pctl: Double = 0.95): DataFrame = {
+    require(centroids.nonEmpty, "centroidOutliers needs centroids")
+    require(pctl > 0 && pctl < 1, s"pctl $pctl must be in (0, 1)")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col(vecCol), lit(c.toArray)).as("cos"), lit(i).as("cell"))
+    }
+    val best = greatest(scored: _*)
+    val assigned = embeddings.select(col(idCol).as("id"),
+      best.getField("cell").cast("long").as("cell"),
+      (lit(1.0) - best.getField("cos")).as("dist"))
+    val bounds = assigned.groupBy(col("cell"))
+      .agg(expr(s"percentile(dist, $pctl)").as("bound"))
+    assigned.join(broadcast(bounds), Seq("cell"))
+      .filter(col("dist") > col("bound"))
+      .select(col("id"), col("cell"),
+        (floor(col("dist") * 1000000 + 0.5) / 1000000).as("dist"),
+        (floor(col("bound") * 1000000 + 0.5) / 1000000).as("cutoff"))
+  }
 }

@@ -574,6 +574,56 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2).isNullAt(3), "zero-token doc must get NULL ratio, not 0/0")
   }
 
+  // --- shingle containment / centroid outliers -------------------------
+
+  test("containmentPairs: subset relation scores ~1 one way, partial the other") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),                // 4 shingles, all inside doc 2
+      (2L, "w1 w2 w3 w4 w5 w6 x1 x2 x3"),       // 7 shingles
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val out = DedupApprox.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, maxShingleDf = 100)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 4L, 1.0),
+      (2L, 1L, 4L, math.floor(4.0 / 7.0 * 10000 + 0.5) / 10000)))
+  }
+
+  test("containmentPairs: hot-shingle cap kills boilerplate pair fan-out") {
+    val docs = Seq(
+      (1L, "same old boilerplate line here"),
+      (2L, "same old boilerplate line there"),
+      (3L, "same old boilerplate line everywhere")).toDF("doc_id", "text")
+    // every SHARED shingle sits in all 3 docs (df=3 > cap 2) and is
+    // dropped pre-join; the df=1 tails are unique, so no pairs survive —
+    // while the uncapped run pairs everything
+    val capped = DedupApprox.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.1, maxShingleDf = 2)
+    assert(capped.count() == 0L)
+    val uncapped = DedupApprox.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.1, maxShingleDf = 100)
+    assert(uncapped.count() == 6L)
+  }
+
+  test("centroidOutliers flags the distance tail of its own cell only") {
+    val e1 = Seq(1f, 0f); val e2 = Seq(0f, 1f)
+    val rows = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.995f, 0.1f)), (12L, Seq(0.995f, -0.1f)),
+      (13L, Seq(0.8f, 0.6f)),                    // cell 0 outlier (dist 0.2)
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.995f)), (22L, Seq(-0.1f, 0.995f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      Seq(e1, e2), pctl = 0.75).collect()
+    val flagged = out.map(_.getLong(0)).toSet
+    assert(flagged.contains(13L), s"true outlier must be flagged: $flagged")
+    assert(!flagged.contains(10L) && !flagged.contains(20L),
+      s"centroid-coincident members must not be flagged: $flagged")
+    // every flagged row's distance genuinely exceeds its cell's cutoff
+    out.foreach(r => assert(r.getDouble(2) >= r.getDouble(3),
+      s"row $r dist below its own cutoff"))
+  }
+
   // --- bloom-filter pre-filtered join ----------------------------------
 
   test("bloomJoin equals the plain join and actually prunes the probe side") {
