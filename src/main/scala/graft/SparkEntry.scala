@@ -720,6 +720,14 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- per-key event-time rolling window -------------------------
+    "q89_rolling_window" -> ((s, dir) => {
+      graft.operators.Stats.rollingPerKey(rd(s, dir, "events"),
+        "user_id", "ts", "value", windowSec = 86400L)
+        .select(col("event_id"), col("user_id"), col("n_win"), col("sum_win"))
+        .orderBy("event_id")
+    }),
+
     // ----- shingle containment (excerpt/quote detection) -------------
     "q87_containment" -> ((s, dir) => {
       // the injected near-dups are tail-substrings of their source doc,
@@ -2108,6 +2116,18 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q89_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_win,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sum_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q87_containment" -> (nearDupCte +
       """,

@@ -170,4 +170,31 @@ object Stats {
           (acc, x) => lit(alpha) * x.getField("_v") + lit(1 - alpha) * acc)
           .as("ema"))
   }
+
+  /** Per-key EVENT-TIME rolling aggregate over a trailing window of
+    * `windowSec` seconds (the "7-day rolling spend per user" shape):
+    * attaches `n_win` / `sum_win` over the RANGE frame
+    * `[t - windowSec + 1, t]` in floor-epoch-seconds. A RANGE frame is
+    * peer-inclusive, so rows inside the same second share one frame and
+    * the result is deterministic no matter how ties are ordered — a ROWS
+    * frame would not be.
+    *
+    * Scale shape: one hash exchange on the key + per-partition sort —
+    * the minimum any per-key windowing needs; the frame is computed by
+    * Spark's sliding window accumulator, not a per-row rescan. The sum
+    * routes through DECIMAL(28,12) so accumulation order cannot perturb
+    * the double result (the engine-parity rule used throughout). */
+  def rollingPerKey(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSec > 0, s"windowSec $windowSec must be positive")
+    require(!df.columns.contains("n_win") && !df.columns.contains("sum_win"),
+      "input already has an n_win/sum_win column")
+    val sec = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(sec)
+      .rangeBetween(-(windowSec - 1), 0)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        sum(col(valueCol).cast("decimal(28,12)")).over(w).cast("double"))
+  }
 }

@@ -217,4 +217,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"per-shard window must not demand a global total order:\n$p")
   }
+
+  test("bm25: tiny df side broadcasts; no cartesian anywhere") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("dup", "vector"), topK = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"|q|-row df frame must broadcast-join, not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("containment: equi-join on the shingle hash, no pair cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(DedupApprox.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, maxShingleDf = 100))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("rolling window: one exchange on the key, no global sort") {
+    val ev = graft.sources.Sources.readTable(spark, dir, "events")
+    val p = graft.operators.Stats.rollingPerKey(ev, "user_id", "ts", "value",
+      windowSec = 86400L)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(x =>
+      x.contains("Exchange") && !x.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"per-key window must not demand a global total order:\n$p")
+  }
 }

@@ -131,4 +131,25 @@ class StatsSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
     assert(v.getLong(2) == 1 && v.getDouble(4) == -1.0 && v.getDouble(5) == 9.0)
   }
+
+  test("rollingPerKey: trailing range frame, peer-inclusive ties, keys isolated") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0, 7L),
+      (2L, "2024-01-01 00:00:10", 2.0, 7L),
+      (3L, "2024-01-01 00:00:10", 4.0, 7L),  // same-second peer of event 2
+      (4L, "2024-01-01 00:00:30", 8.0, 7L),
+      (5L, "2024-01-01 00:00:10", 16.0, 9L)) // other key, never mixed in
+      .toDF("event_id", "ts", "value", "user_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Stats.rollingPerKey(df, "user_id", "ts", "value", windowSec = 20)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    // frames: e1 alone; e2/e3 peers share {e1,e2,e3}; e4 sees only itself
+    assert(out.toSeq == Seq((1L, 1L, 1.0), (2L, 3L, 7.0), (3L, 3L, 7.0),
+      (4L, 1L, 8.0), (5L, 1L, 16.0)))
+    intercept[IllegalArgumentException] {
+      Stats.rollingPerKey(df.withColumn("n_win", lit(1)), "user_id", "ts",
+        "value", windowSec = 20)
+    }
+  }
 }
