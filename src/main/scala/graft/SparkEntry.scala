@@ -720,6 +720,37 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- URL canonicalization (provenance dedup key) ---------------
+    "q90_url_canonical" -> ((s, dir) => {
+      // messy synthetic URLs (mixed-case authority, tracking params,
+      // fragments, trailing slashes) built deterministically from doc_id
+      // so the oracle constructs the identical input strings
+      val urls = rd(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("HTTPS://Site"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.COM/Path"), (col("doc_id") % 4).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("/?utm_source=x&page="), (col("doc_id") % 2).cast("string")))
+            .when(col("doc_id") % 3 === 1, lit("?utm_campaign=y"))
+            .otherwise(lit("/")),
+          when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit(""))
+        ).as("url"))
+      urls
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canon")
+    }),
+
+    // ----- deterministic negative sampling (contrastive pairs) -------
+    "q91_negative_sample" -> ((s, dir) => {
+      graft.operators.Sampling.negativeSample(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", k = 3, payloadCols = Seq("n_chars"))
+        .withColumnRenamed("n_chars", "neg_chars")
+        .orderBy("anchor_id", "slot")
+    }),
+
     // ----- per-key event-time rolling window -------------------------
     "q89_rolling_window" -> ((s, dir) => {
       graft.operators.Stats.rollingPerKey(rd(s, dir, "events"),
@@ -2116,6 +2147,43 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q90_url_canonical" ->
+      """WITH urls AS (SELECT doc_id,
+        |  'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '.Example.COM/Path' || CAST(doc_id % 4 AS VARCHAR) ||
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN '/?utm_source=x&page=' || CAST(doc_id % 2 AS VARCHAR)
+        |    WHEN 1 THEN '?utm_campaign=y'
+        |    ELSE '/' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS u
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id, u,
+        |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS auth
+        |  FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  lower(auth) || substr(u, strlen(auth) + 1, strlen(u)) AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canon FROM c5)
+        |SELECT canon, COUNT(*) AS n, min(doc_id) AS first_doc
+        |FROM c6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_negative_sample" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, CAST(s.slot AS BIGINT) AS slot
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS slot) s),
+        |g AS (SELECT anchor_id, slot,
+        |  CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#' ||
+        |    CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT) % n AS neg_id
+        |  FROM a CROSS JOIN nn)
+        |SELECT anchor_id, slot, neg_id, d.n_chars AS neg_chars
+        |FROM g JOIN documents d ON d.doc_id = g.neg_id
+        |WHERE neg_id != anchor_id
+        |ORDER BY anchor_id, slot""".stripMargin,
 
     "q89_rolling_window" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -135,4 +135,41 @@ object Sampling {
     }
     df.filter(uniformHex(keyCols.map(col)) < cutoff)
   }
+
+  /** Deterministic negative sampling for contrastive training: for every
+    * anchor row, up to `k` pseudo-random negatives drawn by hashing
+    * `(anchor id, slot)` onto the dense id domain `[0, n)` — rerun-stable
+    * (pure md5 arithmetic, no RNG state to checkpoint), and uniform
+    * enough for training. Accidental self-draws are dropped rather than
+    * resampled (keeps the op one pass; callers get AT MOST k negatives,
+    * which contrastive losses tolerate). `payloadCols` are fetched from
+    * the sampled negative via the join.
+    *
+    * Scale shape: one generator explode (k rows per anchor) + ONE
+    * equi-join on the sampled id — sampling stays attached to the data,
+    * no driver loop, no RNG. Requires a dense `[0, n)` id domain; for
+    * sparse ids, build a rank table (`row_number` over sorted ids) once
+    * and join through it — same join shape, one extra window over the
+    * aggregated id frame. */
+  def negativeSample(docs: DataFrame, idCol: String, k: Int,
+      payloadCols: Seq[String]): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    require(payloadCols.nonEmpty, "negativeSample needs payload columns")
+    val n = docs.count() // dense-domain size, folded to a literal
+    require(n > 1, "negative sampling needs at least 2 rows")
+    val draws = docs.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
+      .withColumn("neg_id", pmod(
+        graft.functions.Checksums.md5PrefixLong(
+          concat(col("anchor_id").cast("string"), lit("#"),
+            col("slot").cast("string"))),
+        lit(n)))
+      .filter(col("neg_id") =!= col("anchor_id"))
+    draws.join(
+      docs.select((col(idCol).as("neg_id") +: payloadCols.map(col)): _*),
+      Seq("neg_id"))
+      .select((Seq(col("anchor_id"), col("slot"), col("neg_id")) ++
+        payloadCols.map(col)): _*)
+  }
 }

@@ -456,6 +456,29 @@ object TextAnalysis {
         col("n_rare").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** URL canonicalization — the provenance-dedup rule: the same page
+    * crawled as `HTTPS://Site.COM/p?utm_source=x#top` and
+    * `https://site.com/p` must collapse to ONE canonical key before any
+    * count/dedup by source. Steps: strip the fragment, remove tracking
+    * parameters (utm_*, fbclid, gclid) with their separators, drop
+    * dangling `?`/`&`, lowercase the scheme+authority (path and query
+    * stay case-sensitive per RFC 3986), and trim trailing slashes.
+    *
+    * Pure codegen'd expression — no shuffle, no UDF. Every regex is
+    * RE2-safe and NO replacement uses capture groups (Spark spells them
+    * `$1`, other engines `\1` — the one portability trap in regex
+    * replacement), so a SQL oracle reproduces the value byte-for-byte. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "")
+    val tidy = regexp_replace(noTrack, "[?&]+$", "")
+    val auth = regexp_extract(tidy, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(auth),
+      tidy.substr(length(auth) + lit(1), length(tidy)))
+    regexp_replace(lowered, "/+$", "")
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

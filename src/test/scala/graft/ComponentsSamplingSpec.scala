@@ -415,4 +415,22 @@ class ComponentsSamplingSpec extends SparkSpec {
       .select(TextAnalysis.histogramBin($"v", 100L, 20)).as[Long].collect().toSeq
     assert(bins == Seq(0L, 0L, 1L, 19L, 19L, 19L)) // overflow capped at last bin
   }
+
+  test("negativeSample: deterministic, in-domain, never self, payload joined") {
+    val docs = (0L until 10L).map(i => (i, i * 100L)).toDF("doc_id", "payload")
+    val out = Sampling.negativeSample(docs, "doc_id", k = 2,
+      payloadCols = Seq("payload")).orderBy("anchor_id", "slot").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val (anchor, slot, neg, pay) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(neg >= 0 && neg < 10 && neg != anchor, r.toString)
+      assert(slot >= 0 && slot < 2, r.toString)
+      assert(pay == neg * 100L, s"payload must come from the negative row: $r")
+    }
+    // rerun-stability: pure hash arithmetic, no RNG state
+    val again = Sampling.negativeSample(docs, "doc_id", k = 2,
+      payloadCols = Seq("payload")).orderBy("anchor_id", "slot").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

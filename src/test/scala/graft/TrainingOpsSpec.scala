@@ -624,6 +624,22 @@ class TrainingOpsSpec extends SparkSpec {
       s"row $r dist below its own cutoff"))
   }
 
+  test("canonicalizeUrl: fragment, tracking params, authority case, slashes") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM/Path/Sub/?utm_source=a&b=1#frag",
+        "https://www.example.com/Path/Sub/?b=1"),      // path case preserved
+      ("http://a.com/p?utm_campaign=x", "http://a.com/p"), // dangling ? dropped
+      ("x://h/p?a=1&utm_x=2&b=3", "x://h/p?a=1&b=3"),   // mid-query removal
+      ("HTTP://A.com/", "http://a.com"),                 // trailing slash
+      ("relative/path/", "relative/path"),               // no authority: untouched case
+      ("https://h.io/p?fbclid=abc#x", "https://h.io/p"))
+    val df = cases.toDF("url", "want")
+    val bad = df.filter(TextAnalysis.canonicalizeUrl(col("url")) =!= col("want"))
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   // --- bloom-filter pre-filtered join ----------------------------------
 
   test("bloomJoin equals the plain join and actually prunes the probe side") {
