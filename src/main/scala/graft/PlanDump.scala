@@ -94,7 +94,32 @@ object PlanDump {
           "WindowGroupLimit below the exchange and a final one above it: " +
           "each map task forwards at most k rows per group, so the shuffle " +
           "carries O(k * groups), not the corpus.",
-        SparkEntry.queries("q61_source_cap")(spark, sfDir)))
+        SparkEntry.queries("q61_source_cap")(spark, sfDir)),
+      ("q83_bm25 — BM25 ranking",
+        "The tokenize+explode lineage filters to the query terms BEFORE the " +
+          "(doc,term) aggregation; the |q|-row df/idf frame joins back as a " +
+          "BroadcastHashJoin; corpus stats fold to literals; top-k is " +
+          "TakeOrderedAndProject. At 100 TB only matching term occurrences " +
+          "ever reach an exchange.",
+        SparkEntry.queries("q83_bm25")(spark, sfDir)),
+      ("q84_bloom_join — bloom-filter pre-filtered join",
+        "bloom_filter_might_contain sits in the scan-side filter, BELOW the " +
+          "join's exchange: probe rows whose keys cannot match never shuffle. " +
+          "The sketch is a fixed-size literal (built in one partial-aggregated " +
+          "pass over the build side); the exact join above clears false " +
+          "positives, so the result equals the plain join.",
+        SparkEntry.queries("q84_bloom_join")(spark, sfDir)),
+      ("q87_containment — shingle containment (excerpt detection)",
+        "Ordered-pair containment plans as ONE equi-join of the exploded " +
+          "distinct-shingle frames on the 60-bit hash — no cartesian, no " +
+          "nested loop; the hot-shingle df cap filters BEFORE the self-join, " +
+          "bounding per-shingle fan-out at maxShingleDf^2.",
+        SparkEntry.queries("q87_containment")(spark, sfDir)),
+      ("q89_rolling_window — per-key event-time rolling aggregate",
+        "One hash exchange on the key + per-partition sort; the trailing " +
+          "RANGE frame is a sliding-window accumulator, not a per-row rescan, " +
+          "and no rangepartitioning (global sort) appears anywhere.",
+        SparkEntry.queries("q89_rolling_window")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
