@@ -720,6 +720,19 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- bloom novelty gate (batch form of the streaming gate) -----
+    "q92_bloom_novel" -> ((s, dir) => {
+      // corpus = even docs; the batch replays ALL docs — the gate must
+      // return exactly the anti-join survivors no matter how fp-heavy
+      // the (deliberately undersized) sketch is
+      val docs = rd(s, dir, "documents").select("doc_id", "n_chars")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val sketch = graft.operators.BloomJoin.buildFilter(corpus, "doc_id",
+        expectedItems = 1024, fpp = 0.2)
+      graft.operators.BloomJoin.novelRows(docs, corpus, "doc_id", sketch)
+        .orderBy("doc_id")
+    }),
+
     // ----- URL canonicalization (provenance dedup key) ---------------
     "q90_url_canonical" -> ((s, dir) => {
       // messy synthetic URLs (mixed-case authority, tracking params,
@@ -2147,6 +2160,12 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q92_bloom_novel" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) c
+        |  ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
 
     "q90_url_canonical" ->
       """WITH urls AS (SELECT doc_id,

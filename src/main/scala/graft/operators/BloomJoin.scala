@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge
@@ -48,6 +49,24 @@ object BloomJoin {
     graftbridge.column(BloomFilterMightContain(
       Literal(sketch, BinaryType),
       XxHash64(Seq(graftbridge.expression(key)), 42L)))
+
+  /** Novelty gate — the incremental-ingest fast path: rows whose key the
+    * corpus sketch has NEVER seen are definitely new (a bloom filter has
+    * no false negatives) and skip the exact check entirely; only the
+    * might-contain minority anti-joins the corpus to clear false
+    * positives. The result is EXACTLY `batch.join(corpus, key,
+    * "left_anti")` — at a fraction of the shuffle, since the anti-join
+    * moves `hit-rate × |batch|` rows, not the batch. NULL-key rows are
+    * novel under anti-join semantics and survive through either branch
+    * (the sketch routes them to the exact check only when the corpus
+    * hashed a NULL itself, and the anti-join then keeps them). */
+  def novelRows(batch: DataFrame, corpus: DataFrame, key: String,
+      sketch: Array[Byte]): DataFrame = {
+    val mc = mightContain(sketch, batch.col(key))
+    batch.filter(!mc).unionByName(
+      batch.filter(mc).join(corpus.select(col(key)), Seq(key), "left_anti")
+        .select(batch.columns.map(col): _*))
+  }
 
   /** Exact join with a bloom pre-filter on the probe side. Only join
     * types where dropping provably-unmatched probe rows is semantics-

@@ -106,6 +106,31 @@ object StreamingSync {
     }
   }
 
+  /** Streaming bloom novelty gate: per micro-batch, hand `onNovel`
+    * exactly the rows whose key is NOT in the static corpus — anti-join
+    * semantics at bloom cost. The corpus sketch (fixed-size bytes,
+    * independent of corpus rows) is built ONCE at gate start and
+    * captured by value in the batch closure — unlike [[nearDupGate]]
+    * there is no cached frame and so no listener lifecycle to manage.
+    * Rows the sketch has never seen are definitely novel and skip the
+    * exact check (a bloom filter has no false negatives); only the
+    * might-contain minority anti-joins the corpus to clear false
+    * positives (see [[graft.operators.BloomJoin.novelRows]]). */
+  def bloomNovelGate(stream: DataFrame, corpus: DataFrame, keyCol: String,
+      checkpoint: String, onNovel: DataFrame => Unit,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.BloomJoin
+    val sketch = BloomJoin.buildFilter(corpus, keyCol, expectedItems, fpp)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onNovel(BloomJoin.novelRows(batch, corpus, keyCol, sketch))
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream —
     * the standard streaming-analytics shape on the events table. */
   def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =

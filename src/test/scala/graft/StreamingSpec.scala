@@ -251,4 +251,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(seen.toSet == Set((100L, 1L), (102L, 1L))) // 101 passes the gate
   }
+
+  test("streaming bloom novelty gate passes exactly the anti-join survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 500L).map(k => (k, s"c$k")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // deliberately undersized sketch: high fp rate forces the exact path
+    val q = StreamingSync.bloomNovelGate(
+      in.toDF().toDF("doc_id", "text"), corpus, "doc_id",
+      Files.createTempDirectory("graft_bloom_ckpt").toString,
+      novel => seen ++= novel.select("doc_id").as[Long].collect(),
+      expectedItems = 64, fpp = 0.2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    in.addData((1L, "dup"), (900L, "new"), (901L, "new"))
+    q.processAllAvailable()
+    in.addData((250L, "dup"), (902L, "new"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet == Set(900L, 901L, 902L), s"got ${seen.toSet}")
+  }
 }

@@ -664,6 +664,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("novelRows equals the exact anti-join even with a fp-heavy sketch") {
+    import graft.operators.BloomJoin
+    val corpus = (1L to 1000L).filter(_ % 3 == 0).map(k => (k, s"c$k"))
+      .toDF("k", "v")
+    val batch = (1L to 1000L).map(k => (k, s"b$k")).toDF("k", "v")
+    // undersized sketch → plenty of false positives → exact path exercised
+    val sketch = BloomJoin.buildFilter(corpus, "k", expectedItems = 32, fpp = 0.3)
+    val got = BloomJoin.novelRows(batch, corpus, "k", sketch)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = batch.join(corpus.select(col("k")), Seq("k"), "left_anti")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    // null keys are novel (anti-join semantics), with or without fp routing
+    val nb = Seq((Some(3L), "x"), (None, "n")).toDF("k", "v")
+    val gotNull = BloomJoin.novelRows(nb, corpus, "k", sketch).collect()
+    assert(gotNull.map(_.getString(1)).toSeq == Seq("n"))
+  }
+
   test("bloomJoin: NULL keys never match but never crash; outer joins rejected") {
     import graft.operators.BloomJoin
     val probe = Seq((Some(1L), "a"), (None, "n"), (Some(5L), "x"))
