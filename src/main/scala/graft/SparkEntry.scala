@@ -720,6 +720,18 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- persisted inverted (posting-list) index -------------------
+    "q93_inverted_index" -> ((s, dir) => {
+      // postings written partitionBy(term_bucket) once; the probe prunes
+      // to the query terms' buckets at planning time (like q30/q49)
+      val path = cachedIndexPath(s, dir, "graft_q93_inv", "documents",
+        "k1_b64")(p => TextAnalysis.writeInvertedIndex(
+          docsBase(s, dir), "doc_id", "text", p, nBuckets = 64))
+      TextAnalysis.probePostings(TextAnalysis.readInvertedIndex(s, path),
+        Seq("dup", "vector", "spark"), nBuckets = 64)
+        .orderBy("term", "doc_id")
+    }),
+
     // ----- bloom novelty gate (batch form of the streaming gate) -----
     "q92_bloom_novel" -> ((s, dir) => {
       // corpus = even docs; the batch replays ALL docs — the gate must
@@ -2160,6 +2172,14 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q93_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents)
+        |SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        |WHERE term IN ('dup', 'vector', 'spark')
+        |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
 
     "q92_bloom_novel" ->
       """SELECT d.doc_id, d.n_chars FROM documents d

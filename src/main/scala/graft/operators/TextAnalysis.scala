@@ -479,6 +479,58 @@ object TextAnalysis {
     regexp_replace(lowered, "/+$", "")
   }
 
+  /** Persisted inverted (posting-list) index — the lexical analog of the
+    * LSH/IVF vector indexes: tokenize ONCE, write `(term, doc_id, tf)`
+    * postings `partitionBy("term_bucket")` where the bucket is a hash of
+    * the term, so a query-term probe prunes to |q| directories at
+    * planning time instead of rescanning the corpus. Row-per-posting
+    * rather than list-per-term: one boilerplate term would make a giant
+    * array row, while posting rows partial-aggregate and split across
+    * row groups/partitions like any other data. `nBuckets` bounds the
+    * directory count (vocabulary-sized partitioning would explode the
+    * file system at corpus scale). */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+  }
+
+  /** Open a persisted inverted index; `term_bucket` comes back as a
+    * partition column, so bucket predicates prune at planning time. */
+  def readInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Driver-side mirror of the index's bucket hash (same XxHash64 seed
+    * Spark's `xxhash64` uses) — probes enumerate their buckets without a
+    * job, exactly like the ANN paths enumerate Hamming balls/cells. */
+  private[graft] def termBucket(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Posting probe: read only the query terms' bucket partitions
+    * (PartitionFilters at the scan), then the exact term filter. MUST be
+    * called with the `nBuckets` the index was written with — enforced
+    * nowhere cheaper than the caller, so it is part of the signature. */
+  def probePostings(index: DataFrame, terms: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(terms.nonEmpty, "probePostings needs at least one term")
+    val buckets = terms.map(t => termBucket(t, nBuckets)).distinct
+    index.filter(col("term_bucket").isin(buckets: _*) &&
+      col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -574,6 +574,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2).isNullAt(3), "zero-token doc must get NULL ratio, not 0/0")
   }
 
+  test("inverted index: probe equals direct recompute and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv_idx").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta delta delta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeInvertedIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+    val idx = TextAnalysis.readInvertedIndex(spark, dir)
+    val got = TextAnalysis.probePostings(idx, Seq("alpha", "delta"), nBuckets = 8)
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("alpha", 1L, 2L), ("delta", 3L, 3L)))
+    // the probe prunes to the terms' bucket directories at planning time
+    val planned = TextAnalysis.probePostings(idx, Seq("alpha"), nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(planned.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.contains("term_bucket")),
+      s"expected partition pruning on term_bucket in:\n$planned")
+  }
+
   // --- shingle containment / centroid outliers -------------------------
 
   test("containmentPairs: subset relation scores ~1 one way, partial the other") {
