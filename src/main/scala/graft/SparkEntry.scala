@@ -140,6 +140,39 @@ object SparkEntry {
       |  JOIN hsh sa ON sa.doc_id = cand.id_a
       |  JOIN hsh sb ON sb.doc_id = cand.id_b)""".stripMargin
 
+  /** Full from-scratch BM25 oracle — shared by q83 (scan path) and
+    * q94 (persisted-index path): both must reproduce it exactly. */
+  private val bm25OracleSql =
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks
+        |  WHERE term IN ('dup', 'vector', 'spark')),
+        |dl AS (SELECT doc_id,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+        |       END AS BIGINT) AS dl
+        |  FROM (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |        FROM documents)),
+        |st AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT f.doc_id, d.dl, f.term, COUNT(*) AS tf
+        |  FROM ft f JOIN dl d ON f.doc_id = d.doc_id GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, df,
+        |  (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |    (CAST(df AS DOUBLE) + 0.5) AS idf
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(floor(idf.idf *
+        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |       ((1.0 - 0.75) + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) *
+        |    1000000.0 + 0.5) AS BIGINT) AS ms
+        |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st),
+        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)
+        |SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+
   // --- documents with injected PII / URLs (the base corpus is plain
   // lowercase words, so scrub/extract queries would otherwise be vacuous) --
   private def docsWithPii(s: SparkSession, dir: String): DataFrame =
@@ -720,6 +753,15 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- BM25 served from the persisted index ----------------------
+    "q94_bm25_indexed" -> ((s, dir) => {
+      val path = cachedIndexPath(s, dir, "graft_q94_bm25", "documents",
+        "k1b64")(p => TextAnalysis.writeBm25Index(
+          docsBase(s, dir), "doc_id", "text", p, nBuckets = 64))
+      TextAnalysis.bm25FromIndex(s, path, Seq("dup", "vector", "spark"),
+        topK = 15, nBuckets = 64)
+    }),
+
     // ----- persisted inverted (posting-list) index -------------------
     "q93_inverted_index" -> ((s, dir) => {
       // postings written partitionBy(term_bucket) once; the probe prunes
@@ -2294,36 +2336,12 @@ object SparkEntry {
         |FROM lineitem JOIN hi USING (l_orderkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q83_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
-        |  FROM documents),
-        |ft AS (SELECT doc_id, term FROM toks
-        |  WHERE term IN ('dup', 'vector', 'spark')),
-        |dl AS (SELECT doc_id,
-        |  CAST(CASE WHEN norm = '' THEN 0
-        |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
-        |       END AS BIGINT) AS dl
-        |  FROM (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
-        |        FROM documents)),
-        |st AS (SELECT COUNT(*) AS n,
-        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
-        |tf AS (SELECT f.doc_id, d.dl, f.term, COUNT(*) AS tf
-        |  FROM ft f JOIN dl d ON f.doc_id = d.doc_id GROUP BY 1, 2, 3),
-        |idf AS (SELECT term, df,
-        |  (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-        |    (CAST(df AS DOUBLE) + 0.5) AS idf
-        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
-        |sc AS (SELECT tf.doc_id,
-        |  CAST(floor(idf.idf *
-        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |     (CAST(tf.tf AS DOUBLE) + 1.2 *
-        |       ((1.0 - 0.75) + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) *
-        |    1000000.0 + 0.5) AS BIGINT) AS ms
-        |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st),
-        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)
-        |SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
-        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "q83_bm25" -> bm25OracleSql,
+
+    // identical from-scratch SQL: the indexed path must reproduce the
+    // scan path's ranking bit-for-bit
+    "q94_bm25_indexed" -> bm25OracleSql,
+
 
     "q85_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split(

@@ -378,16 +378,22 @@ object TextAnalysis {
       .withColumn("idf",
         (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))
-    val core = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
     tf.join(broadcast(dfreq), "term")
-      .withColumn("ms",
-        floor(col("idf") * core * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("ms", bm25Micro(k1, b, avgdl))
       .groupBy(col("id")).agg(sum(col("ms")).as("ms"))
       .select(col("id"), (col("ms").cast("double") / lit(1000000.0)).as("bm25"))
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(topK)
+  }
+
+  /** Shared BM25 per-term micro-score over columns `tf`, `dl`, `idf`:
+    * the full Robertson formula as IEEE-exact ops, snapped to the 1e-6
+    * lattice as a LONG so the per-doc sum is order-independent. */
+  private def bm25Micro(k1: Double, b: Double, avgdl: Double): Column = {
+    val core = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    floor(col("idf") * core * lit(1000000.0) + lit(0.5)).cast("long")
   }
 
   /** Tokenizer-vocabulary coverage curve: the `topK` most frequent corpus
@@ -528,7 +534,60 @@ object TextAnalysis {
     val buckets = terms.map(t => termBucket(t, nBuckets)).distinct
     index.filter(col("term_bucket").isin(buckets: _*) &&
       col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"), col("tf"))
+      .drop("term_bucket")
+  }
+
+  /** BM25-ready index: postings additionally carry the doc length (so
+    * scoring needs NO doc-side join at query time), and a one-row stats
+    * sidecar holds the corpus doc count and total token count that fold
+    * into the idf/avgdl literals. Build cost is the same single tokenize
+    * pass as [[writeInvertedIndex]]. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 served FROM the persisted index — the retrieval scale path:
+    * query cost is proportional to the probed postings (|q| bucket
+    * directories, PartitionFilters at the scan), never the corpus. Same
+    * IEEE-exact scoring as [[bm25Rank]] — identical results by
+    * construction, which the oracle checks by running the from-scratch
+    * SQL against this path's output. df comes from the probed postings
+    * themselves (a posting row IS a (term, doc) occurrence). */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10, nBuckets: Int = 64): DataFrame = {
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25FromIndex needs at least one query term")
+    require(topK > 0, s"topK $topK must be positive")
+    val st = spark.read.parquet(s"$path/stats").head()
+    val n = st.getAs[Long]("n_docs")
+    require(n > 0, "bm25FromIndex needs a non-empty indexed corpus")
+    val avgdl = st.getAs[Long]("total_tokens").toDouble / n.toDouble
+    val postings =
+      probePostings(readInvertedIndex(spark, s"$path/postings"), terms, nBuckets)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+    postings.join(broadcast(dfreq.select(col("term"), col("idf"))), "term")
+      .withColumn("ms", bm25Micro(k1, b, avgdl))
+      .groupBy(col("doc_id")).agg(sum(col("ms")).as("ms"))
+      .select(col("doc_id"),
+        (col("ms").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
   }
 
   /** Full per-document analysis frame. */

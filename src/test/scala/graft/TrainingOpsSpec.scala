@@ -593,6 +593,20 @@ class TrainingOpsSpec extends SparkSpec {
       s"expected partition pruning on term_bucket in:\n$planned")
   }
 
+  test("bm25FromIndex reproduces bm25Rank exactly (indexed path ≡ scan path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dir, nBuckets = 16)
+    val scan = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("dup", "vector"), topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = TextAnalysis.bm25FromIndex(spark, dir,
+      Seq("dup", "vector"), topK = 20, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(scan.nonEmpty && scan.toSeq == indexed.toSeq)
+  }
+
   // --- shingle containment / centroid outliers -------------------------
 
   test("containmentPairs: subset relation scores ~1 one way, partial the other") {
