@@ -753,6 +753,21 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- BPE merge-candidate (adjacent-pair) counting --------------
+    "q95_bigram_merges" -> ((s, dir) => {
+      // the first step of a BPE-style merge loop: corpus-wide adjacent
+      // token-pair frequencies, top candidates by count. One explode of
+      // 2-shingles + one partial-aggregated count + a bounded top-k heap
+      // — the same shape at any corpus size. Single-token docs contribute
+      // no pairs (shingleStrings' degenerate case is filtered by arity).
+      docsBase(s, dir)
+        .select(explode(TextAnalysis.shingleStrings(col("text"), 2)).as("pair"))
+        .filter(size(split(col("pair"), " ")) === 2)
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // ----- BM25 served from the persisted index ----------------------
     "q94_bm25_indexed" -> ((s, dir) => {
       val path = cachedIndexPath(s, dir, "graft_q94_bm25", "documents",
@@ -2214,6 +2229,18 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q95_bigram_merges" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+        |       END AS sh FROM toks),
+        |pairs AS (SELECT unnest(sh) AS pair FROM sh)
+        |SELECT pair, COUNT(*) AS n FROM pairs
+        |WHERE len(string_split(pair, ' ')) = 2
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q93_inverted_index" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(

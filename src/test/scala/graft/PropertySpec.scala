@@ -170,4 +170,41 @@ class PropertySpec extends SparkSpec {
       assert((hashes(0) == hashes(1)) == (a == b))
     }
   }
+
+  test("canonicalizeUrl is idempotent: canon(canon(u)) == canon(u)") {
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      host <- Gen.oneOf("A.Example.COM", "b.org", "X-Y.net")
+      path <- Gen.oneOf("", "/P/q", "/deep/Path/", "/p")
+      track <- Gen.oneOf("", "?utm_source=Z", "?a=1&utm_x=2", "?utm_a=1&b=2&utm_c=3")
+      frag <- Gen.oneOf("", "#frag", "#A/b?c")
+    } yield s"$scheme://$host$path$track$frag"
+    forAll(urlGen, n = 24) { u =>
+      val once = Seq(u).toDF("u")
+        .select(graft.operators.TextAnalysis.canonicalizeUrl(col("u")))
+        .as[String].head()
+      val twice = Seq(once).toDF("u")
+        .select(graft.operators.TextAnalysis.canonicalizeUrl(col("u")))
+        .as[String].head()
+      assert(twice == once, s"not idempotent: $u -> $once -> $twice")
+      assert(!once.contains("utm_") && !once.contains("#"), s"$u -> $once")
+    }
+  }
+
+  test("containment is directional and bounded in [0, 1]") {
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+      .map(_.take(10).mkString(" "))
+    forAll2(wordsGen, wordsGen, n = 8) { (ta, tb) =>
+      val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val rows = graft.operators.DedupApprox.containmentPairs(
+        docs, "doc_id", "text", k = 2, threshold = 0.0, maxShingleDf = 100)
+        .collect()
+      rows.foreach { r =>
+        val c = r.getDouble(4)
+        assert(c >= 0.0 && c <= 1.0, s"containment $c outside [0,1] for ($ta, $tb)")
+        assert(r.getLong(2) <= r.getLong(3),
+          s"shared ${r.getLong(2)} exceeds |Sa| ${r.getLong(3)}")
+      }
+    }
+  }
 }
