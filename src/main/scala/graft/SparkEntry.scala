@@ -760,9 +760,17 @@ object SparkEntry {
       // 2-shingles + one partial-aggregated count + a bounded top-k heap
       // — the same shape at any corpus size. Single-token docs contribute
       // no pairs (shingleStrings' degenerate case is filtered by arity).
+      val toks = split(TextAnalysis.normText(col("text")), " ")
+      val n = size(toks)
+      // zip_with over two shifted slices: one concat per pair, no
+      // per-window array allocation (shingleStrings' general-k path
+      // costs ~3x here); docs with <2 tokens contribute no pairs
+      val pairs = when(n < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (x, y) => concat(x, lit(" "), y)))
       docsBase(s, dir)
-        .select(explode(TextAnalysis.shingleStrings(col("text"), 2)).as("pair"))
-        .filter(size(split(col("pair"), " ")) === 2)
+        .select(explode(pairs).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)

@@ -504,6 +504,10 @@ object TextAnalysis {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      // co-locate each bucket before the dynamic-partition write: one
+      // task writes one directory (nBuckets files total) instead of
+      // tasks × buckets writers each flushing a tiny parquet footer
+      .repartition(nBuckets, col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
   }
 
@@ -551,11 +555,18 @@ object TextAnalysis {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("term_bucket")) // one file per directory
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
     docs.agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col(textCol))).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // completion marker at the ROOT: the index is two datasets, so
+    // neither subdir's own _SUCCESS proves the whole build finished —
+    // cache checks (and crash recovery) need one marker after BOTH writes
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 
   /** BM25 served FROM the persisted index — the retrieval scale path:
