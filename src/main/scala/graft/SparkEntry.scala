@@ -753,6 +753,37 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- WAV header decode (audio metadata, no codec) --------------
+    "q96_audio_headers" -> ((s, dir) => {
+      // RIFF/WAVE bytes assembled in-plan (little-endian chunk sizes and
+      // rates); the decoder walks the chunk list and reads the duration
+      // from fmt.byteRate + data.size — the oracle predicts it from
+      // doc_id arithmetic alone. doc_id % 3 == 2 rows carry a WAVE magic
+      // with a truncated junk chunk: recognized container, NULL duration.
+      def beHex(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def leHex(c: Column, bytes: Int) = { // little-endian: reverse the byte pairs
+        val be = beHex(c, bytes * 2)
+        concat((0 until bytes).reverse.map(i => substring(be, i * 2 + 1, 2)): _*)
+      }
+      val rate = (col("doc_id") % 100 * 100 + 8000).cast("long") // byteRate (8-bit mono)
+      val dataBytes = ((col("doc_id") % 50 + 1) * 1000).cast("long")
+      val wav = concat(
+        unhex(lit("52494646" + "24000000" + "57415645")),       // RIFF .. WAVE
+        unhex(lit("666D7420" + "10000000" + "0100" + "0100")),  // fmt ,16,PCM,mono
+        unhex(leHex(rate, 4)), unhex(leHex(rate, 4)),           // sampleRate, byteRate
+        unhex(lit("0100" + "0800")),                            // blockAlign, bits
+        unhex(lit("64617461")), unhex(leHex(dataBytes, 4)))     // data, size
+      val bad = unhex(lit("52494646" + "24000000" + "57415645" + "6A756E6B"))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, bad).otherwise(wav).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.duration_ms").as("duration_ms"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
     // ----- BPE merge-candidate (adjacent-pair) counting --------------
     "q95_bigram_merges" -> ((s, dir) => {
       // the first step of a BPE-style merge loop: corpus-wide adjacent
@@ -2236,6 +2267,15 @@ object SparkEntry {
         |  CAST(least(strlen(text), 256) AS BIGINT) AS byte_len,
         |  64 AS width,
         |  4 AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_audio_headers" ->
+      """SELECT doc_id,
+        |  'audio/wav' AS detected_mime,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       ELSE ((doc_id % 50 + 1) * 1000 * 1000) // (doc_id % 100 * 100 + 8000)
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 44 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q95_bigram_merges" ->

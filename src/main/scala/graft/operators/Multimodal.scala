@@ -41,6 +41,9 @@ object Multimodal {
     ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
   private def le16(p: Array[Byte], i: Int): Int =
     ((p(i + 1) & 0xFF) << 8) | (p(i) & 0xFF)
+  private def le32(p: Array[Byte], i: Int): Long =
+    ((p(i + 3) & 0xFFL) << 24) | ((p(i + 2) & 0xFFL) << 16) |
+      ((p(i + 1) & 0xFFL) << 8) | (p(i) & 0xFFL)
 
   private val PngMagic: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -99,6 +102,31 @@ object Multimodal {
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
       if (p.length >= 10) dims("image/gif", le16(p, 6).toLong, le16(p, 8).toLong)
       else meta("image/gif", null, null)
+    } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      // WAV: RIFF chunk walk — [tag(4) size(4 LE) payload(size, even-padded)].
+      // The fmt chunk's byte rate (offset 8 into its payload) plus the data
+      // chunk's declared size give the duration; no codec touches samples.
+      var i = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      var ok = true
+      while (ok && i + 8 <= p.length && (byteRate == 0L || dataSize < 0L)) {
+        val size = le32(p, i + 4)
+        if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+          if (i + 20 <= p.length && size >= 16L) byteRate = le32(p, i + 16)
+          else ok = false
+        } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+            p(i + 3) == 'a') {
+          dataSize = size
+        }
+        if (size > p.length) ok = false // corrupt size: stop the walk
+        else i += 8 + size.toInt + (size.toInt & 1)
+      }
+      val dur: Any =
+        if (byteRate > 0L && dataSize >= 0L) Long.box(dataSize * 1000L / byteRate)
+        else null
+      Some(Row("audio/wav", null, null, 1, dur, p.length.toLong))
     } else None
   }
 

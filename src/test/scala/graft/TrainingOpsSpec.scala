@@ -200,6 +200,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(dims(gif(17, 23).take(7)) == Some(("image/gif", None, None)))
     // unrecognized magic -> None, so withDecodedMeta falls back to the stub
     assert(Multimodal.parseHeader("not an image".getBytes).isEmpty)
+    // WAV: RIFF chunk walk reads duration = data.size * 1000 / fmt.byteRate
+    def wav(byteRate: Int, dataSize: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(byteRate).putInt(byteRate).putShort(1).putShort(8)
+      b.put("data".getBytes).putInt(dataSize).array()
+    }
+    def wavDur(p: Array[Byte]) = Multimodal.parseHeader(p).map(r =>
+      (r.getString(0), Option(r.get(4))))
+    assert(wavDur(wav(88200, 88200)) == Some(("audio/wav", Some(1000L))))
+    assert(wavDur(wav(8000, 4000)) == Some(("audio/wav", Some(500L))))
+    // junk chunk tag with no size field: recognized container, NULL duration
+    assert(wavDur("RIFF$   WAVEjunk".getBytes("ISO-8859-1")) ==
+      Some(("audio/wav", None)))
+    // truncated fmt chunk: NULL duration, never an index crash
+    assert(wavDur(wav(88200, 88200).take(20)) == Some(("audio/wav", None)))
     val mixed = Seq(
       (0L, png(12, 34), "application/octet-stream"),
       (1L, "plain text".getBytes, "text/plain"),
