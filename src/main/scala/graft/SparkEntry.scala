@@ -753,6 +753,12 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- corpus diversity estimate (no pair expansion) -------------
+    "q97_corpus_diversity" -> ((s, dir) => {
+      DedupApprox.pairwiseJaccardEstimate(docsWithNearDups(s, dir),
+        "doc_id", "text", k = 3, numHashes = 16)
+    }),
+
     // ----- WAV header decode (audio metadata, no codec) --------------
     "q96_audio_headers" -> ((s, dir) => {
       // RIFF/WAVE bytes assembled in-plan (little-endian chunk sizes and
@@ -2268,6 +2274,28 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q97_corpus_diversity" -> (nearDupCte +
+      """,
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |sig AS (SELECT doc_id,
+        |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+        |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
+        |  FROM sh),
+        |lanes AS (SELECT j, sg[j + 1] AS v FROM sig, range(0, 16) t(j)),
+        |counts AS (SELECT j, v, COUNT(*) AS c FROM lanes GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS collisions FROM counts),
+        |nn AS (SELECT COUNT(*) AS n FROM corpus)
+        |SELECT n AS n_docs, 16 AS n_lanes, collisions,
+        |  CAST(collisions AS DOUBLE) /
+        |    (16.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS mean_jaccard_est
+        |FROM tot CROSS JOIN nn""".stripMargin),
 
     "q96_audio_headers" ->
       """SELECT doc_id,

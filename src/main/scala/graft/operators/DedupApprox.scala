@@ -351,6 +351,34 @@ object DedupApprox {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Corpus duplication/diversity estimate WITHOUT pair expansion: the
+    * mean pairwise Jaccard similarity across ALL doc pairs, estimated as
+    * the minhash lane collision probability. For a random pair,
+    * P(lane values collide) = J, so
+    * `mean J ≈ Σ_lanes Σ_values c(c−1) / (L · N(N−1))` — pure counting:
+    * an explode of the signature to (lane, value), one partial-aggregated
+    * groupBy, one global sum, ONE division. The N²-pair computation this
+    * estimates is infeasible at corpus scale; this is one shuffle.
+    * Collision products route through DECIMAL(38,0): one value shared by
+    * c docs contributes c(c−1), which overflows a long once c exceeds
+    * ~3e9. Lanes use the portable md5 family so a SQL oracle reproduces
+    * the exact integer counts and the single IEEE division. */
+  def pairwiseJaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16): DataFrame = {
+    require(numHashes > 0, s"numHashes $numHashes must be positive")
+    val n = docs.count()
+    require(n > 1, "pairwise estimate needs at least 2 docs")
+    val denom = numHashes.toDouble * n.toDouble * (n - 1).toDouble
+    docSketches(docs, idCol, textCol, k, numHashes, md5Family = true)
+      .select(posexplode(col("_sig")))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") *
+        (col("c") - 1).cast("decimal(38,0)")).cast("long").as("collisions"))
+      .select(lit(n).as("n_docs"), lit(numHashes).as("n_lanes"),
+        col("collisions"),
+        (col("collisions").cast("double") / lit(denom)).as("mean_jaccard_est"))
+  }
+
   /** Asymmetric shingle CONTAINMENT — excerpt/quote detection. For the
     * ORDERED doc pair (a, b), `containment = |Sa ∩ Sb| / |Sa|` over
     * distinct k-shingle sets: ~1.0 when a is quoted inside b, even though

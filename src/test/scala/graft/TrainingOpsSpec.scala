@@ -624,6 +624,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(scan.nonEmpty && scan.toSeq == indexed.toSeq)
   }
 
+  test("pairwiseJaccardEstimate: exact 1/3 for {dup, dup, disjoint} corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1: J = 1
+      (3L, "one two three four five six")     // disjoint: J = 0 with both
+    ).toDF("doc_id", "text")
+    val r = DedupApprox.pairwiseJaccardEstimate(docs, "doc_id", "text").head()
+    // identical docs collide on every lane (c=2 → 2 per lane, 32 total);
+    // mean estimate = 32 / (16 · 3 · 2) = exactly the true mean J of 1/3
+    assert(r.getLong(0) == 3L && r.getInt(1) == 16)
+    assert(r.getLong(2) == 32L, s"collisions ${r.getLong(2)}")
+    assert(r.getDouble(3) == 32.0 / 96.0)
+  }
+
   // --- shingle containment / centroid outliers -------------------------
 
   test("containmentPairs: subset relation scores ~1 one way, partial the other") {
