@@ -2290,7 +2290,7 @@ object SparkEntry {
         |  FROM sh),
         |lanes AS (SELECT j, sg[j + 1] AS v FROM sig, range(0, 16) t(j)),
         |counts AS (SELECT j, v, COUNT(*) AS c FROM lanes GROUP BY 1, 2),
-        |tot AS (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS collisions FROM counts),
+        |tot AS (SELECT CAST(SUM(c * (c - 1)) AS DECIMAL(38,0)) AS collisions FROM counts),
         |nn AS (SELECT COUNT(*) AS n FROM corpus)
         |SELECT n AS n_docs, 16 AS n_lanes, collisions,
         |  CAST(collisions AS DOUBLE) /
@@ -2343,9 +2343,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
         |  FROM documents),
         |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
-        |c2 AS (SELECT doc_id,
-        |  regexp_replace(u, '(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS u
+        |c2a AS (SELECT doc_id,
+        |  regexp_replace(u, '&(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*', '', 'g') AS u
         |  FROM c1),
+        |c2b AS (SELECT doc_id,
+        |  regexp_replace(u, '\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&', '?', 'g') AS u
+        |  FROM c2a),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(u, '\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$', '', 'g') AS u
+        |  FROM c2b),
         |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c2),
         |c4 AS (SELECT doc_id, u,
         |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS auth
@@ -2393,10 +2399,10 @@ object SparkEntry {
         |hs AS (SELECT DISTINCT doc_id,
         |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1),
         |hot AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 100),
         |cool AS (SELECT hs.doc_id, hs.h FROM hs
         |  LEFT JOIN hot ON hs.h = hot.h WHERE hot.h IS NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cool GROUP BY 1),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         |  FROM cool a JOIN cool b ON a.h = b.h AND a.doc_id != b.doc_id
         |  GROUP BY 1, 2),

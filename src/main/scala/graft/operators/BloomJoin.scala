@@ -35,6 +35,21 @@ object BloomJoin {
     require(expectedItems > 0, s"expectedItems $expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp $fpp must be in (0, 1)")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both parameters to these confs
+    // (Spark's runtime-filter safety caps). A clamped sketch saturates —
+    // fp rate -> 1 and the "pre-filter" passes everything while still
+    // paying build+probe cost — so fail loudly and point at the knobs.
+    val conf = build.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"expectedItems=$expectedItems (numBits=$numBits) exceeds the session's " +
+        s"bloom caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "BloomFilterAggregate would silently clamp and saturate the sketch — " +
+        "raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "for builds this large")
     val hashed = XxHash64(Seq(graftbridge.expression(build.col(keyCol))), 42L)
     val agg = graftbridge.column(
       new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))

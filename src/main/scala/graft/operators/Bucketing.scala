@@ -26,7 +26,14 @@ object Bucketing {
       nBuckets: Int, path: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "bucketing needs key columns")
     require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
-    val w = df.write.mode("overwrite").format("parquet")
+    // co-locate each bucket's rows in ONE task before the write: without
+    // this, every task writes a file per bucket it touches (tasks x
+    // buckets small files), and with more than one file per bucket Spark
+    // drops the sorted-bucket property — voiding the sortBy's
+    // skip-the-SMJ-sort promise. repartition's HashPartitioning is the
+    // same murmur3 bucket hash, so each task lands exactly one bucket.
+    val w = df.repartition(nBuckets, keyCols.map(df.col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
     // explicit path -> external table (data location decoupled from the

@@ -372,8 +372,10 @@ object DedupApprox {
     docSketches(docs, idCol, textCol, k, numHashes, md5Family = true)
       .select(posexplode(col("_sig")))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("c"))
+      // stays DECIMAL(38,0) end-to-end — casting the sum back to long
+      // would reintroduce the exact overflow the routing exists to stop
       .agg(sum(col("c").cast("decimal(38,0)") *
-        (col("c") - 1).cast("decimal(38,0)")).cast("long").as("collisions"))
+        (col("c") - 1).cast("decimal(38,0)")).as("collisions"))
       .select(lit(n).as("n_docs"), lit(numHashes).as("n_lanes"),
         col("collisions"),
         (col("collisions").cast("double") / lit(denom)).as("mean_jaccard_est"))
@@ -391,11 +393,17 @@ object DedupApprox {
     * more than `maxShingleDf` docs (boilerplate n-grams — the quadratic
     * hazard: one shared stop-phrase would pair every doc with every other)
     * are dropped BEFORE the self-join, bounding per-shingle pair fan-out
-    * at maxShingleDf²; the shared-count is a partial-aggregatable count on
+    * at maxShingleDf². Both numerator and denominator are computed over
+    * the surviving INFORMATIVE shingle set — sizing |Sa| on the uncapped
+    * set would deflate containment for boilerplate-heavy docs and miss
+    * true excerpts. The shared-count is a partial-aggregatable count on
     * (id_a, id_b); per-doc set sizes join back once. Both directions are
     * emitted, so the threshold reads directionally ("a is ≥ t inside b").
     * The ratio is snapped to the 1e-4 lattice with IEEE-exact ops, so a
-    * SQL oracle reproduces it bit-for-bit. */
+    * SQL oracle reproduces it bit-for-bit. The cached shingle frame is
+    * released by Spark's ContextCleaner once the result frame is
+    * unreferenced; long-lived pipelines wanting explicit lifecycle should
+    * build from [[shingleHashSets]] and persist/release themselves. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 100): DataFrame = {
@@ -409,10 +417,16 @@ object DedupApprox {
       .select(col("id"), graft.functions.Checksums.md5PrefixLong(col("_s")).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select(col("h"))
     val cool = sh.join(hot, Seq("h"), "left_anti")
+    // denominator over the SAME capped set as the numerator: sizing |Sa|
+    // on the uncapped frame would deflate containment for docs whose
+    // shingles are mostly boilerplate (a true excerpt would score 0.4
+    // and slip the threshold). Containment is therefore over each doc's
+    // INFORMATIVE (df <= cap) shingles; an all-boilerplate doc has no
+    // informative set and produces no pairs.
+    val sizes = cool.groupBy(col("id")).agg(count(lit(1)).as("n"))
     cool.select(col("h"), col("id").as("id_a"))
       .join(cool.select(col("h"), col("id").as("id_b")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))

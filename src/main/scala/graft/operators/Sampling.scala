@@ -155,6 +155,9 @@ object Sampling {
       payloadCols: Seq[String]): DataFrame = {
     require(k > 0, s"k $k must be positive")
     require(payloadCols.nonEmpty, "negativeSample needs payload columns")
+    val reserved = Seq("anchor_id", "slot", "neg_id").filter(payloadCols.contains)
+    require(reserved.isEmpty,
+      s"payload columns collide with output columns: ${reserved.mkString(", ")}")
     val n = docs.count() // dense-domain size, folded to a literal
     require(n > 1, "negative sampling needs at least 2 rows")
     val draws = docs.select(col(idCol).as("anchor_id"))

@@ -130,11 +130,17 @@ object Similarity {
   /** Cell assignment: argmax cosine over the centroid list. Ties break to
     * the larger cell id (struct max is lexicographic on (cos, cell)).
     * One native cosine per centroid per row — k fused loops, no shuffle. */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    bestCell(vec, centroids).getField("cell")
+
+  /** Argmax-cosine struct over the centroid list — `greatest` needs two
+    * or more arguments, so a single-centroid list (a legitimate
+    * one-cluster audit) short-circuits to its only candidate. */
+  private def bestCell(vec: Column, centroids: Seq[Seq[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(vec, lit(c.toArray)).as("cos"), lit(i).as("cell"))
     }
-    greatest(scored: _*).getField("cell")
+    if (scored.size == 1) scored.head else greatest(scored: _*)
   }
 
   /** Driver-side mirror of the native cosine arithmetic (same interleaved
@@ -354,10 +360,7 @@ object Similarity {
       centroids: Seq[Seq[Float]], pctl: Double = 0.95): DataFrame = {
     require(centroids.nonEmpty, "centroidOutliers needs centroids")
     require(pctl > 0 && pctl < 1, s"pctl $pctl must be in (0, 1)")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col(vecCol), lit(c.toArray)).as("cos"), lit(i).as("cell"))
-    }
-    val best = greatest(scored: _*)
+    val best = bestCell(col(vecCol), centroids)
     val assigned = embeddings.select(col(idCol).as("id"),
       best.getField("cell").cast("long").as("cell"),
       (lit(1.0) - best.getField("cos")).as("dist"))

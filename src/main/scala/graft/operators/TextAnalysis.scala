@@ -280,6 +280,8 @@ object TextAnalysis {
   def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq > 0, s"maxDocFreq $maxDocFreq must be positive")
+    require(!Seq("key", "pos", "col", "line", "_b").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
       .select(col(idCol), col("pos"), col("col").as("line"),
@@ -315,6 +317,8 @@ object TextAnalysis {
     * keys the operator inherently requires.
     * Output: `(idCol, dedup_text, n_paras_kept, n_paras_dropped)`. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Seq("key", "pos", "col", "para").contains(idCol),
+      s"idCol '$idCol' collides with an internal column name")
     val paras = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
       .select(col(idCol), col("pos"), col("col").as("para"),
@@ -475,9 +479,16 @@ object TextAnalysis {
     * `$1`, other engines `\1` — the one portability trap in regex
     * replacement), so a SQL oracle reproduces the value byte-for-byte. */
   def canonicalizeUrl(url: Column): Column = {
+    val track = "(utm_[a-zA-Z]+|fbclid|gclid)"
     val noFrag = regexp_replace(url, "#.*", "")
-    val noTrack = regexp_replace(noFrag,
-      "(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "")
+    // three anchored passes, because the portable-replacement rule (no
+    // capture groups) forbids the one-regex form: an UNanchored pattern
+    // would eat `?xgclid=1` or a value containing `utm_x=`. (1) params
+    // preceded by `&`; (2) a first-param tracker with a successor keeps
+    // the `?`; (3) a lone first-param tracker goes entirely.
+    val noAmp = regexp_replace(noFrag, s"&$track=[^&]*", "")
+    val noLead = regexp_replace(noAmp, s"\\?$track=[^&]*&", "?")
+    val noTrack = regexp_replace(noLead, s"\\?$track=[^&]*$$", "")
     val tidy = regexp_replace(noTrack, "[?&]+$", "")
     val auth = regexp_extract(tidy, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val lowered = concat(lower(auth),
@@ -549,6 +560,11 @@ object TextAnalysis {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    // drop any stale completion marker FIRST: a crash mid-rebuild must
+    // not leave a prior build's marker validating mixed postings/stats
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
     docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
         explode(split(normText(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -564,8 +580,6 @@ object TextAnalysis {
     // completion marker at the ROOT: the index is two datasets, so
     // neither subdir's own _SUCCESS proves the whole build finished —
     // cache checks (and crash recovery) need one marker after BOTH writes
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.PipelineConfig
 import graft.operators.Strategies
 import graft.state.StateStore
@@ -183,9 +184,21 @@ object StreamingSync {
     * inside a batch fold in (event-time, value) order; emits one updated
     * `(key, ema, n_events)` row per key per batch (update output mode).
     * Batch counterpart: [[graft.operators.Stats.emaPerKey]]. */
+  /** The tuple-encoded state path carries keys as LONG; a silent cast
+    * would merge 7.2 and 7.9 into one state and NULL out strings. */
+  private def requireIntegralKey(events: DataFrame, keyCol: String,
+      op: String): Unit = {
+    val dt = events.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op keys ride the state store as LONG; $keyCol is $dt — " +
+        "a lossy cast would silently merge distinct keys (or NULL out " +
+        "strings). Map the key to a long (e.g. xxhash64) first.")
+  }
+
   def emaPerKey(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, alpha: Double): Dataset[(Long, Double, Long)] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    requireIntegralKey(events, keyCol, "emaPerKey")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -228,6 +241,7 @@ object StreamingSync {
   def funnelPerKey(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): Dataset[(Long, Long)] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    requireIntegralKey(events, keyCol, "funnelPerKey")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -634,7 +634,7 @@ class TrainingOpsSpec extends SparkSpec {
     // identical docs collide on every lane (c=2 → 2 per lane, 32 total);
     // mean estimate = 32 / (16 · 3 · 2) = exactly the true mean J of 1/3
     assert(r.getLong(0) == 3L && r.getInt(1) == 16)
-    assert(r.getLong(2) == 32L, s"collisions ${r.getLong(2)}")
+    assert(r.getDecimal(2).longValueExact == 32L, s"collisions ${r.get(2)}")
     assert(r.getDouble(3) == 32.0 / 96.0)
   }
 
@@ -696,7 +696,12 @@ class TrainingOpsSpec extends SparkSpec {
       ("x://h/p?a=1&utm_x=2&b=3", "x://h/p?a=1&b=3"),   // mid-query removal
       ("HTTP://A.com/", "http://a.com"),                 // trailing slash
       ("relative/path/", "relative/path"),               // no authority: untouched case
-      ("https://h.io/p?fbclid=abc#x", "https://h.io/p"))
+      ("https://h.io/p?fbclid=abc#x", "https://h.io/p"),
+      // boundary anchoring: params merely CONTAINING a tracker name or
+      // value survive intact — only whole tracking params are removed
+      ("https://s.com/p?xgclid=1&a=2", "https://s.com/p?xgclid=1&a=2"),
+      ("https://s.com/p?q=utm_source=abc", "https://s.com/p?q=utm_source=abc"),
+      ("https://s.com/p?utm_a=1&utm_b=2&c=3", "https://s.com/p?c=3"))
     val df = cases.toDF("url", "want")
     val bad = df.filter(TextAnalysis.canonicalizeUrl(col("url")) =!= col("want"))
       .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("got"), col("want"))
