@@ -753,6 +753,22 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- incremental BM25 index (append-only corpus growth) --------
+    "q98_bm25_incremental" -> ((s, dir) => {
+      // index built from the even half, odd half APPENDED — must equal
+      // the from-scratch full-corpus ranking (same oracle as q83/q94)
+      val docs = docsBase(s, dir)
+      val path = cachedIndexPath(s, dir, "graft_q98_bm25", "documents",
+        "k1b64_incr") { p =>
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", p, nBuckets = 64)
+        TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", p, nBuckets = 64)
+      }
+      TextAnalysis.bm25FromIndex(s, path, Seq("dup", "vector", "spark"),
+        topK = 15, nBuckets = 64)
+    }),
+
     // ----- corpus diversity estimate (no pair expansion) -------------
     "q97_corpus_diversity" -> ((s, dir) => {
       DedupApprox.pairwiseJaccardEstimate(docsWithNearDups(s, dir),
@@ -2450,6 +2466,9 @@ object SparkEntry {
     // identical from-scratch SQL: the indexed path must reproduce the
     // scan path's ranking bit-for-bit
     "q94_bm25_indexed" -> bm25OracleSql,
+
+    // and so must the incrementally-appended index
+    "q98_bm25_incremental" -> bm25OracleSql,
 
 
     "q85_vocab_coverage" ->

@@ -583,6 +583,47 @@ object TextAnalysis {
     fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 
+  /** Append a document batch to an existing BM25 index — training corpora
+    * grow append-only, and a full rebuild per ingest is exactly what a
+    * persisted index exists to avoid. New postings append into the same
+    * bucket directories (dynamic-partition append: old files untouched);
+    * the stats sidecar becomes the sum of old and batch counts (read one
+    * row, write one row). df needs NO maintenance — it is counted from
+    * the probed postings at query time, so it is correct the moment the
+    * postings land. Caller contract: batch ids must be NEW to the index
+    * (re-ingesting an id would double its postings) — gate ingest with
+    * [[graft.operators.BloomJoin.novelRows]] when in doubt. The root
+    * completion marker drops at entry and reappears only after both the
+    * postings and stats writes land, so a crash mid-append leaves a
+    * visibly incomplete index, never a silently inconsistent one. */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    val spark = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // old stats first (one row to the driver), then invalidate the marker
+    val old = spark.read.parquet(s"$path/stats").head()
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    val add = docs.agg(count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol))).as("total_tokens")).head()
+    import spark.implicits._
+    Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
+      old.getAs[Long]("total_tokens") + add.getAs[Long]("total_tokens")))
+      .toDF("n_docs", "total_tokens")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+  }
+
   /** BM25 served FROM the persisted index — the retrieval scale path:
     * query cost is proportional to the probed postings (|q| bucket
     * directories, PartitionFilters at the scan), never the corpus. Same

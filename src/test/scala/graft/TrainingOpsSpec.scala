@@ -624,6 +624,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(scan.nonEmpty && scan.toSeq == indexed.toSeq)
   }
 
+  test("appendToBm25Index: build-then-append equals one-shot full build") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_incr").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_full").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dirA, nBuckets = 16)
+    TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", dirA, nBuckets = 16)
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", dirB, nBuckets = 16)
+    def rank(d: String) = TextAnalysis.bm25FromIndex(spark, d,
+      Seq("dup", "vector"), topK = 20, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rank(dirA).nonEmpty && rank(dirA) == rank(dirB))
+  }
+
   test("pairwiseJaccardEstimate: exact 1/3 for {dup, dup, disjoint} corpus") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
