@@ -753,6 +753,37 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- per-source corpus audit report ----------------------------
+    "q99_corpus_report" -> ((s, dir) => {
+      // one composed audit frame per source: volume, corpus-wide exact
+      // dup count, mean alpha-ratio quality, mean rare-token ratio. All
+      // means are lattice-snapped then DECIMAL-routed so aggregation
+      // order can't perturb them (the q01 avg_disc parity pattern).
+      val docs = rd(s, dir, "documents").select("doc_id", "source", "text")
+      val alphaRatio = TextAnalysis.qualitySignals(col("text"))
+        .toMap.apply("alpha_ratio")
+      val base = docs.select(col("doc_id"), col("source"),
+        alphaRatio.as("alpha_ratio"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fp"))
+      val dupFp = base.groupBy("fp").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("fp"), lit(1).as("_dup"))
+      val rare = TextAnalysis.rareTokenRatio(docs, "doc_id", "text",
+          maxFreq = 100)
+        .select(col("id").as("doc_id"),
+          (floor(col("rare_ratio") * 1000000 + 0.5) / 1000000).as("rr"))
+      val nRr = sum(when(col("rr").isNotNull, 1L).otherwise(0L))
+      base.join(dupFp, Seq("fp"), "left")
+        .join(rare, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_exact_dups"),
+          (sum(col("alpha_ratio").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_alpha_ratio"),
+          when(nRr > 0, sum(col("rr").cast("decimal(28,6)")).cast("double") /
+            nRr.cast("double")).as("mean_rare_ratio"))
+        .orderBy("source")
+    }),
+
     // ----- incremental BM25 index (append-only corpus growth) --------
     "q98_bm25_incremental" -> ((s, dir) => {
       // index built from the even half, odd half APPENDED — must equal
@@ -2290,6 +2321,41 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q99_corpus_report" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  CAST(length(text) AS DOUBLE) AS n,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |base AS (SELECT doc_id, source,
+        |  floor(alpha / greatest(n, 1.0) * 10000 + 0.5) / 10000 AS alpha_ratio,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM t),
+        |fpc AS (SELECT fp, COUNT(*) AS cnt FROM base GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks WHERE term != ''),
+        |freq AS (SELECT term, COUNT(*) AS cf FROM ft GROUP BY 1),
+        |rarew AS (SELECT term FROM freq WHERE cf <= 100),
+        |pd AS (SELECT f.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN r.term IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rare
+        |  FROM ft f LEFT JOIN rarew r ON f.term = r.term GROUP BY 1),
+        |rr AS (SELECT doc_id,
+        |  floor(CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS rr
+        |  FROM pd WHERE n_tokens > 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+        |  CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean_alpha_ratio,
+        |  CASE WHEN SUM(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |       THEN CAST(SUM(CAST(rr AS DECIMAL(28,6))) AS DOUBLE) /
+        |         CAST(SUM(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS mean_rare_ratio
+        |FROM base JOIN fpc USING (fp) LEFT JOIN rr USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q97_corpus_diversity" -> (nearDupCte +
       """,
