@@ -753,6 +753,36 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- END-TO-END training-data preparation (capstone) -----------
+    "q100_training_pipeline" -> ((s, dir) => {
+      // the whole curation flow as ONE lineage of already-verified
+      // operators: language+quality gates -> exact dedup (min-id per
+      // fingerprint) -> minhash near-dup canonicalization -> determin-
+      // istic split -> per-split token accounting
+      val raw = docsWithNearDups(s, dir)
+      val t = col("text")
+      val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0))
+      val gated = raw.filter(TextAnalysis.languageId(t) === "en")
+        .filter(TextAnalysis.tokenCount(t) >= 30 && alphaRatio > lit(0.55))
+      val fp = gated.select(col("doc_id"), col("text"),
+        md5(TextAnalysis.normText(t)).as("fp"))
+      val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val deduped = fp.join(keep, Seq("fp", "doc_id")).select("doc_id", "text")
+      val pairs = DedupApprox.minhashNearDups(deduped, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      val canon = graft.operators.Components
+        .canonicalize(deduped, pairs, "doc_id", "id_a", "id_b")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("text"))
+      graft.operators.Sampling.splitAssign(canon, Seq("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     // ----- per-source corpus audit report ----------------------------
     "q99_corpus_report" -> ((s, dir) => {
       // one composed audit frame per source: volume, corpus-wide exact
@@ -2321,6 +2351,67 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q100_training_pipeline" -> {
+      val scores = langScores.map { case (l, e) => s"    CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      // the minhash candidate/verify chain, re-pointed at the GATED
+      // deduped corpus (the tail references the `corpus` CTE by name)
+      val minhashTail = minhashPairsCtes.stripPrefix(nearDupCte)
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |sc0 AS (SELECT doc_id, text,
+         |$scores
+         |  FROM raw),
+         |bb AS (SELECT *, $best AS best FROM sc0),
+         |lng AS (SELECT doc_id, text, CASE WHEN best = 0 THEN 'und'
+         |            $chain END AS lang_pred FROM bb),
+         |gq AS (SELECT doc_id, text,
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+         |  FROM lng WHERE lang_pred = 'en'),
+         |gated AS (SELECT doc_id, text FROM gq
+         |  WHERE CAST(CASE WHEN norm = '' THEN 0
+         |        ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+         |        END AS BIGINT) >= 30
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+         |      greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.55),
+         |fpx AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM gated),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fpx GROUP BY 1),
+         |corpus AS (SELECT f.doc_id, f.text FROM fpx f
+         |  JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)$minhashTail,
+         |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+         |      UNION ALL
+         |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+         |reach(node, label) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+         |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+         |canon AS (SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN comp ON comp.node = c.doc_id
+         |  WHERE coalesce(comp.component, c.doc_id) = c.doc_id),
+         |sp AS (SELECT doc_id, text,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+         |       ELSE 'test' END AS split FROM canon),
+         |nm AS (SELECT split,
+         |  regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm FROM sp)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN norm = '' THEN 0
+         |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+         |       END) AS BIGINT) AS sum_tokens
+         |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q99_corpus_report" ->
       """WITH t AS (SELECT doc_id, source, text,
