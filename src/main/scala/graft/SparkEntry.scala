@@ -768,7 +768,10 @@ object SparkEntry {
       val fp = gated.select(col("doc_id"), col("text"),
         md5(TextAnalysis.normText(t)).as("fp"))
       val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      // persisted: three consumers (sketching, component node set, final
+      // accounting) would each replay the gate regex stack otherwise
       val deduped = fp.join(keep, Seq("fp", "doc_id")).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = DedupApprox.minhashNearDups(deduped, "doc_id", "text",
         k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
       val canon = graft.operators.Components
