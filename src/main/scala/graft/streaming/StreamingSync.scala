@@ -175,6 +175,47 @@ object StreamingSync {
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"))
   }
 
+  /** Streaming per-key event-time rolling window — the
+    * [[graft.operators.Stats.rollingPerKey]] batch semantics with
+    * BOUNDED state: per key, a second-bucketed map
+    * `floor-epoch-second -> (count, sum)` capped at `windowSec` entries,
+    * never the event history. Each micro-batch folds its events into the
+    * buckets, evicts buckets older than the key's newest second minus
+    * the window, and emits `(key, window_end_sec, n_win, sum_win)` for
+    * the CURRENT trailing window (update mode — latest row per key is
+    * the answer). Late events inside the retained span fold correctly;
+    * events older than the span are dropped, the same contract a
+    * watermark would impose. */
+  def rollingPerKeyStream(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSec: Long): Dataset[(Long, Long, Long, Double)] = {
+    require(windowSec > 0, s"windowSec $windowSec must be positive")
+    requireIntegralKey(events, keyCol, "rollingPerKeyStream")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.selectExpr(s"CAST($keyCol AS LONG) AS _k",
+        s"CAST($tsCol AS LONG) AS _s", s"CAST($valueCol AS DOUBLE) AS _v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[(Long, Long, Double)],
+            st: GroupState[Map[Long, (Long, Double)]]) =>
+          var m = st.getOption.getOrElse(Map.empty[Long, (Long, Double)])
+          var hi = m.keySet.foldLeft(Long.MinValue)(math.max)
+          it.foreach { case (_, s, v) =>
+            hi = math.max(hi, s)
+            val (n0, s0) = m.getOrElse(s, (0L, 0.0))
+            m += s -> (n0 + 1L, s0 + v)
+          }
+          m = m.filter { case (sec, _) => sec >= hi - windowSec + 1 }
+          st.update(m)
+          val (n, sum) = m.values.foldLeft((0L, 0.0)) {
+            case ((an, as), (bn, bs)) => (an + bn, as + bs)
+          }
+          (k, hi, n, sum)
+      }
+  }
+
   /** Custom-state streaming operator: running per-key exponential moving
     * average via mapGroupsWithState — the one semantics here that no
     * built-in windowed aggregate composes (the recurrence

@@ -228,6 +228,39 @@ class StreamingSpec extends SparkSpec {
     assert(b == Map(7L -> 2.75, 9L -> 8.0))
   }
 
+  test("streaming rolling window: bounded bucket state, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val roll = StreamingSync.rollingPerKeyStream(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      windowSec = 20)
+      .toDF("user_id", "win_end", "n_win", "sum_win")
+    val q = roll.writeStream.format("memory").queryName("roll_out")
+      .outputMode("update").start()
+    in.addData((7L, ts("2024-01-01 00:00:00"), 1.0),
+      (7L, ts("2024-01-01 00:00:10"), 2.0))
+    q.processAllAvailable()
+    // batch 2 advances past event 1: window [11, 30] holds events at 10s, 30s
+    in.addData((7L, ts("2024-01-01 00:00:30"), 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("roll_out").orderBy(col("win_end").desc)
+      .limit(1).select("n_win", "sum_win").as[(Long, Double)].head()
+    // trailing window [11, 30]: the 0s/10s events evicted, only 30s left
+    assert(last == ((1L, 8.0)), s"got $last")
+    // batch counterpart: the LAST row per key of Stats.rollingPerKey
+    val batch = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1.0),
+      (7L, ts("2024-01-01 00:00:10"), 2.0),
+      (7L, ts("2024-01-01 00:00:30"), 8.0)).toDF("user_id", "ts", "value")
+    val b = graft.operators.Stats.rollingPerKey(batch, "user_id", "ts",
+      "value", windowSec = 20)
+      .orderBy(col("ts").desc).limit(1)
+      .select("n_win", "sum_win").as[(Long, Double)].head()
+    assert(b == last, s"batch $b != stream $last")
+  }
+
   test("streaming near-dup gate flags incoming docs that duplicate the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
