@@ -432,5 +432,10 @@ class ComponentsSamplingSpec extends SparkSpec {
     val again = Sampling.negativeSample(docs, "doc_id", k = 2,
       payloadCols = Seq("payload")).orderBy("anchor_id", "slot").collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // two-row domain: every draw is the peer or a dropped self-draw
+    val tiny = Seq((0L, 1L), (1L, 2L)).toDF("doc_id", "payload")
+    val t = Sampling.negativeSample(tiny, "doc_id", k = 3,
+      payloadCols = Seq("payload")).collect()
+    t.foreach(r => assert(r.getLong(2) == 1L - r.getLong(0), r.toString))
   }
 }

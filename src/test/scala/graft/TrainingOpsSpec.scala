@@ -562,6 +562,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, score(2, 3)), (2L, score(1, 2))))
   }
 
+  test("bm25Rank: a term absent from the corpus contributes nothing, never errors") {
+    val docs = Seq((1L, "apple banana"), (2L, "cherry date")).toDF("doc_id", "text")
+    val onlyAbsent = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("zzz_not_in_corpus"), topK = 5).collect()
+    assert(onlyAbsent.isEmpty, "no matching docs -> empty ranking")
+    val mixed = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      Seq("apple", "zzz_not_in_corpus"), topK = 5)
+      .collect().map(_.getLong(0))
+    assert(mixed.toSeq == Seq(1L), "present terms still rank")
+  }
+
   test("bm25Rank: rarer term outweighs common term at equal tf") {
     val docs = Seq(
       (1L, "common rare"), (2L, "common other"), (3L, "common filler"),
