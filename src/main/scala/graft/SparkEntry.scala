@@ -753,6 +753,27 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- NULL-safe equality join (<=>) -----------------------------
+    "q101_nullsafe_join" -> ((s, dir) => {
+      // NULL keys MATCH each other under <=> — the semantics merge/dedup
+      // pipelines need when NULL is a real key value (a plain equi-join
+      // silently drops those rows). EqualNullSafe is still a hash-join
+      // key in Spark: this plans as a broadcast/sort-merge join, never a
+      // nested loop.
+      val o = rd(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("k"))
+      val c = rd(s, dir, "customer").select(
+        when(col("c_custkey") % 89 === 0, lit(null))
+          .otherwise(col("c_custkey")).as("ck"),
+        col("c_custkey"))
+      o.join(c, o("k") <=> c("ck"))
+        .groupBy(col("k").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy("null_key")
+    }),
+
     // ----- END-TO-END training-data preparation (capstone) -----------
     "q100_training_pipeline" -> ((s, dir) => {
       // the whole curation flow as ONE lineage of already-verified
@@ -2354,6 +2375,18 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q101_nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |c AS (SELECT
+        |  CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END AS ck,
+        |  c_custkey FROM customer)
+        |SELECT o.k IS NULL AS null_key, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c.c_custkey) AS n_cust
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q100_training_pipeline" -> {
       val scores = langScores.map { case (l, e) => s"    CAST($e AS BIGINT) AS s_$l" }

@@ -237,6 +237,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("null-safe equality join plans as a hash join, not a nested loop") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("k"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(when(col("c_custkey") % 89 === 0, lit(null))
+        .otherwise(col("c_custkey")).as("ck"), col("c_custkey"))
+    val p = plan(o.join(c, o("k") <=> c("ck")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.linesIterator.exists(l => (l.contains("SortMergeJoin") ||
+      l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))), p)
+  }
+
   test("rolling window: one exchange on the key, no global sort") {
     val ev = graft.sources.Sources.readTable(spark, dir, "events")
     val p = graft.operators.Stats.rollingPerKey(ev, "user_id", "ts", "value",
