@@ -753,6 +753,19 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- JSON payload extraction (typed props) ---------------------
+    "q102_json_extract" -> ((s, dir) => {
+      // typed extraction from the record's JSON props column — one
+      // codegen'd get_json_object per row, no UDF, aggregated per type
+      rd(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ----- NULL-safe equality join (<=>) -----------------------------
     "q101_nullsafe_join" -> ((s, dir) => {
       // NULL keys MATCH each other under <=> — the semantics merge/dedup
@@ -2375,6 +2388,13 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q102_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q101_nullsafe_join" ->
       """WITH o AS (SELECT o_orderkey,
