@@ -753,6 +753,25 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- analytic-window breadth: percent_rank/cume_dist/nth_value -
+    "q103_rank_extras" -> ((s, dir) => {
+      // deterministic rationals over a UNIQUE total order per group:
+      // percent_rank = (rank-1)/(n-1), cume_dist = peers/n — exact IEEE
+      // divisions, so the frame hash-reproduces anywhere
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      rd(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("l_quantity"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("second_qty"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    }),
+
     // ----- JSON payload extraction (typed props) ---------------------
     "q102_json_extract" -> ((s, dir) => {
       // typed extraction from the record's JSON props column — one
@@ -2388,6 +2407,20 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q103_rank_extras" ->
+      """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(l_quantity, 2) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_qty
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
 
     "q102_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

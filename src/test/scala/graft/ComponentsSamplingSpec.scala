@@ -438,4 +438,23 @@ class ComponentsSamplingSpec extends SparkSpec {
       payloadCols = Seq("payload")).collect()
     t.foreach(r => assert(r.getLong(2) == 1L - r.getLong(0), r.toString))
   }
+
+  test("compaction: many tiny files become few, content byte-identical") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(10000).selectExpr("id", "id * 2 AS v")
+      .repartition(64).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(parts() == 64)
+    val before = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+    val n = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && parts() == 1, s"wrote $n files, dir has ${parts()}")
+    val after = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(after == before)
+  }
 }
