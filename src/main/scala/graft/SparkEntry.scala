@@ -753,6 +753,28 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- CSV export round-trip fidelity ----------------------------
+    "q104_csv_roundtrip" -> ((s, dir) => {
+      // export -> re-read -> aggregate must equal aggregating the source
+      // directly: proves the CSV path's fidelity for strings, doubles
+      // (shortest round-trip repr), and timestamps (ISO format) — the
+      // oracle never sees the CSV, only the source table
+      val src = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val out = sys.props("java.io.tmpdir") + "/graft_q104_csv"
+      graft.operators.Export.writeCsv(Seq(src), Seq("o_orderkey"), out)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderdate TIMESTAMP, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ----- analytic-window breadth: percent_rank/cume_dist/nth_value -
     "q103_rank_extras" -> ((s, dir) => {
       // deterministic rationals over a UNIQUE total order per group:
@@ -2407,6 +2429,12 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q104_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MAX(o_orderdate) AS max_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q103_rank_extras" ->
       """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity

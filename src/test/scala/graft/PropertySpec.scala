@@ -191,6 +191,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rollingPerKey matches a brute-force frame recompute on random events") {
+    val evGen = Gen.listOfN(12, for {
+      key <- Gen.oneOf(1L, 2L)
+      sec <- Gen.chooseNum(0, 40)
+      v <- Gen.chooseNum(1, 9)
+    } yield (key, sec.toLong, v.toDouble))
+    forAll(evGen, n = 6) { evs =>
+      val df = evs.zipWithIndex.map { case ((k, s, v), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L), v, k)
+      }.toDF("event_id", "ts", "value", "user_id")
+      val got = graft.operators.Stats.rollingPerKey(df, "user_id", "ts",
+        "value", windowSec = 10)
+        .select("event_id", "user_id", "n_win", "sum_win")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      // brute force: every same-key event within (sec-9, sec], peers incl.
+      got.foreach { case (eid, n, sum) =>
+        val (k, sec, _) = evs(eid.toInt)
+        val in = evs.filter { case (k2, s2, _) => k2 == k && s2 > sec - 10 && s2 <= sec }
+        assert(n == in.size.toLong && sum == in.map(_._3).sum,
+          s"event $eid: got ($n, $sum), want (${in.size}, ${in.map(_._3).sum})")
+      }
+    }
+  }
+
   test("containment is directional and bounded in [0, 1]") {
     val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
       .map(_.take(10).mkString(" "))
