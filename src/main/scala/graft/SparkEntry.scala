@@ -753,6 +753,50 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- per-group Pearson correlation (exact moments) -------------
+    "q106_correlation" -> ((s, dir) => {
+      // correlation from DECIMAL-routed raw moments: every sum is
+      // aggregation-order-exact; the remaining mul/sub/div/sqrt are
+      // correctly-rounded IEEE ops, so the value hash-reproduces at any
+      // parallelism — the built-in corr()'s streaming covariance update
+      // accumulates in partition order and would not
+      val d = rd(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      val m = d.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("syy"))
+      m.select(col("l_returnflag"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))) *
+          lit(1000000) + lit(0.5)) / lit(1000000)).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ----- sharded JSONL round-trip (training-corpus handoff) --------
+    "q105_jsonl_roundtrip" -> ((s, dir) => {
+      // the corpus handoff format: sharded JSONL out, schema re-read,
+      // aggregate ≡ source aggregate — the oracle never sees the files.
+      // Shards are capped small so the round-trip crosses file splits.
+      val src = docsBase(s, dir).join(
+        rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("doc_id"))
+      val out = sys.props("java.io.tmpdir") + "/graft_q105_jsonl"
+      graft.operators.Export.writeJsonl(src, Seq("doc_id"), out,
+        maxRecordsPerFile = 100)
+      s.read.schema("doc_id LONG, n_chars LONG, source STRING, text STRING")
+        .json(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    }),
+
     // ----- CSV export round-trip fidelity ----------------------------
     "q104_csv_roundtrip" -> ((s, dir) => {
       // export -> re-read -> aggregate must equal aggregating the source
@@ -2429,6 +2473,27 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q106_correlation" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  floor((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000 + 0.5)
+        |    / 1000000 AS corr
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q105_jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_csv_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
