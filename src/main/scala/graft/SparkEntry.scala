@@ -753,6 +753,50 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- per-group OLS trend fit (integer-exact moments) -----------
+    "q107_linear_fit" -> ((s, dir) => {
+      // least-squares slope/intercept per key — the per-key trend
+      // operator (drift detection, forecasting features). Inputs snap to
+      // INTEGER lattices first (seconds since a baseline; micro-value
+      // units), so every moment is an exact integer sum: no per-row
+      // double->decimal rounding anywhere (q106's decimal route is exact
+      // only for inputs already on the decimal's scale — full-precision
+      // doubles would round differently per engine). The exact sums cast
+      // to double identically everywhere; the fit is then pure IEEE.
+      val d = rd(s, dir, "events").select(col("user_id"),
+        (col("ts").cast("long") - lit(1704067200L)).as("x"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("ym"))
+        .filter(col("user_id") % 10 === 0)
+      val m = d.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("ym").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("ym")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) // micro-value / sec
+      m.select(col("user_id"),
+        (floor(slope * lit(1000.0) + lit(0.5)) / lit(1000000000.0)).as("slope"),
+        (floor((col("sy") - slope * col("sx")) / col("n") + lit(0.5)) /
+          lit(1000000.0)).as("intercept"))
+        .orderBy("user_id")
+    }),
+
+    // ----- weekly cohort retention (event-time analytics) ------------
+    "q108_retention" -> ((s, dir) => {
+      // classic retention matrix: users bucketed by first-seen week
+      // (floor-epoch weeks — no timezone/week-start ambiguity), counted
+      // in each later active week; two aggregations, one broadcastable
+      // first-seen join
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        floor(col("ts").cast("long") / lit(604800)).cast("long").as("week"))
+      val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      ev.distinct().join(first, Seq("user_id"))
+        .groupBy(col("cohort"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "week")
+    }),
+
     // ----- per-group Pearson correlation (exact moments) -------------
     "q106_correlation" -> ((s, dir) => {
       // correlation from DECIMAL-routed raw moments: every sum is
@@ -2473,6 +2517,34 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q107_linear_fit" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 1704067200 AS x,
+        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS ym
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(ym) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * ym) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT user_id,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |    * 1000.0 + 0.5) / 1000000000.0 AS slope,
+        |  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    + 0.5) / 1000000.0 AS intercept
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q108_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(floor(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort, week, COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q106_correlation" ->
       """WITH m AS (SELECT l_returnflag,
