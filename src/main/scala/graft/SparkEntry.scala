@@ -775,7 +775,11 @@ object SparkEntry {
         sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")) // micro-value / sec
-      m.select(col("user_id"),
+      // unfittable groups (one event, or zero x-variance) are 0/0 — and
+      // the engines disagree on it (Spark floor(NaN)->0, IEEE NaN stays
+      // NaN), so they are EXCLUDED, not fabricated as slope 0
+      m.filter(col("n") * col("sxx") - col("sx") * col("sx") =!= lit(0.0))
+        .select(col("user_id"),
         (floor(slope * lit(1000.0) + lit(0.5)) / lit(1000000000.0)).as("slope"),
         (floor((col("sy") - slope * col("sx")) / col("n") + lit(0.5)) /
           lit(1000000.0)).as("intercept"))
@@ -932,7 +936,10 @@ object SparkEntry {
         md5(TextAnalysis.normText(t)).as("fp"))
       val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
       // persisted: three consumers (sketching, component node set, final
-      // accounting) would each replay the gate regex stack otherwise
+      // accounting) would each replay the gate regex stack otherwise.
+      // Invocation-scoped and small (the gated id+text frame); released
+      // by the ContextCleaner when the result frame is unreferenced —
+      // same lifecycle as the minhash sketch cache underneath
       val deduped = fp.join(keep, Seq("fp", "doc_id")).select("doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = DedupApprox.minhashNearDups(deduped, "doc_id", "text",
@@ -956,8 +963,12 @@ object SparkEntry {
       // means are lattice-snapped then DECIMAL-routed so aggregation
       // order can't perturb them (the q01 avg_disc parity pattern).
       val docs = rd(s, dir, "documents").select("doc_id", "source", "text")
-      val alphaRatio = TextAnalysis.qualitySignals(col("text"))
-        .toMap.apply("alpha_ratio")
+      // r()-snapped, NOT qualitySignals' round(): round() goes through
+      // the shortest decimal repr while the oracle's floor(x*1e4+0.5) is
+      // raw IEEE — a 4th-digit boundary could snap differently
+      val alphaRatio = r(
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)), 4)
       val base = docs.select(col("doc_id"), col("source"),
         alphaRatio.as("alpha_ratio"),
         TextAnalysis.md5Fingerprint(col("text")).as("fp"))
@@ -965,8 +976,7 @@ object SparkEntry {
         .filter(col("cnt") > 1).select(col("fp"), lit(1).as("_dup"))
       val rare = TextAnalysis.rareTokenRatio(docs, "doc_id", "text",
           maxFreq = 100)
-        .select(col("id").as("doc_id"),
-          (floor(col("rare_ratio") * 1000000 + 0.5) / 1000000).as("rr"))
+        .select(col("id").as("doc_id"), r(col("rare_ratio"), 6).as("rr"))
       val nRr = sum(when(col("rr").isNotNull, 1L).otherwise(0L))
       base.join(dupFp, Seq("fp"), "left")
         .join(rare, Seq("doc_id"), "left")
@@ -987,8 +997,10 @@ object SparkEntry {
       val docs = docsBase(s, dir)
       val path = cachedIndexPath(s, dir, "graft_q98_bm25", "documents",
         "k1b64_incr") { p =>
+        // markComplete=false: only the LAST step of a composed build may
+        // create the completion marker the cache keys on
         TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", p, nBuckets = 64)
+          "doc_id", "text", p, nBuckets = 64, markComplete = false)
         TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
           "doc_id", "text", p, nBuckets = 64)
       }
@@ -2534,7 +2546,7 @@ object SparkEntry {
         |    * 1000.0 + 0.5) / 1000000000.0 AS slope,
         |  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
         |    + 0.5) / 1000000.0 AS intercept
-        |FROM m ORDER BY 1""".stripMargin,
+        |FROM m WHERE n * sxx - sx * sx <> 0.0 ORDER BY 1""".stripMargin,
 
     "q108_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,

@@ -557,8 +557,13 @@ object TextAnalysis {
     * sidecar holds the corpus doc count and total token count that fold
     * into the idf/avgdl literals. Build cost is the same single tokenize
     * pass as [[writeInvertedIndex]]. */
+  /** `markComplete = false` suppresses the final completion marker — for
+    * composed builds (write a base, then [[appendToBm25Index]] batches)
+    * where only the LAST step may declare the index complete; a marker
+    * after the base write would validate a half-built index if the
+    * process died before the appends ran. */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64, markComplete: Boolean = true): Unit = {
     require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
     // drop any stale completion marker FIRST: a crash mid-rebuild must
     // not leave a prior build's marker validating mixed postings/stats
@@ -580,7 +585,8 @@ object TextAnalysis {
     // completion marker at the ROOT: the index is two datasets, so
     // neither subdir's own _SUCCESS proves the whole build finished —
     // cache checks (and crash recovery) need one marker after BOTH writes
-    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    if (markComplete)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 
   /** Append a document batch to an existing BM25 index — training corpora
@@ -602,25 +608,33 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // old stats first (one row to the driver), then invalidate the marker
-    val old = spark.read.parquet(s"$path/stats").head()
+    // invalidate the marker as the FIRST filesystem action — every
+    // subsequent step must happen under an incomplete-index state
     fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
-    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
-        explode(split(normText(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
-      .repartition(nBuckets, col("term_bucket"))
-      .write.mode("append").partitionBy("term_bucket")
-      .parquet(s"$path/postings")
-    val add = docs.agg(count(lit(1)).as("n_docs"),
-      sum(tokenCount(col(textCol))).as("total_tokens")).head()
-    import spark.implicits._
-    Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
-      old.getAs[Long]("total_tokens") + add.getAs[Long]("total_tokens")))
-      .toDF("n_docs", "total_tokens")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    val old = spark.read.parquet(s"$path/stats").head()
+    // pin the batch: postings and stats are two actions over `docs`, and
+    // a non-deterministic source (sample, changing view) would otherwise
+    // hand them DIFFERENT rows — stats silently inconsistent with the
+    // postings actually written
+    val batch = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batch.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
+          explode(split(normText(col(textCol)), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+        .repartition(nBuckets, col("term_bucket"))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"$path/postings")
+      val add = batch.agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("total_tokens")).head()
+      import spark.implicits._
+      Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
+        old.getAs[Long]("total_tokens") + add.getAs[Long]("total_tokens")))
+        .toDF("n_docs", "total_tokens")
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally batch.unpersist(false)
     fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 

@@ -202,14 +202,20 @@ object StreamingSync {
             st: GroupState[Map[Long, (Long, Double)]]) =>
           var m = st.getOption.getOrElse(Map.empty[Long, (Long, Double)])
           var hi = m.keySet.foldLeft(Long.MinValue)(math.max)
-          it.foreach { case (_, s, v) =>
+          // deterministic fold order WITHIN the batch ((sec, value)) and
+          // ACROSS buckets (sorted keys): double addition is order-
+          // sensitive in the last ulp, and iterator/hash-map order would
+          // make reruns differ. Micro-batch BOUNDARIES still decide the
+          // bucket partial-sum grouping — inherent to streaming; the
+          // batch form's DECIMAL route is the engine-exact one.
+          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, s, v) =>
             hi = math.max(hi, s)
             val (n0, s0) = m.getOrElse(s, (0L, 0.0))
             m += s -> (n0 + 1L, s0 + v)
           }
           m = m.filter { case (sec, _) => sec >= hi - windowSec + 1 }
           st.update(m)
-          val (n, sum) = m.values.foldLeft((0L, 0.0)) {
+          val (n, sum) = m.toSeq.sortBy(_._1).map(_._2).foldLeft((0L, 0.0)) {
             case ((an, as), (bn, bs)) => (an + bn, as + bs)
           }
           (k, hi, n, sum)
