@@ -753,6 +753,17 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- mixture sampling to a token budget (data-mix step) --------
+    "q109_mixture_sample" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureSample(rd(s, dir, "documents"),
+        "source", Seq("doc_id"), "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 10000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("source")
+    }),
+
     // ----- per-group OLS trend fit (integer-exact moments) -----------
     "q107_linear_fit" -> ((s, dir) => {
       // least-squares slope/intercept per key — the per-key trend
@@ -2529,6 +2540,21 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q109_mixture_sample" ->
+      """WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source,
+        |  least(10000.0 * CASE source WHEN 'src0' THEN 0.5
+        |        WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END
+        |    / CAST(w AS DOUBLE), 1.0) AS rate
+        |  FROM tot)
+        |SELECT d.source, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < floor(rate * 4294967296.0 + 0.5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q107_linear_fit" ->
       """WITH d AS (SELECT user_id,

@@ -136,6 +136,36 @@ object Sampling {
     df.filter(uniformHex(keyCols.map(col)) < cutoff)
   }
 
+  /** Deterministic MIXTURE sampling — the pretraining data-mix step:
+    * downsample each source so the kept weight (tokens/chars) hits
+    * `budget × targets(source)` in expectation, with per-source rates
+    * `min(1, budget·frac / sourceWeight)` derived from ONE aggregation
+    * (a |sources|-row collect, never data). Membership is the same
+    * md5-cutoff filter as every sampler here: rerun-stable, nested under
+    * rate changes, no RNG state, scan-speed. Sources absent from
+    * `targets` are dropped (rate 0) — the mixture is exactly what was
+    * asked for, not "everything else too". */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCols: Seq[String],
+      weightCol: String, targets: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(keyCols.nonEmpty, "mixture sample needs key columns")
+    require(targets.nonEmpty && targets.values.forall(_ >= 0),
+      "need non-negative target fractions")
+    require(budget > 0, s"budget $budget must be positive")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (els, (src, frac)) =>
+        val t = totals.getOrElse(src, 0L)
+        val r = if (t == 0) 0.0
+          else math.min(budget.toDouble * frac / t.toDouble, 1.0)
+        when(col(sourceCol) === src, lit(r)).otherwise(els)
+    }
+    df.filter(uniformLong(keyCols.map(col)) <
+      floor(rate * lit(4294967296.0) + lit(0.5)))
+  }
+
   /** Deterministic negative sampling for contrastive training: for every
     * anchor row, up to `k` pseudo-random negatives drawn by hashing
     * `(anchor id, slot)` onto the dense id domain `[0, n)` — rerun-stable

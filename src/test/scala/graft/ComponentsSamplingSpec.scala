@@ -439,6 +439,26 @@ class ComponentsSamplingSpec extends SparkSpec {
     t.foreach(r => assert(r.getLong(2) == 1L - r.getLong(0), r.toString))
   }
 
+  test("mixtureSample: budget-proportional rates, clamping, absent sources dropped") {
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}", 10L)).toDF("id", "src", "w")
+    // s0: 100 docs x weight 10 = 1000; target 0.5 of budget 600 -> rate 0.3
+    val kept = Sampling.mixtureSample(docs, "src", Seq("id"), "w",
+      Map("s0" -> 0.5, "s1" -> 0.5), budget = 600L)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s2"), "untargeted source must be dropped")
+    assert(bySrc.getOrElse("s0", 0L) > 10 && bySrc("s0") < 60,
+      s"~30 of 100 expected at rate 0.3: $bySrc")
+    // rerun-stable (pure hash membership)
+    val again = Sampling.mixtureSample(docs, "src", Seq("id"), "w",
+      Map("s0" -> 0.5, "s1" -> 0.5), budget = 600L).count()
+    assert(again == kept.count())
+    // rate clamps at 1.0: an oversized budget keeps every targeted row
+    val all = Sampling.mixtureSample(docs, "src", Seq("id"), "w",
+      Map("s0" -> 1.0), budget = 1000000L)
+    assert(all.count() == 100L)
+  }
+
   test("compaction: many tiny files become few, content byte-identical") {
     import graft.operators.Compaction
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
