@@ -753,6 +753,31 @@ object SparkEntry {
     }),
 
     // ----- int8 embedding quantization (4x size cut) ------------------
+    // ----- the custom DSv2 source under the oracle gate --------------
+    "q110_dsv2_source" -> ((s, dir) => {
+      // documents re-shaped to the reference's record wire format by a
+      // DISTRIBUTED text write, read back through the graft-records DSv2
+      // source with a pushed filter + pruned columns, and aggregated —
+      // the oracle only ever sees the original table, so the source's
+      // typed parse, pushdown, and null semantics are all on the hook
+      val out = sys.props("java.io.tmpdir") + "/graft_q110_records"
+      rd(s, dir, "documents").select(concat(
+          lit("{\"id\":\"doc"), col("doc_id"),
+          lit("\",\"createdTime\":\"2024-01-01T00:00:00Z\"," +
+            "\"fields\":{\"Source\":\""),
+          col("source"), lit("\",\"NChars\":"), col("n_chars"),
+          lit("}}")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "Source:singleLineText,NChars:number")
+        .load()
+        .filter(col("NChars") > 300) // pushed into the source scan
+        .groupBy(col("Source").as("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("NChars").cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // ----- mixture sampling to a token budget (data-mix step) --------
     "q109_mixture_sample" -> ((s, dir) => {
       graft.operators.Sampling.mixtureSample(rd(s, dir, "documents"),
@@ -2540,6 +2565,11 @@ object SparkEntry {
         |  64 AS width,
         |  4 AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q110_dsv2_source" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars > 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_mixture_sample" ->
       """WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
