@@ -81,6 +81,35 @@ object SparkEntry {
     idxPath
   }
 
+  /** Build-once/join-many BUCKETED-table caching (q80): same content-
+    * fingerprint discipline as [[cachedIndexPath]], applied to a bucketed
+    * catalog table. The fingerprint rides in BOTH the data path and the
+    * table name, so stale files can never be served under a fresh name;
+    * when the files already exist the table is merely re-attached
+    * ([[graft.operators.Bucketing.registerBucketed]]) — the bench then
+    * measures the zero-exchange join, not two table rewrites. Returns the
+    * catalog table name. */
+  private def cachedBucketedTable(s: SparkSession, dir: String,
+      prefix: String, srcTable: String, df: DataFrame,
+      keyCols: Seq[String], nBuckets: Int): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
+    val fp = Sources.contentFingerprint(srcPath, hconf)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${fp}_bk$nBuckets")
+      .getAbsolutePath
+    val table = s"${prefix}_$fp"
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
+      graft.operators.Bucketing.writeBucketed(df, table, keyCols, nBuckets,
+        Some(path))
+    } else if (!s.catalog.tableExists(table))
+      graft.operators.Bucketing.registerBucketed(s, table, df.schema.toDDL,
+        keyCols, nBuckets, path)
+    table
+  }
+
   // --- documents corpora with injected exact/near duplicates (the base
   // corpus is fully distinct, so dedup queries would otherwise be vacuous) --
   private def docsBase(s: SparkSession, dir: String): DataFrame =
@@ -807,8 +836,14 @@ object SparkEntry {
         count(lit(1)).cast("double").as("n"),
         sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
         sum(col("ym").cast("decimal(38,0)")).cast("double").as("sy"),
-        sum((col("x") * col("ym")).cast("decimal(38,0)")).cast("double").as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+        // cast the FACTORS before multiplying: a long×long product wraps
+        // silently in non-ANSI Spark while DuckDB promotes, so the
+        // "exact integer moments" guarantee would break once |x·ym|
+        // exceeds 2^63 (large time deltas × micro-values)
+        sum(col("x").cast("decimal(38,0)") *
+          col("ym").cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") *
+          col("x").cast("decimal(38,0)")).cast("double").as("sxx"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")) // micro-value / sec
       // unfittable groups (one event, or zero x-variance) are 0/0 — and
@@ -1081,6 +1116,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ----- MP4 box-walk duration decode (video metadata, no codec) ---
+    "q111_video_headers" -> ((s, dir) => {
+      // ISO-BMFF bytes assembled in-plan (big-endian box sizes, moov/mvhd
+      // timescale + duration); the decoder walks the box tree
+      // (Multimodal.parseHeader) — the oracle predicts the duration from
+      // doc_id arithmetic alone. Three shapes: version-0 mvhd (u32
+      // fields), version-1 (u64 fields, doc_id % 5 == 0), and a moov
+      // whose declared size overruns the payload (doc_id % 4 == 3):
+      // recognized container, NULL duration — same honesty contract as
+      // the q96 WAV junk chunk.
+      def beHex(c: Column, bytes: Int) = lpad(hex(c), bytes * 2, "0")
+      val ts = ((col("doc_id") % 90 + 10) * 100).cast("long")
+      val durUnits = ((col("doc_id") % 50 + 1) * 1000 + col("doc_id") % 997)
+        .cast("long")
+      val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+      val v0 = concat(ftyp,
+        lit("00000024" + "6D6F6F76" +                     // moov(36)
+          "0000001C" + "6D766864" + "00000000" +          // mvhd(28) v0
+          "00000000" + "00000000"),                       // ctime, mtime
+        beHex(ts, 4), beHex(durUnits, 4))
+      val v1 = concat(ftyp,
+        lit("00000030" + "6D6F6F76" +                     // moov(48)
+          "00000028" + "6D766864" + "01000000" +          // mvhd(40) v1
+          "0000000000000000" + "0000000000000000"),       // ctime64, mtime64
+        beHex(ts, 4), beHex(durUnits, 8))
+      val bad = concat(ftyp, lit("00000100" + "6D6F6F76")) // moov claims 256B
+      val payload = unhex(when(col("doc_id") % 4 === 3, bad)
+        .when(col("doc_id") % 5 === 0, v1).otherwise(v0))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        payload.as("payload"), lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.duration_ms").as("duration_ms"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
     // ----- BPE merge-candidate (adjacent-pair) counting --------------
     "q95_bigram_merges" -> ((s, dir) => {
       // the first step of a BPE-style merge loop: corpus-wide adjacent
@@ -1260,19 +1332,20 @@ object SparkEntry {
 
     // ----- co-located (bucketed) fact-fact join ----------------------
     "q80_bucketed_join" -> ((s, dir) => {
-      // both sides are written bucketBy(8, key) ONCE, so the join and the
-      // key aggregation plan zero exchanges (asserted in PlanSpec) — the
-      // pre-partitioned 100 TB fact-join path; results are identical to a
-      // plain shuffle join, which is exactly what the oracle replays
-      val tmp = sys.props("java.io.tmpdir")
+      // both sides are written bucketBy(8, key) ONCE — content-
+      // fingerprint-cached across invocations (cachedBucketedTable), so
+      // repeat runs measure the zero-exchange join (asserted in
+      // PlanSpec), not two table rewrites — the pre-partitioned 100 TB
+      // fact-join path; results are identical to a plain shuffle join,
+      // which is exactly what the oracle replays
       val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       val or = rd(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.operators.Bucketing.writeBucketed(li, "g_b_lineitem",
-        Seq("l_orderkey"), 8, Some(s"$tmp/graft_q80_li"))
-      graft.operators.Bucketing.writeBucketed(or, "g_b_orders",
-        Seq("l_orderkey"), 8, Some(s"$tmp/graft_q80_or"))
-      graft.operators.Bucketing.joinBucketed(s, "g_b_lineitem", "g_b_orders",
+      val liT = cachedBucketedTable(s, dir, "graft_q80_li", "lineitem",
+        li, Seq("l_orderkey"), 8)
+      val orT = cachedBucketedTable(s, dir, "graft_q80_or", "orders",
+        or, Seq("l_orderkey"), 8)
+      graft.operators.Bucketing.joinBucketed(s, liT, orT,
         Seq("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -2787,7 +2860,7 @@ object SparkEntry {
         |counts AS (SELECT j, v, COUNT(*) AS c FROM lanes GROUP BY 1, 2),
         |tot AS (SELECT CAST(SUM(c * (c - 1)) AS DECIMAL(38,0)) AS collisions FROM counts),
         |nn AS (SELECT COUNT(*) AS n FROM corpus)
-        |SELECT n AS n_docs, 16 AS n_lanes, collisions,
+        |SELECT n AS n_docs, 16 AS n_lanes, CAST(collisions AS BIGINT) AS collisions,
         |  CAST(collisions AS DOUBLE) /
         |    (16.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS mean_jaccard_est
         |FROM tot CROSS JOIN nn""".stripMargin),
@@ -2799,6 +2872,18 @@ object SparkEntry {
         |       ELSE ((doc_id % 50 + 1) * 1000 * 1000) // (doc_id % 100 * 100 + 8000)
         |  END AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 44 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q111_video_headers" ->
+      """SELECT doc_id,
+        |  'video/mp4' AS detected_mime,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE (((doc_id % 50 + 1) * 1000 + doc_id % 997) * 1000)
+        |            // ((doc_id % 90 + 10) * 100)
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 24
+        |            WHEN doc_id % 5 = 0 THEN 64
+        |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q95_bigram_merges" ->

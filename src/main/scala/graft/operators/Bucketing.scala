@@ -48,4 +48,23 @@ object Bucketing {
   def joinBucketed(spark: SparkSession, leftTable: String,
       rightTable: String, keyCols: Seq[String]): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keyCols)
+
+  /** Re-attach an EXISTING bucketed dataset (files written earlier by
+    * [[writeBucketed]] with an explicit path) as an external catalog
+    * table — the read side of write-once/join-many: a fresh session (or
+    * an in-memory catalog that forgot the table) reuses the bucket files
+    * without rewriting them. The bucket spec must match the one the files
+    * were written with: Spark maps a file to its bucket by the `_NNNNN`
+    * id in the file name and trusts the declared CLUSTERED BY — a wrong
+    * spec silently mis-buckets every later join. */
+  def registerBucketed(spark: SparkSession, table: String, schemaDdl: String,
+      keyCols: Seq[String], nBuckets: Int, path: String): Unit = {
+    require(keyCols.nonEmpty, "bucketing needs key columns")
+    val keys = keyCols.map(k => s"`$k`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS `$table` ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 }

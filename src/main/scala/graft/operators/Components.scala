@@ -23,20 +23,40 @@ import org.apache.spark.sql.functions._
   * Scale shape: each round is one shuffle-join of edges against labels
   * on the neighbor key plus one min-aggregation on the node key — both
   * partial-aggregated, both on uniform hash keys. Lineage is truncated
-  * every round with an eager localCheckpoint (on a cluster, a reliable
-  * `checkpoint` to the state store's FS serves the same purpose), so the
-  * plan stays O(1) per round instead of growing with the iteration count.
+  * every round with an eager checkpoint, so the plan stays O(1) per
+  * round instead of growing with the iteration count; pass
+  * `checkpointDir` to make the truncation a RELIABLE checkpoint (round
+  * state survives executor loss — the cluster-production mode) instead
+  * of the default executor-memory localCheckpoint.
   */
 object Components {
+
+  /** Per-round lineage truncation: `localCheckpoint` (executor-memory
+    * blocks — fast, but executor loss mid-run restarts the whole
+    * clustering) or, when `checkpointDir` is set, a RELIABLE
+    * `checkpoint` to that filesystem path — the cluster-production mode:
+    * round state survives executor loss at the price of one FS write per
+    * round. The checkpoint dir is set process-wide (Spark has exactly one
+    * per SparkContext); passing a different dir moves it. */
+  private def truncate(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
 
   /** Label every node of the undirected graph `edges` (pairs in
     * `aCol`/`bCol`) with its component's minimum node id. Output:
     * `(node, label)`, one row per distinct endpoint. Fails loudly if the
     * fixpoint is not reached within `maxIter` rounds — a silently
     * unconverged labeling would merge nothing visibly wrong but split
-    * real clusters. */
+    * real clusters. `checkpointDir` (None = localCheckpoint) switches
+    * per-round truncation to reliable checkpointing — see [[truncate]]. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // checkpoint the typed edge frame FIRST — this does two distinct jobs:
     // (1) the undirected expansion below fans it into four plan branches,
@@ -53,9 +73,10 @@ object Components {
           "non-numeric ids and return an empty labeling — map string ids " +
           "to longs (e.g. xxhash64) before clustering")
     }
-    val e = edges.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-      .localCheckpoint()
+    val e = truncate(
+      edges.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y")),
+      checkpointDir)
     // both directions + a self-loop per node: the self-loop folds each
     // node's own label into the neighbor-min, so a round is ONE join +
     // ONE aggregation — no join-back to merge the previous label.
@@ -68,16 +89,16 @@ object Components {
       .distinct()
       .persist(lvl)
     // ONE action per round: the round's frame is materialized by an eager
-    // localCheckpoint (truncating lineage), and the convergence signal
-    // rides the SAME action as an observe() metric — labels are per-node
-    // non-increasing, so the label SUM is strictly monotone until
-    // fixpoint, and an unchanged sum IS convergence. On a cluster, swap
-    // localCheckpoint for a reliable `checkpoint` if executor loss
-    // mid-run must not restart the computation.
+    // checkpoint (truncating lineage — local or reliable per
+    // `checkpointDir`), and the convergence signal rides the SAME action
+    // as an observe() metric — labels are per-node non-increasing, so the
+    // label SUM is strictly monotone until fixpoint, and an unchanged sum
+    // IS convergence.
     def propagate(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
-        .localCheckpoint()
+      val ck = truncate(
+        df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s")),
+        checkpointDir)
       // sum over an EMPTY frame is null — normalize so a no-edge graph
       // (every doc a singleton upstream) converges instead of NPE-ing
       val s = obs.get("s") match {
@@ -137,7 +158,7 @@ object Components {
     * collide), one count action per round and the except only on
     * equal counts. */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     Seq(aCol, bCol).foreach { c =>
       val dt = edges.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -168,10 +189,11 @@ object Components {
         .where(col("x") =!= col("y")) // v == m: already carried as (u, m)
       members.unionByName(mins.select(col("x"), col("m").as("y"))).distinct()
     }
-    // one checkpointed frame per round, count riding the same action
+    // one checkpointed frame per round (local or reliable per
+    // `checkpointDir`), count riding the same action
     def materialize(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      val ck = truncate(df.observe(obs, count(lit(1)).as("n")), checkpointDir)
       (ck, obs.get("n").asInstanceOf[Long])
     }
     var (e, cnt) = materialize(

@@ -171,10 +171,14 @@ object DedupApprox {
     * The per-doc sketch frame is computed once and persisted (spilling to
     * disk if needed); verification joins its pre-hashed shingle sets so
     * the per-pair work is two long-array set ops — the interpreted
-    * per-pair re-shingling this replaces was ~50x slower. */
+    * per-pair re-shingling this replaces was ~50x slower.
+    * `maxBucket` (0 = unlimited) is forwarded to [[lshCandidatePairs]]'s
+    * degenerate-bucket cap — the knob that stops a boilerplate band key
+    * shared by millions of docs from expanding quadratically. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rows: Int = 4,
-      threshold: Double = 0.7, md5Family: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, md5Family: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
     val sk = docSketches(docs, idCol, textCol, k, bands * rows, md5Family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sk
@@ -182,7 +186,7 @@ object DedupApprox {
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cands = lshCandidatePairs(bandsDf)
+    val cands = lshCandidatePairs(bandsDf, maxBucket)
     val inter = size(array_intersect(col("_ha"), col("_hb"))).cast("double")
     val union = size(array_union(col("_ha"), col("_hb"))).cast("double")
     // no broadcast hint: the sketch frame is corpus-sized (one row per
@@ -212,7 +216,7 @@ object DedupApprox {
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, k: Int = 3, bands: Int = 8,
       rows: Int = 2, threshold: Double = 0.7,
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false, maxBucket: Int = 0): DataFrame = {
     // one sketch pass per side (signature AND shingle set together),
     // persisted so the band derivation and the verification join both
     // read it instead of re-running the explode/hash pipeline. The
@@ -225,21 +229,39 @@ object DedupApprox {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns = docSketches(incoming, idCol, textCol, k, bands * rows, md5Family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearDupsFromSketches(cs, ns, bands, rows, threshold)
+    nearDupsFromSketches(cs, ns, bands, rows, threshold, maxBucket)
   }
 
   /** The band-join + verify core over prebuilt sketch frames (each needs
     * `id`, `_sig`, `_hs` as produced by [[docSketches]] with
-    * numHashes = bands*rows). Persistence is the caller's. */
+    * numHashes = bands*rows). Persistence is the caller's.
+    * `maxBucket` (0 = unlimited) drops CORPUS band keys held by more than
+    * that many corpus docs before the candidate join: a boilerplate band
+    * key multiplies every incoming hit by its corpus-side count, so a hot
+    * key turns the per-batch cost from |batch|·bucket-hit-rate into
+    * |batch|·|corpus| — the same degenerate-bucket hazard
+    * [[lshCandidatePairs]] caps, in join form. */
   def nearDupsFromSketches(corpusSk: DataFrame, incomingSk: DataFrame,
-      bands: Int, rows: Int, threshold: Double): DataFrame = {
+      bands: Int, rows: Int, threshold: Double,
+      maxBucket: Int = 0): DataFrame = {
     def bandsOf(sk: DataFrame, as: String) = sk
       .select(col("id").as(as), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), "|")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val corpusBands = bandsOf(corpusSk, "corpus_id")
+    val cappedCorpusBands =
+      if (maxBucket > 0) {
+        // one partial-aggregated count over the corpus band frame; only
+        // keys at-or-under the cap survive to the candidate join
+        val keyCounts = corpusBands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") <= maxBucket)
+          .select(col("band"), col("band_key"))
+        corpusBands.join(keyCounts, Seq("band", "band_key"))
+      } else corpusBands
     val cands = bandsOf(incomingSk, "new_id")
-      .join(bandsOf(corpusSk, "corpus_id"), Seq("band", "band_key"))
+      .join(cappedCorpusBands, Seq("band", "band_key"))
       .select(col("new_id"), col("corpus_id")).distinct()
     val inter = size(array_intersect(col("_hn"), col("_hc"))).cast("double")
     val union = size(array_union(col("_hn"), col("_hc"))).cast("double")
@@ -376,8 +398,12 @@ object DedupApprox {
       // would reintroduce the exact overflow the routing exists to stop
       .agg(sum(col("c").cast("decimal(38,0)") *
         (col("c") - 1).cast("decimal(38,0)")).as("collisions"))
+      // final projection: BIGINT, not DECIMAL(38,0) — the decimal routing
+      // above is what prevents per-value overflow; the SUM itself is
+      // bounded by L·N(N−1) which fits a long until N ≈ 7.6e8 at L=16,
+      // and a decimal cell hashes differently across result encoders
       .select(lit(n).as("n_docs"), lit(numHashes).as("n_lanes"),
-        col("collisions"),
+        col("collisions").cast("long").as("collisions"),
         (col("collisions").cast("double") / lit(denom)).as("mean_jaccard_est"))
   }
 

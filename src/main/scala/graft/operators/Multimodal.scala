@@ -37,6 +37,8 @@ object Multimodal {
   private def be32(p: Array[Byte], i: Int): Long =
     ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
       ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
   private def be16(p: Array[Byte], i: Int): Int =
     ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
   private def le16(p: Array[Byte], i: Int): Int =
@@ -127,7 +129,60 @@ object Multimodal {
         if (byteRate > 0L && dataSize >= 0L) Long.box(dataSize * 1000L / byteRate)
         else null
       Some(Row("audio/wav", null, null, 1, dur, p.length.toLong))
+    } else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' &&
+        p(7) == 'p') {
+      // MP4 / ISO-BMFF box walk — same zero-codec trick as the WAV chunk
+      // walk: the file is a sequence of [size(4 BE) type(4CC) payload]
+      // boxes (size==1 → a 64-bit largesize follows; size==0 → box runs
+      // to EOF); moov/mvhd carries the movie timescale + duration as
+      // plain integers, version 0 (u32) or version 1 (u64) layout.
+      // Malformed/truncated boxes stop the walk → NULL duration, honest
+      // unknown. Frame COUNT would need a per-track stbl walk (stts
+      // entries) — left NULL rather than faked.
+      val dur: Any = (for {
+        (ms, me) <- findBox(p, 0, p.length, "moov")
+        (vs, ve) <- findBox(p, ms, me, "mvhd")
+        d <- {
+          if (vs + 1 > ve) None
+          else (p(vs) & 0xFF) match {
+            // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+            case 0 if vs + 20 <= ve =>
+              val ts = be32(p, vs + 12); val d = be32(p, vs + 16)
+              if (ts > 0L) Some(d * 1000L / ts) else None
+            // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+            case 1 if vs + 32 <= ve =>
+              val ts = be32(p, vs + 20); val d = be64(p, vs + 24)
+              if (ts > 0L && d >= 0L) Some(d * 1000L / ts) else None
+            case _ => None
+          }
+        }
+      } yield Long.box(d)).orNull
+      Some(Row("video/mp4", null, null, null, dur, p.length.toLong))
     } else None
+  }
+
+  /** Scan `[from, until)` for the first ISO-BMFF box with 4CC `tag`;
+    * returns the PAYLOAD span. A size that is corrupt (smaller than its
+    * own header or overrunning the scan range) stops the walk — a bad
+    * length would otherwise send the cursor anywhere. */
+  private def findBox(p: Array[Byte], from: Int, until: Int,
+      tag: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= until) {
+      val size32 = be32(p, i)
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1L) {
+        if (i + 16 > until) return None
+        size = be64(p, i + 8); hdr = 16L
+      } else if (size32 == 0L) size = (until - i).toLong
+      if (size < hdr || size > (until - i).toLong) return None
+      if (p(i + 4) == tag(0) && p(i + 5) == tag(1) &&
+          p(i + 6) == tag(2) && p(i + 7) == tag(3))
+        return Some((i + hdr.toInt, i + size.toInt))
+      i += size.toInt
+    }
+    None
   }
 
   /** STUB decoder — deterministic fake: derives plausible metadata

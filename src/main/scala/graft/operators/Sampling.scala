@@ -152,8 +152,10 @@ object Sampling {
     require(targets.nonEmpty && targets.values.forall(_ >= 0),
       "need non-negative target fractions")
     require(budget > 0, s"budget $budget must be positive")
+    // explicit cast: a DOUBLE/DECIMAL weight column otherwise surfaces as
+    // a ClassCastException at getLong; coalesce covers an all-NULL group
     val totals = df.groupBy(col(sourceCol))
-      .agg(sum(col(weightCol)).as("w")).collect()
+      .agg(coalesce(sum(col(weightCol)).cast("long"), lit(0L)).as("w")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rate = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (els, (src, frac)) =>

@@ -185,40 +185,62 @@ object StreamingSync {
     * the CURRENT trailing window (update mode — latest row per key is
     * the answer). Late events inside the retained span fold correctly;
     * events older than the span are dropped, the same contract a
-    * watermark would impose. */
+    * watermark would impose.
+    *
+    * State is O(windowSec) PER KEY; TOTAL state grows with key
+    * cardinality. `idleTimeout` (e.g. "30 minutes"; empty = keep state
+    * forever) evicts a key's state after that much processing time with
+    * no new events — set it on long-running queries over unbounded key
+    * domains, where "every key ever seen" is itself the leak. An evicted
+    * key that reappears restarts with an empty window — correct here,
+    * since its old buckets would be outside the trailing window anyway. */
   def rollingPerKeyStream(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, windowSec: Long): Dataset[(Long, Long, Long, Double)] = {
+      valueCol: String, windowSec: Long,
+      idleTimeout: String = ""): Dataset[(Long, Long, Long, Double)] = {
     require(windowSec > 0, s"windowSec $windowSec must be positive")
     requireIntegralKey(events, keyCol, "rollingPerKeyStream")
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    events.selectExpr(s"CAST($keyCol AS LONG) AS _k",
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, Long, Double)],
+        st: GroupState[Map[Long, (Long, Double)]]): (Long, Long, Long, Double) = {
+      var m = st.getOption.getOrElse(Map.empty[Long, (Long, Double)])
+      var hi = m.keySet.foldLeft(Long.MinValue)(math.max)
+      // deterministic fold order WITHIN the batch ((sec, value)) and
+      // ACROSS buckets (sorted keys): double addition is order-
+      // sensitive in the last ulp, and iterator/hash-map order would
+      // make reruns differ. Micro-batch BOUNDARIES still decide the
+      // bucket partial-sum grouping — inherent to streaming; the
+      // batch form's DECIMAL route is the engine-exact one.
+      it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, s, v) =>
+        hi = math.max(hi, s)
+        val (n0, s0) = m.getOrElse(s, (0L, 0.0))
+        m += s -> (n0 + 1L, s0 + v)
+      }
+      m = m.filter { case (sec, _) => sec >= hi - windowSec + 1 }
+      st.update(m)
+      val (n, sum) = m.toSeq.sortBy(_._1).map(_._2).foldLeft((0L, 0.0)) {
+        case ((an, as), (bn, bs)) => (an + bn, as + bs)
+      }
+      (k, hi, n, sum)
+    }
+    val grouped = events.selectExpr(s"CAST($keyCol AS LONG) AS _k",
         s"CAST($tsCol AS LONG) AS _s", s"CAST($valueCol AS DOUBLE) AS _v")
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    if (idleTimeout.isEmpty)
+      grouped.mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+    else
+      grouped.flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.ProcessingTimeTimeout) {
         (k: Long, it: Iterator[(Long, Long, Double)],
             st: GroupState[Map[Long, (Long, Double)]]) =>
-          var m = st.getOption.getOrElse(Map.empty[Long, (Long, Double)])
-          var hi = m.keySet.foldLeft(Long.MinValue)(math.max)
-          // deterministic fold order WITHIN the batch ((sec, value)) and
-          // ACROSS buckets (sorted keys): double addition is order-
-          // sensitive in the last ulp, and iterator/hash-map order would
-          // make reruns differ. Micro-batch BOUNDARIES still decide the
-          // bucket partial-sum grouping — inherent to streaming; the
-          // batch form's DECIMAL route is the engine-exact one.
-          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, s, v) =>
-            hi = math.max(hi, s)
-            val (n0, s0) = m.getOrElse(s, (0L, 0.0))
-            m += s -> (n0 + 1L, s0 + v)
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val r = fold(k, it, st)
+            st.setTimeoutDuration(idleTimeout)
+            Iterator.single(r)
           }
-          m = m.filter { case (sec, _) => sec >= hi - windowSec + 1 }
-          st.update(m)
-          val (n, sum) = m.toSeq.sortBy(_._1).map(_._2).foldLeft((0L, 0.0)) {
-            case ((an, as), (bn, bs)) => (an + bn, as + bs)
-          }
-          (k, hi, n, sum)
       }
   }
 
@@ -242,35 +264,54 @@ object StreamingSync {
         "strings). Map the key to a long (e.g. xxhash64) first.")
   }
 
+  /** `idleTimeout` (empty = keep state forever): per-key state is O(1),
+    * but total state grows with key cardinality — set a timeout on
+    * long-running queries over unbounded key domains. NOTE an evicted key
+    * that reappears restarts its EMA from scratch (n=0), so only evict
+    * when key retirement is real (sessions, short-lived entities). */
   def emaPerKey(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, alpha: Double): Dataset[(Long, Double, Long)] = {
+      valueCol: String, alpha: Double,
+      idleTimeout: String = ""): Dataset[(Long, Double, Long)] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
     requireIntegralKey(events, keyCol, "emaPerKey")
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    events
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+        st: GroupState[(Double, Long)]): (Long, Double, Long) = {
+      // order by the FULL timestamp (Timestamp.compareTo carries the
+      // nanos field; getTime truncates to milliseconds and would let
+      // sub-millisecond events fold in value order), value tiebreak
+      val xs = it.toSeq.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        c < 0 || (c == 0 && a._3 < b._3)
+      }
+      var (ema, n) = st.getOption.getOrElse((0.0, 0L))
+      xs.foreach { case (_, _, v) =>
+        ema = if (n == 0) v else alpha * v + (1 - alpha) * ema
+        n += 1
+      }
+      st.update((ema, n))
+      (k, ema, n)
+    }
+    val grouped = events
       .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
         s"CAST($valueCol AS DOUBLE) AS _v")
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    if (idleTimeout.isEmpty)
+      grouped.mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+    else
+      grouped.flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.ProcessingTimeTimeout) {
         (k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
             st: GroupState[(Double, Long)]) =>
-          // order by the FULL timestamp (Timestamp.compareTo carries the
-          // nanos field; getTime truncates to milliseconds and would let
-          // sub-millisecond events fold in value order), value tiebreak
-          val xs = it.toSeq.sortWith { (a, b) =>
-            val c = a._2.compareTo(b._2)
-            c < 0 || (c == 0 && a._3 < b._3)
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val r = fold(k, it, st)
+            st.setTimeoutDuration(idleTimeout)
+            Iterator.single(r)
           }
-          var (ema, n) = st.getOption.getOrElse((0.0, 0L))
-          xs.foreach { case (_, _, v) =>
-            ema = if (n == 0) v else alpha * v + (1 - alpha) * ema
-            n += 1
-          }
-          st.update((ema, n))
-          (k, ema, n)
       }
   }
 
@@ -285,31 +326,49 @@ object StreamingSync {
     * Emits one updated `(key, funnel_stage)` row per key per batch
     * (update output mode); stage is monotone, so the latest row per key
     * is the answer. */
+  /** `idleTimeout` (empty = keep state forever): per-key state is one
+    * Int, but total state grows with key cardinality; evicting an idle
+    * key resets its funnel to stage 0 on reappearance — appropriate when
+    * the funnel itself has a session lifetime. */
   def funnelPerKey(events: DataFrame, keyCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): Dataset[(Long, Long)] = {
+      typeCol: String, steps: Seq[String],
+      idleTimeout: String = ""): Dataset[(Long, Long)] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     requireIntegralKey(events, keyCol, "funnelPerKey")
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    events
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+        st: GroupState[Int]): (Long, Long) = {
+      val xs = it.toSeq.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        c < 0 || (c == 0 && a._3 < b._3)
+      }
+      var stage = st.getOption.getOrElse(0)
+      xs.foreach { case (_, _, t) =>
+        if (stage < steps.length && t == steps(stage)) stage += 1
+      }
+      st.update(stage)
+      (k, stage.toLong)
+    }
+    val grouped = events
       .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
         s"CAST($typeCol AS STRING) AS _y")
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    if (idleTimeout.isEmpty)
+      grouped.mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+    else
+      grouped.flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.ProcessingTimeTimeout) {
         (k: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
             st: GroupState[Int]) =>
-          val xs = it.toSeq.sortWith { (a, b) =>
-            val c = a._2.compareTo(b._2)
-            c < 0 || (c == 0 && a._3 < b._3)
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val r = fold(k, it, st)
+            st.setTimeoutDuration(idleTimeout)
+            Iterator.single(r)
           }
-          var stage = st.getOption.getOrElse(0)
-          xs.foreach { case (_, _, t) =>
-            if (stage < steps.length && t == steps(stage)) stage += 1
-          }
-          st.update(stage)
-          (k, stage.toLong)
       }
   }
 

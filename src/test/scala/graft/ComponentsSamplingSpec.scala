@@ -36,6 +36,30 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(err.getMessage.contains("non-numeric"))
   }
 
+  test("reliable-checkpoint mode labels identically to localCheckpoint mode") {
+    // same graph through both truncation modes — the labeling must be
+    // bit-identical; only the fault-tolerance of round state differs
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    try {
+      val local = Components.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val reliable = Components.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(ckDir)).as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // round state actually went through the reliable dir
+      assert(new java.io.File(ckDir).listFiles != null &&
+        new java.io.File(ckDir).listFiles.nonEmpty,
+        s"no checkpoint data written under $ckDir")
+      val star = Components.connectedComponentsStar(edges, "id_a", "id_b",
+        checkpointDir = Some(ckDir)).as[(Long, Long)].collect().toMap
+      assert(star == local)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+    }
+  }
+
   test("connected components of an empty edge list is the empty labeling") {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.connectedComponents(none, "id_a", "id_b").count() == 0)

@@ -203,6 +203,24 @@ class PlanSpec extends SparkSpec {
       val agg = spark.table("b_lineitem").groupBy("l_orderkey")
         .agg(sum("l_quantity"))
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // re-attach path (fresh-session / forgotten-catalog case): dropping
+      // the catalog entry and registering the EXISTING files as an
+      // external bucketed table must restore the same zero-exchange plan
+      // and the same rows — no rewrite
+      val joinedCount = joined.count()
+      spark.sql("DROP TABLE b_lineitem")
+      spark.sql("DROP TABLE b_orders")
+      graft.operators.Bucketing.registerBucketed(spark, "b_lineitem",
+        li.schema.toDDL, Seq("l_orderkey"), 4, s"$troot/li")
+      graft.operators.Bucketing.registerBucketed(spark, "b_orders",
+        or.schema.toDDL, Seq("l_orderkey"), 4, s"$troot/or")
+      val rejoined = graft.operators.Bucketing.joinBucketed(spark,
+        "b_lineitem", "b_orders", Seq("l_orderkey"))
+      val p2 = rejoined.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(!p2.contains("Exchange"),
+        s"re-attached bucketed join must not shuffle either side:\n$p2")
+      assert(rejoined.count() == joinedCount)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -143,6 +143,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pairwiseJaccardEstimate ≡ exact mean pairwise Jaccard on 0/1-Jaccard corpora") {
+    import graft.operators.DedupApprox
+    // duplicate-group corpora make the minhash estimator EXACT, not just
+    // unbiased: identical docs collide on every lane (J=1), token-disjoint
+    // docs on none (J=0, no shared shingles to hash). With groups of sizes
+    // (3, 2, 1): ordered same-group pairs = 3·2 + 2·1 = 8, so collisions
+    // must be exactly L·8 and the estimate exactly 8 / (n(n−1)) — pinning
+    // the counting semantics so the BIGINT final cast can't drift them.
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta"), (2L, "alpha bravo charlie delta"),
+      (3L, "alpha bravo charlie delta"),
+      (4L, "echo foxtrot golf hotel"), (5L, "echo foxtrot golf hotel"),
+      (6L, "india juliett kilo lima")).toDF("doc_id", "text")
+    val r = DedupApprox.pairwiseJaccardEstimate(corpus, "doc_id", "text",
+      k = 3, numHashes = 16)
+    // final projection exposes BIGINT, not DECIMAL(38,0) — a decimal cell
+    // hashes differently across result encoders (the q97 gate lesson)
+    assert(r.schema("collisions").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val (nDocs, nLanes, collisions, est) =
+      r.as[(Long, Int, Long, Double)].head()
+    assert(nDocs == 6L && nLanes == 16)
+    assert(collisions == 16L * 8L, s"collisions $collisions != 128")
+    val exactMean = 8.0 / (6.0 * 5.0) // ordered pairs; same as 4/15 unordered
+    assert(est == exactMean, s"estimate $est != exact mean $exactMean")
+    // cross-check the exact mean against the pairwise jaccard operator
+    val pairs = corpus.as[(Long, String)].collect()
+    val exact = (for {
+      (ia, ta) <- pairs; (ib, tb) <- pairs if ia < ib
+    } yield Seq((ta, tb)).toDF("a", "b")
+      .select(DedupApprox.jaccard($"a", $"b", 3)).as[Double].head()).sum /
+      (pairs.length * (pairs.length - 1) / 2)
+    assert(math.abs(exact - est) < 1e-12)
+  }
+
   test("native hash laws: md5_prefix60 ≡ composable form; lsh_code ≡ driver codeOf") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '|', ':', 'é', '世')))

@@ -230,6 +230,49 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2L) == ("image/png", None))
   }
 
+  test("MP4 box walk: mvhd v0/v1 duration, 64-bit largesize, malformed -> NULL") {
+    import java.nio.ByteBuffer
+    val ftyp = ByteBuffer.allocate(16)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0).array()
+    def mp4v0(timescale: Int, duration: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + 36) // big-endian by default
+      b.put(ftyp)
+      b.putInt(36).put("moov".getBytes)
+      b.putInt(28).put("mvhd".getBytes).putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0).putInt(timescale).putInt(duration).array()
+    }
+    def mp4v1(timescale: Int, duration: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(16 + 48)
+      b.put(ftyp)
+      b.putInt(48).put("moov".getBytes)
+      b.putInt(40).put("mvhd".getBytes).putInt(0x01000000) // version 1
+      b.putLong(0L).putLong(0L).putInt(timescale).putLong(duration).array()
+    }
+    def dur(p: Array[Byte]) = Multimodal.parseHeader(p).map(r =>
+      (r.getString(0), Option(r.get(4))))
+    assert(dur(mp4v0(600, 1200)) == Some(("video/mp4", Some(2000L))))
+    assert(dur(mp4v1(90000, 45000L)) == Some(("video/mp4", Some(500L))))
+    // moov under a 64-bit largesize header (size==1 marker): still found
+    val big = {
+      val moovPayload = mp4v0(1000, 3500).drop(16 + 8) // the mvhd box bytes
+      val b = ByteBuffer.allocate(16 + 16 + moovPayload.length)
+      b.put(ftyp).putInt(1).put("moov".getBytes)
+        .putLong(16L + moovPayload.length) // largesize = 16B header + payload
+        .put(moovPayload).array()
+    }
+    assert(dur(big) == Some(("video/mp4", Some(3500L))))
+    // moov size overruns the payload: walk stops, honest NULL
+    val overrun = ByteBuffer.allocate(16 + 8)
+      .put(ftyp).putInt(256).put("moov".getBytes).array()
+    assert(dur(overrun) == Some(("video/mp4", None)))
+    // truncated mvhd (timescale/duration missing): NULL, no index crash
+    assert(dur(mp4v0(600, 1200).dropRight(6)).exists(_._2.isEmpty))
+    // zero timescale: division guarded, NULL
+    assert(dur(mp4v0(0, 1200)) == Some(("video/mp4", None)))
+    // no ftyp magic: not recognized as a container at all
+    assert(Multimodal.parseHeader("0123456789abcdef".getBytes).isEmpty)
+  }
+
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
     val media = Multimodal.withDecodedMeta(
