@@ -55,11 +55,23 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}""")
-    // compact single-metric line LAST: the full per-query line above grew
-    // past the driver's bounded tail capture (r4's artifact began mid-line
-    // at q11), so any tail window must still catch a complete JSON object
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"load_avg":$load}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}"""
+    println(fullLine)
+    // the full line also lands in a local file: tail-window captures can
+    // truncate stdout, the file cannot
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_LOCAL_latest.json"), fullLine + "\n")
+    catch { case _: java.io.IOException => } // bench result > bookkeeping
+    // compact line LAST — it is what a bounded tail capture parses (r4's
+    // artifact began mid-line at q11; r5's parsed object lost the
+    // per-query dict entirely). Short keys (the qNN prefix) + 3-decimal
+    // values keep ALL 110+ entries inside a 2000-char tail window.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":$load,"queries":$shortQs}""")
     System.out.flush()
     spark.stop()
   }

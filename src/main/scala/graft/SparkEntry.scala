@@ -807,6 +807,34 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ----- DSv2 WRITE path: staged-commit sink round trip ------------
+    "q112_dsv2_write" -> ((s, dir) => {
+      // documents written through the graft-records DSv2 WRITER (the
+      // production sink: two-phase staged commit, truncate-on-overwrite,
+      // wire-shape records), then read back through the same source with
+      // a pushed filter — the oracle only ever sees the original table,
+      // so the writer's serialization AND the reader's parse are both on
+      // the hook. mode=overwrite exercises the truncate path, keeping
+      // reruns exact.
+      val out = sys.props("java.io.tmpdir") + "/graft_q112_records"
+      rd(s, dir, "documents").select(
+          concat(lit("doc"), col("doc_id")).as("_record_id"),
+          lit("2024-01-01T00:00:00Z").cast("timestamp").as("_created_time"),
+          col("source").as("Source"),
+          col("n_chars").cast("double").as("NChars"))
+        .write.format("graft-records").option("path", out)
+        .mode("overwrite").save()
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "Source:singleLineText,NChars:number")
+        .load()
+        .filter(col("NChars") <= 300) // pushed into the source scan
+        .groupBy(col("Source").as("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("NChars").cast("long")).as("sum_chars"),
+          max(col("_record_id")).as("max_id"))
+        .orderBy("source")
+    }),
+
     // ----- mixture sampling to a token budget (data-mix step) --------
     "q109_mixture_sample" -> ((s, dir) => {
       graft.operators.Sampling.mixtureSample(rd(s, dir, "documents"),
@@ -2642,6 +2670,12 @@ object SparkEntry {
     "q110_dsv2_source" ->
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars > 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q112_dsv2_write" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MAX('doc' || CAST(doc_id AS VARCHAR)) AS max_id
+        |FROM documents WHERE n_chars <= 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_mixture_sample" ->

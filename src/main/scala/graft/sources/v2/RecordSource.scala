@@ -5,9 +5,10 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,6 +42,11 @@ class RecordSourceProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RecordSource.fullSchema(RecordSource.fieldTypes(options))
 
+  // a write's schema comes from the DataFrame being written (so callers
+  // don't have to restate it as a fieldTypes option); reads still infer
+  // from fieldTypes when no schema is supplied
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new RecordTable(schema, properties.asScala.toMap)
@@ -73,23 +79,31 @@ private[v2] object RecordSource {
 }
 
 private[v2] class RecordTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // capture the session's Hadoop configuration (credentials, fs impls,
-    // spark.hadoop.* overrides) as a serializable map for the executors —
-    // a bare `new Configuration()` would ignore all session settings
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val confProps = conf.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    new RecordScanBuilder(schema,
-      Option(options.get("path")).orElse(props.get("path"))
-        .getOrElse(throw new IllegalArgumentException("path option required")),
-      confProps)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // capture the session's Hadoop configuration (credentials, fs impls,
+  // spark.hadoop.* overrides) as a serializable map for the executors —
+  // a bare `new Configuration()` would ignore all session settings
+  private def sessionConfProps: Map[String, String] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+
+  private def resolvedPath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).orElse(props.get("path"))
+      .getOrElse(throw new IllegalArgumentException("path option required"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    RecordWriteSupport.validateWriteSchema(info.schema())
+    new RecordWriteBuilder(info.schema(), info.queryId(),
+      resolvedPath(info.options()), sessionConfProps)
   }
 }
 
@@ -615,4 +629,179 @@ private[v2] object RecordFilterEval {
         }
         if (descending) -c else c
     }
+}
+
+// ---------------------------------------------------------------------------
+// Write path — the production sink the reference's store wrapper represents
+// (lib/FirestoreWrapper.py:37-169, S9-S14): rows become JSONL records
+// `{id, createdTime, fields:{...}}` in the SAME wire shape the read path
+// parses, so a round trip through the source is lossless.
+//
+// Commit protocol (two-phase, driver-coordinated):
+//   1. each task writes its rows to `<path>/_staging-<queryId>/part-...`
+//      (the `_` prefix keeps staged files invisible to the reader and to
+//      content fingerprints, which skip `_`/`.` path segments);
+//   2. task commit hands the staged file name to the driver;
+//   3. job commit moves exactly the COMMITTED files into `<path>/`
+//      (speculative/failed attempts stay in staging) and deletes the
+//      staging dir; job abort deletes staging wholesale. Readers therefore
+//      never observe a torn write: data files appear only at job commit.
+// ---------------------------------------------------------------------------
+
+private[v2] object RecordWriteSupport {
+  /** Types with an exact JSONL wire form (the same set the reader
+    * parses). Checked ONCE at write planning — a per-row failure would
+    * waste the whole job to report a schema mistake. */
+  def validateWriteSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      val ok = f.dataType match {
+        case StringType | DoubleType | BooleanType | TimestampType | DateType => true
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"graft-records cannot write column '${f.name}' of type " +
+          s"${f.dataType.simpleString}: the record wire format carries " +
+          "string/double/boolean/timestamp/date/array<string> — cast the " +
+          "column first")
+    }
+
+  def stagingDir(path: String, queryId: String): String =
+    s"$path/_staging-$queryId"
+}
+
+private[v2] class RecordWriteBuilder(schema: StructType, queryId: String,
+    path: String, confProps: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  // SaveMode.Overwrite arrives as truncate() on the builder
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write =
+    new RecordWrite(schema, queryId, path, confProps, truncateFirst)
+}
+
+private[v2] class RecordWrite(schema: StructType, queryId: String,
+    path: String, confProps: Map[String, String], truncateFirst: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"RecordWrite(path=$path, truncate=$truncateFirst)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RecordWriterFactory(schema,
+      RecordWriteSupport.stagingDir(path, queryId), confProps)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(conf)
+    fs.mkdirs(dest)
+    if (truncateFirst)
+      fs.listStatus(dest).filter(_.isFile)
+        .foreach(st => fs.delete(st.getPath, false))
+    messages.foreach { case RecordCommitMessage(staged) =>
+      val src = new org.apache.hadoop.fs.Path(staged)
+      val to = new org.apache.hadoop.fs.Path(dest, src.getName)
+      if (!fs.rename(src, to))
+        throw new java.io.IOException(
+          s"graft-records commit failed moving $src -> $to")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      RecordWriteSupport.stagingDir(path, queryId)), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val staging = new org.apache.hadoop.fs.Path(
+      RecordWriteSupport.stagingDir(path, queryId))
+    staging.getFileSystem(conf).delete(staging, true)
+  }
+}
+
+private[v2] case class RecordCommitMessage(stagedFile: String)
+    extends WriterCommitMessage
+
+private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
+    confProps: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RecordDataWriter(schema,
+      f"$stagingDir/part-$partitionId%05d-$taskId.jsonl",
+      RecordSource.confFrom(confProps))
+}
+
+/** Serializes one partition's rows as JSONL records. `_record_id` maps to
+  * the record id — NULL ids get an auto-generated one (S9's auto-id
+  * insert; explicit ids are S10); `_created_time` maps to `createdTime`
+  * (omitted when NULL); every other column becomes a `fields` entry,
+  * NULLs omitted (sparse records, the wire format's convention — the
+  * reader returns NULL for absent fields, so the round trip is exact). */
+private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val p = new org.apache.hadoop.fs.Path(stagedFile)
+  private val out = p.getFileSystem(conf).create(p, true)
+  private val w = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+  private var closed = false
+
+  private def isoMicros(micros: Long): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L))
+
+  override def write(row: InternalRow): Unit = {
+    val root = mapper.createObjectNode()
+    val fields = mapper.createObjectNode()
+    var id: String = null
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      f.name match {
+        case "_record_id" =>
+          if (!row.isNullAt(i)) id = row.getUTF8String(i).toString
+        case "_created_time" =>
+          if (!row.isNullAt(i)) root.put("createdTime", isoMicros(row.getLong(i)))
+        case name if !row.isNullAt(i) =>
+          f.dataType match {
+            case StringType => fields.put(name, row.getUTF8String(i).toString)
+            case DoubleType => fields.put(name, row.getDouble(i))
+            case BooleanType => fields.put(name, row.getBoolean(i))
+            case TimestampType => fields.put(name, isoMicros(row.getLong(i)))
+            case DateType => fields.put(name,
+              java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString)
+            case ArrayType(StringType, _) =>
+              val arr = fields.putArray(name)
+              val a = row.getArray(i)
+              (0 until a.numElements()).foreach { j =>
+                if (a.isNullAt(j)) arr.addNull()
+                else arr.add(a.getUTF8String(j).toString)
+              }
+            case dt => throw new IllegalStateException(
+              s"unreachable: $dt passed validateWriteSchema") // defensive
+          }
+        case _ => // NULL field: omitted — sparse record
+      }
+    }
+    // auto-id (S9): content-independent, collision-safe across tasks/reruns
+    root.put("id",
+      if (id != null) id
+      else "rec" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    root.set("fields", fields)
+    w.write(mapper.writeValueAsString(root))
+    w.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    w.flush(); w.close(); closed = true
+    RecordCommitMessage(stagedFile)
+  }
+
+  override def abort(): Unit = {
+    try { if (!closed) { w.close(); closed = true } }
+    catch { case _: java.io.IOException => }
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit =
+    if (!closed) { w.close(); closed = true }
 }

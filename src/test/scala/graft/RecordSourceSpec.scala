@@ -191,4 +191,92 @@ class RecordSourceSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("MaxPushedGroups")),
       s"expected the MaxPushedGroups ceiling in: ${messages(ex)}")
   }
+
+  // ----------------------------- write path -----------------------------
+
+  private def writeDf() = Seq(
+    ("w1", "2024-03-01T08:00:00Z", "alpha", Some(5.0), Some(true), Seq("x", "y")),
+    ("w2", "2024-03-02T09:30:00Z", "beta", None, None, Seq.empty[String]),
+    ("w3", "2024-03-03T10:45:00Z", "gamma", Some(2.5), Some(false), Seq("z")))
+    .toDF("_record_id", "ct", "Name", "Score", "Active", "Tags")
+    .withColumn("_created_time", col("ct").cast("timestamp")).drop("ct")
+    .select("_record_id", "_created_time", "Name", "Score", "Active", "Tags")
+
+  private def readBack(path: String) = spark.read.format("graft-records")
+    .option("path", path)
+    .option("fieldTypes", "Name:singleLineText,Score:number,Active:checkbox,Tags:multipleSelects")
+    .load()
+
+  test("write path round-trips records exactly (staged commit, no torn files)") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    writeDf().write.format("graft-records").option("path", dir)
+      .mode("append").save()
+    // staging is gone after commit; only data files remain
+    val left = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!left.exists(_.startsWith("_staging")), left.mkString(","))
+    val back = readBack(dir).orderBy("_record_id").collect()
+    assert(back.length == 3)
+    val r1 = back(0)
+    assert(r1.getString(0) == "w1")
+    assert(r1.getTimestamp(1).toInstant.toString == "2024-03-01T08:00:00Z")
+    assert(r1.getAs[Double]("Score") == 5.0 && r1.getAs[Boolean]("Active"))
+    assert(r1.getAs[scala.collection.Seq[String]]("Tags").toSeq == Seq("x", "y"))
+    // NULL fields were omitted on the wire and come back as NULLs
+    val r2 = back(1)
+    assert(r2.isNullAt(r2.fieldIndex("Score")) && r2.isNullAt(r2.fieldIndex("Active")))
+    // empty array survives as empty, not NULL
+    assert(r2.getAs[scala.collection.Seq[String]]("Tags").isEmpty)
+  }
+
+  test("overwrite truncates previous contents; append accumulates") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    writeDf().write.format("graft-records").option("path", dir).mode("append").save()
+    writeDf().write.format("graft-records").option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 6) // append kept both rounds
+    writeDf().write.format("graft-records").option("path", dir)
+      .mode("overwrite").save()
+    assert(readBack(dir).count() == 3) // truncate-on-overwrite
+  }
+
+  test("NULL _record_id gets an auto-generated id (S9); explicit ids kept (S10)") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    writeDf().withColumn("_record_id",
+        when(col("Name") === "beta", lit(null: String)).otherwise(col("_record_id")))
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    val ids = readBack(dir).select("_record_id").as[String].collect().toSeq
+    assert(ids.length == 3 && ids.distinct.length == 3 && !ids.contains(null))
+    assert(ids.count(_.startsWith("rec")) == 1) // the auto-id row
+    assert(ids.toSet.intersect(Set("w1", "w3")) == Set("w1", "w3"))
+  }
+
+  test("unwritable column types fail at planning, not per row") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    val bad = Seq((1L, "a")).toDF("n", "Name") // bigint has no wire form
+    val ex = intercept[Exception] {
+      bad.write.format("graft-records").option("path", dir).mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("cannot write column")),
+      s"expected the schema validation message in: ${messages(ex)}")
+  }
+
+  test("aborted writes leave no data behind") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    writeDf().write.format("graft-records").option("path", dir).mode("append").save()
+    // a mid-write task failure aborts the job: the pre-existing data must
+    // survive untouched and no staged/partial files may leak
+    val failing = writeDf().withColumn("Score",
+      udf((n: String) => {
+        if (n == "beta") throw new RuntimeException("boom")
+        1.0
+      }).apply(col("Name")))
+    intercept[Exception] {
+      failing.write.format("graft-records").option("path", dir).mode("append").save()
+    }
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!files.exists(_.startsWith("_staging")),
+      s"staging leaked: ${files.mkString(",")}")
+    assert(readBack(dir).count() == 3) // original data intact
+  }
 }
