@@ -1,0 +1,1024 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Checksums, Normalize}
+import graft.operators.{Dedup, DedupApprox, Export, Multimodal, Similarity, Strategies, TextAnalysis}
+import graft.sources.Sources
+
+import QueryShared._
+
+/** Training-data-pipeline infrastructure queries: sampling and
+  * mixtures, connected components, bucketing/salting/z-order, streaming
+  * analytics, multimodal headers, stats and the capstone pipeline. */
+private[graft] object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- END-TO-END training-data preparation (capstone) -----------
+    "q100_training_pipeline" -> ((s, dir) => {
+      // the whole curation flow as ONE lineage of already-verified
+      // operators: language+quality gates -> exact dedup (min-id per
+      // fingerprint) -> minhash near-dup canonicalization -> determin-
+      // istic split -> per-split token accounting
+      val raw = docsWithNearDups(s, dir)
+      val t = col("text")
+      val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0))
+      val gated = raw.filter(TextAnalysis.languageId(t) === "en")
+        .filter(TextAnalysis.tokenCount(t) >= 30 && alphaRatio > lit(0.55))
+      val fp = gated.select(col("doc_id"), col("text"),
+        md5(TextAnalysis.normText(t)).as("fp"))
+      val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      // persisted: three consumers (sketching, component node set, final
+      // accounting) would each replay the gate regex stack otherwise.
+      // Invocation-scoped and small (the gated id+text frame); released
+      // by the ContextCleaner when the result frame is unreferenced —
+      // same lifecycle as the minhash sketch cache underneath
+      val deduped = fp.join(keep, Seq("fp", "doc_id")).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = DedupApprox.minhashNearDups(deduped, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      val canon = graft.operators.Components
+        .canonicalize(deduped, pairs, "doc_id", "id_a", "id_b")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("text"))
+      graft.operators.Sampling.splitAssign(canon, Seq("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("split")
+    }),
+
+
+    // ----- per-group Pearson correlation (exact moments) -------------
+    "q106_correlation" -> ((s, dir) => {
+      // correlation from DECIMAL-routed raw moments: every sum is
+      // aggregation-order-exact; the remaining mul/sub/div/sqrt are
+      // correctly-rounded IEEE ops, so the value hash-reproduces at any
+      // parallelism — the built-in corr()'s streaming covariance update
+      // accumulates in partition order and would not
+      val d = rd(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      val m = d.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("syy"))
+      m.select(col("l_returnflag"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))) *
+          lit(1000000) + lit(0.5)) / lit(1000000)).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // ----- per-group OLS trend fit (integer-exact moments) -----------
+    "q107_linear_fit" -> ((s, dir) => {
+      // least-squares slope/intercept per key — the per-key trend
+      // operator (drift detection, forecasting features). Inputs snap to
+      // INTEGER lattices first (seconds since a baseline; micro-value
+      // units), so every moment is an exact integer sum: no per-row
+      // double->decimal rounding anywhere (q106's decimal route is exact
+      // only for inputs already on the decimal's scale — full-precision
+      // doubles would round differently per engine). The exact sums cast
+      // to double identically everywhere; the fit is then pure IEEE.
+      val d = rd(s, dir, "events").select(col("user_id"),
+        (col("ts").cast("long") - lit(1704067200L)).as("x"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("ym"))
+        .filter(col("user_id") % 10 === 0)
+      val m = d.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("ym").cast("decimal(38,0)")).cast("double").as("sy"),
+        // cast the FACTORS before multiplying: a long×long product wraps
+        // silently in non-ANSI Spark while DuckDB promotes, so the
+        // "exact integer moments" guarantee would break once |x·ym|
+        // exceeds 2^63 (large time deltas × micro-values)
+        sum(col("x").cast("decimal(38,0)") *
+          col("ym").cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") *
+          col("x").cast("decimal(38,0)")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) // micro-value / sec
+      // unfittable groups (one event, or zero x-variance) are 0/0 — and
+      // the engines disagree on it (Spark floor(NaN)->0, IEEE NaN stays
+      // NaN), so they are EXCLUDED, not fabricated as slope 0
+      m.filter(col("n") * col("sxx") - col("sx") * col("sx") =!= lit(0.0))
+        .select(col("user_id"),
+        (floor(slope * lit(1000.0) + lit(0.5)) / lit(1000000000.0)).as("slope"),
+        (floor((col("sy") - slope * col("sx")) / col("n") + lit(0.5)) /
+          lit(1000000.0)).as("intercept"))
+        .orderBy("user_id")
+    }),
+
+
+    // ----- weekly cohort retention (event-time analytics) ------------
+    "q108_retention" -> ((s, dir) => {
+      // classic retention matrix: users bucketed by first-seen week
+      // (floor-epoch weeks — no timezone/week-start ambiguity), counted
+      // in each later active week; two aggregations, one broadcastable
+      // first-seen join
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        floor(col("ts").cast("long") / lit(604800)).cast("long").as("week"))
+      val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      ev.distinct().join(first, Seq("user_id"))
+        .groupBy(col("cohort"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "week")
+    }),
+
+
+    // ----- mixture sampling to a token budget (data-mix step) --------
+    "q109_mixture_sample" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureSample(rd(s, dir, "documents"),
+        "source", Seq("doc_id"), "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 10000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("source")
+    }),
+
+
+    // ----- MP4 box-walk duration decode (video metadata, no codec) ---
+    "q111_video_headers" -> ((s, dir) => {
+      // ISO-BMFF bytes assembled in-plan (big-endian box sizes, moov/mvhd
+      // timescale + duration); the decoder walks the box tree
+      // (Multimodal.parseHeader) — the oracle predicts the duration from
+      // doc_id arithmetic alone. Three shapes: version-0 mvhd (u32
+      // fields), version-1 (u64 fields, doc_id % 5 == 0), and a moov
+      // whose declared size overruns the payload (doc_id % 4 == 3):
+      // recognized container, NULL duration — same honesty contract as
+      // the q96 WAV junk chunk.
+      def beHex(c: Column, bytes: Int) = lpad(hex(c), bytes * 2, "0")
+      val ts = ((col("doc_id") % 90 + 10) * 100).cast("long")
+      val durUnits = ((col("doc_id") % 50 + 1) * 1000 + col("doc_id") % 997)
+        .cast("long")
+      val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+      val v0 = concat(ftyp,
+        lit("00000024" + "6D6F6F76" +                     // moov(36)
+          "0000001C" + "6D766864" + "00000000" +          // mvhd(28) v0
+          "00000000" + "00000000"),                       // ctime, mtime
+        beHex(ts, 4), beHex(durUnits, 4))
+      val v1 = concat(ftyp,
+        lit("00000030" + "6D6F6F76" +                     // moov(48)
+          "00000028" + "6D766864" + "01000000" +          // mvhd(40) v1
+          "0000000000000000" + "0000000000000000"),       // ctime64, mtime64
+        beHex(ts, 4), beHex(durUnits, 8))
+      val bad = concat(ftyp, lit("00000100" + "6D6F6F76")) // moov claims 256B
+      val payload = unhex(when(col("doc_id") % 4 === 3, bad)
+        .when(col("doc_id") % 5 === 0, v1).otherwise(v0))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        payload.as("payload"), lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.duration_ms").as("duration_ms"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- event-time tumbling window aggregation --------------------
+    "q31_events_window" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+
+    // ----- multimodal plumbing: decode meta -> resize -> features ----
+    "q32_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, rd(s, dir, "documents"))
+      val decoded = Multimodal.withDecodedMeta(media, "payload", "mime")
+      val resized = Multimodal.resizeTo(decoded, 64, 64)
+      Multimodal.extractFeatures(resized, dim = 4)
+        .select(col("doc_id"), col("mime"),
+          col("media.byte_len").as("byte_len"),
+          col("media.width").as("width"),
+          size(col("features")).as("n_features"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- bucketed incremental state (the 100 TB rewrite path) ------
+    "q35_bucketed_upsert" -> ((s, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q35_state").getAbsolutePath
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val c = cfg(UpdateType.UpsertChecksum, 1L, "c_custkey", "customer")
+      val store = new graft.state.BucketedStateStore(s, path, nBuckets = 8)
+      store.mergeRun(custState(s, dir), c)
+      // incremental run touching only a key slice: only those buckets rewrite
+      store.mergeRun(custSrc(s, dir).filter(col("c_custkey") % 17 === 0),
+        c.copy(versionId = 2L))
+      store.load().select("c_custkey", "c_acctbal", "version_id")
+        .orderBy("c_custkey")
+    }),
+
+
+    // ----- skew-safe two-phase aggregation ---------------------------
+    "q36_salted_sum" -> ((s, dir) => {
+      val l = rd(s, dir, "lineitem")
+        .withColumn("q", col("l_quantity").cast("decimal(18,2)"))
+      graft.operators.Skew.saltedSum(l, "l_returnflag", "q", salts = 16)
+        .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // ----- gap-based sessionization (batch session_window) -----------
+    "q41_sessionize" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "60 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start_epoch"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_epoch")
+    }),
+
+
+    // ----- near-dup clusters: pairs -> connected components ----------
+    "q56_neardup_components" -> ((s, dir) => {
+      val pairs = DedupApprox.minhashNearDups(docsWithNearDups(s, dir),
+        "doc_id", "text", k = 3, bands = 8, rows = 2, threshold = 0.6,
+        md5Family = true)
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- deterministic stratified hash sampling --------------------
+    "q57_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(rd(s, dir, "lineitem"),
+        "l_returnflag", Map("A" -> 0.25, "N" -> 0.05, "R" -> 0.10),
+        defaultRate = 0.0, keyCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // ----- z-order (Morton) clustering key ---------------------------
+    // the multi-dim layout key: sorting by z makes parquet row-group
+    // min/max stats tight in BOTH dims, so predicates on either prune
+    "q63_zorder" -> ((s, dir) => {
+      val z = graft.operators.ZOrder.zValue(Seq(
+        ((col("o_custkey") % 1000).cast("long"), 0.0, 1000.0),
+        (col("o_totalprice"), 0.0, 600000.0)), bitsPerDim = 8)
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), z.as("z"))
+        .orderBy("z", "o_orderkey")
+    }),
+
+
+    // ----- per-key EMA (order-sensitive sequential fold) -------------
+    // alpha = 0.5 keeps every weight dyadic, so the left fold is
+    // bit-identical across engines; ties at microsecond precision break
+    // on event_id in BOTH engines (the oracle truncates its ns timestamps
+    // to Spark's microsecond precision before ordering)
+    "q66_ema" -> ((s, dir) => {
+      graft.operators.Stats.emaPerKey(rd(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value", alpha = 0.5)
+        .orderBy("user_id")
+    }),
+
+
+    // ----- weighted (per-row dynamic rate) sampling ------------------
+    // keep-probability = the doc's own length-derived weight: longer
+    // docs survive at a higher rate, all in one scan-speed filter
+    "q67_weighted_sample" -> ((s, dir) => {
+      val rate = least(col("n_chars").cast("double") / lit(1000.0), lit(1.0))
+      graft.operators.Sampling.weightedHashSample(
+        rd(s, dir, "documents"), Seq("doc_id"), rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+
+    // ----- one-pass column profile (data-audit report) ---------------
+    "q69_profile" -> ((s, dir) => {
+      graft.operators.Stats.columnProfile(rd(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
+        .orderBy("column")
+    }),
+
+
+    // ----- funnel: ordered event-sequence matching -------------------
+    "q70_funnel" -> ((s, dir) => {
+      graft.operators.Sequence.funnelCounts(rd(s, dir, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("funnel_stage")
+    }),
+
+
+    // ----- deterministic train/val/test split ------------------------
+    "q71_dataset_split" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(rd(s, dir, "documents"),
+        Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "source")
+    }),
+
+
+    // ----- per-group z-score normalization (feature scaling) ---------
+    "q72_zscore" -> ((s, dir) => {
+      graft.operators.Stats.zscorePerGroup(rd(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("zscore")) > 2, 1L).otherwise(0L)).as("n_outliers"),
+          r(min(col("zscore")), 6).as("min_z"), r(max(col("zscore")), 6).as("max_z"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // ----- canonical deduped corpus (the pipeline's shipped output) --
+    // docs -> near-dup pairs -> connected components -> keep exactly one
+    // doc per cluster (the minimum id) plus every singleton
+    "q73_canonical_corpus" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      graft.operators.Components.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- real container header decode (PNG IHDR / JPEG SOF / GIF) --
+    "q74_media_headers" -> ((s, dir) => {
+      // Round-trip proof for Multimodal.parseHeader: the payload BYTES are
+      // assembled in-plan (big-endian PNG/JPEG dims, little-endian GIF),
+      // the decoder reads dimensions back out of them, and the oracle
+      // predicts the dims from doc_id arithmetic alone. doc_id % 4 == 3
+      // rows carry a truncated PNG magic — recognized container, honest
+      // NULL dimensions.
+      val w = (col("doc_id") % 4000 + 16).cast("int")
+      val h = (col("doc_id") % 3000 + 16).cast("int")
+      def beHex(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def le16(c: Column) = // GIF u16 is little-endian: swap the hex byte pairs
+        unhex(concat(substring(beHex(c, 4), 3, 2), substring(beHex(c, 4), 1, 2)))
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        unhex(beHex(w, 8)), unhex(beHex(h, 8)), unhex(lit("0806000000")))
+      val jpeg = concat( // SOI, then SOF0: len=0x000B, precision 8, h, w
+        unhex(lit("FFD8" + "FFC0" + "000B" + "08")),
+        unhex(beHex(h, 4)), unhex(beHex(w, 4)), unhex(lit("010100")))
+      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h))
+      val truncatedPng = unhex(lit("89504E470D0A1A0A0000"))
+      val media = rd(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, jpeg)
+          .when(col("doc_id") % 4 === 2, gif)
+          .otherwise(truncatedPng).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"),
+          col("media.mime").as("detected_mime"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- sequence packing: concat-and-chunk placement plan ---------
+    "q76_sequence_packing" -> ((s, dir) => {
+      // shard by id hash, cumulative offsets within shard, budget-sized
+      // bins — the LLM-pretraining packing layout; oracle replays the
+      // same md5 shard/order and window arithmetic
+      graft.operators.Packing.packSequences(rd(s, dir, "documents"),
+        "doc_id", "n_chars", budget = 4096L, shards = 4)
+        .orderBy("shard", "start_offset", "doc_id")
+    }),
+
+
+    // ----- keep-rule dedup: canonical = best-scoring cluster member --
+    "q78_canonical_by_score" -> ((s, dir) => {
+      // same near-dup clusters as q56/q73, but the survivor is the
+      // LONGEST member (quality keep-rule), not the minimum id
+      val docs = docsWithNearDups(s, dir)
+      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      graft.operators.Components.canonicalizeBy(docs, pairs,
+        "doc_id", "id_a", "id_b", length(col("text")))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- per-group quantile clipping (winsorization) ---------------
+    "q79_winsorize" -> ((s, dir) => {
+      graft.operators.Stats.winsorizePerGroup(rd(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", pLo = 0.05, pHi = 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r(min(col("winsorized")), 6).as("min_w"),
+          r(max(col("winsorized")), 6).as("max_w"),
+          r(sum(col("winsorized").cast("decimal(28,12)")).cast("double"), 4).as("sum_w"))
+        .orderBy("l_returnflag")
+    }),
+
+
+    // ----- co-located (bucketed) fact-fact join ----------------------
+    "q80_bucketed_join" -> ((s, dir) => {
+      // both sides are written bucketBy(8, key) ONCE — content-
+      // fingerprint-cached across invocations (cachedBucketedTable), so
+      // repeat runs measure the zero-exchange join (asserted in
+      // PlanSpec), not two table rewrites — the pre-partitioned 100 TB
+      // fact-join path; results are identical to a plain shuffle join,
+      // which is exactly what the oracle replays
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val or = rd(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val liT = cachedBucketedTable(s, dir, "graft_q80_li", "lineitem",
+        li, Seq("l_orderkey"), 8)
+      val orT = cachedBucketedTable(s, dir, "graft_q80_or", "orders",
+        or, Seq("l_orderkey"), 8)
+      graft.operators.Bucketing.joinBucketed(s, liT, orT,
+        Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+
+    // ----- bloom-filter pre-filtered join ----------------------------
+    "q84_bloom_join" -> ((s, dir) => {
+      // selective build side (top ~10% of orders by price): the bloom
+      // sketch filters lineitem BEFORE its shuffle; the trailing exact
+      // join clears false positives, so the oracle is the plain join
+      val hi = rd(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin.bloomJoin(li, hi, "l_orderkey",
+          expectedItems = 65536)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+
+    // ----- per-key event-time rolling window -------------------------
+    "q89_rolling_window" -> ((s, dir) => {
+      graft.operators.Stats.rollingPerKey(rd(s, dir, "events"),
+        "user_id", "ts", "value", windowSec = 86400L)
+        .select(col("event_id"), col("user_id"), col("n_win"), col("sum_win"))
+        .orderBy("event_id")
+    }),
+
+
+    // ----- deterministic negative sampling (contrastive pairs) -------
+    "q91_negative_sample" -> ((s, dir) => {
+      graft.operators.Sampling.negativeSample(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", k = 3, payloadCols = Seq("n_chars"))
+        .withColumnRenamed("n_chars", "neg_chars")
+        .orderBy("anchor_id", "slot")
+    }),
+
+
+    // ----- bloom novelty gate (batch form of the streaming gate) -----
+    "q92_bloom_novel" -> ((s, dir) => {
+      // corpus = even docs; the batch replays ALL docs — the gate must
+      // return exactly the anti-join survivors no matter how fp-heavy
+      // the (deliberately undersized) sketch is
+      val docs = rd(s, dir, "documents").select("doc_id", "n_chars")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val sketch = graft.operators.BloomJoin.buildFilter(corpus, "doc_id",
+        expectedItems = 1024, fpp = 0.2)
+      graft.operators.BloomJoin.novelRows(docs, corpus, "doc_id", sketch)
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- WAV header decode (audio metadata, no codec) --------------
+    "q96_audio_headers" -> ((s, dir) => {
+      // RIFF/WAVE bytes assembled in-plan (little-endian chunk sizes and
+      // rates); the decoder walks the chunk list and reads the duration
+      // from fmt.byteRate + data.size — the oracle predicts it from
+      // doc_id arithmetic alone. doc_id % 3 == 2 rows carry a WAVE magic
+      // with a truncated junk chunk: recognized container, NULL duration.
+      def beHex(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def leHex(c: Column, bytes: Int) = { // little-endian: reverse the byte pairs
+        val be = beHex(c, bytes * 2)
+        concat((0 until bytes).reverse.map(i => substring(be, i * 2 + 1, 2)): _*)
+      }
+      val rate = (col("doc_id") % 100 * 100 + 8000).cast("long") // byteRate (8-bit mono)
+      val dataBytes = ((col("doc_id") % 50 + 1) * 1000).cast("long")
+      val wav = concat(
+        unhex(lit("52494646" + "24000000" + "57415645")),       // RIFF .. WAVE
+        unhex(lit("666D7420" + "10000000" + "0100" + "0100")),  // fmt ,16,PCM,mono
+        unhex(leHex(rate, 4)), unhex(leHex(rate, 4)),           // sampleRate, byteRate
+        unhex(lit("0100" + "0800")),                            // blockAlign, bits
+        unhex(lit("64617461")), unhex(leHex(dataBytes, 4)))     // data, size
+      val bad = unhex(lit("52494646" + "24000000" + "57415645" + "6A756E6B"))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, bad).otherwise(wav).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.duration_ms").as("duration_ms"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q100_training_pipeline" -> {
+      val scores = langScores.map { case (l, e) => s"    CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      // the minhash candidate/verify chain, re-pointed at the GATED
+      // deduped corpus (the tail references the `corpus` CTE by name)
+      val minhashTail = minhashPairsCtes.stripPrefix(nearDupCte)
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |sc0 AS (SELECT doc_id, text,
+         |$scores
+         |  FROM raw),
+         |bb AS (SELECT *, $best AS best FROM sc0),
+         |lng AS (SELECT doc_id, text, CASE WHEN best = 0 THEN 'und'
+         |            $chain END AS lang_pred FROM bb),
+         |gq AS (SELECT doc_id, text,
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+         |  FROM lng WHERE lang_pred = 'en'),
+         |gated AS (SELECT doc_id, text FROM gq
+         |  WHERE CAST(CASE WHEN norm = '' THEN 0
+         |        ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+         |        END AS BIGINT) >= 30
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+         |      greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.55),
+         |fpx AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM gated),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fpx GROUP BY 1),
+         |corpus AS (SELECT f.doc_id, f.text FROM fpx f
+         |  JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)$minhashTail,
+         |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+         |      UNION ALL
+         |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+         |reach(node, label) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+         |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+         |canon AS (SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN comp ON comp.node = c.doc_id
+         |  WHERE coalesce(comp.component, c.doc_id) = c.doc_id),
+         |sp AS (SELECT doc_id, text,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+         |       ELSE 'test' END AS split FROM canon),
+         |nm AS (SELECT split,
+         |  regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm FROM sp)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN norm = '' THEN 0
+         |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+         |       END) AS BIGINT) AS sum_tokens
+         |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+
+    "q106_correlation" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  floor((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000 + 0.5)
+        |    / 1000000 AS corr
+        |FROM m ORDER BY 1""".stripMargin,
+
+
+    "q107_linear_fit" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 1704067200 AS x,
+        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS ym
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(ym) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * ym) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT user_id,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |    * 1000.0 + 0.5) / 1000000000.0 AS slope,
+        |  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    + 0.5) / 1000000.0 AS intercept
+        |FROM m WHERE n * sxx - sx * sx <> 0.0 ORDER BY 1""".stripMargin,
+
+
+    "q108_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(floor(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |    / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort, week, COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q109_mixture_sample" ->
+      """WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source,
+        |  least(10000.0 * CASE source WHEN 'src0' THEN 0.5
+        |        WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END
+        |    / CAST(w AS DOUBLE), 1.0) AS rate
+        |  FROM tot)
+        |SELECT d.source, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < floor(rate * 4294967296.0 + 0.5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q111_video_headers" ->
+      """SELECT doc_id,
+        |  'video/mp4' AS detected_mime,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE (((doc_id % 50 + 1) * 1000 + doc_id % 997) * 1000)
+        |            // ((doc_id % 90 + 10) * 100)
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 24
+        |            WHEN doc_id % 5 = 0 THEN 64
+        |            ELSE 52 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q31_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+        |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  CAST(least(strlen(text), 256) AS BIGINT) AS byte_len,
+        |  64 AS width,
+        |  4 AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q35_bucketed_upsert" -> (custCtes +
+      s""",
+        |delta AS (SELECT * FROM src WHERE c_custkey % 17 = 0)
+        |SELECT coalesce(d.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN d.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR
+        |    (d.c_acctbal IS DISTINCT FROM t.c_acctbal OR d.c_name IS DISTINCT FROM t.c_name
+        |     OR d.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+        |     OR d.c_nationkey IS DISTINCT FROM t.c_nationkey))
+        |    THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS version_id
+        |FROM delta d FULL OUTER JOIN state t ON d.c_custkey = t.c_custkey
+        |ORDER BY 1""".stripMargin),
+
+
+    "q36_salted_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start_epoch,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_epoch""".stripMargin,
+
+
+    // near-dup pairs -> undirected edges -> min-reachable-id per node:
+    // the recursive closure IS the connected-component labeling
+    "q56_neardup_components" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node)
+        |SELECT node AS doc_id, min(label) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+
+    "q57_stratified_sample" ->
+      s"""SELECT l_returnflag, count(*) AS n_sampled,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR),
+         |                                CAST(l_linenumber AS VARCHAR))), 1, 8) <
+         |  CASE l_returnflag
+         |    WHEN 'A' THEN '${graft.operators.Sampling.hexCutoff(0.25)}'
+         |    WHEN 'N' THEN '${graft.operators.Sampling.hexCutoff(0.05)}'
+         |    WHEN 'R' THEN '${graft.operators.Sampling.hexCutoff(0.10)}'
+         |    ELSE '00000000' END
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q63_zorder" -> {
+      def qsql(cexpr: String, mn: Double, mx: Double, bits: Int) = {
+        val lv = (1L << bits) - 1
+        s"least(greatest(CAST(floor((CAST($cexpr AS DOUBLE) - $mn) / ${mx - mn} * $lv.0) AS BIGINT), 0), $lv)"
+      }
+      val inter = (for { b <- 0 until 8; d <- 0 until 2 }
+        yield s"(((q$d >> $b) & 1) << ${b * 2 + d})").mkString(" | ")
+      s"""WITH q AS (SELECT o_orderkey,
+         |  ${qsql("o_custkey % 1000", 0.0, 1000.0, 8)} AS q0,
+         |  ${qsql("o_totalprice", 0.0, 600000.0, 8)} AS q1
+         |FROM orders)
+         |SELECT o_orderkey, $inter AS z FROM q ORDER BY z, o_orderkey""".stripMargin
+    },
+
+
+    "q66_ema" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(CAST(value AS DOUBLE)
+        |                   ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |              (acc, x) -> 0.5*x + 0.5*acc) AS ema
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+
+    "q67_weighted_sample" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
+        |  floor(least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0) * 4294967296.0 + 0.5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q69_profile" -> {
+      def prof(c: String, num: Boolean) = {
+        val minNum = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+        val maxStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str
+           |FROM customer""".stripMargin
+      }
+      Seq(("c_custkey", true), ("c_name", false), ("c_acctbal", true),
+        ("c_mktsegment", false), ("c_nationkey", true))
+        .map((prof _).tupled).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+
+    "q70_funnel" ->
+      """WITH seq AS (SELECT user_id,
+        |    list({'t': event_type, 's': 0}
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS a
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT user_id,
+        |    list_reduce(list_prepend({'t': '', 's': 0}, a),
+        |      (acc, x) -> {'t': '',
+        |        's': CASE WHEN acc.s = 0 AND x.t = 'view' THEN 1
+        |                  WHEN acc.s = 1 AND x.t = 'click' THEN 2
+        |                  WHEN acc.s = 2 AND x.t = 'purchase' THEN 3
+        |                  ELSE acc.s END}).s AS stage
+        |  FROM seq)
+        |SELECT CAST(stage AS BIGINT) AS funnel_stage, count(*) AS n_keys
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q71_dataset_split" -> {
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      s"""WITH t AS (SELECT source, n_chars,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM t GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
+
+
+    "q72_zscore" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY 1),
+        |z AS (SELECT l.l_returnflag,
+        |    (l.l_quantity - g.s1 / g.n) /
+        |      sqrt((g.s2 - g.s1 * g.s1 / g.n) / g.n) AS zs
+        |  FROM lineitem l JOIN g USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(zs) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(min(zs) * 1000000 + 0.5) / 1000000 AS min_z,
+        |  floor(max(zs) * 1000000 + 0.5) / 1000000 AS max_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q73_canonical_corpus" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+        |SELECT c.doc_id,
+        |  md5(regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')) AS fp
+        |FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+        |WHERE coalesce(comp.component, c.doc_id) = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
+
+
+    "q74_media_headers" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'image/gif' ELSE 'image/png' END AS detected_mime,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(doc_id % 4000 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(doc_id % 3000 + 16 AS INTEGER) END AS height,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN 29 WHEN 1 THEN 14 WHEN 2 THEN 10
+        |       ELSE 10 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q76_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_toks,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents),
+        |o AS (SELECT shard, doc_id, n_toks,
+        |  CAST(coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY hx, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_toks, start_offset,
+        |  start_offset // 4096 AS first_bin,
+        |  (start_offset + greatest(n_toks - 1, 0)) // 4096 AS last_bin
+        |FROM o ORDER BY shard, start_offset, doc_id""".stripMargin,
+
+
+    "q78_canonical_by_score" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |labeled AS (SELECT c.doc_id, length(c.text) AS score,
+        |  coalesce(comp.component, c.doc_id) AS lbl
+        |  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id),
+        |win AS (SELECT lbl, doc_id AS canonical_id FROM (
+        |  SELECT lbl, doc_id,
+        |    row_number() OVER (PARTITION BY lbl ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM labeled) WHERE rn = 1)
+        |SELECT l.doc_id, w.canonical_id, (l.doc_id = w.canonical_id) AS kept
+        |FROM labeled l JOIN win w USING (lbl) ORDER BY l.doc_id""".stripMargin),
+
+
+    "q79_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS lo,
+        |    quantile_cont(l_quantity, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l.l_returnflag,
+        |    least(greatest(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi) AS wv
+        |  FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  floor(min(wv) * 1000000 + 0.5) / 1000000 AS min_w,
+        |  floor(max(wv) * 1000000 + 0.5) / 1000000 AS max_w,
+        |  floor(CAST(sum(CAST(wv AS DECIMAL(28,12))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_w
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q80_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q84_bloom_join" ->
+      """WITH hi AS (SELECT o_orderkey AS l_orderkey, o_orderstatus
+        |  FROM orders WHERE o_totalprice > 450000.0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN hi USING (l_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q89_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_win,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sum_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+
+    "q91_negative_sample" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, CAST(s.slot AS BIGINT) AS slot
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS slot) s),
+        |g AS (SELECT anchor_id, slot,
+        |  CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#' ||
+        |    CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT) % n AS neg_id
+        |  FROM a CROSS JOIN nn)
+        |SELECT anchor_id, slot, neg_id, d.n_chars AS neg_chars
+        |FROM g JOIN documents d ON d.doc_id = g.neg_id
+        |WHERE neg_id != anchor_id
+        |ORDER BY anchor_id, slot""".stripMargin,
+
+
+    "q92_bloom_novel" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) c
+        |  ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+
+
+    "q96_audio_headers" ->
+      """SELECT doc_id,
+        |  'audio/wav' AS detected_mime,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       ELSE ((doc_id % 50 + 1) * 1000 * 1000) // (doc_id % 100 * 100 + 8000)
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 44 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+  )
+}

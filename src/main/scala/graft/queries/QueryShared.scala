@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Checksums, Normalize}
+import graft.operators.{Dedup, DedupApprox, Export, Multimodal, Similarity, Strategies, TextAnalysis}
+import graft.sources.Sources
+
+
+/** Shared fixtures and oracle helpers for the per-domain query files
+  * ([[ParityQueries]], [[TextQueries]], [[SimilarityQueries]],
+  * [[PipelineQueries]]); split out of the former monolithic SparkEntry
+  * so each domain file stays navigable. */
+private[graft] object QueryShared {
+
+  private[graft] def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    Sources.readTable(s, dir, t)
+
+  private[graft] def cfg(ut: UpdateType, v: Long, pk: String, table: String): PipelineConfig =
+    PipelineConfig(SourceConfig("/", table), StoreConfig("/na", table), ut, pk, v)
+
+  /** floor-based half-up rounding: bit-identical across engines. */
+  private[graft] def r(c: Column, k: Int): Column = {
+    val m = math.pow(10, k)
+    floor(c * m + 0.5) / m
+  }
+
+  // --- shared synthetic source/state pair built from `customer` (the
+  // upsert-strategy fixtures: ~9% deletes, ~11% inserts, ~14% updates) ---
+  private[graft] val custCols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+  private[graft] def custState(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").filter(col("c_custkey") % 11 =!= 3)
+      .select(custCols.map(col): _*)
+  private[graft] def custSrc(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer").filter(col("c_custkey") % 9 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(1.0)).otherwise(col("c_acctbal")))
+      .select(custCols.map(col): _*)
+
+  /** Oracle-side mirror of custState/custSrc as SQL CTEs. */
+  private[graft] val custCtes =
+    """WITH state AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 11 != 3),
+      |src AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment, c_nationkey
+      |  FROM customer WHERE c_custkey % 9 != 5)""".stripMargin
+  private[graft] val anyColChanged =
+    custCols.map(c => s"s.$c IS DISTINCT FROM t.$c").mkString("(", " OR ", ")")
+
+  /** Build-once/probe-many index caching shared by the ANN queries (q30
+    * LSH, q49 IVF): the cache path embeds a CONTENT fingerprint of the
+    * source table (file names, lengths, and parquet footer bytes — the
+    * footer's row-group stats change with any data change) plus the
+    * index's code-scheme signature, so neither regenerated fixtures (even
+    * same-length within one mtime granule) nor a different scheme can
+    * ever serve a stale index. `write` runs only when the _SUCCESS marker
+    * is absent. */
+  private[graft] def cachedIndexPath(s: SparkSession, dir: String, prefix: String,
+      table: String, signature: String)(write: String => Unit): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${Sources.contentFingerprint(srcPath, hconf)}_" + signature).getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SUCCESS")))
+      write(idxPath)
+    idxPath
+  }
+
+  /** Build-once/join-many BUCKETED-table caching (q80): same content-
+    * fingerprint discipline as [[cachedIndexPath]], applied to a bucketed
+    * catalog table. The fingerprint rides in BOTH the data path and the
+    * table name, so stale files can never be served under a fresh name;
+    * when the files already exist the table is merely re-attached
+    * ([[graft.operators.Bucketing.registerBucketed]]) — the bench then
+    * measures the zero-exchange join, not two table rewrites. Returns the
+    * catalog table name. */
+  private[graft] def cachedBucketedTable(s: SparkSession, dir: String,
+      prefix: String, srcTable: String, df: DataFrame,
+      keyCols: Seq[String], nBuckets: Int): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
+    val fp = Sources.contentFingerprint(srcPath, hconf)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${fp}_bk$nBuckets")
+      .getAbsolutePath
+    val table = s"${prefix}_$fp"
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
+      graft.operators.Bucketing.writeBucketed(df, table, keyCols, nBuckets,
+        Some(path))
+    } else if (!s.catalog.tableExists(table))
+      graft.operators.Bucketing.registerBucketed(s, table, df.schema.toDDL,
+        keyCols, nBuckets, path)
+    table
+  }
+
+  // --- documents corpora with injected exact/near duplicates (the base
+  // corpus is fully distinct, so dedup queries would otherwise be vacuous) --
+  private[graft] def docsBase(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select("doc_id", "text")
+  private[graft] def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsBase(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsBase(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+  private[graft] val exactDupCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+  private[graft] val nearDupCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** The MinHash+LSH candidate/verify pipeline through verified `pairs`
+    * (doc pairs with exact n-gram Jaccard `j`) — shared by the pair query
+    * (q25) and the component-clustering query (q56). */
+  private[graft] val minhashPairsCtes = nearDupCte +
+    """,
+      |toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM corpus),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      |  END AS sh FROM toks),
+      |sig AS (SELECT doc_id, sh,
+      |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+      |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
+      |  FROM sh),
+      |bands AS (SELECT doc_id, b,
+      |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
+      |  FROM sig, range(0, 8) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      |  FROM bands a JOIN bands bb
+      |    ON a.b = bb.b AND a.band_key = bb.band_key AND a.doc_id < bb.doc_id),
+      |hsh AS (SELECT doc_id,
+      |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
+      |  FROM sh),
+      |pairs AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
+      |  FROM cand
+      |  JOIN hsh sa ON sa.doc_id = cand.id_a
+      |  JOIN hsh sb ON sb.doc_id = cand.id_b)""".stripMargin
+
+  /** Full from-scratch BM25 oracle — shared by q83 (scan path) and
+    * q94 (persisted-index path): both must reproduce it exactly. */
+  private[graft] val bm25OracleSql =
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |ft AS (SELECT doc_id, term FROM toks
+        |  WHERE term IN ('dup', 'vector', 'spark')),
+        |dl AS (SELECT doc_id,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+        |       END AS BIGINT) AS dl
+        |  FROM (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |        FROM documents)),
+        |st AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT f.doc_id, d.dl, f.term, COUNT(*) AS tf
+        |  FROM ft f JOIN dl d ON f.doc_id = d.doc_id GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, df,
+        |  (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |    (CAST(df AS DOUBLE) + 0.5) AS idf
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN st),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(floor(idf.idf *
+        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |     (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |       ((1.0 - 0.75) + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) *
+        |    1000000.0 + 0.5) AS BIGINT) AS ms
+        |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st),
+        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)
+        |SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+
+  // --- documents with injected PII / URLs (the base corpus is plain
+  // lowercase words, so scrub/extract queries would otherwise be vacuous) --
+  private[graft] def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docsBase(s, dir)
+      .withColumn("text", when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com for details"))).otherwise(col("text")))
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(col("text")))
+  private[graft] val piiCte =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN t2 || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE t2 END AS text
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 4 = 0
+      |               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+      |               ELSE text END AS t2
+      |        FROM documents))""".stripMargin
+  private[graft] def docsWithUrls(s: SparkSession, dir: String): DataFrame =
+    docsBase(s, dir)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"))).otherwise(col("text")))
+  private[graft] val urlCte =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |              || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  private[graft] def probeVec(s: SparkSession, dir: String): Seq[Float] =
+    rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Portable-value encoding mirrors Checksums.portableValue.
+  // ---------------------------------------------------------------------
+
+  private[graft] def enc(x: String): String =
+    s"coalesce('v' || length(CAST($x AS VARCHAR)) || ':' || CAST($x AS VARCHAR), 'n')"
+
+  private[graft] val langScores = TextAnalysis.LanguageMarkers.map { case (lang, words) =>
+    lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b', 0))"
+  }
+
+}

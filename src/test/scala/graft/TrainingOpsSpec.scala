@@ -704,7 +704,8 @@ class TrainingOpsSpec extends SparkSpec {
     // identical docs collide on every lane (c=2 → 2 per lane, 32 total);
     // mean estimate = 32 / (16 · 3 · 2) = exactly the true mean J of 1/3
     assert(r.getLong(0) == 3L && r.getInt(1) == 16)
-    assert(r.getDecimal(2).longValueExact == 32L, s"collisions ${r.get(2)}")
+    // BIGINT in the final projection (decimal routing stays internal)
+    assert(r.getLong(2) == 32L, s"collisions ${r.get(2)}")
     assert(r.getDouble(3) == 32.0 / 96.0)
   }
 
