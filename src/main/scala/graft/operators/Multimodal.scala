@@ -8,15 +8,19 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata structs alongside.
   *
-  * Decode is two-tier: [[parseHeader]] reads REAL dimensions straight from
-  * the container header bytes for formats where no codec is needed
-  * (PNG IHDR, JPEG SOF0/SOF2 frame segments, GIF logical screen
-  * descriptor); payloads whose magic is unrecognized fall back to the
-  * clearly-marked STUB `fakeDecode` (pixel decode needs codec libraries
-  * this environment lacks). Everything around the stub — the schema
-  * contract, the per-partition batching, the partition sizing — is the
-  * real production plumbing: swap `fakeDecode` for a JNI/codec call and
-  * nothing else moves.
+  * Decode is three-tier:
+  *  - PIXEL tier (fully real, zero codec deps): uncompressed 24-bit BMP —
+  *    [[parseBmp]] exposes the raw BGR array, [[resizeTo]] resamples it
+  *    (nearest neighbor) and [[imageStats]] aggregates actual channel
+  *    values.
+  *  - HEADER tier (real metadata, no sample/pixel decode): PNG IHDR,
+  *    JPEG SOF marker walk, GIF screen descriptor, WAV RIFF chunk walk
+  *    (duration), MP4 moov/mvhd box walk (duration) — [[parseHeader]].
+  *  - STUB tier: payloads whose pixel data needs an entropy codec this
+  *    environment lacks fall back to the clearly-marked `fakeDecode`.
+  * Everything around the stub — the schema contract, the per-partition
+  * batching, the partition sizing — is the real production plumbing:
+  * swap `fakeDecode` for a JNI/codec call and nothing else moves.
   *
   * Scale notes: payloads dominate row size, so `maxRecordsPerBatch` /
   * `spark.sql.files.maxPartitionBytes` keep partitions bounded; metadata
@@ -129,6 +133,15 @@ object Multimodal {
         if (byteRate > 0L && dataSize >= 0L) Long.box(dataSize * 1000L / byteRate)
         else null
       Some(Row("audio/wav", null, null, 1, dur, p.length.toLong))
+    } else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
+        (le32(p, 14) == 40L || le32(p, 14) == 108L || le32(p, 14) == 124L)) {
+      // BMP (BITMAPINFOHEADER family): dims straight from the info
+      // header; the magic check includes the header-size field because
+      // "BM" alone is two bytes of plausible text
+      parseBmp(p) match {
+        case Some(img) => dims("image/bmp", img.width.toLong, img.height.toLong)
+        case None => meta("image/bmp", null, null)
+      }
     } else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' &&
         p(7) == 'p') {
       // MP4 / ISO-BMFF box walk — same zero-codec trick as the WAV chunk
@@ -185,6 +198,69 @@ object Multimodal {
     None
   }
 
+  /** Uncompressed 24-bit BMP, fully decoded — the one raster format
+    * whose PIXELS need no codec library: a fixed header plus a raw
+    * bottom-up BGR array. This is the real-decode tier: [[resizeTo]]
+    * resamples these payloads for real and [[imageStats]] aggregates
+    * their actual channel values; formats that need entropy decoding
+    * (JPEG/PNG pixel data) stay at the header tier + [[fakeDecode]]. */
+  private[graft] final case class BmpImage(width: Int, height: Int,
+      topDown: Boolean, dataOffset: Int, rowStride: Int, bytes: Array[Byte]) {
+    /** (b, g, r) at IMAGE coordinates — (0, 0) is top-left regardless of
+      * the file's row order. */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val row = if (topDown) y else height - 1 - y
+      val o = dataOffset + row * rowStride + x * 3
+      ((bytes(o) & 0xFF, bytes(o + 1) & 0xFF, bytes(o + 2) & 0xFF))
+    }
+  }
+
+  /** Strict parse of an uncompressed 24-bit BITMAPINFOHEADER BMP; None
+    * for anything else (other depths, RLE compression, truncated pixel
+    * arrays) — the honest-unknown contract, never a crash. */
+  private[graft] def parseBmp(p: Array[Byte]): Option[BmpImage] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOffset = le32(p, 10)
+    val hdrSize = le32(p, 14)
+    if (hdrSize != 40L && hdrSize != 108L && hdrSize != 124L) return None
+    val w = le32(p, 18).toInt // signed little-endian s32
+    val rawH = le32(p, 22).toInt
+    val bitCount = le16(p, 28)
+    val compression = le32(p, 30)
+    if (w <= 0 || rawH == 0 || bitCount != 24 || compression != 0L) return None
+    val h = math.abs(rawH)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val need = dataOffset + stride.toLong * h
+    if (dataOffset < 14L + hdrSize || need > p.length) return None
+    Some(BmpImage(w, h, topDown = rawH < 0, dataOffset.toInt, stride, p))
+  }
+
+  /** Encode a 24-bit bottom-up BMP from a pixel function returning
+    * (b, g, r) at image coordinates. */
+  private[graft] def encodeBmp(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1
+    while (row >= 0) { // file rows bottom-up
+      var x = 0
+      while (x < w) {
+        val (bb, gg, rr) = px(x, row)
+        b.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
   /** STUB decoder — deterministic fake: derives plausible metadata
     * from the payload hash. Replace with a real codec (e.g. libjpeg via
     * JNI) in production; signature and batch shape stay identical. */
@@ -226,20 +302,91 @@ object Multimodal {
     df.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0)), lit(stride))))
 
-  /** Resize plan — STUB: a real implementation re-encodes the payload
-    * at (w, h) via a codec; the stub deterministically truncates/pads the
-    * payload to the implied byte budget so downstream size accounting is
-    * exercised for real. Metadata is updated for real — schema contract
-    * identical to production. */
+  /** Resize to (w, h). REAL for uncompressed 24-bit BMP payloads:
+    * nearest-neighbor resample of the actual pixel array, re-encoded as
+    * a well-formed BMP, metadata rewritten from the output
+    * (`src = (dst * srcDim) / dstDim`, integer floor — the standard NN
+    * mapping). Payloads that are not decodable BMPs take the prior STUB
+    * path (truncate to the implied byte budget, update metadata) — a
+    * production build swaps that fallback for a codec call and nothing
+    * else moves. mapPartitions, like [[withDecodedMeta]]: byte-level
+    * work, codec contexts amortized per batch. */
   def resizeTo(df: DataFrame, w: Int, h: Int,
       payloadCol: String = "payload"): DataFrame = {
-    val budget = lit(w * h / 16) // fake bytes-per-resized-image budget
-    df.withColumn(payloadCol,
-        expr(s"substring($payloadCol, 1, ${w * h / 16})"))
-      .withColumn("media", col("media")
-        .withField("width", lit(w))
-        .withField("height", lit(h))
-        .withField("byte_len", least(col("media.byte_len"), budget.cast("long"))))
+    require(w > 0 && h > 0, s"resize dims ${w}x$h must be positive")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val mIdx = df.schema.fieldIndex("media")
+    val budget = w * h / 16 // stub path's bytes-per-resized-image budget
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val media = r.getAs[Row](mIdx)
+        val decoded = if (payload == null) None else parseBmp(payload)
+        val (newPayload, newMedia) = decoded match {
+          case Some(img) =>
+            val out = encodeBmp(w, h, (x, y) =>
+              img.pixel(x * img.width / w, y * img.height / h))
+            val m =
+              if (media == null) Row("image/bmp", w, h, 1, 0L, out.length.toLong)
+              else Row("image/bmp", w, h, media.get(3), media.get(4),
+                out.length.toLong)
+            (out, m)
+          case None =>
+            val trunc = if (payload == null) null else payload.take(budget)
+            val m =
+              if (media == null) null
+              else Row(media.get(0), w, h, media.get(3), media.get(4),
+                if (media.isNullAt(5)) null
+                else Long.box(math.min(media.getLong(5), budget.toLong)))
+            (trunc, m)
+        }
+        Row.fromSeq(r.toSeq.updated(pIdx, newPayload).updated(mIdx, newMedia))
+      }
+    }(enc)
+  }
+
+  /** Image-statistics contract for [[imageStats]]. */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("mean_b", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_luma", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** REAL pixel-level feature extraction for decodable (BMP) payloads:
+    * per-channel means over the actual pixel array plus a flat luma
+    * (`(Σb+Σg+Σr) / 3n` — integer-exact sums, ONE IEEE division each, so
+    * a SQL oracle reproduces the values bit-for-bit). Non-decodable
+    * payloads yield a NULL struct — honest unknown; for pseudo-features
+    * over arbitrary payloads use [[extractFeatures]] (documented stub). */
+  def imageStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField("img", imageStatsSchema))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val stats = (if (payload == null) None else parseBmp(payload)).map { img =>
+          var sb = 0L; var sg = 0L; var sr = 0L
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val (b, g, rr) = img.pixel(x, y)
+              sb += b; sg += g; sr += rr
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.width.toLong * img.height
+          Row(sb.toDouble / n, sg.toDouble / n, sr.toDouble / n,
+            (sb + sg + sr).toDouble / (3.0 * n), img.width, img.height)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
   }
 
   /** Feature-extraction plan — STUB: a real implementation runs a

@@ -185,6 +185,43 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- BMP pixel-level decode: NN resize + exact channel means ---
+    "q113_image_pixels" -> ((s, dir) => {
+      // 2x2 uncompressed 24-bit BMPs assembled in-plan (fixed 54-byte
+      // header; per-pixel BGR bytes from doc_id arithmetic), resized to
+      // 1x1 by the REAL nearest-neighbor path (picks image pixel (0,0)),
+      // then aggregated by the REAL pixel-stats op — the oracle predicts
+      // every channel mean from doc_id arithmetic alone. doc_id % 6 == 5
+      // rows carry a truncated header: stub resize path (byte_len 0) and
+      // NULL stats — the honest-unknown contract.
+      def b8(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
+      val id = col("doc_id")
+      def px(x: Int, y: Int) = concat(
+        b8(id * 3 + 10 * x + 7 * y), b8(id * 5 + 4 * x + y),
+        b8(id * 7 + x + 2 * y))
+      val hdr = lit("424D" + "46000000" + "00000000" + "36000000" + // BM,70,off 54
+        "28000000" + "02000000" + "02000000" + "0100" + "1800" +    // 40,2x2,24bpp
+        "00000000" + "10000000" + "130B0000" + "130B0000" +         // raw,16B,2835dpi
+        "00000000" + "00000000")
+      // rows stored bottom-up: image y=1 first, then y=0; stride 8 = 2px + pad
+      val good = concat(hdr, px(0, 1), px(1, 1), lit("0000"),
+        px(0, 0), px(1, 0), lit("0000"))
+      val bad = lit("424D46000000000000003600") // truncated mid-header
+      val payload = unhex(when(id % 6 === 5, bad).otherwise(good))
+      val media = rd(s, dir, "documents").select(id,
+        payload.as("payload"), lit("application/octet-stream").as("mime"))
+      val resized = Multimodal.resizeTo(
+        Multimodal.withDecodedMeta(media, "payload", "mime"), 1, 1)
+      Multimodal.imageStats(resized)
+        .select(col("doc_id"),
+          col("img.mean_b").as("mean_b"), col("img.mean_g").as("mean_g"),
+          col("img.mean_r").as("mean_r"), col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- event-time tumbling window aggregation --------------------
     "q31_events_window" -> ((s, dir) => {
       rd(s, dir, "events")
@@ -689,6 +726,25 @@ private[graft] object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 4 = 3 THEN 24
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q113_image_pixels" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST((doc_id * 3) % 256 AS DOUBLE) END AS mean_b,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST((doc_id * 5) % 256 AS DOUBLE) END AS mean_g,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_r,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST((doc_id * 3) % 256 + (doc_id * 5) % 256
+        |                 + (doc_id * 7) % 256 AS DOUBLE) / 3.0
+        |  END AS mean_luma,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST(1 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 6 = 5 THEN NULL
+        |       ELSE CAST(1 AS INTEGER) END AS height,
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 58 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
 

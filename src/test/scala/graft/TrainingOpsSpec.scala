@@ -273,6 +273,60 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Multimodal.parseHeader("0123456789abcdef".getBytes).isEmpty)
   }
 
+  test("BMP real decode: dims, NN resize picks exact pixels, stats are exact means") {
+    // 4x4 gradient: pixel(x, y) = (b, g, r) = (10x, 10y, x+y) in image coords
+    val src = Multimodal.encodeBmp(4, 4, (x, y) => (10 * x, 10 * y, x + y))
+    val hdr = Multimodal.parseHeader(src)
+    assert(hdr.map(r => (r.getString(0), r.get(1), r.get(2))) ==
+      Some(("image/bmp", 4, 4)))
+    val img = Multimodal.parseBmp(src).get
+    assert(img.pixel(0, 0) == ((0, 0, 0)) && img.pixel(3, 2) == ((30, 20, 5)))
+    // truncated pixel array / wrong depth: honest None, never a crash
+    assert(Multimodal.parseBmp(src.dropRight(3)).isEmpty)
+    assert(Multimodal.parseHeader(src.dropRight(3)).exists(_.get(1) == null))
+    val df = Seq((1L, src, "image/bmp")).toDF("doc_id", "payload", "mime")
+    val dec = Multimodal.withDecodedMeta(df, "payload", "mime")
+    // NN 4x4 -> 2x2 picks src pixels (0,0),(2,0),(0,2),(2,2)
+    val rs = Multimodal.resizeTo(dec, 2, 2)
+    val outBytes = rs.select("payload").head().getAs[Array[Byte]](0)
+    val out = Multimodal.parseBmp(outBytes).get
+    assert(out.width == 2 && out.height == 2)
+    assert(out.pixel(0, 0) == ((0, 0, 0)) && out.pixel(1, 0) == ((20, 0, 2)))
+    assert(out.pixel(0, 1) == ((0, 20, 2)) && out.pixel(1, 1) == ((20, 20, 4)))
+    val meta = rs.select("media.mime", "media.width", "media.height",
+      "media.byte_len").head()
+    assert(meta.getString(0) == "image/bmp" && meta.getInt(1) == 2 &&
+      meta.getInt(2) == 2 && meta.getLong(3) == outBytes.length.toLong)
+    // stats over the RESIZED pixels: sums are exact integers
+    val st = Multimodal.imageStats(rs).select("img.*").head()
+    assert(st.getDouble(0) == 40.0 / 4 && st.getDouble(1) == 40.0 / 4)
+    assert(st.getDouble(2) == 8.0 / 4)
+    assert(st.getDouble(3) == (40.0 + 40.0 + 8.0) / 12.0)
+    // non-BMP payload: stub resize (byte truncation) + NULL stats
+    val txt = Seq((2L, "just text bytes here".getBytes, "text/plain"))
+      .toDF("doc_id", "payload", "mime")
+    val trs = Multimodal.resizeTo(Multimodal.withDecodedMeta(txt, "payload", "mime"),
+      8, 8)
+    val trow = trs.select("payload", "media.width", "media.byte_len").head()
+    assert(trow.getAs[Array[Byte]](0).length == 4) // 8*8/16 budget
+    assert(trow.getInt(1) == 8 && trow.getLong(2) == 4L)
+    assert(Multimodal.imageStats(trs).select("img").head().isNullAt(0))
+    // top-down BMP (negative height): same image-coordinate pixels
+    val td = {
+      val b = java.nio.ByteBuffer.wrap(src.clone())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(22, -4) // height = -4: rows stored top-down
+      val a = b.array()
+      // re-order rows so the image content is unchanged (w=4: stride 12)
+      val stride = 12
+      val rows = (0 until 4).map(i => a.slice(54 + i * stride, 54 + (i + 1) * stride))
+      System.arraycopy(rows.reverse.flatten.toArray, 0, a, 54, 4 * stride)
+      a
+    }
+    val tdImg = Multimodal.parseBmp(td).get
+    assert(tdImg.topDown && tdImg.pixel(3, 2) == ((30, 20, 5)))
+  }
+
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
     val media = Multimodal.withDecodedMeta(
