@@ -193,7 +193,12 @@ object StreamingSync {
     * no new events — set it on long-running queries over unbounded key
     * domains, where "every key ever seen" is itself the leak. An evicted
     * key that reappears restarts with an empty window — correct here,
-    * since its old buckets would be outside the trailing window anyway. */
+    * since its old buckets would be outside the trailing window anyway.
+    * Operational note (applies to all three idleTimeout ops): a
+    * processing-time timeout makes the engine run timeout-check batches
+    * continuously even with no new data — expected on a long-running
+    * query (it is HOW idle state gets evicted), but give the query a real
+    * trigger interval so those checks don't spin back-to-back. */
   def rollingPerKeyStream(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, windowSec: Long,
       idleTimeout: String = ""): Dataset[(Long, Long, Long, Double)] = {

@@ -228,6 +228,42 @@ class StreamingSpec extends SparkSpec {
     assert(b == Map(7L -> 2.75, 9L -> 8.0))
   }
 
+  test("idleTimeout variants fold identically to the no-timeout custom-state ops") {
+    // the eviction knob must not change WHAT is computed — only when idle
+    // state dies. The idle path swaps mapGroupsWithState for
+    // flatMapGroupsWithState around the SAME fold; driving both variants
+    // over the same batch frame pins that refactor (timeouts never fire
+    // in batch execution, so the fold logic is exactly what runs).
+    // NOTE: with a real trigger, ProcessingTimeTimeout causes continuous
+    // timeout-check batches — fine for a long-running production query,
+    // hostile to processAllAvailable-style tests.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0), (1L, ts("2024-01-01 10:01:00"), 4.0),
+      (1L, ts("2024-01-01 10:02:00"), 6.0), (2L, ts("2024-01-01 10:00:00"), 8.0))
+      .toDF("k", "ts", "v")
+    def emaOf(idle: String) = StreamingSync.emaPerKey(
+      events, "k", "ts", "v", 0.5, idleTimeout = idle)
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(emaOf("") == emaOf("30 minutes"))
+    assert(emaOf("30 minutes") == Map(1L -> ((4.5, 3L)), 2L -> ((8.0, 1L))))
+    val funnelEv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"), (1L, ts("2024-01-01 10:00:30"), "cart"),
+      (1L, ts("2024-01-01 10:01:00"), "buy"), (2L, ts("2024-01-01 10:00:00"), "buy"))
+      .toDF("k", "ts", "y")
+    def funOf(idle: String) = StreamingSync.funnelPerKey(
+      funnelEv, "k", "ts", "y", Seq("view", "cart", "buy"), idleTimeout = idle)
+      .collect().toMap
+    assert(funOf("") == funOf("30 minutes"))
+    assert(funOf("30 minutes") == Map(1L -> 3L, 2L -> 0L))
+    def rollOf(idle: String) = StreamingSync.rollingPerKeyStream(
+      events, "k", "ts", "v", 60L, idleTimeout = idle)
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(rollOf("") == rollOf("30 minutes"))
+    // key 1's trailing 60s at 10:02:00 holds only the 10:02:00 bucket
+    assert(rollOf("")(1L)._2 == 1L && rollOf("")(1L)._3 == 6.0)
+  }
+
   test("streaming rolling window: bounded bucket state, agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
