@@ -291,9 +291,9 @@ private[graft] object PipelineQueries {
 
     // ----- near-dup clusters: pairs -> connected components ----------
     "q56_neardup_components" -> ((s, dir) => {
-      val pairs = DedupApprox.minhashNearDups(docsWithNearDups(s, dir),
-        "doc_id", "text", k = 3, bands = 8, rows = 2, threshold = 0.6,
-        md5Family = true)
+      // pairs from the shared materialized set (QueryShared
+      // .nearDupPairsCached) — computed once, consumed by q56/q73/q78
+      val pairs = nearDupPairsCached(s, dir)
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
@@ -394,8 +394,7 @@ private[graft] object PipelineQueries {
     // doc per cluster (the minimum id) plus every singleton
     "q73_canonical_corpus" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
-      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
-        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      val pairs = nearDupPairsCached(s, dir) // shared materialized pair set
       graft.operators.Components.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
         .filter(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("fp"))
@@ -457,8 +456,7 @@ private[graft] object PipelineQueries {
       // same near-dup clusters as q56/q73, but the survivor is the
       // LONGEST member (quality keep-rule), not the minimum id
       val docs = docsWithNearDups(s, dir)
-      val pairs = DedupApprox.minhashNearDups(docs, "doc_id", "text",
-        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+      val pairs = nearDupPairsCached(s, dir) // shared materialized pair set
       graft.operators.Components.canonicalizeBy(docs, pairs,
         "doc_id", "id_a", "id_b", length(col("text")))
         .select(col("doc_id"), col("canonical_id"),

@@ -116,6 +116,27 @@ private[graft] object QueryShared {
       .select((col("doc_id") + 10000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
+  /** The standard corpus's verified near-dup PAIRS, materialized ONCE per
+    * fixture content (the q30/q80 build-once discipline, applied to the
+    * most expensive shared computation in the suite): clustering (q56),
+    * min-id canonicalization (q73), and the keep-rule variant (q78) all
+    * consume the SAME pair set — exactly how a production pipeline
+    * materializes pairs once for its many downstream dedup jobs instead
+    * of re-sketching the corpus per consumer. The cache path embeds the
+    * corpus content fingerprint and the full sketch/verify signature, so
+    * neither regenerated fixtures nor changed parameters can serve stale
+    * pairs. */
+  private[graft] def nearDupPairsCached(s: SparkSession, dir: String): DataFrame = {
+    val path = cachedIndexPath(s, dir, "graft_neardup_pairs", "documents",
+      "k3_b8_r2_t06_md5") { p =>
+      graft.operators.DedupApprox.minhashNearDups(docsWithNearDups(s, dir),
+        "doc_id", "text", k = 3, bands = 8, rows = 2, threshold = 0.6,
+        md5Family = true)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] val exactDupCte =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
