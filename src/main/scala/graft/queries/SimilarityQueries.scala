@@ -47,6 +47,30 @@ private[graft] object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ----- SEMANTIC dedup: embedding pairs -> clusters -> canonical --
+    "q114_semantic_canonical" -> ((s, dir) => {
+      // the embedding-space analog of q73's text canonicalization:
+      // hyperplane-LSH-bucketed cosine near-dup pairs (q29's operator)
+      // feed the O(log n) large-star/small-star clustering — the
+      // adversarial-depth-safe CC variant, here under the oracle gate
+      // (elsewhere spec-only) — and every vector maps to its cluster's
+      // minimum id; unpaired vectors stay their own canonical
+      val e = rd(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val aug = e.select("vec_id", "embedding").unionByName(dup)
+      val pairs = Similarity.cosineNearDups(aug, "vec_id", "embedding",
+        threshold = 0.999, bits = 8, maxBucket = 100000)
+      val comp = graft.operators.Components
+        .connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("label").as("canonical_id"))
+      aug.select("vec_id").join(comp, Seq("vec_id"), "left")
+        .withColumn("canonical_id", coalesce(col("canonical_id"), col("vec_id")))
+        .withColumn("kept", col("canonical_id") === col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
 
     // ----- ANN top-k via persisted LSH index (partition-pruned probe) --
     "q30_ann_topk" -> ((s, dir) => {
@@ -131,6 +155,32 @@ private[graft] object SimilarityQueries {
 
   )
 
+  /** The q29 LSH-bucketed cosine near-dup pair derivation (augmented
+    * embeddings -> 8-bit hyperplane codes -> in-bucket exact cosine),
+    * shared by the pair query (q29) and the semantic canonicalization
+    * built on top of it (q114). */
+  private val cosinePairCtes =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, [CAST(x * CAST(2.0 AS FLOAT) AS FLOAT) FOR x IN embedding]
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |code AS (SELECT vec_id, embedding,
+      |  list_sum([CASE WHEN list_sum([CAST(embedding[d] AS DOUBLE) *
+      |      (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+      |       / 1152921504606846975.0 * 2 - 1)
+      |      FOR d IN range(1, len(embedding) + 1)]) >= 0
+      |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 8)]) AS lsh_code
+      |  FROM aug),
+      |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+      |            FOR d IN range(1, len(a.embedding) + 1)]) /
+      |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+      |   sqrt(list_sum([CAST(b.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(b.embedding) + 1)]))) AS cos
+      |  FROM code a JOIN code b ON a.lsh_code = b.lsh_code AND a.vec_id < b.vec_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q27_cosine_topk" ->
@@ -161,29 +211,26 @@ private[graft] object SimilarityQueries {
         |FROM c WHERE cos > 0.15 ORDER BY vec_id""".stripMargin,
 
 
-    "q29_embed_neardup" ->
-      """WITH aug AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000, [CAST(x * CAST(2.0 AS FLOAT) AS FLOAT) FOR x IN embedding]
-        |  FROM embeddings WHERE vec_id % 5 = 0),
-        |code AS (SELECT vec_id, embedding,
-        |  list_sum([CASE WHEN list_sum([CAST(embedding[d] AS DOUBLE) *
-        |      (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
-        |       / 1152921504606846975.0 * 2 - 1)
-        |      FOR d IN range(1, len(embedding) + 1)]) >= 0
-        |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 8)]) AS lsh_code
-        |  FROM aug),
-        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
-        |            FOR d IN range(1, len(a.embedding) + 1)]) /
-        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
-        |   sqrt(list_sum([CAST(b.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(b.embedding) + 1)]))) AS cos
-        |  FROM code a JOIN code b ON a.lsh_code = b.lsh_code AND a.vec_id < b.vec_id)
+    "q29_embed_neardup" -> (cosinePairCtes +
+      """
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
-        |FROM pr WHERE cos > 0.999 ORDER BY id_a, id_b""".stripMargin,
+        |FROM pr WHERE cos > 0.999 ORDER BY id_a, id_b""".stripMargin),
+
+    "q114_semantic_canonical" -> (
+      cosinePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |p AS (SELECT id_a, id_b FROM pr WHERE cos > 0.999),
+        |e AS (SELECT id_a AS x, id_b AS y FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+        |SELECT a.vec_id, coalesce(l.label, a.vec_id) AS canonical_id,
+        |  (coalesce(l.label, a.vec_id) = a.vec_id) AS kept
+        |FROM aug a LEFT JOIN lab l ON a.vec_id = l.node
+        |ORDER BY a.vec_id""".stripMargin),
 
 
     "q30_ann_topk" ->
