@@ -23,12 +23,21 @@ import graft.operators.Strategies
   * buckets ~ 1.5 GB). The reference's target has no such concept — every
   * run touched every record (reference: lib/UpdateStrategies.py:216-248).
   */
-final class BucketedStateStore(spark: SparkSession, val path: String, nBuckets: Int) {
+final class BucketedStateStore(spark: SparkSession, val path: String, nBuckets: Int,
+    staleLockMs: Long = 30L * 60 * 1000) {
 
   require(nBuckets > 0, "nBuckets must be positive")
 
   private val fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Same single-writer lease as [[StateStore]] — a mergeRun is a
+    * read-modify-write of the touched buckets, so two interleaved
+    * writers could base their rewrites on each other's pre-images. */
+  private def withLease[T](f: => T): T =
+    WriterLease.withLease(fs, new org.apache.hadoop.fs.Path(path + ".lock"),
+      s"pid=${ProcessHandle.current.pid} app=${spark.sparkContext.applicationId}",
+      staleLockMs)(f)
 
   def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(path))
 
@@ -50,7 +59,11 @@ final class BucketedStateStore(spark: SparkSession, val path: String, nBuckets: 
   }
 
   /** Initial full write, partitioned by bucket. */
-  def initialize(df: DataFrame, pk: String): Unit =
+  def initialize(df: DataFrame, pk: String): Unit = withLease {
+    initializeLocked(df, pk)
+  }
+
+  private def initializeLocked(df: DataFrame, pk: String): Unit =
     df.withColumn("_bucket", bucketOf(pk))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
@@ -69,12 +82,16 @@ final class BucketedStateStore(spark: SparkSession, val path: String, nBuckets: 
     * strategy to that slice, rewrite only those bucket directories.
     * Restricted to delta-safe update types (see [[deltaSafe]]); for
     * whole-source semantics use [[StateStore]] and rewrite the snapshot. */
-  def mergeRun(src: DataFrame, cfg: PipelineConfig): Unit = {
+  def mergeRun(src: DataFrame, cfg: PipelineConfig): Unit = withLease {
     require(deltaSafe(cfg.updateType),
       s"${cfg.updateType.value} needs the whole source; bucketed incremental " +
         "runs support only delta-safe update types " +
         deltaSafe.map(_.value).mkString("(", ", ", ")"))
-    if (!exists) { initialize(applyStrategy(src, spark.emptyDataFrame, cfg), cfg.primaryKey); return }
+    mergeRunLocked(src, cfg)
+  }
+
+  private def mergeRunLocked(src: DataFrame, cfg: PipelineConfig): Unit = {
+    if (!exists) { initializeLocked(applyStrategy(src, spark.emptyDataFrame, cfg), cfg.primaryKey); return }
     val state = loadTouched(src, cfg.primaryKey).drop("_bucket")
     val newSlice = applyStrategy(src, state, cfg)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -9,9 +9,17 @@ import org.apache.spark.sql.types.StructType
   * (reference: lib/FirestoreWrapper.py:37-169).
   *
   * Writes are atomic via write-temp-then-rename on the Hadoop FileSystem
-  * API (works on HDFS/object stores with atomic dir rename; single-writer
-  * assumed, which matches the reference's one-pipeline-per-collection
-  * model). Readers therefore always see a complete snapshot.
+  * API (works on HDFS/object stores with atomic dir rename). Readers
+  * therefore always see a complete snapshot.
+  *
+  * The single-writer model the reference assumes implicitly
+  * (one pipeline per collection) is ENFORCED here: every mutation holds
+  * a `<path>.lock` lease taken with an atomic create-exclusive, so a
+  * second concurrent writer fails loudly instead of silently racing the
+  * snapshot swap (two interleaved retire/promote sequences can delete
+  * the only live snapshot). A lease older than `staleLockMs` is broken
+  * on the next acquire — a crashed writer never wedges the store,
+  * because the swap protocol leaves a loadable snapshot at every step.
   *
   * Scale design: the snapshot is hash-distributed on the primary key at
   * write time, so version chains and per-key updates are partition-local.
@@ -19,12 +27,19 @@ import org.apache.spark.sql.types.StructType
   * snapshot by bucket(pk) and use dynamic partition overwrite) — full
   * rewrites here only because the test state is small.
   */
-final class StateStore(spark: SparkSession, val path: String) {
+final class StateStore(spark: SparkSession, val path: String,
+    staleLockMs: Long = 30L * 60 * 1000) {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val dst = new Path(path)
   private val old = new Path(path + ".old")
+  private val lock = new Path(path + ".lock")
+
+  private def withLease[T](f: => T): T =
+    WriterLease.withLease(fs, lock,
+      s"pid=${ProcessHandle.current.pid} app=${spark.sparkContext.applicationId}",
+      staleLockMs)(f)
 
   def exists: Boolean = fs.exists(dst) || fs.exists(old)
 
@@ -53,7 +68,14 @@ final class StateStore(spark: SparkSession, val path: String) {
     * `<path>.old`, promote tmp, delete the retired copy last. A crash at
     * any point leaves either the old or the new snapshot loadable — load()
     * prefers the promoted path and falls back to `.old`. */
-  def overwrite(df: DataFrame, partitions: Int = 0): Unit = {
+  def overwrite(df: DataFrame, partitions: Int = 0): Unit =
+    withLease { overwriteLocked(df, partitions) }
+
+  /** The swap body, called with the lease already held ([[overwrite]]
+    * acquires it; [[applyActions]] holds ONE lease across its
+    * read-modify-write so no writer can interleave between its load and
+    * its swap). */
+  private def overwriteLocked(df: DataFrame, partitions: Int = 0): Unit = {
     val tmp = new Path(path + ".tmp")
     val out = if (partitions > 0) df.repartition(partitions) else df
     // 1. materialize first — the plan may be reading the live snapshot
@@ -73,7 +95,7 @@ final class StateStore(spark: SparkSession, val path: String) {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
-  def truncate(): Unit = {
+  def truncate(): Unit = withLease {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (fs.exists(old)) fs.delete(old, true)
   }
@@ -91,7 +113,7 @@ final class StateStore(spark: SparkSession, val path: String) {
     * The reference batches at most 500 ops per atomic commit; here the
     * whole frame is one commit because the snapshot swap is the atom.
     */
-  def applyActions(actions: DataFrame, pk: String): Unit = {
+  def applyActions(actions: DataFrame, pk: String): Unit = withLease {
     import org.apache.spark.sql.Column
     val dataCols = actions.columns.filterNot(_ == "_action").toSeq
     val creates = actions.filter(col("_action") === "create").drop("_action")
@@ -119,7 +141,7 @@ final class StateStore(spark: SparkSession, val path: String) {
           else col(c) // state-only column: survives untouched
         merge.as(c)
       }: _*)
-    overwrite(merged.unionByName(creates, allowMissingColumns = true))
+    overwriteLocked(merged.unionByName(creates, allowMissingColumns = true))
   }
 
   // --- Query surface (reference: lib/FirestoreWrapper.py:72-131) ---

@@ -34,6 +34,41 @@ class PipelineStateSpec extends SparkSpec {
     assert(versions.toSeq == versions.sorted.reverse.toSeq)
   }
 
+  test("single-writer lease: concurrent writer fails loudly, stale lock breaks, lease released") {
+    val p = tmpPath("lease")
+    val store = new StateStore(spark, p)
+    val df = Seq(("d1", 1L)).toDF("doc_id", "version_id")
+    val lockPath = new Path(p + ".lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a held lease blocks every mutator with a loud, named failure
+    fs.create(lockPath, false).close()
+    val err = intercept[IllegalStateException] { store.overwrite(df) }
+    assert(err.getMessage.contains("another writer"))
+    intercept[IllegalStateException] { store.truncate() }
+    intercept[IllegalStateException] {
+      store.applyActions(Seq(("create", "x", 1L)).toDF("_action", "doc_id", "version_id"), "doc_id")
+    }
+    // ...and reads never need the lease
+    assert(store.load().columns.isEmpty)
+    fs.delete(lockPath, false)
+    store.overwrite(df)
+    assert(!fs.exists(lockPath)) // lease released after the swap
+    assert(store.load().count() == 1)
+    // a STALE lock (crashed writer) is broken on the next acquire
+    val fast = new StateStore(spark, p, staleLockMs = 0L)
+    fs.create(lockPath, false).close()
+    Thread.sleep(5) // age > 0ms threshold
+    fast.overwrite(df.withColumn("version_id", lit(2L)))
+    assert(fast.load().filter($"version_id" === 2L).count() == 1)
+    assert(!fs.exists(lockPath))
+    // the lease is also released when the write itself fails
+    intercept[Exception] {
+      store.overwrite(spark.sql("select assert_true(false) as x"))
+    }
+    assert(!fs.exists(lockPath))
+    assert(store.load().count() == 1) // prior snapshot intact
+  }
+
   test("batch atomic write: create/update/delete in one snapshot rewrite") {
     val store = new StateStore(spark, tmpPath("batch"))
     store.overwrite(Seq(
