@@ -53,6 +53,13 @@ class RecordSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 private[v2] object RecordSource {
+  /** Malformed-line policies, mirroring Spark's JSON source contract:
+    * FAILFAST (default) aborts naming file+line; DROPMALFORMED skips the
+    * line; PERMISSIVE keeps it as an all-NULL row whose raw text lands in
+    * the `_corrupt_record` column when the schema declares one
+    * (`fieldTypes=...,_corrupt_record:singleLineText`). */
+  val ParseModes: Set[String] = Set("FAILFAST", "DROPMALFORMED", "PERMISSIVE")
+  val CorruptCol = "_corrupt_record"
   /** Rebuild a Hadoop Configuration from captured session properties.
     * Built once per deserialized factory (transient lazy), not per file. */
   def confFrom(props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
@@ -97,8 +104,13 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     Option(options.get("path")).orElse(props.get("path"))
       .getOrElse(throw new IllegalArgumentException("path option required"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = Option(options.get("mode")).getOrElse("FAILFAST").toUpperCase
+    require(RecordSource.ParseModes.contains(mode),
+      s"graft-records mode '$mode' is not one of " +
+        RecordSource.ParseModes.mkString(", "))
+    new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps, mode)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     RecordWriteSupport.validateWriteSchema(info.schema())
@@ -128,7 +140,7 @@ private[v2] object RecordScanBuilder {
 }
 
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
-    confProps: Map[String, String])
+    confProps: Map[String, String], mode: String = "FAILFAST")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -256,14 +268,14 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
 
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
-      pushed, topN, limit.filter(_ => topN.isEmpty), agg)
+      pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     path: String, confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec] = None)
+    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST")
     extends Scan with Batch {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
@@ -289,7 +301,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN, limit, agg)
+    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN,
+      limit, agg, mode)
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
@@ -298,12 +311,12 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec]) extends PartitionReaderFactory {
+    agg: Option[PushedAggSpec], mode: String = "FAILFAST") extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RecordPartitionReader(
       partition.asInstanceOf[RecordInputPartition].file, readSchema, fullSchema,
-      conf, filters, topN, limit, agg)
+      conf, filters, topN, limit, agg, mode)
 }
 
 /** Parses one JSONL file of records; emits only the pruned columns, only
@@ -315,7 +328,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     fullSchema: StructType, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec] = None)
+    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST")
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.sources._
@@ -331,6 +344,38 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   // lazily-built per-partition pre-aggregation for pushed aggregates
   private var aggIter: Iterator[InternalRow] = _
 
+  /** One record per non-empty line: `(node, null)` for well-formed JSON,
+    * `(null, rawLine)` for a malformed line surviving PERMISSIVE mode.
+    * FAILFAST aborts naming the file and line number; DROPMALFORMED
+    * skips. Corrupt records behave as all-NULL rows (NULL group keys,
+    * skipped by min/max/count(field), counted by count(*)) whose raw
+    * text is exposed through the `_corrupt_record` column when the
+    * schema declares it — Spark's JSON-source semantics. */
+  private lazy val records: Iterator[(JsonNode, String)] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      if (l.trim.isEmpty) None
+      else
+        try Some((mapper.readTree(l), null: String))
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException => mode match {
+            case "PERMISSIVE" => Some((null: JsonNode, l))
+            case "DROPMALFORMED" => None
+            case _ => throw new java.io.IOException(
+              s"graft-records: malformed JSON at $file:${i + 1}: " +
+                s"'${l.take(80)}' (mode=FAILFAST; use mode=PERMISSIVE to " +
+                "keep malformed lines as _corrupt_record rows, or " +
+                "DROPMALFORMED to skip them)", e)
+          }
+        }
+    }
+
+  /** Field lookup over a record that may be corrupt. */
+  private def fieldValue(node: JsonNode, raw: String, name: String,
+      dt: DataType): Any =
+    if (node != null) rawValue(node, name, dt)
+    else if (name == RecordSource.CorruptCol) raw
+    else null
+
   override def next(): Boolean = agg match {
     case Some(a) =>
       if (aggIter == null) aggIter = buildAgg(a)
@@ -345,11 +390,10 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     case None =>
       if (limit.exists(emitted >= _)) return false
       var found = false
-      while (!found && lines.hasNext) {
-        val l = lines.next()
-        if (l.trim.nonEmpty) {
-          val node = mapper.readTree(l)
-          if (passes(node)) { current = convert(node); found = true; emitted += 1 }
+      while (!found && records.hasNext) {
+        val (node, raw) = records.next()
+        if (passes(node, raw)) {
+          current = convert(node, raw); found = true; emitted += 1
         }
       }
       found
@@ -386,28 +430,27 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
       case _ => null: Any
     }.toArray
     if (a.groupCols.isEmpty) buf(Seq.empty) = newBuffer()
-    while (lines.hasNext) {
-      val l = lines.next()
-      if (l.trim.nonEmpty) {
-        val node = mapper.readTree(l)
-        if (passes(node)) {
-          val key = a.groupCols.zip(groupTypes).map { case (c, dt) => rawValue(node, c, dt) }
-          val st = buf.getOrElseUpdate(key, { checkBound(); newBuffer() })
-          a.aggs.zipWithIndex.foreach { case (ac, i) =>
-            ac.op match {
-              case "count_star" => st(i) = st(i).asInstanceOf[Long] + 1L
-              case "count" =>
-                if (rawValue(node, ac.field, fullSchema(ac.field).dataType) != null)
-                  st(i) = st(i).asInstanceOf[Long] + 1L
-              case "min" | "max" =>
-                val v = rawValue(node, ac.field, fullSchema(ac.field).dataType)
-                val better = v != null && (st(i) == null || {
-                  val c = RecordFilterEval.nullAwareCompare(v, st(i),
-                    descending = false, nullsFirst = false)
-                  if (ac.op == "min") c < 0 else c > 0
-                })
-                if (better) st(i) = v
-            }
+    while (records.hasNext) {
+      val (node, raw) = records.next()
+      if (passes(node, raw)) {
+        val key = a.groupCols.zip(groupTypes).map { case (c, dt) =>
+          fieldValue(node, raw, c, dt)
+        }
+        val st = buf.getOrElseUpdate(key, { checkBound(); newBuffer() })
+        a.aggs.zipWithIndex.foreach { case (ac, i) =>
+          ac.op match {
+            case "count_star" => st(i) = st(i).asInstanceOf[Long] + 1L
+            case "count" =>
+              if (fieldValue(node, raw, ac.field, fullSchema(ac.field).dataType) != null)
+                st(i) = st(i).asInstanceOf[Long] + 1L
+            case "min" | "max" =>
+              val v = fieldValue(node, raw, ac.field, fullSchema(ac.field).dataType)
+              val better = v != null && (st(i) == null || {
+                val c = RecordFilterEval.nullAwareCompare(v, st(i),
+                  descending = false, nullsFirst = false)
+                if (ac.op == "min") c < 0 else c > 0
+              })
+              if (better) st(i) = v
           }
         }
       }
@@ -435,22 +478,20 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
         -RecordFilterEval.nullAwareCompare(a._1, b._1, t.descending, t.nullsFirst)
     }
     val heap = new java.util.PriorityQueue[(Any, InternalRow)](t.limit + 1, cmp)
-    while (lines.hasNext) {
-      val l = lines.next()
-      if (l.trim.nonEmpty) {
-        val node = mapper.readTree(l)
-        if (passes(node)) {
-          heap.offer((rawValue(node, t.field, keyType), convert(node).copy()))
-          if (heap.size > t.limit) heap.poll()
-        }
+    while (records.hasNext) {
+      val (node, raw) = records.next()
+      if (passes(node, raw)) {
+        heap.offer((fieldValue(node, raw, t.field, keyType),
+          convert(node, raw).copy()))
+        if (heap.size > t.limit) heap.poll()
       }
     }
     scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala.map(_._2)
   }
 
-  private def passes(node: JsonNode): Boolean =
+  private def passes(node: JsonNode, raw: String): Boolean =
     filters.forall(f => RecordFilterEval.eval(f, name =>
-      rawValue(node, name, fullSchema(name).dataType)).contains(true))
+      fieldValue(node, raw, name, fullSchema(name).dataType)).contains(true))
 
   /** The comparable value of one field of the raw record: String, Double,
     * Boolean, Long epoch-micros (timestamps) or Int epoch-days (dates). */
@@ -475,7 +516,12 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 
-  private def convert(node: JsonNode): InternalRow = {
+  private def convert(node: JsonNode, raw: String = null): InternalRow = {
+    if (node == null) // corrupt record (PERMISSIVE): all NULL except the
+      return InternalRow.fromSeq(readSchema.fields.toIndexedSeq.map { f =>
+        if (f.name == RecordSource.CorruptCol) UTF8String.fromString(raw)
+        else null
+      })
     val fields = node.get("fields")
     InternalRow.fromSeq(readSchema.fields.toIndexedSeq.map { f =>
       f.name match {

@@ -192,6 +192,51 @@ class RecordSourceSpec extends SparkSpec {
       s"expected the MaxPushedGroups ceiling in: ${messages(ex)}")
   }
 
+  test("malformed lines: FAILFAST names file+line, DROPMALFORMED skips, PERMISSIVE keeps corrupt rows") {
+    val dir = Files.createTempDirectory("graft_dsv2_bad").toFile
+    val f = new java.io.File(dir, "records.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id":"ok1","fields":{"Name":"alpha","Score":5}}
+        |{not valid json at all
+        |{"id":"ok2","fields":{"Name":"beta","Score":7}}""".stripMargin)
+    def readMode(mode: String, fields: String = "Name:singleLineText,Score:number") =
+      spark.read.format("graft-records").option("path", f.getAbsolutePath)
+        .option("fieldTypes", fields).option("mode", mode).load()
+    // default (FAILFAST): loud, contextual failure
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val ex = intercept[Exception] {
+      spark.read.format("graft-records").option("path", f.getAbsolutePath)
+        .option("fieldTypes", "Name:singleLineText").load().collect()
+    }
+    assert(messages(ex).exists(m => m.contains("malformed JSON") &&
+      m.contains("records.jsonl:2")), s"got: ${messages(ex)}")
+    // DROPMALFORMED: the two good rows, nothing else
+    assert(readMode("DROPMALFORMED").select("Name").as[String].collect().sorted
+      .toSeq == Seq("alpha", "beta"))
+    // PERMISSIVE: the corrupt line survives as an all-NULL row; with a
+    // declared _corrupt_record column it carries the raw text
+    val perm = readMode("PERMISSIVE",
+      "Name:singleLineText,Score:number,_corrupt_record:singleLineText")
+      .orderBy("_record_id").collect()
+    assert(perm.length == 3)
+    val corrupt = perm.find(_.isNullAt(0)).get
+    assert(corrupt.isNullAt(corrupt.fieldIndex("Name")))
+    assert(corrupt.getAs[String]("_corrupt_record").startsWith("{not valid"))
+    assert(perm.count(!_.isNullAt(0)) == 2) // well-formed rows unaffected
+    // corrupt rows act as all-NULL records under pushed aggregation:
+    // count(*) includes them, count(field)/min/max skip them
+    val agg = readMode("PERMISSIVE").agg(
+      count(lit(1)).as("n"), count(col("Score")).as("n_score"),
+      max(col("Score")).as("mx")).collect()(0)
+    assert(agg.getLong(0) == 3L && agg.getLong(1) == 2L && agg.getDouble(2) == 7.0)
+    // and a pushed filter never matches a corrupt row's NULL fields
+    assert(readMode("PERMISSIVE").filter($"Score" > 0).count() == 2)
+    // unknown mode: planning-time rejection
+    val bad = intercept[Exception] { readMode("LENIENT").collect() }
+    assert(messages(bad).exists(_.contains("not one of")))
+  }
+
   // ----------------------------- write path -----------------------------
 
   private def writeDf() = Seq(
