@@ -276,7 +276,10 @@ object Similarity {
       bb.clear(); bb.putFloat(v); md.update(bb.array(), 0, 4)
     })
     val dim = centroids.headOption.map(_.length).getOrElse(0)
-    s"ivfk${centroids.length}_d${dim}_" +
+    // "ivf2": layout v2 (cells/ subdir + root completion marker) — the
+    // version in the signature keeps a cache keyed by it from serving a
+    // v1-layout directory
+    s"ivf2k${centroids.length}_d${dim}_" +
       md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
@@ -285,16 +288,51 @@ object Similarity {
     * partition-pruned read of its nProbe cell directories, O(N * nProbe/k)
     * IO instead of re-assigning the whole corpus per query (the
     * [[writeIndex]] pattern, cell-quantized instead of code-quantized).
-    * Key reusable paths by [[ivfSignature]] + a source fingerprint. */
+    * Key reusable paths by [[ivfSignature]] + a source fingerprint.
+    *
+    * Layout: cells under `<path>/cells`, completion marker at the ROOT —
+    * dropped before any write, restored only when the build (including
+    * later [[appendToIvfIndex]] steps of a composed build, via
+    * `markComplete = false` here) is entirely done, so a crash mid-build
+    * leaves an unmarked, rebuildable directory rather than a
+    * complete-looking partial index (the BM25-index discipline). */
   def writeIvfIndex(embeddings: DataFrame, vecCol: String, path: String,
-      centroids: Seq[Seq[Float]]): Unit =
+      centroids: Seq[Seq[Float]], markComplete: Boolean = true): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
     embeddings.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
+    if (markComplete)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+  }
+
+  /** Append a vector batch to an existing IVF index — embedding corpora
+    * grow append-only, and re-assigning the whole corpus per ingest is
+    * exactly what the persisted inverted file exists to avoid. The batch
+    * is assigned with the index's OWN centroids (key the path by
+    * [[ivfSignature]] so a geometry mismatch is structurally impossible)
+    * and appended into the cell directories; existing files are never
+    * touched. Assignment is pure per-vector arithmetic over fixed
+    * centroids, so build-then-append is bit-identical to a from-scratch
+    * build over the union — the append ≡ rebuild law the spec pins.
+    * The completion marker is dropped first and restored last. */
+  def appendToIvfIndex(newVectors: DataFrame, vecCol: String, path: String,
+      centroids: Seq[Seq[Float]]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      newVectors.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
+    newVectors.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+  }
 
   /** Open a persisted IVF index; `ivf_cell` comes back as a partition
     * column, so the probe's cell IN-list prunes at planning time. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(s"$path/cells")
 
   /** Probe a persisted IVF index: rank cells driver-side (no job), read
     * only those partitions, exact-rank the survivors. `centroids` MUST be

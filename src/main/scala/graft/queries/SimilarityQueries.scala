@@ -108,6 +108,30 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- IVF incremental append: build half, append half -----------
+    "q115_ivf_incremental" -> ((s, dir) => {
+      // index built from the even vec_id half, odd half APPENDED with the
+      // SAME centroids — the probe must equal q49's from-scratch ranking
+      // (same oracle): assignment is pure arithmetic over fixed
+      // geometry, so append ≡ rebuild bit-for-bit
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      val idxPath = cachedIndexPath(s, dir, "graft_q115_index", "embeddings",
+        Similarity.ivfSignature(cents) + "_incr") { p =>
+        // markComplete=false: only the LAST step of a composed build may
+        // create the completion marker the cache keys on
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "embedding", p, cents, markComplete = false)
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 =!= 0),
+          "embedding", p, cents)
+      }
+      val idx = Similarity.readIvfIndex(s, idxPath)
+      Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", cents,
+        probeVec(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+    }),
+
+
     // ----- k-means refinement step (Lloyd iteration for IVF) ---------
     "q68_kmeans_step" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -180,6 +204,47 @@ private[graft] object SimilarityQueries {
       |   sqrt(list_sum([CAST(b.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
       |                  FOR d IN range(1, len(b.embedding) + 1)]))) AS cos
       |  FROM code a JOIN code b ON a.lsh_code = b.lsh_code AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** From-scratch IVF top-k: centroids = first 8 vectors, nProbe=2,
+    * k=10. Shared by q49 (one-shot build) and q115 (build-then-append),
+    * which must be indistinguishable by construction. */
+  private val ivfTopKOracle =
+    """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |probe AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+      |scored AS (SELECT e.vec_id, e.embedding, c.cell,
+      |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+      |            FOR d IN range(1, len(e.embedding) + 1)]) /
+      |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+      |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+      |  FROM embeddings e CROSS JOIN cent c),
+      |assigned AS (SELECT vec_id, embedding FROM (
+      |  SELECT vec_id, embedding, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+      |  FROM scored)
+      |  WHERE rn = 1 AND cell IN (
+      |    SELECT cell FROM (
+      |      SELECT c.cell,
+      |        list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(c.cv) + 1)]) /
+      |        (sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+      |                        FOR d IN range(1, len(c.cv) + 1)])) *
+      |         sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+      |                        FOR d IN range(1, len(p.pv) + 1)]))) AS pcos
+      |      FROM cent c CROSS JOIN probe p)
+      |    ORDER BY pcos DESC, cell LIMIT 2)),
+      |c AS (SELECT a.vec_id,
+      |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+      |            FOR d IN range(1, len(a.embedding) + 1)]) /
+      |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+      |   sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+      |                  FOR d IN range(1, len(p.pv) + 1)]))) AS cos
+      |  FROM assigned a CROSS JOIN probe p)
+      |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -254,43 +319,11 @@ private[graft] object SimilarityQueries {
         |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
 
 
-    "q49_ivf_topk" ->
-      """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |probe AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
-        |scored AS (SELECT e.vec_id, e.embedding, c.cell,
-        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
-        |            FOR d IN range(1, len(e.embedding) + 1)]) /
-        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
-        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
-        |  FROM embeddings e CROSS JOIN cent c),
-        |assigned AS (SELECT vec_id, embedding FROM (
-        |  SELECT vec_id, embedding, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
-        |  FROM scored)
-        |  WHERE rn = 1 AND cell IN (
-        |    SELECT cell FROM (
-        |      SELECT c.cell,
-        |        list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(c.cv) + 1)]) /
-        |        (sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
-        |                        FOR d IN range(1, len(c.cv) + 1)])) *
-        |         sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
-        |                        FOR d IN range(1, len(p.pv) + 1)]))) AS pcos
-        |      FROM cent c CROSS JOIN probe p)
-        |    ORDER BY pcos DESC, cell LIMIT 2)),
-        |c AS (SELECT a.vec_id,
-        |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
-        |            FOR d IN range(1, len(a.embedding) + 1)]) /
-        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
-        |   sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
-        |                  FOR d IN range(1, len(p.pv) + 1)]))) AS cos
-        |  FROM assigned a CROSS JOIN probe p)
-        |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
-        |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q49_ivf_topk" -> ivfTopKOracle,
+
+    // append ≡ rebuild: the incrementally-built index must reproduce
+    // q49's from-scratch ranking exactly, so both gates share ONE oracle
+    "q115_ivf_incremental" -> ivfTopKOracle,
 
 
     "q68_kmeans_step" ->

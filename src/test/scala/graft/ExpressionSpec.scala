@@ -169,6 +169,36 @@ class ExpressionSpec extends SparkSpec {
       Similarity.ivfSignature(cents.map(_.map(_ + 1f))))
   }
 
+  test("appendToIvfIndex: build-then-append equals one-shot full build; marker discipline") {
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val n = 120
+    val emb = spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => cos($"id" * 17 + d).cast("float")).as("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 5)
+    Similarity.writeIvfIndex(emb, "embedding", full, cents)
+    // composed build: base WITHOUT the completion marker, append restores it
+    Similarity.writeIvfIndex(emb.filter($"vec_id" % 2 === 0), "embedding",
+      incr, cents, markComplete = false)
+    val marker = new org.apache.hadoop.fs.Path(incr, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(marker), "base step must not mark the index complete")
+    Similarity.appendToIvfIndex(emb.filter($"vec_id" % 2 =!= 0), "embedding",
+      incr, cents)
+    assert(fs.exists(marker), "append must restore the completion marker")
+    // identical content (same rows per cell), identical probe results
+    def snap(p: String) = Similarity.readIvfIndex(spark, p)
+      .select($"vec_id", $"ivf_cell").as[(Long, Long)].collect().toSet
+    assert(snap(incr) == snap(full))
+    val probe = emb.filter($"vec_id" === 11).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    def top(p: String) = Similarity.ivfTopKIndexed(Similarity.readIvfIndex(spark, p),
+      "vec_id", "embedding", cents, probe, k = 6, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top(incr) == top(full))
+  }
+
   test("GraftExtensions registers cosine_sim as a SQL function") {
     // a genuinely new session (getOrCreate would reuse the shared one and
     // skip extension installation); the SparkContext is shared
