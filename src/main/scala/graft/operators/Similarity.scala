@@ -54,6 +54,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED brute-force ANN — the serving shape: top-k per probe for a
+    * whole probe FRAME in one pass over the corpus, instead of one
+    * corpus scan per query vector. The probe set broadcasts (query
+    * batches are small by nature); scoring is a map-side cross product
+    * with the codegen'd cosine, and the per-probe rank filter runs as a
+    * WindowGroupLimit — each task keeps only its local top-k per probe
+    * BEFORE the exchange, so the one shuffle carries
+    * O(partitions · probes · k) rows, never the scored cross product.
+    * Output: (probe id, candidate id, cos), k rows per probe,
+    * deterministic id tie-break. */
+  def topKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val p = probes.select(col(probeIdCol).as("_probe_id"),
+      col(probeVecCol).as("_probe_vec"))
+    val scored = embeddings
+      .crossJoin(org.apache.spark.sql.functions.broadcast(p))
+      .select(col("_probe_id"), col(idCol),
+        cosine(col(vecCol), col("_probe_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_probe_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_probe_id").as(probeIdCol), col(idCol), col("cos"))
+  }
+
   /** Random-hyperplane LSH code: `bits` sign bits of <v, plane_i>. Vectors
     * close in cosine agree on most bits. One native codegen'd expression
     * per row (see [[graft.functions.LshCode]]) — the earlier composable

@@ -17,6 +17,29 @@ object Skew {
   def saltOf(salts: Int, discriminators: Column*): Column =
     pmod(hash(discriminators: _*), lit(salts))
 
+  /** Key-distribution profile — the measurement that DECIDES whether the
+    * mitigations below (or a bigger salt count, or a broadcast) are
+    * needed: the `topK` heaviest keys with their row counts, share of the
+    * table, and a skew factor (count / mean-count-per-key). One
+    * partial-aggregated count per key, two 1-row global aggregates folded
+    * in by crossJoin (broadcast by size), and a bounded top-k — no
+    * collect, no full sort, so profiling a 100 TB table costs one
+    * aggregation pass. Shares/factors are single IEEE divisions over
+    * exact integer counts (oracle-reproducible). */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("_total"),
+      count(lit(1)).as("_n_keys"))
+    counts.crossJoin(totals)
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("_total").cast("double")).as("share"),
+        (col("n").cast("double") * col("_n_keys").cast("double") /
+          col("_total").cast("double")).as("skew_factor"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then final
     * aggregate on key. Results equal the direct groupBy for any

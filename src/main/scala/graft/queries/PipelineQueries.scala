@@ -185,6 +185,21 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- key-distribution profile (the pre-salting measurement) ----
+    "q117_key_profile" -> ((s, dir) => {
+      // heaviest order keys in lineitem with share + skew factor — the
+      // measurement that decides whether a join needs salting at all:
+      // one count-per-key aggregation, two 1-row global aggregates
+      // folded in, bounded top-k; no collect, no full sort
+      graft.operators.Skew.keyProfile(rd(s, dir, "lineitem"),
+        "l_orderkey", topK = 25)
+        .select(col("l_orderkey"), col("n"),
+          r(col("share") * 1000000, 6).as("share_ppm"),
+          r(col("skew_factor"), 6).as("skew_factor"))
+        .orderBy(col("n").desc, col("l_orderkey").asc)
+    }),
+
+
     // ----- BMP pixel-level decode: NN resize + exact channel means ---
     "q113_image_pixels" -> ((s, dir) => {
       // 2x2 uncompressed 24-bit BMPs assembled in-plan (fixed 54-byte
@@ -725,6 +740,18 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q117_key_profile" ->
+      """WITH counts AS (SELECT l_orderkey, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts)
+        |SELECT l_orderkey, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000
+        |        * 1000000 + 0.5) / 1000000 AS share_ppm,
+        |  floor(CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |        / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS skew_factor
+        |FROM counts CROSS JOIN tot
+        |ORDER BY n DESC, l_orderkey ASC LIMIT 25""".stripMargin,
 
     "q113_image_pixels" ->
       """SELECT doc_id,

@@ -108,6 +108,21 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- batched multi-probe ANN (the serving shape) ---------------
+    "q116_ann_batch" -> ((s, dir) => {
+      // top-k per probe for a 4-probe batch in ONE corpus pass: probes
+      // broadcast, WindowGroupLimit keeps each task's local top-k per
+      // probe before the exchange (asserted in PlanSpec)
+      val e = rd(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.topKBatch(e, "vec_id", "embedding",
+        probes, "probe_id", "embedding", k = 5)
+        .select(col("probe_id"), col("vec_id"), r(col("cos"), 6).as("cos"))
+        .orderBy("probe_id", "vec_id")
+    }),
+
+
     // ----- IVF incremental append: build half, append half -----------
     "q115_ivf_incremental" -> ((s, dir) => {
       // index built from the even vec_id half, odd half APPENDED with the
@@ -318,6 +333,24 @@ private[graft] object SimilarityQueries {
         |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
         |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
 
+
+    "q116_ann_batch" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (SELECT p.probe_id, e.vec_id,
+        |  list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(e.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(e.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(p.pv[d] AS DOUBLE) * CAST(p.pv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(p.pv) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN probes p),
+        |ranked AS (SELECT probe_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id
+        |                     ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT probe_id, vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |FROM ranked WHERE rn <= 5 ORDER BY probe_id, vec_id""".stripMargin,
 
     "q49_ivf_topk" -> ivfTopKOracle,
 

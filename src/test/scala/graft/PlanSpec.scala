@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("WindowGroupLimit"), executed)
   }
 
+  test("batched ANN: probe set broadcasts, per-probe top-k pruned map-side") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val df = Similarity.topKBatch(emb, "vec_id", "embedding",
+      probes, "probe_id", "embedding", k = 5)
+    val executed = df.queryExecution.executedPlan.toString
+    // the scored cross product must never shuffle: probes broadcast...
+    assert(executed.contains("BroadcastNestedLoopJoin") ||
+      executed.contains("BroadcastExchange"), executed)
+    // ...and the per-probe rank filter prunes each task to its local
+    // top-k BEFORE the one exchange (WindowGroupLimit)
+    assert(executed.contains("WindowGroupLimit"), executed)
+    val exchanges = executed.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$executed")
+    // k rows per probe, self-retrieval first
+    val top = df.collect()
+    assert(top.length == 4 * 5)
+    assert(top.filter(_.getLong(0) == 2L)
+      .sortBy(-_.getDouble(2)).head.getLong(1) == 2L)
+  }
+
   test("native cosine runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
