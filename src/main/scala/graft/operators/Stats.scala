@@ -40,6 +40,53 @@ object Stats {
   def hllUnion(c: Column): Column = hll_union_agg(c)
   def hllEstimate(c: Column): Column = hll_sketch_estimate(c)
 
+  /** Deterministic binned quantile estimate — the REPRODUCIBLE scale path
+    * for percentiles. Exact percentiles need a full sort (q34's route —
+    * fine per group, hopeless per 100 TB column), and approx_percentile's
+    * sketch is engine- and merge-order-specific; a fixed [lo, hi] / bins
+    * histogram instead costs ONE partial-aggregated count pass with exact
+    * integer bin counts, and each requested quantile interpolates inside
+    * its bin with single IEEE ops — bit-reproducible at any parallelism
+    * and in any engine. Error is bounded by the bin width (caller picks
+    * the resolution); values outside [lo, hi] clamp into the edge bins,
+    * NULLs are excluded. Everything after the first aggregation operates
+    * on at most `bins` rows. Output: one (q, bin, quantile_est) row per
+    * requested quantile. */
+  def binnedQuantiles(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    require(hi > lo, s"need hi $hi > lo $lo")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("bn"))
+    // the remaining plan touches <= bins rows: a single-partition window
+    // for the cumulative count is the right plan, not a hazard
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("bn")).over(w))
+      .withColumn("cum_prev", col("cum") - col("bn"))
+      .crossJoin(counts.agg(sum(col("bn")).as("n_total")))
+    val qframe = df.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    cum.crossJoin(qframe)
+      .filter(col("cum").cast("double") >= col("q") * col("n_total").cast("double"))
+      .groupBy(col("q"))
+      .agg(min(struct(col("bin"), col("bn"), col("cum_prev"), col("n_total"))).as("s"))
+      .select(col("q"), col("s.bin").as("bin"),
+        (lit(lo) + lit(width) * (col("s.bin").cast("double") +
+          least(greatest(
+            (col("q") * col("s.n_total").cast("double") -
+              col("s.cum_prev").cast("double")) / col("s.bn").cast("double"),
+            lit(0.0)), lit(1.0)))).as("quantile_est"))
+  }
+
   /** Per-group z-score normalization (feature scaling): attach
     * `(v - mean) / stddev_pop` computed from window aggregates whose sums
     * route through DECIMAL — the moments are aggregation-order-exact, so

@@ -185,6 +185,22 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- binned quantile sketch (reproducible percentile at scale) -
+    "q118_binned_quantiles" -> ((s, dir) => {
+      // l_quantity quantiles from a 25-bin [0, 50] histogram: one count
+      // pass with exact integer bin counts, then interpolation over
+      // <=25 rows — the percentile path that survives 100 TB and
+      // hash-reproduces anywhere (exact sort-based percentile per column
+      // does not scale; approx_percentile's sketch is engine-specific)
+      graft.operators.Stats.binnedQuantiles(rd(s, dir, "lineitem"),
+        "l_quantity", lo = 0.0, hi = 50.0, bins = 25,
+        qs = Seq(0.1, 0.5, 0.9, 0.99))
+        .select(col("q"), col("bin"),
+          r(col("quantile_est"), 6).as("quantile_est"))
+        .orderBy("q")
+    }),
+
+
     // ----- key-distribution profile (the pre-salting measurement) ----
     "q117_key_profile" -> ((s, dir) => {
       // heaviest order keys in lineitem with share + skew factor — the
@@ -740,6 +756,30 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q118_binned_quantiles" ->
+      """WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |b AS (SELECT CAST(least(greatest(
+        |  floor((v - 0.0) / 50.0 * 25), 0), 24) AS BIGINT) AS bin FROM v),
+        |counts AS (SELECT bin, COUNT(*) AS bn FROM b GROUP BY 1),
+        |cum AS (SELECT bin, bn,
+        |  SUM(bn) OVER (ORDER BY bin) AS cum,
+        |  SUM(bn) OVER (ORDER BY bin) - bn AS cum_prev FROM counts),
+        |tot AS (SELECT SUM(bn) AS n_total FROM counts),
+        |qs AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q),
+        |picked AS (SELECT q, min(bin) AS bin
+        |  FROM cum CROSS JOIN tot CROSS JOIN qs
+        |  WHERE CAST(cum AS DOUBLE) >= q * CAST(n_total AS DOUBLE)
+        |  GROUP BY q)
+        |SELECT p.q AS q, p.bin AS bin,
+        |  floor((0.0 + ((50.0 - 0.0) / 25) * (CAST(p.bin AS DOUBLE) +
+        |    least(greatest((p.q * CAST(t.n_total AS DOUBLE)
+        |                    - CAST(c.cum_prev AS DOUBLE))
+        |                   / CAST(c.bn AS DOUBLE), 0.0), 1.0)))
+        |    * 1000000 + 0.5) / 1000000 AS quantile_est
+        |FROM picked p JOIN cum c ON p.bin = c.bin CROSS JOIN tot t
+        |ORDER BY q""".stripMargin,
 
     "q117_key_profile" ->
       """WITH counts AS (SELECT l_orderkey, COUNT(*) AS n

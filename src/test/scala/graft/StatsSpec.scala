@@ -41,6 +41,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(merged - globalExact).toDouble / globalExact < 0.15)
   }
 
+  test("binned quantiles: hand-checked interpolation, clamping, NULL exclusion") {
+    // 10 values 1..10 into bins of width 1 over [0, 10): bin b holds
+    // value b (count 1). q=0.5 -> target 5, first cum >= 5 is bin 5
+    // (value 5, cum 5, cum_prev 4) -> est = 0 + 1*(5 + (5-4)/1) = 6.0
+    val vals = (1 to 10).map(_.toDouble) ++ Seq(Double.NaN).filter(_ => false)
+    val df = (vals.map(Some(_)) :+ Option.empty[Double]).toDF("v")
+    val got = Stats.binnedQuantiles(df, "v", lo = 0.0, hi = 10.0, bins = 10,
+      qs = Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0.5) == ((5L, 6.0)))
+    // q=1: target 10 -> bin 9 fully consumed -> right edge of its bin
+    assert(got(1.0) == ((9L, 10.0)))
+    // q=0: target 0 -> first bin present (bin 1), frac clamps to 0
+    assert(got(0.0) == ((1L, 1.0)))
+    // out-of-range values clamp into the edge bins instead of vanishing
+    val clamped = Stats.binnedQuantiles(
+      Seq(-5.0, 0.5, 99.0).toDF("v"), "v", 0.0, 1.0, 2, Seq(1.0))
+      .collect()(0)
+    assert(clamped.getLong(1) == 1L) // 99.0 landed in the top bin
+    // estimate error is bounded by bin width: median of 1..1000 within
+    // one 50-wide bin of the exact 500
+    val wide = (1 to 1000).map(_.toDouble).toDF("v")
+    val med = Stats.binnedQuantiles(wide, "v", 0.0, 1000.0, 20, Seq(0.5))
+      .collect()(0).getDouble(2)
+    assert(math.abs(med - 500.0) <= 50.0, s"median est $med")
+  }
+
   test("group z-scores normalize to mean 0 / unit spread per group") {
     val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 10.0), ("b", 20.0))
       .toDF("g", "v")
