@@ -49,6 +49,20 @@ object Sampling {
   def hashSample(df: DataFrame, keyCols: Seq[String], rate: Double): DataFrame =
     df.filter(uniformHex(keyCols.map(col)) < lit(hexCutoff(rate)))
 
+  /** EXACTLY-n deterministic sample: the n rows with the smallest
+    * uniform draw (key tiebreak) — for when a rate is the wrong contract
+    * (eval sets, human-review batches, "give me 10k examples"). Plans as
+    * TakeOrderedAndProject: each task keeps a bounded n-row heap and one
+    * gather ranks n·partitions survivors — no full sort, no second pass
+    * to calibrate a rate, rerun-stable like every sampler here. Rows are
+    * uniform because the draw is; n > rows returns everything. */
+  def exactNSample(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame = {
+    require(keyCols.nonEmpty, "exact-n sample needs key columns")
+    require(n > 0, s"n $n must be positive")
+    df.orderBy((uniformHex(keyCols.map(col)) +: keyCols.map(col)): _*)
+      .limit(n)
+  }
+
   /** The same uniform draw as [[uniformHex]], decoded to a long in
     * [0, 2^32) — for comparing against a PER-ROW rate, where a hex-string
     * cutoff would need per-row formatting. */

@@ -185,6 +185,19 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- exactly-n deterministic sample (eval-set carving) ---------
+    "q119_exact_n_sample" -> ((s, dir) => {
+      // the 40 documents with the smallest uniform draw — an exact-size
+      // eval set carved rerun-stably; plans as TakeOrderedAndProject
+      // (bounded per-task heaps), never a full sort
+      graft.operators.Sampling.exactNSample(
+        rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("doc_id"), n = 40)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+
     // ----- binned quantile sketch (reproducible percentile at scale) -
     "q118_binned_quantiles" -> ((s, dir) => {
       // l_quantity quantiles from a 25-bin [0, 50] histogram: one count
@@ -756,6 +769,14 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q119_exact_n_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars
+        |  FROM documents
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |  LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
 
     "q118_binned_quantiles" ->
       """WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem

@@ -60,6 +60,26 @@ class ComponentsSamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactNSample: exact size, rerun-stable, bounded-heap plan, n > rows returns all") {
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      ($"id" % 7).as("grp"))
+    val s1 = Sampling.exactNSample(docs, Seq("doc_id"), 50)
+    assert(s1.count() == 50)
+    // rerun-stable: the same 50 rows every time
+    val ids = s1.select("doc_id").as[Long].collect().toSet
+    assert(Sampling.exactNSample(docs, Seq("doc_id"), 50)
+      .select("doc_id").as[Long].collect().toSet == ids)
+    // growing n only ADDS rows (monotone, like the rate samplers)
+    val ids80 = Sampling.exactNSample(docs, Seq("doc_id"), 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(ids80))
+    // bounded-heap plan: TakeOrderedAndProject, never a global Sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // n past the table returns everything
+    assert(Sampling.exactNSample(docs, Seq("doc_id"), 10000).count() == 500)
+  }
+
   test("connected components of an empty edge list is the empty labeling") {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.connectedComponents(none, "id_a", "id_b").count() == 0)
