@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Contiguous global sequence-id assignment under a total order — the
+  * curriculum-ordering / corpus-sequencing primitive ("sort the corpus by
+  * difficulty and number every document 0..N-1 so shard `i` of the
+  * training run reads positions [i*S, (i+1)*S)").
+  *
+  * The naive formulation — `row_number() OVER (ORDER BY ...)` with an
+  * empty PARTITION BY — is the single worst scale trap in Spark SQL: an
+  * un-partitioned window collapses the whole dataset into ONE task
+  * (Exchange SinglePartition), which at 100 TB is an executor OOM, not a
+  * slow query. This operator produces the identical numbering with no
+  * single-partition stage, as the reference's Python sort-and-enumerate
+  * loop would be re-expressed at cluster scale
+  * (`/root/reference/lib/AirtableToDatastore.py:60` iterates records in
+  * one process — same semantics, zero scale).
+  */
+object GlobalOrder {
+
+  /** Assign `outCol` = 0..N-1 following the total order of `sortCols`
+    * (which MUST be a total order — include a unique tiebreaker column,
+    * or equal rows get an arbitrary stable order within their tie group).
+    *
+    * Shape: range-repartition on the sort key (each partition owns a
+    * contiguous key range, ranges ordered by partition id), sort within
+    * partitions, then number each row as
+    * `partition offset + local offset`. Local offsets come from
+    * `monotonically_increasing_id()`, whose documented layout is
+    * (partition id << 33) | per-partition record counter — the counter
+    * IS the 0-based position within the sorted partition. Partition
+    * offsets are the running sum of per-partition counts: one tiny
+    * aggregate (numPartitions rows) joined back by broadcast. Total cost:
+    * ONE data shuffle (the range exchange) + one numPartitions-row side
+    * job — vs the naive window's all-data-to-one-task collapse.
+    *
+    * The frame is persisted before the counts job: range boundaries are
+    * sampled per execution, so the two passes must observe the SAME
+    * physical partitioning (an unpersisted lineage could re-sample
+    * different boundaries between the counts job and the output job and
+    * mis-stitch offsets). The persist is released by Spark's
+    * ContextCleaner when the returned frame goes out of scope. */
+  def sequenceIds(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "global_pos"): DataFrame = {
+    require(sortCols.nonEmpty, "sequenceIds needs at least one sort column")
+    require(!df.columns.contains(outCol), s"input already has a $outCol column")
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_local", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // numPartitions rows: cumulative counts in partition-id order (range
+    // partitions are emitted in key order, so pid order == key order)
+    val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_pid")).collect()
+    val offsets = counts.scanLeft(0L)(_ + _.getLong(1)).init
+    val offsetRows = counts.map(_.getInt(0)).zip(offsets).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsetRows.toDF("_pid", "_offset")
+    sorted
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(outCol, col("_offset") + col("_local"))
+      .drop("_pid", "_local", "_offset")
+  }
+}

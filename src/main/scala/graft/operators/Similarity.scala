@@ -438,4 +438,41 @@ object Similarity {
         (floor(col("dist") * 1000000 + 0.5) / 1000000).as("dist"),
         (floor(col("bound") * 1000000 + 0.5) / 1000000).as("cutoff"))
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 + dense ANN, or any N ranked lists):
+    * `score(d) = Σ_lists 1 / (kRrf + rank_list(d))`, a document absent
+    * from a list contributing 0 from it. Rank-based fusion needs no score
+    * calibration between heterogeneous retrievers, which is exactly why
+    * it is the default hybrid combiner in production search stacks.
+    *
+    * Each input frame must carry (`idCol`, "rank") with rank 1-based and
+    * unique per frame — the bounded top-k output of [[topK]],
+    * [[TextAnalysis.bm25Rank]] (+ row_number), or any other retriever.
+    * Inputs are top-k-sized, NOT corpus-sized: the chain of full-outer
+    * joins and the final sort all run on at most Σ k_i rows, so the
+    * fusion cost is independent of corpus scale (AQE broadcasts every
+    * join). Determinism: each term is one IEEE division of exact
+    * integers and the sum folds left-to-right in input order — a SQL
+    * engine mirroring the same expression reproduces the double
+    * bit-for-bit. Ties break by id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two ranked lists")
+    require(kRrf >= 0, s"kRrf $kRrf must be non-negative")
+    require(topK > 0, s"topK $topK must be positive")
+    val renamed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select((col(idCol) +: rankings.indices.map(i => col(s"rank_$i")) :+
+        score.as("rrf_score")): _*)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

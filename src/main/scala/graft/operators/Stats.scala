@@ -244,4 +244,52 @@ object Stats {
       .withColumn("sum_win",
         sum(col(valueCol).cast("decimal(28,12)")).over(w).cast("double"))
   }
+
+  /** Per-key time-series GAP FILL — regularize an event stream onto a
+    * fixed bucket grid with explicit zero rows for empty buckets, the
+    * prerequisite for any windowed model input or rate chart ("events per
+    * key per hour, including the hours with none"). Each key's grid spans
+    * ITS OWN [min, max] bucket (a key absent for a month emits that
+    * month's zeros only if it reappears — grids never extend past a key's
+    * observed range, so the output is bounded by actual key lifetimes,
+    * not by the global time span).
+    *
+    * Output: (key, bucket_start — epoch seconds, n — 0 for gaps, sum_val
+    * — DECIMAL-routed sum of `valueCol`, 0.0 for gaps).
+    *
+    * Scale shape: one partial-aggregated groupBy to per-(key, bucket)
+    * counts (the only data-sized shuffle), a per-key span aggregate on
+    * the ALREADY-bucketed frame, then `sequence()` + explode to generate
+    * each key's grid and a left join back on (key, bucket) — the
+    * generated grid is (span / bucketSec) rows per key, never
+    * events-sized. A key with a pathological span (one event, silence,
+    * one event years later) is bounded by `maxBucketsPerKey` with a loud
+    * failure rather than a silent 10^8-row explode. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSec: Long,
+      maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec $bucketSec must be positive")
+    val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
+      .cast("long")
+    val actual = df
+      .select(col(keyCol).as("key"), bucket.as("bucket_start"),
+        col(valueCol).cast("decimal(28,12)").as("_v"))
+      .groupBy(col("key"), col("bucket_start"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_sum"))
+    val spans = actual.groupBy(col("key"))
+      .agg(min(col("bucket_start")).as("_lo"), max(col("bucket_start")).as("_hi"))
+    // the guard lives INSIDE the exploded expression — a side column
+    // would be pruned away by the optimizer and never evaluated
+    val gridSeq = when(
+      (col("_hi") - col("_lo")) / bucketSec + 1 > maxBucketsPerKey,
+      raise_error(concat(lit("gapFill: key "), col("key").cast("string"),
+        lit(s" spans more than $maxBucketsPerKey buckets — widen bucketSec" +
+          s" or raise maxBucketsPerKey"))).cast("array<bigint>"))
+      .otherwise(sequence(col("_lo"), col("_hi"), lit(bucketSec)))
+    val grid = spans.select(col("key"), explode(gridSeq).as("bucket_start"))
+    grid.join(actual, Seq("key", "bucket_start"), "left")
+      .select(col("key"), col("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("_sum").cast("double"), lit(0.0)).as("sum_val"))
+  }
 }

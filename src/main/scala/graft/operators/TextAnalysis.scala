@@ -670,6 +670,63 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus-duplicated substring SPANS — the exact-substring-dedup rule
+    * ("remove any 50-token run that appears more than once in the
+    * corpus") at the token-window granularity it is actually applied at.
+    * Where [[shingleNovelty]] SCORES a document by its duplicated-window
+    * fraction, this returns the concrete token-offset intervals to cut:
+    * every k-token window whose text occurs more than once corpus-wide
+    * (in ANY document, including this one) is marked, and overlapping or
+    * adjacent marked windows merge into maximal spans.
+    *
+    * Output: one row per merged span — (id, span_start, span_end,
+    * n_windows) with token offsets 0-based and span_end EXCLUSIVE, so
+    * `span_end - span_start` is the span's token length and a clean doc
+    * has zero rows. Docs shorter than k tokens have no k-windows and
+    * never appear.
+    *
+    * Scale shape: one explode lineage (window position + md5 of the
+    * window text), the corpus occurrence count attached as a window
+    * count over the hash — the same single-lineage trick as
+    * [[shingleNovelty]]: a join against a separate count aggregate would
+    * re-run the whole explode once per consumer. The interval merge is
+    * the classic gaps-and-islands pass: per-doc running max of
+    * span ends (key-partitioned window — parallel across docs), one
+    * running-sum island id, one groupBy. Everything is integer
+    * arithmetic on md5 strings — bit-reproducible in any engine. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"window size k=$k must be positive")
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = split(normText(col(textCol)), " ")
+    val wins = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"), toks.as("_w"), size(toks).as("_n"))
+      .filter(col("_n") >= k)
+      .select(col("id"), posexplode(transform(sequence(lit(0), col("_n") - lit(k)),
+        i => md5(array_join(slice(col("_w"), i + 1, lit(k)), " ")))))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "h")
+    val dup = wins
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("cnt") > 1)
+      .select(col("id"), col("start").cast("long").as("start"),
+        (col("start") + k).cast("long").as("end"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    // a window at `start` extends the current span iff start <= running
+    // max end (end exclusive: adjacency start == prevEnd also merges)
+    val prevMaxEnd = max(col("end")).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    dup
+      .withColumn("_new", when(prevMaxEnd.isNull || col("start") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

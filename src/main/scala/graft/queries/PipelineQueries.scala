@@ -185,6 +185,34 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- contiguous global sequence ids (curriculum ordering) ------
+    "q122_global_sequence" -> ((s, dir) => {
+      // number the corpus 0..N-1 by (n_chars desc, doc_id) with NO
+      // single-partition stage: range exchange + per-partition offsets
+      // (the un-partitioned row_number() window this replaces collapses
+      // 100 TB into one task). PlanSpec asserts the shape.
+      graft.operators.GlobalOrder.sequenceIds(
+        rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id").asc), "global_pos")
+        .select("doc_id", "n_chars", "global_pos")
+        .orderBy("global_pos")
+    }),
+
+
+    // ----- per-key time-series gap fill (grid regularization) --------
+    "q123_gap_fill" -> ((s, dir) => {
+      // events per type per 15-minute bucket INCLUDING empty buckets:
+      // each key's grid spans its own [min, max] bucket via sequence()
+      // + explode — grid size is span-bound (constant across SFs), the
+      // only data-sized shuffle is the bucket pre-aggregation
+      graft.operators.Stats.gapFill(rd(s, dir, "events"),
+        "event_type", "ts", "value", bucketSec = 900L)
+        .select(col("key").as("event_type"), col("bucket_start"),
+          col("n"), r(col("sum_val"), 6).as("sum_val"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -769,6 +797,31 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q122_global_sequence" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS global_pos
+        |FROM documents ORDER BY global_pos""".stripMargin,
+
+    "q123_gap_fill" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 AS BIGINT)
+        |    AS bucket_start, value
+        |  FROM events),
+        |actual AS (SELECT event_type, bucket_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_val
+        |  FROM e GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(bucket_start) AS lo,
+        |  max(bucket_start) AS hi FROM actual GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |  CAST(unnest(range(lo, hi + 900, 900)) AS BIGINT) AS bucket_start
+        |  FROM spans)
+        |SELECT g.event_type, g.bucket_start,
+        |  COALESCE(a.n, 0) AS n,
+        |  floor(COALESCE(a.sum_val, 0.0) * 1000000 + 0.5) / 1000000 AS sum_val
+        |FROM grid g LEFT JOIN actual a
+        |  ON g.event_type = a.event_type AND g.bucket_start = a.bucket_start
+        |ORDER BY g.event_type, g.bucket_start""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -183,8 +183,11 @@ private[graft] object QueryShared {
 
   /** Full from-scratch BM25 oracle — shared by q83 (scan path) and
     * q94 (persisted-index path): both must reproduce it exactly. */
-  private[graft] val bm25OracleSql =
-      """WITH toks AS (SELECT doc_id, unnest(string_split(
+  /** The BM25 scoring chain as a CTE BODY (no WITH keyword, no final
+    * select) so composite oracles (q120 hybrid fusion) can extend it;
+    * [[bm25OracleSql]] wraps it for the standalone BM25 queries. */
+  private[graft] val bm25Ctes =
+      """toks AS (SELECT doc_id, unnest(string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
         |  FROM documents),
         |ft AS (SELECT doc_id, term FROM toks
@@ -210,7 +213,10 @@ private[graft] object QueryShared {
         |       ((1.0 - 0.75) + 0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) *
         |    1000000.0 + 0.5) AS BIGINT) AS ms
         |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN st),
-        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)
+        |agg AS (SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS ms FROM sc GROUP BY 1)""".stripMargin
+
+  private[graft] val bm25OracleSql =
+    "WITH " + bm25Ctes + """
         |SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
         |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
 

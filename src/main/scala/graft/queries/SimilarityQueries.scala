@@ -109,6 +109,33 @@ private[graft] object SimilarityQueries {
 
 
     // ----- batched multi-probe ANN (the serving shape) ---------------
+    // ----- hybrid retrieval: BM25 + dense ANN fused by RRF -----------
+    "q120_hybrid_rrf" -> ((s, dir) => {
+      // the production hybrid-search shape: one lexical top-15 (BM25),
+      // one dense top-15 (cosine vs the probe vector, ids shared with
+      // documents), fused by reciprocal-rank fusion — no score
+      // calibration across retrievers, rank-only. Both inputs are
+      // bounded top-k frames, so the rank windows and the fusion joins
+      // run on <=30 rows regardless of corpus size (the corpus-sized
+      // work lives inside the two retrievers, which are independently
+      // scale-shaped). Ranks are assigned over lattice-snapped scores
+      // (bm25 is exact by construction; cos snapped to 1e-6) so rank
+      // order is engine-portable even in the last ulp.
+      val bm = TextAnalysis.bm25Rank(docsBase(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "spark"), topK = 15)
+        .select(col("id").as("doc_id"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("id"))).as("rank"))
+      val ann = Similarity.topK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        probeVec(s, dir), 15)
+        .select(col("vec_id").as("doc_id"), r(col("cos"), 6).as("cos"))
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).as("rank"))
+      Similarity.rrfFuse(Seq(bm, ann), "doc_id", kRrf = 60, topK = 10)
+        .select(col("doc_id"), col("rank_0").as("rank_bm25"),
+          col("rank_1").as("rank_ann"), r(col("rrf_score"), 6).as("rrf_score"))
+    }),
+
+
     "q116_ann_batch" -> ((s, dir) => {
       // top-k per probe for a 4-probe batch in ONE corpus pass: probes
       // broadcast, WindowGroupLimit keeps each task's local top-k per
@@ -333,6 +360,33 @@ private[graft] object SimilarityQueries {
         |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
         |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
 
+
+    "q120_hybrid_rrf" -> ("WITH " + bm25Ctes + """,
+        |bmtop AS (SELECT doc_id, CAST(ms AS DOUBLE) / 1000000.0 AS bm25
+        |  FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15),
+        |bmr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25 FROM bmtop),
+        |p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |c AS (SELECT vec_id AS doc_id,
+        |  list_sum([CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |            FOR i IN range(1, len(embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |                  FOR i IN range(1, len(pv) + 1)]))) AS cos
+        |  FROM embeddings, p),
+        |anntop AS (SELECT doc_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM c ORDER BY c.cos DESC, doc_id LIMIT 15),
+        |annr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_ann FROM anntop),
+        |f AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |  b.rank_bm25, a.rank_ann,
+        |  COALESCE(1.0 / (60.0 + CAST(b.rank_bm25 AS DOUBLE)), 0.0) +
+        |  COALESCE(1.0 / (60.0 + CAST(a.rank_ann AS DOUBLE)), 0.0) AS rrf_score
+        |  FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id)
+        |SELECT doc_id, rank_bm25, rank_ann,
+        |  floor(rrf_score * 1000000 + 0.5) / 1000000 AS rrf_score
+        |FROM f ORDER BY f.rrf_score DESC, doc_id LIMIT 10""").stripMargin,
 
     "q116_ann_batch" ->
       """WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -102,6 +102,18 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- corpus-duplicated substring spans (exact-substring dedup) -
+    "q121_duplicate_spans" -> ((s, dir) => {
+      // the token-offset intervals to CUT, not just a score: every
+      // 3-token window occurring more than once corpus-wide, merged into
+      // maximal per-doc spans (gaps-and-islands, key-partitioned)
+      TextAnalysis.duplicateSpans(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }),
+
+
     // ----- incremental ingest near-dup gate (new vs corpus only) -----
     "q50_incremental_neardup" -> ((s, dir) => {
       val base = docsBase(s, dir)
@@ -531,6 +543,33 @@ private[graft] object TextQueries {
         |  floor(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) /
         |    CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM hp JOIN dfreq USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+
+    "q121_duplicate_spans" -> (nearDupCte +
+      """,
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM corpus),
+        |wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |  md5(array_to_string(w[i:i+2], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 3)),
+        |dup AS (SELECT doc_id, start, start + 3 AS fin FROM
+        |  (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins)
+        |  WHERE cnt > 1),
+        |isl AS (SELECT doc_id, start, fin,
+        |  CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |       OR start > max(fin) OVER (PARTITION BY doc_id ORDER BY start
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |       THEN 1 ELSE 0 END AS newi
+        |  FROM dup),
+        |isl2 AS (SELECT doc_id, start, fin,
+        |  SUM(newi) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM isl)
+        |SELECT doc_id, MIN(start) AS span_start, MAX(fin) AS span_end,
+        |  COUNT(*) AS n_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
 
 
     "q50_incremental_neardup" ->

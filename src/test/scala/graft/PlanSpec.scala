@@ -302,4 +302,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"per-key window must not demand a global total order:\n$p")
   }
+
+  test("sequenceIds: numbering matches the naive window, no 1-task collapse") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val out = graft.operators.GlobalOrder.sequenceIds(docs,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+    val p = out.queryExecution.executedPlan.toString
+    // the whole point: the un-partitioned row_number() this replaces
+    // plans an Exchange SinglePartition + Window; this must plan neither
+    assert(!p.contains("SinglePartition"),
+      s"global numbering collapsed to one task:\n$p")
+    assert(!p.contains(" Window "), s"unexpected window operator:\n$p")
+    val got = out.orderBy("global_pos")
+      .select("doc_id", "global_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.orderBy(col("n_chars").desc, col("doc_id").asc)
+      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => (d, i.toLong) }
+    assert(got.toSeq == want.toSeq) // contiguous 0..N-1 in sort order
+  }
 }

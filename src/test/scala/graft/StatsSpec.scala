@@ -179,4 +179,27 @@ class StatsSpec extends SparkSpec {
         "value", windowSec = 20)
     }
   }
+
+  test("gapFill: zero rows for empty buckets, grids span per key, loud guard") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:05", 1.5),
+      ("a", "2024-01-01 00:00:35", 2.5),  // 3 buckets apart at 10s: 0, 30
+      ("b", "2024-01-01 00:00:12", 4.0))  // single bucket: grid is 1 row
+      .toDF("k", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Stats.gapFill(df, "k", "ts", "value", bucketSec = 10L)
+      .orderBy("key", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    assert(out.toSeq == Seq(
+      ("a", base, 1L, 1.5), ("a", base + 10, 0L, 0.0),
+      ("a", base + 20, 0L, 0.0), ("a", base + 30, 1L, 2.5),
+      ("b", base + 10, 1L, 4.0)))
+    // a key spanning more buckets than the cap fails loudly, not OOM
+    val boom = intercept[Exception] { // SparkRuntimeException from raise_error
+      Stats.gapFill(df, "k", "ts", "value", bucketSec = 10L,
+        maxBucketsPerKey = 2L).collect()
+    }
+    assert(boom.getMessage.contains("gapFill"))
+  }
 }

@@ -888,4 +888,39 @@ class TrainingOpsSpec extends SparkSpec {
       BloomJoin.bloomJoin(probe, build, "k", joinType = "left")
     }
   }
+
+  test("duplicateSpans: corpus-duplicated windows merge into maximal spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // "a b c"@0, "b c d"@1 shared with doc 2
+      (2L, "z z a b c d q"),           // ...at positions 2, 3
+      (3L, "totally unrelated words here"),
+      (4L, "x y"),                     // shorter than k: no windows at all
+      (5L, "m m m m")).toDF("doc_id", "text") // WITHIN-doc duplication counts too
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // overlapping dup windows merge: doc1 [0,3)+[1,4) -> [0,4), doc2
+    // [2,5)+[3,6) -> [2,6), doc5's two identical windows -> [0,4)
+    assert(out.toSeq == Seq((1L, 0L, 4L, 2L), (2L, 2L, 6L, 2L), (5L, 0L, 4L, 2L)))
+    // disjoint duplicated runs stay separate spans (gap of clean tokens)
+    val gap = Seq(
+      (1L, "a b c GAP1 GAP2 GAP3 d e f"),
+      (2L, "a b c OTHER WORDS HERE d e f")).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicateSpans(gap, "doc_id", "text", k = 3)
+      .filter(col("id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((0L, 3L), (6L, 9L)))
+  }
+
+  test("rrfFuse: rank-reciprocal sum, absent list contributes 0, ties by id") {
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val b = Seq((5L, 1L), (20L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // 20 is in both lists at rank 2: 2/62; 5 and 10 tie at 1/61 -> id asc
+    assert(out.map(_._1).toSeq == Seq(20L, 5L, 10L))
+    assert(out(0)._2 == 1.0 / 62 + 1.0 / 62)
+    assert(out(1)._2 == 1.0 / 61 && out(2)._2 == 1.0 / 61)
+    intercept[IllegalArgumentException] { Similarity.rrfFuse(Seq(a), "id") }
+  }
 }
