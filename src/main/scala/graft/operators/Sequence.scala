@@ -64,4 +64,37 @@ object Sequence {
     funnelStages(events, keyCol, orderCols, typeCol, steps)
       .groupBy(col("funnel_stage"))
       .agg(count(lit(1)).as("n_keys"))
+
+  /** Batch SESSIONIZATION — the gaps-and-islands rule: within a key,
+    * consecutive events belong to one session until the time gap to the
+    * previous event exceeds `gapSec`; then a new session starts. The
+    * batch twin of Structured Streaming's `session_window` (which covers
+    * the live path in streaming/StreamingSync) — this form replays
+    * history at rest, where the streaming operator cannot.
+    *
+    * Per-key event order must be TOTAL for the lag to be deterministic:
+    * `tieCol` (a unique event id) breaks same-second ties. Output: one
+    * row per session — (key, session_id 1-based within key, start_sec,
+    * end_sec, n_events).
+    *
+    * Scale shape: one hash exchange on the key; both windows (lag, then
+    * running session counter) and the final groupBy reuse that
+    * clustering — no global sort, parallel across keys, O(events/key)
+    * per task. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec $gapSec must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(keyCol).as("key"),
+      col(tsCol).cast("long").as("_sec"), col(tieCol).as("_tie"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_sec"), col("_tie"))
+    val prev = lag(col("_sec"), 1).over(w)
+    base
+      .withColumn("_new",
+        when(prev.isNull || col("_sec") - prev > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(w))
+      .groupBy(col("key"), col("session_id"))
+      .agg(min(col("_sec")).as("start_sec"), max(col("_sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+  }
 }

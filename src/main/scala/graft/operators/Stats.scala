@@ -292,4 +292,49 @@ object Stats {
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("_sum").cast("double"), lit(0.0)).as("sum_val"))
   }
+
+  /** Distribution DRIFT between two snapshots of a numeric column — the
+    * data-quality gate that catches a silently shifted feature before it
+    * poisons a training run ("did this week's corpus move?"). Both sides
+    * are binned onto the same fixed [lo, hi) histogram (same binning as
+    * [[binnedQuantiles]]) and compared per bin with the symmetric
+    * chi-square-style term `(p − q)² / (p + q)` (p, q = the bin's rate on
+    * each side). Deliberately NOT the textbook PSI/KL: those need ln(),
+    * whose last ulp is libm-specific — this rational form is IEEE-exact
+    * in any engine, monotone in the same drift, and bounded in [0, 2]
+    * summed. The per-bin term lands on the 1e-12 integer lattice
+    * (`drift12`), so callers sum LONGS — order-independent — for the
+    * headline number.
+    *
+    * Output: one row per bin occupied on either side — (bin, cnt_a,
+    * cnt_b, drift12). Scale shape: each side collapses to ≤ `bins` rows
+    * in one partial-aggregated pass before anything joins; the
+    * full-outer join and the rate arithmetic touch ≤ 2·bins rows. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    require(hi > lo, s"need hi $hi > lo $lo")
+    def binned(df: DataFrame, cname: String): DataFrame = {
+      val bin = least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+      df.filter(col(valueCol).isNotNull)
+        .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as(cname))
+    }
+    val ca = binned(a, "cnt_a"); val cb = binned(b, "cnt_b")
+    val na = a.filter(col(valueCol).isNotNull).count()
+    val nb = b.filter(col(valueCol).isNotNull).count()
+    require(na > 0 && nb > 0, "distributionDrift needs non-empty sides")
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // p and q are single divisions of exact integers; the drift term is
+    // a fixed chain of IEEE ops — bit-identical in any engine
+    val p = col("cnt_a").cast("double") / lit(na.toDouble)
+    val q = col("cnt_b").cast("double") / lit(nb.toDouble)
+    val term = when(col("cnt_a") + col("cnt_b") === 0, lit(0.0))
+      .otherwise((p - q) * (p - q) / (p + q))
+    joined.withColumn("drift12",
+      floor(term * lit(1e12) + lit(0.5)).cast("long"))
+  }
 }

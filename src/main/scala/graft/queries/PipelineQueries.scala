@@ -213,6 +213,34 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- distribution drift between two snapshots ------------------
+    "q124_distribution_drift" -> ((s, dir) => {
+      // has this week's corpus moved? — l_extendedprice binned onto one
+      // fixed 20-bin grid for two halves of the data, compared per bin
+      // with the ln-free symmetric chi-square term (PSI/KL need libm);
+      // each side collapses to <=20 rows before anything joins
+      val li = rd(s, dir, "lineitem")
+      graft.operators.Stats.distributionDrift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice", lo = 0.0, hi = 80000.0, bins = 20)
+        .orderBy("bin")
+    }),
+
+
+    // ----- batch sessionization (gaps-and-islands) -------------------
+    "q125_sessionize" -> ((s, dir) => {
+      // one row per (user, session) with a 30-minute inactivity gap —
+      // the batch twin of the streaming session_window path: one hash
+      // exchange on the key, no global sort
+      graft.operators.Sequence.sessionize(rd(s, dir, "events"),
+        "user_id", "ts", "event_id", gapSec = 1800L)
+        .select(col("key").as("user_id"), col("session_id"),
+          col("start_sec"), col("end_sec"), col("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -822,6 +850,47 @@ private[graft] object PipelineQueries {
         |FROM grid g LEFT JOIN actual a
         |  ON g.event_type = a.event_type AND g.bucket_start = a.bucket_start
         |ORDER BY g.event_type, g.bucket_start""".stripMargin,
+
+    "q124_distribution_drift" ->
+      """WITH a AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+        |b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+        |ca AS (SELECT CAST(least(greatest(
+        |    floor((v - 0.0) / 80000.0 * 20), 0), 19) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt_a FROM a GROUP BY 1),
+        |cb AS (SELECT CAST(least(greatest(
+        |    floor((v - 0.0) / 80000.0 * 20), 0), 19) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt_b FROM b GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |               (SELECT COUNT(*) FROM b) AS n_b),
+        |j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |rates AS (SELECT bin, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p,
+        |  CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS q
+        |  FROM j CROSS JOIN tot)
+        |SELECT bin, cnt_a, cnt_b,
+        |  CAST(floor(CASE WHEN cnt_a + cnt_b = 0 THEN 0.0
+        |    ELSE (p - q) * (p - q) / (p + q) END * 1e12 + 0.5) AS BIGINT)
+        |    AS drift12
+        |FROM rates ORDER BY bin""".stripMargin,
+
+    "q125_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |l AS (SELECT user_id, event_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS newi
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |  CAST(SUM(newi) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |    AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, MIN(sec) AS start_sec,
+        |  MAX(sec) AS end_sec, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

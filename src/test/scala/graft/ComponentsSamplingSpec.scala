@@ -521,4 +521,28 @@ class ComponentsSamplingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(after == before)
   }
+
+  test("sessionize: gap rule, 1-based per-key ids, same-second ties merge") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, 0L), (2L, 7L, 100L),     // session 1: gap 100 <= 1800
+      (3L, 7L, 2000L),                  // gap 1900 > 1800 -> session 2
+      (4L, 7L, 2000L),                  // same second: stays in session 2
+      (5L, 9L, 50L))                    // other key: its own session 1
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val got = graft.operators.Sequence.sessionize(ev, "user_id", "ts",
+      "event_id", gapSec = 1800L)
+      .orderBy("key", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (7L, 1L, 0L, 100L, 2L), (7L, 2L, 2000L, 2000L, 2L),
+      (9L, 1L, 50L, 50L, 1L)))
+    // a gap of exactly gapSec does NOT split (rule is strictly greater)
+    val edge = Seq((1L, 1L, 0L), (2L, 1L, 1800L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    assert(graft.operators.Sequence.sessionize(edge, "user_id", "ts",
+      "event_id", gapSec = 1800L).count() == 1)
+  }
 }

@@ -202,4 +202,25 @@ class StatsSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("gapFill"))
   }
+
+  test("distributionDrift: identical sides read 0, disjoint sides max out") {
+    val a = Seq(1.0, 2.0, 5.0, 9.0).toDF("v")
+    val same = Stats.distributionDrift(a, a, "v", lo = 0.0, hi = 10.0, bins = 10)
+      .collect()
+    assert(same.forall(_.getLong(3) == 0L)) // p == q in every bin
+    // all of A in low bins, all of B in one high bin: each occupied bin's
+    // term is p²/p = p (or q²/q = q) — the lattice values are exact
+    val b = Seq(9.5, 9.5).toDF("v")
+    val far = Stats.distributionDrift(a, b, "v", lo = 0.0, hi = 10.0, bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A-only bins: p = 1/4, q = 0 -> p²/p = 0.25; the mixed bin 9 has
+    // p = 1/4, q = 1 -> (3/4)² / (5/4) = 0.45 exactly
+    assert(far.toSeq == Seq(
+      (1L, 1L, 0L, 250000000000L), (2L, 1L, 0L, 250000000000L),
+      (5L, 1L, 0L, 250000000000L), (9L, 1L, 2L, 450000000000L)))
+    intercept[IllegalArgumentException] {
+      Stats.distributionDrift(a.limit(0), a, "v", 0.0, 10.0, 10)
+    }
+  }
 }
