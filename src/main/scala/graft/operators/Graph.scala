@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge frames — PageRank and triangle counting,
+  * the two classic whole-graph measures a corpus/provenance pipeline
+  * reaches for (authority scoring over a citation/co-purchase graph;
+  * clustering-coefficient inputs for community detection). Complements
+  * [[Components]] (connectivity) with centrality and local density.
+  *
+  * Both operators are joins + partial-aggregated groupBys on the edge
+  * relation — no driver-side adjacency, no per-node loops — so they
+  * scale exactly as far as the shuffle does.
+  */
+object Graph {
+
+  /** PageRank with `iterations` synchronous power steps at `damping`
+    * (the fixed-iteration form — at corpus scale a handful of steps is
+    * the production choice; convergence thresholds add a driver round
+    * per check without changing the ranking much).
+    *
+    * Cross-engine determinism (the oracle contract): per-edge
+    * contributions `pr(src)/outdeg(src)` snap onto the 1e-12 integer
+    * lattice BEFORE the per-node sum, so the only order-sensitive
+    * reduction in the loop sums LONGS — exact at any parallelism and in
+    * any engine. Everything else is a fixed chain of IEEE ops. Dangling
+    * nodes (no out-edges) simply leak their mass — the standard
+    * simplification; ranks still order correctly.
+    *
+    * Scale shape: the edge+degree frame is built once and persisted; each
+    * iteration is ONE join (rank onto edges by src) + ONE
+    * partial-aggregated groupBy(dst) + a left join back onto the node
+    * set. Plan depth grows linearly with `iterations` — bound it (<= 10)
+    * or checkpoint externally. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations $iterations must be in [1, 10] (plan depth grows per step)")
+    require(damping > 0 && damping < 1, s"damping $damping must be in (0, 1)")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(sl)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, "src").persist(sl)
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
+    for (_ <- 1 to iterations) {
+      val inflow = ewd.join(pr, ewd("src") === pr("node"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg").cast("double") * lit(1e12) + lit(0.5))
+            .cast("long").as("c12"))
+        .groupBy("dst").agg(sum(col("c12")).as("s12"))
+      pr = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(nodes("node"),
+          (lit(1.0 - damping) / lit(n.toDouble) + lit(damping) *
+            (coalesce(col("s12"), lit(0L)).cast("double") / lit(1e12))).as("pr"))
+    }
+    pr
+  }
+
+  /** Per-node triangle participation over an UNDIRECTED edge set
+    * (`edges` may list either or both directions; it is canonicalized to
+    * a < b internally, self-loops dropped). Returns (node, n_triangles)
+    * for every node in at least one triangle.
+    *
+    * Shape: the canonical edge frame joins itself twice — wedges
+    * (a,b)x(b,c) closed by the (a,c) edge — every step an equi-join
+    * Catalyst plans as a hash join. Each triangle {a<b<c} is found
+    * exactly once, then credited to its three corners with one explode
+    * (no distinct over pair sets). The per-order pair expansion that
+    * BUILDS a co-occurrence edge list is the caller's concern
+    * ([[DedupApprox.lshCandidatePairs]]-style caps apply there); here the
+    * quadratic hazard is a hub vertex, which the wedge join bounds by
+    * deg² of that hub — at real-graph skew, salt or pre-filter hubs
+    * before calling. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -241,6 +241,43 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- PageRank over the customer-supplier interaction graph -----
+    "q126_pagerank" -> ((s, dir) => {
+      // authority scoring on the symmetric customer<->supplier graph
+      // (edges from orders x lineitem, supplier ids offset into their own
+      // range): 3 synchronous power steps, per-edge contributions snapped
+      // to the 1e-12 lattice so the per-node sums are exact longs at any
+      // parallelism — the oracle unrolls the identical three iterations
+      val ed = rd(s, dir, "orders")
+        .join(rd(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000L).as("b")).distinct()
+      val sym = ed.unionByName(ed.select(col("b").as("a"), col("a").as("b")))
+      graft.operators.Graph.pageRank(sym, "a", "b", iterations = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(25)
+        .select(col("node"), r(col("pr"), 9).as("pagerank"))
+    }),
+
+
+    // ----- triangle counting on the co-purchase graph ----------------
+    "q127_triangles" -> ((s, dir) => {
+      // parts that co-occur in an order form an edge; each triangle is
+      // found once from its canonical a<b<c orientation and credited to
+      // its three corners with one explode — no distinct over pair sets
+      val items = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = items.as("x")
+        .join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      graft.operators.Graph.triangleCounts(pairs, "src", "dst")
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(25)
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -891,6 +928,48 @@ private[graft] object PipelineQueries {
         |SELECT user_id, session_id, MIN(sec) AS start_sec,
         |  MAX(sec) AS end_sec, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q126_pagerank" ->
+      """WITH ed AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM ed
+        |      UNION ALL SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+        |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT node, 1.0 / nd AS pr FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node,
+        |  SUM(CAST(floor(p.pr / od.deg * 1e12 + 0.5) AS BIGINT)) AS s
+        |  FROM e JOIN p0 p ON e.src = p.node JOIN od ON od.src = e.src GROUP BY 1),
+        |p1 AS (SELECT nodes.node,
+        |  (1.0 - 0.85) / nd + 0.85 * (CAST(COALESCE(c1.s, 0) AS DOUBLE) / 1e12) AS pr
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.node CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node,
+        |  SUM(CAST(floor(p.pr / od.deg * 1e12 + 0.5) AS BIGINT)) AS s
+        |  FROM e JOIN p1 p ON e.src = p.node JOIN od ON od.src = e.src GROUP BY 1),
+        |p2 AS (SELECT nodes.node,
+        |  (1.0 - 0.85) / nd + 0.85 * (CAST(COALESCE(c2.s, 0) AS DOUBLE) / 1e12) AS pr
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.node CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node,
+        |  SUM(CAST(floor(p.pr / od.deg * 1e12 + 0.5) AS BIGINT)) AS s
+        |  FROM e JOIN p2 p ON e.src = p.node JOIN od ON od.src = e.src GROUP BY 1),
+        |p3 AS (SELECT nodes.node,
+        |  (1.0 - 0.85) / nd + 0.85 * (CAST(COALESCE(c3.s, 0) AS DOUBLE) / 1e12) AS pr
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node CROSS JOIN nn)
+        |SELECT node, floor(pr * 1e9 + 0.5) / 1e9 AS pagerank
+        |FROM p3 ORDER BY p3.pr DESC, node LIMIT 25""".stripMargin,
+
+    "q127_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+        |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

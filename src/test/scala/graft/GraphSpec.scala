@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: center of a symmetric star outranks leaves, mass ~1") {
+    // undirected star 1-{2,3,4}: both directions listed explicitly
+    val ed = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val sym = (ed ++ ed.map(_.swap)).toDF("src", "dst")
+    val pr = Graph.pageRank(sym, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 4)
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
+    // symmetric graph has no dangling nodes: total mass conserved up to
+    // the 1e-12 contribution lattice
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(sym, "src", "dst", iterations = 0)
+    }
+  }
+
+  test("pageRank: dangling sink still ranks above its feeder") {
+    // 1 -> 2 only: 2 accumulates 1's mass, 2's own mass leaks (dangling)
+    val pr = Graph.pageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+      iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(2L) > pr(1L))
+  }
+
+  test("triangleCounts: square with one diagonal, direction/dup agnostic") {
+    // 1-2-3-4-1 plus diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // reversed and duplicated edges must not change anything
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L)))
+    // self-loops never form triangles
+    val loops = edges.unionAll(Seq((2L, 2L)).toDF("src", "dst"))
+    assert(Graph.triangleCounts(loops, "src", "dst")
+      .agg(sum("n_triangles")).head().getLong(0) == 6L)
+  }
+}
