@@ -407,6 +407,70 @@ object DedupApprox {
         (col("collisions").cast("double") / lit(denom)).as("mean_jaccard_est"))
   }
 
+  /** EXACT-threshold token-set similarity join via prefix filtering —
+    * the AllPairs/PPJoin family: every doc pair with word-set Jaccard
+    * >= `threshold`, with NO false negatives (the guarantee the
+    * probabilistic minhash path cannot give; use this when a miss is a
+    * correctness bug — e.g. benchmark decontamination sign-off).
+    *
+    * Principle: order each doc's distinct tokens by corpus rarity
+    * (document frequency asc, token asc — one global total order). A
+    * pair at Jaccard t shares at least ceil(t·|x|) tokens, so by
+    * pigeonhole the two (|x| − ceil(t·|x|) + 1)-token PREFIXES must
+    * intersect — candidates come from ONE equi-join on prefix tokens
+    * only. Rare tokens sort INTO prefixes and common tokens out of
+    * them, so join fan-out concentrates where df is small — the inverse
+    * of the boilerplate hazard; the size filter
+    * (t·|x| <= |y| <= |x|/t, applied inside the join condition) prunes
+    * mismatched lengths before the shuffle materializes them. Verify is
+    * exact: |A∩B| computed on the full sorted-token arrays, union by
+    * |A| + |B| − |A∩B| (sets are distinct by construction).
+    *
+    * Scale shape: one distinct-token explode, one df aggregation, one
+    * prefix equi-join, one pair-sized verify join — all hash
+    * exchanges. Jaccard lands on the 1e-4 lattice; column order
+    * (id_a < id_b) and the final sort are deterministic. */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold must be in (0, 1]")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normText(col(textCol)), " ")).as("tok"))
+      .distinct()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("_o"))
+      .select(col("id"),
+        transform(col("_o"), s => s.getField("tok")).as("toks"),
+        size(col("_o")).cast("long").as("n"))
+      .persist(sl)
+    val prefixLen = col("n") - ceil(lit(threshold) * col("n").cast("double")) + 1
+    val prefixes = ordered.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), prefixLen.cast("int"))).as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = ordered.select(col("id"), col("toks"), col("n"))
+    val inter = size(array_intersect(col("_ta"), col("_tb"))).cast("long")
+    cands
+      .join(sets.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("n").as("_na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("_tb"),
+        col("n").as("_nb")), "id_b")
+      .withColumn("_i", inter)
+      .withColumn("jaccard", col("_i").cast("double") /
+        (col("_na") + col("_nb") - col("_i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+  }
+
   /** Asymmetric shingle CONTAINMENT — excerpt/quote detection. For the
     * ORDERED doc pair (a, b), `containment = |Sa ∩ Sb| / |Sa|` over
     * distinct k-shingle sets: ~1.0 when a is quoted inside b, even though

@@ -263,7 +263,11 @@ private[graft] object PipelineQueries {
 
     // ----- triangle counting on the co-purchase graph ----------------
     "q127_triangles" -> ((s, dir) => {
-      // parts that co-occur in an order form an edge; each triangle is
+      // parts CO-PURCHASED in >= 2 distinct orders form an edge (the
+      // market-basket support threshold — a raw co-occurrence graph on
+      // uniform baskets is near-regular and its wedge set grows as E²/V,
+      // 50M rows at sf0.1; support pruning is how basket analysis keeps
+      // the graph signal-bearing AND tractable); each triangle is then
       // found once from its canonical a<b<c orientation and credited to
       // its three corners with one explode — no distinct over pair sets
       val items = rd(s, dir, "lineitem")
@@ -271,7 +275,10 @@ private[graft] object PipelineQueries {
       val pairs = items.as("x")
         .join(items.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("_support"))
+        .filter(col("_support") >= 2)
+        .select(col("src"), col("dst"))
       graft.operators.Graph.triangleCounts(pairs, "src", "dst")
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(25)
@@ -962,8 +969,9 @@ private[graft] object PipelineQueries {
     "q127_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
-        |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
-        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        |ed AS (SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),

@@ -114,6 +114,18 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- exact-threshold similarity join via prefix filtering ------
+    "q128_prefix_filter_join" -> ((s, dir) => {
+      // AllPairs/PPJoin: NO-false-negative word-set Jaccard >= 0.6 pairs
+      // — candidates from one equi-join on rarity-ordered token
+      // prefixes, exact verify; the deterministic complement to the
+      // probabilistic minhash pairs (q25)
+      DedupApprox.prefixFilterPairs(docsWithNearDups(s, dir), "doc_id",
+        "text", threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+
     // ----- incremental ingest near-dup gate (new vs corpus only) -----
     "q50_incremental_neardup" -> ((s, dir) => {
       val base = docsBase(s, dir)
@@ -570,6 +582,33 @@ private[graft] object TextQueries {
         |  COUNT(*) AS n_windows
         |FROM isl2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
+
+
+    "q128_prefix_filter_join" -> (nearDupCte +
+      """,
+        |tk AS (SELECT DISTINCT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM corpus),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
+        |ord AS (SELECT doc_id, list(tok ORDER BY df, tok) AS toks,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tk JOIN dfq USING (tok) GROUP BY doc_id),
+        |pfx AS (SELECT doc_id, n,
+        |  unnest(toks[1 : CAST(n - CAST(ceil(0.6 * CAST(n AS DOUBLE)) AS BIGINT)
+        |    + 1 AS INTEGER)]) AS tok
+        |  FROM ord),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND CAST(b.n AS DOUBLE) >= 0.6 * CAST(a.n AS DOUBLE)
+        |   AND CAST(a.n AS DOUBLE) >= 0.6 * CAST(b.n AS DOUBLE)),
+        |v AS (SELECT id_a, id_b,
+        |  CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE) /
+        |  CAST(x.n + y.n -
+        |    len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE) AS j
+        |  FROM cand JOIN ord x ON x.doc_id = cand.id_a
+        |  JOIN ord y ON y.doc_id = cand.id_b)
+        |SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
+        |FROM v WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin),
 
 
     "q50_incremental_neardup" ->

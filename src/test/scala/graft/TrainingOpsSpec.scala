@@ -912,6 +912,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(spans.toSeq == Seq((0L, 3L), (6L, 9L)))
   }
 
+  test("prefixFilterPairs: equals brute force — the no-false-negative claim") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // J(1,2) = 4/6 = 0.6667
+      (3L, "alpha beta gamma delta epsilon"),  // exact dup of 1: J = 1.0
+      (4L, "omega psi chi phi"),               // J vs all = 0
+      (5L, "alpha beta omega psi chi phi"))    // J(4,5) = 4/6 = 0.6667
+      .toDF("doc_id", "text")
+    val got = DedupApprox.prefixFilterPairs(docs, "doc_id", "text", 0.6)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force over all 10 pairs at the same threshold
+    val brute = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        DedupApprox.jaccard(col("x.text"), col("y.text"), k = 1).as("j"))
+      .filter(col("j") >= 0.6).orderBy("x.doc_id", "y.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(t => (t._1, t._2)).toSeq == brute.toSeq)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(got.find(t => t._1 == 1L && t._2 == 3L).get._3 == 1.0)
+    // 4/6 = 0.6667 passes at 0.6 but not at 0.7 — the threshold is exact,
+    // so tightening it must drop every non-identical pair here
+    val tight = DedupApprox.prefixFilterPairs(docs, "doc_id", "text", 0.7)
+    assert(tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L)))
+  }
+
   test("rrfFuse: rank-reciprocal sum, absent list contributes 0, ties by id") {
     val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val b = Seq((5L, 1L), (20L, 2L)).toDF("id", "rank")
