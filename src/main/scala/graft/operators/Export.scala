@@ -43,4 +43,17 @@ object Export {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .json(path)
+
+  /** Columnar ORC export — the typed interchange format for downstream
+    * engines that want schema + stats without a parquet dependency (ORC
+    * readers ship in Hive/Trino/Presto). Unlike the text paths above,
+    * types survive natively (timestamps keep precision, doubles are not
+    * re-parsed), so round-trip fidelity is structural, not textual. Same
+    * priority-then-sorted column ordering as CSV/JSONL. */
+  def writeOrc(df: DataFrame, priority: Seq[String], path: String,
+      maxRecordsPerFile: Long = 100000): Unit =
+    project(df, priority)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .orc(path)
 }

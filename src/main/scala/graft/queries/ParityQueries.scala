@@ -215,6 +215,28 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- ORC round-trip (typed columnar interchange) ---------------
+    "q129_orc_roundtrip" -> ((s, dir) => {
+      // ORC out (capped shards, so the re-read crosses file splits),
+      // re-read, aggregate ≡ source aggregate — types survive
+      // structurally (timestamps keep precision, doubles are never
+      // re-parsed), completing the CSV (q104) / JSONL (q105) export
+      // family; the oracle only ever sees the source table
+      val src = rd(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+      val out = sys.props("java.io.tmpdir") + "/graft_q129_orc"
+      graft.operators.Export.writeOrc(src, Seq("event_id"), out,
+        maxRecordsPerFile = 2000)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,12)")).cast("double")
+            .as("sum_value"),
+          max(col("ts").cast("long")).as("max_sec"))
+        .orderBy("event_type")
+    }),
+
+
     // ----- semi-join (E2) --------------------------------------------
     "q10_semi_join" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -739,6 +761,12 @@ private[graft] object ParityQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+
+    "q129_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value,
+        |  CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_sec
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_semi_join" ->
       """SELECT c_custkey FROM customer
