@@ -337,4 +337,36 @@ object Stats {
     joined.withColumn("drift12",
       floor(term * lit(1e12) + lit(0.5)).cast("long"))
   }
+
+  /** Per-group ROBUST scaling — median/MAD instead of mean/stddev, the
+    * outlier-resistant normalization a quality-score pipeline wants when
+    * a handful of degenerate docs would otherwise drag the mean (the
+    * z-score twin is [[zscorePerGroup]]; this one is immune to the tail).
+    * Adds `robust_z = (value − median) / MAD`; explicit NULL when MAD is
+    * 0 (over half the group at one value — no scale to express) or value
+    * is NULL, mirroring zscorePerGroup's degenerate-group contract.
+    *
+    * Scale shape: two group-sized aggregates (median, then median
+    * absolute deviation computed against the broadcast medians) and one
+    * broadcast join back — group-cardinality frames only; the data-sized
+    * frame is scanned twice, never shuffled on the group key. Exact
+    * interpolated percentiles, not sketches: engine-reproducible (the
+    * q79 winsorize parity), sized for group counts that fit an exact
+    * aggregation — at extreme group cardinality swap in
+    * [[binnedQuantiles]] per group. */
+  def robustScalePerGroup(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    require(!df.columns.contains("robust_z"),
+      "input already has a robust_z column")
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val mad = df.join(broadcast(med), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    df.join(broadcast(med), Seq(keyCol)).join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_z",
+        when(col("_mad") === 0.0 || col(valueCol).isNull, lit(null))
+          .otherwise((col(valueCol).cast("double") - col("_med")) / col("_mad")))
+      .drop("_med", "_mad")
+  }
 }

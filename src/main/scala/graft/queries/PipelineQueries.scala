@@ -285,6 +285,34 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- robust (median/MAD) per-group scaling ---------------------
+    "q130_robust_scale" -> ((s, dir) => {
+      // outlier-resistant normalization of event values within each
+      // type: exact interpolated median/MAD (group-sized aggregates +
+      // broadcast joins — the data never shuffles on the group key)
+      graft.operators.Stats.robustScalePerGroup(
+        rd(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          r(col("robust_z"), 6).as("robust_z"))
+        .orderBy("event_id")
+    }),
+
+
+    // ----- per-source quality deciles (calibration buckets) ----------
+    "q131_quality_deciles" -> ((s, dir) => {
+      // decile assignment WITHIN each source — the per-source calibration
+      // that makes a single quality cutoff comparable across sources
+      // with different score distributions; windows partition by source,
+      // so they parallelize across groups
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      rd(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -978,6 +1006,24 @@ private[graft] object PipelineQueries {
         |tn AS (SELECT unnest([x, y, z]) AS node FROM tri)
         |SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin,
+
+    "q130_robust_scale" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.m), 0.5) AS d
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN d.d = 0 OR e.value IS NULL THEN NULL
+        |       ELSE floor((CAST(e.value AS DOUBLE) - m.m) / d.d * 1000000 + 0.5)
+        |            / 1000000 END AS robust_z
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q131_quality_deciles" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

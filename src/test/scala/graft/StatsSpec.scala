@@ -203,6 +203,23 @@ class StatsSpec extends SparkSpec {
     assert(boom.getMessage.contains("gapFill"))
   }
 
+  test("robustScalePerGroup: MAD ignores the outlier, constant group NULLs") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 100.0), // the outlier that would wreck mean/stddev
+      ("b", 5L, 7.0), ("b", 6L, 7.0), ("b", 7L, 7.0)) // MAD 0 -> NULL
+      .toDF("k", "id", "v")
+    val out = Stats.robustScalePerGroup(df, "k", "v")
+      .orderBy("id").collect()
+    // median 2.5, abs devs {1.5, 0.5, 0.5, 97.5} -> MAD 1.0: the scale is
+    // set by the bulk, so the outlier lands at z = 97.5, not z ~ 1.5
+    val z = out.filter(!_.isNullAt(3)).map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(z == Map(1L -> -1.5, 2L -> -0.5, 3L -> 0.5, 4L -> 97.5))
+    assert(out.filter(_.getString(0) == "b").forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      Stats.robustScalePerGroup(df.withColumn("robust_z", lit(1)), "k", "v")
+    }
+  }
+
   test("distributionDrift: identical sides read 0, disjoint sides max out") {
     val a = Seq(1.0, 2.0, 5.0, 9.0).toDF("v")
     val same = Stats.distributionDrift(a, a, "v", lo = 0.0, hi = 10.0, bins = 10)
