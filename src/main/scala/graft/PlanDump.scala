@@ -115,6 +115,20 @@ object PlanDump {
           "nested loop; the hot-shingle df cap filters BEFORE the self-join, " +
           "bounding per-shingle fan-out at maxShingleDf^2.",
         SparkEntry.queries("q87_containment")(spark, sfDir)),
+      ("q122_global_sequence — contiguous ids with no 1-task collapse",
+        "The naive row_number() OVER (ORDER BY ...) plans Exchange " +
+          "SinglePartition — the whole dataset through ONE task. This plan " +
+          "has only the range exchange (parallel, key-ordered) plus a " +
+          "numPartitions-row broadcast of per-partition offsets: no Window " +
+          "operator, no SinglePartition anywhere.",
+        SparkEntry.queries("q122_global_sequence")(spark, sfDir)),
+      ("q128_prefix_filter_join — exact-threshold similarity join",
+        "Candidates come from ONE equi-join on rarity-ordered prefix tokens " +
+          "(SortMergeJoin/ShuffledHashJoin on tok) with the length filter " +
+          "applied inside the join condition — mismatched sizes are dropped " +
+          "before pair materialization; the exact-Jaccard verify joins the " +
+          "token arrays back by id, pair-sized only.",
+        SparkEntry.queries("q128_prefix_filter_join")(spark, sfDir)),
       ("q89_rolling_window — per-key event-time rolling aggregate",
         "One hash exchange on the key + per-partition sort; the trailing " +
           "RANGE frame is a sliding-window accumulator, not a per-row rescan, " +
