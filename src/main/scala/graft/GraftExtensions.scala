@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, LshCode, Md5Prefix60}
+import graft.functions.{CosineSimilarity, LshCode, Md5Prefix60, TopKPairs}
 
 /** Session extensions: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")`,
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "md5_prefix60 takes exactly 1 argument")
         Md5Prefix60(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "top_k_pairs takes (score, id, k)")
+        TopKPairs(args.head, args(1), intLit(args(2), "k"))
       }))
   }
 }

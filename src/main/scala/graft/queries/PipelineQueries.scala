@@ -313,6 +313,23 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- native bounded-heap per-group top-k -----------------------
+    "q132_topk_per_group" -> ((s, dir) => {
+      // top-5 priciest lineitems per return flag via the native
+      // top_k_pairs aggregate: O(k) state per group, partial heaps merge
+      // map-side — the window formulation this replaces buffers and
+      // sorts every row of every group before discarding all but k
+      val agg = rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKPairs.topK(
+          col("l_extendedprice"), col("l_orderkey"), k = 5).as("top"))
+      agg.select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("price"), col("col.id").as("l_orderkey"))
+        .orderBy("l_returnflag", "rank")
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -1024,6 +1041,15 @@ private[graft] object PipelineQueries {
         |  CAST(ntile(10) OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q132_topk_per_group" ->
+      """WITH r AS (SELECT l_returnflag,
+        |  CAST(l_extendedprice AS DOUBLE) AS price, l_orderkey,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY CAST(l_extendedprice AS DOUBLE) DESC, l_orderkey) AS rk
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(rk AS BIGINT) AS rank, price, l_orderkey
+        |FROM r WHERE rk <= 5 ORDER BY l_returnflag, rank""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

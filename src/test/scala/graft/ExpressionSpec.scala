@@ -199,6 +199,38 @@ class ExpressionSpec extends SparkSpec {
     assert(top(incr) == top(full))
   }
 
+  test("top_k_pairs: equals the window form, merges across partitions, O(k)") {
+    import graft.functions.TopKPairs
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("g"),
+      ((col("id") * 37 % 1000).cast("double")).as("score"),
+      col("id"))
+      // wide repartition: partial heaps MUST merge associatively
+      .repartition(16)
+    val got = df.groupBy("g")
+      .agg(TopKPairs.topK(col("score"), col("id"), k = 3).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+      .orderBy("g", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w) - 1)
+      .filter(col("rn") < 3)
+      .select(col("g"), col("rn"), col("score"), col("id"))
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // NULL scores skipped; k larger than the group returns the whole group
+    import spark.implicits._
+    val nulls = Seq((1L, Some(5.0), 1L), (1L, None, 2L), (1L, Some(7.0), 3L))
+      .toDF("g", "score", "id")
+    val small = nulls.groupBy("g")
+      .agg(TopKPairs.topK(col("score"), col("id"), k = 10).as("t"))
+      .select(explode(col("t"))).collect()
+    assert(small.length == 2)
+  }
+
   test("GraftExtensions registers cosine_sim as a SQL function") {
     // a genuinely new session (getOrCreate would reuse the shared one and
     // skip extension installation); the SparkContext is shared
@@ -221,6 +253,10 @@ class ExpressionSpec extends SparkSpec {
       val m = s2.sql("SELECT md5_prefix60('abc') AS h").collect()
       assert(m.head.getLong(0) == graft.functions.Md5Hash.prefix60(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+      val tk = s2.sql("SELECT top_k_pairs(CAST(v AS DOUBLE), id, 2) AS t " +
+        "FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS d(v, id)").collect()
+      assert(tk.head.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
