@@ -338,6 +338,59 @@ object Stats {
       floor(term * lit(1e12) + lit(0.5)).cast("long"))
   }
 
+  /** DRIFT OVER TIME — the monitoring form of [[distributionDrift]]:
+    * bucket the stream by `bucketSec`, histogram `valueCol` per bucket,
+    * and score every bucket against its DIRECT predecessor with the same
+    * ln-free symmetric chi-square term on the 1e-12 lattice. One row per
+    * bucket that has a predecessor: (bucket_start, n_prev, n_cur,
+    * drift12) — the series a data-quality dashboard alerts on ("did
+    * yesterday's ingest move?").
+    *
+    * Scale shape: ONE pass collapses the data to (bucket, bin) counts
+    * (≤ bins rows per bucket); "previous bucket" is an equi-join on the
+    * shifted bucket key — no window, no global sort, so the comparison
+    * never touches event-sized data. Buckets whose predecessor slot is
+    * empty are skipped (no denominator to compare against), matching the
+    * two-sided require in [[distributionDrift]]. */
+  def driftOverTime(df: DataFrame, tsCol: String, valueCol: String,
+      bucketSec: Long, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bucketSec > 0, s"bucketSec $bucketSec must be positive")
+    require(bins > 0, s"bins $bins must be positive")
+    require(hi > lo, s"need hi $hi > lo $lo")
+    val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
+      .cast("long")
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(bucket.as("bucket_start"), bin.as("bin"))
+      .groupBy("bucket_start", "bin").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy("bucket_start").agg(sum(col("cnt")).as("n"))
+    // buckets with a DIRECT predecessor: equi-join on the shifted key
+    val pairsT = totals.select(col("bucket_start"), col("n").as("n_cur"))
+      .join(totals.select((col("bucket_start") + bucketSec).as("bucket_start"),
+        col("n").as("n_prev")), Seq("bucket_start"))
+    val prevShift = counts.select(
+      (col("bucket_start") + bucketSec).as("bucket_start"),
+      col("bin"), col("cnt").as("cnt_prev"))
+    val fo = counts.select(col("bucket_start"), col("bin"),
+        col("cnt").as("cnt_cur"))
+      .join(prevShift, Seq("bucket_start", "bin"), "full_outer")
+      .select(col("bucket_start"), col("bin"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"),
+        coalesce(col("cnt_prev"), lit(0L)).as("cnt_prev"))
+      .join(pairsT, Seq("bucket_start"))
+    val p = col("cnt_prev").cast("double") / col("n_prev").cast("double")
+    val q = col("cnt_cur").cast("double") / col("n_cur").cast("double")
+    val term = when(col("cnt_prev") + col("cnt_cur") === 0, lit(0.0))
+      .otherwise((p - q) * (p - q) / (p + q))
+    fo.withColumn("_t12", floor(term * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col("bucket_start"), col("n_prev"), col("n_cur"))
+      .agg(sum(col("_t12")).as("drift12"))
+      .select(col("bucket_start"), col("n_prev"), col("n_cur"), col("drift12"))
+  }
+
   /** Per-group ROBUST scaling — median/MAD instead of mean/stddev, the
     * outlier-resistant normalization a quality-score pipeline wants when
     * a handful of degenerate docs would otherwise drag the mean (the

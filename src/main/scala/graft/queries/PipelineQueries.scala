@@ -313,6 +313,18 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- daily drift trend (the monitoring series) -----------------
+    "q133_drift_trend" -> ((s, dir) => {
+      // each day's value histogram scored against the previous day —
+      // the dashboard series behind "did yesterday's ingest move?":
+      // one pass to (day, bin) counts, predecessor via a shifted-key
+      // equi-join (no window, no sort), drift on the 1e-12 lattice
+      graft.operators.Stats.driftOverTime(rd(s, dir, "events"),
+        "ts", "value", bucketSec = 86400L, lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy("bucket_start")
+    }),
+
+
     // ----- native bounded-heap per-group top-k -----------------------
     "q132_topk_per_group" -> ((s, dir) => {
       // top-5 priciest lineitems per return flag via the native
@@ -1041,6 +1053,39 @@ private[graft] object PipelineQueries {
         |  CAST(ntile(10) OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q133_drift_trend" ->
+      """WITH e AS (SELECT
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) * 86400 AS BIGINT)
+        |    AS bucket_start,
+        |  CAST(least(greatest(
+        |    floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20), 0), 19) AS BIGINT)
+        |    AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (SELECT bucket_start, bin, COUNT(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |totals AS (SELECT bucket_start, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1),
+        |pt AS (SELECT c.bucket_start, c.n AS n_cur, p.n AS n_prev
+        |  FROM totals c JOIN totals p ON c.bucket_start = p.bucket_start + 86400),
+        |fo AS (SELECT COALESCE(c.bucket_start, p.bucket_start + 86400)
+        |    AS bucket_start,
+        |  COALESCE(c.bin, p.bin) AS bin,
+        |  COALESCE(c.cnt, 0) AS cnt_cur, COALESCE(p.cnt, 0) AS cnt_prev
+        |  FROM counts c FULL OUTER JOIN counts p
+        |    ON c.bucket_start = p.bucket_start + 86400 AND c.bin = p.bin),
+        |terms AS (SELECT fo.bucket_start, pt.n_prev, pt.n_cur,
+        |  CAST(floor(CASE WHEN cnt_prev + cnt_cur = 0 THEN 0.0
+        |    ELSE (CAST(cnt_prev AS DOUBLE) / CAST(pt.n_prev AS DOUBLE) -
+        |          CAST(cnt_cur AS DOUBLE) / CAST(pt.n_cur AS DOUBLE)) *
+        |         (CAST(cnt_prev AS DOUBLE) / CAST(pt.n_prev AS DOUBLE) -
+        |          CAST(cnt_cur AS DOUBLE) / CAST(pt.n_cur AS DOUBLE)) /
+        |         (CAST(cnt_prev AS DOUBLE) / CAST(pt.n_prev AS DOUBLE) +
+        |          CAST(cnt_cur AS DOUBLE) / CAST(pt.n_cur AS DOUBLE))
+        |    END * 1e12 + 0.5) AS BIGINT) AS t12
+        |  FROM fo JOIN pt ON fo.bucket_start = pt.bucket_start)
+        |SELECT bucket_start, n_prev, n_cur, CAST(SUM(t12) AS BIGINT) AS drift12
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY bucket_start""".stripMargin,
 
     "q132_topk_per_group" ->
       """WITH r AS (SELECT l_returnflag,

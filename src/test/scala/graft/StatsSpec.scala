@@ -203,6 +203,24 @@ class StatsSpec extends SparkSpec {
     assert(boom.getMessage.contains("gapFill"))
   }
 
+  test("driftOverTime: stable buckets read 0, shifts score, gaps skip") {
+    val rows = Seq(
+      (0L, 1.0), (2L, 1.0), (5L, 2.0),      // bucket 0
+      (10L, 1.0), (12L, 1.0), (15L, 2.0),   // bucket 10: identical dist
+      (20L, 9.0), (22L, 9.0), (25L, 9.0),   // bucket 20: fully shifted
+      (40L, 5.0))                           // bucket 40: predecessor 30 empty
+    val df = rows.toDF("sec", "value")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val got = Stats.driftOverTime(df, "ts", "value", bucketSec = 10L,
+      lo = 0.0, hi = 10.0, bins = 10)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // identical -> 0; disjoint -> sum of p + q rates = 2 exactly on the
+    // lattice (2/3 + 1/3 + 1); bucket 40 has no direct predecessor
+    assert(got.toSeq == Seq(
+      (10L, 3L, 3L, 0L), (20L, 3L, 3L, 2000000000000L)))
+  }
+
   test("robustScalePerGroup: MAD ignores the outlier, constant group NULLs") {
     val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
       ("a", 4L, 100.0), // the outlier that would wreck mean/stddev
