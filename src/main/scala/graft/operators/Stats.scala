@@ -87,6 +87,53 @@ object Stats {
             lit(0.0)), lit(1.0)))).as("quantile_est"))
   }
 
+  /** Per-GROUP binned quantiles — [[binnedQuantiles]] partitioned by a
+    * key: the percentile path that scales to millions of groups (the
+    * exact interpolated form [[winsorizePerGroup]] uses needs each
+    * group's values sorted; this one needs one count pass and ≤ `bins`
+    * rows per group, hash-reproducible at any parallelism). Same fixed
+    * [lo, hi) histogram, same in-bin linear interpolation, same IEEE
+    * shapes — one (q, bin, quantile_est) row set per group. The
+    * cumulative window partitions BY KEY (parallel across groups — never
+    * the single-partition form the global version is allowed on its
+    * ≤ bins rows). */
+  def binnedQuantilesPerGroup(df: DataFrame, keyCol: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    require(hi > lo, s"need hi $hi > lo $lo")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), bin.as("bin"))
+      .groupBy("key", "bin").agg(count(lit(1)).as("bn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val cum = counts
+      .withColumn("cum", sum(col("bn")).over(w))
+      .withColumn("cum_prev", col("cum") - col("bn"))
+      .withColumn("n_total", sum(col("bn")).over(tw))
+    val qframe = df.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    cum.crossJoin(qframe)
+      .filter(col("cum").cast("double") >= col("q") * col("n_total").cast("double"))
+      .groupBy(col("key"), col("q"))
+      .agg(min(struct(col("bin"), col("bn"), col("cum_prev"), col("n_total"))).as("s"))
+      .select(col("key"), col("q"), col("s.bin").as("bin"),
+        (lit(lo) + lit(width) * (col("s.bin").cast("double") +
+          least(greatest(
+            (col("q") * col("s.n_total").cast("double") -
+              col("s.cum_prev").cast("double")) / col("s.bn").cast("double"),
+            lit(0.0)), lit(1.0)))).as("quantile_est"))
+  }
+
   /** Per-group z-score normalization (feature scaling): attach
     * `(v - mean) / stddev_pop` computed from window aggregates whose sums
     * route through DECIMAL — the moments are aggregation-order-exact, so

@@ -313,6 +313,21 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- per-group binned quantiles (group-scale percentiles) ------
+    "q134_group_quantiles" -> ((s, dir) => {
+      // p50/p90 of value WITHIN each event type from one count pass —
+      // the percentile path that scales to millions of groups: <=25
+      // rows per group after the first aggregation, cumulative windows
+      // partitioned BY KEY (parallel), exact integer counts
+      graft.operators.Stats.binnedQuantilesPerGroup(rd(s, dir, "events"),
+        "event_type", "value", lo = 0.0, hi = 500.0, bins = 25,
+        qs = Seq(0.5, 0.9))
+        .select(col("key").as("event_type"), col("q"), col("bin"),
+          r(col("quantile_est"), 6).as("quantile_est"))
+        .orderBy("event_type", "q")
+    }),
+
+
     // ----- daily drift trend (the monitoring series) -----------------
     "q133_drift_trend" -> ((s, dir) => {
       // each day's value histogram scored against the previous day —
@@ -1053,6 +1068,30 @@ private[graft] object PipelineQueries {
         |  CAST(ntile(10) OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q134_group_quantiles" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, CAST(least(greatest(
+        |  floor((v - 0.0) / 500.0 * 25), 0), 24) AS BIGINT) AS bin FROM v),
+        |counts AS (SELECT event_type, bin, COUNT(*) AS bn FROM b GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, bn,
+        |  SUM(bn) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |  SUM(bn) OVER (PARTITION BY event_type ORDER BY bin) - bn AS cum_prev,
+        |  SUM(bn) OVER (PARTITION BY event_type) AS n_total FROM counts),
+        |qs AS (SELECT unnest([0.5, 0.9]) AS q),
+        |picked AS (SELECT event_type, q, min(bin) AS bin
+        |  FROM cum CROSS JOIN qs
+        |  WHERE CAST(cum AS DOUBLE) >= q * CAST(n_total AS DOUBLE)
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.q AS q, p.bin AS bin,
+        |  floor((0.0 + ((500.0 - 0.0) / 25) * (CAST(p.bin AS DOUBLE) +
+        |    least(greatest((p.q * CAST(c.n_total AS DOUBLE)
+        |                    - CAST(c.cum_prev AS DOUBLE))
+        |                   / CAST(c.bn AS DOUBLE), 0.0), 1.0)))
+        |    * 1000000 + 0.5) / 1000000 AS quantile_est
+        |FROM picked p JOIN cum c ON p.event_type = c.event_type AND p.bin = c.bin
+        |ORDER BY p.event_type, q""".stripMargin,
 
     "q133_drift_trend" ->
       """WITH e AS (SELECT

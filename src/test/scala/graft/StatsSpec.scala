@@ -203,6 +203,21 @@ class StatsSpec extends SparkSpec {
     assert(boom.getMessage.contains("gapFill"))
   }
 
+  test("binnedQuantilesPerGroup equals the global estimator per group slice") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 8.0), ("a", 9.0),
+      ("b", 4.0), ("b", 4.5), ("b", 6.0)).toDF("k", "v")
+    val per = Stats.binnedQuantilesPerGroup(df, "k", "v",
+      lo = 0.0, hi = 10.0, bins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (k <- Seq("a", "b")) {
+      val global = Stats.binnedQuantiles(df.filter(col("k") === k), "v",
+        lo = 0.0, hi = 10.0, bins = 10, qs = Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2)))
+      global.foreach { case (q, want) => assert(per((k, q)) == want) }
+    }
+  }
+
   test("driftOverTime: stable buckets read 0, shifts score, gaps skip") {
     val rows = Seq(
       (0L, 1.0), (2L, 1.0), (5L, 2.0),      // bucket 0
