@@ -182,6 +182,58 @@ object Sampling {
       floor(rate * lit(4294967296.0) + lit(0.5)))
   }
 
+  /** NEYMAN-allocated stratified sample — the survey-sampling optimum:
+    * a `totalN`-row budget split across strata proportional to
+    * `N_h · S_h` (stratum size × stddev), so high-variance strata get
+    * the rows and near-constant strata are barely sampled — minimizing
+    * the variance of any downstream mean estimate at a fixed budget.
+    * `N_h · S_h` collapses to `sqrt(n·Σv² − (Σv)²)`, so the whole
+    * allocation needs one tiny aggregate per stratum.
+    *
+    * Reproducibility (the oracle contract): values snap to the
+    * `1/valueScale` lattice first, moments are EXACT integer sums
+    * (DECIMAL-routed), each stratum's allocation weight lands on a 1e-3
+    * lattice before the cross-strata total (longs — order-independent),
+    * and membership is the usual md5-cutoff draw — rerun-stable, no RNG.
+    * Rows with NULL values are excluded from stats AND the sample.
+    * Zero-variance strata get rate 0 (pure Neyman — they contribute
+    * nothing to estimator variance); at least one stratum must vary.
+    *
+    * Scale shape: one partial-aggregated stats pass to |strata| rows, a
+    * driver-side fold over those, then a scan-speed cutoff filter —
+    * identical shape to [[mixtureSample]]. */
+  def neymanSample(df: DataFrame, strataCol: String, keyCols: Seq[String],
+      valueCol: String, totalN: Long, valueScale: Long = 100L): DataFrame = {
+    require(keyCols.nonEmpty, "neyman sample needs key columns")
+    require(totalN > 0, s"totalN $totalN must be positive")
+    require(valueScale > 0, s"valueScale $valueScale must be positive")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val vm = floor(col(valueCol).cast("double") * valueScale + 0.5)
+      .cast("decimal(38,0)")
+    val stats = nonNull.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(vm).as("s1"), sum(vm * vm).as("s2"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val s1 = r.getDecimal(2); val s2 = r.getDecimal(3)
+        // N_h·S_h = sqrt(n·Σvm² − (Σvm)²): exact integer SS, one sqrt
+        val ss = s2.multiply(java.math.BigDecimal.valueOf(n))
+          .subtract(s1.multiply(s1))
+        val w3 = math.floor(math.sqrt(ss.doubleValue) * 1000 + 0.5).toLong
+        (r.getString(0), n, w3)
+      }
+    val totalW = stats.map(_._3).sum
+    require(totalW > 0, "neymanSample: every stratum has zero variance")
+    val rate = stats.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (els, (stratum, n, w3)) =>
+        val r = math.min(
+          totalN.toDouble * (w3.toDouble / totalW.toDouble) / n.toDouble, 1.0)
+        when(col(strataCol) === stratum, lit(r)).otherwise(els)
+    }
+    nonNull.filter(uniformLong(keyCols.map(col)) <
+      floor(rate * lit(4294967296.0) + lit(0.5)))
+  }
+
   /** Deterministic negative sampling for contrastive training: for every
     * anchor row, up to `k` pseudo-random negatives drawn by hashing
     * `(anchor id, slot)` onto the dense id domain `[0, n)` — rerun-stable

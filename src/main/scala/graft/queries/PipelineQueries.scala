@@ -313,6 +313,19 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- Neyman-allocated stratified sample ------------------------
+    "q135_neyman_sample" -> ((s, dir) => {
+      // a 2000-row budget split across event types proportional to
+      // N_h·S_h (= sqrt of the exact integer sum-of-squares) — the
+      // allocation that minimizes downstream mean-estimator variance;
+      // membership is the md5-cutoff draw, so the sample is rerun-stable
+      graft.operators.Sampling.neymanSample(
+        rd(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", Seq("event_id"), "value", totalN = 2000L)
+        .orderBy("event_id")
+    }),
+
+
     // ----- per-group binned quantiles (group-scale percentiles) ------
     "q134_group_quantiles" -> ((s, dir) => {
       // p50/p90 of value WITHIN each event type from one count pass —
@@ -1068,6 +1081,29 @@ private[graft] object PipelineQueries {
         |  CAST(ntile(10) OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q135_neyman_sample" ->
+      """WITH v AS (SELECT event_id, event_type, value,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(vm AS HUGEINT)) AS s1,
+        |  SUM(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS s2
+        |  FROM v GROUP BY 1),
+        |w AS (SELECT event_type, n,
+        |  CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1000 + 0.5)
+        |    AS BIGINT) AS w3
+        |  FROM st),
+        |tw AS (SELECT CAST(SUM(w3) AS BIGINT) AS tot FROM w),
+        |r AS (SELECT event_type,
+        |  least(2000.0 * (CAST(w3 AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 1.0) AS rate
+        |  FROM w CROSS JOIN tw)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM v e JOIN r ON e.event_type = r.event_type
+        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < floor(rate * 4294967296.0 + 0.5)
+        |ORDER BY event_id""".stripMargin,
 
     "q134_group_quantiles" ->
       """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events

@@ -522,6 +522,36 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("neymanSample: allocation tracks stratum stddev, rerun-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // A alternates 0/10, B alternates 0/20 (twice the stddev, same size),
+    // C is constant: hand-computed rates are A: 60·(1/3)/100 = 0.2,
+    // B: 60·(2/3)/100 = 0.4, C: 0 (zero variance — pure Neyman)
+    val df = (1 to 100).map(i => ("A", i.toLong, if (i % 2 == 0) 10.0 else 0.0))
+      .++((101 to 200).map(i => ("B", i.toLong, if (i % 2 == 0) 20.0 else 0.0)))
+      .++((201 to 250).map(i => ("C", i.toLong, 7.0)))
+      .toDF("stratum", "id", "value")
+    val got = Sampling.neymanSample(df, "stratum", Seq("id"), "value",
+      totalN = 60L)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!rows.exists(_._1 == "C")) // constant stratum contributes nothing
+    // exact membership: the same md5 cutoff at the hand-computed rates
+    def expect(s: String, rate: Double) =
+      df.filter(col("stratum") === s)
+        .filter(Sampling.uniformLong(Seq(col("id"))) <
+          floor(lit(rate) * 4294967296.0 + 0.5))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == expect("A", 0.2) ++ expect("B", 0.4))
+    // rerun-stable
+    assert(Sampling.neymanSample(df, "stratum", Seq("id"), "value", 60L)
+      .collect().map(_.getLong(1)).toSet == rows.map(_._2))
+    intercept[IllegalArgumentException] {
+      Sampling.neymanSample(df.filter(col("stratum") === "C"),
+        "stratum", Seq("id"), "value", 10L).collect()
+    }
+  }
+
   test("sessionize: gap rule, 1-based per-key ids, same-second ties merge") {
     import spark.implicits._
     val ev = Seq(
