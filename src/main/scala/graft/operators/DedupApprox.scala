@@ -428,8 +428,13 @@ object DedupApprox {
     *
     * Scale shape: one distinct-token explode, one df aggregation, one
     * prefix equi-join, one pair-sized verify join — all hash
-    * exchanges. Jaccard lands on the 1e-4 lattice; column order
-    * (id_a < id_b) and the final sort are deterministic. */
+    * exchanges. Tokens travel as their portable 60-bit md5 hashes
+    * end-to-end (the q25/q48 hash family): the candidate join keys on
+    * LONGs and the verify arrays are 8 bytes per element instead of
+    * full strings — soundness is unaffected because prefix filtering
+    * only needs SOME global total order, and (df, hash) is one.
+    * Jaccard lands on the 1e-4 lattice; column order (id_a < id_b) and
+    * the final sort are deterministic. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -438,21 +443,23 @@ object DedupApprox {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(np, col(idCol))
       .select(col(idCol).as("id"),
-        explode(split(TextAnalysis.normText(col(textCol)), " ")).as("tok"))
-      .distinct()
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("_o"))
+        explode(split(TextAnalysis.normText(col(textCol)), " ")).as("_tok"))
       .select(col("id"),
-        transform(col("_o"), s => s.getField("tok")).as("toks"),
+        graft.functions.Checksums.md5PrefixLong(col("_tok")).as("h"))
+      .distinct()
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("_o"))
+      .select(col("id"),
+        transform(col("_o"), s => s.getField("h")).as("toks"),
         size(col("_o")).cast("long").as("n"))
       .persist(sl)
     val prefixLen = col("n") - ceil(lit(threshold) * col("n").cast("double")) + 1
     val prefixes = ordered.select(col("id"), col("n"),
-      explode(slice(col("toks"), lit(1), prefixLen.cast("int"))).as("tok"))
+      explode(slice(col("toks"), lit(1), prefixLen.cast("int"))).as("h"))
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
           col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

@@ -586,19 +586,21 @@ private[graft] object TextQueries {
 
     "q128_prefix_filter_join" -> (nearDupCte +
       """,
-        |tk AS (SELECT DISTINCT doc_id, unnest(string_split(
+        |tk AS (SELECT DISTINCT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |  FROM corpus),
-        |dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
-        |ord AS (SELECT doc_id, list(tok ORDER BY df, tok) AS toks,
+        |  FROM corpus)),
+        |dfq AS (SELECT h, COUNT(*) AS df FROM tk GROUP BY 1),
+        |ord AS (SELECT doc_id, list(h ORDER BY df, h) AS toks,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM tk JOIN dfq USING (tok) GROUP BY doc_id),
+        |  FROM tk JOIN dfq USING (h) GROUP BY doc_id),
         |pfx AS (SELECT doc_id, n,
         |  unnest(toks[1 : CAST(n - CAST(ceil(0.6 * CAST(n AS DOUBLE)) AS BIGINT)
-        |    + 1 AS INTEGER)]) AS tok
+        |    + 1 AS INTEGER)]) AS h
         |  FROM ord),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
         |   AND CAST(b.n AS DOUBLE) >= 0.6 * CAST(a.n AS DOUBLE)
         |   AND CAST(a.n AS DOUBLE) >= 0.6 * CAST(b.n AS DOUBLE)),
         |v AS (SELECT id_a, id_b,
