@@ -87,6 +87,36 @@ object Stats {
             lit(0.0)), lit(1.0)))).as("quantile_est"))
   }
 
+  /** Per-group WEIGHTED median — the importance-weighted robust center
+    * ("median token count weighted by document length"): the smallest
+    * value whose cumulative weight reaches half the group's total
+    * (the lower weighted median — a value from the data, never an
+    * interpolation). Weights must be integral (cast to long; NULL
+    * weights and NULL values drop the row), so every cumulative sum is
+    * exact and the pick reproduces in any engine. Equal values are
+    * PEERS: the cumulative window uses the default RANGE frame, so all
+    * rows at one value share one cumulative weight — no tie-order
+    * sensitivity.
+    *
+    * Scale shape: one hash exchange on the group key; two key-partitioned
+    * windows and one groupBy reuse the clustering. */
+  def weightedMedianPerGroup(df: DataFrame, keyCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
+    val tot = Window.partitionBy(col("key"))
+    base
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("totw", sum(col("w")).over(tot))
+      .groupBy(col("key"))
+      .agg(min(when(col("cumw") * 2 >= col("totw"), col("v")))
+        .as("weighted_median"))
+  }
+
   /** Per-GROUP binned quantiles — [[binnedQuantiles]] partitioned by a
     * key: the percentile path that scales to millions of groups (the
     * exact interpolated form [[winsorizePerGroup]] uses needs each

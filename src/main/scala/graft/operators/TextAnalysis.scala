@@ -727,6 +727,49 @@ object TextAnalysis {
       .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Cluster LABELING terms — the c-TF-IDF rule (class-based TF-IDF, the
+    * BERTopic labeling step): score term t for cluster c by the
+    * cluster's term count × corpus rarity, keep each cluster's top-k.
+    * The "what is this cluster about" primitive a semantic-dedup or
+    * topic-mining pipeline runs right after clustering.
+    *
+    * Rarity uses the same log-free BM25 idf ratio as [[bm25Rank]]
+    * ((N − df + 0.5) / (df + 0.5)) — ln() is libm-specific, the ratio is
+    * IEEE-exact and order-compatible. Scores snap to the 1e-6 lattice as
+    * longs BEFORE ranking, so the top-k cut is engine-portable.
+    *
+    * Scale shape: one token explode feeding two partial-aggregated
+    * counts (cluster-term counts; distinct-doc df), a broadcast of the
+    * vocabulary-sized df frame, and a per-cluster rank window —
+    * parallel across clusters. */
+  def clusterTerms(docs: DataFrame, clusterCol: String, idCol: String,
+      textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val n = docs.count()
+    require(n > 0, "clusterTerms needs a non-empty corpus")
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"), col(clusterCol).as("cluster"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+    val ctf = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val dfreq = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("ms").desc, col("term").asc)
+    ctf.join(broadcast(dfreq.select(col("term"), col("idf"))), "term")
+      .withColumn("ms",
+        floor(col("ctf").cast("double") * col("idf") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("rank"), col("term"),
+        (col("ms").cast("double") / lit(1000000.0)).as("score"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -313,6 +313,18 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- weighted median per group ---------------------------------
+    "q136_weighted_median" -> ((s, dir) => {
+      // quantity-weighted median price per return flag: exact integer
+      // cumulative weights, peer-inclusive RANGE frames — a data value,
+      // reproducible anywhere, one exchange on the group key
+      graft.operators.Stats.weightedMedianPerGroup(rd(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")
+        .select(col("key").as("l_returnflag"), col("weighted_median"))
+        .orderBy("l_returnflag")
+    }),
+
+
     // ----- Neyman-allocated stratified sample ------------------------
     "q135_neyman_sample" -> ((s, dir) => {
       // a 2000-row budget split across event types proportional to
@@ -1081,6 +1093,19 @@ private[graft] object PipelineQueries {
         |  CAST(ntile(10) OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q136_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |  CAST(l_extendedprice AS DOUBLE) AS v,
+        |  CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (SELECT k, v,
+        |  SUM(w) OVER (PARTITION BY k ORDER BY v) AS cumw,
+        |  SUM(w) OVER (PARTITION BY k) AS totw FROM b)
+        |SELECT k AS l_returnflag,
+        |  MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS weighted_median
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q135_neyman_sample" ->
       """WITH v AS (SELECT event_id, event_type, value,

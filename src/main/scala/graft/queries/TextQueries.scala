@@ -114,6 +114,19 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- cluster labeling terms (c-TF-IDF) -------------------------
+    "q137_cluster_terms" -> ((s, dir) => {
+      // top-5 characteristic terms per source "cluster": cluster term
+      // count x log-free idf ratio, scores snapped to the 1e-6 lattice
+      // BEFORE the per-cluster rank window — the BERTopic labeling step
+      TextAnalysis.clusterTerms(
+        rd(s, dir, "documents").select("doc_id", "source", "text"),
+        "source", "doc_id", "text", topK = 5)
+        .withColumnRenamed("cluster", "source")
+        .orderBy("source", "rank")
+    }),
+
+
     // ----- exact-threshold similarity join via prefix filtering ------
     "q128_prefix_filter_join" -> ((s, dir) => {
       // AllPairs/PPJoin: NO-false-negative word-set Jaccard >= 0.6 pairs
@@ -583,6 +596,26 @@ private[graft] object TextQueries {
         |FROM isl2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
 
+
+    "q137_cluster_terms" ->
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |ctf AS (SELECT source, term, COUNT(*) AS ctf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |sc AS (SELECT source, c.term,
+        |  CAST(floor(CAST(ctf AS DOUBLE) *
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |     (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS ms
+        |  FROM ctf c JOIN dfq d ON c.term = d.term CROSS JOIN nn),
+        |rk AS (SELECT source, term, ms,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY ms DESC, term ASC) AS rank FROM sc)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(ms AS DOUBLE) / 1000000.0 AS score
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q128_prefix_filter_join" -> (nearDupCte +
       """,

@@ -203,6 +203,21 @@ class StatsSpec extends SparkSpec {
     assert(boom.getMessage.contains("gapFill"))
   }
 
+  test("weightedMedianPerGroup: weight dominance, peers, NULL drops") {
+    val df = Seq(
+      ("a", 1.0, Some(1L)), ("a", 2.0, Some(1L)), ("a", 3.0, Some(10L)),
+      ("b", 1.0, Some(1L)), ("b", 2.0, Some(1L)), ("b", 3.0, Some(1L)),
+      ("b", 4.0, Some(1L)),
+      ("c", 5.0, Some(1L)), ("c", 5.0, Some(1L)), ("c", 7.0, Some(1L)),
+      ("c", 9.0, None)) // NULL weight: dropped, cannot shift the median
+      .toDF("k", "v", "w")
+    val got = Stats.weightedMedianPerGroup(df, "k", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: the w=10 row dominates; b: lower median of 1..4 is 2;
+    // c: the two peers at 5 share cumw=2, 2*2 >= 3
+    assert(got == Map("a" -> 3.0, "b" -> 2.0, "c" -> 5.0))
+  }
+
   test("binnedQuantilesPerGroup equals the global estimator per group slice") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 8.0), ("a", 9.0),
       ("b", 4.0), ("b", 4.5), ("b", 6.0)).toDF("k", "v")
