@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -30,9 +30,15 @@ import scala.collection.mutable
   */
 case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0 && k <= 1000000, s"k $k must be in [1, 1e6]")
+
+  // analysis-time coercion for the SQL-registered form: a DECIMAL score
+  // or INT id arrives as DOUBLE/BIGINT instead of a runtime
+  // ClassCastException inside eval
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   // the queue's max is the WORST kept pair (lowest score, then largest
   // id) so eviction compares against head in O(1)

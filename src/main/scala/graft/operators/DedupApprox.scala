@@ -447,8 +447,12 @@ object DedupApprox {
       .select(col("id"),
         graft.functions.Checksums.md5PrefixLong(col("_tok")).as("h"))
       .distinct()
-    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfreq, "h")
+    // df attached as a window count over the hash — the shingleNovelty
+    // single-lineage trick: a join against a separate df aggregate would
+    // re-run the whole tokenize/explode/hash pass once per consumer
+    val ordered = toks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("_o"))
       .select(col("id"),

@@ -36,16 +36,21 @@ object GlobalOrder {
     * ONE data shuffle (the range exchange) + one numPartitions-row side
     * job — vs the naive window's all-data-to-one-task collapse.
     *
-    * The frame is persisted before the counts job: range boundaries are
-    * sampled per execution, so the two passes must observe the SAME
-    * physical partitioning (an unpersisted lineage could re-sample
-    * different boundaries between the counts job and the output job and
-    * mis-stitch offsets). The persist is released by Spark's
-    * ContextCleaner when the returned frame goes out of scope. */
+    * The frame is EAGERLY local-checkpointed before the counts job:
+    * range boundaries are sampled per execution, so the two passes must
+    * observe the SAME physical partitioning (a live lineage could
+    * re-sample different boundaries between the counts job and the
+    * output job and mis-stitch offsets). localCheckpoint truncates the
+    * lineage to stored blocks, and — unlike a Dataset persist, which
+    * pins a CacheManager entry until someone unpersists it — those
+    * RDD-level blocks ARE released by ContextCleaner once the returned
+    * frame is garbage-collected. */
   def sequenceIds(df: DataFrame, sortCols: Seq[Column],
       outCol: String = "global_pos"): DataFrame = {
     require(sortCols.nonEmpty, "sequenceIds needs at least one sort column")
-    require(!df.columns.contains(outCol), s"input already has a $outCol column")
+    val taken = Seq(outCol, "_pid", "_local", "_offset").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has column(s) ${taken.mkString(", ")} that sequenceIds needs")
     val np = df.sparkSession.sparkContext.defaultParallelism
     val sorted = df
       .repartitionByRange(np, sortCols: _*)
@@ -53,7 +58,7 @@ object GlobalOrder {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_local", monotonically_increasing_id()
         .bitwiseAND(lit((1L << 33) - 1)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // numPartitions rows: cumulative counts in partition-id order (range
     // partitions are emitted in key order, so pid order == key order)
     val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))

@@ -195,7 +195,10 @@ object Sampling {
     * (DECIMAL-routed), each stratum's allocation weight lands on a 1e-3
     * lattice before the cross-strata total (longs — order-independent),
     * and membership is the usual md5-cutoff draw — rerun-stable, no RNG.
-    * Rows with NULL values are excluded from stats AND the sample.
+    * Rows with a NULL value OR a NULL stratum are excluded from stats
+    * AND the sample (a NULL stratum can never match the rate dispatch,
+    * so letting it into the stats would silently divert budget to rows
+    * that cannot be drawn).
     * Zero-variance strata get rate 0 (pure Neyman — they contribute
     * nothing to estimator variance); at least one stratum must vary.
     *
@@ -207,7 +210,7 @@ object Sampling {
     require(keyCols.nonEmpty, "neyman sample needs key columns")
     require(totalN > 0, s"totalN $totalN must be positive")
     require(valueScale > 0, s"valueScale $valueScale must be positive")
-    val nonNull = df.filter(col(valueCol).isNotNull)
+    val nonNull = df.filter(col(valueCol).isNotNull && col(strataCol).isNotNull)
     val vm = floor(col(valueCol).cast("double") * valueScale + 0.5)
       .cast("decimal(38,0)")
     val stats = nonNull.groupBy(col(strataCol))

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   * reproducible across engines by construction. */
 object Stats {
 
+  /** The one clamped fixed-histogram bin expression every estimator in
+    * this file shares: `floor((v − lo) / (hi − lo) · bins)` clamped to
+    * `[0, bins)` — extracted so the four consumers (global and per-group
+    * quantiles, both drift forms) and their oracle SQL mirrors can never
+    * silently diverge. */
+  private def binExpr(valueCol: String, lo: Double, hi: Double,
+      bins: Int): Column =
+    least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+
   /** Approximate quantiles per group; `accuracy` trades memory for error
     * (err <= 1/accuracy of the rank). */
   def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -59,9 +70,7 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
     val width = (hi - lo) / bins
-    val bin = least(greatest(
-      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
-      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val bin = binExpr(valueCol, lo, hi, bins)
     val counts = df.filter(col(valueCol).isNotNull)
       .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("bn"))
     // the remaining plan touches <= bins rows: a single-partition window
@@ -135,9 +144,7 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
     val width = (hi - lo) / bins
-    val bin = least(greatest(
-      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
-      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val bin = binExpr(valueCol, lo, hi, bins)
     val counts = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), bin.as("bin"))
       .groupBy("key", "bin").agg(count(lit(1)).as("bn"))
@@ -392,15 +399,19 @@ object Stats {
     require(bins > 0, s"bins $bins must be positive")
     require(hi > lo, s"need hi $hi > lo $lo")
     def binned(df: DataFrame, cname: String): DataFrame = {
-      val bin = least(greatest(
-        floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
-        lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+      val bin = binExpr(valueCol, lo, hi, bins)
       df.filter(col(valueCol).isNotNull)
         .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as(cname))
     }
-    val ca = binned(a, "cnt_a"); val cb = binned(b, "cnt_b")
-    val na = a.filter(col(valueCol).isNotNull).count()
-    val nb = b.filter(col(valueCol).isNotNull).count()
+    // the binned frames are <= bins rows — eagerly local-checkpoint them
+    // so the totals (a driver action over those rows) and the join reuse
+    // ONE scan of each data-sized input instead of a second full count
+    // pass (checkpoint blocks are ContextCleaner-released, unlike a
+    // Dataset persist's pinned CacheManager entry)
+    val ca = binned(a, "cnt_a").localCheckpoint(true)
+    val cb = binned(b, "cnt_b").localCheckpoint(true)
+    val na = ca.agg(coalesce(sum(col("cnt_a")), lit(0L))).head().getLong(0)
+    val nb = cb.agg(coalesce(sum(col("cnt_b")), lit(0L))).head().getLong(0)
     require(na > 0 && nb > 0, "distributionDrift needs non-empty sides")
     val joined = ca.join(cb, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -436,9 +447,7 @@ object Stats {
     require(hi > lo, s"need hi $hi > lo $lo")
     val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
       .cast("long")
-    val bin = least(greatest(
-      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
-      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val bin = binExpr(valueCol, lo, hi, bins)
     val counts = df.filter(col(valueCol).isNotNull)
       .select(bucket.as("bucket_start"), bin.as("bin"))
       .groupBy("bucket_start", "bin").agg(count(lit(1)).as("cnt"))

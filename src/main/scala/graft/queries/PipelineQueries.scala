@@ -1110,7 +1110,7 @@ private[graft] object PipelineQueries {
     "q135_neyman_sample" ->
       """WITH v AS (SELECT event_id, event_type, value,
         |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vm
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |st AS (SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(vm AS HUGEINT)) AS s1,
         |  SUM(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS s2

@@ -253,8 +253,10 @@ class ExpressionSpec extends SparkSpec {
       val m = s2.sql("SELECT md5_prefix60('abc') AS h").collect()
       assert(m.head.getLong(0) == graft.functions.Md5Hash.prefix60(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
-      val tk = s2.sql("SELECT top_k_pairs(CAST(v AS DOUBLE), id, 2) AS t " +
-        "FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS d(v, id)").collect()
+      // no hand-written casts: ImplicitCastInputTypes coerces the DECIMAL
+      // literal score and the INT id at analysis time
+      val tk = s2.sql("SELECT top_k_pairs(v, id, 2) AS t " +
+        "FROM VALUES (1.0, 10), (3.0, 30), (2.0, 20) AS d(v, id)").collect()
       assert(tk.head.getSeq[org.apache.spark.sql.Row](0).map(r =>
         (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
     } finally {
