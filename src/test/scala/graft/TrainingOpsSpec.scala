@@ -951,5 +951,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0)._2 == 1.0 / 62 + 1.0 / 62)
     assert(out(1)._2 == 1.0 / 61 && out(2)._2 == 1.0 / 61)
     intercept[IllegalArgumentException] { Similarity.rrfFuse(Seq(a), "id") }
+    // N > 2 lists fold left-to-right: a doc in all three beats rank-1
+    // singletons, and the rank columns stay addressable per input
+    val c = Seq((20L, 1L), (7L, 2L)).toDF("id", "rank")
+    val three = Similarity.rrfFuse(Seq(a, b, c), "id", kRrf = 60, topK = 10)
+      .collect()
+    assert(three.head.getLong(0) == 20L)
+    assert(three.head.getDouble(4) == 1.0 / 62 + 1.0 / 62 + 1.0 / 61)
+  }
+
+  test("duplicateSpans: docs shorter than k never produce windows") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // both docs are identical but have no 3-windows: empty result, not
+    // a crash and not a degenerate whole-doc window
+    assert(TextAnalysis.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .count() == 0)
   }
 }
