@@ -382,6 +382,22 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- native mergeable exact distinct-count ---------------------
+    "q138_bitmap_distinct" -> ((s, dir) => {
+      // distinct buying customers + order volume per priority via the
+      // bitmap_distinct aggregate: exact like COUNT(DISTINCT) but ONE
+      // partial-aggregated pass — no Expand duplicating every row per
+      // aggregate, no (group, custkey)-keyed exchange; the shuffle
+      // carries one sparse bitmap per (task, group)
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("o_custkey"))
+          .as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+
     // ----- exactly-n deterministic sample (eval-set carving) ---------
     "q119_exact_n_sample" -> ((s, dir) => {
       // the 40 documents with the smallest uniform draw — an exact-size
@@ -1195,6 +1211,12 @@ private[graft] object PipelineQueries {
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(rk AS BIGINT) AS rank, price, l_orderkey
         |FROM r WHERE rk <= 5 ORDER BY l_returnflag, rank""".stripMargin,
+
+    "q138_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q119_exact_n_sample" ->
       """SELECT doc_id, source, n_chars FROM (

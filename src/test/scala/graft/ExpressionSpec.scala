@@ -231,6 +231,32 @@ class ExpressionSpec extends SparkSpec {
     assert(small.length == 2)
   }
 
+  test("bitmap_distinct: equals countDistinct across partitions, handles negatives and NULLs") {
+    import graft.functions.BitmapDistinct
+    // dense ids, sparse far-apart ids, negatives, duplicates — across a
+    // wide repartition so partial bitmaps MUST merge associatively
+    val df = spark.range(2000).select(
+      (col("id") % 5).as("g"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .when(col("id") % 3 === 0, -col("id") * 1000003L)
+        .otherwise(col("id") % 97).as("v"))
+      .repartition(16)
+    val got = df.groupBy("g")
+      .agg(BitmapDistinct.bitmapDistinct(col("v")).as("n"))
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = df.groupBy("g")
+      .agg(countDistinct(col("v")).as("n"))
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    // all-NULL group counts 0 (countDistinct agrees)
+    import spark.implicits._
+    val nulls = Seq((1L, Option.empty[Long]), (1L, Option.empty[Long]))
+      .toDF("g", "v")
+    val z = nulls.groupBy("g")
+      .agg(BitmapDistinct.bitmapDistinct(col("v")).as("n")).collect()
+    assert(z.head.getLong(1) == 0L)
+  }
+
   test("GraftExtensions registers cosine_sim as a SQL function") {
     // a genuinely new session (getOrCreate would reuse the shared one and
     // skip extension installation); the SparkContext is shared
@@ -259,6 +285,10 @@ class ExpressionSpec extends SparkSpec {
         "FROM VALUES (1.0, 10), (3.0, 30), (2.0, 20) AS d(v, id)").collect()
       assert(tk.head.getSeq[org.apache.spark.sql.Row](0).map(r =>
         (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
+      // INT ids coerce to LONG at analysis time; duplicates collapse
+      val bd = s2.sql("SELECT bitmap_distinct(v) AS n " +
+        "FROM VALUES (7), (7), (9), (NULL), (-3) AS d(v)").collect()
+      assert(bd.head.getLong(0) == 3L)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
