@@ -128,6 +128,21 @@ private[graft] object TextQueries {
 
 
     // ----- exact-threshold similarity join via prefix filtering ------
+    // ----- exact edit-distance-1 fuzzy join (SymSpell blocking) ------
+    "q139_fuzzy_join" -> ((s, dir) => {
+      // typo-tolerant entity matching: every customer-name pair within
+      // ONE edit, found by a single equi-join on symmetric-delete
+      // variants (no false negatives, no cartesian) + banded verify.
+      // The oracle is the BRUTE-FORCE O(n^2) levenshtein join — equality
+      // proves the blocking loses nothing
+      graft.operators.FuzzyJoin.ed1Pairs(
+        rd(s, dir, "customer").filter(col("c_custkey") <= 500),
+        "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+
     "q128_prefix_filter_join" -> ((s, dir) => {
       // AllPairs/PPJoin: NO-false-negative word-set Jaccard >= 0.6 pairs
       // — candidates from one equi-join on rarity-ordered token
@@ -616,6 +631,15 @@ private[graft] object TextQueries {
         |SELECT source, CAST(rank AS BIGINT) AS rank, term,
         |  CAST(ms AS DOUBLE) / 1000000.0 AS score
         |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q139_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND a.c_custkey <= 500 AND b.c_custkey <= 500
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q128_prefix_filter_join" -> (nearDupCte +
       """,

@@ -941,6 +941,36 @@ class TrainingOpsSpec extends SparkSpec {
       Seq((1L, 3L)))
   }
 
+  test("ed1Pairs: equals brute-force levenshtein — insert/delete/substitute/equal") {
+    import graft.operators.FuzzyJoin
+    val rows = Seq(
+      (1L, "kitten"),   // vs 2: substitute -> 1
+      (2L, "mitten"),
+      (3L, "kitte"),    // vs 1: delete -> 1; vs 2: 2
+      (4L, "kittens"),  // vs 1: insert -> 1; vs 3: 2
+      (5L, "kitten"),   // equal to 1 -> 0
+      (6L, "ab"), (7L, "ba"),  // share deletion variant "a" but ed = 2
+      (8L, ""), (9L, "x"),     // empty vs one char -> 1
+      (10L, "totally-different"))
+      .toDF("id", "s")
+    val got = FuzzyJoin.ed1Pairs(rows, "id", "s")
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows.as("x").join(rows.as("y"), col("x.id") < col("y.id"))
+      .withColumn("d", levenshtein(col("x.s"), col("y.s")))
+      .filter(col("d") <= 1)
+      .select(col("x.id"), col("y.id"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 5L, 0)))       // equal pair at distance 0
+    assert(got.contains((8L, 9L, 1)))       // empty-string edge
+    assert(!got.exists(t => t._1 == 6L && t._2 == 7L)) // verify kills ed=2
+    // NULL strings are dropped, not matched
+    val withNull = Seq((1L, "abc"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    assert(FuzzyJoin.ed1Pairs(withNull, "id", "s").count() == 0L)
+  }
+
   test("rrfFuse: rank-reciprocal sum, absent list contributes 0, ties by id") {
     val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val b = Seq((5L, 1L), (20L, 2L)).toDF("id", "rank")
