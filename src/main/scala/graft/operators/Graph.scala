@@ -90,4 +90,51 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-round k-core peeling over an UNDIRECTED edge set: `rounds`
+    * synchronous iterations of "drop every node with degree < k and its
+    * incident edges", returning the surviving nodes with their residual
+    * degree. The dense-core extractor for community detection and for
+    * pruning a near-dup graph down to its pathological knots before
+    * deeper analysis.
+    *
+    * Fixed rounds, not a fixpoint loop, for the same reason
+    * [[pageRank]] fixes iterations: every extra convergence check is a
+    * driver round-trip, and the unrolled form is what an external
+    * engine can replay exactly (the oracle contract). Peeling converges
+    * monotonically — a node dropped in round r stays dropped — so
+    * `rounds` only ever under-peels, never mis-peels; at corpus scale a
+    * handful of rounds removes the overwhelming mass of the shell.
+    *
+    * Scale shape: each round is one degree aggregation (partial-
+    * aggregated groupBy over the exploded endpoints) + two left-semi
+    * hash joins filtering the edge frame; each round's survivor frame
+    * persists so round r+1 reads a materialized frame, not a replayed
+    * lineage. Plan depth grows linearly with `rounds` — bound it (<= 8)
+    * or truncate lineage externally ([[Components]]-style checkpointing)
+    * for deeper peels. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds $rounds must be in [1, 8] (plan depth grows per round)")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(sl)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .persist(sl)
+    }
+    degrees(e)
+  }
 }

@@ -285,6 +285,26 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- k-core peeling (dense-core extraction) --------------------
+    "q140_kcore" -> ((s, dir) => {
+      // the 3-core of the support-pruned co-purchase graph after three
+      // synchronous peel rounds: per round one degree aggregation + two
+      // left-semi joins; survivors persist so each round reads a
+      // materialized frame, not a replayed lineage
+      val items = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = items.as("x")
+        .join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("_support"))
+        .filter(col("_support") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.kCorePeel(pairs, "src", "dst", k = 3, rounds = 3)
+        .orderBy("node")
+    }),
+
+
     // ----- robust (median/MAD) per-group scaling ---------------------
     "q130_robust_scale" -> ((s, dir) => {
       // outlier-resistant normalization of event values within each
@@ -1091,6 +1111,31 @@ private[graft] object PipelineQueries {
         |tn AS (SELECT unnest([x, y, z]) AS node FROM tri)
         |SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin,
+
+    "q140_kcore" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |d1 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+        |  AND b IN (SELECT node FROM k1)),
+        |d2 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+        |  AND b IN (SELECT node FROM k2)),
+        |d3 AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+        |  AND b IN (SELECT node FROM k3))
+        |SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q130_robust_scale" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m

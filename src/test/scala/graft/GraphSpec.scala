@@ -43,4 +43,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(loops, "src", "dst")
       .agg(sum("n_triangles")).head().getLong(0) == 6L)
   }
+
+  test("kCorePeel: peels the pendant chain off a 4-clique, round by round") {
+    // 4-clique {1,2,3,4} + chain 4-5-6; reversed + duplicate edges and a
+    // self-loop must not perturb the canonicalized simple graph
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (2L, 1L), (4L, 3L), (5L, 5L)).toDF("src", "dst")
+    def run(k: Int, rounds: Int) =
+      Graph.kCorePeel(edges, "src", "dst", k, rounds)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // round 1 drops only 6 (deg 1); 5 survives at deg 2, then shows deg 1
+    assert(run(k = 2, rounds = 1) ==
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L), (5L, 1L)))
+    // round 2 peels 5; the clique is the 2-core (and the 3-core)
+    assert(run(k = 2, rounds = 2) ==
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // extra rounds are a fixpoint no-op once converged
+    assert(run(k = 2, rounds = 4) == run(k = 2, rounds = 2))
+    // k above the max degree empties the graph
+    assert(run(k = 5, rounds = 2).isEmpty)
+  }
 }
