@@ -183,6 +183,35 @@ object TextAnalysis {
           * 1000000 + 0.5) / 1000000).as("top_frac"))
   }
 
+  /** Simpson lexical diversity per doc — Gini impurity of the token
+    * distribution, `1 - sum((cnt/total)^2)`: 0 for a one-token loop,
+    * →1 for all-distinct text. The standard log-free stand-in for
+    * token entropy in quality filtering (entropy needs ln, whose last
+    * ulp is libm-specific and breaks cross-engine hashing; Simpson
+    * ranks concentration the same way with only exact ops).
+    * Complements [[repetitionRatio]], which sees only the modal n-gram:
+    * a doc cycling ten phrases evenly has a low top_frac but still low
+    * diversity here.
+    *
+    * Shape: one explode + two partial-aggregated groupBys (same
+    * exchange profile as repetitionRatio); `sum(cnt)` and `sum(cnt²)`
+    * are exact integer sums, the one divide is IEEE on integer-valued
+    * doubles, and the result snaps to the 1e-6 lattice. */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(np, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingleStrings(col(textCol), 1)).as("_t"))
+      .groupBy(col("id"), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(col("_c") * col("_c")).as("_ss"))
+      .select(col("id"), col("n_tokens"),
+        (floor((lit(1.0) - col("_ss").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          * 1000000 + lit(0.5)) / 1000000).as("diversity"))
+  }
+
   // --- PII scrubbing + URL analysis (corpus-cleaning building blocks) ---
   // Patterns are RE2-safe (char classes, bounded repeats, no lookaround),
   // so the same pattern string runs verbatim in Spark (java.util.regex)

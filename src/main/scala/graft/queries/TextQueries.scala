@@ -128,6 +128,18 @@ private[graft] object TextQueries {
 
 
     // ----- exact-threshold similarity join via prefix filtering ------
+    // ----- Simpson lexical diversity (log-free token entropy) --------
+    "q141_lexical_diversity" -> ((s, dir) => {
+      // Gini impurity of each doc's token distribution — the quality
+      // signal repetitionRatio's modal n-gram misses (even cycling over
+      // ten phrases scores low here); exact integer moments, one IEEE
+      // divide, 1e-6 lattice
+      TextAnalysis.lexicalDiversity(docsBase(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+
     // ----- exact edit-distance-1 fuzzy join (SymSpell blocking) ------
     "q139_fuzzy_join" -> ((s, dir) => {
       // typo-tolerant entity matching: every customer-name pair within
@@ -631,6 +643,18 @@ private[graft] object TextQueries {
         |SELECT source, CAST(rank AS BIGINT) AS rank, term,
         |  CAST(ms AS DOUBLE) / 1000000.0 AS score
         |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q141_lexical_diversity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(c) AS n, SUM(c * c) AS ss FROM tc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  floor((1.0 - CAST(ss AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1000000 + 0.5)
+        |    / 1000000 AS diversity
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q139_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -476,6 +476,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r(1).getDouble(2) == math.floor(1.0 / 7.0 * 1000000 + 0.5) / 1000000)
   }
 
+  test("lexicalDiversity: uniform repetition scores low where top_frac cannot see it") {
+    val docs = Seq(
+      (1L, "x x x x"),                          // one token: diversity 0
+      (2L, "one two three four"),               // all distinct: 1 - 4/16
+      (3L, "aaa bbb aaa ccc"),                  // counts 2,1,1: 1 - 6/16
+      (4L, "a b a b a b")).toDF("doc_id", "text") // two tokens cycling evenly
+    val r = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r(0) == ((1L, 4L, 0.0)))
+    assert(r(1) == ((2L, 4L, 0.75)))
+    assert(r(2) == ((3L, 4L, math.floor((1.0 - 6.0 / 16.0) * 1000000 + 0.5) / 1000000)))
+    // the case repetitionRatio(n=1) underrates: modal share is only 1/2,
+    // but Simpson sees the full two-token concentration
+    assert(r(3)._3 == 0.5)
+  }
+
   test("incremental near-dup gate reports new-vs-corpus matches only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
