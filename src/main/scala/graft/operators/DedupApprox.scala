@@ -461,11 +461,26 @@ object DedupApprox {
       .persist(sl)
     val prefixLen = col("n") - ceil(lit(threshold) * col("n").cast("double")) + 1
     val prefixes = ordered.select(col("id"), col("n"),
-      explode(slice(col("toks"), lit(1), prefixLen.cast("int"))).as("h"))
+      posexplode(slice(col("toks"), lit(1), prefixLen.cast("int"))))
+      .select(col("id"), col("n"), col("pos").as("p"), col("col").as("h"))
+    // PPJoin positional filter: both arrays share the (df, h) total
+    // order, so a pair's overlap tokens all sit at or after the shared
+    // token's position on each side — overlap <= min(n_a - p_a, n_b -
+    // p_b) (p 0-based, count includes the shared token). Jaccard >= t
+    // forces overlap >= ceil(t/(1+t)·(n_a+n_b)) = alpha, so join rows
+    // whose positional bound is under alpha cannot be the pair's first
+    // shared token and are dropped BEFORE the pair ever materializes;
+    // a true pair always survives at its first shared prefix token.
+    // The 1e-9 backoff keeps ceil from rounding an epsilon-above-
+    // integer double product up (which would over-prune).
+    val alpha = ceil((col("a.n") + col("b.n")).cast("double") *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
-          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double"))
+          col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
+          least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+            .cast("double") >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val sets = ordered.select(col("id"), col("toks"), col("n"))
     val inter = size(array_intersect(col("_ta"), col("_tb"))).cast("long")

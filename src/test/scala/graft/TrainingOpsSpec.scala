@@ -956,6 +956,24 @@ class TrainingOpsSpec extends SparkSpec {
     val tight = DedupApprox.prefixFilterPairs(docs, "doc_id", "text", 0.7)
     assert(tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 3L)))
+    // positional-filter stress: varied lengths and partial overlaps at
+    // two thresholds — the PPJoin bound may only prune, never drop a
+    // qualifying pair
+    val words = (0 until 40).map(i => s"w$i")
+    val mixed = (1 to 12).map { i =>
+      val n = 4 + (i * 7) % 17
+      (i.toLong, (0 until n).map(j => words((j * i + i) % 40)).distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = DedupApprox.prefixFilterPairs(mixed, "doc_id", "text", t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slow = mixed.as("x").join(mixed.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          DedupApprox.jaccard(col("x.text"), col("y.text"), k = 1).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == slow, s"threshold $t")
+    }
   }
 
   test("ed1Pairs: equals brute-force levenshtein — insert/delete/substitute/equal") {
