@@ -220,6 +220,67 @@ object Components {
       .distinct()
   }
 
+  /** Incremental connected components — fold a batch of NEW edges into
+    * an existing min-id assignment without re-clustering the corpus.
+    * The daily reality of a near-dup graph: the pair set only ever
+    * grows (edges merge components, never split them), so the previous
+    * assignment can stand in for everything it already clustered.
+    *
+    * Shape: map each new edge's endpoints through `prev` (unknown
+    * endpoints stand for themselves), which collapses every touched
+    * previous component to its canonical id — then run full CC on that
+    * QUOTIENT graph only. The quotient is O(|new edges|), independent
+    * of corpus size: a 10-billion-node assignment absorbs a million new
+    * edges by clustering a million-edge graph, in the same round
+    * complexity [[connectedComponents]] has, while untouched components
+    * cost one left join. Because previous labels are component minima,
+    * the quotient minimum IS the merged component's global minimum —
+    * the result is bit-identical to a full rebuild over the union edge
+    * set (the q142 oracle equality).
+    *
+    * `prev` is (nodeCol, labelCol) with label = min member id, the
+    * exact frame [[connectedComponents]] emits; nodes absent from
+    * `prev` are treated as previously-unseen singletons. Output is the
+    * same shape over prev's nodes plus every node the new edges touch. */
+  def incrementalComponents(prev: DataFrame, newEdges: DataFrame,
+      nodeCol: String, labelCol: String, aCol: String, bCol: String,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = prev.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label")).persist(sl)
+    val e = newEdges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull).persist(sl)
+    // an empty delta short-circuits (CC's convergence loop wants a
+    // non-empty frame); limit(1)-sized action, not a count
+    if (e.isEmpty) return p
+      .select(col("node").as(nodeCol), col("label").as(labelCol))
+    // endpoints through prev: coalesce keeps never-seen nodes as
+    // themselves, so they enter the quotient directly
+    val mapped = e
+      .join(p.select(col("node").as("a"), col("label").as("_la")), Seq("a"), "left")
+      .join(p.select(col("node").as("b"), col("label").as("_lb")), Seq("b"), "left")
+      .select(coalesce(col("_la"), col("a")).as("qa"),
+        coalesce(col("_lb"), col("b")).as("qb"))
+    val q = connectedComponents(mapped, "qa", "qb", maxIter, checkpointDir)
+      .persist(sl)
+    // touched previous components re-label through the quotient result;
+    // untouched ones coalesce back to their old label
+    val relabel = q.select(col("node").as("label"), col("label").as("_ql"))
+    val prevOut = p.join(relabel, Seq("label"), "left")
+      .select(col("node"), coalesce(col("_ql"), col("label")).as("label"))
+    // nodes the new edges introduced (absent from prev) read their
+    // label straight off the quotient assignment
+    val newNodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .join(p.select("node"), Seq("node"), "left_anti")
+    val newOut = newNodes
+      .join(q.select(col("node"), col("label").as("_ql")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_ql"), col("node")).as("label"))
+    prevOut.unionByName(newOut)
+      .select(col("node").as(nodeCol), col("label").as(labelCol))
+  }
+
   /** Canonical-doc assignment for a corpus given its near-dup pairs:
     * every doc maps to its cluster's minimum id (itself when unpaired
     * — singleton docs are their own canonical). The downstream keep-rule

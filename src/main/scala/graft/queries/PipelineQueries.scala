@@ -577,6 +577,25 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- incremental connected components (delta clustering) ------
+    "q142_incremental_components" -> ((s, dir) => {
+      // yesterday's assignment (CC over base-corpus pairs) + today's
+      // delta (every pair touching a new doc) folded in by clustering
+      // ONLY the quotient graph — O(|delta|) work regardless of corpus
+      // size. The oracle is q56's FULL recursive-CTE rebuild over the
+      // union pair set: equality proves increment == rebuild
+      val pairs = nearDupPairsCached(s, dir)
+      val baseEdges = pairs.filter(col("id_a") < 10000 && col("id_b") < 10000)
+      val delta = pairs.filter(col("id_a") >= 10000 || col("id_b") >= 10000)
+      val prev = graft.operators.Components
+        .connectedComponents(baseEdges, "id_a", "id_b")
+      graft.operators.Components
+        .incrementalComponents(prev, delta, "node", "label", "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- deterministic stratified hash sampling --------------------
     "q57_stratified_sample" -> ((s, dir) => {
       graft.operators.Sampling.stratifiedHashSample(rd(s, dir, "lineitem"),
@@ -1394,6 +1413,21 @@ private[graft] object PipelineQueries {
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+
+    // identical to q56's oracle: the full recursive-CTE rebuild over the
+    // union pair set — the incremental path must reproduce it exactly
+    "q142_incremental_components" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node)
+        |SELECT node AS doc_id, min(label) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
     "q57_stratified_sample" ->
       s"""SELECT l_returnflag, count(*) AS n_sampled,

@@ -122,6 +122,36 @@ class ComponentsSamplingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents folds a delta into a prior assignment == full rebuild") {
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val prev = Components.connectedComponents(base, "id_a", "id_b")
+    // delta merges the two old components (2-3), spans old->new (4-7),
+    // creates a brand-new component (5-6), and attaches a node the base
+    // edges never saw (9) to an old component (1-9)
+    val delta = Seq((2L, 3L), (5L, 6L), (4L, 7L), (1L, 9L)).toDF("id_a", "id_b")
+    val got = Components.incrementalComponents(prev, delta,
+      "node", "label", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+      base.unionByName(delta), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // empty delta: the assignment passes through unchanged
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val same = Components.incrementalComponents(prev, none,
+      "node", "label", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(same == prev.as[(Long, Long)].collect().toMap)
+    // delta entirely inside one old component: labels stay put
+    val inner = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val innerOut = Components.incrementalComponents(prev, inner,
+      "node", "label", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(innerOut == prev.as[(Long, Long)].collect().toMap)
+  }
+
   test("canonicalize maps unpaired docs to themselves, paired to cluster min") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "alone")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
