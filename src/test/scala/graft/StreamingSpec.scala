@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00", "view", 1L, 4.0)))
   }
 
+  test("native UDAFs aggregate under streaming incremental execution") {
+    // bitmap_distinct and top_k_pairs are TypedImperativeAggregates —
+    // their partial buffers must also merge across MICRO-BATCHES via
+    // the streaming state store, not just across tasks
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val agg = in.toDF().toDF("k", "id", "score")
+      .groupBy("k")
+      .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("id")).as("n_ids"),
+        graft.functions.TopKPairs.topK(col("score"), col("id"), k = 2).as("top"))
+    val q = agg.writeStream.format("memory").queryName("udaf_stream")
+      .outputMode("complete").start()
+    in.addData(("a", 1L, 5.0), ("a", 2L, 7.0), ("b", 9L, 1.0))
+    q.processAllAvailable()
+    in.addData(("a", 1L, 6.0), ("a", 3L, 9.0), ("b", 9L, 2.0))
+    q.processAllAvailable()
+    val byK = spark.table("udaf_stream")
+      .select(col("k"), col("n_ids")).as[(String, Long)].collect().toMap
+    // duplicate id 1 across batches collapses; id 9 stays one distinct
+    assert(byK == Map("a" -> 3L, "b" -> 1L))
+    val tops = spark.table("udaf_stream")
+      .select(col("k"), expr("transform(top, p -> p.id)"))
+      .as[(String, Seq[Long])].collect().toMap
+    q.stop()
+    // top-2 by score across both batches: a -> (3: 9.0, 2: 7.0);
+    // b keeps both of id 9's rows — the aggregate ranks ROWS, not ids
+    assert(tops("a") == Seq(3L, 2L))
+    assert(tops("b") == Seq(9L, 9L))
+  }
+
   test("stream-stream interval join matches clicks to purchases in-window") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
