@@ -124,11 +124,34 @@ object PlanDump {
         SparkEntry.queries("q122_global_sequence")(spark, sfDir)),
       ("q128_prefix_filter_join — exact-threshold similarity join",
         "Candidates come from ONE equi-join on rarity-ordered prefix tokens " +
-          "(SortMergeJoin/ShuffledHashJoin on tok) with the length filter " +
-          "applied inside the join condition — mismatched sizes are dropped " +
-          "before pair materialization; the exact-Jaccard verify joins the " +
-          "token arrays back by id, pair-sized only.",
+          "(SortMergeJoin/ShuffledHashJoin on tok) with the length filter AND " +
+          "the PPJoin positional filter applied inside the join condition — " +
+          "mismatched sizes and rows whose remaining-overlap bound is under " +
+          "alpha are dropped before the pair materializes (3.2x on the bench); " +
+          "the exact-Jaccard verify joins the token arrays back by id, " +
+          "pair-sized only.",
         SparkEntry.queries("q128_prefix_filter_join")(spark, sfDir)),
+      ("q138_bitmap_distinct — native mergeable exact distinct-count",
+        "bitmap_distinct plans as ONE ObjectHashAggregate pass (partial " +
+          "below the exchange, final above): the shuffle carries a compressed " +
+          "bitmap per (task, group). The COUNT(DISTINCT) formulation this " +
+          "replaces re-keys an aggregation on (group, value) — TWO exchanges " +
+          "and shuffle volume proportional to distinct values (and an Expand " +
+          "duplicating every input row once several distinct aggregates mix).",
+        SparkEntry.queries("q138_bitmap_distinct")(spark, sfDir)),
+      ("q139_fuzzy_join — exact edit-distance-1 join via SymSpell blocking",
+        "The deletion-neighborhood variants come from one codegen'd " +
+          "explode; candidates are ONE equi-join on the variant string — no " +
+          "BroadcastNestedLoopJoin, no CartesianProduct anywhere, the " +
+          "guarantee a naive levenshtein theta-join cannot give. The banded " +
+          "thresholded verify runs on pair-sized rows only.",
+        SparkEntry.queries("q139_fuzzy_join")(spark, sfDir)),
+      ("q140_kcore — fixed-round k-core peeling",
+        "Each peel round is one partial-aggregated degree count plus two " +
+          "left-semi hash joins; every survivor frame is persisted " +
+          "(InMemoryTableScan feeds the next round), so round r+1 reads a " +
+          "materialized frame instead of replaying the co-purchase build.",
+        SparkEntry.queries("q140_kcore")(spark, sfDir)),
       ("q89_rolling_window — per-key event-time rolling aggregate",
         "One hash exchange on the key + per-partition sort; the trailing " +
           "RANGE frame is a sliding-window accumulator, not a per-row rescan, " +

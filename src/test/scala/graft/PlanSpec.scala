@@ -278,6 +278,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("fuzzy ed1 join: equi-join on deletion variants, no nested loop") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val p = plan(graft.operators.FuzzyJoin.ed1Pairs(c, "c_custkey", "c_name"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("bitmap_distinct: one aggregate pass, no Expand, one exchange") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val df = o.groupBy("o_orderpriority")
+      .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("o_custkey")).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"single-pass aggregate must not Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.contains("partial_bitmap_distinct"),
+      s"partial aggregation must run below the exchange:\n$p")
+    // the countDistinct formulation mixed with another aggregate re-keys
+    // an aggregation on (group, value) — TWO exchanges, shuffle volume
+    // proportional to distinct values; the shape bitmap_distinct avoids
+    val cd = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")), sum(col("o_totalprice")))
+    val cp = cd.queryExecution.executedPlan.toString
+    assert(cp.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2, cp)
+  }
+
   test("null-safe equality join plans as a hash join, not a nested loop") {
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), when(col("o_orderkey") % 97 === 0, lit(null))
