@@ -97,4 +97,38 @@ object Sequence {
       .agg(min(col("_sec")).as("start_sec"), max(col("_sec")).as("end_sec"),
         count(lit(1)).as("n_events"))
   }
+
+  /** SCD Type-2 history build — the dimension-table form of "what was
+    * this entity's state at time t": consecutive duplicate states
+    * collapse, each surviving change opens a validity range
+    * `[valid_from, valid_to)` closed by the NEXT change, and the last
+    * range per key is open-ended (`valid_to` NULL, `is_current` true).
+    * The reference's sync engine keeps only latest-or-versioned rows
+    * (lib/FirestoreWrapper.py version chains); this is the queryable
+    * range form warehouses build from exactly that history.
+    *
+    * Per-key order must be TOTAL (`tieCol` breaks same-second ties) or
+    * the lag/lead pair is nondeterministic. NULL states are dropped up
+    * front — a NULL attribute is an unknown observation, not a state
+    * transition. Scale shape: ONE hash exchange on the key; the
+    * change-detection lag, the range-closing lead, and their filters
+    * all reuse that clustering — no global sort, parallel across keys. */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(keyCol).as("key"),
+      col(attrCol).as("state"), col(tsCol).cast("long").as("_sec"),
+      col(tieCol).as("_tie"))
+      .filter(col("state").isNotNull)
+    val w = Window.partitionBy(col("key")).orderBy(col("_sec"), col("_tie"))
+    val changes = base
+      .withColumn("_prev", lag(col("state"), 1).over(w))
+      .filter(col("_prev").isNull || col("state") =!= col("_prev"))
+    // second window over the FILTERED frame: same key clustering, so no
+    // new exchange — lead closes each range with the next change
+    changes
+      .withColumn("valid_to", lead(col("_sec"), 1).over(w))
+      .select(col("key"), col("state"), col("_sec").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -577,6 +577,20 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- SCD Type-2 history build (validity ranges) ----------------
+    "q143_scd2" -> ((s, dir) => {
+      // each user's event_type stream collapsed to state CHANGES, every
+      // change opening a [valid_from, valid_to) range closed by the
+      // next one; last range per user open-ended. One key exchange —
+      // the change lag, the closing lead, and both filters reuse it
+      graft.operators.Sequence.scd2(rd(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+        .select(col("key").as("user_id"), col("state").as("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
+
     // ----- incremental connected components (delta clustering) ------
     "q142_incremental_components" -> ((s, dir) => {
       // yesterday's assignment (CC over base-corpus pairs) + today's
@@ -1413,6 +1427,22 @@ private[graft] object PipelineQueries {
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+
+    "q143_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT user_id, event_type, event_id, sec,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_type, event_id, sec FROM c
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type, sec AS valid_from,
+        |  lead(sec) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS valid_to,
+        |  lead(sec) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) IS NULL AS is_current
+        |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     // identical to q56's oracle: the full recursive-CTE rebuild over the
     // union pair set — the incremental path must reproduce it exactly

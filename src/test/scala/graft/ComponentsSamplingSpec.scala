@@ -267,6 +267,31 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(math.abs(byStratum("small") / 1000.0 - 0.2) < 0.06)
   }
 
+  test("scd2 collapses duplicate states into ranges closed by the next change") {
+    val events = Seq(
+      (1L, 10L, "A", 100L), (1L, 11L, "A", 200L), // consecutive dup collapses
+      (1L, 12L, "B", 300L), (1L, 13L, "A", 400L), // A can recur after B
+      (2L, 20L, "X", 100L),                        // single-state key
+      (3L, 30L, null.asInstanceOf[String], 100L),  // NULL state drops
+      (3L, 31L, "Y", 200L),
+      // same-second tie: event_id order decides (32 before 33 -> Z then W)
+      (4L, 32L, "Z", 500L), (4L, 33L, "W", 500L))
+      .toDF("user_id", "event_id", "event_type", "sec")
+    val got = graft.operators.Sequence.scd2(events,
+      "user_id", "event_type", "sec", "event_id")
+      .orderBy("key", "valid_from", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 100L, 300L, false),
+      (1L, "B", 300L, 400L, false),
+      (1L, "A", 400L, -1L, true),
+      (2L, "X", 100L, -1L, true),
+      (3L, "Y", 200L, -1L, true),
+      (4L, "W", 500L, -1L, true),
+      (4L, "Z", 500L, 500L, false)))
+  }
+
   test("per-group cap keeps at most k rows per group, deterministically") {
     val df = spark.range(500).select($"id".as("k"),
       ($"id" % 5).cast("string").as("g"))
