@@ -40,6 +40,45 @@ object Skew {
       .limit(topK)
   }
 
+  /** Pre-flight JOIN cardinality forecast — the other measurement a
+    * 100 TB join wants before it runs: the exact output row count of
+    * `a JOIN b ON key` is `sum_k cnt_a(k) * cnt_b(k)`, computable from
+    * the two per-key count aggregates WITHOUT running the join — two
+    * partial-aggregated count passes and one join of key-cardinality-
+    * sized frames, instead of materializing a possibly-exploding
+    * result. Returns the `topK` keys by output contribution plus their
+    * per-key fan-out, so the caller can decide: broadcast, salt the
+    * listed keys ([[saltedJoin]]), or cap them upstream.
+    *
+    * Everything is exact integer arithmetic (counts and products) —
+    * oracle-reproducible; the product routes through DECIMAL so two
+    * billion-row hot sides cannot wrap a long mid-sum, and the final
+    * projection returns BIGINT (the decimal-cell hashing rule). */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("_na"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("_nb"))
+    ca.join(cb, Seq(keyCol))
+      .select(col(keyCol), col("_na").as("n_left"), col("_nb").as("n_right"),
+        (col("_na").cast("decimal(38,0)") * col("_nb").cast("decimal(38,0)"))
+          .cast("long").as("out_rows"))
+      .orderBy(col("out_rows").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
+  /** Total forecast rows of `a JOIN b ON key` as a 1-row frame —
+    * [[joinCardinality]]'s headline number (decimal-routed sum,
+    * BIGINT-projected). */
+  def joinCardinalityTotal(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("_na"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("_nb"))
+    ca.join(cb, Seq(keyCol))
+      .agg(sum(col("_na").cast("decimal(38,0)") * col("_nb").cast("decimal(38,0)"))
+        .cast("long").as("out_rows"))
+      .select(coalesce(col("out_rows"), lit(0L)).as("out_rows"))
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then final
     * aggregate on key. Results equal the direct groupBy for any

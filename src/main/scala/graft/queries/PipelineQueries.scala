@@ -447,6 +447,18 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- join-cardinality forecast (the pre-join measurement) ------
+    "q144_join_cardinality" -> ((s, dir) => {
+      // exact output size of the lineitem-by-partkey SELF-join (the
+      // explosion behind every co-purchase/pair build) forecast from
+      // per-key counts alone — two aggregation passes and one
+      // key-cardinality join, never the join itself; the top keys name
+      // exactly what to salt, broadcast, or support-prune
+      val li = rd(s, dir, "lineitem").select("l_partkey")
+      graft.operators.Skew.joinCardinality(li, li, "l_partkey", topK = 15)
+    }),
+
+
     // ----- key-distribution profile (the pre-salting measurement) ----
     "q117_key_profile" -> ((s, dir) => {
       // heaviest order keys in lineitem with share + skew factor — the
@@ -1327,6 +1339,14 @@ private[graft] object PipelineQueries {
         |    * 1000000 + 0.5) / 1000000 AS quantile_est
         |FROM picked p JOIN cum c ON p.bin = c.bin CROSS JOIN tot t
         |ORDER BY q""".stripMargin,
+
+    "q144_join_cardinality" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_partkey, a.n AS n_left, b.n AS n_right,
+        |  CAST(a.n * b.n AS BIGINT) AS out_rows
+        |FROM c a JOIN c b ON a.l_partkey = b.l_partkey
+        |ORDER BY out_rows DESC, a.l_partkey ASC LIMIT 15""".stripMargin,
 
     "q117_key_profile" ->
       """WITH counts AS (SELECT l_orderkey, COUNT(*) AS n

@@ -34,4 +34,21 @@ class SkewSpec extends SparkSpec {
     assert(a.map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet ==
       b.map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet)
   }
+
+  test("join cardinality forecast equals the join it predicts, without running it") {
+    val left = fact.select(col("key"))
+    val right = (Seq.fill(40)("hot") ++ (1 to 20).map(i => s"k${i % 5}")
+      ++ Seq("only-right")).toDF("key")
+    val forecastTotal = Skew.joinCardinalityTotal(left, right, "key")
+      .head().getLong(0)
+    assert(forecastTotal == left.join(right, "key").count())
+    // per-key rows: hot contributes 900*40; keys absent from a side
+    // contribute nothing
+    val top = Skew.joinCardinality(left, right, "key", topK = 3).collect()
+    assert(top.head.getString(0) == "hot" && top.head.getLong(3) == 36000L)
+    assert(!top.map(_.getString(0)).contains("only-right"))
+    // disjoint key sets forecast exactly zero
+    val none = Seq("zzz").toDF("key")
+    assert(Skew.joinCardinalityTotal(left, none, "key").head().getLong(0) == 0L)
+  }
 }
