@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation gate a sync
+  * pipeline runs BEFORE committing a batch (the reference validates
+  * per-record as it converts, `lib/DataProcessor.py` type dispatch;
+  * this is the set-level form: named rules, violation counts, a
+  * pass/fail verdict per rule).
+  *
+  * Scale shape: every row-level rule compiles into one conditional sum
+  * inside a SINGLE aggregation pass — checking 50 rules over 100 TB
+  * costs one scan and a 1-row reduce, not 50 queries. The per-rule
+  * long-format report is a driver-trivial explode of that one row.
+  */
+object Quality {
+
+  /** Evaluate named row-level expectations in one pass. A row violates
+    * a rule when the predicate is FALSE or NULL (an unevaluable
+    * expectation is a failing one — NULL-tolerant rules must say so
+    * with isNull/coalesce). Returns one row per rule:
+    * (rule, n_rows, n_violations, pass), in the given rule order. */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkRules needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val vCols = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+    }
+    val one = df.agg(count(lit(1)).as("_n"), vCols: _*)
+    val perRule = array(rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"_v_$name").as("n_violations"))
+    }: _*)
+    one.select(col("_n"), explode(perRule).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_n").as("n_rows"),
+        coalesce(col("_r.n_violations"), lit(0L)).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Referential-integrity expectation: rows of `child` whose `keyCol`
+    * has no match in `parent` (NULL keys are orphans too — a NULL FK
+    * cannot reference anything). One left-anti join, partial-aggregated
+    * count; the parent side deduplicates before the join so a hot
+    * parent key cannot skew it. Returns 1 row: (rule, n_rows,
+    * n_violations, pass) — unionable with [[checkRules]] output. */
+  def checkForeignKey(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, rule: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("_pk")).distinct()
+    // plain === (not <=>): a NULL child key never matches, so NULL FKs
+    // are counted as orphans even when the parent has NULL keys
+    val orphans = child.select(col(childKey).as("_ck"))
+      .join(keys, col("_ck") === col("_pk"), "left_anti")
+    val n = child.agg(count(lit(1)).as("_n"))
+    val v = orphans.agg(count(lit(1)).as("_v"))
+    n.crossJoin(v).select(lit(rule).as("rule"), col("_n").as("n_rows"),
+      col("_v").as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

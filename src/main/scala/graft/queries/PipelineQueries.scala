@@ -447,6 +447,25 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- declarative data-quality expectations ---------------------
+    "q145_data_quality" -> ((s, dir) => {
+      // the pre-commit validation gate: five named row-level rules in
+      // ONE aggregation pass (a NULL predicate counts as a violation)
+      // plus a referential-integrity anti-join, one report row per rule
+      val li = rd(s, dir, "lineitem")
+      val rowRules = graft.operators.Quality.checkRules(li, Seq(
+        "qty_in_1_50" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_at_most_10pct" -> (col("l_discount") <= 0.10),
+        "qty_at_most_30" -> (col("l_quantity") <= 30),
+        "returnflag_known" -> col("l_returnflag").isin("A", "N", "R")))
+      val fk = graft.operators.Quality.checkForeignKey(
+        li, "l_orderkey", rd(s, dir, "orders"), "o_orderkey",
+        "orderkey_references_orders")
+      rowRules.unionByName(fk).orderBy("rule")
+    }),
+
+
     // ----- join-cardinality forecast (the pre-join measurement) ------
     "q144_join_cardinality" -> ((s, dir) => {
       // exact output size of the lineitem-by-partkey SELF-join (the
@@ -1339,6 +1358,35 @@ private[graft] object PipelineQueries {
         |    * 1000000 + 0.5) / 1000000 AS quantile_est
         |FROM picked p JOIN cum c ON p.bin = c.bin CROSS JOIN tot t
         |ORDER BY q""".stripMargin,
+
+    "q145_data_quality" ->
+      """WITH agg AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+        |      THEN 0 ELSE 1 END) AS v_qty,
+        |  SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE)
+        |      THEN 0 ELSE 1 END) AS v_price,
+        |  SUM(CASE WHEN COALESCE(l_discount <= 0.10, FALSE)
+        |      THEN 0 ELSE 1 END) AS v_disc,
+        |  SUM(CASE WHEN COALESCE(l_quantity <= 30, FALSE)
+        |      THEN 0 ELSE 1 END) AS v_qty30,
+        |  SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+        |      THEN 0 ELSE 1 END) AS v_rf
+        |  FROM lineitem),
+        |fk AS (SELECT COUNT(*) AS v FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
+        |     OR l.l_orderkey IS NULL),
+        |rep AS (
+        |  SELECT 'qty_in_1_50' AS rule, n AS n_rows, v_qty AS n_violations FROM agg
+        |  UNION ALL SELECT 'price_positive', n, v_price FROM agg
+        |  UNION ALL SELECT 'discount_at_most_10pct', n, v_disc FROM agg
+        |  UNION ALL SELECT 'qty_at_most_30', n, v_qty30 FROM agg
+        |  UNION ALL SELECT 'returnflag_known', n, v_rf FROM agg
+        |  UNION ALL SELECT 'orderkey_references_orders', agg.n, fk.v
+        |    FROM agg, fk)
+        |SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM rep ORDER BY rule""".stripMargin,
 
     "q144_join_cardinality" ->
       """WITH c AS (SELECT l_partkey, COUNT(*) AS n

@@ -976,6 +976,32 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality rules: one-pass violation counts, NULL predicate fails, FK orphans") {
+    import graft.operators.Quality
+    val rows = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(-5.0), "ok"),                       // fails positive rule
+      (3L, None, "ok"),                             // NULL predicate -> violation
+      (4L, Some(3.0), null.asInstanceOf[String]))   // NULL label
+      .toDF("id", "v", "label")
+    val got = Quality.checkRules(rows, Seq(
+      "v_positive" -> (col("v") > 0),
+      "label_present" -> col("label").isNotNull,
+      "always_true" -> lit(true)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("v_positive", 4L, 2L, false),      // -5 fails, NULL v fails
+      ("label_present", 4L, 1L, false),
+      ("always_true", 4L, 0L, true)))
+    // FK: NULL child keys are orphans even when the parent has NULLs
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
+    val fk = Quality.checkForeignKey(child, "fk", parent, "pk", "fk_ok")
+      .collect().head
+    assert((fk.getString(0), fk.getLong(1), fk.getLong(2), fk.getBoolean(3)) ==
+      ("fk_ok", 4L, 2L, false)) // 99 and NULL are orphans
+  }
+
   test("ed1Pairs: equals brute-force levenshtein — insert/delete/substitute/equal") {
     import graft.operators.FuzzyJoin
     val rows = Seq(
