@@ -65,13 +65,16 @@ object Bench {
     catch { case _: java.io.IOException => } // bench result > bookkeeping
     // compact line LAST — it is what a bounded tail capture parses (r4's
     // artifact began mid-line at q11; r5's parsed object lost the
-    // per-query dict entirely). Short keys (the qNN prefix) + 3-decimal
-    // values keep ALL 110+ entries inside a 2000-char tail window.
+    // per-query dict entirely). Short keys (the qNN prefix) + INTEGER
+    // MILLISECOND values ("qunit":"ms"; a failed query stays -1) keep all
+    // 145+ entries well inside a 2000-char tail window — 3-decimal
+    // seconds crossed it at ~140 queries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        (if (v < 0) -1L else math.rint(v * 1000).toLong)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":$load,"queries":$shortQs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","queries":$shortQs}""")
     System.out.flush()
     spark.stop()
   }
