@@ -269,16 +269,10 @@ private[graft] object PipelineQueries {
       // 50M rows at sf0.1; support pruning is how basket analysis keeps
       // the graph signal-bearing AND tractable); each triangle is then
       // found once from its canonical a<b<c orientation and credited to
-      // its three corners with one explode — no distinct over pair sets
-      val items = rd(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = items.as("x")
-        .join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
-        .agg(count(lit(1)).as("_support"))
-        .filter(col("_support") >= 2)
-        .select(col("src"), col("dst"))
+      // its three corners with one explode — no distinct over pair sets.
+      // The edge set itself comes from the build-once materialization
+      // shared with q140: derive the graph once, run every metric on it
+      val pairs = coPurchaseEdgesCached(s, dir)
       graft.operators.Graph.triangleCounts(pairs, "src", "dst")
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(25)
@@ -290,16 +284,9 @@ private[graft] object PipelineQueries {
       // the 3-core of the support-pruned co-purchase graph after three
       // synchronous peel rounds: per round one degree aggregation + two
       // left-semi joins; survivors persist so each round reads a
-      // materialized frame, not a replayed lineage
-      val items = rd(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = items.as("x")
-        .join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
-        .agg(count(lit(1)).as("_support"))
-        .filter(col("_support") >= 2)
-        .select(col("src"), col("dst"))
+      // materialized frame, not a replayed lineage. The edge set comes
+      // from the build-once materialization shared with q127
+      val pairs = coPurchaseEdgesCached(s, dir)
       graft.operators.Graph.kCorePeel(pairs, "src", "dst", k = 3, rounds = 3)
         .orderBy("node")
     }),

