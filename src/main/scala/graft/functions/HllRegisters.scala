@@ -19,17 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   h      = first 60 bits of md5(value)   (the engine's portable hash,
   *            [[Md5Hash.prefix60]] = `conv(substring(md5(x),1,15),16,10)`)
-  *   bucket = h & 63                         (m = 64 registers)
-  *   rest   = h >>> 6                        (remaining 54 bits)
-  *   rho    = 55 - bitLength(rest), rho = 55 when rest = 0
+  *   bucket = h & 255                        (m = 256 registers,
+  *                                            ~6.5% standard error)
+  *   rest   = h >>> 8                        (remaining 52 bits)
+  *   rho    = 53 - bitLength(rest), rho = 53 when rest = 0
   *   M_j    = max rho seen in bucket j       (0 = empty register)
   *
-  * Any engine with md5 and integer math reproduces M_0..M_63 exactly —
+  * Any engine with md5 and integer math reproduces M_0..M_255 exactly —
   * the DuckDB oracle does, with `CAST(('0x'||substr(md5(v),1,15)) AS
   * BIGINT)` and `length(bin(...))`.
   *
   * Why it matters at 100 TB: a COUNT(DISTINCT) carries one shuffle row
-  * per distinct value; this aggregate's state is 64 BYTES regardless of
+  * per distinct value; this aggregate's state is 256 BYTES regardless of
   * cardinality, partials merge map-side with element-wise max, and
   * sketches for different partitions/sources/days merge by the same max
   * — so a per-source daily sketch table answers "distinct users this
@@ -49,18 +50,18 @@ case class HllRegisters(child: Expression,
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](64)
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](256)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
       val h = Md5Hash.prefix60(v.asInstanceOf[UTF8String])
-      val bucket = (h & 63L).toInt
-      val rest = h >>> 6
-      // bitLength(rest) = 64 - nlz(rest); rho counts how deep the 54
+      val bucket = (h & 255L).toInt
+      val rest = h >>> 8
+      // bitLength(rest) = 64 - nlz(rest); rho counts how deep the 52
       // remaining bits' leading-zero run goes, +1 for the first set bit
       val rho =
-        if (rest == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rest == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
       if (rho > buf(bucket)) buf(bucket) = rho.toByte
     }
     buf
@@ -68,7 +69,7 @@ case class HllRegisters(child: Expression,
 
   override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
     var j = 0
-    while (j < 64) { if (other(j) > buf(j)) buf(j) = other(j); j += 1 }
+    while (j < 256) { if (other(j) > buf(j)) buf(j) = other(j); j += 1 }
     buf
   }
 

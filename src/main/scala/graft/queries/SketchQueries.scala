@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Checksums
+import graft.operators.{Sketches, TextAnalysis}
+
+import QueryShared._
+
+/** Portable-sketch queries: cardinality and overlap estimation whose
+  * sketches an external SQL engine rebuilds bit-for-bit (md5-based
+  * hashing + integer register/rank math — no engine-internal state,
+  * no libm transcendentals on the oracle path). */
+private[graft] object SketchQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- mergeable HLL distinct-count sketch -----------------------
+    "q146_hll_distinct" -> ((s, dir) => {
+      // distinct orders per return flag via the 256-register portable
+      // HLL aggregate (graft.functions.HllRegisters): ONE ordinary
+      // partial-aggregated pass, 256 bytes of state per group — vs the
+      // one-shuffle-row-per-distinct-value COUNT(DISTINCT) plan. The
+      // ALL row is built by MERGING the per-flag register arrays
+      // (element-wise max), not by rescanning — the persisted-sketch
+      // rollup pattern; exact counts ride along to show the error.
+      val li = rd(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_orderkey").cast("string").as("okey"))
+      val per = li.groupBy("flag").agg(
+        Sketches.hllRegisters(col("okey")).as("regs"),
+        countDistinct(col("okey")).as("n_exact"))
+      val perOut = per.select(col("flag"), col("n_exact"),
+        Sketches.hllEstimate("regs").as("n_est"))
+      val allOut = li.agg(countDistinct(col("okey")).as("n_exact"))
+        .crossJoin(Sketches.hllMergeAll(per.select("regs"), "regs"))
+        .select(lit("ALL").as("flag"), col("n_exact"),
+          Sketches.hllEstimate("regs").as("n_est"))
+      perOut.unionByName(allOut).orderBy("flag")
+    }),
+
+
+    // ----- KMV pairwise vocabulary overlap ---------------------------
+    "q147_kmv_overlap" -> ((s, dir) => {
+      // estimated token-vocabulary overlap between every source PAIR
+      // from per-source bottom-128 KMV sketches: raw text is tokenized
+      // ONCE per source; all 190 pairwise union/Jaccard/intersection
+      // estimates happen in sketch space (20x128 rows) — the pairwise
+      // corpus-overlap matrix without 190 corpus joins
+      val toks = rd(s, dir, "documents")
+        .select(col("source").as("g"),
+          explode(split(TextAnalysis.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("g"), Checksums.md5PrefixLong(col("tok")).as("h"))
+      val sk = Sketches.kmvSketches(toks, "g", "h", 128)
+      Sketches.kmvPairwiseOverlap(sk, 128)
+        .orderBy(col("jaccard_est").desc, col("ga"), col("gb"))
+        .limit(25)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q146_hll_distinct" ->
+      """WITH h AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS okey,
+        |  CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |b AS (SELECT flag, okey, hv % 256 AS bucket,
+        |  CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT flag, bucket, max(rho) AS m FROM b GROUP BY 1, 2),
+        |d AS (SELECT flag, count(*) AS nz,
+        |  sum(1::BIGINT << (53 - m)) AS sden FROM regs GROUP BY 1),
+        |e AS (SELECT flag, 256 - nz AS v,
+        |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |    * 65536.0 * 9007199254740992.0
+        |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw FROM d),
+        |est AS (SELECT flag,
+        |  CASE WHEN v > 0 AND raw <= 640.0 THEN 256.0 * ln(256.0 / v) ELSE raw END AS ev
+        |  FROM e),
+        |ex AS (SELECT flag, count(DISTINCT okey) AS n_exact FROM b GROUP BY 1),
+        |ga AS (SELECT 'ALL' AS flag, bucket, max(rho) AS m FROM b GROUP BY 1, 2),
+        |gd AS (SELECT flag, count(*) AS nz,
+        |  sum(1::BIGINT << (53 - m)) AS sden FROM ga GROUP BY 1),
+        |ge AS (SELECT flag, 256 - nz AS v,
+        |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |    * 65536.0 * 9007199254740992.0
+        |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw FROM gd),
+        |gest AS (SELECT flag,
+        |  CASE WHEN v > 0 AND raw <= 640.0 THEN 256.0 * ln(256.0 / v) ELSE raw END AS ev
+        |  FROM ge),
+        |gex AS (SELECT 'ALL' AS flag, count(DISTINCT okey) AS n_exact FROM b)
+        |SELECT ex.flag, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
+        |FROM ex JOIN est USING (flag)
+        |UNION ALL
+        |SELECT gex.flag, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
+        |FROM gex JOIN gest USING (flag)
+        |ORDER BY flag""".stripMargin,
+
+    "q147_kmv_overlap" ->
+      """WITH toks AS (SELECT DISTINCT source AS g,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |sk AS (SELECT g, h FROM (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM toks)
+        |  WHERE rn <= 128),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |pairs AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g),
+        |mem AS (SELECT DISTINCT ga, gb, s.h
+        |  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+        |u AS (SELECT ga, gb, h FROM (SELECT ga, gb, h,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM mem)
+        |  WHERE rn <= 128),
+        |fl AS (SELECT u.ga, u.gb, u.h,
+        |  CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS inboth
+        |  FROM u
+        |  LEFT JOIN sk a ON a.g = u.ga AND a.h = u.h
+        |  LEFT JOIN sk b ON b.g = u.gb AND b.h = u.h),
+        |agg AS (SELECT ga, gb, count(*) AS cu, max(h) AS theta,
+        |  sum(inboth) AS rho FROM fl GROUP BY 1, 2),
+        |fin AS (SELECT ga, gb,
+        |  CASE WHEN cu < 128 THEN CAST(cu AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(theta AS DOUBLE) END AS ue,
+        |  CAST(rho AS DOUBLE) / CAST(cu AS DOUBLE) AS j FROM agg)
+        |SELECT ga, gb, CAST(floor(ue + 0.5) AS BIGINT) AS union_est,
+        |  floor(j * 10000 + 0.5) / 10000 AS jaccard_est,
+        |  CAST(floor(j * ue + 0.5) AS BIGINT) AS intersect_est
+        |FROM fin ORDER BY jaccard_est DESC, ga, gb LIMIT 25""".stripMargin
+  )
+}
