@@ -152,6 +152,14 @@ object PlanDump {
           "(InMemoryTableScan feeds the next round), so round r+1 reads a " +
           "materialized frame instead of replaying the co-purchase build.",
         SparkEntry.queries("q140_kcore")(spark, sfDir)),
+      ("q146_hll_distinct — portable mergeable HLL sketch aggregate",
+        "hll_registers plans as ONE ObjectHashAggregate pass: " +
+          "partial_hll_registers below the single hash exchange, final above " +
+          "— the shuffle carries 256-byte register arrays per (task, group), " +
+          "never a row per distinct value (countDistinct's Expand shape). " +
+          "The ALL rollup merges the per-flag sketches (256 exploded rows), " +
+          "touching no raw data.",
+        SparkEntry.queries("q146_hll_distinct")(spark, sfDir)),
       ("q89_rolling_window — per-key event-time rolling aggregate",
         "One hash exchange on the key + per-partition sort; the trailing " +
           "RANGE frame is a sliding-window accumulator, not a per-row rescan, " +

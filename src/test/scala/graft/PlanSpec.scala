@@ -302,6 +302,30 @@ class PlanSpec extends SparkSpec {
     assert(cp.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2, cp)
   }
 
+  test("hll_registers: partial aggregation below one exchange, 256B state") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val df = o.groupBy("o_orderpriority")
+      .agg(graft.operators.Sketches.hllRegisters(
+        col("o_custkey").cast("string")).as("regs"))
+    val p = df.queryExecution.executedPlan.toString
+    // the sketch shuffles 256-byte partials, one per (task, group) —
+    // never one row per distinct value, and never an Expand
+    assert(!p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.contains("partial_hll_registers"),
+      s"partial aggregation must run below the exchange:\n$p")
+  }
+
+  test("kmv sketch: per-group bottom-k prunes via WindowGroupLimit before the window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hashed = docs.select(col("source").as("g"),
+      graft.functions.Checksums.md5PrefixLong(col("doc_id")).as("h"))
+    val df = graft.operators.Sketches.kmvSketches(hashed, "g", "h", 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune partitions map-side, not post-window:\n$p")
+  }
+
   test("null-safe equality join plans as a hash join, not a nested loop") {
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), when(col("o_orderkey") % 97 === 0, lit(null))
