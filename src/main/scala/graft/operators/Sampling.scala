@@ -114,6 +114,24 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe dataset split: assignment at the near-dup COMPONENT
+    * level, so a document and all its near-copies land in the same
+    * split by construction — the doc-level [[splitAssign]]'s silent
+    * failure mode is eval text memorized from train via a near-copy.
+    * `pairs` is the verified near-dup pair set (aCol, bCol ids); docs
+    * appearing in no pair are their own singleton component. Returns
+    * (idCol, component, split). Scale shape: CC over pairs (O(log n)
+    * rounds, [[Components.connectedComponents]]) + ONE left join of
+    * docs against the component map + the hash-assign projection. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.select(col(idCol))
+      .join(comp, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
+    splitAssign(labeled, Seq("component"), splits)
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group, chosen
     * in uniform-hash-of-key order (the published "max documents per
     * domain" corpus rule) — a fixed-size sample per group where

@@ -72,6 +72,53 @@ object Sketches {
     floor(e + 0.5).cast("long")
   }
 
+  /** Count-min sketch per group: `d` hash rows × `w` counters, built in
+    * ONE partial-aggregated pass. Each value increments one cell per row
+    * (`col = md5_prefix60(row ':' value) mod w`), so the sketch is a
+    * (group, row, col, cnt) frame of at most d·w cells per group —
+    * FIXED size regardless of value cardinality. Frequency estimates
+    * (min over rows, [[cmsEstimate]]) never underestimate; sketches for
+    * different partitions/sources/days merge by cell-wise SUM
+    * ([[cmsMergeAll]]) with zero loss — the mergeable-counter
+    * complement to [[hllRegisters]]'s mergeable distinct-counter.
+    *
+    * Scale shape: explode(d) multiplies rows ×d, but the partial
+    * aggregate collapses each task's output to ≤ d·w cells before the
+    * exchange — the shuffle carries sketch cells, never token counts. */
+  def cmsSketch(df: DataFrame, groupCol: String, valueCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 1, s"need d>0, w>1; got d=$d w=$w")
+    df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+        explode(array((0 until d).map(lit): _*)).as("r"))
+      .select(col("g"), col("r"),
+        pmod(graft.functions.Checksums.md5PrefixLong(
+          concat(col("r").cast("string"), lit(":"), col("v"))), lit(w.toLong))
+          .as("c"))
+      .groupBy("g", "r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge all groups' CMS cells into one sketch: cell-wise sum — the
+    * merged sketch is EXACTLY the sketch of the concatenated data. */
+  def cmsMergeAll(sketch: DataFrame): DataFrame =
+    sketch.groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point frequency estimates from a (r, c, cnt) sketch for a probe
+    * frame: recompute each probe's d cells, left-join the sketch, take
+    * the min over rows (absent cell = count 0). Join shape: probes
+    * explode ×d and hash-join d·w-bounded cells — never the raw data. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, probeCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 1, s"need d>0, w>1; got d=$d w=$w")
+    probes.select(col("*"),
+        explode(array((0 until d).map(lit): _*)).as("r"))
+      .withColumn("c", pmod(graft.functions.Checksums.md5PrefixLong(
+        concat(col("r").cast("string"), lit(":"), col(probeCol))),
+        lit(w.toLong)))
+      .join(sketch, Seq("r", "c"), "left")
+      .groupBy(probeCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
   /** KMV (k-minimum-values / bottom-k theta) sketch per group: the `k`
     * smallest DISTINCT hash values of `hashCol` within each `groupCol`
     * value. The sketch supports distinct-count estimation AND — unlike

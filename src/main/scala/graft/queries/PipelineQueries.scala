@@ -595,6 +595,25 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- leakage-safe dataset split (component-level assignment) ---
+    "q149_leakage_split" -> ((s, dir) => {
+      // train/val/test split whose assignment UNIT is the near-dup
+      // COMPONENT, not the document: a doc and all its near-copies land
+      // in the same split by construction, so eval can never score text
+      // memorized from train (the doc-level split's silent failure
+      // mode). Pairs come from the shared materialized set; docs in no
+      // pair are their own singleton component; the split is the
+      // engine's deterministic hash assignment keyed on the COMPONENT
+      graft.operators.Sampling.leakageSafeSplit(
+          docsWithNearDups(s, dir), "doc_id", nearDupPairsCached(s, dir),
+          "id_a", "id_b", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy("split")
+    }),
+
+
     // ----- SCD Type-2 history build (validity ranges) ----------------
     "q143_scd2" -> ((s, dir) => {
       // each user's event_type stream collapsed to state CHANGES, every
@@ -1482,6 +1501,32 @@ private[graft] object PipelineQueries {
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+
+    // q56's recursive-CTE components + singleton completion + q71's
+    // hex-cutoff hash assignment, keyed on the COMPONENT
+    "q149_leakage_split" -> {
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |lab AS (SELECT c2.doc_id, coalesce(cp.component, c2.doc_id) AS component
+        |  FROM corpus c2 LEFT JOIN comp cp ON cp.node = c2.doc_id),
+        |sp AS (SELECT doc_id, component,
+        |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+        |       WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+        |       ELSE 'test' END AS split FROM lab)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT component) AS n_components
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+    },
 
     "q143_scd2" ->
       """WITH e AS (SELECT user_id, event_type, event_id,

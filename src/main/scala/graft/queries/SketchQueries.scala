@@ -39,6 +39,29 @@ private[graft] object SketchQueries {
     }),
 
 
+    // ----- count-min heavy-hitter frequencies ------------------------
+    "q148_cms_frequencies" -> ((s, dir) => {
+      // token frequencies of the corpus-wide top-15 tokens, estimated
+      // from a merged count-min sketch (4x2048 cells): per-source CMS
+      // built in ONE partial-aggregated pass each, merged cell-wise
+      // (the mergeable-counter artifact — per-source daily sketches
+      // answer global frequency questions without re-scanning text);
+      // exact counts ride along to show the one-sided error (est >=
+      // exact always; equal here because 2048 cells >> top-token mass)
+      val toks = rd(s, dir, "documents")
+        .select(col("source").as("g"),
+          explode(split(TextAnalysis.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val merged = Sketches.cmsMergeAll(
+        Sketches.cmsSketch(toks, "g", "tok", d = 4, w = 2048))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(15)
+      Sketches.cmsEstimate(merged, top, "tok", d = 4, w = 2048)
+        .join(top, "tok")
+        .select(col("tok"), col("n_exact"), col("n_est"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    }),
+
     // ----- KMV pairwise vocabulary overlap ---------------------------
     "q147_kmv_overlap" -> ((s, dir) => {
       // estimated token-vocabulary overlap between every source PAIR
@@ -95,6 +118,27 @@ private[graft] object SketchQueries {
         |SELECT gex.flag, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
         |FROM gex JOIN gest USING (flag)
         |ORDER BY flag""".stripMargin,
+
+    "q148_cms_frequencies" ->
+      """WITH toks AS (SELECT source AS g, tok
+        |  FROM (SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (SELECT r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))
+        |    AS BIGINT) % 2048 AS c, count(*) AS cnt
+        |  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+        |top_ AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1
+        |  ORDER BY n_exact DESC, tok LIMIT 15),
+        |probe AS (SELECT tok, n_exact, r,
+        |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))
+        |    AS BIGINT) % 2048 AS c
+        |  FROM top_ CROSS JOIN rows_)
+        |SELECT tok, n_exact, min(coalesce(cnt, 0)) AS n_est
+        |FROM probe LEFT JOIN cells USING (r, c) GROUP BY 1, 2
+        |ORDER BY n_exact DESC, tok""".stripMargin,
 
     "q147_kmv_overlap" ->
       """WITH toks AS (SELECT DISTINCT source AS g,

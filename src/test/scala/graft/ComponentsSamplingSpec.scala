@@ -440,6 +440,32 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(out(4L) == (("", 0L, 1L)))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits; singletons covered") {
+    // 60 docs; 15 pair-edges forming chains plus 30 singletons — enough
+    // components that every split is non-empty under 80/10/10
+    val docs = (1L to 60L).toDF("doc_id")
+    val pairs = (1L to 30L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = got.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    // every doc assigned exactly once
+    assert(bySplit.keySet == (1L to 60L).toSet)
+    // the leakage invariant: both endpoints of every pair share a split
+    for ((a, b) <- (1L to 30L by 2).map(i => (i, i + 1)))
+      assert(bySplit(a) == bySplit(b), s"pair ($a,$b) straddles splits")
+    // singleton components keep their own id; paired docs the pair min
+    val comp = got.select($"doc_id", $"component").as[(Long, Long)]
+      .collect().toMap
+    for (i <- 31L to 60L) assert(comp(i) == i)
+    for (i <- 1L to 30L by 2) { assert(comp(i) == i); assert(comp(i + 1) == i) }
+    // assignment is a pure function of the component -> rerun-stable
+    val again = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(again == bySplit)
+  }
+
   test("sequence packing: contiguous per-shard offsets, correct bin spans, stable") {
     import graft.operators.Packing
     val docs = spark.range(60).select($"id".as("doc_id"),

@@ -38,6 +38,28 @@ class SketchesSpec extends SparkSpec {
       s"estimate $est vs exact $exact")
   }
 
+  test("CMS: merged per-group sketches == direct global sketch, cell-exact; never underestimates") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source".as("g"), explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter(length($"tok") > 0)
+    val perSource = Sketches.cmsSketch(toks, "g", "tok", d = 4, w = 512)
+    val merged = Sketches.cmsMergeAll(perSource)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val direct = Sketches.cmsSketch(toks.withColumn("g", lit("all")),
+        "g", "tok", d = 4, w = 512)
+      .drop("g").as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(merged == direct, "sum-of-sketches must equal sketch-of-union")
+    // one-sided error: estimates never fall below exact counts
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val sk = Sketches.cmsMergeAll(perSource)
+    val checked = Sketches.cmsEstimate(sk, exact, "tok", d = 4, w = 512)
+      .join(exact, "tok").select($"tok", $"n_exact", $"n_est")
+      .as[(String, Long, Long)].collect()
+    assert(checked.nonEmpty)
+    for ((t, ex, est) <- checked)
+      assert(est >= ex, s"CMS underestimated '$t': $est < $ex")
+  }
+
   test("KMV: below-k groups give EXACT union/intersection/jaccard") {
     // groups small enough that every distinct hash fits in the sketch:
     // the estimates must collapse to exact set arithmetic
