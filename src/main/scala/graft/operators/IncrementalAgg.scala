@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of algebraic aggregates — the materialized-
+  * rollup pattern: per-(key, period) PARTIALS are the persisted unit;
+  * a new day's data appends its partials; totals fold from partials
+  * without ever rescanning history. COUNT/SUM/AVG/VAR/MIN/MAX all
+  * decompose algebraically (n, s1, s2, mn, mx), so the fold is
+  * bit-identical to recomputation from raw: decimal moment sums are
+  * aggregation-order-exact, and the final ops are correctly-rounded
+  * IEEE (the q106/q72 parity discipline).
+  *
+  * Reference ties: the sync engine re-reads the full source per run
+  * to rebuild derived state (`lib/DataProcessor.py` pipelines); at
+  * 100 TB a rollup touched by every run must instead maintain
+  * partials — one period's scan per increment, kilobytes per key
+  * moved at fold time.
+  */
+object IncrementalAgg {
+
+  /** Algebraic partials of `valueCol` per (keyCols..., period): the
+    * increment unit. One partial-aggregated pass over the slice; the
+    * output is (keys, period, n, s1, s2, mn, mx) with DECIMAL-exact
+    * moments — safe to persist, union with later periods, re-fold. */
+  def partials(df: DataFrame, keyCols: Seq[String], periodCol: Column,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "partials need at least one key column")
+    val v = col(valueCol).cast("double")
+    df.groupBy(keyCols.map(col) :+ periodCol.as("period"): _*).agg(
+      count(lit(1)).as("n"),
+      sum(v.cast("decimal(28,12)")).as("s1"),
+      sum((v * v).cast("decimal(28,12)")).as("s2"),
+      min(v).as("mn"), max(v).as("mx"))
+  }
+
+  /** Fold a partials frame (any number of periods, any number of
+    * unioned increments) to per-key totals: n, sum, avg, population
+    * variance, min, max — sum/avg/var on the 1e-6 floor lattice so the
+    * values hash-reproduce across engines at any parallelism. */
+  def rollup(partialsDf: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rollup needs at least one key column")
+    def r6(c: Column): Column = floor(c * lit(1000000) + lit(0.5)) / lit(1000000)
+    val folded = partialsDf.groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("s1")).as("s1"),
+      sum(col("s2")).as("s2"),
+      min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    folded.select(keyCols.map(col) ++ Seq(
+      col("n"),
+      r6(s1).as("sum_value"),
+      r6(s1 / n).as("avg_value"),
+      r6((s2 - s1 * s1 / n) / n).as("var_value"),
+      col("mn").as("min_value"),
+      col("mx").as("max_value")): _*)
+  }
+}

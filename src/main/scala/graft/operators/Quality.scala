@@ -38,6 +38,26 @@ object Quality {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** k-anonymity audit of quasi-identifier columns: a row whose QI
+    * combination is shared by fewer than `k` rows is re-identifiable by
+    * anyone who knows those attributes — the privacy gate a dataset
+    * must pass before QI columns ship. NULL QI values form their own
+    * group (grouping semantics), which is the conservative read: an
+    * absent attribute is still an attribute. Two aggregation passes,
+    * the second over group-count rows only. Returns 1 row:
+    * (n_rows, n_groups, min_group, n_groups_below_k, n_rows_below_k). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs quasi-identifier columns")
+    require(k > 1, s"k $k must exceed 1")
+    val sizes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("sz")).as("min_group"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_below_k"))
+  }
+
   /** Referential-integrity expectation: rows of `child` whose `keyCol`
     * has no match in `parent` (NULL keys are orphans too — a NULL FK
     * cannot reference anything). One left-anti join, partial-aggregated

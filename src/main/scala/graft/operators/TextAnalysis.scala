@@ -293,6 +293,44 @@ object TextAnalysis {
         md5(array_join(slice(col("_w"), col("col") + 1, lit(chunkSize)), " ")).as("chunk_fp"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall where a TOKEN's
+    * hash lands in a 1/`meanToks` slice of the hash space, so the
+    * expected chunk length is `meanToks` tokens and — the property that
+    * matters for dedup — boundaries are a function of CONTENT, not
+    * position: an insertion reflows only the chunk it lands in, while
+    * fixed-size chunking ([[chunkTokens]]) shifts every downstream
+    * chunk (the rsync/CDC property). Chunk hashes are therefore the
+    * insertion-robust dedup unit: shared chunks across docs/versions
+    * dedupe even when documents differ elsewhere.
+    *
+    * A boundary token CLOSES its chunk (it is the chunk's last token).
+    * Scale shape: one explode lineage, ONE key exchange (the per-doc
+    * window and the per-(doc, chunk) reassembly aggregation share the
+    * doc_id partitioning), no self-joins. Output:
+    * `(idCol, chunk_idx, chunk_hash, n_toks)` — hash on the md5
+    * prefix-60 lattice so any engine reproduces it. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      meanToks: Int): DataFrame = {
+    require(meanToks > 1, s"meanToks $meanToks must exceed 1")
+    val toks = docs
+      .select(col(idCol),
+        posexplode(split(normText(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val bd = (pmod(graft.functions.Checksums.md5PrefixLong(col("tok")),
+      lit(meanToks.toLong)) === 0).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withChunk = toks.withColumn("chunk_idx", sum(bd).over(w) - bd)
+    withChunk.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        graft.functions.Checksums.md5PrefixLong(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ")).as("chunk_hash"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Line-level boilerplate removal — the CCNet/C4 paragraph-dedup rule:
     * a line whose TRIMMED text recurs in more than `maxDocFreq` distinct
     * documents is boilerplate (nav bars, cookie banners, license

@@ -435,6 +435,17 @@ private[graft] object PipelineQueries {
 
 
     // ----- declarative data-quality expectations ---------------------
+    // ----- k-anonymity audit (privacy gate on quasi-identifiers) -----
+    "q152_k_anonymity" -> ((s, dir) => {
+      // how re-identifiable is the customer table by (nation, market
+      // segment)? Rows in QI groups smaller than k=10 are at risk —
+      // the audit a dataset passes before those columns ship. Two
+      // aggregation passes; the second touches group-count rows only
+      graft.operators.Quality.kAnonymity(
+        rd(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+    }),
+
+
     "q145_data_quality" -> ((s, dir) => {
       // the pre-commit validation gate: five named row-level rules in
       // ONE aggregation pass (a NULL predicate counts as a violation)
@@ -592,6 +603,29 @@ private[graft] object PipelineQueries {
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
+    }),
+
+
+    // ----- incremental aggregate rollup (materialized-view upkeep) ---
+    "q150_incremental_rollup" -> ((s, dir) => {
+      // per-user value stats folded from per-(user, day) PARTIALS built
+      // as two increments (history, then the last days' delta) — the
+      // materialized-rollup pattern: history is scanned once when its
+      // partials are built, never again. The oracle recomputes from raw
+      // in one pass; equality proves the fold loses nothing, because
+      // COUNT/SUM/AVG/VAR/MIN/MAX all decompose algebraically and the
+      // moments are DECIMAL-exact (the q106 parity discipline)
+      val ev = rd(s, dir, "events").filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("value"))
+      val day = to_date(col("ts"))
+      val cutoff = lit("2024-01-25").cast("date")
+      val hist = graft.operators.IncrementalAgg.partials(
+        ev.filter(day < cutoff), Seq("user_id"), day, "value")
+      val delta = graft.operators.IncrementalAgg.partials(
+        ev.filter(day >= cutoff), Seq("user_id"), day, "value")
+      graft.operators.IncrementalAgg
+        .rollup(hist.unionByName(delta), Seq("user_id"))
+        .orderBy("user_id")
     }),
 
 
@@ -1501,6 +1535,34 @@ private[graft] object PipelineQueries {
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+
+    "q152_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_groups,
+        |  min(sz) AS min_group,
+        |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_k,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k
+        |FROM g""".stripMargin,
+
+    // one-pass recompute from raw — the engine's two-increment partial
+    // fold must reproduce it exactly
+    "q150_incremental_rollup" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id % 20 = 0),
+        |m AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |  min(v) AS min_value, max(v) AS max_value
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n,
+        |  floor(s1 * 1000000 + 0.5) / 1000000 AS sum_value,
+        |  floor(s1 / n * 1000000 + 0.5) / 1000000 AS avg_value,
+        |  floor((s2 - s1 * s1 / n) / n * 1000000 + 0.5) / 1000000 AS var_value,
+        |  min_value, max_value
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // q56's recursive-CTE components + singleton completion + q71's
     // hex-cutoff hash assignment, keyed on the COMPONENT

@@ -274,6 +274,28 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- content-defined chunking (insertion-robust dedup unit) ----
+    "q151_cdc_chunks" -> ((s, dir) => {
+      // per-source chunk-level dedup accounting over CONTENT-DEFINED
+      // chunks: boundaries fall where a token's hash does, so an
+      // insertion reflows one chunk instead of shifting every
+      // downstream one (the property fixed-size chunking q65 lacks) —
+      // chunk hashes are the dedup unit that survives edits. dup_ratio
+      // = share of chunks whose hash recurs within the source
+      val docs = rd(s, dir, "documents")
+      val chunks = TextAnalysis.cdcChunks(docs, "doc_id", "text",
+        meanToks = 16)
+      chunks.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct"),
+          (floor((count(lit(1)) - countDistinct(col("chunk_hash")))
+            .cast("double") / count(lit(1)) * 10000 + 0.5) / 10000)
+            .as("dup_ratio"))
+        .orderBy("source")
+    }),
+
+
     // ----- line-level boilerplate removal (CCNet/C4 rule) ------------
     "q77_boilerplate_lines" -> ((s, dir) => {
       // the fixture's text is single-line, so spaces become line breaks:
@@ -855,6 +877,31 @@ private[graft] object TextQueries {
         |  CAST(least(40, n - st) AS BIGINT) AS n_toks,
         |  md5(array_to_string(w[st+1:st+40], ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    "q151_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, source, tok, pos FROM (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok,
+        |    generate_subscripts(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 1) AS pos
+        |  FROM documents)
+        |  WHERE len(tok) > 0),
+        |b AS (SELECT doc_id, source, tok, pos,
+        |  CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 16 = 0
+        |       THEN 1 ELSE 0 END AS bd FROM toks),
+        |c AS (SELECT doc_id, source, tok, pos,
+        |  sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bd AS chunk_idx
+        |  FROM b),
+        |ch AS (SELECT doc_id, source, chunk_idx,
+        |  CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))
+        |    AS BIGINT) AS chunk_hash
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT chunk_hash) AS n_distinct,
+        |  floor(CAST(count(*) - count(DISTINCT chunk_hash) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5) / 10000 AS dup_ratio
+        |FROM ch GROUP BY 1 ORDER BY source""".stripMargin,
 
 
     "q77_boilerplate_lines" ->

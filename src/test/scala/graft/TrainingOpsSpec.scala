@@ -1058,4 +1058,71 @@ class TrainingOpsSpec extends SparkSpec {
     assert(TextAnalysis.duplicateSpans(docs, "doc_id", "text", k = 3)
       .count() == 0)
   }
+
+  // --- content-defined chunking -----------------------------------------
+
+  test("cdcChunks: insertion reflows ONE chunk; fixed-size chunking shifts all") {
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val edited = "zz0 zz1 zz2 " + base // insertion at the front
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(df, "doc_id", "text", meanToks = 16)
+      .select($"doc_id", $"chunk_hash").as[(Long, Long)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // every chunk of the original except the one the edit landed in
+    // must reappear verbatim in the edited doc
+    assert((a -- b).size <= 1, s"CDC lost ${(a -- b).size} chunks to a front insertion")
+    assert(a.size > 5, s"expected several chunks, got ${a.size}")
+    // the fixed-size counterpart loses (nearly) everything to the shift
+    val fa = TextAnalysis.chunkTokens(df.filter($"doc_id" === 1L), "doc_id", "text", 16, 16)
+      .select($"chunk_fp").as[String].collect().toSet
+    val fb = TextAnalysis.chunkTokens(df.filter($"doc_id" === 2L), "doc_id", "text", 16, 16)
+      .select($"chunk_fp").as[String].collect().toSet
+    assert((fa -- fb).size > (a -- b).size,
+      "fixed-size chunking should lose more chunks than CDC under insertion")
+  }
+
+  test("cdcChunks: chunk token counts cover the doc exactly; boundary closes chunk") {
+    val df = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcChunks(df, "doc_id", "text", meanToks = 8)
+      .select($"chunk_idx", $"n_toks").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).sum == 100L, "chunks must partition the token stream")
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong), "chunk indices contiguous from 0")
+  }
+
+  // --- k-anonymity ------------------------------------------------------
+
+  test("kAnonymity: hand-checked groups, NULL QI forms its own group") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),       // group of 3
+      ("fr", "b"), ("fr", "b"),                     // group of 2
+      ("de", "c"),                                  // group of 1
+      (null, "a"), (null, "a")                      // NULL group of 2
+    ).toDF("country", "seg")
+    val r = graft.operators.Quality.kAnonymity(df, Seq("country", "seg"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((8L, 4L, 1L, 3L, 5L)),
+      s"(n_rows, n_groups, min_group, n_groups_below_k, n_rows_below_k) was $r")
+  }
+
+  // --- incremental aggregate rollup -------------------------------------
+
+  test("incremental rollup: fold of per-period partials == one-pass recompute, exactly") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", to_date(timestamp_micros(($"ts" / 1000).cast("long"))).as("day"),
+        ($"value".cast("double")).as("value"))
+    import graft.operators.IncrementalAgg
+    // three disjoint increments, folded
+    val p1 = IncrementalAgg.partials(ev.filter($"day" < "2024-01-10"), Seq("user_id"), $"day", "value")
+    val p2 = IncrementalAgg.partials(ev.filter($"day" >= "2024-01-10" && $"day" < "2024-01-20"), Seq("user_id"), $"day", "value")
+    val p3 = IncrementalAgg.partials(ev.filter($"day" >= "2024-01-20"), Seq("user_id"), $"day", "value")
+    val inc = IncrementalAgg.rollup(p1.unionByName(p2).unionByName(p3), Seq("user_id"))
+    // direct: one partials pass over everything (single period), folded
+    val direct = IncrementalAgg.rollup(
+      IncrementalAgg.partials(ev, Seq("user_id"), lit(0), "value"), Seq("user_id"))
+    val a = inc.orderBy("user_id").collect().toSeq
+    val b = direct.orderBy("user_id").collect().toSeq
+    assert(a == b, "incremental fold must be bit-identical to the one-pass form")
+  }
 }
+
