@@ -243,6 +243,41 @@ object TextAnalysis {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
 
+  // --- markup stripping (WET-style text extraction) ---------------------
+  // The patterns avoid backreferences and lookaround, so they run
+  // verbatim under java.util.regex AND RE2 (DuckDB) — script and style
+  // get their own literal close-tag patterns instead of `</\1>`.
+
+  /** Container elements whose CONTENT is noise, not text: the element is
+    * removed wholesale, not just its tags. Lazy `.*?` keeps removal
+    * scoped per element; `(?is)` covers case and newlines. */
+  val ScriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val StyleRe = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+
+  /** HTML comments (dotall — comments span lines). */
+  val CommentRe = "(?s)<!--.*?-->"
+
+  /** Any remaining tag. `[^>]*` (not `.*?`) so an unclosed `<` without a
+    * matching `>` is left alone rather than eating the document. */
+  val TagRe = "(?s)</?[a-zA-Z!][^>]*>"
+
+  /** Markup removal — the WET-extraction step that turns crawled HTML
+    * into training text: script/style elements go wholesale (their
+    * content is code, not prose), comments and remaining tags become
+    * spaces (so `a<br>b` stays two words), the six ubiquitous named
+    * entities decode, whitespace collapses. Pure codegen'd expression —
+    * scans at parquet speed, embarrassingly parallel, and the same
+    * pattern strings run in any RE2 engine for cross-engine audit. */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(html, ScriptRe, " "), StyleRe, " ")
+    val noTags = regexp_replace(regexp_replace(noBlocks, CommentRe, " "), TagRe, " ")
+    // literal replaces; &amp; LAST so "&amp;lt;" decodes to "&lt;" not "<"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = ent.foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Fixed-width histogram bin with an overflow bucket: values land in
     * `floor(v / width)` capped at `nBins - 1`. Integer arithmetic only, so
     * any engine bins identically. */

@@ -435,6 +435,34 @@ private[graft] object PipelineQueries {
 
 
     // ----- declarative data-quality expectations ---------------------
+    // ----- multi-field entity resolution (Fellegi-Sunter lite) -------
+    "q154_entity_resolution" -> ((s, dir) => {
+      // typo-and-alias-tolerant record linkage over a dirtied customer
+      // table: clones with one name typo (found by the ed1 name block)
+      // and clones with a rewritten name but the same account balance
+      // (found by the acctbal block); weighted agreement across four
+      // fields decides. The oracle is the BRUTE-FORCE O(n^2) scorer —
+      // equality proves multi-pass blocking loses no above-threshold
+      // pair (guaranteed: threshold 60 > unblocked weight sum 30)
+      val base = rd(s, dir, "customer").filter(col("c_custkey") <= 600)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val typo = base.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("x")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val alias = base.filter(col("c_custkey") % 15 === 0)
+        .select((col("c_custkey") + 200000).as("c_custkey"),
+          concat(col("c_name"), lit("_alt")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.operators.EntityResolution.linkPairs(
+        base.unionByName(typo).unionByName(alias),
+        "c_custkey", "c_name", nameWeight = 40,
+        exactCols = Seq("c_acctbal" -> 30, "c_nationkey" -> 20, "c_mktsegment" -> 10),
+        blockCols = Seq("c_acctbal"), threshold = 60)
+        .orderBy("id_a", "id_b")
+    }),
+
+
     // ----- k-anonymity audit (privacy gate on quasi-identifiers) -----
     "q152_k_anonymity" -> ((s, dir) => {
       // how re-identifiable is the customer table by (nation, market
@@ -1534,6 +1562,32 @@ private[graft] object PipelineQueries {
         |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node)
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+
+    // brute-force all-pairs weighted scorer — no blocking anywhere
+    "q154_entity_resolution" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment FROM customer WHERE c_custkey <= 600),
+        |dirty AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT c_custkey + 100000,
+        |    substr(c_name, 1, len(c_name) - 1) || 'x',
+        |    c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, c_name || '_alt',
+        |    c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 15 = 0),
+        |sc AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 40 ELSE 0 END
+        |   + CASE WHEN a.c_acctbal = b.c_acctbal THEN 30 ELSE 0 END
+        |   + CASE WHEN a.c_nationkey = b.c_nationkey THEN 20 ELSE 0 END
+        |   + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE 0 END)
+        |    AS score
+        |  FROM dirty a, dirty b WHERE a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+        |FROM sc WHERE score >= 60 ORDER BY id_a, id_b""".stripMargin,
 
 
     "q152_k_anonymity" ->

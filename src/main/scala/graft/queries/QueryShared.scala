@@ -281,6 +281,38 @@ private[graft] object QueryShared {
       |         ELSE text END AS text
       |  FROM documents)""".stripMargin
 
+  // --- documents wrapped in deterministic HTML (the base corpus is plain
+  // text, so markup-stripping queries would otherwise be vacuous). The
+  // page shape exercises every removal tier: a comment, a style element,
+  // a script element whose body contains a '<p>' decoy, attributes,
+  // self-closing tags, named entities, and newlines inside markup. --
+  private[graft] def docsWithHtml(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(
+        lit("<html><!-- page\n"), col("doc_id").cast("string"),
+        lit(" --><head><title>"), col("source"),
+        lit("</title><STYLE type=\"text/css\">p { color: #"),
+        (col("doc_id") % 1000).cast("string"),
+        lit("; }\n</style></head><body><h1 class=\"t\">"), col("source"),
+        lit("</h1>\n<p id=\"main\">"), col("text"),
+        lit("</p><script>\nvar n = "), col("doc_id").cast("string"),
+        lit("; if (n < 2) { emit(\"<p>decoy</p>\"); }\n</script><p>tail "),
+        lit("&amp; entities &lt;kept&gt;<br/>x</p></body></html>")).as("html"))
+  private[graft] val htmlCte =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    '<html><!-- page' || chr(10) || CAST(doc_id AS VARCHAR)
+      |    || ' --><head><title>' || source
+      |    || '</title><STYLE type="text/css">p { color: #'
+      |    || CAST(doc_id % 1000 AS VARCHAR)
+      |    || '; }' || chr(10) || '</style></head><body><h1 class="t">' || source
+      |    || '</h1>' || chr(10) || '<p id="main">' || text
+      |    || '</p><script>' || chr(10) || 'var n = ' || CAST(doc_id AS VARCHAR)
+      |    || '; if (n < 2) { emit("<p>decoy</p>"); }' || chr(10)
+      |    || '</script><p>tail &amp; entities &lt;kept&gt;<br/>x</p></body></html>'
+      |    AS html
+      |  FROM documents)""".stripMargin
+
   private[graft] def probeVec(s: SparkSession, dir: String): Seq[Float] =
     rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0)

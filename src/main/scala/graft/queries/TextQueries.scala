@@ -296,6 +296,30 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- markup stripping (WET-style text extraction) --------------
+    "q153_markup_strip" -> ((s, dir) => {
+      // crawled-HTML → training-text extraction audit, per source:
+      // script/style bodies removed wholesale (the in-script '<p>' decoy
+      // must NOT survive as text), comments/tags → spaces, entities
+      // decoded, whitespace collapsed. fp_sum is an order-insensitive
+      // content checksum (60-bit md5 prefix mod 1e9 — sums stay in
+      // BIGINT at any corpus size); markup_ratio = share of page bytes
+      // that were markup. Pure codegen'd scan — no shuffle before the
+      // final per-source aggregate
+      val ex = docsWithHtml(s, dir).select(col("source"), col("html"),
+        TextAnalysis.stripMarkup(col("html")).as("text"))
+      ex.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        (floor(sum((length(col("html")) - length(col("text"))).cast("long"))
+          .cast("double") / sum(length(col("html")).cast("long")).cast("double")
+          * 10000 + 0.5) / 10000).as("markup_ratio"),
+        sum(pmod(graft.functions.Checksums.md5PrefixLong(col("text")),
+          lit(1000000000L))).as("fp_sum"))
+        .orderBy("source")
+    }),
+
+
     // ----- line-level boilerplate removal (CCNet/C4 rule) ------------
     "q77_boilerplate_lines" -> ((s, dir) => {
       // the fixture's text is single-line, so spaces become line breaks:
@@ -902,6 +926,27 @@ private[graft] object TextQueries {
         |  floor(CAST(count(*) - count(DISTINCT chunk_hash) AS DOUBLE)
         |    / count(*) * 10000 + 0.5) / 10000 AS dup_ratio
         |FROM ch GROUP BY 1 ORDER BY source""".stripMargin,
+
+
+    "q153_markup_strip" -> (htmlCte + s""",
+        |x AS (SELECT source, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '${TextAnalysis.ScriptRe}', ' ', 'g'),
+        |        '${TextAnalysis.StyleRe}', ' ', 'g'),
+        |        '${TextAnalysis.CommentRe}', ' ', 'g'),
+        |        '${TextAnalysis.TagRe}', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\\s+', ' ', 'g')) AS text FROM h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  floor(CAST(sum(len(html) - len(text)) AS DOUBLE)
+        |    / CAST(sum(len(html)) AS DOUBLE) * 10000 + 0.5) / 10000 AS markup_ratio,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |    % 1000000000) AS BIGINT) AS fp_sum
+        |FROM x GROUP BY 1 ORDER BY source""".stripMargin),
 
 
     "q77_boilerplate_lines" ->

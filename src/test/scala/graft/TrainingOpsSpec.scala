@@ -1090,6 +1090,52 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == got.indices.map(_.toLong), "chunk indices contiguous from 0")
   }
 
+  // --- entity resolution ------------------------------------------------
+
+  test("linkPairs: multi-pass blocking + weighted agreement, hand-checked") {
+    val df = Seq(
+      (1L, Option("jones"), Option(100.0), 1, "auto"),
+      (2L, Option("jones"), Option(200.0), 1, "auto"), // name exact: 40+20+10=70
+      (3L, Option("jonez"), Option(100.0), 2, "bike"), // vs 1: ed1 40 + acct 30 = 70
+      (4L, Option("smith"), Option(300.0), 1, "auto"), // never blocked: 30 max
+      (5L, None: Option[String], Option(100.0), 1, "auto") // NULL name, acct block: vs 1 = 60
+    ).toDF("id", "name", "acct", "nat", "seg")
+    val got = graft.operators.EntityResolution.linkPairs(df, "id", "name",
+      nameWeight = 40, exactCols = Seq("acct" -> 30, "nat" -> 20, "seg" -> 10),
+      blockCols = Seq("acct"), threshold = 60)
+      .select($"id_a", $"id_b", $"score").as[(Long, Long, Long)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(got == Seq((1L, 2L, 70L), (1L, 3L, 70L), (1L, 5L, 60L)), s"got $got")
+  }
+
+  test("linkPairs: threshold below unblocked weight sum is rejected") {
+    val df = Seq((1L, "a", 1.0)).toDF("id", "name", "acct")
+    intercept[IllegalArgumentException] {
+      graft.operators.EntityResolution.linkPairs(df, "id", "name", 40,
+        Seq("acct" -> 30), blockCols = Seq.empty, threshold = 30)
+    }
+  }
+
+  // --- markup stripping -------------------------------------------------
+
+  test("stripMarkup: scripts/styles/comments/tags removed, entities decoded") {
+    val html = """<html><!-- note
+      |spanning lines --><head><STYLE media="all">body { color: red }
+      |</style></head><body><h1>Title</h1>
+      |<script type="text/js">if (1 < 2) { emit("<p>decoy</p>"); }
+      |</script><p class="a">alpha &amp; beta &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>
+      |<br/>tail</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(graft.operators.TextAnalysis.stripMarkup($"h")).as[String].head()
+    assert(got == "Title alpha & beta <tag> \"q's\" end tail", s"got [$got]")
+  }
+
+  test("stripMarkup: unclosed '<' is text, double-encoded entity single-decodes") {
+    val got = Seq("a < b and &amp;lt; stays encoded <b>bold</b>").toDF("h")
+      .select(graft.operators.TextAnalysis.stripMarkup($"h")).as[String].head()
+    assert(got == "a < b and &lt; stays encoded bold", s"got [$got]")
+  }
+
   // --- k-anonymity ------------------------------------------------------
 
   test("kAnonymity: hand-checked groups, NULL QI forms its own group") {
