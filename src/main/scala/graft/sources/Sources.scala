@@ -68,17 +68,30 @@ object ViewCatalog {
 object Sources {
 
   /** Full table scan of a driver-generated parquet table
-    * (reference: lib/AirtableDataFetcher.py:14-37). Parquet TIMESTAMP(NANOS)
-    * columns (which Spark reads as nanosecond longs under
-    * `spark.sql.legacy.parquet.nanosAsLong`) are normalized to
-    * microsecond TimestampType via integer division — a double-based
-    * division would lose precision above 2^53 ns. */
+    * (reference: lib/AirtableDataFetcher.py:14-37). Timestamp physical
+    * encodings vary across fixture generations and are normalized to one
+    * logical type (session-zone TimestampType, with the session pinned to
+    * UTC) so every downstream query sees a single contract:
+    *   - TIMESTAMP(NANOS) `ts` (read as nanosecond longs under
+    *     `spark.sql.legacy.parquet.nanosAsLong`) → microsecond
+    *     TimestampType via integer division — a double-based division
+    *     would lose precision above 2^53 ns;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    *     TimestampNTZType) → TimestampType. The cast re-labels the naive
+    *     datetime in the session zone (UTC), which is exactly how DuckDB
+    *     reads the same column, and is required because Spark 4 forbids
+    *     casting TIMESTAMP_NTZ directly to numeric epoch seconds. */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          acc.withColumn(f.name,
+            col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => acc
+      }
     }
   }
 

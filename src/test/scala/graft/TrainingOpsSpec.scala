@@ -1154,8 +1154,8 @@ class TrainingOpsSpec extends SparkSpec {
   // --- incremental aggregate rollup -------------------------------------
 
   test("incremental rollup: fold of per-period partials == one-pass recompute, exactly") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"user_id", to_date(timestamp_micros(($"ts" / 1000).cast("long"))).as("day"),
+    val ev = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", to_date($"ts").as("day"),
         ($"value".cast("double")).as("value"))
     import graft.operators.IncrementalAgg
     // three disjoint increments, folded
