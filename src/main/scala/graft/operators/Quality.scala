@@ -58,6 +58,33 @@ object Quality {
       sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_below_k"))
   }
 
+  /** l-DIVERSITY audit — [[kAnonymity]]'s complement: a QI group of
+    * comfortable SIZE still leaks when every row in it shares one
+    * sensitive value (the homogeneity attack k-anonymity cannot see).
+    * Per QI group, the number of DISTINCT sensitive values must reach
+    * `l`. NULL QI values form their own group (same conservative read
+    * as kAnonymity); NULL sensitive values do not count as a value, so
+    * an all-NULL-sensitive group scores diversity 0 — unknown is not
+    * diverse. Two aggregation passes, the second over group rows only.
+    * Returns 1 row:
+    * (n_rows, n_groups, min_diversity, n_groups_below_l, n_rows_below_l). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "l-diversity needs quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l > 1, s"l $l must exceed 1")
+    val groups = df.groupBy(qiCols.map(col): _*).agg(
+      count(lit(1)).as("sz"),
+      countDistinct(col(sensitiveCol)).as("lv"))
+    groups.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("lv")).as("min_diversity"),
+      sum(when(col("lv") < l, 1L).otherwise(0L)).as("n_groups_below_l"),
+      sum(when(col("lv") < l, col("sz")).otherwise(0L)).as("n_rows_below_l"))
+  }
+
   /** Referential-integrity expectation: rows of `child` whose `keyCol`
     * has no match in `parent` (NULL keys are orphans too — a NULL FK
     * cannot reference anything). One left-anti join, partial-aggregated

@@ -294,4 +294,74 @@ object Sampling {
       .select((Seq(col("anchor_id"), col("slot"), col("neg_id")) ++
         payloadCols.map(col)): _*)
   }
+
+  /** WATER-FILLING budget allocation — the data-mix planning step that
+    * precedes [[mixtureSample]]'s rate-based execution: split a total
+    * token/char `budget` across groups so every group gets its full
+    * weight when it fits, and all groups that don't fit are leveled at
+    * one common integer cap `c` — the largest cap with
+    * `Σ min(avail_g, c) ≤ budget` (the max-min-fair allocation). The
+    * mix this produces is the "cap the giant sources, keep the tail
+    * whole" corpus rule, with the cap DERIVED from the budget instead
+    * of hand-tuned per source.
+    *
+    * All arithmetic is integer (sums, one integer division per
+    * candidate row), so any engine reproduces the allocation exactly;
+    * the classic closed form needs the groups ordered by weight, and
+    * the first position `j` (1-based, ascending) where
+    * `(budget − prefixBefore_j) div (nGroups − j + 1) < avail_j` binds
+    * the cap — every earlier group keeps its full weight, every later
+    * group levels at the cap. No binding row means the budget covers
+    * everything and the cap is vacuous.
+    *
+    * Scale shape: ONE aggregation reduces the data to |groups| rows;
+    * the window + self-join that solve for the cap touch only that
+    * tiny frame (group count = sources/domains, not documents). Output:
+    * group cols + (avail, alloc, capped), alloc summing to
+    * `min(budget, Σ avail)` up to the sub-cap integer remainder that
+    * water-filling leaves unspent by definition. */
+  def fairShareBudget(df: DataFrame, groupCols: Seq[String], sizeCol: String,
+      budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "fair-share allocation needs group columns")
+    require(budget >= 0, s"budget $budget must be non-negative")
+    val sizes = df.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(col(sizeCol).cast("long")), lit(0L)).as("avail"))
+    // deterministic total order: weight asc, group cols as tiebreak
+    val ord = col("avail").asc +: groupCols.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = sizes
+      .withColumn("_j", row_number().over(w))
+      .withColumn("_before", coalesce(
+        sum(col("avail")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    // candidate cap at j: level the remaining budget across rows j..N;
+    // it binds when it cannot cover row j's own weight. The numerator
+    // is provably non-negative at the FIRST binding row (the previous
+    // row's non-binding inequality bounds the budget from below), so
+    // guarding on the NUMERATOR — not the quotient — discards every
+    // negative-division row BEFORE engines can disagree on it (long
+    // `div` truncates toward zero, SQL `//` floors; they differ only
+    // below zero).
+    val cand = expr(s"(${budget}L - _before) div (_n - _j + 1)")
+    val binding = ranked
+      .filter(lit(budget) - col("_before") >= 0)
+      .withColumn("_cap", cand)
+      .filter(col("_cap") < col("avail"))
+    // first binding row by j — min(struct) avoids an orderBy+limit(1)
+    // exchange on the already-tiny frame
+    val capRow = binding.agg(
+      min(struct(col("_j"), col("_cap"))).as("_first"))
+      .select(col("_first").getField("_cap").as("_cap_global"))
+    sizes.crossJoin(broadcast(capRow))
+      .select((groupCols.map(col) :+ col("avail") :+
+        least(col("avail"), coalesce(col("_cap_global"), col("avail")))
+          .as("alloc")): _*)
+      .withColumn("capped", col("alloc") < col("avail"))
+  }
 }

@@ -508,4 +508,59 @@ object Stats {
           .otherwise((col(valueCol).cast("double") - col("_med")) / col("_mad")))
       .drop("_med", "_mad")
   }
+
+  /** ROLLING anomaly detection — the streaming-adjacent twin of
+    * [[zscorePerGroup]]: each row is judged against the `lookback` rows
+    * BEFORE it (ordered by `tsCol`, `idCol` tiebreak, current row
+    * excluded — a spike must not launder its own baseline), flagging
+    * `|v − mean| > z·std`. This is the metric-drift / loss-spike /
+    * ingest-anomaly alert a pipeline runs over its telemetry; the
+    * baseline excluding the probe row is what makes a level SHIFT flag
+    * its first rows rather than instantly normalizing itself.
+    *
+    * Moments route through DECIMAL window sums (aggregation-order-exact;
+    * within-frame double sums would be engine-portable here since the
+    * frame order is total, but the decimal route removes even that
+    * dependence), then one divide each — deterministic across engines.
+    * A frame thinner than `minN` stays unflagged (cold start); a
+    * zero-variance baseline flags ANY deviation (`|v − mean| > z·0`),
+    * which is exactly the constant-series-then-spike case a threshold on
+    * a NULL z-score would silently pass — `zscore` is NULL there, the
+    * flag is not.
+    *
+    * Scale shape: one hash exchange on the key + an in-partition sort;
+    * the frame is row-bounded so window state is O(lookback) per task.
+    * Returns only the flagged rows: (key, sec, id, value, n_base,
+    * mean [1e-6 lattice], zscore [1e-6 lattice, NULL on zero variance]). */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, lookback: Int, minN: Int,
+      z: Double): DataFrame = {
+    require(lookback > 0, s"lookback $lookback must be positive")
+    require(minN > 1 && minN <= lookback,
+      s"minN $minN must be in (1, lookback $lookback]")
+    require(z > 0, s"z $z must be positive")
+    val sec = col(tsCol).cast("long")
+    val v = col(valueCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(sec.asc, col(idCol).asc)
+      .rowsBetween(-lookback.toLong, -1L)
+    val s1 = sum(v.cast("decimal(28,12)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    val n = count(v).over(w)
+    val nd = n.cast("double")
+    val mean = s1 / nd
+    val variance = (s2 - s1 * s1 / nd) / nd
+    val lattice6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    df.select(col(keyCol).as("key"), sec.as("sec"), col(idCol).as("id"),
+        v.as("value"),
+        n.as("n_base"), mean.as("_mean"), variance.as("_var"))
+      .filter(col("n_base") >= minN && col("value").isNotNull &&
+        abs(col("value") - col("_mean")) >
+          lit(z) * sqrt(greatest(col("_var"), lit(0.0))))
+      .select(col("key"), col("sec"), col("id"), col("value"), col("n_base"),
+        lattice6(col("_mean")).as("mean"),
+        when(col("_var") > 0, lattice6(
+          (col("value") - col("_mean")) / sqrt(col("_var")))).as("zscore"))
+  }
 }

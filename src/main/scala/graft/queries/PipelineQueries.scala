@@ -995,6 +995,54 @@ private[graft] object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+
+    // ----- water-filling budget allocation (data-mix planning) -------
+    "q155_fair_budget" -> ((s, dir) => {
+      // split a 100k-char budget across the 20 sources: small sources
+      // keep their full weight, the giants level at one derived cap —
+      // the max-min-fair mix plan that precedes q109's rate execution.
+      // All-integer solve over a |sources|-row frame
+      graft.operators.Sampling.fairShareBudget(rd(s, dir, "documents"),
+        Seq("source"), "n_chars", budget = 100000L)
+        .orderBy("source")
+    }),
+
+
+    // ----- l-diversity audit (homogeneity-attack complement) ---------
+    "q156_l_diversity" -> ((s, dir) => {
+      // q152's k-anonymity passes a group that is LARGE but uniform in
+      // its sensitive attribute; this audit requires each nation's
+      // customers to span >= 5 market segments before the pair ships
+      graft.operators.Quality.lDiversity(rd(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment", l = 5)
+    }),
+
+
+    // ----- majority-vote label aggregation (annotation pipeline) -----
+    "q157_label_vote" -> ((s, dir) => {
+      // collapse per-rater votes (events: one vote per row, item keyed
+      // by event_id mod 997) into one label per item + consensus stats;
+      // ties break lexicographically, so the gold set is rerun-stable
+      val votes = rd(s, dir, "events")
+        .select((col("event_id") % 997).as("item"),
+          col("event_type").as("label"))
+      graft.operators.Labels.majorityVote(votes, "item", "label")
+        .orderBy("item")
+    }),
+
+
+    // ----- rolling anomaly detection (telemetry drift alert) ---------
+    "q158_rolling_anomaly" -> ((s, dir) => {
+      // flag events > 3 sigma from their type's trailing-100 baseline
+      // (probe row excluded, >= 30-row warm-up): decimal-exact rolling
+      // moments, one hash exchange + in-partition sort, O(lookback)
+      // window state per task
+      graft.operators.Stats.rollingAnomaly(rd(s, dir, "events"),
+        "event_type", "ts", "event_id", "value",
+        lookback = 100, minN = 30, z = 3.0)
+        .orderBy("key", "sec", "id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1934,6 +1982,85 @@ private[graft] object PipelineQueries {
         |  END AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 44 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // the closed-form water-fill: rank sources by weight, the first
+    // position whose leveled share cannot cover its own weight binds
+    // the integer cap (numerator guarded non-negative BEFORE dividing —
+    // `//` floors, Spark's `div` truncates; they agree only >= 0)
+    "q155_fair_budget" ->
+      """WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |rk AS (SELECT source, avail,
+        |  row_number() OVER (ORDER BY avail, source) AS j,
+        |  CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS bef,
+        |  count(*) OVER () AS n
+        |  FROM sz),
+        |cand AS (SELECT j, avail, (100000 - bef) // (n - j + 1) AS cap
+        |  FROM rk WHERE 100000 - bef >= 0),
+        |bind AS (SELECT cap FROM cand WHERE cap < avail ORDER BY j LIMIT 1)
+        |SELECT s.source, s.avail,
+        |  least(s.avail, coalesce((SELECT cap FROM bind), s.avail)) AS alloc,
+        |  least(s.avail, coalesce((SELECT cap FROM bind), s.avail)) < s.avail
+        |    AS capped
+        |FROM sz s ORDER BY source""".stripMargin,
+
+
+    "q156_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, count(*) AS sz,
+        |  count(DISTINCT c_mktsegment) AS lv
+        |  FROM customer GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_groups,
+        |  min(lv) AS min_diversity,
+        |  CAST(sum(CASE WHEN lv < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_l,
+        |  CAST(sum(CASE WHEN lv < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_l
+        |FROM g""".stripMargin,
+
+
+    "q157_label_vote" ->
+      """WITH v AS (SELECT event_id % 997 AS item, event_type AS label
+        |  FROM events),
+        |c AS (SELECT item, label, count(label) AS c FROM v GROUP BY 1, 2),
+        |r AS (SELECT item, label, c,
+        |  row_number() OVER (PARTITION BY item
+        |    ORDER BY c DESC, label ASC NULLS LAST) AS rn,
+        |  sum(c) OVER (PARTITION BY item) AS tot,
+        |  sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY item) AS nl
+        |  FROM c)
+        |SELECT item, CAST(tot AS BIGINT) AS n_votes,
+        |  CAST(nl AS BIGINT) AS n_labels, label, c AS label_votes,
+        |  CASE WHEN tot > 0 THEN CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)
+        |  END AS agreement
+        |FROM r WHERE rn = 1 ORDER BY item""".stripMargin,
+
+
+    // trailing-frame moments through DECIMAL sums (order-exact), then
+    // the same single divides / sqrt / 1e-6 lattice as the engine
+    "q158_rolling_anomaly" ->
+      """WITH e AS (SELECT event_type AS key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id AS id,
+        |  CAST(value AS DOUBLE) AS v FROM events),
+        |w AS (SELECT key, sec, id, v,
+        |  CAST(sum(CAST(v AS DECIMAL(28,12))) OVER fr AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(v * v AS DECIMAL(28,12))) OVER fr AS DOUBLE) AS s2,
+        |  count(v) OVER fr AS n
+        |  FROM e WINDOW fr AS (PARTITION BY key ORDER BY sec, id
+        |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT key, sec, id, v AS value, CAST(n AS BIGINT) AS n_base,
+        |  floor(s1 / n * 1000000 + 0.5) / 1000000 AS mean,
+        |  CASE WHEN (s2 - s1 * s1 / n) / n > 0
+        |    THEN floor((v - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS zscore
+        |FROM w
+        |WHERE n >= 30 AND v IS NOT NULL
+        |  AND abs(v - s1 / n) > 3.0 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0))
+        |ORDER BY key, sec, id""".stripMargin,
 
   )
 }

@@ -1170,5 +1170,108 @@ class TrainingOpsSpec extends SparkSpec {
     val b = direct.orderBy("user_id").collect().toSeq
     assert(a == b, "incremental fold must be bit-identical to the one-pass form")
   }
+
+  // --- water-filling budget allocation ----------------------------------
+
+  test("fairShareBudget: hand-checked water-fill, full-coverage and zero budgets") {
+    val df = Seq(("a", 1L), ("b", 5L), ("c", 10L)).toDF("g", "w")
+    def alloc(budget: Long): Map[String, (Long, Boolean)] =
+      graft.operators.Sampling.fairShareBudget(df, Seq("g"), "w", budget)
+        .select("g", "alloc", "capped").as[(String, Long, Boolean)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // cap binds at the largest group: 12 = 1 + 5 + cap 6
+    assert(alloc(12L) == Map("a" -> ((1L, false)), "b" -> ((5L, false)),
+      "c" -> ((6L, true))))
+    // budget covers everything: no cap, nothing marked capped
+    assert(alloc(16L) == Map("a" -> ((1L, false)), "b" -> ((5L, false)),
+      "c" -> ((10L, false))))
+    assert(alloc(100L).values.forall(!_._2))
+    // zero budget: cap 0 binds immediately
+    assert(alloc(0L).values.map(_._1).sum == 0L)
+    // leveled duplicates: 7 across (5, 5) -> 3 + 3, one unit unspent by
+    // the integer water-fill's definition
+    val dup = Seq(("x", 5L), ("y", 5L)).toDF("g", "w")
+    val d = graft.operators.Sampling.fairShareBudget(dup, Seq("g"), "w", 7L)
+      .select("alloc").as[Long].collect().toSeq
+    assert(d == Seq(3L, 3L))
+  }
+
+  test("fairShareBudget aggregates rows to group weights first") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 4L)).toDF("g", "w")
+    val out = graft.operators.Sampling.fairShareBudget(rows, Seq("g"), "w", 100L)
+      .select("g", "avail").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 4L))
+  }
+
+  // --- l-diversity ------------------------------------------------------
+
+  test("lDiversity: hand-checked groups, NULL sensitive is not a value") {
+    val df = Seq(
+      ("n1", "s1"), ("n1", "s2"), ("n1", "s2"),   // diversity 2
+      ("n2", "s1"), ("n2", "s1"),                 // diversity 1 (homogeneous)
+      ("n3", null), ("n3", "s1")                  // NULL ignored -> diversity 1
+    ).toDF("qi", "sens")
+    val r = graft.operators.Quality.lDiversity(df, Seq("qi"), "sens", l = 2)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // (n_rows, n_groups, min_diversity, n_groups_below_l, n_rows_below_l)
+    assert(r == ((7L, 3L, 1L, 2L, 4L)), s"report was $r")
+  }
+
+  // --- majority-vote label aggregation ----------------------------------
+
+  test("majorityVote: winner, lexicographic ties, abstentions kept visible") {
+    val votes = Seq(
+      (1L, "yes"), (1L, "yes"), (1L, "no"),            // clear winner
+      (2L, "b"), (2L, "a"),                            // tie -> 'a'
+      (3L, null), (3L, "z"),                           // abstention ignored
+      (4L, null)                                       // all-abstention item
+    ).toDF("item", "label")
+    val out = graft.operators.Labels.majorityVote(votes, "item", "label")
+      .orderBy("item")
+      .select("item", "n_votes", "n_labels", "label", "label_votes")
+      .as[(Long, Long, Long, Option[String], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, Some("yes"), 2L),
+      (2L, 2L, 2L, Some("a"), 1L),
+      (3L, 1L, 1L, Some("z"), 1L),
+      (4L, 0L, 0L, None, 0L)))
+    val agree = graft.operators.Labels.majorityVote(votes, "item", "label")
+      .orderBy("item").select("agreement").as[Option[Double]].collect().toSeq
+    assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
+  }
+
+  // --- rolling anomaly detection ----------------------------------------
+
+  test("rollingAnomaly: spike over constant baseline flags with NULL zscore") {
+    // 40 constant rows, then a spike: baseline variance 0 -> any
+    // deviation must flag (a NULL-z threshold would silently pass it)
+    val rows = (1 to 40).map(i => ("k", i.toLong, i.toLong, 5.0)) :+
+      (("k", 41L, 41L, 9.0))
+    val df = rows.toDF("key", "ts", "id", "v")
+    val out = graft.operators.Stats.rollingAnomaly(df, "key", "ts", "id", "v",
+      lookback = 100, minN = 30, z = 3.0)
+      .select("id", "n_base", "mean", "zscore")
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(out == Seq((41L, 40L, 5.0, None)), s"flags were $out")
+    // warm-up: nothing flags before minN baseline rows exist, even the
+    // same spike value
+    val early = (1 to 10).map(i => ("k", i.toLong, i.toLong, 5.0)) :+
+      (("k", 11L, 11L, 9.0))
+    assert(graft.operators.Stats.rollingAnomaly(early.toDF("key", "ts", "id", "v"),
+      "key", "ts", "id", "v", 100, 30, 3.0).isEmpty)
+  }
+
+  test("rollingAnomaly: gaussian-ish baseline flags only the injected spike") {
+    // deterministic pseudo-noise in [4, 6]; the injected 50.0 is the
+    // only point past 3 sigma of the trailing window
+    val rows = (1 to 60).map { i =>
+      ("k", i.toLong, i.toLong, 5.0 + (i * 37 % 21 - 10) / 10.0)
+    } :+ (("k", 61L, 61L, 50.0))
+    val out = graft.operators.Stats.rollingAnomaly(rows.toDF("key", "ts", "id", "v"),
+      "key", "ts", "id", "v", lookback = 100, minN = 30, z = 3.0)
+      .select("id", "zscore").as[(Long, Option[Double])].collect().toSeq
+    assert(out.map(_._1) == Seq(61L), s"flags were $out")
+    assert(out.head._2.exists(_ > 3.0))
+  }
 }
 
