@@ -433,6 +433,17 @@ object DedupApprox {
     * LONGs and the verify arrays are 8 bytes per element instead of
     * full strings — soundness is unaffected because prefix filtering
     * only needs SOME global total order, and (df, hash) is one.
+    *
+    * Exact-set collapse: docs with IDENTICAL token sets (boilerplate
+    * clones, template pages — routinely a large corpus fraction)
+    * group to ONE representative before the quadratic stages, so the
+    * prefix join and verify run on distinct SETS; within-group pairs
+    * are Jaccard 1.0 by definition and cross-group verdicts expand to
+    * member pairs by two explodes at the end. The candidate join cost
+    * scales with distinct-set count squared, not doc count squared —
+    * the difference between "the crawl has a million template clones"
+    * being a disaster and being free.
+    *
     * Jaccard lands on the 1e-4 lattice; column order (id_a < id_b) and
     * the final sort are deterministic. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -458,11 +469,19 @@ object DedupApprox {
       .select(col("id"),
         transform(col("_o"), s => s.getField("h")).as("toks"),
         size(col("_o")).cast("long").as("n"))
+    // identical rarity-ordered arrays ⇔ identical token sets (df is a
+    // global function of h, so equal sets sort identically): one group
+    // per distinct set, min-id representative, members kept for the
+    // final expansion
+    val sets = ordered
+      .groupBy(col("toks"), col("n"))
+      .agg(min(col("id")).as("sid"), collect_list(col("id")).as("ids"),
+        count(lit(1)).as("m"))
       .persist(sl)
     val prefixLen = col("n") - ceil(lit(threshold) * col("n").cast("double")) + 1
-    val prefixes = ordered.select(col("id"), col("n"),
+    val prefixes = sets.select(col("sid"), col("n"),
       posexplode(slice(col("toks"), lit(1), prefixLen.cast("int"))))
-      .select(col("id"), col("n"), col("pos").as("p"), col("col").as("h"))
+      .select(col("sid"), col("n"), col("pos").as("p"), col("col").as("h"))
     // PPJoin positional filter: both arrays share the (df, h) total
     // order, so a pair's overlap tokens all sit at or after the shared
     // token's position on each side — overlap <= min(n_a - p_a, n_b -
@@ -476,25 +495,40 @@ object DedupApprox {
     val alpha = ceil((col("a.n") + col("b.n")).cast("double") *
       lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.sid") < col("b.sid") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n").cast("double") &&
           col("a.n").cast("double") >= lit(threshold) * col("b.n").cast("double") &&
           least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
             .cast("double") >= alpha)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val sets = ordered.select(col("id"), col("toks"), col("n"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b")).distinct()
+    val setSides = sets.select(col("sid"), col("toks"), col("n"), col("ids"))
     val inter = size(array_intersect(col("_ta"), col("_tb"))).cast("long")
-    cands
-      .join(sets.select(col("id").as("id_a"), col("toks").as("_ta"),
-        col("n").as("_na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("_tb"),
-        col("n").as("_nb")), "id_b")
+    // cross-set verdicts on the distinct-set frame, then expansion to
+    // member doc pairs (the set-level jaccard IS every member pair's)
+    val crossPairs = cands
+      .join(setSides.select(col("sid").as("sid_a"), col("toks").as("_ta"),
+        col("n").as("_na"), col("ids").as("_ia")), "sid_a")
+      .join(setSides.select(col("sid").as("sid_b"), col("toks").as("_tb"),
+        col("n").as("_nb"), col("ids").as("_ib")), "sid_b")
       .withColumn("_i", inter)
       .withColumn("jaccard", col("_i").cast("double") /
         (col("_na") + col("_nb") - col("_i")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"),
+      .select(explode(col("_ia")).as("_da"), col("_ib"), col("jaccard"))
+      .select(col("_da"), explode(col("_ib")).as("_db"), col("jaccard"))
+      .select(least(col("_da"), col("_db")).as("id_a"),
+        greatest(col("_da"), col("_db")).as("id_b"),
         (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+    // within-set pairs: every member pair of a multi-doc set, Jaccard
+    // exactly 1.0 (>= any valid threshold); pos ordering avoids emitting
+    // both orientations
+    val withinPairs = sets.filter(col("m") > 1)
+      .select(posexplode(col("ids")).as(Seq("_pa", "_da")), col("ids"))
+      .select(col("_pa"), col("_da"), posexplode(col("ids")).as(Seq("_pb", "_db")))
+      .filter(col("_pa") < col("_pb"))
+      .select(least(col("_da"), col("_db")).as("id_a"),
+        greatest(col("_da"), col("_db")).as("id_b"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(withinPairs)
   }
 
   /** Asymmetric shingle CONTAINMENT — excerpt/quote detection. For the
