@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,5 +55,52 @@ object Labels {
         col("_c").as("label_votes"),
         when(col("_tot") > 0, col("_c").cast("double") /
           col("_tot").cast("double")).as("agreement"))
+  }
+
+  /** FLEISS-kappa inter-rater agreement (pairwise form, variable rater
+    * counts): the one-number answer to "do the annotators agree more
+    * than chance?" before a vote-aggregated gold set ([[majorityVote]])
+    * is trusted. Observed agreement `po` is the fraction of agreeing
+    * rater PAIRS — Σ_i Σ_c n_ic(n_ic−1) / Σ_i n_i(n_i−1) — and chance
+    * agreement `pe` the squared label-share sum Σ_c t_c² / T², both
+    * assembled from EXACT integer sums with one IEEE divide each, so
+    * every engine reproduces the report bit-for-bit (a per-item
+    * double-averaged form would sum doubles in partition order).
+    * NULL labels are abstentions; items with fewer than two votes have
+    * no pairs and take no part (standard for the pairwise estimator).
+    * Returns 1 row: (n_items, n_votes, po, pe, kappa), ratios on the
+    * 1e-6 lattice; kappa is NULL when pe = 1 (a single label corpus-
+    * wide — agreement beyond chance is undefined, not zero).
+    *
+    * Scale shape: one partial-aggregated (item, label) count, one
+    * item-sized aggregation, one label-sized aggregation — nothing
+    * larger than the count frame ever shuffles. */
+  def fleissKappa(votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val counts = votes
+      .select(col(itemCol).as("_it"), col(labelCol).cast("string").as("_lab"))
+      .filter(col("_lab").isNotNull)
+      .groupBy(col("_it"), col("_lab"))
+      .agg(count(lit(1)).as("_c"))
+    val perItem = counts.groupBy(col("_it")).agg(
+      sum(col("_c")).as("_n"),
+      sum(col("_c") * (col("_c") - 1)).as("_agree"))
+      .filter(col("_n") >= 2)
+    val itemSums = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("_n")).as("n_votes"),
+      sum(col("_agree")).as("_ag"),
+      sum(col("_n") * (col("_n") - 1)).as("_pairs"))
+    // label totals over the SAME multi-vote item set po is built from
+    val labelSums = counts.join(perItem.select("_it"), "_it")
+      .groupBy(col("_lab")).agg(sum(col("_c")).as("_t"))
+      .agg(sum(col("_t") * col("_t")).as("_t2"), sum(col("_t")).as("_T"))
+    val lattice6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val po = col("_ag").cast("double") / col("_pairs").cast("double")
+    val pe = col("_t2").cast("double") /
+      (col("_T").cast("double") * col("_T").cast("double"))
+    itemSums.crossJoin(labelSums)
+      .select(col("n_items"), col("n_votes"),
+        lattice6(po).as("po"), lattice6(pe).as("pe"),
+        when(pe < 1.0, lattice6((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 }

@@ -532,6 +532,42 @@ object Stats {
     * the frame is row-bounded so window state is O(lookback) per task.
     * Returns only the flagged rows: (key, sec, id, value, n_base,
     * mean [1e-6 lattice], zscore [1e-6 lattice, NULL on zero variance]). */
+  /** CALIBRATION audit over a scored dataset (quality classifiers,
+    * reward models, dedup-confidence scores): bin predictions on the
+    * fixed `[0, 1]` grid and compare each bin's mean score (confidence)
+    * against its positive rate (accuracy). The per-bin `gap` is the
+    * reliability-diagram readout; the weighted |gap| total is ECE.
+    * Returns one row per NON-EMPTY bin:
+    * (bin, n, n_pos, confidence, accuracy, gap) — confidence/accuracy
+    * on the 1e-6 lattice, `gap = accuracy − confidence` recomputed from
+    * the LATTICE values so Σ|gap|·n is reproducible downstream without
+    * re-deriving the raw moments.
+    *
+    * Exactness: positives count as integers; score sums route through
+    * DECIMAL (aggregation-order-exact); each ratio is one IEEE divide.
+    * Scores outside [0, 1] clamp into the boundary bins (a mis-scaled
+    * score still lands SOMEWHERE visible); NULL scores or labels drop.
+    * Scale shape: one partial-aggregated pass to ≤ `bins` rows. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val bin = least(greatest(floor(s * bins), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    val lattice6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(bin.as("bin"), s.as("_s"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_s").cast("decimal(28,12)")).cast("double").as("_ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        lattice6(col("_ss") / col("n").cast("double")).as("confidence"),
+        lattice6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+      .withColumn("gap", col("accuracy") - col("confidence"))
+  }
+
   def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, lookback: Int, minN: Int,
       z: Double): DataFrame = {

@@ -1043,6 +1043,35 @@ private[graft] object PipelineQueries {
         .orderBy("key", "sec", "id")
     }),
 
+
+    // ----- calibration audit / reliability diagram -------------------
+    "q159_calibration" -> ((s, dir) => {
+      // a synthetic scored dataset whose hit-rate tracks its score by
+      // construction (hash-vs-magnitude comparison), binned into the
+      // 10-cell reliability diagram: integer positives, decimal-routed
+      // score sums, one divide per ratio
+      val ev = rd(s, dir, "events")
+        .withColumn("score", col("value").cast("double") / 500.0)
+        .withColumn("hit",
+          (col("event_id") * 7 + col("user_id")) % 10 <
+            floor(col("value").cast("double") / 50.0))
+      graft.operators.Stats.calibrationBins(ev, "score", col("hit"), bins = 10)
+        .orderBy("bin")
+    }),
+
+
+    // ----- Fleiss-kappa inter-rater agreement ------------------------
+    "q160_fleiss_kappa" -> ((s, dir) => {
+      // q157's vote fixture, scored for agreement-beyond-chance before
+      // the majority-vote gold set is trusted: exact integer pair
+      // counts, label shares squared from integer totals, one divide
+      // each — engine-exact to the last bit
+      val votes = rd(s, dir, "events")
+        .select((col("event_id") % 997).as("item"),
+          col("event_type").as("label"))
+      graft.operators.Labels.fleissKappa(votes, "item", "label")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2061,6 +2090,58 @@ private[graft] object PipelineQueries {
         |WHERE n >= 30 AND v IS NOT NULL
         |  AND abs(v - s1 / n) > 3.0 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0))
         |ORDER BY key, sec, id""".stripMargin,
+
+
+    "q159_calibration" ->
+      """WITH e AS (SELECT
+        |  CAST(value AS DOUBLE) / 500.0 AS s,
+        |  CASE WHEN (event_id * 7 + user_id) % 10 <
+        |    floor(CAST(value AS DOUBLE) / 50.0) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CAST(least(greatest(floor(s * 10), 0), 9) AS BIGINT)
+        |    AS bin, s, y FROM e),
+        |g AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS ss
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT bin, n, n_pos,
+        |  floor(ss / n * 1000000 + 0.5) / 1000000 AS confidence,
+        |  floor(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |    AS accuracy
+        |  FROM g)
+        |SELECT bin, n, n_pos, confidence, accuracy,
+        |  accuracy - confidence AS gap
+        |FROM r ORDER BY bin""".stripMargin,
+
+
+    // pairwise-form Fleiss kappa: agreeing-pair and total-pair counts
+    // as exact integer sums over multi-vote items; label shares squared
+    // from integer totals; one IEEE divide per ratio
+    "q160_fleiss_kappa" ->
+      """WITH v AS (SELECT event_id % 997 AS item, event_type AS label
+        |  FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT item, label, count(*) AS c FROM v GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+        |  FROM c GROUP BY 1 HAVING sum(c) >= 2),
+        |its AS (SELECT count(*) AS n_items, CAST(sum(n) AS BIGINT) AS n_votes,
+        |  CAST(sum(agree) AS BIGINT) AS ag,
+        |  CAST(sum(n * (n - 1)) AS BIGINT) AS pairs FROM pi),
+        |ls AS (SELECT CAST(sum(t * t) AS BIGINT) AS t2,
+        |  CAST(sum(t) AS BIGINT) AS tt FROM (
+        |  SELECT c.label, CAST(sum(c.c) AS BIGINT) AS t
+        |  FROM c JOIN pi ON c.item = pi.item GROUP BY 1))
+        |SELECT n_items, n_votes,
+        |  floor(CAST(ag AS DOUBLE) / CAST(pairs AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS po,
+        |  floor(CAST(t2 AS DOUBLE) / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS pe,
+        |  CASE WHEN CAST(t2 AS DOUBLE) / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)) < 1.0
+        |    THEN floor((CAST(ag AS DOUBLE) / CAST(pairs AS DOUBLE) -
+        |      CAST(t2 AS DOUBLE) / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))) /
+        |      (1.0 - CAST(t2 AS DOUBLE) / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS kappa
+        |FROM its CROSS JOIN ls""".stripMargin,
 
   )
 }

@@ -1240,6 +1240,60 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- calibration audit ------------------------------------------------
+
+  test("calibrationBins: hand-checked bins, boundary clamp, NULL drops") {
+    val df = Seq(
+      (0.05, Some(false)), (0.05, Some(false)),       // bin 0: conf .05 acc 0
+      (0.95, Some(true)), (0.95, Some(false)),        // bin 9: conf .95 acc .5
+      (1.7, Some(true)),                              // clamps into bin 9
+      (-0.3, Some(true)),                             // clamps into bin 0
+      (0.5, None)                                     // NULL label drops
+    ).toDF("score", "label")
+    val out = graft.operators.Stats.calibrationBins(df, "score",
+      col("label"), bins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "confidence", "accuracy", "gap")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // bin 0: scores .05 .05 -.3 -> conf (.05+.05-.3)/3 ≈ -.066667
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq((0L, 3L, 1L), (9L, 3L, 2L)))
+    assert(out(0)._4 == -0.066667)
+    assert(out(0)._5 == 0.333333)
+    assert(out(1)._4 == 1.2) // (.95+.95+1.7)/3 — the mis-scaled 1.7 is visible
+    assert(out(1)._5 == 0.666667)
+    assert(out(1)._6 == out(1)._5 - out(1)._4)
+  }
+
+  // --- Fleiss kappa -----------------------------------------------------
+
+  test("fleissKappa: perfect agreement, hand-checked mixed case, single-label NULL") {
+    // perfect: every item unanimous, two labels corpus-wide -> kappa 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("item", "label")
+    val p = graft.operators.Labels.fleissKappa(perfect, "item", "label")
+      .select("po", "pe", "kappa").as[(Double, Double, Option[Double])].head()
+    assert(p._1 == 1.0 && p._3.contains(1.0))
+    // one label corpus-wide: pe = 1 -> kappa undefined (NULL), not 0
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("item", "label")
+    assert(graft.operators.Labels.fleissKappa(mono, "item", "label")
+      .select("kappa").as[Option[Double]].head().isEmpty)
+    // mixed, hand-computed: items {a,a,b} and {a,b} ->
+    // po = (2+0+0+0) / (6+2) = 0.25; t_a=3 t_b=2 T=5 -> pe = 13/25 = 0.52
+    // kappa = (0.25-0.52)/(1-0.52) = -0.5625
+    val mixed = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("item", "label")
+    val m = graft.operators.Labels.fleissKappa(mixed, "item", "label")
+      .select("n_items", "n_votes", "po", "pe", "kappa")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(m._1 == 2L && m._2 == 5L)
+    assert(m._3 == 0.25 && m._4 == 0.52)
+    assert(m._5.exists(k => math.abs(k - -0.5625) < 1e-9))
+    // single-vote items carry no pairs: adding one changes nothing
+    val extra = mixed.unionByName(Seq((3L, "b")).toDF("item", "label"))
+    val e = graft.operators.Labels.fleissKappa(extra, "item", "label")
+      .select("n_items", "po", "pe").as[(Long, Double, Double)].head()
+    assert(e._1 == 2L && e._2 == 0.25 && e._3 == 0.52)
+  }
+
   // --- rolling anomaly detection ----------------------------------------
 
   test("rollingAnomaly: spike over constant baseline flags with NULL zscore") {
