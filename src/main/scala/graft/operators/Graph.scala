@@ -113,6 +113,50 @@ object Graph {
     * lineage. Plan depth grows linearly with `rounds` — bound it (<= 8)
     * or truncate lineage externally ([[Components]]-style checkpointing)
     * for deeper peels. */
+  /** Synchronous label-propagation community detection (LPA): every
+    * node starts as its own community and, for `iterations` rounds,
+    * adopts the most frequent label among its NEIGHBORS from the
+    * previous round (ties to the smallest label — the rule that makes
+    * the async algorithm's order-dependence disappear, so reruns and
+    * engines agree bit-for-bit). The cheap community pass for "which
+    * template family / seller ring / topic cluster is this node in"
+    * when CC is too coarse (everything touching anything merges) and
+    * modularity solvers are too heavy.
+    *
+    * Edges are treated as UNDIRECTED (symmetrized internally, either
+    * input orientation accepted); isolated input nodes never reach the
+    * edge frame and are the caller's concern. Fixed synchronous rounds,
+    * not convergence polling: each round is ONE join (labels onto
+    * edges), ONE partial-aggregated (node, label) count, and one
+    * WindowGroupLimit argmax per node — plan depth grows per round,
+    * bound it (<= 10) or checkpoint externally. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations $iterations must be in [1, 10] (plan depth grows per round)")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+    val sym = half
+      .unionByName(half.select(col("d").as("s"), col("s").as("d")))
+      .distinct().persist(sl)
+    // symmetry ⇒ every node appears as a source; one side suffices
+    val nodes = sym.select(col("s").as("node")).distinct().persist(sl)
+    var lab = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val counts = sym.join(lab, sym("s") === lab("node"))
+        .groupBy(sym("d").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label").asc)
+      lab = counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("label"))
+    }
+    lab
+  }
+
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")

@@ -1072,6 +1072,18 @@ private[graft] object PipelineQueries {
       graft.operators.Labels.fleissKappa(votes, "item", "label")
     }),
 
+
+    // ----- label-propagation communities (q126/q127/q140's graph) ----
+    "q161_communities" -> ((s, dir) => {
+      // 3 synchronous LPA rounds over the shared co-purchase edge set:
+      // deterministic tie-to-smallest argmax per node per round, so the
+      // unrolled oracle reproduces every label bit-for-bit
+      graft.operators.Graph.labelPropagation(
+        coPurchaseEdgesCached(s, dir), "src", "dst", iterations = 3)
+        .select(col("node"), col("label").as("community"))
+        .orderBy("node")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2142,6 +2154,36 @@ private[graft] object PipelineQueries {
         |      * 1000000 + 0.5) / 1000000
         |  END AS kappa
         |FROM its CROSS JOIN ls""".stripMargin,
+
+
+    // q127's support-2 co-purchase edges symmetrized, then the three
+    // LPA rounds unrolled — each an argmax-by-(count desc, label asc)
+    // window, mirroring the engine's deterministic tie rule
+    "q161_communities" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a AS s, b AS d FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        |c1 AS (SELECT m.d AS node, l.label, count(*) AS c
+        |  FROM sym m JOIN l0 l ON m.s = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT m.d AS node, l.label, count(*) AS c
+        |  FROM sym m JOIN l1 l ON m.s = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT m.d AS node, l.label, count(*) AS c
+        |  FROM sym m JOIN l2 l ON m.s = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c3) WHERE rn = 1)
+        |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin,
 
   )
 }

@@ -65,4 +65,28 @@ class GraphSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(run(k = 5, rounds = 2).isEmpty)
   }
+
+  test("labelPropagation: two cliques joined by a bridge separate; ties go low") {
+    // cliques {1,2,3} and {4,5,6} with bridge 3-4; reversed/duplicate
+    // edges and a self-loop must not perturb the symmetrized graph
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L),
+      (2L, 1L), (6L, 4L), (5L, 5L)).toDF("src", "dst")
+    def labels(iters: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1, node by node (neighbor labels, ties to smallest):
+    // 1:{2,3}->2  2:{1,3}->1  3:{1,2,4}->1  4:{3,5,6}->3  5:{4,6}->4  6:{4,5}->4
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+    // two more synchronous rounds settle each clique onto one label —
+    // hand-unrolled: l2 = {1:1,2:1,3:1,4:4,5:3,6:3}, then round 3
+    // resolves the bridge side to its clique
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L))
+    // determinism: same input, same labels, every run
+    assert(labels(3) == labels(3))
+  }
 }
