@@ -872,6 +872,52 @@ object TextAnalysis {
         (col("ms").cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** Token-pair LIFT — log-free collocation mining: for every pair of
+    * distinct tokens co-occurring in a document,
+    * `lift = N·df_ab / (df_a·df_b)` (the PMI exponential — >1 means the
+    * pair co-occurs above independence; stop-phrase and template
+    * detection reads from the top of this list). All counts are exact
+    * integers; the single divide is IEEE — engines agree to the bit
+    * without libm logs.
+    *
+    * Scale shape: per-doc pair generation is the quadratic hazard, so
+    * each doc's SORTED distinct-token set is capped at
+    * `maxTokensPerDoc` BEFORE pairing (deterministic lexicographic
+    * truncation, and every statistic — df and pair counts alike — is
+    * computed over the SAME capped sets, so lift stays internally
+    * consistent). One groupBy per doc builds the capped array, one
+    * double-posexplode emits C(cap,2) pairs max per doc, and two
+    * broadcast-sized df joins finish — no token-level self-join ever
+    * shuffles. `minSupport` prunes noise pairs before the df joins. */
+  def tokenPairLift(docs: DataFrame, idCol: String, textCol: String,
+      maxTokensPerDoc: Int, minSupport: Long): DataFrame = {
+    require(maxTokensPerDoc >= 2,
+      s"maxTokensPerDoc $maxTokensPerDoc must be >= 2 (pairs need two tokens)")
+    require(minSupport >= 1, s"minSupport $minSupport must be >= 1")
+    val n = docs.count()
+    val capped = docs
+      .select(col(idCol).as("id"),
+        slice(array_sort(array_distinct(split(normText(col(textCol)), " "))),
+          1, maxTokensPerDoc).as("w"))
+    val toks = capped.select(col("id"), explode(col("w")).as("t"))
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val pairs = capped
+      .select(col("id"), posexplode(col("w")).as(Seq("_pa", "ta")), col("w"))
+      .select(col("id"), col("_pa"), col("ta"),
+        posexplode(col("w")).as(Seq("_pb", "tb")))
+      .filter(col("_pa") < col("_pb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minSupport)
+    pairs
+      .join(broadcast(dfreq.select(col("t").as("ta"), col("df").as("df_a"))), "ta")
+      .join(broadcast(dfreq.select(col("t").as("tb"), col("df").as("df_b"))), "tb")
+      .select(col("ta").as("tok_a"), col("tb").as("tok_b"),
+        col("n_pairs"), col("df_a"), col("df_b"),
+        (floor(lit(n) * col("n_pairs") * lit(1000000.0) /
+          (col("df_a") * col("df_b")).cast("double") + lit(0.5)) /
+          lit(1000000.0)).as("lift"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

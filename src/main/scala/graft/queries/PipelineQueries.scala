@@ -1084,6 +1084,18 @@ private[graft] object PipelineQueries {
         .orderBy("node")
     }),
 
+
+    // ----- token-pair lift (log-free collocation mining) -------------
+    "q162_token_lift" -> ((s, dir) => {
+      // which word pairs co-occur above independence? — stop-phrase /
+      // template detection from exact integer counts and ONE divide;
+      // per-doc pair fan-out capped before pairing
+      TextAnalysis.tokenPairLift(rd(s, dir, "documents"), "doc_id", "text",
+        maxTokensPerDoc = 64, minSupport = 5)
+        .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+        .limit(25)
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2184,6 +2196,30 @@ private[graft] object PipelineQueries {
         |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
         |  FROM c3) WHERE rn = 1)
         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin,
+
+
+    // same capped-set discipline as the engine: sorted distinct tokens
+    // truncated at 64 per doc, df and pair counts BOTH over the capped
+    // sets; N*c*1e6 stays exactly representable, one IEEE divide
+    "q162_token_lift" ->
+      """WITH capd AS (SELECT doc_id,
+        |  (list_sort(list_distinct(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))))[1:64]
+        |    AS w
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM capd),
+        |dfr AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |pc AS (SELECT a.t AS ta, b.t AS tb, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ta AS tok_a, tb AS tok_b, c AS n_pairs,
+        |  da.df AS df_a, db.df AS df_b,
+        |  floor(CAST(nn.n * pc.c AS DOUBLE) * 1000000.0 /
+        |    CAST(da.df * db.df AS DOUBLE) + 0.5) / 1000000.0 AS lift
+        |FROM pc JOIN dfr da ON pc.ta = da.t JOIN dfr db ON pc.tb = db.t
+        |CROSS JOIN nn
+        |ORDER BY lift DESC, tok_a, tok_b LIMIT 25""".stripMargin,
 
   )
 }

@@ -1240,6 +1240,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- token-pair lift --------------------------------------------------
+
+  test("tokenPairLift: hand-checked lifts, cap truncates sets consistently") {
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenPairLift(docs, "doc_id", "text",
+      maxTokensPerDoc = 64, minSupport = 2)
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // every token df 3, every pair count 2: lift = 4*2/9 on the lattice
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Seq(("a", "b", 2L, 3L, 3L), ("a", "c", 2L, 3L, 3L), ("b", "c", 2L, 3L, 3L)))
+    assert(out.forall(_._6 == 0.888889))
+    // cap 2: d1's sorted set truncates to [a, b]; df AND pair counts
+    // follow the capped sets (c loses d1 everywhere, consistently)
+    val capped = TextAnalysis.tokenPairLift(docs, "doc_id", "text",
+      maxTokensPerDoc = 2, minSupport = 1)
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(capped.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Seq(("a", "b", 2L, 3L, 3L), ("a", "c", 1L, 3L, 2L), ("b", "c", 1L, 3L, 2L)))
+    // lift above independence shows: (a,c) 4*1/6 vs (a,b) 4*2/9
+    assert(capped(1)._6 == 0.666667 && capped(0)._6 == 0.888889)
+  }
+
   // --- calibration audit ------------------------------------------------
 
   test("calibrationBins: hand-checked bins, boundary clamp, NULL drops") {
