@@ -123,13 +123,16 @@ object PlanDump {
           "operator, no SinglePartition anywhere.",
         SparkEntry.queries("q122_global_sequence")(spark, sfDir)),
       ("q128_prefix_filter_join — exact-threshold similarity join",
-        "Candidates come from ONE equi-join on rarity-ordered prefix tokens " +
-          "(SortMergeJoin/ShuffledHashJoin on tok) with the length filter AND " +
-          "the PPJoin positional filter applied inside the join condition — " +
-          "mismatched sizes and rows whose remaining-overlap bound is under " +
-          "alpha are dropped before the pair materializes (3.2x on the bench); " +
-          "the exact-Jaccard verify joins the token arrays back by id, " +
-          "pair-sized only.",
+        "Docs with identical token sets collapse to ONE representative " +
+          "before anything quadratic (the within-group pairs are Jaccard 1.0 " +
+          "by definition; verdicts expand back by two explodes at the end — " +
+          "5.4x on the bench against a template-heavy corpus). Candidates " +
+          "then come from ONE equi-join on rarity-ordered prefix tokens with " +
+          "the length filter AND the PPJoin positional filter applied inside " +
+          "the join condition — mismatched sizes and rows whose " +
+          "remaining-overlap bound is under alpha are dropped before the " +
+          "pair materializes; the exact-Jaccard verify joins the token " +
+          "arrays back by set id, set-pair-sized only.",
         SparkEntry.queries("q128_prefix_filter_join")(spark, sfDir)),
       ("q138_bitmap_distinct — native mergeable exact distinct-count",
         "bitmap_distinct plans as ONE ObjectHashAggregate pass (partial " +
