@@ -73,4 +73,67 @@ object GlobalOrder {
       .withColumn(outCol, col("_offset") + col("_local"))
       .drop("_pid", "_local", "_offset")
   }
+
+  /** Weight-balanced SHARD assignment under a total order — the
+    * training-shard writer's planning step ("pack the ordered corpus
+    * into ~`shardWeight`-char files"): each row's shard is
+    * `floor(exclusive-prefix-sum(weight) / shardWeight)`, so shards are
+    * contiguous runs of the global order and a row belongs to the shard
+    * its first byte lands in — exactly the fixed-size-shard rule, with
+    * shard boundaries DERIVED from the data instead of guessed.
+    *
+    * The naive form is a global-window running sum — the same
+    * SinglePartition collapse [[sequenceIds]] exists to avoid. Shape
+    * here: one range exchange + in-partition sort (per-partition running
+    * sums are a single iterator pass — genuine per-partition imperative
+    * logic, the one place `mapPartitions` is the right tool), then a
+    * numPartitions-row totals job whose running sum becomes broadcast
+    * offsets; `global prefix = partition offset + local prefix`. Same
+    * eager localCheckpoint as [[sequenceIds]] and for the same reason:
+    * both passes must observe one sampled range partitioning.
+    *
+    * NULL weights count as 0 (a weightless row consumes no shard
+    * budget but still gets the shard at its position). */
+  def prefixShards(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      shardWeight: Long, outCol: String = "shard"): DataFrame = {
+    require(sortCols.nonEmpty, "prefixShards needs at least one sort column")
+    require(shardWeight > 0, s"shardWeight $shardWeight must be positive")
+    val taken = Seq(outCol, "_pid", "_w", "_cumw", "_offset")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has column(s) ${taken.mkString(", ")} that prefixShards needs")
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .localCheckpoint(true)
+    val wIdx = sorted.schema.fieldIndex("_w")
+    val withLocal = sorted.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        val w = r.getLong(wIdx)
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += w
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema
+      .add("_cumw", org.apache.spark.sql.types.LongType, nullable = false)))
+    val totals = sorted.groupBy(col("_pid")).agg(sum(col("_w")).as("_t"))
+      .orderBy(col("_pid")).collect()
+    val offsets = totals.scanLeft(0L)(_ + _.getLong(1)).init
+    val offsetRows = totals.map(_.getInt(0)).zip(offsets).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsetRows.toDF("_pid", "_offset")
+    withLocal
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(outCol,
+        // integer division, not a double floor: prefix sums are exact
+        // longs and both operands are non-negative, so `div` is exact at
+        // any corpus size (a double quotient loses bits past 2^53)
+        expr(s"(_offset + _cumw) div ${shardWeight}L"))
+      .drop("_pid", "_w", "_cumw", "_offset")
+  }
 }

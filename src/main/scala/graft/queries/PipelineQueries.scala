@@ -1096,6 +1096,21 @@ private[graft] object PipelineQueries {
         .limit(25)
     }),
 
+
+    // ----- weight-balanced shard planning (training-shard writer) ----
+    "q163_shard_plan" -> ((s, dir) => {
+      // pack the curriculum-ordered corpus (q122's order) into ~20k-char
+      // shards: shard = exclusive-prefix-chars div 20000 with NO
+      // single-partition stage — range exchange + one-pass per-partition
+      // running sums + broadcast offsets
+      graft.operators.GlobalOrder.prefixShards(
+        rd(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+        shardWeight = 20000L)
+        .select("doc_id", "n_chars", "shard")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2220,6 +2235,18 @@ private[graft] object PipelineQueries {
         |FROM pc JOIN dfr da ON pc.ta = da.t JOIN dfr db ON pc.tb = db.t
         |CROSS JOIN nn
         |ORDER BY lift DESC, tok_a, tok_b LIMIT 25""".stripMargin,
+
+
+    // the naive global-window form the engine's two-pass plan must
+    // reproduce exactly: exclusive prefix sum in (n_chars desc, doc_id)
+    // order, integer-divided into 20k-char shards
+    "q163_shard_plan" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    // 20000 AS shard
+        |FROM documents
+        |ORDER BY n_chars DESC, doc_id""".stripMargin,
 
   )
 }

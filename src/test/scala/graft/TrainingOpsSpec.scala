@@ -1240,6 +1240,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- weight-balanced shard planning -----------------------------------
+
+  test("prefixShards: equals the naive global running sum, NULL weight is 0") {
+    val rows = (1 to 200).map(i => (i.toLong, ((i * 13) % 50 + 10).toLong))
+    val df = rows.toDF("id", "w")
+    val got = graft.operators.GlobalOrder.prefixShards(df,
+      Seq(col("w").desc, col("id").asc), "w", shardWeight = 300L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    // naive reference: sort, exclusive prefix, integer divide
+    val expect = rows.sortBy { case (id, w) => (-w, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, w)) => (id, cum / 300L, cum + w) }
+      .tail.map { case (id, shard, _) => id -> shard }.toMap
+    assert(got == expect)
+    // shards are contiguous runs of the order and boundaries never skip
+    val shards = rows.sortBy { case (id, w) => (-w, id) }.map(r => got(r._1))
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 })
+    // NULL weight consumes no budget but keeps its position's shard
+    val withNull = Seq((1L, Some(500L)), (2L, None), (3L, Some(100L)))
+      .toDF("id", "w")
+    val n = graft.operators.GlobalOrder.prefixShards(withNull,
+      Seq(col("id").asc), "w", shardWeight = 200L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   // --- token-pair lift --------------------------------------------------
 
   test("tokenPairLift: hand-checked lifts, cap truncates sets consistently") {
