@@ -154,6 +154,34 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Batch ADMISSION QUOTA — the batch twin of
+    * [[graft.streaming.StreamingSync.quotaPerKey]]: within each
+    * (key, event-time epoch of `epochSec`) window, the first `quota`
+    * rows in (ts, id) order are admitted, the rest marked
+    * `admitted = false` — per-source crawl budgets / abuse throttles
+    * re-scored over history. One hash exchange on (key, epoch) +
+    * WindowGroupLimit-style rank; every verdict is deterministic (total
+    * order within the window via the id tiebreak). */
+  def admitQuota(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, epochSec: Long, quota: Long,
+      epochCol: String = "epoch", outCol: String = "admitted"): DataFrame = {
+    require(keyCols.nonEmpty, "admission quota needs key columns")
+    require(epochSec > 0, s"epochSec $epochSec must be positive")
+    require(quota > 0, s"quota $quota must be positive")
+    val taken = Seq(epochCol, outCol).filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has column(s) ${taken.mkString(", ")} that admitQuota emits")
+    val epoch = floor(col(tsCol).cast("long") / epochSec).cast("long")
+    val rn = TempCols.fresh(df, "_rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols.map(col) :+ epoch): _*)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.withColumn(epochCol, epoch)
+      .withColumn(rn, row_number().over(w))
+      .withColumn(outCol, col(rn) <= quota)
+      .drop(rn)
+  }
+
   /** Stratified deterministic sample: per-stratum rates with an optional
     * default for unlisted strata. One filter, no shuffle; the cutoff CASE
     * folds to a constant per stratum value. */

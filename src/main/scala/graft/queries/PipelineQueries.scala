@@ -1111,6 +1111,21 @@ private[graft] object PipelineQueries {
         .orderBy(col("n_chars").desc, col("doc_id"))
     }),
 
+
+    // ----- per-key admission quota (batch twin of the stream gate) ---
+    "q164_admission_quota" -> ((s, dir) => {
+      // re-score history against a 5-events-per-type-per-day budget:
+      // the first 5 by (ts, id) admit, the rest route to the deadletter
+      // tier; one (key, epoch) exchange, deterministic verdicts
+      graft.operators.Sampling.admitQuota(rd(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id", epochSec = 86400L, quota = 5L)
+        .groupBy("event_type", "epoch")
+        .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"))
+        .filter(col("n_rejected") > 0)
+        .orderBy("event_type", "epoch")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2247,6 +2262,22 @@ private[graft] object PipelineQueries {
         |    // 20000 AS shard
         |FROM documents
         |ORDER BY n_chars DESC, doc_id""".stripMargin,
+
+
+    "q164_admission_quota" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch,
+        |  row_number() OVER (PARTITION BY event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, epoch,
+        |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN rn <= 5 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_rejected
+        |FROM v GROUP BY 1, 2 HAVING n_rejected > 0
+        |ORDER BY event_type, epoch""".stripMargin,
 
   )
 }

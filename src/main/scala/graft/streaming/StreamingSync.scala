@@ -377,6 +377,73 @@ object StreamingSync {
       }
   }
 
+  /** Streaming per-key ADMISSION QUOTA — ingest rate limiting with an
+    * exact, deterministic verdict per event: at most `quota` events per
+    * key per `epochSec` event-time window are admitted, in (event-time,
+    * id) order; the rest carry `admitted = false` so the caller routes
+    * them (drop, deadletter, downsample tier) instead of losing them
+    * silently. This is the per-source crawl-budget / abuse-throttle
+    * gate a 100-TB ingest runs in front of everything else, and no
+    * built-in windowed aggregate can emit a PER-EVENT verdict that
+    * depends on arrival rank within the window — hence custom state.
+    *
+    * State per key is O(1): (newest epoch seen, admitted count in it).
+    * Epochs advance monotonically; an event arriving AFTER its epoch's
+    * accounting has moved on (epoch < state's) is REJECTED — quota
+    * accounting for a closed window never reopens, the conservative
+    * read (admitting would overshoot the closed window's quota).
+    * Batch counterpart: a (key, epoch) row_number ≤ quota window —
+    * batch/stream agreement pinned in StreamingSpec for epoch-aligned
+    * arrivals. Emits one `(key, id, epoch, admitted)` row per event
+    * per batch (update output mode). */
+  def quotaPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, epochSec: Long, quota: Long,
+      idleTimeout: String = ""): Dataset[(Long, Long, Long, Boolean)] = {
+    require(epochSec > 0, s"epochSec $epochSec must be positive")
+    require(quota > 0, s"quota $quota must be positive")
+    requireIntegralKey(events, keyCol, "quotaPerKey")
+    requireIntegralKey(events, idCol, "quotaPerKey")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+        st: GroupState[(Long, Long)]): Iterator[(Long, Long, Long, Boolean)] = {
+      val xs = it.toSeq.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        c < 0 || (c == 0 && a._3 < b._3)
+      }
+      var (epoch, used) = st.getOption.getOrElse((Long.MinValue, 0L))
+      val out = xs.map { case (_, t, id) =>
+        // event-time epoch from the FULL timestamp's millis (epochSec
+        // granularity makes sub-millisecond truncation irrelevant here)
+        val e = Math.floorDiv(t.getTime, epochSec * 1000L)
+        if (e > epoch) { epoch = e; used = 0L }
+        val admit = e == epoch && used < quota
+        if (admit) used += 1
+        (k, id, e, admit)
+      }
+      st.update((epoch, used))
+      out.iterator
+    }
+    val grouped = events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
+        s"CAST($idCol AS LONG) AS _i")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    grouped.flatMapGroupsWithState(OutputMode.Update(),
+        if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+        else GroupStateTimeout.ProcessingTimeTimeout) {
+      (k: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+          st: GroupState[(Long, Long)]) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
+          val r = fold(k, it, st)
+          if (idleTimeout.nonEmpty) st.setTimeoutDuration(idleTimeout)
+          r
+        }
+    }
+  }
+
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
     * when the watermark passes last_event + gap, then emit exactly once

@@ -327,6 +327,45 @@ class StreamingSpec extends SparkSpec {
     assert(b == last, s"batch $b != stream $last")
   }
 
+  test("streaming quota gate admits per-epoch in order, rejects late closed epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val gate = StreamingSync.quotaPerKey(
+      in.toDF().toDF("src", "ts", "event_id"), "src", "ts", "event_id",
+      epochSec = 60, quota = 2)
+      .toDF("src", "event_id", "epoch", "admitted")
+    val q = gate.writeStream.format("memory").queryName("quota_out")
+      .outputMode("update").start()
+    // epoch A: three events -> first two (by event time) admitted
+    in.addData((1L, ts("2024-01-01 00:00:30"), 12L),
+      (1L, ts("2024-01-01 00:00:05"), 10L),
+      (1L, ts("2024-01-01 00:00:20"), 11L))
+    q.processAllAvailable()
+    // epoch B next batch: quota resets; a LATE epoch-A event is rejected
+    // (closed accounting never reopens), even though A admitted only 2
+    in.addData((1L, ts("2024-01-01 00:01:10"), 20L),
+      (1L, ts("2024-01-01 00:00:50"), 13L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota_out")
+      .select("event_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 11L -> true, 12L -> false,
+      20L -> true, 13L -> false), s"got $got")
+    // batch twin for the epoch-aligned arrivals: row_number <= quota
+    // per (key, epoch) over (ts, id)
+    val batch = Seq(
+      (1L, ts("2024-01-01 00:00:05"), 10L), (1L, ts("2024-01-01 00:00:20"), 11L),
+      (1L, ts("2024-01-01 00:00:30"), 12L), (1L, ts("2024-01-01 00:01:10"), 20L))
+      .toDF("src", "ts", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), (col("ts").cast("long") / 60).cast("long"))
+      .orderBy(col("ts"), col("event_id"))
+    val b = batch.withColumn("admitted", row_number().over(w) <= 2)
+      .select("event_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(b == got.filterKeys(_ != 13L).toMap, s"batch $b")
+  }
+
   test("streaming near-dup gate flags incoming docs that duplicate the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
