@@ -273,6 +273,46 @@ object Stats {
       col("p.min_str"), col("p.max_str"))
   }
 
+  /** Snapshot PROFILE DRIFT — the column-level diff a nightly data-ops
+    * gate runs between yesterday's and today's table before promoting:
+    * [[columnProfile]] on both sides joined per column, with the
+    * derived signals (null-rate delta on the 1e-6 lattice, distinct
+    * ratio, range movement) that decide "ship / investigate". Both
+    * profiles are ONE aggregation pass each; the join frame is
+    * |columns| rows. `range_moved` uses null-safe comparison across the
+    * numeric AND string min/max, so a column gaining its first NULLs or
+    * an all-NULL column appearing reads as movement, not as equality.
+    *
+    * NULL `null_rate` on an empty side (0 rows) keeps 0/0 out of the
+    * report — an empty snapshot is a louder signal than any rate. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val lattice6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    def side(df: DataFrame, p: String): DataFrame =
+      columnProfile(df, cols).select(col("column"),
+        col("n_rows").as(s"${p}_n_rows"), col("n_nulls").as(s"${p}_n_nulls"),
+        col("n_distinct").as(s"${p}_n_distinct"),
+        col("min_num").as(s"${p}_min_num"), col("max_num").as(s"${p}_max_num"),
+        col("min_str").as(s"${p}_min_str"), col("max_str").as(s"${p}_max_str"))
+    def rate(p: String): Column = when(col(s"${p}_n_rows") > 0,
+      lattice6(col(s"${p}_n_nulls").cast("double") /
+        col(s"${p}_n_rows").cast("double")))
+    side(oldDf, "old").join(side(newDf, "new"), "column")
+      .select(col("column"),
+        col("old_n_rows"), col("new_n_rows"),
+        col("old_n_nulls"), col("new_n_nulls"),
+        rate("old").as("old_null_rate"), rate("new").as("new_null_rate"),
+        (rate("new") - rate("old")).as("null_rate_delta"),
+        col("old_n_distinct"), col("new_n_distinct"),
+        when(col("old_n_distinct") > 0, lattice6(
+          col("new_n_distinct").cast("double") /
+            col("old_n_distinct").cast("double"))).as("distinct_ratio"),
+        (!(col("old_min_num") <=> col("new_min_num")) ||
+          !(col("old_max_num") <=> col("new_max_num")) ||
+          !(col("old_min_str") <=> col("new_min_str")) ||
+          !(col("old_max_str") <=> col("new_max_str"))).as("range_moved"))
+  }
+
   /** Per-key exponential moving average over the key's events in
     * `orderCols` order, seeded with the first value:
     * `ema_1 = x_1; ema_i = alpha*x_i + (1-alpha)*ema_{i-1}`.

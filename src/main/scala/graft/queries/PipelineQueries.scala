@@ -1126,6 +1126,23 @@ private[graft] object PipelineQueries {
         .orderBy("event_type", "epoch")
     }),
 
+
+    // ----- snapshot profile drift (nightly promote gate) -------------
+    "q165_profile_drift" -> ((s, dir) => {
+      // yesterday vs today with an injected null wave and a new segment
+      // value: per-column null-rate delta, distinct ratio, range
+      // movement — two one-pass profiles joined on a |columns|-row frame
+      val old = rd(s, dir, "customer")
+      val nw = old
+        .withColumn("c_acctbal", when(col("c_custkey") % 13 === 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment", when(col("c_custkey") % 17 === 0,
+          lit("SEGMENT_X")).otherwise(col("c_mktsegment")))
+      graft.operators.Stats.profileDrift(old, nw,
+        Seq("c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"))
+        .orderBy("column")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2278,6 +2295,57 @@ private[graft] object PipelineQueries {
         |    AS n_rejected
         |FROM v GROUP BY 1, 2 HAVING n_rejected > 0
         |ORDER BY event_type, epoch""".stripMargin,
+
+
+    // two q69-style one-pass profiles (old = customer, new = the same
+    // rows with the injected null wave / segment rename) joined per
+    // column; lattice rates and IS DISTINCT FROM range movement mirror
+    // the engine's null-safe comparisons
+    "q165_profile_drift" -> {
+      def prof(rel: String, c: String, num: Boolean) = {
+        val minNum = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+        val maxStr = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str
+           |FROM $rel""".stripMargin
+      }
+      val colsSpec = Seq(("c_custkey", true), ("c_acctbal", true),
+        ("c_mktsegment", false), ("c_nationkey", true))
+      val newRel = """(SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 17 = 0 THEN 'SEGMENT_X' ELSE c_mktsegment END
+        |    AS c_mktsegment,
+        |  c_nationkey FROM customer)""".stripMargin
+      val po = colsSpec.map { case (c, n) => prof("customer", c, n) }
+        .mkString("\nUNION ALL\n")
+      val pn = colsSpec.map { case (c, n) => prof(newRel, c, n) }
+        .mkString("\nUNION ALL\n")
+      val r6o = "floor(CAST(po.n_nulls AS DOUBLE) / po.n_rows * 1000000 + 0.5) / 1000000"
+      val r6n = "floor(CAST(pn.n_nulls AS DOUBLE) / pn.n_rows * 1000000 + 0.5) / 1000000"
+      s"""WITH po AS ($po), pn AS ($pn)
+         |SELECT po."column" AS "column",
+         |  po.n_rows AS old_n_rows, pn.n_rows AS new_n_rows,
+         |  po.n_nulls AS old_n_nulls, pn.n_nulls AS new_n_nulls,
+         |  CASE WHEN po.n_rows > 0 THEN $r6o END AS old_null_rate,
+         |  CASE WHEN pn.n_rows > 0 THEN $r6n END AS new_null_rate,
+         |  (CASE WHEN pn.n_rows > 0 THEN $r6n END) -
+         |    (CASE WHEN po.n_rows > 0 THEN $r6o END) AS null_rate_delta,
+         |  po.n_distinct AS old_n_distinct, pn.n_distinct AS new_n_distinct,
+         |  CASE WHEN po.n_distinct > 0 THEN
+         |    floor(CAST(pn.n_distinct AS DOUBLE) / po.n_distinct * 1000000 + 0.5)
+         |      / 1000000 END AS distinct_ratio,
+         |  (po.min_num IS DISTINCT FROM pn.min_num OR
+         |   po.max_num IS DISTINCT FROM pn.max_num OR
+         |   po.min_str IS DISTINCT FROM pn.min_str OR
+         |   po.max_str IS DISTINCT FROM pn.max_str) AS range_moved
+         |FROM po JOIN pn ON po."column" = pn."column"
+         |ORDER BY "column"""".stripMargin
+    },
 
   )
 }

@@ -1240,6 +1240,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- snapshot profile drift -------------------------------------------
+
+  test("profileDrift: null wave, new category, unchanged column") {
+    val old = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Some(30.0), "a"), (4L, Some(40.0), "b")).toDF("id", "v", "seg")
+    val nw = Seq((1L, None, "a"), (2L, Some(20.0), "b"),
+      (3L, Some(30.0), "a"), (4L, Some(40.0), "c")).toDF("id", "v", "seg")
+    val out = graft.operators.Stats.profileDrift(old, nw, Seq("id", "v", "seg"))
+      .orderBy("column")
+      .select("column", "null_rate_delta", "distinct_ratio", "range_moved")
+      .as[(String, Option[Double], Option[Double], Boolean)].collect().toSeq
+    // id untouched; v gains a null (delta .25) AND loses its min (range
+    // moved); seg swaps b->c at one row: distinct 2 -> 3, max moved
+    assert(out == Seq(
+      ("id", Some(0.0), Some(1.0), false),
+      ("seg", Some(0.0), Some(1.5), true),
+      ("v", Some(0.25), Some(0.75), true)))
+  }
+
   // --- weight-balanced shard planning -----------------------------------
 
   test("prefixShards: equals the naive global running sum, NULL weight is 0") {
