@@ -447,14 +447,23 @@ object DedupApprox {
     * Jaccard lands on the 1e-4 lattice; column order (id_a < id_b) and
     * the final sort are deterministic. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    prefixFilterPairsTokens(docs, idCol,
+      split(TextAnalysis.normText(col(textCol)), " "), threshold)
+
+  /** [[prefixFilterPairs]] under a caller-chosen tokenization: `tokensCol`
+    * is any array-of-string expression (word split, k-shingles, CDC
+    * chunks), so the exact-threshold join serves every set-similarity
+    * definition the sketch family approximates — including as the
+    * ground-truth side of a sketch-recall audit (q166). */
+  def prefixFilterPairsTokens(docs: DataFrame, idCol: String,
+      tokensCol: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold must be in (0, 1]")
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(np, col(idCol))
-      .select(col(idCol).as("id"),
-        explode(split(TextAnalysis.normText(col(textCol)), " ")).as("_tok"))
+      .select(col(idCol).as("id"), explode(tokensCol).as("_tok"))
       .select(col("id"),
         graft.functions.Checksums.md5PrefixLong(col("_tok")).as("h"))
       .distinct()

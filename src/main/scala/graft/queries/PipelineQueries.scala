@@ -1143,6 +1143,32 @@ private[graft] object PipelineQueries {
         .orderBy("column")
     }),
 
+
+    // ----- sketch-recall audit (LSH banding vs exact ground truth) ---
+    "q166_sketch_recall" -> ((s, dir) => {
+      // the engine measures its own sketch: ground truth = the
+      // NO-false-negative prefix-filter join over the SAME 3-shingle
+      // sets q25's minhash approximates; found = the banded LSH pairs.
+      // recall = found / true with exact integer counts — the number a
+      // dedup rollout quotes before trusting the probabilistic path
+      val corpus = docsWithNearDups(s, dir)
+      val truth = DedupApprox.prefixFilterPairsTokens(corpus, "doc_id",
+        TextAnalysis.shingleStrings(col("text"), 3), threshold = 0.6)
+        .select("id_a", "id_b")
+      val found = DedupApprox.minhashNearDups(corpus, "doc_id", "text",
+        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
+        .select("id_a", "id_b")
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nFound = found.agg(count(lit(1)).as("n_found"))
+      val nMissed = truth.join(found, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      nTrue.crossJoin(nFound).crossJoin(nMissed)
+        .select(col("n_true"), col("n_found"), col("n_missed"),
+          (floor((col("n_true") - col("n_missed")).cast("double") /
+            col("n_true").cast("double") * 1000000 + 0.5) / 1000000)
+            .as("recall"))
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2346,6 +2372,34 @@ private[graft] object PipelineQueries {
          |FROM po JOIN pn ON po."column" = pn."column"
          |ORDER BY "column"""".stripMargin
     },
+
+
+    // ground truth = exact Jaccard over ALL shingle-sharing pairs (any
+    // shared shingle is a candidate — supersets the banded candidates);
+    // found = the q25 banded pipeline's verified pairs; exact counts +
+    // one lattice divide
+    "q166_sketch_recall" -> (minhashPairsCtes +
+      """,
+        |te AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+        |tc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM te a JOIN te b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |tp AS (SELECT tc.id_a, tc.id_b,
+        |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
+        |  FROM tc
+        |  JOIN hsh sa ON sa.doc_id = tc.id_a
+        |  JOIN hsh sb ON sb.doc_id = tc.id_b),
+        |tr AS (SELECT id_a, id_b FROM tp WHERE j >= 0.6),
+        |ap AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.6),
+        |ms AS (SELECT count(*) AS n_missed FROM tr
+        |  ANTI JOIN ap ON tr.id_a = ap.id_a AND tr.id_b = ap.id_b)
+        |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_true,
+        |  CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_found,
+        |  CAST(ms.n_missed AS BIGINT) AS n_missed,
+        |  floor(CAST((SELECT count(*) FROM tr) - ms.n_missed AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM tr) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS recall
+        |FROM ms""".stripMargin),
 
   )
 }
