@@ -617,13 +617,27 @@ object Stats {
     require(z > 0, s"z $z must be positive")
     val sec = col(tsCol).cast("long")
     val v = col(valueCol).cast("double")
-    val w = org.apache.spark.sql.expressions.Window
+    // trailing-frame moments as CUMULATIVE sums minus their lagged
+    // selves: a bounded ROWS frame re-aggregates O(lookback) values per
+    // row, the running-total frame is O(1)/row — and because the sums
+    // are DECIMAL (exact, no cancellation), the subtraction equals the
+    // frame aggregate to the last bit, something float cumsums could
+    // not promise
+    val ord = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(sec.asc, col(idCol).asc)
-      .rowsBetween(-lookback.toLong, -1L)
-    val s1 = sum(v.cast("decimal(28,12)")).over(w).cast("double")
-    val s2 = sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
-    val n = count(v).over(w)
+    val wcum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    val zero = lit(0).cast("decimal(28,12)")
+    val cum1 = sum(v.cast("decimal(28,12)")).over(wcum)
+    val cum2 = sum((v * v).cast("decimal(28,12)")).over(wcum)
+    val cumn = count(v).over(wcum)
+    def trail(c: Column, z: Column): Column =
+      coalesce(lag(c, 1).over(ord), z) -
+        coalesce(lag(c, lookback + 1).over(ord), z)
+    val s1 = trail(cum1, zero).cast("double")
+    val s2 = trail(cum2, zero).cast("double")
+    val n = trail(cumn.cast("long"), lit(0L))
     val nd = n.cast("double")
     val mean = s1 / nd
     val variance = (s2 - s1 * s1 / nd) / nd

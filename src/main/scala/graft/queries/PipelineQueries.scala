@@ -1155,9 +1155,9 @@ private[graft] object PipelineQueries {
       val truth = DedupApprox.prefixFilterPairsTokens(corpus, "doc_id",
         TextAnalysis.shingleStrings(col("text"), 3), threshold = 0.6)
         .select("id_a", "id_b")
-      val found = DedupApprox.minhashNearDups(corpus, "doc_id", "text",
-        k = 3, bands = 8, rows = 2, threshold = 0.6, md5Family = true)
-        .select("id_a", "id_b")
+      // the identical banded pipeline q56/q73/q78 consume — served from
+      // the content-fingerprinted pair cache, not re-sketched
+      val found = nearDupPairsCached(s, dir).select("id_a", "id_b")
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       val nFound = found.agg(count(lit(1)).as("n_found"))
       val nMissed = truth.join(found, Seq("id_a", "id_b"), "left_anti")
