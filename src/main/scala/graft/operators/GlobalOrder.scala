@@ -96,12 +96,34 @@ object GlobalOrder {
     * budget but still gets the shard at its position). */
   def prefixShards(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       shardWeight: Long, outCol: String = "shard"): DataFrame = {
-    require(sortCols.nonEmpty, "prefixShards needs at least one sort column")
     require(shardWeight > 0, s"shardWeight $shardWeight must be positive")
-    val taken = Seq(outCol, "_pid", "_w", "_cumw", "_offset")
-      .filter(df.columns.contains)
+    require(!df.columns.contains(outCol),
+      s"input already has the $outCol column prefixShards emits")
+    withRunningTotals(df, sortCols, weightCol, cumCol = "_cumg")
+      // integer division, not a double floor: prefix sums are exact
+      // longs and both operands are non-negative, so `div` is exact at
+      // any corpus size (a double quotient loses bits past 2^53)
+      .withColumn(outCol, expr(s"_cumg div ${shardWeight}L"))
+      .drop("_cumg")
+  }
+
+  /** Global EXCLUSIVE running totals of `weightCol` under a total order
+    * — the shared engine behind [[prefixShards]] and the vocabulary-
+    * coverage cutoff: every row gains `cumCol` = sum of all earlier
+    * rows' weights (and optionally `posCol` = its 0-based global rank),
+    * with NO SinglePartition stage. Same shape as [[sequenceIds]]:
+    * range exchange, one-pass per-partition running sums
+    * (`mapPartitions` — genuine per-partition imperative logic),
+    * broadcast per-partition offsets, eager localCheckpoint pinning the
+    * sampled partitioning across the two passes. NULL weights are 0. */
+  def withRunningTotals(df: DataFrame, sortCols: Seq[Column],
+      weightCol: String, cumCol: String = "cum_before",
+      posCol: String = ""): DataFrame = {
+    require(sortCols.nonEmpty, "running totals need at least one sort column")
+    val taken = (Seq(cumCol, "_pid", "_w", "_cumw", "_local", "_offw", "_offn") ++
+      (if (posCol.nonEmpty) Seq(posCol) else Nil)).filter(df.columns.contains)
     require(taken.isEmpty,
-      s"input already has column(s) ${taken.mkString(", ")} that prefixShards needs")
+      s"input already has column(s) ${taken.mkString(", ")} that withRunningTotals needs")
     val np = df.sparkSession.sparkContext.defaultParallelism
     val sorted = df
       .repartitionByRange(np, sortCols: _*)
@@ -112,28 +134,31 @@ object GlobalOrder {
     val wIdx = sorted.schema.fieldIndex("_w")
     val withLocal = sorted.mapPartitions { it =>
       var acc = 0L
+      var i = 0L
       it.map { r =>
-        val w = r.getLong(wIdx)
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
-        acc += w
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(acc, i))
+        acc += r.getLong(wIdx)
+        i += 1L
         out
       }
     }(org.apache.spark.sql.Encoders.row(sorted.schema
-      .add("_cumw", org.apache.spark.sql.types.LongType, nullable = false)))
-    val totals = sorted.groupBy(col("_pid")).agg(sum(col("_w")).as("_t"))
+      .add("_cumw", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("_local", org.apache.spark.sql.types.LongType, nullable = false)))
+    val totals = sorted.groupBy(col("_pid"))
+      .agg(sum(col("_w")).as("_t"), count(lit(1)).as("_c"))
       .orderBy(col("_pid")).collect()
-    val offsets = totals.scanLeft(0L)(_ + _.getLong(1)).init
-    val offsetRows = totals.map(_.getInt(0)).zip(offsets).toSeq
+    val wOffsets = totals.scanLeft(0L)(_ + _.getLong(1)).init
+    val nOffsets = totals.scanLeft(0L)(_ + _.getLong(2)).init
+    val offsetRows = totals.map(_.getInt(0)).zip(wOffsets.zip(nOffsets))
+      .map { case (p, (w, n)) => (p, w, n) }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offsetDf = offsetRows.toDF("_pid", "_offset")
-    withLocal
+    val offsetDf = offsetRows.toDF("_pid", "_offw", "_offn")
+    val joined = withLocal
       .join(broadcast(offsetDf), Seq("_pid"))
-      .withColumn(outCol,
-        // integer division, not a double floor: prefix sums are exact
-        // longs and both operands are non-negative, so `div` is exact at
-        // any corpus size (a double quotient loses bits past 2^53)
-        expr(s"(_offset + _cumw) div ${shardWeight}L"))
-      .drop("_pid", "_w", "_cumw", "_offset")
+      .withColumn(cumCol, col("_offw") + col("_cumw"))
+    (if (posCol.nonEmpty) joined.withColumn(posCol, col("_offn") + col("_local"))
+     else joined)
+      .drop("_pid", "_w", "_cumw", "_local", "_offw", "_offn")
   }
 }

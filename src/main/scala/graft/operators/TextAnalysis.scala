@@ -918,6 +918,37 @@ object TextAnalysis {
           lit(1000000.0)).as("lift"))
   }
 
+  /** Frequency-ordered VOCABULARY CUTOFF — the tokenizer-budget
+    * question "how small a vocabulary still covers X% of the corpus
+    * token mass?": tokens ranked by (occurrences desc, token asc), kept
+    * while the EXCLUSIVE prefix mass is under `ceil(pct·total/100)` —
+    * the minimal covering prefix, all in integer arithmetic (the target
+    * via `(pct·total + 99) div 100`, so no double ever touches the
+    * cutoff decision).
+    *
+    * Scale shape: one token count aggregation (partial, the only
+    * data-sized shuffle), then [[GlobalOrder.withRunningTotals]] over
+    * the VOCABULARY frame — global rank + running mass with no
+    * SinglePartition window — and a broadcast one-row total. Returns
+    * (rank, token, n_occ, cum_before) for the kept prefix. */
+  def vocabCutoff(docs: DataFrame, textCol: String,
+      coveragePct: Int): DataFrame = {
+    require(coveragePct >= 1 && coveragePct <= 100,
+      s"coveragePct $coveragePct must be in [1, 100]")
+    val counts = docs
+      .select(explode(split(normText(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum(col("n_occ")).as("_total"))
+    graft.operators.GlobalOrder.withRunningTotals(counts,
+      Seq(col("n_occ").desc, col("token").asc), "n_occ",
+      cumCol = "cum_before", posCol = "rank")
+      .crossJoin(broadcast(total))
+      .filter(col("cum_before") <
+        expr(s"($coveragePct * _total + 99) div 100"))
+      .select(col("rank"), col("token"), col("n_occ"), col("cum_before"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1169,6 +1169,17 @@ private[graft] object PipelineQueries {
             .as("recall"))
     }),
 
+
+    // ----- vocabulary coverage cutoff (tokenizer budgeting) ----------
+    "q167_vocab_cutoff" -> ((s, dir) => {
+      // the smallest frequency-ranked vocabulary covering 90% of the
+      // corpus token mass — integer cutoff arithmetic, global ranks via
+      // the no-SinglePartition running-totals machinery
+      TextAnalysis.vocabCutoff(rd(s, dir, "documents"), "text",
+        coveragePct = 90)
+        .orderBy("rank")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2400,6 +2411,25 @@ private[graft] object PipelineQueries {
         |    CAST((SELECT count(*) FROM tr) AS DOUBLE) * 1000000 + 0.5)
         |    / 1000000 AS recall
         |FROM ms""".stripMargin),
+
+
+    "q167_vocab_cutoff" ->
+      """WITH tok AS (SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n_occ FROM tok
+        |  WHERE token != '' GROUP BY 1),
+        |r AS (SELECT token, n_occ,
+        |  row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS rank,
+        |  CAST(coalesce(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM c)
+        |SELECT rank, token, n_occ, cum_before
+        |FROM r CROSS JOIN t
+        |WHERE cum_before < (90 * total + 99) // 100
+        |ORDER BY rank""".stripMargin,
 
   )
 }

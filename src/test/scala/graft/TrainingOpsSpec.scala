@@ -1240,6 +1240,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- vocabulary coverage cutoff ---------------------------------------
+
+  test("vocabCutoff: minimal covering prefix, integer cutoff, full coverage") {
+    val docs = Seq("a a a b b c").toDF("text")
+    def cut(pct: Int) = TextAnalysis.vocabCutoff(docs, "text", pct)
+      .orderBy("rank").select("rank", "token", "n_occ", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // 80% of 6 tokens -> target ceil(4.8) = 5: {a(3), b(2)} covers, c out
+    assert(cut(80) == Seq((0L, "a", 3L, 0L), (1L, "b", 2L, 3L)))
+    // 100% keeps the whole vocabulary
+    assert(cut(100).map(_._2) == Seq("a", "b", "c"))
+    // 1% still keeps the top token (a cutoff never returns empty on
+    // non-empty input: the first row's exclusive prefix is 0)
+    assert(cut(1).map(_._2) == Seq("a"))
+  }
+
   // --- snapshot profile drift -------------------------------------------
 
   test("profileDrift: null wave, new category, unchanged column") {
