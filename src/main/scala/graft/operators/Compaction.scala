@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the operational answer to the small-files
   * problem every long-running 100 TB pipeline accumulates: streaming
@@ -50,5 +51,55 @@ object Compaction {
       s"previous data preserved at $retired")
     fs.delete(retired, true)
     nFiles
+  }
+
+  /** Snapshot RETENTION ladder — which versions a state store keeps
+    * when history must be bounded (the GC plan behind the versioned
+    * strategies' ever-growing version chains): per key, keep the newest
+    * `keepLast` versions, plus each calendar day's newest within
+    * `keepDaily` days, plus each ISO-epoch week's newest within
+    * `keepWeekly` weeks — the classic last/daily/weekly backup ladder.
+    * Ages are measured from the KEY'S OWN newest version (not wall
+    * clock), so the plan is a pure function of the frame — rerunnable,
+    * engine-checkable, and testable without freezing time.
+    *
+    * Returns every input row with `keep` and a precedence-ordered
+    * `reason` (last > daily > weekly, NULL when dropped). All
+    * arithmetic is integer floor-epoch day/week math; ties at the same
+    * timestamp break by id desc (newest-id wins, deterministic).
+    *
+    * Scale shape: ONE hash exchange on the key reused by every window
+    * (same partitioning), frames are version-chain-sized. */
+  def retentionPlan(versions: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], tsCol: String, idCol: String,
+      keepLast: Int, keepDaily: Int, keepWeekly: Int): org.apache.spark.sql.DataFrame = {
+    require(keepLast >= 1, s"keepLast $keepLast must be >= 1")
+    require(keepDaily >= 0 && keepWeekly >= 0,
+      "keepDaily/keepWeekly must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val sec = col(tsCol).cast("long")
+    val day = expr(s"CAST($tsCol AS LONG) div 86400")
+    val week = expr(s"CAST($tsCol AS LONG) div 604800")
+    val key = keyCols.map(col)
+    val newestFirst = Seq(sec.desc, col(idCol).desc)
+    val wKey = Window.partitionBy(key: _*)
+    val rank = row_number().over(wKey.orderBy(newestFirst: _*))
+    val dayRank = row_number().over(
+      Window.partitionBy((key :+ day): _*).orderBy(newestFirst: _*))
+    val weekRank = row_number().over(
+      Window.partitionBy((key :+ week): _*).orderBy(newestFirst: _*))
+    val maxDay = max(day).over(wKey)
+    val maxWeek = max(week).over(wKey)
+    val isLast = rank <= keepLast
+    val isDaily = lit(keepDaily > 0) && dayRank === 1 &&
+      day > maxDay - keepDaily
+    val isWeekly = lit(keepWeekly > 0) && weekRank === 1 &&
+      week > maxWeek - keepWeekly
+    versions
+      .withColumn("keep", isLast || isDaily || isWeekly)
+      .withColumn("reason", when(isLast, "last")
+        .when(isDaily, "daily").when(isWeekly, "weekly"))
+      .select((key :+ col(idCol) :+ sec.as("sec") :+ col("keep") :+
+        col("reason")): _*)
   }
 }

@@ -1180,6 +1180,20 @@ private[graft] object PipelineQueries {
         .orderBy("rank")
     }),
 
+
+    // ----- snapshot retention ladder (state-store GC plan) -----------
+    "q168_retention_plan" -> ((s, dir) => {
+      // events as a per-type version chain: keep the newest 10, each
+      // day's newest for a week, each week's newest for four — the
+      // last/daily/weekly ladder, aged from each key's OWN newest
+      // version so the plan is a pure function of the frame
+      graft.operators.Compaction.retentionPlan(rd(s, dir, "events"),
+        Seq("event_type"), "ts", "event_id",
+        keepLast = 10, keepDaily = 7, keepWeekly = 4)
+        .filter(col("keep"))
+        .orderBy("event_type", "sec", "event_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2430,6 +2444,35 @@ private[graft] object PipelineQueries {
         |FROM r CROSS JOIN t
         |WHERE cum_before < (90 * total + 99) // 100
         |ORDER BY rank""".stripMargin,
+
+
+    // the same three ranked windows over one key partitioning; ages
+    // from each key's own newest day/week; precedence last>daily>weekly
+    "q168_retention_plan" ->
+      """WITH v AS (SELECT event_type, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |w AS (SELECT event_type, event_id, sec,
+        |  sec // 86400 AS day, sec // 604800 AS week,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY sec DESC, event_id DESC) AS rnk,
+        |  row_number() OVER (PARTITION BY event_type, sec // 86400
+        |    ORDER BY sec DESC, event_id DESC) AS drnk,
+        |  row_number() OVER (PARTITION BY event_type, sec // 604800
+        |    ORDER BY sec DESC, event_id DESC) AS wrnk,
+        |  max(sec // 86400) OVER (PARTITION BY event_type) AS maxd,
+        |  max(sec // 604800) OVER (PARTITION BY event_type) AS maxw
+        |  FROM v),
+        |f AS (SELECT event_type, event_id, sec,
+        |  rnk <= 10 AS is_last,
+        |  (drnk = 1 AND day > maxd - 7) AS is_daily,
+        |  (wrnk = 1 AND week > maxw - 4) AS is_weekly
+        |  FROM w)
+        |SELECT event_type, event_id, sec,
+        |  (is_last OR is_daily OR is_weekly) AS keep,
+        |  CASE WHEN is_last THEN 'last' WHEN is_daily THEN 'daily'
+        |       WHEN is_weekly THEN 'weekly' END AS reason
+        |FROM f WHERE is_last OR is_daily OR is_weekly
+        |ORDER BY event_type, sec, event_id""".stripMargin,
 
   )
 }

@@ -1240,6 +1240,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- snapshot retention ladder ----------------------------------------
+
+  test("retentionPlan: last/daily/weekly ladder with precedence, drops the rest") {
+    val versions = Seq(
+      ("t", 1L, 100L),      // day 0 non-champion -> drop
+      ("t", 2L, 200L),      // day 0 champion -> daily
+      ("t", 3L, 86410L),    // day 1, rank 2 -> last
+      ("t", 4L, 86500L)     // day 1 champion, rank 1 -> last (precedence)
+    ).toDF("k", "id", "ts")
+    val out = graft.operators.Compaction.retentionPlan(versions,
+      Seq("k"), "ts", "id", keepLast = 2, keepDaily = 2, keepWeekly = 1)
+      .orderBy("id")
+      .select("id", "keep", "reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, false, None),
+      (2L, true, Some("daily")),
+      (3L, true, Some("last")),
+      (4L, true, Some("last"))))
+    // keepDaily = 0 disables the daily rung entirely
+    val noDaily = graft.operators.Compaction.retentionPlan(versions,
+      Seq("k"), "ts", "id", keepLast = 2, keepDaily = 0, keepWeekly = 0)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(noDaily == Set(3L, 4L))
+  }
+
   // --- vocabulary coverage cutoff ---------------------------------------
 
   test("vocabCutoff: minimal covering prefix, integer cutoff, full coverage") {
