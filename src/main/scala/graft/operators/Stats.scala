@@ -273,6 +273,48 @@ object Stats {
       col("p.min_str"), col("p.max_str"))
   }
 
+  /** 2-D CHI-SQUARE INDEPENDENCE audit — "is this feature associated
+    * with that label?" without libm: `x` binned onto the fixed
+    * [lo, hi] grid (the [[binExpr]] clamp — mis-scaled values stay
+    * visible in the boundary bins), `y` categorical, and the statistic
+    * Σ (O−E)²/E assembled deterministically: observed counts and
+    * marginal totals are exact integers, E = rowTot·colTot/N is one
+    * IEEE divide per cell (the long product exact), each cell term
+    * snaps to the 1e-6 lattice, and the final sum routes through
+    * DECIMAL so cell order can never perturb it. The 1-D two-sample
+    * form is [[distributionDrift]]; this is its feature-vs-label
+    * sibling (leakage screening, stratification checks).
+    *
+    * NULL x or y rows drop. Returns one row per OBSERVED (bin, y)
+    * cell: (bin, y, o, e [1e-6], term [1e-6]) — callers aggregate
+    * `sum(term)` for the statistic and count distinct bins/categories
+    * for the dof, both trivially exact downstream. Scale shape: one
+    * partial-aggregated (bin, y) count — the only data-sized shuffle —
+    * then marginal joins on ≤bins and ≤|labels| rows. */
+  def chiSquareCells(df: DataFrame, xCol: String, lo: Double, hi: Double,
+      bins: Int, yCol: String): DataFrame = {
+    require(bins > 0, s"bins $bins must be positive")
+    require(hi > lo, s"need hi $hi > lo $lo")
+    val lattice6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(binExpr(xCol, lo, hi, bins).as("bin"),
+        col(yCol).cast("string").as("y"))
+      .groupBy("bin", "y").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("bin").agg(sum(col("o")).as("_rt"))
+    val colTot = cells.groupBy("y").agg(sum(col("o")).as("_ct"))
+    val n = cells.agg(sum(col("o")).as("_n"))
+    val e = (col("_rt") * col("_ct")).cast("double") / col("_n").cast("double")
+    cells
+      .join(broadcast(rowTot), "bin")
+      .join(broadcast(colTot), "y")
+      .crossJoin(broadcast(n))
+      .select(col("bin"), col("y"), col("o"),
+        lattice6(e).as("e"),
+        lattice6((col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e).as("term"))
+  }
+
   /** Snapshot PROFILE DRIFT — the column-level diff a nightly data-ops
     * gate runs between yesterday's and today's table before promoting:
     * [[columnProfile]] on both sides joined per column, with the

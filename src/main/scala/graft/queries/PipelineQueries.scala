@@ -1205,6 +1205,27 @@ private[graft] object PipelineQueries {
         .orderBy("event_type", "sec", "event_id")
     }),
 
+
+    // ----- chi-square feature-label association audit ----------------
+    "q169_chi_square" -> ((s, dir) => {
+      // is order value associated with return status? — per-cell
+      // observed/expected/term rows plus the decimal-summed statistic
+      // folded in; all integer marginals, one divide per cell, lattice
+      // terms so the sum reproduces at any parallelism
+      val cells = graft.operators.Stats.chiSquareCells(
+        rd(s, dir, "lineitem"), "l_extendedprice", lo = 0.0, hi = 80000.0,
+        bins = 8, yCol = "l_returnflag")
+      cells.agg(
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("bin")).as("n_bins"),
+        countDistinct(col("y")).as("n_labels"),
+        sum(col("o")).as("n_rows"),
+        sum(col("term").cast("decimal(28,12)")).cast("double").as("chi2"))
+        .select(col("n_cells"), col("n_bins"), col("n_labels"), col("n_rows"),
+          ((col("n_bins") - 1) * (col("n_labels") - 1)).as("dof"),
+          r(col("chi2"), 6).as("chi2"))
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2484,6 +2505,37 @@ private[graft] object PipelineQueries {
         |       WHEN is_weekly THEN 'weekly' END AS reason
         |FROM f WHERE is_last OR is_daily OR is_weekly
         |ORDER BY event_type, sec, event_id""".stripMargin,
+
+
+    // identical cell pipeline: integer marginals, E = rt*ct/N one
+    // divide per cell, 1e-6 lattice terms, DECIMAL-summed statistic
+    "q169_chi_square" ->
+      """WITH src AS (SELECT CAST(least(greatest(
+        |    floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 80000.0 * 8),
+        |    0), 7) AS BIGINT) AS bin,
+        |  CAST(l_returnflag AS VARCHAR) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT bin, y, count(*) AS o FROM src GROUP BY 1, 2),
+        |rt AS (SELECT bin, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT cells.bin, cells.y, cells.o,
+        |  floor((CAST(cells.o AS DOUBLE) -
+        |      CAST(rt.rt * ct.ct AS DOUBLE) / nn.n) *
+        |    (CAST(cells.o AS DOUBLE) -
+        |      CAST(rt.rt * ct.ct AS DOUBLE) / nn.n) /
+        |    (CAST(rt.rt * ct.ct AS DOUBLE) / nn.n) * 1000000 + 0.5)
+        |    / 1000000 AS term
+        |  FROM cells JOIN rt ON cells.bin = rt.bin
+        |  JOIN ct ON cells.y = ct.y CROSS JOIN nn)
+        |SELECT count(*) AS n_cells,
+        |  count(DISTINCT bin) AS n_bins, count(DISTINCT y) AS n_labels,
+        |  CAST(sum(o) AS BIGINT) AS n_rows,
+        |  (count(DISTINCT bin) - 1) * (count(DISTINCT y) - 1) AS dof,
+        |  floor(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS chi2
+        |FROM terms""".stripMargin,
 
   )
 }

@@ -1240,6 +1240,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(agree == Seq(Some(2.0 / 3.0), Some(0.5), Some(1.0), None))
   }
 
+  // --- chi-square independence ------------------------------------------
+
+  test("chiSquareCells: independent table scores 0, hand-checked association") {
+    def mk(rows: Seq[(Double, String, Int)]) =
+      rows.flatMap { case (x, y, n) => Seq.fill(n)((x, y)) }.toDF("x", "y")
+    val indep = mk(Seq((0.5, "a", 10), (0.5, "b", 10), (1.5, "a", 10), (1.5, "b", 10)))
+    val i = graft.operators.Stats.chiSquareCells(indep, "x", 0.0, 2.0, 2, "y")
+      .select("term").as[Double].collect().toSeq
+    assert(i == Seq(0.0, 0.0, 0.0, 0.0))
+    // 9/1 vs 1/9: every E = 5, every term (9-5)^2/5 = (1-5)^2/5 = 3.2
+    val assoc = mk(Seq((0.5, "a", 9), (0.5, "b", 1), (1.5, "a", 1), (1.5, "b", 9)))
+    val t = graft.operators.Stats.chiSquareCells(assoc, "x", 0.0, 2.0, 2, "y")
+      .select("o", "e", "term").as[(Long, Double, Double)].collect().toSeq
+    assert(t.forall(_._2 == 5.0) && t.forall(_._3 == 3.2))
+    assert(t.map(_._3).sum == 12.8)
+  }
+
   // --- snapshot retention ladder ----------------------------------------
 
   test("retentionPlan: last/daily/weekly ladder with precedence, drops the rest") {
