@@ -1223,7 +1223,13 @@ private[graft] object PipelineQueries {
         sum(col("term").cast("decimal(28,12)")).cast("double").as("chi2"))
         .select(col("n_cells"), col("n_bins"), col("n_labels"), col("n_rows"),
           ((col("n_bins") - 1) * (col("n_labels") - 1)).as("dof"),
-          r(col("chi2"), 6).as("chi2"))
+          r(col("chi2"), 6).as("chi2"),
+          // Cramér's V normalizes the statistic to [0,1] across table
+          // shapes: sqrt(chi2 / (N · min(r−1, c−1))) — one sqrt on
+          // already-deterministic operands
+          r(sqrt(r(col("chi2"), 6) /
+            (col("n_rows") * least(col("n_bins") - 1, col("n_labels") - 1))
+              .cast("double")), 6).as("cramers_v"))
     }),
 
   )
@@ -2528,14 +2534,18 @@ private[graft] object PipelineQueries {
         |    (CAST(rt.rt * ct.ct AS DOUBLE) / nn.n) * 1000000 + 0.5)
         |    / 1000000 AS term
         |  FROM cells JOIN rt ON cells.bin = rt.bin
-        |  JOIN ct ON cells.y = ct.y CROSS JOIN nn)
-        |SELECT count(*) AS n_cells,
+        |  JOIN ct ON cells.y = ct.y CROSS JOIN nn),
+        |agg AS (SELECT count(*) AS n_cells,
         |  count(DISTINCT bin) AS n_bins, count(DISTINCT y) AS n_labels,
         |  CAST(sum(o) AS BIGINT) AS n_rows,
         |  (count(DISTINCT bin) - 1) * (count(DISTINCT y) - 1) AS dof,
         |  floor(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
         |    * 1000000 + 0.5) / 1000000 AS chi2
-        |FROM terms""".stripMargin,
+        |FROM terms)
+        |SELECT n_cells, n_bins, n_labels, n_rows, dof, chi2,
+        |  floor(sqrt(chi2 / CAST(n_rows * least(n_bins - 1, n_labels - 1)
+        |    AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cramers_v
+        |FROM agg""".stripMargin,
 
   )
 }
