@@ -1206,6 +1206,32 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- dedup threshold sensitivity sweep -------------------------
+    "q170_dedup_sensitivity" -> ((s, dir) => {
+      // how aggressive is each Jaccard cutoff? — cluster the SAME
+      // materialized pair set at three thresholds and report pair/
+      // cluster/doc counts and the largest cluster per cutoff: the
+      // sweep a dedup rollout reads before committing to one number.
+      // Thresholds compare on the pairs' 1e-4 jaccard lattice (what the
+      // operator emits), so the cut is reproducible anywhere
+      val pairs = nearDupPairsCached(s, dir)
+      val frames = Seq(0.6, 0.95, 0.99).map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        val comp = graft.operators.Components
+          .connectedComponents(p, "id_a", "id_b")
+        val nPairs = p.agg(count(lit(1)).as("n_pairs"))
+        val docsClusters = comp.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+        val largest = comp.groupBy("label").agg(count(lit(1)).as("_c"))
+          .agg(max(col("_c")).as("largest"))
+        nPairs.crossJoin(docsClusters).crossJoin(largest)
+          .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs"),
+            col("n_clusters"), col("largest"))
+      }
+      frames.reduce(_ unionByName _).orderBy("threshold")
+    }),
+
+
     // ----- chi-square feature-label association audit ----------------
     "q169_chi_square" -> ((s, dir) => {
       // is order value associated with return status? — per-cell
@@ -2511,6 +2537,35 @@ private[graft] object PipelineQueries {
         |       WHEN is_weekly THEN 'weekly' END AS reason
         |FROM f WHERE is_last OR is_daily OR is_weekly
         |ORDER BY event_type, sec, event_id""".stripMargin,
+
+
+    // the q56 recursive-CTE clustering run at each cutoff over the
+    // same verified pair set; thresholds compare on the 1e-4 lattice
+    // exactly as the engine's emitted jaccard does
+    "q170_dedup_sensitivity" -> {
+      def block(t: String, tag: String) =
+        s"""e$tag AS (SELECT id_a AS x, id_b AS y FROM lp WHERE jl >= $t
+           |      UNION ALL SELECT id_b, id_a FROM lp WHERE jl >= $t),
+           |reach$tag(node, label) AS (
+           |  SELECT x, x FROM e$tag
+           |  UNION
+           |  SELECT e2.x, r.label FROM e$tag e2 JOIN reach$tag r ON e2.y = r.node),
+           |comp$tag AS (SELECT node, min(label) AS lab
+           |  FROM reach$tag GROUP BY node),
+           |sum$tag AS (SELECT CAST($t AS DOUBLE) AS threshold,
+           |  (SELECT count(*) FROM lp WHERE jl >= $t) AS n_pairs,
+           |  (SELECT count(*) FROM comp$tag) AS n_docs,
+           |  (SELECT count(DISTINCT lab) FROM comp$tag) AS n_clusters,
+           |  (SELECT max(c) FROM (SELECT count(*) AS c FROM comp$tag
+           |    GROUP BY lab)) AS largest)""".stripMargin
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ",\nlp AS (SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jl\n" +
+        "  FROM pairs WHERE j >= 0.6),\n" +
+        Seq("0.6" -> "a", "0.95" -> "b", "0.99" -> "c")
+          .map((block _).tupled).mkString(",\n") + "\n" +
+        """SELECT * FROM suma UNION ALL SELECT * FROM sumb
+          |UNION ALL SELECT * FROM sumc ORDER BY threshold""".stripMargin
+    },
 
 
     // identical cell pipeline: integer marginals, E = rt*ct/N one
