@@ -444,6 +444,83 @@ object StreamingSync {
     }
   }
 
+  /** Streaming ROLLING ANOMALY gate — the per-event twin of
+    * [[graft.operators.Stats.rollingAnomaly]]: each event is judged
+    * against its key's trailing `lookback` values (probe excluded,
+    * `minN` warm-up, flag when `|v − mean| > z·std`), with O(lookback)
+    * state per key. Emits ONLY the flagged events — the alert stream a
+    * telemetry pipeline routes to paging — as
+    * `(key, sec, id, value, n_base)` rows in update mode.
+    *
+    * Agreement contract: moments are computed with the SAME
+    * decimal(28,12) arithmetic the batch form routes through
+    * (per-value HALF_UP snap, exact sum), so for in-order arrivals the
+    * stream flags exactly the rows the batch operator returns —
+    * pinned in StreamingSpec. Events inside a batch fold in
+    * (event-time, id) order; late cross-batch arrivals fold at arrival
+    * (their baseline is whatever the state held — streaming's
+    * honest semantics). */
+  def anomalyPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, lookback: Int, minN: Int, z: Double,
+      idleTimeout: String = ""): Dataset[(Long, Long, Long, Double, Long)] = {
+    require(lookback > 0, s"lookback $lookback must be positive")
+    require(minN > 1 && minN <= lookback,
+      s"minN $minN must be in (1, lookback $lookback]")
+    require(z > 0, s"z $z must be positive")
+    requireIntegralKey(events, keyCol, "anomalyPerKey")
+    requireIntegralKey(events, idCol, "anomalyPerKey")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def snap(v: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(v).setScale(12, java.math.RoundingMode.HALF_UP)
+    def fold(k: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        st: GroupState[List[Double]]): Iterator[(Long, Long, Long, Double, Long)] = {
+      val xs = it.toSeq.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        c < 0 || (c == 0 && a._3 < b._3)
+      }
+      var window = st.getOption.getOrElse(Nil) // newest first, <= lookback
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Long)]
+      xs.foreach { case (_, t, id, v) =>
+        val base = window
+        val n = base.length
+        if (n >= minN) {
+          // identical arithmetic to the batch DECIMAL route: each value
+          // (and square) snaps to scale 12 HALF_UP, sums are exact
+          val s1 = base.map(snap).reduce(_ add _).doubleValue()
+          val s2 = base.map(x => snap(x * x)).reduce(_ add _).doubleValue()
+          val nd = n.toDouble
+          val mean = s1 / nd
+          val variance = (s2 - s1 * s1 / nd) / nd
+          if (math.abs(v - mean) > z * math.sqrt(math.max(variance, 0.0)))
+            out += ((k, Math.floorDiv(t.getTime, 1000L), id, v, n.toLong))
+        }
+        window = (v :: window).take(lookback)
+      }
+      st.update(window)
+      out.iterator
+    }
+    val grouped = events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
+        s"CAST($idCol AS LONG) AS _i", s"CAST($valueCol AS DOUBLE) AS _v")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+    grouped.flatMapGroupsWithState(OutputMode.Update(),
+        if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+        else GroupStateTimeout.ProcessingTimeTimeout) {
+      (k: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+          st: GroupState[List[Double]]) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
+          val r = fold(k, it, st)
+          if (idleTimeout.nonEmpty) st.setTimeoutDuration(idleTimeout)
+          r
+        }
+    }
+  }
+
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
     * when the watermark passes last_event + gap, then emit exactly once

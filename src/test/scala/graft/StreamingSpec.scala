@@ -366,6 +366,34 @@ class StreamingSpec extends SparkSpec {
     assert(b == got.filterKeys(_ != 13L).toMap, s"batch $b")
   }
 
+  test("streaming anomaly gate agrees with the batch operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 40 noisy-but-bounded values, then a spike in a LATER batch
+    val base = (1 to 40).map(i => (5L, ts(i.toLong), i.toLong,
+      5.0 + (i * 37 % 21 - 10) / 10.0))
+    val spike = Seq((5L, ts(41L), 41L, 50.0), (5L, ts(42L), 42L, 5.3))
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val gate = StreamingSync.anomalyPerKey(
+      in.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+      lookback = 100, minN = 30, z = 3.0)
+      .toDF("k", "sec", "id", "value", "n_base")
+    val q = gate.writeStream.format("memory").queryName("anom_out")
+      .outputMode("update").start()
+    in.addData(base: _*); q.processAllAvailable()
+    in.addData(spike: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom_out")
+      .select("id", "value", "n_base").as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((41L, 50.0, 40L)), s"got $got")
+    // batch twin over the identical event set flags the identical row
+    val batch = graft.operators.Stats.rollingAnomaly(
+      (base ++ spike).toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+      lookback = 100, minN = 30, z = 3.0)
+      .select("id", "value", "n_base").as[(Long, Double, Long)].collect().toSeq
+    assert(batch == got, s"batch $batch != stream $got")
+  }
+
   test("streaming near-dup gate flags incoming docs that duplicate the corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
