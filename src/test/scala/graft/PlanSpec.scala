@@ -370,4 +370,28 @@ class PlanSpec extends SparkSpec {
       .map { case (d, i) => (d, i.toLong) }
     assert(got.toSeq == want.toSeq) // contiguous 0..N-1 in sort order
   }
+
+  test("withRunningTotals/prefixShards: global prefix sums, no 1-task collapse") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val out = graft.operators.GlobalOrder.withRunningTotals(docs,
+      Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+      cumCol = "cum_before", posCol = "pos")
+    val p = out.queryExecution.executedPlan.toString
+    // the naive global running-sum window this replaces collapses to
+    // Exchange SinglePartition + Window; this must plan neither
+    assert(!p.contains("SinglePartition"),
+      s"global prefix sum collapsed to one task:\n$p")
+    assert(!p.contains(" Window "), s"unexpected window operator:\n$p")
+    // values: exclusive prefix in sort order, position consistent
+    val got = out.orderBy("pos")
+      .select("doc_id", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = docs.orderBy(col("n_chars").desc, col("doc_id").asc)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val expect = rows.map { case (d, w) => val r = (d, acc); acc += w; r }
+    assert(got.toSeq == expect.toSeq)
+  }
 }
