@@ -74,7 +74,12 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(a)} rows)")
         n_pass += 1
+    # subset mode (CHECK_ONLY_DUMPED=1): a Verify run under
+    # SPARK_GRAFT_ONLY dumps a few queries — don't fail the rest
+    import os
     missing = set(oracle) - set(names)
+    if os.environ.get("CHECK_ONLY_DUMPED") == "1":
+        missing = set()
     for m in sorted(missing):
         print(f"FAIL {m}: oracle exists but no spark output")
         n_fail += 1

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BitmapDistinct, CosineSimilarity, LshCode, Md5Prefix60, TopKPairs}
+import graft.functions.{BitmapDistinct, CosineSimilarity, LshCode, Md5Prefix60, NfcNormalize, TopKPairs}
 
 /** Session extensions: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")`,
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "md5_prefix60 takes exactly 1 argument")
         Md5Prefix60(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("bitmap_distinct"),

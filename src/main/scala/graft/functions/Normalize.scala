@@ -49,6 +49,13 @@ object Normalize {
     * (reference: lib/utils.py:28). */
   def cleanString(c: Column): Column = trim(regexp_replace(c, "[\\t]+", ""))
 
+  /** Unicode NFC normalization via the native codegen'd
+    * [[NfcNormalize]] expression (already-NFC rows return the input
+    * UTF8String untouched — quick-check only, no allocation). */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftbridge.column(NfcNormalize(
+      org.apache.spark.sql.graftbridge.expression(c)))
+
   /** Drop rows whose primary key is null or empty; the reference counts and
     * warns per skipped record (reference: lib/DataProcessor.py:79-82,94-95). */
   def filterValidPk(df: DataFrame, pk: String): DataFrame =

@@ -313,6 +313,26 @@ private[graft] object QueryShared {
       |    AS html
       |  FROM documents)""".stripMargin
 
+  // --- documents with injected decomposed-Unicode suffixes (the base
+  // corpus is ASCII, so NFC normalization would otherwise be vacuous).
+  // Three tiers: a decomposed e+U+0301 (composes), a decomposed
+  // u+U+0308 (composes), and an ALREADY-composed "déjà vu" (NFC
+  // fixed point — must pass through byte-identical). --
+  private[graft] def docsWithDiacritics(s: SparkSession, dir: String): DataFrame =
+    docsBase(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" cafe\u0301 latte")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" u\u0308ber")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" d\u00e9j\u00e0 vu")).otherwise(lit("")))
+      .as("text2"))
+  private[graft] val diacriticsCte =
+    """WITH dia AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' latte' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' u' || chr(776) || 'ber' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' d' || chr(233) || 'j' || chr(224) || ' vu' ELSE '' END
+      |    AS text2
+      |  FROM documents)""".stripMargin
+
   private[graft] def probeVec(s: SparkSession, dir: String): Seq[Float] =
     rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0)

@@ -512,9 +512,40 @@ private[graft] object TextQueries {
         .orderBy("source")
     }),
 
+
+    // ----- Unicode NFC normalization audit ---------------------------
+    "q171_unicode_nfc" -> ((s, dir) => {
+      // decomposed combining sequences (e + U+0301) split token stats
+      // and defeat byte-keyed dedup; the native codegen'd nfc_normalize
+      // composes them, with a quick-check fast path that returns
+      // already-NFC rows untouched (the common case at corpus scale —
+      // no String materialization, no allocation). Output: the docs
+      // whose bytes changed, how many codepoints composed, and the
+      // normalized tail so the composed content itself is under the
+      // oracle's byte-compare.
+      val dia = docsWithDiacritics(s, dir)
+      dia.select(col("doc_id"), col("text2"),
+          Normalize.nfc(col("text2")).as("norm"))
+        .filter(col("text2") =!= col("norm"))
+        .select(col("doc_id"),
+          (length(col("text2")) - length(col("norm"))).cast("long")
+            .as("chars_composed"),
+          expr("right(norm, 16)").as("norm_tail"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q171_unicode_nfc" -> (diacriticsCte +
+      """
+        |SELECT doc_id,
+        |  CAST(length(text2) - length(nfc_normalize(text2)) AS BIGINT) AS chars_composed,
+        |  right(nfc_normalize(text2), 16) AS norm_tail
+        |FROM dia
+        |WHERE text2 != nfc_normalize(text2)
+        |ORDER BY doc_id""".stripMargin),
 
     "q21_text_stats" ->
       """WITH t AS (SELECT doc_id, text,

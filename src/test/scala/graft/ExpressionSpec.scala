@@ -100,6 +100,37 @@ class ExpressionSpec extends SparkSpec {
       .select(graft.functions.Checksums.md5PrefixLong($"s")).collect().head.isNullAt(0))
   }
 
+  test("nfc_normalize composes decomposed sequences, is idempotent, and agrees between codegen and interpreted paths") {
+    val decomposedE = "cafe\u0301"    // e + combining acute
+    val composedE = "caf\u00e9"        // precomposed e-acute
+    val strs = Seq(decomposedE, composedE, "plain ascii", "",
+      "u\u0308ber d\u00e9j\u00e0", "mixed e\u0301\u0308 stack").toDF("s")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val on = strs.select(graft.functions.Normalize.nfc($"s"))
+        .as[String].collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = strs.select(graft.functions.Normalize.nfc($"s"))
+        .as[String].collect().toSeq
+      assert(on == off)
+      // the decomposed form composes to the precomposed codepoint...
+      assert(on.head == composedE)
+      // ...and the precomposed form is a fixed point
+      assert(on(1) == composedE)
+      // idempotent: normalizing twice changes nothing
+      val twice = strs.select(graft.functions.Normalize.nfc(
+        graft.functions.Normalize.nfc($"s"))).as[String].collect().toSeq
+      assert(twice == on)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.Normalize.nfc($"s")).collect().head.isNullAt(0))
+    // matches the JDK reference directly
+    assert(graft.functions.NfcHelper.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposedE)).toString
+      == java.text.Normalizer.normalize(decomposedE, java.text.Normalizer.Form.NFC))
+  }
+
   test("lsh_code degenerate inputs: short vectors project over available dims; null vec is null") {
     // shorter than dim: same as the SQL-oracle loop over len(vec) — the
     // projection uses plane components 0..len-1
