@@ -650,6 +650,48 @@ object Stats {
       .withColumn("gap", col("accuracy") - col("confidence"))
   }
 
+  /** Tie-aware ROC-AUC of an integer score against a boolean label —
+    * the rank-sum (Mann-Whitney) identity, computed without ever
+    * ranking a row: collapse to per-DISTINCT-SCORE counts first (one
+    * partial-aggregated pass to |scores| rows), then exclusive prefix
+    * sums over the score groups via [[GlobalOrder.withRunningTotals]]
+    * (range exchange, NO SinglePartition window — the naive
+    * `rank() OVER (ORDER BY score)` collapses the corpus into one
+    * task). With `cb` = rows strictly below the group and `n` its
+    * size, every member's average 1-based rank is `cb + (n+1)/2`, so
+    *   2·Σ_pos ranks = Σ_groups nPos·(2·cb + n + 1)
+    * — ALL integer arithmetic. AUC = (2·S − nPos·(nPos+1)) /
+    * (2·nPos·nNeg): one IEEE divide at the end, sums DECIMAL-routed so
+    * no count can overflow a long at any corpus size. Ties get the
+    * standard midrank treatment exactly, not approximately.
+    *
+    * Returns one row: n_pos, n_neg, n_scores, auc (NULL when either
+    * class is empty — AUC is undefined, not 0). */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val g = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("long").as("_score"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_score"))
+      .agg(sum(col("_y")).as("_np"),
+        (count(lit(1)) - sum(col("_y"))).as("_nn"),
+        count(lit(1)).as("_n"))
+    GlobalOrder.withRunningTotals(g, Seq(col("_score")), "_n", cumCol = "_cb")
+      .agg(
+        sum((col("_np") * (col("_cb") * 2 + col("_n") + 1))
+          .cast("decimal(38,0)")).as("_s2"),
+        sum(col("_np").cast("decimal(38,0)")).as("_npos"),
+        sum(col("_nn").cast("decimal(38,0)")).as("_nneg"),
+        count(lit(1)).as("n_scores"))
+      .select(
+        col("_npos").cast("long").as("n_pos"),
+        col("_nneg").cast("long").as("n_neg"),
+        col("n_scores"),
+        when(col("_npos") > 0 && col("_nneg") > 0,
+          floor((col("_s2") - col("_npos") * (col("_npos") + 1)).cast("double") /
+            (col("_npos") * col("_nneg") * 2).cast("double") * 1000000 + 0.5)
+            / 1000000).as("auc"))
+  }
+
   def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, lookback: Int, minN: Int,
       z: Double): DataFrame = {

@@ -1071,6 +1071,21 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- ROC-AUC of a quality score (rank-sum, no global sort) -----
+    "q172_auc" -> ((s, dir) => {
+      // does the score actually rank positives above negatives? — the
+      // evaluation-family companion to q159's calibration: same scored
+      // fixture idea, but the metric is the tie-aware Mann-Whitney AUC.
+      // Scores land on an integer cents lattice (exact in both
+      // engines), positives get a +5000 shift so separation is partial
+      // and the tie/crossover region is real
+      val ev = rd(s, dir, "events")
+      val score = floor(col("value") * 100 + 0.5).cast("long") +
+        when(col("event_type") === "purchase", 5000L).otherwise(0L)
+      graft.operators.Stats.rocAuc(ev, score, col("event_type") === "purchase")
+    }),
+
+
     // ----- Fleiss-kappa inter-rater agreement ------------------------
     "q160_fleiss_kappa" -> ((s, dir) => {
       // q157's vote fixture, scored for agreement-beyond-chance before
@@ -2297,6 +2312,33 @@ private[graft] object PipelineQueries {
         |SELECT bin, n, n_pos, confidence, accuracy,
         |  accuracy - confidence AS gap
         |FROM r ORDER BY bin""".stripMargin,
+
+
+    // tie-aware Mann-Whitney AUC on an integer score lattice: exclusive
+    // prefix counts over distinct-score groups give every member's
+    // midrank; all-integer numerator, one IEEE divide at the end
+    "q172_auc" ->
+      """WITH e AS (SELECT
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    + CASE WHEN event_type = 'purchase' THEN 5000 ELSE 0 END AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |  CAST(count(*) - sum(y) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |c AS (SELECT np, nn, n,
+        |  CAST(coalesce(sum(n) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM g),
+        |s AS (SELECT CAST(sum(np * (2 * cb + n + 1)) AS BIGINT) AS s2,
+        |  CAST(sum(np) AS BIGINT) AS npos, CAST(sum(nn) AS BIGINT) AS nneg,
+        |  count(*) AS n_scores FROM c)
+        |SELECT npos AS n_pos, nneg AS n_neg, n_scores,
+        |  CASE WHEN npos > 0 AND nneg > 0 THEN
+        |    floor(CAST(s2 - npos * (npos + 1) AS DOUBLE) /
+        |      CAST(2 * npos * nneg AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS auc
+        |FROM s""".stripMargin,
 
 
     // pairwise-form Fleiss kappa: agreeing-pair and total-pair counts

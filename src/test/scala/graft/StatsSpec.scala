@@ -131,6 +131,34 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(approx(Some(99.0)).get - 89.2) <= 1.0)
   }
 
+  test("rocAuc: midrank ties hand-checked, degenerate classes NULL, equals brute-force pair counting") {
+    // pos scores {2,3}, neg scores {1,2}: ranks 1, 2.5, 2.5, 4 ->
+    // S_pos = 2.5 + 4 = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875
+    val tiny = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("s", "y")
+    val row = Stats.rocAuc(tiny, col("s"), col("y")).collect().head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 2 && row.getLong(2) == 3)
+    assert(row.getDouble(3) == 0.875)
+    // perfect separation = 1; single-class = NULL (undefined, not 0)
+    val sep = Seq((1L, false), (2L, false), (3L, true), (4L, true)).toDF("s", "y")
+    assert(Stats.rocAuc(sep, col("s"), col("y")).collect().head.getDouble(3) == 1.0)
+    val onec = Seq((1L, true), (2L, true)).toDF("s", "y")
+    assert(Stats.rocAuc(onec, col("s"), col("y")).collect().head.isNullAt(3))
+    // equals the brute-force pair statistic (wins + half-ties) on a
+    // deterministic pseudo-random set spread across partitions
+    val data = (0 until 400).map { i =>
+      val s = (i * 2654435761L) % 97
+      (s, (i * 40503L) % 5 == 0 || s > 60)
+    }
+    val df = data.toDF("s", "y").repartition(7)
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = math.floor(wins / (pos.size.toDouble * neg.size) * 1e6 + 0.5) / 1e6
+    assert(Stats.rocAuc(df, col("s"), col("y")).collect().head.getDouble(3) == expected)
+  }
+
   test("emaPerKey bounded-key guard names the offending hot key") {
     val hot = spark.range(1000).select(lit("hotkey").as("k"),
       $"id".as("t"), ($"id" % 7).cast("double").as("v"))
