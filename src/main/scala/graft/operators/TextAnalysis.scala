@@ -918,6 +918,49 @@ object TextAnalysis {
           lit(1000000.0)).as("lift"))
   }
 
+  /** Bigram-LM SURPRISAL filter — the perplexity-style quality signal
+    * ("does this document read like the corpus?") without a language
+    * model dependency and without a single float in the decision: train
+    * bigram transition counts on the corpus itself, then flag each
+    * token transition whose conditional probability is below
+    * `1/denom`. The comparison `P(w2|w1) < 1/denom` is evaluated as
+    * `c(w1,·) > denom · c(w1,w2)` — pure integer compare, so the
+    * per-doc surprise rate reproduces bit-for-bit in any engine (a
+    * log-prob sum would be libm-dependent in its last ulp).
+    *
+    * Scale shape: bigram expansion is one `transform(sequence)` per
+    * doc (no self-join); transition counts are ONE partial-aggregated
+    * groupBy to the |V|² type frame; the flag is decided per TYPE (the
+    * tiny frame), then a single equi-join attaches it to doc bigrams —
+    * shuffle keyed on the bigram, skew left to AQE. Per-doc scoring is
+    * one more partial aggregation. Nothing driver-side.
+    *
+    * Returns (id, n_bigrams, n_surprising, surprise_rate) per doc with
+    * at least one transition. */
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String,
+      denom: Int): DataFrame = {
+    require(denom >= 2, s"denom $denom must be >= 2 (a probability cutoff)")
+    val toks = docs.select(col(idCol).as("id"),
+      split(normText(col(textCol)), " ").as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val types = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        when(col("c1") > col("c2") * denom, 1L).otherwise(0L).as("_sur"))
+    bi.join(types, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_sur")).as("n_surprising"))
+      .select(col("id"), col("n_bigrams"), col("n_surprising"),
+        (floor(col("n_surprising").cast("double") /
+          col("n_bigrams").cast("double") * 1000000 + 0.5) / 1000000)
+          .as("surprise_rate"))
+  }
+
   /** Frequency-ordered VOCABULARY CUTOFF — the tokenizer-budget
     * question "how small a vocabulary still covers X% of the corpus
     * token mass?": tokens ranked by (occurrences desc, token asc), kept

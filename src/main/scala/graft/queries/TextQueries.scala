@@ -513,6 +513,20 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- bigram-LM surprisal quality filter ------------------------
+    "q173_bigram_surprise" -> ((s, dir) => {
+      // perplexity-style "reads like the corpus?" signal with zero
+      // floats in the decision: self-trained bigram counts, transition
+      // flagged surprising when P(w2|w1) < 1/32 via the integer form
+      // c(w1,·) > 32·c(w1,w2); per-doc surprise rate on the 1e-6
+      // lattice
+      TextAnalysis.bigramSurprise(docsBase(s, dir), "doc_id", "text",
+        denom = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+
     // ----- Unicode NFC normalization audit ---------------------------
     "q171_unicode_nfc" -> ((s, dir) => {
       // decomposed combining sequences (e + U+0301) split token stats
@@ -537,6 +551,28 @@ private[graft] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q173_bigram_surprise" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |  unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+        |  unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |ty AS (SELECT c2.w1, c2.w2,
+        |  CASE WHEN c1.c1 > 32 * c2.c2 THEN 1 ELSE 0 END AS sur
+        |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(sur) AS BIGINT) AS n_surprising
+        |  FROM bi JOIN ty ON bi.w1 = ty.w1 AND bi.w2 = ty.w2 GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_surprising,
+        |  floor(CAST(n_surprising AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS surprise_rate
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
 
     "q171_unicode_nfc" -> (diacriticsCte +
       """
