@@ -85,6 +85,54 @@ object Quality {
       sum(when(col("lv") < l, col("sz")).otherwise(0L)).as("n_rows_below_l"))
   }
 
+  /** t-CLOSENESS per QI group — the third rung of the release-audit
+    * ladder ([[kAnonymity]]: groups big enough; [[lDiversity]]: groups
+    * varied enough; here: each group's sensitive-attribute DISTRIBUTION
+    * close enough to the global one, so group membership leaks no
+    * skewed posterior). Distance is total-variation:
+    *   TVD(group) = ½ Σ_v |c_v/n_g − g_v/N|
+    * computed in EXACT integer arithmetic via the common-denominator
+    * form |c_v·N − g_v·n_g| / (n_g·N); sensitive values ABSENT from a
+    * group contribute (N − Σ_present g_v)·n_g to the numerator — the
+    * complement identity, so the plan never materializes the
+    * groups×values cross product, only the observed cells. Products
+    * route through DECIMAL(38,0) (c·N overflows a long at petabyte
+    * cardinalities); ONE double divide per group at the end, on the
+    * 1e-6 lattice.
+    *
+    * Scale shape: one cells aggregation (the only data-sized shuffle),
+    * two derived aggregations over cell rows, a broadcast of the
+    * |sensitive| frame and the 1-row total. Returns one row per QI
+    * group: (qiCols..., n_g, tvd). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "t-closeness needs quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    val qi = qiCols.map(col)
+    val cells = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(qi :+ col(sensitiveCol).as("_s"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grp = cells.groupBy(qi: _*).agg(sum(col("_c")).as("_ng"))
+    val gtot = cells.groupBy(col("_s")).agg(sum(col("_c")).as("_g"))
+    val ntot = gtot.agg(sum(col("_g")).as("_n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cells.join(grp, qiCols).join(broadcast(gtot), "_s")
+      .crossJoin(broadcast(ntot))
+      .groupBy(qi: _*)
+      .agg(
+        sum(abs(dec(col("_c")) * dec(col("_n")) -
+          dec(col("_g")) * dec(col("_ng")))).as("_pres"),
+        sum(dec(col("_g"))).as("_presg"),
+        max(col("_ng")).as("n_g"),
+        max(col("_n")).as("_nn"))
+      .select(qi ++ Seq(col("n_g"),
+        (floor((col("_pres") + (dec(col("_nn")) - col("_presg")) * dec(col("n_g")))
+          .cast("double") /
+          (lit(2.0) * col("n_g").cast("double") * col("_nn").cast("double"))
+          * 1000000 + 0.5) / 1000000).as("tvd")): _*)
+  }
+
   /** Referential-integrity expectation: rows of `child` whose `keyCol`
     * has no match in `parent` (NULL keys are orphans too — a NULL FK
     * cannot reference anything). One left-anti join, partial-aggregated

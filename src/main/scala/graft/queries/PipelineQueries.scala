@@ -1029,6 +1029,21 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- t-closeness release audit (privacy ladder rung 3) ---------
+    "q174_t_closeness" -> ((s, dir) => {
+      // q152 passes big groups, q156 passes varied groups — this rung
+      // requires each nation's market-segment DISTRIBUTION to track
+      // the global one (total-variation distance on the 1e-6 lattice,
+      // exact common-denominator integer arithmetic underneath).
+      // Nations above t = 0.13 leak a skewed posterior and are flagged
+      graft.operators.Quality.tCloseness(rd(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment")
+        .select(col("c_nationkey"), col("n_g"), col("tvd"),
+          (col("tvd") > 0.13).as("above_t"))
+        .orderBy("c_nationkey")
+    }),
+
+
     // ----- majority-vote label aggregation (annotation pipeline) -----
     "q157_label_vote" -> ((s, dir) => {
       // collapse per-rater votes (events: one vote per row, item keyed
@@ -2249,6 +2264,32 @@ private[graft] object PipelineQueries {
         |  CAST(sum(CASE WHEN lv < 5 THEN sz ELSE 0 END) AS BIGINT)
         |    AS n_rows_below_l
         |FROM g""".stripMargin,
+
+
+    // exact common-denominator TVD: |c_v·N − g_v·n_g| summed over
+    // OBSERVED cells; absent sensitive values enter via the complement
+    // identity (N − Σ_present g_v)·n_g — no groups×values cross product
+    "q174_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey AS qi, c_mktsegment AS s
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+        |cells AS (SELECT qi, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |grp AS (SELECT qi, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY 1),
+        |per AS (SELECT cells.qi,
+        |  CAST(sum(abs(cells.c * n.n - g.g * grp.ng)) AS DOUBLE) AS pres,
+        |  CAST(sum(g.g) AS DOUBLE) AS presg,
+        |  any_value(grp.ng) AS ng, any_value(n.n) AS n
+        |  FROM cells JOIN grp USING (qi) JOIN g USING (s) CROSS JOIN n
+        |  GROUP BY 1),
+        |t AS (SELECT qi, ng,
+        |  floor((pres + (n - presg) * ng) /
+        |    (2.0 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS tvd
+        |  FROM per)
+        |SELECT qi AS c_nationkey, ng AS n_g, tvd, tvd > 0.13 AS above_t
+        |FROM t ORDER BY c_nationkey""".stripMargin,
 
 
     "q157_label_vote" ->

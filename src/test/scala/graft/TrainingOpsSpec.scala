@@ -1217,6 +1217,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r == ((7L, 3L, 1L, 2L, 4L)), s"report was $r")
   }
 
+  // --- t-closeness ------------------------------------------------------
+
+  test("tCloseness: hand-checked TVD, absent values via complement, identical group reads 0") {
+    // global: s1 x 4, s2 x 2, s3 x 2 (N = 8)
+    val df = Seq(
+      ("g1", "s1"), ("g1", "s2"), ("g1", "s1"), ("g1", "s3"), // mirrors global -> 0
+      ("g2", "s1"), ("g2", "s1"),                             // all-s1: TVD = 1/2
+      ("g3", "s2"), ("g3", "s3")                              // no s1: TVD = 1/2
+    ).toDF("qi", "sens")
+    val r = graft.operators.Quality.tCloseness(df, Seq("qi"), "sens")
+      .orderBy("qi").as[(String, Long, Double)].collect().toSeq
+    // g1: |2/4-4/8| + |1/4-2/8| + |1/4-2/8| = 0
+    // g2: |2/2-4/8| + absent(2+2)/8 = 1/2 + 1/2 -> TVD 1/2
+    // g3: |1/2-2/8|*2 + absent 4/8 = 1/2 + 1/2 -> TVD 1/2
+    assert(r == Seq(("g1", 4L, 0.0), ("g2", 2L, 0.5), ("g3", 2L, 0.5)), s"was $r")
+    // NULL sensitive rows drop entirely
+    val withNull = Seq(("g1", "s1"), ("g1", null), ("g2", "s1")).toDF("qi", "sens")
+    val r2 = graft.operators.Quality.tCloseness(withNull, Seq("qi"), "sens")
+      .orderBy("qi").as[(String, Long, Double)].collect().toSeq
+    assert(r2 == Seq(("g1", 1L, 0.0), ("g2", 1L, 0.0)), s"was $r2")
+  }
+
   // --- majority-vote label aggregation ----------------------------------
 
   test("majorityVote: winner, lexicographic ties, abstentions kept visible") {
