@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,5 +69,43 @@ object Packing {
       .groupBy(col("shard"), col("bin"))
       .agg(sum(col("used")).as("tokens_used"),
         count(lit(1)).as("n_docs"))
+  }
+
+  /** LENGTH-BUCKETED BATCHING audit — the padding-waste question for
+    * pipelines that pad-batch instead of concat-packing
+    * ([[packSequences]]' sibling): bucket sequences into fixed
+    * `width`-token length classes, pad each to its bucket ceiling, and
+    * report per-bucket waste against the naive pad-everything-to-
+    * global-max baseline. The bucket id is `(len + width−1) div width`
+    * — pure integer, no log2, so the classing reproduces bit-for-bit
+    * anywhere. Ratios are one IEEE divide each on the 1e-6 lattice.
+    *
+    * Scale shape: one partial-aggregated groupBy to ≤ maxLen/width
+    * bucket rows plus a broadcast 1-row global max. Zero-length rows
+    * drop (nothing to pad). Returns per bucket: (bucket, max_len,
+    * n_docs, sum_tokens, padded_tokens, waste_pct, naive_padded_tokens,
+    * saved_pct). */
+  def padEfficiency(docs: DataFrame, tokCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"bucket width $width must be positive")
+    val len = col(tokCol).cast("long")
+    val t = docs.filter(len.isNotNull && len > 0).select(len.as("_len"))
+    val g = t.select(expr(s"(_len + ${width - 1}) div $width").as("bucket"),
+        col("_len"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_len")).as("sum_tokens"))
+    val gm = t.agg(max(col("_len")).as("_gmax"))
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    g.crossJoin(broadcast(gm))
+      .select(col("bucket"), (col("bucket") * width).as("max_len"),
+        col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket") * width).as("padded_tokens"),
+        (col("n_docs") * col("_gmax")).as("naive_padded_tokens"))
+      .withColumn("waste_pct", r6(
+        (col("padded_tokens") - col("sum_tokens")).cast("double") /
+          col("padded_tokens").cast("double")))
+      .withColumn("saved_pct", r6(
+        (col("naive_padded_tokens") - col("padded_tokens")).cast("double") /
+          col("naive_padded_tokens").cast("double")))
   }
 }

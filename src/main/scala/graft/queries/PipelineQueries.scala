@@ -1153,6 +1153,21 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- length-bucketed batching / padding-waste audit ------------
+    "q175_pad_efficiency" -> ((s, dir) => {
+      // the pad-batching sibling of q76's concat-packing: 32-token
+      // length classes via integer bucket ids, per-bucket pad waste
+      // vs the pad-to-global-max baseline — the number that justifies
+      // length bucketing before a training run
+      graft.operators.Packing.padEfficiency(
+        rd(s, dir, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "n_tokens", width = 32L)
+        .orderBy("bucket")
+    }),
+
+
     // ----- per-key admission quota (batch twin of the stream gate) ---
     "q164_admission_quota" -> ((s, dir) => {
       // re-score history against a 5-events-per-type-per-day budget:
@@ -2264,6 +2279,31 @@ private[graft] object PipelineQueries {
         |  CAST(sum(CASE WHEN lv < 5 THEN sz ELSE 0 END) AS BIGINT)
         |    AS n_rows_below_l
         |FROM g""".stripMargin,
+
+
+    // integer length-class ids ((len+31)//32 — no log2), all-integer
+    // padded totals, one IEEE divide per ratio on the 1e-6 lattice
+    "q175_pad_efficiency" ->
+      """WITH t AS (SELECT CAST(CASE WHEN norm = '' THEN 0
+        |    ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+        |    END AS BIGINT) AS len
+        |  FROM (SELECT regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |        FROM documents)),
+        |v AS (SELECT len FROM t WHERE len > 0),
+        |g AS (SELECT CAST((len + 31) // 32 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS sum_tokens FROM v GROUP BY 1),
+        |m AS (SELECT max(len) AS gmax FROM v)
+        |SELECT bucket, bucket * 32 AS max_len, n_docs, sum_tokens,
+        |  n_docs * bucket * 32 AS padded_tokens,
+        |  n_docs * gmax AS naive_padded_tokens,
+        |  floor(CAST(n_docs * bucket * 32 - sum_tokens AS DOUBLE) /
+        |    CAST(n_docs * bucket * 32 AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS waste_pct,
+        |  floor(CAST(n_docs * gmax - n_docs * bucket * 32 AS DOUBLE) /
+        |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS saved_pct
+        |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
 
 
     // exact common-denominator TVD: |c_v·N − g_v·n_g| summed over
