@@ -61,6 +61,42 @@ object Graph {
     pr
   }
 
+  /** HITS hubs/authorities over a DIRECTED (typically bipartite) edge
+    * set — `iterations` synchronous steps of a(d) = Σ_{s→d} h(s);
+    * h(s) = Σ_{s→d} a(d), starting from h ≡ 1. Scores are deliberately
+    * UNNORMALIZED: the classic per-step L2 normalization only rescales
+    * (the ranking is what matters), and skipping it keeps every score
+    * an exact INTEGER — a1 is plain in-degree, and each later step is a
+    * sum of integers, so the result reproduces bit-for-bit in any
+    * engine with zero floats. Sums route through DECIMAL(38,0): scores
+    * grow like degree^k, which overflows a long within a few steps on a
+    * petabyte graph (hence the tight iteration bound, which also caps
+    * plan depth).
+    *
+    * Scale shape: identical to [[pageRank]] — the distinct edge frame
+    * persists once; each half-step is ONE equi-join (scores onto edges)
+    * + ONE partial-aggregated groupBy. Returns
+    * (role ∈ {authority, hub}, node, score) for every scored node. */
+  def hitsBipartite(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      s"iterations $iterations must be in [1, 4] (scores grow like degree^k)")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(sl)
+    var h = e.select(col("src")).distinct()
+      .withColumn("h", lit(1L).cast("decimal(38,0)"))
+    var a = e.sparkSession.emptyDataFrame
+    for (_ <- 1 to iterations) {
+      a = e.join(h, "src").groupBy("dst").agg(sum(col("h")).as("a"))
+      h = e.join(a, "dst").groupBy("src").agg(sum(col("a")).as("h"))
+    }
+    a.select(lit("authority").as("role"), col("dst").as("node"),
+        col("a").as("score"))
+      .unionByName(h.select(lit("hub").as("role"), col("src").as("node"),
+        col("h").as("score")))
+  }
+
   /** Per-node triangle participation over an UNDIRECTED edge set
     * (`edges` may list either or both directions; it is canonicalized to
     * a < b internally, self-loops dropped). Returns (node, n_triangles)

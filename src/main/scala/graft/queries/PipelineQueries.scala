@@ -249,26 +249,33 @@ private[graft] object PipelineQueries {
       // to the 1e-12 lattice so the per-node sums are exact longs at any
       // parallelism — the oracle unrolls the identical three iterations.
       // The edge derivation (the fact-table join) is materialized once
-      // per fixture content — the q127/q140/q161 build-once discipline;
-      // the signature carries BOTH source tables' fingerprints
-      val hconf = s.sparkContext.hadoopConfiguration
-      val liFp = graft.sources.Sources.contentFingerprint(
-        new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet"), hconf)
-      val path = cachedIndexPath(s, dir, "graft_cs_edges", "orders",
-        s"sym_$liFp") { p =>
-        val ed = rd(s, dir, "orders")
-          .join(rd(s, dir, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + 1000000L).as("b")).distinct()
-        ed.unionByName(ed.select(col("b").as("a"), col("a").as("b")))
-          .write.mode("overwrite").parquet(p)
-      }
-      val sym = s.read.parquet(path)
+      // per fixture content — the q127/q140/q161 build-once discipline,
+      // shared DIRECTED with q176's HITS; symmetrizing is one cheap
+      // union-of-reversal over the materialized frame
+      val ed = csEdgesDirectedCached(s, dir)
+      val sym = ed.unionByName(ed.select(col("b").as("a"), col("a").as("b")))
       graft.operators.Graph.pageRank(sym, "a", "b", iterations = 3)
         .orderBy(col("pr").desc, col("node"))
         .limit(25)
         .select(col("node"), r(col("pr"), 9).as("pagerank"))
+    }),
+
+
+    // ----- HITS hubs/authorities on the customer->supplier graph -----
+    "q176_hits" -> ((s, dir) => {
+      // which suppliers do the best-connected customers buy from? —
+      // 2 unnormalized HITS steps over q126's DIRECTED edge frame
+      // (normalization only rescales; skipping it keeps every score an
+      // exact integer, so the ranking is bit-reproducible with zero
+      // floats). Top 15 per role
+      val scored = graft.operators.Graph.hitsBipartite(
+        csEdgesDirectedCached(s, dir), "a", "b", iterations = 2)
+        .select(col("role"), col("node"), col("score").cast("long").as("score"))
+      val w = Window.partitionBy(col("role"))
+        .orderBy(col("score").desc, col("node"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 15).drop("_rn")
+        .orderBy(col("role"), col("score").desc, col("node"))
     }),
 
 
@@ -1538,6 +1545,25 @@ private[graft] object PipelineQueries {
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node CROSS JOIN nn)
         |SELECT node, floor(pr * 1e9 + 0.5) / 1e9 AS pagerank
         |FROM p3 ORDER BY p3.pr DESC, node LIMIT 25""".stripMargin,
+
+    // 2 unnormalized HITS steps unrolled: a1 = in-degree (h0 = 1), each
+    // later half-step one join + integer sum — zero floats anywhere
+    "q176_hits" ->
+      """WITH ed AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a FROM ed GROUP BY 1),
+        |h1 AS (SELECT src, CAST(sum(a) AS BIGINT) AS h
+        |  FROM ed JOIN a1 USING (dst) GROUP BY 1),
+        |a2 AS (SELECT dst, CAST(sum(h) AS BIGINT) AS a
+        |  FROM ed JOIN h1 USING (src) GROUP BY 1),
+        |h2 AS (SELECT src, CAST(sum(a) AS BIGINT) AS h
+        |  FROM ed JOIN a2 USING (dst) GROUP BY 1),
+        |u AS (SELECT 'authority' AS role, dst AS node, a AS score FROM a2
+        |      UNION ALL SELECT 'hub', src, h FROM h2),
+        |sel AS (SELECT role, node, score, row_number() OVER (
+        |  PARTITION BY role ORDER BY score DESC, node) AS rn FROM u)
+        |SELECT role, node, score FROM sel WHERE rn <= 15
+        |ORDER BY role, score DESC, node""".stripMargin,
 
     "q127_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -146,6 +146,29 @@ private[graft] object QueryShared {
     * list once and runs every graph metric against the materialized
     * frame; re-deriving the edges per metric would multiply the
     * dominant self-join cost by the number of metrics. */
+  /** The DIRECTED customer→supplier edge set (supplier ids offset into
+    * their own range), derived from the orders×lineitem fact join and
+    * materialized once per fixture content — the build-once discipline
+    * shared with [[coPurchaseEdgesCached]]. PageRank (q126) symmetrizes
+    * it with one cheap union-of-reversal; HITS (q176) consumes it
+    * directed. The signature carries BOTH source tables' fingerprints
+    * (the path embeds orders'; `sym_<liFp>` embeds lineitem's). */
+  private[graft] def csEdgesDirectedCached(s: SparkSession, dir: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val liFp = Sources.contentFingerprint(
+      new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet"), hconf)
+    val path = cachedIndexPath(s, dir, "graft_cs_edges_dir", "orders",
+      s"li_$liFp") { p =>
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000L).as("b")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def coPurchaseEdgesCached(s: SparkSession, dir: String): DataFrame = {
     val path = cachedIndexPath(s, dir, "graft_copurchase_edges", "lineitem",
       "support2") { p =>

@@ -30,6 +30,24 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) > pr(1L))
   }
 
+  test("hitsBipartite: hand-unrolled integer scores, duplicate edges collapse") {
+    // c1 -> {s1, s2}, c2 -> s1 (listed twice — must dedupe):
+    // a1 = indeg: s1=2, s2=1; h1: c1=3, c2=2; a2: s1=5, s2=3; h2: c1=8, c2=5
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c2", "s1"))
+      .toDF("c", "s")
+    val out = Graph.hitsBipartite(edges, "c", "s", iterations = 2)
+      .select($"role", $"node", $"score".cast("long"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("authority", "s1", 5L), ("authority", "s2", 3L),
+      ("hub", "c1", 8L), ("hub", "c2", 5L)), s"was $out")
+    // one iteration: authority is plain in-degree
+    val one = Graph.hitsBipartite(edges, "c", "s", iterations = 1)
+      .filter($"role" === "authority")
+      .select($"node", $"score".cast("long")).as[(String, Long)].collect().toMap
+    assert(one == Map("s1" -> 2L, "s2" -> 1L))
+  }
+
   test("triangleCounts: square with one diagonal, direction/dup agnostic") {
     // 1-2-3-4-1 plus diagonal 1-3: triangles {1,2,3} and {1,3,4};
     // reversed and duplicated edges must not change anything
