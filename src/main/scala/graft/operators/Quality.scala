@@ -85,6 +85,22 @@ object Quality {
       sum(when(col("lv") < l, col("sz")).otherwise(0L)).as("n_rows_below_l"))
   }
 
+  /** Deterministic KEYED PSEUDONYMIZATION token — the tokenization half
+    * of a PII release: `u_` + the first 12 hex chars (48 bits) of
+    * md5(salt # key...). Same key → same token (joins and group-bys
+    * keep working across tables pseudonymized with the same salt — the
+    * referential-integrity property a release audit checks), while
+    * recovering the key needs the salt. Pure codegen'd built-ins, no
+    * UDF; portable to any engine for the audit's oracle. 48 bits keeps
+    * birthday collisions ~2⁻²⁰ at 16M keys — pass more chars for
+    * larger key spaces, and AUDIT the release (distinct tokens ==
+    * distinct keys) rather than assuming. */
+  def pseudonym(salt: String, keys: Seq[Column]): Column = {
+    require(keys.nonEmpty, "pseudonym needs at least one key column")
+    concat(lit("u_"), substring(
+      md5(concat_ws("#", lit(salt) +: keys.map(_.cast("string")): _*)), 1, 12))
+  }
+
   /** t-CLOSENESS per QI group — the third rung of the release-audit
     * ladder ([[kAnonymity]]: groups big enough; [[lDiversity]]: groups
     * varied enough; here: each group's sensitive-attribute DISTRIBUTION

@@ -1051,6 +1051,31 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- keyed pseudonymization + referential-integrity audit ------
+    "q177_pseudonymize" -> ((s, dir) => {
+      // ship customers with keys replaced by salted 48-bit tokens, then
+      // AUDIT the release per nation: tokens must stay collision-free
+      // (n_pseudonyms == n_customers) and must still join the orders
+      // fact table (n_orders survives the key swap). The join runs ON
+      // the token — exactly how the released tables would be joined
+      val ps = graft.operators.Quality.pseudonym("salt42", Seq(col("c_custkey")))
+      val cust = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), ps.as("pseud"))
+      val ords = rd(s, dir, "orders")
+        .select(graft.operators.Quality.pseudonym("salt42", Seq(col("o_custkey")))
+          .as("pseud"))
+      val perNation = cust.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("pseud")).as("n_pseudonyms"))
+      val linked = cust.join(ords, "pseud")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_orders"))
+      perNation.join(linked, Seq("c_nationkey"), "left")
+        .select(col("c_nationkey"), col("n_customers"), col("n_pseudonyms"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_nationkey")
+    }),
+
+
     // ----- majority-vote label aggregation (annotation pipeline) -----
     "q157_label_vote" -> ((s, dir) => {
       // collapse per-rater votes (events: one vote per row, item keyed
@@ -2330,6 +2355,26 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // salted md5-prefix tokens on both sides of the key; the audit join
+    // runs on the token, as the released tables would be joined
+    "q177_pseudonymize" ->
+      """WITH m AS (SELECT c_custkey, c_nationkey,
+        |  'u_' || substr(md5('salt42#' || CAST(c_custkey AS VARCHAR)), 1, 12)
+        |    AS pseud
+        |  FROM customer),
+        |o AS (SELECT 'u_' || substr(md5('salt42#' || CAST(o_custkey AS VARCHAR)), 1, 12)
+        |    AS pseud FROM orders),
+        |pn AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT pseud) AS BIGINT) AS n_pseudonyms
+        |  FROM m GROUP BY 1),
+        |lk AS (SELECT m.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM m JOIN o USING (pseud) GROUP BY 1)
+        |SELECT pn.c_nationkey, pn.n_customers, pn.n_pseudonyms,
+        |  COALESCE(lk.n_orders, 0) AS n_orders
+        |FROM pn LEFT JOIN lk ON pn.c_nationkey = lk.c_nationkey
+        |ORDER BY pn.c_nationkey""".stripMargin,
 
 
     // exact common-denominator TVD: |c_v·N − g_v·n_g| summed over
