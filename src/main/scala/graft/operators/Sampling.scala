@@ -228,6 +228,44 @@ object Sampling {
       floor(rate * lit(4294967296.0) + lit(0.5)))
   }
 
+  /** TEMPERATURE-smoothed mixture allocation (α = 0.5) — the
+    * multilingual-corpus sampling rule ("upsample the tail languages"):
+    * source s with share p_s gets target weight ∝ √p_s, flattening the
+    * head so low-resource sources keep representation. Unlike
+    * [[mixtureSample]], whose target fractions are caller-supplied,
+    * here the weights DERIVE from the data in one pass.
+    *
+    * Reproducibility: √(n_s/N) is one IEEE divide + one IEEE sqrt
+    * (sqrt is correctly-rounded by the standard — no libm drift),
+    * snapped to the 1e-9 lattice as a LONG before the cross-source
+    * normalization, so the weight total is an order-independent
+    * integer sum; each allocation is `(budget · w9) div Σw9` — exact
+    * integer division. Per-source keep-rate is one final divide on the
+    * 1e-6 lattice.
+    *
+    * Scale shape: one partial-aggregated groupBy to |sources| rows,
+    * two broadcast 1-row totals. Returns per source: (sourceCol,
+    * n_docs, share, weight, alloc_budget, rate). */
+  def temperatureAllocation(df: DataFrame, sourceCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val r6 = (c: Column) => floor(c * 1000000 + 0.5) / 1000000
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("_N"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("_w9", floor(sqrt(col("n_docs").cast("double") /
+        col("_N").cast("double")) * 1000000000 + 0.5).cast("long"))
+    val wsum = w.agg(sum(col("_w9")).as("_ws"))
+    w.crossJoin(broadcast(wsum))
+      .select(col(sourceCol), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("_N").cast("double")).as("share"),
+        r6(col("_w9").cast("double") / col("_ws").cast("double")).as("weight"),
+        expr(s"($budget * _w9) div _ws").as("alloc_budget"))
+      .withColumn("rate", r6(least(lit(1.0),
+        col("alloc_budget").cast("double") / col("n_docs").cast("double"))))
+  }
+
   /** NEYMAN-allocated stratified sample — the survey-sampling optimum:
     * a `totalN`-row budget split across strata proportional to
     * `N_h · S_h` (stratum size × stddev), so high-variance strata get

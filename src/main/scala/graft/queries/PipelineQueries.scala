@@ -1051,6 +1051,26 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- temperature-smoothed (alpha=0.5) mixture allocation -------
+    "q178_temperature_mix" -> ((s, dir) => {
+      // the multilingual upsample-the-tail rule over a deliberately
+      // skewed source mix (fixture sources are doc_id % 20, so the skew
+      // axis is the independent doc_id div 20: mid sources halved, tail
+      // sources at a fifth): weights derive as lattice-snapped
+      // sqrt(share), so tail allocations rise above their raw share —
+      // q109's mixtureSample takes these fractions as input downstream
+      val m = col("doc_id") % 20
+      val b = expr("doc_id div 20")
+      val skewed = rd(s, dir, "documents")
+        .filter(m <= 4 ||
+          (m.between(5, 9) && b % 2 === 0) ||
+          (m >= 10 && b % 5 === 0))
+      graft.operators.Sampling.temperatureAllocation(skewed, "source",
+        budget = 1000L)
+        .orderBy("source")
+    }),
+
+
     // ----- keyed pseudonymization + referential-integrity audit ------
     "q177_pseudonymize" -> ((s, dir) => {
       // ship customers with keys replaced by salted 48-bit tokens, then
@@ -2355,6 +2375,33 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // sqrt(share) snapped to a 1e-9 long lattice BEFORE the
+    // cross-source total (order-independent integer sum); allocation is
+    // exact integer division; sqrt itself is IEEE correctly-rounded
+    "q178_temperature_mix" ->
+      """WITH sk AS (SELECT source, doc_id FROM documents
+        |  WHERE doc_id % 20 <= 4
+        |     OR (doc_id % 20 BETWEEN 5 AND 9 AND (doc_id // 20) % 2 = 0)
+        |     OR (doc_id % 20 >= 10 AND (doc_id // 20) % 5 = 0)),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM sk GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM c),
+        |w AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * 1000000000 + 0.5) AS BIGINT) AS w9, nn
+        |  FROM c CROSS JOIN n),
+        |ws AS (SELECT CAST(sum(w9) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS share,
+        |  floor(CAST(w9 AS DOUBLE) / CAST(wsum AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS weight,
+        |  (1000 * w9) // wsum AS alloc_budget,
+        |  floor(least(1.0, CAST((1000 * w9) // wsum AS DOUBLE) /
+        |    CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rate
+        |FROM w CROSS JOIN ws ORDER BY source""".stripMargin,
 
 
     // salted md5-prefix tokens on both sides of the key; the audit join
