@@ -79,6 +79,29 @@ object Skew {
       .select(coalesce(col("out_rows"), lit(0L)).as("out_rows"))
   }
 
+  /** SALT PLAN — the step between measuring ([[keyProfile]],
+    * [[joinCardinality]]) and mitigating ([[saltedJoin]]/[[saltedSum]]):
+    * for every key whose row count exceeds `targetPerTask`, the salt
+    * count that brings its per-reducer load back under target —
+    * `ceil(n / target)`, capped at `maxSalts` (dimension replication
+    * cost grows with the cap) — plus the residual per-reducer load
+    * after salting. All integer ceiling division
+    * (`(n + d − 1) div d`), so the plan reproduces bit-for-bit; one
+    * partial-aggregated count pass, output bounded by the number of
+    * hot keys. */
+  def saltPlan(df: DataFrame, keyCol: String, targetPerTask: Long,
+      maxSalts: Int): DataFrame = {
+    require(targetPerTask > 0, s"targetPerTask $targetPerTask must be positive")
+    require(maxSalts > 1, s"maxSalts $maxSalts must exceed 1")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetPerTask)
+      .withColumn("salts", least(
+        expr(s"(n_rows + ${targetPerTask - 1}) div $targetPerTask"),
+        lit(maxSalts.toLong)))
+      .withColumn("residual_per_task", expr("(n_rows + salts - 1) div salts"))
+      .withColumn("under_target", col("residual_per_task") <= targetPerTask)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt) — spreading a hot key over `salts` reducers — then final
     * aggregate on key. Results equal the direct groupBy for any

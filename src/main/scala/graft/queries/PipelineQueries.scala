@@ -628,6 +628,19 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- skew salt plan (measurement -> mitigation parameters) -----
+    "q179_salt_plan" -> ((s, dir) => {
+      // q117 profiles the key distribution, q144 forecasts the join
+      // fan-out — this emits the actual mitigation parameters: per hot
+      // supplier key, the salt count that brings per-reducer load back
+      // under 500 rows (integer ceiling division, capped at 32) and
+      // the residual load after salting
+      graft.operators.Skew.saltPlan(rd(s, dir, "lineitem"), "l_suppkey",
+        targetPerTask = 500L, maxSalts = 32)
+        .orderBy(col("n_rows").desc, col("l_suppkey"))
+    }),
+
+
     // ----- gap-based sessionization (batch session_window) -----------
     "q41_sessionize" -> ((s, dir) => {
       rd(s, dir, "events")
@@ -2375,6 +2388,20 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // integer ceiling division throughout: salts = ceil(n/target)
+    // capped at 32, residual = ceil(n/salts)
+    "q179_salt_plan" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT l_suppkey, n_rows,
+        |  least((n_rows + 499) // 500, 32) AS salts
+        |  FROM c WHERE n_rows > 500)
+        |SELECT l_suppkey, n_rows, salts,
+        |  (n_rows + salts - 1) // salts AS residual_per_task,
+        |  (n_rows + salts - 1) // salts <= 500 AS under_target
+        |FROM h ORDER BY n_rows DESC, l_suppkey""".stripMargin,
 
 
     // sqrt(share) snapped to a 1e-9 long lattice BEFORE the
