@@ -371,6 +371,23 @@ class PlanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq) // contiguous 0..N-1 in sort order
   }
 
+  test("rocAuc: rank-free plan — no SinglePartition stage, no global rank window") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("value"), col("event_type"))
+    val out = graft.operators.Stats.rocAuc(ev,
+      floor(col("value") * 100).cast("long"), col("event_type") === "purchase")
+    val p = out.queryExecution.executedPlan.toString
+    // the naive rank() OVER (ORDER BY score) collapses the corpus into
+    // one task; the grouped-midrank form must not plan that stage
+    // (the terminal 1-row aggregate legitimately gathers |scores| group
+    // rows — the data-sized stages are what must stay partitioned)
+    assert(!p.contains(" Window "), s"unexpected global rank window:\n$p")
+    val dataStages = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    // only the final 1-row aggregate may single-partition
+    assert(dataStages.size <= 1,
+      s"data-sized stage collapsed to one task:\n$p")
+  }
+
   test("withRunningTotals/prefixShards: global prefix sums, no 1-task collapse") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "n_chars")
