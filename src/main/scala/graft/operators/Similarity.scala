@@ -54,6 +54,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** FEATURE-HASHED bag-of-words embedding — dense-ish document vectors
+    * with NO model dependency: each token hashes to one of `dims`
+    * buckets via the portable 60-bit md5 prefix, contributing ±1 (the
+    * hashing-trick sign, an INDEPENDENT salted hash mod 2, decorrelates
+    * bucket collisions). Components are exact INTEGER sums, so the "embedding"
+    * reproduces bit-for-bit in any md5-bearing engine — the in-engine
+    * stand-in wherever a real encoder's vectors haven't landed yet, and
+    * directly consumable by [[sparseCosineTopK]].
+    *
+    * Scale shape: one token explode + ONE partial-aggregated
+    * groupBy(id, bucket) — the sparse (id, bucket, v) layout, never a
+    * dims-wide dense row. Returns (id, bucket, v) with v ≠ 0. */
+  def hashedBowEmbedding(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"dims $dims must be >= 2")
+    val tok = explode(split(TextAnalysis.normText(col(textCol)), " ")).as("_t")
+    val h = graft.functions.Checksums.md5PrefixLong(col("_t"))
+    val hs = graft.functions.Checksums.md5PrefixLong(
+      concat(lit("s#"), col("_t")))
+    docs.select(col(idCol).as("id"), tok)
+      .filter(col("_t") =!= "")
+      .select(col("id"), pmod(h, lit(dims.toLong)).as("bucket"),
+        (pmod(hs, lit(2L)) * 2 - 1).as("_s"))
+      .groupBy("id", "bucket").agg(sum(col("_s")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** Cosine top-k over SPARSE (id, bucket, v) embeddings against one
+    * probe id — dot products via a bucket equi-join against the
+    * broadcast |dims|-row probe vector, norms via one per-id aggregate;
+    * integer dot/norm products route through DECIMAL, one sqrt + one
+    * divide per candidate at the end (IEEE-exact both engines). The
+    * probe itself is excluded. */
+  def sparseCosineTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val probe = emb.filter(col("id") === probeId)
+      .select(col("bucket"), col("v").as("_pv"))
+    val pn2 = probe.agg(sum(col("_pv") * col("_pv")).as("_pn2"))
+    val n2 = emb.groupBy("id")
+      .agg(sum(col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+        .as("_n2"))
+    val dots = emb.join(broadcast(probe), "bucket")
+      .groupBy("id")
+      .agg(sum(col("v").cast("decimal(38,0)") * col("_pv").cast("decimal(38,0)"))
+        .as("_dot"))
+    dots.join(n2, "id").crossJoin(broadcast(pn2))
+      .filter(col("id") =!= probeId)
+      .select(col("id"),
+        (floor(col("_dot").cast("double") /
+          sqrt((col("_n2") * col("_pn2").cast("decimal(38,0)")).cast("double"))
+          * 1000000 + 0.5) / 1000000).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** BATCHED brute-force ANN — the serving shape: top-k per probe for a
     * whole probe FRAME in one pass over the corpus, instead of one
     * corpus scan per query vector. The probe set broadcasts (query

@@ -210,6 +210,21 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- feature-hashed BoW embedding + sparse cosine top-k --------
+    "q180_hash_embedding" -> ((s, dir) => {
+      // model-free document vectors straight from the token stream: the
+      // hashing trick (16 md5 buckets, independent salted sign hash)
+      // gives exact-integer sparse components any md5-bearing engine
+      // reproduces; similarity search then runs on the sparse layout —
+      // dot via a bucket equi-join against the broadcast probe vector,
+      // one sqrt + one divide per candidate
+      val emb = Similarity.hashedBowEmbedding(docsBase(s, dir),
+        "doc_id", "text", dims = 16)
+      Similarity.sparseCosineTopK(emb, probeId = 42L, k = 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+
     // ----- per-cluster embedding outlier audit -----------------------
     "q88_centroid_outliers" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -511,6 +526,31 @@ private[graft] object SimilarityQueries {
         |    FOR i IN range(1, len(embedding) + 1)]) AS max_abs_err
         |FROM z ORDER BY vec_id""".stripMargin,
 
+
+    // the hashing trick mirrored in SQL: 60-bit md5 prefix mod 16 for
+    // the bucket, salted second hash mod 2 for the sign; exact integer
+    // components, sqrt+divide only at the final cosine
+    "q180_hash_embedding" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |tt AS (SELECT id,
+        |  CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 16 AS bucket,
+        |  (CAST(('0x' || substr(md5('s#' || t), 1, 15)) AS BIGINT) % 2) * 2 - 1 AS s
+        |  FROM toks WHERE t != ''),
+        |emb AS (SELECT id, bucket, CAST(sum(s) AS BIGINT) AS v
+        |  FROM tt GROUP BY 1, 2 HAVING sum(s) != 0),
+        |probe AS (SELECT bucket, v AS pv FROM emb WHERE id = 42),
+        |pn AS (SELECT CAST(sum(pv * pv) AS BIGINT) AS pn2 FROM probe),
+        |n2 AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM emb GROUP BY 1),
+        |dots AS (SELECT emb.id, CAST(sum(emb.v * probe.pv) AS BIGINT) AS dot
+        |  FROM emb JOIN probe USING (bucket) GROUP BY 1)
+        |SELECT d.id AS doc_id,
+        |  floor(CAST(dot AS DOUBLE) / sqrt(CAST(n2.n2 * pn.pn2 AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS cos
+        |FROM dots d JOIN n2 ON d.id = n2.id CROSS JOIN pn
+        |WHERE d.id != 42
+        |ORDER BY cos DESC, doc_id LIMIT 15""".stripMargin,
 
     "q88_centroid_outliers" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding AS cv
