@@ -628,6 +628,30 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- per-user event transition matrix (Markov audit) -----------
+    "q181_event_transitions" -> ((s, dir) => {
+      // what follows what in a user's stream? — consecutive event-type
+      // pairs per user (ts order, event_id tiebreak so same-timestamp
+      // rows are deterministic), aggregated to the transition matrix
+      // with per-source shares. One per-user window + one pair
+      // aggregation; the matrix is |types|² rows
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = rd(s, dir, "events")
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy("from_type").agg(sum(col("n")).as("_ft"))
+      pairs.join(fromTot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (floor(col("n").cast("double") / col("_ft").cast("double")
+            * 1000000 + 0.5) / 1000000).as("share"))
+        .orderBy("from_type", "to_type")
+    }),
+
+
     // ----- skew salt plan (measurement -> mitigation parameters) -----
     "q179_salt_plan" -> ((s, dir) => {
       // q117 profiles the key distribution, q144 forecasts the join
@@ -2388,6 +2412,25 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // per-user lag window with (ts, event_id) total order; integer pair
+    // counts; one divide per matrix cell
+    "q181_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ft
+        |  FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.n,
+        |  floor(CAST(m.n AS DOUBLE) / CAST(ft.ft AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS share
+        |FROM m JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
 
     // integer ceiling division throughout: salts = ceil(n/target)
