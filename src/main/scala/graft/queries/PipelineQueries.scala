@@ -574,6 +574,54 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- PNG pixel decode: real zlib inflate + unfilter ------------
+    "q182_png_pixels" -> ((s, dir) => {
+      // 2x2 RGB PNGs assembled in-plan: a stored-mode deflate block
+      // (the one zlib form SQL arithmetic can emit) whose Adler-32 is
+      // COMPUTED from the same doc_id byte formulas — the decoder runs
+      // the REAL java.util.zip inflate (which verifies that checksum)
+      // and the REAL scanline unfilter (row 1 uses filter 2 = Up, so
+      // the stored bytes are deltas the decoder must reconstruct).
+      // Three row classes: good; doc_id % 6 == 3 carries a zeroed
+      // Adler (structurally perfect, checksum wrong -> decode REJECTS,
+      // proving the verification actually runs); % 6 == 5 truncated.
+      val id = col("doc_id")
+      def pm(c: Column) = pmod(c, lit(256))
+      def b8(c: Column) = lpad(hex(pm(c)), 2, "0")
+      // pixel channel bytes: r = 3id+10x+7y, g = 5id+4x+y, b = 7id+x+2y
+      val row0 = concat(lit("00"), b8(id * 3), b8(id * 5), b8(id * 7),
+        b8(id * 3 + 10), b8(id * 5 + 4), b8(id * 7 + 1))
+      val row1 = lit("02" + "070102" + "070102") // Up filter: constant deltas
+      // Adler-32 over the 14 raw bytes (A = 1+Σb, B = 14+Σ(15-i)·b_i)
+      val sumPx = pm(id * 3) + pm(id * 5) + pm(id * 7) +
+        pm(id * 3 + 10) + pm(id * 5 + 4) + pm(id * 7 + 1)
+      val a32 = pmod(lit(1) + sumPx + lit(22), lit(65521))
+      val b32 = pmod(lit(108) + pm(id * 3) * 13 + pm(id * 5) * 12 +
+        pm(id * 7) * 11 + pm(id * 3 + 10) * 10 + pm(id * 5 + 4) * 9 +
+        pm(id * 7 + 1) * 8, lit(65521))
+      val adler = lpad(hex(b32 * 65536 + a32), 8, "0")
+      val sig = lit("89504E470D0A1A0A")
+      val ihdr = lit("0000000D" + "49484452" + "00000002" + "00000002" +
+        "08" + "02" + "00" + "00" + "00" + "00000000")
+      def idat(ad: Column) = concat(lit("00000019" + "49444154" +
+        "7801" + "01" + "0E00" + "F1FF"), row0, row1, ad, lit("00000000"))
+      val iend = lit("00000000" + "49454E44" + "00000000")
+      val good = concat(sig, ihdr, idat(adler), iend)
+      val badAdler = concat(sig, ihdr, idat(lit("00000000")), iend)
+      val truncated = lit("89504E470D0A1A0A0000000D49484452")
+      val payload = unhex(when(id % 6 === 5, truncated)
+        .when(id % 6 === 3, badAdler).otherwise(good))
+      val media = rd(s, dir, "documents").select(id,
+        payload.as("payload"), lit("image/png").as("mime"))
+      Multimodal.imageStats(media)
+        .select(col("doc_id"),
+          col("img.mean_b").as("mean_b"), col("img.mean_g").as("mean_g"),
+          col("img.mean_r").as("mean_r"), col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- event-time tumbling window aggregation --------------------
     "q31_events_window" -> ((s, dir) => {
       rd(s, dir, "events")
@@ -1910,6 +1958,37 @@ private[graft] object PipelineQueries {
         |       ELSE CAST(1 AS INTEGER) END AS height,
         |  CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 58 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // the oracle predicts the decoded pixels from the same doc_id
+    // arithmetic the fixture used — the engine must arrive at them
+    // through the REAL inflate + Adler verify + Up-unfilter path.
+    // Row classes % 6 == 3 (zeroed Adler) and == 5 (truncated) must
+    // decode to NOTHING: checksum and structure rejection
+    "q182_png_pixels" ->
+      """WITH px AS (SELECT doc_id,
+        |  (doc_id * 3) % 256 AS r00, ((doc_id * 3) + 10) % 256 AS r10,
+        |  ((doc_id * 3) + 7) % 256 AS r01, ((doc_id * 3) + 17) % 256 AS r11,
+        |  (doc_id * 5) % 256 AS g00, ((doc_id * 5) + 4) % 256 AS g10,
+        |  ((doc_id * 5) + 1) % 256 AS g01, ((doc_id * 5) + 5) % 256 AS g11,
+        |  (doc_id * 7) % 256 AS b00, ((doc_id * 7) + 1) % 256 AS b10,
+        |  ((doc_id * 7) + 2) % 256 AS b01, ((doc_id * 7) + 3) % 256 AS b11
+        |  FROM documents),
+        |m AS (SELECT doc_id, doc_id % 6 IN (3, 5) AS bad,
+        |  CAST(b00 + b10 + b01 + b11 AS DOUBLE) / 4.0 AS mb,
+        |  CAST(g00 + g10 + g01 + g11 AS DOUBLE) / 4.0 AS mg,
+        |  CAST(r00 + r10 + r01 + r11 AS DOUBLE) / 4.0 AS mr,
+        |  CAST(r00 + r10 + r01 + r11 + g00 + g10 + g01 + g11
+        |     + b00 + b10 + b01 + b11 AS DOUBLE) / 12.0 AS ml
+        |  FROM px)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL ELSE mb END AS mean_b,
+        |  CASE WHEN bad THEN NULL ELSE mg END AS mean_g,
+        |  CASE WHEN bad THEN NULL ELSE mr END AS mean_r,
+        |  CASE WHEN bad THEN NULL ELSE ml END AS mean_luma,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
+        |FROM m ORDER BY doc_id""".stripMargin,
 
 
     "q31_events_window" ->
