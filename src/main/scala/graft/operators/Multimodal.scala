@@ -437,6 +437,94 @@ object Multimodal {
     b.array()
   }
 
+  /** Decoded PCM audio: 16-bit signed samples (channels interleaved). */
+  private[graft] final case class PcmAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** REAL WAV PCM sample decode — like BMP, the data chunk IS the raw
+    * samples, so actual amplitude analytics need no codec: RIFF chunk
+    * walk to `fmt ` (must declare format 1 = integer PCM, 16 bits) and
+    * `data`; bytes become signed little-endian 16-bit samples. Float
+    * WAV (format 3), other bit depths, and truncated data chunks
+    * return None — honest unknown. */
+  private[graft] def parseWavPcm(p: Array[Byte]): Option[PcmAudio] = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    var i = 12
+    var rate = -1; var channels = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+      val size = le32(p, i + 4)
+      if (size > p.length - i - 8) return None
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+        if (size < 16L) return None
+        val fmt = le16(p, i + 8)
+        channels = le16(p, i + 10)
+        rate = le32(p, i + 12).toInt
+        val bits = le16(p, i + 22)
+        if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0) return None
+        fmtOk = true
+      } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+          p(i + 3) == 'a') {
+        dataOff = i + 8; dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataOff < 0 || (dataLen & 1) == 1) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = (le16(p, dataOff + 2 * j)).toShort
+      j += 1
+    }
+    Some(PcmAudio(rate, channels, out))
+  }
+
+  /** Audio-statistics contract for [[audioStats]]. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("peak", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", LongType)))
+
+  /** REAL sample-level audio features for PCM WAV payloads: peak
+    * amplitude and zero-crossing count are exact integers; RMS is one
+    * integer sum of squares, one divide, one IEEE sqrt, snapped to the
+    * 1e-6 lattice — so a SQL oracle reproduces every value bit-for-bit.
+    * Non-PCM payloads yield a NULL struct. Same mapPartitions shape as
+    * [[imageStats]]. */
+  def audioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField("audio", audioStatsSchema))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val stats = (if (payload == null) None else parseWavPcm(payload)).map { a =>
+          var peak = 0; var ss = 0L; var zc = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toInt
+            val av = math.abs(v)
+            if (av > peak) peak = av
+            ss += v.toLong * v
+            if (i > 0 && ((a.samples(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          val n = a.samples.length.toLong
+          val rms =
+            if (n == 0) 0.0
+            else math.floor(math.sqrt(ss.toDouble / n) * 1e6 + 0.5) / 1e6
+          Row(n, a.sampleRate, peak, rms, zc)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
   /** STUB decoder — deterministic fake: derives plausible metadata
     * from the payload hash. Replace with a real codec (e.g. libjpeg via
     * JNI) in production; signature and batch shape stay identical. */

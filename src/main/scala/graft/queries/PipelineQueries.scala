@@ -622,6 +622,43 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- WAV PCM sample decode: real amplitude analytics -----------
+    "q183_audio_samples" -> ((s, dir) => {
+      // 8-sample 16-bit mono WAVs assembled in-plan (samples are
+      // two's-complement LE bytes of ((11·id + 17i) mod 2048) − 1024);
+      // the REAL RIFF/fmt/data walk turns the data chunk back into
+      // signed samples and the stats op computes exact peak /
+      // zero-crossings and lattice-snapped RMS. Row classes:
+      // doc_id % 6 == 2 declares IEEE-float format (format tag 3 —
+      // header-tier fine, sample tier must REJECT), % 6 == 5 truncates
+      // mid-header; both decode to NULL.
+      val id = col("doc_id")
+      def b8(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def u(i: Int) = pmod(pmod(id * 11 + lit(i * 17), lit(2048)) + 64512,
+        lit(65536))
+      val sampleHex = (0 until 8).map { i =>
+        concat(b8(u(i)), b8(floor(u(i) / 256).cast("long")))
+      }.reduce(concat(_, _))
+      def wav(fmtCode: String) = concat(
+        lit("52494646" + "34000000" + "57415645" +
+          "666D7420" + "10000000" + fmtCode + "0100" +
+          "401F0000" + "803E0000" + "0200" + "1000" +
+          "64617461" + "10000000"), sampleHex)
+      val payload = unhex(when(id % 6 === 5, lit("524946463400000057"))
+        .when(id % 6 === 2, wav("0300")).otherwise(wav("0100")))
+      val media = rd(s, dir, "documents").select(id,
+        payload.as("payload"), lit("audio/wav").as("mime"))
+      Multimodal.audioStats(media)
+        .select(col("doc_id"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.peak").as("peak"),
+          col("audio.rms").as("rms"),
+          col("audio.zero_crossings").as("zero_crossings"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- event-time tumbling window aggregation --------------------
     "q31_events_window" -> ((s, dir) => {
       rd(s, dir, "events")
@@ -1958,6 +1995,34 @@ private[graft] object PipelineQueries {
         |       ELSE CAST(1 AS INTEGER) END AS height,
         |  CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 58 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // the oracle predicts peak/RMS/zero-crossings from the sample
+    // formulas directly; the engine must reach them through the real
+    // RIFF walk + two's-complement decode. Format-3 (float) and
+    // truncated classes must yield NULLs
+    "q183_audio_samples" ->
+      """WITH s AS (SELECT doc_id, i,
+        |  ((doc_id * 11 + i * 17) % 2048) - 1024 AS v
+        |  FROM documents, range(0, 8) t(i)),
+        |lg AS (SELECT doc_id, i, v,
+        |  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+        |st AS (SELECT doc_id,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak,
+        |  CAST(sum(v * v) AS BIGINT) AS ss,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (v < 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |  FROM lg GROUP BY 1),
+        |m AS (SELECT doc_id, doc_id % 6 IN (2, 5) AS bad, peak, zc,
+        |  floor(sqrt(CAST(ss AS DOUBLE) / 8.0) * 1000000 + 0.5) / 1000000 AS rms
+        |  FROM st)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL ELSE CAST(8 AS BIGINT) END AS n_samples,
+        |  CASE WHEN bad THEN NULL ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN bad THEN NULL ELSE peak END AS peak,
+        |  CASE WHEN bad THEN NULL ELSE rms END AS rms,
+        |  CASE WHEN bad THEN NULL ELSE zc END AS zero_crossings
+        |FROM m ORDER BY doc_id""".stripMargin,
 
 
     // the oracle predicts the decoded pixels from the same doc_id

@@ -422,6 +422,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sPng == sBmp)
   }
 
+  test("WAV PCM sample decode: signed samples, stats, float-format and truncation rejection") {
+    def wav(fmt: Int, samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // negative samples round-trip through two's complement
+    val a = Multimodal.parseWavPcm(wav(1, Seq(-1024, 0, 1023, -1))).get
+    assert(a.sampleRate == 8000 && a.samples.toSeq == Seq(-1024, 0, 1023, -1))
+    // IEEE-float WAV (format 3): header tier knows it, sample tier refuses
+    assert(Multimodal.parseWavPcm(wav(3, Seq(1, 2))).isEmpty)
+    assert(Multimodal.parseHeader(wav(3, Seq(1, 2))).exists(_.getString(0) == "audio/wav"))
+    // truncation: None
+    assert(Multimodal.parseWavPcm(wav(1, Seq(1, 2)).take(30)).isEmpty)
+    // stats: peak/zero-crossings exact, RMS on the 1e-6 lattice
+    import spark.implicits._
+    val df = Seq((1L, wav(1, Seq(3, -4, 5, -6)))).toDF("doc_id", "payload")
+    val st = Multimodal.audioStats(df).select("audio.*").head()
+    assert(st.getLong(0) == 4 && st.getInt(1) == 8000 && st.getInt(2) == 6)
+    val expRms = math.floor(math.sqrt((9 + 16 + 25 + 36) / 4.0) * 1e6 + 0.5) / 1e6
+    assert(st.getDouble(3) == expRms && st.getLong(4) == 3)
+  }
+
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
     val media = Multimodal.withDecodedMeta(
