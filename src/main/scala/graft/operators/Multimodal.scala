@@ -391,10 +391,131 @@ object Multimodal {
     out.array()
   }
 
+  /** Decoded GIF frame: palette-indexed pixels resolved through the
+    * active color table. */
+  private[graft] final case class GifImage(width: Int, height: Int,
+      palette: Array[Byte], indices: Array[Byte]) extends Raster {
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val i = (indices(y * width + x) & 0xFF) * 3
+      // palette stores RGB; Raster contract returns (b, g, r)
+      ((palette(i + 2) & 0xFF, palette(i + 1) & 0xFF, palette(i) & 0xFF))
+    }
+  }
+
+  /** REAL GIF pixel decode — a complete LZW decompressor in ~60 lines
+    * of JVM-only code (variable code width, dictionary rebuild on
+    * CLEAR, the code==next special case), plus the block walk:
+    * header, color tables, extension skip, first image descriptor.
+    * Interlaced images and missing color tables return None. */
+  private[graft] def parseGif(p: Array[Byte]): Option[GifImage] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F') return None
+    val w0 = le16(p, 6); val h0 = le16(p, 8)
+    if (w0 <= 0 || h0 <= 0) return None
+    val flags = p(10) & 0xFF
+    var pos = 13
+    var global: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (pos + n > p.length) return None
+      global = java.util.Arrays.copyOfRange(p, pos, pos + n)
+      pos += n
+    }
+    while (pos < p.length) {
+      (p(pos) & 0xFF) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label byte then sub-blocks
+          pos += 2
+          while (pos < p.length && p(pos) != 0) pos += 1 + (p(pos) & 0xFF)
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > p.length) return None
+          val iw = le16(p, pos + 5); val ih = le16(p, pos + 7)
+          val iflags = p(pos + 9) & 0xFF
+          if ((iflags & 0x40) != 0) return None // interlaced: unsupported
+          pos += 10
+          var pal = global
+          if ((iflags & 0x80) != 0) {
+            val n = 3 * (1 << ((iflags & 7) + 1))
+            if (pos + n > p.length) return None
+            pal = java.util.Arrays.copyOfRange(p, pos, pos + n)
+            pos += n
+          }
+          if (pal == null || iw <= 0 || ih <= 0) return None
+          if (iw.toLong * ih > (64L << 20)) return None
+          if (pos >= p.length) return None
+          val minCode = p(pos) & 0xFF
+          if (minCode < 2 || minCode > 8) return None
+          pos += 1
+          // concatenate sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < p.length && p(pos) != 0) {
+            val n = p(pos) & 0xFF
+            if (pos + 1 + n > p.length) return None
+            data.write(p, pos + 1, n)
+            pos += 1 + n
+          }
+          if (pos >= p.length) return None // missing block terminator
+          return lzwDecode(data.toByteArray, minCode, iw * ih)
+            .filter(_.length == iw * ih)
+            .map(idx => GifImage(iw, ih, pal, idx))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: LSB-first variable-width codes, CLEAR resets the
+    * dictionary, END stops, `code == next` emits prev + prev.head. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    var dictN = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+      dictN = end + 1
+    }
+    reset()
+    var codeSize = minCode + 1
+    var acc = 0L; var bits = 0; var i = 0
+    var prev: Array[Byte] = null
+    while (i < data.length || bits >= codeSize) {
+      while (bits < codeSize && i < data.length) {
+        acc |= (data(i) & 0xFFL) << bits
+        bits += 8; i += 1
+      }
+      if (bits < codeSize) return None // ran out mid-code, no END seen
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize; bits -= codeSize
+      if (code == clear) {
+        reset(); codeSize = minCode + 1; prev = null
+      } else if (code == end) {
+        return Some(out.toByteArray)
+      } else {
+        val entry: Array[Byte] =
+          if (code < dictN && dict(code) != null) dict(code)
+          else if (code == dictN && prev != null) prev :+ prev(0)
+          else return None // out-of-range code: corrupt stream
+        out.write(entry, 0, entry.length)
+        if (out.size > maxOut) return None
+        if (prev != null && dictN < 4096) {
+          dict(dictN) = prev :+ entry(0)
+          dictN += 1
+        }
+        if (dictN == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = entry
+      }
+    }
+    None // no END code
+  }
+
   /** Pixel-tier dispatch: BMP (raw array) first, then PNG (real
-    * inflate). None = not pixel-decodable here. */
+    * inflate), then GIF (real LZW). None = not pixel-decodable here. */
   private[graft] def decodeRaster(p: Array[Byte]): Option[Raster] =
-    parseBmp(p).orElse(parsePng(p))
+    parseBmp(p).orElse(parsePng(p)).orElse(parseGif(p))
 
   /** Strict parse of an uncompressed 24-bit BITMAPINFOHEADER BMP; None
     * for anything else (other depths, RLE compression, truncated pixel

@@ -622,6 +622,48 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- GIF pixel decode: real LZW decompression ------------------
+    "q184_gif_pixels" -> ((s, dir) => {
+      // 2x2 GIFs assembled in-plan: a literal-code LZW stream (CLEAR +
+      // four 9-bit pixel codes + END packs into ONE 54-bit integer
+      // whose bytes SQL arithmetic can emit) over an identity-grayscale
+      // 256-color table; the engine must reconstruct the pixels through
+      // the REAL variable-width LZW decompressor. Row classes:
+      // doc_id % 6 == 1 carries an out-of-range first code (corrupt
+      // stream -> decode REJECTS), % 6 == 5 truncates mid-header.
+      val id = col("doc_id")
+      def pm(c: Column) = pmod(c, lit(256))
+      def b8(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
+      // pixels (0,0),(1,0),(0,1),(1,1) = r-channel formulas of q182
+      val Seq(p1, p2, p3, p4) =
+        Seq(id * 3, id * 3 + 10, id * 3 + 7, id * 3 + 17).map(pm)
+      // codes [256, p1, p2, p3, p4, 257] @9 bits LSB-first = one long
+      val v = lit(256L) + p1 * lit(512L) + p2 * lit(262144L) +
+        p3 * lit(134217728L) + p4 * lit(68719476736L) +
+        lit(257L * 35184372088832L)
+      // byte extraction stays in LONG arithmetic (v exceeds 2^53, so a
+      // double divide would round): shiftright then mod
+      val codeBytes = (0 until 7).map(i =>
+        b8(shiftright(v, 8 * i))).reduce(concat(_, _))
+      val grayPalette = (0 until 256).map(i => f"$i%02X" * 3).mkString
+      val head = "474946383961" + "0200" + "0200" + "F7" + "00" + "00" +
+        grayPalette + "2C" + "00000000" + "0200" + "0200" + "00" + "08" + "07"
+      val good = concat(lit(head), codeBytes, lit("00" + "3B"))
+      val corrupt = lit(head + "FFFFFFFFFFFFFF" + "00" + "3B")
+      val truncated = lit("47494638396102000200F7")
+      val payload = unhex(when(id % 6 === 5, truncated)
+        .when(id % 6 === 1, corrupt).otherwise(good))
+      val media = rd(s, dir, "documents").select(id,
+        payload.as("payload"), lit("image/gif").as("mime"))
+      Multimodal.imageStats(media)
+        .select(col("doc_id"),
+          col("img.mean_b").as("mean_b"), col("img.mean_g").as("mean_g"),
+          col("img.mean_r").as("mean_r"), col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- WAV PCM sample decode: real amplitude analytics -----------
     "q183_audio_samples" -> ((s, dir) => {
       // 8-sample 16-bit mono WAVs assembled in-plan (samples are
@@ -1995,6 +2037,26 @@ private[graft] object PipelineQueries {
         |       ELSE CAST(1 AS INTEGER) END AS height,
         |  CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 58 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // grayscale palette: every channel mean equals the mean pixel
+    // index; the engine must reach it through real LZW decompression
+    "q184_gif_pixels" ->
+      """WITH px AS (SELECT doc_id,
+        |  (doc_id * 3) % 256 AS p1, ((doc_id * 3) + 10) % 256 AS p2,
+        |  ((doc_id * 3) + 7) % 256 AS p3, ((doc_id * 3) + 17) % 256 AS p4
+        |  FROM documents),
+        |m AS (SELECT doc_id, doc_id % 6 IN (1, 5) AS bad,
+        |  CAST(p1 + p2 + p3 + p4 AS DOUBLE) / 4.0 AS mean_px
+        |  FROM px)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL ELSE mean_px END AS mean_b,
+        |  CASE WHEN bad THEN NULL ELSE mean_px END AS mean_g,
+        |  CASE WHEN bad THEN NULL ELSE mean_px END AS mean_r,
+        |  CASE WHEN bad THEN NULL ELSE mean_px END AS mean_luma,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
+        |FROM m ORDER BY doc_id""".stripMargin,
 
 
     // the oracle predicts peak/RMS/zero-crossings from the sample

@@ -422,6 +422,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sPng == sBmp)
   }
 
+  test("GIF real decode: LZW literal stream, dictionary growth, code==next case, corrupt rejection") {
+    // tiny 4-color GIF builder: palette i -> (r,g,b) = (i*10, i*20, i*30)
+    def gif(w: Int, h: Int, stream: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13 + 12 + 10 + 1 + 2 + stream.length + 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes)
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.put(0x81.toByte).put(0.toByte).put(0.toByte) // global table, 4 colors
+      for (i <- 0 until 4) bb.put((i * 10).toByte).put((i * 20).toByte).put((i * 30).toByte)
+      bb.put(0x2C.toByte).putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.put(0.toByte)
+      bb.put(2.toByte) // min code size
+      bb.put(stream.length.toByte).put(stream).put(0.toByte).put(0x3B.toByte)
+      bb.array()
+    }
+    // codes [CLEAR=4, 1, 1, 6, END=5] @3 bits LSB-first: dictionary
+    // entry 6 = "1,1" built mid-stream -> pixels 1,1,1,1 (2x2)
+    val v1 = 4L | (1L << 3) | (1L << 6) | (6L << 9) | (5L << 12)
+    val s1 = Array((v1 & 0xFF).toByte, ((v1 >> 8) & 0xFF).toByte)
+    val g1 = Multimodal.parseGif(gif(2, 2, s1)).get
+    assert(g1.width == 2 && g1.height == 2)
+    assert(g1.pixel(0, 0) == ((30, 20, 10)) && g1.pixel(1, 1) == ((30, 20, 10)))
+    // codes [CLEAR, 1, 6, END]: 6 == next -> prev + prev.head (the LZW
+    // special case) -> pixels 1,1,1 (3x1)
+    val v2 = 4L | (1L << 3) | (6L << 6) | (5L << 9)
+    val s2 = Array((v2 & 0xFF).toByte, ((v2 >> 8) & 0xFF).toByte)
+    val g2 = Multimodal.parseGif(gif(3, 1, s2)).get
+    assert((0 until 3).forall(x => g2.pixel(x, 0) == ((30, 20, 10))))
+    // out-of-range code: corrupt stream -> None
+    val bad = Array(0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.parseGif(gif(2, 2, bad)).isEmpty)
+    // truncation and pixel-count mismatch -> None
+    assert(Multimodal.parseGif(gif(2, 2, s1).dropRight(3)).isEmpty)
+    assert(Multimodal.parseGif(gif(4, 4, s1)).isEmpty) // 4 px for a 16-px frame
+  }
+
   test("WAV PCM sample decode: signed samples, stats, float-format and truncation rejection") {
     def wav(fmt: Int, samples: Seq[Int]): Array[Byte] = {
       val dataLen = samples.length * 2
