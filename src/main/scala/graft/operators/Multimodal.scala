@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   *  - SAMPLE/PIXEL tier (fully real, zero external deps): uncompressed
   *    24-bit BMP ([[parseBmp]], raw BGR array), 8-bit PNG
   *    ([[parsePng]] — real zlib inflate via `java.util.zip`, Adler-32
-  *    verified, all five scanline filters), and 16-bit PCM WAV
+  *    verified, all five scanline filters), GIF ([[parseGif]] — a
+  *    complete LZW decompressor), and 16-bit PCM WAV
   *    ([[parseWavPcm]] — the data chunk IS the samples). [[resizeTo]]
   *    resamples images for real (re-encoding PNG with real Deflater
   *    streams + CRCs), [[imageStats]]/[[audioStats]] aggregate actual
@@ -20,9 +21,9 @@ import org.apache.spark.sql.types._
   *  - HEADER tier (real metadata, no sample/pixel decode): PNG IHDR,
   *    JPEG SOF marker walk, GIF screen descriptor, WAV RIFF chunk walk
   *    (duration), MP4 moov/mvhd box walk (duration) — [[parseHeader]].
-  *  - STUB tier: payloads whose pixel data needs an entropy codec the
-  *    JVM lacks (JPEG, GIF LZW, video codecs) fall back to the
-  *    clearly-marked `fakeDecode`.
+  *  - STUB tier: payloads whose pixel data needs an entropy codec this
+  *    code does not carry (JPEG's Huffman+DCT, video codecs) fall back
+  *    to the clearly-marked `fakeDecode`.
   * Everything around the stub — the schema contract, the per-partition
   * batching, the partition sizing — is the real production plumbing:
   * swap `fakeDecode` for a JNI/codec call and nothing else moves.
