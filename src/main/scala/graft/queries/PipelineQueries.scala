@@ -622,6 +622,44 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- mixed-payload decode census (the full dispatch) -----------
+    "q185_media_census" -> ((s, dir) => {
+      // one frame, five payload classes round-robin by doc_id: BMP
+      // (pixel tier), WAV (sample tier), PNG header-only (header tier:
+      // dims real, no pixels), plain text (stub tier), NULL. The
+      // census counts each class's sniffed mime x pixel-decodability —
+      // the triage report a media-lake ingest runs first
+      val id = col("doc_id")
+      val bmp = "424D" + "3A000000" + "00000000" + "36000000" +
+        "28000000" + "01000000" + "01000000" + "0100" + "1800" +
+        "00000000" + "04000000" + "130B0000" + "130B0000" +
+        "00000000" + "00000000" + "80402000"
+      val wav = "52494646" + "28000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+        "0200" + "1000" + "64617461" + "04000000" + "E803" + "18FC"
+      val pngHdr = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000040" + "00000030" + "0802000000" + "00000000"
+      val payload = when(id % 5 === 0, unhex(lit(bmp)))
+        .when(id % 5 === 1, unhex(lit(wav)))
+        .when(id % 5 === 2, unhex(lit(pngHdr)))
+        .when(id % 5 === 3, lit("plain text, not media").cast("binary"))
+        .otherwise(lit(null).cast("binary"))
+      val media = rd(s, dir, "documents").select(id,
+        payload.as("payload"), lit("application/octet-stream").as("mime"))
+      val dec = Multimodal.withDecodedMeta(media, "payload", "mime")
+      Multimodal.imageStats(Multimodal.audioStats(dec))
+        .groupBy(col("media.mime").as("sniffed_mime"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("media.width").isNotNull, 1L).otherwise(0L))
+            .as("n_with_dims"),
+          sum(when(col("img").isNotNull, 1L).otherwise(0L))
+            .as("n_pixel_decodable"),
+          sum(when(col("audio").isNotNull, 1L).otherwise(0L))
+            .as("n_sample_decodable"))
+        .orderBy("sniffed_mime")
+    }),
+
+
     // ----- GIF pixel decode: real LZW decompression ------------------
     "q184_gif_pixels" -> ((s, dir) => {
       // 2x2 GIFs assembled in-plan: a literal-code LZW stream (CLEAR +
@@ -2037,6 +2075,23 @@ private[graft] object PipelineQueries {
         |       ELSE CAST(1 AS INTEGER) END AS height,
         |  CAST(CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 58 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // the census is fully predictable from the class layout: BMP rows
+    // pixel-decode, WAV rows sample-decode, header-only PNGs have dims
+    // but no pixels, the stub class has (fake) dims, NULL payloads
+    // nothing
+    "q185_media_census" ->
+      """WITH c AS (SELECT doc_id % 5 AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |  WHEN 2 THEN 'image/png' WHEN 3 THEN 'application/octet-stream'
+        |  END AS sniffed_mime,
+        |  n,
+        |  CASE WHEN k IN (0, 2, 3) THEN n ELSE 0 END AS n_with_dims,
+        |  CASE WHEN k = 0 THEN n ELSE 0 END AS n_pixel_decodable,
+        |  CASE WHEN k = 1 THEN n ELSE 0 END AS n_sample_decodable
+        |FROM c ORDER BY sniffed_mime""".stripMargin,
 
 
     // grayscale palette: every channel mean equals the mean pixel
