@@ -377,6 +377,60 @@ object StreamingSync {
       }
   }
 
+  /** Streaming per-key EVENT TRANSITIONS — the incremental form of the
+    * batch transition-matrix derivation (q181): each key's state is
+    * ONLY its last event type (one string), so consecutive-pair mining
+    * over an unbounded stream never materializes event history. Events
+    * inside a batch pair up in (event-time, type) order — the
+    * full-timestamp comparator shared with [[emaPerKey]] — and the
+    * pair spanning a batch boundary comes from the carried state, so
+    * the emitted transition multiset is EXACTLY the batch operator's
+    * regardless of how the stream is cut into micro-batches
+    * (StreamingSpec pins the agreement). Emits one
+    * `(key, from_type, to_type)` row per transition per batch (update
+    * output mode); the |types|²-row matrix aggregation runs downstream
+    * on the emitted pairs. */
+  def transitionsPerKey(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String,
+      idleTimeout: String = ""): Dataset[(Long, String, String)] = {
+    requireIntegralKey(events, keyCol, "transitionsPerKey")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+        st: GroupState[String]): Iterator[(Long, String, String)] = {
+      val xs = it.toSeq.sortWith { (a, b) =>
+        val c = a._2.compareTo(b._2)
+        c < 0 || (c == 0 && a._3 < b._3)
+      }
+      var prev = st.getOption.orNull
+      val out = Seq.newBuilder[(Long, String, String)]
+      xs.foreach { case (_, _, t) =>
+        if (prev != null) out += ((k, prev, t))
+        prev = t
+      }
+      if (prev != null) st.update(prev)
+      out.result().iterator
+    }
+    val grouped = events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k", s"$tsCol AS _t",
+        s"CAST($typeCol AS STRING) AS _y")
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+    grouped.flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+        else GroupStateTimeout.ProcessingTimeTimeout) {
+      (k: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+          st: GroupState[String]) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
+          val r = fold(k, it, st)
+          if (idleTimeout.nonEmpty) st.setTimeoutDuration(idleTimeout)
+          r
+        }
+    }
+  }
+
   /** Streaming per-key ADMISSION QUOTA — ingest rate limiting with an
     * exact, deterministic verdict per event: at most `quota` events per
     * key per `epochSec` event-time window are admitted, in (event-time,

@@ -201,6 +201,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch == last)
   }
 
+  test("streaming transitions agree with the batch pairs across any micro-batch cut") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingSync.transitionsPerKey(
+      in.toDF().toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      "event_type")
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    // batch 1: user 1 out of arrival order (event time must win);
+    // user 2 one event only (no pair yet — state carries it)
+    in.addData((1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "view"))
+    q.processAllAvailable()
+    // batch 2: the cross-batch pairs (1: click->purchase, 2: view->error)
+    // come from carried state
+    in.addData((1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 10:02:00"), "error"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_out")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(streamed == Seq(
+      (1L, "click", "purchase"), (1L, "view", "click"),
+      (2L, "view", "error")))
+    // batch cross-check: lag-window pairs over the union of both batches
+    val all = Seq(
+      (1L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (1L, ts("2024-01-01 10:02:00"), 4L, "purchase"),
+      (2L, ts("2024-01-01 10:02:00"), 5L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = all.withColumn("_prev", lag($"event_type", 1).over(w))
+      .filter($"_prev".isNotNull)
+      .select($"user_id", $"_prev", $"event_type")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(batch == streamed)
+  }
+
   test("custom-state EMA carries the recurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
