@@ -167,7 +167,28 @@ object PlanDump {
         "One hash exchange on the key + per-partition sort; the trailing " +
           "RANGE frame is a sliding-window accumulator, not a per-row rescan, " +
           "and no rangepartitioning (global sort) appears anywhere.",
-        SparkEntry.queries("q89_rolling_window")(spark, sfDir)))
+        SparkEntry.queries("q89_rolling_window")(spark, sfDir)),
+      ("q172_auc — rank-free tie-aware ROC-AUC",
+        "The naive rank() OVER (ORDER BY score) plans Exchange " +
+          "SinglePartition — the corpus through one task. Here scores " +
+          "collapse to per-distinct-value counts first (partial " +
+          "HashAggregate), the midrank prefix sums ride the range-exchange " +
+          "running-totals engine (no Window operator), and only the " +
+          "terminal 1-row aggregate single-partitions.",
+        SparkEntry.queries("q172_auc")(spark, sfDir)),
+      ("q180_hash_embedding — feature-hashed sparse cosine top-k",
+        "The embedding is one explode + ONE partial-aggregated " +
+          "groupBy(id, bucket) — sparse layout, never a dims-wide dense " +
+          "row; the probe vector joins back as a BroadcastHashJoin on the " +
+          "bucket, norms are one more partial aggregation, and top-k is " +
+          "TakeOrderedAndProject — no global sort anywhere.",
+        SparkEntry.queries("q180_hash_embedding")(spark, sfDir)),
+      ("q176_hits — integer HITS half-steps",
+        "Each half-step is ONE equi-join of scores onto the persisted " +
+          "edge frame plus ONE partial-aggregated groupBy — the pageRank " +
+          "shape, but with zero floats: unnormalized scores stay exact " +
+          "DECIMAL integers through every exchange.",
+        SparkEntry.queries("q176_hits")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
