@@ -793,6 +793,31 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- time-decayed popularity leaderboard (exact dyadic decay) --
+    "q186_decayed_topk" -> ((s, dir) => {
+      // recency-weighted activity ranking with a per-day half-life —
+      // and ZERO floats: the decay weight is the integer 2^(20−age)
+      // (ages cap at 20 days), values land on the cents lattice, so
+      // the leaderboard is a DECIMAL-routed integer sum that
+      // reproduces bit-for-bit at any parallelism. exp()-based decay
+      // would drift in the last ulp per libm; dyadic decay cannot
+      val ev = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val mx = ev.agg(max(col("ts").cast("date")).as("_mx"))
+      val weights = array((0 to 20).map(k => lit(1L << (20 - k))): _*)
+      ev.crossJoin(broadcast(mx))
+        .withColumn("_age",
+          least(datediff(col("_mx"), col("ts").cast("date")), lit(20)))
+        .withColumn("_w", element_at(weights, col("_age") + 1))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum((floor(col("value") * 100 + 0.5).cast("long") * col("_w"))
+            .cast("decimal(38,0)")).cast("long").as("decayed_micros"))
+        .orderBy(col("decayed_micros").desc, col("user_id"))
+        .limit(20)
+    }),
+
+
     // ----- per-user event transition matrix (Markov audit) -----------
     "q181_event_transitions" -> ((s, dir) => {
       // what follows what in a user's stream? — consecutive event-type
@@ -2673,6 +2698,23 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // dyadic decay: weight = 1 << (20 - age), values on the cents
+    // lattice, integer sums — no exp(), no float drift
+    "q186_decayed_topk" ->
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |e AS (SELECT user_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |  least(date_diff('day', CAST(ts AS DATE), m), 20) AS age
+        |  FROM events CROSS JOIN mx
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (20 - age))) AS BIGINT)
+        |    AS decayed_micros
+        |FROM e GROUP BY 1
+        |ORDER BY decayed_micros DESC, user_id LIMIT 20""".stripMargin,
 
 
     // per-user lag window with (ts, event_id) total order; integer pair
