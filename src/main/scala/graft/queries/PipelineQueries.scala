@@ -793,6 +793,38 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- rendezvous sharding + rebalance-movement audit ------------
+    "q187_rendezvous_shards" -> ((s, dir) => {
+      // HRW (highest-random-weight) sharding: shard(key, N) =
+      // argmax_s md5(s#key). Growing 8 -> 9 shards moves ONLY keys the
+      // new shard wins (~1/9), where mod-hashing reshuffles ~8/9 — the
+      // audit quantifies both on the same keys. The argmax is a
+      // lexicographic max over (hash, shard) structs: deterministic
+      // even under a hash tie, identical in both engines
+      val keys = rd(s, dir, "customer").select(col("c_custkey").as("k"))
+      val ex = keys
+        .select(col("k"), explode(sequence(lit(0), lit(8))).as("s"))
+        .withColumn("h", Checksums.md5PrefixLong(
+          concat_ws("#", col("s"), col("k"))))
+      def best(df: DataFrame, out: String) = df.groupBy("k")
+        .agg(max(struct(col("h"), col("s"))).getField("s").cast("long").as(out))
+      best(ex.filter(col("s") < 8), "shard8")
+        .join(best(ex, "shard9"), "k")
+        .groupBy("shard8")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("hrw_moved"),
+          sum(when(pmod(col("k"), lit(8)) =!= pmod(col("k"), lit(9)), 1L)
+            .otherwise(0L)).as("mod_moved"))
+        .select(col("shard8"), col("n_keys"), col("hrw_moved"), col("mod_moved"),
+          (floor(col("hrw_moved").cast("double") / col("n_keys").cast("double")
+            * 1000000 + 0.5) / 1000000).as("hrw_moved_pct"),
+          (floor(col("mod_moved").cast("double") / col("n_keys").cast("double")
+            * 1000000 + 0.5) / 1000000).as("mod_moved_pct"))
+        .orderBy("shard8")
+    }),
+
+
     // ----- time-decayed popularity leaderboard (exact dyadic decay) --
     "q186_decayed_topk" -> ((s, dir) => {
       // recency-weighted activity ranking with a per-day half-life —
@@ -2698,6 +2730,32 @@ private[graft] object PipelineQueries {
         |    CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5) / 1000000
         |    AS saved_pct
         |FROM g CROSS JOIN m ORDER BY bucket""".stripMargin,
+
+
+    // same md5 rendezvous weights; argmax as a lexicographic struct
+    // max — deterministic under ties in both engines
+    "q187_rendezvous_shards" ->
+      """WITH ex AS (SELECT c_custkey AS k, s,
+        |  CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#'
+        |    || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM customer, range(0, 9) t(s)),
+        |a8 AS (SELECT k, CAST(max(struct_pack(h := h, s := s)).s AS BIGINT)
+        |  AS shard8 FROM ex WHERE s < 8 GROUP BY 1),
+        |a9 AS (SELECT k, CAST(max(struct_pack(h := h, s := s)).s AS BIGINT)
+        |  AS shard9 FROM ex GROUP BY 1),
+        |j AS (SELECT a8.k, shard8, shard9 FROM a8 JOIN a9 ON a8.k = a9.k),
+        |g AS (SELECT shard8, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hrw_moved,
+        |  CAST(sum(CASE WHEN k % 8 != k % 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mod_moved
+        |  FROM j GROUP BY 1)
+        |SELECT shard8, n_keys, hrw_moved, mod_moved,
+        |  floor(CAST(hrw_moved AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS hrw_moved_pct,
+        |  floor(CAST(mod_moved AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS mod_moved_pct
+        |FROM g ORDER BY shard8""".stripMargin,
 
 
     // dyadic decay: weight = 1 << (20 - age), values on the cents
