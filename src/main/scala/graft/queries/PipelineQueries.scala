@@ -967,6 +967,30 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- time-travel: state as-of T from the SCD2 history ----------
+    "q188_time_travel" -> ((s, dir) => {
+      // reconstruct every user's state at the corpus midpoint T from
+      // q143's validity ranges (valid_from <= T < valid_to). The
+      // oracle derives the same answer through the INDEPENDENT path —
+      // latest change row at or before T over the raw events — so the
+      // gate proves range reconstruction == replay, not just that two
+      // copies of one formula agree
+      val ev = rd(s, dir, "events")
+      val sec = col("ts").cast("long")
+      val bounds = ev.filter(col("event_type").isNotNull)
+        .agg(expr("(min(CAST(ts AS LONG)) + max(CAST(ts AS LONG))) div 2")
+          .as("t"))
+      graft.operators.Sequence.scd2(ev, "user_id", "event_type", "ts",
+        "event_id")
+        .crossJoin(broadcast(bounds))
+        .filter(col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("valid_to") > col("t")))
+        .select(col("key").as("user_id"), col("state").as("state_at_t"),
+          col("valid_from"))
+        .orderBy("user_id")
+    }),
+
+
     // ----- incremental connected components (delta clustering) ------
     "q142_incremental_components" -> ((s, dir) => {
       // yesterday's assignment (CC over base-corpus pairs) + today's
@@ -2393,6 +2417,27 @@ private[graft] object PipelineQueries {
         |  lead(sec) OVER (PARTITION BY user_id
         |    ORDER BY sec, event_id) IS NULL AS is_current
         |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // INDEPENDENT derivation: latest change row at or before T over the
+    // raw events — no ranges anywhere, so equality proves the range
+    // reconstruction against a replay
+    "q188_time_travel" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IS NOT NULL),
+        |b AS (SELECT (min(sec) + max(sec)) // 2 AS t FROM e),
+        |c AS (SELECT user_id, event_type, event_id, sec,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_type, event_id, sec FROM c
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |pick AS (SELECT ch.user_id,
+        |  max(struct_pack(sec := ch.sec, eid := ch.event_id,
+        |                  st := ch.event_type)) AS m
+        |  FROM ch CROSS JOIN b WHERE ch.sec <= b.t GROUP BY 1)
+        |SELECT user_id, m.st AS state_at_t, m.sec AS valid_from
+        |FROM pick ORDER BY user_id""".stripMargin,
+
 
     // identical to q56's oracle: the full recursive-CTE rebuild over the
     // union pair set — the incremental path must reproduce it exactly
