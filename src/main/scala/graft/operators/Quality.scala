@@ -149,6 +149,59 @@ object Quality {
           * 1000000 + 0.5) / 1000000).as("tvd")): _*)
   }
 
+  /** Benford's-law expected first-digit shares, log10(1 + 1/d) for
+    * d = 1..9, as the EXACT double literals both engines parse to the
+    * same IEEE values — hardcoded so no libm log10 call sits on an
+    * oracle path. */
+  val BenfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Benford first-significant-digit audit — the classic fabricated-
+    * numbers / unit-mix / truncation detector for numeric columns:
+    * observed share of each leading digit 1-9 against the Benford
+    * expectation, with a per-digit chi-square term
+    * `(n_d − N·p_d)² / (N·p_d)`. Values below 1 (and NULLs) are
+    * excluded — the law speaks to positive magnitudes; the leading
+    * digit comes from the integer part's decimal string, so no log10
+    * touches data. ONE partial-aggregated pass collapses the column to
+    * ≤ 9 digit-count rows before anything else runs; every reported
+    * ratio is lattice-snapped (1e-6) so the audit reproduces
+    * bit-for-bit in any engine. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"),
+      1, 1).cast("int")
+    val counts = df.filter(col(valueCol) >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordShares.map { case (d, p) =>
+      struct(lit(d).as("digit"), lit(p).as("p")) }
+    val exp = counts.sparkSession.range(1)
+      .select(explode(array(expected: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.p").as("expected_share"))
+    val total = counts.agg(sum(col("n")).as("_tot"))
+    def snap(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+    // left join from the expectation frame: a digit the data never
+    // produces still contributes its full N·p_d term — absence is
+    // evidence too
+    exp.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(Seq(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        snap(coalesce(col("n"), lit(0L)).cast("double") /
+          col("_tot").cast("double")).as("share"),
+        col("expected_share"),
+        snap((coalesce(col("n"), lit(0L)).cast("double") -
+            col("_tot").cast("double") * col("expected_share")) *
+          (coalesce(col("n"), lit(0L)).cast("double") -
+            col("_tot").cast("double") * col("expected_share")) /
+          (col("_tot").cast("double") * col("expected_share")))
+          .as("chi2_term")): _*)
+  }
+
   /** Referential-integrity expectation: rows of `child` whose `keyCol`
     * has no match in `parent` (NULL keys are orphans too — a NULL FK
     * cannot reference anything). One left-anti join, partial-aggregated

@@ -114,6 +114,54 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Importance resampling to a TARGET bin distribution: the maximal
+    * deterministic subset whose bin shares track integer target
+    * weights — "reshape this year's crawl to last year's length/source
+    * mix" without an RNG. The binding bin b* minimizes n_b / t_b and
+    * keeps everything; every other bin thins at rate
+    * (n_b*·t_b) / (t_b*·n_b) via the usual md5-cutoff draw. Cutoffs
+    * are EXACT: `min_c floor(2^32·n_c·t_b / (t_c·n_b))` over DECIMAL
+    * integer cross-products (floor distributes over min; no double
+    * ever touches the decision), so any engine reproduces the member
+    * set bit-for-bit. Scale shape: one partial-aggregated bin-count
+    * pass, a |bins|² cutoff frame, one broadcast join + scan-speed
+    * filter — the data shuffles ZERO times. Bins not in `targets`
+    * drop; a target bin the data lacks makes the match infeasible and
+    * empties the result (K = 0) — the honest reading, not a silent
+    * re-normalization. */
+  def importanceResample(df: DataFrame, binCol: Column, keyCols: Seq[String],
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(keyCols.nonEmpty, "importance resample needs key columns")
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "need positive integer target weights")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate target bins in ${targets.map(_._1).mkString(", ")}")
+    val tgt = df.sparkSession.range(1)
+      .select(explode(array(targets.map { case (b, w) =>
+        struct(lit(b).as("_bin"), lit(w).as("_t")) }: _*)).as("e"))
+      .select(col("e._bin").as("_bin"), col("e._t").as("_t"))
+    val tagged = df.withColumn("_bin", binCol)
+    // right join keeps data-absent target bins as n=0 rows — they must
+    // drive K to 0, not vanish from the min
+    val counts = tagged.groupBy("_bin").agg(count(lit(1)).as("_nraw"))
+      .join(broadcast(tgt), Seq("_bin"), "right")
+      .select(col("_bin"), coalesce(col("_nraw"), lit(0L)).as("_n"), col("_t"))
+    val cutoffs = counts.as("b")
+      .crossJoin(counts.select(col("_n").as("_nc"), col("_t").as("_tc")).as("c"))
+      // n=0 guard: an empty bin's own-cutoff row would divide by zero
+      // (ANSI errors); its cutoff is irrelevant (no rows to filter) but
+      // the row must not poison the plan — emit 0 directly
+      .select(col("_bin"), when(col("b._n") === 0, lit(0L)).otherwise(expr(
+        """CAST((CAST(4294967296 AS DECIMAL(18,0)) * CAST(_nc AS DECIMAL(18,0))
+          |  * CAST(_t AS DECIMAL(18,0))) div
+          | (CAST(_tc AS DECIMAL(18,0)) * CAST(_n AS DECIMAL(18,0)))
+          | AS BIGINT)""".stripMargin)).as("_cut"))
+      .groupBy("_bin").agg(min(col("_cut")).as("_cut"))
+    tagged.join(broadcast(cutoffs), Seq("_bin"))
+      .filter(uniformLong(keyCols.map(col)) < col("_cut"))
+      .drop("_bin", "_cut")
+  }
+
   /** Leakage-safe dataset split: assignment at the near-dup COMPONENT
     * level, so a document and all its near-copies land in the same
     * split by construction — the doc-level [[splitAssign]]'s silent

@@ -42,6 +42,29 @@ object Sketches {
       .agg(array_sort(collect_list(struct(col("_p"), col("_r")))).as("_o"))
       .select(transform(col("_o"), s => s.getField("_r")).as(regsCol))
 
+  /** Trailing-window sketch rollup — the "pre-aggregate per period,
+    * answer any window" pattern: for each target key (integer `keyCol`
+    * rows of `targets`, e.g. full-coverage days), merge the register
+    * arrays of every sketch row whose key lies in
+    * `(target − window, target]`. Everything here is sketch-frame
+    * sized — |sketches|·256 exploded register rows range-joined against
+    * a broadcast target list — so a year of daily sketches answers
+    * every trailing-7-day distinct question without ever rescanning
+    * raw data; absent periods simply contribute nothing (registers of
+    * a missing day are all-zero by definition). */
+  def hllTrailingMerge(sketches: DataFrame, targets: DataFrame,
+      keyCol: String, regsCol: String, window: Int): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    val src = sketches.select(col(keyCol).as("_sk"),
+      posexplode(col(regsCol)).as(Seq("_p", "_r")))
+    src.join(broadcast(targets.select(col(keyCol))),
+        col("_sk") > col(keyCol) - window && col("_sk") <= col(keyCol))
+      .groupBy(col(keyCol), col("_p")).agg(max(col("_r")).as("_r"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_r")))).as("_o"))
+      .select(col(keyCol), transform(col("_o"), s => s.getField("_r")).as(regsCol))
+  }
+
   /** Cardinality estimate from a register array, as a LONG.
     *
     * The float math is arranged so both engines compute IDENTICAL

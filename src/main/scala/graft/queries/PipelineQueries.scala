@@ -1334,6 +1334,45 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- Benford first-digit audit (fabricated-numbers detector) ---
+    "q190_benford" -> ((s, dir) => {
+      // do order totals lead with the digits a natural multiplicative
+      // process produces? — first-significant-digit shares vs the
+      // hardcoded log10(1+1/d) expectations with per-digit chi-square
+      // terms, everything lattice-snapped. One partial-aggregated pass
+      // to 9 rows; the audit that catches unit mix-ups (cents vs
+      // dollars), truncation bugs, and synthetic fills in ingested
+      // numeric feeds
+      graft.operators.Quality.benfordAudit(rd(s, dir, "orders"),
+        "o_totalprice")
+        .orderBy("digit")
+    }),
+
+
+    // ----- importance resampling to a target distribution ------------
+    "q191_importance_resample" -> ((s, dir) => {
+      // reshape the corpus to a 20/30/50 short/mid/long length mix —
+      // the binding bin (long: scarcest relative to its target) keeps
+      // everything, the others thin by exact integer md5 cutoffs; the
+      // report shows original counts vs kept counts vs achieved shares
+      // (which track 0.2/0.3/0.5 up to thinning granularity)
+      val docs = rd(s, dir, "documents")
+      def bin = when(col("n_chars") < 200, lit("short"))
+        .when(col("n_chars") < 400, lit("mid")).otherwise(lit("long"))
+      val kept = graft.operators.Sampling.importanceResample(
+        docs, bin, Seq("doc_id"),
+        Seq("short" -> 20L, "mid" -> 30L, "long" -> 50L))
+      val orig = docs.groupBy(bin.as("bin")).agg(count(lit(1)).as("n_orig"))
+      val k = kept.groupBy(bin.as("bin")).agg(count(lit(1)).as("n_kept"))
+      val tot = k.agg(sum(col("n_kept")).as("_kt"))
+      orig.join(k, "bin").crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_orig"), col("n_kept"),
+          r(col("n_kept").cast("double") / col("_kt").cast("double"), 6)
+            .as("kept_share"))
+        .orderBy("bin")
+    }),
+
+
     // ----- temperature-smoothed (alpha=0.5) mixture allocation -------
     "q178_temperature_mix" -> ((s, dir) => {
       // the multilingual upsample-the-tail rule over a deliberately
@@ -2924,6 +2963,63 @@ private[graft] object PipelineQueries {
         |  FROM per)
         |SELECT qi AS c_nationkey, ng AS n_g, tvd, tvd > 0.13 AS above_t
         |FROM t ORDER BY c_nationkey""".stripMargin,
+
+
+    // cutoff_b = min_c floor(2^32·n_c·t_b/(t_c·n_b)) in HUGEINT — the
+    // same exact integer cross-products the engine routes through
+    // DECIMAL(38,0); membership is the first-8-hex md5 draw
+    "q191_importance_resample" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN n_chars < 200 THEN 'short'
+        |    WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS bin
+        |  FROM documents),
+        |t AS (SELECT * FROM (VALUES ('short', 20), ('mid', 30), ('long', 50))
+        |  v(bin, w)),
+        |c AS (SELECT t.bin, t.w, count(d.doc_id) AS n
+        |  FROM t LEFT JOIN d USING (bin) GROUP BY 1, 2),
+        |cut AS (SELECT b.bin, min(CASE WHEN b.n = 0 THEN 0 ELSE
+        |    (CAST(4294967296 AS HUGEINT) * c2.n * b.w) // (c2.w * b.n) END)
+        |    AS cutv
+        |  FROM c b CROSS JOIN c c2 GROUP BY 1),
+        |kept AS (SELECT d.bin, count(*) AS n_kept
+        |  FROM d JOIN cut USING (bin)
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) < cutv
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS kt FROM kept)
+        |SELECT c.bin, CAST(c.n AS BIGINT) AS n_orig,
+        |  CAST(kept.n_kept AS BIGINT) AS n_kept,
+        |  floor(CAST(kept.n_kept AS DOUBLE) / CAST(kt AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS kept_share
+        |FROM c JOIN kept USING (bin) CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+
+    // Benford terms: expectation frame left-joins observed counts so a
+    // never-produced digit still contributes its full N·p term; the
+    // nine log10(1+1/d) literals are the same doubles Scala hardcodes
+    "q190_benford" ->
+      """WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+        |exp_ AS (SELECT * FROM (VALUES
+        |  (1, CAST(0.3010299956639812 AS DOUBLE)),
+        |  (2, CAST(0.17609125905568124 AS DOUBLE)),
+        |  (3, CAST(0.12493873660829992 AS DOUBLE)),
+        |  (4, CAST(0.09691001300805642 AS DOUBLE)),
+        |  (5, CAST(0.07918124604762482 AS DOUBLE)),
+        |  (6, CAST(0.06694678963061322 AS DOUBLE)),
+        |  (7, CAST(0.05799194697768673 AS DOUBLE)),
+        |  (8, CAST(0.05115252244738129 AS DOUBLE)),
+        |  (9, CAST(0.04575749056067514 AS DOUBLE))) v(digit, p))
+        |SELECT e.digit, CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+        |  floor(CAST(coalesce(obs.n, 0) AS DOUBLE) / CAST(t AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS share,
+        |  e.p AS expected_share,
+        |  floor((CAST(coalesce(obs.n, 0) AS DOUBLE) - CAST(t AS DOUBLE) * e.p)
+        |    * (CAST(coalesce(obs.n, 0) AS DOUBLE) - CAST(t AS DOUBLE) * e.p)
+        |    / (CAST(t AS DOUBLE) * e.p) * 1000000 + 0.5) / 1000000 AS chi2_term
+        |FROM exp_ e LEFT JOIN obs ON obs.digit = e.digit CROSS JOIN tot
+        |ORDER BY e.digit""".stripMargin,
 
 
     "q157_label_vote" ->

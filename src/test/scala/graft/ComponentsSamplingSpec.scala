@@ -656,4 +656,33 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(graft.operators.Sequence.sessionize(edge, "user_id", "ts",
       "event_id", gapSec = 1800L).count() == 1)
   }
+
+  test("importanceResample: binding bin keeps all, others thin at the exact md5 cutoff") {
+    import spark.implicits._
+    // a: 100 rows, b: 50 rows, equal targets -> b binds (50/1 < 100/1);
+    // a thins at cutoff floor(2^32 * 50 / 100) = 2^31; z is not a target
+    val df = ((1 to 100).map(i => ("a", i)) ++ (101 to 150).map(i => ("b", i))
+      ++ (151 to 160).map(i => ("z", i))).toDF("bin", "id")
+    val kept = Sampling.importanceResample(df, col("bin"), Seq("id"),
+      Seq("a" -> 1L, "b" -> 1L))
+    val counts = kept.groupBy("bin").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("b", 0L) == 50L, "binding bin must keep everything")
+    assert(!counts.contains("z"), "non-target bins must drop")
+    val gotA = kept.filter(col("bin") === "a").select("id").as[Int].collect().toSet
+    val expectA = df.filter(col("bin") === "a")
+      .filter(Sampling.uniformLong(Seq(col("id"))) < 2147483648L)
+      .select("id").as[Int].collect().toSet
+    assert(gotA == expectA, "kept set must be exactly the md5-cutoff subset")
+    // a target bin the data lacks makes the match infeasible -> empty
+    assert(Sampling.importanceResample(df, col("bin"), Seq("id"),
+      Seq("a" -> 1L, "missing" -> 1L)).count() == 0L)
+    // degenerate targets rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.importanceResample(df, col("bin"), Seq("id"),
+        Seq("a" -> 1L, "a" -> 2L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.importanceResample(df, col("bin"), Seq("id"), Seq("a" -> 0L))
+    }
+  }
 }

@@ -38,6 +38,25 @@ class SketchesSpec extends SparkSpec {
       s"estimate $est vs exact $exact")
   }
 
+  test("HLL trailing merge: each window's rollup == direct sketch of the window's raw data") {
+    // keys 10..14, with key 12 ABSENT — the gap must contribute nothing
+    val rows = Seq(10 -> "a", 10 -> "b", 11 -> "c", 13 -> "d", 13 -> "a",
+      14 -> "e", 14 -> "f").toDF("k", "v")
+    val per = rows.groupBy("k").agg(Sketches.hllRegisters($"v").as("regs"))
+    val targets = Seq(12, 13, 14).toDF("k")
+    val merged = Sketches.hllTrailingMerge(per, targets, "k", "regs", 3)
+      .select($"k", col("regs").cast("array<int>"))
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(merged.keySet == Set(12, 13, 14))
+    for (t <- Seq(12, 13, 14)) {
+      val direct = rows.filter($"k" > t - 3 && $"k" <= t)
+        .agg(Sketches.hllRegisters($"v").as("regs"))
+        .select(col("regs").cast("array<int>")).as[Seq[Int]].head()
+      assert(merged(t) == direct,
+        s"window ending $t: rollup registers must equal the direct sketch")
+    }
+  }
+
   test("CMS: merged per-group sketches == direct global sketch, cell-exact; never underestimates") {
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"source".as("g"), explode(split(lower($"text"), "\\s+")).as("tok"))

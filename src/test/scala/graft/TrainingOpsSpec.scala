@@ -1637,5 +1637,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(61L), s"flags were $out")
     assert(out.head._2.exists(_ > 3.0))
   }
+
+  test("benfordAudit: hand-checked counts; sub-1/NULL excluded; absent digits still score") {
+    // digits: 1.5 -> 1, 25.0 -> 2, 299.9 -> 2; 0.5 and NULL are excluded
+    val df = Seq(Some(1.5), Some(25.0), Some(299.9), Some(0.5), None).toDF("v")
+    val out = graft.operators.Quality.benfordAudit(df, "v").orderBy("digit")
+      .select($"digit", $"n", $"share", $"chi2_term")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 9))
+    assert(out.map(_._2) == Seq(1L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(out.head._3 == math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    // digit 2 is over-represented: term (2 - 3p)^2 / (3p) on the lattice
+    val p2 = 0.17609125905568124
+    assert(out(1)._4 ==
+      math.floor((2.0 - 3.0 * p2) * (2.0 - 3.0 * p2) / (3.0 * p2) * 1e6 + 0.5) / 1e6)
+    // absent digit 9 still contributes its full N*p term
+    val p9 = 0.04575749056067514
+    assert(out(8)._4 ==
+      math.floor((0.0 - 3.0 * p9) * (0.0 - 3.0 * p9) / (3.0 * p9) * 1e6 + 0.5) / 1e6)
+    // expectations cover the full Benford support and sum to ~1
+    assert(math.abs(graft.operators.Quality.BenfordShares.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
 
