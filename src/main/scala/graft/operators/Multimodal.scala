@@ -177,7 +177,64 @@ object Multimodal {
         }
       } yield Long.box(d)).orNull
       Some(Row("video/mp4", null, null, null, dur, p.length.toLong))
+    } else if ((p.length >= 3 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
+        (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xE0) == 0xE0)) {
+      // MPEG audio (MP3): ID3v2-aware frame-header walk — the audio
+      // sibling of the mvhd box walk. A CBR stream's duration is pure
+      // header arithmetic (frames × 1152 samples / rate); no frame is
+      // ever decoded. An incomplete or malformed frame refuses the
+      // whole stream (NULL count/duration — the WAV junk-chunk honesty
+      // contract); bytes after the last complete frame that do NOT
+      // start with a sync word are trailing junk (ID3v1 "TAG" blocks)
+      // and are ignored.
+      parseMp3(p) match {
+        case Some((rate, frames)) =>
+          Some(Row("audio/mpeg", null, null, Int.box(frames),
+            Long.box(frames.toLong * 1152L * 1000L / rate), p.length.toLong))
+        case None =>
+          Some(Row("audio/mpeg", null, null, null, null, p.length.toLong))
+      }
     } else None
+  }
+
+  private val Mp3Bitrates = // MPEG-1 Layer III kbps by index; 0 = invalid
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0) // MPEG-1 by index
+
+  /** MPEG-1 Layer III frame walk: skip an ID3v2 tag (syncsafe size),
+    * then hop frame to frame by the header-derived length
+    * `144000·kbps/rate + padding`. Returns (sampleRate, frameCount)
+    * for a clean CBR walk; None when the stream has no complete frame,
+    * a reserved bitrate/rate index, a mid-stream rate change, a
+    * non-MPEG-1-Layer-III frame, or a final frame whose declared
+    * length overruns the payload. Non-sync trailing bytes end the walk
+    * leniently (real files carry ID3v1 trailers). */
+  private[graft] def parseMp3(p: Array[Byte]): Option[(Int, Int)] = {
+    var i = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val size = ((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+        ((p(8) & 0x7F) << 7) | (p(9) & 0x7F)
+      i = 10 + size
+    }
+    var frames = 0
+    var rate = 0
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xFF) != 0xFF || (p(i + 1) & 0xE0) != 0xE0)
+        return if (frames > 0) Some((rate, frames)) else None
+      val version = (p(i + 1) >> 3) & 3
+      val layer = (p(i + 1) >> 1) & 3
+      val br = Mp3Bitrates((p(i + 2) >> 4) & 0xF)
+      val sr = Mp3Rates((p(i + 2) >> 2) & 3)
+      val pad = (p(i + 2) >> 1) & 1
+      if (version != 3 || layer != 1 || br == 0 || sr == 0) return None
+      if (rate == 0) rate = sr
+      else if (rate != sr) return None
+      val flen = 144000 * br / sr + pad
+      if (i + flen > p.length) return None
+      frames += 1
+      i += flen
+    }
+    if (frames > 0) Some((rate, frames)) else None
   }
 
   /** Scan `[from, until)` for the first ISO-BMFF box with 4CC `tag`;

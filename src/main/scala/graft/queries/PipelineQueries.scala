@@ -185,6 +185,52 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- MP3 frame-walk duration decode (audio metadata, no codec) --
+    "q192_mp3_duration" -> ((s, dir) => {
+      // CBR MPEG-1 Layer III streams assembled in-plan from doc_id
+      // arithmetic (bitrate/samplerate/padding cycle through the real
+      // header tables), walked frame-by-frame by Multimodal.parseMp3 —
+      // the oracle predicts frame count, duration, and byte length
+      // from the same arithmetic without ever seeing a byte. Four
+      // shapes: plain CBR, ID3v2-prefixed (tag must be skipped by its
+      // syncsafe size), a reserved bitrate index (doc_id % 7 == 1:
+      // recognized stream, NULL duration), and a truncated final frame
+      // (doc_id % 7 == 5: same honesty contract as the WAV junk chunk)
+      val d = rd(s, dir, "documents").select(col("doc_id"))
+        .withColumn("n", (col("doc_id") % 4 + 2).cast("int"))
+        .withColumn("br", element_at(
+          array(lit(128), lit(160), lit(192), lit(224)),
+          (col("doc_id") % 4 + 1).cast("int")))
+        .withColumn("sr", element_at(
+          array(lit(44100), lit(48000), lit(32000)),
+          (col("doc_id") % 3 + 1).cast("int")))
+        .withColumn("pad", (col("doc_id") % 2).cast("int"))
+        .withColumn("flen", expr("CAST((144000 * br) div sr AS INT) + pad"))
+        // header: FF FB (MPEG-1 Layer III), then bitrate/rate/padding
+        .withColumn("b2", lpad(hex((col("doc_id") % 4 + 9) * 16 +
+          (col("doc_id") % 3) * 4 + col("pad") * 2), 2, "0"))
+        .withColumn("fh", concat(lit("FFFB"), col("b2"), lit("00"),
+          expr("repeat('00', flen - 4)")))
+        .withColumn("hexstr",
+          when(col("doc_id") % 7 === 1,
+            concat(lit("FFFBF400"), expr("repeat('00', 50)")))
+          .when(col("doc_id") % 7 === 5,
+            expr("substring(repeat(fh, n), 1, (flen * n - 10) * 2)"))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit("494433040000" + "00000014"),
+              expr("repeat('00', 20)"), expr("repeat(fh, n)")))
+          .otherwise(expr("repeat(fh, n)")))
+      val media = d.select(col("doc_id"), unhex(col("hexstr")).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.n_frames").as("n_frames"),
+          col("media.duration_ms").as("duration_ms"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- contiguous global sequence ids (curriculum ordering) ------
     "q122_global_sequence" -> ((s, dir) => {
       // number the corpus 0..N-1 by (n_chars desc, doc_id) with NO
@@ -1816,6 +1862,29 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame length = 144000·kbps // rate + padding; duration =
+    // frames·1152·1000 // rate — the oracle never sees a byte
+    "q192_mp3_duration" ->
+      """WITH d AS (SELECT doc_id,
+        |  doc_id % 4 + 2 AS n,
+        |  CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 160
+        |    WHEN 2 THEN 192 ELSE 224 END AS br,
+        |  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS sr,
+        |  doc_id % 2 AS pad
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, sr, (144000 * br) // sr + pad AS flen FROM d)
+        |SELECT doc_id, 'audio/mpeg' AS detected_mime,
+        |  CASE WHEN doc_id % 7 IN (1, 5) THEN NULL
+        |       ELSE CAST(n AS INTEGER) END AS n_frames,
+        |  CASE WHEN doc_id % 7 IN (1, 5) THEN NULL
+        |       ELSE CAST((n * 1152000) // sr AS BIGINT) END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 7 = 1 THEN 54
+        |       WHEN doc_id % 7 = 5 THEN flen * n - 10
+        |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
+        |       ELSE flen * n END AS BIGINT) AS byte_len
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q122_global_sequence" ->
       """SELECT doc_id, n_chars,

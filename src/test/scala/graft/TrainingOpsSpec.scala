@@ -1638,6 +1638,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.head._2.exists(_ > 3.0))
   }
 
+  test("parseMp3: CBR walk, ID3 skip, lenient trailing junk, strict truncation/reserved") {
+    def frame(bi: Int, ri: Int, pad: Int): Array[Byte] = {
+      val flen = 144000 *
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)(bi) /
+        Array(44100, 48000, 32000)(ri) + pad
+      val f = new Array[Byte](flen)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte
+      f(2) = ((bi << 4) | (ri << 2) | (pad << 1)).toByte
+      f
+    }
+    val two = frame(9, 0, 0) ++ frame(9, 0, 0) // 128 kbps @ 44100, flen 417
+    assert(Multimodal.parseMp3(two) == Some((44100, 2)))
+    // ID3v2 prefix skipped by its syncsafe size (10-byte header + 20 bytes)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++ two
+    assert(Multimodal.parseMp3(id3) == Some((44100, 2)))
+    // ID3v1-style trailing junk after complete frames is ignored
+    assert(Multimodal.parseMp3(two ++ "TAGx".getBytes("UTF-8")) == Some((44100, 2)))
+    // a truncated final frame refuses the whole stream
+    assert(Multimodal.parseMp3(two.dropRight(5)).isEmpty)
+    // reserved bitrate index refuses
+    val reserved = frame(9, 0, 0); reserved(2) = 0xF0.toByte
+    assert(Multimodal.parseMp3(reserved).isEmpty)
+    // mid-stream sample-rate change refuses
+    assert(Multimodal.parseMp3(frame(9, 0, 0) ++ frame(9, 1, 0)).isEmpty)
+    // padding bit lengthens the frame by exactly one byte
+    assert(Multimodal.parseMp3(frame(12, 2, 1)) == Some((32000, 1)))
+    // and the duration surfaces through parseHeader
+    val row = Multimodal.parseHeader(two).get
+    assert(row.getString(0) == "audio/mpeg")
+    assert(row.getInt(3) == 2 && row.getLong(4) == 2L * 1152L * 1000L / 44100L)
+  }
+
   test("benfordAudit: hand-checked counts; sub-1/NULL excluded; absent digits still score") {
     // digits: 1.5 -> 1, 25.0 -> 2, 299.9 -> 2; 0.5 and NULL are excluded
     val df = Seq(Some(1.5), Some(25.0), Some(299.9), Some(0.5), None).toDF("v")
