@@ -530,4 +530,84 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side ANN scale path: each
+  // vector compresses to m small codes (m bytes at k<=256), and probe
+  // scoring becomes m table lookups instead of a dim-wide loop. At 100 TB
+  // the corpus's PQ codes fit in a fraction of the raw footprint, and the
+  // probe never touches a float of corpus data — the complement to the
+  // IVF path's IO pruning (IVF-PQ composes the two: prune cells, then
+  // ADC-score codes).
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 distance between two float arrays (index-order left
+    * fold, double accumulation — the [[dot]] parity discipline). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic PQ codebooks: the `k` smallest-id vectors' subspace
+    * slices — m codebooks of k centroids × (dim/m) dims. Deterministic
+    * seeds keep the codec oracle-checkable (the [[ivfCentroids]]
+    * rationale); production refines each subspace's codebook with
+    * [[kmeansRefine]] over the sliced column and nothing downstream
+    * changes. */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && k > 0, s"need m>0, k>0; got m=$m k=$k")
+    val seeds = embeddings.orderBy(col(idCol)).limit(k).select(vecCol)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val s = dim / m
+    (0 until m).map(j => seeds.map(v => v.slice(j * s, j * s + s)))
+  }
+
+  /** Encode every vector to its m nearest-centroid codes (`_code0` ..):
+    * per subspace an argmin-L2 over the codebook — m·k fused loops per
+    * row, NO shuffle, ties to the smaller code (struct min is
+    * lexicographic on (dist, code)). The encoded frame is the artifact
+    * to persist: m ints per vector replace dim floats. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    codebooks.zipWithIndex.foldLeft(df) { case (acc, (cb, j)) =>
+      val s = cb.head.length
+      val sub = slice(col(vecCol), j * s + 1, s)
+      val scored = cb.zipWithIndex.map { case (c, ci) =>
+        struct(l2sq(sub, lit(c.toArray)).as("d"), lit(ci).as("c")) }
+      acc.withColumn(s"_code$j",
+        (if (scored.size == 1) scored.head else least(scored: _*))
+          .getField("c"))
+    }
+
+  /** ADC (asymmetric distance computation) top-k: the probe's m×k
+    * distance table is computed driver-side (tiny), then every encoded
+    * row's approximate distance is m literal-array lookups summed left
+    * to right — no corpus float is ever read. Returns (idCol, adc)
+    * ascending. The index-order double arithmetic mirrors [[l2sq]], so
+    * an external engine reproduces every distance bit-for-bit. */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, probe: Seq[Float],
+      codebooks: Seq[Seq[Seq[Float]]], k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val tables = codebooks.zipWithIndex.map { case (cb, j) =>
+      val s = cb.head.length
+      cb.map { c =>
+        var acc = 0.0; var d = 0
+        while (d < s) {
+          val diff = probe(j * s + d).toDouble - c(d).toDouble
+          acc += diff * diff; d += 1
+        }
+        acc
+      }.toArray
+    }
+    val adc = tables.zipWithIndex.map { case (t, j) =>
+      element_at(lit(t), col(s"_code$j") + 1) }.reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

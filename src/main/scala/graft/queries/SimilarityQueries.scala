@@ -32,6 +32,34 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- product-quantization ADC ANN (memory-side scale path) -----
+    "q193_pq_ann" -> ((s, dir) => {
+      // every vector compresses to 8 codes (argmin-L2 per 8-dim
+      // subspace over 16 deterministic centroids); the probe never
+      // reads a corpus float — its 8×16 distance table is computed
+      // driver-side and approximate distances are 8 literal lookups
+      // per row. The exact-L2 top-10 rides along as the recall flag;
+      // at 100 TB the codes are ~1/32 of the raw footprint and this
+      // composes with the IVF cell pruning (q49) into IVF-PQ
+      val emb = rd(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      val probe = emb.orderBy(col("vec_id").desc).limit(1)
+        .select("embedding").collect()(0).getSeq[Float](0).toSeq
+      val approx = Similarity.pqAdcTopK(
+        Similarity.pqEncode(emb, "embedding", cbs),
+        "vec_id", probe, cbs, k = 10)
+      val exact = emb.select(col("vec_id"),
+          Similarity.l2sq(col("embedding"), lit(probe.toArray)).as("_d"))
+        .orderBy(col("_d").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact_topk"))
+      approx.join(exact, Seq("vec_id"), "left")
+        .select(col("vec_id"), r(col("adc"), 6).as("adc"),
+          coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+        .orderBy("adc", "vec_id")
+    }),
+
+
     // ----- embedding near-dup via hyperplane LSH (rows-only) ---------
     "q29_embed_neardup" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -318,6 +346,49 @@ private[graft] object SimilarityQueries {
         |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS cos
         |FROM c ORDER BY c.cos DESC, vec_id LIMIT 20""".stripMargin,
 
+
+    // full PQ rebuild: codebooks from the 16 smallest ids, per-(vector,
+    // subspace) argmin assignment, probe table, ordered-by-j ADC sum —
+    // every double the same index-order fold the engine computes
+    "q193_pq_ann" ->
+      """WITH p AS (SELECT embedding AS pv FROM embeddings
+        |  ORDER BY vec_id DESC LIMIT 1),
+        |seeds AS (SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |cb AS (SELECT j,
+        |  row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS ci,
+        |  embedding[j*8+1 : j*8+8] AS c
+        |  FROM seeds CROSS JOIN js),
+        |sub AS (SELECT e.vec_id, js.j, e.embedding[js.j*8+1 : js.j*8+8] AS sv
+        |  FROM embeddings e CROSS JOIN js),
+        |dist AS (SELECT sub.vec_id, sub.j, cb.ci,
+        |  list_sum([(CAST(sub.sv[d] AS DOUBLE) - CAST(cb.c[d] AS DOUBLE))
+        |          * (CAST(sub.sv[d] AS DOUBLE) - CAST(cb.c[d] AS DOUBLE))
+        |          FOR d IN range(1, 9)]) AS dd
+        |  FROM sub JOIN cb ON cb.j = sub.j),
+        |code AS (SELECT vec_id, j, ci FROM (
+        |  SELECT vec_id, j, ci,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, ci) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |pt AS (SELECT cb.j, cb.ci,
+        |  list_sum([(CAST(p.pv[cb.j*8+d] AS DOUBLE) - CAST(cb.c[d] AS DOUBLE))
+        |          * (CAST(p.pv[cb.j*8+d] AS DOUBLE) - CAST(cb.c[d] AS DOUBLE))
+        |          FOR d IN range(1, 9)]) AS dd
+        |  FROM cb CROSS JOIN p),
+        |adc AS (SELECT code.vec_id, list_sum(list(pt.dd ORDER BY pt.j)) AS adc
+        |  FROM code JOIN pt ON pt.j = code.j AND pt.ci = code.ci GROUP BY 1),
+        |top AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 10),
+        |ex AS (SELECT e.vec_id,
+        |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(p.pv[i] AS DOUBLE))
+        |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(p.pv[i] AS DOUBLE))
+        |          FOR i IN range(1, len(e.embedding) + 1)]) AS d
+        |  FROM embeddings e CROSS JOIN p),
+        |ext AS (SELECT vec_id FROM ex ORDER BY d, vec_id LIMIT 10)
+        |SELECT top.vec_id, floor(adc * 1000000 + 0.5) / 1000000 AS adc,
+        |  (ext.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM top LEFT JOIN ext USING (vec_id)
+        |ORDER BY adc, vec_id""".stripMargin,
 
     "q28_cosine_threshold" ->
       """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),

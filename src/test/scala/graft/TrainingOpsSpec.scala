@@ -1638,6 +1638,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.head._2.exists(_ > 3.0))
   }
 
+  test("PQ: per-subspace argmin codes; ADC exact when subvectors sit on centroids") {
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, 1f, 1f, 1f)), // seeds
+      (3L, Seq(0f, 0f, 1f, 1f)), (4L, Seq(1f, 1f, 0f, 0f)),
+      (5L, Seq(0.1f, 0f, 0.9f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, k = 2)
+    assert(cbs == Seq(Seq(Seq(0f, 0f), Seq(1f, 1f)),
+      Seq(Seq(0f, 0f), Seq(1f, 1f))))
+    val enc = Similarity.pqEncode(emb, "embedding", cbs)
+    val codes = enc.select($"vec_id", $"_code0", $"_code1")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(codes(3L) == ((0, 1)) && codes(4L) == ((1, 0)))
+    assert(codes(5L) == ((0, 1)), "near-centroid subvectors snap to the nearest code")
+    // probe on the (0,0)/(1,1) lattice: ADC distances are exact integers
+    val got = Similarity.pqAdcTopK(enc, "vec_id", Seq(0f, 0f, 1f, 1f), cbs, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((3L, 0.0), (5L, 0.0), (1L, 2.0), (2L, 2.0), (4L, 4.0)))
+    // dims must split evenly into subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 3, k = 2)
+    }
+  }
+
   test("parseMp3: CBR walk, ID3 skip, lenient trailing junk, strict truncation/reserved") {
     def frame(bi: Int, ri: Int, pad: Int): Array[Byte] = {
       val flen = 144000 *
