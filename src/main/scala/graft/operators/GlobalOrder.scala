@@ -116,6 +116,60 @@ object GlobalOrder {
     * (`mapPartitions` — genuine per-partition imperative logic),
     * broadcast per-partition offsets, eager localCheckpoint pinning the
     * sampled partitioning across the two passes. NULL weights are 0. */
+  /** Global INCLUSIVE running maximum of `valueCol` (long) under a
+    * total order — the watermark-progression primitive: sorted by
+    * arrival, each row gains `outCol` = the largest value seen at or
+    * before it (e.g. the high-water event time a streaming engine
+    * would hold when this row arrives). The naive form is
+    * `max() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — the same
+    * SinglePartition collapse [[sequenceIds]] documents. Shape here:
+    * range exchange + one-pass per-partition running max, then a
+    * numPartitions-row maxima job whose EXCLUSIVE prefix max becomes
+    * broadcast offsets; `global = max(partition offset, local)`. Same
+    * eager localCheckpoint pinning as the sibling passes. NULL values
+    * never advance the maximum; rows before any non-NULL value emit
+    * NULL (no maximum exists yet — not a sentinel). */
+  def withRunningMax(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String = "run_max"): DataFrame = {
+    require(sortCols.nonEmpty, "running max needs at least one sort column")
+    val taken = Seq(outCol, "_pid", "_v", "_cumm", "_offm")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has column(s) ${taken.mkString(", ")} that withRunningMax needs")
+    val MinV = Long.MinValue
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", coalesce(col(valueCol).cast("long"), lit(MinV)))
+      .localCheckpoint(true)
+    val vIdx = sorted.schema.fieldIndex("_v")
+    val withLocal = sorted.mapPartitions { it =>
+      var acc = MinV
+      it.map { r =>
+        val v = r.getLong(vIdx)
+        if (v > acc) acc = v
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema
+      .add("_cumm", org.apache.spark.sql.types.LongType, nullable = false)))
+    val maxima = sorted.groupBy(col("_pid")).agg(max(col("_v")).as("_m"))
+      .orderBy(col("_pid")).collect()
+    val offsets = maxima.scanLeft(MinV) { (acc, r) =>
+      math.max(acc, r.getLong(1)) }.init
+    val offsetRows = maxima.map(_.getInt(0)).zip(offsets).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsetRows.toDF("_pid", "_offm")
+    withLocal
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(outCol,
+        when(greatest(col("_cumm"), col("_offm")) === MinV, lit(null))
+          .otherwise(greatest(col("_cumm"), col("_offm"))))
+      .drop("_pid", "_v", "_cumm", "_offm")
+  }
+
   def withRunningTotals(df: DataFrame, sortCols: Seq[Column],
       weightCol: String, cumCol: String = "cum_before",
       posCol: String = ""): DataFrame = {

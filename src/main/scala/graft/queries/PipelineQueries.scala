@@ -231,6 +231,40 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- event-time lateness audit (watermark planning) ------------
+    "q194_lateness_audit" -> ((s, dir) => {
+      // how late do events actually arrive? — the measurement a
+      // streaming deployment reads BEFORE choosing its watermark. The
+      // fixture stream is replayed with injected delivery delays
+      // (every 10th event +90s, every 100th +900s, every 1000th
+      // +7200s); each event's lateness is the high-water event time
+      // at its arrival minus its own event time, bucketed to the
+      // watermark ladder with corpus shares. The running max is
+      // GlobalOrder.withRunningMax — no SinglePartition stage, where
+      // the naive global window collapses 100 TB into one task
+      val ev = rd(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("ts").cast("long").as("sec"))
+        .withColumn("arr", col("sec") +
+          when(col("event_id") % 1000 === 13, 7200L)
+          .when(col("event_id") % 100 === 7, 900L)
+          .when(col("event_id") % 10 === 0, 90L).otherwise(0L))
+      val hi = graft.operators.GlobalOrder.withRunningMax(ev,
+        Seq(col("arr").asc, col("event_id").asc), "sec", "hi")
+      val b = hi.withColumn("late", col("hi") - col("sec"))
+        .select(when(col("late") === 0, "a_on_time")
+          .when(col("late") <= 60, "b_1min")
+          .when(col("late") <= 600, "c_10min")
+          .when(col("late") <= 3600, "d_1hour")
+          .otherwise("e_later").as("bucket"))
+      val tot = b.agg(count(lit(1)).as("_n"))
+      b.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          r(col("n").cast("double") / col("_n").cast("double"), 6).as("share"))
+        .orderBy("bucket")
+    }),
+
+
     // ----- contiguous global sequence ids (curriculum ordering) ------
     "q122_global_sequence" -> ((s, dir) => {
       // number the corpus 0..N-1 by (n_chars desc, doc_id) with NO
@@ -1885,6 +1919,27 @@ private[graft] object PipelineQueries {
         |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
         |       ELSE flen * n END AS BIGINT) AS byte_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the naive global running-max window the two-pass plan reproduces
+    "q194_lateness_audit" ->
+      """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT event_id, sec, sec + CASE
+        |    WHEN event_id % 1000 = 13 THEN 7200
+        |    WHEN event_id % 100 = 7 THEN 900
+        |    WHEN event_id % 10 = 0 THEN 90 ELSE 0 END AS arr FROM e),
+        |m AS (SELECT max(sec) OVER (ORDER BY arr, event_id
+        |    ROWS UNBOUNDED PRECEDING) - sec AS late FROM a),
+        |b AS (SELECT CASE WHEN late = 0 THEN 'a_on_time'
+        |    WHEN late <= 60 THEN 'b_1min'
+        |    WHEN late <= 600 THEN 'c_10min'
+        |    WHEN late <= 3600 THEN 'd_1hour'
+        |    ELSE 'e_later' END AS bucket FROM m),
+        |t AS (SELECT count(*) AS nt FROM b)
+        |SELECT bucket, count(*) AS n,
+        |  floor(CAST(count(*) AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS share
+        |FROM b CROSS JOIN t GROUP BY bucket, nt ORDER BY bucket""".stripMargin,
 
     "q122_global_sequence" ->
       """SELECT doc_id, n_chars,

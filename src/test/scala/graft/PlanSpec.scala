@@ -411,4 +411,31 @@ class PlanSpec extends SparkSpec {
     val expect = rows.map { case (d, w) => val r = (d, acc); acc += w; r }
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("withRunningMax: global running max, no 1-task collapse, NULL semantics") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(null))
+          .otherwise(col("n_chars") * (col("doc_id") % 3)).as("v"))
+    val out = graft.operators.GlobalOrder.withRunningMax(docs,
+      Seq(col("doc_id").asc), "v", "hi")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"global running max collapsed to one task:\n$p")
+    assert(!p.contains(" Window "), s"unexpected window operator:\n$p")
+    val got = out.orderBy("doc_id").select("doc_id", "hi").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val rows = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    var acc: Option[Long] = None
+    val expect = rows.map { case (d, v) =>
+      acc = (acc, v) match {
+        case (Some(a), Some(x)) => Some(math.max(a, x))
+        case (a, None) => a
+        case (None, x) => x
+      }
+      (d, acc)
+    }
+    assert(got.toSeq == expect.toSeq)
+  }
 }
