@@ -390,6 +390,41 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- association rules from co-purchase baskets ----------------
+    "q195_association_rules" -> ((s, dir) => {
+      // market-basket rules over the build-once pair supports: both
+      // rule directions per pair, confidence = s_pair/s_ant and
+      // lift = N·s_pair/(s_ant·s_cons) — exact integer counts, one
+      // IEEE divide each, lattice-snapped. Item supports and N are one
+      // distinct-pass aggregation; pair supports come from the SHARED
+      // materialized self-join (q127/q140/q161's graph), so the rule
+      // mining never pays its own O(baskets²) pass
+      val items = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val supp = items.groupBy("p").agg(count(lit(1)).as("s_item"))
+      val nOrders = items.select("o").distinct().agg(count(lit(1)).as("_n"))
+      val pairs = coPurchaseSupportCached(s, dir)
+      val both = pairs
+        .select(col("src").as("ant"), col("dst").as("cons"), col("support"))
+        .unionByName(pairs
+          .select(col("dst").as("ant"), col("src").as("cons"), col("support")))
+      both
+        .join(supp.select(col("p").as("ant"), col("s_item").as("s_ant")), "ant")
+        .join(supp.select(col("p").as("cons"), col("s_item").as("s_cons")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ant"), col("cons"), col("support").as("s_pair"),
+          col("s_ant"), col("s_cons"),
+          r(col("support").cast("double") / col("s_ant").cast("double"), 6)
+            .as("confidence"),
+          r(col("_n").cast("double") * col("support").cast("double") /
+            (col("s_ant").cast("double") * col("s_cons").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("ant"), col("cons"))
+        .limit(25)
+    }),
+
+
     // ----- robust (median/MAD) per-group scaling ---------------------
     "q130_robust_scale" -> ((s, dir) => {
       // outlier-resistant normalization of event values within each
@@ -2068,6 +2103,27 @@ private[graft] object PipelineQueries {
         |tn AS (SELECT unnest([x, y, z]) AS node FROM tri)
         |SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin,
+
+    "q195_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pairs AS (SELECT x.p AS src, y.p AS dst, count(*) AS support
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT p, count(*) AS s_item FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT o) AS nn FROM items),
+        |both_ AS (SELECT src AS ant, dst AS cons, support FROM pairs
+        |  UNION ALL SELECT dst, src, support FROM pairs)
+        |SELECT ant, cons, support AS s_pair,
+        |  a.s_item AS s_ant, c.s_item AS s_cons,
+        |  floor(CAST(support AS DOUBLE) / CAST(a.s_item AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS confidence,
+        |  floor(CAST(nn AS DOUBLE) * CAST(support AS DOUBLE) /
+        |    (CAST(a.s_item AS DOUBLE) * CAST(c.s_item AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS lift
+        |FROM both_ JOIN supp a ON a.p = ant JOIN supp c ON c.p = cons
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, ant, cons LIMIT 25""".stripMargin,
 
     "q140_kcore" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -169,18 +169,24 @@ private[graft] object QueryShared {
     s.read.parquet(path)
   }
 
-  private[graft] def coPurchaseEdgesCached(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdgesCached(s: SparkSession, dir: String): DataFrame =
+    coPurchaseSupportCached(s, dir).select(col("src"), col("dst"))
+
+  /** The same build-once artifact WITH its support counts — the
+    * association-rule consumer (q195) reads supports, the graph
+    * consumers ([[coPurchaseEdgesCached]]) project them away; one
+    * materialized self-join serves both. */
+  private[graft] def coPurchaseSupportCached(s: SparkSession, dir: String): DataFrame = {
     val path = cachedIndexPath(s, dir, "graft_copurchase_edges", "lineitem",
-      "support2") { p =>
+      "support2cnt") { p =>
       val items = rd(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       items.as("x")
         .join(items.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
-        .agg(count(lit(1)).as("_support"))
-        .filter(col("_support") >= 2)
-        .select(col("src"), col("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(path)
