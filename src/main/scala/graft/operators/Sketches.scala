@@ -42,6 +42,27 @@ object Sketches {
       .agg(array_sort(collect_list(struct(col("_p"), col("_r")))).as("_o"))
       .select(transform(col("_o"), s => s.getField("_r")).as(regsCol))
 
+  /** Driver/executor-local mirror of [[hllEstimate]]'s arithmetic (same
+    * integer-exact denominator, same raw/ln branch, same floor snap) —
+    * for consumers that hold a register array in hand (the streaming
+    * per-key state fold) and must agree with the declarative batch
+    * estimate bit-for-bit. */
+  private[graft] def hllEstimateLocal(regs: Array[Byte]): Long = {
+    var denom = 0L
+    var empty = 0L
+    var j = 0
+    while (j < regs.length) {
+      denom += 1L << (53 - regs(j))
+      if (regs(j) == 0) empty += 1
+      j += 1
+    }
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      9007199254740992.0 / denom.toDouble
+    val e = if (empty > 0 && raw <= 640.0) 256.0 * math.log(256.0 / empty)
+      else raw
+    math.floor(e + 0.5).toLong
+  }
+
   /** Trailing-window sketch rollup — the "pre-aggregate per period,
     * answer any window" pattern: for each target key (integer `keyCol`
     * rows of `targets`, e.g. full-coverage days), merge the register

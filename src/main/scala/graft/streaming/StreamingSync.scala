@@ -575,6 +575,64 @@ object StreamingSync {
     }
   }
 
+  /** Streaming per-key DISTINCT-COUNT sketch — the streaming face of
+    * the portable HLL family: each key (a day bucket, a source, a
+    * tenant) holds ONE 256-byte register array in state, updated per
+    * event with the SAME md5-prefix60 register arithmetic as the batch
+    * [[graft.functions.HllRegisters]] aggregate, so a restart/replay
+    * lands on register-identical sketches and the running estimate
+    * agrees with the batch path bit-for-bit
+    * ([[graft.operators.Sketches.hllEstimateLocal]] mirrors the
+    * declarative estimate) — pinned in StreamingSpec. Emits
+    * (key, n_est, n_events) per touched key per batch (update mode);
+    * state is O(256) per key regardless of cardinality, which is the
+    * whole point: a streaming COUNT(DISTINCT) holds every value in
+    * state, this holds 256 bytes at any scale. */
+  def hllPerKey(events: DataFrame, keyCol: String, valueCol: String,
+      idleTimeout: String = ""): Dataset[(Long, Long, Long)] = {
+    requireIntegralKey(events, keyCol, "hllPerKey")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(k: Long, it: Iterator[(Long, String, Long)],
+        st: GroupState[(Array[Byte], Long)]): Iterator[(Long, Long, Long)] = {
+      val (regs, seen0) = st.getOption.getOrElse((new Array[Byte](256), 0L))
+      var seen = seen0
+      it.foreach { case (_, v, _) =>
+        if (v != null) {
+          val h = graft.functions.Md5Hash.prefix60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          val bucket = (h & 255L).toInt
+          val rest = h >>> 8
+          val rho = if (rest == 0L) 53
+            else 53 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+          if (rho > regs(bucket)) regs(bucket) = rho.toByte
+        }
+        seen += 1
+      }
+      st.update((regs, seen))
+      Iterator.single((k,
+        graft.operators.Sketches.hllEstimateLocal(regs), seen))
+    }
+    val grouped = events
+      .selectExpr(s"CAST($keyCol AS LONG) AS _k",
+        s"CAST($valueCol AS STRING) AS _v", "1L AS _one")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+    grouped.flatMapGroupsWithState(OutputMode.Update(),
+        if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+        else GroupStateTimeout.ProcessingTimeTimeout) {
+      (k: Long, it: Iterator[(Long, String, Long)],
+          st: GroupState[(Array[Byte], Long)]) =>
+        if (st.hasTimedOut) { st.remove(); Iterator.empty }
+        else {
+          val r = fold(k, it, st)
+          if (idleTimeout.nonEmpty) st.setTimeoutDuration(idleTimeout)
+          r
+        }
+    }
+  }
+
   /** Stateful sessionization with the BUILT-IN session_window (gap-based
     * dynamic windows, state managed by Spark): per-user sessions close
     * when the watermark passes last_event + gap, then emit exactly once

@@ -481,4 +481,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(seen.toSet == Set(900L, 901L, 902L), s"got ${seen.toSet}")
   }
+
+  test("streaming HLL per key: cross-batch register state, bit-exact batch agreement") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingSync.hllPerKey(in.toDF().toDF("k", "v"), "k", "v")
+    val q = out.toDF().toDF("k", "n_est", "n_events").writeStream
+      .format("memory").queryName("hll_stream_out").outputMode("update").start()
+    val batch1 = (1 to 300).map(i => (1L, s"u$i")) ++ Seq((2L, "x"), (2L, "y"))
+    val batch2 = (250 to 700).map(i => (1L, s"u$i")) ++ Seq((2L, "y"), (2L, "z"))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per key (n_events is monotone within a key)
+    val got = spark.table("hll_stream_out").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3) }
+    val batch = (batch1 ++ batch2).toDF("k", "v")
+      .groupBy("k").agg(graft.operators.Sketches.hllRegisters(col("v")).as("regs"))
+      .select(col("k"), graft.operators.Sketches.hllEstimate("regs").as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L)._2 == batch(1L),
+      s"key 1: stream ${got(1L)._2} vs batch ${batch(1L)}")
+    assert(got(2L)._2 == batch(2L),
+      s"key 2: stream ${got(2L)._2} vs batch ${batch(2L)}")
+    // dedup-free event counts survive the restartable state
+    assert(got(1L)._3 == (batch1.count(_._1 == 1L) + batch2.count(_._1 == 1L)).toLong)
+    // the big key's estimate is in the 6.5%-se band of the exact count
+    val exact1 = (batch1 ++ batch2).filter(_._1 == 1L).map(_._2).distinct.size
+    assert(math.abs(got(1L)._2 - exact1).toDouble / exact1 < 0.2,
+      s"estimate ${got(1L)._2} vs exact $exact1")
+  }
 }
