@@ -231,6 +231,39 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- Pareto frontier (multi-objective doc selection) -----------
+    "q196_pareto_frontier" -> ((s, dir) => {
+      // the skyline a data-selection pass keeps when two objectives
+      // trade off — here MINIMIZE length, MAXIMIZE lexical quality
+      // (distinct-token share on the 1e-6 lattice): a doc survives iff
+      // no other doc is at most as long AND at least as good with one
+      // strict edge. The O(n²) dominance test collapses to ONE
+      // distributed running max: sorted by (len asc, q desc), a row is
+      // undominated iff the inclusive running max of the packed
+      // (q, -len) key is its OWN key — earlier rows are exactly the
+      // candidate dominators, and key' > key is exactly strict
+      // dominance. No SinglePartition stage (GlobalOrder.withRunningMax)
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"),
+        split(TextAnalysis.normText(col("text")), " ").as("w"))
+      val m = toks.select(col("doc_id"), col("n_chars"),
+          size(array_distinct(col("w"))).cast("long").as("nd"),
+          size(col("w")).cast("long").as("nt"))
+        .filter(col("nt") > 0)
+        .withColumn("q", expr("(1000000 * nd) div nt"))
+      val key = col("q") * lit(1L << 21) +
+        (lit((1L << 21) - 1) - least(col("n_chars").cast("long"),
+          lit((1L << 21) - 1)))
+      val fr = graft.operators.GlobalOrder.withRunningMax(
+        m.withColumn("_key", key),
+        Seq(col("n_chars").asc, col("q").desc, col("doc_id").asc),
+        "_key", "hi")
+      fr.filter(col("hi") === col("_key"))
+        .select(col("doc_id"), col("n_chars"), col("q"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- event-time lateness audit (watermark planning) ------------
     "q194_lateness_audit" -> ((s, dir) => {
       // how late do events actually arrive? — the measurement a
@@ -1954,6 +1987,22 @@ private[graft] object PipelineQueries {
         |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
         |       ELSE flen * n END AS BIGINT) AS byte_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the brute-force NOT EXISTS dominance test the running-max skyline
+    // plan must reproduce exactly
+    "q196_pareto_frontier" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_chars,
+        |  (1000000 * len(list_distinct(w))) // len(w) AS q
+        |  FROM t WHERE len(w) > 0)
+        |SELECT a.doc_id, a.n_chars, a.q FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m b
+        |  WHERE b.n_chars <= a.n_chars AND b.q >= a.q
+        |    AND (b.n_chars < a.n_chars OR b.q > a.q))
+        |ORDER BY a.doc_id""".stripMargin,
 
     // the naive global running-max window the two-pass plan reproduces
     "q194_lateness_audit" ->
