@@ -149,6 +149,32 @@ object Quality {
           * 1000000 + 0.5) / 1000000).as("tvd")): _*)
   }
 
+  /** Functional-dependency audit: does `lhsCols` determine `rhsCol`?
+    * One row per rule: group count, violating-group count (groups
+    * seeing >1 distinct rhs value), violation share (lattice), and the
+    * worst group's distinct count — the schema-inference /
+    * normalization check a warehouse runs before declaring a key or
+    * collapsing a dimension. ONE partial-aggregated pass to the
+    * (lhs, distinct-rhs) frame, then a second pass over group rows
+    * only. NULL rhs values are not values (unknown is not a
+    * determination conflict); a NULL lhs forms its own group — the
+    * k-anonymity convention. */
+  def functionalDependency(df: DataFrame, lhsCols: Seq[String],
+      rhsCol: String, rule: String): DataFrame = {
+    require(lhsCols.nonEmpty, "FD audit needs left-hand-side columns")
+    val groups = df.groupBy(lhsCols.map(col): _*)
+      .agg(countDistinct(col(rhsCol)).as("_nd"))
+    groups.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("_nd")).as("max_distinct"))
+      .select(lit(rule).as("rule"), col("n_groups"), col("n_violating"),
+        (floor(col("n_violating").cast("double") /
+          col("n_groups").cast("double") * 1000000 + 0.5) / 1000000)
+          .as("violation_share"),
+        col("max_distinct"),
+        (col("n_violating") === 0L).as("holds"))
+  }
+
   /** Benford's-law expected first-digit shares, log10(1 + 1/d) for
     * d = 1..9, as the EXACT double literals both engines parse to the
     * same IEEE values — hardcoded so no libm log10 call sits on an

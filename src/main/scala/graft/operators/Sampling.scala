@@ -114,6 +114,32 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic weighted PRIORITY sample: exactly `k` rows, chosen
+    * by priority `weight / draw` descending (equivalently
+    * `draw / weight` ascending) with the usual md5 draw as the
+    * uniform — the Duffield-Lund-Thorup priority-sampling shape with
+    * the RNG replaced by the engine's portable hash, so the sample is
+    * rerun-stable and any engine reproduces the member set. Heavier
+    * rows are proportionally likelier to make the cut; combined with
+    * [[exactNSample]] (uniform exact-k) and [[weightedHashSample]]
+    * (per-row rate, variable size) this completes the sampling
+    * triangle. The ranking key is ONE IEEE division of exactly-
+    * representable operands — deterministic everywhere; plans as
+    * TakeOrderedAndProject (per-partition top-k before one k-row
+    * exchange), never a full global sort. Rows with NULL or
+    * non-positive weight are excluded — they have no sampling mass. */
+  def prioritySample(df: DataFrame, keyCols: Seq[String], weightCol: String,
+      k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "priority sample needs key columns")
+    require(k > 0, s"k $k must be positive")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_prio",
+        uniformLong(keyCols.map(col)).cast("double") /
+          col(weightCol).cast("double"))
+      .orderBy((col("_prio").asc +: keyCols.map(col(_).asc)): _*)
+      .limit(k)
+  }
+
   /** Importance resampling to a TARGET bin distribution: the maximal
     * deterministic subset whose bin shares track integer target
     * weights — "reshape this year's crawl to last year's length/source

@@ -231,6 +231,38 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- deterministic weighted priority sample (exact k) ----------
+    "q197_priority_sample" -> ((s, dir) => {
+      // exactly 15 lineitems with selection odds rising in l_quantity:
+      // rank by draw/weight ascending (the priority-sampling shape,
+      // md5 draw as the uniform) — one IEEE division per row, plans as
+      // TakeOrderedAndProject, reproducible in any engine. Completes
+      // the sampling triangle: exact-k uniform (q119), rate-weighted
+      // variable-size (q67), exact-k weighted (this)
+      graft.operators.Sampling.prioritySample(rd(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), "l_quantity", k = 15)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          r(col("_prio"), 6).as("priority"))
+        .orderBy("priority", "l_orderkey", "l_linenumber")
+    }),
+
+
+    // ----- functional-dependency audit (schema inference gate) -------
+    "q198_fd_audit" -> ((s, dir) => {
+      // before declaring a key or collapsing a dimension: event_id
+      // must determine user_id (it does — primary-key shape), and
+      // user_id visibly does NOT determine event_type — both verdicts
+      // with group counts, violation shares, and the worst group's
+      // distinct count, each ONE partial-aggregated pass
+      val ev = rd(s, dir, "events")
+      graft.operators.Quality.functionalDependency(ev,
+          Seq("event_id"), "user_id", "event_id->user_id")
+        .unionByName(graft.operators.Quality.functionalDependency(ev,
+          Seq("user_id"), "event_type", "user_id->event_type"))
+        .orderBy("rule")
+    }),
+
+
     // ----- Pareto frontier (multi-objective doc selection) -----------
     "q196_pareto_frontier" -> ((s, dir) => {
       // the skyline a data-selection pass keeps when two objectives
@@ -1987,6 +2019,39 @@ private[graft] object PipelineQueries {
         |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
         |       ELSE flen * n END AS BIGINT) AS byte_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q197_priority_sample" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+        |p AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(h AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS prio FROM w),
+        |t AS (SELECT * FROM p ORDER BY prio, l_orderkey, l_linenumber
+        |  LIMIT 15)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  floor(prio * 1000000 + 0.5) / 1000000 AS priority
+        |FROM t ORDER BY priority, l_orderkey, l_linenumber""".stripMargin,
+
+    "q198_fd_audit" ->
+      """WITH g1 AS (SELECT event_id, count(DISTINCT user_id) AS nd
+        |  FROM events GROUP BY 1),
+        |a1 AS (SELECT 'event_id->user_id' AS rule, count(*) AS n_groups,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |  max(nd) AS max_distinct FROM g1),
+        |g2 AS (SELECT user_id, count(DISTINCT event_type) AS nd
+        |  FROM events GROUP BY 1),
+        |a2 AS (SELECT 'user_id->event_type' AS rule, count(*) AS n_groups,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |  max(nd) AS max_distinct FROM g2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT rule, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(n_violating AS BIGINT) AS n_violating,
+        |  floor(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS violation_share,
+        |  CAST(max_distinct AS BIGINT) AS max_distinct,
+        |  n_violating = 0 AS holds
+        |FROM u ORDER BY rule""".stripMargin,
 
     // the brute-force NOT EXISTS dominance test the running-max skyline
     // plan must reproduce exactly

@@ -657,6 +657,30 @@ class ComponentsSamplingSpec extends SparkSpec {
       "event_id", gapSec = 1800L).count() == 1)
   }
 
+  test("prioritySample: exact k, brute-force rank agreement, zero/NULL weights excluded") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i % 7 + 1).toDouble))
+      .toDF("id", "w")
+      .unionByName(Seq((900L, 0.0), (901L, -1.0)).toDF("id", "w"))
+      .unionByName(Seq((902L, Option.empty[Double])).toDF("id", "w"))
+    val got = Sampling.prioritySample(df, Seq("id"), "w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got.size == 10)
+    assert(!got.exists(Seq(900L, 901L, 902L).contains(_)),
+      "weightless rows must never be sampled")
+    // brute-force: same draw/weight ranking computed independently
+    val brute = df.filter(col("w") > 0)
+      .select($"id", (Sampling.uniformLong(Seq(col("id"))).cast("double") /
+        $"w").as("p"))
+      .as[(Long, Double)].collect().sortBy(t => (t._2, t._1)).take(10)
+      .map(_._1).toSeq
+    assert(got.sorted == brute.sorted, "sample must equal the brute-force top-k")
+    // rerun-stable
+    val again = Sampling.prioritySample(df, Seq("id"), "w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(again.sorted == got.sorted)
+  }
+
   test("importanceResample: binding bin keeps all, others thin at the exact md5 cutoff") {
     import spark.implicits._
     // a: 100 rows, b: 50 rows, equal targets -> b binds (50/1 < 100/1);

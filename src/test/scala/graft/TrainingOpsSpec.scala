@@ -1638,6 +1638,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.head._2.exists(_ > 3.0))
   }
 
+  test("functionalDependency: held and violated rules, NULL semantics") {
+    val df = Seq(
+      (Some(1), Some("a"), "x"), (Some(1), Some("a"), "y"), // lhs 1: rhs {a} -> holds side
+      (Some(2), Some("b"), "x"), (Some(2), Some("c"), "x"), // lhs 2: {b, c} -> violates
+      (Some(3), None, "x"),                                 // NULL rhs is not a value
+      (None, Some("d"), "x"), (None, Some("e"), "x"))       // NULL lhs is its own group
+      .toDF("k", "v", "z")
+    val r = graft.operators.Quality.functionalDependency(df, Seq("k"), "v", "k->v")
+      .select($"n_groups", $"n_violating", $"max_distinct", $"holds")
+      .as[(Long, Long, Long, Boolean)].head()
+    // groups: 1, 2, 3, NULL -> 4; violating: 2 and NULL -> 2; worst 2
+    assert(r == ((4L, 2L, 2L, false)))
+    val held = graft.operators.Quality.functionalDependency(df, Seq("z"), "z", "z->z")
+      .select($"holds").as[Boolean].head()
+    assert(held)
+  }
+
   test("PQ: per-subspace argmin codes; ADC exact when subvectors sit on centroids") {
     val emb = Seq(
       (1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, 1f, 1f, 1f)), // seeds
