@@ -189,6 +189,33 @@ private[graft] object TextQueries {
 
 
     // ----- PII scrub: count + redact emails/phones -------------------
+    // ----- record-level transform provenance (lineage masks) ---------
+    "q199_provenance" -> ((s, dir) => {
+      // which cleaning stages actually touched each record? — every
+      // stage stamps one bit into a per-row mask IFF its output
+      // differs from its input (bit 0 email redaction, bit 1 phone
+      // redaction, bit 2 truncation to 300 chars), then the corpus
+      // collapses to a mask histogram — the audit that catches a
+      // transform silently firing on rows it shouldn't (or not firing
+      // where it must). Masks are plain bitwise column arithmetic:
+      // zero shuffles until the final 8-row histogram
+      def stage(df: DataFrame, bit: Int, out: Column): DataFrame =
+        df.withColumn("_new", out)
+          .withColumn("_mask", col("_mask").bitwiseOR(
+            when(col("_new") =!= col("text"), lit(1L << bit))
+              .otherwise(lit(0L))))
+          .withColumn("text", col("_new")).drop("_new")
+      val base = docsWithPii(s, dir).withColumn("_mask", lit(0L))
+      val cleaned = stage(stage(stage(base,
+        0, regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")),
+        1, regexp_replace(col("text"), TextAnalysis.PhoneRe, "<PHONE>")),
+        2, substring(col("text"), 1, 300))
+      cleaned.groupBy(col("_mask").as("mask"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy("mask")
+    }),
+
+
     "q58_pii_redact" -> ((s, dir) => {
       docsWithPii(s, dir).select(col("doc_id"),
         TextAnalysis.patternCount(col("text"), TextAnalysis.EmailRe).as("n_emails"),
@@ -860,6 +887,23 @@ private[graft] object TextQueries {
         |    / 1000000 AS top_frac
         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+
+    "q199_provenance" -> (piiCte +
+      s""",
+         |st AS (SELECT doc_id, text AS t0,
+         |  regexp_replace(text, '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM pii),
+         |st2 AS (SELECT doc_id, t0, t1,
+         |  regexp_replace(t1, '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS t2
+         |  FROM st),
+         |st3 AS (SELECT doc_id, t0, t1, t2, substr(t2, 1, 300) AS t3 FROM st2),
+         |m AS (SELECT doc_id,
+         |  (CASE WHEN t1 != t0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN t2 != t1 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN t3 != t2 THEN 4 ELSE 0 END) AS mask FROM st3)
+         |SELECT CAST(mask AS BIGINT) AS mask, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc_id
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q58_pii_redact" -> (piiCte +
       s"""
