@@ -74,6 +74,46 @@ private[graft] object SketchQueries {
     }),
 
 
+    // ----- incrementally-maintained sketch table ---------------------
+    "q200_sliding_hll_incremental" -> ((s, dir) => {
+      // the persisted-sketch-table upkeep pattern: per-day register
+      // sketches for the first 25 days are MATERIALIZED once
+      // (content-fingerprint-keyed, the q30/q80 build-once
+      // discipline); an ingest of the remaining days sketches ONLY its
+      // own days and unions with the stored table — history is never
+      // rescanned. Trailing-window estimates over the merged table
+      // must equal q189's from-scratch rebuild bit-for-bit (the oracle
+      // IS q189's), proving increment ≡ rebuild for the sketch path
+      val ev = rd(s, dir, "events").select(
+        floor(col("ts").cast("long") / lit(86400.0)).cast("long").as("day"),
+        concat(col("user_id").cast("string"), lit(":"),
+          hour(col("ts")).cast("string")).as("uh"))
+      val d0 = ev.agg(min(col("day"))).collect()(0).getLong(0)
+      val cut = d0 + 25
+      val basePath = cachedIndexPath(s, dir, "graft_hll_days", "events",
+        "k256_uh_cut25") { p =>
+        ev.filter(col("day") < cut).groupBy("day")
+          .agg(Sketches.hllRegisters(col("uh")).as("regs"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val per = s.read.parquet(basePath)
+        .unionByName(ev.filter(col("day") >= cut).groupBy("day")
+          .agg(Sketches.hllRegisters(col("uh")).as("regs")))
+      val fullDays = per.select("day")
+        .filter(col("day") >= d0 + 6)
+      val slid = Sketches.hllTrailingMerge(per, fullDays, "day", "regs", 7)
+      val exact = ev.distinct().as("e")
+        .join(broadcast(fullDays.select(col("day").as("_wd"))),
+          col("e.day") > col("_wd") - 7 && col("e.day") <= col("_wd"))
+        .groupBy(col("_wd").as("day"))
+        .agg(countDistinct(col("uh")).as("n_exact"))
+      slid.select(col("day"), Sketches.hllEstimate("regs").as("n_est"))
+        .join(exact, "day")
+        .select("day", "n_exact", "n_est")
+        .orderBy("day")
+    }),
+
+
     // ----- count-min heavy-hitter frequencies ------------------------
     "q148_cms_frequencies" -> ((s, dir) => {
       // token frequencies of the corpus-wide top-15 tokens, estimated
@@ -153,6 +193,38 @@ private[graft] object SketchQueries {
         |SELECT gex.flag, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
         |FROM gex JOIN gest USING (flag)
         |ORDER BY flag""".stripMargin,
+
+    "q200_sliding_hll_incremental" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |  CAST(user_id AS VARCHAR) || ':' || CAST(hour(ts) AS VARCHAR) AS uh
+        |  FROM events),
+        |h AS (SELECT day, uh,
+        |  CAST(('0x' || substr(md5(uh), 1, 15)) AS BIGINT) AS hv FROM e),
+        |b AS (SELECT day, uh, hv % 256 AS bucket,
+        |  CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT day, bucket, max(rho) AS m FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |full_ AS (SELECT day FROM days
+        |  WHERE day >= (SELECT min(day) + 6 FROM days)),
+        |wregs AS (SELECT f.day, r.bucket, max(r.m) AS m
+        |  FROM full_ f JOIN regs r ON r.day > f.day - 7 AND r.day <= f.day
+        |  GROUP BY 1, 2),
+        |d AS (SELECT day, count(*) AS nz,
+        |  sum(1::BIGINT << (53 - m)) AS sden FROM wregs GROUP BY 1),
+        |e2 AS (SELECT day, 256 - nz AS v,
+        |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |    * 65536.0 * 9007199254740992.0
+        |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw FROM d),
+        |est AS (SELECT day,
+        |  CASE WHEN v > 0 AND raw <= 640.0 THEN 256.0 * ln(256.0 / v) ELSE raw END AS ev
+        |  FROM e2),
+        |ex AS (SELECT f.day, count(DISTINCT x.uh) AS n_exact
+        |  FROM full_ f JOIN (SELECT DISTINCT day, uh FROM e) x
+        |    ON x.day > f.day - 7 AND x.day <= f.day
+        |  GROUP BY 1)
+        |SELECT ex.day, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
+        |FROM ex JOIN est USING (day) ORDER BY day""".stripMargin,
 
     "q189_sliding_hll" ->
       """WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
