@@ -188,7 +188,27 @@ object PlanDump {
           "edge frame plus ONE partial-aggregated groupBy — the pageRank " +
           "shape, but with zero floats: unnormalized scores stay exact " +
           "DECIMAL integers through every exchange.",
-        SparkEntry.queries("q176_hits")(spark, sfDir)))
+        SparkEntry.queries("q176_hits")(spark, sfDir)),
+      ("q194_lateness_audit — global running max with no 1-task collapse",
+        "The naive max() OVER (ORDER BY arrival) plans Exchange " +
+          "SinglePartition. GlobalOrder.withRunningMax plans ONE range " +
+          "exchange + per-partition one-pass maxima (mapPartitions) + a " +
+          "broadcast join of numPartitions prefix-max offsets — no Window " +
+          "operator, no SinglePartition before the terminal 5-row histogram.",
+        SparkEntry.queries("q194_lateness_audit")(spark, sfDir)),
+      ("q196_pareto_frontier — skyline via one distributed running max",
+        "The O(n²) dominance join never appears: the packed (quality, " +
+          "−length) key rides the same range-exchange running-max engine, " +
+          "and the frontier filter is a per-row comparison — corpus-sized " +
+          "work is one exchange, not a self-join.",
+        SparkEntry.queries("q196_pareto_frontier")(spark, sfDir)),
+      ("q193_pq_ann — product-quantization encode + ADC scoring",
+        "pqEncode is pure per-row expression work (m·k fused argmin-L2 " +
+          "loops, NO exchange); the probe's distance table enters as " +
+          "literal arrays and ADC scoring is m element_at lookups per row " +
+          "— the only exchange in the whole query is the final top-k's " +
+          "TakeOrderedAndProject singlePartition over k rows.",
+        SparkEntry.queries("q193_pq_ann")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
