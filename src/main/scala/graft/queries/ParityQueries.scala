@@ -216,6 +216,25 @@ private[graft] object ParityQueries {
 
 
     // ----- ORC round-trip (typed columnar interchange) ---------------
+    // ----- storage-layout audit (footer-vs-data reconciliation) ------
+    "q201_storage_audit" -> ((s, dir) => {
+      // per table, the row total the parquet FOOTERS claim must equal
+      // what scanning the data counts — the oracle only ever scans the
+      // data, so a truncated write or corrupt footer fails the gate;
+      // column counts ride along. Footers are read DISTRIBUTED
+      // (ParquetLayout.layout — one task per file batch), the shape a
+      // million-file lake audit needs
+      val tables = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "events", "documents", "embeddings")
+      graft.sources.ParquetLayout.layout(s,
+          tables.map(t => t -> s"$dir/$t.parquet"))
+        .groupBy("tbl")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          max(col("n_cols")).as("n_cols"))
+        .orderBy("tbl")
+    }),
+
+
     "q129_orc_roundtrip" -> ((s, dir) => {
       // ORC out (capped shards, so the re-read crosses file splits),
       // re-read, aggregate ≡ source aggregate — types survive
@@ -761,6 +780,38 @@ private[graft] object ParityQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+
+    "q201_storage_audit" ->
+      """SELECT 'region' AS tbl, (SELECT count(*) FROM region) AS n_rows,
+        |  (SELECT count(*) FROM pragma_table_info('region')) AS n_cols
+        |UNION ALL
+        |SELECT 'nation', (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM pragma_table_info('nation'))
+        |UNION ALL
+        |SELECT 'customer', (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM pragma_table_info('customer'))
+        |UNION ALL
+        |SELECT 'supplier', (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM pragma_table_info('supplier'))
+        |UNION ALL
+        |SELECT 'part', (SELECT count(*) FROM part),
+        |  (SELECT count(*) FROM pragma_table_info('part'))
+        |UNION ALL
+        |SELECT 'orders', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM pragma_table_info('orders'))
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM pragma_table_info('lineitem'))
+        |UNION ALL
+        |SELECT 'events', (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM pragma_table_info('events'))
+        |UNION ALL
+        |SELECT 'documents', (SELECT count(*) FROM documents),
+        |  (SELECT count(*) FROM pragma_table_info('documents'))
+        |UNION ALL
+        |SELECT 'embeddings', (SELECT count(*) FROM embeddings),
+        |  (SELECT count(*) FROM pragma_table_info('embeddings'))
+        |ORDER BY tbl""".stripMargin,
 
     "q129_orc_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,

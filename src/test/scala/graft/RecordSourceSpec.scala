@@ -324,4 +324,26 @@ class RecordSourceSpec extends SparkSpec {
       s"staging leaked: ${files.mkString(",")}")
     assert(readBack(dir).count() == 3) // original data intact
   }
+
+  test("ParquetLayout: footer rows reconcile with data; directory paths walk part files") {
+    import spark.implicits._
+    val single = "/root/testdata/sf0.001/orders.parquet"
+    val out = graft.sources.ParquetLayout.layout(spark, Seq("orders" -> single))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum == spark.read.parquet(single).count(),
+      "footer row total must equal the scanned count")
+    assert(out.forall(r => r._6 <= r._5 && r._6 > 0),
+      "compressed size must be positive and <= uncompressed")
+    assert(out.map(_._2).sorted == out.indices.map(_.toLong),
+      "row-group ids must be contiguous from 0")
+    // a DIRECTORY of part files: every part contributes its groups
+    val dir = Files.createTempDirectory("graft_layout").toString
+    spark.read.parquet(single).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val multi = graft.sources.ParquetLayout.layout(spark, Seq("o" -> dir))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(multi.map(_._3).sum == spark.read.parquet(single).count())
+    assert(multi.size >= 3, s"expected >=3 part files, saw ${multi.size}")
+  }
 }
