@@ -177,6 +177,16 @@ object Multimodal {
         }
       } yield Long.box(d)).orNull
       Some(Row("video/mp4", null, null, null, dur, p.length.toLong))
+    } else if (p.length >= 8 &&
+        ((p(0) == 'I' && p(1) == 'I' && (p(2) & 0xFF) == 0x2A && p(3) == 0) ||
+         (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && (p(3) & 0xFF) == 0x2A))) {
+      // TIFF: endian-tagged IFD walk ([[parseTiff]]) — width/height from
+      // the first IFD's 256/257 entries; a truncated or out-of-range IFD
+      // is a recognized container with honestly-unknown dimensions
+      parseTiff(p) match {
+        case Some((w, h)) => dims("image/tiff", w, h)
+        case None => meta("image/tiff", null, null)
+      }
     } else if ((p.length >= 3 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
         (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xE0) == 0xE0)) {
       // MPEG audio (MP3): ID3v2-aware frame-header walk — the audio
@@ -195,6 +205,39 @@ object Multimodal {
           Some(Row("audio/mpeg", null, null, null, null, p.length.toLong))
       }
     } else None
+  }
+
+  /** TIFF first-IFD walk: byte order from the II/MM magic, then the
+    * ImageWidth (256) / ImageLength (257) entries — SHORT or LONG,
+    * either endian, inline count-1 values only (a SHORT sits
+    * left-justified in the 4-byte value field, i.e. in the file's own
+    * byte order at the field start). Bounds-checked everywhere: an IFD
+    * offset or entry table running past the payload yields None. */
+  private[graft] def parseTiff(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 8) return None
+    val le = p(0) == 'I'
+    def u16(i: Int): Int = if (le) le16(p, i) else be16(p, i)
+    def u32(i: Int): Long = if (le) le32(p, i) else be32(p, i)
+    val off = u32(4)
+    if (off < 8L || off + 2L > p.length) return None
+    val base = off.toInt
+    val n = u16(base)
+    if (base + 2 + n * 12 > p.length) return None
+    var w = -1L
+    var h = -1L
+    var i = 0
+    while (i < n) {
+      val e = base + 2 + i * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      if ((tag == 256 || tag == 257) && cnt == 1L && (typ == 3 || typ == 4)) {
+        val v = if (typ == 4) u32(e + 8) else u16(e + 8).toLong
+        if (tag == 256) w = v else h = v
+      }
+      i += 1
+    }
+    if (w > 0 && h > 0) Some((w, h)) else None
   }
 
   private val Mp3Bitrates = // MPEG-1 Layer III kbps by index; 0 = invalid

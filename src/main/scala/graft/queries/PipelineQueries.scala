@@ -231,6 +231,40 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- last-touch conversion attribution (as-of join) ------------
+    "q202_attribution" -> ((s, dir) => {
+      // which channel gets credit for each purchase? — the LAST click
+      // or view at-or-before the purchase, per user, within a 72-hour
+      // window; outside the window (or touchless) counts as
+      // unattributed. The match is the as-of composition (q54's
+      // operator): union + one key exchange + a running
+      // last(ignoreNulls) carry — linear in touches + conversions,
+      // never a per-pair theta join. Same-second touch collisions
+      // dedupe to the largest event_id first, so the carry is
+      // deterministic
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").cast("long").as("psec"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").cast("long").as("tsec"),
+          col("event_type").as("channel"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("tsec"))
+        .orderBy(col("event_id").desc)
+      val uniq = touches.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("user_id", "tsec", "channel")
+      graft.operators.AsofJoin.backward(purchases, uniq,
+          "user_id", "psec", "tsec", Seq("channel"))
+        .select(when(col("asof_ts").isNotNull &&
+            col("psec") - col("asof_ts") <= 259200, col("channel"))
+          .otherwise(lit("unattributed")).as("attr"))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy("attr")
+    }),
+
+
     // ----- deterministic weighted priority sample (exact k) ----------
     "q197_priority_sample" -> ((s, dir) => {
       // exactly 15 lineitems with selection odds rising in l_quantity:
@@ -327,6 +361,43 @@ private[graft] object PipelineQueries {
         .select(col("bucket"), col("n"),
           r(col("n").cast("double") / col("_n").cast("double"), 6).as("share"))
         .orderBy("bucket")
+    }),
+
+
+    // ----- TIFF IFD-walk dimension decode (both endians) -------------
+    "q203_tiff_headers" -> ((s, dir) => {
+      // TIFFs assembled in-plan in BOTH byte orders (doc_id % 2 picks
+      // II vs MM — the endian dispatch is the whole point of the TIFF
+      // container), dimensions decoded by Multimodal.parseTiff; the
+      // corrupt class (doc_id % 9 == 4) declares an IFD offset past
+      // EOF: recognized container, NULL dimensions. The oracle
+      // predicts everything from doc_id arithmetic alone
+      def le16h(c: Column) = concat(
+        lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8)), 2, "0"))
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      val wv = (col("doc_id") % 900 + 100).cast("int")
+      val hv = (col("doc_id") % 500 + 50).cast("int")
+      val leHex = concat(
+        lit("49492A00" + "08000000" + "0200" +
+          "0001" + "0300" + "01000000"), le16h(wv), lit("0000"),
+        lit("0101" + "0300" + "01000000"), le16h(hv), lit("0000"),
+        lit("00000000"))
+      val beHexS = concat(
+        lit("4D4D002A" + "00000008" + "0002" +
+          "0100" + "0003" + "00000001"), be16h(wv), lit("0000"),
+        lit("0101" + "0003" + "00000001"), be16h(hv), lit("0000"),
+        lit("00000000"))
+      val payload = unhex(when(col("doc_id") % 9 === 4,
+          lit("49492A00" + "FFFF0000"))
+        .when(col("doc_id") % 2 === 0, leHex).otherwise(beHexS))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        payload.as("payload"), lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.width").as("width"), col("media.height").as("height"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
     }),
 
 
@@ -1997,6 +2068,16 @@ private[graft] object PipelineQueries {
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q203_tiff_headers" ->
+      """SELECT doc_id, 'image/tiff' AS detected_mime,
+        |  CASE WHEN doc_id % 9 = 4 THEN NULL
+        |       ELSE CAST(doc_id % 900 + 100 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 9 = 4 THEN NULL
+        |       ELSE CAST(doc_id % 500 + 50 AS INTEGER) END AS height,
+        |  CAST(CASE WHEN doc_id % 9 = 4 THEN 8 ELSE 38 END AS BIGINT)
+        |    AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // frame length = 144000·kbps // rate + padding; duration =
     // frames·1152·1000 // rate — the oracle never sees a byte
     "q192_mp3_duration" ->
@@ -2019,6 +2100,26 @@ private[graft] object PipelineQueries {
         |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
         |       ELSE flen * n END AS BIGINT) AS byte_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's NATIVE ASOF join is the oracle — the union+carry
+    // composition must reproduce it exactly (the q54 discipline)
+    "q202_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS pid,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS psec
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |  event_type AS channel,
+        |  row_number() OVER (PARTITION BY user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |u AS (SELECT user_id, tsec, channel FROM t WHERE rn = 1),
+        |j AS (SELECT p.pid, p.psec, u.tsec, u.channel
+        |  FROM p ASOF LEFT JOIN u
+        |    ON p.user_id = u.user_id AND p.psec >= u.tsec),
+        |a AS (SELECT CASE WHEN tsec IS NOT NULL AND psec - tsec <= 259200
+        |    THEN channel ELSE 'unattributed' END AS attr FROM j)
+        |SELECT attr, count(*) AS n_conversions FROM a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q197_priority_sample" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -1679,6 +1679,31 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseTiff: both endians, SHORT and LONG entries, strict bounds") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // little-endian, SHORT dims 640x480
+    val le = hx("49492A00" + "08000000" + "0200" +
+      "0001" + "0300" + "01000000" + "8002" + "0000" +
+      "0101" + "0300" + "01000000" + "E001" + "0000" + "00000000")
+    assert(Multimodal.parseTiff(le) == Some((640L, 480L)))
+    // big-endian, LONG dims 70000x2 (width exceeds u16 -> LONG type)
+    val be = hx("4D4D002A" + "00000008" + "0002" +
+      "0100" + "0004" + "00000001" + "00011170" +
+      "0101" + "0004" + "00000001" + "00000002" + "00000000")
+    assert(Multimodal.parseTiff(be) == Some((70000L, 2L)))
+    // IFD offset past EOF / truncated entry table / missing height
+    assert(Multimodal.parseTiff(hx("49492A00" + "FFFF0000")).isEmpty)
+    assert(Multimodal.parseTiff(le.dropRight(20)).isEmpty)
+    val noH = hx("49492A00" + "08000000" + "0100" +
+      "0001" + "0300" + "01000000" + "8002" + "0000" + "00000000")
+    assert(Multimodal.parseTiff(noH).isEmpty)
+    // dispatch: parseHeader sniffs image/tiff and carries the dims
+    val row = Multimodal.parseHeader(le).get
+    assert(row.getString(0) == "image/tiff")
+    assert(row.getInt(1) == 640 && row.getInt(2) == 480)
+  }
+
   test("parseMp3: CBR walk, ID3 skip, lenient trailing junk, strict truncation/reserved") {
     def frame(bi: Int, ri: Int, pad: Int): Array[Byte] = {
       val flen = 144000 *
