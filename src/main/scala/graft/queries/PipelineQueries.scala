@@ -231,6 +231,36 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- session-quality dashboard (engagement analytics) ----------
+    "q204_session_stats" -> ((s, dir) => {
+      // the engagement report built ON q125's sessionizer: sessions
+      // bucketed by duration (bounce / under 5 min / under 30 min /
+      // longer), with counts, corpus shares, and exact DECIMAL-routed
+      // mean events per bucket — one key exchange for the sessions,
+      // one 4-row aggregation after
+      val sess = graft.operators.Sequence.sessionize(
+        rd(s, dir, "events"), "user_id", "ts", "event_id", gapSec = 1800L)
+      val dur = col("end_sec") - col("start_sec")
+      val b = sess.select(
+        when(col("n_events") === 1, "a_bounce")
+          .when(dur < 300, "b_under_5min")
+          .when(dur < 1800, "c_under_30min")
+          .otherwise("d_longer").as("bucket"),
+        col("n_events"))
+      val tot = b.agg(count(lit(1)).as("_n"))
+      b.groupBy("bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+          (sum(col("n_events").cast("decimal(28,0)")).cast("double") /
+            count(lit(1)).cast("double")).as("_me"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_sessions"),
+          r(col("n_sessions").cast("double") / col("_n").cast("double"), 6)
+            .as("share"),
+          r(col("_me"), 6).as("mean_events"))
+        .orderBy("bucket")
+    }),
+
+
     // ----- last-touch conversion attribution (as-of join) ------------
     "q202_attribution" -> ((s, dir) => {
       // which channel gets credit for each purchase? — the LAST click
@@ -2100,6 +2130,33 @@ private[graft] object PipelineQueries {
         |       WHEN doc_id % 7 = 3 THEN 30 + flen * n
         |       ELSE flen * n END AS BIGINT) AS byte_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q204_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |l AS (SELECT user_id, event_id, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS newi
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |  CAST(SUM(newi) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |    AS BIGINT) AS session_id
+        |  FROM l),
+        |sess AS (SELECT user_id, session_id, MIN(sec) AS start_sec,
+        |  MAX(sec) AS end_sec, COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT CASE WHEN n_events = 1 THEN 'a_bounce'
+        |    WHEN end_sec - start_sec < 300 THEN 'b_under_5min'
+        |    WHEN end_sec - start_sec < 1800 THEN 'c_under_30min'
+        |    ELSE 'd_longer' END AS bucket, n_events FROM sess),
+        |t AS (SELECT count(*) AS nt FROM b)
+        |SELECT bucket, count(*) AS n_sessions,
+        |  floor(CAST(count(*) AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS share,
+        |  floor(CAST(SUM(CAST(n_events AS DECIMAL(28,0))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS mean_events
+        |FROM b CROSS JOIN t GROUP BY bucket, nt ORDER BY bucket""".stripMargin,
 
     // DuckDB's NATIVE ASOF join is the oracle — the union+carry
     // composition must reproduce it exactly (the q54 discipline)

@@ -75,6 +75,37 @@ private[graft] object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ----- split leakage at the embedding level ----------------------
+    "q205_embedding_leakage" -> ((s, dir) => {
+      // the eval-on-memorized-vectors audit: near-identical embedding
+      // pairs (q29's LSH-bucketed cosine > 0.999) whose endpoints
+      // landed in DIFFERENT doc-level splits are leakage — q149 fixes
+      // this for text near-dups, this measures it for embeddings.
+      // Pair counts per unordered split pair, leak rows flagged
+      val e = rd(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val aug = e.select("vec_id", "embedding").unionByName(dup)
+      val pairs = Similarity.cosineNearDups(aug, "vec_id", "embedding",
+        threshold = 0.999, bits = 8, maxBucket = 100000)
+      val split = graft.operators.Sampling.splitAssign(
+        aug.select("vec_id"), Seq("vec_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      pairs
+        .join(split.select(col("vec_id").as("id_a"), col("split").as("_sa")),
+          "id_a")
+        .join(split.select(col("vec_id").as("id_b"), col("split").as("_sb")),
+          "id_b")
+        .select(least(col("_sa"), col("_sb")).as("split_a"),
+          greatest(col("_sa"), col("_sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
+
+
     // ----- SEMANTIC dedup: embedding pairs -> clusters -> canonical --
     "q114_semantic_canonical" -> ((s, dir) => {
       // the embedding-space analog of q73's text canonicalization:
@@ -408,6 +439,24 @@ private[graft] object SimilarityQueries {
       """
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
         |FROM pr WHERE cos > 0.999 ORDER BY id_a, id_b""".stripMargin),
+
+    "q205_embedding_leakage" -> {
+      val c80 = graft.operators.Sampling.hexCutoff(0.8)
+      val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
+      cosinePairCtes + s""",
+        |sp AS (SELECT vec_id,
+        |  CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '$c80' THEN 'train'
+        |       WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '$c90' THEN 'val'
+        |       ELSE 'test' END AS split FROM aug),
+        |pr2 AS (SELECT id_a, id_b FROM pr WHERE cos > 0.999),
+        |lab AS (SELECT least(a.split, b.split) AS split_a,
+        |  greatest(a.split, b.split) AS split_b
+        |  FROM pr2 JOIN sp a ON a.vec_id = pr2.id_a
+        |  JOIN sp b ON b.vec_id = pr2.id_b)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |  split_a != split_b AS leaks
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q114_semantic_canonical" -> (
       cosinePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
