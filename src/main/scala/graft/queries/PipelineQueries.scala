@@ -231,6 +231,85 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- seasonal (hour-of-day) baseline profile -------------------
+    "q207_seasonal_baseline" -> ((s, dir) => {
+      // the daily-shape profile a telemetry monitor alerts against:
+      // per (event_type, hour-of-day) cell counts and DECIMAL-exact
+      // mean values, flagged when a cell's mean deviates from its
+      // type's overall mean by more than 20% — one partial-aggregated
+      // pass to |types|·24 cells, a |types|-row broadcast join back
+      val ev = rd(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      val cells = ev.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("_m"))
+      val types = ev.groupBy("event_type")
+        .agg((sum(col("value").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("_mt"))
+      cells.join(broadcast(types), "event_type")
+        .select(col("event_type"), col("hod"), col("n"),
+          r(col("_m"), 6).as("mean_value"),
+          r(col("_mt"), 6).as("type_mean"),
+          (abs(col("_m") - col("_mt")) > col("_mt") * 0.2).as("dev_flag"))
+        .orderBy("event_type", "hod")
+    }),
+
+
+    // ----- per-column change histogram (update forensics) ------------
+    "q208_change_columns" -> ((s, dir) => {
+      // which columns drive the day's updates? — matched (source,
+      // state) rows per pk, per-column IS-DISTINCT-FROM counts in ONE
+      // aggregation pass, unpivoted to a (column, n_changed, share)
+      // report: the forensics view behind q04's row-level classify
+      val j = custSrc(s, dir).as("s")
+        .join(custState(s, dir).as("t"),
+          col("s.c_custkey") === col("t.c_custkey"))
+      val cols = Seq("c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+      val agg = j.agg(count(lit(1)).as("n_matched"),
+        cols.map(c => sum(when(not(col(s"s.$c") <=> col(s"t.$c")), 1L)
+          .otherwise(0L)).as(s"_ch_$c")): _*)
+      agg.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"), col(s"_ch_$c").as("n_changed"))): _*))
+          .as("e"), col("n_matched"))
+        .select(col("e.column_name").as("column_name"),
+          col("e.n_changed").as("n_changed"), col("n_matched"),
+          r(col("e.n_changed").cast("double") /
+            col("n_matched").cast("double"), 6).as("change_share"))
+        .orderBy("column_name")
+    }),
+
+
+    // ----- dedup savings ledger (rollout business case) --------------
+    "q206_dedup_savings" -> ((s, dir) => {
+      // what does the dedup rollout actually buy? — clusters over the
+      // SHARED materialized near-dup pair set, min-id canonical per
+      // cluster (Components labels ARE cluster minima, so the kept doc
+      // is the one whose id equals its cluster), and the character
+      // ledger: total vs kept vs savings share. One left join + one
+      // 1-row aggregate beyond the cached pairs
+      val pairs = nearDupPairsCached(s, dir)
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+      val docs = docsWithNearDups(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+      val labeled = docs.join(comp, docs("doc_id") === comp("node"), "left")
+        .select(col("doc_id"), col("chars"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      labeled.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("chars")).as("chars_total"),
+          sum(when(col("doc_id") === col("cluster"), col("chars"))
+            .otherwise(lit(0L))).as("chars_kept"))
+        .select(col("n_docs"), col("n_clusters"),
+          (col("n_docs") - col("n_clusters")).as("n_dup_docs"),
+          col("chars_total"), col("chars_kept"),
+          r(lit(1.0) - col("chars_kept").cast("double") /
+            col("chars_total").cast("double"), 6).as("savings_share"))
+    }),
+
+
     // ----- session-quality dashboard (engagement analytics) ----------
     "q204_session_stats" -> ((s, dir) => {
       // the engagement report built ON q125's sessionizer: sessions
@@ -2869,6 +2948,72 @@ private[graft] object PipelineQueries {
 
     // q56's recursive-CTE components + singleton completion + q71's
     // hex-cutoff hash assignment, keyed on the COMPONENT
+    "q207_seasonal_baseline" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS hod, value
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, hod, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS m
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mt
+        |  FROM e GROUP BY 1)
+        |SELECT c.event_type, CAST(hod AS INTEGER) AS hod, n,
+        |  floor(m * 1000000 + 0.5) / 1000000 AS mean_value,
+        |  floor(mt * 1000000 + 0.5) / 1000000 AS type_mean,
+        |  abs(m - mt) > mt * 0.2 AS dev_flag
+        |FROM c JOIN t USING (event_type) ORDER BY event_type, hod""".stripMargin,
+
+    "q208_change_columns" -> (custCtes +
+      """,
+        |j AS (SELECT s.c_name AS sn, t.c_name AS tn,
+        |    s.c_acctbal AS sa, t.c_acctbal AS ta,
+        |    s.c_mktsegment AS sm, t.c_mktsegment AS tm,
+        |    s.c_nationkey AS sk, t.c_nationkey AS tk
+        |  FROM src s JOIN state t ON s.c_custkey = t.c_custkey),
+        |a AS (SELECT count(*) AS n_matched,
+        |  sum(CASE WHEN sn IS DISTINCT FROM tn THEN 1 ELSE 0 END) AS ch_name,
+        |  sum(CASE WHEN sa IS DISTINCT FROM ta THEN 1 ELSE 0 END) AS ch_acct,
+        |  sum(CASE WHEN sm IS DISTINCT FROM tm THEN 1 ELSE 0 END) AS ch_seg,
+        |  sum(CASE WHEN sk IS DISTINCT FROM tk THEN 1 ELSE 0 END) AS ch_nat
+        |  FROM j),
+        |u AS (SELECT 'c_acctbal' AS column_name, ch_acct AS n_changed,
+        |    n_matched FROM a
+        |  UNION ALL SELECT 'c_mktsegment', ch_seg, n_matched FROM a
+        |  UNION ALL SELECT 'c_name', ch_name, n_matched FROM a
+        |  UNION ALL SELECT 'c_nationkey', ch_nat, n_matched FROM a)
+        |SELECT column_name, CAST(n_changed AS BIGINT) AS n_changed,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  floor(CAST(n_changed AS DOUBLE) / CAST(n_matched AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS change_share
+        |FROM u ORDER BY column_name""".stripMargin),
+
+    "q206_dedup_savings" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |lab AS (SELECT c2.doc_id, length(c2.text) AS chars,
+        |  coalesce(cp.component, c2.doc_id) AS cluster
+        |  FROM corpus c2 LEFT JOIN comp cp ON cp.node = c2.doc_id)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT cluster) AS n_clusters,
+        |  count(*) - count(DISTINCT cluster) AS n_dup_docs,
+        |  CAST(sum(chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN doc_id = cluster THEN chars ELSE 0 END)
+        |    AS BIGINT) AS chars_kept,
+        |  floor((1.0 - CAST(sum(CASE WHEN doc_id = cluster THEN chars ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(chars) AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS savings_share
+        |FROM lab""".stripMargin),
+
     "q149_leakage_split" -> {
       val c80 = graft.operators.Sampling.hexCutoff(0.8)
       val c90 = graft.operators.Sampling.hexCutoff(math.min(0.8 + 0.1, 1.0))
