@@ -119,6 +119,40 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- per-key trend fit with R² (monitoring regression) ---------
+    "q209_trend_r2" -> ((s, dir) => {
+      // q107's exact-integer-moment fit extended with the fit QUALITY:
+      // R² = (n·sxy − sx·sy)² / ((n·sxx − sx²)(n·syy − sy²)) — every
+      // moment an exact DECIMAL integer cast to double, one IEEE
+      // divide; a trend verdict (rising/falling/flat) from the exact
+      // covariance sign. Zero-variance sides yield NULL R² (undefined,
+      // not zero) and groups with no x-variance are excluded as in
+      // q107
+      val d = rd(s, dir, "events").select(col("user_id"),
+        (col("ts").cast("long") - lit(1704067200L)).as("x"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("ym"))
+        .filter(col("user_id") % 7 === 1)
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val m = d.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("ym"))).cast("double").as("sy"),
+        sum(dec(col("x")) * dec(col("ym"))).cast("double").as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("ym")) * dec(col("ym"))).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(vx =!= lit(0.0))
+        .select(col("user_id"),
+          when(vy =!= 0.0,
+            r(cov * cov / (vx * vy), 6)).as("r2"),
+          when(cov > 0, "rising").when(cov < 0, "falling")
+            .otherwise("flat").as("trend"))
+        .orderBy("user_id")
+    }),
+
+
     // ----- weekly cohort retention (event-time analytics) ------------
     "q108_retention" -> ((s, dir) => {
       // classic retention matrix: users bucketed by first-seen week
@@ -2137,6 +2171,28 @@ private[graft] object PipelineQueries {
         |    + 0.5) / 1000000.0 AS intercept
         |FROM m WHERE n * sxx - sx * sx <> 0.0 ORDER BY 1""".stripMargin,
 
+
+    "q209_trend_r2" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 1704067200 AS x,
+        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS ym
+        |  FROM events WHERE user_id % 7 = 1),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(ym) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * ym) AS DOUBLE) AS sxy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(ym * ym) AS DOUBLE) AS syy
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT user_id, n * sxy - sx * sy AS cov,
+        |  n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM m)
+        |SELECT user_id,
+        |  CASE WHEN vy <> 0.0
+        |       THEN floor(cov * cov / (vx * vy) * 1000000 + 0.5) / 1000000
+        |  END AS r2,
+        |  CASE WHEN cov > 0 THEN 'rising' WHEN cov < 0 THEN 'falling'
+        |       ELSE 'flat' END AS trend
+        |FROM c WHERE vx <> 0.0 ORDER BY user_id""".stripMargin,
 
     "q108_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
