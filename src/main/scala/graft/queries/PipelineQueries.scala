@@ -507,6 +507,55 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- ZIP central-directory census (archive ingest triage) ------
+    "q210_zip_census" -> ((s, dir) => {
+      // corpora often ARRIVE as archive bundles: the triage census
+      // reads entry counts and size totals from the central directory
+      // alone — no entry is decompressed. Archives assembled in-plan
+      // (zeroed local region, real CD entries + EOCD with correct
+      // offsets — the decoder only trusts the directory); the corrupt
+      // class (doc_id % 11 == 7) truncates the EOCD: NULLs, never a
+      // guess. The oracle predicts everything from doc_id arithmetic
+      def le16(e: String) =
+        s"concat(lpad(hex(($e) & 255), 2, '0'), " +
+          s"lpad(hex(shiftright($e, 8) & 255), 2, '0'))"
+      def le32(e: String) =
+        s"concat(lpad(hex(($e) & 255), 2, '0'), " +
+          s"lpad(hex(shiftright($e, 8) & 255), 2, '0'), " +
+          s"lpad(hex(shiftright($e, 16) & 255), 2, '0'), " +
+          s"lpad(hex(shiftright($e, 24) & 255), 2, '0'))"
+      val d = rd(s, dir, "documents").select(col("doc_id"))
+        .withColumn("n", (col("doc_id") % 4 + 1).cast("long"))
+        .withColumn("sc", expr("aggregate(sequence(0L, n - 1), 0L, " +
+          "(acc, i) -> acc + 100 + (doc_id + i) % 50)"))
+        .withColumn("lsize", col("n") * 32 + col("sc"))
+        .withColumn("cdhex", expr(
+          s"""array_join(transform(sequence(0L, n - 1), i -> concat(
+             |  '504B0102', '1400', '1400', '0000', '0000', '0000', '0000',
+             |  '00000000',
+             |  ${le32("100 + (doc_id + i) % 50")},
+             |  ${le32("2 * (100 + (doc_id + i) % 50)")},
+             |  '0200', '0000', '0000', '0000', '0000', '00000000',
+             |  '00000000', '66', lpad(hex(48 + i), 2, '0'))), '')"""
+            .stripMargin))
+        .withColumn("eocd", expr(
+          s"concat('504B0506', '0000', '0000', ${le16("n")}, ${le16("n")}, " +
+            s"${le32("48 * n")}, ${le32("lsize")}, '0000')"))
+        .withColumn("full", expr(
+          "concat(repeat('00', CAST(lsize AS INT)), cdhex, eocd)"))
+        .withColumn("hexstr", when(col("doc_id") % 11 === 7,
+          expr("substring(full, 1, length(full) - 8)")).otherwise(col("full")))
+      graft.operators.Archives.withZipMeta(
+          d.select(col("doc_id"), unhex(col("hexstr")).as("payload")),
+          "payload")
+        .select(col("doc_id"), col("zip.n_entries").as("n_entries"),
+          col("zip.bytes_comp").as("bytes_comp"),
+          col("zip.bytes_uncomp").as("bytes_uncomp"),
+          col("zip.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- TIFF IFD-walk dimension decode (both endians) -------------
     "q203_tiff_headers" -> ((s, dir) => {
       // TIFFs assembled in-plan in BOTH byte orders (doc_id % 2 picks
@@ -2232,6 +2281,23 @@ private[graft] object PipelineQueries {
         |            WHEN doc_id % 5 = 0 THEN 64
         |            ELSE 52 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q210_zip_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n,
+        |  list_sum([100 + (doc_id + i) % 50
+        |            FOR i IN range(0, CAST(doc_id % 4 + 1 AS INT))]) AS sc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |       ELSE CAST(n AS INTEGER) END AS n_entries,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |       ELSE CAST(sc AS BIGINT) END AS bytes_comp,
+        |  CASE WHEN doc_id % 11 = 7 THEN NULL
+        |       ELSE CAST(2 * sc AS BIGINT) END AS bytes_uncomp,
+        |  CAST(32 * n + sc + 48 * n + 22
+        |    - CASE WHEN doc_id % 11 = 7 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS byte_len
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q203_tiff_headers" ->
       """SELECT doc_id, 'image/tiff' AS detected_mime,

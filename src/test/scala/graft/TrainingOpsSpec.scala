@@ -1679,6 +1679,28 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseZip: real ZipOutputStream archives parse; truncation/garbage refuse") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val payloads = Seq("hello world " * 10, "abc", "x" * 1000)
+    payloads.zipWithIndex.foreach { case (body, i) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"f$i.txt"))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val bytes = bos.toByteArray
+    val z = graft.operators.Archives.parseZip(bytes).get
+    assert(z.nEntries == 3)
+    assert(z.bytesUncomp == payloads.map(_.length).sum.toLong)
+    assert(z.bytesComp > 0 && z.bytesComp < bytes.length)
+    assert(graft.operators.Archives.parseZip(bytes.dropRight(5)).isEmpty)
+    assert(graft.operators.Archives.parseZip("not a zip".getBytes("UTF-8")).isEmpty)
+    // a trailing archive comment must not hide the EOCD
+    val commented = bytes.dropRight(2) ++ Array[Byte](4, 0) ++
+      "note".getBytes("UTF-8")
+    assert(graft.operators.Archives.parseZip(commented).exists(_.nEntries == 3))
+  }
+
   test("parseTiff: both endians, SHORT and LONG entries, strict bounds") {
     def hx(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
