@@ -119,6 +119,48 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- join-order advisor from exact cardinality forecasts -------
+    "q211_join_order" -> ((s, dir) => {
+      // which end of lineitem ⨝ orders ⨝ customer to join first? —
+      // both candidate intermediates AND the final size forecast from
+      // per-key COUNT frames alone (q144's statistics discipline):
+      // |L⨝O| = Σ cl(k)·co(k), |O⨝C| = Σ co(k)·cc(k), final =
+      // Σ_orders cl(o_orderkey)·cc(o_custkey) — three aggregation
+      // passes over count frames, no candidate join ever executes.
+      // The recommended path is the smaller intermediate
+      val li = rd(s, dir, "lineitem")
+      val ord = rd(s, dir, "orders")
+      val cust = rd(s, dir, "customer")
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val cl = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("_nl"))
+      val cc = cust.groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("_nc"))
+      val lo = graft.operators.Skew.joinCardinalityTotal(
+        li.select(col("l_orderkey").as("k")), ord.select(col("o_orderkey").as("k")), "k")
+        .select(col("out_rows").as("_lo"))
+      val oc = graft.operators.Skew.joinCardinalityTotal(
+        ord.select(col("o_custkey").as("k")), cust.select(col("c_custkey").as("k")), "k")
+        .select(col("out_rows").as("_oc"))
+      val fin = ord
+        .join(cl, col("o_orderkey") === cl("k"), "inner")
+        .join(cc, col("o_custkey") === cc("k"), "inner")
+        .agg(coalesce(sum(dec(col("_nl")) * dec(col("_nc"))).cast("long"),
+          lit(0L)).as("_fin"))
+      lo.crossJoin(oc).crossJoin(fin)
+        .select(explode(array(
+          struct(lit("a_lineitem_orders_first").as("path"),
+            col("_lo").as("intermediate_rows")),
+          struct(lit("b_orders_customer_first").as("path"),
+            col("_oc").as("intermediate_rows")))).as("e"),
+          col("_lo"), col("_oc"), col("_fin"))
+        .select(col("e.path").as("path"),
+          col("e.intermediate_rows").as("intermediate_rows"),
+          col("_fin").as("final_rows"),
+          (col("e.intermediate_rows") === least(col("_lo"), col("_oc")))
+            .as("recommended"))
+        .orderBy("path")
+    }),
+
+
     // ----- per-key trend fit with R² (monitoring regression) ---------
     "q209_trend_r2" -> ((s, dir) => {
       // q107's exact-integer-moment fit extended with the fit QUALITY:
@@ -2220,6 +2262,28 @@ private[graft] object PipelineQueries {
         |    + 0.5) / 1000000.0 AS intercept
         |FROM m WHERE n * sxx - sx * sx <> 0.0 ORDER BY 1""".stripMargin,
 
+
+    "q211_join_order" ->
+      """WITH cl AS (SELECT l_orderkey AS k, count(*) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |co AS (SELECT o_orderkey AS k, count(*) AS no FROM orders GROUP BY 1),
+        |cc AS (SELECT c_custkey AS k, count(*) AS nc FROM customer GROUP BY 1),
+        |cu AS (SELECT o_custkey AS k, count(*) AS nu FROM orders GROUP BY 1),
+        |lo AS (SELECT coalesce(CAST(sum(nl * no) AS BIGINT), 0) AS v
+        |  FROM cl JOIN co USING (k)),
+        |oc AS (SELECT coalesce(CAST(sum(nu * nc) AS BIGINT), 0) AS v
+        |  FROM cu JOIN cc USING (k)),
+        |fin AS (SELECT coalesce(CAST(sum(cl.nl * cc.nc) AS BIGINT), 0) AS v
+        |  FROM orders
+        |  JOIN cl ON cl.k = o_orderkey
+        |  JOIN cc ON cc.k = o_custkey),
+        |u AS (SELECT 'a_lineitem_orders_first' AS path,
+        |    (SELECT v FROM lo) AS intermediate_rows
+        |  UNION ALL SELECT 'b_orders_customer_first', (SELECT v FROM oc))
+        |SELECT path, intermediate_rows, (SELECT v FROM fin) AS final_rows,
+        |  intermediate_rows = least((SELECT v FROM lo), (SELECT v FROM oc))
+        |    AS recommended
+        |FROM u ORDER BY path""".stripMargin,
 
     "q209_trend_r2" ->
       """WITH d AS (SELECT user_id,

@@ -114,6 +114,37 @@ private[graft] object SketchQueries {
     }),
 
 
+    // ----- bloom-filter sizing advisor (measured, not guessed) -------
+    "q212_bloom_advisor" -> ((s, dir) => {
+      // size the q84/q92 bloom gates from MEASURED cardinality: each
+      // key column's distinct count comes from the portable HLL
+      // sketch (one partial-aggregated pass, never COUNT DISTINCT at
+      // scale), then the fpp ladder folds through hardcoded
+      // bits-per-element literals (−ln p / ln²2 — compile-time
+      // constants, no libm on data): bits = ceil(ndv·bpe), k hashes
+      // from the same ladder, memory in KiB by integer division
+      val ladder = Seq(("fpp_1pct", 9.585058445182247, 7),
+        ("fpp_01pct", 14.37758766777337, 10))
+      def advise(tbl: String, colName: String): DataFrame = {
+        val ndv = rd(s, dir, tbl)
+          .agg(Sketches.hllRegisters(col(colName).cast("string")).as("regs"))
+          .select(Sketches.hllEstimate("regs").as("ndv_est"))
+        ndv.select(lit(s"$tbl.$colName").as("key_col"), col("ndv_est"),
+          explode(array(ladder.map { case (name, bpe, k) =>
+            struct(lit(name).as("fpp"),
+              ceil(col("ndv_est").cast("double") * lit(bpe)).cast("long")
+                .as("bits"), lit(k).as("k_hashes"))
+          }: _*)).as("e"))
+          .select(col("key_col"), col("e.fpp").as("fpp"), col("ndv_est"),
+            col("e.bits").as("bits"), col("e.k_hashes").as("k_hashes"),
+            expr("CAST(e.bits div 8192 AS BIGINT)").as("kib"))
+      }
+      advise("events", "event_id")
+        .unionByName(advise("lineitem", "l_orderkey"))
+        .orderBy("key_col", "fpp")
+    }),
+
+
     // ----- count-min heavy-hitter frequencies ------------------------
     "q148_cms_frequencies" -> ((s, dir) => {
       // token frequencies of the corpus-wide top-15 tokens, estimated
@@ -257,6 +288,46 @@ private[graft] object SketchQueries {
         |  GROUP BY 1)
         |SELECT ex.day, n_exact, CAST(floor(ev + 0.5) AS BIGINT) AS n_est
         |FROM ex JOIN est USING (day) ORDER BY day""".stripMargin,
+
+    "q212_bloom_advisor" ->
+      """WITH h1 AS (SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS hv FROM events),
+        |b1 AS (SELECT hv % 256 AS bucket,
+        |  CASE WHEN hv // 256 = 0 THEN 53
+        |       ELSE 53 - length(bin(hv // 256)) END AS rho FROM h1),
+        |r1 AS (SELECT bucket, max(rho) AS m FROM b1 GROUP BY 1),
+        |d1 AS (SELECT count(*) AS nz, sum(1::BIGINT << (53 - m)) AS sden FROM r1),
+        |e1 AS (SELECT 256 - nz AS v,
+        |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |    * 65536.0 * 9007199254740992.0
+        |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw FROM d1),
+        |n1 AS (SELECT CAST(floor(CASE WHEN v > 0 AND raw <= 640.0
+        |    THEN 256.0 * ln(256.0 / v) ELSE raw END + 0.5) AS BIGINT) AS ndv
+        |  FROM e1),
+        |h2 AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS hv FROM lineitem),
+        |b2 AS (SELECT hv % 256 AS bucket,
+        |  CASE WHEN hv // 256 = 0 THEN 53
+        |       ELSE 53 - length(bin(hv // 256)) END AS rho FROM h2),
+        |r2 AS (SELECT bucket, max(rho) AS m FROM b2 GROUP BY 1),
+        |d2 AS (SELECT count(*) AS nz, sum(1::BIGINT << (53 - m)) AS sden FROM r2),
+        |e2 AS (SELECT 256 - nz AS v,
+        |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+        |    * 65536.0 * 9007199254740992.0
+        |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw FROM d2),
+        |n2 AS (SELECT CAST(floor(CASE WHEN v > 0 AND raw <= 640.0
+        |    THEN 256.0 * ln(256.0 / v) ELSE raw END + 0.5) AS BIGINT) AS ndv
+        |  FROM e2),
+        |lad AS (SELECT * FROM (VALUES
+        |  ('fpp_1pct', CAST(9.585058445182247 AS DOUBLE), 7),
+        |  ('fpp_01pct', CAST(14.37758766777337 AS DOUBLE), 10)) v(fpp, bpe, k)),
+        |u AS (SELECT 'events.event_id' AS key_col, ndv FROM n1
+        |  UNION ALL SELECT 'lineitem.l_orderkey', ndv FROM n2)
+        |SELECT key_col, fpp, ndv AS ndv_est,
+        |  CAST(ceil(CAST(ndv AS DOUBLE) * bpe) AS BIGINT) AS bits,
+        |  k AS k_hashes,
+        |  CAST(ceil(CAST(ndv AS DOUBLE) * bpe) AS BIGINT) // 8192 AS kib
+        |FROM u CROSS JOIN lad ORDER BY key_col, fpp""".stripMargin,
 
     "q148_cms_frequencies" ->
       """WITH toks AS (SELECT source AS g, tok
