@@ -59,13 +59,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}"""
     println(fullLine)
     // the full line also lands in a local file: tail-window captures can
-    // truncate stdout, the file cannot. ONLY full runs may write it — a
-    // SPARK_GRAFT_ONLY subset run overwriting the 150+-query baseline
-    // with a handful of entries is exactly the artifact-clobbering the
-    // round-6 advice flagged
+    // truncate stdout, the file cannot. ONLY full CLEAN runs may write
+    // it — a SPARK_GRAFT_ONLY subset run (a handful of entries) or a
+    // failed run (total=-1) overwriting the 150+-query baseline is
+    // exactly the artifact-clobbering the round-6 advice flagged twice;
+    // a failed full run lands in BENCH_LOCAL_failed.json for triage
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Path.of("BENCH_LOCAL_latest.json"), fullLine + "\n")
+        java.nio.file.Path.of(
+          if (total < 0) "BENCH_LOCAL_failed.json" else "BENCH_LOCAL_latest.json"),
+        fullLine + "\n")
       catch { case _: java.io.IOException => } // bench result > bookkeeping
     // compact line LAST — it is what a bounded tail capture parses (r4's
     // artifact began mid-line at q11; r5's parsed object lost the

@@ -180,7 +180,7 @@ private[graft] object ParityQueries {
       // oracle never sees the CSV, only the source table
       val src = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus",
         "o_totalprice", "o_orderdate")
-      val out = sys.props("java.io.tmpdir") + "/graft_q104_csv"
+      val out = scratchPath(dir, "q104_csv")
       graft.operators.Export.writeCsv(Seq(src), Seq("o_orderkey"), out)
       s.read.option("header", "true")
         .schema("o_orderkey LONG, o_orderdate TIMESTAMP, " +
@@ -203,7 +203,7 @@ private[graft] object ParityQueries {
       val src = docsBase(s, dir).join(
         rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("doc_id"))
-      val out = sys.props("java.io.tmpdir") + "/graft_q105_jsonl"
+      val out = scratchPath(dir, "q105_jsonl")
       graft.operators.Export.writeJsonl(src, Seq("doc_id"), out,
         maxRecordsPerFile = 100)
       s.read.schema("doc_id LONG, n_chars LONG, source STRING, text STRING")
@@ -243,7 +243,7 @@ private[graft] object ParityQueries {
       // family; the oracle only ever sees the source table
       val src = rd(s, dir, "events")
         .select("event_id", "ts", "event_type", "value")
-      val out = sys.props("java.io.tmpdir") + "/graft_q129_orc"
+      val out = scratchPath(dir, "q129_orc")
       graft.operators.Export.writeOrc(src, Seq("event_id"), out,
         maxRecordsPerFile = 2000)
       s.read.orc(out)
@@ -273,7 +273,7 @@ private[graft] object ParityQueries {
       // source with a pushed filter + pruned columns, and aggregated —
       // the oracle only ever sees the original table, so the source's
       // typed parse, pushdown, and null semantics are all on the hook
-      val out = sys.props("java.io.tmpdir") + "/graft_q110_records"
+      val out = scratchPath(dir, "q110_records")
       rd(s, dir, "documents").select(concat(
           lit("{\"id\":\"doc"), col("doc_id"),
           lit("\",\"createdTime\":\"2024-01-01T00:00:00Z\"," +
@@ -301,7 +301,7 @@ private[graft] object ParityQueries {
       // so the writer's serialization AND the reader's parse are both on
       // the hook. mode=overwrite exercises the truncate path, keeping
       // reruns exact.
-      val out = sys.props("java.io.tmpdir") + "/graft_q112_records"
+      val out = scratchPath(dir, "q112_records")
       rd(s, dir, "documents").select(
           concat(lit("doc"), col("doc_id")).as("_record_id"),
           lit("2024-01-01T00:00:00Z").cast("timestamp").as("_created_time"),
@@ -504,8 +504,7 @@ private[graft] object ParityQueries {
 
     // ----- batch atomic write: heterogeneous actions in one commit ---
     "q42_batch_actions" -> ((s, dir) => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q42_state").getAbsolutePath
+      val path = scratchPath(dir, "q42_state")
       val store = new graft.state.StateStore(s, path)
       store.truncate()
       store.overwrite(custState(s, dir))

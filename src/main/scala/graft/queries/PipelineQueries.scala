@@ -1252,8 +1252,7 @@ private[graft] object PipelineQueries {
 
     // ----- bucketed incremental state (the 100 TB rewrite path) ------
     "q35_bucketed_upsert" -> ((s, dir) => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q35_state").getAbsolutePath
+      val path = scratchPath(dir, "q35_state")
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true)
@@ -2160,6 +2159,50 @@ private[graft] object PipelineQueries {
           r(sqrt(r(col("chi2"), 6) /
             (col("n_rows") * least(col("n_bins") - 1, col("n_labels") - 1))
               .cast("double")), 6).as("cramers_v"))
+    }),
+
+
+    // ----- hierarchical rollup (the recursive-CTE surface) -----------
+    "q213_org_rollup" -> ((s, dir) => {
+      // org-chart report over a parent-pointer forest derived from
+      // customer (parent(k) = k/3 above the 11 roots 0..10): per-root
+      // node counts, max depth, exact subtree balance totals. The engine
+      // resolves every chain by pointer DOUBLING — O(log2 depth) joins,
+      // not O(depth) — while DuckDB's native WITH RECURSIVE walks the
+      // same forest one level at a time as the oracle.
+      val nodes = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("node"),
+        when(col("c_custkey") <= 10, col("c_custkey"))
+          .otherwise(floor(col("c_custkey") / lit(3.0))).cast("long").as("parent"),
+        col("c_acctbal"))
+      graft.operators.Hierarchy.subtreeRollup(nodes, "node", "parent", "c_acctbal")
+        .select(col("root"), col("n_nodes"), col("max_depth"),
+          r(col("total_value"), 2).as("total_bal"))
+        .orderBy("root")
+    }),
+
+
+    // ----- per-depth profile of the same forest ----------------------
+    "q214_depth_profile" -> ((s, dir) => {
+      // tree-shape audit on the per-node surface: how many nodes and
+      // LEAVES (nobody's parent) sit at each depth — the histogram that
+      // catches a degenerate (chain-shaped) hierarchy before a recursive
+      // workload is launched against it. One doubling resolution + one
+      // anti-join for leaf-ness + one aggregation.
+      val cust = rd(s, dir, "customer")
+      val nodes = cust.select(
+        col("c_custkey").cast("long").as("node"),
+        when(col("c_custkey") <= 10, col("c_custkey"))
+          .otherwise(floor(col("c_custkey") / lit(3.0))).cast("long").as("parent"))
+      val resolved = graft.operators.Hierarchy.rootsAndDepths(nodes, "node", "parent")
+      val parents = nodes.filter(col("node") =!= col("parent"))
+        .select(col("parent").as("pnode")).distinct()
+      resolved.join(parents, col("node") === col("pnode"), "left")
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("pnode").isNull, 1L).otherwise(0L)).as("n_leaves"),
+          countDistinct(col("root")).as("n_roots"))
+        .orderBy("depth")
     }),
 
   )
@@ -4197,6 +4240,43 @@ private[graft] object PipelineQueries {
         |  floor(sqrt(chi2 / CAST(n_rows * least(n_bins - 1, n_labels - 1)
         |    AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cramers_v
         |FROM agg""".stripMargin,
+
+    // DuckDB's NATIVE recursive CTE is the oracle: same forest
+    // (parent(k) = k/3 above the roots 0..10), walked one level at a
+    // time — a wrong doubling composition (off-by-one depths, skipped
+    // generations, dropped nodes) cannot match it.
+    "q213_org_rollup" ->
+      """WITH RECURSIVE walk(node, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.root, w.depth + 1
+        |  FROM customer c JOIN walk w
+        |    ON CAST(floor(c.c_custkey / 3.0) AS BIGINT) = w.node
+        |  WHERE c.c_custkey > 10)
+        |SELECT w.root AS root, count(*) AS n_nodes,
+        |  CAST(max(w.depth) AS BIGINT) AS max_depth,
+        |  floor(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |    * 100 + 0.5) / 100 AS total_bal
+        |FROM walk w JOIN customer c ON c.c_custkey = w.node
+        |GROUP BY w.root ORDER BY root""".stripMargin,
+
+    "q214_depth_profile" ->
+      """WITH RECURSIVE walk(node, depth, root) AS (
+        |  SELECT c_custkey, 0, c_custkey FROM customer WHERE c_custkey <= 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.depth + 1, w.root
+        |  FROM customer c JOIN walk w
+        |    ON CAST(floor(c.c_custkey / 3.0) AS BIGINT) = w.node
+        |  WHERE c.c_custkey > 10),
+        |parents AS (
+        |  SELECT DISTINCT CAST(floor(c_custkey / 3.0) AS BIGINT) AS pnode
+        |  FROM customer WHERE c_custkey > 10)
+        |SELECT w.depth AS depth, count(*) AS n_nodes,
+        |  CAST(sum(CASE WHEN p.pnode IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaves,
+        |  count(DISTINCT w.root) AS n_roots
+        |FROM walk w LEFT JOIN parents p ON w.node = p.pnode
+        |GROUP BY w.depth ORDER BY depth""".stripMargin,
 
   )
 }

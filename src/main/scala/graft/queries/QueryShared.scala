@@ -17,6 +17,20 @@ private[graft] object QueryShared {
   private[graft] def rd(s: SparkSession, dir: String, t: String): DataFrame =
     Sources.readTable(s, dir, t)
 
+  /** Scratch dir for queries that materialize an intermediate artifact
+    * (export round-trips, state-store fixtures). Keyed by the SF dir AND
+    * a per-JVM nonce: the driver runs Verify (sf0.01) and Bench (sf0.1)
+    * as overlapping JVMs, and a shared fixed path would let one process
+    * truncate the artifact while the other is mid-read. Within one JVM
+    * the path is stable, so a query's two bench runs reuse it. */
+  private val scratchNonce =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+  private[graft] def scratchPath(dir: String, tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$scratchNonce")
+      .getAbsolutePath
+
   private[graft] def cfg(ut: UpdateType, v: Long, pk: String, table: String): PipelineConfig =
     PipelineConfig(SourceConfig("/", table), StoreConfig("/na", table), ut, pk, v)
 

@@ -346,4 +346,41 @@ class RecordSourceSpec extends SparkSpec {
     assert(multi.map(_._3).sum == spark.read.parquet(single).count())
     assert(multi.size >= 3, s"expected >=3 part files, saw ${multi.size}")
   }
+
+  // Regression pin for the round-6 driver failure: the fixture generator
+  // switched events.ts from TIMESTAMP(NANOS) (read as a nanosecond long
+  // under nanosAsLong) to TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+  // as TIMESTAMP_NTZ), and Spark 4 refuses CAST(TIMESTAMP_NTZ AS BIGINT)
+  // — every ts-arithmetic query crashed. readTable owns the contract:
+  // whatever the physical encoding, `ts` surfaces as session-zone
+  // TimestampType and epoch-second arithmetic resolves.
+  test("readTable normalizes every ts physical encoding to TimestampType") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_tsenc").toString
+    val sec = 1704067200L // 2024-01-01T00:00:00Z
+    // (a) nanosecond longs — the pre-round-6 NANOS shape under nanosAsLong
+    spark.range(1, 4).select(col("id").as("event_id"),
+      (col("id") * 1000000000L + lit(sec * 1000000000L)).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/nanos.parquet")
+    // (b) TIMESTAMP_NTZ — the round-6 shape that crashed 8 queries
+    spark.range(1, 4).select(col("id").as("event_id"),
+      timestamp_seconds(col("id") + sec).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ntz.parquet")
+    // (c) plain session-zone timestamp
+    spark.range(1, 4).select(col("id").as("event_id"),
+      timestamp_seconds(col("id") + sec).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ltz.parquet")
+    for (t <- Seq("nanos", "ntz", "ltz")) {
+      val df = graft.sources.Sources.readTable(spark, base, t)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$t: ts must surface as TimestampType, got ${df.schema("ts").dataType}")
+      // the exact operation that failed in round 6, value-checked: the
+      // session is pinned UTC, so all three encodings mean the same instant
+      val secs = df.select(col("ts").cast("long")).as[Long].collect().sorted
+      assert(secs.toSeq == Seq(sec + 1, sec + 2, sec + 3), s"$t: $secs")
+    }
+    // the live fixture dir honors the same contract
+    val ev = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "events")
+    assert(ev.schema("ts").dataType == TimestampType)
+  }
 }
