@@ -56,6 +56,14 @@ object Normalize {
     org.apache.spark.sql.graftbridge.column(NfcNormalize(
       org.apache.spark.sql.graftbridge.expression(c)))
 
+  /** Accent-fold + casefold canonical dedup key via the native
+    * codegen'd [[AccentFold]] expression (NFD, strip non-spacing marks,
+    * root-locale lowercase; lowercase-ASCII rows pass through
+    * untouched). */
+  def accentFold(c: Column): Column =
+    org.apache.spark.sql.graftbridge.column(AccentFold(
+      org.apache.spark.sql.graftbridge.expression(c)))
+
   /** Drop rows whose primary key is null or empty; the reference counts and
     * warns per skipped record (reference: lib/DataProcessor.py:79-82,94-95). */
   def filterValidPk(df: DataFrame, pk: String): DataFrame =

@@ -139,6 +139,17 @@ object Multimodal {
         if (byteRate > 0L && dataSize >= 0L) Long.box(dataSize * 1000L / byteRate)
         else null
       Some(Row("audio/wav", null, null, 1, dur, p.length.toLong))
+    } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+      // WebP: same RIFF container as WAV, three first-chunk layouts —
+      // VP8X (extended: 24-bit LE canvas dims), VP8L (lossless: 14-bit
+      // packed dims behind the 0x2F signature), VP8 (lossy: 14-bit LE
+      // dims behind the 9D 01 2A frame sync). Truncated or unknown
+      // first chunks are a recognized container with NULL dims.
+      parseWebp(p) match {
+        case Some((w, h)) => dims("image/webp", w, h)
+        case None => meta("image/webp", null, null)
+      }
     } else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
         (le32(p, 14) == 40L || le32(p, 14) == 108L || le32(p, 14) == 124L)) {
       // BMP (BITMAPINFOHEADER family): dims straight from the info
@@ -205,6 +216,44 @@ object Multimodal {
           Some(Row("audio/mpeg", null, null, null, null, p.length.toLong))
       }
     } else None
+  }
+
+  /** WebP first-chunk walk (the chunk after the 12-byte RIFF/WEBP
+    * preamble): `[4CC size(LE32) payload]`.
+    *   - VP8X: flags+reserved(4), then canvas (width-1, height-1) as
+    *     24-bit little-endian each;
+    *   - VP8L: 0x2F signature byte, then one LE32 whose low 14 bits are
+    *     width-1 and next 14 are height-1;
+    *   - "VP8 " (lossy): 3-byte frame tag, 0x9D 0x01 0x2A sync, then
+    *     width and height as LE16 with the top 2 bits a scale hint
+    *     (masked off).
+    * Anything truncated, unsynced, or unrecognized yields None —
+    * recognized container, honestly-unknown dimensions. */
+  private[graft] def parseWebp(p: Array[Byte]): Option[(Long, Long)] = {
+    if (p.length < 20) return None
+    val tag = new String(p, 12, 4, "ISO-8859-1")
+    val size = le32(p, 16)
+    val d = 20
+    tag match {
+      case "VP8X" =>
+        if (size < 10L || d + 10 > p.length) None
+        else Some((
+          (le16(p, d + 4).toLong | ((p(d + 6) & 0xFF).toLong << 16)) + 1L,
+          (le16(p, d + 7).toLong | ((p(d + 9) & 0xFF).toLong << 16)) + 1L))
+      case "VP8L" =>
+        if (size < 5L || d + 5 > p.length || (p(d) & 0xFF) != 0x2F) None
+        else {
+          val bits = le32(p, d + 1)
+          Some(((bits & 0x3FFF) + 1L, ((bits >> 14) & 0x3FFF) + 1L))
+        }
+      case "VP8 " =>
+        if (size < 10L || d + 10 > p.length) None
+        else if ((p(d + 3) & 0xFF) != 0x9D || (p(d + 4) & 0xFF) != 0x01 ||
+            (p(d + 5) & 0xFF) != 0x2A) None
+        else Some(((le16(p, d + 6) & 0x3FFF).toLong,
+          (le16(p, d + 8) & 0x3FFF).toLong))
+      case _ => None
+    }
   }
 
   /** TIFF first-IFD walk: byte order from the II/MM magic, then the

@@ -1001,4 +1001,44 @@ object TextAnalysis {
       "fingerprint" -> fingerprint(t))
     docs.select((docs.columns.toSeq.map(col) ++ sig.map { case (n, c) => c.as(n) }): _*)
   }
+
+  /** Apply a TRAINED BPE merge table to every document — the other half
+    * of the tokenizer loop whose learning side is `bigramMerges`
+    * (q95): a tokenizer is trained once, then applied at corpus scale
+    * on every ingest. Text is lowercased, restricted to [a-z0-9 ],
+    * space-marked with `_`, exploded to one character token per symbol,
+    * then each merge `(l, r) -> lr` is applied corpus-wide as a literal
+    * leftmost non-overlapping replacement of `" l r "` with `" lr "` —
+    * the deterministic greedy-by-rank semantics (back-to-back
+    * occurrences sharing a boundary token keep the shared one
+    * unmerged; both engines implement the identical scan, so the
+    * definition is exact, not approximate).
+    *
+    * Everything is a chain of codegen'd string expressions over one
+    * projection — no UDF, no shuffle, no state: the merge table rides
+    * into every task as plan literals, which is exactly how a trained
+    * tokenizer artifact should ship to a 1000-executor ingest.
+    *
+    * Output: (id, n_chars, n_tokens, chars_per_token) — n_chars counts
+    * the marked symbols (merges never change it), n_tokens counts
+    * post-merge tokens, and their ratio is the compression the merge
+    * table achieves on this corpus (empty docs yield NULL, not 0/0). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val marked = translate(clean, " ", "_")
+    // one space-separated symbol per char, with a leading sentinel space
+    // so every token (first included) is " tok "-addressable
+    val spaced = concat(lit(" "), regexp_replace(marked, "(.)", "$1 "))
+    val merged = merges.foldLeft(spaced) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    docs.select(col(idCol).as("id"),
+        length(marked).cast("long").as("n_chars"),
+        (length(merged) - length(replace(merged, lit(" "), lit(""))) - 1)
+          .cast("long").as("n_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / nullif(col("n_tokens"), lit(0L)))
+  }
 }

@@ -2205,6 +2205,84 @@ private[graft] object PipelineQueries {
         .orderBy("depth")
     }),
 
+
+    // ----- VARIANT shredding (semi-structured ingestion) -------------
+    "q215_variant_shred" -> ((s, dir) => {
+      // semi-structured ingestion through Spark 4's VARIANT type: order
+      // rows serialized to JSON in-plan, parsed ONCE into the
+      // binary-encoded VARIANT (path access without re-parsing — the
+      // modern answer to q102's per-path get_json_object), then shredded
+      // back to typed columns with variant_get: nested-object path,
+      // array index, boolean, and a MISSING path (NULL, not an error).
+      // The oracle never sees JSON or VARIANT — it predicts the report
+      // straight from the source columns, so a value mangled anywhere in
+      // the serialize -> parse -> extract chain fails the gate (doubles
+      // survive because JSON shortest-repr round-trips exactly).
+      val v = rd(s, dir, "orders").select(parse_json(to_json(struct(
+          col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          struct(col("o_orderpriority").as("p"),
+            col("o_orderstatus").as("st")).as("meta"),
+          array((col("o_orderkey") % 7).cast("long"),
+            (col("o_orderkey") % 11).cast("long")).as("arr"),
+          (col("o_orderkey") % 3 === 0).as("flag")))).as("v"))
+      v.select(
+          variant_get(col("v"), "$.meta.p", "string").as("priority"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.price", "double").as("price"),
+          variant_get(col("v"), "$.arr[1]", "bigint").as("m11"),
+          variant_get(col("v"), "$.flag", "boolean").as("flag"),
+          variant_get(col("v"), "$.nope", "string").as("missing"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("m11")).as("sum_m11"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"),
+          sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("priority")
+    }),
+
+
+    // ----- WebP header decode (all three first-chunk layouts) --------
+    "q218_webp_headers" -> ((s, dir) => {
+      // RIFF/WEBP bytes assembled in-plan across the three real
+      // first-chunk layouts — VP8X (24-bit LE canvas dims), VP8L
+      // (14-bit packed dims), lossy VP8 (14-bit LE dims behind the
+      // frame sync) — plus a truncated class: recognized container,
+      // NULL dims. The oracle predicts everything from doc_id
+      // arithmetic; the decoder walks actual bytes.
+      def beHex(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def leHex(c: Column, bytes: Int) = {
+        val be = beHex(c, bytes * 2)
+        concat((0 until bytes).reverse.map(i => substring(be, i * 2 + 1, 2)): _*)
+      }
+      val pre = "52494646" + "24000000" + "57454250" // RIFF size WEBP
+      val vp8x = concat(unhex(lit(pre + "56503858" + "0A000000" + "00000000")),
+        unhex(leHex((col("doc_id") % 300).cast("long"), 3)),
+        unhex(leHex((col("doc_id") % 200).cast("long"), 3)))
+      val vp8lBits = (col("doc_id") % 1000 +
+        (col("doc_id") % 700) * 16384).cast("long")
+      val vp8l = concat(unhex(lit(pre + "5650384C" + "05000000" + "2F")),
+        unhex(leHex(vp8lBits, 4)))
+      val vp8 = concat(unhex(lit(pre + "56503820" + "0A000000" +
+          "000000" + "9D012A")),
+        unhex(leHex((col("doc_id") % 1000 + 1).cast("long"), 2)),
+        unhex(leHex((col("doc_id") % 600 + 1).cast("long"), 2)))
+      val truncated = unhex(lit("52494646" + "10000000" + "57454250" + "56503858"))
+      val media = rd(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, vp8x)
+          .when(col("doc_id") % 4 === 1, vp8l)
+          .when(col("doc_id") % 4 === 2, vp8)
+          .otherwise(truncated).as("payload"),
+        lit("application/octet-stream").as("mime"))
+      Multimodal.withDecodedMeta(media, "payload", "mime")
+        .select(col("doc_id"), col("media.mime").as("detected_mime"),
+          col("media.width").as("width"), col("media.height").as("height"),
+          col("media.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4277,6 +4355,37 @@ private[graft] object PipelineQueries {
         |  count(DISTINCT w.root) AS n_roots
         |FROM walk w LEFT JOIN parents p ON w.node = p.pnode
         |GROUP BY w.depth ORDER BY depth""".stripMargin,
+
+    // the oracle predicts the variant-shred report from the raw columns:
+    // serialize -> parse -> extract must be value-preserving end to end
+    "q215_variant_shred" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(o_orderkey % 11) AS BIGINT) AS sum_m11,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flag,
+        |  count(*) AS n_missing
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // VP8X canvas is stored minus-one (no +1 on the stored value);
+    // VP8L packs w-1/h-1; lossy VP8 stores dims directly — the CASE arms
+    // mirror each layout's encoding exactly
+    "q218_webp_headers" ->
+      """SELECT doc_id, 'image/webp' AS detected_mime,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CAST(doc_id % 300 + 1 AS INTEGER)
+        |    WHEN 1 THEN CAST(doc_id % 1000 + 1 AS INTEGER)
+        |    WHEN 2 THEN CAST(doc_id % 1000 + 1 AS INTEGER)
+        |    ELSE NULL END AS width,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CAST(doc_id % 200 + 1 AS INTEGER)
+        |    WHEN 1 THEN CAST(doc_id % 700 + 1 AS INTEGER)
+        |    WHEN 2 THEN CAST(doc_id % 600 + 1 AS INTEGER)
+        |    ELSE NULL END AS height,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 25 WHEN 3 THEN 16
+        |    ELSE 30 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
   )
 }

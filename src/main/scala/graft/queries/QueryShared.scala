@@ -376,6 +376,17 @@ private[graft] object QueryShared {
       |    AS text2
       |  FROM documents)""".stripMargin
 
+  /** q216's trained-tokenizer fixture: an ordered BPE merge table
+    * (rank order matters — later merges consume earlier merges'
+    * outputs, e.g. `th`+`e`). Shared verbatim by the engine
+    * ([[graft.operators.TextAnalysis.bpeApply]] literals) and the
+    * oracle's generated replace-chain so both apply the identical
+    * greedy-by-rank semantics. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+    ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("t", "i"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("i", "s"), ("a", "l"))
+
   private[graft] def probeVec(s: SparkSession, dir: String): Seq[Float] =
     rd(s, dir, "embeddings").orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0)

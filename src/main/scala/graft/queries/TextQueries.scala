@@ -575,6 +575,49 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+
+    // ----- BPE tokenizer APPLICATION (q95's learning counterpart) ----
+    "q216_bpe_apply" -> ((s, dir) => {
+      // a trained merge table applied corpus-wide: per-doc symbol and
+      // token counts plus the compression ratio the table achieves —
+      // pure codegen'd string expressions, the merge table shipped as
+      // plan literals (how a tokenizer artifact reaches every executor)
+      TextAnalysis.bpeApply(docsBase(s, dir), "doc_id", "text", bpeMerges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+
+    // ----- accent-fold + casefold canonical dedup keys ---------------
+    "q217_fold_key" -> ((s, dir) => {
+      // the canonicalization tier ABOVE exact dedup (q24) and NFC
+      // normalization (q171): "Café", "CAFE", and decomposed "Cafe" +
+      // combining acute are the same document for dedup purposes. The
+      // fixture doubles the corpus with per-doc accented/uppercased
+      // variants (composed é/á substitutions + an uppercased head;
+      // decomposed combining marks are pinned by AccentFold's spec);
+      // folding must collapse every pair back to ONE key — engine folds
+      // with the native accent_fold expression (NFD, strip marks,
+      // casefold), the oracle with DuckDB's independent
+      // strip_accents(lower(·)) implementation.
+      val base = docsBase(s, dir)
+      val variants = base.select(col("doc_id"), col("text"))
+        .unionByName(base.select((col("doc_id") + 50000).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 8)),
+            translate(substring(col("text"), 9, 1000000), "ea", "éá"))
+            .as("text")))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            upper(col("text")).as("text")))
+      variants
+        .select(col("doc_id"), md5(Normalize.accentFold(col("text"))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("canon_id"))
+        .groupBy("n_variants")
+        .agg(count(lit(1)).as("n_keys"), sum(col("canon_id")).as("sum_canon"))
+        .orderBy("n_variants")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1293,6 +1336,51 @@ private[graft] object TextQueries {
         |  END AS mean_rare_ratio
         |FROM base JOIN fpc USING (fp) LEFT JOIN rr USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the merge chain is GENERATED from the same bpeMerges table the
+    // engine ships as plan literals — one source of truth for the
+    // tokenizer artifact on both sides of the gate
+    "q216_bpe_apply" -> {
+      val applied = bpeMerges.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, ' $l $r ', ' $l$r ')"
+      }
+      raw"""WITH base AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text),
+           |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+           |  FROM documents),
+           |m AS (SELECT doc_id, replace(clean, ' ', '_') AS marked FROM base),
+           |cs AS (SELECT doc_id, CAST(length(marked) AS BIGINT) AS n_chars,
+           |  ' ' || regexp_replace(marked, '(.)', '\1 ', 'g') AS s FROM m),
+           |ap AS (SELECT doc_id, n_chars, $applied AS s2 FROM cs)
+           |SELECT doc_id, n_chars,
+           |  CAST(length(s2) - length(replace(s2, ' ', '')) - 1 AS BIGINT)
+           |    AS n_tokens,
+           |  CAST(n_chars AS DOUBLE) /
+           |    nullif(length(s2) - length(replace(s2, ' ', '')) - 1, 0)
+           |    AS chars_per_token
+           |FROM ap ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB's strip_accents(lower(·)) is an INDEPENDENT implementation
+    // of the fold — agreement on every variant pair is the evidence the
+    // native AccentFold expression folds correctly
+    "q217_fold_key" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id,
+        |    upper(substr(text, 1, 8)) ||
+        |      translate(substr(text, 9), 'ea', 'éá') AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT doc_id, md5(strip_accents(lower(text))) AS k FROM v),
+        |g AS (SELECT k, count(*) AS n_variants, min(doc_id) AS canon_id
+        |  FROM k GROUP BY k)
+        |SELECT n_variants, count(*) AS n_keys,
+        |  CAST(sum(canon_id) AS BIGINT) AS sum_canon
+        |FROM g GROUP BY n_variants ORDER BY n_variants""".stripMargin,
 
   )
 }

@@ -131,6 +131,36 @@ class ExpressionSpec extends SparkSpec {
       == java.text.Normalizer.normalize(decomposedE, java.text.Normalizer.Form.NFC))
   }
 
+  test("accent_fold collapses case/diacritic variants to one key and agrees between codegen and interpreted paths") {
+    val strs = Seq(
+      "Caf\u00e9 LATTE",          // precomposed e-acute + uppercase
+      "cafe\u0301 latte",         // decomposed combining acute
+      "cafe latte",              // already folded
+      "U\u0308BER \u00dcber uber", // decomposed U+umlaut, composed U-umlaut, plain
+      "plain ascii stays", "").toDF("s")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val on = strs.select(graft.functions.Normalize.accentFold($"s"))
+        .as[String].collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = strs.select(graft.functions.Normalize.accentFold($"s"))
+        .as[String].collect().toSeq
+      assert(on == off)
+      // all three spellings of the same text fold to the SAME key
+      assert(on(0) == "cafe latte" && on(1) == "cafe latte" && on(2) == "cafe latte")
+      assert(on(3) == "uber uber uber")
+      // lowercase-ASCII fast path is the identity
+      assert(on(4) == "plain ascii stays" && on(5) == "")
+      // idempotent: folding a folded key changes nothing
+      val twice = strs.select(graft.functions.Normalize.accentFold(
+        graft.functions.Normalize.accentFold($"s"))).as[String].collect().toSeq
+      assert(twice == on)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.Normalize.accentFold($"s")).collect().head.isNullAt(0))
+  }
+
   test("lsh_code degenerate inputs: short vectors project over available dims; null vec is null") {
     // shorter than dim: same as the SQL-oracle loop over len(vec) — the
     // projection uses plane components 0..len-1

@@ -1726,6 +1726,64 @@ class TrainingOpsSpec extends SparkSpec {
     assert(row.getInt(1) == 640 && row.getInt(2) == 480)
   }
 
+  test("parseWebp: VP8X/VP8L/VP8 layouts, strict sync and truncation") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val pre = "52494646" + "24000000" + "57454250" // RIFF size WEBP
+    // VP8X: 24-bit LE canvas, stored minus-one -> 16000x9000
+    val vp8x = hx(pre + "56503858" + "0A000000" + "00000000" +
+      "7F3E00" + "272300")
+    assert(Multimodal.parseWebp(vp8x) == Some((16000L, 9000L)))
+    // VP8L: 0x2F sig, bits = (w-1) | (h-1)<<14 -> 2048x1024
+    val bits = (2047L | (1023L << 14)).toInt
+    val vp8l = hx(pre + "5650384C" + "05000000" + "2F" +
+      f"${bits & 0xFF}%02X${(bits >> 8) & 0xFF}%02X${(bits >> 16) & 0xFF}%02X${(bits >> 24) & 0xFF}%02X")
+    assert(Multimodal.parseWebp(vp8l) == Some((2048L, 1024L)))
+    // lossy VP8: frame tag + 9D 01 2A sync + LE16 dims (top 2 bits scale)
+    val vp8 = hx(pre + "56503820" + "0A000000" + "000000" + "9D012A" +
+      "8002" + "E001") // 640x480
+    assert(Multimodal.parseWebp(vp8) == Some((640L, 480L)))
+    // scale bits in the top 2 bits are masked off, not dims
+    val scaled = hx(pre + "56503820" + "0A000000" + "000000" + "9D012A" +
+      "8042" + "E081") // same dims with scale hints set
+    assert(Multimodal.parseWebp(scaled) == Some((640L, 480L)))
+    // bad VP8 sync refuses; truncated VP8X refuses; unknown chunk refuses
+    assert(Multimodal.parseWebp(hx(pre + "56503820" + "0A000000" +
+      "000000" + "9D012B" + "8002" + "E001")).isEmpty)
+    assert(Multimodal.parseWebp(vp8x.dropRight(3)).isEmpty)
+    assert(Multimodal.parseWebp(hx(pre + "414C5048" + "0A000000" +
+      "00000000000000000000")).isEmpty)
+    // dispatch: parseHeader sniffs image/webp for all classes, carrying
+    // dims when parseWebp succeeds and NULLs when it refuses
+    val ok = Multimodal.parseHeader(vp8).get
+    assert(ok.getString(0) == "image/webp")
+    assert(ok.getInt(1) == 640 && ok.getInt(2) == 480)
+    val trunc = Multimodal.parseHeader(hx("52494646" + "10000000" +
+      "57454250" + "56503858")).get
+    assert(trunc.getString(0) == "image/webp")
+    assert(trunc.isNullAt(1) && trunc.isNullAt(2))
+  }
+
+  test("bpeApply: greedy-by-rank merges, cleanup, and empty-doc honesty") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("a", "n"), ("a", "t"),
+      ("th", "e"), ("an", "d"))
+    val docs = Seq((1L, "the cat and the hat"),
+      (2L, "The CAT!!"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // "the_cat_and_the_hat" (19 symbols) merges to
+    // [the _ c at _ and _ the _ h at] = 11 tokens
+    assert(out(1L) == (19L, 11L, 19.0 / 11.0))
+    // case + punctuation clean first: "the cat" -> [the _ c at] = 4 tokens
+    assert(out(2L) == (7L, 4L, 7.0 / 4.0))
+    // empty doc: zero tokens, NULL ratio (not 0/0)
+    assert(out(3L) == (0L, 0L, null))
+  }
+
   test("parseMp3: CBR walk, ID3 skip, lenient trailing junk, strict truncation/reserved") {
     def frame(bi: Int, ri: Int, pad: Int): Array[Byte] = {
       val flen = 144000 *
