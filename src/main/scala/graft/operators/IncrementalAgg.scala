@@ -58,4 +58,64 @@ object IncrementalAgg {
       col("mn").as("min_value"),
       col("mx").as("max_value")): _*)
   }
+
+  /** RETRACTION-aware maintenance — incremental view maintenance for a
+    * changelog of inserts AND deletes, the step beyond [[partials]]'
+    * append-only increments (a correction/GDPR-deletion/late-data feed
+    * is never append-only):
+    *
+    *   - COUNT/SUM/SUMSQ retract algebraically: the changelog's partials
+    *     are folded in SIGNED (+1 insert, -1 delete) — no history
+    *     rescan, DECIMAL-exact, so retract-then-fold is bit-identical
+    *     to rebuild.
+    *   - MIN/MAX cannot retract (deleting the current minimum says
+    *     nothing about the runner-up), so they are recomputed ONLY for
+    *     the (key, period) groups the changelog touched, by a
+    *     semi-join-pruned scan of the post-change raw slice. Untouched
+    *     groups keep their stored extrema untouched. At 100 TB the
+    *     touched set is the changelog's key set — tiny and
+    *     broadcastable — so the "rescan" reads one key-pruned sliver,
+    *     not history.
+    *
+    * Groups whose rows are all deleted leave the state (n=0 rows drop);
+    * groups born in the changelog enter it. Output is partials-shaped:
+    * feed it to [[rollup]] exactly like any other partials frame. */
+  def applyChangelog(state: DataFrame, changes: DataFrame,
+      rawAfter: DataFrame, keyCols: Seq[String], periodOf: Column => Column,
+      tsCol: String, valueCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    val sign = when(col(opCol) === "D", lit(-1L)).otherwise(lit(1L))
+    val v = col(valueCol).cast("double")
+    val signed = changes.groupBy(
+        keyCols.map(col) :+ periodOf(col(tsCol)).as("period"): _*)
+      .agg(sum(sign).as("n"),
+        sum((sign.cast("double") * v).cast("decimal(28,12)")).as("s1"),
+        sum((sign.cast("double") * v * v).cast("decimal(28,12)")).as("s2"))
+    // additive moments: one union + one fold, no raw access
+    val additive = state.select(
+        (keyCols.map(col) ++ Seq(col("period"), col("n"), col("s1"), col("s2"))): _*)
+      .unionByName(signed)
+      .groupBy(keyCols.map(col) :+ col("period"): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
+      .filter(col("n") > 0L)
+    // extrema: recompute ONLY the touched groups from the post-change
+    // raw, pruned by a broadcastable semi join on the changelog's keys
+    val touched = signed.select(keyCols.map(col) :+ col("period"): _*).distinct()
+    val prunedRaw = rawAfter
+      .withColumn("period", periodOf(col(tsCol)))
+      .join(broadcast(touched), keyCols :+ "period", "left_semi")
+    val rescanned = prunedRaw
+      .groupBy(keyCols.map(col) :+ col("period"): _*)
+      .agg(min(v).as("mn_new"), max(v).as("mx_new"))
+    val oldExtrema = state.select(
+      (keyCols.map(col) ++ Seq(col("period"),
+        col("mn").as("mn_old"), col("mx").as("mx_old"))): _*)
+    additive
+      .join(oldExtrema, keyCols :+ "period", "left")
+      .join(rescanned, keyCols :+ "period", "left")
+      .select((keyCols.map(col) ++ Seq(col("period"),
+        col("n"), col("s1"), col("s2"),
+        coalesce(col("mn_new"), col("mn_old")).as("mn"),
+        coalesce(col("mx_new"), col("mx_old")).as("mx"))): _*)
+  }
 }

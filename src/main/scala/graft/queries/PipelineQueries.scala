@@ -2283,6 +2283,36 @@ private[graft] object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+
+    // ----- retraction-aware rollup maintenance (IVM with deletes) ----
+    "q219_retract_rollup" -> ((s, dir) => {
+      // q150's materialized rollup under a changelog that DELETES as
+      // well as inserts (corrections / GDPR erasure / late retractions):
+      // count/sum/sumsq retract algebraically from signed changelog
+      // partials — no history rescan — while min/max recompute only for
+      // the touched (user, day) groups via a broadcast-semi-pruned scan
+      // of the post-change slice. The oracle rebuilds from the
+      // post-change table directly: increment must equal rebuild
+      // bit-for-bit.
+      val ev = rd(s, dir, "events").filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val day = (c: Column) => to_date(c)
+      val state = graft.operators.IncrementalAgg.partials(
+        ev, Seq("user_id"), day(col("ts")), "value")
+      val dels = ev.filter(col("event_id") % 7 === 0).withColumn("op", lit("D"))
+      val ins = ev.filter(col("event_id") % 11 === 0)
+        .select(col("user_id"), (col("event_id") + 1000000L).as("event_id"),
+          col("ts"), (col("value") * 2).as("value"))
+        .withColumn("op", lit("I"))
+      val rawAfter = ev.filter(col("event_id") % 7 =!= 0)
+        .unionByName(ins.drop("op"))
+      val newState = graft.operators.IncrementalAgg.applyChangelog(
+        state, dels.unionByName(ins), rawAfter,
+        Seq("user_id"), day, "ts", "value", "op")
+      graft.operators.IncrementalAgg.rollup(newState, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4386,6 +4416,28 @@ private[graft] object PipelineQueries {
         |  CAST(CASE doc_id % 4 WHEN 1 THEN 25 WHEN 3 THEN 16
         |    ELSE 30 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle REBUILDS from the post-change table; the engine
+    // retracts additively and key-prunes the extrema rescan —
+    // increment must equal rebuild exactly
+    "q219_retract_rollup" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id % 20 = 0),
+        |after AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 7 != 0
+        |  UNION ALL
+        |  SELECT user_id, v * 2 AS v FROM e WHERE event_id % 11 = 0),
+        |m AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |  min(v) AS min_value, max(v) AS max_value
+        |  FROM after GROUP BY 1)
+        |SELECT user_id, n,
+        |  floor(s1 * 1000000 + 0.5) / 1000000 AS sum_value,
+        |  floor(s1 / n * 1000000 + 0.5) / 1000000 AS avg_value,
+        |  floor((s2 - s1 * s1 / n) / n * 1000000 + 0.5) / 1000000 AS var_value,
+        |  min_value, max_value
+        |FROM m ORDER BY user_id""".stripMargin,
 
   )
 }

@@ -1764,6 +1764,51 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trunc.isNullAt(1) && trunc.isNullAt(2))
   }
 
+  test("applyChangelog: retract == rebuild; groups leave and enter; extrema rescan is key-pruned") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(k: Long, id: Long, v: java.lang.Double) = (k, id, ts0, v)
+    val base = Seq(
+      row(1L, 10L, 5.0), row(1L, 11L, 9.0), row(1L, 12L, 1.0),
+      row(2L, 20L, 7.0), row(2L, 21L, 3.0),
+      row(3L, 30L, 4.0) // group 3: all rows deleted below
+    ).toDF("k", "id", "ts", "v")
+    val day = (c: org.apache.spark.sql.Column) => to_date(c)
+    val state = IncrementalAgg.partials(base, Seq("k"), day(col("ts")), "v")
+    // delete 1's current MINIMUM (forces runner-up discovery), delete
+    // ALL of 3; insert a new group 4 and a new row for 1
+    val changes = Seq(
+      (1L, 12L, ts0, java.lang.Double.valueOf(1.0), "D"),
+      (3L, 30L, ts0, java.lang.Double.valueOf(4.0), "D"),
+      (1L, 13L, ts0, java.lang.Double.valueOf(2.0), "I"),
+      (4L, 40L, ts0, java.lang.Double.valueOf(6.0), "I")
+    ).toDF("k", "id", "ts", "v", "op")
+    val rawAfter = Seq(
+      row(1L, 10L, 5.0), row(1L, 11L, 9.0), row(1L, 13L, 2.0),
+      row(2L, 20L, 7.0), row(2L, 21L, 3.0),
+      row(4L, 40L, 6.0)
+    ).toDF("k", "id", "ts", "v")
+    val incr = IncrementalAgg.rollup(IncrementalAgg.applyChangelog(
+      state, changes, rawAfter, Seq("k"), day, "ts", "v", "op"), Seq("k"))
+    val rebuild = IncrementalAgg.rollup(IncrementalAgg.partials(
+      rawAfter, Seq("k"), day(col("ts")), "v"), Seq("k"))
+    assertSameRows(incr, rebuild)
+    val got = incr.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(5), r.getDouble(6))).toMap
+    assert(!got.contains(3L), "an all-deleted group must leave the state")
+    assert(got(4L) == (1L, 6.0, 6.0), "a changelog-born group must enter")
+    assert(got(1L) == (3L, 2.0, 9.0), "deleting the minimum must surface the runner-up")
+    assert(got(2L) == (2L, 3.0, 7.0), "untouched group keeps its extrema")
+    // scale evidence: the extrema rescan is pruned by a BROADCAST semi
+    // join on the changelog's touched keys — the raw slice never
+    // shuffles for it
+    val plan = IncrementalAgg.applyChangelog(state, changes, rawAfter,
+      Seq("k"), day, "ts", "v", "op").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-pruned rescan:\n$plan")
+  }
+
   test("bpeApply: greedy-by-rank merges, cleanup, and empty-doc honesty") {
     import spark.implicits._
     val merges = Seq(("t", "h"), ("a", "n"), ("a", "t"),
