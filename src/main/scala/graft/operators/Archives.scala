@@ -82,4 +82,95 @@ object Archives {
       }
     }(enc)
   }
+
+  final case class TarSummary(nEntries: Int, bytesTotal: Long)
+
+  /** POSIX ustar walk — the uncompressed sibling of [[parseZip]] for
+    * corpora delivered as tarballs: 512-byte header blocks (name, octal
+    * size, octal checksum, "ustar" magic at offset 257), each followed
+    * by ceil(size/512) data blocks, terminated by a zero block (or
+    * clean EOF). The walk REFUSES the archive (None) on a bad magic, a
+    * malformed octal field, a failed header CHECKSUM (sum of header
+    * bytes with the checksum field as spaces — the format's own
+    * integrity word), or data running past the payload. Nothing is
+    * ever extracted. */
+  private[graft] def parseTar(p: Array[Byte]): Option[TarSummary] = {
+    // octal field: leading spaces tolerated, digits, NUL/space terminated
+    def octal(off: Int, len: Int): Option[Long] = {
+      var i = off
+      val end = off + len
+      while (i < end && p(i) == ' ') i += 1
+      var v = 0L
+      var any = false
+      while (i < end && p(i) >= '0' && p(i) <= '7') {
+        v = v * 8 + (p(i) - '0'); any = true; i += 1
+      }
+      // the remainder must be NUL/space padding only — a stray byte in
+      // an octal field is corruption, not a number
+      while (i < end && (p(i) == 0 || p(i) == ' ')) i += 1
+      if (any && i == end) Some(v) else None
+    }
+    def zeroBlock(off: Int): Boolean = {
+      var i = off
+      while (i < off + 512) { if (p(i) != 0) return false; i += 1 }
+      true
+    }
+    var pos = 0
+    var entries = 0
+    var total = 0L
+    while (pos + 512 <= p.length) {
+      if (zeroBlock(pos)) return Some(TarSummary(entries, total))
+      // magic "ustar" at 257 (POSIX "ustar\0" or GNU "ustar ")
+      if (p(pos + 257) != 'u' || p(pos + 258) != 's' || p(pos + 259) != 't' ||
+          p(pos + 260) != 'a' || p(pos + 261) != 'r') return None
+      // checksum: header bytes with the chksum field (148..155) as spaces
+      var sum = 0L
+      var i = pos
+      while (i < pos + 512) {
+        sum += (if (i - pos >= 148 && i - pos < 156) ' '.toLong
+                else (p(i) & 0xFF).toLong)
+        i += 1
+      }
+      val declared = octal(pos + 148, 8).getOrElse(return None)
+      if (declared != sum) return None
+      val size = octal(pos + 124, 12).getOrElse(return None)
+      if (size < 0) return None
+      val dataBlocks = ((size + 511) / 512).toInt
+      val next = pos + 512 + dataBlocks * 512
+      if (next > p.length) return None // truncated data
+      entries += 1
+      total += size
+      pos = next
+    }
+    // clean EOF without a zero terminator is accepted (many writers);
+    // a PARTIAL trailing header is not
+    if (pos == p.length && entries > 0) Some(TarSummary(entries, total))
+    else None
+  }
+
+  val tarMetaSchema: StructType = StructType(Seq(
+    StructField("n_entries", IntegerType),
+    StructField("bytes_total", LongType),
+    StructField("byte_len", LongType)))
+
+  /** Attach the tar walk summary to a frame of binary payloads —
+    * same batch shape as [[withZipMeta]]. */
+  def withTarMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = df.schema.add(StructField("tar", tarMetaSchema))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val meta =
+          if (payload == null) null
+          else parseTar(payload) match {
+            case Some(t) => Row(Int.box(t.nEntries), Long.box(t.bytesTotal),
+              payload.length.toLong)
+            case None => Row(null, null, payload.length.toLong)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
 }

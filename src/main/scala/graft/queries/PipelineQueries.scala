@@ -2313,6 +2313,58 @@ private[graft] object PipelineQueries {
         .orderBy("user_id")
     }),
 
+
+    // ----- POSIX ustar census (tarball ingest triage) ----------------
+    "q220_tar_census" -> ((s, dir) => {
+      // real 512-byte ustar headers assembled in-plan — including the
+      // format's own integrity word (the octal CHECKSUM over header
+      // bytes, computed as a fixed-part constant plus an in-plan
+      // octal-digit byte sum), which the walker verifies before
+      // trusting any field. Three classes: a two-entry archive with
+      // zero-block termination, a one-entry archive with clean-EOF
+      // termination, and a truncated-data archive that must refuse
+      // with NULLs. The oracle predicts counts and size totals from
+      // doc_id arithmetic alone.
+      def fixStr(str: String) = lit(str.getBytes("ISO-8859-1"))
+      def z(n: Int) = lit(Array.fill[Byte](n)(0))
+      def strSum(str: String) = str.map(_.toInt).sum
+      val fixedSum = strSum("a") + strSum("0000644") + 2 * strSum("0000000") +
+        strSum("00000000000") + 8 * 32 + '0'.toInt + strSum("ustar") + strSum("00")
+      def octB(c: Column, w: Int) = lpad(conv(c.cast("string"), 10, 8), w, "0")
+      def digitSum(c: Column) = aggregate(split(octB(c, 11), ""), lit(0),
+        (a, x) => a + coalesce(ascii(x), lit(0)))
+      def header(size: Column) = {
+        val ck = octB((lit(fixedSum) + digitSum(size)).cast("long"), 6)
+        concat(
+          fixStr("a"), z(99),                                   // name
+          fixStr("0000644\u0000"), fixStr("0000000\u0000"),     // mode, uid
+          fixStr("0000000\u0000"),                              // gid
+          octB(size, 11).cast("binary"), z(1),                  // size
+          fixStr("00000000000\u0000"),                          // mtime
+          ck.cast("binary"), fixStr("\u0000 "),                 // chksum
+          fixStr("0"), z(100),                                  // typeflag, linkname
+          fixStr("ustar\u0000"), fixStr("00"),                  // magic, version
+          z(247))                                               // tail padding
+      }
+      def dataOf(sizeSql: String) = expr(s"cast(repeat('x', $sizeSql) as binary)")
+      val s1sql = "(CAST(doc_id % 5 AS INT) + 1) * 512"
+      val s2sql = "(CAST(doc_id % 4 AS INT) + 1) * 512"
+      val good2 = concat(header(expr(s1sql)), dataOf(s1sql),
+        header(expr(s2sql)), dataOf(s2sql), z(1024))
+      val good1 = concat(header(expr(s1sql)), dataOf(s1sql))
+      val trunc = concat(header(lit(1024)), dataOf("512"))
+      val payload = when(col("doc_id") % 3 === 0, good2)
+        .when(col("doc_id") % 3 === 1, good1)
+        .otherwise(trunc)
+      graft.operators.Archives.withTarMeta(
+          rd(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .select(col("doc_id"), col("tar.n_entries").as("n_entries"),
+          col("tar.bytes_total").as("bytes_total"),
+          col("tar.byte_len").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4438,6 +4490,22 @@ private[graft] object PipelineQueries {
         |  floor((s2 - s1 * s1 / n) / n * 1000000 + 0.5) / 1000000 AS var_value,
         |  min_value, max_value
         |FROM m ORDER BY user_id""".stripMargin,
+
+    // full-block entry sizes make the layout arithmetic exact: class 0 =
+    // hdr+s1+hdr+s2+two zero blocks, class 1 = hdr+s1 (clean EOF),
+    // class 2 = truncated (header declares 1024, carries 512) -> NULLs
+    "q220_tar_census" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id % 5 + 1) * 512 AS s1, (doc_id % 4 + 1) * 512 AS s2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1
+        |    ELSE NULL END AS n_entries,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN s1 + s2 WHEN 1 THEN s1
+        |    ELSE NULL END AS BIGINT) AS bytes_total,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 512 + s1 + 512 + s2 + 1024
+        |    WHEN 1 THEN 512 + s1 ELSE 1024 END AS BIGINT) AS byte_len
+        |FROM d ORDER BY doc_id""".stripMargin,
 
   )
 }

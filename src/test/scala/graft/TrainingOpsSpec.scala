@@ -1764,6 +1764,46 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trunc.isNullAt(1) && trunc.isNullAt(2))
   }
 
+  test("parseTar: ustar walk, checksum verification, termination modes, strict refusals") {
+    // independent hand-rolled ustar writer (the operator never sees this
+    // code path): header fields at their POSIX offsets, real checksum
+    def header(name: String, size: Long, breakChecksum: Boolean = false): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("ISO-8859-1"), 0, h, off, s.length)
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"$size%011o"); put(136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = '0'; put(257, "ustar"); put(263, "00")
+      val sum = h.map(_ & 0xFF).sum + (if (breakChecksum) 1 else 0)
+      put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '
+      h
+    }
+    def entry(name: String, data: Array[Byte]): Array[Byte] = {
+      val pad = new Array[Byte]((512 - data.length % 512) % 512)
+      header(name, data.length.toLong) ++ data ++ pad
+    }
+    val zeros = new Array[Byte](1024)
+    val two = entry("a.txt", "hello tar".getBytes) ++
+      entry("b/c.bin", Array.fill[Byte](700)('x')) ++ zeros
+    assert(graft.operators.Archives.parseTar(two)
+      == Some(graft.operators.Archives.TarSummary(2, 709L)))
+    // clean EOF without zero blocks is accepted
+    assert(graft.operators.Archives.parseTar(entry("a", "hi".getBytes))
+      == Some(graft.operators.Archives.TarSummary(1, 2L)))
+    // a broken checksum refuses the whole archive
+    val bad = header("a", 0L, breakChecksum = true) ++ zeros
+    assert(graft.operators.Archives.parseTar(bad).isEmpty)
+    // truncated data refuses; garbage refuses; empty archive refuses
+    assert(graft.operators.Archives.parseTar(
+      entry("a", Array.fill[Byte](700)('x')).dropRight(512)).isEmpty)
+    assert(graft.operators.Archives.parseTar(
+      "definitely not a tar archive".getBytes).isEmpty)
+    assert(graft.operators.Archives.parseTar(new Array[Byte](1024))
+      == Some(graft.operators.Archives.TarSummary(0, 0L)))
+  }
+
   test("applyChangelog: retract == rebuild; groups leave and enter; extrema rescan is key-pruned") {
     import spark.implicits._
     import graft.operators.IncrementalAgg
