@@ -737,4 +737,51 @@ object Stats {
         when(col("_var") > 0, lattice6(
           (col("value") - col("_mean")) / sqrt(col("_var")))).as("zscore"))
   }
+
+  /** EXACT discrete quantiles without a global sort — the scale answer
+    * to "p99 of 100 TB": a global `orderBy` ships the entire column
+    * through one range exchange; approx_percentile answers with an
+    * error bar. This takes the histogram route to an exact answer:
+    *
+    *   pass 1: min/max/count (partial-aggregated, one reduce);
+    *   pass 2: a `bins`-bucket histogram (one aggregation, `bins` rows
+    *           to the driver — centroid-sized, like the k-means step);
+    *   pass 3: per requested quantile, the target RANK lands in one
+    *           known bucket, so only that bucket's rows (~n/bins) are
+    *           filtered (pruned scan), top-k'd, and reduced to the
+    *           exact k-th smallest.
+    *
+    * Rank semantics are lower-ceiling discrete — k = max(1, ceil(q·n)),
+    * the k-th smallest value — matching DuckDB's quantile_disc. NULLs
+    * are excluded. Output: one row per q, (q, value). */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must lie in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull).select(v.as("v"))
+    val head = rows.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    if (head.getLong(2) == 0L) return Seq.empty[(Double, Double)].toDF("q", "value")
+    val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    if (mn == mx) return qs.sorted.map(q => (q, mn)).toDF("q", "value")
+    val w = (mx - mn) / bins
+    val binOf = least(floor((col("v") - lit(mn)) / lit(w)), lit(bins - 1))
+      .cast("int")
+    val hist = rows.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until bins).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    val out = qs.sorted.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      // last bucket whose cumulative-before is < k holds the k-th value
+      val b = (0 until bins).find(i => cum(i + 1) >= k).get
+      val rankInBin = (k - cum(b)).toInt
+      val value = rows.filter(binOf === b)
+        .orderBy(col("v")).limit(rankInBin)
+        .agg(max(col("v"))).head().getDouble(0)
+      (q, value)
+    }
+    out.toDF("q", "value")
+  }
 }

@@ -451,6 +451,20 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- exact quantiles WITHOUT a global sort ---------------------
+    "q221_exact_quantiles" -> ((s, dir) => {
+      // p50/p90/p99 of 600k extendedprices by histogram refinement: one
+      // min/max/count reduce, one 1024-bucket histogram, then ONE
+      // pruned-bucket top-k per quantile (~n/1024 rows each) — no range
+      // exchange ever ships the column, which is what makes the same
+      // plan answer "exact p99 of 100 TB". DuckDB's quantile_disc (a
+      // full sort) must agree on every value exactly.
+      graft.operators.Stats.exactQuantiles(
+        rd(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1066,6 +1080,15 @@ private[graft] object ParityQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.cts >= p.ts - INTERVAL 1800 SECOND AND c.cts <= p.ts
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    // DuckDB sorts the whole column; the engine refines a histogram —
+    // both must name the identical k-th smallest element
+    "q221_exact_quantiles" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS q,
+        |  quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
+        |UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        |UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        |ORDER BY q""".stripMargin,
 
   )
 }

@@ -316,4 +316,29 @@ class StatsSpec extends SparkSpec {
       Stats.distributionDrift(a.limit(0), a, "v", 0.0, 10.0, 10)
     }
   }
+
+  test("exactQuantiles: k-th smallest matches a full sort, all shapes") {
+    import spark.implicits._
+    // skewed values with duplicates and a NULL; ground truth by sort
+    val vals = Seq(5.0, 1.0, 9.0, 1.0, 3.0, 7.0, 3.0, 3.0, 100.0, 2.0)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("v")
+    val sorted = vals.sorted
+    def truth(q: Double): Double =
+      sorted(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Stats.exactQuantiles(df, "v", qs, bins = 4)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    qs.foreach { q => assert(got(q) == truth(q), s"q=$q") }
+    // tiny bin count still exact (stress the in-bin top-k path)
+    val got1 = Stats.exactQuantiles(df, "v", Seq(0.5), bins = 2)
+      .collect().head.getDouble(1)
+    assert(got1 == truth(0.5))
+    // all-equal column short-circuits; empty input yields no rows
+    assert(Stats.exactQuantiles(Seq(4.2, 4.2).toDF("v"), "v", Seq(0.5))
+      .collect().head.getDouble(1) == 4.2)
+    assert(Stats.exactQuantiles(df.filter($"v".isNull), "v", Seq(0.5)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "v", Seq(1.5))
+    }
+  }
 }
