@@ -217,4 +217,136 @@ object Graph {
     }
     degrees(e)
   }
+
+  /** Strongly connected components of a DIRECTED graph by iterative
+    * partition refinement — the directed sibling of
+    * [[graft.operators.Components.connectedComponents]] (which ignores
+    * direction and merges everything a web-link or citation graph
+    * should keep apart).
+    *
+    * Each phase runs min-label propagation to fixpoint along WITHIN-
+    * CLASS edges, forward then backward, and re-keys every class by the
+    * labels found (new class id = min node of the refined group):
+    *   - an SCC is never split: a propagation path between two members
+    *     stays inside the SCC, hence inside their class, so both always
+    *     see the same label;
+    *   - any class that is NOT a single SCC is split: its condensation
+    *     has a source SCC whose min either propagates forward into the
+    *     rest but cannot be reached backward from it, or vice versa.
+    * Phases are bounded by the condensation's chain depth; inner
+    * propagation by the class diameter — every step is an equi-join +
+    * min-aggregation (both partial-aggregated), with lineage truncated
+    * per round, the CC scale discipline.
+    *
+    * Output: `(node, scc)` with scc = the component's minimum node id. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxPhases: Int = 20, maxIter: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    // HARD lineage truncation: localCheckpoint alone is not enough for a
+    // doubly-nested iteration, because LogicalRDD deliberately inherits
+    // the child plan's STATISTICS — and a self-join's size estimate is
+    // the product of its inputs, so the estimate's bit-length DOUBLES
+    // every round. After ~15 rounds the driver spends minutes in
+    // BigInteger.multiply constant-folding statistics (observed via
+    // jstack: Toom-Cook multiplication in the analyzer). Round-tripping
+    // the checkpointed rows through an external RDD rebuilds the frame
+    // with fresh default stats, capping planner cost at O(1) per round.
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = truncate(edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .distinct())
+    val nodes = truncate(e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct())
+    if (nodes.isEmpty)
+      return nodes.select(col("node"), col("node").as("scc"))
+    // min-label propagation to FIXPOINT along within-class edges.
+    // direction: "fwd" pushes labels along s->d (label(x) = min id that
+    // reaches x inside its class); "bwd" along d->s (min id x reaches).
+    // The within-class edge set is computed ONCE per phase (classes are
+    // frozen inside a phase), so each inner round is one equi-join +
+    // one min-aggregation; convergence is read off the label SUM, which
+    // is strictly monotone decreasing while any label still moves — one
+    // scalar action per round, no change-join.
+    def propagate(cls: DataFrame, dir: String): DataFrame = {
+      val (from, to) = if (dir == "fwd") ("s", "d") else ("d", "s")
+      val ec = truncate(e
+        .join(cls.select(col("node").as("s"), col("cls").as("sc")), "s")
+        .join(cls.select(col("node").as("d"), col("cls").as("dc")), "d")
+        .filter(col("sc") === col("dc"))
+        .select(col(from).as("src"), col(to).as("dst")))
+      var lab = truncate(cls.withColumn("lab", col("node")))
+      var prev: java.math.BigDecimal =
+        lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        // edge step: pull the best label one hop along a within-class
+        // edge. jump step (pointer doubling on the label): lab(x) names
+        // a same-class node with a path to x (or from x, in bwd), and
+        // reachability is transitive, so lab(lab(x)) is also a valid
+        // label for x — composing doubles the covered path length each
+        // round, O(log diameter) rounds where the edge step alone is
+        // O(diameter). Both candidate streams fold in ONE aggregation.
+        val cand = ec
+          .join(lab.select(col("node").as("src"), col("lab").as("c")), "src")
+          .select(col("dst").as("node"), col("c"))
+          .unionByName(lab
+            .join(lab.select(col("node").as("jn"), col("lab").as("jl")),
+              col("lab") === col("jn"))
+            .select(col("node"), col("jl").as("c")))
+          .groupBy("node").agg(min(col("c")).as("best"))
+        // the convergence signal rides the checkpoint action as an
+        // observed metric — labels only decrease, so an unchanged sum
+        // is fixpoint; no second job per round
+        val obs = org.apache.spark.sql.Observation()
+        val next = truncate(lab
+          .join(cand, Seq("node"), "left")
+          .select(col("node"), col("cls"),
+            least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"))
+          .observe(obs, sum(col("lab").cast("decimal(38,0)")).as("s")))
+        val cur = obs.get("s").asInstanceOf[java.math.BigDecimal]
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] dir=$dir it=$it sum=$cur t=${System.nanoTime() / 1000000}")
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+        lab = next
+        it += 1
+      }
+      require(converged, s"SCC label propagation unconverged after $maxIter rounds")
+      lab
+    }
+    // refine: new class id = min node over the (class, label) group
+    def refine(lab: DataFrame): DataFrame =
+      lab.withColumn("g", struct(col("cls"), col("lab")))
+        .select(col("node"), col("g"))
+        .join(lab.groupBy(col("cls"), col("lab"))
+          .agg(min(col("node")).as("newCls"))
+          .withColumn("g", struct(col("cls"), col("lab")))
+          .select(col("g"), col("newCls")), "g")
+        .select(col("node"), col("newCls").as("cls"))
+    var cls = truncate(nodes.withColumn("cls", lit(0L)))
+    var phase = 0
+    var moving = true
+    val dbg = sys.env.contains("GRAFT_SCC_DEBUG")
+    def tms = System.nanoTime() / 1000000
+    while (moving && phase < maxPhases) {
+      val t0 = tms
+      val pf = propagate(cls, "fwd"); val t1 = tms
+      val afterFwd = truncate(refine(pf)); val t2 = tms
+      val pb = propagate(afterFwd, "bwd"); val t3 = tms
+      val afterBwd = truncate(refine(pb)); val t4 = tms
+      moving = afterBwd.join(cls.select(col("node"), col("cls").as("old")), "node")
+        .filter(col("cls") =!= col("old")).count() > 0
+      if (dbg) System.err.println(s"[scc] phase=$phase pf=${t1 - t0} rf=${t2 - t1} " +
+        s"pb=${t3 - t2} rb=${t4 - t3} mv=${tms - t4} moving=$moving")
+      cls = afterBwd
+      phase += 1
+    }
+    require(!moving, s"SCC refinement unconverged after $maxPhases phases")
+    cls.select(col("node"), col("cls").as("scc"))
+  }
 }

@@ -40,12 +40,22 @@ object Hierarchy {
   def rootsAndDepths(edges: DataFrame, nodeCol: String, parentCol: String,
       maxIter: Int = 40, checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    def truncate(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
+    // Lineage truncation must ALSO reset plan statistics: checkpointed
+    // frames inherit their child plan's stats, and a pointer-doubling
+    // round self-joins the frame, so the size estimate's bit-length
+    // doubles per round — after enough rounds the driver burns minutes
+    // in BigInteger constant folding (observed via jstack in the SCC
+    // sibling, Graph.stronglyConnectedComponents). The external-RDD
+    // round trip rebuilds the frame with fresh default stats.
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = checkpointDir match {
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          df.checkpoint()
+        case None => df.localCheckpoint()
+      }
+      spark.createDataFrame(ck.rdd, ck.schema)
     }
     // (node, anc, d, fin): anc is d edges above node; fin marks rows
     // whose pointer has PROVABLY reached a root. NULL parent == self

@@ -2284,6 +2284,30 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- strongly connected components (directed clustering) -------
+    "q222_scc" -> ((s, dir) => {
+      // SCC over a directed graph of 10-node cycles bridged by a
+      // one-way block DAG — link-graph provenance clustering, where the
+      // undirected CC (q56) would wrongly merge everything the one-way
+      // bridges touch. The fixture is deliberately SF-independent (100
+      // nodes): the refinement's cost axis is rounds x phases, which
+      // depends on graph SHAPE, not corpus size — the per-round work is
+      // one equi-join + one min-aggregation that scales with the edge
+      // count. DuckDB's oracle is the full recursive-CTE transitive
+      // closure: scc(u) = min of the mutually-reachable set.
+      val ids = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("n")).filter(col("n") < 100)
+      val cyc = ids.selectExpr("n AS s", "(n - n % 10) + ((n + 1) % 10) AS d")
+      val br1 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 2 + 1 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 2 + 1) * 10 AS d")
+      val br2 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 3 + 2 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 3 + 2) * 10 AS d")
+      graft.operators.Graph.stronglyConnectedComponents(
+          cyc.unionByName(br1).unionByName(br2), "s", "d")
+        .orderBy("node")
+    }),
+
+
     // ----- retraction-aware rollup maintenance (IVM with deletes) ----
     "q219_retract_rollup" -> ((s, dir) => {
       // q150's materialized rollup under a changelog that DELETES as
@@ -4468,6 +4492,32 @@ private[graft] object PipelineQueries {
         |  CAST(CASE doc_id % 4 WHEN 1 THEN 25 WHEN 3 THEN 16
         |    ELSE 30 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle brute-forces the TRANSITIVE CLOSURE both ways and
+    // takes the minimum of each node's mutually-reachable set — any
+    // wrong merge or split in the distributed refinement mismatches
+    "q222_scc" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey < 100),
+        |edges AS (
+        |  SELECT n AS s, (n - n % 10) + ((n + 1) % 10) AS d FROM nodes
+        |  UNION ALL
+        |  SELECT n, ((n // 10) * 2 + 1) * 10 FROM nodes
+        |  WHERE n % 10 = 0 AND (n // 10) * 2 + 1 < 10
+        |  UNION ALL
+        |  SELECT n, ((n // 10) * 3 + 2) * 10 FROM nodes
+        |  WHERE n % 10 = 0 AND (n // 10) * 3 + 2 < 10),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |scc AS (
+        |  SELECT a.s AS u, min(a.d) AS m
+        |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+        |  GROUP BY a.s)
+        |SELECT n AS node, least(n, coalesce(m, n)) AS scc
+        |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
 
     // the oracle REBUILDS from the post-change table; the engine
     // retracts additively and key-prunes the extrema rescan —

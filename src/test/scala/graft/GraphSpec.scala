@@ -6,6 +6,67 @@ import graft.operators.Graph
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Driver-side Tarjan — independent ground truth for the distributed
+    * SCC refinement. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val out = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strong(v: Long): Unit = {
+      idx(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Seq.empty).foreach { w =>
+        if (!idx.contains(w)) { strong(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+      }
+      if (low(v) == idx(v)) {
+        val comp = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        val m = comp.min
+        comp.foreach(out(_) = m)
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strong(v))
+    out.toMap
+  }
+
+  test("SCC: cycles merge, chains stay singleton, direction respected") {
+    // two 3-cycles bridged one-way, plus a pure chain and a 2-cycle
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // SCC {1,2,3}
+      (3L, 10L),                          // one-way bridge
+      (10L, 11L), (11L, 12L), (12L, 10L), // SCC {10,11,12}
+      (20L, 21L), (21L, 22L),             // chain: singletons
+      (30L, 31L), (31L, 30L)              // SCC {30,31}
+    )
+    val got = Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tarjan(edges))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(12L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 21L && got(22L) == 22L,
+      "an undirected-CC merge here would be wrong: the chain has no cycles")
+    assert(got(30L) == 30L && got(31L) == 30L)
+  }
+
+  test("SCC agrees with Tarjan on a pseudo-random functional graph") {
+    // k -> 3k+1 mod 31 plus chords: rho-shaped cycles, nontrivial
+    // condensation. Kept small because each propagation round moves a
+    // min label ONE edge — wall-clock is rounds x job latency in a
+    // local test, though each round is a single shuffle at any scale.
+    val edges = ((0L until 31L).map(k => (k, (3 * k + 1) % 31)) ++
+      (0L until 31L by 5).map(k => (k, (k + 7) % 31))).filter(e => e._1 != e._2)
+    val got = Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tarjan(edges))
+  }
+
   test("pageRank: center of a symmetric star outranks leaves, mass ~1") {
     // undirected star 1-{2,3,4}: both directions listed explicitly
     val ed = Seq((1L, 2L), (1L, 3L), (1L, 4L))
