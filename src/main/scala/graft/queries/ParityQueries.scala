@@ -451,6 +451,26 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- replica divergence localization (Merkle bucket diff) ------
+    "q223_replica_diff" -> ((s, dir) => {
+      // the table checksum (q14) scaled into a REPAIR PLAN: source vs a
+      // drifted replica (missing rows, a silent value corruption, extra
+      // rows) fold into 256 order-insensitive bucket digests per side;
+      // only diverged buckets surface, so an anti-entropy job rescans
+      // ~n/256 rows per hit instead of the table. The oracle rebuilds
+      // the same digests in SQL — a digest that misses any perturbation
+      // class fails the gate.
+      val src = rd(s, dir, "customer").select(custCols.map(col): _*)
+      val tgt = src.filter(col("c_custkey") % 89 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 97 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(src.filter(col("c_custkey") % 83 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 500000))
+      Checksums.bucketDivergence(src, tgt, "c_custkey", custCols, nBuckets = 256)
+    }),
+
+
     // ----- exact quantiles WITHOUT a global sort ---------------------
     "q221_exact_quantiles" -> ((s, dir) => {
       // p50/p90/p99 of 600k extendedprices by histogram refinement: one
@@ -1080,6 +1100,40 @@ private[graft] object ParityQueries {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.cts >= p.ts - INTERVAL 1800 SECOND AND c.cts <= p.ts
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    // per-row digest = first 15 md5 hex chars of the portable encoding
+    // as a 60-bit int; bucket digests are exact decimal sums of those —
+    // byte-for-byte the engine's md5_prefix60 route
+    "q223_replica_diff" -> {
+      val fields = Seq("c_custkey", "c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+      val encSql = fields.map(f => enc(f)).mkString(" || '|' || ")
+      s"""WITH src AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         |  c_nationkey FROM customer),
+         |tgt AS (
+         |  SELECT c_custkey, c_name,
+         |    CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1.0
+         |         ELSE c_acctbal END AS c_acctbal,
+         |    c_mktsegment, c_nationkey
+         |  FROM src WHERE c_custkey % 89 != 0
+         |  UNION ALL
+         |  SELECT c_custkey + 500000, c_name, c_acctbal, c_mktsegment,
+         |    c_nationkey FROM src WHERE c_custkey % 83 = 0),
+         |ds AS (SELECT c_custkey % 256 AS bucket,
+         |    sum(CAST(CAST(('0x' || substr(md5($encSql), 1, 15)) AS BIGINT)
+         |      AS DECIMAL(38,0))) AS sum_src, count(*) AS n_src
+         |  FROM src GROUP BY 1),
+         |dt AS (SELECT c_custkey % 256 AS bucket,
+         |    sum(CAST(CAST(('0x' || substr(md5($encSql), 1, 15)) AS BIGINT)
+         |      AS DECIMAL(38,0))) AS sum_tgt, count(*) AS n_tgt
+         |  FROM tgt GROUP BY 1)
+         |SELECT coalesce(ds.bucket, dt.bucket) AS bucket,
+         |  CAST(coalesce(n_src, 0) AS BIGINT) AS n_src,
+         |  CAST(coalesce(n_tgt, 0) AS BIGINT) AS n_tgt
+         |FROM ds FULL OUTER JOIN dt ON ds.bucket = dt.bucket
+         |WHERE NOT (coalesce(n_src, 0) = coalesce(n_tgt, 0)
+         |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
+         |ORDER BY bucket""".stripMargin
+    },
 
     // DuckDB sorts the whole column; the engine refines a histogram —
     // both must name the identical k-th smallest element

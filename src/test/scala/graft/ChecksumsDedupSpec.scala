@@ -88,4 +88,25 @@ class ChecksumsDedupSpec extends SparkSpec {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     assert(Dedup.exact(df).count() == 2)
   }
+
+  test("bucketDivergence localizes every drift class, stays silent in sync") {
+    val src = Seq((0L, "a", 1.5), (1L, "b", 2.5), (2L, "c", 3.5),
+      (3L, "d", 4.5), (4L, "e", 5.5)).toDF("id", "name", "bal")
+    // identical replica: no diverged buckets at all
+    assert(Checksums.bucketDivergence(src, src, "id",
+      Seq("id", "name", "bal"), nBuckets = 4).isEmpty)
+    // value corruption (same row COUNT — only the digest can see it),
+    // a missing row, and an extra row, each in a distinct bucket
+    val tgt = src
+      .withColumn("bal", when($"id" === 1L, 99.9).otherwise($"bal")) // bucket 1
+      .filter($"id" =!= 2L)                                          // bucket 2
+      .unionByName(Seq((7L, "x", 0.5)).toDF("id", "name", "bal"))    // bucket 3
+    val out = Checksums.bucketDivergence(src, tgt, "id",
+      Seq("id", "name", "bal"), nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (1L, 1L), "equal counts, diverged digest: corruption caught")
+    assert(out(2L) == (1L, 0L), "missing row localized")
+    assert(out(3L) == (1L, 2L), "extra row localized")
+  }
 }
