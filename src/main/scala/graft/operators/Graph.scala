@@ -349,4 +349,40 @@ object Graph {
     require(!moving, s"SCC refinement unconverged after $maxPhases phases")
     cls.select(col("node"), col("cls").as("scc"))
   }
+
+  /** Bounded-hop BFS distances from a SOURCE SET along directed edges:
+    * `(node, dist)` with dist = minimum hops <= maxHops (unreached nodes
+    * absent). The blast-radius primitive — "everything within k hops of
+    * these seeds" (contamination spread through a derivation graph,
+    * link-graph crawl frontiers, dependency fallout).
+    *
+    * Deliberately FIXED-HOP, like [[pageRank]]'s fixed iterations: the
+    * k rounds unroll LAZILY (one equi-join + one min-aggregation each),
+    * with a stats-resetting truncation every 4 rounds — so the whole
+    * expansion runs as ~maxHops/4 jobs, no per-round convergence
+    * actions. Fixed hops also makes the result an exact finite object
+    * an external engine can replay (the oracle contract); unbounded
+    * BFS is maxHops >= diameter. */
+  def boundedHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops $maxHops must be in [1, 64]")
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = truncate(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull).distinct())
+    var dist = sources.select(col(sourceCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (h <- 1 to maxHops) {
+      dist = dist.unionByName(
+          e.join(dist.select(col("node").as("s"), col("dist")), "s")
+            .select(col("d").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (h % 4 == 0 || h == maxHops) dist = truncate(dist)
+    }
+    dist
+  }
 }

@@ -2308,6 +2308,29 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- bounded-hop BFS distances (blast radius) ------------------
+    "q224_hop_distances" -> ((s, dir) => {
+      // "everything within 12 hops of block 0" over q222's directed
+      // cycle-blocks-bridged-by-DAG graph: minimum hop counts from a
+      // SEED SET, unreachable nodes absent (blocks 4/6/9 have no
+      // incoming bridge chain — reachability, not just distance, is on
+      // the hook, and the deepest reached nodes sit EXACTLY at the
+      // 12-hop cap). Fixed-hop unrolling: ~maxHops/4 jobs total, no
+      // per-round convergence actions.
+      val ids = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("n")).filter(col("n") < 100)
+      val cyc = ids.selectExpr("n AS s", "(n - n % 10) + ((n + 1) % 10) AS d")
+      val br1 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 2 + 1 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 2 + 1) * 10 AS d")
+      val br2 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 3 + 2 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 3 + 2) * 10 AS d")
+      graft.operators.Graph.boundedHopDistances(
+          cyc.unionByName(br1).unionByName(br2), "s", "d",
+          ids.filter(col("n") < 10), "n", maxHops = 12)
+        .orderBy("node")
+    }),
+
+
     // ----- retraction-aware rollup maintenance (IVM with deletes) ----
     "q219_retract_rollup" -> ((s, dir) => {
       // q150's materialized rollup under a changelog that DELETES as
@@ -4518,6 +4541,28 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // bounded recursive walk, min hop count per reached node — the
+    // WHERE d < 12 bound makes the cycle-bearing recursion finite
+    "q224_hop_distances" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey < 100),
+        |edges AS (
+        |  SELECT n AS s, (n - n % 10) + ((n + 1) % 10) AS d FROM nodes
+        |  UNION ALL
+        |  SELECT n, ((n // 10) * 2 + 1) * 10 FROM nodes
+        |  WHERE n % 10 = 0 AND (n // 10) * 2 + 1 < 10
+        |  UNION ALL
+        |  SELECT n, ((n // 10) * 3 + 2) * 10 FROM nodes
+        |  WHERE n % 10 = 0 AND (n // 10) * 3 + 2 < 10),
+        |walk(node, hops) AS (
+        |  SELECT n, 0 FROM nodes WHERE n < 10
+        |  UNION
+        |  SELECT e.d, w.hops + 1 FROM walk w JOIN edges e ON w.node = e.s
+        |  WHERE w.hops < 12)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     // the oracle REBUILDS from the post-change table; the engine
     // retracts additively and key-prunes the extrema rescan —

@@ -55,6 +55,29 @@ class GraphSpec extends SparkSpec {
     assert(got(30L) == 30L && got(31L) == 30L)
   }
 
+  test("boundedHopDistances: min hops, seed-set semantics, cap and reachability") {
+    // 1 -> 2 -> 3 -> 4 -> 5, shortcut 1 -> 3, island 9 -> 10, back-edge 5 -> 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (9L, 10L), (5L, 1L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.boundedHopDistances(edges, "s", "d", seeds, "n", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut wins: 3 is one hop, not two; 5 (3 hops via the shortcut)
+    // sits beyond the 2-hop cap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"got $got")
+    // raising the cap reaches 5, and the 5 -> 1 back-edge cannot shrink
+    // the seed's own distance below zero
+    val far = Graph.boundedHopDistances(edges, "s", "d", seeds, "n", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(5L) == 3L && far(1L) == 0L && !far.contains(9L) && !far.contains(10L))
+    // multiple seeds: every node takes the CLOSEST seed
+    val multi = Graph.boundedHopDistances(edges, "s", "d",
+      Seq(1L, 4L).toDF("n"), "n", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(5L) == 1L && multi(3L) == 1L)
+  }
+
   test("SCC agrees with Tarjan on a pseudo-random functional graph") {
     // k -> 3k+1 mod 31 plus chords: rho-shaped cycles, nontrivial
     // condensation. Kept small because each propagation round moves a
