@@ -471,6 +471,33 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- column encoding advisor (storage layout planning) ---------
+    "q225_encoding_advisor" -> ((s, dir) => {
+      // the q211/q212 advisor family applied to STORAGE: per column,
+      // exact NDV and the dictionary-vs-plain call with its bit budget
+      // — dictionary pays when the distinct set is small, and the
+      // per-value index width is ceil(log2 ndv), computed EXACTLY as
+      // length(bin(ndv-1)) so no libm log enters the gate. One
+      // Expand-based aggregation pass computes every column's NDV
+      // together; the report unpivots from the single-row aggregate.
+      val li = rd(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val agg = li.agg(count(lit(1)).as("n"),
+        cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
+      cols.map { c =>
+        agg.select(lit(c).as("column_name"), col("n"),
+          col(s"d_$c").as("ndv"))
+      }.reduce(_ unionByName _)
+        .select(col("column_name"), col("n"), col("ndv"),
+          when(col("ndv") * 20 <= col("n"), lit("dictionary"))
+            .otherwise(lit("plain")).as("advice"),
+          when(col("ndv") < 2, lit(1))
+            .otherwise(length(bin(col("ndv") - 1))).cast("long").as("dict_bits"))
+        .orderBy("column_name")
+    }),
+
+
     // ----- exact quantiles WITHOUT a global sort ---------------------
     "q221_exact_quantiles" -> ((s, dir) => {
       // p50/p90/p99 of 600k extendedprices by histogram refinement: one
@@ -1133,6 +1160,22 @@ private[graft] object ParityQueries {
          |WHERE NOT (coalesce(n_src, 0) = coalesce(n_tgt, 0)
          |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
          |ORDER BY bucket""".stripMargin
+    },
+
+    // dict_bits = length(bin(ndv-1)) — integer-exact ceil(log2), no libm
+    "q225_encoding_advisor" -> {
+      val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val m = cols.map(c => s"count(DISTINCT $c) AS d_$c").mkString(", ")
+      val arms = cols.map(c =>
+        s"SELECT '$c' AS column_name, n, d_$c AS ndv FROM m").mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT count(*) AS n, $m FROM lineitem),
+         |u AS ($arms)
+         |SELECT column_name, n, ndv,
+         |  CASE WHEN ndv * 20 <= n THEN 'dictionary' ELSE 'plain' END AS advice,
+         |  CAST(CASE WHEN ndv < 2 THEN 1
+         |    ELSE length(bin(ndv - 1)) END AS BIGINT) AS dict_bits
+         |FROM u ORDER BY column_name""".stripMargin
     },
 
     // DuckDB sorts the whole column; the engine refines a histogram —
