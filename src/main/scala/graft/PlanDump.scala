@@ -208,7 +208,27 @@ object PlanDump {
           "literal arrays and ADC scoring is m element_at lookups per row " +
           "— the only exchange in the whole query is the final top-k's " +
           "TakeOrderedAndProject singlePartition over k rows.",
-        SparkEntry.queries("q193_pq_ann")(spark, sfDir)))
+        SparkEntry.queries("q193_pq_ann")(spark, sfDir)),
+      ("q219_retract_rollup — retraction IVM with a key-pruned extrema rescan",
+        "The additive moments never touch raw history (signed changelog " +
+          "partials union into the stored state); the min/max rescan reads " +
+          "the post-change slice through a BroadcastHashJoin LeftSemi on " +
+          "the changelog's touched keys — at 100 TB that broadcast is the " +
+          "changelog's key set, and the rescan is a sliver, not a rebuild.",
+        SparkEntry.queries("q219_retract_rollup")(spark, sfDir)),
+      ("q223_replica_diff — Merkle bucket digests, no row shipping",
+        "Each side folds to 256 bucket rows (partial-aggregated decimal " +
+          "digest sums) BEFORE the full-outer join — the only rows that " +
+          "cross the wire are bucket summaries, never table rows; the " +
+          "divergence report is a post-join filter on 16-byte state.",
+        SparkEntry.queries("q223_replica_diff")(spark, sfDir)),
+      ("q215_variant_shred — VARIANT parse-once path extraction",
+        "One projection parses JSON into the binary VARIANT and every " +
+          "variant_get extraction runs inside the same WholeStageCodegen " +
+          "span — no per-path re-parse (q102's get_json_object re-reads " +
+          "the JSON text per path), and the aggregation above it is " +
+          "partial before its single exchange.",
+        SparkEntry.queries("q215_variant_shred")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
