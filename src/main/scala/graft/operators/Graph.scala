@@ -364,24 +364,42 @@ object Graph {
     * an external engine can replay (the oracle contract); unbounded
     * BFS is maxHops >= diameter. */
   def boundedHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
-    require(maxHops >= 1 && maxHops <= 64, s"maxHops $maxHops must be in [1, 64]")
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame =
+    boundedCostDistances(edges.withColumn("_w", lit(1L)), srcCol, dstCol,
+      "_w", sources, sourceCol, maxHops)
+
+  /** Weighted shortest-path costs (Bellman-Ford relaxation) from a seed
+    * set: `(node, dist)` = minimum total edge weight over paths of at
+    * most `rounds` edges. Non-negative integer weights keep every cost
+    * an exact long — no float accumulation anywhere. Same lazily
+    * unrolled shape as [[boundedHopDistances]] (which is this with
+    * weight 1): one equi-join + one min-aggregation per round,
+    * stats-resetting truncation every 4 rounds, ~rounds/4 jobs total.
+    * `rounds >= longest-useful-path` makes the answer exact shortest
+    * path; fewer rounds is the bounded-effort approximation, exact over
+    * the admitted path lengths. */
+  def boundedCostDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, sourceCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds must be in [1, 64]")
     val spark = edges.sparkSession
     def truncate(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       spark.createDataFrame(ck.rdd, ck.schema)
     }
     val e = truncate(edges
-      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .where(col("s").isNotNull && col("d").isNotNull).distinct())
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("w") >= 0L)
+      .groupBy("s", "d").agg(min(col("w")).as("w"))) // parallel edges: keep cheapest
     var dist = sources.select(col(sourceCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
-    for (h <- 1 to maxHops) {
+    for (h <- 1 to rounds) {
       dist = dist.unionByName(
           e.join(dist.select(col("node").as("s"), col("dist")), "s")
-            .select(col("d").as("node"), (col("dist") + 1L).as("dist")))
+            .select(col("d").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (h % 4 == 0 || h == maxHops) dist = truncate(dist)
+      if (h % 4 == 0 || h == rounds) dist = truncate(dist)
     }
     dist
   }

@@ -2331,6 +2331,28 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- weighted shortest paths (Bellman-Ford relaxation) ---------
+    "q226_weighted_paths" -> ((s, dir) => {
+      // cheapest routes, not fewest hops: the q224 graph re-weighted
+      // (w = s%5 + d%3 + 1, all-integer so every cost is an exact long)
+      // — on cycles the cheap way around may be the LONG way, which
+      // hop-BFS cannot see. Same lazily-unrolled relaxation: ~rounds/4
+      // jobs, no per-round convergence actions.
+      val ids = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("n")).filter(col("n") < 100)
+      val cyc = ids.selectExpr("n AS s", "(n - n % 10) + ((n + 1) % 10) AS d")
+      val br1 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 2 + 1 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 2 + 1) * 10 AS d")
+      val br2 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 3 + 2 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 3 + 2) * 10 AS d")
+      val weighted = cyc.unionByName(br1).unionByName(br2)
+        .withColumn("w", expr("s % 5 + d % 3 + 1"))
+      graft.operators.Graph.boundedCostDistances(weighted, "s", "d", "w",
+          ids.filter(col("n") < 10), "n", rounds = 16)
+        .orderBy("node")
+    }),
+
+
     // ----- retraction-aware rollup maintenance (IVM with deletes) ----
     "q219_retract_rollup" -> ((s, dir) => {
       // q150's materialized rollup under a changelog that DELETES as
@@ -4541,6 +4563,30 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // bounded recursive walk over (cost, hops) pairs — hops caps the
+    // recursion, min(cost) per node is the Bellman-Ford answer over
+    // paths of at most 16 edges
+    "q226_weighted_paths" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey < 100),
+        |edges AS (
+        |  SELECT s, d, s % 5 + d % 3 + 1 AS w FROM (
+        |    SELECT n AS s, (n - n % 10) + ((n + 1) % 10) AS d FROM nodes
+        |    UNION ALL
+        |    SELECT n, ((n // 10) * 2 + 1) * 10 FROM nodes
+        |    WHERE n % 10 = 0 AND (n // 10) * 2 + 1 < 10
+        |    UNION ALL
+        |    SELECT n, ((n // 10) * 3 + 2) * 10 FROM nodes
+        |    WHERE n % 10 = 0 AND (n // 10) * 3 + 2 < 10)),
+        |walk(node, cost, hops) AS (
+        |  SELECT n, CAST(0 AS BIGINT), 0 FROM nodes WHERE n < 10
+        |  UNION
+        |  SELECT e.d, w.cost + e.w, w.hops + 1
+        |  FROM walk w JOIN edges e ON w.node = e.s WHERE w.hops < 16)
+        |SELECT node, CAST(min(cost) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     // bounded recursive walk, min hop count per reached node — the
     // WHERE d < 12 bound makes the cycle-bearing recursion finite

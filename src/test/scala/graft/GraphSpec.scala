@@ -78,6 +78,22 @@ class GraphSpec extends SparkSpec {
     assert(multi(5L) == 1L && multi(3L) == 1L)
   }
 
+  test("boundedCostDistances: cheap long way beats short expensive way") {
+    // 1 -> 4 direct costs 10; 1 -> 2 -> 3 -> 4 costs 3; parallel edge
+    // 1 -> 2 at cost 7 must lose to the cost-1 copy
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (1L, 2L, 7L),
+      (2L, 3L, 1L), (3L, 4L, 1L)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.boundedCostDistances(edges, "s", "d", "w", seeds, "n",
+      rounds = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+    // with only ONE relaxation round, just the direct edges are
+    // admissible — the bounded-effort semantics, not an approximation bug
+    val one = Graph.boundedCostDistances(edges, "s", "d", "w", seeds, "n",
+      rounds = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(4L) == 10L && one(2L) == 1L)
+  }
+
   test("SCC agrees with Tarjan on a pseudo-random functional graph") {
     // k -> 3k+1 mod 31 plus chords: rho-shaped cycles, nontrivial
     // condensation. Kept small because each propagation round moves a
