@@ -513,4 +513,48 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - exact1).toDouble / exact1 < 0.2,
       s"estimate ${got(1L)._2} vs exact $exact1")
   }
+
+  test("streaming changelog maintains the rollup through inserts AND deletes") {
+    // a CDC feed arriving as micro-batches of I/D rows drives
+    // IncrementalAgg.applyChangelog per batch (foreachBatch — the
+    // retraction path has no append-only shortcut); after any batch cut
+    // the maintained state must equal a from-scratch rebuild of the
+    // surviving rows.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IncrementalAgg
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val day = (c: org.apache.spark.sql.Column) => to_date(c)
+    val base = Seq((1L, 10L, ts0, 5.0), (1L, 11L, ts0, 9.0),
+      (2L, 20L, ts0, 7.0)).toDF("k", "id", "ts", "v")
+    var live = base.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toSeq
+    var state = IncrementalAgg.partials(base, Seq("k"), day(col("ts")), "v")
+      .localCheckpoint()
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double, String)]
+    val q = in.toDF().toDF("k", "id", "ts", "v", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ch = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getDouble(3), r.getString(4)))
+        live = live.filterNot(x => ch.exists(c => c._5 == "D" && c._2 == x._2)) ++
+          ch.filter(_._5 == "I").map(c => (c._1, c._2, c._3, c._4))
+        val after = live.toDF("k", "id", "ts", "v")
+        state = IncrementalAgg.applyChangelog(state, batch, after,
+          Seq("k"), day, "ts", "v", "op").localCheckpoint()
+        ()
+      }.start()
+    // batch 1: delete group 1's max, insert a new group
+    in.addData((1L, 11L, ts0, 9.0, "D"), (3L, 30L, ts0, 4.0, "I"))
+    q.processAllAvailable()
+    // batch 2: delete ALL of group 2, add more to group 3
+    in.addData((2L, 20L, ts0, 7.0, "D"), (3L, 31L, ts0, 6.0, "I"))
+    q.processAllAvailable()
+    q.stop()
+    val incr = IncrementalAgg.rollup(state, Seq("k"))
+    val rebuild = IncrementalAgg.rollup(IncrementalAgg.partials(
+      live.toDF("k", "id", "ts", "v"), Seq("k"), day(col("ts")), "v"), Seq("k"))
+    assertSameRows(incr, rebuild)
+    val got = incr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L), "group 2 left; group 3 entered")
+  }
 }
