@@ -754,6 +754,69 @@ object Stats {
     * Rank semantics are lower-ceiling discrete — k = max(1, ceil(q·n)),
     * the k-th smallest value — matching DuckDB's quantile_disc. NULLs
     * are excluded. Output: one row per q, (q, value). */
+  /** PER-GROUP exact discrete quantile by the same histogram
+    * refinement as [[exactQuantiles]], fully distributed across groups:
+    * per-group stats and histograms compute in ONE aggregation each
+    * (driver holds only #groups and #groups x bins summary rows —
+    * bounded by `maxGroups`), then a single pruned scan keeps only each
+    * group's TARGET bucket (~n/bins rows per group) and one window
+    * ranks inside it. No per-group driver loop, no global sort, no
+    * full-column range exchange — the "exact per-tenant p99" plan.
+    * Groups where every value is NULL are absent. Output:
+    * (key, q, value). */
+  def exactQuantilesPerGroup(df: DataFrame, keyCol: String, valueCol: String,
+      q: Double, bins: Int = 1024, maxGroups: Int = 10000): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile $q must lie in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+      .select(col(keyCol).as("k"), v.as("v"))
+    val stats = rows.groupBy("k")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n")).collect()
+    require(stats.length <= maxGroups,
+      s"${stats.length} groups exceed maxGroups=$maxGroups: the per-group " +
+        "summaries are driver-side state — raise the cap deliberately or " +
+        "pre-aggregate the key space")
+    if (stats.isEmpty) return Seq.empty[(String, Double, Double)].toDF("k", "q", "value")
+      .withColumnRenamed("k", keyCol)
+    val info = stats.map { r =>
+      (r.get(0), (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }.toMap
+    // per-group bin assignment (width varies per group): broadcast the
+    // tiny stats frame in, never collect data rows
+    val statsDf = broadcast(stats.toSeq.map(r =>
+      (r.get(0).toString, r.getDouble(1), r.getDouble(2))).toDF("ks", "mn", "mx"))
+    val binned = rows.join(statsDf, col("k").cast("string") === col("ks"))
+      .withColumn("b", when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((col("v") - col("mn")) /
+          ((col("mx") - col("mn")) / bins)), lit(bins - 1)).cast("int")))
+    val hist = binned.groupBy("k", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver: locate each group's target bucket + in-bucket rank
+    val targets = info.map { case (k, (mn, mx, n)) =>
+      val kth = math.max(1L, math.ceil(q * n).toLong)
+      if (mn == mx) (k.toString, 0, 1L)
+      else {
+        var cum = 0L
+        var b = 0
+        while (cum + hist.getOrElse((k, b), 0L) < kth) {
+          cum += hist.getOrElse((k, b), 0L); b += 1
+        }
+        (k.toString, b, kth - cum)
+      }
+    }.toSeq
+    val targetDf = broadcast(targets.toDF("ks2", "tb", "rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    binned.join(targetDf,
+        col("k").cast("string") === col("ks2") && col("b") === col("tb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("rank"))
+      .select(col("k").as(keyCol), lit(q).as("q"), col("v").as("value"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[Double], bins: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),

@@ -512,6 +512,24 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- exact PER-GROUP quantiles, no global sort -----------------
+    "q227_group_quantiles_exact" -> ((s, dir) => {
+      // q221's histogram refinement generalized across groups with no
+      // per-group driver loop: one stats pass, one (group, bucket)
+      // histogram pass, then a single pruned scan + one window inside
+      // each group's target bucket — "exact per-tenant p99" where q34's
+      // percentile() sorts every group and q134's binned form is
+      // approximate. DuckDB's per-group full-sort quantile_disc must
+      // agree on every value.
+      val ord = rd(s, dir, "orders")
+      val p50 = graft.operators.Stats.exactQuantilesPerGroup(
+        ord, "o_orderstatus", "o_totalprice", 0.5)
+      val p90 = graft.operators.Stats.exactQuantilesPerGroup(
+        ord, "o_orderstatus", "o_totalprice", 0.9)
+      p50.unionByName(p90).orderBy("o_orderstatus", "q")
+    }),
+
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1161,6 +1179,14 @@ private[graft] object ParityQueries {
          |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
          |ORDER BY bucket""".stripMargin
     },
+
+    "q227_group_quantiles_exact" ->
+      """SELECT o_orderstatus, CAST(0.5 AS DOUBLE) AS q,
+        |  quantile_disc(o_totalprice, 0.5) AS value FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, 0.9, quantile_disc(o_totalprice, 0.9)
+        |FROM orders GROUP BY 1
+        |ORDER BY o_orderstatus, q""".stripMargin,
 
     // dict_bits = length(bin(ndv-1)) — integer-exact ceil(log2), no libm
     "q225_encoding_advisor" -> {

@@ -341,4 +341,28 @@ class StatsSpec extends SparkSpec {
       Stats.exactQuantiles(df, "v", Seq(1.5))
     }
   }
+
+  test("exactQuantilesPerGroup: per-group k-th smallest, skewed sizes, edges") {
+    import spark.implicits._
+    val data: Seq[(String, Option[Double])] =
+      Seq.tabulate(100)(i => ("big", Some(i.toDouble))) ++
+        Seq(("small", Some(5.0)), ("small", Some(1.0)), ("small", Some(9.0))) ++
+        Seq(("flat", Some(4.2)), ("flat", Some(4.2)), ("nulls", None))
+    val df = data.toDF("k", "v")
+    def truth(vals: Seq[Double], q: Double): Double =
+      vals.sorted(Ordering.Double.TotalOrdering)
+        .apply(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val got = Stats.exactQuantilesPerGroup(df, "k", "v", q, bins = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got("big") == truth((0 until 100).map(_.toDouble), q), s"big q=$q")
+      assert(got("small") == truth(Seq(5.0, 1.0, 9.0), q), s"small q=$q")
+      assert(got("flat") == 4.2)
+      assert(!got.contains("nulls"), "all-NULL groups must be absent")
+    }
+    // group cap fails loudly, not with a driver OOM
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantilesPerGroup(df, "k", "v", 0.5, maxGroups = 2)
+    }
+  }
 }
