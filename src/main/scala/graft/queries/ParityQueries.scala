@@ -530,6 +530,49 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- schema-drift audit between record batches -----------------
+    "q228_schema_drift" -> ((s, dir) => {
+      // the reference DISCOVERS its schema from record payloads
+      // (lib/AirtableDataFetcher.py:39-63); this is that discovery made
+      // operational: two wire-format batches (yesterday's and today's),
+      // field names discovered FROM THE DATA (no declared universe),
+      // per-field observed type inferred from the values (all-integer →
+      // bigint, else string), and the drift report — added / removed /
+      // type_changed / stable. Today's batch turns `score` from a
+      // number into a "NNpt" string (the silent breakage this audit
+      // exists to catch), drops `legacy`, and adds `fresh`. Integer
+      // detection is a regex, not a cast: DuckDB's try_cast ROUNDS
+      // '1.5' to 2 while Spark nulls it — the one semantic the two
+      // engines disagree on.
+      val docs = rd(s, dir, "documents").select("doc_id", "n_chars")
+      val batchA = docs.select(concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"score\":"), col("n_chars"), lit(",\"tag\":\"s"),
+        col("doc_id"), lit("\",\"legacy\":1}")).as("js"))
+      val batchB = docs.select(concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"score\":\""), col("n_chars"), lit("pt\",\"tag\":\"s"),
+        col("doc_id"), lit("\",\"fresh\":"), col("doc_id") % 7,
+        lit("}")).as("js"))
+      def profile(df: DataFrame, nCol: String, tCol: String): DataFrame = df
+        .select(explode(from_json(col("js"), "map<string,string>",
+          Map.empty[String, String])).as(Seq("field", "v")))
+        .groupBy("field")
+        .agg(count(lit(1)).as(nCol),
+          when(min(when(col("v").rlike("^-?[0-9]+$"), 1).otherwise(0)) === 1,
+            lit("bigint")).otherwise(lit("string")).as(tCol))
+      profile(batchA, "n_a", "type_a")
+        .join(profile(batchB, "n_b", "type_b"), Seq("field"), "full")
+        .select(col("field"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          col("type_a"), col("type_b"),
+          when(col("n_a").isNull, lit("added"))
+            .when(col("n_b").isNull, lit("removed"))
+            .when(col("type_a") =!= col("type_b"), lit("type_changed"))
+            .otherwise(lit("stable")).as("status"))
+        .orderBy("field")
+    }),
+
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1179,6 +1222,38 @@ private[graft] object ParityQueries {
          |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
          |ORDER BY bucket""".stripMargin
     },
+
+    // field names come from json_keys (discovered, not declared);
+    // integer detection is the same regex on both engines
+    "q228_schema_drift" ->
+      """WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |a AS (SELECT '{"id":' || doc_id || ',"score":' || n_chars ||
+        |  ',"tag":"s' || doc_id || '","legacy":1}' AS js FROM docs),
+        |b AS (SELECT '{"id":' || doc_id || ',"score":"' || n_chars ||
+        |  'pt","tag":"s' || doc_id || '","fresh":' || (doc_id % 7) ||
+        |  '}' AS js FROM docs),
+        |ae AS (SELECT k AS field, json_extract_string(js, '$.' || k) AS v
+        |  FROM a, unnest(json_keys(js)) AS t(k)),
+        |be AS (SELECT k AS field, json_extract_string(js, '$.' || k) AS v
+        |  FROM b, unnest(json_keys(js)) AS t(k)),
+        |ap AS (SELECT field, count(*) AS n_a,
+        |  CASE WHEN min(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+        |    THEN 1 ELSE 0 END) = 1 THEN 'bigint' ELSE 'string' END AS type_a
+        |  FROM ae GROUP BY field),
+        |bp AS (SELECT field, count(*) AS n_b,
+        |  CASE WHEN min(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+        |    THEN 1 ELSE 0 END) = 1 THEN 'bigint' ELSE 'string' END AS type_b
+        |  FROM be GROUP BY field)
+        |SELECT coalesce(ap.field, bp.field) AS field,
+        |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+        |  type_a, type_b,
+        |  CASE WHEN n_a IS NULL THEN 'added'
+        |       WHEN n_b IS NULL THEN 'removed'
+        |       WHEN type_a != type_b THEN 'type_changed'
+        |       ELSE 'stable' END AS status
+        |FROM ap FULL OUTER JOIN bp ON ap.field = bp.field
+        |ORDER BY field""".stripMargin,
 
     "q227_group_quantiles_exact" ->
       """SELECT o_orderstatus, CAST(0.5 AS DOUBLE) AS q,
