@@ -403,4 +403,45 @@ object Graph {
     }
     dist
   }
+
+  /** TIME-RESPECTING reachability: earliest arrival at each node over
+    * paths whose edge times are NONDECREASING — how information (or
+    * contamination) actually flows through timed interactions: a
+    * Tuesday edge cannot carry influence that only arrived on
+    * Wednesday. Plain reachability (q224) overstates spread on temporal
+    * graphs, sometimes wildly.
+    *
+    * `(node, arrival)` = minimum time of the last edge on any valid
+    * path of at most `rounds` edges from a seed (seeds arrive at
+    * `startTime`). Earlier arrival admits a superset of onward edges
+    * (t >= arrival), so min-arrival has optimal substructure and the
+    * relaxation is exact over the admitted path lengths. Same lazily
+    * unrolled shape as the other bounded walks: one theta-join
+    * (equi on node + the time gate) + one min-aggregation per round. */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+      timeCol: String, sources: DataFrame, sourceCol: String,
+      startTime: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds must be in [1, 64]")
+    val spark = edges.sparkSession
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = truncate(edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
+        col(timeCol).cast("long").as("t"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("t").isNotNull)
+      .distinct())
+    var arr = sources.select(col(sourceCol).cast("long").as("node")).distinct()
+      .withColumn("arrival", lit(startTime))
+    for (h <- 1 to rounds) {
+      arr = arr.unionByName(
+          e.join(arr.select(col("node").as("s"), col("arrival")), "s")
+            .filter(col("t") >= col("arrival")) // the time gate
+            .select(col("d").as("node"), col("t").as("arrival")))
+        .groupBy("node").agg(min(col("arrival")).as("arrival"))
+      if (h % 4 == 0 || h == rounds) arr = truncate(arr)
+    }
+    arr
+  }
 }

@@ -2353,6 +2353,29 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- time-respecting reachability (temporal spread) ------------
+    "q229_temporal_reach" -> ((s, dir) => {
+      // the q224 graph with edge TIMES (t = (s*7 + d) % 32): influence
+      // flows only along nondecreasing-time paths, so blocks reachable
+      // by plain BFS can be temporally UNREACHABLE (a bridge whose time
+      // has already passed by the time the cycle delivers), and
+      // earliest arrivals differ from hop distances. The oracle walks
+      // the same time-gated recursion.
+      val ids = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("n")).filter(col("n") < 100)
+      val cyc = ids.selectExpr("n AS s", "(n - n % 10) + ((n + 1) % 10) AS d")
+      val br1 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 2 + 1 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 2 + 1) * 10 AS d")
+      val br2 = ids.filter(expr("n % 10 = 0 AND (n div 10) * 3 + 2 < 10"))
+        .selectExpr("n AS s", "((n div 10) * 3 + 2) * 10 AS d")
+      val timed = cyc.unionByName(br1).unionByName(br2)
+        .withColumn("t", expr("(s * 7 + d) % 32"))
+      graft.operators.Graph.temporalReachability(timed, "s", "d", "t",
+          ids.filter(col("n") < 10), "n", startTime = 0L, rounds = 12)
+        .orderBy("node")
+    }),
+
+
     // ----- retraction-aware rollup maintenance (IVM with deletes) ----
     "q219_retract_rollup" -> ((s, dir) => {
       // q150's materialized rollup under a changelog that DELETES as
@@ -4563,6 +4586,30 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // the time gate (e.t >= w.arr) inside the recursive step is what
+    // separates temporal from plain reachability
+    "q229_temporal_reach" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey < 100),
+        |edges AS (
+        |  SELECT s, d, (s * 7 + d) % 32 AS t FROM (
+        |    SELECT n AS s, (n - n % 10) + ((n + 1) % 10) AS d FROM nodes
+        |    UNION ALL
+        |    SELECT n, ((n // 10) * 2 + 1) * 10 FROM nodes
+        |    WHERE n % 10 = 0 AND (n // 10) * 2 + 1 < 10
+        |    UNION ALL
+        |    SELECT n, ((n // 10) * 3 + 2) * 10 FROM nodes
+        |    WHERE n % 10 = 0 AND (n // 10) * 3 + 2 < 10)),
+        |walk(node, arr, hops) AS (
+        |  SELECT n, CAST(0 AS BIGINT), 0 FROM nodes WHERE n < 10
+        |  UNION
+        |  SELECT e.d, e.t, w.hops + 1
+        |  FROM walk w JOIN edges e ON w.node = e.s
+        |  WHERE e.t >= w.arr AND w.hops < 12)
+        |SELECT node, CAST(min(arr) AS BIGINT) AS arrival
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     // bounded recursive walk over (cost, hops) pairs — hops caps the
     // recursion, min(cost) per node is the Bellman-Ford answer over

@@ -94,6 +94,30 @@ class GraphSpec extends SparkSpec {
     assert(one(4L) == 10L && one(2L) == 1L)
   }
 
+  test("temporalReachability: nondecreasing-time gate, earliest arrivals") {
+    // 1 -(t5)-> 2 -(t3)-> 3 : the 2->3 edge fires BEFORE influence
+    // reaches 2, so 3 is temporally unreachable via that path;
+    // 1 -(t1)-> 4 -(t2)-> 3 is time-respecting and arrives at t2
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 3L, 2L),
+      (3L, 5L, 1L) // fires at t1 < arrival(3)=2: 5 stays unreachable
+    ).toDF("s", "d", "t")
+    val got = Graph.temporalReachability(edges, "s", "d", "t",
+      Seq(1L).toDF("n"), "n", startTime = 0L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 1L), s"got $got")
+    // a later start time closes the early edges: only the t5 edge admits
+    val late = Graph.temporalReachability(edges, "s", "d", "t",
+      Seq(1L).toDF("n"), "n", startTime = 4L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late == Map(1L -> 4L, 2L -> 5L), s"late $late")
+    // sanity: plain BFS would reach node 5 — the time gate is the
+    // difference, not connectivity
+    val bfs = Graph.boundedHopDistances(edges.select("s", "d"), "s", "d",
+      Seq(1L).toDF("n"), "n", maxHops = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bfs.contains(5L) && !got.contains(5L))
+  }
+
   test("SCC agrees with Tarjan on a pseudo-random functional graph") {
     // k -> 3k+1 mod 31 plus chords: rho-shaped cycles, nontrivial
     // condensation. Kept small because each propagation round moves a
