@@ -131,4 +131,32 @@ object Sequence {
       .select(col("key"), col("state"), col("_sec").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
+
+  /** Coalesce overlapping/touching per-key intervals `[start, end)` into
+    * maximal disjoint spans — activity coverage, downtime merging, lease
+    * union. Classic gaps-and-islands on the RUNNING MAX of interval
+    * ends: a new island starts exactly where an interval begins after
+    * every earlier interval has closed. One hash exchange on the key +
+    * one in-partition sort — no self-join, no explode-per-second;
+    * abutting intervals (start == previous end) merge, a zero-length
+    * interval never splits a span. Output:
+    * `(key, island, start_sec, end_sec)` with island numbered from 1 in
+    * time order. */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("_s"), col("_e"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("_s"), col(endCol).cast("long").as("_e"))
+      .where(col("_s").isNotNull && col("_e").isNotNull && col("_e") >= col("_s"))
+      .withColumn("_prevMaxEnd", max(col("_e")).over(wPrev))
+      .withColumn("_newIsland",
+        when(col("_prevMaxEnd").isNull || col("_s") > col("_prevMaxEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("_newIsland")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("_s")).as("start_sec"), max(col("_e")).as("end_sec"))
+  }
 }

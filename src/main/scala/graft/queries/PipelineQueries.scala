@@ -2376,6 +2376,27 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- interval coalescing (activity coverage) -------------------
+    "q230_interval_merge" -> ((s, dir) => {
+      // each event opens a 300-second activity lease; overlapping and
+      // abutting leases merge into maximal disjoint spans per user via
+      // the running-max islands (one key exchange + one in-partition
+      // sort — never a self-join or a per-second explode). The per-user
+      // report: spans, covered seconds, longest span — covered_sec <
+      // n_events*300 exactly where leases overlapped.
+      val ev = rd(s, dir, "events").filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("ts").cast("long").as("start_sec"),
+          (col("ts").cast("long") + 300L).as("end_sec"))
+      graft.operators.Sequence.coalesceIntervals(ev, "user_id",
+          "start_sec", "end_sec")
+        .groupBy(col("key").as("user_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("end_sec") - col("start_sec")).as("covered_sec"),
+          max(col("end_sec") - col("start_sec")).as("max_span_sec"))
+        .orderBy("user_id")
+    }),
+
+
     // ----- retraction-aware rollup maintenance (IVM with deletes) ----
     "q219_retract_rollup" -> ((s, dir) => {
       // q150's materialized rollup under a changelog that DELETES as
@@ -4586,6 +4607,31 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // same running-max islands in SQL; covered_sec is exact interval
+    // arithmetic, never a per-second expansion
+    "q230_interval_merge" ->
+      """WITH iv AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        |  FROM events WHERE user_id % 5 = 0),
+        |marked AS (SELECT user_id, s, e,
+        |  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS ni
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |  sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked),
+        |spans AS (SELECT user_id, island, min(s) AS ss, max(e) AS ee
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_spans,
+        |  CAST(sum(ee - ss) AS BIGINT) AS covered_sec,
+        |  CAST(max(ee - ss) AS BIGINT) AS max_span_sec
+        |FROM spans GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // the time gate (e.t >= w.arr) inside the recursive step is what
     // separates temporal from plain reachability

@@ -709,4 +709,25 @@ class ComponentsSamplingSpec extends SparkSpec {
       Sampling.importanceResample(df, col("bin"), Seq("id"), Seq("a" -> 0L))
     }
   }
+
+  test("coalesceIntervals: overlap, abutment, containment, gaps, zero length") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap -> [0,15)
+      (1L, 15L, 20L),                 // abuts -> still [0,20)
+      (1L, 2L, 4L),                   // contained: no effect
+      (1L, 30L, 40L),                 // gap -> second span
+      (1L, 35L, 35L),                 // zero-length inside: no split
+      (2L, 100L, 101L)                // other key untouched
+    ).toDF("k", "s", "e")
+    val out = graft.operators.Sequence.coalesceIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map((1L, 1L) -> (0L, 20L), (1L, 2L) -> (30L, 40L),
+      (2L, 1L) -> (100L, 101L)), s"got $out")
+    // invalid (end < start) and NULL intervals are dropped, not merged
+    val bad = Seq((1L, Some(10L), Some(5L)), (1L, None, Some(5L)))
+      .toDF("k", "s", "e")
+    assert(graft.operators.Sequence.coalesceIntervals(bad, "k", "s", "e").isEmpty)
+  }
 }
