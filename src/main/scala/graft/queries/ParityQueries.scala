@@ -573,6 +573,46 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- A/B experiment readout (deterministic assignment) ---------
+    "q231_ab_readout" -> ((s, dir) => {
+      // the experimentation primitive: customers land in arm A or B by
+      // a salted md5 coin (deterministic — re-running the readout can
+      // never reshuffle arms), per-customer spend aggregates once, and
+      // the readout is arm sizes, DECIMAL-exact means, population
+      // variances, the lift, and its z-statistic. Everything up to the
+      // final sqrt/divide is exact decimal arithmetic; sqrt and divide
+      // are correctly-rounded IEEE, identical in any engine, and the
+      // result snaps to the 1e-6 lattice.
+      val spend = rd(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("spend"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("exp42:"),
+            col("o_custkey").cast("string"))), 1, 1) < "8", lit("A"))
+            .otherwise(lit("B")))
+      def m(a: String, c: Column) = sum(when(col("arm") === a, c).otherwise(lit(0)))
+      val agg = spend.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        m("A", col("spend").cast("decimal(28,6)")).cast("double").as("s1_a"),
+        m("B", col("spend").cast("decimal(28,6)")).cast("double").as("s1_b"),
+        m("A", (col("spend") * col("spend")).cast("decimal(38,6)"))
+          .cast("double").as("s2_a"),
+        m("B", (col("spend") * col("spend")).cast("decimal(38,6)"))
+          .cast("double").as("s2_b"))
+      val meanA = col("s1_a") / col("n_a")
+      val meanB = col("s1_b") / col("n_b")
+      val varA = (col("s2_a") - col("s1_a") * col("s1_a") / col("n_a")) / col("n_a")
+      val varB = (col("s2_b") - col("s1_b") * col("s1_b") / col("n_b")) / col("n_b")
+      agg.select(col("n_a"), col("n_b"),
+        r(meanA, 6).as("mean_a"), r(meanB, 6).as("mean_b"),
+        r(meanB - meanA, 6).as("lift"),
+        r((meanB - meanA) / sqrt(varA / col("n_a") + varB / col("n_b")), 6)
+          .as("z"))
+    }),
+
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1222,6 +1262,36 @@ private[graft] object ParityQueries {
          |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
          |ORDER BY bucket""".stripMargin
     },
+
+    // identical salted-md5 coin, decimal moments, and final IEEE ops
+    "q231_ab_readout" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v,
+        |    CASE WHEN substr(md5('exp42:' || CAST(o_custkey AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 'A'
+        |    THEN CAST(v AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS s1_a,
+        |  CAST(sum(CASE WHEN arm = 'B'
+        |    THEN CAST(v AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS s1_b,
+        |  CAST(sum(CASE WHEN arm = 'A'
+        |    THEN CAST(v * v AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS s2_a,
+        |  CAST(sum(CASE WHEN arm = 'B'
+        |    THEN CAST(v * v AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE) AS s2_b
+        |  FROM spend)
+        |SELECT n_a, n_b,
+        |  floor(s1_a / n_a * 1000000 + 0.5) / 1000000 AS mean_a,
+        |  floor(s1_b / n_b * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((s1_b / n_b - s1_a / n_a) * 1000000 + 0.5) / 1000000 AS lift,
+        |  floor((s1_b / n_b - s1_a / n_a) /
+        |    sqrt((s2_a - s1_a * s1_a / n_a) / n_a / n_a +
+        |         (s2_b - s1_b * s1_b / n_b) / n_b / n_b)
+        |    * 1000000 + 0.5) / 1000000 AS z
+        |FROM m""".stripMargin,
 
     // field names come from json_keys (discovered, not declared);
     // integer detection is the same regex on both engines
