@@ -2376,6 +2376,33 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- cross-source duplicate overlap matrix ---------------------
+    "q232_source_overlap" -> ((s, dir) => {
+      // which FEEDS overlap? — the near-dup pair set attributed to an
+      // unordered source pair (synthetic variant ids map back to their
+      // base document's source via id % 10000): pair counts and the
+      // duplicated character mass per (source, source) cell. The report
+      // a data buyer reads before paying twice for the same corpus.
+      // Two broadcastable joins past the shared materialized pair set.
+      val src = rd(s, dir, "documents").select(col("doc_id").as("bid"),
+        col("source"), col("n_chars"))
+      val pairs = nearDupPairsCached(s, dir)
+        .select((col("id_a") % 10000).as("ba"), (col("id_b") % 10000).as("bb"))
+      pairs
+        .join(src.select(col("bid").as("ba"), col("source").as("sa"),
+          col("n_chars").as("ca")), "ba")
+        .join(src.select(col("bid").as("bb"), col("source").as("sb"),
+          col("n_chars").as("cb")), "bb")
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"),
+          (col("ca") + col("cb")).as("pair_chars"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("pair_chars")).as("dup_chars"))
+        .orderBy("source_x", "source_y")
+    }),
+
+
     // ----- interval coalescing (activity coverage) -------------------
     "q230_interval_merge" -> ((s, dir) => {
       // each event opens a 300-second activity lease; overlapping and
@@ -4607,6 +4634,22 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // the oracle recomputes the full MinHash pipeline, then attributes
+    // pairs to unordered source cells exactly like the engine
+    "q232_source_overlap" -> (minhashPairsCtes +
+      """,
+        |attr AS (SELECT
+        |  least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  da.n_chars + db.n_chars AS pair_chars
+        |  FROM pairs
+        |  JOIN documents da ON da.doc_id = pairs.id_a % 10000
+        |  JOIN documents db ON db.doc_id = pairs.id_b % 10000
+        |  WHERE pairs.j >= 0.6)
+        |SELECT source_x, source_y, count(*) AS n_pairs,
+        |  CAST(sum(pair_chars) AS BIGINT) AS dup_chars
+        |FROM attr GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin),
 
     // same running-max islands in SQL; covered_sec is exact interval
     // arithmetic, never a per-second expansion
