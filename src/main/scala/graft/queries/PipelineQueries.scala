@@ -2403,6 +2403,32 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- backfill planner (partition-gap audit) --------------------
+    "q233_backfill_plan" -> ((s, dir) => {
+      // which daily partitions need backfill? — the ingest-ops audit:
+      // the expected calendar spans the observed min..max day
+      // (sequence + explode, span-bounded), every day classified ok /
+      // short (under half the median daily volume) / missing (absent
+      // entirely). The fixture deletes every dom%7==3 day and keeps a
+      // quarter of every dom%5==0 day, so all three classes appear.
+      val ev = rd(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_id"))
+        .withColumn("dom", dayofmonth(col("day")))
+        .filter(col("dom") % 7 =!= 3)
+        .filter(col("dom") % 5 =!= 0 || col("event_id") % 4 === 0)
+      val daily = ev.groupBy("day").agg(count(lit(1)).as("cnt"))
+      val med = daily.agg(expr("percentile(cnt, 0.5)").as("med"))
+      val calendar = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      calendar.join(daily, Seq("day"), "left").crossJoin(broadcast(med))
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          when(col("cnt").isNull, lit("missing"))
+            .when(col("cnt") * 2 < col("med"), lit("short"))
+            .otherwise(lit("ok")).as("status"))
+        .orderBy("day")
+    }),
+
+
     // ----- interval coalescing (activity coverage) -------------------
     "q230_interval_merge" -> ((s, dir) => {
       // each event opens a 300-second activity lease; overlapping and
@@ -4634,6 +4660,26 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // generate_series builds the same expected calendar; the short
+    // threshold compares against the identical interpolated median
+    "q233_backfill_plan" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_id FROM events),
+        |kept AS (SELECT day, event_id FROM ev
+        |  WHERE day(day) % 7 != 3
+        |    AND (day(day) % 5 != 0 OR event_id % 4 = 0)),
+        |daily AS (SELECT day, count(*) AS cnt FROM kept GROUP BY day),
+        |med AS (SELECT quantile_cont(cnt, 0.5) AS med FROM daily),
+        |cal AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS day)
+        |SELECT CAST(cal.day AS DATE) AS day,
+        |  CAST(coalesce(daily.cnt, 0) AS BIGINT) AS cnt,
+        |  CASE WHEN daily.cnt IS NULL THEN 'missing'
+        |       WHEN daily.cnt * 2 < med.med THEN 'short'
+        |       ELSE 'ok' END AS status
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day CROSS JOIN med
+        |ORDER BY day""".stripMargin,
 
     // the oracle recomputes the full MinHash pipeline, then attributes
     // pairs to unordered source cells exactly like the engine
