@@ -2403,6 +2403,29 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- duplicate length-bias audit --------------------------------
+    "q234_dup_length_bias" -> ((s, dir) => {
+      // does near-duplication correlate with document LENGTH? — the
+      // dedup-bias measurement behind "dedup changed my length mix":
+      // base docs that participate in any near-dup pair vs those that
+      // don't, compared on the n_chars distribution with the q124
+      // ln-free symmetric drift term. Membership comes from the shared
+      // materialized pair set (variant ids map back via % 10000); each
+      // side collapses to <= 24 bins before anything joins.
+      val members = nearDupPairsCached(s, dir)
+        .select((col("id_a") % 10000).as("doc_id"))
+        .unionByName(nearDupPairsCached(s, dir)
+          .select((col("id_b") % 10000).as("doc_id")))
+        .distinct()
+      val docs = rd(s, dir, "documents").select("doc_id", "n_chars")
+      val dup = docs.join(members, Seq("doc_id"), "left_semi")
+      val uniq = docs.join(members, Seq("doc_id"), "left_anti")
+      graft.operators.Stats.distributionDrift(dup, uniq, "n_chars",
+          lo = 0.0, hi = 1200.0, bins = 24)
+        .orderBy("bin")
+    }),
+
+
     // ----- backfill planner (partition-gap audit) --------------------
     "q233_backfill_plan" -> ((s, dir) => {
       // which daily partitions need backfill? — the ingest-ops audit:
@@ -4660,6 +4683,39 @@ private[graft] object PipelineQueries {
         |  GROUP BY a.s)
         |SELECT n AS node, least(n, coalesce(m, n)) AS scc
         |FROM nodes LEFT JOIN scc ON n = u ORDER BY node""".stripMargin,
+
+    // membership from the recomputed MinHash pairs; then the identical
+    // binned symmetric drift arithmetic as q124
+    "q234_dup_length_bias" -> (minhashPairsCtes +
+      """,
+        |members AS (
+        |  SELECT DISTINCT id_a % 10000 AS doc_id FROM pairs WHERE j >= 0.6
+        |  UNION
+        |  SELECT DISTINCT id_b % 10000 FROM pairs WHERE j >= 0.6),
+        |a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM members) AND n_chars IS NOT NULL),
+        |b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM members) AND n_chars IS NOT NULL),
+        |ca AS (SELECT CAST(least(greatest(
+        |    floor((v - 0.0) / 1200.0 * 24), 0), 23) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt_a FROM a GROUP BY 1),
+        |cb AS (SELECT CAST(least(greatest(
+        |    floor((v - 0.0) / 1200.0 * 24), 0), 23) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt_b FROM b GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |               (SELECT COUNT(*) FROM b) AS n_b),
+        |jj AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |  COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |rates AS (SELECT bin, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p,
+        |  CAST(cnt_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS q
+        |  FROM jj CROSS JOIN tot)
+        |SELECT bin, cnt_a, cnt_b,
+        |  CAST(floor(CASE WHEN cnt_a + cnt_b = 0 THEN 0.0
+        |    ELSE (p - q) * (p - q) / (p + q) END * 1e12 + 0.5) AS BIGINT)
+        |    AS drift12
+        |FROM rates ORDER BY bin""".stripMargin),
 
     // generate_series builds the same expected calendar; the short
     // threshold compares against the identical interpolated median
