@@ -53,6 +53,25 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- language-ID confusion matrix (classifier evaluation) ------
+    "q235_lang_confusion" -> ((s, dir) => {
+      // q23's language classifier EVALUATED against the corpus's own
+      // labels: the (label, prediction) confusion matrix plus per-cell
+      // corpus share — which languages leak into which, and how much
+      // of the corpus a langID gate would misroute. One aggregation;
+      // the share is an exact integer ratio on the 1e-6 lattice.
+      val docs = rd(s, dir, "documents")
+      val n = docs.count() // corpus size: one scalar, literal thereafter
+      docs.select(col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          expr(s"(n_docs * 1000000) div $n")) // exact integer ppm
+        .orderBy("lang", "lang_pred")
+    }),
+
+
     // ----- exact dedup by content hash -------------------------------
     "q24_dedup_exact" -> ((s, dir) => {
       DedupApprox.exactByContent(docsWithExactDups(s, dir), "doc_id", "text",
@@ -700,6 +719,26 @@ private[graft] object TextQueries {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
+
+    "q235_lang_confusion" -> {
+      val scores = langScores.map { case (l, e) => s"  CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n       ")
+      s"""WITH t AS (SELECT doc_id, lang,\n$scores\nFROM documents),
+         |b AS (SELECT doc_id, lang, *, $best AS best FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       $chain
+         |       END AS lang_pred
+         |  FROM b),
+         |n AS (SELECT count(*) AS total FROM documents)
+         |SELECT lang, lang_pred, count(*) AS n_docs,
+         |  CAST((count(*) * 1000000) // (SELECT total FROM n) AS BIGINT)
+         |    AS share
+         |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    },
 
     "q24_dedup_exact" -> (exactDupCte +
       """
