@@ -271,9 +271,15 @@ object Graph {
     // one min-aggregation; convergence is read off the label SUM, which
     // is strictly monotone decreasing while any label still moves — one
     // scalar action per round, no change-join.
-    def propagate(cls: DataFrame, dir: String): DataFrame = {
+    def propagate(cls: DataFrame, dir: String,
+        trivialPartition: Boolean = false): DataFrame = {
       val (from, to) = if (dir == "fwd") ("s", "d") else ("d", "s")
-      val ec = truncate(e
+      // phase 0 puts every node in one class, so EVERY edge is
+      // within-class — skip the two class-lookup joins over the largest
+      // graph state the loop will ever see
+      val ec = if (trivialPartition)
+        e.select(col(from).as("src"), col(to).as("dst"))
+      else truncate(e
         .join(cls.select(col("node").as("s"), col("cls").as("sc")), "s")
         .join(cls.select(col("node").as("d"), col("cls").as("dc")), "d")
         .filter(col("sc") === col("dc"))
@@ -335,7 +341,7 @@ object Graph {
     def tms = System.nanoTime() / 1000000
     while (moving && phase < maxPhases) {
       val t0 = tms
-      val pf = propagate(cls, "fwd"); val t1 = tms
+      val pf = propagate(cls, "fwd", trivialPartition = phase == 0); val t1 = tms
       val afterFwd = truncate(refine(pf)); val t2 = tms
       val pb = propagate(afterFwd, "bwd"); val t3 = tms
       val afterBwd = truncate(refine(pb)); val t4 = tms
