@@ -613,6 +613,35 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- corpus concentration report -------------------------------
+    "q236_concentration" -> ((s, dir) => {
+      // how top-heavy is the corpus? — the share of total characters
+      // held by documents above the exact p50/p90/p99 length
+      // thresholds, plus the doc counts above each. Thresholds come
+      // from the no-sort histogram quantiles (q221's machinery);
+      // everything after is one conditional-aggregation pass with
+      // decimal-exact sums. The report that decides whether a handful
+      // of giant documents dominate training mass.
+      val docs = rd(s, dir, "documents").select(col("n_chars"))
+      val qs = graft.operators.Stats.exactQuantiles(docs, "n_chars",
+        Seq(0.5, 0.9, 0.99)).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val total = docs.agg(sum(col("n_chars").cast("decimal(28,0)"))
+        .cast("double").as("t")).head().getDouble(0)
+      def share(q: Double) = {
+        val thr = qs(q)
+        docs.filter(col("n_chars") > thr)
+          .agg(count(lit(1)).as("n_above"),
+            sum(col("n_chars").cast("decimal(28,0)")).cast("double").as("c"))
+          .select(lit(q).as("q"), lit(thr).cast("long").as("threshold"),
+            coalesce(col("n_above"), lit(0L)).as("n_above"),
+            r(coalesce(col("c"), lit(0.0)) / lit(total), 6).as("char_share"))
+      }
+      share(0.5).unionByName(share(0.9)).unionByName(share(0.99))
+        .orderBy("q")
+    }),
+
+
     // ----- cube aggregation ------------------------------------------
     "q37_cube" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1262,6 +1291,26 @@ private[graft] object ParityQueries {
          |  AND coalesce(sum_src, 0) = coalesce(sum_tgt, 0))
          |ORDER BY bucket""".stripMargin
     },
+
+    // thresholds via quantile_disc (same rank semantics as q221); the
+    // shares are decimal-exact sums over the same strict > filter
+    "q236_concentration" ->
+      """WITH t AS (SELECT CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE)
+        |    AS total FROM documents),
+        |qv AS (SELECT CAST(0.5 AS DOUBLE) AS q,
+        |    CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS threshold
+        |  FROM documents
+        |  UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+        |  FROM documents)
+        |SELECT qv.q, qv.threshold,
+        |  CAST((SELECT count(*) FROM documents d
+        |    WHERE d.n_chars > qv.threshold) AS BIGINT) AS n_above,
+        |  floor((SELECT CAST(coalesce(sum(CAST(n_chars AS DECIMAL(28,0))), 0)
+        |      AS DOUBLE) FROM documents d WHERE d.n_chars > qv.threshold)
+        |    / t.total * 1000000 + 0.5) / 1000000 AS char_share
+        |FROM qv CROSS JOIN t ORDER BY q""".stripMargin,
 
     // identical salted-md5 coin, decimal moments, and final IEEE ops
     "q231_ab_readout" ->
