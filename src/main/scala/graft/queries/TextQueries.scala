@@ -72,6 +72,28 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- per-source language purity (feed QC) ----------------------
+    "q237_source_purity" -> ((s, dir) => {
+      // is each feed linguistically coherent? — per source: doc count,
+      // distinct languages, the DOMINANT language (ties break to the
+      // lexicographically larger code — the struct-max order — so the
+      // answer is deterministic) and its share as exact integer ppm.
+      // Two aggregations: (source, lang) cells, then
+      // a max_by reduction per source — cells are tiny, nothing joins
+      // back to the corpus.
+      val cells = rd(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      cells.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max(struct(col("n"), col("lang"))).as("top"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("top.lang").as("dominant_lang"),
+          expr("(top.n * 1000000) div n_docs").as("purity_ppm"))
+        .orderBy("source")
+    }),
+
+
     // ----- exact dedup by content hash -------------------------------
     "q24_dedup_exact" -> ((s, dir) => {
       DedupApprox.exactByContent(docsWithExactDups(s, dir), "doc_id", "text",
@@ -719,6 +741,22 @@ private[graft] object TextQueries {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
+
+    // the dominant pick mirrors the struct-max order: n DESC, lang DESC
+    "q237_source_purity" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |ranked AS (SELECT source, lang, n,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, lang DESC) AS rk,
+        |  sum(n) OVER (PARTITION BY source) AS n_docs,
+        |  count(*) OVER (PARTITION BY source) AS n_langs
+        |  FROM cells)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  lang AS dominant_lang,
+        |  CAST((n * 1000000) // n_docs AS BIGINT) AS purity_ppm
+        |FROM ranked WHERE rk = 1 ORDER BY source""".stripMargin,
 
     "q235_lang_confusion" -> {
       val scores = langScores.map { case (l, e) => s"  CAST($e AS BIGINT) AS s_$l" }
