@@ -42,8 +42,10 @@ object Components {
       checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // URI-path prefix test, not equality: setCheckpointDir stores a
+        // QUALIFIED dir/<random-UUID>, so `contains(dir)` never matches
+        // and every round would mint a fresh orphan UUID subdirectory
+        Checkpointing.ensureDir(df.sparkSession.sparkContext, dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-round lineage truncation for the iterative ops, with STATS
+    * RESET: the checkpointed rows round-trip through an external RDD so
+    * the rebuilt frame carries fresh default statistics (localCheckpoint
+    * alone inherits the child plan's stats, and a self-joining loop then
+    * doubles the size estimate's bit-length every round — see
+    * [[stronglyConnectedComponents]]). `checkpointDir = None` truncates
+    * with `localCheckpoint` (executor-memory blocks — fast, but executor
+    * loss mid-run restarts the whole iteration); `Some(dir)` switches to
+    * a RELIABLE filesystem checkpoint, the cluster-production mode: a
+    * 100-iteration SCC on 1000 executors WILL see an executor die, and
+    * replaying every round from scratch is the difference between a
+    * hiccup and a restart. Prefix test on getCheckpointDir, not equality:
+    * setCheckpointDir stores dir/<random-UUID>. */
+  private def truncator(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]): DataFrame => DataFrame = { df =>
+    val ck = checkpointDir match {
+      case Some(dir) =>
+        Checkpointing.ensureDir(spark.sparkContext, dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    spark.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** PageRank with `iterations` synchronous power steps at `damping`
     * (the fixed-iteration form — at corpus scale a handful of steps is
     * the production choice; convergence thresholds add a driver round
@@ -240,7 +264,8 @@ object Graph {
     *
     * Output: `(node, scc)` with scc = the component's minimum node id. */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxPhases: Int = 20, maxIter: Int = 200): DataFrame = {
+      dstCol: String, maxPhases: Int = 20, maxIter: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     // HARD lineage truncation: localCheckpoint alone is not enough for a
     // doubly-nested iteration, because LogicalRDD deliberately inherits
@@ -251,10 +276,9 @@ object Graph {
     // jstack: Toom-Cook multiplication in the analyzer). Round-tripping
     // the checkpointed rows through an external RDD rebuilds the frame
     // with fresh default stats, capping planner cost at O(1) per round.
-    def truncate(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    // checkpointDir switches the truncation to RELIABLE checkpointing
+    // (round state survives executor loss) — see [[truncator]].
+    val truncate = truncator(spark, checkpointDir)
     val e = truncate(edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
@@ -370,9 +394,10 @@ object Graph {
     * an external engine can replay (the oracle contract); unbounded
     * BFS is maxHops >= diameter. */
   def boundedHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame =
+      sources: DataFrame, sourceCol: String, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame =
     boundedCostDistances(edges.withColumn("_w", lit(1L)), srcCol, dstCol,
-      "_w", sources, sourceCol, maxHops)
+      "_w", sources, sourceCol, maxHops, checkpointDir)
 
   /** Weighted shortest-path costs (Bellman-Ford relaxation) from a seed
     * set: `(node, dist)` = minimum total edge weight over paths of at
@@ -386,18 +411,28 @@ object Graph {
     * the admitted path lengths. */
   def boundedCostDistances(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, sourceCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds $rounds must be in [1, 64]")
     val spark = edges.sparkSession
-    def truncate(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    val truncate = truncator(spark, checkpointDir)
+    // negative (or NULL) weights break the non-negative relaxation
+    // invariant — fail LOUDLY instead of silently dropping those edges
+    // and returning plausible-but-wrong costs. The audit count rides the
+    // truncation action as an observed metric: zero extra jobs.
+    val badW = org.apache.spark.sql.Observation()
     val e = truncate(edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
         col(weightCol).cast("long").as("w"))
-      .where(col("s").isNotNull && col("d").isNotNull && col("w") >= 0L)
+      .where(col("s").isNotNull && col("d").isNotNull)
+      .observe(badW, sum(when(col("w").isNull || col("w") < 0L, 1L)
+        .otherwise(0L)).as("n_bad"))
+      .where(col("w") >= 0L)
       .groupBy("s", "d").agg(min(col("w")).as("w"))) // parallel edges: keep cheapest
+    val nBad = Option(badW.get("n_bad")).fold(0L)(_.asInstanceOf[Long])
+    require(nBad == 0L,
+      s"$nBad edges carry a NULL or negative '$weightCol': Bellman-Ford " +
+        "relaxation over longs requires non-negative integer weights — " +
+        "clean or clamp the weight column explicitly before calling")
     var dist = sources.select(col(sourceCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
     for (h <- 1 to rounds) {
@@ -426,13 +461,11 @@ object Graph {
     * (equi on node + the time gate) + one min-aggregation per round. */
   def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
       timeCol: String, sources: DataFrame, sourceCol: String,
-      startTime: Long, rounds: Int): DataFrame = {
+      startTime: Long, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds $rounds must be in [1, 64]")
     val spark = edges.sparkSession
-    def truncate(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    val truncate = truncator(spark, checkpointDir)
     val e = truncate(edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
         col(timeCol).cast("long").as("t"))

@@ -50,8 +50,10 @@ object Hierarchy {
     def truncate(df: DataFrame): DataFrame = {
       val ck = checkpointDir match {
         case Some(dir) =>
-          val sc = spark.sparkContext
-          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          // URI-path prefix test ([[Checkpointing]]): an equality test
+          // never matches the qualified dir/<UUID> and every round would
+          // mint a fresh orphan UUID subdirectory under `dir`
+          Checkpointing.ensureDir(spark.sparkContext, dir)
           df.checkpoint()
         case None => df.localCheckpoint()
       }

@@ -762,15 +762,19 @@ object Stats {
     * group's TARGET bucket (~n/bins rows per group) and one window
     * ranks inside it. No per-group driver loop, no global sort, no
     * full-column range exchange — the "exact per-tenant p99" plan.
-    * Groups where every value is NULL are absent. Output:
-    * (key, q, value). */
+    * Groups where every value is NULL are absent, and rows with a NULL
+    * group key are excluded (a NULL key is not a rankable group).
+    * Output: (key, q, value). */
   def exactQuantilesPerGroup(df: DataFrame, keyCol: String, valueCol: String,
       q: Double, bins: Int = 1024, maxGroups: Int = 10000): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile $q must lie in [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
-    val rows = df.filter(v.isNotNull)
+    // NULL group keys are excluded alongside NULL values (documented
+    // contract): a NULL key is not a rankable group, and letting it
+    // through would NPE in the driver-side bucket lookup below
+    val rows = df.filter(v.isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("k"), v.as("v"))
     val stats = rows.groupBy("k")
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
@@ -778,6 +782,14 @@ object Stats {
     require(stats.length <= maxGroups,
       s"${stats.length} groups exceed maxGroups=$maxGroups: the per-group " +
         "summaries are driver-side state — raise the cap deliberately or " +
+        "pre-aggregate the key space")
+    // the REAL driver-memory bound is groups x bins (the histogram
+    // collect below), not groups alone: cap the product so the defaults
+    // (10k x 1024 ~= 10M tuples) can't silently grow into driver OOM
+    // when a caller raises both knobs
+    require(stats.length.toLong * bins <= 16L * 1000 * 1000,
+      s"${stats.length} groups x $bins bins = ${stats.length.toLong * bins} " +
+        "driver-side histogram cells exceed the 16M cap — lower bins or " +
         "pre-aggregate the key space")
     if (stats.isEmpty) return Seq.empty[(String, Double, Double)].toDF("k", "q", "value")
       .withColumnRenamed("k", keyCol)

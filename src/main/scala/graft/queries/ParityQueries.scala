@@ -479,16 +479,18 @@ private[graft] object ParityQueries {
       // per-value index width is ceil(log2 ndv), computed EXACTLY as
       // length(bin(ndv-1)) so no libm log enters the gate. One
       // Expand-based aggregation pass computes every column's NDV
-      // together; the report unpivots from the single-row aggregate.
+      // together; the report unpivots from the single-row aggregate with
+      // stack() — one Generate over one row, the aggregate subtree is
+      // instantiated exactly once (a per-column union would re-plan it
+      // once per column and lean on ReuseExchange to dedupe).
       val li = rd(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus")
       val agg = li.agg(count(lit(1)).as("n"),
         cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
-      cols.map { c =>
-        agg.select(lit(c).as("column_name"), col("n"),
-          col(s"d_$c").as("ndv"))
-      }.reduce(_ unionByName _)
+      agg.select(col("n"), expr(s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', d_$c").mkString(", ") +
+          ") AS (column_name, ndv)"))
         .select(col("column_name"), col("n"), col("ndv"),
           when(col("ndv") * 20 <= col("n"), lit("dictionary"))
             .otherwise(lit("plain")).as("advice"),

@@ -231,4 +231,62 @@ class GraphSpec extends SparkSpec {
     // determinism: same input, same labels, every run
     assert(labels(3) == labels(3))
   }
+
+  test("reliable-checkpoint mode matches localCheckpoint mode on every iterative walk") {
+    // same graphs through both truncation modes — results must be
+    // bit-identical; only the fault-tolerance of round state differs
+    // (the ComponentsSamplingSpec pattern, extended to Graph's walks)
+    val sccEdges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    val costEdges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("s", "d", "w")
+    val tEdges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 3L, 2L))
+      .toDF("s", "d", "t")
+    val seeds = Seq(1L).toDF("n")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_graph_ck").toString
+    try {
+      def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(Graph.stronglyConnectedComponents(sccEdges.toDF("s", "d"),
+          "s", "d", checkpointDir = Some(ckDir))) ==
+        m(Graph.stronglyConnectedComponents(sccEdges.toDF("s", "d"), "s", "d")))
+      assert(m(Graph.boundedCostDistances(costEdges, "s", "d", "w", seeds, "n",
+          rounds = 5, checkpointDir = Some(ckDir))) ==
+        m(Graph.boundedCostDistances(costEdges, "s", "d", "w", seeds, "n",
+          rounds = 5)))
+      assert(m(Graph.temporalReachability(tEdges, "s", "d", "t", seeds, "n",
+          startTime = 0L, rounds = 5, checkpointDir = Some(ckDir))) ==
+        m(Graph.temporalReachability(tEdges, "s", "d", "t", seeds, "n",
+          startTime = 0L, rounds = 5)))
+      // round state actually went through the reliable dir, and repeated
+      // truncations reused ONE checkpoint root (the prefix-test guard:
+      // an equality test would mint a UUID subdir per round)
+      val subdirs = new java.io.File(ckDir).listFiles
+      assert(subdirs != null && subdirs.nonEmpty,
+        s"no checkpoint data written under $ckDir")
+      assert(subdirs.length == 1,
+        s"expected one checkpoint UUID root, got ${subdirs.length}: " +
+          "setCheckpointDir is being re-called per round")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+    }
+  }
+
+  test("boundedCostDistances rejects NULL and negative weights loudly") {
+    val seeds = Seq(1L).toDF("n")
+    val neg = Seq((1L, 2L, 3L), (2L, 3L, -1L)).toDF("s", "d", "w")
+    val errNeg = intercept[IllegalArgumentException] {
+      Graph.boundedCostDistances(neg, "s", "d", "w", seeds, "n", rounds = 2)
+        .collect()
+    }
+    assert(errNeg.getMessage.contains("negative"))
+    val nul = Seq((1L, 2L, java.lang.Long.valueOf(3L)),
+      (2L, 3L, null.asInstanceOf[java.lang.Long])).toDF("s", "d", "w")
+    val errNul = intercept[IllegalArgumentException] {
+      Graph.boundedCostDistances(nul, "s", "d", "w", seeds, "n", rounds = 2)
+        .collect()
+    }
+    assert(errNul.getMessage.contains("NULL"))
+  }
 }
