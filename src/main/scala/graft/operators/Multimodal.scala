@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   *  - HEADER tier (real metadata, no sample/pixel decode): PNG IHDR,
   *    JPEG SOF marker walk, GIF screen descriptor, WAV RIFF chunk walk
   *    (duration), MP4 moov/mvhd box walk (duration) — [[parseHeader]].
-  *  - STUB tier: payloads whose pixel data needs an entropy codec this
-  *    code does not carry (JPEG's Huffman+DCT, video codecs) fall back
-  *    to the clearly-marked `fakeDecode`.
+  *  - CODEC tier: JPEG pixels through the JDK's built-in
+  *    `javax.imageio` ([[parseJpeg]] — Huffman+DCT, zero new
+  *    dependencies), served through the same [[Raster]] contract so
+  *    [[imageStats]]/[[resizeTo]] treat it like any other raster.
+  *  - STUB tier: payloads whose pixel data needs a codec no JDK API
+  *    covers (video codecs) fall back to the clearly-marked
+  *    `fakeDecode`.
   * Everything around the stub — the schema contract, the per-partition
   * batching, the partition sizing — is the real production plumbing:
   * swap `fakeDecode` for a JNI/codec call and nothing else moves.
@@ -364,11 +368,12 @@ object Multimodal {
   /** Uncompressed 24-bit BMP, fully decoded — the raster format whose
     * PIXELS need no decompression at all: a fixed header plus a raw
     * bottom-up BGR array. Together with [[PngImage]] (real zlib
-    * inflate + unfilter via the JVM's built-in codec) this forms the
-    * real-decode tier: [[resizeTo]] resamples these payloads for real
-    * and [[imageStats]] aggregates their actual channel values;
-    * formats that need an entropy decoder the JVM lacks (JPEG) stay at
-    * the header tier + [[fakeDecode]]. */
+    * inflate + unfilter via the JVM's built-in codec), [[GifImage]]
+    * (hand-rolled LZW) and [[CodecImage]] (JPEG via the JDK's
+    * `javax.imageio`) this forms the real-decode tier: [[resizeTo]]
+    * resamples these payloads for real and [[imageStats]] aggregates
+    * their actual channel values; only formats no JDK codec covers
+    * (video codecs) remain at the header tier + [[fakeDecode]]. */
   private[graft] final case class BmpImage(width: Int, height: Int,
       topDown: Boolean, dataOffset: Int, rowStride: Int, bytes: Array[Byte])
       extends Raster {
@@ -662,10 +667,78 @@ object Multimodal {
     None // no END code
   }
 
+  /** Codec-tier raster decoded by the JDK's built-in `javax.imageio`
+    * (a baseline+progressive JPEG codec ships with every JRE — zero new
+    * dependencies): pixels pulled once into a packed ARGB array, then
+    * served through the shared (b, g, r) [[Raster]] contract. */
+  private[graft] final case class CodecImage(width: Int, height: Int,
+      argb: Array[Int]) extends Raster {
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val v = argb(y * width + x)
+      ((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+    }
+  }
+
+  /** REAL JPEG pixel decode via the JDK's `javax.imageio` — the codec
+    * tier the hand-rolled decoders can't reach (Huffman + DCT).
+    * Decompression-bomb guard: dimensions come from the cheap SOF
+    * marker walk ([[parseHeader]]) FIRST, and payloads over 64M pixels
+    * are refused BEFORE any pixel memory is allocated. Corrupt or
+    * unsupported streams return None — honest unknown, never a crash.
+    * DCT output is implementation-defined in the last bit, so JPEG
+    * pixels are SPEC-gated (golden-raster tolerance in
+    * TrainingOpsSpec) rather than oracle-gated like PNG/GIF/BMP;
+    * q185's census gates the decodability dispatch itself. */
+  private[graft] def parseJpeg(p: Array[Byte]): Option[CodecImage] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8 ||
+      (p(2) & 0xFF) != 0xFF) return None
+    val okDims = parseHeader(p).exists { r =>
+      !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getInt(1).toLong * r.getInt(2) <= 64L * 1024 * 1024
+    }
+    if (!okDims) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // byte-array work: no temp files
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(CodecImage(img.getWidth, img.getHeight,
+        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a raster as baseline JPEG through the same JDK codec —
+    * [[resizeTo]]'s re-encode path for [[CodecImage]] inputs. */
+  private[graft] def encodeJpeg(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (b, g, r) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Hex of a REAL 8x8 solid-color baseline JPEG produced by
+    * [[encodeJpeg]] — the in-plan codec-tier fixture for q185's census
+    * (the decodability DISPATCH is oracle-gated; the DCT pixel values
+    * themselves are spec-gated, TrainingOpsSpec). */
+  lazy val tinyJpegHex: String =
+    encodeJpeg(8, 8, (_, _) => (32, 64, 128)).map(b => f"${b & 0xFF}%02X").mkString
+
   /** Pixel-tier dispatch: BMP (raw array) first, then PNG (real
-    * inflate), then GIF (real LZW). None = not pixel-decodable here. */
+    * inflate), then GIF (real LZW), then the JDK's ImageIO codec tier
+    * (JPEG). None = not pixel-decodable here. */
   private[graft] def decodeRaster(p: Array[Byte]): Option[Raster] =
-    parseBmp(p).orElse(parsePng(p)).orElse(parseGif(p))
+    parseBmp(p).orElse(parsePng(p)).orElse(parseGif(p)).orElse(parseJpeg(p))
 
   /** Strict parse of an uncompressed 24-bit BITMAPINFOHEADER BMP; None
     * for anything else (other depths, RLE compression, truncated pixel
@@ -802,8 +875,10 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake: derives plausible metadata
-    * from the payload hash. Replace with a real codec (e.g. libjpeg via
-    * JNI) in production; signature and batch shape stay identical. */
+    * from the payload hash. Only payloads no JDK codec covers reach it
+    * now (video frames; JPEG went real via [[parseJpeg]]) — replace
+    * with a JNI codec (e.g. ffmpeg) in production; signature and batch
+    * shape stay identical. */
   def fakeDecode(payload: Array[Byte], mime: String): Row = {
     val h = java.util.Arrays.hashCode(payload)
     val w = 64 + math.floorMod(h, 1216) // 64..1279 "pixels"
@@ -872,6 +947,7 @@ object Multimodal {
               img.pixel(x * img.width / w, y * img.height / h)
             val (out, mime) = img match {
               case _: PngImage => (encodePng(w, h, sample), "image/png")
+              case _: CodecImage => (encodeJpeg(w, h, sample), "image/jpeg")
               case _ => (encodeBmp(w, h, sample), "image/bmp")
             }
             val m =

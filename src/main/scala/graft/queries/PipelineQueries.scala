@@ -1109,11 +1109,12 @@ private[graft] object PipelineQueries {
 
     // ----- mixed-payload decode census (the full dispatch) -----------
     "q185_media_census" -> ((s, dir) => {
-      // one frame, five payload classes round-robin by doc_id: BMP
+      // one frame, six payload classes round-robin by doc_id: BMP
       // (pixel tier), WAV (sample tier), PNG header-only (header tier:
-      // dims real, no pixels), plain text (stub tier), NULL. The
-      // census counts each class's sniffed mime x pixel-decodability —
-      // the triage report a media-lake ingest runs first
+      // dims real, no pixels), plain text (stub tier), NULL, and a REAL
+      // baseline JPEG (codec tier: ImageIO pixels). The census counts
+      // each class's sniffed mime x pixel-decodability — the triage
+      // report a media-lake ingest runs first
       val id = col("doc_id")
       val bmp = "424D" + "3A000000" + "00000000" + "36000000" +
         "28000000" + "01000000" + "01000000" + "0100" + "1800" +
@@ -1124,10 +1125,15 @@ private[graft] object PipelineQueries {
         "0200" + "1000" + "64617461" + "04000000" + "E803" + "18FC"
       val pngHdr = "89504E470D0A1A0A" + "0000000D" + "49484452" +
         "00000040" + "00000030" + "0802000000" + "00000000"
-      val payload = when(id % 5 === 0, unhex(lit(bmp)))
-        .when(id % 5 === 1, unhex(lit(wav)))
-        .when(id % 5 === 2, unhex(lit(pngHdr)))
-        .when(id % 5 === 3, lit("plain text, not media").cast("binary"))
+      // a REAL 8x8 baseline JPEG (solid color), bytes produced by the
+      // same JDK codec that decodes it — the codec-tier class: header
+      // walk yields real dims AND parseJpeg yields real pixels
+      val jpeg = Multimodal.tinyJpegHex
+      val payload = when(id % 6 === 0, unhex(lit(bmp)))
+        .when(id % 6 === 1, unhex(lit(wav)))
+        .when(id % 6 === 2, unhex(lit(pngHdr)))
+        .when(id % 6 === 3, lit("plain text, not media").cast("binary"))
+        .when(id % 6 === 5, unhex(lit(jpeg)))
         .otherwise(lit(null).cast("binary"))
       val media = rd(s, dir, "documents").select(id,
         payload.as("payload"), lit("application/octet-stream").as("mime"))
@@ -3311,14 +3317,15 @@ private[graft] object PipelineQueries {
     // but no pixels, the stub class has (fake) dims, NULL payloads
     // nothing
     "q185_media_census" ->
-      """WITH c AS (SELECT doc_id % 5 AS k, CAST(count(*) AS BIGINT) AS n
+      """WITH c AS (SELECT doc_id % 6 AS k, CAST(count(*) AS BIGINT) AS n
         |  FROM documents GROUP BY 1)
         |SELECT CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
         |  WHEN 2 THEN 'image/png' WHEN 3 THEN 'application/octet-stream'
+        |  WHEN 5 THEN 'image/jpeg'
         |  END AS sniffed_mime,
         |  n,
-        |  CASE WHEN k IN (0, 2, 3) THEN n ELSE 0 END AS n_with_dims,
-        |  CASE WHEN k = 0 THEN n ELSE 0 END AS n_pixel_decodable,
+        |  CASE WHEN k IN (0, 2, 3, 5) THEN n ELSE 0 END AS n_with_dims,
+        |  CASE WHEN k IN (0, 5) THEN n ELSE 0 END AS n_pixel_decodable,
         |  CASE WHEN k = 1 THEN n ELSE 0 END AS n_sample_decodable
         |FROM c ORDER BY sniffed_mime""".stripMargin,
 

@@ -487,6 +487,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert(st.getDouble(3) == expRms && st.getLong(4) == 3)
   }
 
+  test("JPEG real decode via the JDK codec: golden raster, resize, bomb guard, corruption") {
+    // solid color survives DCT almost exactly: encode with the same JDK
+    // codec the engine decodes through, assert channel means within a
+    // small tolerance (JPEG is lossy — exact equality is wrong to demand)
+    val src = Multimodal.encodeJpeg(16, 16, (_, _) => (32, 64, 128))
+    assert(Multimodal.parseHeader(src).map(r =>
+      (r.getString(0), r.get(1), r.get(2))) == Some(("image/jpeg", 16, 16)))
+    val img = Multimodal.parseJpeg(src).get
+    assert(img.width == 16 && img.height == 16)
+    val (b, g, r) = img.pixel(8, 8)
+    assert(math.abs(b - 32) <= 2 && math.abs(g - 64) <= 2 &&
+      math.abs(r - 128) <= 2, s"center pixel ($b, $g, $r)")
+    // dispatch: decodeRaster reaches the codec tier after BMP/PNG/GIF decline
+    assert(Multimodal.decodeRaster(src).exists(_.isInstanceOf[Multimodal.CodecImage]))
+    // imageStats over the REAL pixels, not a stub
+    val df = Seq((1L, src, "image/jpeg")).toDF("doc_id", "payload", "mime")
+    val st = Multimodal.imageStats(df).select("img.*").head()
+    assert(math.abs(st.getDouble(0) - 32.0) <= 2.0 &&
+      math.abs(st.getDouble(1) - 64.0) <= 2.0 &&
+      math.abs(st.getDouble(2) - 128.0) <= 2.0, s"means $st")
+    assert(st.getInt(4) == 16 && st.getInt(5) == 16)
+    // JPEG-in JPEG-out resize: output is itself a decodable JPEG at new dims
+    val rs = Multimodal.resizeTo(
+      Multimodal.withDecodedMeta(df, "payload", "mime"), 4, 4)
+    val outBytes = rs.select("payload").head().getAs[Array[Byte]](0)
+    val out = Multimodal.parseJpeg(outBytes).get
+    assert(out.width == 4 && out.height == 4)
+    val meta = rs.select("media.mime", "media.width").head()
+    assert(meta.getString(0) == "image/jpeg" && meta.getInt(1) == 4)
+    // q185's in-plan fixture is this same codec path
+    val fix = Multimodal.tinyJpegHex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(Multimodal.parseJpeg(fix).exists(i => i.width == 8 && i.height == 8))
+    // truncation before the SOF segment: honest None, never a crash
+    assert(Multimodal.parseJpeg(src.take(150)).isEmpty)
+    // decompression-bomb guard: a SOF claiming 65500x56575 pixels is
+    // refused from the HEADER, before any pixel memory is allocated
+    val bomb = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0xFF, 0xDC, 0xDC, 0xFF, 0x03).map(_.toByte)
+    assert(Multimodal.parseJpeg(bomb).isEmpty)
+  }
+
   test("multimodal metadata plumbing: deterministic stub decode, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc")).toDF("doc_id", "text")
     val media = Multimodal.withDecodedMeta(
