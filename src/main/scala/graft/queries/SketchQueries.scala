@@ -102,11 +102,24 @@ private[graft] object SketchQueries {
       val fullDays = per.select("day")
         .filter(col("day") >= d0 + 6)
       val slid = Sketches.hllTrailingMerge(per, fullDays, "day", "regs", 7)
-      val exact = ev.distinct().as("e")
-        .join(broadcast(fullDays.select(col("day").as("_wd"))),
-          col("e.day") > col("_wd") - 7 && col("e.day") <= col("_wd"))
-        .groupBy(col("_wd").as("day"))
-        .agg(countDistinct(col("uh")).as("n_exact"))
+      // the exact verification side WITHOUT the 7x event replication +
+      // re-dedup a range-join formulation pays: over the distinct
+      // (day, uh) pairs, uh counts in window w iff `day` is uh's LATEST
+      // active day <= w inside (w-7, w] — i.e. for w in
+      // [day, min(day+6, next_day - 1)], next_day from ONE lead() over
+      // uh's day sequence. Exploding <= 7 WINDOW IDS per pair (never
+      // event rows) and taking a PLAIN count per window yields the same
+      // exact numbers as countDistinct over the replicated frame, for
+      // one key exchange + one count aggregation.
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("uh").orderBy("day")
+      val exact = ev.distinct()
+        .withColumn("_nd", lead(col("day"), 1).over(wnd))
+        .select(col("uh"), explode(sequence(col("day"),
+          least(col("day") + 6, coalesce(col("_nd") - 1, col("day") + 6))))
+          .as("day"))
+        .join(broadcast(fullDays), Seq("day"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as("n_exact"))
       slid.select(col("day"), Sketches.hllEstimate("regs").as("n_est"))
         .join(exact, "day")
         .select("day", "n_exact", "n_est")
