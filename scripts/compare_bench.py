@@ -22,6 +22,12 @@ def main() -> int:
             d = d.get("parsed") or {}
         if "queries" not in d:
             sys.exit(f"{p}: no parsed bench line (driver 'parsed' is null?)")
+        # the round-6 footgun: a -1 sentinel (failed query) poisons every
+        # ratio and silently reads as a speedup in the total — refuse
+        neg = sorted(k for k, v in d["queries"].items() if v < 0)
+        if neg:
+            sys.exit(f"{p}: contains {len(neg)} failed (-1) queries, e.g. "
+                     f"{neg[:5]} — re-run the bench clean before comparing")
         return d
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]

@@ -57,31 +57,36 @@ object Bench {
     System.out.flush(); System.err.flush()
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}"""
-    println(fullLine)
-    // the full line also lands in a local file: tail-window captures can
-    // truncate stdout, the file cannot. ONLY full CLEAN runs may write
-    // it — a SPARK_GRAFT_ONLY subset run (a handful of entries) or a
-    // failed run (total=-1) overwriting the 150+-query baseline is
-    // exactly the artifact-clobbering the round-6 advice flagged twice;
-    // a failed full run lands in BENCH_LOCAL_failed.json for triage
+    // the FULL named per-query dict lands in a local file ONLY — never
+    // on stdout: the driver's capture keeps a bounded TAIL of stdout,
+    // and round 7 proved that any line carrying 237 named entries
+    // (~2.7 KB) starts past the window's left edge, so the driver
+    // parses nothing (BENCH_r07.json parsed: null, 55 entries lost).
+    // ONLY full CLEAN runs may write the file — a SPARK_GRAFT_ONLY
+    // subset run (a handful of entries) or a failed run (total=-1)
+    // overwriting the 200+-query baseline is exactly the
+    // artifact-clobbering the round-6 advice flagged twice; a failed
+    // full run lands in BENCH_LOCAL_failed.json for triage
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Path.of(
           if (total < 0) "BENCH_LOCAL_failed.json" else "BENCH_LOCAL_latest.json"),
         fullLine + "\n")
       catch { case _: java.io.IOException => } // bench result > bookkeeping
-    // compact line LAST — it is what a bounded tail capture parses (r4's
-    // artifact began mid-line at q11; r5's parsed object lost the
-    // per-query dict entirely). Short keys (the qNN prefix) + INTEGER
-    // MILLISECOND values ("qunit":"ms"; a failed query stays -1) keep all
-    // 145+ entries well inside a 2000-char tail window — 3-decimal
-    // seconds crossed it at ~140 queries.
+    // compact line LAST — it is what the bounded tail capture parses.
+    // Size discipline: every per-query entry is an INTEGER MILLISECOND
+    // value in an ARRAY ordered by sorted query name (the same order
+    // CORRECTNESS_r*.json keys sort to, so names are recoverable), never
+    // a named dict — ~5 chars/entry keeps 400+ queries inside a 2.4 KB
+    // window where named entries (~11 chars) overflowed it at 237. The
+    // 5 slowest queries ride along by full name as the human anchor;
+    // the complete named dict lives in BENCH_LOCAL_latest.json.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" +
-        (if (v < 0) -1L else math.rint(v * 1000).toLong)
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","queries":$shortQs}""")
+    def ms(v: Double): Long = if (v < 0) -1L else math.rint(v * 1000).toLong
+    val arr = results.map(kv => ms(kv._2)).mkString("[", ",", "]")
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","qorder":"sorted_query_name","queries_ms":$arr,"slowest":$slowest,"detail":"BENCH_LOCAL_latest.json"}""")
     System.out.flush()
     spark.stop()
   }
