@@ -44,7 +44,8 @@ object SparkEntry {
     * accidental collision instead of silently dropping a query. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val parts = Seq(ParityQueries.queries, TextQueries.queries,
-      SimilarityQueries.queries, PipelineQueries.queries, SketchQueries.queries)
+      SimilarityQueries.queries, PipelineQueries.queries, SketchQueries.queries,
+      StreamingQueries.queries)
     val all = parts.reduce(_ ++ _)
     require(all.size == parts.map(_.size).sum, "duplicate query keys across domain files")
     all
@@ -53,7 +54,8 @@ object SparkEntry {
   /** DuckDB oracle per query (same domain files). */
   def oracleSql: Map[String, String] = {
     val parts = Seq(ParityQueries.oracleSql, TextQueries.oracleSql,
-      SimilarityQueries.oracleSql, PipelineQueries.oracleSql, SketchQueries.oracleSql)
+      SimilarityQueries.oracleSql, PipelineQueries.oracleSql, SketchQueries.oracleSql,
+      StreamingQueries.oracleSql)
     val all = parts.reduce(_ ++ _)
     require(all.size == parts.map(_.size).sum, "duplicate oracle keys across domain files")
     all

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryShared._
+
+/** Deterministic-replay gates that drive the REAL Structured Streaming
+  * path (MemoryStream -> flatMapGroupsWithState -> memory sink) under
+  * the DuckDB oracle — not the operators' batch twins. The replay
+  * discipline that makes a streaming run oracle-checkable:
+  *
+  *  - the events fixture feeds in EVENT-TIME order as day-ranged
+  *    micro-batches, so no window/epoch ever straddles a batch and the
+  *    stream's closed-state accounting cannot diverge from the batch
+  *    formulation the oracle computes;
+  *  - the driver-side collect is the replay HARNESS (production reads
+  *    Kafka) — all state, ordering, and verdict logic runs inside the
+  *    streaming engine, and the feed is capped by a loud require;
+  *  - each run gets a fresh memory-sink name (Bench runs a query twice
+  *    in one JVM) and the tiny aggregated result is localCheckpoint-ed
+  *    so the sink and temp view can be dropped before returning.
+  *
+  * Reference basis: the reference syncs record streams batch-at-a-time
+  * (`lib/airtable_sync.py` full-table pulls); these gates cover the
+  * beyond-parity continuous-ingest surface (SURVEY §2.9).
+  */
+private[graft] object StreamingQueries {
+
+  private val memNonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** event_type -> integer key code, mirrored verbatim in the oracles
+    * (the streaming state ops key by integral columns). */
+  private def typeCode = when(col("event_type") === "click", 0L)
+    .when(col("event_type") === "error", 1L)
+    .when(col("event_type") === "purchase", 2L)
+    .when(col("event_type") === "signup", 3L)
+    .when(col("event_type") === "view", 4L)
+
+  private val typeCodeSql =
+    """CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |    WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+      |  END""".stripMargin
+  private val typeInSql =
+    "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"
+
+  /** Split replay rows into at most four day-ranged micro-batches
+    * (8-day spans from the minimum day) — deterministic, event-time
+    * ordered, epoch-aligned. */
+  private def dayBatches[T](rows: Array[T], tsOf: T => java.sql.Timestamp): Seq[Seq[T]] = {
+    require(rows.nonEmpty, "streaming replay needs a non-empty fixture")
+    require(rows.length <= 2000000,
+      s"${rows.length} rows exceed the driver-feed replay cap")
+    def day(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
+    val d0 = rows.iterator.map(r => day(tsOf(r))).min
+    rows.groupBy(r => math.min((day(tsOf(r)) - d0) / 8L, 3L))
+      .toSeq.sortBy(_._1).map(_._2.toSeq)
+  }
+
+  /** Run `gate` (a streaming frame) over the batched feed, return the
+    * memory-sink table name while the query is live, and hand the
+    * caller's aggregation back materialized. */
+  private def replay[T](s: SparkSession,
+      in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      gate: DataFrame, batches: Seq[Seq[T]])(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val mem = s"graft_stream_replay_${memNonce.incrementAndGet()}"
+    // the stateful stream inherits shuffle partitions at start(): the
+    // replay keys by a HANDFUL of type codes, so the session's 32 would
+    // spin 32 state-store tasks per micro-batch for 5 live keys — pin 8
+    // for the stream's lifetime and restore after (result rows are
+    // partition-count-invariant; DeterminismSpec's engine-wide contract)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = gate.writeStream.format("memory").queryName(mem)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // materialize the (tiny) result BEFORE the sink goes away
+        finish(s.table(mem)).localCheckpoint()
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(mem)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- streaming admission quota, replay-gated (§2.9) ------------
+    "q238_stream_quota_replay" -> ((s, dir) => {
+      // q164's per-(type, day) 5-event budget driven through the REAL
+      // streaming gate (StreamingSync.quotaPerKey): per-event verdicts
+      // accumulate in the memory sink across four epoch-aligned
+      // micro-batches; the oracle recomputes them as the row_number
+      // twin. admitted_id_sum pins WHICH events admitted (first five by
+      // event time), not just how many.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull &&
+          typeCode.isNotNull)
+        .select(typeCode.as("k"), col("ts"), col("event_id").cast("long").as("id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val gate = graft.streaming.StreamingSync.quotaPerKey(
+          in.toDF().toDF("k", "ts", "id"), "k", "ts", "id",
+          epochSec = 86400L, quota = 5L)
+        .toDF("type_code", "id", "epoch", "admitted")
+      replay(s, in, gate, dayBatches[(Long, java.sql.Timestamp, Long)](rows, _._2)) { t =>
+        t.groupBy("type_code", "epoch")
+          .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"),
+            sum(when(col("admitted"), col("id")).otherwise(0L))
+              .as("admitted_id_sum"))
+          .filter(col("n_rejected") > 0)
+          .orderBy("type_code", "epoch")
+      }
+    }),
+
+
+    // ----- streaming rolling anomaly, replay-gated (§2.9) ------------
+    "q239_stream_anomaly_replay" -> ((s, dir) => {
+      // q158's trailing-100 3-sigma gate driven through the REAL
+      // streaming path (StreamingSync.anomalyPerKey): O(lookback) state
+      // per key, decimal-snapped moments identical to the batch
+      // operator's DECIMAL route, so for this in-order replay the
+      // stream must flag EXACTLY the oracle's rows. Timestamps feed at
+      // WHOLE-SECOND granularity because the batch/oracle frame orders
+      // by (sec, id) — sub-second bits would give the stream a finer
+      // order than the oracle's window can express.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && typeCode.isNotNull)
+        .select(typeCode.as("k"),
+          col("ts").cast("long").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("id"),
+          col("value").cast("double").as("v"))
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val gate = graft.streaming.StreamingSync.anomalyPerKey(
+          in.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+          lookback = 100, minN = 30, z = 3.0)
+        .toDF("key", "sec", "id", "value", "n_base")
+      replay(s, in, gate,
+        dayBatches[(Long, java.sql.Timestamp, Long, Double)](rows, _._2)) { t =>
+        t.select("key", "sec", "id", "value", "n_base")
+          .orderBy("key", "sec", "id")
+      }
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q238_stream_quota_replay" ->
+      s"""WITH v AS (SELECT
+         |    $typeCodeSql AS type_code,
+         |    event_id,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch,
+         |    row_number() OVER (PARTITION BY event_type,
+         |      CAST(floor(epoch(ts) / 86400) AS BIGINT)
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |  WHERE $typeInSql AND ts IS NOT NULL AND event_id IS NOT NULL)
+         |SELECT CAST(type_code AS BIGINT) AS type_code, epoch,
+         |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(sum(CASE WHEN rn <= 5 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_rejected,
+         |  CAST(sum(CASE WHEN rn <= 5 THEN event_id ELSE 0 END) AS BIGINT)
+         |    AS admitted_id_sum
+         |FROM v GROUP BY 1, 2 HAVING n_rejected > 0
+         |ORDER BY type_code, epoch""".stripMargin,
+
+    // q158's window arithmetic verbatim (decimal-routed moments), keyed
+    // by the integer type code and projected to the stream gate's
+    // alert-row shape
+    "q239_stream_anomaly_replay" ->
+      s"""WITH e AS (SELECT $typeCodeSql AS key,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id AS id,
+         |  CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE $typeInSql AND ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND value IS NOT NULL),
+         |w AS (SELECT key, sec, id, v,
+         |  CAST(sum(CAST(v AS DECIMAL(28,12))) OVER fr AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(v * v AS DECIMAL(28,12))) OVER fr AS DOUBLE) AS s2,
+         |  count(v) OVER fr AS n
+         |  FROM e WINDOW fr AS (PARTITION BY key ORDER BY sec, id
+         |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+         |SELECT CAST(key AS BIGINT) AS key, sec, id, v AS value,
+         |  CAST(n AS BIGINT) AS n_base
+         |FROM w
+         |WHERE n >= 30
+         |  AND abs(v - s1 / n) > 3.0 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0))
+         |ORDER BY key, sec, id""".stripMargin
+  )
+}
