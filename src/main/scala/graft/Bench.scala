@@ -17,6 +17,11 @@ object Bench {
     // because warning spam (plan-truncation notices over a huge expression
     // tree) interleaved with stdout in the merged capture
     spark.sparkContext.setLogLevel("ERROR")
+    // AMBIENT load, sampled BEFORE the bench's own local[32] work exists:
+    // this is the contention evidence a reader wants (an end-of-run
+    // load_avg mostly measures the bench itself)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // warm the session (codegen, FS client, scheduler) so the first timed
     // query doesn't absorb one-time startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -56,7 +61,7 @@ object Bench {
       .getSystemLoadAverage
     System.out.flush(); System.err.flush()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_avg":$load}"""
     // the FULL named per-query dict lands in a local file ONLY — never
     // on stdout: the driver's capture keeps a bounded TAIL of stdout,
     // and round 7 proved that any line carrying 237 named entries
@@ -86,7 +91,7 @@ object Bench {
     val arr = results.map(kv => ms(kv._2)).mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","qorder":"sorted_query_name","queries_ms":$arr,"slowest":$slowest,"detail":"BENCH_LOCAL_latest.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_start":${math.rint(loadStart * 100) / 100},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","qorder":"sorted_query_name","queries_ms":$arr,"slowest":$slowest,"detail":"BENCH_LOCAL_latest.json"}""")
     System.out.flush()
     spark.stop()
   }
