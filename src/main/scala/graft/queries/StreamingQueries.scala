@@ -122,6 +122,42 @@ private[graft] object StreamingQueries {
     }),
 
 
+    // ----- streaming per-key EMA, replay-gated (§2.9) ----------------
+    "q240_stream_ema_replay" -> ((s, dir) => {
+      // q66's order-sensitive sequential fold driven through the REAL
+      // streaming path (StreamingSync.emaPerKey, mapGroupsWithState,
+      // O(1) state per key): each micro-batch emits the running
+      // (ema, n) per touched key; the FINAL state per key is the row
+      // with the maximum cumulative n (strictly increasing), and it
+      // must equal the oracle's whole-history list_reduce fold
+      // bit-for-bit — same IEEE op chain, same (ts, id) order (the
+      // fixture has no (user, ts) ties at any SF, so the stream's
+      // value-tiebreak never fires).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("user_id").cast("long").as("k"), col("ts"),
+          col("value").cast("double").as("v"))
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val gate = graft.streaming.StreamingSync.emaPerKey(
+          in.toDF().toDF("k", "ts", "v"), "k", "ts", "v", alpha = 0.5)
+        .toDF("user_id", "ema", "n_events")
+      replay(s, in, gate,
+        dayBatches[(Long, java.sql.Timestamp, Double)](rows, _._2)) { t =>
+        t.groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("ema"))).as("fin"))
+          .select(col("user_id"), col("fin.n_events").as("n_events"),
+            col("fin.ema").as("ema"))
+          .orderBy("user_id")
+      }
+    }),
+
+
     // ----- streaming rolling anomaly, replay-gated (§2.9) ------------
     "q239_stream_anomaly_replay" -> ((s, dir) => {
       // q158's trailing-100 3-sigma gate driven through the REAL
@@ -178,6 +214,17 @@ private[graft] object StreamingQueries {
          |    AS admitted_id_sum
          |FROM v GROUP BY 1, 2 HAVING n_rejected > 0
          |ORDER BY type_code, epoch""".stripMargin,
+
+    // q66's whole-history fold verbatim (dyadic alpha keeps every step
+    // IEEE-exact), restricted by the same null guards the feed applies
+    "q240_stream_ema_replay" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(CAST(value AS DOUBLE)
+        |                   ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |              (acc, x) -> 0.5*x + 0.5*acc) AS ema
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q158's window arithmetic verbatim (decimal-routed moments), keyed
     // by the integer type code and projected to the stream gate's
