@@ -557,4 +557,59 @@ class StreamingSpec extends SparkSpec {
     val got = incr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 3L -> 2L), "group 2 left; group 3 entered")
   }
+
+  test("replay split invariance: epoch-aligned micro-batch boundaries cannot change verdicts") {
+    // the q238/q239/q240 replay-gate contract: as long as batch splits
+    // align with epochs (no window straddles a boundary), the SPLIT
+    // choice must be invisible — one batch, three batches, identical
+    // output. 180 events for key 7 over three 60s epochs.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = (0 until 180).map { i =>
+      (7L, ts(i.toLong), i.toLong, 5.0 + (i * 37 % 21 - 10) / 10.0 +
+        (if (i == 150) 40.0 else 0.0)) // one spike for the anomaly gate
+    }
+    val splits: Seq[Seq[Seq[(Long, java.sql.Timestamp, Long, Double)]]] = Seq(
+      Seq(events),                                  // single batch
+      Seq(events.take(60), events.slice(60, 120), events.drop(120))) // per-epoch
+    def runQuota(batches: Seq[Seq[(Long, java.sql.Timestamp, Long, Double)]]) = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val gate = StreamingSync.quotaPerKey(
+        in.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id",
+        epochSec = 60, quota = 10)
+        .toDF("k", "id", "epoch", "admitted")
+      val name = s"split_q_${System.nanoTime()}"
+      val q = gate.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(name).select("id", "epoch", "admitted")
+        .as[(Long, Long, Boolean)].collect().toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+    def runAnomaly(batches: Seq[Seq[(Long, java.sql.Timestamp, Long, Double)]]) = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val gate = StreamingSync.anomalyPerKey(
+        in.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+        lookback = 100, minN = 30, z = 3.0)
+        .toDF("k", "sec", "id", "value", "n_base")
+      val name = s"split_a_${System.nanoTime()}"
+      val q = gate.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(name).select("id", "value", "n_base")
+        .as[(Long, Double, Long)].collect().toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+    val quotas = splits.map(runQuota)
+    assert(quotas(0) == quotas(1), "quota verdicts moved with the batch split")
+    assert(quotas(0).exists(!_._3) && quotas(0).exists(_._3),
+      "fixture must exercise both admit and reject")
+    val anomalies = splits.map(runAnomaly)
+    assert(anomalies(0) == anomalies(1), "anomaly flags moved with the batch split")
+    assert(anomalies(0).exists(_._1 == 150L), "the spike must flag")
+  }
 }
