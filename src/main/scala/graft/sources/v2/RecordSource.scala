@@ -35,6 +35,14 @@ import graft.schema.SchemaMapper
   * field list to the REST API (lib/UpdateStrategies.py:365). At 100 TB
   * this is the difference between parsing every field of every record and
   * parsing two.
+  *
+  * The same table also serves as a STREAMING source
+  * (`spark.readStream.format("graft-records")...`): a micro-batch tail of
+  * the record directory with file-set offsets ([[RecordMicroBatchStream]]),
+  * so the reference's poll-the-whole-table sync loop becomes an
+  * incremental, exactly-once ingest — new record files (including those
+  * landed by this source's own staged write commit) flow to the stream,
+  * replays after restart come from checkpointed offsets.
   */
 class RecordSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-records"
@@ -91,6 +99,7 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   // capture the session's Hadoop configuration (credentials, fs impls,
@@ -291,18 +300,102 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-      else Array(path)
-    files.map(f => RecordInputPartition(f): InputPartition)
+    RecordScan.listDataFiles(path, hadoopConf)
+      .map(f => RecordInputPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN,
       limit, agg, mode)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RecordMicroBatchStream(readSchema, fullSchema, path, confProps,
+      filters, mode)
+}
+
+private[v2] object RecordScan {
+  /** Data files under `path` (or `path` itself when it is a file), with
+    * `_`/`.`-prefixed names skipped — the staging/marker convention the
+    * write path relies on (`_staging-<queryId>` is a DIRECTORY, but a
+    * half-moved marker file must never read as data either). */
+  def listDataFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile)
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+    else Array(path)
+  }
+}
+
+/** Streaming offset for [[RecordMicroBatchStream]]: the SET of data files
+  * already delivered, as a sorted JSON array. The record directory is
+  * append-only by construction (the write path renames whole files in at
+  * job commit and never rewrites them), so set difference of two offsets
+  * is exactly the undelivered files. Plain and auditable; a deployment
+  * whose directory grows to millions of files would graduate to a
+  * compacted seen-file log (what Spark's own FileStreamSource keeps) with
+  * the same semantics. */
+private[graft] case class RecordStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.sorted.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+}
+
+private[graft] object RecordStreamOffset {
+  def fromJson(json: String): RecordStreamOffset = {
+    val node = new ObjectMapper().readTree(json)
+    RecordStreamOffset(node.elements().asScala.map(_.asText()).toSeq.sorted)
+  }
+}
+
+/** Micro-batch tail of a record directory — the continuous-ingest face of
+  * the same source (§2.9 meets §2.1): each trigger delivers the files
+  * that appeared since the last committed offset, one input partition per
+  * file, through the SAME pruned/filtered reader the batch path uses (a
+  * streaming `select("Name").where(...)` parses only `Name` of matching
+  * records, exactly like the batch scan). Exactly-once delivery comes
+  * from the offset contract: Spark checkpoints the end offset per batch
+  * and replays `planInputPartitions(start, end)` deterministically on
+  * recovery, and the write path's staged commit guarantees a file is
+  * either fully present or absent — no torn reads to re-deliver. */
+private[v2] class RecordMicroBatchStream(readSchema: StructType,
+    fullSchema: StructType, path: String, confProps: Map[String, String],
+    filters: Array[org.apache.spark.sql.sources.Filter], mode: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def hadoopConf = RecordSource.confFrom(confProps)
+
+  override def initialOffset(): Offset = RecordStreamOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    RecordStreamOffset(RecordScan.listDataFiles(path, hadoopConf).toSeq.sorted)
+
+  override def deserializeOffset(json: String): Offset =
+    RecordStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[RecordStreamOffset].files.toSet
+    end.asInstanceOf[RecordStreamOffset].files
+      .filterNot(seen).sorted
+      .map(f => RecordInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RecordReaderFactory(readSchema, fullSchema, confProps, filters,
+      topN = None, limit = None, agg = None, mode)
+
+  override def commit(end: Offset): Unit = () // nothing to release per batch
+  override def stop(): Unit = ()
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition

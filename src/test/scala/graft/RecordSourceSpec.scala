@@ -383,4 +383,49 @@ class RecordSourceSpec extends SparkSpec {
     val ev = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType == TimestampType)
   }
+
+  test("micro-batch streaming tail: new files only, exactly-once across restart, staged writes visible") {
+    val dir = Files.createTempDirectory("graft_dsv2_stream").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_dsv2_ckpt").toFile.getAbsolutePath
+    def rec(id: String, name: String, score: Double) =
+      s"""{"id":"$id","createdTime":"2024-01-01T00:00:00Z","fields":{"Name":"$name","Score":$score}}"""
+    def addFile(fname: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, fname).toPath, lines.mkString("\n"))
+    addFile("batch0.jsonl", rec("r1", "alpha", 1.0), rec("r2", "beta", 9.0))
+    // a marker file must never read as data (the staging convention)
+    addFile("_marker", rec("rX", "ghost", 7.0))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def start() = spark.readStream.format("graft-records")
+      .option("path", dir)
+      .option("fieldTypes", "Name:singleLineText,Score:number")
+      .load()
+      .where(col("Score") > 0.5)
+      .select("_record_id")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.collect().foreach(r => seen.synchronized { seen += ((id, r.getString(0))) }); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(seen.map(_._2).sorted.toSeq == Seq("r1", "r2"))
+    // a later trigger delivers ONLY the new file (r4 fails the filter)
+    addFile("batch1.jsonl", rec("r3", "gamma", 3.0), rec("r4", "delta", 0.1))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.map(_._2).sorted.toSeq == Seq("r1", "r2", "r3"))
+    // restart from the checkpoint: nothing re-delivers; an append through
+    // the DSv2 WRITE path (staged two-phase commit) lands as a new file
+    // the stream picks up — write and tail compose
+    Seq(("r5", 2.0)).toDF("_record_id", "Score")
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.map(_._2).sorted.toSeq == Seq("r1", "r2", "r3", "r5"),
+      s"exactly-once violated: $seen")
+    // offsets round-trip through their JSON form (checkpoint recovery path)
+    val off = graft.sources.v2.RecordStreamOffset(Seq("b", "a"))
+    assert(graft.sources.v2.RecordStreamOffset.fromJson(off.json()).files == Seq("a", "b"))
+  }
 }
