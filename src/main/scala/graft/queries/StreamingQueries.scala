@@ -122,6 +122,54 @@ private[graft] object StreamingQueries {
     }),
 
 
+    // ----- DSv2 streaming source under the oracle (§2.1 x §2.9) ------
+    "q241_stream_source_replay" -> ((s, dir) => {
+      // the graft-records MICRO_BATCH_READ path end-to-end: the customer
+      // fixture is written through the source's own staged-commit WRITE
+      // in two appends, and a streaming read tails the directory across
+      // both (first trigger sees slice one, second trigger sees ONLY the
+      // newly committed files); the streamed rows must aggregate to the
+      // plain SQL over customer. Fresh checkpoint + sink per run (the
+      // bench times each query twice in one JVM).
+      import org.apache.hadoop.fs.Path
+      val base = scratchPath(dir, "q241_records")
+      val run = memNonce.incrementAndGet()
+      val ckpt = s"${base}_ckpt_$run"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      fs.delete(new Path(ckpt), true)
+      val cust = rd(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("_record_id"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+      def append(df: DataFrame): Unit = df.write.format("graft-records")
+        .option("path", base).mode("append").save()
+      append(cust.filter(col("c_mktsegment") < "F"))
+      val stream = s.readStream.format("graft-records")
+        .option("path", base)
+        .option("fieldTypes", "c_acctbal:number,c_mktsegment:singleLineText")
+        .load()
+      val mem = s"graft_stream_src_$run"
+      val q = stream.select("c_mktsegment", "c_acctbal")
+        .writeStream.format("memory").queryName(mem).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        append(cust.filter(col("c_mktsegment") >= "F"))
+        q.processAllAvailable()
+        s.table(mem).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("sum_bal"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint()
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(mem)
+      }
+    }),
+
+
     // ----- streaming per-key EMA, replay-gated (§2.9) ----------------
     "q240_stream_ema_replay" -> ((s, dir) => {
       // q66's order-sensitive sequential fold driven through the REAL
@@ -214,6 +262,13 @@ private[graft] object StreamingQueries {
          |    AS admitted_id_sum
          |FROM v GROUP BY 1, 2 HAVING n_rejected > 0
          |ORDER BY type_code, epoch""".stripMargin,
+
+    // the wire format carries acctbal as double (exact round trip), so
+    // the streamed aggregate must equal the direct table aggregate
+    "q241_stream_source_replay" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q66's whole-history fold verbatim (dyadic alpha keeps every step
     // IEEE-exact), restricted by the same null guards the feed applies
