@@ -60,30 +60,34 @@ private[graft] object StreamingQueries {
   /** Run `gate` (a streaming frame) over the batched feed, return the
     * memory-sink table name while the query is live, and hand the
     * caller's aggregation back materialized. */
+  /** Run `body` with shuffle partitions pinned to 8 for a replay
+    * stream's lifetime, restoring the session conf after: a stateful
+    * stream inherits shuffle partitions at start(), and the replays key
+    * by a handful of codes (or a few thousand windows), so the session's
+    * 32 would mostly spin empty state-store tasks per micro-batch.
+    * Result rows are partition-count-invariant (DeterminismSpec's
+    * engine-wide contract). */
+  private def withReplayPartitions[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def replay[T](s: SparkSession,
       in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       gate: DataFrame, batches: Seq[Seq[T]])(
-      finish: DataFrame => DataFrame): DataFrame = {
+      finish: DataFrame => DataFrame): DataFrame = withReplayPartitions(s) {
     val mem = s"graft_stream_replay_${memNonce.incrementAndGet()}"
-    // the stateful stream inherits shuffle partitions at start(): the
-    // replay keys by a HANDFUL of type codes, so the session's 32 would
-    // spin 32 state-store tasks per micro-batch for 5 live keys — pin 8
-    // for the stream's lifetime and restore after (result rows are
-    // partition-count-invariant; DeterminismSpec's engine-wide contract)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = gate.writeStream.format("memory").queryName(mem)
+      .outputMode("update").start()
     try {
-      val q = gate.writeStream.format("memory").queryName(mem)
-        .outputMode("update").start()
-      try {
-        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
-        // materialize the (tiny) result BEFORE the sink goes away
-        finish(s.table(mem)).localCheckpoint()
-      } finally {
-        q.stop()
-        s.catalog.dropTempView(mem)
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // materialize the (tiny) result BEFORE the sink goes away
+      finish(s.table(mem)).localCheckpoint()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(mem)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,6 +170,70 @@ private[graft] object StreamingQueries {
       } finally {
         q.stop()
         s.catalog.dropTempView(mem)
+      }
+    }),
+
+
+    // ----- watermarked window finalization + late-drop (§2.9) --------
+    "q242_stream_watermark_replay" -> ((s, dir) => {
+      // q31's hourly windows driven through the WATERMARKED append-mode
+      // streaming path, with both watermark behaviors under the oracle:
+      // (1) a LATE row (global-min timestamp replayed in the final data
+      // batch, hours behind the watermark) must be DROPPED — the oracle
+      // aggregates the original table only, so a leak would break the
+      // hash; (2) window FINALIZATION is forced deterministically by two
+      // far-future sentinel batches (the second batch's watermark closes
+      // every real window during a DATA batch — no reliance on no-data
+      // micro-batch timing), so every real window emits exactly once.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[(java.sql.Timestamp, String, Double)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val gate = graft.streaming.StreamingSync.windowedCounts(
+          in.toDF().toDF("ts", "event_type", "value"),
+          "1 hour", "2 hours")
+        .select(unix_timestamp(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+      withReplayPartitions(s) {
+      val mem = s"graft_stream_wm_${memNonce.incrementAndGet()}"
+      val q = gate.writeStream.format("memory").queryName(mem)
+        .outputMode("append").start()
+      try {
+        val batches = dayBatches[(java.sql.Timestamp, String, Double)](rows, _._1)
+        batches.init.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val minTs = rows.iterator.map(_._1.getTime).min
+        val maxTs = rows.iterator.map(_._1.getTime).max
+        // final data batch carries the LATE replay of the oldest event —
+        // hours behind the watermark by now, it must not reopen its
+        // window (only meaningful once earlier batches set the watermark)
+        val late =
+          if (batches.size >= 2)
+            Seq((new java.sql.Timestamp(minTs), "click", 1.0)) else Seq.empty
+        in.addData(batches.last ++ late: _*)
+        q.processAllAvailable()
+        // sentinel pair: the second batch processes under a watermark
+        // that closes every real window, flushing them as DATA-batch
+        // output (sentinel windows themselves stay open and never emit)
+        in.addData((new java.sql.Timestamp(maxTs + 86400000L), "sentinel", 0.0))
+        q.processAllAvailable()
+        in.addData((new java.sql.Timestamp(maxTs + 90000000L), "sentinel", 0.0))
+        q.processAllAvailable()
+        s.table(mem)
+          .filter(col("event_type") =!= "sentinel")
+          .select("hour_start", "event_type", "n", "total_value")
+          .orderBy("hour_start", "event_type")
+          .localCheckpoint()
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(mem)
+      }
       }
     }),
 
@@ -269,6 +337,18 @@ private[graft] object StreamingQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ORIGINAL table only: the synthetic late replay the stream
+    // ingests must be dropped by the watermark, and every real window
+    // must emit exactly once — any leak or loss breaks the hash.
+    // DECIMAL(18,2) mirrors StreamingSync.windowedCounts' sum route.
+    "q242_stream_watermark_replay" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q66's whole-history fold verbatim (dyadic alpha keeps every step
     // IEEE-exact), restricted by the same null guards the feed applies
