@@ -629,6 +629,32 @@ private[graft] object TextQueries {
     }),
 
 
+    // ----- tokenizer fertility per language --------------------------
+    "q243_tokenizer_fertility" -> ((s, dir) => {
+      // the tokenizer-efficiency readout a rollout quotes per language
+      // BEFORE committing: a BPE table learned from the corpus majority
+      // compresses majority-language text better, and fertility
+      // (chars/token) per language is where that bias shows. One pass
+      // composes q23's classifier with q216's merge application; the
+      // per-language aggregate is exact integer sums + one
+      // lattice-rounded division.
+      val docs = docsBase(s, dir)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))
+      val bpe = TextAnalysis.bpeApply(docs, "doc_id", "text", bpeMerges)
+        .withColumnRenamed("id", "doc_id")
+      scored.join(bpe, "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("chars_per_token",
+          r(col("sum_chars").cast("double") /
+            nullif(col("sum_tokens"), lit(0L)).cast("double"), 6))
+        .orderBy("lang_pred")
+    }),
+
+
     // ----- accent-fold + casefold canonical dedup keys ---------------
     "q217_fold_key" -> ((s, dir) => {
       // the canonicalization tier ABOVE exact dedup (q24) and NFC
@@ -1417,6 +1443,46 @@ private[graft] object TextQueries {
     // the merge chain is GENERATED from the same bpeMerges table the
     // engine ships as plan literals — one source of truth for the
     // tokenizer artifact on both sides of the gate
+    // q23's classifier chain joined with q216's merge chain, aggregated
+    // per predicted language — integer sums, one lattice-rounded divide
+    "q243_tokenizer_fertility" -> {
+      val scores = langScores.map { case (l, e) => s"  CAST($e AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      val best = "greatest(" + langScores.map("s_" + _._1).mkString(", ") + ")"
+      val chain = langScores.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n       ")
+      val applied = bpeMerges.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, ' $l $r ', ' $l$r ')"
+      }
+      raw"""WITH t AS (SELECT doc_id,
+           |$scores
+           |FROM documents),
+           |b AS (SELECT doc_id, *, $best AS best FROM t),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN best = 0 THEN 'und'
+           |       $chain
+           |       END AS lang_pred FROM b),
+           |base AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text),
+           |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+           |  FROM documents),
+           |m AS (SELECT doc_id, replace(clean, ' ', '_') AS marked FROM base),
+           |cs AS (SELECT doc_id, CAST(length(marked) AS BIGINT) AS n_chars,
+           |  ' ' || regexp_replace(marked, '(.)', '\1 ', 'g') AS s FROM m),
+           |ap AS (SELECT doc_id, n_chars, $applied AS s2 FROM cs),
+           |tok AS (SELECT doc_id, n_chars,
+           |  CAST(length(s2) - length(replace(s2, ' ', '')) - 1 AS BIGINT)
+           |    AS n_tokens FROM ap)
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  floor(CAST(sum(n_chars) AS DOUBLE) /
+           |    nullif(CAST(sum(n_tokens) AS DOUBLE), 0) * 1000000 + 0.5)
+           |    / 1000000 AS chars_per_token
+           |FROM lang JOIN tok USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q216_bpe_apply" -> {
       val applied = bpeMerges.foldLeft("s") { case (acc, (l, r)) =>
         s"replace($acc, ' $l $r ', ' $l$r ')"
