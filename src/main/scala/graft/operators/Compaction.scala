@@ -102,4 +102,43 @@ object Compaction {
       .select((key :+ col(idCol) :+ sec.as("sec") :+ col("keep") :+
         col("reason")): _*)
   }
+
+  /** Compaction PLANNING over a file/partition inventory — the metadata
+    * half [[compact]] executes one directory at a time: assign each
+    * inventory row (one file / ingest partition, with its size) to a
+    * compaction group, packing ADJACENT rows in `orderCol` order until
+    * the running total crosses `targetBytes`
+    * (`grp = floor((cumsum - size) / target)` — an input larger than the
+    * target gets its own group; groups may overshoot by at most one
+    * input). Packing adjacent inputs — rather than bin-packing by size —
+    * is deliberate: it preserves the inventory's sort locality, so
+    * min/max pruning on the order column keeps working on the compacted
+    * files (size-greedy FFD would interleave time ranges and destroy
+    * pruning). The single-partition window runs over METADATA (one row
+    * per file — a million-file inventory is a few MB), never over the
+    * data being compacted. Output: every input column plus `grp`. */
+  def planSequential(inventory: org.apache.spark.sql.DataFrame,
+      orderCol: String, sizeCol: String, targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    inventory
+      .withColumn("_cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("grp",
+        floor((col("_cum") - col(sizeCol).cast("long")).cast("double") /
+          lit(targetBytes.toDouble)).cast("long"))
+      .drop("_cum")
+  }
+
+  /** The per-group rollup a compaction executor consumes: input count,
+    * total bytes, and the order-column range each output file will
+    * cover (the pruning-relevant metadata). */
+  def planSummary(inventory: org.apache.spark.sql.DataFrame,
+      orderCol: String, sizeCol: String, targetBytes: Long): org.apache.spark.sql.DataFrame =
+    planSequential(inventory, orderCol, sizeCol, targetBytes)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_inputs"),
+        sum(col(sizeCol).cast("long")).as("group_bytes"),
+        min(col(orderCol)).as(s"${orderCol}_min"),
+        max(col(orderCol)).as(s"${orderCol}_max"))
 }

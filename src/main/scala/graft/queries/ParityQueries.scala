@@ -235,6 +235,24 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- compaction planner (small-files maintenance) --------------
+    "q244_compaction_plan" -> ((s, dir) => {
+      // the planning half of lake OPTIMIZE: a per-day ingest inventory
+      // (one row per daily partition, deterministic byte estimate) packs
+      // into target-size output groups by the running-total rule —
+      // ADJACENT days only, so min/max pruning on day keeps working on
+      // the compacted files (size-greedy FFD would interleave time
+      // ranges). The window runs over the METADATA inventory (30 rows),
+      // never the data.
+      val inv = rd(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(floor(col("ts").cast("long") / 86400).cast("long").as("day"))
+        .agg(sum(lit(32) + length(col("event_type")) +
+          length(coalesce(col("props"), lit("")))).cast("long").as("bytes"))
+      graft.operators.Compaction.planSummary(inv, "day", "bytes", 40000L)
+        .orderBy("grp")
+    }),
+
+
     "q129_orc_roundtrip" -> ((s, dir) => {
       // ORC out (capped shards, so the re-read crosses file splits),
       // re-read, aggregate ≡ source aggregate — types survive
@@ -972,6 +990,24 @@ private[graft] object ParityQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+
+    // identical running-total group arithmetic over the same derived
+    // per-day inventory
+    "q244_compaction_plan" ->
+      """WITH inv AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |  CAST(sum(32 + length(event_type) + length(coalesce(props, '')))
+        |    AS BIGINT) AS bytes
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT day, bytes,
+        |  sum(bytes) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM inv),
+        |g AS (SELECT day, bytes,
+        |  CAST(floor(CAST(cum - bytes AS DOUBLE) / 40000.0) AS BIGINT) AS grp
+        |  FROM c)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_inputs,
+        |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
+        |  min(day) AS day_min, max(day) AS day_max
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q201_storage_audit" ->
       """SELECT 'region' AS tbl, (SELECT count(*) FROM region) AS n_rows,
