@@ -3740,19 +3740,31 @@ private[graft] object PipelineQueries {
     },
 
 
+    // earliest-occurrence chaining, equivalent to the engine's greedy
+    // fold (which advances on the FIRST matching event): stage k iff
+    // min(view) < min(click after it) < min(purchase after that). NOT a
+    // list_reduce fold: DuckDB 1.0.0 mis-correlates struct accumulators
+    // when several grouped lists fold in one vectorized batch (exposed
+    // by q245's stage-varied subset; on this full-history fixture every
+    // user reaches stage 3, which had masked it). Strict '>' matches
+    // the fold because the fixture has no (user, ts) ties.
     "q70_funnel" ->
-      """WITH seq AS (SELECT user_id,
-        |    list({'t': event_type, 's': 0}
-        |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS a
-        |  FROM events GROUP BY user_id),
-        |st AS (SELECT user_id,
-        |    list_reduce(list_prepend({'t': '', 's': 0}, a),
-        |      (acc, x) -> {'t': '',
-        |        's': CASE WHEN acc.s = 0 AND x.t = 'view' THEN 1
-        |                  WHEN acc.s = 1 AND x.t = 'click' THEN 2
-        |                  WHEN acc.s = 2 AND x.t = 'purchase' THEN 3
-        |                  ELSE acc.s END}).s AS stage
-        |  FROM seq)
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |st AS (SELECT u.user_id,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS stage
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
         |SELECT CAST(stage AS BIGINT) AS funnel_stage, count(*) AS n_keys
         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -274,6 +274,51 @@ private[graft] object StreamingQueries {
     }),
 
 
+    // ----- streaming funnel state machine, replay-gated (§2.9) -------
+    "q245_stream_funnel_replay" -> ((s, dir) => {
+      // q70's strict-order view->click->purchase funnel driven through
+      // the REAL streaming state machine (funnelPerKey,
+      // mapGroupsWithState, O(1) state per key): each batch emits the
+      // running stage per touched key; the FINAL stage per key (stages
+      // are monotone) must bucket users exactly as the oracle's
+      // whole-history list_reduce fold does. The replay covers the
+      // corpus's FIRST DAY only (a month leaves every user at stage 3 —
+      // no discrimination), fed as four 6-hour micro-batches, and the
+      // per-stage user-id sum pins WHICH users landed in each bucket.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val all = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id").cast("long").as("k"), col("ts"),
+          col("event_type").cast("string").as("et"))
+      val rows = all
+        .withColumn("_day", floor(col("ts").cast("long") / 86400))
+        .filter(col("_day") === all.agg(
+          min(floor(col("ts").cast("long") / 86400))).head().getLong(0))
+        .drop("_day")
+        .as[(Long, java.sql.Timestamp, String)]
+        .collect()
+      require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
+      val h0 = rows.iterator.map(_._2.getTime).min
+      val batches = rows
+        .groupBy(r => math.min((r._2.getTime - h0) / 21600000L, 3L))
+        .toSeq.sortBy(_._1).map(_._2.toSeq)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gate = graft.streaming.StreamingSync.funnelPerKey(
+          in.toDF().toDF("k", "ts", "et"), "k", "ts", "et",
+          steps = Seq("view", "click", "purchase"))
+        .toDF("user_id", "stage")
+      replay(s, in, gate, batches) { t =>
+        t.groupBy("user_id").agg(max(col("stage")).as("funnel_stage"))
+          .groupBy("funnel_stage")
+          .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("uid_sum"))
+          .orderBy("funnel_stage")
+      }
+    }),
+
+
     // ----- streaming rolling anomaly, replay-gated (§2.9) ------------
     "q239_stream_anomaly_replay" -> ((s, dir) => {
       // q158's trailing-100 3-sigma gate driven through the REAL
@@ -337,6 +382,41 @@ private[graft] object StreamingQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // earliest-occurrence chaining, equivalent to the greedy fold: the
+    // fold advances on the FIRST matching event, so stage k is reached
+    // iff min(view) < min(click after it) < min(purchase after that) —
+    // deliberately NOT q70's list_reduce formulation, which DuckDB
+    // 1.0.0 mis-correlates for struct accumulators when several grouped
+    // lists fold in one vectorized batch (inline single-group evaluation
+    // gives the right answer, the grouped CTE does not). Strict '>'
+    // matches the fold because the fixture has no (user, ts) ties.
+    "q245_stream_funnel_replay" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND CAST(floor(epoch(ts) / 86400) AS BIGINT) =
+        |      (SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+        |       FROM events WHERE ts IS NOT NULL)),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |st AS (SELECT u.user_id,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS stage
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(stage AS BIGINT) AS funnel_stage, count(*) AS n_keys,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the ORIGINAL table only: the synthetic late replay the stream
     // ingests must be dropped by the watermark, and every real window
