@@ -603,6 +603,36 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compaction planner: adjacent packing, oversized input isolation, range metadata") {
+    import graft.operators.Compaction
+    import spark.implicits._
+    // days 1..6 sized 30/30/50/200/10/10 at target 100:
+    // grp = floor((cum - size)/100): cum 30,60,110,310,320,330
+    // -> grp 0,0,0,1,3,3 — the 200-byte day starts its own group (it
+    // crossed the boundary alone) and later days resume packing
+    val inv = Seq((1L, 30L), (2L, 30L), (3L, 50L), (4L, 200L),
+      (5L, 10L), (6L, 10L)).toDF("day", "bytes")
+    val plan = Compaction.planSequential(inv, "day", "bytes", 100L)
+      .orderBy("day").select("day", "grp")
+      .as[(Long, Long)].collect().toSeq
+    assert(plan == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L),
+      (5L, 3L), (6L, 3L)), s"plan $plan")
+    // groups pack ADJACENT days only: each group's day range never
+    // overlaps another's (the pruning-locality invariant)
+    val sm = Compaction.planSummary(inv, "day", "bytes", 100L)
+      .orderBy("grp")
+      .select("grp", "n_inputs", "group_bytes", "day_min", "day_max")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sm == Seq((0L, 3L, 110L, 1L, 3L), (1L, 1L, 200L, 4L, 4L),
+      (3L, 2L, 20L, 5L, 6L)), s"summary $sm")
+    assert(sm.sliding(2).forall {
+      case Seq(a, b) => a._5 < b._4; case _ => true
+    }, "group day ranges must not interleave")
+    intercept[IllegalArgumentException] {
+      Compaction.planSequential(inv, "day", "bytes", 0L)
+    }
+  }
+
   test("neymanSample: allocation tracks stratum stddev, rerun-stable") {
     import spark.implicits._
     import graft.operators.Sampling
