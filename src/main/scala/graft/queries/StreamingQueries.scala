@@ -57,9 +57,6 @@ private[graft] object StreamingQueries {
       .toSeq.sortBy(_._1).map(_._2.toSeq)
   }
 
-  /** Run `gate` (a streaming frame) over the batched feed, return the
-    * memory-sink table name while the query is live, and hand the
-    * caller's aggregation back materialized. */
   /** Run `body` with shuffle partitions pinned to 8 for a replay
     * stream's lifetime, restoring the session conf after: a stateful
     * stream inherits shuffle partitions at start(), and the replays key
@@ -73,6 +70,10 @@ private[graft] object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run `gate` (a streaming frame fed by `in`) over the batched feed
+    * in update mode, then hand the caller's aggregation of the memory
+    * sink back MATERIALIZED, so sink and temp view can be dropped
+    * before returning. */
   private def replay[T](s: SparkSession,
       in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       gate: DataFrame, batches: Seq[Seq[T]])(
@@ -281,10 +282,11 @@ private[graft] object StreamingQueries {
       // mapGroupsWithState, O(1) state per key): each batch emits the
       // running stage per touched key; the FINAL stage per key (stages
       // are monotone) must bucket users exactly as the oracle's
-      // whole-history list_reduce fold does. The replay covers the
-      // corpus's FIRST DAY only (a month leaves every user at stage 3 —
-      // no discrimination), fed as four 6-hour micro-batches, and the
-      // per-stage user-id sum pins WHICH users landed in each bucket.
+      // earliest-occurrence chaining does (provably the same as the
+      // greedy fold). The replay covers the corpus's FIRST DAY only (a
+      // month leaves every user at stage 3 — no discrimination), fed as
+      // four 6-hour micro-batches, and the per-stage user-id sum pins
+      // WHICH users landed in each bucket.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val all = rd(s, dir, "events")
@@ -431,7 +433,10 @@ private[graft] object StreamingQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q66's whole-history fold verbatim (dyadic alpha keeps every step
-    // IEEE-exact), restricted by the same null guards the feed applies
+    // IEEE-exact), restricted by the same null guards the feed applies.
+    // NUMERIC-accumulator list_reduce is safe — the DuckDB 1.0.0
+    // mis-correlation q245's comment documents bites STRUCT accumulators
+    // only (this per-user output would expose it immediately if not)
     "q240_stream_ema_replay" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  list_reduce(list(CAST(value AS DOUBLE)
