@@ -2090,6 +2090,30 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- LSH banding precision (the recall audit's complement) -----
+    "q246_banding_precision" -> ((s, dir) => {
+      // of the pairs the banded LSH stage surfaces, how many survive
+      // exact-Jaccard verification — the candidate-stage waste factor
+      // that SIZES the verify join at corpus scale (q166 answers "what
+      // did banding miss"; this answers "what did banding overfetch").
+      // Candidates come from the same k=3/b=8/r=2 md5-family banding as
+      // q25; verified pairs from the shared cached set built with
+      // identical parameters, so precision = |verified| / |candidates|
+      // exactly.
+      val corpus = docsWithNearDups(s, dir)
+      val cand = DedupApprox.lshCandidatePairs(
+        DedupApprox.lshBands(corpus, "doc_id", "text",
+          k = 3, bands = 8, rows = 2, md5Family = true))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = nearDupPairsCached(s, dir).agg(count(lit(1)).as("n_verified"))
+      nCand.crossJoin(nVer)
+        .select(col("n_candidates"), col("n_verified"),
+          (floor(col("n_verified").cast("double") /
+            col("n_candidates").cast("double") * 1000000 + 0.5) / 1000000)
+            .as("precision"))
+    }),
+
+
     // ----- vocabulary coverage cutoff (tokenizer budgeting) ----------
     "q167_vocab_cutoff" -> ((s, dir) => {
       // the smallest frequency-ranked vocabulary covering 90% of the
@@ -4474,6 +4498,17 @@ private[graft] object PipelineQueries {
     // shared shingle is a candidate — supersets the banded candidates);
     // found = the q25 banded pipeline's verified pairs; exact counts +
     // one lattice divide
+    // the cand (banded candidates) and pairs (verified) CTEs are the
+    // shared minhash chain — precision is their count ratio
+    "q246_banding_precision" -> (minhashPairsCtes +
+      """
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE j >= 0.6)
+        |    AS n_verified,
+        |  floor(CAST((SELECT count(*) FROM pairs WHERE j >= 0.6) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM cand) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS precision""".stripMargin),
+
     "q166_sketch_recall" -> (minhashPairsCtes +
       """,
         |te AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
