@@ -1401,6 +1401,22 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- near-dup cluster size distribution ------------------------
+    "q247_cluster_sizes" -> ((s, dir) => {
+      // dedup savings come in cluster-sized units: the size histogram
+      // of the near-dup components (docs in at least one pair; a
+      // singleton has nothing to dedup) is the shape report a rollout
+      // reads first — many 2-clusters is touch-up, a giant cluster is a
+      // template/boilerplate problem the banding caps must absorb. One
+      // double aggregation past the shared clustering.
+      val comp = graft.operators.Components.connectedComponents(
+        nearDupPairsCached(s, dir), "id_a", "id_b")
+      comp.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+
     // ----- incremental aggregate rollup (materialized-view upkeep) ---
     "q150_incremental_rollup" -> ((s, dir) => {
       // per-user value stats folded from per-(user, day) PARTIALS built
@@ -3499,6 +3515,26 @@ private[graft] object PipelineQueries {
         |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node)
         |SELECT node AS doc_id, min(label) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // q56's recursive clustering chain, aggregated twice: component ->
+    // size, then size -> cluster count
+    "q247_cluster_sizes" -> (
+      minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |e AS (SELECT id_a AS x, id_b AS y FROM pairs WHERE j >= 0.6
+        |      UNION ALL
+        |      SELECT id_b, id_a FROM pairs WHERE j >= 0.6),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e2.x, r.label FROM e e2 JOIN reach r ON e2.y = r.node),
+        |comp AS (SELECT node, min(label) AS component
+        |  FROM reach GROUP BY node),
+        |cs AS (SELECT component, count(*) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
 
 
     // brute-force all-pairs weighted scorer — no blocking anywhere
