@@ -18,19 +18,41 @@ def main() -> int:
                 sys.argv[sys.argv.index(a) + 1])
     def load(p):
         d = json.load(open(p))
-        if "queries" not in d:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
+        has = lambda x: "queries" in x or "queries_ms" in x
+        if not has(d):  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
             d = d.get("parsed") or {}
-        if "queries" not in d:
-            sys.exit(f"{p}: no parsed bench line (driver 'parsed' is null?)")
+        if not has(d):
+            sys.exit(f"{p}: bench line has neither 'queries' (named dict) "
+                     "nor 'queries_ms' (compact array) — driver 'parsed' "
+                     "is null or the artifact is not a bench line")
+        return d
+
+    def named(d, p, names=None):
+        """Per-query seconds by name. The compact stdout line carries an
+        unnamed integer-ms array in sorted-query-name order (qorder) —
+        reconstruct names from the OTHER side's named dict when lengths
+        match, else point at the named artifact."""
+        if "queries" in d:
+            q = dict(d["queries"])
+        else:
+            arr = d["queries_ms"]
+            if names is None or len(names) != len(arr):
+                sys.exit(
+                    f"{p}: compact 'queries_ms' array ({len(arr)} entries) "
+                    "needs a name list of the same length from the other "
+                    "side's named dict — compare against a named artifact "
+                    "(e.g. BENCH_LOCAL_latest.json) instead")
+            q = {k: v / 1000.0 for k, v in zip(sorted(names), arr)}
         # the round-6 footgun: a -1 sentinel (failed query) poisons every
         # ratio and silently reads as a speedup in the total — refuse
-        neg = sorted(k for k, v in d["queries"].items() if v < 0)
+        neg = sorted(k for k, v in q.items() if v < 0)
         if neg:
             sys.exit(f"{p}: contains {len(neg)} failed (-1) queries, e.g. "
                      f"{neg[:5]} — re-run the bench clean before comparing")
-        return d
+        return q
     old, new = load(args[0]), load(args[1])
-    oq, nq = old["queries"], new["queries"]
+    oq = named(old, args[0], names=new.get("queries"))
+    nq = named(new, args[1], names=oq)
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)

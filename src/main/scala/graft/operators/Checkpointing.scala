@@ -17,9 +17,17 @@ private[operators] object Checkpointing {
     Option(new org.apache.hadoop.fs.Path(p).toUri.getPath).getOrElse(p)
 
   /** True when the context's current checkpoint dir already lives under
-    * `dir` (by URI path, scheme ignored). */
-  def underDir(sc: SparkContext, dir: String): Boolean =
-    sc.getCheckpointDir.exists(cur => uriPath(cur).startsWith(uriPath(dir)))
+    * `dir` (by URI path, scheme ignored). Compares whole path COMPONENTS,
+    * not a raw prefix: `/tmp/ck` must not match a current dir under the
+    * sibling `/tmp/ck2` (a raw startsWith would, silently landing
+    * reliable checkpoints under the wrong root). */
+  def underDir(sc: SparkContext, dir: String): Boolean = {
+    val root = uriPath(dir).stripSuffix("/")
+    sc.getCheckpointDir.exists { cur =>
+      val c = uriPath(cur)
+      c == root || c.startsWith(root + "/")
+    }
+  }
 
   /** Idempotently point the context's checkpoint dir at `dir`: set it
     * only when the current dir is not already a `dir/<UUID>` child, so

@@ -106,28 +106,32 @@ object Compaction {
   /** Compaction PLANNING over a file/partition inventory — the metadata
     * half [[compact]] executes one directory at a time: assign each
     * inventory row (one file / ingest partition, with its size) to a
-    * compaction group, packing ADJACENT rows in `orderCol` order until
-    * the running total crosses `targetBytes`
-    * (`grp = floor((cumsum - size) / target)` — an input larger than the
-    * target gets its own group; groups may overshoot by at most one
-    * input). Packing adjacent inputs — rather than bin-packing by size —
-    * is deliberate: it preserves the inventory's sort locality, so
-    * min/max pruning on the order column keeps working on the compacted
-    * files (size-greedy FFD would interleave time ranges and destroy
-    * pruning). The single-partition window runs over METADATA (one row
-    * per file — a million-file inventory is a few MB), never over the
-    * data being compacted. Output: every input column plus `grp`. */
+    * compaction group, packing ADJACENT rows in `orderCol` order:
+    * `grp = floor(exclusive-prefix-sum(size) / target)`. The invariant
+    * is adjacent packing with bounded overshoot — a group's byte total
+    * exceeds `targetBytes` by at most one input (an input larger than
+    * the target spills past its group boundary rather than forcing a
+    * group of its own; its successor still starts a fresh group). Packing
+    * adjacent inputs — rather than bin-packing by size — is deliberate:
+    * it preserves the inventory's sort locality, so min/max pruning on
+    * the order column keeps working on the compacted files (size-greedy
+    * FFD would interleave time ranges and destroy pruning).
+    *
+    * The prefix sum rides [[GlobalOrder.withRunningTotals]] — range
+    * exchange + per-partition running sums + broadcast offsets, NO
+    * SinglePartition stage — so the plan holds even for a billion-file
+    * lake inventory, where the naive `Window.orderBy` form would
+    * silently collapse the whole inventory into one task. Exact long
+    * arithmetic throughout (`div`, not a double floor — a double
+    * quotient loses bits past 2^53 on a large lake's cumulative bytes).
+    * Output: every input column plus `grp`. */
   def planSequential(inventory: org.apache.spark.sql.DataFrame,
       orderCol: String, sizeCol: String, targetBytes: Long): org.apache.spark.sql.DataFrame = {
     require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    inventory
-      .withColumn("_cum", sum(col(sizeCol).cast("long")).over(w))
-      .withColumn("grp",
-        floor((col("_cum") - col(sizeCol).cast("long")).cast("double") /
-          lit(targetBytes.toDouble)).cast("long"))
-      .drop("_cum")
+    GlobalOrder.withRunningTotals(inventory, Seq(col(orderCol)), sizeCol,
+        cumCol = "_cum_before")
+      .withColumn("grp", expr(s"_cum_before div ${targetBytes}L"))
+      .drop("_cum_before")
   }
 
   /** The per-group rollup a compaction executor consumes: input count,

@@ -497,18 +497,20 @@ private[graft] object ParityQueries {
       // per-value index width is ceil(log2 ndv), computed EXACTLY as
       // length(bin(ndv-1)) so no libm log enters the gate. One
       // Expand-based aggregation pass computes every column's NDV
-      // together; the report unpivots from the single-row aggregate with
-      // stack() — one Generate over one row, the aggregate subtree is
-      // instantiated exactly once (a per-column union would re-plan it
-      // once per column and lean on ReuseExchange to dedupe).
+      // together, then the 1-ROW result folds to driver literals (the
+      // q94 stats-sidecar discipline) and the per-column report is a
+      // LocalRelation unpivot — the round-8 stack()-over-aggregate form
+      // kept the whole Expand pass inside the report plan and re-paid it
+      // at 7x the round-7 time; here the data pass runs exactly once.
+      import s.implicits._
       val li = rd(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus")
-      val agg = li.agg(count(lit(1)).as("n"),
-        cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
-      agg.select(col("n"), expr(s"stack(${cols.length}, " +
-          cols.map(c => s"'$c', d_$c").mkString(", ") +
-          ") AS (column_name, ndv)"))
+      val row = li.agg(count(lit(1)).as("n"),
+        cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*).head()
+      val n = row.getLong(0)
+      cols.zipWithIndex.map { case (c, i) => (c, n, row.getLong(i + 1)) }
+        .toDF("column_name", "n", "ndv")
         .select(col("column_name"), col("n"), col("ndv"),
           when(col("ndv") * 20 <= col("n"), lit("dictionary"))
             .otherwise(lit("plain")).as("advice"),

@@ -1576,7 +1576,22 @@ private[graft] object PipelineQueries {
 
     // ----- funnel: ordered event-sequence matching -------------------
     "q70_funnel" -> ((s, dir) => {
-      graft.operators.Sequence.funnelCounts(rd(s, dir, "events"),
+      val ev = rd(s, dir, "events")
+      // fixture-assumption guard (round-8 advice): the oracle's strict
+      // `ts >` chaining equals the engine's greedy (ts, event_id) fold
+      // ONLY when no user has two funnel-step events at one timestamp —
+      // a regenerated fixture with ties would silently diverge (engine
+      // tie-breaks by event_id, oracle drops the tied event). Assert
+      // tie-freedom loudly so a future fixture turns a hash-mismatch
+      // mystery into a named failure.
+      val tieFree = ev
+        .filter(col("event_type").isin("view", "click", "purchase") &&
+          col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy("user_id", "ts").count()
+        .filter(col("count") > 1).limit(1).isEmpty
+      require(tieFree, "events fixture has (user_id, ts) ties among funnel " +
+        "steps — q70/q245's strict-inequality oracles assume tie-freedom")
+      graft.operators.Sequence.funnelCounts(ev,
         "user_id", Seq("ts", "event_id"), "event_type",
         steps = Seq("view", "click", "purchase"))
         .orderBy("funnel_stage")

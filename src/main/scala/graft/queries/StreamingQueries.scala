@@ -302,6 +302,20 @@ private[graft] object StreamingQueries {
         .as[(Long, java.sql.Timestamp, String)]
         .collect()
       require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
+      // fixture-assumption guard (round-8 advice): the oracle's strict
+      // `ts >` chaining assumes no (user, ts) ties among funnel-STEP
+      // events — check it on the already-collected feed instead of
+      // trusting the generator (a regenerated fixture with ties would
+      // diverge silently: engine tie-breaks by type, oracle drops)
+      locally {
+        val steps = Set("view", "click", "purchase")
+        val stepKeys = rows.iterator.filter(r => steps(r._3))
+          .map(r => (r._1, r._2)).toArray
+        require(stepKeys.distinct.length == stepKeys.length,
+          "events fixture has (user_id, ts) ties among funnel steps in " +
+            "the replay slice — q245's strict-inequality oracle assumes " +
+            "tie-freedom")
+      }
       val h0 = rows.iterator.map(_._2.getTime).min
       val batches = rows
         .groupBy(r => math.min((r._2.getTime - h0) / 21600000L, 3L))

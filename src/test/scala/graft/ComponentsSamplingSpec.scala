@@ -603,13 +603,16 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(after == before)
   }
 
-  test("compaction planner: adjacent packing, oversized input isolation, range metadata") {
+  test("compaction planner: adjacent packing, bounded overshoot, range metadata") {
     import graft.operators.Compaction
     import spark.implicits._
     // days 1..6 sized 30/30/50/200/10/10 at target 100:
     // grp = floor((cum - size)/100): cum 30,60,110,310,320,330
-    // -> grp 0,0,0,1,3,3 — the 200-byte day starts its own group (it
-    // crossed the boundary alone) and later days resume packing
+    // -> grp 0,0,0,1,3,3 — HERE the 200-byte day lands alone in grp 1
+    // because its start offset (110) already crossed the boundary; the
+    // invariant is NOT isolation but adjacent packing with overshoot
+    // bounded by one input (see the (10, 200) case below, where an
+    // oversized input shares its group with a preceding small one)
     val inv = Seq((1L, 30L), (2L, 30L), (3L, 50L), (4L, 200L),
       (5L, 10L), (6L, 10L)).toDF("day", "bytes")
     val plan = Compaction.planSequential(inv, "day", "bytes", 100L)
@@ -628,6 +631,20 @@ class ComponentsSamplingSpec extends SparkSpec {
     assert(sm.sliding(2).forall {
       case Seq(a, b) => a._5 < b._4; case _ => true
     }, "group day ranges must not interleave")
+    // the documented invariant, not isolation: sizes (10, 200) at target
+    // 100 share grp 0 (start offsets 0 and 10 both precede the first
+    // boundary) — the group overshoots by one input, by design
+    val shared = Compaction.planSequential(
+        Seq((1L, 10L), (2L, 200L)).toDF("day", "bytes"), "day", "bytes", 100L)
+      .orderBy("day").select("day", "grp").as[(Long, Long)].collect().toSeq
+    assert(shared == Seq((1L, 0L), (2L, 0L)), s"shared-group case: $shared")
+    // scale shape: the prefix sum must ride the range-exchange engine,
+    // never an unpartitioned window (Exchange SinglePartition would
+    // collapse a billion-file inventory into one task)
+    val phys = Compaction.planSequential(inv, "day", "bytes", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("SinglePartition"),
+      s"planSequential must not plan a SinglePartition exchange:\n$phys")
     intercept[IllegalArgumentException] {
       Compaction.planSequential(inv, "day", "bytes", 0L)
     }
