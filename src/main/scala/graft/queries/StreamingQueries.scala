@@ -44,29 +44,40 @@ private[graft] object StreamingQueries {
   private val typeInSql =
     "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"
 
-  /** Split replay rows into at most four day-ranged micro-batches
-    * (8-day spans from the minimum day) — deterministic, event-time
-    * ordered, epoch-aligned. */
-  private def dayBatches[T](rows: Array[T], tsOf: T => java.sql.Timestamp): Seq[Seq[T]] = {
+  /** Split replay rows into at most `nBatches` day-ranged micro-batches
+    * (32/nBatches-day spans from the minimum day) — deterministic,
+    * event-time ordered, epoch-aligned. Two batches suffice to exercise
+    * cross-batch state; four stress it harder — but every data batch
+    * costs a full engine micro-batch (plus a watermark-triggered
+    * no-data batch on watermarked gates), so the heavier replays run
+    * at two. */
+  private def dayBatches[T](rows: Array[T], tsOf: T => java.sql.Timestamp,
+      nBatches: Int = 4): Seq[Seq[T]] = {
     require(rows.nonEmpty, "streaming replay needs a non-empty fixture")
     require(rows.length <= 2000000,
       s"${rows.length} rows exceed the driver-feed replay cap")
+    require(nBatches == 2 || nBatches == 4, s"unsupported nBatches $nBatches")
+    val span = 32L / nBatches
     def day(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
     val d0 = rows.iterator.map(r => day(tsOf(r))).min
-    rows.groupBy(r => math.min((day(tsOf(r)) - d0) / 8L, 3L))
+    rows.groupBy(r => math.min((day(tsOf(r)) - d0) / span, nBatches - 1L))
       .toSeq.sortBy(_._1).map(_._2.toSeq)
   }
 
-  /** Run `body` with shuffle partitions pinned to 8 for a replay
+  /** Run `body` with shuffle partitions pinned to 4 for a replay
     * stream's lifetime, restoring the session conf after: a stateful
     * stream inherits shuffle partitions at start(), and the replays key
     * by a handful of codes (or a few thousand windows), so the session's
-    * 32 would mostly spin empty state-store tasks per micro-batch.
+    * 32 would mostly spin empty state-store tasks per micro-batch —
+    * each state-store instance pays per-batch instantiate/commit file
+    * I/O, and a stream-stream join carries FOUR stores per partition,
+    * so partition count is the dominant fixed cost of a replay (8 -> 4
+    * cut the join replay's wall time ~40% with identical results).
     * Result rows are partition-count-invariant (DeterminismSpec's
     * engine-wide contract). */
   private def withReplayPartitions[A](s: SparkSession)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -367,6 +378,216 @@ private[graft] object StreamingQueries {
         t.select("key", "sec", "id", "value", "n_base")
           .orderBy("key", "sec", "id")
       }
+    }),
+
+
+    // ----- streaming trailing-window rolling stats (§2.9) ------------
+    "q248_stream_rolling_replay" -> ((s, dir) => {
+      // StreamingSync.rollingPerKeyStream driven through the REAL
+      // mapGroupsWithState path: per user, a second-bucketed
+      // (count, sum) map capped at the trailing hour. Values feed as
+      // floor(value*100) — integer-valued doubles, so the bucket
+      // partial sums are EXACT in any fold order and the stream's
+      // final (n, sum) must equal the oracle's batch aggregation over
+      // [max_sec - 3599, max_sec] bit-for-bit. The final state per key
+      // is the (window_end, n, sum)-lexicographic max across the
+      // update-mode sink rows: window_end is monotone per key, and
+      // within one window_end n only grows (every fold that changes
+      // state folds >= 1 retained event).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id").cast("long").as("k"), col("ts"),
+          floor(col("value").cast("double") * 100).as("v"))
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val gate = graft.streaming.StreamingSync.rollingPerKeyStream(
+          in.toDF().toDF("k", "ts", "v"), "k", "ts", "v", windowSec = 3600L)
+        .toDF("user_id", "window_end_sec", "n_win", "sum_win")
+      replay(s, in, gate,
+        dayBatches[(Long, java.sql.Timestamp, Double)](rows, _._2)) { t =>
+        t.groupBy("user_id")
+          .agg(max(struct(col("window_end_sec"), col("n_win"),
+            col("sum_win"))).as("fin"))
+          .select(col("user_id"),
+            col("fin.window_end_sec").as("window_end_sec"),
+            col("fin.n_win").as("n_win"),
+            col("fin.sum_win").cast("long").as("sum_win"))
+          .orderBy("user_id")
+      }
+    }),
+
+
+    // ----- streaming per-key HLL distinct-count (§2.9 x sketches) ----
+    "q249_stream_hll_replay" -> ((s, dir) => {
+      // StreamingSync.hllPerKey driven through the REAL streaming state
+      // path: one 256-byte register array per event-type key, updated
+      // per event with the portable md5-prefix60 arithmetic, so the
+      // running estimate must agree with the q146-family SQL
+      // reconstruction register-for-register. The n_est > 1500 filter
+      // keeps every gated key on the RAW estimate branch on both
+      // engines — the small-range correction is m*ln(m/V) with raw <=
+      // 640, whose value is bounded by 256*ln(256) ~= 1419.6, so any
+      // value above 1500 was provably computed libm-free (the q189
+      // discipline; at sf0.001 all keys fall below the filter and the
+      // gate is vacuous there, by design). Final row per key = max
+      // n_events (the seen-counter is strictly increasing per fold).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_id").isNotNull &&
+          typeCode.isNotNull)
+        .select(typeCode.as("k"), col("ts"),
+          col("event_id").cast("string").as("v"))
+        .as[(Long, java.sql.Timestamp, String)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gate = graft.streaming.StreamingSync.hllPerKey(
+          in.toDF().toDF("k", "ts", "v"), "k", "v")
+        .toDF("type_code", "n_est", "n_events")
+      replay(s, in, gate,
+        dayBatches[(Long, java.sql.Timestamp, String)](rows, _._2)) { t =>
+        t.groupBy("type_code")
+          .agg(max(struct(col("n_events"), col("n_est"))).as("fin"))
+          .select(col("type_code"), col("fin.n_est").as("n_est"),
+            col("fin.n_events").as("n_events"))
+          .filter(col("n_est") > 1500)
+          .orderBy("type_code")
+      }
+    }),
+
+
+    // ----- gap-based session windows, watermark-closed (§2.9) --------
+    "q250_stream_session_replay" -> ((s, dir) => {
+      // StreamingSync.sessionize (the BUILT-IN session_window operator,
+      // Spark-managed merging state) under the oracle: per-user sessions
+      // close when the watermark passes last_event + 30min and emit
+      // exactly once in append mode. Closure is forced by the q242
+      // sentinel-pair discipline (the second sentinel batch processes
+      // under a watermark that closes every real session). The oracle
+      // re-derives sessions with lag/gap chaining — exact INTERVAL
+      // arithmetic on both sides, and the fixture has no (user_id, ts)
+      // ties at any SF (checked round 9), so the lag order is total.
+      // total_value rides the DECIMAL(18,2) route (order-insensitive).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val gate = graft.streaming.StreamingSync.sessionize(
+          in.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+        .select(col("user_id"),
+          unix_timestamp(col("start_ts")).as("start_sec"),
+          unix_timestamp(col("end_ts")).as("end_sec"),
+          col("n_events"), col("total_value"))
+      withReplayPartitions(s) {
+        val mem = s"graft_stream_sess_${memNonce.incrementAndGet()}"
+        val q = gate.writeStream.format("memory").queryName(mem)
+          .outputMode("append").start()
+        try {
+          val batches =
+            dayBatches[(Long, java.sql.Timestamp, Double)](rows, _._2,
+              nBatches = 2)
+          batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+          val maxTs = rows.iterator.map(_._2.getTime).max
+          // sentinel pair (user -1 matches no real key): the second
+          // batch runs under a watermark past every real session's end,
+          // flushing all of them as data-batch append output
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 86400000L), 0.0))
+          q.processAllAvailable()
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 90000000L), 0.0))
+          q.processAllAvailable()
+          s.table(mem)
+            .filter(col("user_id") >= 0)
+            .select("user_id", "start_sec", "end_sec", "n_events",
+              "total_value")
+            .orderBy("user_id", "start_sec")
+            .localCheckpoint()
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(mem)
+        }
+      }
+    }),
+
+
+    // ----- watermarked stream-stream interval join (§2.9 x J-family) -
+    "q251_stream_interval_join_replay" -> ((s, dir) => {
+      // StreamingSync.streamIntervalJoin under the oracle: view events
+      // join purchase events of the same user within [view, view + 1h],
+      // through the REAL two-sided streaming join state. Both sides
+      // feed in aligned event-time batches (shared day boundaries, so
+      // neither side's watermark can outrun the other and evict state a
+      // cross-batch match still needs — eviction keeps lTs > wm - after
+      // by construction); inner-join output emits eagerly, so no
+      // sentinel flush is needed. The oracle is the batch interval
+      // self-join; the per-user id sums pin exactly WHICH pairs joined.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id").cast("long").as("u"), col("ts"),
+          col("event_id").cast("long").as("id"),
+          col("event_type").cast("string").as("et"))
+        .as[(Long, java.sql.Timestamp, Long, String)]
+        .collect()
+      val views = ev.filter(_._4 == "view").map(r => (r._1, r._2, r._3))
+      val purch = ev.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
+      require(views.nonEmpty && purch.nonEmpty, "bad replay fixture")
+      // shared day boundaries across BOTH sides, two data batches (the
+      // heaviest replay: a stream-stream join carries four state stores
+      // per partition per micro-batch)
+      def day(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
+      val d0 = ev.iterator.map(r => day(r._2)).min
+      def split(rs: Array[(Long, java.sql.Timestamp, Long)]) =
+        (0L to 1L).map(i => rs.filter(r =>
+          math.min((day(r._2) - d0) / 16L, 1L) == i).toSeq)
+      val (lb, rb) = (split(views), split(purch))
+      val lin = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rin = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val gate = graft.streaming.StreamingSync.streamIntervalJoin(
+          lin.toDF().toDF("l_user", "l_ts", "l_id"),
+          rin.toDF().toDF("r_user", "r_ts", "r_id"),
+          "l_user", "r_user", "l_ts", "r_ts",
+          beforeSec = 0L, afterSec = 3600L, watermark = "2 hours")
+        .select(col("l_user").as("user_id"), col("l_id").as("view_id"),
+          col("r_id").as("purchase_id"))
+      withReplayPartitions(s) {
+        val mem = s"graft_stream_ij_${memNonce.incrementAndGet()}"
+        val q = gate.writeStream.format("memory").queryName(mem)
+          .outputMode("append").start()
+        try {
+          (0 until 2).foreach { i =>
+            if (lb(i).nonEmpty) lin.addData(lb(i): _*)
+            if (rb(i).nonEmpty) rin.addData(rb(i): _*)
+            q.processAllAvailable()
+          }
+          s.table(mem)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(col("view_id")).as("view_id_sum"),
+              sum(col("purchase_id")).as("purchase_id_sum"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(mem)
+        }
+      }
     })
   )
 
@@ -480,6 +701,92 @@ private[graft] object StreamingQueries {
          |FROM w
          |WHERE n >= 30
          |  AND abs(v - s1 / n) > 3.0 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0))
-         |ORDER BY key, sec, id""".stripMargin
+         |ORDER BY key, sec, id""".stripMargin,
+
+    // the trailing-hour window at each key's newest second — integer-
+    // valued doubles (floor(value*100)) make the stream's fold-order-
+    // dependent double sums exact, hence bit-comparable
+    "q248_stream_rolling_replay" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS k,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |  floor(CAST(value AS DOUBLE) * 100) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+        |hi AS (SELECT k, max(sec) AS hi FROM e GROUP BY 1)
+        |SELECT e.k AS user_id, hi.hi AS window_end_sec,
+        |  count(*) AS n_win, CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_win
+        |FROM e JOIN hi ON e.k = hi.k AND e.sec >= hi.hi - 3599
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q146's register reconstruction keyed by type code; the > 1500
+    // filter is provably raw-branch-only on both engines (the ln
+    // correction's ceiling is 256*ln(256) ~= 1419.6 and fires only when
+    // raw <= 640), so no libm value can reach the gate
+    "q249_stream_hll_replay" ->
+      s"""WITH e AS (SELECT $typeCodeSql AS k, CAST(event_id AS VARCHAR) AS v
+         |  FROM events
+         |  WHERE $typeInSql AND ts IS NOT NULL AND event_id IS NOT NULL),
+         |h AS (SELECT k, v,
+         |  CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS hv FROM e),
+         |b AS (SELECT k, hv % 256 AS bucket,
+         |  CASE WHEN hv // 256 = 0 THEN 53
+         |       ELSE 53 - length(bin(hv // 256)) END AS rho FROM h),
+         |regs AS (SELECT k, bucket, max(rho) AS m FROM b GROUP BY 1, 2),
+         |d AS (SELECT k, count(*) AS nz,
+         |  sum(1::BIGINT << (53 - m)) AS sden FROM regs GROUP BY 1),
+         |est AS (SELECT k,
+         |  CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+         |    * 65536.0 * 9007199254740992.0
+         |    / CAST((256 - nz) * 9007199254740992 + sden AS DOUBLE) AS raw
+         |  FROM d),
+         |n AS (SELECT k, count(*) AS n_events FROM e GROUP BY 1)
+         |SELECT CAST(est.k AS BIGINT) AS type_code,
+         |  CAST(floor(raw + 0.5) AS BIGINT) AS n_est,
+         |  CAST(n_events AS BIGINT) AS n_events
+         |FROM est JOIN n ON est.k = n.k
+         |WHERE floor(raw + 0.5) > 1500
+         |ORDER BY type_code""".stripMargin,
+
+    // lag/gap session chaining with exact INTERVAL arithmetic; end =
+    // last event + gap; the split condition is STRICT `>` because
+    // session_window's merge boundary is inclusive — an event exactly
+    // gap after its predecessor continues the session (pinned in
+    // StreamingSpec's boundary test). DECIMAL-routed value sums; no
+    // (user_id, ts) ties exist at any SF (round-9 check)
+    "q250_stream_session_replay" ->
+      """WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT user_id, ts, v,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 1800 SECONDS THEN 1
+        |       ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, v,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_sec,
+        |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+
+    // the batch interval join verbatim: purchases within [view, view+1h]
+    // of the same user; INTERVAL arithmetic is microsecond-exact in both
+    // engines, so the boundary semantics cannot diverge
+    "q251_stream_interval_join_replay" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |v AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id, v.event_id AS vid, p.event_id AS pid
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  CAST(sum(vid) AS BIGINT) AS view_id_sum,
+        |  CAST(sum(pid) AS BIGINT) AS purchase_id_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

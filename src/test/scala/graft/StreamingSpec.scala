@@ -86,6 +86,46 @@ class StreamingSpec extends SparkSpec {
     assert(s8._4 == 1L && s8._5 == 5.0)
   }
 
+  test("session windows: exactly-gap-spaced event MERGES; one past gap splits") {
+    // pins the boundary strictness q250's oracle assumes: Spark's
+    // session_window merges when the next event's start is at or before
+    // the current end (INCLUSIVE — an event exactly gap after its
+    // predecessor CONTINUES the session); only an event strictly past
+    // prev + gap opens a new one. The oracle's chaining must therefore
+    // be `ts > prev + INTERVAL gap`, not `>=`. (The events fixture has
+    // no exactly-boundary pairs at any SF — checked round 9 at
+    // sub-second resolution — so only this spec exercises the edge.)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = StreamingSync.sessionize(
+      in.toDF().toDF("ts", "user_id", "value"), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_boundary_out").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 3L, 1.0),
+      (ts("2024-01-01 10:30:00"), 3L, 2.0),       // exactly gap: merges
+      (ts("2024-01-01 11:00:00.001"), 3L, 4.0))   // 1ms past gap: splits
+    q.processAllAvailable()
+    in.addData((ts("2024-01-02 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-03 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_boundary_out")
+      .filter(col("user_id") === 3L)
+      .select("start_ts", "end_ts", "n_events", "total_value")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out(0)._1 == ts("2024-01-01 10:00:00") &&
+      out(0)._2 == ts("2024-01-01 11:00:00") && out(0)._3 == 2L &&
+      out(0)._4 == 3.0)
+    assert(out(1)._1 == ts("2024-01-01 11:00:00.001") &&
+      out(1)._2 == ts("2024-01-01 11:30:00.001") && out(1)._3 == 1L &&
+      out(1)._4 == 4.0)
+  }
+
   test("watermarked windowed counts aggregate an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
