@@ -588,6 +588,176 @@ private[graft] object StreamingQueries {
           s.catalog.dropTempView(mem)
         }
       }
+    }),
+
+
+    // ----- streaming retraction IVM through foreachBatch (§2.9) ------
+    "q252_stream_changelog_replay" -> ((s, dir) => {
+      // q219's retractable rollup driven through the REAL streaming
+      // path: the I/D changelog arrives as two micro-batches
+      // (split by event_id parity) and each batch incrementally
+      // maintains the moments state via IncrementalAgg.applyChangelog
+      // inside foreachBatch — count/sum/sumsq retract algebraically,
+      // extrema recompute only for touched groups. Additivity makes
+      // two-batch application bit-equal to the one-shot batch twin, so
+      // q219's oracle applies verbatim; the gate proves the equality
+      // holds through the actual streaming engine.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = rd(s, dir, "events").filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val day = (c: org.apache.spark.sql.Column) => to_date(c)
+      val dels = ev.filter(col("event_id") % 7 === 0).withColumn("op", lit("D"))
+      val ins = ev.filter(col("event_id") % 11 === 0)
+        .select(col("user_id"), (col("event_id") + 1000000L).as("event_id"),
+          col("ts"), (col("value") * 2).as("value"))
+        .withColumn("op", lit("I"))
+      // post-change raw after the first n parity batches have applied
+      // (ins ids keep their original parity: +1000000 is even)
+      def rawAfter(n: Int): DataFrame = ev
+        .filter(!(col("event_id") % 7 === 0 && col("event_id") % 2 < n))
+        .unionByName(ins.drop("op").filter(col("event_id") % 2 < n))
+      val ops = dels.unionByName(ins)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("double").as("value"), col("op"))
+        .as[(Long, Long, java.sql.Timestamp, Double, String)]
+        .collect()
+      require(ops.nonEmpty && ops.length <= 2000000, "bad replay fixture")
+      var state = graft.operators.IncrementalAgg.partials(
+        ev, Seq("user_id"), day(col("ts")), "value").localCheckpoint()
+      var applied = 0
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, Double, String)]
+      withReplayPartitions(s) {
+        val q = in.toDF().toDF("user_id", "event_id", "ts", "value", "op")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            applied += 1
+            state = graft.operators.IncrementalAgg.applyChangelog(
+              state, batch, rawAfter(applied), Seq("user_id"), day,
+              "ts", "value", "op").localCheckpoint()
+            ()
+          }.start()
+        try {
+          (0 until 2).foreach { i =>
+            val b = ops.filter(_._2 % 2 == i).toSeq
+            if (b.nonEmpty) in.addData(b: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      graft.operators.IncrementalAgg.rollup(state, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+
+    // ----- streaming bloom novelty gate (§2.9 x join pre-filter) -----
+    "q253_stream_bloom_gate_replay" -> ((s, dir) => {
+      // StreamingSync.bloomNovelGate end-to-end: the corpus bloom
+      // sketch is built once at gate start; each micro-batch of
+      // incoming customers routes through might-contain, and only the
+      // minority that might collide pays the exact anti-join — the
+      // emitted novelty set is EXACT (a bloom filter has no false
+      // negatives, the anti-join clears false positives), so the
+      // oracle is the plain set difference. Batches accumulate
+      // additive aggregates; the id/balance sums pin WHICH rows
+      // passed.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val cust = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      val corpus = cust.filter(col("c_custkey") % 3 =!= 0)
+      val rows = cust.as[(Long, Double)].collect()
+      require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val ckpt = scratchPath(dir, s"q253_ckpt_${memNonce.incrementAndGet()}")
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, java.math.BigDecimal)]
+      // offset ranges queued BEFORE start: AvailableNow latches the
+      // available end offset at query start, drains it, and stops
+      val half = rows.length / 2
+      in.addData(rows.take(half).toSeq: _*)
+      in.addData(rows.drop(half).toSeq: _*)
+      withReplayPartitions(s) {
+        val q = graft.streaming.StreamingSync.bloomNovelGate(
+          in.toDF().toDF("c_custkey", "c_acctbal"), corpus, "c_custkey",
+          ckpt, onNovel = { novel =>
+            val r = novel.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("c_custkey")), lit(0L)).as("key_sum"),
+              coalesce(sum(col("c_acctbal").cast("decimal(18,2)")),
+                lit(0).cast("decimal(28,2)")).as("bal_sum"))
+              .head()
+            acc += ((r.getLong(0), r.getLong(1), r.getDecimal(2)))
+            ()
+          },
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try q.awaitTermination(120000L) finally q.stop()
+      }
+      require(acc.nonEmpty, "bloom gate emitted no batches")
+      val n = acc.map(_._1).sum
+      val keySum = acc.map(_._2).sum
+      // exact DECIMAL accumulation across batches; one final cast to
+      // double = the oracle's CAST(sum(...) AS DOUBLE) bit-for-bit
+      val balSum = acc.map(_._3).reduce(_ add _).doubleValue()
+      Seq((n, keySum, balSum)).toDF("n_novel", "key_sum", "bal_sum")
+    }),
+
+
+    // ----- streaming near-dup admission gate (§2.9 x dedup) ----------
+    "q254_stream_neardup_gate_replay" -> ((s, dir) => {
+      // StreamingSync.nearDupGate end-to-end with the portable md5
+      // hash family: the corpus (documents) is sketched ONCE at gate
+      // start; each micro-batch of incoming docs sketches itself,
+      // band-joins the corpus sketches, and exact-verifies candidates
+      // — the q50 incremental-ingest shape driven through the real
+      // foreachBatch gate. Incoming = the %7 near-dup variants plus
+      // %13 exact copies (q50's fixture), split across two batches;
+      // the oracle is q50's new-vs-corpus banded pipeline verbatim.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = docsBase(s, dir)
+      val incoming = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .as[(Long, String)].collect()
+      require(incoming.nonEmpty && incoming.length <= 2000000,
+        "bad replay fixture")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt = scratchPath(dir, s"q254_ckpt_${memNonce.incrementAndGet()}")
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      // queue before start: AvailableNow latches offsets at query start
+      val half = incoming.length / 2
+      in.addData(incoming.take(half).toSeq: _*)
+      in.addData(incoming.drop(half).toSeq: _*)
+      withReplayPartitions(s) {
+        val q = graft.streaming.StreamingSync.nearDupGate(
+          in.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+          ckpt, onMatches = { m =>
+            acc ++= m.select(col("new_id"), col("corpus_id"),
+              col("jaccard")).collect()
+            ()
+          },
+          k = 3, bands = 8, rows = 2, threshold = 0.6,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          md5Family = true)
+        try q.awaitTermination(180000L) finally q.stop()
+      }
+      require(acc.nonEmpty, "near-dup gate emitted no matches")
+      acc.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toDF("new_id", "corpus_id", "jaccard")
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -787,6 +957,76 @@ private[graft] object StreamingQueries {
         |SELECT user_id, count(*) AS n_pairs,
         |  CAST(sum(vid) AS BIGINT) AS view_id_sum,
         |  CAST(sum(pid) AS BIGINT) AS purchase_id_sum
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q219's oracle VERBATIM: two-batch incremental application must be
+    // bit-equal to the from-scratch rebuild of the surviving rows
+    "q252_stream_changelog_replay" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id % 20 = 0),
+        |after AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 7 != 0
+        |  UNION ALL
+        |  SELECT user_id, v * 2 AS v FROM e WHERE event_id % 11 = 0),
+        |m AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |  min(v) AS min_value, max(v) AS max_value
+        |  FROM after GROUP BY 1)
+        |SELECT user_id, n,
+        |  floor(s1 * 1000000 + 0.5) / 1000000 AS sum_value,
+        |  floor(s1 / n * 1000000 + 0.5) / 1000000 AS avg_value,
+        |  floor((s2 - s1 * s1 / n) / n * 1000000 + 0.5) / 1000000 AS var_value,
+        |  min_value, max_value
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    // exact novelty: the gate's bloom is a pre-filter only (no false
+    // negatives; the anti-join clears false positives), so the emitted
+    // set is exactly the customers outside the corpus
+    "q253_stream_bloom_gate_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_novel,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+
+    // q50's new-vs-corpus banded MinHash pipeline verbatim (the gate
+    // splits incoming across two micro-batches; per-pair verdicts are
+    // batch-split invariant because the corpus side is static)
+    "q254_stream_neardup_gate_replay" ->
+      """WITH tagged AS (
+        |  SELECT 'c' AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'n', doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'n', doc_id + 20000, text FROM documents WHERE doc_id % 13 = 0),
+        |toks AS (SELECT side, doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM tagged),
+        |sh AS (SELECT side, doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |  END AS sh FROM toks),
+        |sig AS (SELECT side, doc_id, sh,
+        |  [CAST(list_min([CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || s), 1, 15)) AS BIGINT)
+        |                  FOR s IN sh]) AS VARCHAR) FOR j IN range(0, 16)] AS sg
+        |  FROM sh),
+        |bands AS (SELECT side, doc_id, b,
+        |  md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_key
+        |  FROM sig, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands n JOIN bands c ON n.b = c.b AND n.band_key = c.band_key
+        |  WHERE n.side = 'n' AND c.side = 'c'),
+        |hsh AS (SELECT side, doc_id,
+        |  list_distinct([CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN sh]) AS hs
+        |  FROM sh),
+        |pairs AS (SELECT new_id, corpus_id,
+        |  CAST(len(list_intersect(n.hs, c.hs)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(n.hs, c.hs))) AS DOUBLE) AS j
+        |  FROM cand
+        |  JOIN hsh n ON n.side = 'n' AND n.doc_id = cand.new_id
+        |  JOIN hsh c ON c.side = 'c' AND c.doc_id = cand.corpus_id)
+        |SELECT new_id, corpus_id, floor(j * 10000 + 0.5) / 10000 AS jaccard
+        |FROM pairs WHERE j >= 0.6 ORDER BY new_id, corpus_id""".stripMargin
   )
 }

@@ -53,11 +53,12 @@ object StreamingSync {
   def nearDupGate(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, checkpoint: String, onMatches: DataFrame => Unit,
       k: Int = 3, bands: Int = 8, rows: Int = 2, threshold: Double = 0.7,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      md5Family: Boolean = false): StreamingQuery = {
     import graft.operators.DedupApprox
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusSk = DedupApprox
-      .docSketches(corpus, idCol, textCol, k, bands * rows, md5Family = false)
+      .docSketches(corpus, idCol, textCol, k, bands * rows, md5Family)
       .persist(lvl)
     // Release the corpus sketch when this gate's query ends. The listener
     // must be attached BEFORE start(): with a fast trigger (AvailableNow on
@@ -92,7 +93,7 @@ object StreamingSync {
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val batchSk = DedupApprox
-            .docSketches(batch, idCol, textCol, k, bands * rows, md5Family = false)
+            .docSketches(batch, idCol, textCol, k, bands * rows, md5Family)
             .persist(lvl)
           try onMatches(DedupApprox.nearDupsFromSketches(
             corpusSk, batchSk, bands, rows, threshold))
