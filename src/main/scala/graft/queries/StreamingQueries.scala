@@ -758,6 +758,60 @@ private[graft] object StreamingQueries {
       acc.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toDF("new_id", "corpus_id", "jaccard")
         .orderBy("new_id", "corpus_id")
+    }),
+
+
+    // ----- DSv2 STREAMING WRITE under the oracle (§2.1 x §2.9) -------
+    "q255_stream_sink_replay" -> ((s, dir) => {
+      // q241's dual: the graft-records STREAMING_WRITE path end-to-end.
+      // The customer fixture streams INTO the sink as two epoch-staged
+      // micro-batch commits (per-epoch staging dir -> rename -> marker,
+      // exactly-once across retries — RecordSourceSpec drives the retry
+      // itself), and a batch read of the committed record log must
+      // aggregate to the plain SQL over customer. Fresh sink dir +
+      // checkpoint per run (the bench times each query twice per JVM).
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.hadoop.fs.Path
+      val run = memNonce.incrementAndGet()
+      val base = scratchPath(dir, s"q255_records_$run")
+      val ckpt = s"${base}_ckpt"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      fs.delete(new Path(ckpt), true)
+      val rows = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").cast("double").as("bal"),
+          col("c_mktsegment").cast("string").as("seg"))
+        .as[(Long, Double, String)].collect()
+      require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double, String)]
+      val out = in.toDF().toDF("k", "bal", "seg")
+        .select(col("k").cast("string").as("_record_id"),
+          col("bal").as("c_acctbal"), col("seg").as("c_mktsegment"))
+      withReplayPartitions(s) {
+        val q = out.writeStream.format("graft-records")
+          .option("path", base)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          val half = rows.length / 2
+          in.addData(rows.take(half).toSeq: _*)
+          q.processAllAvailable()
+          in.addData(rows.drop(half).toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.format("graft-records")
+        .option("path", base)
+        .option("fieldTypes", "c_acctbal:number,c_mktsegment:singleLineText")
+        .load()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -1027,6 +1081,14 @@ private[graft] object StreamingQueries {
         |  JOIN hsh n ON n.side = 'n' AND n.doc_id = cand.new_id
         |  JOIN hsh c ON c.side = 'c' AND c.doc_id = cand.corpus_id)
         |SELECT new_id, corpus_id, floor(j * 10000 + 0.5) / 10000 AS jaccard
-        |FROM pairs WHERE j >= 0.6 ORDER BY new_id, corpus_id""".stripMargin
+        |FROM pairs WHERE j >= 0.6 ORDER BY new_id, corpus_id""".stripMargin,
+
+    // the streamed-in record log must aggregate to the source table:
+    // the wire format round-trips acctbal as double exactly (q241's
+    // guarantee, here exercised through the STREAMING_WRITE path)
+    "q255_stream_sink_replay" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -100,7 +100,8 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   // capture the session's Hadoop configuration (credentials, fs impls,
   // spark.hadoop.* overrides) as a serializable map for the executors —
@@ -823,6 +824,14 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String], truncateFirst: Boolean)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst,
+      "graft-records streaming sink supports append output mode only " +
+        "(complete-mode truncate-per-epoch would rewrite the record log " +
+        "every trigger — materialize a rollup table instead)")
+    new RecordStreamingWrite(schema, queryId, path, confProps)
+  }
   override def description(): String =
     s"RecordWrite(path=$path, truncate=$truncateFirst)"
 
@@ -859,6 +868,104 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
 
 private[v2] case class RecordCommitMessage(stagedFile: String)
     extends WriterCommitMessage
+
+/** STREAMING_WRITE for `graft-records`: per-epoch staged two-phase
+  * commit, composing the batch path's staging discipline with an
+  * idempotence marker for exactly-once across micro-batch retries.
+  *
+  * Shape per epoch: tasks write to `_staging-<queryId>-epoch-<E>/`
+  * (epoch-scoped file names, so no epoch can clobber another);
+  * `commit(E)` renames the acknowledged files into the table directory,
+  * then drops a `_epoch-<E>.committed` MARKER, then deletes the staging
+  * dir. The marker is keyed by PATH + epoch, not by query run (a
+  * restarted run has a fresh runId but must still recognize the commit):
+  * if a failure lands between sink commit and the engine's commit-log
+  * write, the restarted run re-executes epoch E, and `commit(E)` finds
+  * the marker, discards the replayed staging wholesale, and returns —
+  * the one window where the engine alone cannot guarantee exactly-once.
+  * Single-writer per table path, the same discipline the state store's
+  * WriterLease documents; markers/staging are `_`-prefixed so
+  * [[RecordScan.listDataFiles]] never reads them as data.
+  *
+  * Reference basis: the reference's writes are per-record RPCs with no
+  * transactional grouping (lib/FirestoreWrapper.py:141-169 commits a
+  * mutation per document); this is the same record stream given
+  * atomic, idempotent epoch grouping. */
+private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
+    path: String, confProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.hadoop.fs.Path
+
+  private def stagingDir(epochId: Long): String =
+    s"$path/_staging-$queryId-epoch-$epochId"
+  private def marker(epochId: Long): Path =
+    new Path(path, s"_epoch-$epochId.committed")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new RecordStreamingWriterFactory(schema, path, queryId, confProps)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(conf)
+    fs.mkdirs(dest)
+    if (fs.exists(marker(epochId))) {
+      // epoch already committed — a retry after a post-commit failure:
+      // drop the replayed staging wholesale (exactly-once), keep the
+      // first commit's files as the epoch's truth
+      fs.delete(new Path(stagingDir(epochId)), true)
+      return
+    }
+    // an unmarked epoch may still have left files from a previous
+    // attempt that crashed BETWEEN its renames and its marker; task ids
+    // differ across attempts, so those files must be cleared before
+    // this attempt's renames or both attempts' rows would coexist.
+    // Epoch file names are `part-<E>-...` with the epoch delimited by
+    // dashes, so the prefix match cannot touch another epoch's files or
+    // the batch writer's `part-<00000>-...` names.
+    val attemptPrefix = s"part-$epochId-"
+    fs.listStatus(dest).filter(_.isFile).map(_.getPath)
+      .filter(_.getName.startsWith(attemptPrefix))
+      .foreach(p => fs.delete(p, false))
+    messages.foreach { case RecordCommitMessage(staged) =>
+      val src = new Path(staged)
+      val to = new Path(dest, src.getName)
+      if (!fs.rename(src, to))
+        throw new java.io.IOException(
+          s"graft-records epoch $epochId commit failed moving $src -> $to")
+    }
+    // marker only AFTER every file is live: a crash before this line
+    // re-runs the epoch, and the pre-clean above makes that re-run
+    // supersede this attempt's files — idempotent either way
+    fs.create(marker(epochId), true).close()
+    fs.delete(new Path(stagingDir(epochId)), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val staging = new Path(stagingDir(epochId))
+    staging.getFileSystem(conf).delete(staging, true)
+  }
+}
+
+/** Serializable (ships to executors): carries only the path/queryId
+  * strings and rebuilds the staged file name per (epoch, partition,
+  * task) — epoch-scoped names keep concurrent epoch attempts and task
+  * retries from ever colliding. */
+private[v2] class RecordStreamingWriterFactory(schema: StructType,
+    path: String, queryId: String, confProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new RecordDataWriter(schema,
+      f"$path/_staging-$queryId-epoch-$epochId/" +
+        f"part-$epochId-$partitionId%05d-$taskId.jsonl",
+      RecordSource.confFrom(confProps))
+}
 
 private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
     confProps: Map[String, String]) extends DataWriterFactory {

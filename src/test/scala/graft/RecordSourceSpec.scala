@@ -428,4 +428,97 @@ class RecordSourceSpec extends SparkSpec {
     val off = graft.sources.v2.RecordStreamOffset(Seq("b", "a"))
     assert(graft.sources.v2.RecordStreamOffset.fromJson(off.json()).files == Seq("a", "b"))
   }
+
+  test("streaming write: epoch commit is exactly-once across engine retries") {
+    // drives the REAL retry paths, not a mock: after a successful epoch,
+    // the engine's commit-log entry is deleted so a restart re-executes
+    // the same epoch against the sink.
+    //   retry A (post-commit crash window): marker present -> the
+    //     replayed epoch's staging is dropped wholesale;
+    //   retry B (mid-commit crash window): marker deleted too, one
+    //     committed file left behind -> the re-commit must clear the
+    //     first attempt's files (task ids differ across attempts) before
+    //     renaming its own, or both attempts' rows would coexist.
+    val srcDir = Files.createTempDirectory("graft_sw_src").toFile.getAbsolutePath
+    val sinkDir = Files.createTempDirectory("graft_sw_sink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_sw_ckpt").toFile.getAbsolutePath
+    def rec(id: String, score: Double) =
+      s"""{"id":"$id","fields":{"Score":$score}}"""
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "in.jsonl").toPath,
+      Seq(rec("a", 1.0), rec("b", 2.0), rec("c", 3.0)).mkString("\n"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-records")
+        .option("path", srcDir).option("fieldTypes", "Score:number").load()
+        .select("_record_id", "Score")
+        .writeStream.format("graft-records")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L); q.stop()
+    }
+    def sinkRows() = spark.read.format("graft-records")
+      .option("path", sinkDir).option("fieldTypes", "Score:number").load()
+      .select("_record_id").as[String].collect().sorted.toSeq
+    def dataFiles() = new java.io.File(sinkDir).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName)
+    runOnce()
+    assert(sinkRows() == Seq("a", "b", "c"))
+    val marker = new java.io.File(sinkDir, "_epoch-0.committed")
+    assert(marker.exists, "epoch marker missing after commit")
+    assert(!new java.io.File(sinkDir).listFiles.exists(
+      f => f.isDirectory && f.getName.startsWith("_staging")),
+      "staging dir left behind")
+    // retry A: engine re-runs epoch 0, marker intact -> no duplicates.
+    // The local-FS commit log leaves a .crc sidecar next to each entry;
+    // it must go with the entry or the engine's rename-on-rewrite fails.
+    def dropCommit0(): Unit = {
+      val commit0 = new java.io.File(ckpt, "commits/0")
+      assert(commit0.exists, "test setup: expected commit log entry 0")
+      assert(commit0.delete())
+      new java.io.File(ckpt, "commits/.0.crc").delete()
+    }
+    dropCommit0()
+    runOnce()
+    assert(sinkRows() == Seq("a", "b", "c"),
+      s"post-commit retry duplicated rows: ${sinkRows()}")
+    // retry B: marker gone AND one stale file from the 'first attempt'
+    // left in place — the re-commit must supersede it, not add to it
+    val before = dataFiles().toSet
+    assert(marker.delete())
+    dropCommit0()
+    runOnce()
+    assert(sinkRows() == Seq("a", "b", "c"),
+      s"mid-commit retry duplicated rows: ${sinkRows()}")
+    assert(marker.exists, "marker not rewritten by the retried commit")
+    val after = dataFiles().toSet
+    assert(before.intersect(after).isEmpty,
+      s"retried epoch must supersede the first attempt's files: " +
+        s"kept ${before.intersect(after)}")
+  }
+
+  test("streaming write rejects complete mode (truncate-per-epoch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sinkDir = Files.createTempDirectory("graft_sw_rej").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_sw_rej_ck").toFile.getAbsolutePath
+    val in = MemoryStream[(String, Double)]
+    in.addData(("a", 1.0))
+    val ex = intercept[Exception] {
+      val q = in.toDF().toDF("_record_id", "Score")
+        .groupBy("_record_id").agg(sum(col("Score")).as("Score"))
+        .writeStream.format("graft-records")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(ex).exists(_.contains("append output mode only")),
+      s"wrong error: ${messages(ex)}")
+  }
 }
