@@ -598,4 +598,70 @@ object DedupApprox {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
         col("containment"))
   }
+
+  /** Sampled EXACTNESS AUDITOR — the corpus-safe form of the recall
+    * audit (q166). The exact prefix-filter join is output-quadratic in
+    * duplication density (measured 73× at a 10× corpus), so run whole it
+    * is a one-off forensic, not a pipeline stage. This operator makes the
+    * sampled mode first-class: hash-sample each stratum at its own rate
+    * ([[Sampling.stratifiedHashSample]] — md5-cutoff membership, so any
+    * SQL engine reproduces the exact sample), then run BOTH the exact
+    * ground-truth join ([[prefixFilterPairsTokens]]) and the banded
+    * MinHash screen ([[minhashNearDups]]) INSIDE the sample, and report
+    * per-stratum recall from the sample's exact pair counts.
+    *
+    * Validity: a pair verdict (exact Jaccard ≥ t) depends only on the two
+    * docs, so truth restricted to the sample IS the sample's truth; the
+    * banded screen is likewise per-pair (signature bucketing), so in-
+    * sample banding equals corpus banding restricted to sampled pairs
+    * (run with no degenerate-bucket cap — the one banding step whose
+    * verdict depends on OTHER docs). found ⊆ truth (the prefix filter has
+    * no false negatives at equal tokenization), so per-stratum
+    * recall = (n_true − n_missed) / n_true; a stratum with no true pairs
+    * reads 1.0 (vacuously complete — its n_true column says why).
+    *
+    * Scale shape: cost is the exact join over rate² of each stratum's
+    * pair volume — a FIXED budget chosen by `rates`, flat in corpus size
+    * at fixed sample size, which is the whole point. Strata with known
+    * heavy duplication get small rates; rare strata can run at 1.0. */
+  def auditRecall(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, rates: Map[String, Double], defaultRate: Double,
+      threshold: Double = 0.6, shingleK: Int = 3,
+      bands: Int = 8, rows: Int = 2, md5Family: Boolean = true): DataFrame = {
+    val sample = Sampling.stratifiedHashSample(docs.select(
+        col(idCol), col(textCol), col(strataCol)),
+        strataCol, rates, defaultRate, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = prefixFilterPairsTokens(sample, idCol,
+        TextAnalysis.shingleStrings(col(textCol), shingleK), threshold)
+      .select("id_a", "id_b")
+    val found = minhashNearDups(sample, idCol, textCol,
+        k = shingleK, bands = bands, rows = rows, threshold = threshold,
+        md5Family = md5Family, maxBucket = 0)
+      .select("id_a", "id_b")
+    // a pair audits under its SMALLER id's stratum: deterministic, and
+    // within-stratum pairs (the common case — dupes share provenance)
+    // land where a reader expects them
+    val strata = sample.select(col(idCol).as("id_a"),
+      col(strataCol).as("stratum"))
+    val truthS = truth.join(strata, "id_a")
+    val missed = truthS.join(found, Seq("id_a", "id_b"), "left_anti")
+      .groupBy("stratum").agg(count(lit(1)).as("n_missed"))
+    val trues = truthS.groupBy("stratum").agg(count(lit(1)).as("n_true"))
+    val docsPer = sample.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    docsPer
+      .join(trues, Seq("stratum"), "left")
+      .join(missed, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_true"), lit(0L)) -
+          coalesce(col("n_missed"), lit(0L))).as("n_found"),
+        when(coalesce(col("n_true"), lit(0L)) === 0, lit(1.0))
+          .otherwise(floor((col("n_true") -
+              coalesce(col("n_missed"), lit(0L))).cast("double") /
+            col("n_true").cast("double") * 1000000 + 0.5) / 1000000)
+          .as("recall"))
+      .orderBy("stratum")
+  }
 }

@@ -1417,6 +1417,29 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- sampled exactness auditor (corpus-safe recall audit) -------
+    "q256_sampled_recall_audit" -> ((s, dir) => {
+      // the whole-corpus exact join behind q166 is output-quadratic
+      // (73x at a 10x corpus) — a one-off forensic, not a pipeline
+      // stage. This is the production mode: hash-sample each provenance
+      // stratum at its own rate, run ground truth AND the banded screen
+      // INSIDE the sample, report per-stratum recall from exact counts.
+      // Membership is the md5-cutoff draw, so the oracle reproduces the
+      // exact sample; the audit budget is rate² of each stratum's pair
+      // volume — fixed by the rates, flat in corpus size.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string")).as("stratum"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"),
+          col("stratum")))
+      graft.operators.DedupApprox.auditRecall(corpus, "doc_id", "text",
+        "stratum", rates = Map("s0" -> 0.9, "s1" -> 0.75),
+        defaultRate = 0.6, threshold = 0.6, shingleK = 3,
+        bands = 8, rows = 2, md5Family = true)
+    }),
+
+
     // ----- incremental aggregate rollup (materialized-view upkeep) ---
     "q150_incremental_rollup" -> ((s, dir) => {
       // per-user value stats folded from per-(user, day) PARTIALS built
@@ -3550,6 +3573,58 @@ private[graft] object PipelineQueries {
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
         |  CAST(count(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // q166's truth/found comparison re-run INSIDE a stratified hash
+    // sample: corpus = the sampled docs (the shared minhash tail
+    // references it by name), truth = exact Jaccard over all
+    // shingle-sharing sampled pairs, found = the banded pipeline's
+    // verified pairs, both attributed to the smaller id's stratum
+    "q256_sampled_recall_audit" -> {
+      val c90 = graft.operators.Sampling.hexCutoff(0.9)
+      val c75 = graft.operators.Sampling.hexCutoff(0.75)
+      val c60 = graft.operators.Sampling.hexCutoff(0.6)
+      val minhashTail = minhashPairsCtes.stripPrefix(nearDupCte)
+      s"""WITH raw AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, substr(text, strpos(text, ' ') + 1)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |strat AS (SELECT doc_id, text,
+         |  's' || CAST(doc_id % 4 AS VARCHAR) AS stratum FROM raw),
+         |corpus AS (SELECT doc_id, text FROM strat
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |    CASE stratum WHEN 's0' THEN '$c90' WHEN 's1' THEN '$c75'
+         |    ELSE '$c60' END)$minhashTail,
+         |samp AS (SELECT s.doc_id, s.stratum FROM strat s
+         |  JOIN corpus c ON c.doc_id = s.doc_id),
+         |te AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+         |tc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM te a JOIN te b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |tp AS (SELECT tc.id_a, tc.id_b,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS j
+         |  FROM tc JOIN hsh sa ON sa.doc_id = tc.id_a
+         |  JOIN hsh sb ON sb.doc_id = tc.id_b),
+         |tr AS (SELECT p.id_a, p.id_b, s.stratum FROM tp p
+         |  JOIN samp s ON s.doc_id = p.id_a WHERE p.j >= 0.6),
+         |ap AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.6),
+         |ms AS (SELECT stratum, count(*) AS n_missed FROM tr
+         |  ANTI JOIN ap ON tr.id_a = ap.id_a AND tr.id_b = ap.id_b
+         |  GROUP BY 1),
+         |tt AS (SELECT stratum, count(*) AS n_true FROM tr GROUP BY 1),
+         |sd AS (SELECT stratum, count(*) AS n_docs FROM samp GROUP BY 1)
+         |SELECT sd.stratum, CAST(sd.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(tt.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(tt.n_true, 0) - coalesce(ms.n_missed, 0) AS BIGINT)
+         |    AS n_found,
+         |  CASE WHEN coalesce(tt.n_true, 0) = 0 THEN 1.0
+         |       ELSE floor(CAST(tt.n_true - coalesce(ms.n_missed, 0) AS DOUBLE) /
+         |         CAST(tt.n_true AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |  END AS recall
+         |FROM sd LEFT JOIN tt ON tt.stratum = sd.stratum
+         |LEFT JOIN ms ON ms.stratum = sd.stratum
+         |ORDER BY sd.stratum""".stripMargin
+    },
 
 
     // brute-force all-pairs weighted scorer — no blocking anywhere

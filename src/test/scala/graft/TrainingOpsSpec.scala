@@ -1178,6 +1178,46 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("auditRecall: per-stratum sampled recall from exact in-sample counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "a"),
+      (2L, "alpha beta gamma delta zeta", "a"),    // J(1,2) = 4/6 >= 0.6
+      (3L, "alpha beta gamma delta epsilon", "a"), // exact dup of 1
+      (4L, "omega psi chi phi lambda", "b"),
+      (5L, "kappa mu nu xi omicron", "b"))         // stratum b: no pairs
+      .toDF("doc_id", "text", "stratum")
+    val full = DedupApprox.auditRecall(docs, "doc_id", "text", "stratum",
+        rates = Map.empty, defaultRate = 1.0, threshold = 0.6,
+        shingleK = 1, bands = 8, rows = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(full.map(_._1).toSeq == Seq("a", "b"))
+    val (_, aDocs, aTrue, aFound, aRecall) = full(0)
+    // rate-1.0 truth must equal the whole-corpus exact join: 3 docs,
+    // pairs (1,2), (1,3), (2,3); found <= true (no false positives
+    // survive the exact verify) and the recall lattice is consistent
+    assert(aDocs == 3L && aTrue == 3L)
+    assert(aFound >= 0L && aFound <= aTrue)
+    assert(aRecall ==
+      math.floor(aFound.toDouble / aTrue * 1000000 + 0.5) / 1000000)
+    // a stratum with no true pairs audits as vacuously complete
+    assert(full(1) == (("b", 2L, 0L, 0L, 1.0)))
+    // rate-0 stratum is excluded entirely — membership is the
+    // deterministic md5 cutoff, so this is exact, not probabilistic
+    val only = DedupApprox.auditRecall(docs, "doc_id", "text", "stratum",
+        rates = Map("b" -> 0.0), defaultRate = 1.0, threshold = 0.6,
+        shingleK = 1, bands = 8, rows = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(only.toSeq == Seq(("a", 3L)))
+    // rerun-stable: the audit is a pure function of (frame, rates)
+    val again = DedupApprox.auditRecall(docs, "doc_id", "text", "stratum",
+        rates = Map.empty, defaultRate = 1.0, threshold = 0.6,
+        shingleK = 1, bands = 8, rows = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(again.toSeq == full.toSeq)
+  }
+
   test("quality rules: one-pass violation counts, NULL predicate fails, FK orphans") {
     import graft.operators.Quality
     val rows = Seq(
