@@ -29,15 +29,43 @@ object Normalize {
   }
 
   /** Multi-format timestamp parse: ISO-8601 with/without zone or millis,
-    * date-only; first match wins (reference: lib/DataProcessor.py:120-133 —
-    * naive datetimes are assumed UTC; session TZ is pinned to UTC). */
+    * date-only, plus the common non-ISO shapes the reference's dateutil
+    * accepts freeform (lib/DataProcessor.py:51-57) — RFC-1123, US slash
+    * dates, and written-out month forms; first match wins (naive
+    * datetimes are assumed UTC; session TZ is pinned to UTC).
+    *
+    * Every non-ISO shape sits behind an ANCHORED rlike guard: the guard
+    * is the auditable contract of what this column accepts, and it makes
+    * the bare-number hazard structurally impossible (dateutil's
+    * parse("5") succeeds — SURVEY §2.8 F3; nothing here can match a bare
+    * number). Slash dates read as US month-first by deliberate, stated
+    * choice — a day-first feed must not route through this parser. */
   def lenientTimestamp(c: Column): Column = coalesce(
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
     try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-    try_to_timestamp(c, lit("yyyy-MM-dd")))
+    try_to_timestamp(c, lit("yyyy-MM-dd")),
+    // RFC-1123 / HTTP-date: "Thu, 01 Feb 2024 10:30:00 GMT". Spark 3+'s
+    // parser bans day-of-week fields in parse patterns, so the guarded
+    // "EEE, " prefix is stripped rather than parsed — the day name is
+    // decorative in RFC-1123 (the date fields alone fix the instant; an
+    // inconsistent name changes nothing, exactly dateutil's behavior)
+    when(c.rlike("^[A-Za-z]{3}, \\d{2} [A-Za-z]{3} \\d{4} " +
+        "\\d{2}:\\d{2}:\\d{2} GMT$"),
+      try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
+        lit("dd MMM yyyy HH:mm:ss 'GMT'"))),
+    // US slash datetime / date: "02/01/2024 08:15:00", "02/01/2024"
+    when(c.rlike("^\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}:\\d{2}$"),
+      try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss"))),
+    when(c.rlike("^\\d{2}/\\d{2}/\\d{4}$"),
+      try_to_timestamp(c, lit("MM/dd/yyyy"))),
+    // "01 Feb 2024" and "Feb 1, 2024"
+    when(c.rlike("^\\d{2} [A-Za-z]{3} \\d{4}$"),
+      try_to_timestamp(c, lit("dd MMM yyyy"))),
+    when(c.rlike("^[A-Za-z]{3} \\d{1,2}, \\d{4}$"),
+      try_to_timestamp(c, lit("MMM d, yyyy"))))
 
   /** "Looks like a datetime" probe, restricted to ISO shapes — the strict
     * replacement for the reference's try-parse

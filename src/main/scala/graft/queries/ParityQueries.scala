@@ -715,6 +715,37 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- lenient non-ISO datetime breadth (F2 widened) -------------
+    "q257_lenient_dates" -> ((s, dir) => {
+      // five wire shapes built deterministically from o_orderdate (ISO,
+      // RFC-1123, US slash datetime, "dd MMM yyyy", "MMM d, yyyy"),
+      // parsed back through the widened lenientTimestamp: per-shape
+      // parse counts plus min/max round-tripped values prove each
+      // format branch fires AND lands on the exact instant. Shape 5 is
+      // the bare-number hazard (dateutil's parse("5") succeeds —
+      // lib/DataProcessor.py:135-140): it must stay entirely NULL.
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("shape", (col("o_orderkey") % 6).cast("long"))
+      val d = col("o_orderdate")
+      val wire = when(col("shape") === 0, date_format(d, "yyyy-MM-dd"))
+        .when(col("shape") === 1,
+          concat(date_format(d, "EEE, dd MMM yyyy"), lit(" 10:30:00 GMT")))
+        .when(col("shape") === 2,
+          concat(date_format(d, "MM/dd/yyyy"), lit(" 08:15:00")))
+        .when(col("shape") === 3, date_format(d, "dd MMM yyyy"))
+        .when(col("shape") === 4, date_format(d, "MMM d, yyyy"))
+        .otherwise(col("o_orderkey").cast("string"))
+      o.select(col("shape"),
+          graft.functions.Normalize.lenientTimestamp(wire).as("ts"))
+        .groupBy("shape")
+        .agg(count(lit(1)).as("n"),
+          count(col("ts")).as("n_parsed"),
+          min(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("min_ts"),
+          max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("max_ts"))
+        .orderBy("shape")
+    }),
+
+
     // ----- batch atomic write: heterogeneous actions in one commit ---
     "q42_batch_actions" -> ((s, dir) => {
       val path = scratchPath(dir, "q42_state")
@@ -1208,6 +1239,34 @@ private[graft] object ParityQueries {
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
         |FROM orders ORDER BY o_orderkey LIMIT 5000""".stripMargin,
+
+
+    // strftime builds the same five wire shapes; the try_strptime chain
+    // is the oracle's independent formulation of the widened parser
+    "q257_lenient_dates" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate,
+        |    o_orderkey % 6 AS shape FROM orders),
+        |w AS (SELECT shape, CASE shape
+        |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |    WHEN 1 THEN strftime(o_orderdate, '%a, %d %b %Y') || ' 10:30:00 GMT'
+        |    WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y') || ' 08:15:00'
+        |    WHEN 3 THEN strftime(o_orderdate, '%d %b %Y')
+        |    WHEN 4 THEN strftime(o_orderdate, '%b %-d, %Y')
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS s
+        |  FROM base),
+        |p AS (SELECT shape, coalesce(
+        |    try_strptime(s, '%Y-%m-%d'),
+        |    try_strptime(s, '%a, %d %b %Y %H:%M:%S GMT'),
+        |    try_strptime(s, '%m/%d/%Y %H:%M:%S'),
+        |    try_strptime(s, '%d %b %Y'),
+        |    try_strptime(s, '%b %-d, %Y')) AS ts
+        |  FROM w)
+        |SELECT CAST(shape AS BIGINT) AS shape,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(ts) AS BIGINT) AS n_parsed,
+        |  min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts,
+        |  max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     "q42_batch_actions" ->

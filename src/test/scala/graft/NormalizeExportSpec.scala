@@ -51,6 +51,25 @@ class NormalizeExportSpec extends SparkSpec {
     assert(probes.toSeq == Seq(true, true, true, true, false))
   }
 
+  test("lenient timestamp non-ISO breadth: RFC-1123, US slash, written months") {
+    val cases = Seq(
+      "Thu, 01 Feb 2024 10:30:00 GMT" -> "2024-02-01 10:30:00",
+      "02/01/2024 08:15:00" -> "2024-02-01 08:15:00", // US month-first by contract
+      "02/01/2024" -> "2024-02-01 00:00:00",
+      "01 Feb 2024" -> "2024-02-01 00:00:00",
+      "Feb 1, 2024" -> "2024-02-01 00:00:00")
+    val got = cases.map(_._1).toDF("s")
+      .select(date_format(Normalize.lenientTimestamp($"s"),
+        "yyyy-MM-dd HH:mm:ss").as("t")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // anchored guards: near-misses of each shape must NOT parse — a
+    // non-GMT zone name, 13th month, bare 8-digit number, trailing text
+    val bad = Seq("Thu, 01 Feb 2024 10:30:00 PST", "13/01/2024",
+      "20240201", "Feb 1, 2024 extra", "99/99/9999")
+      .toDF("s").select(Normalize.lenientTimestamp($"s").as("ts")).collect()
+    assert(bad.forall(_.get(0) == null), s"near-miss parsed: ${bad.toSeq}")
+  }
+
   test("null pk and empty pk rows are dropped") {
     val df = Seq((Some("a"), 1), (None, 2), (Some(""), 3)).toDF("id", "v")
     assert(Normalize.filterValidPk(df, "id").as[(String, Int)].collect().toSeq == Seq(("a", 1)))
