@@ -75,6 +75,23 @@ def render(rows):
     return "\n".join(out)
 
 
+def check_hand_table(rows, text):
+    """Fail when a harvested query has no mention in the hand-written part
+    of §8 (everything between the '## 8.' heading and the GEN markers).
+    Rows q01–q20 are parity gates indexed by the §2 tables above, so only
+    beyond-parity queries (q21+) are required; a mention is any qNNN_
+    or bare qNNN token in a hand-table row."""
+    hand = text.split("## 8.", 1)[1].split(BEGIN, 1)[0]
+    mentioned = set(re.findall(r"\bq(\d+)\b", hand))
+    for lo, hi in re.findall(r"\bq(\d+)\s*[-–]\s*q(\d+)\b", hand):
+        mentioned.update(str(n) for n in range(int(lo), int(hi) + 1))
+    missing = [n for n in sorted(rows, key=qnum)
+               if qnum(n) > 20 and str(qnum(n)) not in mentioned]
+    if missing:
+        sys.exit("SURVEY §8 hand table is missing rows for: "
+                 + ", ".join(missing))
+
+
 def main():
     rows = harvest()
     if not rows:
@@ -82,6 +99,7 @@ def main():
     text = SURVEY.read_text()
     if BEGIN not in text or END not in text:
         sys.exit("GEN markers missing from SURVEY.md")
+    check_hand_table(rows, text)
     pre, rest = text.split(BEGIN, 1)
     _, post = rest.split(END, 1)
     new = pre + render(rows) + post
