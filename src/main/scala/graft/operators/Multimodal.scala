@@ -679,16 +679,18 @@ object Multimodal {
     }
   }
 
-  /** REAL JPEG pixel decode via the JDK's `javax.imageio` — the codec
-    * tier the hand-rolled decoders can't reach (Huffman + DCT).
+  /** REAL JPEG pixel decode — in-repo first, codec fallback second.
+    * The primary tier is [[Jpeg.decode]]: baseline-sequential Huffman +
+    * IDCT implemented in this repo (zero external code — PNG/GIF/BMP
+    * discipline, and its DC-only fixtures are oracle-gated by q258).
+    * Its three-valued verdict drives the dispatch: Decoded → pixels;
+    * Malformed (truncation, corrupt entropy, stray markers) → None,
+    * TERMINAL — a damaged stream must not be half-decoded by a more
+    * lenient codec; Unsupported (progressive/arithmetic/12-bit/CMYK) →
+    * the JDK `javax.imageio` codec tier, demoted to fallback.
     * Decompression-bomb guard: dimensions come from the cheap SOF
     * marker walk ([[parseHeader]]) FIRST, and payloads over 64M pixels
-    * are refused BEFORE any pixel memory is allocated. Corrupt or
-    * unsupported streams return None — honest unknown, never a crash.
-    * DCT output is implementation-defined in the last bit, so JPEG
-    * pixels are SPEC-gated (golden-raster tolerance in
-    * TrainingOpsSpec) rather than oracle-gated like PNG/GIF/BMP;
-    * q185's census gates the decodability dispatch itself. */
+    * are refused BEFORE any pixel memory is allocated. */
   private[graft] def parseJpeg(p: Array[Byte]): Option[CodecImage] = {
     if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8 ||
       (p(2) & 0xFF) != 0xFF) return None
@@ -697,13 +699,18 @@ object Multimodal {
         r.getInt(1).toLong * r.getInt(2) <= 64L * 1024 * 1024
     }
     if (!okDims) return None
-    try {
-      javax.imageio.ImageIO.setUseCache(false) // byte-array work: no temp files
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else Some(CodecImage(img.getWidth, img.getHeight,
-        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    Jpeg.decode(p) match {
+      case Jpeg.Decoded(img) => Some(img)
+      case Jpeg.Malformed => None
+      case Jpeg.Unsupported =>
+        try {
+          javax.imageio.ImageIO.setUseCache(false) // byte-array work: no temp files
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+          else Some(CodecImage(img.getWidth, img.getHeight,
+            img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Encode a raster as baseline JPEG through the same JDK codec —

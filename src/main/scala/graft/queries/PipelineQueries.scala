@@ -1107,6 +1107,35 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- JPEG pixel decode: in-repo baseline Huffman+IDCT ----------
+    "q258_jpeg_pixels" -> ((s, dir) => {
+      // DC-only baseline JPEGs built per doc_id by the in-repo encoder
+      // (graft.operators.Jpeg) — quant step 8 makes flat 8×8 blocks
+      // round-trip EXACTLY, so the oracle predicts every pixel from
+      // doc_id arithmetic while the engine must arrive at them through
+      // the REAL marker walk + DHT-built Huffman decode + IDCT +
+      // fixed-point YCbCr→RGB (the encoder writes standard Annex K
+      // tables into the file; JpegSpec cross-checks the same fixtures
+      // against javax.imageio, so encoder/decoder bugs can't cancel).
+      // Five row classes by doc_id % 6: grayscale (0, 1), 4:4:4 color
+      // (2), 4:2:0 color with chroma replication (4), corrupt entropy
+      // — a stray marker mid-scan (3), truncated mid-header (5); both
+      // damage classes must refuse (NULL stats), and Malformed is
+      // TERMINAL — the imageio fallback never sees them
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, jpegFixturePayload(d)))
+        .toDF("doc_id", "payload")
+        .withColumn("mime", lit("image/jpeg"))
+      Multimodal.imageStats(media)
+        .select(col("doc_id"),
+          col("img.mean_b").as("mean_b"), col("img.mean_g").as("mean_g"),
+          col("img.mean_r").as("mean_r"), col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- mixed-payload decode census (the full dispatch) -----------
     "q185_media_census" -> ((s, dir) => {
       // one frame, six payload classes round-robin by doc_id: BMP
@@ -2640,6 +2669,37 @@ private[graft] object PipelineQueries {
 
   )
 
+  /** q258's per-row fixture: a DC-only baseline JPEG whose pixels are a
+    * pure function of doc_id (see the q258 banner). Runs inside the
+    * Dataset map — must stay a pure, serializable function. */
+  private[graft] def jpegFixturePayload(d: Long): Array[Byte] = {
+    def pm(x: Long): Int = (((x % 256) + 256) % 256).toInt
+    val cls = (d % 6).toInt
+    def gray() =
+      graft.operators.Jpeg.encodeDcOnly(1, 1, null, (_, _, _) => pm(d * 11 + 23))
+    cls match {
+      case 0 | 1 => gray()
+      case 3 =>
+        // stray marker at entropy start (grayscale SOS header = marker
+        // + 8 payload bytes) — structurally a scan that hits FF C0
+        val g = gray()
+        val sos = g.indices.find(i => (g(i) & 0xFF) == 0xFF &&
+          (g(i + 1) & 0xFF) == 0xDA).get
+        g.updated(sos + 10, 0xFF.toByte).updated(sos + 11, 0xC0.toByte)
+      case 5 => gray().take(30) // truncated mid-DQT
+      case c =>
+        val samp =
+          if (c == 2) Array((1, 1), (1, 1), (1, 1)) // 4:4:4
+          else Array((2, 2), (1, 1), (1, 1)) // 4:2:0
+        graft.operators.Jpeg.encodeDcOnly(2, 2, samp, (comp, bx, by) =>
+          comp match {
+            case 0 => pm(d * 3 + 10 * bx + 20 * by)
+            case 1 => pm(d * 5)
+            case _ => pm(d * 7)
+          })
+    }
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q100_training_pipeline" -> {
@@ -3485,6 +3545,52 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // the oracle predicts the decoded pixels from the same doc_id
+    // arithmetic the in-repo encoder used — exact because DC-only flat
+    // blocks survive quantization at step 8 losslessly, and the
+    // decoder's YCbCr→RGB is 16-bit fixed-point INTEGER arithmetic
+    // (x/65536 has a power-of-two denominator, so FLOOR over the
+    // double division is exact). Classes % 6 == 3 (marker mid-scan)
+    // and == 5 (truncated) must decode to NOTHING
+    "q258_jpeg_pixels" ->
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+        |  (doc_id * 11 + 23) % 256 AS gy,
+        |  (doc_id * 5) % 256 AS cbv, (doc_id * 7) % 256 AS crv
+        |  FROM documents),
+        |blk AS (SELECT b.doc_id,
+        |  (b.doc_id * 3 + 10 * xs.bx + 20 * ys.by) % 256 AS y, cbv, crv
+        |  FROM base b, (VALUES (0), (1)) xs(bx), (VALUES (0), (1)) ys(by)
+        |  WHERE b.cls IN (2, 4)),
+        |px AS (SELECT doc_id,
+        |  LEAST(255.0, GREATEST(0.0,
+        |    y + FLOOR((91881 * (crv - 128) + 32768) / 65536.0))) AS r,
+        |  LEAST(255.0, GREATEST(0.0,
+        |    y - FLOOR((22554 * (cbv - 128) + 46802 * (crv - 128) - 32768)
+        |              / 65536.0))) AS g,
+        |  LEAST(255.0, GREATEST(0.0,
+        |    y + FLOOR((116130 * (cbv - 128) + 32768) / 65536.0))) AS b
+        |  FROM blk),
+        |cagg AS (SELECT doc_id, SUM(b) / 4.0 AS mb, SUM(g) / 4.0 AS mg,
+        |  SUM(r) / 4.0 AS mr, (SUM(r) + SUM(g) + SUM(b)) / 12.0 AS ml
+        |  FROM px GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(gy AS DOUBLE) ELSE mb END AS mean_b,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(gy AS DOUBLE) ELSE mg END AS mean_g,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(gy AS DOUBLE) ELSE mr END AS mean_r,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(gy AS DOUBLE) ELSE ml END AS mean_luma,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(8 AS INTEGER)
+        |       ELSE CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN cls IN (3, 5) THEN NULL
+        |       WHEN cls IN (0, 1) THEN CAST(8 AS INTEGER)
+        |       ELSE CAST(16 AS INTEGER) END AS height
+        |FROM base b LEFT JOIN cagg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
 
     "q31_events_window" ->
