@@ -339,6 +339,40 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- DSv2 zone-map file skipping under the oracle --------------
+    "q259_zonemap_pruned_scan" -> ((s, dir) => {
+      // documents range-partitioned by DocId into 8 record files, so the
+      // sink's zone-map sidecars (per-file min/max/null stats written by
+      // the SAME commit that lands each file) carry disjoint DocId
+      // ranges; the read's range predicate then plans only the 2-3
+      // straddling files (ZoneMapSpec asserts the skip count — here the
+      // ORACLE is on the hook for pruning's correctness: a zone evaluator
+      // that wrongly drops a boundary file loses rows and hash-fails).
+      // At 100 TB this is the difference between opening every file of a
+      // year's sync log and opening the predicate's range.
+      val out = scratchPath(dir, "q259_records")
+      rd(s, dir, "documents").select(
+          concat(lit("d"), col("doc_id")).as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("lang").as("Lang"),
+          col("n_chars").cast("double").as("Chars"))
+        .repartitionByRange(8, col("DocId"))
+        .write.format("graft-records").option("path", out)
+        .mode("overwrite").save()
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "DocId:number,Lang:singleLineText,Chars:number")
+        .load()
+        .filter(col("DocId") >= 100 && col("DocId") < 220 &&
+          col("Lang").isNotNull) // both pushed AND zone-evaluated
+        .groupBy(col("Lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("Chars").cast("long")).as("sum_chars"),
+          min(col("DocId")).cast("long").as("min_id"),
+          max(col("DocId")).cast("long").as("max_id"))
+        .orderBy("lang")
+    }),
+
+
     // ----- set ops: EXCEPT/symmetric difference (E1/E3) --------------
     "q11_set_ops" -> ((s, dir) => {
       val a = rd(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
@@ -1097,6 +1131,18 @@ private[graft] object ParityQueries {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MAX('doc' || CAST(doc_id AS VARCHAR)) AS max_id
         |FROM documents WHERE n_chars <= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle never sees the record files: the whole write→stats→
+    // prune→read chain must reproduce a plain filtered aggregate
+    "q259_zonemap_pruned_scan" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 220 AND lang IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

@@ -1141,7 +1141,8 @@ private[graft] object PipelineQueries {
       // one frame, six payload classes round-robin by doc_id: BMP
       // (pixel tier), WAV (sample tier), PNG header-only (header tier:
       // dims real, no pixels), plain text (stub tier), NULL, and a REAL
-      // baseline JPEG (codec tier: ImageIO pixels). The census counts
+      // baseline JPEG (decoded by the in-repo Jpeg tier since q258;
+      // imageio is the Unsupported-only fallback). The census counts
       // each class's sniffed mime x pixel-decodability — the triage
       // report a media-lake ingest runs first
       val id = col("doc_id")

@@ -173,39 +173,19 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   /** The reference's target-side predicate surface — eq/neq/gt/ge/lt/le on
     * typed fields (lib/FirestoreWrapper.py:86-100) — plus null probes and
     * boolean combinations. A filter is accepted only when every leaf
-    * references a known top-level column with an exactly-evaluable
-    * comparison; everything else stays with Spark. */
-  private def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, v) => leafOk(a, v)
-    case GreaterThan(a, v) => leafOk(a, v)
-    case GreaterThanOrEqual(a, v) => leafOk(a, v)
-    case LessThan(a, v) => leafOk(a, v)
-    case LessThanOrEqual(a, v) => leafOk(a, v)
-    case In(a, vs) => vs.nonEmpty && vs.forall(leafOk(a, _))
-    case IsNull(a) => fieldOk(a)
-    case IsNotNull(a) => fieldOk(a)
-    case Not(inner) => supported(inner)
-    case And(l, r) => supported(l) && supported(r)
-    case Or(l, r) => supported(l) && supported(r)
-    case _ => false
-  }
+    * references a known top-level column of a type with an
+    * exactly-reproducible total order (array/struct keys would compare as
+    * JSON text, not Spark's element order) with an exactly-evaluable
+    * comparison; everything else stays with Spark. Shared with the
+    * runtime-filter gate ([[RecordScan.filter]]). */
+  private def supported(f: Filter): Boolean =
+    RecordFilterEval.pushable(f, fullSchema)
   private def fieldOk(attr: String): Boolean =
     !attr.contains(".") && fullSchema.fieldNames.contains(attr) &&
-      atomicType(fullSchema(attr).dataType)
-  // only types with an exactly-reproducible total order are pushable —
-  // array/struct keys would compare as JSON text, not Spark's element order
-  private def atomicType(dt: DataType): Boolean = dt match {
-    case StringType | DoubleType | BooleanType | TimestampType | DateType => true
-    case _ => false
-  }
-  private def leafOk(attr: String, v: Any): Boolean = fieldOk(attr) && (v match {
-    case null => false
-    case _: String | _: java.lang.Double | _: java.lang.Float | _: java.lang.Long |
-         _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte |
-         _: java.lang.Boolean | _: java.sql.Timestamp | _: java.time.Instant |
-         _: java.sql.Date | _: java.time.LocalDate => true
-    case _ => false
-  })
+      (fullSchema(attr).dataType match {
+        case StringType | DoubleType | BooleanType | TimestampType | DateType => true
+        case _ => false
+      })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(supported)
@@ -286,7 +266,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST")
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
     RecordSource.confFrom(confProps)
@@ -300,14 +281,72 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
         a.aggs.map(c => s"${c.op}(${c.field})").mkString(",") + "]").getOrElse("") + ")"
   override def toBatch: Batch = this
 
+  // --- DPP-style runtime filtering (SupportsRuntimeFiltering) ------------
+  // Spark hands the scan join-derived predicates (typically In(key, ...)
+  // from a filtered build side) at EXECUTION time; they compose with the
+  // statically pushed filters for both zone-map file pruning and row-level
+  // evaluation. Dropping data here is always sound: Spark only routes a
+  // runtime filter at a scan when the filter is a valid predicate on the
+  // scan's output, and the join re-evaluates its own condition regardless.
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  /** Attributes runtime filters may reference: the scan's output columns
+    * that carry an exactly-evaluable order (the pushdown gate's types) —
+    * under aggregate pushdown the output carries synthetic `count(*)`-
+    * style columns, which no join key can be. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema.fields
+      .filter(f => fullSchema.fieldNames.contains(f.name) && (f.dataType match {
+        case StringType | DoubleType | BooleanType | TimestampType | DateType => true
+        case _ => false
+      }))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    // keep only filters the row evaluator understands exactly (unknown
+    // shapes return None from RecordFilterEval.eval, which would WRONGLY
+    // drop rows as three-valued unknown — they must not reach `passes`)
+    runtimeFilters = fs.filter(RecordFilterEval.pushable(_, fullSchema))
+
+  private def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] =
+    filters ++ runtimeFilters
+
   override def planInputPartitions(): Array[InputPartition] = {
-    RecordScan.listDataFiles(path, hadoopConf)
-      .map(f => RecordInputPartition(f): InputPartition)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
+        effectiveFilters, fs)
+      .map { case (f, _) => RecordInputPartition(f): InputPartition }
+  }
+
+  /** Planning-time stats from the zone-map sidecars: row counts are the
+    * sum over files surviving the STATIC filters (runtime filters arrive
+    * after planning); bytes are the surviving files' on-disk lengths. A
+    * file without a sidecar contributes its bytes but makes the row count
+    * unknown — Spark treats absent numRows conservatively. These numbers
+    * feed join sizing (broadcast decisions) and DPP's benefit heuristic. */
+  override def estimateStatistics(): Statistics = {
+    val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    val kept = ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
+      filters, fsys)
+    val bytes = kept.map { case (f, _) =>
+      fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+    }.sum
+    val rows: java.util.OptionalLong =
+      if (kept.forall(_._2.isDefined))
+        java.util.OptionalLong.of(kept.map(_._2.get.rows).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RecordReaderFactory(readSchema, fullSchema, confProps, filters, topN,
-      limit, agg, mode)
+    new RecordReaderFactory(readSchema, fullSchema, confProps,
+      effectiveFilters, topN, limit, agg, mode)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -386,9 +425,13 @@ private[v2] class RecordMicroBatchStream(readSchema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[RecordStreamOffset].files.toSet
-    end.asInstanceOf[RecordStreamOffset].files
-      .filterNot(seen).sorted
-      .map(f => RecordInputPartition(f): InputPartition).toArray
+    val fresh = end.asInstanceOf[RecordStreamOffset].files
+      .filterNot(seen).sorted.toArray
+    // zone-map pruning applies per micro-batch too: a pruned file is
+    // still marked delivered by the offset advance, it just never opens
+    val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    ZoneMap.pruneFiles(fresh, filters, fsys)
+      .map { case (f, _) => RecordInputPartition(f): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -400,6 +443,13 @@ private[v2] class RecordMicroBatchStream(readSchema: StructType,
 }
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
+
+/** Observability hook for zone-map pruning: counts data files actually
+  * opened by readers in this JVM (local mode / tests — a cluster would
+  * surface the same signal as a custom task metric). */
+private[graft] object RecordSourceMetrics {
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+}
 
 private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: StructType,
     confProps: Map[String, String],
@@ -429,6 +479,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
 
   private val mapper = new ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(file)
+  RecordSourceMetrics.filesOpened.incrementAndGet()
   private val in = p.getFileSystem(conf).open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
@@ -664,6 +715,44 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
 private[v2] object RecordFilterEval {
   import org.apache.spark.sql.sources._
 
+  /** Is `f` exactly evaluable by [[eval]] against `schema`? Every leaf
+    * must reference a known top-level column of atomic type with a
+    * comparable literal — the gate [[RecordScanBuilder]] applies before
+    * accepting a pushed filter, and [[RecordScan.filter]] applies to
+    * runtime filters (an unevaluable filter reaching [[eval]] would
+    * return None for every row, and `passes` would WRONGLY drop them). */
+  def pushable(f: Filter, schema: StructType): Boolean = {
+    def fieldOk(attr: String): Boolean =
+      !attr.contains(".") && schema.fieldNames.contains(attr) &&
+        (schema(attr).dataType match {
+          case StringType | DoubleType | BooleanType | TimestampType | DateType => true
+          case _ => false
+        })
+    def leafOk(attr: String, v: Any): Boolean = fieldOk(attr) && (v match {
+      case null => false
+      case _: String | _: java.lang.Double | _: java.lang.Float | _: java.lang.Long |
+           _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte |
+           _: java.lang.Boolean | _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.sql.Date | _: java.time.LocalDate => true
+      case _ => false
+    })
+    def ok(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => leafOk(a, v)
+      case GreaterThan(a, v) => leafOk(a, v)
+      case GreaterThanOrEqual(a, v) => leafOk(a, v)
+      case LessThan(a, v) => leafOk(a, v)
+      case LessThanOrEqual(a, v) => leafOk(a, v)
+      case In(a, vs) => vs.nonEmpty && vs.forall(leafOk(a, _))
+      case IsNull(a) => fieldOk(a)
+      case IsNotNull(a) => fieldOk(a)
+      case Not(inner) => ok(inner)
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r) => ok(l) && ok(r)
+      case _ => false
+    }
+    ok(f)
+  }
+
   def eval(f: Filter, lookup: String => Any): Option[Boolean] = f match {
     case EqualTo(a, v) => cmp(lookup(a), v).map(_ == 0)
     case GreaterThan(a, v) => cmp(lookup(a), v).map(_ > 0)
@@ -844,12 +933,20 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest)
-    if (truncateFirst)
+    if (truncateFirst) {
       fs.listStatus(dest).filter(_.isFile)
         .foreach(st => fs.delete(st.getPath, false))
-    messages.foreach { case RecordCommitMessage(staged) =>
+      // truncated files' sidecars must not describe the replacements
+      fs.delete(new org.apache.hadoop.fs.Path(dest, ZoneMap.Dir), true)
+    }
+    messages.foreach { case RecordCommitMessage(staged, zoneJson) =>
       val src = new org.apache.hadoop.fs.Path(staged)
       val to = new org.apache.hadoop.fs.Path(dest, src.getName)
+      // sidecar BEFORE the data file becomes visible: a reader that can
+      // see the file can always see its stats (stats are advisory, so
+      // the reverse orphan — sidecar without file after a crash here —
+      // is inert)
+      ZoneMap.write(fs, dest, src.getName, zoneJson)
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records commit failed moving $src -> $to")
@@ -866,8 +963,11 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
   }
 }
 
-private[v2] case class RecordCommitMessage(stagedFile: String)
-    extends WriterCommitMessage
+/** `zoneJson` carries the staged file's zone-map stats ([[ZoneMap]]) to
+  * the driver, which writes the sidecar at commit — stats ride the commit
+  * protocol, so a sidecar exists if and only if its file was committed. */
+private[v2] case class RecordCommitMessage(stagedFile: String,
+    zoneJson: String) extends WriterCommitMessage
 
 /** STREAMING_WRITE for `graft-records`: per-epoch staged two-phase
   * commit, composing the batch path's staging discipline with an
@@ -929,10 +1029,14 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
     val attemptPrefix = s"part-$epochId-"
     fs.listStatus(dest).filter(_.isFile).map(_.getPath)
       .filter(_.getName.startsWith(attemptPrefix))
-      .foreach(p => fs.delete(p, false))
-    messages.foreach { case RecordCommitMessage(staged) =>
+      .foreach { p =>
+        fs.delete(ZoneMap.sidecar(dest, p.getName), false) // stale attempt's stats
+        fs.delete(p, false)
+      }
+    messages.foreach { case RecordCommitMessage(staged, zoneJson) =>
       val src = new Path(staged)
       val to = new Path(dest, src.getName)
+      ZoneMap.write(fs, dest, src.getName, zoneJson) // before visibility, as in batch
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records epoch $epochId commit failed moving $src -> $to")
@@ -991,6 +1095,8 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
   private val w = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
   private var closed = false
+  // per-file zone-map stats, committed alongside the file (ZoneMap doc)
+  private val zone = new ZoneMap.Collector(schema)
 
   private def isoMicros(micros: Long): String =
     java.time.format.DateTimeFormatter.ISO_INSTANT.format(
@@ -1006,15 +1112,28 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
         case "_record_id" =>
           if (!row.isNullAt(i)) id = row.getUTF8String(i).toString
         case "_created_time" =>
-          if (!row.isNullAt(i)) root.put("createdTime", isoMicros(row.getLong(i)))
+          if (!row.isNullAt(i)) {
+            root.put("createdTime", isoMicros(row.getLong(i)))
+            zone.observe(i, java.lang.Long.valueOf(row.getLong(i)))
+          } else zone.observe(i, null)
         case name if !row.isNullAt(i) =>
           f.dataType match {
-            case StringType => fields.put(name, row.getUTF8String(i).toString)
-            case DoubleType => fields.put(name, row.getDouble(i))
-            case BooleanType => fields.put(name, row.getBoolean(i))
-            case TimestampType => fields.put(name, isoMicros(row.getLong(i)))
-            case DateType => fields.put(name,
-              java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString)
+            case StringType =>
+              val s = row.getUTF8String(i).toString
+              fields.put(name, s); zone.observe(i, s)
+            case DoubleType =>
+              fields.put(name, row.getDouble(i))
+              zone.observe(i, java.lang.Double.valueOf(row.getDouble(i)))
+            case BooleanType =>
+              fields.put(name, row.getBoolean(i))
+              zone.observe(i, java.lang.Boolean.valueOf(row.getBoolean(i)))
+            case TimestampType =>
+              fields.put(name, isoMicros(row.getLong(i)))
+              zone.observe(i, java.lang.Long.valueOf(row.getLong(i)))
+            case DateType =>
+              fields.put(name,
+                java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString)
+              zone.observe(i, java.lang.Integer.valueOf(row.getInt(i)))
             case ArrayType(StringType, _) =>
               val arr = fields.putArray(name)
               val a = row.getArray(i)
@@ -1022,16 +1141,23 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
                 if (a.isNullAt(j)) arr.addNull()
                 else arr.add(a.getUTF8String(j).toString)
               }
+              zone.observe(i, a) // non-null: counts only, no min/max
             case dt => throw new IllegalStateException(
               s"unreachable: $dt passed validateWriteSchema") // defensive
           }
-        case _ => // NULL field: omitted — sparse record
+        case _ => zone.observe(i, null) // NULL field: omitted — sparse record
       }
     }
     // auto-id (S9): content-independent, collision-safe across tasks/reruns
-    root.put("id",
+    val finalId =
       if (id != null) id
-      else "rec" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      else "rec" + java.util.UUID.randomUUID().toString.replace("-", "")
+    root.put("id", finalId)
+    // the id the READER will see (explicit or generated) is what the
+    // zone must describe
+    val idIdx = schema.fieldNames.indexOf("_record_id")
+    if (idIdx >= 0) zone.observe(idIdx, finalId)
+    zone.rowDone()
     root.set("fields", fields)
     w.write(mapper.writeValueAsString(root))
     w.newLine()
@@ -1039,7 +1165,7 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
 
   override def commit(): WriterCommitMessage = {
     w.flush(); w.close(); closed = true
-    RecordCommitMessage(stagedFile)
+    RecordCommitMessage(stagedFile, zone.toJson)
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,231 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** Zone-map sidecars on the graft-records source: per-file min/max/null
+  * stats written at commit, static + runtime (DPP-style) file skipping,
+  * and planning statistics. The oracle-side twin is q259 (a pruned scan
+  * must still produce exact results); this spec pins the pruning ITSELF
+  * (files actually skipped) and the conservative evaluator semantics. */
+class ZoneMapSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  /** 100 records, Score = 0..99, landed as 4 files with EXACT disjoint
+    * Score ranges [0,25) [25,50) [50,75) [75,100) — four single-file
+    * appends, because repartitionByRange samples its boundaries and a
+    * spec asserting open counts needs them pinned. */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft_zm").toString + "/t"
+    (0 until 4).foreach { b =>
+      spark.range(b * 25L, (b + 1) * 25L).select(
+          concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          $"id".cast("double").as("Score"),
+          concat(lit("name_"), ($"id" % 10).cast("string")).as("Name"),
+          when($"id" % 4 === 0, $"id" % 2 === 0).as("Flag")) // nulls: id%4!=0
+        .coalesce(1)
+        .write.format("graft-records").option("path", dir)
+        .mode("append").save()
+    }
+    dir
+  }
+
+  private def readBack(dir: String) = spark.read.format("graft-records")
+    .option("path", dir)
+    .option("fieldTypes", "Score:number,Name:singleLineText,Flag:checkbox")
+    .load()
+
+  private def dataFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles.filter(_.isFile)
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+
+  private def sidecars(dir: String): Seq[String] = {
+    val d = new java.io.File(dir, ZoneMap.Dir)
+    if (!d.exists) Seq.empty
+    else d.listFiles.map(_.getName).filterNot(_.startsWith(".")).toSeq // drop FS .crc
+  }
+
+  private def opensDuring[A](body: => A): (A, Long) = {
+    val before = RecordSourceMetrics.filesOpened.get()
+    val r = body
+    (r, RecordSourceMetrics.filesOpened.get() - before)
+  }
+
+  test("batch commit writes one exact sidecar per data file") {
+    val dir = writeFixture()
+    val files = dataFiles(dir)
+    assert(files.size == 4, files)
+    assert(sidecars(dir).toSet == files.map(_ + ".json").toSet)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zones = files.map(f => ZoneMap.load(fs, s"$dir/$f").get)
+    assert(zones.map(_.rows).sum == 100L)
+    // disjoint, covering Score ranges
+    val ranges = zones.map(z => (z.stats("Score").min.asInstanceOf[Double],
+      z.stats("Score").max.asInstanceOf[Double])).sortBy(_._1)
+    assert(ranges.head._1 == 0.0 && ranges.last._2 == 99.0)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    // null accounting: Flag present only when id%4==0
+    assert(zones.map(z => z.stats("Flag").nulls).sum == 75L)
+    // _record_id stats cover the generated ids
+    val idStats = zones.sortBy(_.stats("Score").min.asInstanceOf[Double])
+    assert(idStats.head.stats("_record_id").min == "r000")
+    assert(idStats.last.stats("_record_id").max == "r099")
+  }
+
+  test("static pushed filters skip files their zones cannot match") {
+    val dir = writeFixture()
+    val (rows, opened) = opensDuring {
+      readBack(dir).filter($"Score" >= 80).collect()
+    }
+    assert(rows.length == 20)
+    assert(opened == 1, s"expected 1 of 4 files opened, got $opened")
+    // point lookup on the id string prunes by the _record_id zone
+    val (hit, opened2) = opensDuring {
+      readBack(dir).filter($"_record_id" === "r042").collect()
+    }
+    assert(hit.length == 1 && hit(0).getAs[Double]("Score") == 42.0)
+    assert(opened2 == 1, s"expected 1 file for point lookup, got $opened2")
+    // an impossible predicate opens nothing at all
+    val (none, opened3) = opensDuring {
+      readBack(dir).filter($"Score" > 1000).collect()
+    }
+    assert(none.isEmpty && opened3 == 0, s"opened $opened3")
+  }
+
+  test("IsNull / IsNotNull prune from null counts; Or is unioned") {
+    val dir = writeFixture()
+    // every file holds some null Flags, so IsNull prunes nothing
+    val (n1, o1) = opensDuring { readBack(dir).filter($"Flag".isNull).count() }
+    assert(n1 == 75L && o1 == 4)
+    // disjunction of two ranges keeps both straddling files
+    val (n2, o2) = opensDuring {
+      readBack(dir).filter($"Score" < 10 || $"Score" >= 90).count()
+    }
+    assert(n2 == 20L && o2 == 2, s"opened $o2")
+  }
+
+  test("a file without a sidecar is always scanned (stats are advisory)") {
+    val dir = writeFixture()
+    val victim = dataFiles(dir).minBy { f =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ZoneMap.load(fs, s"$dir/$f").get.stats("Score").min.asInstanceOf[Double]
+    }
+    assert(new java.io.File(s"$dir/${ZoneMap.Dir}/$victim.json").delete())
+    // the predicate excludes the victim's range, but without stats the
+    // file must still be opened — and rows must still be exact
+    val (rows, opened) = opensDuring {
+      readBack(dir).filter($"Score" >= 80).collect()
+    }
+    assert(rows.length == 20)
+    assert(opened == 2, s"victim (statless) + top file expected, got $opened")
+  }
+
+  test("overwrite truncation clears stale sidecars") {
+    val dir = writeFixture()
+    spark.range(5).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        ($"id" + 1000).cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dir)
+      .mode("overwrite").save()
+    val files = dataFiles(dir)
+    assert(files.size == 1)
+    assert(sidecars(dir).toSet == files.map(_ + ".json").toSet,
+      s"stale sidecars survived: ${sidecars(dir)}")
+    val (rows, opened) = opensDuring {
+      readBack(dir).filter($"Score" >= 1000).count()
+    }
+    assert(rows == 5L && opened == 1)
+  }
+
+  test("planning statistics come from the zones and shrink under pruning") {
+    val dir = writeFixture()
+    val full = readBack(dir).queryExecution.optimizedPlan.stats
+    val pruned = readBack(dir).filter($"Score" >= 80)
+      .queryExecution.optimizedPlan.stats
+    assert(full.sizeInBytes > 0 && full.sizeInBytes < Long.MaxValue)
+    assert(pruned.sizeInBytes * 3 < full.sizeInBytes,
+      s"pruned=${pruned.sizeInBytes} full=${full.sizeInBytes}")
+  }
+
+  test("runtime filter() prunes files at execution (DPP mechanics)") {
+    val dir = writeFixture()
+    val table = new RecordTable(
+      RecordSource.fullSchema(Seq("Score" -> "number", "Name" -> "singleLineText")),
+      Map("path" -> dir))
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val scan = builder.build()
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    // the join key is reported as filterable
+    assert(rf.filterAttributes().map(_.describe()).contains("Score"))
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    rf.filter(Array[Filter](In("Score", Array(7.0, 11.0))))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "runtime In should reduce the plan to the one straddling file")
+    // an unevaluable runtime filter must be ignored, not half-applied
+    rf.filter(Array[Filter](StringContains("Name", "x")))
+    assert(scan.toBatch.planInputPartitions().length == 4)
+  }
+
+  test("end-to-end DPP: a join's runtime filter skips files by zone") {
+    val dir = writeFixture()
+    // the dim's filter is on a NON-key column, so nothing can reach the
+    // fact statically — only the join's dynamic pruning subquery can
+    // hand the scan an In(_record_id, ...) at execution. (String key on
+    // purpose: Spark wraps double join keys in normalizenanandzero,
+    // which blocks the runtime filter's translation to a source Filter —
+    // those stay row-level at the join, pruning nothing.)
+    val dim = spark.range(200).select(
+        concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("key"),
+        concat(lit("lbl"), $"id".cast("string")).as("label"))
+      .filter($"label" === "lbl7" || $"label" === "lbl91")
+    val joined = readBack(dir).join(dim, $"_record_id" === $"key")
+      .select($"_record_id", $"label")
+    val (got, opened) = opensDuring {
+      joined.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    }
+    assert(got.toSeq == Seq(("r007", "lbl7"), ("r091", "lbl91")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(opened == 2, s"runtime In should open only the two straddling " +
+      s"files, got $opened")
+  }
+
+  test("conservative evaluator semantics (unit)") {
+    val z = ZoneMap.FileZone(10, Map(
+      "s" -> ZoneMap.FieldStats("b", "m", 2),
+      "d" -> ZoneMap.FieldStats(java.lang.Double.valueOf(1.0),
+        java.lang.Double.valueOf(5.0), 0),
+      "allnull" -> ZoneMap.FieldStats(null, null, 10)))
+    assert(ZoneMap.mayMatch(EqualTo("s", "c"), z))
+    assert(!ZoneMap.mayMatch(EqualTo("s", "z"), z))
+    assert(!ZoneMap.mayMatch(GreaterThan("d", 5.0), z))
+    assert(ZoneMap.mayMatch(GreaterThanOrEqual("d", 5.0), z))
+    assert(!ZoneMap.mayMatch(LessThan("d", 1.0), z))
+    assert(!ZoneMap.mayMatch(In("d", Array(0.0, 6.0)), z))
+    assert(ZoneMap.mayMatch(In("d", Array(0.0, 3.0)), z))
+    // all-null field: value predicates can never match, null probes can
+    assert(!ZoneMap.mayMatch(EqualTo("allnull", "x"), z))
+    assert(ZoneMap.mayMatch(IsNull("allnull"), z))
+    assert(!ZoneMap.mayMatch(IsNotNull("allnull"), z))
+    // a field ABSENT from the write schema reads all-NULL
+    assert(!ZoneMap.mayMatch(EqualTo("ghost", "x"), z))
+    assert(ZoneMap.mayMatch(IsNull("ghost"), z))
+    // unknown shapes and incomparable literals keep the file
+    assert(ZoneMap.mayMatch(StringStartsWith("s", "b"), z))
+    assert(ZoneMap.mayMatch(EqualTo("d", new java.math.BigDecimal(2)), z))
+    assert(ZoneMap.mayMatch(Not(EqualTo("s", "c")), z))
+    // conjunction prunes if either side prunes; disjunction needs both
+    assert(!ZoneMap.mayMatch(And(EqualTo("s", "c"), GreaterThan("d", 5.0)), z))
+    assert(ZoneMap.mayMatch(Or(EqualTo("s", "c"), GreaterThan("d", 5.0)), z))
+    // empty file: nothing can match, not even IsNull
+    val empty = ZoneMap.FileZone(0, Map.empty)
+    assert(!ZoneMap.mayMatch(EqualTo("s", "b"), empty))
+    assert(!ZoneMap.mayMatch(IsNull("s"), empty))
+  }
+}
