@@ -8,9 +8,13 @@ import graft.functions.{BitmapDistinct, CosineSimilarity, LshCode, Md5Prefix60, 
 /** Session extensions: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")`,
   * `lsh_code(vec, bits, dim)`, `md5_prefix60(s)` and
-  * `call_function(...)` work anywhere.
+  * `call_function(...)` work anywhere — plus the whole-operator planner
+  * strategy for the native as-of join
+  * ([[graft.plans.AsofJoinStrategy]] → [[graft.plans.AsofJoinExec]]).
   *
-  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions())` — the engine's own entry
+  * points (Verify/Bench/Smoke) install it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom operators (SURVEY §2.10 tier (c)): logical plan -> strategy
+    // -> physical exec; extra strategies run before Spark's own
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

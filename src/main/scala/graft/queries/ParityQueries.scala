@@ -891,6 +891,33 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- NATIVE as-of join: custom LogicalPlan/Strategy/SparkPlan --
+    "q260_asof_native" -> ((s, dir) => {
+      // the same fixture and oracle shape as q54, but through the
+      // whole-operator extension stack (graft.plans.AsofJoinNative:
+      // AsofJoinPlan -> AsofJoinStrategy -> AsofJoinExec, registered by
+      // GraftExtensions.injectPlannerStrategy) — one co-partitioned
+      // forward merge instead of q54's union + running-last window.
+      // Agreement with DuckDB's ASOF LEFT JOIN gates the exec's merge
+      // loop (equal-ts match, null-key/ts exclusions, left-outer nulls)
+      // through Catalyst's planner rather than around it
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts") // unique per (key, ts): as-of contract
+        .agg(max(col("value").cast("decimal(18,4)")).cast("double").as("click_value"))
+      graft.plans.AsofJoinNative.backward(
+        purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_epoch"),
+          r(col("value"), 4).as("purchase_value"),
+          unix_timestamp(col("asof_ts")).as("click_epoch"),
+          r(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+
     // ----- range join (binned interval join, no nested loop) ---------
     "q55_range_join" -> ((s, dir) => {
       val ev = rd(s, dir, "events")
@@ -1378,6 +1405,22 @@ private[graft] object ParityQueries {
 
 
     "q54_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_epoch,
+        |  floor(p.value * 10000 + 0.5) / 10000 AS purchase_value,
+        |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
+        |  floor(c.click_value * 10000 + 0.5) / 10000 AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+
+    // q54's oracle verbatim: both implementations answer to one truth
+    "q260_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts,
