@@ -1136,6 +1136,43 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- compressed-text ingest (gzip/zlib decode tier) ------------
+    "q261_compressed_ingest" -> ((s, dir) => {
+      // six payload classes by doc_id: gzip member (0), raw zlib (1),
+      // concatenated two-member gzip — text delivered twice (2), gzip
+      // with a flipped CRC-32 trailer byte — MUST refuse (3), gzip
+      // truncated mid-trailer — MUST refuse (4), plain passthrough (5,
+      // "p "-prefixed so the magic-byte sniff cannot misread it). The
+      // oracle predicts codec + decoded length from documents.text
+      // alone, so the whole compress→sniff→inflate→verify chain is on
+      // the hook; refusal classes must surface as NULLs, not crashes
+      import s.implicits._
+      val payloads = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (d, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val z = graft.operators.TextCompression
+          val p: Array[Byte] = (d % 6).toInt match {
+            case 0 => z.gzip(bytes)
+            case 1 => z.zlib(bytes)
+            case 2 => z.gzip(bytes) ++ z.gzip(bytes)
+            case 3 =>
+              val g = z.gzip(bytes) // trailer = CRC32(4) ++ ISIZE(4)
+              g.updated(g.length - 5, (g(g.length - 5) ^ 0x55).toByte)
+            case 4 => z.gzip(bytes).dropRight(6)
+            case _ => ("p " + text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (d, p)
+        }.toDF("doc_id", "payload")
+      graft.operators.TextCompression.decompressedText(payloads)
+        .select(col("doc_id"),
+          col("ztext.codec").as("codec"),
+          length(col("ztext.text")).cast("long").as("n_chars"),
+          col("ztext.text_bytes").as("text_bytes"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- mixed-payload decode census (the full dispatch) -----------
     "q185_media_census" -> ((s, dir) => {
       // one frame, six payload classes round-robin by doc_id: BMP
@@ -3546,6 +3583,24 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // codec + decoded lengths predicted from documents.text alone (ASCII
+    // corpus: chars == UTF-8 bytes); refusal classes are NULL rows
+    "q261_compressed_ingest" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' WHEN 2 THEN 'gzip'
+        |    WHEN 5 THEN 'plain' ELSE NULL END AS codec,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN length(text) WHEN 1 THEN length(text)
+        |    WHEN 2 THEN 2 * length(text) WHEN 5 THEN length(text) + 2
+        |    ELSE NULL END AS n_chars,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN length(text) WHEN 1 THEN length(text)
+        |    WHEN 2 THEN 2 * length(text) WHEN 5 THEN length(text) + 2
+        |    ELSE NULL END AS text_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
 
     // the oracle predicts the decoded pixels from the same doc_id
