@@ -1136,6 +1136,39 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- MP4 sample-table walk: frame census + keyframe plan -------
+    "q262_mp4_sample_plan" -> ((s, dir) => {
+      // ISO-BMFF fixtures whose stbl tables are pure doc_id arithmetic
+      // (see mp4FixturePayload): the engine must recover frame counts,
+      // keyframe sets, durations, and ABSOLUTE sample offsets through
+      // the real trak/mdia/stbl walk (stts run-length expansion, stsc x
+      // stco chunk mapping, stss sync table with its absent-means-all
+      // default), then emit the keyframe RANGED-READ plan — offsets are
+      // re-based to the first sample so the oracle stays pure
+      // arithmetic. Classes: stss every 3rd (0), no stss — all sync
+      // (1), video+audio two-track (2, the soun track must not leak
+      // into the plan), truncated mid-moov (3, NULL census, no plan
+      // rows), non-media bytes (4, same)
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, mp4FixturePayload(d)))
+        .toDF("doc_id", "payload")
+      val census = graft.operators.Mp4.videoCensus(media)
+        .select(col("doc_id"),
+          col("video.n_frames").as("n_frames"),
+          col("video.n_keyframes").as("n_keyframes"),
+          col("video.duration_ms").as("duration_ms"),
+          col("video.total_bytes").as("total_bytes"))
+      val planAgg = graft.operators.Mp4.keyframePlan(media)
+        .groupBy("doc_id")
+        .agg((sum(col("offset")) - count(lit(1)) * min(col("offset")))
+            .as("kf_rel_offset_sum"),
+          sum(col("size")).as("kf_size_sum"),
+          max(col("dts_ms")).as("max_kf_dts_ms"))
+      census.join(planAgg, Seq("doc_id"), "left").orderBy("doc_id")
+    }),
+
+
     // ----- compressed-text ingest (gzip/zlib decode tier) ------------
     "q261_compressed_ingest" -> ((s, dir) => {
       // six payload classes by doc_id: gzip member (0), raw zlib (1),
@@ -2707,6 +2740,28 @@ private[graft] object PipelineQueries {
 
   )
 
+  /** q262's per-row fixture: a minimal ISO-BMFF file whose sample tables
+    * are pure functions of doc_id (see the q262 banner). Pure and
+    * serializable — runs inside the Dataset map. */
+  private[graft] def mp4FixturePayload(d: Long): Array[Byte] = {
+    val cls = (d % 5).toInt
+    val n = 3 + (d % 4).toInt
+    val m7 = d % 7
+    val sizes = Array.tabulate(n)(i => 50L + 3 * i + m7)
+    val delta = 30L + 5 * (d % 3)
+    val deltas = Array.fill(n)(delta)
+    val keys = (1 to n by 3).toArray
+    cls match {
+      case 0 => graft.operators.Mp4.encode(1000L, sizes, deltas, keys, withStss = true)
+      case 1 => graft.operators.Mp4.encode(1000L, sizes, deltas, keys, withStss = false)
+      case 2 => graft.operators.Mp4.encode(1000L, sizes, deltas, keys,
+        withStss = false, audioSamples = 2)
+      case 3 => graft.operators.Mp4.encode(1000L, sizes, deltas, keys,
+        withStss = true).take(60)
+      case _ => s"not a video $d".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** q258's per-row fixture: a DC-only baseline JPEG whose pixels are a
     * pure function of doc_id (see the q258 banner). Runs inside the
     * Dataset map — must stay a pure, serializable function. */
@@ -3583,6 +3638,43 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // every stbl quantity re-derived as closed-form arithmetic: sample
+    // sizes/deltas enumerated per doc, keyframes by the class rule,
+    // rebased offsets as prefix sums — the engine must reach the same
+    // numbers through the real box walk
+    "q262_mp4_sample_plan" ->
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS cls,
+        |    3 + CAST(doc_id % 4 AS INTEGER) AS n,
+        |    CAST(doc_id % 7 AS BIGINT) AS m7,
+        |    30 + 5 * CAST(doc_id % 3 AS BIGINT) AS delta
+        |  FROM documents),
+        |samples AS (SELECT b.doc_id, b.n, b.delta, t.i AS i,
+        |    50 + 3 * t.i + b.m7 AS sz,
+        |    (b.cls <> 0 OR t.i % 3 = 0) AS is_kf
+        |  FROM base b, range(0, 6) t(i) -- n = 3 + doc_id%4 <= 6
+        |  WHERE b.cls IN (0, 1, 2) AND t.i < b.n),
+        |cum AS (SELECT doc_id, i, sz, is_kf, delta,
+        |    COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel_off
+        |  FROM samples),
+        |kf AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kf,
+        |    CAST(SUM(rel_off) AS BIGINT) AS kf_rel_offset_sum,
+        |    CAST(SUM(sz) AS BIGINT) AS kf_size_sum,
+        |    CAST(MAX(i * delta) AS BIGINT) AS max_kf_dts_ms
+        |  FROM cum WHERE is_kf GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(SUM(sz) AS BIGINT) AS total_bytes
+        |  FROM samples GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.cls IN (0, 1, 2) THEN b.n ELSE NULL END AS n_frames,
+        |  kf.n_kf AS n_keyframes,
+        |  CASE WHEN b.cls IN (0, 1, 2) THEN CAST(b.n * b.delta AS BIGINT)
+        |       ELSE NULL END AS duration_ms,
+        |  tot.total_bytes, kf.kf_rel_offset_sum, kf.kf_size_sum,
+        |  kf.max_kf_dts_ms
+        |FROM base b LEFT JOIN kf USING (doc_id) LEFT JOIN tot USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
 
     // codec + decoded lengths predicted from documents.text alone (ASCII
