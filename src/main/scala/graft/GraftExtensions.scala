@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom operators (SURVEY §2.10 tier (c)): logical plan -> strategy
     // -> physical exec; extra strategies run before Spark's own
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // optimizer rewrites (conf-gated): exact COUNT(DISTINCT integral)
+    // -> mergeable bitmap aggregate, killing the Expand/double-exchange
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCountDistinctBitmap)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -11,7 +11,8 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions()).master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config(graft.plans.RewriteCountDistinctBitmap.ConfKey, "true").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -10,7 +10,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions()).master("local[32]")
+      .withExtensions(new GraftExtensions())
+      .config(graft.plans.RewriteCountDistinctBitmap.ConfKey, "true").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

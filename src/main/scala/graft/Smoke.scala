@@ -8,6 +8,7 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
+      .config(graft.plans.RewriteCountDistinctBitmap.ConfKey, "true")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

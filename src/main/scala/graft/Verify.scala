@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver's local[32]
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
+      .config(graft.plans.RewriteCountDistinctBitmap.ConfKey, "true")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -891,6 +891,28 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- optimizer-rule rewrite: COUNT(DISTINCT) -> bitmap ---------
+    "q263_bitmap_count_distinct" -> ((s, dir) => {
+      // two integral distinct counts + mixed plain aggregates: exactly
+      // the shape Catalyst plans as an Expand (every row duplicated per
+      // aggregate group) with a doubled keyed shuffle. The injected
+      // optimizer rule (plans/RewriteCountDistinctBitmap, ON in every
+      // engine session) rewrites both to mergeable bitmap aggregates —
+      // one partial-aggregated pass, one exchange — and this gate holds
+      // the rewritten plan to DuckDB's exact COUNT(DISTINCT). The
+      // string distinct stays Spark-planned (scope guard), proving the
+      // two plannings compose in one Aggregate
+      rd(s, dir, "orders").groupBy(col("o_orderpriority").as("priority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderkey") % 1000).as("n_okmod"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("priority")
+    }),
+
+
     // ----- NATIVE as-of join: custom LogicalPlan/Strategy/SparkPlan --
     "q260_asof_native" -> ((s, dir) => {
       // the same fixture and oracle shape as q54, but through the
@@ -1417,6 +1439,16 @@ private[graft] object ParityQueries {
         |  floor(c.click_value * 10000 + 0.5) / 10000 AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin,
+
+
+    "q263_bitmap_count_distinct" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(COUNT(DISTINCT o_orderkey % 1000) AS BIGINT) AS n_okmod,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     // q54's oracle verbatim: both implementations answer to one truth

@@ -295,11 +295,18 @@ class PlanSpec extends SparkSpec {
       s"partial aggregation must run below the exchange:\n$p")
     // the countDistinct formulation mixed with another aggregate re-keys
     // an aggregation on (group, value) — TWO exchanges, shuffle volume
-    // proportional to distinct values; the shape bitmap_distinct avoids
-    val cd = o.groupBy("o_orderpriority")
-      .agg(countDistinct(col("o_custkey")), sum(col("o_totalprice")))
-    val cp = cd.queryExecution.executedPlan.toString
-    assert(cp.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2, cp)
+    // proportional to distinct values; the shape bitmap_distinct avoids.
+    // Measured with the RewriteCountDistinctBitmap rule OFF (it is ON
+    // session-wide and would plan countDistinct as the bitmap too —
+    // RewriteCountDistinctSpec owns that plan's assertions)
+    val key = graft.plans.RewriteCountDistinctBitmap.ConfKey
+    spark.conf.set(key, "false")
+    try {
+      val cd = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")), sum(col("o_totalprice")))
+      val cp = cd.queryExecution.executedPlan.toString
+      assert(cp.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2, cp)
+    } finally spark.conf.set(key, "true")
   }
 
   test("hll_registers: partial aggregation below one exchange, 256B state") {

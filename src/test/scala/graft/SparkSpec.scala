@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .withExtensions(new GraftExtensions())
+      .config(graft.plans.RewriteCountDistinctBitmap.ConfKey, "true")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
