@@ -742,10 +742,12 @@ object Multimodal {
     encodeJpeg(8, 8, (_, _) => (32, 64, 128)).map(b => f"${b & 0xFF}%02X").mkString
 
   /** Pixel-tier dispatch: BMP (raw array) first, then PNG (real
-    * inflate), then GIF (real LZW), then the JDK's ImageIO codec tier
-    * (JPEG). None = not pixel-decodable here. */
+    * inflate), then GIF (real LZW), then TIFF (strip walk + PackBits,
+    * [[Tiff.decode]]), then JPEG ([[Jpeg.decode]] with the imageio
+    * fallback). None = not pixel-decodable here. */
   private[graft] def decodeRaster(p: Array[Byte]): Option[Raster] =
-    parseBmp(p).orElse(parsePng(p)).orElse(parseGif(p)).orElse(parseJpeg(p))
+    parseBmp(p).orElse(parsePng(p)).orElse(parseGif(p))
+      .orElse(Tiff.decode(p)).orElse(parseJpeg(p))
 
   /** Strict parse of an uncompressed 24-bit BITMAPINFOHEADER BMP; None
     * for anything else (other depths, RLE compression, truncated pixel

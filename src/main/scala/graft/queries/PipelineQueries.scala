@@ -1136,6 +1136,29 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- TIFF pixel decode: strip walk + PackBits ------------------
+    "q264_tiff_pixels" -> ((s, dir) => {
+      // six classes by doc_id: gray LE uncompressed (0), gray BE
+      // PackBits with WhiteIsZero inversion and 2-row strips (1), RGB
+      // LE uncompressed (2), RGB BE PackBits multi-strip (3),
+      // truncated (4) and non-TIFF bytes (5) — both refuse to NULL.
+      // Pixels are doc_id arithmetic, so the oracle predicts every
+      // channel mean while the engine must arrive through the real IFD
+      // walk, strip assembly, PackBits expansion, and inversion
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, tiffFixturePayload(d)))
+        .toDF("doc_id", "payload")
+        .withColumn("mime", lit("image/tiff"))
+      Multimodal.imageStats(media)
+        .select(col("doc_id"),
+          col("img.mean_b").as("mean_b"), col("img.mean_g").as("mean_g"),
+          col("img.mean_r").as("mean_r"), col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- MP4 sample-table walk: frame census + keyframe plan -------
     "q262_mp4_sample_plan" -> ((s, dir) => {
       // ISO-BMFF fixtures whose stbl tables are pure doc_id arithmetic
@@ -2740,6 +2763,26 @@ private[graft] object PipelineQueries {
 
   )
 
+  /** q264's per-row fixture: a baseline TIFF whose pixels are doc_id
+    * arithmetic (see the q264 banner). Pure and serializable. */
+  private[graft] def tiffFixturePayload(d: Long): Array[Byte] = {
+    def pm(x: Long): Int = (((x % 256) + 256) % 256).toInt
+    val z = graft.operators.Tiff
+    (d % 6).toInt match {
+      case 0 => z.encode(5, 3, 1, littleEndian = true, packBits = false, 3,
+        (x, y) => pm(d * 7 + x + 2 * y))
+      case 1 => z.encode(6, 4, 0, littleEndian = false, packBits = true, 2,
+        (x, y) => pm(d * 3 + y)) // WhiteIsZero: decoder must invert
+      case 2 => z.encode(4, 2, 2, littleEndian = true, packBits = false, 2,
+        (x, y) => (pm(d * 5 + x) << 16) | (pm(d * 11 + y) << 8) | pm(d + x + y))
+      case 3 => z.encode(4, 4, 2, littleEndian = false, packBits = true, 2,
+        (x, y) => (pm(d * 5 + x) << 16) | (pm(d * 11 + y) << 8) | pm(d + x + y))
+      case 4 => z.encode(5, 3, 1, littleEndian = true, packBits = false, 3,
+        (x, y) => pm(d * 7 + x + 2 * y)).take(20)
+      case _ => s"not a tiff $d".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** q262's per-row fixture: a minimal ISO-BMFF file whose sample tables
     * are pure functions of doc_id (see the q262 banner). Pure and
     * serializable — runs inside the Dataset map. */
@@ -3638,6 +3681,42 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // channel means re-derived by enumerating every pixel cell as
+    // doc_id arithmetic (gray classes put the same value on all three
+    // channels; class 1 applies the WhiteIsZero inversion)
+    "q264_tiff_pixels" ->
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls
+        |  FROM documents),
+        |dims AS (SELECT * FROM (VALUES (0, 5, 3), (1, 6, 4), (2, 4, 2),
+        |  (3, 4, 4)) d(cls, w, h)),
+        |cells AS (SELECT b.doc_id, b.cls, d.w, d.h, xs.i AS x, ys.i AS y
+        |  FROM base b JOIN dims d ON b.cls = d.cls,
+        |       range(0, 6) xs(i), range(0, 4) ys(i)
+        |  WHERE xs.i < d.w AND ys.i < d.h),
+        |px AS (SELECT doc_id, cls, w, h,
+        |  CASE cls WHEN 0 THEN (doc_id*7 + x + 2*y) % 256
+        |           WHEN 1 THEN 255 - ((doc_id*3 + y) % 256)
+        |           ELSE (doc_id + x + y) % 256 END AS bch,
+        |  CASE cls WHEN 0 THEN (doc_id*7 + x + 2*y) % 256
+        |           WHEN 1 THEN 255 - ((doc_id*3 + y) % 256)
+        |           ELSE (doc_id*11 + y) % 256 END AS gch,
+        |  CASE cls WHEN 0 THEN (doc_id*7 + x + 2*y) % 256
+        |           WHEN 1 THEN 255 - ((doc_id*3 + y) % 256)
+        |           ELSE (doc_id*5 + x) % 256 END AS rch
+        |  FROM cells),
+        |agg AS (SELECT doc_id, w, h,
+        |  CAST(SUM(bch) AS DOUBLE) / (w*h) AS mb,
+        |  CAST(SUM(gch) AS DOUBLE) / (w*h) AS mg,
+        |  CAST(SUM(rch) AS DOUBLE) / (w*h) AS mr,
+        |  CAST(SUM(bch) + SUM(gch) + SUM(rch) AS DOUBLE) / (3*w*h) AS ml
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT b.doc_id, a.mb AS mean_b, a.mg AS mean_g, a.mr AS mean_r,
+        |  a.ml AS mean_luma, CAST(a.w AS INTEGER) AS width,
+        |  CAST(a.h AS INTEGER) AS height
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
 
     // every stbl quantity re-derived as closed-form arithmetic: sample
