@@ -49,7 +49,20 @@ object AsofJoinNative {
     * [[graft.GraftExtensions]] on the session (injectPlannerStrategy) —
     * the engine's own entry points install it. */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
+    build(left, right, keyCol, leftTs, rightTs, valueCols, forward = false)
+
+  /** FORWARD as-of: the EARLIEST right row at-or-after each left row's
+    * `leftTs` (DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
+    * l.ts <= r.ts`). Same merge, mirrored: no candidate buffering at
+    * all — the lookahead right row IS the match when its key agrees. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
+    build(left, right, keyCol, leftTs, rightTs, valueCols, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val collisions = left.columns.toSet.intersect((valueCols :+ "asof_ts").toSet)
     require(collisions.isEmpty,
       s"output columns collide with left columns: $collisions — alias them first")
@@ -77,7 +90,7 @@ object AsofJoinNative {
         AttributeReference(n, a.dataType, nullable = true)()
       }
     org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(left.sparkSession,
-      AsofJoinPlan(lPlan, rPlan, lKey, lTs, rKey, rTs, rVals, outAttrs))
+      AsofJoinPlan(lPlan, rPlan, lKey, lTs, rKey, rTs, rVals, outAttrs, forward))
   }
 }
 
@@ -87,7 +100,8 @@ object AsofJoinNative {
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    rightValues: Seq[Attribute], outAttrs: Seq[Attribute])
+    rightValues: Seq[Attribute], outAttrs: Seq[Attribute],
+    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -102,7 +116,8 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
       AsofJoinExec(p.leftKey, p.leftTs, p.rightKey, p.rightTs,
-        p.rightValues, p.outAttrs, planLater(p.left), planLater(p.right)) :: Nil
+        p.rightValues, p.outAttrs, p.forward,
+        planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -116,6 +131,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
     rightValues: Seq[Attribute], outAttrs: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan)
     extends SparkPlan with BinaryExecNode {
 
@@ -199,9 +215,30 @@ case class AsofJoinExec(leftKey: Attribute, leftTs: Attribute,
           val k = lKeyB.eval(l)
           if (k == null) return resultProj(joined(l, nullMatch))
           val t = lTsB.eval(l)
-          // consume right rows that are behind this left row: strictly
-          // smaller keys (discard), or same key at ts <= t (each becomes
-          // the new candidate — the LAST one consumed is the as-of match)
+          if (forward) {
+            // mirrored merge: discard right rows strictly BEHIND this
+            // left row (smaller keys, or same key before t); the
+            // lookahead itself is then the earliest at-or-after match —
+            // no candidate buffering, it must stay put for equal-ts and
+            // later left rows of the same key
+            var advance = rHead != null
+            while (advance) {
+              val c = keyOrd.compare(rHeadKey, k)
+              if (c < 0 || (c == 0 && t != null && tsOrd.compare(rHeadTs, t) < 0))
+                advanceRight()
+              else advance = false
+              if (rHead == null) advance = false
+            }
+            val m =
+              if (t != null && rHead != null && keyOrd.compare(rHeadKey, k) == 0)
+                rValProj(rHead)
+              else nullMatch
+            return resultProj(joined(l, m))
+          }
+          // backward: consume right rows that are behind this left row:
+          // strictly smaller keys (discard), or same key at ts <= t
+          // (each becomes the new candidate — the LAST one consumed is
+          // the as-of match)
           var advance = rHead != null
           while (advance) {
             val c = keyOrd.compare(rHeadKey, k)

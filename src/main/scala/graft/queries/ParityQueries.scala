@@ -940,6 +940,29 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- FORWARD as-of through the native exec ---------------------
+    "q265_asof_forward" -> ((s, dir) => {
+      // the mirrored direction: for each purchase, the EARLIEST click
+      // at-or-after it — the native exec's forward merge (no candidate
+      // buffering: the lookahead right row is the match) against
+      // DuckDB's ASOF LEFT JOIN with l.ts <= r.ts
+      val ev = rd(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value").cast("decimal(18,4)")).cast("double").as("click_value"))
+      graft.plans.AsofJoinNative.forward(
+        purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_epoch"),
+          r(col("value"), 4).as("purchase_value"),
+          unix_timestamp(col("asof_ts")).as("click_epoch"),
+          r(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+
     // ----- range join (binned interval join, no nested loop) ---------
     "q55_range_join" -> ((s, dir) => {
       val ev = rd(s, dir, "events")
@@ -1464,6 +1487,21 @@ private[graft] object ParityQueries {
         |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
         |  floor(c.click_value * 10000 + 0.5) / 10000 AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+
+    "q265_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_epoch,
+        |  floor(p.value * 10000 + 0.5) / 10000 AS purchase_value,
+        |  CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch,
+        |  floor(c.click_value * 10000 + 0.5) / 10000 AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY event_id""".stripMargin,
 
 

@@ -89,6 +89,42 @@ class NativeAsofSpec extends SparkSpec {
       AsofJoin.backward(l, r, "k", "t", "rt", Seq("v")))
   }
 
+  test("forward direction: earliest at-or-after, same edge discipline") {
+    val out = AsofJoinNative.forward(left, right, "k", "t", "rt", Seq("v"))
+    val byTag = out.collect().map(r => r.getAs[String]("tag") ->
+      (Option(r.getAs[java.sql.Timestamp]("asof_ts")), Option(r.getAs[Any]("v")))).toMap
+    // equal ts matches itself; l0 (09:00) gets the 10:00 row; l2 (12:00)
+    // has nothing after it; null key/ts never match; l4 precedes nothing
+    assert(byTag("l1") == (Some(ts("2024-01-01 10:00:00")), Some(10.0)))
+    assert(byTag("l0") == (Some(ts("2024-01-01 10:00:00")), Some(10.0)))
+    assert(byTag("l2") == (None, None))
+    assert(byTag("l3") == (None, None))
+    assert(byTag("lnullkey") == (None, None))
+    assert(byTag("lnullts") == (None, None))
+    assert(byTag("l4") == (None, None))
+  }
+
+  test("forward agrees with a theta-join reference on randomized data") {
+    val l = spark.range(300).select(
+      concat(lit("u"), ($"id" % 5).cast("string")).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, 0, 0, 0, id * 41 % 5000)")).as("t"),
+      $"id".as("lid"))
+    val r = spark.range(120).select(
+      concat(lit("u"), ($"id" % 8).cast("string")).as("k"),
+      to_timestamp(lit("2024-01-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, 0, 0, 0, id * 97 % 5000)")).as("rt"),
+      ($"id" * 3).cast("double").as("v"))
+      .groupBy("k", "rt").agg(max($"v").as("v"))
+    val nat = AsofJoinNative.forward(l, r, "k", "t", "rt", Seq("v"))
+    val ref = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && $"l.t" <= $"r.rt", "left")
+      .groupBy($"l.k", $"l.t", $"l.lid")
+      .agg(min(struct($"r.rt", $"r.v")).as("m"))
+      .select($"k", $"t", $"lid", $"m.rt".as("asof_ts"), $"m.v".as("v"))
+    assertSameRows(nat, ref)
+  }
+
   test("rejects colliding output names and mismatched types") {
     val bad = left.withColumnRenamed("tag", "asof_ts")
     val e = intercept[IllegalArgumentException] {
