@@ -16,6 +16,23 @@ private[graft] object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ----- bigram-LM fluency scoring (CCNet/KenLM-style filter) ------
+    "q266_lm_fluency" -> ((s, dir) => {
+      // model trained on the doc_id % 3 == 0 reference slice, every doc
+      // scored under it: n_pairs, OOV bigrams, and the integer-scaled
+      // add-one-smoothed transition-probability sum (log-free by
+      // design — BIGINT division end to end, so the fluency signal is
+      // bit-identical across engines and partition orders). The train
+      // and score tokenizations, the smoothing denominator V, and the
+      // floor division are all mirrored exactly in the oracle
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val model = graft.operators.LanguageModel.train(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.operators.LanguageModel.score(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+
     // ----- text stats: token counting (training-data ops) ------------
     "q21_text_stats" -> ((s, dir) => {
       rd(s, dir, "documents").select(
@@ -688,6 +705,41 @@ private[graft] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the full train+score chain re-derived: reference-slice bigram and
+    // prefix counts, vocabulary V, add-one smoothing with BIGINT floor
+    // division (// mirrors Spark's div), left-joined back to every doc
+    "q266_lm_fluency" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |trp AS (SELECT
+        |  unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+        |  unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        |  FROM toks WHERE doc_id % 3 = 0 AND len(w) >= 2),
+        |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM trp GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM
+        |  (SELECT unnest(w) AS t FROM toks WHERE doc_id % 3 = 0)
+        |  WHERE t <> ''),
+        |dp AS (SELECT doc_id,
+        |  unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+        |  unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |j AS (SELECT doc_id, COALESCE(bg.c12, 0) AS c12,
+        |  COALESCE(pre.c1, 0) AS c1
+        |  FROM dp LEFT JOIN bg USING (w1, w2) LEFT JOIN pre USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(SUM((1000000 * (c12 + 1)) // (c1 + (SELECT v FROM voc)))
+        |    AS BIGINT) AS fluency
+        |  FROM j GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(oov, 0) AS oov, COALESCE(fluency, 0) AS fluency
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
 
     "q173_bigram_surprise" ->
       """WITH toks AS (SELECT doc_id,
