@@ -1136,6 +1136,38 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- WARC crawl-archive ingest ---------------------------------
+    "q267_warc_ingest" -> ((s, dir) => {
+      // the Common Crawl container walk: per-doc WARC fixtures whose
+      // record sizes are doc_id arithmetic, in both delivery shapes —
+      // plain concatenation (0) and one gzip member per record (1, the
+      // crawl convention, inflated through the q261 tier); truncated
+      // (2) and non-WARC (3) payloads refuse WHOLESALE (zero rows — a
+      // half-parsed crawl file is corruption, not data). Response
+      // records carry real HTTP messages; body_length proves the
+      // header/body split
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, warcFixturePayload(d)))
+        .toDF("doc_id", "payload")
+      val agg = graft.operators.Warc.records(media)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_response"),
+          sum(col("content_length")).as("sum_content"),
+          sum(coalesce(col("body_length"), lit(0L))).as("sum_body"))
+      rd(s, dir, "documents").select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_records"), lit(0L)).as("n_records"),
+          coalesce(col("n_response"), lit(0L)).as("n_response"),
+          coalesce(col("sum_content"), lit(0L)).as("sum_content"),
+          coalesce(col("sum_body"), lit(0L)).as("sum_body"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- TIFF pixel decode: strip walk + PackBits ------------------
     "q264_tiff_pixels" -> ((s, dir) => {
       // six classes by doc_id: gray LE uncompressed (0), gray BE
@@ -2763,6 +2795,34 @@ private[graft] object PipelineQueries {
 
   )
 
+  /** q267's per-row fixture: a WARC stream whose record ledger is
+    * doc_id arithmetic (see the q267 banner). The HTTP prefix is 45
+    * bytes, so response content lengths are 45 + body. */
+  private[graft] def warcFixturePayload(d: Long): Array[Byte] = {
+    val cls = (d % 4).toInt
+    val n = 2 + (d % 3).toInt
+    def http(body: String): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    val recs = (0 until n).map { i =>
+      val (typ, payload, uri) =
+        if (i == 0) ("warcinfo", "i" * (10 + (d % 20)).toInt, null)
+        else if (i % 2 == 1)
+          ("response", http("b" * (5 + ((d + 3 * i) % 40)).toInt),
+            s"https://ex.org/$d/$i")
+        else ("request", "r" * (4 + ((d + 2 * i) % 9)).toInt,
+          s"https://ex.org/$d/$i")
+      graft.operators.Warc.Record(typ, s"<urn:uuid:$d-$i>",
+        "2024-01-01T00:00:00Z", uri, 0,
+        payload.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    cls match {
+      case 0 => graft.operators.Warc.encode(recs, gzipPerRecord = false)
+      case 1 => graft.operators.Warc.encode(recs, gzipPerRecord = true)
+      case 2 => graft.operators.Warc.encode(recs, gzipPerRecord = false).dropRight(3)
+      case _ => s"no warc $d".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
   /** q264's per-row fixture: a baseline TIFF whose pixels are doc_id
     * arithmetic (see the q264 banner). Pure and serializable. */
   private[graft] def tiffFixturePayload(d: Long): Array[Byte] = {
@@ -3681,6 +3741,35 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // the record ledger re-derived as arithmetic: warcinfo/response/
+    // request sizes per index, the 45-byte HTTP prefix subtracted for
+    // body lengths, refusal classes all-zero
+    "q267_warc_ingest" ->
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+        |    2 + CAST(doc_id % 3 AS INTEGER) AS n FROM documents),
+        |r AS (SELECT b.doc_id,
+        |    CASE WHEN t.i = 0 THEN 'warcinfo'
+        |         WHEN t.i % 2 = 1 THEN 'response' ELSE 'request' END AS typ,
+        |    CASE WHEN t.i = 0 THEN 10 + b.doc_id % 20
+        |         WHEN t.i % 2 = 1 THEN 45 + 5 + (b.doc_id + 3 * t.i) % 40
+        |         ELSE 4 + (b.doc_id + 2 * t.i) % 9 END AS clen,
+        |    CASE WHEN t.i % 2 = 1 THEN 5 + (b.doc_id + 3 * t.i) % 40
+        |         ELSE 0 END AS blen
+        |  FROM base b, range(0, 4) t(i)
+        |  WHERE b.cls IN (0, 1) AND t.i < b.n),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(SUM(CASE WHEN typ = 'response' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_response,
+        |    CAST(SUM(clen) AS BIGINT) AS sum_content,
+        |    CAST(SUM(blen) AS BIGINT) AS sum_body
+        |  FROM r GROUP BY 1)
+        |SELECT b.doc_id, COALESCE(n_records, 0) AS n_records,
+        |  COALESCE(n_response, 0) AS n_response,
+        |  COALESCE(sum_content, 0) AS sum_content,
+        |  COALESCE(sum_body, 0) AS sum_body
+        |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
 
     // channel means re-derived by enumerating every pixel cell as
