@@ -373,6 +373,44 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- record-lake compaction: byte merge + sidecar union --------
+    "q268_record_compaction" -> ((s, dir) => {
+      // documents landed as FIVE small record files (the streaming-sink
+      // accumulation shape), compacted through the marker protocol —
+      // byte-level JSONL concat, zone sidecars unioned from METADATA —
+      // then read back through the source with a pushed range filter
+      // (still pruned, post-compaction, by the merged zones). The
+      // oracle sees only the original table: content must survive the
+      // append/compact/prune chain exactly
+      val out = scratchPath(dir, "q268_records")
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("lang").as("Lang"),
+        col("n_chars").cast("double").as("Chars"))
+      // deterministic rebuild per run: clear, then five slice appends
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      (0 until 5).foreach { b =>
+        docs.filter(col("DocId") % 5 === b).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .mode("append").save()
+      }
+      graft.sources.v2.RecordCompaction.compact(s, out, targetBytes = 1L << 30)
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "DocId:number,Lang:singleLineText,Chars:number")
+        .load()
+        .filter(col("DocId") >= 50 && col("DocId") < 300)
+        .groupBy(col("Lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("Chars").cast("long")).as("sum_chars"),
+          max(col("_record_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
+
     // ----- set ops: EXCEPT/symmetric difference (E1/E3) --------------
     "q11_set_ops" -> ((s, dir) => {
       val a = rd(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
@@ -1203,6 +1241,15 @@ private[graft] object ParityQueries {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MAX('doc' || CAST(doc_id AS VARCHAR)) AS max_id
         |FROM documents WHERE n_chars <= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q268_record_compaction" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
+        |FROM documents
+        |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

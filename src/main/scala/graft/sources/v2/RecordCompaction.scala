@@ -1,0 +1,190 @@
+package graft.sources.v2
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Small-file compaction for `graft-records` directories — the lake
+  * maintenance a streaming sink makes necessary (every epoch lands a
+  * file; a year of 1-minute triggers is half a million files whose
+  * LISTING costs more than their reading). JSONL is concatenable, so
+  * compaction here is pure byte-level merge: no parse, no Spark
+  * shuffle, and — because the zone-map sidecars are unioniable
+  * ([[ZoneMap.merge]]) — the merged file's stats derive from METADATA
+  * alone. File skipping keeps working across compactions with zero
+  * re-scan (coarser, since merged ranges union — the documented
+  * trade: fewer files to open vs tighter zones to skip).
+  *
+  * Crash safety, without a table format: each group commits through a
+  * marker protocol under the single-writer discipline the sinks
+  * already assume:
+  *
+  *  1. the merged file is staged (invisible: `_staging-compact-*`);
+  *  2. a marker `_compact-<id>.json` records {staging, new, olds};
+  *  3. merged sidecar written, staged file renamed in — from here the
+  *     records exist TWICE (the one documented duplication window);
+  *  4. old files + their sidecars deleted; marker deleted.
+  *
+  * [[recover]] replays any marker to completion idempotently: new file
+  * visible → finish the deletes; only staged → finish rename then
+  * deletes; neither → the group never committed and every old is still
+  * in place (deletes happen strictly after the rename), so the marker
+  * and staging are dropped. Raw-scan readers must tolerate the window
+  * in 3-4 (or be quiesced, as for any maintenance job); record-level
+  * consumers ([[graft.Pipeline]] strategies) are pk-idempotent and
+  * unaffected. Runs the grouping through
+  * [[graft.operators.Compaction.planSequential]] — the no-driver-bound
+  * prefix-sum planner — then caps the COLLECTED plan loudly.
+  */
+object RecordCompaction {
+
+  /** Driver-side plan-collection bound (the Stats.scala discipline):
+    * one maintenance call compacts at most this many files. */
+  val MaxFilesPerCall: Int = 100000
+
+  private val MarkerPrefix = "_compact-"
+
+  /** Compact `path`, packing adjacent (by name) data files into groups
+    * of ~`targetBytes`. Returns the number of groups merged (groups of
+    * one file are left untouched). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    recover(path, conf) // finish any crashed run first
+    // orphaned staging (crash before its marker existed) is garbage
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("_staging-compact-"))
+      .foreach(st => fs.delete(st.getPath, true))
+
+    val files = fs.listStatus(dir).filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
+    require(files.length <= MaxFilesPerCall,
+      s"${files.length} files exceed MaxFilesPerCall=$MaxFilesPerCall — " +
+        "compact in batches (the collected plan is driver-resident)")
+    if (files.length < 2) return 0
+
+    import spark.implicits._
+    val plan = graft.operators.Compaction.planSequential(
+      files.toSeq.toDF("name", "bytes"), "name", "bytes", targetBytes)
+      .select("name", "grp").as[(String, Long)].collect()
+    val groups = plan.groupBy(_._2).values
+      .map(_.map(_._1).sorted).filter(_.length >= 2).toSeq.sortBy(_.head)
+    if (groups.isEmpty) return 0
+
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val stagingName = s"_staging-compact-$runId"
+    // executor phase: byte-concat each group into its staged file and
+    // merge the inputs' zones (metadata only); a group with ANY
+    // statless input yields no merged sidecar (advisory contract)
+    val staged: Array[(Int, Option[String])] = spark.sparkContext
+      .parallelize(groups.zipWithIndex.map(_.swap),
+        math.min(groups.length, 64))
+      .map { case (g, names) =>
+        val c = RecordSource.confFrom(confProps)
+        val d = new Path(path)
+        val f = d.getFileSystem(c)
+        val stagedFile = new Path(new Path(path, stagingName), s"g$g.jsonl")
+        f.mkdirs(stagedFile.getParent)
+        val out = f.create(stagedFile, true)
+        val buf = new Array[Byte](1 << 20)
+        names.foreach { name =>
+          val in = f.open(new Path(d, name))
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+        }
+        out.close()
+        val zones = names.map(n => ZoneMap.load(f, new Path(d, n).toString))
+        val merged =
+          if (zones.forall(_.isDefined))
+            Some(ZoneMap.render(ZoneMap.merge(zones.map(_.get))))
+          else None
+        (g, merged)
+      }.collect()
+    val mergedZones = staged.toMap
+
+    // driver phase: marker -> sidecar -> rename -> deletes, per group
+    groups.zipWithIndex.foreach { case (names, g) =>
+      val newName = s"compact-$runId-g$g.jsonl"
+      val stagedFile = new Path(new Path(path, stagingName), s"g$g.jsonl")
+      writeMarker(fs, dir, s"$runId-g$g", Marker(
+        staging = stagedFile.toString, newFile = newName, olds = names))
+      mergedZones(g).foreach(json => ZoneMap.write(fs, dir, newName, json))
+      if (!fs.rename(stagedFile, new Path(dir, newName)))
+        throw new java.io.IOException(
+          s"compaction rename failed: $stagedFile -> $newName")
+      names.foreach { n =>
+        fs.delete(ZoneMap.sidecar(dir, n), false)
+        fs.delete(new Path(dir, n), false)
+      }
+      fs.delete(markerPath(dir, s"$runId-g$g"), false)
+    }
+    fs.delete(new Path(path, stagingName), true)
+    groups.length
+  }
+
+  private case class Marker(staging: String, newFile: String, olds: Seq[String])
+
+  private def markerPath(dir: Path, id: String): Path =
+    new Path(dir, s"$MarkerPrefix$id.json")
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      id: String, m: Marker): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("staging", m.staging)
+    root.put("new", m.newFile)
+    val arr = root.putArray("olds")
+    m.olds.foreach(arr.add)
+    val out = fs.create(markerPath(dir, id), true)
+    out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Replay pending compaction markers to completion (idempotent).
+    * Returns the number of markers resolved. */
+  def recover(path: String, conf: org.apache.hadoop.conf.Configuration): Int = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0
+    val markers = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith(MarkerPrefix))
+    markers.foreach { mp =>
+      val in = fs.open(mp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
+      val staged = new Path(root.get("staging").asText())
+      val newFile = new Path(dir, root.get("new").asText())
+      val olds = root.get("olds").elements().asScala.map(_.asText()).toSeq
+      if (!fs.exists(newFile) && fs.exists(staged)) {
+        // crashed between marker and rename: finish the rename (the
+        // merged sidecar may or may not have landed — advisory)
+        if (!fs.rename(staged, newFile))
+          throw new java.io.IOException(s"recovery rename failed: $staged")
+      }
+      if (fs.exists(newFile)) {
+        olds.foreach { o =>
+          fs.delete(ZoneMap.sidecar(dir, o), false)
+          fs.delete(new Path(dir, o), false)
+        }
+      } else {
+        // group never committed: every old is still in place (deletes
+        // run strictly after the rename) — drop the leftovers
+        fs.delete(staged, false)
+        fs.delete(ZoneMap.sidecar(dir, root.get("new").asText()), false)
+      }
+      fs.delete(mp, false)
+    }
+    markers.length
+  }
+}

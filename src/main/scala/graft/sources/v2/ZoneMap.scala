@@ -44,7 +44,8 @@ private[v2] object ZoneMap {
   /** Per-field stats. `min`/`max` are raw comparable values (String /
     * Double / Boolean / Long epoch-micros / Int epoch-days) or null when
     * untracked (array fields) or all-null. */
-  final case class FieldStats(min: Any, max: Any, nulls: Long)
+  final case class FieldStats(min: Any, max: Any, nulls: Long,
+      tag: String = "other")
 
   /** One file's zone. A field ABSENT from `fields` was not in the write
     * schema, so every record lacks it — reads as all-NULL (the writer
@@ -141,7 +142,8 @@ private[v2] object ZoneMap {
           case _ => null
         }
       }
-      fields(key) = FieldStats(rawOf("min"), rawOf("max"), n.get("nulls").asLong())
+      fields(key) = FieldStats(rawOf("min"), rawOf("max"),
+        n.get("nulls").asLong(), n.get("t").asText())
     }
     FileZone(root.get("rows").asLong(), fields.toMap)
   }
@@ -177,6 +179,59 @@ private[v2] object ZoneMap {
         } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Union of file zones — the compaction path's metadata-only stats
+    * derivation: a concatenation of record files has the summed rows /
+    * nulls and the elementwise min/max of its inputs, with a field
+    * ABSENT from one input counting as all-null there (the same rule
+    * [[FileZone.stats]] applies at read time). No data re-scan. */
+  def merge(zones: Seq[FileZone]): FileZone = {
+    val allFields = zones.flatMap(_.fields.keys).distinct
+    val rows = zones.map(_.rows).sum
+    val fields = allFields.map { name =>
+      val per = zones.map(z => (z.stats(name), z.rows))
+      val tag = per.collectFirst {
+        case (st, _) if st.tag != "other" => st.tag
+      }.getOrElse("other")
+      val mins = per.map(_._1.min).filter(_ != null)
+      val maxs = per.map(_._1.max).filter(_ != null)
+      val nulls = per.map(_._1.nulls).sum
+      val mn = if (mins.isEmpty) null else mins.reduce((a, b) =>
+        if (RecordFilterEval.nullAwareCompare(a, b, descending = false,
+          nullsFirst = false) <= 0) a else b)
+      val mx = if (maxs.isEmpty) null else maxs.reduce((a, b) =>
+        if (RecordFilterEval.nullAwareCompare(a, b, descending = false,
+          nullsFirst = false) >= 0) a else b)
+      name -> FieldStats(mn, mx, nulls, tag)
+    }.toMap
+    FileZone(rows, fields)
+  }
+
+  /** Serialize a (merged) zone in the sidecar format [[parse]] reads. */
+  def render(zone: FileZone): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("rows", zone.rows)
+    val fs = root.putObject("fields")
+    zone.fields.toSeq.sortBy(_._1).foreach { case (name, st) =>
+      val n = fs.putObject(name)
+      n.put("nulls", st.nulls)
+      n.put("t", st.tag)
+      def putVal(key: String, v: Any): Unit = v match {
+        case null => ()
+        case s: String => n.put(key, s)
+        case d: java.lang.Double => n.put(key, d.doubleValue())
+        case b: java.lang.Boolean => n.put(key, b.booleanValue())
+        case l: java.lang.Long => n.put(key, l.longValue())
+        case x: java.lang.Integer => n.put(key, x.intValue())
+        case other => throw new IllegalStateException(
+          s"unrenderable zone value: ${other.getClass}") // defensive
+      }
+      putVal("min", st.min)
+      putVal("max", st.max)
+    }
+    mapper.writeValueAsString(root)
   }
 
   // ---------------------------------------------------------------- prune
