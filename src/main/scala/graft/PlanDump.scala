@@ -230,7 +230,29 @@ object PlanDump {
           "span — no per-path re-parse (q102's get_json_object re-reads " +
           "the JSON text per path), and the aggregation above it is " +
           "partial before its single exchange.",
-        SparkEntry.queries("q215_variant_shred")(spark, sfDir)))
+        SparkEntry.queries("q215_variant_shred")(spark, sfDir)),
+      ("q260_asof_native — whole-operator extension stack",
+        "AsofJoin plans as one co-partitioned merge: a hash exchange + sort " +
+          "per side (planted by EnsureRequirements from the exec's declared " +
+          "distribution/ordering), then the single AsofJoin node — no union, " +
+          "no window, O(1) state per task. Compare q54: the composed form " +
+          "pays the same exchange plus a union and a running-last window.",
+        SparkEntry.queries("q260_asof_native")(spark, sfDir)),
+      ("q263_bitmap_count_distinct — optimizer-rule rewrite",
+        "Both integral COUNT(DISTINCT)s appear as bitmap_distinct inside ONE " +
+          "ObjectHashAggregate pass (partial_bitmap_distinct below the single " +
+          "exchange). Without the rule this plan is an Expand (every row " +
+          "duplicated per aggregate group) and a doubled keyed shuffle; the " +
+          "string distinct (scope guard) still plans Spark's way, composing " +
+          "in the same Aggregate.",
+        SparkEntry.queries("q263_bitmap_count_distinct")(spark, sfDir)),
+      ("q259_zonemap_pruned_scan — DSv2 file skipping",
+        "The RecordScan carries its PushedFilters; zone-map pruning is a " +
+          "PLANNING-time effect (planInputPartitions consults the sidecars), " +
+          "so the evidence is operational: ZoneMapSpec counts files opened " +
+          "(1 of 4 for a range probe, 0 for an impossible one) and the " +
+          "end-to-end DPP join opens 2 of 4 via the runtime In filter.",
+        SparkEntry.queries("q259_zonemap_pruned_scan")(spark, sfDir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
