@@ -54,6 +54,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style dimension-truncation audit: for each prefix
+    * length `m`, the top-k neighbor set under cosine over only the
+    * FIRST m components (renormalization is implicit in cosine),
+    * intersected with the full-dimension top-k — the measurement
+    * behind "serve the first m dims of the embedding": how much of
+    * the true neighborhood each truncation tier retains, per probe.
+    * Deterministic ties (cos desc, id asc) on both sides.
+    *
+    * Audit-scale by design: |dims| driver scalars (one count per
+    * tier), each from a top-k plan the optimizer runs as
+    * TakeOrderedAndProject — no global sort, no all-pairs. */
+  def truncationRecall(embeddings: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Float], k: Int, dims: Seq[Int]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    val fullIds = topK(embeddings, idCol, vecCol, probe, k).select(idCol)
+    dims.map { m =>
+      val trunc = embeddings.select(col(idCol),
+        slice(col(vecCol), 1, m).as(vecCol))
+      val ids = topK(trunc, idCol, vecCol, probe.take(m), k).select(idCol)
+      val overlap = ids.join(fullIds, Seq(idCol), "left_semi").count()
+      (m, k, overlap)
+    }.toDF("m", "k", "n_overlap")
+  }
+
   /** FEATURE-HASHED bag-of-words embedding — dense-ish document vectors
     * with NO model dependency: each token hashes to one of `dims`
     * buckets via the portable 60-bit md5 prefix, contributing ±1 (the

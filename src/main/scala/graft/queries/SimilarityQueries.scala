@@ -23,6 +23,21 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- Matryoshka truncation recall curve ------------------------
+    "q269_truncation_recall" -> ((s, dir) => {
+      // how much of the true top-20 neighborhood each embedding prefix
+      // tier (8/16/32/64 of 64 dims) retains for the standard probe —
+      // the audit behind serving truncated (MRL-style) embeddings.
+      // Cosine renormalizes implicitly, so truncation is a slice;
+      // both engines fold the dot products in index order and break
+      // ties (cos desc, vec_id)
+      graft.operators.Similarity.truncationRecall(
+        rd(s, dir, "embeddings"), "vec_id", "embedding",
+        probeVec(s, dir), k = 20, dims = Seq(8, 16, 32, 64))
+        .orderBy("m")
+    }),
+
+
     // ----- cosine threshold scan -------------------------------------
     "q28_cosine_threshold" -> ((s, dir) => {
       Similarity.aboveThreshold(rd(s, dir, "embeddings"), "vec_id", "embedding",
@@ -363,6 +378,30 @@ private[graft] object SimilarityQueries {
       |FROM c ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // per tier m: top-20 under prefix-m cosine, intersected with the
+    // m=64 (full) set — the same index-order double fold as q27
+    "q269_truncation_recall" ->
+      """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
+        |ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+        |sc AS (SELECT ms.m, vec_id,
+        |  list_sum([CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |            FOR i IN range(1, ms.m + 1)]) /
+        |  (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                  FOR i IN range(1, ms.m + 1)])) *
+        |   sqrt(list_sum([CAST(pv[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)
+        |                  FOR i IN range(1, ms.m + 1)]))) AS cos
+        |  FROM embeddings, p, ms),
+        |top AS (SELECT m, vec_id,
+        |  row_number() OVER (PARTITION BY m ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc),
+        |sel AS (SELECT m, vec_id FROM top WHERE rn <= 20),
+        |fullset AS (SELECT vec_id FROM sel WHERE m = 64)
+        |SELECT CAST(s.m AS INTEGER) AS m, CAST(20 AS INTEGER) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM sel s JOIN fullset f USING (vec_id)
+        |GROUP BY s.m ORDER BY m""".stripMargin,
+
 
     "q27_cosine_topk" ->
       """WITH p AS (SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1),
