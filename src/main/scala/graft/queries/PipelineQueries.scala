@@ -1136,6 +1136,46 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- robots.txt admission (RFC 9309) ---------------------------
+    "q270_robots_admission" -> ((s, dir) => {
+      // 20 synthetic domains, robots bodies from domain arithmetic
+      // (wildcard + $-anchored rule on every 4th domain, NO robots on
+      // every 5th), six URL classes per doc exercising prefix block,
+      // longer-Allow override, no-match, anchored match and anchored
+      // MISS (query string defeats $), and a near-miss block prefix.
+      // The oracle predicts every verdict and matched rule from the
+      // same arithmetic; the engine must get there through real
+      // parsing, group selection, and longest-match precedence
+      import s.implicits._
+      val robots = s.range(20).select(
+        concat(lit("d"), col("id")).as("domain"),
+        when(col("id") % 5 === 0, lit(null).cast("string")).otherwise(concat(
+          lit("User-agent: *\nDisallow: /blk"), col("id") % 3,
+          lit("/\nAllow: /blk"), col("id") % 3, lit("/open"),
+          when(col("id") % 4 === 0, lit("\nDisallow: /*.tmp$"))
+            .otherwise(lit("")))).as("robots_txt"))
+      val urls = rd(s, dir, "documents").select(col("doc_id"))
+        .withColumn("dm", col("doc_id") % 20)
+        .select(col("doc_id"), concat(lit("d"), col("dm")).as("domain"),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("/blk"), col("dm") % 3, lit("/page"), col("doc_id")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("/blk"), col("dm") % 3, lit("/open/page"), col("doc_id")))
+          .when(col("doc_id") % 6 === 2, concat(lit("/pub/page"), col("doc_id")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("/x/file"), col("doc_id"), lit(".tmp")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("/x/file"), col("doc_id"), lit(".tmp?x=1")))
+          .otherwise(concat(lit("/blk"), (col("dm") + 1) % 3, lit("/p")))
+          .as("path"))
+      graft.operators.Robots.admit(urls, robots, "domain", "path",
+          "robots_txt", agent = "graftbot/1.0")
+        .select(col("doc_id"), col("domain"), col("path"),
+          col("allowed"), col("matched_rule"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- WARC crawl-archive ingest ---------------------------------
     "q267_warc_ingest" -> ((s, dir) => {
       // the Common Crawl container walk: per-doc WARC fixtures whose
@@ -3741,6 +3781,32 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // every verdict and matched rule predicted from the same domain/
+    // class arithmetic the fixture used; robots-less domains (dm%5=0)
+    // allow everything with NULL rules
+    "q270_robots_admission" ->
+      """WITH u AS (SELECT doc_id, doc_id % 20 AS dm,
+        |    CAST(doc_id % 6 AS INTEGER) AS cls FROM documents)
+        |SELECT doc_id, 'd' || CAST(dm AS VARCHAR) AS domain,
+        |  CASE cls
+        |    WHEN 0 THEN '/blk' || CAST(dm % 3 AS VARCHAR) || '/page' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/blk' || CAST(dm % 3 AS VARCHAR) || '/open/page' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/pub/page' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN '/x/file' || CAST(doc_id AS VARCHAR) || '.tmp'
+        |    WHEN 4 THEN '/x/file' || CAST(doc_id AS VARCHAR) || '.tmp?x=1'
+        |    ELSE '/blk' || CAST((dm + 1) % 3 AS VARCHAR) || '/p' END AS path,
+        |  CASE WHEN dm % 5 = 0 THEN TRUE
+        |       WHEN cls = 0 THEN FALSE
+        |       WHEN cls = 3 THEN dm % 4 <> 0
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN dm % 5 = 0 THEN NULL
+        |       WHEN cls = 0 THEN '/blk' || CAST(dm % 3 AS VARCHAR) || '/'
+        |       WHEN cls = 1 THEN '/blk' || CAST(dm % 3 AS VARCHAR) || '/open'
+        |       WHEN cls = 3 AND dm % 4 = 0 THEN '/*.tmp$'
+        |       ELSE NULL END AS matched_rule
+        |FROM u ORDER BY doc_id""".stripMargin,
 
 
     // the record ledger re-derived as arithmetic: warcinfo/response/
