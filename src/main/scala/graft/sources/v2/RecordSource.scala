@@ -400,9 +400,15 @@ private[graft] object RecordStreamOffset {
 /** Micro-batch tail of a record directory — the continuous-ingest face of
   * the same source (§2.9 meets §2.1): each trigger delivers the files
   * that appeared since the last committed offset, one input partition per
-  * file, through the SAME pruned/filtered reader the batch path uses (a
-  * streaming `select("Name").where(...)` parses only `Name` of matching
-  * records, exactly like the batch scan). Exactly-once delivery comes
+  * file, through the SAME reader implementation the batch path uses.
+  * HONESTY NOTE on pushdown: as of Spark 4.1, the engine does NOT run
+  * V2ScanRelationPushDown for streaming relations — the micro-batch scan
+  * is built with the full schema and no pushed filters (a streaming
+  * `.where(...)` is applied by Spark ABOVE the scan; ZoneMapSpec pins
+  * this). The filter/zone plumbing below therefore activates only for
+  * the batch path today; it is kept wired so the streaming tail prunes
+  * identically the moment Spark (or an explicit filter API) hands
+  * filters to streaming scans. Exactly-once delivery comes
   * from the offset contract: Spark checkpoints the end offset per batch
   * and replays `planInputPartitions(start, end)` deterministically on
   * recovery, and the write path's staged commit guarantees a file is
