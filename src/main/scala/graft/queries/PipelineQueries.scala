@@ -1136,6 +1136,41 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- encoding triage + mojibake repair -------------------------
+    "q271_encoding_repair" -> ((s, dir) => {
+      // six byte classes per doc: clean UTF-8 (0), UTF-8 with a real
+      // multibyte char (1), Latin-1 bytes (2), DOUBLE-ENCODED UTF-8 —
+      // the "Ã©" corruption, must repair to "é" (3), BOM-prefixed (4),
+      // invalid trailing bytes -> total Latin-1 fallback (5). The md5
+      // of the FINAL text is gated, so the validator, the fallback
+      // decode, the BOM strip, and the repair must all land exactly
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (d, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val p: Array[Byte] = (d % 6).toInt match {
+            case 0 => tb
+            case 1 => tb ++ Array(0xC3.toByte, 0xA9.toByte) // é
+            case 2 => tb :+ 0xE9.toByte // Latin-1 é
+            case 3 => tb ++ Array(0xC3.toByte, 0x83.toByte, 0xC2.toByte,
+              0xA9.toByte) // UTF-8 of "Ã©": é double-encoded
+            case 4 => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ tb
+            case _ => tb ++ Array(0xFF.toByte, 0xFE.toByte)
+          }
+          (d, p)
+        }.toDF("doc_id", "payload")
+      graft.operators.Encoding.decodedText(media)
+        .select(col("doc_id"),
+          col("ctext.encoding").as("encoding"),
+          col("ctext.bom").as("bom"),
+          col("ctext.repaired").as("repaired"),
+          col("ctext.n_chars").as("n_chars"),
+          md5(expr("encode(ctext.text, 'utf-8')")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+
     // ----- robots.txt admission (RFC 9309) ---------------------------
     "q270_robots_admission" -> ((s, dir) => {
       // 20 synthetic domains, robots bodies from domain arithmetic
@@ -3781,6 +3816,25 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // the final text's md5 predicted per class: clean/multibyte/BOM keep
+    // the base text (+é for 1/2/3 after fallback or repair), the invalid
+    // class appends chr(255)chr(254) under the Latin-1 fallback
+    "q271_encoding_repair" ->
+      """WITH u AS (SELECT doc_id, text, CAST(doc_id % 6 AS INTEGER) AS cls
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cls IN (2, 5) THEN 'latin-1' ELSE 'utf-8' END AS encoding,
+        |  cls = 4 AS bom,
+        |  cls = 3 AS repaired,
+        |  CAST(CASE WHEN cls IN (0, 4) THEN length(text)
+        |       WHEN cls = 5 THEN length(text) + 2
+        |       ELSE length(text) + 1 END AS BIGINT) AS n_chars,
+        |  CASE WHEN cls IN (0, 4) THEN md5(text)
+        |       WHEN cls = 5 THEN md5(text || chr(255) || chr(254))
+        |       ELSE md5(text || chr(233)) END AS text_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
 
 
     // every verdict and matched rule predicted from the same domain/
