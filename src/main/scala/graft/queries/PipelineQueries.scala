@@ -1136,6 +1136,53 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // ----- crawl-pipeline capstone: WARC → robots → LM score ---------
+    "q272_crawl_pipeline" -> ((s, dir) => {
+      // the composed crawl chain, every stage a proven operator: WARC
+      // container walk (gzip-member per odd doc; every 7th truncated →
+      // wholesale refusal) → HTTP body extraction → URL parse →
+      // robots.txt admission (every domain blocks /blk/ except every
+      // 5th, which has no robots) → bigram-LM fluency scored under a
+      // model trained on the admitted d%3==1 slice → per-language
+      // rollup. Bodies carry the real documents.text, so the oracle
+      // re-derives the survivor set as arithmetic and reuses the q266
+      // LM formulation over it — one hash mismatch anywhere in the
+      // five-stage chain fails the gate
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (d, t) => (d, warcCrawlPayload(d, t)) }
+        .toDF("doc_id", "payload")
+      val resp = graft.operators.Warc.records(media)
+        .filter(col("warc_type") === "response")
+        .withColumn("dec", expr("decode(payload, 'UTF-8')"))
+        .withColumn("body",
+          expr("substring(dec, instr(dec, '\r\n\r\n') + 4)"))
+        .withColumn("domain", expr("parse_url(target_uri, 'HOST')"))
+        .withColumn("upath", expr("parse_url(target_uri, 'PATH')"))
+        .select("doc_id", "domain", "upath", "body")
+      val robots = s.range(20).select(
+        concat(lit("d"), col("id"), lit(".ex.org")).as("domain"),
+        when(col("id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(lit("User-agent: *\nDisallow: /blk/")).as("robots_txt"))
+      val admitted = graft.operators.Robots.admit(resp, robots,
+          "domain", "upath", "robots_txt", agent = "graftbot/1.0")
+        .filter(col("allowed"))
+        .select("doc_id", "body")
+      val model = graft.operators.LanguageModel.train(
+        admitted.filter(col("doc_id") % 3 === 1), "doc_id", "body")
+      val scored = graft.operators.LanguageModel.score(
+        admitted, "doc_id", "body", model)
+      scored.join(rd(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pairs")).as("sum_pairs"),
+          sum(col("oov")).as("sum_oov"),
+          sum(col("fluency")).as("sum_fluency"))
+        .orderBy("lang")
+    }),
+
+
     // ----- encoding triage + mojibake repair -------------------------
     "q271_encoding_repair" -> ((s, dir) => {
       // six byte classes per doc: clean UTF-8 (0), UTF-8 with a real
@@ -2870,6 +2917,26 @@ private[graft] object PipelineQueries {
 
   )
 
+  /** q272's per-row fixture: a two-record WARC stream whose response
+    * body IS the document's text, with delivery/damage/admission
+    * classes from doc_id arithmetic (see the q272 banner). Survivor
+    * predicate: d%7 != 0 (not truncated) AND (d%3 != 0 OR d%5 == 0)
+    * (path not /blk/, or a robots-less domain — (d%20)%5 == d%5). */
+  private[graft] def warcCrawlPayload(d: Long, text: String): Array[Byte] = {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + text
+    val dm = d % 20
+    val path = if (d % 3 == 0) s"/blk/p$d" else s"/ok/p$d"
+    val recs = Seq(
+      graft.operators.Warc.Record("warcinfo", s"<urn:uuid:$d-0>",
+        "2024-01-01T00:00:00Z", null, 0,
+        s"crawl $d".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      graft.operators.Warc.Record("response", s"<urn:uuid:$d-1>",
+        "2024-01-01T00:00:01Z", s"https://d$dm.ex.org$path", 0,
+        http.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val full = graft.operators.Warc.encode(recs, gzipPerRecord = d % 2 == 1)
+    if (d % 7 == 0) full.take(40) else full
+  }
+
   /** q267's per-row fixture: a WARC stream whose record ledger is
     * doc_id arithmetic (see the q267 banner). The HTTP prefix is 45
     * bytes, so response content lengths are 45 + body. */
@@ -3816,6 +3883,49 @@ private[graft] object PipelineQueries {
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS width,
         |  CASE WHEN bad THEN NULL ELSE CAST(2 AS INTEGER) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // the survivor set re-derived as arithmetic (truncation d%7=0;
+    // robots block d%3=0 paths except robots-less d%5=0 domains —
+    // (d%20)%5 == d%5), then the q266 LM formulation over it: the
+    // engine must reach the same rollup through the real WARC walk,
+    // HTTP split, URL parse, robots evaluation, and model scoring
+    "q272_crawl_pipeline" ->
+      """WITH surv AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id % 7 <> 0 AND (doc_id % 3 <> 0 OR doc_id % 5 = 0)),
+        |toks AS (SELECT doc_id, lang,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM surv),
+        |trp AS (SELECT
+        |  unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+        |  unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        |  FROM toks WHERE doc_id % 3 = 1 AND len(w) >= 2),
+        |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM trp GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM
+        |  (SELECT unnest(w) AS t FROM toks WHERE doc_id % 3 = 1)
+        |  WHERE t <> ''),
+        |dp AS (SELECT doc_id,
+        |  unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+        |  unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |j AS (SELECT doc_id, COALESCE(bg.c12, 0) AS c12,
+        |  COALESCE(pre.c1, 0) AS c1
+        |  FROM dp LEFT JOIN bg USING (w1, w2) LEFT JOIN pre USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(SUM((1000000 * (c12 + 1)) // (c1 + (SELECT v FROM voc)))
+        |    AS BIGINT) AS fluency
+        |  FROM j GROUP BY 1),
+        |per AS (SELECT s.doc_id, s.lang, COALESCE(n_pairs, 0) AS np,
+        |  COALESCE(oov, 0) AS ov, COALESCE(fluency, 0) AS fl
+        |  FROM surv s LEFT JOIN sc USING (doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(np) AS BIGINT) AS sum_pairs,
+        |  CAST(SUM(ov) AS BIGINT) AS sum_oov,
+        |  CAST(SUM(fl) AS BIGINT) AS sum_fluency
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     // the final text's md5 predicted per class: clean/multibyte/BOM keep
