@@ -411,6 +411,45 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- z-order layout × zone-map pruning (2-D file skipping) -----
+    "q273_zorder_zonemap_scan" -> ((s, dir) => {
+      // documents Z-ORDER-clustered on (DocId, Chars) into 8 record
+      // files: Morton interleaving makes every file's zone tight in
+      // BOTH dimensions at once, so the sidecars prune a box predicate
+      // on either column — the lakehouse OPTIMIZE-ZORDER story running
+      // on this engine's own layout + stats stack (ZoneMapSpec pins the
+      // open counts; here the oracle pins that the clustered write,
+      // sidecars, and pruned read lose nothing). Quantization bounds
+      // come from two driver scalars — yesterday's observed max at
+      // 100 TB, exact here
+      val out = scratchPath(dir, "q273_records")
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("n_chars").cast("double").as("Chars"))
+      val bounds = docs.agg(max(col("DocId")), max(col("Chars"))).head()
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.operators.ZOrder.cluster(docs,
+          Seq(("DocId", 0.0, bounds.getDouble(0) + 1.0),
+            ("Chars", 0.0, bounds.getDouble(1) + 1.0)),
+          bitsPerDim = 8, nFiles = 8)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "DocId:number,Chars:number")
+        .load()
+        .filter(col("DocId") >= 100 && col("DocId") < 220 &&
+          col("Chars") >= 100 && col("Chars") < 300)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("Chars").cast("long")).as("sum_chars"),
+          min(col("_record_id")).as("min_id"),
+          max(col("_record_id")).as("max_id"))
+    }),
+
+
     // ----- set ops: EXCEPT/symmetric difference (E1/E3) --------------
     "q11_set_ops" -> ((s, dir) => {
       val a = rd(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
@@ -1242,6 +1281,16 @@ private[graft] object ParityQueries {
         |  MAX('doc' || CAST(doc_id AS VARCHAR)) AS max_id
         |FROM documents WHERE n_chars <= 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q273_zorder_zonemap_scan" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS min_id,
+        |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
+        |FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 220
+        |  AND n_chars >= 100 AND n_chars < 300""".stripMargin,
 
 
     "q268_record_compaction" ->

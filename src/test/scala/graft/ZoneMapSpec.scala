@@ -222,6 +222,31 @@ class ZoneMapSpec extends graft.SparkSpec {
     assert(opened == 4, s"streaming scan expected to open all 4, got $opened")
   }
 
+  test("z-ordered layout prunes on EITHER clustered dimension") {
+    val dir = Files.createTempDirectory("graft_zmz").toString + "/t"
+    val rows = spark.range(1024).select(
+      concat(lit("r"), lpad($"id".cast("string"), 4, "0")).as("_record_id"),
+      ($"id" % 32).cast("double").as("A"), // uncorrelated dims
+      (($"id" * 7) % 32).cast("double").as("B"))
+    graft.operators.ZOrder.cluster(rows,
+        Seq(("A", 0.0, 32.0), ("B", 0.0, 32.0)), bitsPerDim = 5, nFiles = 16)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    assert(dataFiles(dir).size == 16)
+    def read() = spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", "A:number,B:number").load()
+    // a lexicographic sort on A would leave B spread over every file —
+    // the z-layout keeps BOTH dims' zones tight enough to skip
+    val (nA, oA) = opensDuring { read().filter($"A" >= 24).count() }
+    val (nB, oB) = opensDuring { read().filter($"B" >= 24).count() }
+    val (nBox, oBox) = opensDuring {
+      read().filter($"A" >= 24 && $"B" >= 24).count()
+    }
+    assert(nA == 256L && nB == 256L && nBox == 64L)
+    assert(oA < 16 && oB < 16, s"either-dim pruning: A=$oA B=$oB of 16")
+    assert(oBox <= math.min(oA, oB), s"box probe: $oBox vs A=$oA B=$oB")
+    assert(oBox <= 6, s"2-D box should prune hard, opened $oBox of 16")
+  }
+
   test("conservative evaluator semantics (unit)") {
     val z = ZoneMap.FileZone(10, Map(
       "s" -> ZoneMap.FieldStats("b", "m", 2),
