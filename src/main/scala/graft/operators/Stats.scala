@@ -29,6 +29,41 @@ object Stats {
       floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) * lit(bins)),
       lit(0.0)), lit((bins - 1).toDouble)).cast("long")
 
+  /** EXACT per-group weighted quantile — the order statistic under
+    * integer row weights (sampling multiplicities, token counts,
+    * replication factors): the smallest value whose cumulative weight
+    * reaches `qNum/qDen` of the group's total. Fully declarative and
+    * engine-exact: ONE hash exchange (the window's partitioning, reused
+    * by the final aggregate), a cumulative-sum window ordered by value,
+    * and an integer-arithmetic crossing test `cumw · qDen >= qNum · W` —
+    * no doubles, no sort beyond the window's own, no driver state, no
+    * group-count cap (contrast [[exactQuantilesPerGroup]], whose
+    * histogram refinement is the unweighted wide-range path). Ties on
+    * the value are safe: every row of a tied run carries the same
+    * value, so whichever tie crosses first answers identically.
+    * NULL keys/values and non-positive weights are excluded (documented
+    * contract — a non-positive multiplicity is data damage). */
+  def weightedQuantilePerGroup(df: DataFrame, keyCol: String,
+      valueCol: String, weightCol: String, qNum: Long, qDen: Long): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen must lie in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).cast("long") > 0)
+      .select(col(keyCol), col(valueCol).cast("double").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .withColumn("_cumw", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .filter(col("_cumw") * lit(qDen) >= lit(qNum) * col("_tot"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_v")).as("value"),
+        max(col("_tot")).as("total_weight"))
+  }
+
   /** Approximate quantiles per group; `accuracy` trades memory for error
     * (err <= 1/accuracy of the rank). */
   def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,

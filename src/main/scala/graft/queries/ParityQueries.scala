@@ -411,6 +411,25 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- exact weighted quantiles (declarative, no driver state) ---
+    "q274_weighted_quantile" -> ((s, dir) => {
+      // per-language weighted median and p90 of document length under
+      // integer multiplicities: the cumulative-weight window crossing,
+      // integer arithmetic end to end (cumw·den >= num·W), one hash
+      // exchange per quantile — the weighted ORDER STATISTIC the
+      // histogram-refinement path doesn't cover, with no group cap
+      val d = rd(s, dir, "documents").select(col("lang"),
+        col("n_chars"), (col("doc_id") % 7 + 1).as("w"))
+      def q(num: Long, den: Long, tag: String) =
+        graft.operators.Stats.weightedQuantilePerGroup(
+          d, "lang", "n_chars", "w", num, den)
+          .withColumn("q", lit(tag))
+      q(1, 2, "p50").unionByName(q(9, 10, "p90"))
+        .select(col("lang"), col("q"), col("value"), col("total_weight"))
+        .orderBy("lang", "q")
+    }),
+
+
     // ----- z-order layout × zone-map pruning (2-D file skipping) -----
     "q273_zorder_zonemap_scan" -> ((s, dir) => {
       // documents Z-ORDER-clustered on (DocId, Chars) into 8 record
@@ -1281,6 +1300,26 @@ private[graft] object ParityQueries {
         |  MAX('doc' || CAST(doc_id AS VARCHAR)) AS max_id
         |FROM documents WHERE n_chars <= 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q274_weighted_quantile" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    doc_id % 7 + 1 AS w FROM documents),
+        |c AS (SELECT lang, v, w,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY lang) AS tot
+        |  FROM d),
+        |pick AS (
+        |  SELECT lang, 'p50' AS q, MIN(v) AS value,
+        |    CAST(MAX(tot) AS BIGINT) AS total_weight
+        |  FROM c WHERE cumw * 2 >= 1 * tot GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, 'p90' AS q, MIN(v) AS value,
+        |    CAST(MAX(tot) AS BIGINT) AS total_weight
+        |  FROM c WHERE cumw * 10 >= 9 * tot GROUP BY lang)
+        |SELECT lang, q, value, total_weight
+        |FROM pick ORDER BY lang, q""".stripMargin,
 
 
     "q273_zorder_zonemap_scan" ->

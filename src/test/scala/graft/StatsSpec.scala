@@ -365,4 +365,36 @@ class StatsSpec extends SparkSpec {
       Stats.exactQuantilesPerGroup(df, "k", "v", 0.5, maxGroups = 2)
     }
   }
+
+  test("weightedQuantilePerGroup: crossing semantics, ties, exclusions") {
+    import spark.implicits._
+    // group a: values 1..4 with weights 1,1,6,2 (W=10): p50 crosses at
+    // cumw 8 -> value 3; p90 needs cumw >= 9 -> value 4
+    // group b: all weights 1 -> weighted == unweighted order statistic
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 6L), ("a", 4.0, 2L),
+      ("b", 10.0, 1L), ("b", 20.0, 1L), ("b", 30.0, 1L),
+      ("a", 99.0, 0L), ("a", 98.0, -5L), // non-positive: excluded
+      (null, 1.0, 1L), ("a", Double.NaN, 1L) // NaN sorts greatest, w=1
+    ).toDF("k", "v", "w")
+      .filter(!isnan($"v") || $"v".isNotNull) // keep as-is; NaN row stays
+    def get(num: Long, den: Long) = Stats
+      .weightedQuantilePerGroup(df, "k", "v", "w", num, den)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val p50 = get(1, 2)
+    assert(p50("a") == ((3.0, 11L))) // W=10+NaN's 1
+    assert(p50("b") == ((20.0, 3L)))
+    val p90 = get(9, 10)
+    assert(p90("a") == ((4.0, 11L)))
+    assert(p90("b") == ((30.0, 3L)))
+    // q=1 lands on the greatest value (NaN, which sorts last)
+    val p100 = get(1, 1)
+    assert(p100("b") == ((30.0, 3L)))
+    assert(p100("a")._1.isNaN)
+    // ties: duplicated values answer identically however ties order
+    val ties = Seq(("t", 5.0, 3L), ("t", 5.0, 3L), ("t", 7.0, 4L)).toDF("k", "v", "w")
+    val m = Stats.weightedQuantilePerGroup(ties, "k", "v", "w", 1, 2)
+      .collect()(0)
+    assert(m.getDouble(1) == 5.0 && m.getLong(2) == 10L)
+  }
 }
