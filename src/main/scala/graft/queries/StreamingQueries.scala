@@ -762,6 +762,48 @@ private[graft] object StreamingQueries {
 
 
     // ----- DSv2 STREAMING WRITE under the oracle (§2.1 x §2.9) -------
+    "q275_stream_rate_limit" -> ((s, dir) => {
+      // admission control under the oracle: a 5-file backlog (equal
+      // slices of documents, one file per doc_id%5 class) drained at
+      // maxFilesPerTrigger=2 must arrive as exactly ceil(5/2)=3 bounded
+      // micro-batches of 2s, 2s, s rows — the backpressure contract a
+      // production tail needs so a burst never becomes one giant
+      // catch-up batch. Batch sizes (not file identities, which carry
+      // task-id names) are the deterministic surface: slices are equal,
+      // so the per-batch row counts are pure arithmetic for the oracle
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      val run = memNonce.incrementAndGet()
+      val base = scratchPath(dir, s"q275_records_$run")
+      val ckpt = s"${base}_ckpt"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      fs.delete(new Path(ckpt), true)
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), col("doc_id")).as("_record_id"),
+        col("doc_id").cast("double").as("DocId"))
+      (0 until 5).foreach { b =>
+        docs.filter(col("DocId") % 5 === b).coalesce(1)
+          .write.format("graft-records").option("path", base)
+          .mode("append").save()
+      }
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = s.readStream.format("graft-records")
+        .option("path", base)
+        .option("fieldTypes", "DocId:number")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val n = b.count()
+          batches.synchronized { batches += ((id, n)) }; ()
+        }.start()
+      q.awaitTermination(300000)
+      batches.toSeq.toDF("batch_id", "n_rows").orderBy("batch_id")
+    }),
+
+
     "q255_stream_sink_replay" -> ((s, dir) => {
       // q241's dual: the graft-records STREAMING_WRITE path end-to-end.
       // The customer fixture streams INTO the sink as two epoch-staged
@@ -1089,6 +1131,16 @@ private[graft] object StreamingQueries {
     "q255_stream_sink_replay" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a 5-slice backlog at 2 files/trigger: batch sizes are pure
+    // arithmetic over the per-slice counts (doc_id%5 slices of equal
+    // size when COUNT(*) divides by 5 — the fixtures do)
+    "q275_stream_rate_limit" ->
+      """WITH s AS (SELECT CAST(COUNT(*) / 5 AS BIGINT) AS sz FROM documents)
+        |SELECT CAST(b.i AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN b.i < 2 THEN 2 * sz ELSE sz END AS BIGINT) AS n_rows
+        |FROM (VALUES (0), (1), (2)) b(i), s
+        |ORDER BY batch_id""".stripMargin
   )
 }

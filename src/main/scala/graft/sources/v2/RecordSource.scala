@@ -119,7 +119,15 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     require(RecordSource.ParseModes.contains(mode),
       s"graft-records mode '$mode' is not one of " +
         RecordSource.ParseModes.mkString(", "))
-    new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps, mode)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"maxFilesPerTrigger '$v' is not an integer") }
+      require(n > 0, s"maxFilesPerTrigger $n must be positive")
+      n
+    }
+    new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
+      mode, maxFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -150,7 +158,8 @@ private[v2] object RecordScanBuilder {
 }
 
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
-    confProps: Map[String, String], mode: String = "FAILFAST")
+    confProps: Map[String, String], mode: String = "FAILFAST",
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -258,14 +267,16 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
 
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
-      pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode)
+      pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
+      maxFilesPerTrigger)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     path: String, confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST")
+    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -351,7 +362,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new RecordMicroBatchStream(readSchema, fullSchema, path, confProps,
-      filters, mode)
+      filters, mode, maxFilesPerTrigger)
 }
 
 private[v2] object RecordScan {
@@ -415,16 +426,53 @@ private[graft] object RecordStreamOffset {
   * either fully present or absent — no torn reads to re-deliver. */
 private[v2] class RecordMicroBatchStream(readSchema: StructType,
     fullSchema: StructType, path: String, confProps: Map[String, String],
-    filters: Array[org.apache.spark.sql.sources.Filter], mode: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    filters: Array[org.apache.spark.sql.sources.Filter], mode: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def hadoopConf = RecordSource.confFrom(confProps)
+
+  // Trigger.AvailableNow contract: freeze the file set at preparation,
+  // then drain toward that snapshot in rate-limited batches — files
+  // landing mid-drain wait for the next run (Spark terminates the query
+  // once the committed offset reaches reportLatestOffset)
+  @volatile private var availableNowSnapshot: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot =
+      Some(RecordScan.listDataFiles(path, hadoopConf).toSeq.sorted)
+
+  private def currentFiles: Seq[String] = availableNowSnapshot.getOrElse(
+    RecordScan.listDataFiles(path, hadoopConf).toSeq.sorted)
 
   override def initialOffset(): Offset = RecordStreamOffset(Seq.empty)
 
   override def latestOffset(): Offset =
     RecordStreamOffset(RecordScan.listDataFiles(path, hadoopConf).toSeq.sorted)
+
+  // --- admission control (maxFilesPerTrigger): production backpressure —
+  // a burst of landed files drains as bounded micro-batches instead of
+  // one giant catch-up batch (the same contract Spark's own file source
+  // exposes). The engine drives the 2-arg latestOffset when this
+  // interface is present; reportLatestOffset tells AvailableNow where
+  // "caught up" is so bounded draining still terminates.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[RecordStreamOffset].files.toSet
+    val fresh = currentFiles.filterNot(seen)
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        m.maxFiles()
+      case _ => maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    }
+    val take = if (fresh.length > cap) fresh.take(cap) else fresh
+    RecordStreamOffset((seen ++ take).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): Offset = RecordStreamOffset(currentFiles)
 
   override def deserializeOffset(json: String): Offset =
     RecordStreamOffset.fromJson(json)

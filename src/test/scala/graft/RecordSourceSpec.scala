@@ -521,4 +521,47 @@ class RecordSourceSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("append output mode only")),
       s"wrong error: ${messages(ex)}")
   }
+
+  test("maxFilesPerTrigger: a backlog drains as bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft_mfpt").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_mfpt_ck").toString
+    (0 until 5).foreach { b =>
+      spark.range(b * 10L, (b + 1) * 10L).select(
+          concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          $"id".cast("double").as("Score"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", dir).mode("append").save()
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-records")
+      .option("path", dir)
+      .option("fieldTypes", "Score:number")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = b.count()
+        batches.synchronized { batches += ((id, n)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    // a 5-file backlog at 2 files/trigger: 20 + 20 + 10 rows, 3 batches
+    assert(batches.map(_._2).toSeq == Seq(20L, 20L, 10L), batches)
+    assert(batches.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    // a rejected option fails at planning, not mid-stream
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft-records").option("path", dir)
+        .option("fieldTypes", "Score:number")
+        .option("maxFilesPerTrigger", "0").load()
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("graft_mfpt_ck2").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().awaitTermination(60000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(bad).exists(_.contains("must be positive")), msgs(bad))
+  }
 }
