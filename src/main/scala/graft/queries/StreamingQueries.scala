@@ -522,6 +522,67 @@ private[graft] object StreamingQueries {
     }),
 
 
+    // ----- transformWithState sessionization (§2.9 x Spark-4 TWS) ----
+    "q276_stream_tws_replay" -> ((s, dir) => {
+      // StreamingSync.sessionizeTws — the Spark 4 transformWithState
+      // API (typed ValueState + event-time TIMERS) under the oracle.
+      // Sessions close inline on in-batch gaps and via watermark-fired
+      // timers at batch boundaries; the q250 sentinel pair flushes the
+      // final open sessions. id_sum pins WHICH events joined each
+      // session, and end_sec is the inclusive last-event second the
+      // built-in session_window cannot emit. Runs on the RocksDB state
+      // store provider (TWS requires it), restored after the replay.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = rd(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_id").cast("long").as("id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val gate = graft.streaming.StreamingSync.sessionizeTws(
+          in.toDS(), gapMinutes = 30, watermark = "30 minutes")
+        .toDF()
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try withReplayPartitions(s) {
+        val mem = s"graft_stream_tws_${memNonce.incrementAndGet()}"
+        val q = gate.writeStream.format("memory").queryName(mem)
+          .outputMode("update").start()
+        try {
+          val batches =
+            dayBatches[(Long, java.sql.Timestamp, Long)](rows, _._2,
+              nBatches = 2)
+          batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+          val maxTs = rows.iterator.map(_._2.getTime).max
+          // sentinel pair (user -1): the second batch runs under a
+          // watermark past every real last_event + gap, firing every
+          // outstanding timer as an expiry emission
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 86400000L), 0L))
+          q.processAllAvailable()
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 90000000L), 0L))
+          q.processAllAvailable()
+          s.table(mem)
+            .filter(col("user_id") >= 0)
+            .select("user_id", "start_sec", "end_sec", "n_events", "id_sum")
+            .orderBy("user_id", "start_sec")
+            .localCheckpoint()
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(mem)
+        }
+      } finally prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }),
+
+
     // ----- watermarked stream-stream interval join (§2.9 x J-family) -
     "q251_stream_interval_join_replay" -> ((s, dir) => {
       // StreamingSync.streamIntervalJoin under the oracle: view events
@@ -1035,6 +1096,28 @@ private[graft] object StreamingQueries {
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_sec,
         |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+
+    // the same lag-chain islands as q250, but over event ids with the
+    // INCLUSIVE end (last event's second) the TWS processor emits; the
+    // merge rule matches the engine exactly (ties at last+gap merge —
+    // closure requires ts strictly past last + 30min)
+    "q276_stream_tws_replay" ->
+      """WITH e AS (SELECT user_id, ts, CAST(event_id AS BIGINT) AS id
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT user_id, ts, id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 1800 SECONDS THEN 1
+        |       ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, id)),
+        |s AS (SELECT user_id, ts, id,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_sec,
+        |  count(*) AS n_events, CAST(sum(id) AS BIGINT) AS id_sum
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
 
     // the batch interval join verbatim: purchases within [view, view+1h]

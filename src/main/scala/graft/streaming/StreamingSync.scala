@@ -669,4 +669,101 @@ object StreamingSync {
         col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"),
         col("n_events"), col("total_value"))
+
+  /** Open per-key session for [[sessionizeTws]]: start/last event millis,
+    * event count, event-id sum. One typed ValueState slot per key. */
+  case class TwsOpenSession(startMs: Long, lastMs: Long, n: Long, idSum: Long)
+
+  /** A closed session emitted by [[sessionizeTws]]. `end_sec` is the
+    * LAST EVENT's second (inclusive), which the built-in session_window
+    * cannot emit (its end is the exclusive last+gap). */
+  case class TwsClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+      n_events: Long, id_sum: Long)
+
+  /** Gap-based sessionization through Spark 4's `transformWithState` —
+    * the arbitrary-stateful successor to flatMapGroupsWithState: a typed
+    * `ValueState` holds each key's open session and an EVENT-TIME TIMER
+    * (registered at last_event + gap, deleted/re-registered as the
+    * session extends) closes it exactly once when the watermark passes.
+    * In-batch gaps close sessions inline in `handleInputRows`; only the
+    * batch-tail session rides a timer, so state stays O(1) per key.
+    * Merge rule: an event at exactly last+gap still merges (closure
+    * requires ts - last > gap), mirroring the lag-chain oracle. Needs
+    * the RocksDB state store provider (TWS rejects the HDFS-backed one);
+    * rows older than the watermark are dropped by the engine.
+    *
+    * Input tuples are (key, ts, id); complements [[sessionize]] with
+    * per-session id accounting and the inclusive end. */
+  def sessionizeTws(events: Dataset[(Long, java.sql.Timestamp, Long)],
+      gapMinutes: Int, watermark: String): Dataset[TwsClosedSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.toDF("user_id", "ts", "id")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsSessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** The StatefulProcessor behind [[sessionizeTws]]. The timer-hygiene
+    * invariant: whenever the ValueState holds an open session, exactly
+    * one timer exists, at lastMs + gap — extending the session deletes
+    * the old timer before registering the new one, and the expiry guard
+    * (`expiry == last + gap`) makes any stale timer a no-op instead of a
+    * premature close. */
+  private class TwsSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), TwsClosedSession] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[TwsOpenSession] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState("open",
+        org.apache.spark.sql.Encoders.product[TwsOpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def closed(key: Long, s: TwsOpenSession) = TwsClosedSession(
+      key, Math.floorDiv(s.startMs, 1000L), Math.floorDiv(s.lastMs, 1000L),
+      s.n, s.idSum)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsClosedSession] = {
+      val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[TwsClosedSession]
+      var cur: TwsOpenSession = null
+      if (open.exists()) {
+        cur = open.get()
+        getHandle.deleteTimer(cur.lastMs + gapMs)
+      }
+      sorted.foreach { case (_, ts, id) =>
+        val t = ts.getTime
+        if (cur == null) cur = TwsOpenSession(t, t, 1L, id)
+        else if (t - cur.lastMs > gapMs) {
+          out += closed(key, cur)
+          cur = TwsOpenSession(t, t, 1L, id)
+        } else cur = TwsOpenSession(cur.startMs, math.max(cur.lastMs, t),
+          cur.n + 1L, cur.idSum + id)
+      }
+      open.update(cur)
+      getHandle.registerTimer(cur.lastMs + gapMs)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TwsClosedSession] =
+      if (open.exists() &&
+          open.get().lastMs + gapMs == info.getExpiryTimeInMs) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(closed(key, s))
+      } else Iterator.empty
+  }
 }

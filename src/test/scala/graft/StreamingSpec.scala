@@ -652,4 +652,61 @@ class StreamingSpec extends SparkSpec {
     assert(anomalies(0) == anomalies(1), "anomaly flags moved with the batch split")
     assert(anomalies(0).exists(_._1 == 150L), "the spike must flag")
   }
+
+  test("transformWithState sessions: inline close, timer close, gap-tie merge") {
+    // the TWS processor's three emission paths under one run:
+    //  - an in-batch gap closes the earlier session INLINE (emitted in
+    //    the same micro-batch, before any watermark movement);
+    //  - a session extending across batches deletes + re-registers its
+    //    timer (no premature expiry from the stale first-batch timer);
+    //  - the watermark firing the timer emits the tail session once;
+    //  - an event at EXACTLY last+gap merges (closure needs strict >).
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val sessions = StreamingSync.sessionizeTws(
+        in.toDS(), gapMinutes = 30, watermark = "30 minutes").toDF()
+      val q = sessions.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def rows = spark.table("tws_out")
+        .select("user_id", "start_sec", "end_sec", "n_events", "id_sum")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      def sec(s: String) = ts(s).getTime / 1000L
+      // batch 1: user 7 bursts at 10:00/10:30 (exactly-gap tie: merges),
+      // then 12:00 — the >gap jump closes the first session INLINE
+      in.addData(
+        (7L, ts("2024-01-01 10:00:00"), 10L),
+        (7L, ts("2024-01-01 10:30:00"), 20L),
+        (7L, ts("2024-01-01 12:00:00"), 40L))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq((7L, sec("2024-01-01 10:00:00"),
+        sec("2024-01-01 10:30:00"), 2L, 30L)),
+        s"inline close expected one tied session, got ${rows.toSeq}")
+      // batch 2: 12:20 extends the open 12:00 session across the batch
+      // boundary (its batch-1 timer at 12:30 must NOT fire first —
+      // watermark is only 11:30 here)
+      in.addData((7L, ts("2024-01-01 12:20:00"), 80L))
+      q.processAllAvailable()
+      assert(rows.length == 1, s"stale timer fired early: ${rows.toSeq}")
+      // sentinel pair advances the watermark past 12:50 -> timer fires
+      in.addData((99L, ts("2024-01-02 00:00:00"), 0L))
+      q.processAllAvailable()
+      in.addData((99L, ts("2024-01-03 00:00:00"), 0L))
+      q.processAllAvailable()
+      q.stop()
+      val fin = rows.filter(_._1 == 7L)
+      assert(fin.toSeq == Seq(
+        (7L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:30:00"), 2L, 30L),
+        (7L, sec("2024-01-01 12:00:00"), sec("2024-01-01 12:20:00"), 2L, 120L)),
+        s"timer close mismatch: ${fin.toSeq}")
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
