@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+import graft.sources.v2.{DeletionVector, ZoneMap}
+
+/** Merge-on-read DELETE for the graft-records lake (the Delta/Iceberg
+  * deletion-vector pattern): a predicate delete writes row positions to
+  * per-file `_dv/` sidecars instead of rewriting data files, every scan
+  * subtracts them ([[graft.sources.v2.DeletionVector]]), and a later
+  * `materialize` folds the vectors into rewritten files. At 100 TB a
+  * predicate touching 1% of rows in every file costs one tiny metadata
+  * write per file here versus a full rewrite of the table the
+  * copy-on-write path (StateStore.applyActions' anti-join) would pay.
+  *
+  * The row address (`_file`, `_pos`) comes from the source's hidden
+  * metadata columns, so the delete scan itself enjoys the full pushdown
+  * stack — zone-map file pruning and row-level filters mean only files
+  * that CAN match are listed and only rows that DO match flow out.
+  *
+  * Single-writer discipline, like every mutation path of this lake.
+  * Crash-safety follows the record-compaction marker protocol: a
+  * rewritten file lands under a NEW name behind a `_dvmat-` marker;
+  * [[recover]] replays interrupted swaps to completion.
+  */
+object DeletionVectors {
+
+  /** One touched file's outcome: positions newly marked deleted. */
+  final case class FileDelete(file: String, rowsMarked: Long)
+
+  private val MarkerPrefix = "_dvmat-"
+
+  /** DELETE FROM the lake at `path` WHERE `condition` — metadata-only:
+    * marks matching rows' positions in per-file deletion vectors,
+    * merging with any existing vector (re-deleting an already-deleted
+    * row is impossible: it never reaches the scan). `fieldTypes` is the
+    * table's reader option (the predicate references typed fields).
+    * Sidecar writes run ON THE EXECUTORS, one task per touched file;
+    * the returned summary is one row per touched file. */
+  def delete(spark: SparkSession, path: String, fieldTypes: String,
+      condition: Column): Seq[FileDelete] = {
+    import spark.implicits._
+    val confProps = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    val hits = spark.read.format("graft-records")
+      .option("path", path).option("fieldTypes", fieldTypes).load()
+      .where(condition)
+      .select(col("_file"), col("_pos"))
+      .groupBy("_file")
+      .agg(sort_array(collect_list(col("_pos"))).as("positions"))
+      .as[(String, Array[Long])]
+    hits.map { case (file, positions) =>
+      val p = new Path(file)
+      val fs = p.getFileSystem(confFrom(confProps))
+      DeletionVector.write(fs, p.getParent, p.getName, positions)
+      (file, positions.length.toLong)
+    }.collect().toSeq.sortBy(_._1).map((FileDelete.apply _).tupled)
+  }
+
+  /** Fold every deletion vector into a rewritten data file and drop the
+    * sidecars — the compaction-prep step ([[graft.sources.v2
+    * .RecordCompaction.compact]] refuses vectored inputs, since byte
+    * concatenation would shift the ordinals the vectors index). Each
+    * vectored file is rewritten WITHOUT its deleted lines on the
+    * executors under a new `dvmat-` name; the swap (marker → rename →
+    * delete old file + both sidecars → drop marker) runs on the driver.
+    * The rewritten file gets NO zone sidecar: post-delete min/max are
+    * unknown without a typed rescan, and absent stats are merely
+    * unpruned, never wrong (the next compaction rebuilds nothing — zone
+    * absence is advisory throughout). Returns files rewritten. */
+  def materialize(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    recover(path, conf)
+    val dvDir = new Path(dir, DeletionVector.Dir)
+    if (!fs.exists(dvDir)) return 0
+    val vectored = fs.listStatus(dvDir).filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json")).sorted.toSeq
+      .filter { n =>
+        val live = fs.exists(new Path(dir, n))
+        // a sidecar whose data file is gone is an orphan of a completed
+        // swap — drop it instead of rewriting nothing
+        if (!live) fs.delete(DeletionVector.sidecar(dir, n), false)
+        live
+      }
+    if (vectored.isEmpty) return 0
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val stagingName = s"_staging-dvmat-$runId"
+
+    // executor phase: rewrite each vectored file without its deleted lines
+    spark.sparkContext
+      .parallelize(vectored.zipWithIndex, math.min(vectored.length, 64))
+      .foreach { case (name, k) =>
+        val c = confFrom(confProps)
+        val d = new Path(path)
+        val f = d.getFileSystem(c)
+        val src = new Path(d, name)
+        val dv = DeletionVector.load(f, src.toString).getOrElse(
+          throw new java.io.IOException(s"vector vanished mid-run: $name"))
+        val staged = new Path(new Path(path, stagingName), s"f$k.jsonl")
+        f.mkdirs(staged.getParent)
+        val out = f.create(staged, true)
+        val in = f.open(src)
+        try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .zipWithIndex.foreach { case (l, i) =>
+              if (!dv.contains(i.toLong))
+                out.write((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+        } finally { in.close(); out.close() }
+      }
+
+    // driver phase: swap each rewrite in behind a marker (idempotent
+    // replay in recover): rename staged -> new name, then delete the old
+    // file and BOTH its sidecars, then drop the marker
+    vectored.zipWithIndex.foreach { case (name, k) =>
+      val newName = s"dvmat-$runId-f$k.jsonl"
+      val staged = new Path(new Path(path, stagingName), s"f$k.jsonl")
+      writeMarker(fs, dir, s"$runId-f$k", staged.toString, newName, name)
+      if (!fs.rename(staged, new Path(dir, newName)))
+        throw new java.io.IOException(
+          s"dv-materialize rename failed: $staged -> $newName")
+      fs.delete(DeletionVector.sidecar(dir, name), false)
+      fs.delete(ZoneMap.sidecar(dir, name), false)
+      fs.delete(new Path(dir, name), false)
+      fs.delete(markerPath(dir, s"$runId-f$k"), false)
+    }
+    fs.delete(new Path(path, stagingName), true)
+    vectored.length
+  }
+
+  private def markerPath(dir: Path, id: String): Path =
+    new Path(dir, s"$MarkerPrefix$id.json")
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      id: String, staging: String, newFile: String, old: String): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("staging", staging)
+    root.put("new", newFile)
+    root.put("old", old)
+    val out = fs.create(markerPath(dir, id), true)
+    out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Replay pending materialize markers to completion (idempotent). */
+  def recover(path: String, conf: org.apache.hadoop.conf.Configuration): Int = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0
+    val markers = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith(MarkerPrefix))
+    markers.foreach { mp =>
+      val in = fs.open(mp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
+      val staged = new Path(root.get("staging").asText())
+      val newFile = new Path(dir, root.get("new").asText())
+      val old = root.get("old").asText()
+      if (!fs.exists(newFile) && fs.exists(staged)) {
+        if (!fs.rename(staged, newFile))
+          throw new java.io.IOException(s"dv recovery rename failed: $staged")
+      }
+      if (fs.exists(newFile)) {
+        fs.delete(DeletionVector.sidecar(dir, old), false)
+        fs.delete(ZoneMap.sidecar(dir, old), false)
+        fs.delete(new Path(dir, old), false)
+      } else fs.delete(staged, false) // never committed; old is intact
+      fs.delete(mp, false)
+    }
+    markers.length
+  }
+
+  private def confFrom(props: Map[String, String]) = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}

@@ -411,6 +411,53 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- merge-on-read DELETE via deletion vectors (lakehouse) -----
+    "q277_deletion_vectors" -> ((s, dir) => {
+      // two DELETE waves write per-file deletion vectors — metadata
+      // only, zero data-file rewrites (DeletionVectorSpec pins the
+      // bytes) — and the merge-on-read aggregate must equal the SQL
+      // truth over the survivor predicate; then materialize folds the
+      // vectors into rewritten files and the SAME aggregate must hold
+      // again (phase 'mor' vs 'cow'). The row addresses come from the
+      // source's hidden (_file, _pos) metadata columns, so the delete
+      // scan itself rides the pushdown stack. At 100 TB: a predicate
+      // delete costs one sidecar write per touched file, not a rewrite.
+      val out = scratchPath(dir, "q277_records")
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("lang").as("Lang"),
+        col("n_chars").cast("double").as("Chars"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      (0 until 4).foreach { b =>
+        docs.filter(col("DocId") % 4 === b).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .mode("append").save()
+      }
+      val types = "DocId:number,Lang:singleLineText,Chars:number"
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 3)
+      def readBack(phase: String) =
+        s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()
+          .groupBy(col("Lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("Chars").cast("long")).as("sum_chars"),
+            max(col("_record_id")).as("max_id"))
+          .withColumn("phase", lit(phase))
+      val mor = readBack("mor").localCheckpoint() // before materialize
+      graft.operators.DeletionVectors.materialize(s, out)
+      mor.unionByName(readBack("cow"))
+        .select("phase", "lang", "n_docs", "sum_chars", "max_id")
+        .orderBy("phase", "lang")
+    }),
+
+
     // ----- exact weighted quantiles (declarative, no driver state) ---
     "q274_weighted_quantile" -> ((s, dir) => {
       // per-language weighted median and p90 of document length under
@@ -1339,6 +1386,21 @@ private[graft] object ParityQueries {
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle sees only the survivor predicate: merge-on-read and
+    // post-materialize reads must BOTH reproduce it (phases are twins)
+    "q277_deletion_vectors" ->
+      """WITH surv AS (SELECT lang, n_chars, doc_id FROM documents
+        |  WHERE NOT coalesce(n_chars < 200, FALSE)
+        |    AND NOT (doc_id % 10 = 3)),
+        |a AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
+        |FROM surv GROUP BY 1)
+        |SELECT 'cow' AS phase, * FROM a
+        |UNION ALL SELECT 'mor' AS phase, * FROM a
+        |ORDER BY phase, lang""".stripMargin,
 
 
     // the oracle never sees the record files: the whole write→stats→

@@ -67,6 +67,16 @@ object RecordCompaction {
     require(files.length <= MaxFilesPerCall,
       s"${files.length} files exceed MaxFilesPerCall=$MaxFilesPerCall — " +
         "compact in batches (the collected plan is driver-resident)")
+    // byte-concatenation would RESURRECT deletion-vector'd rows (the
+    // merged file's line ordinals no longer match any input's vector):
+    // refuse loudly while any input carries a vector
+    val dvd = files.map(_._1).filter(n =>
+      fs.exists(DeletionVector.sidecar(dir, n)))
+    require(dvd.isEmpty,
+      s"graft-records compaction: ${dvd.length} input file(s) carry " +
+        s"deletion vectors (${dvd.take(3).mkString(", ")}…) — run " +
+        "DeletionVectors.materialize first (it rewrites those files " +
+        "without the deleted rows and drops the sidecars)")
     if (files.length < 2) return 0
 
     import spark.implicits._

@@ -68,6 +68,9 @@ private[v2] object RecordSource {
     * (`fieldTypes=...,_corrupt_record:singleLineText`). */
   val ParseModes: Set[String] = Set("FAILFAST", "DROPMALFORMED", "PERMISSIVE")
   val CorruptCol = "_corrupt_record"
+  /** Hidden metadata columns ([[RecordTable.metadataColumns]]). */
+  val FileCol = "_file"
+  val PosCol = "_pos"
   /** Rebuild a Hadoop Configuration from captured session properties.
     * Built once per deserialized factory (transient lazy), not per file. */
   def confFrom(props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
@@ -94,9 +97,31 @@ private[v2] object RecordSource {
 }
 
 private[v2] class RecordTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
+
+  /** Hidden metadata columns (parquet's `_metadata` pattern): `_file` is
+    * the data file's full path, `_pos` the row's 0-based physical line
+    * ordinal in it. Together they are a row's physical address — what a
+    * merge-on-read DELETE records in a deletion-vector sidecar instead
+    * of rewriting the file ([[DeletionVector]]). Resolvable by name in
+    * any query over this table, absent from `SELECT *`. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = RecordSource.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path (hidden)"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = RecordSource.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "0-based line ordinal in _file (hidden)"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -175,9 +200,14 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   private var aggSchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve the source's field order for the pruned subset
-    required = StructType(fullSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // preserve the source's field order for the pruned subset; hidden
+    // metadata columns (_file/_pos) are not in fullSchema and keep their
+    // Spark-assigned position AFTER the data columns
+    required = StructType(
+      fullSchema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)) ++
+      requiredSchema.fields.filter(f =>
+        f.name == RecordSource.FileCol || f.name == RecordSource.PosCol))
 
   /** The reference's target-side predicate surface — eq/neq/gt/ge/lt/le on
     * typed fields (lib/FirestoreWrapper.py:86-100) — plus null probes and
@@ -344,9 +374,14 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     val bytes = kept.map { case (f, _) =>
       fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
     }.sum
+    // merge-on-read: deletion-vector'd rows never reach the scan, so the
+    // planning row count subtracts each kept file's rows_deleted —
+    // broadcast decisions must see the post-delete cardinality
     val rows: java.util.OptionalLong =
       if (kept.forall(_._2.isDefined))
-        java.util.OptionalLong.of(kept.map(_._2.get.rows).sum)
+        java.util.OptionalLong.of(kept.map { case (f, z) =>
+          z.get.rows - DeletionVector.load(fsys, f).map(_.count).getOrElse(0L)
+        }.sum)
       else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -534,7 +569,13 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   private val mapper = new ObjectMapper()
   private val p = new org.apache.hadoop.fs.Path(file)
   RecordSourceMetrics.filesOpened.incrementAndGet()
-  private val in = p.getFileSystem(conf).open(p)
+  private val fs = p.getFileSystem(conf)
+  // merge-on-read: rows whose line ordinal the deletion-vector sidecar
+  // marks are skipped before parsing (a deleted malformed line no longer
+  // aborts FAILFAST — deleted rows are gone in every sense). Loading is
+  // strict: an unreadable sidecar fails the scan (DeletionVector.load).
+  private val dv: Option[DeletionVector.Vector] = DeletionVector.load(fs, file)
+  private val in = fs.open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
   private var emitted = 0
@@ -550,14 +591,15 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     * skipped by min/max/count(field), counted by count(*)) whose raw
     * text is exposed through the `_corrupt_record` column when the
     * schema declares it — Spark's JSON-source semantics. */
-  private lazy val records: Iterator[(JsonNode, String)] =
+  private lazy val records: Iterator[(JsonNode, String, Long)] =
     lines.zipWithIndex.flatMap { case (l, i) =>
-      if (l.trim.isEmpty) None
+      if (dv.exists(_.contains(i.toLong))) None
+      else if (l.trim.isEmpty) None
       else
-        try Some((mapper.readTree(l), null: String))
+        try Some((mapper.readTree(l), null: String, i.toLong))
         catch {
           case e: com.fasterxml.jackson.core.JacksonException => mode match {
-            case "PERMISSIVE" => Some((null: JsonNode, l))
+            case "PERMISSIVE" => Some((null: JsonNode, l, i.toLong))
             case "DROPMALFORMED" => None
             case _ => throw new java.io.IOException(
               s"graft-records: malformed JSON at $file:${i + 1}: " +
@@ -590,9 +632,9 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
       if (limit.exists(emitted >= _)) return false
       var found = false
       while (!found && records.hasNext) {
-        val (node, raw) = records.next()
+        val (node, raw, pos) = records.next()
         if (passes(node, raw)) {
-          current = convert(node, raw); found = true; emitted += 1
+          current = convert(node, raw, pos); found = true; emitted += 1
         }
       }
       found
@@ -630,7 +672,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     }.toArray
     if (a.groupCols.isEmpty) buf(Seq.empty) = newBuffer()
     while (records.hasNext) {
-      val (node, raw) = records.next()
+      val (node, raw, _) = records.next()
       if (passes(node, raw)) {
         val key = a.groupCols.zip(groupTypes).map { case (c, dt) =>
           fieldValue(node, raw, c, dt)
@@ -678,10 +720,10 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     }
     val heap = new java.util.PriorityQueue[(Any, InternalRow)](t.limit + 1, cmp)
     while (records.hasNext) {
-      val (node, raw) = records.next()
+      val (node, raw, pos) = records.next()
       if (passes(node, raw)) {
         heap.offer((fieldValue(node, raw, t.field, keyType),
-          convert(node, raw).copy()))
+          convert(node, raw, pos).copy()))
         if (heap.size > t.limit) heap.poll()
       }
     }
@@ -715,17 +757,24 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 
-  private def convert(node: JsonNode, raw: String = null): InternalRow = {
+  private def convert(node: JsonNode, raw: String = null,
+      pos: Long = -1L): InternalRow = {
     if (node == null) // corrupt record (PERMISSIVE): all NULL except the
       return InternalRow.fromSeq(readSchema.fields.toIndexedSeq.map { f =>
-        if (f.name == RecordSource.CorruptCol) UTF8String.fromString(raw)
-        else null
+        f.name match {
+          case RecordSource.CorruptCol => UTF8String.fromString(raw)
+          case RecordSource.FileCol => UTF8String.fromString(file)
+          case RecordSource.PosCol => pos: Any
+          case _ => null
+        }
       })
     val fields = node.get("fields")
     InternalRow.fromSeq(readSchema.fields.toIndexedSeq.map { f =>
       f.name match {
         case "_record_id" => utf8(node.get("id"))
         case "_created_time" => tsMicros(node.get("createdTime"))
+        case RecordSource.FileCol => UTF8String.fromString(file)
+        case RecordSource.PosCol => pos: Any
         case name =>
           val v = if (fields == null) null else fields.get(name)
           if (v == null || v.isNull) null else cast(v, f.dataType)

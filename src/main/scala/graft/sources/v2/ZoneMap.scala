@@ -37,7 +37,7 @@ import org.apache.spark.sql.types._
   * zone order is bit-identical to the row-filter order (UTF8 byte order
   * for strings, Spark's -0.0 == 0.0 / NaN-greatest for doubles).
   */
-private[v2] object ZoneMap {
+private[graft] object ZoneMap {
 
   val Dir = "_zonemaps"
 
