@@ -411,6 +411,70 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- storage-partitioned join: zero-exchange DSv2 join ---------
+    "q278_storage_partitioned_join" -> ((s, dir) => {
+      // two lakes clustered on Lang (the clusterBy WRITE option makes
+      // every file key-pure; the clusterBy READ option derives
+      // KeyGroupedPartitioning from zone metadata alone) joined on
+      // their cluster key: Spark's storage-partitioned join machinery
+      // (v2 bucketing) plans the fact-dim join AND the final per-lang
+      // aggregate with ZERO shuffle exchanges — the gate REQUIRES the
+      // exchange-free plan before returning rows, so a silent fallback
+      // to shuffling fails correctness, not just a benchmark. At
+      // 100 TB: co-located storage beats reshuffling both sides every
+      // query.
+      val outL = scratchPath(dir, "q278_docs")
+      val outR = scratchPath(dir, "q278_dims")
+      val docs = rd(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("lang").as("Lang"),
+          col("n_chars").cast("double").as("Chars"))
+      val fs = new org.apache.hadoop.fs.Path(outL)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(outL, outR).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      docs.repartition(4, col("Lang"))
+        .write.format("graft-records").option("path", outL)
+        .option("clusterBy", "Lang").mode("append").save()
+      docs.groupBy("Lang")
+        .agg(count(lit(1)).cast("double").as("DimDocs"))
+        .select(concat(lit("m"), col("Lang")).as("_record_id"),
+          col("Lang"), col("DimDocs"))
+        .repartition(4, col("Lang"))
+        .write.format("graft-records").option("path", outR)
+        .option("clusterBy", "Lang").mode("append").save()
+      def rdc(p: String, types: String) =
+        s.read.format("graft-records").option("path", p)
+          .option("fieldTypes", types).option("clusterBy", "Lang").load()
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val j = rdc(outL, "Lang:singleLineText,Chars:number")
+          .join(rdc(outR, "Lang:singleLineText,DimDocs:number"), "Lang")
+          .groupBy(col("Lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("Chars").cast("long")).as("sum_chars"),
+            max(col("DimDocs").cast("long")).as("dim_docs"))
+        // plan-gate BEFORE the presentational orderBy (whose range
+        // exchange is the output sort, not the join)
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join fell back to shuffling:\n$plan")
+        j.orderBy("lang").localCheckpoint()
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+
     // ----- merge-on-read DELETE via deletion vectors (lakehouse) -----
     "q277_deletion_vectors" -> ((s, dir) => {
       // two DELETE waves write per-file deletion vectors — metadata
@@ -1385,6 +1449,20 @@ private[graft] object ParityQueries {
         |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle never sees the clustered layout: the write→cluster→
+    // zero-exchange-join→aggregate chain must reproduce a plain join
+    "q278_storage_partitioned_join" ->
+      """WITH d AS (SELECT lang, n_chars FROM documents
+        |  WHERE lang IS NOT NULL),
+        |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dim_docs
+        |  FROM d GROUP BY 1)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+        |  MAX(m.dim_docs) AS dim_docs
+        |FROM d JOIN m ON d.lang = m.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

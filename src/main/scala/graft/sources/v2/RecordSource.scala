@@ -151,14 +151,34 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       require(n > 0, s"maxFilesPerTrigger $n must be positive")
       n
     }
+    val clusterBy = Option(options.get("clusterBy")).map { k =>
+      require(schema.fieldNames.contains(k),
+        s"clusterBy column '$k' absent from the table schema")
+      schema(k).dataType match {
+        case StringType | DoubleType | BooleanType | TimestampType | DateType => ()
+        case dt => throw new IllegalArgumentException(
+          s"clusterBy '$k': $dt is not a zone-trackable scalar type")
+      }
+      k
+    }
     new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
-      mode, maxFiles)
+      mode, maxFiles, clusterBy)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     RecordWriteSupport.validateWriteSchema(info.schema())
+    val clusterBy = Option(info.options.get("clusterBy")).map { k =>
+      require(info.schema().fieldNames.contains(k),
+        s"clusterBy column '$k' absent from the write schema")
+      info.schema()(k).dataType match {
+        case StringType | DoubleType | BooleanType | TimestampType | DateType => ()
+        case dt => throw new IllegalArgumentException(
+          s"clusterBy '$k': $dt is not a zone-trackable scalar type")
+      }
+      k
+    }
     new RecordWriteBuilder(info.schema(), info.queryId(),
-      resolvedPath(info.options()), sessionConfProps)
+      resolvedPath(info.options()), sessionConfProps, clusterBy)
   }
 }
 
@@ -184,7 +204,8 @@ private[v2] object RecordScanBuilder {
 
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String], mode: String = "FAILFAST",
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    clusterBy: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -298,7 +319,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
       pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, clusterBy)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
@@ -306,9 +327,11 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    clusterBy: Option[String] = None)
     extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
     RecordSource.confFrom(confProps)
@@ -354,12 +377,80 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   private def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] =
     filters ++ runtimeFilters
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
-    ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
-        effectiveFilters, fs)
-      .map { case (f, _) => RecordInputPartition(f): InputPartition }
+  override def planInputPartitions(): Array[InputPartition] = clusterGroups match {
+    case Some(groups) =>
+      // one InputPartition per key (all of the key's files together):
+      // the shape KeyGroupedPartitioning promises. Runtime filters skip
+      // FILE pruning here (the key set was reported at planning and
+      // must not shrink under it) but still drop rows in the reader.
+      groups.map { case (k, files) =>
+        RecordKeyedPartition(files, keyRow(k)): InputPartition
+      }.toArray
+    case None =>
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+      ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
+          effectiveFilters, fs)
+        .map { case (f, _) => RecordInputPartition(f): InputPartition }
   }
+
+  // --- storage-partitioned scan (SupportsReportPartitioning) -------------
+  // With the `clusterBy` read option, every kept file must be KEY-PURE in
+  // that column (zone min == max, no nulls — the shape the clusterBy
+  // WRITE option produces), and the scan groups files by key into one
+  // InputPartition each, reporting KeyGroupedPartitioning over the
+  // column. Two tables clustered on their join key then join with ZERO
+  // exchanges (Spark's storage-partitioned join, v2 bucketing) — at
+  // 100 TB the difference between shuffling both sides and streaming
+  // co-located partitions. Purity is checked from metadata only (zone
+  // sidecars), never by scanning data; an impure file fails LOUDLY —
+  // a declared clustering that silently fell back would reshuffle the
+  // whole join without anyone noticing.
+  private lazy val clusterGroups: Option[Seq[(Any, Seq[String])]] =
+    clusterBy.map { k =>
+      require(readSchema().fieldNames.contains(k),
+        s"clusterBy '$k' must be among the read columns for a " +
+          "storage-partitioned scan (select it, or drop the option)")
+      val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+      // static filters only: the key set is fixed at planning time
+      val kept = ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
+        filters, fsys)
+      kept.toSeq.map { case (f, zOpt) =>
+        val z = zOpt.getOrElse(throw new IllegalStateException(
+          s"clusterBy '$k': $f has no zone sidecar — not a clustered " +
+            "table (write it with the clusterBy option)"))
+        val st = z.stats(k)
+        if (st.nulls != 0L || st.min == null ||
+            RecordFilterEval.nullAwareCompare(st.min, st.max,
+              descending = false, nullsFirst = false) != 0)
+          throw new IllegalStateException(
+            s"clusterBy '$k': $f is not key-pure (zone " +
+              s"min=${st.min}, max=${st.max}, nulls=${st.nulls}) — " +
+              "rewrite the table with the clusterBy write option")
+        (st.min, f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq
+        .sortWith { case ((a, _), (b, _)) =>
+          RecordFilterEval.nullAwareCompare(a, b,
+            descending = false, nullsFirst = false) < 0
+        }
+    }
+
+  /** The key's single-column InternalRow (internal representations). */
+  private def keyRow(v: Any): InternalRow = InternalRow.fromSeq(Seq(v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clusterGroups match {
+      case Some(groups) if groups.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(clusterBy.get)),
+          groups.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Planning-time stats from the zone-map sidecars: row counts are the
     * sum over files surviving the STATIC filters (runtime filters arrive
@@ -533,6 +624,14 @@ private[v2] class RecordMicroBatchStream(readSchema: StructType,
 
 private[v2] case class RecordInputPartition(file: String) extends InputPartition
 
+/** One cluster key's files, carrying the key value for Spark's
+  * storage-partitioned join machinery ([[RecordScan.outputPartitioning]]).
+  * `key` is a single-column InternalRow in internal representation. */
+private[v2] case class RecordKeyedPartition(files: Seq[String],
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 /** Observability hook for zone-map pruning: counts data files actually
   * opened by readers in this JVM (local mode / tests — a cluster would
   * surface the same signal as a custom task metric). */
@@ -547,9 +646,38 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     agg: Option[PushedAggSpec], mode: String = "FAILFAST") extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RecordPartitionReader(
-      partition.asInstanceOf[RecordInputPartition].file, readSchema, fullSchema,
-      conf, filters, topN, limit, agg, mode)
+    partition match {
+      case RecordInputPartition(file) =>
+        new RecordPartitionReader(file, readSchema, fullSchema,
+          conf, filters, topN, limit, agg, mode)
+      case RecordKeyedPartition(files, _) =>
+        // a key group reads its files back to back; pushed limit/topN/agg
+        // stay per-file partials (Spark re-applies the global step)
+        new ConcatPartitionReader(files.iterator.map(f =>
+          () => new RecordPartitionReader(f, readSchema, fullSchema,
+            conf, filters, topN, limit, agg, mode)))
+      case other => throw new IllegalStateException(s"foreign partition: $other")
+    }
+}
+
+/** Chains per-file readers of one key group sequentially. */
+private[v2] class ConcatPartitionReader(
+    readers: Iterator[() => RecordPartitionReader])
+    extends PartitionReader[InternalRow] {
+  private var cur: RecordPartitionReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!readers.hasNext) return false
+        cur = readers.next()()
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Parses one JSONL file of records; emits only the pruned columns, only
@@ -1003,17 +1131,19 @@ private[v2] object RecordWriteSupport {
 }
 
 private[v2] class RecordWriteBuilder(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String])
+    path: String, confProps: Map[String, String],
+    clusterBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   // SaveMode.Overwrite arrives as truncate() on the builder
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write =
-    new RecordWrite(schema, queryId, path, confProps, truncateFirst)
+    new RecordWrite(schema, queryId, path, confProps, truncateFirst, clusterBy)
 }
 
 private[v2] class RecordWrite(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String], truncateFirst: Boolean)
+    path: String, confProps: Map[String, String], truncateFirst: Boolean,
+    clusterBy: Option[String] = None)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming
@@ -1029,7 +1159,7 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RecordWriterFactory(schema,
-      RecordWriteSupport.stagingDir(path, queryId), confProps)
+      RecordWriteSupport.stagingDir(path, queryId), confProps, clusterBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = RecordSource.confFrom(confProps)
@@ -1042,7 +1172,7 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       // truncated files' sidecars must not describe the replacements
       fs.delete(new org.apache.hadoop.fs.Path(dest, ZoneMap.Dir), true)
     }
-    messages.foreach { case RecordCommitMessage(staged, zoneJson) =>
+    messages.flatMap(RecordCommitMessage.partsOf).foreach { case (staged, zoneJson) =>
       val src = new org.apache.hadoop.fs.Path(staged)
       val to = new org.apache.hadoop.fs.Path(dest, src.getName)
       // sidecar BEFORE the data file becomes visible: a reader that can
@@ -1071,6 +1201,20 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
   * protocol, so a sidecar exists if and only if its file was committed. */
 private[v2] case class RecordCommitMessage(stagedFile: String,
     zoneJson: String) extends WriterCommitMessage
+
+/** A clustered task's commit: one (stagedFile, zoneJson) pair PER KEY the
+  * task saw ([[ClusteredRecordDataWriter]]). */
+private[v2] case class RecordMultiCommitMessage(
+    parts: Seq[(String, String)]) extends WriterCommitMessage
+
+private[v2] object RecordCommitMessage {
+  /** Normalize either message shape to its (stagedFile, zoneJson) pairs. */
+  def partsOf(m: WriterCommitMessage): Seq[(String, String)] = m match {
+    case RecordCommitMessage(f, z) => Seq((f, z))
+    case RecordMultiCommitMessage(ps) => ps
+    case other => throw new IllegalStateException(s"foreign commit: $other")
+  }
+}
 
 /** STREAMING_WRITE for `graft-records`: per-epoch staged two-phase
   * commit, composing the batch path's staging discipline with an
@@ -1136,7 +1280,7 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
         fs.delete(ZoneMap.sidecar(dest, p.getName), false) // stale attempt's stats
         fs.delete(p, false)
       }
-    messages.foreach { case RecordCommitMessage(staged, zoneJson) =>
+    messages.flatMap(RecordCommitMessage.partsOf).foreach { case (staged, zoneJson) =>
       val src = new Path(staged)
       val to = new Path(dest, src.getName)
       ZoneMap.write(fs, dest, src.getName, zoneJson) // before visibility, as in batch
@@ -1175,11 +1319,17 @@ private[v2] class RecordStreamingWriterFactory(schema: StructType,
 }
 
 private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
-    confProps: Map[String, String]) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RecordDataWriter(schema,
-      f"$stagingDir/part-$partitionId%05d-$taskId.jsonl",
-      RecordSource.confFrom(confProps))
+    confProps: Map[String, String],
+    clusterBy: Option[String] = None) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val base = f"$stagingDir/part-$partitionId%05d-$taskId.jsonl"
+    clusterBy match {
+      case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
+        RecordSource.confFrom(confProps))
+      case None => new RecordDataWriter(schema, base,
+        RecordSource.confFrom(confProps))
+    }
+  }
 }
 
 /** Serializes one partition's rows as JSONL records. `_record_id` maps to
@@ -1279,4 +1429,66 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
 
   override def close(): Unit =
     if (!closed) { w.close(); closed = true }
+}
+
+private[v2] object ClusteredRecordDataWriter {
+  /** Per-task open-key cap: each key holds an open stream + zone
+    * collector, and the in-task routing table cannot spill. Past it the
+    * write FAILS LOUDLY naming the fix (repartition by the cluster
+    * column so each task sees few keys) instead of exhausting file
+    * handles mid-write. */
+  val MaxKeysPerTask = 256
+}
+
+/** Routes each row to a per-key staged file, so every committed file is
+  * KEY-PURE in the cluster column — its zone sidecar has min == max ==
+  * the key, which is what lets the scan report KeyGroupedPartitioning
+  * and a same-keyed join skip its exchanges entirely
+  * ([[RecordScan.outputPartitioning]]). NULL cluster keys are rejected
+  * loudly (a null-keyed file would poison the whole table's clustering
+  * claim). Callers should `df.repartition(col(k))` first so each key's
+  * rows meet in one task — the writer still commits correctly without
+  * it, just with one file per (task, key) instead of per key. */
+private[v2] class ClusteredRecordDataWriter(schema: StructType,
+    clusterBy: String, stagedBase: String,
+    conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+  private val ki = schema.fieldNames.indexOf(clusterBy)
+  require(ki >= 0, s"clusterBy column '$clusterBy' absent from write schema")
+  private val base = stagedBase.stripSuffix(".jsonl")
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Any, RecordDataWriter]
+
+  private def keyOf(row: InternalRow): Any = schema.fields(ki).dataType match {
+    case StringType => row.getUTF8String(ki).toString
+    case DoubleType => row.getDouble(ki)
+    case BooleanType => row.getBoolean(ki)
+    case TimestampType => row.getLong(ki)
+    case DateType => row.getInt(ki)
+    case dt => throw new IllegalArgumentException(
+      s"clusterBy '$clusterBy': $dt is not a zone-trackable scalar type")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(ki),
+      s"clustered write: NULL in cluster column '$clusterBy' — filter " +
+        "nulls out (or write them to a separate unclustered table)")
+    val w = writers.getOrElseUpdate(keyOf(row), {
+      require(writers.size < ClusteredRecordDataWriter.MaxKeysPerTask,
+        s"clustered write exceeded MaxKeysPerTask=" +
+          s"${ClusteredRecordDataWriter.MaxKeysPerTask} distinct " +
+          s"'$clusterBy' keys in one task — repartition by the cluster " +
+          "column first so each task sees few keys")
+      new RecordDataWriter(schema, s"$base-k${writers.size}.jsonl", conf)
+    })
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    RecordMultiCommitMessage(writers.values.map(_.commit()).map {
+      case RecordCommitMessage(f, z) => (f, z)
+      case other => throw new IllegalStateException(s"unexpected: $other")
+    }.toSeq)
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
