@@ -636,4 +636,58 @@ object Similarity {
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication where K-MEANS CELLS bucket the corpus — exact cosine
+    * pairs expand only WITHIN a cell (cosine is scale-invariant, so a
+    * scaled duplicate always lands in its original's cell), duplicate
+    * groups are connected components over the in-cell pair graph, and
+    * each group keeps the member FARTHEST from its cell centroid (the
+    * paper's policy: the least prototypical example carries the most
+    * information; ties break to the smaller id). Complements the
+    * LSH-bucketed q114 path: there the bucketing is random hyperplanes,
+    * here it is learned geometry, so near-dups that straddle an LSH
+    * bucket boundary still meet.
+    *
+    * Scale: one shuffle by cell for the pair join; per-cell expansion is
+    * quadratic, so cells are capped LOUDLY (`maxCell`) — at 100 TB you
+    * raise k (more, smaller cells), not the cap. The cell-count probe
+    * collects k rows (one per centroid), never data.
+    *
+    * Returns (id, cell, grp, cos_c, kept). */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], threshold: Double,
+      maxCell: Long = 1000000L): DataFrame = {
+    require(centroids.nonEmpty, "semDedup needs centroids")
+    val e = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("cell", ivfAssign(col("v"), centroids))
+    val sizes = e.groupBy("cell").count().collect() // k rows, bounded
+    sizes.foreach { r =>
+      require(r.getLong(1) <= maxCell,
+        s"semDedup cell ${r.get(0)} holds ${r.getLong(1)} vectors > " +
+          s"maxCell=$maxCell — in-cell pair expansion is quadratic; " +
+          "raise k (more, smaller cells) instead of the cap")
+    }
+    val pairs = e.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(e.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    val comp = Components.connectedComponentsStar(pairs, "id_a", "id_b")
+      .select(col("node").as("id"), col("label"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "cv")
+    val scored = e.join(broadcast(centDf), "cell")
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("cos_c").asc, col("id").asc)
+    scored.join(comp, Seq("id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("id")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("id", "cell", "grp", "cos_c", "kept")
+  }
 }

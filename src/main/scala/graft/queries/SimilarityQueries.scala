@@ -146,6 +146,32 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- SemDeDup: k-means cells -> in-cell cosine -> keep-farthest --
+    "q279_semdedup" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540) end to end: k-means cells bucket
+      // the corpus (cosine is scale-invariant, so q114's scaled
+      // duplicates land in their originals' cells by construction),
+      // exact cosine pairs expand ONLY within a cell, duplicate groups
+      // are connected components, and each group keeps the member
+      // FARTHEST from its cell centroid — the paper's keep-the-least-
+      // prototypical policy, the opposite of q114's min-id canonical.
+      // The oracle replays assignment (argmax cosine, ties to the
+      // larger cell, the q68 convention), in-cell pairs, recursive-CTE
+      // components, and the keep window, all on exact double folds.
+      val e = rd(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val aug = e.select("vec_id", "embedding").unionByName(dup)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      Similarity.semDedup(aug, "vec_id", "embedding", cents,
+          threshold = 0.999)
+        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("grp"), r(col("cos_c"), 6).as("cos_c"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+
     // ----- ANN top-k via persisted LSH index (partition-pruned probe) --
     "q30_ann_topk" -> ((s, dir) => {
       // build-once/probe-many (cachedIndexPath): codes are computed in ONE
@@ -512,6 +538,60 @@ private[graft] object SimilarityQueries {
         |  (coalesce(l.label, a.vec_id) = a.vec_id) AS kept
         |FROM aug a LEFT JOIN lab l ON a.vec_id = l.node
         |ORDER BY a.vec_id""".stripMargin),
+
+
+    // assignment = q68's argmax convention; components = q114's
+    // recursive-CTE pattern; keep = min (cos-to-centroid, id) per group
+    "q279_semdedup" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, [CAST(x * CAST(2.0 AS FLOAT) AS FLOAT) FOR x IN embedding]
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |cent AS (SELECT vec_id AS cell, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT a.vec_id, a.embedding, c.cell,
+        |  list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(a.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos
+        |  FROM aug a CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+        |            FOR d IN range(1, len(a.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(a.embedding[d] AS DOUBLE) * CAST(a.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(a.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(b.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(b.embedding) + 1)]))) >= 0.999),
+        |ed AS (SELECT id_a AS x, id_b AS y FROM prs
+        |       UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT x, x FROM ed
+        |  UNION
+        |  SELECT e2.x, r.label FROM ed e2 JOIN reach r ON e2.y = r.node),
+        |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |cosc AS (SELECT g.vec_id, g.cell,
+        |  list_sum([CAST(g.embedding[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |            FOR d IN range(1, len(g.embedding) + 1)]) /
+        |  (sqrt(list_sum([CAST(g.embedding[d] AS DOUBLE) * CAST(g.embedding[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(g.embedding) + 1)])) *
+        |   sqrt(list_sum([CAST(c.cv[d] AS DOUBLE) * CAST(c.cv[d] AS DOUBLE)
+        |                  FOR d IN range(1, len(c.cv) + 1)]))) AS cos_c
+        |  FROM asg g JOIN cent c ON g.cell = c.cell),
+        |grp AS (SELECT c.vec_id, c.cell,
+        |  coalesce(l.label, c.vec_id) AS grp, c.cos_c
+        |  FROM cosc c LEFT JOIN lab l ON c.vec_id = l.node)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(grp AS BIGINT) AS grp,
+        |  floor(cos_c * 1000000 + 0.5) / 1000000 AS cos_c,
+        |  (row_number() OVER (PARTITION BY grp ORDER BY cos_c ASC, vec_id ASC) = 1) AS kept
+        |FROM grp ORDER BY vec_id""".stripMargin,
 
 
     "q30_ann_topk" ->
