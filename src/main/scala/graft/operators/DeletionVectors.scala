@@ -128,6 +128,7 @@ object DeletionVectors {
           s"dv-materialize rename failed: $staged -> $newName")
       fs.delete(DeletionVector.sidecar(dir, name), false)
       fs.delete(ZoneMap.sidecar(dir, name), false)
+      fs.delete(graft.sources.v2.BloomSidecar.sidecar(dir, name), false)
       fs.delete(new Path(dir, name), false)
       fs.delete(markerPath(dir, s"$runId-f$k"), false)
     }
@@ -175,6 +176,7 @@ object DeletionVectors {
       if (fs.exists(newFile)) {
         fs.delete(DeletionVector.sidecar(dir, old), false)
         fs.delete(ZoneMap.sidecar(dir, old), false)
+        fs.delete(graft.sources.v2.BloomSidecar.sidecar(dir, old), false)
         fs.delete(new Path(dir, old), false)
       } else fs.delete(staged, false) // never committed; old is intact
       fs.delete(mp, false)

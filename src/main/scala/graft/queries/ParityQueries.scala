@@ -475,6 +475,42 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- bloom-sidecar point-lookup index (lakehouse) --------------
+    "q280_bloom_index_lookup" -> ((s, dir) => {
+      // customer landed as SIX record files with a bloom sidecar on
+      // _record_id (16 bits/key MD5 double hashing): point and IN-list
+      // lookups prune files by definite bloom misses before any byte is
+      // read (BloomSidecarSpec pins the opened-file counts; here the
+      // oracle pins that pruning loses nothing). Zone maps cannot give
+      // this: random-looking ids make every file's min/max range
+      // overlap every other's. At 100 TB an id probe opens a handful
+      // of files instead of the fleet.
+      val out = scratchPath(dir, "q280_records")
+      val cust = rd(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+        col("c_mktsegment").as("Segment"),
+        col("c_acctbal").cast("double").as("Bal"),
+        col("c_custkey").cast("double").as("Key"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      (0 until 6).foreach { b =>
+        cust.filter(col("Key") % 6 === b).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .option("bloomFilterColumns", "_record_id")
+          .mode("append").save()
+      }
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", "Segment:singleLineText,Bal:number,Key:number")
+        .load()
+        .filter(col("_record_id")
+          .isin("c1", "c7", "c42", "c139", "c-no-such-id"))
+        .select(col("_record_id"), col("Segment"),
+          col("Bal"), col("Key").cast("long").as("custkey"))
+        .orderBy("_record_id")
+    }),
+
+
     // ----- merge-on-read DELETE via deletion vectors (lakehouse) -----
     "q277_deletion_vectors" -> ((s, dir) => {
       // two DELETE waves write per-file deletion vectors — metadata
@@ -1450,6 +1486,18 @@ private[graft] object ParityQueries {
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle never sees the bloom sidecars: pruned point lookups
+    // must reproduce a plain key filter (c_acctbal is DOUBLE both ways)
+    "q280_bloom_index_lookup" ->
+      """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS _record_id,
+        |  c_mktsegment AS Segment,
+        |  CAST(c_acctbal AS DOUBLE) AS Bal,
+        |  CAST(c_custkey AS BIGINT) AS custkey
+        |FROM customer
+        |WHERE c_custkey IN (1, 7, 42, 139)
+        |ORDER BY _record_id""".stripMargin,
 
 
     // the oracle never sees the clustered layout: the write→cluster→

@@ -131,6 +131,9 @@ object RecordCompaction {
           s"compaction rename failed: $stagedFile -> $newName")
       names.foreach { n =>
         fs.delete(ZoneMap.sidecar(dir, n), false)
+        // a merged file gets no bloom (advisory — absent is unpruned,
+        // never wrong); the inputs' blooms must not outlive them
+        fs.delete(BloomSidecar.sidecar(dir, n), false)
         fs.delete(new Path(dir, n), false)
       }
       fs.delete(markerPath(dir, s"$runId-g$g"), false)
@@ -185,6 +188,7 @@ object RecordCompaction {
       if (fs.exists(newFile)) {
         olds.foreach { o =>
           fs.delete(ZoneMap.sidecar(dir, o), false)
+          fs.delete(BloomSidecar.sidecar(dir, o), false)
           fs.delete(new Path(dir, o), false)
         }
       } else {

@@ -177,8 +177,21 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       }
       k
     }
+    val bloomCols = Option(info.options.get("bloomFilterColumns"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    bloomCols.foreach { c =>
+      require(info.schema().fieldNames.contains(c),
+        s"bloomFilterColumns column '$c' absent from the write schema")
+      require(info.schema()(c).dataType == StringType,
+        s"bloomFilterColumns '$c': point-lookup blooms index STRING " +
+          s"columns (ids); ${info.schema()(c).dataType} ranges belong " +
+          "to zone maps")
+    }
+    val bloomBits = Option(info.options.get("bloomBits")).map(_.toInt)
+      .getOrElse(BloomSidecar.DefaultBits)
     new RecordWriteBuilder(info.schema(), info.queryId(),
-      resolvedPath(info.options()), sessionConfProps, clusterBy)
+      resolvedPath(info.options()), sessionConfProps, clusterBy,
+      bloomCols, bloomBits)
   }
 }
 
@@ -388,8 +401,18 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       }.toArray
     case None =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+      // zone maps answer ranges; bloom sidecars answer POINT lookups on
+      // high-cardinality columns (an id equality prunes ~99% of files a
+      // min/max span cannot). Both advisory, both composed with runtime
+      // (DPP) filters — an In(...) arriving from a join build side
+      // prunes files here before any byte is read.
+      val pointPreds = effectiveFilters
       ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
           effectiveFilters, fs)
+        .filter { case (f, _) =>
+          BloomSidecar.load(fs, f).forall(bls =>
+            pointPreds.forall(BloomSidecar.mayMatch(_, bls)))
+        }
         .map { case (f, _) => RecordInputPartition(f): InputPartition }
   }
 
@@ -1132,18 +1155,21 @@ private[v2] object RecordWriteSupport {
 
 private[v2] class RecordWriteBuilder(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String],
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   // SaveMode.Overwrite arrives as truncate() on the builder
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write =
-    new RecordWrite(schema, queryId, path, confProps, truncateFirst, clusterBy)
+    new RecordWrite(schema, queryId, path, confProps, truncateFirst,
+      clusterBy, bloomCols, bloomBits)
 }
 
 private[v2] class RecordWrite(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String], truncateFirst: Boolean,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming
@@ -1159,7 +1185,8 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RecordWriterFactory(schema,
-      RecordWriteSupport.stagingDir(path, queryId), confProps, clusterBy)
+      RecordWriteSupport.stagingDir(path, queryId), confProps, clusterBy,
+      bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = RecordSource.confFrom(confProps)
@@ -1171,8 +1198,10 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
         .foreach(st => fs.delete(st.getPath, false))
       // truncated files' sidecars must not describe the replacements
       fs.delete(new org.apache.hadoop.fs.Path(dest, ZoneMap.Dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dest, BloomSidecar.Dir), true)
     }
-    messages.flatMap(RecordCommitMessage.partsOf).foreach { case (staged, zoneJson) =>
+    messages.flatMap(RecordCommitMessage.partsOf).foreach {
+      case (staged, zoneJson, bloomJson) =>
       val src = new org.apache.hadoop.fs.Path(staged)
       val to = new org.apache.hadoop.fs.Path(dest, src.getName)
       // sidecar BEFORE the data file becomes visible: a reader that can
@@ -1180,6 +1209,7 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       // the reverse orphan — sidecar without file after a crash here —
       // is inert)
       ZoneMap.write(fs, dest, src.getName, zoneJson)
+      bloomJson.foreach(BloomSidecar.write(fs, dest, src.getName, _))
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records commit failed moving $src -> $to")
@@ -1200,20 +1230,22 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
   * the driver, which writes the sidecar at commit — stats ride the commit
   * protocol, so a sidecar exists if and only if its file was committed. */
 private[v2] case class RecordCommitMessage(stagedFile: String,
-    zoneJson: String) extends WriterCommitMessage
+    zoneJson: String, bloomJson: Option[String] = None)
+    extends WriterCommitMessage
 
-/** A clustered task's commit: one (stagedFile, zoneJson) pair PER KEY the
-  * task saw ([[ClusteredRecordDataWriter]]). */
+/** A clustered task's commit: one (stagedFile, zoneJson, bloomJson)
+  * triple PER KEY the task saw ([[ClusteredRecordDataWriter]]). */
 private[v2] case class RecordMultiCommitMessage(
-    parts: Seq[(String, String)]) extends WriterCommitMessage
+    parts: Seq[(String, String, Option[String])]) extends WriterCommitMessage
 
 private[v2] object RecordCommitMessage {
-  /** Normalize either message shape to its (stagedFile, zoneJson) pairs. */
-  def partsOf(m: WriterCommitMessage): Seq[(String, String)] = m match {
-    case RecordCommitMessage(f, z) => Seq((f, z))
-    case RecordMultiCommitMessage(ps) => ps
-    case other => throw new IllegalStateException(s"foreign commit: $other")
-  }
+  /** Normalize either message shape to (stagedFile, zoneJson, bloomJson). */
+  def partsOf(m: WriterCommitMessage): Seq[(String, String, Option[String])] =
+    m match {
+      case RecordCommitMessage(f, z, b) => Seq((f, z, b))
+      case RecordMultiCommitMessage(ps) => ps
+      case other => throw new IllegalStateException(s"foreign commit: $other")
+    }
 }
 
 /** STREAMING_WRITE for `graft-records`: per-epoch staged two-phase
@@ -1278,12 +1310,15 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
       .filter(_.getName.startsWith(attemptPrefix))
       .foreach { p =>
         fs.delete(ZoneMap.sidecar(dest, p.getName), false) // stale attempt's stats
+        fs.delete(BloomSidecar.sidecar(dest, p.getName), false)
         fs.delete(p, false)
       }
-    messages.flatMap(RecordCommitMessage.partsOf).foreach { case (staged, zoneJson) =>
+    messages.flatMap(RecordCommitMessage.partsOf).foreach {
+      case (staged, zoneJson, bloomJson) =>
       val src = new Path(staged)
       val to = new Path(dest, src.getName)
       ZoneMap.write(fs, dest, src.getName, zoneJson) // before visibility, as in batch
+      bloomJson.foreach(BloomSidecar.write(fs, dest, src.getName, _))
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records epoch $epochId commit failed moving $src -> $to")
@@ -1320,14 +1355,15 @@ private[v2] class RecordStreamingWriterFactory(schema: StructType,
 
 private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
     confProps: Map[String, String],
-    clusterBy: Option[String] = None) extends DataWriterFactory {
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val base = f"$stagingDir/part-$partitionId%05d-$taskId.jsonl"
     clusterBy match {
       case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
-        RecordSource.confFrom(confProps))
+        RecordSource.confFrom(confProps), bloomCols, bloomBits)
       case None => new RecordDataWriter(schema, base,
-        RecordSource.confFrom(confProps))
+        RecordSource.confFrom(confProps), bloomCols, bloomBits)
     }
   }
 }
@@ -1339,7 +1375,9 @@ private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
   * NULLs omitted (sparse records, the wire format's convention — the
   * reader returns NULL for absent fields, so the round trip is exact). */
 private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits)
     extends DataWriter[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -1350,6 +1388,10 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
   private var closed = false
   // per-file zone-map stats, committed alongside the file (ZoneMap doc)
   private val zone = new ZoneMap.Collector(schema)
+  // per-file point-lookup blooms (BloomSidecar doc); fixed-size bitsets,
+  // fed the same values the reader will see
+  private val blooms = bloomCols.map(c => new BloomSidecar.Collector(c, bloomBits))
+  private val bloomIdx = bloomCols.map(schema.fieldNames.indexOf(_))
 
   private def isoMicros(micros: Long): String =
     java.time.format.DateTimeFormatter.ISO_INSTANT.format(
@@ -1411,6 +1453,10 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
     val idIdx = schema.fieldNames.indexOf("_record_id")
     if (idIdx >= 0) zone.observe(idIdx, finalId)
     zone.rowDone()
+    blooms.zip(bloomIdx).foreach { case (b, i) =>
+      if (b.column == "_record_id") b.add(finalId)
+      else if (!row.isNullAt(i)) b.add(row.getUTF8String(i).toString)
+    }
     root.set("fields", fields)
     w.write(mapper.writeValueAsString(root))
     w.newLine()
@@ -1418,7 +1464,8 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
 
   override def commit(): WriterCommitMessage = {
     w.flush(); w.close(); closed = true
-    RecordCommitMessage(stagedFile, zone.toJson)
+    RecordCommitMessage(stagedFile, zone.toJson,
+      if (blooms.isEmpty) None else Some(BloomSidecar.render(blooms)))
   }
 
   override def abort(): Unit = {
@@ -1451,7 +1498,9 @@ private[v2] object ClusteredRecordDataWriter {
   * it, just with one file per (task, key) instead of per key. */
 private[v2] class ClusteredRecordDataWriter(schema: StructType,
     clusterBy: String, stagedBase: String,
-    conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+    conf: org.apache.hadoop.conf.Configuration,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits) extends DataWriter[InternalRow] {
   private val ki = schema.fieldNames.indexOf(clusterBy)
   require(ki >= 0, s"clusterBy column '$clusterBy' absent from write schema")
   private val base = stagedBase.stripSuffix(".jsonl")
@@ -1478,14 +1527,15 @@ private[v2] class ClusteredRecordDataWriter(schema: StructType,
           s"${ClusteredRecordDataWriter.MaxKeysPerTask} distinct " +
           s"'$clusterBy' keys in one task — repartition by the cluster " +
           "column first so each task sees few keys")
-      new RecordDataWriter(schema, s"$base-k${writers.size}.jsonl", conf)
+      new RecordDataWriter(schema, s"$base-k${writers.size}.jsonl", conf,
+        bloomCols, bloomBits)
     })
     w.write(row)
   }
 
   override def commit(): WriterCommitMessage =
     RecordMultiCommitMessage(writers.values.map(_.commit()).map {
-      case RecordCommitMessage(f, z) => (f, z)
+      case RecordCommitMessage(f, z, b) => (f, z, b)
       case other => throw new IllegalStateException(s"unexpected: $other")
     }.toSeq)
 
