@@ -274,6 +274,48 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- Avro container round-trip (ingest-tier format breadth) ----
+    "q281_avro_roundtrip" -> ((s, dir) => {
+      // Avro OCF out (4 deflate containers, nullable lang as a null
+      // union), re-read one task per container, aggregate ≡ source
+      // aggregate — the row-major interchange format the CSV/JSONL/ORC
+      // family lacked. The writer/reader pair is the upstream Avro Java
+      // library already on Spark's classpath; the engine work is the
+      // task-parallel plumbing and the Catalyst↔Avro schema mapping.
+      // NULL langs round-trip through the union (grouped under the
+      // oracle's NULL row), so sparsity survives structurally.
+      val out = scratchPath(dir, "q281_avro")
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val src = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          // the fixture has no null langs — inject some so the union
+          // branch is genuinely exercised, not just declared
+          when(col("doc_id") % 11 === 0, lit(null))
+            .otherwise(col("lang")).as("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          (col("doc_id") % 3 === 0).as("flagged"))
+      graft.operators.AvroIngest.writeContainers(src.repartition(4), out)
+      graft.operators.AvroIngest.readContainers(s, out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("flagged",
+              org.apache.spark.sql.types.BooleanType))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("flagged"), col("doc_id")).otherwise(0L))
+            .as("flagged_id_sum"))
+        .orderBy("lang")
+    }),
+
+
     // ----- semi-join (E2) --------------------------------------------
     "q10_semi_join" -> ((s, dir) => {
       rd(s, dir, "customer")
@@ -1428,6 +1470,16 @@ private[graft] object ParityQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value,
         |  CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_sec
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle only ever sees the source table: content must survive
+    // the write-containers/read-containers chain exactly, nulls included
+    "q281_avro_roundtrip" ->
+      """SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS flagged_id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_semi_join" ->
       """SELECT c_custkey FROM customer
