@@ -90,6 +90,14 @@ object DeletionVectors {
         live
       }
     if (vectored.isEmpty) return 0
+    // materialize DELETES the vectored originals — a live snapshot
+    // manifest still referencing one would dangle (expire first)
+    val snapRefs = graft.sources.v2.Snapshots.referencedFiles(fs, dir)
+    val pinned = vectored.filter(snapRefs.contains)
+    require(pinned.isEmpty,
+      s"dv-materialize: ${pinned.length} vectored file(s) are referenced " +
+        s"by live snapshots (${pinned.take(3).mkString(", ")}…) — " +
+        "Snapshots.expire the old manifests first")
     val runId = java.util.UUID.randomUUID().toString.take(12)
     val stagingName = s"_staging-dvmat-$runId"
 

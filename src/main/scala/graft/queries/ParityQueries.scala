@@ -517,6 +517,56 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- snapshot manifests + versionAsOf time travel --------------
+    "q282_time_travel" -> ((s, dir) => {
+      // three table states, one directory: v1 freezes the first slice
+      // BEFORE any delete; v2 freezes slices 0+1 after the first
+      // merge-on-read delete; live adds a second delete and a third
+      // slice. Each versionAsOf read must replay its frozen file set
+      // AND frozen deletion-vector state — v1 still sees rows both
+      // later deletes removed, v2 sees the first delete but not the
+      // second. The oracle recomputes all three states from the
+      // append/delete ordering alone.
+      val out = scratchPath(dir, "q282_records")
+      val types = "DocId:number,Chars:number"
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("n_chars").cast("double").as("Chars"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      def slice(k: Int): Unit =
+        docs.filter(col("DocId") % 3 === k).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .mode("append").save()
+      slice(0)
+      graft.operators.LakeSnapshots.commit(s, out) // v1
+      slice(1)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out) // v2
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      slice(2)
+      def phase(tag: String, v: Option[Long]) = {
+        val r = s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types)
+        v.fold(r)(n => r.option("versionAsOf", n.toString)).load()
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("Chars").cast("long")).as("sum_chars"),
+            sum(col("DocId").cast("long")).as("id_sum"))
+          .withColumn("phase", lit(tag))
+      }
+      phase("v1", Some(1L))
+        .unionByName(phase("v2", Some(2L)))
+        .unionByName(phase("zlive", None))
+        .select("phase", "n_docs", "sum_chars", "id_sum")
+        .orderBy("phase")
+    }),
+
+
     // ----- bloom-sidecar point-lookup index (lakehouse) --------------
     "q280_bloom_index_lookup" -> ((s, dir) => {
       // customer landed as SIX record files with a bloom sidecar on
@@ -1538,6 +1588,33 @@ private[graft] object ParityQueries {
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the three frozen states recomputed from the append/delete order:
+    // v1 = slice 0 untouched; v2 = slices 0+1 minus the chars delete;
+    // live = slices 0+1 minus both deletes, plus slice 2 untouched
+    // (the second delete ran BEFORE slice 2 landed, so slice 2 keeps
+    // its doc_id%10=7 rows — position-based deletes never chase
+    // late-arriving data)
+    "q282_time_travel" ->
+      """WITH s01 AS (SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)),
+        |v1 AS (SELECT 'v1' AS phase, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (SELECT 'v2', COUNT(*),
+        |    CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+        |  FROM s01 WHERE NOT coalesce(n_chars < 200, FALSE)),
+        |live AS (SELECT 'zlive', COUNT(*),
+        |    CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+        |  FROM (SELECT doc_id, n_chars FROM s01
+        |        WHERE NOT coalesce(n_chars < 200, FALSE)
+        |          AND NOT (doc_id % 10 = 7)
+        |        UNION ALL
+        |        SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |UNION ALL SELECT * FROM live ORDER BY phase""".stripMargin,
 
 
     // the oracle never sees the bloom sidecars: pruned point lookups

@@ -77,6 +77,14 @@ object RecordCompaction {
         s"deletion vectors (${dvd.take(3).mkString(", ")}…) — run " +
         "DeletionVectors.materialize first (it rewrites those files " +
         "without the deleted rows and drops the sidecars)")
+    // compaction DELETES its inputs — a live snapshot manifest still
+    // referencing one would dangle (vacuum's contract: expire first)
+    val snapRefs = Snapshots.referencedFiles(fs, dir)
+    val pinned = files.map(_._1).filter(snapRefs.contains)
+    require(pinned.isEmpty,
+      s"graft-records compaction: ${pinned.length} input file(s) are " +
+        s"referenced by live snapshots (${pinned.take(3).mkString(", ")}…)" +
+        " — Snapshots.expire the old manifests first")
     if (files.length < 2) return 0
 
     import spark.implicits._

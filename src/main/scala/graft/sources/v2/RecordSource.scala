@@ -161,8 +161,15 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       }
       k
     }
+    val versionAsOf = Option(options.get("versionAsOf")).map { v =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"versionAsOf '$v' is not an integer") }
+      require(n > 0, s"versionAsOf $n must be positive")
+      n
+    }
     new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
-      mode, maxFiles, clusterBy)
+      mode, maxFiles, clusterBy, versionAsOf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -218,7 +225,8 @@ private[v2] object RecordScanBuilder {
 private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String], mode: String = "FAILFAST",
     maxFilesPerTrigger: Option[Int] = None,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -332,7 +340,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
       pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
-      maxFilesPerTrigger, clusterBy)
+      maxFilesPerTrigger, clusterBy, versionAsOf)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
@@ -341,13 +349,38 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
     maxFilesPerTrigger: Option[Int] = None,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
 
   private def hadoopConf: org.apache.hadoop.conf.Configuration =
     RecordSource.confFrom(confProps)
+
+  // --- time travel (versionAsOf): the snapshot manifest replaces BOTH
+  // the directory listing (appends after the snapshot are invisible)
+  // and each file's live deletion vector (deletes after it are
+  // reversed by the inlined DV state). None = live table.
+  private lazy val snapshot: Option[Snapshots.Manifest] = versionAsOf.map { v =>
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    Snapshots.load(fs, path, v)
+  }
+
+  /** The scan's candidate data files (full paths): frozen set for a
+    * snapshot read, live listing otherwise. */
+  private def candidateFiles: Array[String] = snapshot match {
+    case Some(m) => m.files.map { case (n, _) =>
+      new org.apache.hadoop.fs.Path(path, n).toString }.toArray
+    case None => RecordScan.listDataFiles(path, hadoopConf)
+  }
+
+  /** For a snapshot read: full path -> the DV json AT COMMIT TIME (None
+    * = nothing was deleted then, even if a live DV exists now). */
+  private def dvOverrides: Option[Map[String, Option[String]]] =
+    snapshot.map(_.files.map { case (n, dv) =>
+      new org.apache.hadoop.fs.Path(path, n).toString -> dv
+    }.toMap)
   override def readSchema(): StructType = readSchema
   override def description(): String =
     s"RecordScan(path=$path, ReadSchema=${readSchema.simpleString}, " +
@@ -407,8 +440,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       // (DPP) filters — an In(...) arriving from a join build side
       // prunes files here before any byte is read.
       val pointPreds = effectiveFilters
-      ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
-          effectiveFilters, fs)
+      ZoneMap.pruneFiles(candidateFiles, effectiveFilters, fs)
         .filter { case (f, _) =>
           BloomSidecar.load(fs, f).forall(bls =>
             pointPreds.forall(BloomSidecar.mayMatch(_, bls)))
@@ -435,8 +467,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
           "storage-partitioned scan (select it, or drop the option)")
       val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
       // static filters only: the key set is fixed at planning time
-      val kept = ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
-        filters, fsys)
+      val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys)
       kept.toSeq.map { case (f, zOpt) =>
         val z = zOpt.getOrElse(throw new IllegalStateException(
           s"clusterBy '$k': $f has no zone sidecar — not a clustered " +
@@ -483,18 +514,23 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     * feed join sizing (broadcast decisions) and DPP's benefit heuristic. */
   override def estimateStatistics(): Statistics = {
     val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
-    val kept = ZoneMap.pruneFiles(RecordScan.listDataFiles(path, hadoopConf),
-      filters, fsys)
+    val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys)
     val bytes = kept.map { case (f, _) =>
       fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
     }.sum
     // merge-on-read: deletion-vector'd rows never reach the scan, so the
     // planning row count subtracts each kept file's rows_deleted —
-    // broadcast decisions must see the post-delete cardinality
+    // broadcast decisions must see the post-delete cardinality. A
+    // snapshot read subtracts the MANIFEST's DV state, not the live one.
+    val dvOf: String => Long = dvOverrides match {
+      case Some(m) => f => m.getOrElse(f, None)
+        .map(DeletionVector.parse(_).count).getOrElse(0L)
+      case None => f => DeletionVector.load(fsys, f).map(_.count).getOrElse(0L)
+    }
     val rows: java.util.OptionalLong =
       if (kept.forall(_._2.isDefined))
         java.util.OptionalLong.of(kept.map { case (f, z) =>
-          z.get.rows - DeletionVector.load(fsys, f).map(_.count).getOrElse(0L)
+          z.get.rows - dvOf(f)
         }.sum)
       else java.util.OptionalLong.empty()
     new Statistics {
@@ -506,12 +542,16 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps,
-      effectiveFilters, topN, limit, agg, mode)
+      effectiveFilters, topN, limit, agg, mode, dvOverrides)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "versionAsOf is a batch-read option — a stream tails the LIVE " +
+        "table (a frozen snapshot has no new files to deliver)")
     new RecordMicroBatchStream(readSchema, fullSchema, path, confProps,
       filters, mode, maxFilesPerTrigger)
+  }
 }
 
 private[v2] object RecordScan {
@@ -666,19 +706,21 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec], mode: String = "FAILFAST") extends PartitionReaderFactory {
+    agg: Option[PushedAggSpec], mode: String = "FAILFAST",
+    dvOverrides: Option[Map[String, Option[String]]] = None)
+    extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case RecordInputPartition(file) =>
         new RecordPartitionReader(file, readSchema, fullSchema,
-          conf, filters, topN, limit, agg, mode)
+          conf, filters, topN, limit, agg, mode, dvOverrides)
       case RecordKeyedPartition(files, _) =>
         // a key group reads its files back to back; pushed limit/topN/agg
         // stay per-file partials (Spark re-applies the global step)
         new ConcatPartitionReader(files.iterator.map(f =>
           () => new RecordPartitionReader(f, readSchema, fullSchema,
-            conf, filters, topN, limit, agg, mode)))
+            conf, filters, topN, limit, agg, mode, dvOverrides)))
       case other => throw new IllegalStateException(s"foreign partition: $other")
     }
 }
@@ -712,7 +754,8 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     fullSchema: StructType, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
-    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST")
+    agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
+    dvOverrides: Option[Map[String, Option[String]]] = None)
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.sources._
@@ -725,7 +768,12 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   // marks are skipped before parsing (a deleted malformed line no longer
   // aborts FAILFAST — deleted rows are gone in every sense). Loading is
   // strict: an unreadable sidecar fails the scan (DeletionVector.load).
-  private val dv: Option[DeletionVector.Vector] = DeletionVector.load(fs, file)
+  // A snapshot read (versionAsOf) uses the MANIFEST's frozen DV state
+  // instead of the live sidecar — deletes after the snapshot reverse.
+  private val dv: Option[DeletionVector.Vector] = dvOverrides match {
+    case Some(m) => m.getOrElse(file, None).map(DeletionVector.parse)
+    case None => DeletionVector.load(fs, file)
+  }
   private val in = fs.open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
