@@ -42,13 +42,31 @@ object DeletionVectors {
     * Sidecar writes run ON THE EXECUTORS, one task per touched file;
     * the returned summary is one row per touched file. */
   def delete(spark: SparkSession, path: String, fieldTypes: String,
-      condition: Column): Seq[FileDelete] = {
+      condition: Column): Seq[FileDelete] =
+    mark(spark, spark.read.format("graft-records")
+      .option("path", path).option("fieldTypes", fieldTypes).load()
+      .where(condition))
+
+  /** The SQL-DELETE entry ([[graft.sources.v2.RecordTable]] implements
+    * `SupportsDelete` with this): the analyzer hands the WHERE clause as
+    * source `Filter`s (pre-gated by `canDeleteWhere` = the pushdown
+    * surface), which re-enter the same metadata-only path. An EMPTY
+    * filter set is SQL's unconditional `DELETE FROM t` — every row
+    * marks. */
+  def deleteWhere(spark: SparkSession, path: String,
+      fullSchema: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[FileDelete] =
+    mark(spark, spark.read.format("graft-records").schema(fullSchema)
+      .option("path", path).load()
+      .where(filters.map(filterToColumn).reduceOption(_ && _)
+        .getOrElse(lit(true))))
+
+  private def mark(spark: SparkSession, matching: org.apache.spark.sql.DataFrame)
+      : Seq[FileDelete] = {
     import spark.implicits._
     val confProps = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-    val hits = spark.read.format("graft-records")
-      .option("path", path).option("fieldTypes", fieldTypes).load()
-      .where(condition)
+    val hits = matching
       .select(col("_file"), col("_pos"))
       .groupBy("_file")
       .agg(sort_array(collect_list(col("_pos"))).as("positions"))
@@ -59,6 +77,32 @@ object DeletionVectors {
       DeletionVector.write(fs, p.getParent, p.getName, positions)
       (file, positions.length.toLong)
     }.collect().toSeq.sortBy(_._1).map((FileDelete.apply _).tupled)
+  }
+
+  /** Source `Filter` -> `Column`, for the shapes `canDeleteWhere`
+    * admits (the RecordFilterEval.pushable surface). */
+  private def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case Not(i) => !filterToColumn(i)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case other => throw new IllegalArgumentException(
+        s"DELETE condition $other is outside the supported surface " +
+          "(canDeleteWhere should have refused it)")
+    }
   }
 
   /** Fold every deletion vector into a rewritten data file and drop the

@@ -517,6 +517,45 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- SQL catalog: CREATE/INSERT/DELETE/SELECT by name ----------
+    "q283_sql_catalog" -> ((s, dir) => {
+      // the whole lifecycle in SQL against the RecordCatalog: CREATE
+      // TABLE (field types derived from the declared columns), INSERT
+      // INTO from a view of the fixture, DELETE WHERE (routed through
+      // deletion vectors — metadata-only, and the strict V2→V1
+      // predicate conversion refuses anything outside the surface
+      // rather than half-applying), then the SELECT aggregate the
+      // oracle reproduces from the source table and the delete
+      // predicate alone. Catalog name is keyed by the warehouse (a
+      // catalog instance pins its warehouse at first use per session).
+      val wh = scratchPath(dir, "q283_wh")
+      val cat = "g283c" + (wh.hashCode.toLong & 0xffffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.orders_t")
+      s.sql(s"CREATE TABLE $cat.ns.orders_t " +
+        "(Status STRING, Price DOUBLE, Custkey DOUBLE)")
+      val view = s"q283_orders_${(wh.hashCode.toLong & 0xffffffffL)}"
+      rd(s, dir, "orders").createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.ns.orders_t
+           |SELECT concat('o', CAST(o_orderkey AS STRING)),
+           |  CAST(NULL AS TIMESTAMP),
+           |  o_orderstatus, CAST(o_totalprice AS DOUBLE),
+           |  CAST(o_custkey AS DOUBLE)
+           |FROM $view""".stripMargin)
+      s.sql(s"DELETE FROM $cat.ns.orders_t WHERE Price < 50000.0")
+      val out = s.sql(
+        s"""SELECT Status AS status, count(*) AS n_orders,
+           |  CAST(sum(CAST(Price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |  min(_record_id) AS min_id
+           |FROM $cat.ns.orders_t GROUP BY 1 ORDER BY 1""".stripMargin)
+        .localCheckpoint()
+      s.catalog.dropTempView(view)
+      out
+    }),
+
+
     // ----- snapshot manifests + versionAsOf time travel --------------
     "q282_time_travel" -> ((s, dir) => {
       // three table states, one directory: v1 freezes the first slice
@@ -1587,6 +1626,18 @@ private[graft] object ParityQueries {
         |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle sees only the source table and the delete predicate:
+    // the SQL CREATE/INSERT/DELETE/SELECT chain must reproduce it
+    "q283_sql_catalog" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN('o' || CAST(o_orderkey AS VARCHAR)) AS min_id
+        |FROM orders
+        |WHERE NOT coalesce(o_totalprice < 50000.0, FALSE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

@@ -1,0 +1,169 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** A `TableCatalog` over record lakes, giving the engine a full SQL
+  * surface by name:
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft",
+  *   "graft.sources.v2.RecordCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/lakes")
+  * spark.sql("CREATE TABLE graft.ns.t (Name STRING, Score DOUBLE)")
+  * spark.sql("INSERT INTO graft.ns.t SELECT ...")
+  * spark.sql("DELETE FROM graft.ns.t WHERE Score < 0")   // -> DVs
+  * spark.sql("SELECT ... FROM graft.ns.t VERSION AS OF 2") // -> snapshots
+  * }}}
+  * A table is a directory `<warehouse>/<ns...>/<name>` holding the
+  * record files plus a `_table.json` carrying the declared field types
+  * (the catalog's only metadata — everything else lives in the lake's
+  * own sidecars). The declared columns are the USER columns; the system
+  * columns `_record_id`/`_created_time` are prepended automatically,
+  * exactly as the path-based reads do. DELETE routes through deletion
+  * vectors ([[RecordTable.deleteWhere]]); `VERSION AS OF` pins the
+  * snapshot manifest into the loaded table's properties.
+  *
+  * Reference basis: the reference addresses tables by name through the
+  * Airtable metadata API (lib/AirtableDataFetcher.py:50); this is the
+  * same by-name surface on the engine's own storage. */
+class RecordCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+  private def tableDir(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace().toSeq :+ ident.name())
+      .mkString("/"))
+  private def metaPath(d: Path): Path = new Path(d, "_table.json")
+
+  /** Spark type -> source field-type tag (SchemaMapper's inverse). */
+  private def fieldTag(dt: DataType): String = dt match {
+    case StringType => "singleLineText"
+    case DoubleType => "number"
+    case BooleanType => "checkbox"
+    case DateType => "date"
+    case TimestampType => "dateTime"
+    case ArrayType(StringType, _) => "multipleSelects"
+    case other => throw new IllegalArgumentException(
+      s"graft catalog: unsupported column type $other (supported: " +
+        "STRING, DOUBLE, BOOLEAN, DATE, TIMESTAMP, ARRAY<STRING>)")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(metaPath(p)))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    d.getFileSystem(conf).exists(metaPath(d))
+  }
+
+  override def loadTable(ident: Identifier): Table = loadWith(ident, Map.empty)
+
+  /** SQL `VERSION AS OF <v>` time travel: the version pins the snapshot
+    * manifest into the table's properties, which the scan honors. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadWith(ident, Map("versionAsOf" -> version))
+
+  private def loadWith(ident: Identifier,
+      extraProps: Map[String, String]): Table = {
+    val d = tableDir(ident)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(metaPath(d)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace().toSeq :+ ident.name()))
+    val in = fs.open(metaPath(d))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
+    val fields = root.get("fields").elements().asScala.map(e =>
+      e.get("name").asText() -> e.get("type").asText()).toSeq
+    new RecordTable(RecordSource.fullSchema(fields),
+      Map("path" -> d.toString,
+        "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(","))
+        ++ extraProps)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    require(info.partitions().isEmpty,
+      "graft catalog: partition transforms are unsupported — cluster " +
+        "with the clusterBy WRITE option (storage-partitioned joins) " +
+        "or ZOrder.cluster instead")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace().toSeq :+ ident.name()))
+    // declared columns are the USER fields; system columns are implied
+    // (declaring them explicitly is tolerated and skipped)
+    val system = Set("_record_id", "_created_time")
+    val fields = info.schema().fields.toSeq
+      .filterNot(f => system.contains(f.name))
+      .map(f => f.name -> fieldTag(f.dataType))
+    val d = tableDir(ident)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("fields")
+    fields.foreach { case (k, v) =>
+      val e = arr.addObject(); e.put("name", k); e.put("type", v)
+    }
+    val out = fs.create(metaPath(d), false) // no clobber: create-once
+    out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    out.close()
+    new RecordTable(RecordSource.fullSchema(fields), Map(
+      "path" -> d.toString,
+      "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(",")))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is unsupported — record schemas are " +
+        "sparse (new fields appear by writing them; absent fields read " +
+        "as NULL), so evolve by recreating the catalog entry")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(metaPath(d))) false
+    else fs.delete(d, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val fd = tableDir(from)
+    val td = tableDir(to)
+    val fs = fd.getFileSystem(conf)
+    if (!fs.exists(metaPath(fd)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (from.namespace().toSeq :+ from.name()))
+    if (fs.exists(td))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((to.namespace().toSeq :+ to.name()))
+    fs.mkdirs(td.getParent)
+    if (!fs.rename(fd, td))
+      throw new java.io.IOException(s"rename $fd -> $td failed")
+  }
+}

@@ -98,9 +98,53 @@ private[v2] object RecordSource {
 
 private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
+
+  /** SQL `DELETE FROM t WHERE …` lands here (via [[RecordCatalog]]):
+    * merge-on-read through deletion vectors — one sidecar write per
+    * touched file, zero data-file rewrites
+    * ([[graft.operators.DeletionVectors.deleteWhere]]). The supported
+    * WHERE surface is exactly the pushdown surface; anything else is
+    * refused at analysis (Spark reports the table cannot delete that
+    * condition) rather than half-applied. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true // DELETE FROM t
+      case _: org.apache.spark.sql.sources.AlwaysFalse => true
+      case f => RecordFilterEval.pushable(f, schema)
+    }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    graft.operators.DeletionVectors.deleteWhere(
+      org.apache.spark.sql.SparkSession.active,
+      props.getOrElse("path",
+        throw new IllegalStateException("deleteWhere needs a table path")),
+      schema, filters)
+
+  // The V2-Predicate entry points are overridden because the DEFAULT
+  // conversion (SupportsDelete -> PredicateUtils.toV1) is lossy on
+  // boolean trees: `(Score % 2 = 0) OR (Score > 15)` silently became
+  // `Score > 15` — for a scan filter a lossy rewrite only loses
+  // pruning, but for a DELETE it deletes the WRONG ROW SET. The strict
+  // converter below recurses AND/OR/NOT itself and demands every leaf
+  // convert; one untranslatable leaf anywhere refuses the whole DELETE.
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    RecordTable.strictToV1(predicates).exists(canDeleteWhere)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    deleteWhere(RecordTable.strictToV1(predicates).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE condition ${predicates.mkString(" AND ")} is outside " +
+          "the supported surface (canDeleteWhere should have refused it)")))
 
   /** Hidden metadata columns (parquet's `_metadata` pattern): `_file` is
     * the data file's full path, `_pos` the row's 0-based physical line
@@ -161,7 +205,10 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       }
       k
     }
-    val versionAsOf = Option(options.get("versionAsOf")).map { v =>
+    // read option, or table property (the SQL `VERSION AS OF` path —
+    // RecordCatalog.loadTable(ident, version) pins it in props)
+    val versionAsOf = Option(options.get("versionAsOf"))
+      .orElse(props.get("versionAsOf")).map { v =>
       val n = try v.toLong catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"versionAsOf '$v' is not an integer") }
@@ -199,6 +246,92 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     new RecordWriteBuilder(info.schema(), info.queryId(),
       resolvedPath(info.options()), sessionConfProps, clusterBy,
       bloomCols, bloomBits)
+  }
+}
+
+private[v2] object RecordTable {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate}
+  import org.apache.spark.sql.sources._
+
+  /** STRICT V2-Predicate -> V1-Filter conversion: boolean structure is
+    * recursed (never dropped), leaves convert by hand with both operand
+    * orders handled, and ANY failure anywhere yields None for the whole
+    * set. Exists because Spark's default lossy conversion is sound for
+    * pruning but not for mutations (see [[RecordTable.deleteWhere]] —
+    * it turned `(a % 2 = 0) OR (b > 15)` into `b > 15`). */
+  def strictToV1(predicates: Array[Predicate]): Option[Array[Filter]] = {
+    def field(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def litVal(e: V2Expr): Option[Any] = e match {
+      case l: V2Literal[_] => Some(l.dataType() match {
+        case StringType => if (l.value() == null) null else l.value().toString
+        case TimestampType => l.value() match {
+          case micros: java.lang.Long => java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros.longValue, 1000000L),
+            Math.floorMod(micros.longValue, 1000000L) * 1000L)
+          case other => other
+        }
+        case DateType => l.value() match {
+          case days: java.lang.Integer =>
+            java.time.LocalDate.ofEpochDay(days.longValue)
+          case other => other
+        }
+        case _ => l.value()
+      })
+      case _ => None
+    }
+    def cmp(name: String, c: Array[V2Expr]): Option[Filter] = {
+      if (c.length != 2) return None
+      def build(attr: String, v: Any, flipped: Boolean): Option[Filter] =
+        if (v == null) None else (name, flipped) match {
+          case ("=", _) => Some(EqualTo(attr, v))
+          case ("<=>", _) => Some(EqualNullSafe(attr, v))
+          case (">", false) => Some(GreaterThan(attr, v))
+          case (">", true) => Some(LessThan(attr, v))
+          case (">=", false) => Some(GreaterThanOrEqual(attr, v))
+          case (">=", true) => Some(LessThanOrEqual(attr, v))
+          case ("<", false) => Some(LessThan(attr, v))
+          case ("<", true) => Some(GreaterThan(attr, v))
+          case ("<=", false) => Some(LessThanOrEqual(attr, v))
+          case ("<=", true) => Some(GreaterThanOrEqual(attr, v))
+          case _ => None
+        }
+      (field(c(0)), litVal(c(1)), field(c(1)), litVal(c(0))) match {
+        case (Some(a), Some(v), _, _) => build(a, v, flipped = false)
+        case (_, _, Some(a), Some(v)) => build(a, v, flipped = true)
+        case _ => None
+      }
+    }
+    def one(p: Predicate): Option[Filter] = p match {
+      case a: V2And => for (l <- one(a.left()); r <- one(a.right())) yield And(l, r)
+      case o: V2Or => for (l <- one(o.left()); r <- one(o.right())) yield Or(l, r)
+      case n: V2Not => one(n.child()).map(Not)
+      case leaf => leaf.name() match {
+        case "ALWAYS_TRUE" => Some(AlwaysTrue) // unconditional DELETE FROM t
+        case "ALWAYS_FALSE" => Some(AlwaysFalse)
+        case "=" | "<=>" | ">" | ">=" | "<" | "<=" =>
+          cmp(leaf.name(), leaf.children())
+        case "IN" =>
+          val c = leaf.children()
+          for {
+            a <- if (c.nonEmpty) field(c(0)) else None
+            vs <- Some(c.drop(1).map(litVal))
+              .filter(xs => xs.nonEmpty && xs.forall(x =>
+                x.isDefined && x.get != null))
+          } yield In(a, vs.map(_.get))
+        case "IS_NULL" if leaf.children().length == 1 =>
+          field(leaf.children()(0)).map(IsNull)
+        case "IS_NOT_NULL" if leaf.children().length == 1 =>
+          field(leaf.children()(0)).map(IsNotNull)
+        case _ => None
+      }
+    }
+    val fs = predicates.map(one)
+    if (fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
   }
 }
 
@@ -700,6 +833,7 @@ private[v2] case class RecordKeyedPartition(files: Seq[String],
   * surface the same signal as a custom task metric). */
 private[graft] object RecordSourceMetrics {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+  val dbgFilters = new java.util.concurrent.atomic.AtomicReference[String](null)
 }
 
 private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: StructType,

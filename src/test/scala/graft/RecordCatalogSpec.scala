@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+/** The SQL surface over record lakes: CREATE/INSERT/SELECT/DELETE/
+  * VERSION AS OF/DROP through the RecordCatalog, by name. */
+class RecordCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nonce = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh catalog per test: catalog instances cache their warehouse at
+    * initialize, so reuse across tests would pin the first tmp dir. */
+  private def freshCatalog(): String = {
+    val cat = s"graftcat${nonce.incrementAndGet()}"
+    val wh = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.RecordCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  test("CREATE / INSERT / SELECT / DROP round-trip by name") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.people (Name STRING, Score DOUBLE)")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.people
+         |SELECT concat('r', CAST(id AS STRING)) AS _record_id,
+         |  CAST(NULL AS TIMESTAMP) AS _created_time,
+         |  concat('name', CAST(id AS STRING)) AS Name,
+         |  CAST(id AS DOUBLE) AS Score
+         |FROM range(10)""".stripMargin)
+    val rows = spark.sql(
+      s"SELECT Name, Score FROM $cat.ns.people ORDER BY Score")
+      .as[(String, Double)].collect()
+    assert(rows.length == 10 && rows.head == (("name0", 0.0)))
+    // predicate pushdown works through the catalog path too
+    val plan = spark.sql(
+      s"SELECT Name FROM $cat.ns.people WHERE Score > 5")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") &&
+      plan.contains("GreaterThan(Score,5.0)"), plan)
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").count() == 1)
+    spark.sql(s"DROP TABLE $cat.ns.people")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").count() == 0)
+  }
+
+  test("SQL DELETE routes through deletion vectors (no file rewrites)") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.t (Score DOUBLE)")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.t
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE) FROM range(20)""".stripMargin)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/ns/t")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBefore = fs.listStatus(dir).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    // a condition OUTSIDE the pushdown surface refuses WHOLE — the
+    // strict V2->V1 conversion exists precisely because Spark's default
+    // lossy one turned this OR into just `Score > 15` (deleting the
+    // wrong row set); nothing may be half-applied
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE Score % 2 = 0 OR Score > 15")
+    }
+    assert(bad.getMessage.contains("Cannot delete"), bad.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 20L,
+      "a refused DELETE must not half-apply")
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE Score IN " +
+      "(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0) OR Score > 15")
+    val dataAfter = fs.listStatus(dir).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    assert(dataAfter == dataBefore, "DELETE must be metadata-only")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      graft.sources.v2.DeletionVector.Dir)))
+    assert(spark.sql(s"SELECT Score FROM $cat.ns.t ORDER BY Score")
+      .as[Double].collect().toSeq == Seq(1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0))
+    // an unconditional DELETE empties the table (still metadata-only)
+    spark.sql(s"DELETE FROM $cat.ns.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 0L)
+  }
+
+  test("VERSION AS OF reads the pinned snapshot by name") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.v (Score DOUBLE)")
+    def ins(from: Int, until: Int): Unit = spark.sql(
+      s"""INSERT INTO $cat.ns.v
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE) FROM range($from, $until)""".stripMargin)
+    ins(0, 5)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    graft.operators.LakeSnapshots.commit(spark, s"$wh/ns/v")
+    ins(5, 9)
+    spark.sql(s"DELETE FROM $cat.ns.v WHERE Score = 2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.v").as[Long].head() == 8L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ns.v VERSION AS OF 1").as[Long].head() == 5L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ns.v VERSION AS OF 1 WHERE Score = 2")
+      .as[Long].head() == 1L) // the delete reverses under v1
+  }
+}
