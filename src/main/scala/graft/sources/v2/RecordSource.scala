@@ -1378,9 +1378,15 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
     if (truncateFirst) {
       fs.listStatus(dest).filter(_.isFile)
         .foreach(st => fs.delete(st.getPath, false))
-      // truncated files' sidecars must not describe the replacements
+      // truncated files' sidecars must not describe the replacements —
+      // a stale DELETION VECTOR especially: if a replacement file ever
+      // reused a truncated file's name, leftover positions would
+      // silently delete the wrong rows. Snapshots of the truncated
+      // state are equally void (their files are gone).
       fs.delete(new org.apache.hadoop.fs.Path(dest, ZoneMap.Dir), true)
       fs.delete(new org.apache.hadoop.fs.Path(dest, BloomSidecar.Dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dest, DeletionVector.Dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dest, Snapshots.Dir), true)
     }
     messages.flatMap(RecordCommitMessage.partsOf).foreach {
       case (staged, zoneJson, bloomJson) =>

@@ -128,6 +128,23 @@ class DeletionVectorSpec extends SparkSpec {
     assert(read(dir).count() == 10L) // compaction preserves the survivors
   }
 
+  test("overwrite clears stale vectors (and snapshots) with the data") {
+    val dir = mkLake()
+    DeletionVectors.delete(spark, dir, "Score:number", col("Score") < 5)
+    graft.operators.LakeSnapshots.commit(spark, dir)
+    spark.range(0, 7).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("Score"))
+      .write.format("graft-records").option("path", dir)
+      .mode("overwrite").save()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stale vector could silently delete rows of a same-named
+    // replacement file; a stale manifest references vanished files
+    assert(!fs.exists(new Path(new Path(dir), DeletionVector.Dir)))
+    assert(!fs.exists(new Path(new Path(dir), graft.sources.v2.Snapshots.Dir)))
+    assert(read(dir).count() == 7L)
+  }
+
   test("recover replays an interrupted swap to completion") {
     val dir = mkLake()
     val conf = spark.sparkContext.hadoopConfiguration
