@@ -517,6 +517,55 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- SQL MERGE INTO: the reference's upsert, as SQL ------------
+    "q284_sql_merge" -> ((s, dir) => {
+      // the reference's core operation — upsert-with-deletes
+      // (lib/UpdateStrategies.py) — expressed as one SQL MERGE against
+      // the catalog: seed = even customers; source = every third
+      // customer with a bumped balance; matched+negative deletes,
+      // matched updates, unmatched non-negative inserts. Runs as
+      // group-based copy-on-write through SupportsRowLevelOperations;
+      // the oracle recomputes the final state from the same set
+      // algebra over the source table alone.
+      val wh = scratchPath(dir, "q284_wh")
+      val cat = "g284c" + (wh.hashCode.toLong & 0xffffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.cust")
+      s.sql(s"CREATE TABLE $cat.ns.cust (Segment STRING, Bal DOUBLE)")
+      val view = s"q284_cust_${wh.hashCode.toLong & 0xffffffffL}"
+      rd(s, dir, "customer").createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.ns.cust
+           |SELECT concat('c', CAST(c_custkey AS STRING)),
+           |  CAST(NULL AS TIMESTAMP), c_mktsegment,
+           |  CAST(c_acctbal AS DOUBLE)
+           |FROM $view WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $cat.ns.cust AS t
+           |USING (SELECT concat('c', CAST(c_custkey AS STRING)) AS rid,
+           |         c_mktsegment AS seg,
+           |         CAST(c_acctbal AS DOUBLE) + 1000.0 AS bal2,
+           |         (c_acctbal < 0) AS del
+           |       FROM $view WHERE c_custkey % 3 = 0) AS src
+           |ON t._record_id = src.rid
+           |WHEN MATCHED AND src.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET Bal = src.bal2
+           |WHEN NOT MATCHED AND NOT src.del THEN INSERT
+           |  (_record_id, _created_time, Segment, Bal)
+           |  VALUES (src.rid, CAST(NULL AS TIMESTAMP), src.seg, src.bal2)
+           |""".stripMargin)
+      val out = s.sql(
+        s"""SELECT Segment AS segment, count(*) AS n_cust,
+           |  CAST(sum(CAST(Bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           |  min(_record_id) AS min_id
+           |FROM $cat.ns.cust GROUP BY 1 ORDER BY 1""".stripMargin)
+        .localCheckpoint()
+      s.catalog.dropTempView(view)
+      out
+    }),
+
+
     // ----- SQL catalog: CREATE/INSERT/DELETE/SELECT by name ----------
     "q283_sql_catalog" -> ((s, dir) => {
       // the whole lifecycle in SQL against the RecordCatalog: CREATE
@@ -1627,6 +1676,33 @@ private[graft] object ParityQueries {
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the MERGE's set algebra recomputed over the source table: kept
+    // seeds (even, not in src), updated intersections (non-negative),
+    // deletions (negative intersections vanish), inserts (src-only,
+    // non-negative) — one wrong branch anywhere flips a count or a sum
+    "q284_sql_merge" ->
+      """WITH seed AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |src AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DOUBLE) + 1000.0 AS bal2,
+        |    (c_acctbal < 0) AS del
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |fin AS (
+        |  SELECT s.k, s.seg, s.bal FROM seed s
+        |    LEFT JOIN src x ON s.k = x.k WHERE x.k IS NULL
+        |  UNION ALL
+        |  SELECT s.k, s.seg, x.bal2 FROM seed s
+        |    JOIN src x ON s.k = x.k WHERE NOT x.del
+        |  UNION ALL
+        |  SELECT x.k, x.seg, x.bal2 FROM src x
+        |    LEFT JOIN seed s ON s.k = x.k WHERE s.k IS NULL AND NOT x.del)
+        |SELECT seg AS segment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  MIN('c' || CAST(k AS VARCHAR)) AS min_id
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     // the oracle sees only the source table and the delete predicate:

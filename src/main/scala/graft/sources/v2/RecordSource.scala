@@ -99,7 +99,25 @@ private[v2] object RecordSource {
 private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose condition is
+    * outside the metadata surface) run as group-based COPY-ON-WRITE:
+    * Spark rewrites the plan into "replacement rows for the read
+    * groups", and the commit swaps exactly those files. This
+    * implementation reads the WHOLE table as one group — always
+    * correct (appends racing the rewrite survive: they are not in the
+    * planned set); file-level group pruning is the optimization this
+    * deliberately defers. Pushable DELETEs never get here — the
+    * metadata-only deletion-vector path wins
+    * (OptimizeMetadataOnlyDeleteFromTable + [[canDeleteWhere]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new RecordRowLevelOperation(info.command(), schema,
+      props.getOrElse("path", throw new IllegalStateException(
+        "row-level operations need a table path")), sessionConfProps)
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
 
@@ -359,7 +377,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     confProps: Map[String, String], mode: String = "FAILFAST",
     maxFilesPerTrigger: Option[Int] = None,
     clusterBy: Option[String] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    rowLevelFiles: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -402,19 +421,25 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
       })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a ROW-LEVEL-OPERATION scan must deliver every row of its groups —
+    // a pushed row filter would VANISH the non-matching rows from the
+    // copy-on-write replacement (data loss), so nothing is accepted
+    if (rowLevelFiles.isDefined) return filters
     val (ok, residual) = filters.partition(supported)
     pushed = ok
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    if (rowLevelFiles.isDefined) false else { limit = Some(l); true }
   // partial: other partitions may still produce rows, Spark re-limits
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (rowLevelFiles.isDefined) return false
     if (orders.length != 1 || l <= 0 || l > 1000000) return false
     val o = orders.head
     o.expression() match {
@@ -439,6 +464,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
       org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
+    if (rowLevelFiles.isDefined) return false
     if (topN.nonEmpty || limit.nonEmpty) return false
     def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -473,7 +499,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
       pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
-      maxFilesPerTrigger, clusterBy, versionAsOf)
+      maxFilesPerTrigger, clusterBy, versionAsOf, rowLevelFiles)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
@@ -483,7 +509,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
     maxFilesPerTrigger: Option[Int] = None,
     clusterBy: Option[String] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    rowLevelFiles: Option[Seq[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -500,12 +527,16 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     Snapshots.load(fs, path, v)
   }
 
-  /** The scan's candidate data files (full paths): frozen set for a
-    * snapshot read, live listing otherwise. */
-  private def candidateFiles: Array[String] = snapshot match {
-    case Some(m) => m.files.map { case (n, _) =>
-      new org.apache.hadoop.fs.Path(path, n).toString }.toArray
-    case None => RecordScan.listDataFiles(path, hadoopConf)
+  /** The scan's candidate data files (full paths): the row-level
+    * operation's frozen group set, a snapshot's frozen set, or the live
+    * listing. */
+  private def candidateFiles: Array[String] = rowLevelFiles match {
+    case Some(fs) => fs.toArray
+    case None => snapshot match {
+      case Some(m) => m.files.map { case (n, _) =>
+        new org.apache.hadoop.fs.Path(path, n).toString }.toArray
+      case None => RecordScan.listDataFiles(path, hadoopConf)
+    }
   }
 
   /** For a snapshot read: full path -> the DV json AT COMMIT TIME (None
@@ -540,7 +571,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     * style columns, which no join key can be. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    readSchema.fields
+    if (rowLevelFiles.isDefined) Array.empty // groups must arrive WHOLE
+    else readSchema.fields
       .filter(f => fullSchema.fieldNames.contains(f.name) && (f.dataType match {
         case StringType | DoubleType | BooleanType | TimestampType | DateType => true
         case _ => false
@@ -565,6 +597,11 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       groups.map { case (k, files) =>
         RecordKeyedPartition(files, keyRow(k)): InputPartition
       }.toArray
+    case None if rowLevelFiles.isDefined =>
+      // a row-level operation reads its frozen groups WHOLE: no file
+      // pruning (a pruned file would be deleted at commit without its
+      // rows reaching the replacement) and no row filters
+      candidateFiles.map(RecordInputPartition(_): InputPartition)
     case None =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
       // zone maps answer ranges; bloom sidecars answer POINT lookups on
@@ -675,7 +712,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps,
-      effectiveFilters, topN, limit, agg, mode, dvOverrides)
+      if (rowLevelFiles.isDefined) Array.empty else effectiveFilters,
+      topN, limit, agg, mode, dvOverrides)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1539,6 +1577,180 @@ private[v2] class RecordStreamingWriterFactory(schema: StructType,
       f"$path/_staging-$queryId-epoch-$epochId/" +
         f"part-$epochId-$partitionId%05d-$taskId.jsonl",
       RecordSource.confFrom(confProps))
+}
+
+/** Group-based copy-on-write row-level operation (UPDATE / MERGE /
+  * non-metadata DELETE): ONE frozen group = the table's data files at
+  * plan time. The scan delivers those files whole (no file pruning, no
+  * row filters — [[RecordScanBuilder]] refuses all pushdown under
+  * `rowLevelFiles`); Spark's rewritten plan computes the replacement
+  * rows; [[RecordReplaceDataWrite]] swaps exactly the frozen set behind
+  * a marker. Appends racing the operation survive (not in the frozen
+  * set); a racing DV delete on a frozen file is superseded by the swap
+  * (single-writer discipline, as everywhere on this lake). Deletion
+  * vectors on the frozen files MATERIALIZE as a side effect: the scan
+  * subtracts them, the swap discards their sidecars. File-level group
+  * pruning (only rewriting files that CAN match) is the deliberate
+  * next optimization — correctness never depends on it. */
+private[v2] class RecordRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    fullSchema: StructType, path: String, confProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The frozen group set: listed once, scanned whole, replaced whole. */
+  private lazy val plannedFiles: Seq[String] =
+    RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
+      .sorted.toSeq
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** Requesting `_file` does double duty: Spark's rewritten plan then
+    * carries a metadata projection, which is what routes execution
+    * through the PROJECTING write task — without it the writer would
+    * receive the raw rewrite rows (operation column and all) instead of
+    * table-schema rows. The projected `_file` itself is the row's
+    * provenance, unused by this full-group write. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(RecordSource.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RecordScanBuilder(fullSchema, path, confProps, "FAILFAST",
+      None, None, None, Some(plannedFiles))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    RecordWriteSupport.validateWriteSchema(info.schema())
+    new WriteBuilder {
+      override def build(): Write = new RecordReplaceDataWrite(info.schema(),
+        info.queryId(), path, confProps, plannedFiles)
+    }
+  }
+}
+
+private[v2] object RecordReplaceDataWrite {
+  private val MarkerPrefix = "_rlo-"
+
+  private[v2] def markerPath(dir: org.apache.hadoop.fs.Path, id: String) =
+    new org.apache.hadoop.fs.Path(dir, s"$MarkerPrefix$id.json")
+
+  /** Replay pending replace-data markers to completion (idempotent):
+    * finish outstanding renames, then retire the old files. */
+  def recover(path: String, conf: org.apache.hadoop.conf.Configuration): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0
+    val markers = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith(MarkerPrefix))
+    markers.foreach { mp =>
+      val in = fs.open(mp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
+      val entries = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(root.get("entries").elements()).asScala.map(e =>
+          (e.get("staged").asText(), e.get("new").asText())).toSeq
+      entries.foreach { case (staged, newName) =>
+        val np = new org.apache.hadoop.fs.Path(dir, newName)
+        val sp = new org.apache.hadoop.fs.Path(staged)
+        if (!fs.exists(np) && fs.exists(sp))
+          if (!fs.rename(sp, np))
+            throw new java.io.IOException(s"rlo recovery rename failed: $sp")
+      }
+      if (entries.forall { case (_, nn) =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, nn)) }) {
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(root.get("olds").elements()).asScala
+          .map(_.asText()).foreach { o =>
+            fs.delete(ZoneMap.sidecar(dir, o), false)
+            fs.delete(BloomSidecar.sidecar(dir, o), false)
+            fs.delete(DeletionVector.sidecar(dir, o), false)
+            fs.delete(new org.apache.hadoop.fs.Path(dir, o), false)
+          }
+        fs.delete(mp, false)
+      }
+    }
+    markers.length
+  }
+}
+
+/** The copy-on-write swap behind [[RecordRowLevelOperation]]: tasks
+  * stage the replacement rows through the ordinary record writer; the
+  * driver writes a `_rlo-` marker (olds + staged→new pairs), renames
+  * the replacements in, then retires the frozen old files WITH their
+  * zone/bloom/deletion-vector sidecars. Empty task outputs (a partition
+  * that produced no replacement rows) are dropped at commit, not
+  * committed as zero-row files. Live snapshot manifests referencing a
+  * frozen file refuse the commit — expire first, vacuum's contract. */
+private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
+    path: String, confProps: Map[String, String], olds: Seq[String])
+    extends Write with BatchWrite {
+  import org.apache.hadoop.fs.Path
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"RecordReplaceData(path=$path)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RecordWriterFactory(schema,
+      RecordWriteSupport.stagingDir(path, queryId), confProps)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(conf)
+    RecordReplaceDataWrite.recover(path, conf) // heal any prior crash
+    val oldNames = olds.map(f => new Path(f).getName)
+    val snapRefs = Snapshots.referencedFiles(fs, dest)
+    val pinned = oldNames.filter(snapRefs.contains)
+    require(pinned.isEmpty,
+      s"copy-on-write: ${pinned.length} file(s) to replace are " +
+        s"referenced by live snapshots (${pinned.take(3).mkString(", ")}…)" +
+        " — Snapshots.expire the old manifests first")
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val entries = messages.flatMap(RecordCommitMessage.partsOf)
+      .filter { case (_, zoneJson, _) => ZoneMap.parse(zoneJson).rows > 0 }
+      .zipWithIndex
+      .map { case ((staged, zone, _), i) =>
+        (staged, s"rlo-$runId-p$i.jsonl", zone) }
+    // marker first: from here the swap completes exactly once even
+    // across a crash (recover replays renames, then the retirements)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val oldsArr = root.putArray("olds")
+    oldNames.foreach(oldsArr.add)
+    val entArr = root.putArray("entries")
+    entries.foreach { case (staged, newName, _) =>
+      val e = entArr.addObject()
+      e.put("staged", staged); e.put("new", newName)
+    }
+    val mout = fs.create(RecordReplaceDataWrite.markerPath(dest, runId), true)
+    mout.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    mout.close()
+    entries.foreach { case (staged, newName, zone) =>
+      ZoneMap.write(fs, dest, newName, zone)
+      if (!fs.rename(new Path(staged), new Path(dest, newName)))
+        throw new java.io.IOException(
+          s"copy-on-write rename failed: $staged -> $newName")
+    }
+    oldNames.foreach { o =>
+      fs.delete(ZoneMap.sidecar(dest, o), false)
+      fs.delete(BloomSidecar.sidecar(dest, o), false)
+      fs.delete(DeletionVector.sidecar(dest, o), false)
+      fs.delete(new Path(dest, o), false)
+    }
+    fs.delete(RecordReplaceDataWrite.markerPath(dest, runId), false)
+    fs.delete(new Path(RecordWriteSupport.stagingDir(path, queryId)), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = RecordSource.confFrom(confProps)
+    val staging = new Path(RecordWriteSupport.stagingDir(path, queryId))
+    staging.getFileSystem(conf).delete(staging, true)
+  }
 }
 
 private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,

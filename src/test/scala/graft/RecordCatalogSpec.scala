@@ -58,16 +58,12 @@ class RecordCatalogSpec extends SparkSpec {
     val dataBefore = fs.listStatus(dir).filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith("_"))
       .map(st => st.getPath.getName -> st.getLen).toMap
-    // a condition OUTSIDE the pushdown surface refuses WHOLE — the
-    // strict V2->V1 conversion exists precisely because Spark's default
-    // lossy one turned this OR into just `Score > 15` (deleting the
-    // wrong row set); nothing may be half-applied
-    val bad = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"DELETE FROM $cat.ns.t WHERE Score % 2 = 0 OR Score > 15")
-    }
-    assert(bad.getMessage.contains("Cannot delete"), bad.getMessage)
-    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 20L,
-      "a refused DELETE must not half-apply")
+    // this pushable condition must stay METADATA-ONLY even though the
+    // table also offers row-level (copy-on-write) ops; the strict V2->V1
+    // conversion in canDeleteWhere is what keeps a non-pushable DELETE
+    // from being half-applied (Spark's default lossy conversion turned
+    // `(a%2=0) OR (b>15)` into `b>15`) — those fall back to the
+    // copy-on-write path instead (RowLevelOpsSpec)
     spark.sql(s"DELETE FROM $cat.ns.t WHERE Score IN " +
       "(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0) OR Score > 15")
     val dataAfter = fs.listStatus(dir).filter(_.isFile)
