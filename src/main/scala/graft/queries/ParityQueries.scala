@@ -517,6 +517,45 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- schema evolution: ADD COLUMNS over committed data ---------
+    "q285_schema_evolution" -> ((s, dir) => {
+      // sparse records make ADD COLUMNS metadata-only: half the corpus
+      // lands BEFORE the column exists, half after (with values) — the
+      // old rows must read NULL in the new column without any rewrite,
+      // and aggregates over the union must match the oracle's phase
+      // split exactly.
+      val wh = scratchPath(dir, "q285_wh")
+      val cat = "g285c" + (wh.hashCode.toLong & 0xffffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.docs")
+      s.sql(s"CREATE TABLE $cat.ns.docs (Lang STRING, Chars DOUBLE)")
+      val view = s"q285_docs_${wh.hashCode.toLong & 0xffffffffL}"
+      rd(s, dir, "documents").createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.ns.docs
+           |SELECT concat('d', CAST(doc_id AS STRING)),
+           |  CAST(NULL AS TIMESTAMP), lang, CAST(n_chars AS DOUBLE)
+           |FROM $view WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.ns.docs ADD COLUMNS (Quality DOUBLE)")
+      s.sql(
+        s"""INSERT INTO $cat.ns.docs
+           |SELECT concat('d', CAST(doc_id AS STRING)),
+           |  CAST(NULL AS TIMESTAMP), lang, CAST(n_chars AS DOUBLE),
+           |  CAST(doc_id % 5 AS DOUBLE)
+           |FROM $view WHERE doc_id % 2 = 1""".stripMargin)
+      val out = s.sql(
+        s"""SELECT Lang AS lang, count(*) AS n_docs,
+           |  CAST(sum(CAST(Chars AS BIGINT)) AS BIGINT) AS sum_chars,
+           |  count(Quality) AS n_quality,
+           |  CAST(sum(CAST(Quality AS BIGINT)) AS BIGINT) AS sum_quality
+           |FROM $cat.ns.docs GROUP BY 1 ORDER BY 1""".stripMargin)
+        .localCheckpoint()
+      s.catalog.dropTempView(view)
+      out
+    }),
+
+
     // ----- SQL MERGE INTO: the reference's upsert, as SQL ------------
     "q284_sql_merge" -> ((s, dir) => {
       // the reference's core operation — upsert-with-deletes
@@ -1676,6 +1715,18 @@ private[graft] object ParityQueries {
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the phase split recomputed directly: even doc_ids predate the
+    // column (NULL quality), odd ones carry doc_id % 5
+    "q285_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 END) AS BIGINT)
+        |    AS sum_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     // the MERGE's set algebra recomputed over the source table: kept

@@ -139,11 +139,56 @@ class RecordCatalog extends TableCatalog {
       "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(",")))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is unsupported — record schemas are " +
-        "sparse (new fields appear by writing them; absent fields read " +
-        "as NULL), so evolve by recreating the catalog entry")
+  /** Only ADD COLUMNS is supported — and it is a pure metadata edit:
+    * record rows are sparse, so every existing row already reads the
+    * new field as NULL (the write path omits NULL fields, the read path
+    * returns NULL for absent ones — no data file is touched). Anything
+    * narrowing (drop/rename/retype) would strand committed data and is
+    * refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(metaPath(d)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace().toSeq :+ ident.name()))
+    val existing = loadWith(ident, Map.empty).schema().fieldNames.toSet
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested columns are unsupported")
+        val n = a.fieldNames()(0)
+        require(!existing.contains(n),
+          s"graft catalog: column '$n' already exists")
+        n -> fieldTag(a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only ADD COLUMNS is supported (sparse record " +
+          s"schemas make it metadata-only); got $other — narrowing " +
+          "changes would strand committed data")
+    }
+    val root = new ObjectMapper().readTree(readMeta(fs, d))
+    val mapper = new ObjectMapper()
+    val out = mapper.createObjectNode()
+    val arr = out.putArray("fields")
+    root.get("fields").elements().asScala.foreach(arr.add)
+    added.foreach { case (k, v) =>
+      val e = arr.addObject(); e.put("name", k); e.put("type", v)
+    }
+    val w = fs.create(metaPath(d), true)
+    w.write(mapper.writeValueAsString(out).getBytes("UTF-8"))
+    w.close()
+    loadWith(ident, Map.empty)
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, d: Path): String = {
+    val in = fs.open(metaPath(d))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

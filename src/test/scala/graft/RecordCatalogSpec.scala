@@ -79,6 +79,27 @@ class RecordCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 0L)
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only; narrowing refuses") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.a (Score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.ns.a SELECT 'r1', CAST(NULL AS TIMESTAMP), 1.5")
+    spark.sql(s"ALTER TABLE $cat.ns.a ADD COLUMNS (Tag STRING)")
+    // the pre-alter row reads the new column as NULL — no rewrite happened
+    assert(spark.sql(s"SELECT Score, Tag FROM $cat.ns.a")
+      .as[(Double, Option[String])].collect().toSeq == Seq((1.5, None)))
+    spark.sql(s"INSERT INTO $cat.ns.a SELECT 'r2', CAST(NULL AS TIMESTAMP), 2.5, 'x'")
+    assert(spark.sql(s"SELECT Score, Tag FROM $cat.ns.a ORDER BY Score")
+      .as[(Double, Option[String])].collect().toSeq ==
+      Seq((1.5, None), (2.5, Some("x"))))
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.a DROP COLUMN Score")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(ex).exists(_.contains("only ADD COLUMNS")), msgs(ex))
+  }
+
   test("VERSION AS OF reads the pinned snapshot by name") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.v (Score DOUBLE)")
