@@ -517,6 +517,46 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- incremental JOIN maintenance (signed Z-relations) ---------
+    "q286_join_ivm" -> ((s, dir) => {
+      // a continuously-maintained join view under two delta waves with
+      // RETRACTIONS: Δ(L⋈R) = ΔL⋈R + L⋈ΔR + ΔL⋈ΔR with multiplicities
+      // multiplying (the DBSP bilinear rule) — inserts and -1 deletes
+      // flow through the SAME algebra, no rescan of the joined state.
+      // The oracle joins the NET final sides directly; any drift in
+      // either delta application flips a count or a decimal sum.
+      import graft.operators.IncrementalAgg.{consolidate, joinDelta}
+      val orders = rd(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"),
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_totalprice").cast("double").as("price"))
+      val cust = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("seg"))
+      def m1(df: org.apache.spark.sql.DataFrame) = df.withColumn("m", lit(1L))
+      val l0 = m1(orders.filter(col("okey") % 3 === 0))
+      val r0 = m1(cust.filter(col("k") % 2 === 0))
+      // bootstrap = one delta from the empty state (ΔL⋈ΔR is the join)
+      val j0 = joinDelta(l0.limit(0), r0.limit(0), l0, r0, Seq("k"))
+      // wave 1: new orders (%3=1) arrive; some seed orders retract
+      val dl1 = m1(orders.filter(col("okey") % 3 === 1)).unionByName(
+        l0.filter(col("okey") % 7 === 0).withColumn("m", lit(-1L)))
+      val dr1 = m1(cust.filter(col("k") % 2 === 1))
+      val j1 = consolidate(j0.unionByName(joinDelta(l0, r0, dl1, dr1, Seq("k"))))
+      val l1 = consolidate(l0.unionByName(dl1)).localCheckpoint()
+      val r1 = consolidate(r0.unionByName(dr1)).localCheckpoint()
+      // wave 2: the last order tranche; every fifth customer retracts
+      val dl2 = m1(orders.filter(col("okey") % 3 === 2))
+      val dr2 = cust.filter(col("k") % 5 === 0).withColumn("m", lit(-1L))
+      val j2 = consolidate(j1.unionByName(joinDelta(l1, r1, dl2, dr2, Seq("k"))))
+      j2.groupBy(col("seg").as("segment"))
+        .agg(sum(col("m")).as("n_rows"),
+          sum((col("m") * col("price")).cast("decimal(28,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("segment")
+    }),
+
+
     // ----- schema evolution: ADD COLUMNS over committed data ---------
     "q285_schema_evolution" -> ((s, dir) => {
       // sparse records make ADD COLUMNS metadata-only: half the corpus
@@ -1714,6 +1754,20 @@ private[graft] object ParityQueries {
         |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle joins the NET final sides: all orders except the
+    // retracted (%3=0 AND %7=0) tranche, all customers except %5=0
+    "q286_join_ivm" ->
+      """WITH l AS (SELECT o_custkey AS k, o_totalprice AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)),
+        |r AS (SELECT c_custkey AS k, c_mktsegment AS seg
+        |  FROM customer WHERE NOT (c_custkey % 5 = 0))
+        |SELECT r.seg AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l.price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM l JOIN r ON l.k = r.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
