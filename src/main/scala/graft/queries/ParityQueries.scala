@@ -517,6 +517,83 @@ private[graft] object ParityQueries {
     }),
 
 
+    // ----- right-to-be-forgotten purge (lake-lifecycle capstone) -----
+    "q287_gdpr_purge" -> ((s, dir) => {
+      // the GDPR bar is BYTES, not query results: after purging a key
+      // set, no surviving data file may contain the ids at all. The
+      // chain composes the whole mutation stack — bloom-pruned
+      // point DELETE (metadata-only) → snapshot pins REFUSE the
+      // physical erase → expire → materialize (rewrites without the
+      // rows) → compact — and the gate REQUIRES byte-level absence on
+      // the executors before returning the survivor aggregate the
+      // oracle recomputes. Merge-on-read alone is NOT a purge (the
+      // bytes remain); this is the operator sequence that makes it one.
+      val out = scratchPath(dir, "q287_records")
+      val cust = rd(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+        col("c_mktsegment").as("Segment"),
+        col("c_acctbal").cast("double").as("Bal"),
+        col("c_custkey").cast("double").as("Key"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      (0 until 6).foreach { b =>
+        cust.filter(col("Key") % 6 === b).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .option("bloomFilterColumns", "_record_id")
+          .mode("append").save()
+      }
+      graft.operators.LakeSnapshots.commit(s, out)
+      val purgeIds = rd(s, dir, "customer")
+        .filter(col("c_custkey") % 13 === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")))
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      require(purgeIds.nonEmpty, "purge fixture must be non-empty")
+      val types = "Segment:singleLineText,Bal:number,Key:number"
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("_record_id").isin(purgeIds: _*)) // bloom-pruned point marks
+      // physical erase refuses while a snapshot pins the bytes
+      val blocked = try {
+        graft.operators.DeletionVectors.materialize(s, out); false
+      } catch { case _: IllegalArgumentException => true }
+      require(blocked, "a pinned purge must refuse until expiry")
+      graft.operators.LakeSnapshots.expire(s, out, keepLast = 0)
+      graft.operators.DeletionVectors.materialize(s, out)
+      graft.sources.v2.RecordCompaction.compact(s, out, 1L << 30)
+      // byte-level absence, checked ON THE EXECUTORS over every
+      // surviving data file (the ids are JSON-delimited, so the
+      // substring probe is exact)
+      val confProps = {
+        import scala.jdk.CollectionConverters._
+        s.sparkContext.hadoopConfiguration
+          .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      }
+      val survivors = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .map(_.toString).toSeq
+      val probes = purgeIds.map(id => s""""id":"$id"""")
+      val hits = s.sparkContext
+        .parallelize(survivors, math.max(1, survivors.length))
+        .map { f =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confProps.foreach { case (k, v) => c.set(k, v) }
+          val p = new org.apache.hadoop.fs.Path(f)
+          val in = p.getFileSystem(c).open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          probes.count(text.contains)
+        }.sum()
+      require(hits == 0.0, s"purged ids still present in $hits byte spans")
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).load()
+        .groupBy(col("Segment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("Bal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("segment")
+    }),
+
+
     // ----- incremental JOIN maintenance (signed Z-relations) ---------
     "q286_join_ivm" -> ((s, dir) => {
       // a continuously-maintained join view under two delta waves with
@@ -1754,6 +1831,16 @@ private[graft] object ParityQueries {
         |  MAX('d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS max_id
         |FROM documents
         |WHERE doc_id >= 50 AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the oracle sees only the survivor predicate; the byte-level
+    // absence requirement is enforced inside the gate itself
+    "q287_gdpr_purge" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE NOT (c_custkey % 13 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
