@@ -571,7 +571,16 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     * style columns, which no join key can be. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rowLevelFiles.isDefined) Array.empty // groups must arrive WHOLE
+    if (rowLevelFiles.isDefined)
+      // a row-level scan accepts runtime filters ONLY on the `_file`
+      // metadata column: that is Spark's group-filter subquery
+      // (RowLevelOperationRuntimeGroupFiltering evaluates the DML
+      // condition once to find the files that CAN match, then prunes
+      // this scan to them) — file-granular, so groups still arrive
+      // WHOLE; a data-column filter would drop rows from the
+      // replacement and is refused
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(RecordSource.FileCol))
     else readSchema.fields
       .filter(f => fullSchema.fieldNames.contains(f.name) && (f.dataType match {
         case StringType | DoubleType | BooleanType | TimestampType | DateType => true
@@ -579,11 +588,32 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       }))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
+  // the group-filter file set a row-level scan received at runtime
+  // (full paths); None until/unless the group-filter subquery fires
+  @volatile private var groupFileFilter: Option[Set[String]] = None
+  // what the row-level scan LAST planned — the exact set the
+  // copy-on-write commit must replace
+  private val lastPlanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+  private[v2] def plannedGroups: Option[Seq[String]] = Option(lastPlanned.get)
+
   override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    // keep only filters the row evaluator understands exactly (unknown
-    // shapes return None from RecordFilterEval.eval, which would WRONGLY
-    // drop rows as three-valued unknown — they must not reach `passes`)
-    runtimeFilters = fs.filter(RecordFilterEval.pushable(_, fullSchema))
+    if (rowLevelFiles.isDefined) {
+      // only In/EqualTo on _file can arrive (filterAttributes); collect
+      // the admitted file set — file-granular pruning only
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      val sets = fs.collect {
+        case In(a, vs) if a == RecordSource.FileCol =>
+          vs.collect { case s: String => s }.toSet
+        case EqualTo(a, v: String) if a == RecordSource.FileCol => Set(v)
+      }
+      if (sets.nonEmpty) groupFileFilter = Some(sets.reduce(_ intersect _))
+    } else {
+      // keep only filters the row evaluator understands exactly (unknown
+      // shapes return None from RecordFilterEval.eval, which would
+      // WRONGLY drop rows as three-valued unknown)
+      runtimeFilters = fs.filter(RecordFilterEval.pushable(_, fullSchema))
+    }
 
   private def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] =
     filters ++ runtimeFilters
@@ -598,10 +628,18 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
         RecordKeyedPartition(files, keyRow(k)): InputPartition
       }.toArray
     case None if rowLevelFiles.isDefined =>
-      // a row-level operation reads its frozen groups WHOLE: no file
-      // pruning (a pruned file would be deleted at commit without its
-      // rows reaching the replacement) and no row filters
-      candidateFiles.map(RecordInputPartition(_): InputPartition)
+      // a row-level operation reads its groups WHOLE (no row filters);
+      // the only pruning is the runtime group filter — exact file
+      // membership from Spark's own condition subquery, so a pruned
+      // file provably holds no matching rows and stays untouched. The
+      // planned set is recorded: the copy-on-write commit replaces
+      // EXACTLY these files.
+      val files = groupFileFilter match {
+        case Some(keep) => candidateFiles.filter(keep.contains)
+        case None => candidateFiles
+      }
+      lastPlanned.set(files.toSeq)
+      files.map(RecordInputPartition(_): InputPartition)
     case None =>
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
       // zone maps answer ranges; bloom sidecars answer POINT lookups on
@@ -1597,10 +1635,15 @@ private[v2] class RecordRowLevelOperation(
     fullSchema: StructType, path: String, confProps: Map[String, String])
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
-  /** The frozen group set: listed once, scanned whole, replaced whole. */
+  /** The frozen candidate set: listed once. The scan may shrink it via
+    * Spark's runtime group filter (condition subquery on `_file`); the
+    * write replaces whatever the scan LAST planned. */
   private lazy val plannedFiles: Seq[String] =
     RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
       .sorted.toSeq
+
+  private val scanRef =
+    new java.util.concurrent.atomic.AtomicReference[RecordScan](null)
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -1618,13 +1661,25 @@ private[v2] class RecordRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecordScanBuilder(fullSchema, path, confProps, "FAILFAST",
-      None, None, None, Some(plannedFiles))
+      None, None, None, Some(plannedFiles)) {
+      override def build(): Scan = {
+        val sc = super.build().asInstanceOf[RecordScan]
+        scanRef.set(sc)
+        sc
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     RecordWriteSupport.validateWriteSchema(info.schema())
     new WriteBuilder {
       override def build(): Write = new RecordReplaceDataWrite(info.schema(),
-        info.queryId(), path, confProps, plannedFiles)
+        info.queryId(), path, confProps,
+        // resolved AT COMMIT: the exact set the executed scan planned
+        // (group-filtered or not); falls back to the full frozen set
+        // only if no scan was ever built (defensive — Spark always
+        // builds the scan before the write runs)
+        () => Option(scanRef.get).flatMap(_.plannedGroups)
+          .getOrElse(plannedFiles))
     }
   }
 }
@@ -1687,7 +1742,7 @@ private[v2] object RecordReplaceDataWrite {
   * committed as zero-row files. Live snapshot manifests referencing a
   * frozen file refuse the commit — expire first, vacuum's contract. */
 private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String], olds: Seq[String])
+    path: String, confProps: Map[String, String], oldsFn: () => Seq[String])
     extends Write with BatchWrite {
   import org.apache.hadoop.fs.Path
 
@@ -1703,7 +1758,7 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
     val dest = new Path(path)
     val fs = dest.getFileSystem(conf)
     RecordReplaceDataWrite.recover(path, conf) // heal any prior crash
-    val oldNames = olds.map(f => new Path(f).getName)
+    val oldNames = oldsFn().map(f => new Path(f).getName)
     val snapRefs = Snapshots.referencedFiles(fs, dest)
     val pinned = oldNames.filter(snapRefs.contains)
     require(pinned.isEmpty,

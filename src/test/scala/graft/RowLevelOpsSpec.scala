@@ -86,18 +86,33 @@ class RowLevelOpsSpec extends SparkSpec {
       .as[Double].collect().toSeq == Seq(1.0, 5.0, 7.0))
   }
 
-  test("copy-on-write materializes deletion vectors and keeps appends") {
+  test("copy-on-write composes with deletion vectors; group pruning rewrites only matching files") {
     val (t, dir) = freshTable()
     spark.sql(s"DELETE FROM $t WHERE Score < 2") // metadata-only (DVs)
-    spark.sql(s"UPDATE $t SET Score = Score * 10 WHERE Score % 3 = 0")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dvDir = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(dir), graft.sources.v2.DeletionVector.Dir)
-    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
-      "the rewrite must retire the frozen files' vectors")
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSet
+    val before = dataFiles
+    spark.sql(s"UPDATE $t SET Score = Score * 10 WHERE Score = 9.0")
+    // Spark's runtime group filter prunes the rewrite to the files that
+    // CAN match: untouched files keep their names (and their vectors —
+    // still applied at read), matching ones come back as rlo-*
+    val after = dataFiles
+    assert((before intersect after).nonEmpty,
+      s"group pruning should keep non-matching files: $before -> $after")
+    assert((after -- before).forall(_.startsWith("rlo-")), after)
+    // a vector on an UNREWRITTEN file keeps applying; a rewritten
+    // file's vector is retired with it — either way the visible rows
+    // are exact
     assert(spark.sql(s"SELECT Score FROM $t ORDER BY Score")
       .as[Double].collect().toSeq ==
-      Seq(2.0, 4.0, 5.0, 7.0, 8.0, 30.0, 60.0, 90.0))
+      Seq(2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 90.0))
+    val dvDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), graft.sources.v2.DeletionVector.Dir)
+    if (fs.exists(dvDir))
+      fs.listStatus(dvDir).map(_.getPath.getName.stripSuffix(".json"))
+        .foreach(n => assert(after.contains(n), s"orphan vector for $n"))
   }
 }
