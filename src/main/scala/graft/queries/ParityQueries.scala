@@ -572,7 +572,9 @@ private[graft] object ParityQueries {
         .filter(_.isFile).map(_.getPath)
         .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
         .map(_.toString).toSeq
-      val probes = purgeIds.map(id => s""""id":"$id"""")
+      // one regex pass per file + set lookups — O(bytes + ids), never
+      // O(ids × bytes); the purge list rides a broadcast
+      val purgedSet = s.sparkContext.broadcast(purgeIds.toSet)
       val hits = s.sparkContext
         .parallelize(survivors, math.max(1, survivors.length))
         .map { f =>
@@ -582,7 +584,11 @@ private[graft] object ParityQueries {
           val in = p.getFileSystem(c).open(p)
           val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          probes.count(text.contains)
+          val m = java.util.regex.Pattern
+            .compile("\"id\":\"([^\"]+)\"").matcher(text)
+          var n = 0L
+          while (m.find()) if (purgedSet.value.contains(m.group(1))) n += 1
+          n
         }.sum()
       require(hits == 0.0, s"purged ids still present in $hits byte spans")
       s.read.format("graft-records").option("path", out)

@@ -1139,8 +1139,12 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala.map(_._2)
   }
 
+  // compiled ONCE per reader: hoists e.g. a large In list's hash set
+  // out of the per-row path (RecordFilterEval.compile)
+  private val compiledFilters = filters.map(RecordFilterEval.compile)
+
   private def passes(node: JsonNode, raw: String): Boolean =
-    filters.forall(f => RecordFilterEval.eval(f, name =>
+    compiledFilters.forall(p => p(name =>
       fieldValue(node, raw, name, fullSchema(name).dataType)).contains(true))
 
   /** The comparable value of one field of the raw record: String, Double,
@@ -1263,6 +1267,41 @@ private[v2] object RecordFilterEval {
       case _ => false
     }
     ok(f)
+  }
+
+  /** Compile a filter to a row predicate, hoisting per-filter structures
+    * out of the per-row path — above this size an all-string In list
+    * becomes ONE hash set built at reader construction instead of an
+    * O(|values|) scan per row (an 11k-id GDPR purge list over a 150k-row
+    * table is 1.7e9 comparisons the naive way; string equality under
+    * [[cmp]] is exactly string equality, so the set is semantics-
+    * preserving). Everything else delegates to [[eval]]. */
+  def compile(f: Filter): (String => Any) => Option[Boolean] = f match {
+    case In(a, vs) if vs.length > 16 && vs.forall(_.isInstanceOf[String]) =>
+      val set = vs.iterator.map(_.asInstanceOf[String]).toSet
+      lookup => lookup(a) match {
+        case null => None
+        case s: String => Some(set.contains(s))
+        case other => eval(f, _ => other) // non-string raw: exact slow path
+      }
+    case And(l, r) =>
+      val (cl, cr) = (compile(l), compile(r))
+      lookup => (cl(lookup), cr(lookup)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(l, r) =>
+      val (cl, cr) = (compile(l), compile(r))
+      lookup => (cl(lookup), cr(lookup)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(inner) =>
+      val ci = compile(inner)
+      lookup => ci(lookup).map(!_)
+    case other => eval(other, _)
   }
 
   def eval(f: Filter, lookup: String => Any): Option[Boolean] = f match {
