@@ -522,6 +522,75 @@ private[graft] object StreamingQueries {
     }),
 
 
+    // ----- streaming JOIN IVM through foreachBatch (§2.9 x q286) -----
+    "q288_stream_join_ivm_replay" -> ((s, dir) => {
+      // q286's signed join maintenance driven through the REAL
+      // streaming path: a two-sided changelog (inserts AND -1
+      // retractions on both sides) arrives as two micro-batches, and
+      // each batch applies the bilinear delta rule against the
+      // PRE-BATCH sides inside foreachBatch — never a rescan of the
+      // joined state. The oracle joins the net final sides; a delta
+      // applied against the wrong side version flips a decimal sum.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.operators.IncrementalAgg.{consolidate, joinDelta}
+      val orders = rd(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"),
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_totalprice").cast("double").as("price"))
+      val cust = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("seg"))
+      // changelog rows: (side, k, okey, price, seg, m) — payload fields
+      // are only read on their own side
+      def lRow(m: Long)(df: DataFrame) = df.select(lit("L").as("side"),
+        col("k"), col("okey"), col("price"), lit("-").as("seg"),
+        lit(m).as("m"))
+      def rRow(m: Long)(df: DataFrame) = df.select(lit("R").as("side"),
+        col("k"), lit(-1L).as("okey"), lit(0.0).as("price"), col("seg"),
+        lit(m).as("m"))
+      val wave1 = lRow(1L)(orders.filter(col("okey") % 3 < 2))
+        .unionByName(rRow(1L)(cust.filter(col("k") % 2 === 0)))
+      val wave2 = lRow(1L)(orders.filter(col("okey") % 3 === 2))
+        .unionByName(lRow(-1L)(orders.filter(col("okey") % 7 === 0)))
+        .unionByName(rRow(1L)(cust.filter(col("k") % 2 === 1)))
+        .unionByName(rRow(-1L)(cust.filter(col("k") % 5 === 0)))
+      val waves = Seq(wave1, wave2).map(
+        _.as[(String, Long, Long, Double, String, Long)].collect().toSeq)
+      require(waves.forall(w => w.nonEmpty && w.length <= 2000000),
+        "bad replay fixture")
+      val empty = lRow(1L)(orders).limit(0)
+      var stL = empty.select("k", "okey", "price", "m").localCheckpoint()
+      var stR = empty.select("k", "seg", "m").localCheckpoint()
+      var stJ = joinDelta(stL, stR.limit(0), stL.limit(0), stR, Seq("k"))
+        .localCheckpoint()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long, Double, String, Long)]
+      withReplayPartitions(s) {
+        val q = in.toDF().toDF("side", "k", "okey", "price", "seg", "m")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.localCheckpoint()
+            val dL = b.filter(col("side") === "L")
+              .select("k", "okey", "price", "m")
+            val dR = b.filter(col("side") === "R").select("k", "seg", "m")
+            stJ = consolidate(stJ.unionByName(
+              joinDelta(stL, stR, dL, dR, Seq("k")))).localCheckpoint()
+            stL = consolidate(stL.unionByName(dL)).localCheckpoint()
+            stR = consolidate(stR.unionByName(dR)).localCheckpoint()
+            ()
+          }.start()
+        try {
+          waves.foreach { w => in.addData(w: _*); q.processAllAvailable() }
+        } finally q.stop()
+      }
+      stJ.groupBy(col("seg").as("segment"))
+        .agg(sum(col("m")).as("n_rows"),
+          sum((col("m") * col("price")).cast("decimal(28,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("segment")
+    }),
+
+
     // ----- transformWithState sessionization (§2.9 x Spark-4 TWS) ----
     "q276_stream_tws_replay" -> ((s, dir) => {
       // StreamingSync.sessionizeTws — the Spark 4 transformWithState
@@ -1097,6 +1166,19 @@ private[graft] object StreamingQueries {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_sec,
         |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+
+    // the oracle joins the NET final sides (all %7=0 orders retract —
+    // the %3=2∩%7=0 ones cancel in-wave; customers lose %5=0 the same
+    // way): any delta applied against a stale side version diverges
+    "q288_stream_join_ivm_replay" ->
+      """WITH l AS (SELECT o_custkey AS k, o_totalprice AS price
+        |  FROM orders WHERE NOT (o_orderkey % 7 = 0)),
+        |r AS (SELECT c_custkey AS k, c_mktsegment AS seg
+        |  FROM customer WHERE NOT (c_custkey % 5 = 0))
+        |SELECT r.seg AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l.price AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM l JOIN r ON l.k = r.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same lag-chain islands as q250, but over event ids with the
     // INCLUSIVE end (last event's second) the TWS processor emits; the
