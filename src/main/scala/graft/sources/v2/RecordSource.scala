@@ -1475,7 +1475,8 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       "graft-records streaming sink supports append output mode only " +
         "(complete-mode truncate-per-epoch would rewrite the record log " +
         "every trigger — materialize a rollup table instead)")
-    new RecordStreamingWrite(schema, queryId, path, confProps)
+    new RecordStreamingWrite(schema, queryId, path, confProps,
+      clusterBy, bloomCols, bloomBits)
   }
   override def description(): String =
     s"RecordWrite(path=$path, truncate=$truncateFirst)"
@@ -1574,7 +1575,9 @@ private[v2] object RecordCommitMessage {
   * mutation per document); this is the same record stream given
   * atomic, idempotent epoch grouping. */
 private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String])
+    path: String, confProps: Map[String, String],
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.hadoop.fs.Path
 
@@ -1586,7 +1589,8 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new RecordStreamingWriterFactory(schema, path, queryId, confProps)
+    new RecordStreamingWriterFactory(schema, path, queryId, confProps,
+      clusterBy, bloomCols, bloomBits)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1646,14 +1650,21 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
   * task) — epoch-scoped names keep concurrent epoch attempts and task
   * retries from ever colliding. */
 private[v2] class RecordStreamingWriterFactory(schema: StructType,
-    path: String, queryId: String, confProps: Map[String, String])
+    path: String, queryId: String, confProps: Map[String, String],
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSidecar.DefaultBits)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new RecordDataWriter(schema,
-      f"$path/_staging-$queryId-epoch-$epochId/" +
-        f"part-$epochId-$partitionId%05d-$taskId.jsonl",
-      RecordSource.confFrom(confProps))
+      epochId: Long): DataWriter[InternalRow] = {
+    val base = f"$path/_staging-$queryId-epoch-$epochId/" +
+      f"part-$epochId-$partitionId%05d-$taskId.jsonl"
+    clusterBy match {
+      case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
+        RecordSource.confFrom(confProps), bloomCols, bloomBits)
+      case None => new RecordDataWriter(schema, base,
+        RecordSource.confFrom(confProps), bloomCols, bloomBits)
+    }
+  }
 }
 
 /** Group-based copy-on-write row-level operation (UPDATE / MERGE /

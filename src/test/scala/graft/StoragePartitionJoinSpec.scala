@@ -96,6 +96,42 @@ class StoragePartitionJoinSpec extends SparkSpec {
       (0 until 6).map(k => (s"k$k", (k until 60 by 6).sum.toDouble)))
   }}
 
+  test("the STREAMING sink clusters and blooms per epoch too") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_spj_stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_spj_stream_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Double)]
+    val q = in.toDF().toDF("_record_id", "Key", "A")
+      .writeStream.format("graft-records")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("clusterBy", "Key")
+      .option("bloomFilterColumns", "_record_id")
+      .start()
+    try {
+      in.addData((0 until 20).map(i => (s"r$i", s"k${i % 3}", i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((20 until 30).map(i => (s"r$i", s"k${i % 3}", i.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath.toString).filterNot(_.contains("/_")).filterNot(_.contains("/."))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val st = graft.sources.v2.ZoneMap.load(fs, f).get.stats("Key")
+      assert(st.min == st.max && st.nulls == 0L, s"$f not key-pure: $st")
+      assert(graft.sources.v2.BloomSidecar.load(fs, f).isDefined, s"$f no bloom")
+    }
+    // the streamed table is immediately storage-partition-joinable
+    withSpj {
+      val agg = readClustered(dir, "A").groupBy("Key").agg(sum($"A").as("s"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.orderBy("Key").as[(String, Double)].collect().toSeq ==
+        (0 until 3).map(k => (s"k$k", (k until 30 by 3).sum.toDouble)))
+    }
+  }
+
   test("a declared clustering over impure files fails loudly") {
     val dir = Files.createTempDirectory("graft_spj_bad").toString + "/t"
     spark.range(0, 20).select(
