@@ -1734,7 +1734,7 @@ private[v2] class RecordRowLevelOperation(
   }
 }
 
-private[v2] object RecordReplaceDataWrite {
+private[graft] object RecordReplaceDataWrite {
   private val MarkerPrefix = "_rlo-"
 
   private[v2] def markerPath(dir: org.apache.hadoop.fs.Path, id: String) =
