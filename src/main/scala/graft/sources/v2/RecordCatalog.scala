@@ -102,10 +102,13 @@ class RecordCatalog extends TableCatalog {
     val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
     val fields = root.get("fields").elements().asScala.map(e =>
       e.get("name").asText() -> e.get("type").asText()).toSeq
+    val layoutProps = Seq("clusterBy", "bloomFilterColumns").flatMap { k =>
+      Option(root.get(k)).filterNot(_.isNull).map(k -> _.asText())
+    }
     new RecordTable(RecordSource.fullSchema(fields),
       Map("path" -> d.toString,
         "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(","))
-        ++ extraProps)
+        ++ layoutProps ++ extraProps)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -131,12 +134,25 @@ class RecordCatalog extends TableCatalog {
     fields.foreach { case (k, v) =>
       val e = arr.addObject(); e.put("name", k); e.put("type", v)
     }
+    // TBLPROPERTIES that shape the physical layout persist with the
+    // table: every SQL INSERT then clusters/blooms without the writer
+    // restating options, and reads derive KeyGroupedPartitioning —
+    // storage-partitioned joins in pure SQL
+    val layoutProps = Seq("clusterBy", "bloomFilterColumns").flatMap { k =>
+      Option(info.properties().get(k)).map(k -> _)
+    }
+    layoutProps.foreach { case (k, v) => root.put(k, v) }
+    layoutProps.toMap.get("clusterBy").foreach { k =>
+      require(fields.exists(_._1 == k),
+        s"TBLPROPERTIES clusterBy '$k' is not a declared column")
+    }
     val out = fs.create(metaPath(d), false) // no clobber: create-once
     out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
     out.close()
     new RecordTable(RecordSource.fullSchema(fields), Map(
       "path" -> d.toString,
-      "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(",")))
+      "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(","))
+      ++ layoutProps)
   }
 
   /** Only ADD COLUMNS is supported — and it is a pure metadata edit:

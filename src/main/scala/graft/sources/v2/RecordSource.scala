@@ -117,7 +117,12 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new RecordRowLevelOperation(info.command(), schema,
       props.getOrElse("path", throw new IllegalStateException(
-        "row-level operations need a table path")), sessionConfProps)
+        "row-level operations need a table path")), sessionConfProps,
+      // a clustered/bloomed table's layout survives its rewrites
+      props.get("clusterBy"),
+      props.get("bloomFilterColumns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
 
@@ -213,7 +218,10 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       require(n > 0, s"maxFilesPerTrigger $n must be positive")
       n
     }
-    val clusterBy = Option(options.get("clusterBy")).map { k =>
+    // read option, or table property (catalog tables created with
+    // TBLPROPERTIES('clusterBy'='K') are clustered in pure SQL)
+    val clusterBy = Option(options.get("clusterBy"))
+      .orElse(props.get("clusterBy")).map { k =>
       require(schema.fieldNames.contains(k),
         s"clusterBy column '$k' absent from the table schema")
       schema(k).dataType match {
@@ -239,7 +247,8 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     RecordWriteSupport.validateWriteSchema(info.schema())
-    val clusterBy = Option(info.options.get("clusterBy")).map { k =>
+    val clusterBy = Option(info.options.get("clusterBy"))
+      .orElse(props.get("clusterBy")).map { k =>
       require(info.schema().fieldNames.contains(k),
         s"clusterBy column '$k' absent from the write schema")
       info.schema()(k).dataType match {
@@ -250,6 +259,7 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       k
     }
     val bloomCols = Option(info.options.get("bloomFilterColumns"))
+      .orElse(props.get("bloomFilterColumns"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
     bloomCols.foreach { c =>
       require(info.schema().fieldNames.contains(c),
@@ -669,10 +679,13 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   // a declared clustering that silently fell back would reshuffle the
   // whole join without anyone noticing.
   private lazy val clusterGroups: Option[Seq[(Any, Seq[String])]] =
-    clusterBy.map { k =>
-      require(readSchema().fieldNames.contains(k),
-        s"clusterBy '$k' must be among the read columns for a " +
-          "storage-partitioned scan (select it, or drop the option)")
+    clusterBy.flatMap { k =>
+      // a query that pruned the key away cannot be key-grouped — run
+      // unclustered (sound: no partitioning claim is made); purity
+      // violations below stay LOUD (a silent fallback there would
+      // reshuffle every join without anyone noticing)
+      if (!readSchema().fieldNames.contains(k)) None
+      else Some {
       val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
       // static filters only: the key set is fixed at planning time
       val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys)
@@ -694,6 +707,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
           RecordFilterEval.nullAwareCompare(a, b,
             descending = false, nullsFirst = false) < 0
         }
+      }
     }
 
   /** The key's single-column InternalRow (internal representations). */
@@ -1682,7 +1696,8 @@ private[v2] class RecordStreamingWriterFactory(schema: StructType,
   * next optimization — correctness never depends on it. */
 private[v2] class RecordRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    fullSchema: StructType, path: String, confProps: Map[String, String])
+    fullSchema: StructType, path: String, confProps: Map[String, String],
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** The frozen candidate set: listed once. The scan may shrink it via
@@ -1729,7 +1744,8 @@ private[v2] class RecordRowLevelOperation(
         // only if no scan was ever built (defensive — Spark always
         // builds the scan before the write runs)
         () => Option(scanRef.get).flatMap(_.plannedGroups)
-          .getOrElse(plannedFiles))
+          .getOrElse(plannedFiles),
+        clusterBy, bloomCols)
     }
   }
 }
@@ -1792,7 +1808,8 @@ private[graft] object RecordReplaceDataWrite {
   * committed as zero-row files. Live snapshot manifests referencing a
   * frozen file refuse the commit — expire first, vacuum's contract. */
 private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String], oldsFn: () => Seq[String])
+    path: String, confProps: Map[String, String], oldsFn: () => Seq[String],
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty)
     extends Write with BatchWrite {
   import org.apache.hadoop.fs.Path
 
@@ -1801,7 +1818,8 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RecordWriterFactory(schema,
-      RecordWriteSupport.stagingDir(path, queryId), confProps)
+      RecordWriteSupport.stagingDir(path, queryId), confProps,
+      clusterBy, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = RecordSource.confFrom(confProps)

@@ -79,6 +79,72 @@ class RecordCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 0L)
   }
 
+  test("TBLPROPERTIES clusterBy: storage-partitioned joins in pure SQL") {
+    val cat = freshCatalog()
+    Seq("facts", "dims").foreach(t => spark.sql(
+      s"""CREATE TABLE $cat.ns.$t (Key STRING, V DOUBLE)
+         |TBLPROPERTIES ('clusterBy'='Key',
+         |               'bloomFilterColumns'='_record_id')""".stripMargin))
+    spark.sql(
+      s"""INSERT INTO $cat.ns.facts
+         |SELECT concat('f', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  concat('k', CAST(id % 4 AS STRING)), CAST(id AS DOUBLE)
+         |FROM range(40)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.ns.dims
+         |SELECT concat('d', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  concat('k', CAST(id AS STRING)), CAST(id AS DOUBLE) * 100
+         |FROM range(4)""".stripMargin)
+    // every committed file is key-pure + bloomed, with NO write options
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/ns/facts"))
+      .filter(_.isFile).map(_.getPath.toString)
+      .filterNot(p => p.contains("/_") || p.contains("/."))
+      .foreach { f =>
+        val st = graft.sources.v2.ZoneMap.load(fs, f).get.stats("Key")
+        assert(st.min == st.max && st.nulls == 0L, s"$f: $st")
+        assert(graft.sources.v2.BloomSidecar.load(fs, f).isDefined)
+      }
+    // the SQL join plans with zero exchanges (storage-partitioned)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true"); spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT f.Key, count(*) AS n, sum(f.V * d.V) AS dot
+           |FROM $cat.ns.facts f JOIN $cat.ns.dims d ON f.Key = d.Key
+           |GROUP BY f.Key""".stripMargin)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.orderBy("Key").as[(String, Long, Double)].collect().length == 4)
+      // a projection WITHOUT the key degrades to an unclustered scan
+      assert(spark.sql(s"SELECT sum(V) FROM $cat.ns.facts")
+        .as[Double].head() == (0 until 40).sum.toDouble)
+      // a rewrite preserves the declared layout: files stay key-pure
+      spark.sql(s"UPDATE $cat.ns.facts SET V = V + 1000 WHERE V >= 38")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/ns/facts"))
+        .filter(_.isFile).map(_.getPath.toString)
+        .filterNot(p => p.contains("/_") || p.contains("/."))
+        .foreach { f =>
+          val st = graft.sources.v2.ZoneMap.load(fs, f).get.stats("Key")
+          assert(st.min == st.max && st.nulls == 0L, s"post-UPDATE $f: $st")
+        }
+      assert(!spark.sql(
+        s"""SELECT f.Key, count(*) AS n FROM $cat.ns.facts f
+           |JOIN $cat.ns.dims d ON f.Key = d.Key GROUP BY f.Key""".stripMargin)
+        .queryExecution.executedPlan.toString.contains("Exchange"),
+        "the rewritten table must still storage-partition-join")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS is metadata-only; narrowing refuses") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.a (Score DOUBLE)")
