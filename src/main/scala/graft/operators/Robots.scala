@@ -66,15 +66,37 @@ object Robots {
     groups.result()
   }
 
-  /** The group applying to `agent`: most specific (longest) matching
-    * agent token, `*` as fallback. */
+  /** The crawler's product token: the leading run of token characters
+    * (letters, digits, `-`, `_`) of its agent string, lowercased —
+    * "GraftBot/1.0 (+http…)" → "graftbot". RFC 9309 §2.2.1 matches
+    * groups against this token, not the full UA string. */
+  def productToken(agent: String): String =
+    agent.toLowerCase.takeWhile(c =>
+      c.isLetterOrDigit || c == '-' || c == '_')
+
+  /** The rules applying to `agent`: every group whose most specific
+    * (longest) matching agent token ties for the maximum is COMBINED
+    * into one rule set (RFC 9309 §2.2.1 — rules of all groups naming
+    * the matched agent apply together; a Disallow living in a duplicate
+    * group must not be ignored). A group token matches when it is a
+    * prefix of the crawler's product token ("googlebot" applies to
+    * "googlebot-images"; "bot" does NOT apply to "mybot"). All `*`
+    * groups combine as the fallback. */
   def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
-    val a = agent.toLowerCase
+    val tok = productToken(agent)
     val named = groups.flatMap { g =>
-      g.agents.filter(t => t != "*" && a.contains(t)).map(t => (t.length, g))
+      val lens = g.agents.filter(t => t != "*" && tok.startsWith(t)).map(_.length)
+      if (lens.nonEmpty) Some((lens.max, g)) else None
     }
-    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-    else groups.find(_.agents.contains("*"))
+    if (named.nonEmpty) {
+      val best = named.map(_._1).max
+      val applicable = named.collect { case (l, g) if l == best => g }
+      Some(Group(applicable.flatMap(_.agents), applicable.flatMap(_.rules)))
+    } else {
+      val stars = groups.filter(_.agents.contains("*"))
+      if (stars.isEmpty) None
+      else Some(Group(Seq("*"), stars.flatMap(_.rules)))
+    }
   }
 
   /** Does `pattern` (with `*` and final `$`) match a PREFIX of `path`

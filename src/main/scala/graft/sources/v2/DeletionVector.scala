@@ -125,6 +125,29 @@ private[graft] object DeletionVector {
     sb.append("]}").toString()
   }
 
+  /** Merge an existing range list with sorted new positions WITHOUT
+    * materializing individual deleted ordinals — linear in
+    * (#ranges + #new positions), so merging into a vector that already
+    * covers a huge contiguous delete stays cheap (the range encoding is
+    * the whole point at 100 TB; expanding it would be O(rows deleted)). */
+  def merge(v: Vector, sorted: Array[Long]): Vector = {
+    val starts = Array.newBuilder[Long]
+    val ends = Array.newBuilder[Long]
+    var curS = -1L; var curE = -2L // current open run (empty sentinel)
+    def push(s: Long, e: Long): Unit =
+      if (s <= curE + 1) { if (e > curE) curE = e } // extend/absorb
+      else { if (curS >= 0) { starts += curS; ends += curE }; curS = s; curE = e }
+    var i = 0; var j = 0
+    while (i < v.starts.length || j < sorted.length) {
+      if (j >= sorted.length ||
+          (i < v.starts.length && v.starts(i) <= sorted(j))) {
+        push(v.starts(i), v.ends(i)); i += 1
+      } else { push(sorted(j), sorted(j)); j += 1 }
+    }
+    if (curS >= 0) { starts += curS; ends += curE }
+    new Vector(starts.result(), ends.result())
+  }
+
   /** Merge `newPositions` (sorted, distinct, 0-based line ordinals) into
     * the file's vector and (re)write the sidecar. Idempotent: positions
     * already deleted merge silently. */
@@ -134,10 +157,7 @@ private[graft] object DeletionVector {
     val existing = load(fs, new Path(tableDir, dataFileName).toString)
     val merged = existing match {
       case None => fromPositions(newPositions)
-      case Some(v) =>
-        val all = (v.positions ++ newPositions.iterator).toArray
-        java.util.Arrays.sort(all)
-        fromPositions(all.distinct)
+      case Some(v) => merge(v, newPositions)
     }
     val p = sidecar(tableDir, dataFileName)
     fs.mkdirs(p.getParent)

@@ -82,8 +82,13 @@ private[v2] object RecordSource {
   def fieldTypes(options: CaseInsensitiveStringMap): Seq[(String, String)] =
     Option(options.get("fieldTypes")).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { kv =>
-        val Array(n, t) = kv.split(":", 2)
-        n.trim -> t.trim
+        val parts = kv.split(":", 2)
+        if (parts.length != 2 || parts(0).trim.isEmpty || parts(1).trim.isEmpty)
+          throw new IllegalArgumentException(
+            s"graft-records: malformed fieldTypes entry '$kv' — expected " +
+              "'name:type' pairs separated by commas, e.g. " +
+              "fieldTypes=Name:string,Qty:long")
+        parts(0).trim -> parts(1).trim
       }).getOrElse(Seq.empty)
 
   /** System columns + typed fields, all nullable (sparse records). */
@@ -1632,6 +1637,11 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
       .foreach { p =>
         fs.delete(ZoneMap.sidecar(dest, p.getName), false) // stale attempt's stats
         fs.delete(BloomSidecar.sidecar(dest, p.getName), false)
+        // stale files were reader-visible between the crash and this
+        // restart — a DELETE in that window left a DV sidecar that
+        // would otherwise orphan (matching RecordReplaceDataWrite's
+        // retirement discipline)
+        fs.delete(DeletionVector.sidecar(dest, p.getName), false)
         fs.delete(p, false)
       }
     messages.flatMap(RecordCommitMessage.partsOf).foreach {

@@ -736,19 +736,31 @@ object StreamingSync {
       val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
       if (sorted.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[TwsClosedSession]
+      // Cross-batch out-of-order (within watermark): the restored open
+      // session may START LATER than incoming events. Re-sessionize the
+      // open session TOGETHER with the batch as sorted INTERVALS — an
+      // open session is a valid session (internal events chain within
+      // gap), so interval-gap merging reproduces exact point
+      // sessionization: a late event within gap of the open session's
+      // start merges and moves startMs BACKWARD; one farther back than
+      // the gap forms a separate earlier session (closed here when the
+      // open session follows it beyond the gap).
+      val items = sorted.iterator.map { case (_, ts, id) =>
+        TwsOpenSession(ts.getTime, ts.getTime, 1L, id) }.toArray
+      val all =
+        if (open.exists()) {
+          val prev = open.get()
+          getHandle.deleteTimer(prev.lastMs + gapMs)
+          (prev +: items).sortBy(s => (s.startMs, s.lastMs, s.idSum))
+        } else items
       var cur: TwsOpenSession = null
-      if (open.exists()) {
-        cur = open.get()
-        getHandle.deleteTimer(cur.lastMs + gapMs)
-      }
-      sorted.foreach { case (_, ts, id) =>
-        val t = ts.getTime
-        if (cur == null) cur = TwsOpenSession(t, t, 1L, id)
-        else if (t - cur.lastMs > gapMs) {
+      all.foreach { it =>
+        if (cur == null) cur = it
+        else if (it.startMs - cur.lastMs > gapMs) {
           out += closed(key, cur)
-          cur = TwsOpenSession(t, t, 1L, id)
-        } else cur = TwsOpenSession(cur.startMs, math.max(cur.lastMs, t),
-          cur.n + 1L, cur.idSum + id)
+          cur = it
+        } else cur = TwsOpenSession(cur.startMs,
+          math.max(cur.lastMs, it.lastMs), cur.n + it.n, cur.idSum + it.idSum)
       }
       open.update(cur)
       getHandle.registerTimer(cur.lastMs + gapMs)

@@ -29,6 +29,25 @@ class DeletionVectorSpec extends SparkSpec {
   private def read(dir: String) = spark.read.format("graft-records")
     .option("path", dir).option("fieldTypes", "Score:number").load()
 
+  test("merge is range-wise: no materialization of covered ordinals, " +
+      "adjacency collapses, idempotent re-delete") {
+    // a vector covering a huge contiguous delete merges new positions
+    // without expanding its ranges (O(ranges + new), not O(rows deleted))
+    val big = DeletionVector.parse("""{"ranges":[[0,9999999999],[20000000000,20000000005]]}""")
+    val m = DeletionVector.merge(big, Array(5L, 10000000000L, 19999999999L))
+    assert(m.starts.toSeq == Seq(0L, 19999999999L))
+    assert(m.ends.toSeq == Seq(10000000000L, 20000000005L))
+    assert(m.count == 10000000001L + 7L)
+    // idempotent: merging already-deleted positions is a no-op
+    val again = DeletionVector.merge(m, Array(3L, 20000000001L))
+    assert(again.starts.toSeq == m.starts.toSeq && again.ends.toSeq == m.ends.toSeq)
+    // interleave + bridge: [2,3]+[0,1,4] -> [0,4]; disjoint stays split
+    val v2 = DeletionVector.merge(
+      DeletionVector.parse("""{"ranges":[[2,3],[8,9]]}"""), Array(0L, 1L, 4L))
+    assert(v2.starts.toSeq == Seq(0L, 8L) && v2.ends.toSeq == Seq(4L, 9L))
+    assert(!v2.contains(5L) && v2.contains(4L) && v2.contains(9L))
+  }
+
   test("hidden metadata columns address every row by (_file, _pos)") {
     val dir = mkLake()
     val df = read(dir)

@@ -35,13 +35,30 @@ class RobotsSpec extends SparkSpec {
   }
 
   test("group selection: most specific agent token, * fallback, none") {
-    val gs = Seq(Group(Seq("bot"), Seq((false, "/a"))),
+    val gs = Seq(Group(Seq("super"), Seq((false, "/a"))),
       Group(Seq("superbot"), Seq((false, "/b"))),
       Group(Seq("*"), Seq((false, "/c"))))
     assert(groupFor(gs, "SuperBot/1.0").get.rules.head._2 == "/b") // longest
-    assert(groupFor(gs, "MyBot").get.rules.head._2 == "/a")
+    assert(groupFor(gs, "SuperCrawl").get.rules.head._2 == "/a") // prefix
     assert(groupFor(gs, "other").get.rules.head._2 == "/c") // fallback
     assert(groupFor(gs.dropRight(1), "other").isEmpty) // no group: allowed
+    // product-token PREFIX, not substring: "bot" must not catch "mybot"
+    assert(groupFor(Seq(Group(Seq("bot"), Seq((false, "/a")))), "MyBot").isEmpty)
+  }
+
+  test("duplicate groups naming the same agent COMBINE (RFC 9309)") {
+    // a Disallow living in the second group must not be ignored
+    val gs = Seq(Group(Seq("graftbot"), Seq((true, "/ok"))),
+      Group(Seq("graftbot"), Seq((false, "/ok/secret"))),
+      Group(Seq("*"), Seq((false, "/"))))
+    val g = groupFor(gs, "GraftBot/2.0")
+    assert(g.get.rules.toSet == Set((true, "/ok"), (false, "/ok/secret")))
+    assert(allowed(g, "/ok/secret/x") == ((false, "/ok/secret")))
+    assert(allowed(g, "/ok/pub") == ((true, "/ok")))
+    // duplicate * groups combine too
+    val stars = Seq(Group(Seq("*"), Seq((false, "/a"))),
+      Group(Seq("*"), Seq((false, "/b"))))
+    assert(allowed(groupFor(stars, "x"), "/b/z") == ((false, "/b")))
   }
 
   test("pattern matching: prefixes, wildcards, anchors") {

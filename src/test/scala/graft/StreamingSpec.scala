@@ -709,4 +709,60 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(provKey)
     }
   }
+
+  test("transformWithState sessions: cross-batch LATE events (within " +
+      "watermark) merge backward or detach as an earlier session") {
+    // A later batch may deliver an event OLDER than the open session's
+    // start (watermark permitting). Two shapes must match exact
+    // gap-sessionization semantics:
+    //  - user 5: late 11:50 lands within gap of the open 12:00 session
+    //    -> merges and moves start_sec BACKWARD;
+    //  - user 6: late 10:30 is farther back than the gap -> a separate
+    //    EARLIER session, closed inline, leaving the 12:00 one open.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val sessions = StreamingSync.sessionizeTws(
+        in.toDS(), gapMinutes = 30, watermark = "2 hours").toDF()
+      val name = s"tws_late_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def sec(s: String) = ts(s).getTime / 1000L
+      def rows = spark.table(name)
+        .select("user_id", "start_sec", "end_sec", "n_events", "id_sum")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      in.addData(
+        (5L, ts("2024-01-01 12:00:00"), 1L),
+        (6L, ts("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable() // watermark now 10:00 (2h delay)
+      in.addData(
+        (5L, ts("2024-01-01 11:50:00"), 2L), // within gap of open start
+        (6L, ts("2024-01-01 10:30:00"), 2L)) // > gap before open start
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq((6L, sec("2024-01-01 10:30:00"),
+        sec("2024-01-01 10:30:00"), 1L, 2L)),
+        s"detached earlier session should close inline, got ${rows.toSeq}")
+      // advance the watermark so the open sessions' timers fire
+      in.addData((99L, ts("2024-01-02 00:00:00"), 0L))
+      q.processAllAvailable()
+      in.addData((99L, ts("2024-01-03 00:00:00"), 0L))
+      q.processAllAvailable()
+      q.stop()
+      val fin = rows.filter(r => r._1 == 5L || r._1 == 6L)
+      spark.catalog.dropTempView(name)
+      assert(fin.toSeq == Seq(
+        (5L, sec("2024-01-01 11:50:00"), sec("2024-01-01 12:00:00"), 2L, 3L),
+        (6L, sec("2024-01-01 10:30:00"), sec("2024-01-01 10:30:00"), 1L, 2L),
+        (6L, sec("2024-01-01 12:00:00"), sec("2024-01-01 12:00:00"), 1L, 1L)),
+        s"late-merge mismatch: ${fin.toSeq}")
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
