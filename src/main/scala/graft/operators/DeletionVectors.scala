@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
 
-import graft.sources.v2.{DeletionVector, ZoneMap}
+import graft.sources.v2.{DeletionVector, OptimisticCommit, ZoneMap}
 
 /** Merge-on-read DELETE for the graft-records lake (the Delta/Iceberg
   * deletion-vector pattern): a predicate delete writes row positions to
@@ -22,8 +22,10 @@ import graft.sources.v2.{DeletionVector, ZoneMap}
   * stack — zone-map file pruning and row-level filters mean only files
   * that CAN match are listed and only rows that DO match flow out.
   *
-  * Single-writer discipline, like every mutation path of this lake.
-  * Crash-safety follows the record-compaction marker protocol: a
+  * Concurrency is optimistic ([[graft.sources.v2.OptimisticCommit]]):
+  * no lease — the mark stages merged vectors, CAS-commits a `dv` entry,
+  * and retries the whole plan when a concurrent commit touched the same
+  * files. Crash-safety follows the record-compaction marker protocol: a
   * rewritten file lands under a NEW name behind a `_dvmat-` marker;
   * [[recover]] replays interrupted swaps to completion.
   */
@@ -43,7 +45,7 @@ object DeletionVectors {
     * the returned summary is one row per touched file. */
   def delete(spark: SparkSession, path: String, fieldTypes: String,
       condition: Column): Seq[FileDelete] =
-    mark(spark, spark.read.format("graft-records")
+    mark(spark, path, () => spark.read.format("graft-records")
       .option("path", path).option("fieldTypes", fieldTypes).load()
       .where(condition))
 
@@ -56,27 +58,72 @@ object DeletionVectors {
   def deleteWhere(spark: SparkSession, path: String,
       fullSchema: org.apache.spark.sql.types.StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Seq[FileDelete] =
-    mark(spark, spark.read.format("graft-records").schema(fullSchema)
-      .option("path", path).load()
+    mark(spark, path, () => spark.read.format("graft-records")
+      .schema(fullSchema).option("path", path).load()
       .where(filters.map(filterToColumn).reduceOption(_ && _)
         .getOrElse(lit(true))))
 
-  private def mark(spark: SparkSession, matching: org.apache.spark.sql.DataFrame)
-      : Seq[FileDelete] = {
+  /** The optimistic two-phase mark ([[graft.sources.v2
+    * .OptimisticCommit]]): the scan runs against the APPLIED head, the
+    * merged vectors are STAGED invisibly on the executors
+    * (`_staging-dv-<run>/<file>.json`, full post-merge content), one
+    * CAS entry (`dv` = touched file names) claims them, and only then
+    * do the sidecars flip in. A concurrent compaction/rewrite touching
+    * the same files either loses the CAS (re-plans) or makes THIS
+    * commit lose — the retry re-scans, finding the rows in their new
+    * files. Staged content stays valid through the flip because the
+    * committed entry shields the touched set. */
+  private def mark(spark: SparkSession, path: String,
+      matching: () => org.apache.spark.sql.DataFrame): Seq[FileDelete] =
+    OptimisticCommit.withRetry(s"DELETE (deletion vectors) on $path") {
+      markOnce(spark, path, matching())
+    }
+
+  private def markOnce(spark: SparkSession, path: String,
+      matching: org.apache.spark.sql.DataFrame): Seq[FileDelete] = {
     import spark.implicits._
-    val confProps = spark.sparkContext.hadoopConfiguration
-      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    val dir = new Path(path)
+    val dirFs = dir.getFileSystem(conf)
+    val readVersion = OptimisticCommit.head(dirFs, dir)
+    OptimisticCommit.awaitApplied(dirFs, dir,
+      OptimisticCommit.standardRecover(path, conf))
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val stagingName = s"_staging-dv-$runId"
     val hits = matching
       .select(col("_file"), col("_pos"))
       .groupBy("_file")
       .agg(sort_array(collect_list(col("_pos"))).as("positions"))
       .as[(String, Array[Long])]
-    hits.map { case (file, positions) =>
+    // executor phase: merge against the current sidecar, stage the FULL
+    // merged vector (idempotent flip content)
+    val touched = hits.map { case (file, positions) =>
       val p = new Path(file)
       val fs = p.getFileSystem(confFrom(confProps))
-      DeletionVector.write(fs, p.getParent, p.getName, positions)
-      (file, positions.length.toLong)
-    }.collect().toSeq.sortBy(_._1).map((FileDelete.apply _).tupled)
+      val merged = DeletionVector.load(fs, file) match {
+        case Some(v) => DeletionVector.merge(v, positions)
+        case None => DeletionVector.fromPositions(positions)
+      }
+      val staged = new Path(new Path(p.getParent, stagingName),
+        p.getName + ".json")
+      fs.mkdirs(staged.getParent)
+      val out = fs.create(staged, true)
+      try out.write(DeletionVector.render(merged)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      (p.getName, positions.length.toLong)
+    }.collect().toSeq.sortBy(_._1)
+    if (touched.isEmpty) return Seq.empty
+    val v = try OptimisticCommit.commit(dirFs, dir, readVersion, op = "dv",
+        dv = touched.map(_._1), staging = Some(stagingName))
+      catch { case e: OptimisticCommit.CommitConflictException =>
+        dirFs.delete(new Path(dir, stagingName), true) // abandon the stage
+        throw e
+      }
+    OptimisticCommit.replayDvStaging(dirFs, dir, stagingName) // the flip
+    OptimisticCommit.markApplied(dirFs, dir, v)
+    touched.map((FileDelete.apply _).tupled)
   }
 
   /** Source `Filter` -> `Column`, for the shapes `canDeleteWhere`
@@ -116,12 +163,20 @@ object DeletionVectors {
     * unknown without a typed rescan, and absent stats are merely
     * unpruned, never wrong (the next compaction rebuilds nothing — zone
     * absence is advisory throughout). Returns files rewritten. */
-  def materialize(spark: SparkSession, path: String): Int = {
+  def materialize(spark: SparkSession, path: String): Int =
+    OptimisticCommit.withRetry(s"dv-materialize of $path") {
+      materializeOnce(spark, path)
+    }
+
+  private def materializeOnce(spark: SparkSession, path: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val confProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     recover(path, conf)
+    val readVersion = OptimisticCommit.head(fs, dir)
+    OptimisticCommit.awaitApplied(fs, dir,
+      OptimisticCommit.standardRecover(path, conf))
     val dvDir = new Path(dir, DeletionVector.Dir)
     if (!fs.exists(dvDir)) return 0
     val vectored = fs.listStatus(dvDir).filter(_.isFile)
@@ -133,21 +188,20 @@ object DeletionVectors {
         if (!live) fs.delete(DeletionVector.sidecar(dir, n), false)
         live
       }
-    if (vectored.isEmpty) return 0
-    // materialize DELETES the vectored originals — a live snapshot
-    // manifest still referencing one would dangle (expire first)
+    // materialize DELETES the vectored originals — a file a live
+    // snapshot manifest references is FROZEN and skipped (its vector
+    // stays a live sidecar; it materializes after Snapshots.expire),
+    // keeping time travel and changelog reads working around
+    // maintenance, matching compaction's exclusion semantics
     val snapRefs = graft.sources.v2.Snapshots.referencedFiles(fs, dir)
-    val pinned = vectored.filter(snapRefs.contains)
-    require(pinned.isEmpty,
-      s"dv-materialize: ${pinned.length} vectored file(s) are referenced " +
-        s"by live snapshots (${pinned.take(3).mkString(", ")}…) — " +
-        "Snapshots.expire the old manifests first")
+    val candidates = vectored.filterNot(snapRefs.contains)
+    if (candidates.isEmpty) return 0
     val runId = java.util.UUID.randomUUID().toString.take(12)
     val stagingName = s"_staging-dvmat-$runId"
 
-    // executor phase: rewrite each vectored file without its deleted lines
+    // executor phase: rewrite each candidate file without its deleted lines
     spark.sparkContext
-      .parallelize(vectored.zipWithIndex, math.min(vectored.length, 64))
+      .parallelize(candidates.zipWithIndex, math.min(candidates.length, 64))
       .foreach { case (name, k) =>
         val c = confFrom(confProps)
         val d = new Path(path)
@@ -168,10 +222,22 @@ object DeletionVectors {
         } finally { in.close(); out.close() }
       }
 
+    // CAS one entry for the whole run before any swap (shields the
+    // vectored inputs from concurrent writers; a lost validation
+    // abandons the stage and re-plans)
+    val newNames = candidates.indices.map(k => s"dvmat-$runId-f$k.jsonl")
+    val committed = try OptimisticCommit.commit(fs, dir, readVersion,
+        op = "dvmat", added = newNames, removed = candidates,
+        dv = candidates, staging = Some(stagingName))
+      catch { case e: OptimisticCommit.CommitConflictException =>
+        fs.delete(new Path(path, stagingName), true)
+        throw e
+      }
+
     // driver phase: swap each rewrite in behind a marker (idempotent
     // replay in recover): rename staged -> new name, then delete the old
     // file and BOTH its sidecars, then drop the marker
-    vectored.zipWithIndex.foreach { case (name, k) =>
+    candidates.zipWithIndex.foreach { case (name, k) =>
       val newName = s"dvmat-$runId-f$k.jsonl"
       val staged = new Path(new Path(path, stagingName), s"f$k.jsonl")
       writeMarker(fs, dir, s"$runId-f$k", staged.toString, newName, name)
@@ -185,7 +251,8 @@ object DeletionVectors {
       fs.delete(markerPath(dir, s"$runId-f$k"), false)
     }
     fs.delete(new Path(path, stagingName), true)
-    vectored.length
+    OptimisticCommit.markApplied(fs, dir, committed)
+    candidates.length
   }
 
   private def markerPath(dir: Path, id: String): Path =

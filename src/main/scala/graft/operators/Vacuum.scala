@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.v2.{BloomSidecar, DeletionVector, RecordCompaction, RecordReplaceDataWrite, ZoneMap}
+import graft.sources.v2.{BloomSidecar, DeletionVector, OptimisticCommit, RecordCompaction, RecordReplaceDataWrite, ZoneMap}
 
 /** VACUUM for a record lake: replay every pending marker protocol to
   * completion, then sweep the debris a crash can leave behind —
@@ -29,21 +29,32 @@ import graft.sources.v2.{BloomSidecar, DeletionVector, RecordCompaction, RecordR
 object Vacuum {
 
   final case class Report(markersReplayed: Int, stagingDirsRemoved: Int,
-      orphanSidecarsRemoved: Int)
+      orphanSidecarsRemoved: Int, commitEntriesExpired: Int = 0)
 
-  def clean(spark: SparkSession, path: String): Report = {
+  /** `commitLogKeepLast` bounds the optimistic-commit history retained
+    * for conflict validation — entries older than the newest N applied
+    * ones are expired (a writer whose readVersion predates retention
+    * fails loudly and re-plans, never silently). */
+  def clean(spark: SparkSession, path: String,
+      commitLogKeepLast: Int = 1000): Report = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Report(0, 0, 0)
-    // 1) finish what crashed mid-protocol (each is idempotent)
+    // 1) finish what crashed mid-protocol (each is idempotent); replay
+    //    any committed-but-unapplied optimistic entries first so their
+    //    staging is consumed, not swept
+    OptimisticCommit.awaitApplied(fs, dir,
+      OptimisticCommit.standardRecover(path, conf), staleMs = 0L)
     val replayed = RecordCompaction.recover(path, conf) +
       DeletionVectors.recover(path, conf) +
       RecordReplaceDataWrite.recover(path, conf)
-    // 2) dead staging directories
+    // 2) dead staging directories (none are shielded now — every
+    //    committed entry was just applied; vacuum is quiesce-first)
     val staging = fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("_staging-"))
     staging.foreach(p => fs.delete(p, true))
+    val expired = OptimisticCommit.expire(fs, dir, commitLogKeepLast)
     // 3) orphan sidecars (their data file is gone)
     val live = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
@@ -55,6 +66,6 @@ object Vacuum {
         if (!live.contains(owner)) { fs.delete(st.getPath, false); orphans += 1 }
       }
     }
-    Report(replayed, staging.length, orphans)
+    Report(replayed, staging.length, orphans, expired)
   }
 }

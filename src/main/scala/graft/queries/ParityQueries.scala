@@ -522,12 +522,13 @@ private[graft] object ParityQueries {
       // the GDPR bar is BYTES, not query results: after purging a key
       // set, no surviving data file may contain the ids at all. The
       // chain composes the whole mutation stack — bloom-pruned
-      // point DELETE (metadata-only) → snapshot pins REFUSE the
-      // physical erase → expire → materialize (rewrites without the
-      // rows) → compact — and the gate REQUIRES byte-level absence on
-      // the executors before returning the survivor aggregate the
-      // oracle recomputes. Merge-on-read alone is NOT a purge (the
-      // bytes remain); this is the operator sequence that makes it one.
+      // point DELETE (metadata-only) → snapshot pins EXCLUDE the files
+      // from physical erase (materialize skips them: 0 rewrites while
+      // pinned) → expire → materialize (rewrites without the rows) →
+      // compact — and the gate REQUIRES byte-level absence on the
+      // executors before returning the survivor aggregate the oracle
+      // recomputes. Merge-on-read alone is NOT a purge (the bytes
+      // remain); this is the operator sequence that makes it one.
       val out = scratchPath(dir, "q287_records")
       val cust = rd(s, dir, "customer").select(
         concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
@@ -552,13 +553,13 @@ private[graft] object ParityQueries {
       val types = "Segment:singleLineText,Bal:number,Key:number"
       graft.operators.DeletionVectors.delete(s, out, types,
         col("_record_id").isin(purgeIds: _*)) // bloom-pruned point marks
-      // physical erase refuses while a snapshot pins the bytes
-      val blocked = try {
-        graft.operators.DeletionVectors.materialize(s, out); false
-      } catch { case _: IllegalArgumentException => true }
-      require(blocked, "a pinned purge must refuse until expiry")
+      // physical erase SKIPS pinned files while a snapshot holds them:
+      // zero rewrites, bytes protected until expiry
+      require(graft.operators.DeletionVectors.materialize(s, out) == 0,
+        "a pinned purge must rewrite nothing until expiry")
       graft.operators.LakeSnapshots.expire(s, out, keepLast = 0)
-      graft.operators.DeletionVectors.materialize(s, out)
+      require(graft.operators.DeletionVectors.materialize(s, out) > 0,
+        "post-expiry materialize must rewrite the marked files")
       graft.sources.v2.RecordCompaction.compact(s, out, 1L << 30)
       // byte-level absence, checked ON THE EXECUTORS over every
       // surviving data file (the ids are JSON-delimited, so the

@@ -1,0 +1,289 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Optimistic multi-writer concurrency for the record lake — the
+  * Iceberg/Delta commit-protocol pattern re-expressed over this lake's
+  * sidecar layout. Replaces the blocking single-writer discipline on
+  * every lake mutation path: writers never hold a lease; instead each
+  * mutation CAS-appends an ENTRY to `_commits/c<k>.json` (atomic
+  * create-exclusive — the filesystem arbitrates the race) naming the
+  * files it adds, removes, and mutates deletion vectors for. Validation
+  * at commit time rejects an entry whose touched set overlaps anything
+  * committed since the writer planned; the writer then RETRIES the whole
+  * operation against fresh state.
+  *
+  * Conflict rules (the Iceberg semantics, scoped to file granularity):
+  *  - an APPEND (touches nothing, adds new uniquely-named files)
+  *    commutes with everything — two concurrent appenders both land,
+  *    serialized only on the tiny version-slot CAS, never on data work;
+  *  - COMPACTION / DV-DELETE / DV-MATERIALIZE / COPY-ON-WRITE conflict
+  *    exactly when their touched file sets overlap: `mine.(removed ∪
+  *    dv)` intersecting `theirs.(added ∪ removed ∪ dv)` aborts the
+  *    commit with [[CommitConflictException]] and the caller re-plans.
+  *
+  * Two-phase shape per destructive op:
+  *  1. read `head` (the readVersion), [[awaitApplied]] so the directory
+  *     reflects every committed entry, plan, stage invisible work;
+  *  2. [[commit]] (validate + CAS) — losing the validation means
+  *     re-running step 1 against the new state;
+  *  3. apply the directory flips (each op's existing idempotent marker
+  *     protocol), then [[markApplied]].
+  * Between 2 and 3 the entry SHIELDS the flips: any competing writer
+  * whose set overlaps validates against the committed entry and backs
+  * off, so nobody else can touch those files mid-flip. A writer that
+  * crashes between 2 and 3 leaves an unapplied entry; the next writer's
+  * [[awaitApplied]] replays it to completion via [[standardRecover]]
+  * (each flip protocol is replayable by anyone) once it turns stale.
+  *
+  * Appends declare AFTER flipping (their renames are invisible-to-
+  * visible and conflict-free), so readers never depend on the log; the
+  * log exists for writers and is safe to [[expire]] behind retention.
+  *
+  * Reference basis: the reference is a single Python process with no
+  * concurrent writers (lib/AirtableToDatastore.py sync loop); this is
+  * the ambition layer a shared 100 TB lake needs — concurrent ingest,
+  * compaction, and retention without a serializing lease. */
+private[graft] object OptimisticCommit {
+
+  val Dir = "_commits"
+
+  /** Give up after this many whole-operation re-plans. */
+  val MaxAttempts = 8
+
+  /** An unapplied entry older than this is presumed crashed and is
+    * replayed by the next writer. Flips are metadata-only (renames +
+    * sidecar writes), so seconds of headroom is already generous. */
+  val DefaultStaleMs = 60000L
+
+  final case class Entry(version: Long, op: String, tsMs: Long,
+      added: Seq[String], removed: Seq[String], dv: Seq[String],
+      staging: Option[String]) {
+    def touched: Set[String] = (removed ++ dv).toSet
+    def changed: Set[String] = (added ++ removed ++ dv).toSet
+  }
+
+  final class CommitConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  private def entryPath(dir: Path, v: Long): Path =
+    new Path(new Path(dir, Dir), s"c$v.json")
+  private def appliedPath(dir: Path, v: Long): Path =
+    new Path(new Path(dir, Dir), s"c$v.applied")
+
+  def versions(fs: FileSystem, dir: Path): Seq[Long] = {
+    val d = new Path(dir, Dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+      .collect { case n if n.startsWith("c") && n.endsWith(".json") =>
+        n.stripPrefix("c").stripSuffix(".json").toLong
+      }.sorted.toSeq
+  }
+
+  def head(fs: FileSystem, dir: Path): Long =
+    versions(fs, dir).lastOption.getOrElse(0L)
+
+  def load(fs: FileSystem, dir: Path, v: Long): Entry = {
+    val root = new ObjectMapper().readTree(readFully(fs, entryPath(dir, v)))
+    def arr(k: String): Seq[String] =
+      root.get(k).elements().asScala.map(_.asText()).toSeq
+    Entry(root.get("version").asLong(), root.get("op").asText(),
+      root.get("ts").asLong(), arr("added"), arr("removed"), arr("dv"),
+      if (root.get("staging").isNull) None
+      else Some(root.get("staging").asText()))
+  }
+
+  /** Entries in `(after, head]`, ascending — failing LOUDLY if any
+    * version in the window was expired (a readVersion predating retained
+    * history cannot be validated and must re-plan from scratch). */
+  def entriesAfter(fs: FileSystem, dir: Path, after: Long): Seq[Entry] = {
+    val vs = versions(fs, dir).filter(_ > after)
+    vs.headOption.foreach(first => require(first == after + 1,
+      s"commit log at $dir retains c$first.. but validation needs " +
+        s"c${after + 1}.. — readVersion $after predates retention " +
+        "(raise Vacuum's commit-log keepLast, or re-plan)"))
+    require(vs == (vs.headOption.getOrElse(0L) to vs.lastOption.getOrElse(-1L)),
+      s"commit log at $dir has a gap in ${vs.mkString(",")}")
+    vs.map(load(fs, dir, _))
+  }
+
+  /** Validate-and-CAS: every entry committed after `readVersion` must be
+    * DISJOINT from this op's touched set, then the next version slot is
+    * claimed by atomic create-exclusive. A slot collision (someone else
+    * won the number) revalidates and retries the CAS internally; an
+    * OVERLAP throws [[CommitConflictException]] for the caller to
+    * re-plan the whole operation. Returns the committed version. */
+  /** Test seam: invoked with the op name before validation — specs use
+    * it to interleave a competing commit deterministically between an
+    * operation's plan and its CAS (reproducing a real race without
+    * sleeps). No-op in production. */
+  @volatile private[graft] var beforeCasHook: String => Unit = _ => ()
+
+  def commit(fs: FileSystem, dir: Path, readVersion: Long, op: String,
+      added: Seq[String] = Seq.empty, removed: Seq[String] = Seq.empty,
+      dv: Seq[String] = Seq.empty, staging: Option[String] = None): Long = {
+    beforeCasHook(op)
+    val mine = (removed ++ dv).toSet
+    fs.mkdirs(new Path(dir, Dir))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000, s"commit CAS at $dir livelocked") // unreachable backstop
+      val h = head(fs, dir)
+      if (mine.nonEmpty) {
+        val clash = entriesAfter(fs, dir, readVersion)
+          .map(e => e -> e.changed.intersect(mine)).filter(_._2.nonEmpty)
+        if (clash.nonEmpty) {
+          val (e, files) = clash.head
+          throw new CommitConflictException(
+            s"$op at $dir conflicts with concurrent ${e.op} (c${e.version})" +
+              s" on ${files.take(3).mkString(", ")}" +
+              s"${if (files.size > 3) s" (+${files.size - 3} more)" else ""}" +
+              " — re-planning against current state")
+        }
+      }
+      val v = h + 1
+      val mapper = new ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("version", v)
+      root.put("op", op)
+      root.put("ts", System.currentTimeMillis)
+      Seq("added" -> added, "removed" -> removed, "dv" -> dv).foreach {
+        case (k, xs) =>
+          val a = root.putArray(k); xs.foreach(a.add)
+      }
+      staging match {
+        case Some(s) => root.put("staging", s)
+        case None => root.putNull("staging")
+      }
+      val claimed =
+        try {
+          val out = fs.create(entryPath(dir, v), false) // atomic CAS
+          try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) return v
+      // lost the slot: loop — revalidates the (now longer) window
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def markApplied(fs: FileSystem, dir: Path, v: Long): Unit =
+    fs.create(appliedPath(dir, v), true).close()
+
+  def isApplied(fs: FileSystem, dir: Path, v: Long): Boolean =
+    fs.exists(appliedPath(dir, v))
+
+  /** Entry versions committed but not yet applied (flips possibly in
+    * flight or crashed). */
+  def unapplied(fs: FileSystem, dir: Path): Seq[Long] =
+    versions(fs, dir).filterNot(isApplied(fs, dir, _))
+
+  /** Block until every committed entry's flips are visible: a LIVE
+    * owner marks its entry applied within moments (flips are metadata
+    * ops); an entry still unapplied past `staleMs` is presumed crashed
+    * and replayed here via `recover` (every flip protocol is
+    * idempotent and replayable by anyone). Mutation planners call this
+    * so the directory they list reflects the full committed history. */
+  def awaitApplied(fs: FileSystem, dir: Path, recover: Entry => Unit,
+      staleMs: Long = DefaultStaleMs): Unit =
+    unapplied(fs, dir).foreach { v =>
+      val e = load(fs, dir, v)
+      while (!isApplied(fs, dir, v) &&
+          System.currentTimeMillis - e.tsMs <= staleMs)
+        Thread.sleep(25)
+      if (!isApplied(fs, dir, v)) {
+        recover(e)
+        markApplied(fs, dir, v)
+      }
+    }
+
+  /** The lake's flip-replay dispatch, by op. Ops that declare AFTER
+    * flipping (append, epoch, truncate) need nothing; marker-protocol
+    * ops replay through their own `recover`; a `dv` entry replays its
+    * staged sidecars (content is the FULL merged vector, so the copy is
+    * idempotent at any crash point). */
+  def standardRecover(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Entry => Unit = { e =>
+    e.op match {
+      case "compact" => RecordCompaction.recover(path, conf)
+      case "dvmat" => graft.operators.DeletionVectors.recover(path, conf)
+      case "replace" => RecordReplaceDataWrite.recover(path, conf)
+      case "dv" => e.staging.foreach(s => replayDvStaging(
+        new Path(path).getFileSystem(conf), new Path(path), s))
+      case _ => () // append / epoch / truncate: flip-before-declare
+    }
+  }
+
+  /** Flip a `dv` entry's staged sidecars into `_dv/` (overwrite — the
+    * staged content is the post-merge vector) and drop the staging dir.
+    * Idempotent: replayable from any crash point; a missing staging dir
+    * means the flip already completed. */
+  def replayDvStaging(fs: FileSystem, dir: Path, stagingName: String): Unit = {
+    val st = new Path(dir, new Path(stagingName).getName)
+    if (!fs.exists(st)) return
+    fs.listStatus(st).filter(_.isFile).foreach { s =>
+      val name = s.getPath.getName.stripSuffix(".json")
+      val content = readFully(fs, s.getPath)
+      val out = fs.create(DeletionVector.sidecar(dir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    fs.delete(st, true)
+  }
+
+  /** Retire all but the newest `keepLast` APPLIED entries (an unapplied
+    * entry is never expired — it may still need replay). Returns how
+    * many were dropped. Validation windows reaching past retention fail
+    * loudly in [[entriesAfter]] and re-plan. */
+  def expire(fs: FileSystem, dir: Path, keepLast: Int): Int = {
+    require(keepLast >= 0, s"keepLast $keepLast must be >= 0")
+    val vs = versions(fs, dir)
+    val cut = vs.dropRight(keepLast).filter(isApplied(fs, dir, _))
+    // only a contiguous prefix may go — a retained entry below a dropped
+    // one would make the gap look like corruption
+    val prefix = cut.zip(vs).takeWhile { case (c, v) => c == v }.map(_._1)
+    prefix.foreach { v =>
+      fs.delete(entryPath(dir, v), false)
+      fs.delete(appliedPath(dir, v), false)
+    }
+    prefix.length
+  }
+
+  /** Staging directory names referenced by committed-but-unapplied
+    * entries — debris sweeps must NOT touch these (their flips are
+    * pending replay). */
+  def protectedStaging(fs: FileSystem, dir: Path): Set[String] =
+    unapplied(fs, dir).map(load(fs, dir, _))
+      .flatMap(_.staging).map(s => new Path(s).getName).toSet
+
+  /** Run `body` (the whole plan→stage→commit→flip cycle), re-planning on
+    * [[CommitConflictException]] up to [[MaxAttempts]] times. */
+  def withRetry[T](what: String, maxAttempts: Int = MaxAttempts)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"$what gave up after $maxAttempts conflicted attempts — " +
+              s"the table is under sustained contention: ${e.getMessage}", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+}

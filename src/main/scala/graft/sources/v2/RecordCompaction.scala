@@ -47,29 +47,56 @@ object RecordCompaction {
 
   /** Compact `path`, packing adjacent (by name) data files into groups
     * of ~`targetBytes`. Returns the number of groups merged (groups of
-    * one file are left untouched). */
-  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    * one file are left untouched).
+    *
+    * Concurrency: optimistic ([[OptimisticCommit]]) — the plan is made
+    * against the applied head, the whole batch CAS-commits one entry
+    * (removed=olds, added=merged) before any flip, and a conflicting
+    * concurrent commit (a DV DELETE landing on an input, another
+    * compaction overlapping) re-plans from scratch. A DELETE that wins
+    * the race surfaces on the retry as the vectored-inputs refusal —
+    * run DeletionVectors.materialize first, as ever. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int =
+    OptimisticCommit.withRetry(s"compaction of $path") {
+      compactOnce(spark, path, targetBytes)
+    }
+
+  private def compactOnce(spark: SparkSession, path: String,
+      targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val confProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     recover(path, conf) // finish any crashed run first
-    // orphaned staging (crash before its marker existed) is garbage
+    val readVersion = OptimisticCommit.head(fs, dir)
+    OptimisticCommit.awaitApplied(fs, dir,
+      OptimisticCommit.standardRecover(path, conf))
+    // orphaned staging (crash before its marker existed) is garbage —
+    // except staging a committed-but-unapplied entry still needs
+    val shielded = OptimisticCommit.protectedStaging(fs, dir)
     fs.listStatus(dir).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("_staging-compact-"))
+      .filterNot(st => shielded.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
 
-    val files = fs.listStatus(dir).filter(_.isFile)
+    val listed = fs.listStatus(dir).filter(_.isFile)
       .filterNot(st => st.getPath.getName.startsWith("_") ||
         st.getPath.getName.startsWith("."))
       .map(st => (st.getPath.getName, st.getLen)).sortBy(_._1)
-    require(files.length <= MaxFilesPerCall,
-      s"${files.length} files exceed MaxFilesPerCall=$MaxFilesPerCall — " +
+    require(listed.length <= MaxFilesPerCall,
+      s"${listed.length} files exceed MaxFilesPerCall=$MaxFilesPerCall — " +
         "compact in batches (the collected plan is driver-resident)")
+    // compaction DELETES its inputs — a file a live snapshot manifest
+    // references is FROZEN and simply excluded from the plan (it
+    // compacts after Snapshots.expire retires the manifest); this keeps
+    // time travel AND changelog reads (LakeChangelog) working while the
+    // table compacts around them
+    val snapRefs = Snapshots.referencedFiles(fs, dir)
+    val files = listed.filterNot { case (n, _) => snapRefs.contains(n) }
     // byte-concatenation would RESURRECT deletion-vector'd rows (the
     // merged file's line ordinals no longer match any input's vector):
-    // refuse loudly while any input carries a vector
+    // refuse loudly while any candidate carries a vector
     val dvd = files.map(_._1).filter(n =>
       fs.exists(DeletionVector.sidecar(dir, n)))
     require(dvd.isEmpty,
@@ -77,14 +104,6 @@ object RecordCompaction {
         s"deletion vectors (${dvd.take(3).mkString(", ")}…) — run " +
         "DeletionVectors.materialize first (it rewrites those files " +
         "without the deleted rows and drops the sidecars)")
-    // compaction DELETES its inputs — a live snapshot manifest still
-    // referencing one would dangle (vacuum's contract: expire first)
-    val snapRefs = Snapshots.referencedFiles(fs, dir)
-    val pinned = files.map(_._1).filter(snapRefs.contains)
-    require(pinned.isEmpty,
-      s"graft-records compaction: ${pinned.length} input file(s) are " +
-        s"referenced by live snapshots (${pinned.take(3).mkString(", ")}…)" +
-        " — Snapshots.expire the old manifests first")
     if (files.length < 2) return 0
 
     import spark.implicits._
@@ -127,6 +146,19 @@ object RecordCompaction {
       }.collect()
     val mergedZones = staged.toMap
 
+    // CAS the whole batch as ONE entry before any flip: from here the
+    // inputs are shielded (a competing writer touching them validates
+    // against this entry and backs off); losing the validation here
+    // throws CommitConflictException and the caller re-plans
+    val newNames = groups.indices.map(g => s"compact-$runId-g$g.jsonl")
+    val committed = try OptimisticCommit.commit(fs, dir, readVersion,
+        op = "compact", added = newNames, removed = groups.flatten,
+        staging = Some(stagingName))
+      catch { case e: OptimisticCommit.CommitConflictException =>
+        fs.delete(new Path(path, stagingName), true) // abandon the stage
+        throw e
+      }
+
     // driver phase: marker -> sidecar -> rename -> deletes, per group
     groups.zipWithIndex.foreach { case (names, g) =>
       val newName = s"compact-$runId-g$g.jsonl"
@@ -147,6 +179,7 @@ object RecordCompaction {
       fs.delete(markerPath(dir, s"$runId-g$g"), false)
     }
     fs.delete(new Path(path, stagingName), true)
+    OptimisticCommit.markApplied(fs, dir, committed)
     groups.length
   }
 

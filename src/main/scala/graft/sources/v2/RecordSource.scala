@@ -246,8 +246,18 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       require(n > 0, s"versionAsOf $n must be positive")
       n
     }
+    // read option: restrict the scan to these data-file NAMES (after
+    // snapshot/live resolution) — the changelog reader's pruning handle:
+    // CDC between snapshots reads ONLY changed files, so its cost is
+    // ∝ the delta however big the table ([[graft.operators
+    // .LakeChangelog]]). Names, not paths: composes with versionAsOf.
+    val fileSubset = Option(options.get("fileSubset")).map { s =>
+      val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(names.nonEmpty, "fileSubset given but names empty")
+      names
+    }
     new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
-      mode, maxFiles, clusterBy, versionAsOf)
+      mode, maxFiles, clusterBy, versionAsOf, fileSubset = fileSubset)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -393,7 +403,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     maxFilesPerTrigger: Option[Int] = None,
     clusterBy: Option[String] = None,
     versionAsOf: Option[Long] = None,
-    rowLevelFiles: Option[Seq[String]] = None)
+    rowLevelFiles: Option[Seq[String]] = None,
+    fileSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -514,7 +525,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
       pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
-      maxFilesPerTrigger, clusterBy, versionAsOf, rowLevelFiles)
+      maxFilesPerTrigger, clusterBy, versionAsOf, rowLevelFiles, fileSubset)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
@@ -525,7 +536,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     clusterBy: Option[String] = None,
     versionAsOf: Option[Long] = None,
-    rowLevelFiles: Option[Seq[String]] = None)
+    rowLevelFiles: Option[Seq[String]] = None,
+    fileSubset: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -545,12 +557,19 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   /** The scan's candidate data files (full paths): the row-level
     * operation's frozen group set, a snapshot's frozen set, or the live
     * listing. */
-  private def candidateFiles: Array[String] = rowLevelFiles match {
-    case Some(fs) => fs.toArray
-    case None => snapshot match {
-      case Some(m) => m.files.map { case (n, _) =>
-        new org.apache.hadoop.fs.Path(path, n).toString }.toArray
-      case None => RecordScan.listDataFiles(path, hadoopConf)
+  private def candidateFiles: Array[String] = {
+    val base = rowLevelFiles match {
+      case Some(fs) => fs.toArray
+      case None => snapshot match {
+        case Some(m) => m.files.map { case (n, _) =>
+          new org.apache.hadoop.fs.Path(path, n).toString }.toArray
+        case None => RecordScan.listDataFiles(path, hadoopConf)
+      }
+    }
+    fileSubset match {
+      case Some(keep) => base.filter(f =>
+        keep.contains(new org.apache.hadoop.fs.Path(f).getName))
+      case None => base
     }
   }
 
@@ -1522,8 +1541,12 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       fs.delete(new org.apache.hadoop.fs.Path(dest, BloomSidecar.Dir), true)
       fs.delete(new org.apache.hadoop.fs.Path(dest, DeletionVector.Dir), true)
       fs.delete(new org.apache.hadoop.fs.Path(dest, Snapshots.Dir), true)
+      // the commit log coordinates WRITERS over the files it names —
+      // all gone now; truncate is quiesce-first (documented), so a
+      // fresh history is consistent
+      fs.delete(new org.apache.hadoop.fs.Path(dest, OptimisticCommit.Dir), true)
     }
-    messages.flatMap(RecordCommitMessage.partsOf).foreach {
+    val landed = messages.flatMap(RecordCommitMessage.partsOf).map {
       case (staged, zoneJson, bloomJson) =>
       val src = new org.apache.hadoop.fs.Path(staged)
       val to = new org.apache.hadoop.fs.Path(dest, src.getName)
@@ -1536,9 +1559,17 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records commit failed moving $src -> $to")
+      to.getName
     }
     fs.delete(new org.apache.hadoop.fs.Path(
       RecordWriteSupport.stagingDir(path, queryId)), true)
+    // declare AFTER flipping: an append touches nothing, so it cannot
+    // conflict — the entry exists so destructive writers validating
+    // their windows see the full history (and never blocks them)
+    val v = OptimisticCommit.commit(fs, dest,
+      OptimisticCommit.head(fs, dest), op = "append",
+      added = landed.toSeq)
+    OptimisticCommit.markApplied(fs, dest, v)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1644,7 +1675,7 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
         fs.delete(DeletionVector.sidecar(dest, p.getName), false)
         fs.delete(p, false)
       }
-    messages.flatMap(RecordCommitMessage.partsOf).foreach {
+    val landed = messages.flatMap(RecordCommitMessage.partsOf).map {
       case (staged, zoneJson, bloomJson) =>
       val src = new Path(staged)
       val to = new Path(dest, src.getName)
@@ -1653,11 +1684,16 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
       if (!fs.rename(src, to))
         throw new java.io.IOException(
           s"graft-records epoch $epochId commit failed moving $src -> $to")
+      to.getName
     }
     // marker only AFTER every file is live: a crash before this line
     // re-runs the epoch, and the pre-clean above makes that re-run
     // supersede this attempt's files — idempotent either way
     fs.create(marker(epochId), true).close()
+    // declare-after-flip, as in batch append: epochs add files only
+    val v = OptimisticCommit.commit(fs, dest,
+      OptimisticCommit.head(fs, dest), op = "epoch", added = landed.toSeq)
+    OptimisticCommit.markApplied(fs, dest, v)
     fs.delete(new Path(stagingDir(epochId)), true)
   }
 
@@ -1710,12 +1746,21 @@ private[v2] class RecordRowLevelOperation(
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
-  /** The frozen candidate set: listed once. The scan may shrink it via
-    * Spark's runtime group filter (condition subquery on `_file`); the
-    * write replaces whatever the scan LAST planned. */
-  private lazy val plannedFiles: Seq[String] =
-    RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
-      .sorted.toSeq
+  /** The frozen candidate set: listed once, against the APPLIED commit
+    * head (the listing's readVersion rides to the write, which CAS-
+    * validates against it — a concurrent commit touching these files
+    * between plan and commit aborts the statement loudly). The scan may
+    * shrink the set via Spark's runtime group filter (condition subquery
+    * on `_file`); the write replaces whatever the scan LAST planned. */
+  private lazy val plannedFiles: (Long, Seq[String]) = {
+    val conf = RecordSource.confFrom(confProps)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val readVersion = OptimisticCommit.head(fs, dir)
+    OptimisticCommit.awaitApplied(fs, dir,
+      OptimisticCommit.standardRecover(path, conf))
+    (readVersion, RecordScan.listDataFiles(path, conf).sorted.toSeq)
+  }
 
   private val scanRef =
     new java.util.concurrent.atomic.AtomicReference[RecordScan](null)
@@ -1736,7 +1781,7 @@ private[v2] class RecordRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecordScanBuilder(fullSchema, path, confProps, "FAILFAST",
-      None, None, None, Some(plannedFiles)) {
+      None, None, None, Some(plannedFiles._2)) {
       override def build(): Scan = {
         val sc = super.build().asInstanceOf[RecordScan]
         scanRef.set(sc)
@@ -1753,8 +1798,8 @@ private[v2] class RecordRowLevelOperation(
         // (group-filtered or not); falls back to the full frozen set
         // only if no scan was ever built (defensive — Spark always
         // builds the scan before the write runs)
-        () => Option(scanRef.get).flatMap(_.plannedGroups)
-          .getOrElse(plannedFiles),
+        () => (plannedFiles._1, Option(scanRef.get).flatMap(_.plannedGroups)
+          .getOrElse(plannedFiles._2)),
         clusterBy, bloomCols)
     }
   }
@@ -1818,7 +1863,8 @@ private[graft] object RecordReplaceDataWrite {
   * committed as zero-row files. Live snapshot manifests referencing a
   * frozen file refuse the commit — expire first, vacuum's contract. */
 private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
-    path: String, confProps: Map[String, String], oldsFn: () => Seq[String],
+    path: String, confProps: Map[String, String],
+    oldsFn: () => (Long, Seq[String]),
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty)
     extends Write with BatchWrite {
   import org.apache.hadoop.fs.Path
@@ -1836,7 +1882,8 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
     val dest = new Path(path)
     val fs = dest.getFileSystem(conf)
     RecordReplaceDataWrite.recover(path, conf) // heal any prior crash
-    val oldNames = oldsFn().map(f => new Path(f).getName)
+    val (readVersion, olds) = oldsFn()
+    val oldNames = olds.map(f => new Path(f).getName)
     val snapRefs = Snapshots.referencedFiles(fs, dest)
     val pinned = oldNames.filter(snapRefs.contains)
     require(pinned.isEmpty,
@@ -1849,7 +1896,22 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
       .zipWithIndex
       .map { case ((staged, zone, _), i) =>
         (staged, s"rlo-$runId-p$i.jsonl", zone) }
-    // marker first: from here the swap completes exactly once even
+    // CAS against the plan-time readVersion BEFORE the marker: a
+    // concurrent commit that touched the frozen set since planning
+    // aborts the statement here (Spark cannot re-run the rewrite from
+    // inside the sink — the caller re-runs the SQL, the Iceberg
+    // CommitFailedException contract)
+    val committed = try OptimisticCommit.commit(fs, dest, readVersion,
+        op = "replace", added = entries.map(_._2).toSeq,
+        removed = oldNames, dv = oldNames,
+        staging = Some(RecordWriteSupport.stagingDir(path, queryId)))
+      catch { case e: OptimisticCommit.CommitConflictException =>
+        abort(messages)
+        throw new IllegalStateException(
+          s"copy-on-write on $path lost an optimistic-commit race — " +
+            s"re-run the statement. ${e.getMessage}", e)
+      }
+    // marker next: from here the swap completes exactly once even
     // across a crash (recover replays renames, then the retirements)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -1877,6 +1939,7 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
     }
     fs.delete(RecordReplaceDataWrite.markerPath(dest, runId), false)
     fs.delete(new Path(RecordWriteSupport.stagingDir(path, queryId)), true)
+    OptimisticCommit.markApplied(fs, dest, committed)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

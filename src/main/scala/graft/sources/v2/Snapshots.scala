@@ -24,31 +24,50 @@ private[graft] object Snapshots {
 
   val Dir = "_snapshots"
 
+  /** One-entry-per-file JSON stays driver-resident at commit/load — the
+    * Iceberg manifest-list answer bounds it: past `ShardSize` files the
+    * version manifest becomes a LIST of shard files (each ≤ ShardSize
+    * entries), and past `MaxFiles` the commit refuses LOUDLY (at that
+    * point the table needs compaction, not a bigger manifest). */
+  val ShardSize = 100000
+  val MaxFiles = 10000000
+
   final case class Manifest(version: Long,
       files: Seq[(String, Option[String])]) // (fileName, dvJson at commit)
 
   private def manifestPath(tableDir: Path, v: Long): Path =
     new Path(new Path(tableDir, Dir), s"v$v.json")
 
+  /** High-water mark surviving full expiry: snapshot versions are NEVER
+    * reused (a reused id would silently alias two different table
+    * states for time-travel and changelog consumers). */
+  private def hwmPath(tableDir: Path): Path =
+    new Path(new Path(tableDir, Dir), "_hwm")
+
+  private def hwm(fs: FileSystem, tableDir: Path): Long = {
+    val p = hwmPath(tableDir)
+    if (!fs.exists(p)) 0L else readFully(fs, p).trim.toLong
+  }
+
+  private def raiseHwm(fs: FileSystem, tableDir: Path, v: Long): Unit =
+    if (v > hwm(fs, tableDir)) {
+      val out = fs.create(hwmPath(tableDir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+
   def versions(fs: FileSystem, tableDir: Path): Seq[Long] = {
     val d = new Path(tableDir, Dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+      .collect { case n if n.startsWith("v") && !n.contains("-") &&
+          n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong
       }.sorted.toSeq
   }
 
-  /** Freeze the current state as the next version; returns it. */
-  def commit(fs: FileSystem, path: String,
-      conf: org.apache.hadoop.conf.Configuration): Long = {
-    val dir = new Path(path)
-    val v = versions(fs, dir).lastOption.getOrElse(0L) + 1L
-    val files = RecordScan.listDataFiles(path, conf).sorted.toSeq
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("version", v)
-    val arr = root.putArray("files")
+  private def renderFiles(fs: FileSystem, dir: Path, mapper: ObjectMapper,
+      arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      files: Seq[String]): Unit =
     files.foreach { f =>
       val name = new Path(f).getName
       val e = arr.addObject()
@@ -57,12 +76,80 @@ private[graft] object Snapshots {
       if (fs.exists(dvp)) e.put("dv", readFully(fs, dvp))
       else e.putNull("dv")
     }
-    val p = manifestPath(dir, v)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    out.close()
-    v
+
+  /** Freeze the current state as the next version; returns it.
+    * Concurrent committers race on an atomic create-exclusive of the
+    * version manifest (CAS) — the loser recomputes the number and
+    * retries; both snapshots land, ordered by who won each slot. */
+  def commit(fs: FileSystem, path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      shardSize: Int = ShardSize): Long = {
+    val dir = new Path(path)
+    val files = RecordScan.listDataFiles(path, conf).sorted.toSeq
+    require(files.length <= MaxFiles,
+      s"snapshot commit on $path covers ${files.length} data files, over " +
+        s"MaxFiles=$MaxFiles — compact the table before snapshotting " +
+        "(a manifest this size is a table-layout problem, not a " +
+        "metadata-format problem)")
+    val mapper = new ObjectMapper()
+    fs.mkdirs(new Path(dir, Dir))
+    while (true) {
+      val v = math.max(versions(fs, dir).lastOption.getOrElse(0L),
+        hwm(fs, dir)) + 1L
+      val root = mapper.createObjectNode()
+      root.put("version", v)
+      val shardNames =
+        if (files.length <= shardSize) {
+          renderFiles(fs, dir, mapper, root.putArray("files"), files)
+          Seq.empty
+        } else {
+          // shard names carry a token so two racing committers at the
+          // same v never overwrite each other's shards
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val names = files.grouped(shardSize).zipWithIndex.map {
+            case (chunk, i) =>
+              val sname = s"v$v-$token-s$i.json"
+              val sroot = mapper.createObjectNode()
+              renderFiles(fs, dir, mapper, sroot.putArray("files"), chunk)
+              val out = fs.create(new Path(new Path(dir, Dir), sname), true)
+              try out.write(mapper.writeValueAsString(sroot).getBytes("UTF-8"))
+              finally out.close()
+              sname
+          }.toSeq
+          val arr = root.putArray("shards")
+          names.foreach(arr.add)
+          names
+        }
+      val p = manifestPath(dir, v)
+      val claimed =
+        try {
+          val out = fs.create(p, false) // CAS: the filesystem arbitrates
+          try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) return v
+      // lost the version slot: drop this attempt's shards, retry at v+1
+      shardNames.foreach(n => fs.delete(new Path(new Path(dir, Dir), n), false))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def fileEntries(fs: FileSystem, dir: Path,
+      root: com.fasterxml.jackson.databind.JsonNode)
+      : Iterator[(String, Option[String])] = {
+    val inline = Option(root.get("files")).map(_.elements().asScala)
+      .getOrElse(Iterator.empty)
+    val sharded = Option(root.get("shards")).map(_.elements().asScala)
+      .getOrElse(Iterator.empty).flatMap { s =>
+        new ObjectMapper()
+          .readTree(readFully(fs, new Path(new Path(dir, Dir), s.asText())))
+          .get("files").elements().asScala
+      }
+    (inline ++ sharded).map { e =>
+      (e.get("name").asText(),
+        if (e.get("dv").isNull) None else Some(e.get("dv").asText()))
+    }
   }
 
   /** Load manifest v, failing LOUDLY when absent or when a referenced
@@ -75,12 +162,11 @@ private[graft] object Snapshots {
       s"versionAsOf $v: no snapshot manifest at $p (existing: " +
         s"${versions(fs, dir).mkString(", ")})")
     val root = new ObjectMapper().readTree(readFully(fs, p))
-    val files = root.get("files").elements().asScala.map { e =>
-      val name = e.get("name").asText()
+    val files = fileEntries(fs, dir, root).map { case (name, dv) =>
       require(fs.exists(new Path(dir, name)),
         s"versionAsOf $v references $name which no longer exists — the " +
           "snapshot was expired out from under this read")
-      (name, if (e.get("dv").isNull) None else Some(e.get("dv").asText()))
+      (name, dv)
     }.toSeq
     Manifest(root.get("version").asLong(), files)
   }
@@ -90,21 +176,29 @@ private[graft] object Snapshots {
   def referencedFiles(fs: FileSystem, tableDir: Path): Set[String] = {
     val d = new Path(tableDir, Dir)
     if (!fs.exists(d)) return Set.empty
-    fs.listStatus(d).filter(_.isFile).map(_.getPath)
-      .filter(_.getName.startsWith("v")).flatMap { p =>
-        new ObjectMapper().readTree(readFully(fs, p))
-          .get("files").elements().asScala.map(_.get("name").asText())
-      }.toSet
+    versions(fs, tableDir).flatMap { v =>
+      val root = new ObjectMapper()
+        .readTree(readFully(fs, manifestPath(tableDir, v)))
+      fileEntries(fs, tableDir, root).map(_._1)
+    }.toSet
   }
 
-  /** Retire all but the newest `keepLast` manifests; returns how many
-    * were dropped. Files themselves are reclaimed by the next
-    * compaction/materialize (they refuse only LIVE references). */
+  /** Retire all but the newest `keepLast` manifests (and their shards);
+    * returns how many were dropped. Files themselves are reclaimed by
+    * the next compaction/materialize (they refuse only LIVE
+    * references). */
   def expire(fs: FileSystem, tableDir: Path, keepLast: Int): Int = {
     require(keepLast >= 0, s"keepLast $keepLast must be >= 0")
     val vs = versions(fs, tableDir)
     val drop = vs.dropRight(keepLast)
-    drop.foreach(v => fs.delete(manifestPath(tableDir, v), false))
+    drop.lastOption.foreach(raiseHwm(fs, tableDir, _)) // never reuse ids
+    drop.foreach { v =>
+      val root = new ObjectMapper()
+        .readTree(readFully(fs, manifestPath(tableDir, v)))
+      Option(root.get("shards")).foreach(_.elements().asScala.foreach(s =>
+        fs.delete(new Path(new Path(tableDir, Dir), s.asText()), false)))
+      fs.delete(manifestPath(tableDir, v), false)
+    }
     drop.length
   }
 

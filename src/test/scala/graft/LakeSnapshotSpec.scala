@@ -50,29 +50,33 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("no snapshot manifest")), msgs(ex))
   }
 
-  test("destructive paths refuse snapshot-pinned files until expiry") {
+  test("destructive paths EXCLUDE snapshot-pinned files until expiry") {
     val dir = Files.createTempDirectory("graft_snap2").toString + "/t"
     append(dir, 0, 10)
     append(dir, 10, 20)
     LakeSnapshots.commit(spark, dir)
     DeletionVectors.delete(spark, dir, "Score:number", col("Score") === 3.0)
-    val m = intercept[IllegalArgumentException] {
-      DeletionVectors.materialize(spark, dir)
-    }
-    assert(m.getMessage.contains("Snapshots.expire"), m.getMessage)
-    // compaction refuses on the DV first; materialize after expiry, then
-    // compaction (inputs no longer pinned) packs the two files
+    // both files are pinned by v1: materialize SKIPS them (the vector
+    // stays a live sidecar; time travel keeps working) instead of
+    // rewriting a file the manifest references
+    assert(DeletionVectors.materialize(spark, dir) == 0)
+    assert(read(dir).count() == 19L)
+    assert(read(dir, Some(1L)).count() == 20L, "v1 must still see row 3")
+    // after expiry the same call rewrites; then compaction packs the two
     assert(LakeSnapshots.expire(spark, dir, keepLast = 0) == 1)
     assert(DeletionVectors.materialize(spark, dir) == 1)
     assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1 << 20) == 1)
     assert(read(dir).count() == 19L)
-    // a pinned compaction also refuses
+    // compaction likewise excludes pinned inputs: with the merged file
+    // pinned and ONE new file, nothing groups; with TWO new (unpinned)
+    // files, only those compact and the pinned file survives verbatim
     LakeSnapshots.commit(spark, dir)
     append(dir, 20, 30)
-    val c = intercept[IllegalArgumentException] {
-      graft.sources.v2.RecordCompaction.compact(spark, dir, 1 << 20)
-    }
-    assert(c.getMessage.contains("Snapshots.expire"), c.getMessage)
+    assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1 << 20) == 0)
+    append(dir, 30, 40)
+    assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1 << 20) == 1)
+    assert(read(dir).count() == 39L)
+    assert(read(dir, Some(2L)).count() == 19L, "v2 unharmed by compaction")
   }
 
   test("versionAsOf is batch-only; streaming tails the live table") {
