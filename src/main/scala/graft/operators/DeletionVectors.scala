@@ -57,9 +57,10 @@ object DeletionVectors {
     * marks. */
   def deleteWhere(spark: SparkSession, path: String,
       fullSchema: org.apache.spark.sql.types.StructType,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[FileDelete] =
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      readOptions: Map[String, String] = Map.empty): Seq[FileDelete] =
     mark(spark, path, () => spark.read.format("graft-records")
-      .schema(fullSchema).option("path", path).load()
+      .schema(fullSchema).option("path", path).options(readOptions).load()
       .where(filters.map(filterToColumn).reduceOption(_ && _)
         .getOrElse(lit(true))))
 

@@ -642,6 +642,51 @@ private[graft] object ParityQueries {
 
 
     // ----- schema evolution: ADD COLUMNS over committed data ---------
+    "q291_sql_rename_column" -> ((s, dir) => {
+      // RENAME COLUMN on a sparse record lake is metadata-only: rows
+      // written BEFORE the rename keep their old wire key and read
+      // through the former-name fallback; rows written AFTER use the
+      // new key. The gate mixes both generations, deletes through the
+      // NEW name (the predicate must find old rows via the fallback,
+      // and zone pruning must not wrongly drop pre-rename files), and
+      // time-travels to a PRE-rename snapshot read under the new name.
+      val wh = scratchPath(dir, "q291_wh")
+      val cat = "g291c" + (wh.hashCode.toLong & 0xffffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.docs")
+      s.sql(s"CREATE TABLE $cat.ns.docs (Lang STRING, Chars DOUBLE)")
+      val view = s"q291_docs_${wh.hashCode.toLong & 0xffffffffL}"
+      rd(s, dir, "documents").createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.ns.docs
+           |SELECT concat('d', CAST(doc_id AS STRING)),
+           |  CAST(NULL AS TIMESTAMP), lang, CAST(n_chars AS DOUBLE)
+           |FROM $view WHERE doc_id % 2 = 0""".stripMargin)
+      graft.operators.LakeSnapshots.commit(s, s"$wh/ns/docs") // pre-rename
+      s.sql(s"ALTER TABLE $cat.ns.docs RENAME COLUMN Chars TO Size")
+      s.sql(
+        s"""INSERT INTO $cat.ns.docs
+           |SELECT concat('d', CAST(doc_id AS STRING)),
+           |  CAST(NULL AS TIMESTAMP), lang, CAST(n_chars AS DOUBLE)
+           |FROM $view WHERE doc_id % 2 = 1""".stripMargin)
+      // the delete predicate names the NEW column; pre-rename rows must
+      // match through the former wire key
+      s.sql(s"DELETE FROM $cat.ns.docs WHERE Size < 200")
+      val out = s.sql(
+        s"""SELECT 'live' AS phase, Lang AS lang, count(*) AS n_docs,
+           |  CAST(sum(CAST(Size AS BIGINT)) AS BIGINT) AS sum_size
+           |FROM $cat.ns.docs GROUP BY 2
+           |UNION ALL
+           |SELECT 'v1', Lang, count(*),
+           |  CAST(sum(CAST(Size AS BIGINT)) AS BIGINT)
+           |FROM $cat.ns.docs VERSION AS OF 1 GROUP BY 2
+           |ORDER BY phase, lang""".stripMargin)
+        .localCheckpoint()
+      s.catalog.dropTempView(view)
+      out
+    }),
+
     "q285_schema_evolution" -> ((s, dir) => {
       // sparse records make ADD COLUMNS metadata-only: half the corpus
       // lands BEFORE the column exists, half after (with values) — the
@@ -765,6 +810,71 @@ private[graft] object ParityQueries {
         .localCheckpoint()
       s.catalog.dropTempView(view)
       out
+    }),
+
+
+    // ----- changelog (CDC) reads between snapshots --------------------
+    "q289_lake_cdc" -> ((s, dir) => {
+      // the lake's own change feed: three snapshot states (append,
+      // merge-on-read delete, second delete), consumed INCREMENTALLY —
+      // the maintained per-language aggregate starts from the v1 scan
+      // and applies ONLY the signed Z-relation deltas LakeChangelog
+      // derives from manifest + deletion-vector diffs (never rescanning
+      // the live table). The oracle recomputes the final state from the
+      // append/delete ordering alone: any wrong delta row breaks the
+      // totals.
+      val out = scratchPath(dir, "q289_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      val v1 = graft.operators.LakeSnapshots.commit(s, out)
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      val v2 = graft.operators.LakeSnapshots.commit(s, out)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      val v3 = graft.operators.LakeSnapshots.commit(s, out)
+      val state0 = s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).option("versionAsOf", v1.toString)
+        .load().groupBy("Lang")
+        .agg(count(lit(1)).as("n"), sum(col("Chars")).as("sc"),
+          sum(col("DocId")).as("si"))
+      val maintained = Seq((v1, v2), (v2, v3)).foldLeft(state0) {
+        case (st, (a, b)) =>
+          val delta = graft.operators.LakeChangelog
+            .changes(s, out, types, a, b)
+            .groupBy("Lang")
+            .agg(sum(col("m")).as("dn"),
+              sum(col("m") * col("Chars")).as("dsc"),
+              sum(col("m") * col("DocId")).as("dsi"))
+          st.join(delta, Seq("Lang"), "full")
+            .select(col("Lang"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("sc"), lit(0.0)) + coalesce(col("dsc"), lit(0.0)))
+                .as("sc"),
+              (coalesce(col("si"), lit(0.0)) + coalesce(col("dsi"), lit(0.0)))
+                .as("si"))
+            .filter(col("n") > 0)
+      }
+      maintained.select(col("Lang").as("lang"), col("n").as("n_docs"),
+          col("sc").cast("long").as("sum_chars"),
+          col("si").cast("long").as("id_sum"))
+        .orderBy("lang")
     }),
 
 
@@ -1867,6 +1977,21 @@ private[graft] object ParityQueries {
 
     // the phase split recomputed directly: even doc_ids predate the
     // column (NULL quality), odd ones carry doc_id % 5
+    // the oracle recomputes both phases from the half-split and delete
+    // predicate; the engine must get there through a metadata-only
+    // rename (former-key fallback + pre-rename time travel)
+    "q291_sql_rename_column" ->
+      """WITH live AS (SELECT lang, n_chars FROM documents
+        |  WHERE NOT coalesce(n_chars < 200, FALSE)),
+        |a AS (SELECT 'live' AS phase, lang, count(*) AS n_docs,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_size
+        |  FROM live GROUP BY 2),
+        |b AS (SELECT 'v1', lang, count(*),
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |ORDER BY phase, lang""".stripMargin,
+
     "q285_schema_evolution" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
@@ -1921,6 +2046,20 @@ private[graft] object ParityQueries {
     // live = slices 0+1 minus both deletes, plus slice 2 untouched
     // (the second delete ran BEFORE slice 2 landed, so slice 2 keeps
     // its doc_id%10=7 rows — position-based deletes never chase
+    // the oracle recomputes the FINAL state from the mutation ordering;
+    // the engine must get there by applying only snapshot-diff deltas
+    "q289_lake_cdc" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE NOT coalesce(n_chars < 200, FALSE)
+        |    AND NOT (doc_id % 10 = 7))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
     // late-arriving data)
     "q282_time_travel" ->
       """WITH s01 AS (SELECT doc_id, n_chars FROM documents

@@ -984,6 +984,62 @@ private[graft] object StreamingQueries {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
             .as("sum_bal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // ----- per-epoch snapshot commits from the streaming sink ---------
+    "q290_epoch_snapshots" -> ((s, dir) => {
+      // the sink's snapshotPerEpoch option freezes a manifest after
+      // every epoch commit, so time travel addresses "the table as of
+      // epoch N": three custkey-residue epochs stream in, and each
+      // snapshot version must read back EXACTLY the cumulative prefix —
+      // rows from later epochs invisible. The oracle recomputes the
+      // three prefixes from the residue split alone.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.hadoop.fs.Path
+      val run = memNonce.incrementAndGet()
+      val base = scratchPath(dir, s"q290_records_$run")
+      val ckpt = s"${base}_ckpt"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      fs.delete(new Path(ckpt), true)
+      val rows = rd(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").cast("double").as("bal"))
+        .as[(Long, Double)].collect()
+      require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val out = in.toDF().toDF("k", "bal")
+        .select(col("k").cast("string").as("_record_id"),
+          col("bal").as("c_acctbal"))
+      withReplayPartitions(s) {
+        val q = out.writeStream.format("graft-records")
+          .option("path", base)
+          .option("checkpointLocation", ckpt)
+          .option("snapshotPerEpoch", "true")
+          .outputMode("append").start()
+        try {
+          (0 until 3).foreach { e =>
+            in.addData(rows.filter(_._1 % 3 == e).toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val versions = graft.operators.LakeSnapshots.versions(s, base)
+      require(versions == Seq(1L, 2L, 3L),
+        s"three epochs must commit three snapshots, got $versions")
+      versions.map { v =>
+        s.read.format("graft-records").option("path", base)
+          .option("fieldTypes", "c_acctbal:number")
+          .option("versionAsOf", v.toString).load()
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("_record_id").cast("long")).as("key_sum"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("sum_bal"))
+          .select(lit(s"epoch$v").as("phase"), col("n_cust"),
+            col("key_sum"), col("sum_bal"))
+      }.reduce(_ unionByName _).orderBy("phase")
     })
   )
 
@@ -1297,6 +1353,17 @@ private[graft] object StreamingQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the cumulative residue prefixes; the engine
+    // must produce them by TIME TRAVEL over per-epoch snapshot commits
+    "q290_epoch_snapshots" ->
+      """SELECT 'epoch' || CAST(e AS VARCHAR) AS phase,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer, (SELECT unnest([1, 2, 3]) AS e)
+        |WHERE c_custkey % 3 <= e - 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // a 5-slice backlog at 2 files/trigger: batch sizes are pure
     // arithmetic over the per-slice counts (doc_id%5 slices of equal

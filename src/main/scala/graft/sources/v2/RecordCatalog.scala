@@ -102,13 +102,24 @@ class RecordCatalog extends TableCatalog {
     val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
     val fields = root.get("fields").elements().asScala.map(e =>
       e.get("name").asText() -> e.get("type").asText()).toSeq
+    // RENAME COLUMN is metadata-only: the current name maps to the
+    // former wire keys old rows still carry ("Cur:Old1|Old0,...")
+    val formers = root.get("fields").elements().asScala.flatMap { e =>
+      Option(e.get("former")).filterNot(_.isNull).filter(_.size() > 0)
+        .map(f => e.get("name").asText() ->
+          f.elements().asScala.map(_.asText()).mkString("|"))
+    }.toSeq
+    val formerProp =
+      if (formers.isEmpty) Seq.empty
+      else Seq("formerNames" ->
+        formers.map { case (k, v) => s"$k:$v" }.mkString(","))
     val layoutProps = Seq("clusterBy", "bloomFilterColumns").flatMap { k =>
       Option(root.get(k)).filterNot(_.isNull).map(k -> _.asText())
     }
     new RecordTable(RecordSource.fullSchema(fields),
       Map("path" -> d.toString,
         "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(","))
-        ++ layoutProps ++ extraProps)
+        ++ formerProp ++ layoutProps ++ extraProps)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -155,39 +166,111 @@ class RecordCatalog extends TableCatalog {
       ++ layoutProps)
   }
 
-  /** Only ADD COLUMNS is supported — and it is a pure metadata edit:
-    * record rows are sparse, so every existing row already reads the
-    * new field as NULL (the write path omits NULL fields, the read path
-    * returns NULL for absent ones — no data file is touched). Anything
-    * narrowing (drop/rename/retype) would strand committed data and is
-    * refused loudly. */
+  /** ADD / RENAME / DROP COLUMN — all pure metadata edits on a sparse
+    * record lake (no data file is ever touched):
+    *  - ADD: every existing row already reads the new field as NULL;
+    *  - RENAME: the field keeps its data under the former wire key(s);
+    *    reads fall back through the `former` list ([[RecordSource]]'s
+    *    `formerNames`), so old and new rows join under the new name —
+    *    including time travel to pre-rename snapshots;
+    *  - DROP: the field leaves the schema (a projection mask); its name
+    *    and former keys are tombstoned in `dropped` so a later ADD can
+    *    never silently RESURRECT the orphaned values under a reused
+    *    name (the classic rename/drop hazard — refused loudly instead).
+    * Retype stays refused (it would strand committed data). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     val fs = d.getFileSystem(conf)
     if (!fs.exists(metaPath(d)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace().toSeq :+ ident.name()))
-    val existing = loadWith(ident, Map.empty).schema().fieldNames.toSet
-    val added = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "graft catalog: nested columns are unsupported")
-        val n = a.fieldNames()(0)
-        require(!existing.contains(n),
-          s"graft catalog: column '$n' already exists")
-        n -> fieldTag(a.dataType())
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: only ADD COLUMNS is supported (sparse record " +
-          s"schemas make it metadata-only); got $other — narrowing " +
-          "changes would strand committed data")
-    }
-    val root = new ObjectMapper().readTree(readMeta(fs, d))
     val mapper = new ObjectMapper()
+    val root = mapper.readTree(readMeta(fs, d))
+    // working model: (name, type, formerKeys), plus the tombstone set
+    var fields = root.get("fields").elements().asScala.map { e =>
+      (e.get("name").asText(), e.get("type").asText(),
+        Option(e.get("former")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq.empty))
+    }.toSeq
+    var dropped = Option(root.get("dropped")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    def allWireNames: Set[String] =
+      fields.flatMap(f => f._1 +: f._3).toSet ++ dropped
+    def one(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        "graft catalog: nested columns are unsupported")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val n = one(a.fieldNames())
+        require(!fields.exists(_._1 == n),
+          s"graft catalog: column '$n' already exists")
+        require(!allWireNames.contains(n),
+          s"graft catalog: '$n' was a former or dropped column name — " +
+            "re-adding it would resurrect orphaned values old rows " +
+            "still carry under that key; pick a fresh name")
+        fields = fields :+ ((n, fieldTag(a.dataType()), Seq.empty[String]))
+      case r: TableChange.RenameColumn =>
+        val from = one(r.fieldNames()); val to = r.newName()
+        val idx = fields.indexWhere(_._1 == from)
+        require(idx >= 0, s"graft catalog: no column '$from' to rename")
+        require(!fields.exists(_._1 == to),
+          s"graft catalog: rename target '$to' already exists")
+        require(!allWireNames.contains(to),
+          s"graft catalog: '$to' was a former or dropped column name — " +
+            "reusing it would make old rows' orphaned values resurrect")
+        val (_, tpe, formers) = fields(idx)
+        fields = fields.updated(idx, (to, tpe, from +: formers))
+        // layout props follow the rename
+        Seq("clusterBy", "bloomFilterColumns").foreach { k =>
+          Option(root.get(k)).filterNot(_.isNull).map(_.asText()).foreach {
+            v =>
+              val nv = v.split(",").map(c => if (c == from) to else c)
+                .mkString(",")
+              root.asInstanceOf[com.fasterxml.jackson.databind.node
+                .ObjectNode].put(k, nv)
+          }
+        }
+      case del: TableChange.DeleteColumn =>
+        val n = one(del.fieldNames())
+        val idx = fields.indexWhere(_._1 == n)
+        require(idx >= 0, s"graft catalog: no column '$n' to drop")
+        Option(root.get("clusterBy")).filterNot(_.isNull)
+          .map(_.asText()).foreach(k => require(k != n,
+            s"graft catalog: '$n' is the clusterBy column — the physical" +
+              " layout depends on it; re-cluster before dropping"))
+        val (_, _, formers) = fields(idx)
+        dropped = (dropped :+ n) ++ formers
+        fields = fields.patch(idx, Nil, 1)
+        Option(root.get("bloomFilterColumns")).filterNot(_.isNull)
+          .map(_.asText()).foreach { v =>
+            val nv = v.split(",").filterNot(_ == n).mkString(",")
+            val rn = root.asInstanceOf[com.fasterxml.jackson.databind.node
+              .ObjectNode]
+            if (nv.isEmpty) rn.remove("bloomFilterColumns")
+            else rn.put("bloomFilterColumns", nv)
+          }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ($other) — ADD, RENAME and " +
+          "DROP COLUMN are metadata-only on a sparse record lake; a " +
+          "retype would strand committed data")
+    }
     val out = mapper.createObjectNode()
     val arr = out.putArray("fields")
-    root.get("fields").elements().asScala.foreach(arr.add)
-    added.foreach { case (k, v) =>
+    fields.foreach { case (k, v, formers) =>
       val e = arr.addObject(); e.put("name", k); e.put("type", v)
+      if (formers.nonEmpty) {
+        val fa = e.putArray("former"); formers.foreach(fa.add)
+      }
+    }
+    if (dropped.nonEmpty) {
+      val da = out.putArray("dropped"); dropped.distinct.foreach(da.add)
+    }
+    Seq("clusterBy", "bloomFilterColumns").foreach { k =>
+      Option(root.get(k)).filterNot(_.isNull).foreach(v =>
+        out.put(k, v.asText()))
     }
     val w = fs.create(metaPath(d), true)
     w.write(mapper.writeValueAsString(out).getBytes("UTF-8"))

@@ -79,6 +79,15 @@ private[v2] object RecordSource {
     c
   }
 
+  /** Parse the `formerNames` option ("Cur:Old1|Old0,Cur2:OldX"). */
+  def parseFormer(opt: Option[String]): Map[String, Seq[String]] =
+    opt.map { s =>
+      s.split(",").filter(_.nonEmpty).map { e =>
+        val Array(cur, olds) = e.split(":", 2)
+        cur -> olds.split("\\|").toSeq.filter(_.nonEmpty)
+      }.toMap
+    }.getOrElse(Map.empty)
+
   def fieldTypes(options: CaseInsensitiveStringMap): Seq[(String, String)] =
     Option(options.get("fieldTypes")).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { kv =>
@@ -127,7 +136,10 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       props.get("clusterBy"),
       props.get("bloomFilterColumns")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      // renamed columns: the rewrite's SCAN must read old rows through
+      // their former wire keys, or a copy-on-write would NULL them out
+      RecordSource.parseFormer(props.get("formerNames")))
   override def name(): String = s"graft-records(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
 
@@ -152,7 +164,9 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       org.apache.spark.sql.SparkSession.active,
       props.getOrElse("path",
         throw new IllegalStateException("deleteWhere needs a table path")),
-      schema, filters)
+      schema, filters,
+      // renamed columns: the delete scan must see old rows too
+      props.get("formerNames").map("formerNames" -> _).toMap)
 
   // The V2-Predicate entry points are overridden because the DEFAULT
   // conversion (SupportsDelete -> PredicateUtils.toV1) is lossy on
@@ -256,8 +270,13 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       require(names.nonEmpty, "fileSubset given but names empty")
       names
     }
+    // "Cur:Old1|Old0,Cur2:OldX" — a renamed column's former wire keys
+    // (RecordCatalog sets this from _table.json after RENAME COLUMN)
+    val former = RecordSource.parseFormer(Option(options.get("formerNames"))
+      .orElse(props.get("formerNames")))
     new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
-      mode, maxFiles, clusterBy, versionAsOf, fileSubset = fileSubset)
+      mode, maxFiles, clusterBy, versionAsOf, fileSubset = fileSubset,
+      former = former)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -286,9 +305,14 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     }
     val bloomBits = Option(info.options.get("bloomBits")).map(_.toInt)
       .getOrElse(BloomSidecar.DefaultBits)
+    // streaming-sink option: commit a snapshot manifest per epoch, so
+    // time travel can address "the table as of epoch N" and changelog
+    // consumers (LakeChangelog) can CDC off the stream's commits
+    val snapshotPerEpoch = Option(info.options.get("snapshotPerEpoch"))
+      .exists(_.toBoolean)
     new RecordWriteBuilder(info.schema(), info.queryId(),
       resolvedPath(info.options()), sessionConfProps, clusterBy,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, snapshotPerEpoch)
   }
 }
 
@@ -404,7 +428,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     clusterBy: Option[String] = None,
     versionAsOf: Option[Long] = None,
     rowLevelFiles: Option[Seq[String]] = None,
-    fileSubset: Option[Set[String]] = None)
+    fileSubset: Option[Set[String]] = None,
+    former: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -525,7 +550,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     new RecordScan(aggSchema.getOrElse(required), fullSchema, path, confProps,
       pushed, topN, limit.filter(_ => topN.isEmpty), agg, mode,
-      maxFilesPerTrigger, clusterBy, versionAsOf, rowLevelFiles, fileSubset)
+      maxFilesPerTrigger, clusterBy, versionAsOf, rowLevelFiles, fileSubset,
+      former)
 }
 
 private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
@@ -537,7 +563,8 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     clusterBy: Option[String] = None,
     versionAsOf: Option[Long] = None,
     rowLevelFiles: Option[Seq[String]] = None,
-    fileSubset: Option[Set[String]] = None)
+    fileSubset: Option[Set[String]] = None,
+    former: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -682,7 +709,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       // (DPP) filters — an In(...) arriving from a join build side
       // prunes files here before any byte is read.
       val pointPreds = effectiveFilters
-      ZoneMap.pruneFiles(candidateFiles, effectiveFilters, fs)
+      ZoneMap.pruneFiles(candidateFiles, effectiveFilters, fs, former)
         .filter { case (f, _) =>
           BloomSidecar.load(fs, f).forall(bls =>
             pointPreds.forall(BloomSidecar.mayMatch(_, bls)))
@@ -712,7 +739,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       else Some {
       val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
       // static filters only: the key set is fixed at planning time
-      val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys)
+      val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys, former)
       kept.toSeq.map { case (f, zOpt) =>
         val z = zOpt.getOrElse(throw new IllegalStateException(
           s"clusterBy '$k': $f has no zone sidecar — not a clustered " +
@@ -760,7 +787,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     * feed join sizing (broadcast decisions) and DPP's benefit heuristic. */
   override def estimateStatistics(): Statistics = {
     val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
-    val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys)
+    val kept = ZoneMap.pruneFiles(candidateFiles, filters, fsys, former)
     val bytes = kept.map { case (f, _) =>
       fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
     }.sum
@@ -789,7 +816,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps,
       if (rowLevelFiles.isDefined) Array.empty else effectiveFilters,
-      topN, limit, agg, mode, dvOverrides)
+      topN, limit, agg, mode, dvOverrides, former)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -797,7 +824,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       "versionAsOf is a batch-read option — a stream tails the LIVE " +
         "table (a frozen snapshot has no new files to deliver)")
     new RecordMicroBatchStream(readSchema, fullSchema, path, confProps,
-      filters, mode, maxFilesPerTrigger)
+      filters, mode, maxFilesPerTrigger, former)
   }
 }
 
@@ -863,7 +890,8 @@ private[graft] object RecordStreamOffset {
 private[v2] class RecordMicroBatchStream(readSchema: StructType,
     fullSchema: StructType, path: String, confProps: Map[String, String],
     filters: Array[org.apache.spark.sql.sources.Filter], mode: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    former: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -920,13 +948,13 @@ private[v2] class RecordMicroBatchStream(readSchema: StructType,
     // zone-map pruning applies per micro-batch too: a pruned file is
     // still marked delivered by the offset advance, it just never opens
     val fsys = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
-    ZoneMap.pruneFiles(fresh, filters, fsys)
+    ZoneMap.pruneFiles(fresh, filters, fsys, former)
       .map { case (f, _) => RecordInputPartition(f): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps, filters,
-      topN = None, limit = None, agg = None, mode)
+      topN = None, limit = None, agg = None, mode, former = former)
 
   override def commit(end: Offset): Unit = () // nothing to release per batch
   override def stop(): Unit = ()
@@ -955,20 +983,21 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec], mode: String = "FAILFAST",
-    dvOverrides: Option[Map[String, Option[String]]] = None)
+    dvOverrides: Option[Map[String, Option[String]]] = None,
+    former: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case RecordInputPartition(file) =>
         new RecordPartitionReader(file, readSchema, fullSchema,
-          conf, filters, topN, limit, agg, mode, dvOverrides)
+          conf, filters, topN, limit, agg, mode, dvOverrides, former)
       case RecordKeyedPartition(files, _) =>
         // a key group reads its files back to back; pushed limit/topN/agg
         // stay per-file partials (Spark re-applies the global step)
         new ConcatPartitionReader(files.iterator.map(f =>
           () => new RecordPartitionReader(f, readSchema, fullSchema,
-            conf, filters, topN, limit, agg, mode, dvOverrides)))
+            conf, filters, topN, limit, agg, mode, dvOverrides, former)))
       case other => throw new IllegalStateException(s"foreign partition: $other")
     }
 }
@@ -1003,8 +1032,24 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec] = None, mode: String = "FAILFAST",
-    dvOverrides: Option[Map[String, Option[String]]] = None)
+    dvOverrides: Option[Map[String, Option[String]]] = None,
+    former: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
+
+  /** A RENAMED column reads under its current key first, then its
+    * former wire keys (rows written before the rename keep the old key
+    * — rename is metadata-only; the catalog forbids re-using a former
+    * name, so the fallback is unambiguous). */
+  private def fetchField(fields: JsonNode, name: String): JsonNode = {
+    if (fields == null) return null
+    val v = fields.get(name)
+    if (v != null) v
+    else former.get(name) match {
+      case Some(olds) => olds.iterator.map(fields.get)
+        .collectFirst { case x if x != null => x }.orNull
+      case None => null
+    }
+  }
 
   import org.apache.spark.sql.sources._
 
@@ -1191,7 +1236,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
     val v = name match {
       case "_record_id" => node.get("id")
       case "_created_time" => node.get("createdTime")
-      case n => val fields = node.get("fields"); if (fields == null) null else fields.get(n)
+      case n => fetchField(node.get("fields"), n)
     }
     if (v == null || v.isNull) null
     else dt match {
@@ -1227,7 +1272,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
         case RecordSource.FileCol => UTF8String.fromString(file)
         case RecordSource.PosCol => pos: Any
         case name =>
-          val v = if (fields == null) null else fields.get(name)
+          val v = fetchField(fields, name)
           if (v == null || v.isNull) null else cast(v, f.dataType)
       }
     })
@@ -1491,20 +1536,22 @@ private[v2] object RecordWriteSupport {
 private[v2] class RecordWriteBuilder(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String],
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSidecar.DefaultBits)
+    bloomBits: Int = BloomSidecar.DefaultBits,
+    snapshotPerEpoch: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   // SaveMode.Overwrite arrives as truncate() on the builder
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write =
     new RecordWrite(schema, queryId, path, confProps, truncateFirst,
-      clusterBy, bloomCols, bloomBits)
+      clusterBy, bloomCols, bloomBits, snapshotPerEpoch)
 }
 
 private[v2] class RecordWrite(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String], truncateFirst: Boolean,
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSidecar.DefaultBits)
+    bloomBits: Int = BloomSidecar.DefaultBits,
+    snapshotPerEpoch: Boolean = false)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming
@@ -1514,7 +1561,7 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
         "(complete-mode truncate-per-epoch would rewrite the record log " +
         "every trigger — materialize a rollup table instead)")
     new RecordStreamingWrite(schema, queryId, path, confProps,
-      clusterBy, bloomCols, bloomBits)
+      clusterBy, bloomCols, bloomBits, snapshotPerEpoch)
   }
   override def description(): String =
     s"RecordWrite(path=$path, truncate=$truncateFirst)"
@@ -1627,7 +1674,8 @@ private[v2] object RecordCommitMessage {
 private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String],
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSidecar.DefaultBits)
+    bloomBits: Int = BloomSidecar.DefaultBits,
+    snapshotPerEpoch: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.hadoop.fs.Path
 
@@ -1694,6 +1742,12 @@ private[v2] class RecordStreamingWrite(schema: StructType, queryId: String,
     val v = OptimisticCommit.commit(fs, dest,
       OptimisticCommit.head(fs, dest), op = "epoch", added = landed.toSeq)
     OptimisticCommit.markApplied(fs, dest, v)
+    // per-epoch snapshot: versionAsOf addresses "the table as of epoch
+    // N", and LakeChangelog can CDC between the stream's commits. The
+    // exactly-once marker above already short-circuits retries, so a
+    // replayed epoch never double-snapshots.
+    if (snapshotPerEpoch)
+      Snapshots.commit(fs, path, conf)
     fs.delete(new Path(stagingDir(epochId)), true)
   }
 
@@ -1743,7 +1797,8 @@ private[v2] class RecordStreamingWriterFactory(schema: StructType,
 private[v2] class RecordRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     fullSchema: StructType, path: String, confProps: Map[String, String],
-    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty)
+    clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
+    former: Map[String, Seq[String]] = Map.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** The frozen candidate set: listed once, against the APPLIED commit
@@ -1781,7 +1836,7 @@ private[v2] class RecordRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecordScanBuilder(fullSchema, path, confProps, "FAILFAST",
-      None, None, None, Some(plannedFiles._2)) {
+      None, None, None, Some(plannedFiles._2), former = former) {
       override def build(): Scan = {
         val sc = super.build().asInstanceOf[RecordScan]
         scanRef.set(sc)

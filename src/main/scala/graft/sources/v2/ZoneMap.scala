@@ -236,33 +236,44 @@ private[graft] object ZoneMap {
 
   // ---------------------------------------------------------------- prune
 
-  /** Could any row of `z` satisfy `f`? Conservative: unknown → true. */
-  def mayMatch(f: Filter, z: FileZone): Boolean = f match {
-    case EqualTo(a, v) => rangeContains(z.stats(a), v, z.rows)
-    case EqualNullSafe(a, v) =>
-      if (v == null) z.stats(a).nulls > 0
-      else rangeContains(z.stats(a), v, z.rows)
-    case In(a, vs) =>
-      val st = z.stats(a)
-      vs.exists(v => v != null && rangeContains(st, v, z.rows))
-    case GreaterThan(a, v) => boundCheck(z.stats(a), z.rows) { st =>
-      RecordFilterEval.cmp(st.max, v).forall(_ > 0)
+  /** Could any row of `z` satisfy `f`? Conservative: unknown → true.
+    * `former` is the renamed-column fallback: a file written before a
+    * RENAME keeps its stats under the old key, and "no entry under any
+    * known key" still means all-NULL (sparse records: the column did
+    * not exist when the file was written). */
+  def mayMatch(f: Filter, z: FileZone,
+      former: Map[String, Seq[String]] = Map.empty): Boolean = {
+    def stats(a: String): FieldStats =
+      (a +: former.getOrElse(a, Seq.empty)).iterator
+        .flatMap(z.fields.get).nextOption()
+        .getOrElse(FieldStats(null, null, z.rows))
+    f match {
+      case EqualTo(a, v) => rangeContains(stats(a), v, z.rows)
+      case EqualNullSafe(a, v) =>
+        if (v == null) stats(a).nulls > 0
+        else rangeContains(stats(a), v, z.rows)
+      case In(a, vs) =>
+        val st = stats(a)
+        vs.exists(v => v != null && rangeContains(st, v, z.rows))
+      case GreaterThan(a, v) => boundCheck(stats(a), z.rows) { st =>
+        RecordFilterEval.cmp(st.max, v).forall(_ > 0)
+      }
+      case GreaterThanOrEqual(a, v) => boundCheck(stats(a), z.rows) { st =>
+        RecordFilterEval.cmp(st.max, v).forall(_ >= 0)
+      }
+      case LessThan(a, v) => boundCheck(stats(a), z.rows) { st =>
+        RecordFilterEval.cmp(st.min, v).forall(_ < 0)
+      }
+      case LessThanOrEqual(a, v) => boundCheck(stats(a), z.rows) { st =>
+        RecordFilterEval.cmp(st.min, v).forall(_ <= 0)
+      }
+      case IsNull(a) => stats(a).nulls > 0
+      case IsNotNull(a) => stats(a).nulls < z.rows
+      case And(l, r) => mayMatch(l, z, former) && mayMatch(r, z, former)
+      case Or(l, r) => mayMatch(l, z, former) || mayMatch(r, z, former)
+      // Not(x) would need "do ALL rows match x" stats; keep the file
+      case _ => true
     }
-    case GreaterThanOrEqual(a, v) => boundCheck(z.stats(a), z.rows) { st =>
-      RecordFilterEval.cmp(st.max, v).forall(_ >= 0)
-    }
-    case LessThan(a, v) => boundCheck(z.stats(a), z.rows) { st =>
-      RecordFilterEval.cmp(st.min, v).forall(_ < 0)
-    }
-    case LessThanOrEqual(a, v) => boundCheck(z.stats(a), z.rows) { st =>
-      RecordFilterEval.cmp(st.min, v).forall(_ <= 0)
-    }
-    case IsNull(a) => z.stats(a).nulls > 0
-    case IsNotNull(a) => z.stats(a).nulls < z.rows
-    case And(l, r) => mayMatch(l, z) && mayMatch(r, z)
-    case Or(l, r) => mayMatch(l, z) || mayMatch(r, z)
-    // Not(x) would need "do ALL rows match x" stats; keep the file
-    case _ => true
   }
 
   /** Value predicates match no row when every value is NULL; otherwise
@@ -286,11 +297,13 @@ private[graft] object ZoneMap {
     * where zones-seen maps kept files to their loaded zones for reuse by
     * statistics estimation. */
   def pruneFiles(files: Array[String], filters: Array[Filter],
-      fs: FileSystem): Array[(String, Option[FileZone])] = {
+      fs: FileSystem,
+      former: Map[String, Seq[String]] = Map.empty)
+      : Array[(String, Option[FileZone])] = {
     val withZones = files.map(f => (f, load(fs, f)))
     if (filters.isEmpty) withZones
     else withZones.filter {
-      case (_, Some(z)) => filters.forall(mayMatch(_, z))
+      case (_, Some(z)) => filters.forall(mayMatch(_, z, former))
       case (_, None) => true
     }
   }

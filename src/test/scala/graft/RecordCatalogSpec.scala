@@ -145,7 +145,7 @@ class RecordCatalogSpec extends SparkSpec {
     }
   }
 
-  test("ALTER TABLE ADD COLUMNS is metadata-only; narrowing refuses") {
+  test("ALTER TABLE ADD COLUMNS is metadata-only; retype refuses") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.a (Score DOUBLE)")
     spark.sql(s"INSERT INTO $cat.ns.a SELECT 'r1', CAST(NULL AS TIMESTAMP), 1.5")
@@ -157,13 +157,15 @@ class RecordCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT Score, Tag FROM $cat.ns.a ORDER BY Score")
       .as[(Double, Option[String])].collect().toSeq ==
       Seq((1.5, None), (2.5, Some("x"))))
+    // retype would strand committed data: refused loudly
     val ex = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ns.a DROP COLUMN Score")
+      spark.sql(s"ALTER TABLE $cat.ns.a ALTER COLUMN Score TYPE STRING")
     }
     def msgs(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).toSeq
-    assert(msgs(ex).exists(_.contains("only ADD COLUMNS")), msgs(ex))
+    assert(msgs(ex).exists(m => m.contains("unsupported ALTER") ||
+      m.contains("retype")), msgs(ex))
   }
 
   test("VERSION AS OF reads the pinned snapshot by name") {
@@ -184,5 +186,82 @@ class RecordCatalogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.ns.v VERSION AS OF 1 WHERE Score = 2")
       .as[Long].head() == 1L) // the delete reverses under v1
+  }
+
+  test("RENAME COLUMN is metadata-only: old rows read under the new " +
+      "name, new rows too, time travel included") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.r (Score DOUBLE, Tag STRING)")
+    def ins(from: Int, until: Int): Unit = spark.sql(
+      s"""INSERT INTO $cat.ns.r
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE), concat('t', CAST(id % 3 AS STRING))
+         |FROM range($from, $until)""".stripMargin)
+    ins(0, 10)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    graft.operators.LakeSnapshots.commit(spark, s"$wh/ns/r") // pre-rename v1
+    spark.sql(s"ALTER TABLE $cat.ns.r RENAME COLUMN Score TO Points")
+    ins(10, 15) // post-rename rows write under the NEW wire key
+    assert(spark.table(s"$cat.ns.r").columns.toSeq
+      .containsSlice(Seq("Points", "Tag")))
+    // old (wire key Score) and new (wire key Points) rows merge
+    assert(spark.sql(s"SELECT sum(Points) FROM $cat.ns.r")
+      .as[Double].head() == (0 until 15).sum.toDouble)
+    // predicates on the renamed column hit BOTH generations of rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.r WHERE Points >= 8")
+      .as[Long].head() == 7L)
+    // time travel to the PRE-rename snapshot reads under the new name
+    assert(spark.sql(
+      s"SELECT sum(Points) FROM $cat.ns.r VERSION AS OF 1")
+      .as[Double].head() == (0 until 10).sum.toDouble)
+    // chained rename keeps the whole former-key lineage readable
+    spark.sql(s"ALTER TABLE $cat.ns.r RENAME COLUMN Points TO Pts")
+    assert(spark.sql(s"SELECT sum(Pts) FROM $cat.ns.r")
+      .as[Double].head() == (0 until 15).sum.toDouble)
+    // reusing a former name is the resurrection hazard: refused
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.r ADD COLUMNS (Score DOUBLE)")
+    }
+    assert(e.getMessage.contains("former or dropped"), e.getMessage)
+  }
+
+  test("UPDATE after RENAME: the copy-on-write scan reads old rows " +
+      "through former keys (no silent NULL-out)") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.u (Score DOUBLE, Tag STRING)")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.u
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE), concat('t', CAST(id AS STRING))
+         |FROM range(10)""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.ns.u RENAME COLUMN Score TO Pts")
+    spark.sql(s"UPDATE $cat.ns.u SET Pts = Pts + 100 WHERE Pts < 3")
+    val got = spark.sql(s"SELECT sum(Pts), count(Pts), count(Tag) FROM $cat.ns.u")
+      .as[(Double, Long, Long)].head()
+    // 0,1,2 -> 100,101,102; others unchanged; nothing nulled
+    assert(got == (((0 until 10).sum + 300).toDouble, 10L, 10L), got.toString)
+  }
+
+  test("DROP COLUMN masks the field and tombstones its wire keys") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.d (Score DOUBLE, Tag STRING)")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.d
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE), concat('t', CAST(id AS STRING))
+         |FROM range(5)""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.ns.d DROP COLUMN Tag")
+    assert(!spark.table(s"$cat.ns.d").columns.contains("Tag"))
+    assert(spark.sql(s"SELECT sum(Score) FROM $cat.ns.d")
+      .as[Double].head() == 10.0)
+    // re-adding the dropped name would resurrect orphaned values: refused
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.d ADD COLUMNS (Tag STRING)")
+    }
+    assert(e.getMessage.contains("former or dropped"), e.getMessage)
+    // a FRESH name is fine and reads NULL everywhere
+    spark.sql(s"ALTER TABLE $cat.ns.d ADD COLUMNS (Label STRING)")
+    assert(spark.sql(s"SELECT count(Label) FROM $cat.ns.d")
+      .as[Long].head() == 0L)
   }
 }
