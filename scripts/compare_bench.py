@@ -3,7 +3,14 @@
 per-query deltas sorted by regression size, plus totals. Exit 1 if any
 query regressed more than --threshold (default 1.5x and >0.3s absolute).
 
-Usage: python3 scripts/compare_bench.py OLD.json NEW.json [--threshold 1.5]
+REFUSES to compare when either side ran under ambient load
+(load_start > --max-load, default 3.0): a loaded run's per-query deltas
+track the machine, not the plans (the round-9 driver artifact recorded
+q129 at 9.8x purely from load_avg 6). Override with --max-load=N or by
+re-running the bench on an idle box — prefer the latter.
+
+Usage: python3 scripts/compare_bench.py OLD.json NEW.json
+       [--threshold 1.5] [--max-load 3.0]
 """
 import json
 import sys
@@ -12,9 +19,13 @@ import sys
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.5
+    max_load = 3.0
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a else float(
+                sys.argv[sys.argv.index(a) + 1])
+        if a.startswith("--max-load"):
+            max_load = float(a.split("=", 1)[1]) if "=" in a else float(
                 sys.argv[sys.argv.index(a) + 1])
     def load(p):
         d = json.load(open(p))
@@ -51,6 +62,14 @@ def main() -> int:
                      f"{neg[:5]} — re-run the bench clean before comparing")
         return q
     old, new = load(args[0]), load(args[1])
+    for d, p in ((old, args[0]), (new, args[1])):
+        ls = d.get("load_start")
+        if ls is not None and ls > max_load:
+            sys.exit(
+                f"{p}: load_start {ls} exceeds --max-load {max_load} — the "
+                "run was contended and its per-query seconds measure the "
+                "machine, not the plans. Re-run the bench on an idle box "
+                "(or pass --max-load to override deliberately).")
     oq = named(old, args[0], names=new.get("queries"))
     nq = named(new, args[1], names=oq)
     rows = []
