@@ -200,7 +200,14 @@ object DeletionVectors {
     val runId = java.util.UUID.randomUUID().toString.take(12)
     val stagingName = s"_staging-dvmat-$runId"
 
-    // executor phase: rewrite each candidate file without its deleted lines
+    // executor phase: rewrite each candidate file without its deleted
+    // rows — line-filtered for JSONL, row-copied for parquet (the
+    // columnar tier shares the whole DV/materialize protocol; only the
+    // byte-level rewrite differs)
+    def ext(name: String): String =
+      if (name.endsWith(graft.sources.v2.ParquetRecords.Extension))
+        graft.sources.v2.ParquetRecords.Extension
+      else ".jsonl"
     spark.sparkContext
       .parallelize(candidates.zipWithIndex, math.min(candidates.length, 64))
       .foreach { case (name, k) =>
@@ -210,23 +217,28 @@ object DeletionVectors {
         val src = new Path(d, name)
         val dv = DeletionVector.load(f, src.toString).getOrElse(
           throw new java.io.IOException(s"vector vanished mid-run: $name"))
-        val staged = new Path(new Path(path, stagingName), s"f$k.jsonl")
+        val staged = new Path(new Path(path, stagingName), s"f$k${ext(name)}")
         f.mkdirs(staged.getParent)
-        val out = f.create(staged, true)
-        val in = f.open(src)
-        try {
-          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .zipWithIndex.foreach { case (l, i) =>
-              if (!dv.contains(i.toLong))
-                out.write((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            }
-        } finally { in.close(); out.close() }
+        if (ext(name) == graft.sources.v2.ParquetRecords.Extension) {
+          graft.sources.v2.ParquetRecords.rewriteWithoutDeleted(c, src, staged, dv)
+        } else {
+          val out = f.create(staged, true)
+          val in = f.open(src)
+          try {
+            scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .zipWithIndex.foreach { case (l, i) =>
+                if (!dv.contains(i.toLong))
+                  out.write((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+          } finally { in.close(); out.close() }
+        }
       }
 
     // CAS one entry for the whole run before any swap (shields the
     // vectored inputs from concurrent writers; a lost validation
     // abandons the stage and re-plans)
-    val newNames = candidates.indices.map(k => s"dvmat-$runId-f$k.jsonl")
+    val newNames = candidates.zipWithIndex.map { case (n, k) =>
+      s"dvmat-$runId-f$k${ext(n)}" }
     val committed = try OptimisticCommit.commit(fs, dir, readVersion,
         op = "dvmat", added = newNames, removed = candidates,
         dv = candidates, staging = Some(stagingName))
@@ -239,8 +251,8 @@ object DeletionVectors {
     // replay in recover): rename staged -> new name, then delete the old
     // file and BOTH its sidecars, then drop the marker
     candidates.zipWithIndex.foreach { case (name, k) =>
-      val newName = s"dvmat-$runId-f$k.jsonl"
-      val staged = new Path(new Path(path, stagingName), s"f$k.jsonl")
+      val newName = s"dvmat-$runId-f$k${ext(name)}"
+      val staged = new Path(new Path(path, stagingName), s"f$k${ext(name)}")
       writeMarker(fs, dir, s"$runId-f$k", staged.toString, newName, name)
       if (!fs.rename(staged, new Path(dir, newName)))
         throw new java.io.IOException(

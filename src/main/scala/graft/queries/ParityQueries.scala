@@ -642,6 +642,52 @@ private[graft] object ParityQueries {
 
 
     // ----- schema evolution: ADD COLUMNS over committed data ---------
+    "q292_parquet_tier" -> ((s, dir) => {
+      // the record lake's COLUMNAR data tier (dataFormat=parquet):
+      // same sidecar discipline — deletion vectors by row ordinal,
+      // snapshot manifests, bloom sidecars — over parquet files with
+      // footer-statistics row-group pruning. Two deletes straddle a
+      // snapshot; the oracle recomputes both states from the predicates
+      // alone, so a wrong ordinal mapping, a mis-skipped row group, or
+      // a DV that drifted across the format boundary all surface.
+      val out = scratchPath(dir, "q292_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      Seq(0, 1, 2).foreach { k =>
+        docs.filter(col("DocId") % 3 === k).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .option("dataFormat", "parquet")
+          .option("bloomFilterColumns", "_record_id")
+          .mode("append").save()
+      }
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      val v1 = graft.operators.LakeSnapshots.commit(s, out)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy(col("Lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("Chars").cast("long")).as("sum_chars"),
+            sum(col("DocId").cast("long")).as("id_sum"))
+          .select(lit(phase).as("phase"), col("lang"), col("n_docs"),
+            col("sum_chars"), col("id_sum"))
+      val pq = s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).option("dataFormat", "parquet")
+      agg(pq.load(), "zlive")
+        .unionByName(agg(pq.option("versionAsOf", v1.toString).load(), "v1"))
+        .orderBy("phase", "lang")
+    }),
+
     "q291_sql_rename_column" -> ((s, dir) => {
       // RENAME COLUMN on a sparse record lake is metadata-only: rows
       // written BEFORE the rename keep their old wire key and read
@@ -1977,6 +2023,24 @@ private[graft] object ParityQueries {
 
     // the phase split recomputed directly: even doc_ids predate the
     // column (NULL quality), odd ones carry doc_id % 5
+    // the oracle recomputes both states from the straddling delete
+    // predicates; the engine must get there through parquet row groups,
+    // ordinal-keyed deletion vectors, and manifest-frozen DV state
+    "q292_parquet_tier" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |v1 AS (SELECT 'v1' AS phase, lang, count(*) AS n_docs,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM base WHERE NOT coalesce(n_chars < 200, FALSE) GROUP BY 2),
+        |live AS (SELECT 'zlive', lang, count(*),
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT)
+        |  FROM base WHERE NOT coalesce(n_chars < 200, FALSE)
+        |    AND NOT (doc_id % 10 = 7) GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM live
+        |ORDER BY phase, lang""".stripMargin,
+
     // the oracle recomputes both phases from the half-split and delete
     // predicate; the engine must get there through a metadata-only
     // rename (former-key fallback + pre-rename time travel)

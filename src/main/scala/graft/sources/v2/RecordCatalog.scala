@@ -113,9 +113,10 @@ class RecordCatalog extends TableCatalog {
       if (formers.isEmpty) Seq.empty
       else Seq("formerNames" ->
         formers.map { case (k, v) => s"$k:$v" }.mkString(","))
-    val layoutProps = Seq("clusterBy", "bloomFilterColumns").flatMap { k =>
-      Option(root.get(k)).filterNot(_.isNull).map(k -> _.asText())
-    }
+    val layoutProps = Seq("clusterBy", "bloomFilterColumns", "dataFormat")
+      .flatMap { k =>
+        Option(root.get(k)).filterNot(_.isNull).map(k -> _.asText())
+      }
     new RecordTable(RecordSource.fullSchema(fields),
       Map("path" -> d.toString,
         "fieldTypes" -> fields.map { case (k, v) => s"$k:$v" }.mkString(","))
@@ -149,9 +150,10 @@ class RecordCatalog extends TableCatalog {
     // table: every SQL INSERT then clusters/blooms without the writer
     // restating options, and reads derive KeyGroupedPartitioning —
     // storage-partitioned joins in pure SQL
-    val layoutProps = Seq("clusterBy", "bloomFilterColumns").flatMap { k =>
-      Option(info.properties().get(k)).map(k -> _)
-    }
+    val layoutProps = Seq("clusterBy", "bloomFilterColumns", "dataFormat")
+      .flatMap { k =>
+        Option(info.properties().get(k)).map(k -> _)
+      }
     layoutProps.foreach { case (k, v) => root.put(k, v) }
     layoutProps.toMap.get("clusterBy").foreach { k =>
       require(fields.exists(_._1 == k),
@@ -268,7 +270,7 @@ class RecordCatalog extends TableCatalog {
     if (dropped.nonEmpty) {
       val da = out.putArray("dropped"); dropped.distinct.foreach(da.add)
     }
-    Seq("clusterBy", "bloomFilterColumns").foreach { k =>
+    Seq("clusterBy", "bloomFilterColumns", "dataFormat").foreach { k =>
       Option(root.get(k)).filterNot(_.isNull).foreach(v =>
         out.put(k, v.asText()))
     }

@@ -93,7 +93,10 @@ object RecordCompaction {
     // time travel AND changelog reads (LakeChangelog) working while the
     // table compacts around them
     val snapRefs = Snapshots.referencedFiles(fs, dir)
-    val files = listed.filterNot { case (n, _) => snapRefs.contains(n) }
+    // byte-level merge is a JSONL property; parquet files compact by
+    // REWRITE (future tier) and are excluded here, never concatenated
+    val files = listed.filterNot { case (n, _) =>
+      snapRefs.contains(n) || n.endsWith(ParquetRecords.Extension) }
     // byte-concatenation would RESURRECT deletion-vector'd rows (the
     // merged file's line ordinals no longer match any input's vector):
     // refuse loudly while any candidate carries a vector

@@ -274,9 +274,16 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     // (RecordCatalog sets this from _table.json after RENAME COLUMN)
     val former = RecordSource.parseFormer(Option(options.get("formerNames"))
       .orElse(props.get("formerNames")))
+    // columnar tier: dataFormat=parquet gates aggregate pushdown (the
+    // parquet reader prunes row groups instead) — read option or table
+    // property, like clusterBy
+    val dataFormat = Option(options.get("dataFormat"))
+      .orElse(props.get("dataFormat")).getOrElse("jsonl")
+    require(dataFormat == "jsonl" || dataFormat == "parquet",
+      s"dataFormat '$dataFormat' is not one of jsonl, parquet")
     new RecordScanBuilder(schema, resolvedPath(options), sessionConfProps,
       mode, maxFiles, clusterBy, versionAsOf, fileSubset = fileSubset,
-      former = former)
+      former = former, dataFormat = dataFormat)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -310,9 +317,20 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     // consumers (LakeChangelog) can CDC off the stream's commits
     val snapshotPerEpoch = Option(info.options.get("snapshotPerEpoch"))
       .exists(_.toBoolean)
+    val dataFormat = Option(info.options.get("dataFormat"))
+      .orElse(props.get("dataFormat")).getOrElse("jsonl")
+    require(dataFormat == "jsonl" || dataFormat == "parquet",
+      s"dataFormat '$dataFormat' is not one of jsonl, parquet")
+    require(dataFormat == "jsonl" || clusterBy.isEmpty,
+      "clusterBy + dataFormat=parquet is not supported yet — the " +
+        "key-pure per-key routing writer is line-oriented; cluster a " +
+        "jsonl table or drop clusterBy")
+    val rowGroupBytes = Option(info.options.get("parquetRowGroupBytes"))
+      .map(_.toLong)
+      .getOrElse(org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     new RecordWriteBuilder(info.schema(), info.queryId(),
       resolvedPath(info.options()), sessionConfProps, clusterBy,
-      bloomCols, bloomBits, snapshotPerEpoch)
+      bloomCols, bloomBits, snapshotPerEpoch, dataFormat, rowGroupBytes)
   }
 }
 
@@ -429,7 +447,8 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     versionAsOf: Option[Long] = None,
     rowLevelFiles: Option[Seq[String]] = None,
     fileSubset: Option[Set[String]] = None,
-    former: Map[String, Seq[String]] = Map.empty)
+    former: Map[String, Seq[String]] = Map.empty,
+    dataFormat: String = "jsonl")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -511,10 +530,21 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     * partition order. Partial pushdown only (`supportCompletePushDown`
     * stays false): each partition emits pre-aggregated rows and Spark
     * runs the final merge, so multi-file tables stay correct. */
+  // the parquet reader evaluates filters and prunes row groups but
+  // does not compute pushed aggregates — gate the pushdown off so the
+  // plan keeps Spark's own aggregation (correct, still pruned). The
+  // table option short-circuits; otherwise one listing at planning
+  // detects parquet files, so un-optioned reads of columnar/mixed
+  // directories stay correct rather than failing loudly at execution.
+  private lazy val aggPushable: Boolean = dataFormat != "parquet" &&
+    !RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
+      .exists(_.endsWith(ParquetRecords.Extension))
+
   override def pushAggregation(aggregation:
       org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
+    if (!aggPushable) return false
     if (rowLevelFiles.isDefined) return false
     if (topN.nonEmpty || limit.nonEmpty) return false
     def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -975,6 +1005,9 @@ private[v2] case class RecordKeyedPartition(files: Seq[String],
   * surface the same signal as a custom task metric). */
 private[graft] object RecordSourceMetrics {
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+  // parquet tier: row groups actually decoded vs pruned by footer stats
+  val rowGroupsRead = new java.util.concurrent.atomic.AtomicLong(0)
+  val rowGroupsSkipped = new java.util.concurrent.atomic.AtomicLong(0)
   val dbgFilters = new java.util.concurrent.atomic.AtomicReference[String](null)
 }
 
@@ -987,26 +1020,38 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     former: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
+  private def readerFor(file: String): PartitionReader[InternalRow] =
+    if (file.endsWith(ParquetRecords.Extension)) {
+      // the columnar tier: pushed LIMIT/TopN are declared partial, so a
+      // reader that returns all matching rows is correct (Spark
+      // re-applies the global step); pushed AGGREGATES are gated off by
+      // dataFormat=parquet at planning — reaching here with one means a
+      // mixed directory was read without declaring the format
+      if (agg.isDefined) throw new IllegalStateException(
+        s"graft-records: aggregate pushdown reached parquet file $file — " +
+          "declare dataFormat=parquet on the table/read so planning " +
+          "gates the pushdown off")
+      new ParquetRecordPartitionReader(file, readSchema, fullSchema, conf,
+        filters, mode, dvOverrides, former)
+    } else new RecordPartitionReader(file, readSchema, fullSchema,
+      conf, filters, topN, limit, agg, mode, dvOverrides, former)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case RecordInputPartition(file) =>
-        new RecordPartitionReader(file, readSchema, fullSchema,
-          conf, filters, topN, limit, agg, mode, dvOverrides, former)
+      case RecordInputPartition(file) => readerFor(file)
       case RecordKeyedPartition(files, _) =>
         // a key group reads its files back to back; pushed limit/topN/agg
         // stay per-file partials (Spark re-applies the global step)
-        new ConcatPartitionReader(files.iterator.map(f =>
-          () => new RecordPartitionReader(f, readSchema, fullSchema,
-            conf, filters, topN, limit, agg, mode, dvOverrides, former)))
+        new ConcatPartitionReader(files.iterator.map(f => () => readerFor(f)))
       case other => throw new IllegalStateException(s"foreign partition: $other")
     }
 }
 
 /** Chains per-file readers of one key group sequentially. */
 private[v2] class ConcatPartitionReader(
-    readers: Iterator[() => RecordPartitionReader])
+    readers: Iterator[() => PartitionReader[InternalRow]])
     extends PartitionReader[InternalRow] {
-  private var cur: RecordPartitionReader = _
+  private var cur: PartitionReader[InternalRow] = _
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
@@ -1537,21 +1582,26 @@ private[v2] class RecordWriteBuilder(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String],
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BloomSidecar.DefaultBits,
-    snapshotPerEpoch: Boolean = false)
+    snapshotPerEpoch: Boolean = false,
+    dataFormat: String = "jsonl",
+    rowGroupBytes: Long = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   // SaveMode.Overwrite arrives as truncate() on the builder
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write =
     new RecordWrite(schema, queryId, path, confProps, truncateFirst,
-      clusterBy, bloomCols, bloomBits, snapshotPerEpoch)
+      clusterBy, bloomCols, bloomBits, snapshotPerEpoch, dataFormat,
+      rowGroupBytes)
 }
 
 private[v2] class RecordWrite(schema: StructType, queryId: String,
     path: String, confProps: Map[String, String], truncateFirst: Boolean,
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BloomSidecar.DefaultBits,
-    snapshotPerEpoch: Boolean = false)
+    snapshotPerEpoch: Boolean = false,
+    dataFormat: String = "jsonl",
+    rowGroupBytes: Long = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming
@@ -1560,6 +1610,9 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
       "graft-records streaming sink supports append output mode only " +
         "(complete-mode truncate-per-epoch would rewrite the record log " +
         "every trigger — materialize a rollup table instead)")
+    require(dataFormat == "jsonl",
+      "graft-records streaming sink writes jsonl only — parquet epochs " +
+        "would be tiny files anyway; compact into parquet downstream")
     new RecordStreamingWrite(schema, queryId, path, confProps,
       clusterBy, bloomCols, bloomBits, snapshotPerEpoch)
   }
@@ -1569,7 +1622,7 @@ private[v2] class RecordWrite(schema: StructType, queryId: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RecordWriterFactory(schema,
       RecordWriteSupport.stagingDir(path, queryId), confProps, clusterBy,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, dataFormat, rowGroupBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = RecordSource.confFrom(confProps)
@@ -2007,14 +2060,23 @@ private[v2] class RecordReplaceDataWrite(schema: StructType, queryId: String,
 private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
     confProps: Map[String, String],
     clusterBy: Option[String] = None, bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSidecar.DefaultBits) extends DataWriterFactory {
+    bloomBits: Int = BloomSidecar.DefaultBits,
+    dataFormat: String = "jsonl",
+    rowGroupBytes: Long = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val base = f"$stagingDir/part-$partitionId%05d-$taskId.jsonl"
-    clusterBy match {
-      case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
-        RecordSource.confFrom(confProps), bloomCols, bloomBits)
-      case None => new RecordDataWriter(schema, base,
-        RecordSource.confFrom(confProps), bloomCols, bloomBits)
+    if (dataFormat == "parquet") {
+      val base = f"$stagingDir/part-$partitionId%05d-$taskId.parquet"
+      new ParquetRecordDataWriter(schema, base,
+        RecordSource.confFrom(confProps), bloomCols, bloomBits, rowGroupBytes)
+    } else {
+      val base = f"$stagingDir/part-$partitionId%05d-$taskId.jsonl"
+      clusterBy match {
+        case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
+          RecordSource.confFrom(confProps), bloomCols, bloomBits)
+        case None => new RecordDataWriter(schema, base,
+          RecordSource.confFrom(confProps), bloomCols, bloomBits)
+      }
     }
   }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors, LakeChangelog, LakeSnapshots}
+import graft.sources.v2.{DeletionVector, RecordSourceMetrics}
+
+/** The columnar (parquet) data tier of the record lake: typed
+  * round-trip, row-group pruning from footer stats, deletion vectors by
+  * row ordinal, materialize rewrite, time travel, blooms, changelog —
+  * the whole sidecar discipline over parquet files, plus mixed-format
+  * directories. */
+class ParquetRecordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val types =
+    "Name:singleLineText,Score:number,Flag:checkbox,At:dateTime,On:date," +
+      "Tags:multipleSelects"
+
+  private def mkRows(n: Int) = spark.range(0, n.toLong).select(
+    concat(lit("r"), lpad($"id".cast("string"), 4, "0")).as("_record_id"),
+    concat(lit("name"), $"id").as("Name"),
+    $"id".cast("double").as("Score"),
+    ($"id" % 2 === 0).as("Flag"),
+    (to_timestamp(lit("2024-03-01 10:00:00")).cast("long") + $"id")
+      .cast("timestamp").as("At"),
+    date_add(lit(java.sql.Date.valueOf("2024-03-01")),
+      ($"id" % 30).cast("int")).as("On"),
+    array(concat(lit("t"), $"id" % 3), lit("all")).as("Tags"))
+
+  private def write(dir: String, df: org.apache.spark.sql.DataFrame,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val w = df.coalesce(1).write.format("graft-records")
+      .option("path", dir).option("dataFormat", "parquet")
+    extra.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }
+      .mode("append").save()
+  }
+
+  private def read(dir: String) = spark.read.format("graft-records")
+    .option("path", dir).option("fieldTypes", types)
+    .option("dataFormat", "parquet").load()
+
+  test("typed round-trip: every wire type survives parquet exactly") {
+    val dir = Files.createTempDirectory("graft_pq").toString + "/t"
+    write(dir, mkRows(50))
+    val back = read(dir)
+    assert(back.count() == 50L)
+    val r = back.filter($"_record_id" === "r0007")
+      .select($"Name", $"Score", $"Flag", $"At".cast("string"),
+        $"On".cast("string"), $"Tags")
+      .as[(String, Double, Boolean, String, String, Seq[String])].head()
+    assert(r == (("name7", 7.0, false, "2024-03-01 10:00:07",
+      "2024-03-08", Seq("t1", "all"))))
+    // data files really are parquet (magic bytes)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+    assert(data.nonEmpty && data.forall(_.getName.endsWith(".parquet")))
+    val in = fs.open(data.head)
+    val magic = new Array[Byte](4); in.readFully(magic); in.close()
+    assert(new String(magic, "US-ASCII") == "PAR1")
+  }
+
+  test("row-group pruning: footer stats skip groups the filter excludes") {
+    val dir = Files.createTempDirectory("graft_pq2").toString + "/t"
+    // tiny row groups -> many groups per file; Score is monotone so a
+    // range predicate isolates a suffix of groups
+    write(dir, mkRows(2000), Map("parquetRowGroupBytes" -> "4096"))
+    val before = (RecordSourceMetrics.rowGroupsRead.get(),
+      RecordSourceMetrics.rowGroupsSkipped.get())
+    val hits = read(dir).filter($"Score" >= 1990).select($"_record_id")
+      .as[String].collect().sorted
+    assert(hits.length == 10 && hits.head == "r1990")
+    val readGroups = RecordSourceMetrics.rowGroupsRead.get() - before._1
+    val skipped = RecordSourceMetrics.rowGroupsSkipped.get() - before._2
+    assert(skipped > readGroups,
+      s"expected most row groups pruned, got read=$readGroups skipped=$skipped")
+    // deletion vectors survive skipping: ordinals advance across
+    // skipped groups, so deleting the probe rows removes EXACTLY them
+    DeletionVectors.delete(spark, dir, types, $"Score" >= 1990)
+    assert(read(dir).count() == 1990L)
+    assert(read(dir).filter($"Score" >= 1990).count() == 0L)
+  }
+
+  test("the q277/q282 lifecycle over parquet: DV delete, snapshot, " +
+      "time travel, materialize rewrite, changelog") {
+    val dir = Files.createTempDirectory("graft_pq3").toString + "/t"
+    write(dir, mkRows(100))
+    val v1 = LakeSnapshots.commit(spark, dir)
+    val marked = DeletionVectors.delete(spark, dir, types, $"Score" < 20)
+    assert(marked.map(_.rowsMarked).sum == 20L)
+    assert(read(dir).count() == 80L)
+    // v1 reverses the delete (manifest-inlined DV state)
+    assert(spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", types).option("versionAsOf", v1.toString)
+      .load().count() == 100L)
+    val v2 = LakeSnapshots.commit(spark, dir)
+    // changelog between the snapshots: exactly the 20 deletions
+    val d = LakeChangelog.changes(spark, dir, types, v1, v2)
+    assert(d.agg(sum($"m")).as[Long].head() == -20L)
+    assert(d.count() == 20L)
+    // materialize skips while pinned, rewrites parquet after expiry
+    assert(DeletionVectors.materialize(spark, dir) == 0)
+    LakeSnapshots.expire(spark, dir, keepLast = 0)
+    assert(DeletionVectors.materialize(spark, dir) == 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    assert(data.forall(_.endsWith(".parquet")), data.toSeq.toString)
+    assert(!fs.exists(DeletionVector.sidecar(new Path(dir), data.head)) ||
+      read(dir).count() == 80L)
+    assert(read(dir).count() == 80L)
+    assert(read(dir).agg(min($"Score")).as[Double].head() == 20.0)
+  }
+
+  test("bloom sidecars ride the parquet commit; point lookups prune files") {
+    val dir = Files.createTempDirectory("graft_pq4").toString + "/t"
+    (0 until 4).foreach { b =>
+      write(dir, mkRows(400).filter($"Score" >= b * 100 && $"Score" < (b + 1) * 100),
+        Map("bloomFilterColumns" -> "_record_id"))
+    }
+    val before = RecordSourceMetrics.filesOpened.get()
+    val got = read(dir).filter($"_record_id" === "r0123")
+      .select($"Score").as[Double].collect().toSeq
+    assert(got == Seq(123.0))
+    val opened = RecordSourceMetrics.filesOpened.get() - before
+    assert(opened <= 2, s"bloom/zone pruning opened $opened of 4 files")
+  }
+
+  test("mixed directory: jsonl and parquet files read together; " +
+      "aggregate pushdown is gated off for parquet tables") {
+    val dir = Files.createTempDirectory("graft_pq5").toString + "/t"
+    mkRows(10).coalesce(1).write.format("graft-records")
+      .option("path", dir).mode("append").save() // jsonl
+    write(dir, mkRows(20).filter($"Score" >= 10)) // parquet
+    val all = read(dir)
+    assert(all.count() == 20L)
+    assert(all.agg(sum($"Score")).as[Double].head() == (0 until 20).sum.toDouble)
+    // dataFormat=parquet scan: no PushedAggregation in the plan, and
+    // the aggregate is still computed correctly by Spark
+    val agg = read(dir).groupBy($"Flag").agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "agg pushdown must gate off")
+    assert(agg.orderBy($"Flag").as[(Boolean, Long)].collect().toSeq ==
+      Seq((false, 10L), (true, 10L)))
+  }
+
+  test("compaction never byte-concats parquet files") {
+    val dir = Files.createTempDirectory("graft_pq6").toString + "/t"
+    write(dir, mkRows(10))
+    write(dir, mkRows(20).filter($"Score" >= 10))
+    assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1L << 30) == 0)
+    assert(read(dir).count() == 20L)
+  }
+}
