@@ -166,6 +166,22 @@ object Jpeg {
       }
       markerSeen == 0xD9
     }
+    /** After a progressive scan's last block: discard pad bits, consume
+      * fill bytes, and return the next marker (leaving pos after it),
+      * or -1 on truncation. */
+    def nextMarker(): Int = {
+      nbits = 0
+      if (markerSeen < 0) {
+        while (pos + 1 < p.length && (p(pos) & 0xFF) == 0xFF &&
+          (p(pos + 1) & 0xFF) == 0xFF) pos += 1
+        if (pos + 1 >= p.length || (p(pos) & 0xFF) != 0xFF) return -1
+        markerSeen = p(pos + 1) & 0xFF
+        pos += 2
+      }
+      val m = markerSeen
+      markerSeen = -1
+      if (m == 0x100) -1 else m
+    }
     /** T.81 RECEIVE+EXTEND: read `s` magnitude bits into a signed value. */
     def receiveExtend(s: Int): Int = {
       if (s == 0) return 0
@@ -239,8 +255,10 @@ object Jpeg {
           if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
             c.tq > 3)) return Malformed
           pos += len
-        case m if (m >= 0xC2 && m <= 0xCF) && m != 0xC4 && m != 0xC8 =>
-          return Unsupported // progressive, arithmetic, lossless, hierarchical
+        case 0xC2 => // SOF2 progressive DCT, Huffman
+          return decodeProgressive(p, maxPixels)
+        case m if (m >= 0xC3 && m <= 0xCF) && m != 0xC4 && m != 0xC8 =>
+          return Unsupported // arithmetic, lossless, hierarchical
         case 0xC4 => // DHT
           if (pos + 2 > p.length) return Malformed
           val len = be16(p, pos)
@@ -324,6 +342,413 @@ object Jpeg {
       }
     }
     Malformed // unreachable
+  }
+
+  // ---------------------------------------------------------- progressive
+
+  /** Per-component progressive state: the full coefficient plane
+    * (interleaved MCU grid superset, so padded blocks have storage) plus
+    * the non-interleaved block grid single-component scans walk. */
+  private final class PComp(val c: Component, val bwFull: Int,
+      val bhFull: Int, val bwNI: Int, val bhNI: Int) {
+    val coefs = new Array[Int](bwFull * bhFull * 64)
+    var eobrun = 0
+  }
+
+  /** Progressive-DCT decode (SOF2, Huffman): spectral selection +
+    * successive approximation over multiple scans (T.81 Annex G).
+    * Coefficients accumulate per block across scans (DC first/refine,
+    * AC first with EOB runs, AC refine with correction bits — the
+    * libjpeg `decode_mcu_AC_refine` algebra); dequantization + IDCT run
+    * ONCE at EOI, so partial refinement chains render exactly what they
+    * transmitted. Roughly 10% of web JPEGs are progressive — the last
+    * volume format of the q258 codec tier. */
+  private def decodeProgressive(p: Array[Byte], maxPixels: Long): Result = {
+    val qt = Array.ofDim[Int](4, 64)
+    val qtSeen = new Array[Boolean](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var w = 0; var h = 0
+    var comps: Array[Component] = null
+    var pcs: Array[PComp] = null
+    var maxH = 0; var maxV = 0; var mcusX = 0; var mcusY = 0
+    var restartInterval = 0
+    var scans = 0
+    var pos = 2
+    var pending = -2 // marker already consumed by a scan tail; -2 = none
+    while (true) {
+      val marker =
+        if (pending != -2) { val m = pending; pending = -2; m }
+        else {
+          if (pos + 1 >= p.length) return Malformed
+          if ((p(pos) & 0xFF) != 0xFF) return Malformed
+          while (pos + 1 < p.length && (p(pos + 1) & 0xFF) == 0xFF) pos += 1
+          if (pos + 1 >= p.length) return Malformed
+          val m = p(pos + 1) & 0xFF; pos += 2; m
+        }
+      marker match {
+        case -1 => return Malformed // truncated after a scan
+        case 0xD9 => // EOI: dequantize + IDCT everything, render
+          if (scans == 0 || comps == null) return Malformed
+          var i = 0
+          while (i < comps.length) {
+            if (!qtSeen(comps(i).tq)) return Malformed
+            renderProgressive(pcs(i), qt(comps(i).tq))
+            i += 1
+          }
+          return toImage(w, h, comps, maxH, maxV)
+        case 0x01 => ()
+        case m if m >= 0xD0 && m <= 0xD7 => ()
+        case 0xC2 => // SOF2
+          if (comps != null) return Malformed // one frame header only
+          if (pos + 2 > p.length) return Malformed
+          val len = be16(p, pos)
+          if (len < 8 || pos + len > p.length) return Malformed
+          val prec = p(pos + 2) & 0xFF
+          if (prec != 8) return Unsupported
+          h = be16(p, pos + 3); w = be16(p, pos + 5)
+          val nc = p(pos + 7) & 0xFF
+          if (h == 0) return Unsupported
+          if (w <= 0 || h <= 0) return Malformed
+          if (w.toLong * h > maxPixels) return Malformed
+          if (nc != 1 && nc != 3) return Unsupported
+          if (len != 8 + 3 * nc) return Malformed
+          comps = Array.tabulate(nc) { i =>
+            val o = pos + 8 + 3 * i
+            val hv = p(o + 1) & 0xFF
+            Component(p(o) & 0xFF, (hv >> 4) & 0xF, hv & 0xF, p(o + 2) & 0xFF)
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
+            c.tq > 3)) return Malformed
+          maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+          mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+          mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+          pcs = comps.map { c =>
+            val compW = (w * c.h + maxH - 1) / maxH
+            val compH = (h * c.v + maxV - 1) / maxV
+            new PComp(c, mcusX * c.h, mcusY * c.v,
+              (compW + 7) / 8, (compH + 7) / 8)
+          }
+          pos += len
+        case m if (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 =>
+          return Malformed // a second, different frame type
+        case 0xC4 => // DHT (may be redefined between scans)
+          if (pos + 2 > p.length) return Malformed
+          val len = be16(p, pos)
+          if (len < 2 || pos + len > p.length) return Malformed
+          var o = pos + 2
+          val end = pos + len
+          while (o < end) {
+            if (o + 17 > end) return Malformed
+            val tc = (p(o) >> 4) & 0xF
+            val th = p(o) & 0xF
+            if (tc > 1 || th > 3) return Malformed
+            val counts = Array.tabulate(16)(i => p(o + 1 + i) & 0xFF)
+            val total = counts.sum
+            if (total > 256 || o + 17 + total > end) return Malformed
+            val syms = Array.tabulate(total)(i => p(o + 17 + i) & 0xFF)
+            val tab = new Huff(counts, syms)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            o += 17 + total
+          }
+          pos += len
+        case 0xDB => // DQT
+          if (pos + 2 > p.length) return Malformed
+          val len = be16(p, pos)
+          if (len < 2 || pos + len > p.length) return Malformed
+          var o = pos + 2
+          val end = pos + len
+          while (o < end) {
+            val pq = (p(o) >> 4) & 0xF
+            val tq = p(o) & 0xF
+            if (pq > 1 || tq > 3) return Malformed
+            val step = if (pq == 0) 1 else 2
+            if (o + 1 + 64 * step > end) return Malformed
+            var k = 0
+            while (k < 64) {
+              qt(tq)(k) =
+                if (pq == 0) p(o + 1 + k) & 0xFF else be16(p, o + 1 + 2 * k)
+              k += 1
+            }
+            qtSeen(tq) = true
+            o += 1 + 64 * step
+          }
+          pos += len
+        case 0xDD => // DRI
+          if (pos + 4 > p.length || be16(p, pos) != 4) return Malformed
+          restartInterval = be16(p, pos + 2)
+          pos += 4
+        case 0xDA => // one progressive scan
+          if (comps == null) return Malformed
+          if (pos + 2 > p.length) return Malformed
+          val len = be16(p, pos)
+          if (pos + len > p.length) return Malformed
+          val ns = p(pos + 2) & 0xFF
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns)
+            return Malformed
+          val scanPcs = new Array[PComp](ns)
+          var i = 0
+          while (i < ns) {
+            val o = pos + 3 + 2 * i
+            val cid = p(o) & 0xFF
+            val idx = comps.indexWhere(_.id == cid)
+            if (idx < 0) return Malformed
+            scanPcs(i) = pcs(idx)
+            val td = (p(o + 1) >> 4) & 0xF
+            val ta = p(o + 1) & 0xF
+            if (td > 3 || ta > 3) return Malformed
+            comps(idx).dcTab = dcTabs(td)
+            comps(idx).acTab = acTabs(ta)
+            i += 1
+          }
+          val ss = p(pos + 3 + 2 * ns) & 0xFF
+          val se = p(pos + 4 + 2 * ns) & 0xFF
+          val ah = (p(pos + 5 + 2 * ns) >> 4) & 0xF
+          val al = p(pos + 5 + 2 * ns) & 0xF
+          // scan-script validity (T.81 G.1.1.1.1)
+          if (ss == 0) { if (se != 0) return Malformed }
+          else if (ss > se || se > 63 || ns != 1) return Malformed
+          if (al > 13 || (ah != 0 && ah != al + 1)) return Malformed
+          if (ss == 0 && ah == 0 && scanPcs.exists(_.c.dcTab == null))
+            return Malformed
+          if (ss > 0 && scanPcs(0).c.acTab == null) return Malformed
+          progressiveScan(p, pos + len, scanPcs, ss, se, ah, al,
+            restartInterval, mcusX, mcusY) match {
+            case Left(r) => return r
+            case Right((m, np)) => scans += 1; pending = m; pos = np
+          }
+        case _ => // APPn, COM, DNL, anything with a length field
+          if (pos + 2 > p.length) return Malformed
+          val len = be16(p, pos)
+          if (len < 2 || pos + len > p.length) return Malformed
+          pos += len
+      }
+    }
+    Malformed // unreachable
+  }
+
+  /** Decode one progressive scan's entropy data; returns the marker that
+    * terminated it and the position after that marker. */
+  private def progressiveScan(p: Array[Byte], start: Int,
+      scan: Array[PComp], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, mcusX: Int, mcusY: Int)
+      : Either[Result, (Int, Int)] = {
+    val r = new BitReader(p, start)
+    var i = 0
+    while (i < scan.length) { scan(i).c.pred = 0; scan(i).eobrun = 0; i += 1 }
+    val interleaved = scan.length > 1
+    val totalMcus =
+      if (interleaved) mcusX * mcusY else scan(0).bwNI * scan(0).bhNI
+    var rstIdx = 0
+    var since = 0
+    var mcu = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && since == restartInterval) {
+        if (!r.restart(rstIdx)) return Left(Malformed)
+        rstIdx = (rstIdx + 1) & 7
+        since = 0
+        var j = 0
+        while (j < scan.length) {
+          scan(j).c.pred = 0; scan(j).eobrun = 0; j += 1
+        }
+      }
+      if (interleaved) {
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scan.length) {
+          val pc = scan(ci)
+          var by = 0
+          while (by < pc.c.v) {
+            var bx = 0
+            while (bx < pc.c.h) {
+              val bi = (my * pc.c.v + by) * pc.bwFull + (mx * pc.c.h + bx)
+              if (!progBlock(r, pc, bi * 64, ss, se, ah, al))
+                return Left(Malformed)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+      } else {
+        val pc = scan(0)
+        val bi = (mcu / pc.bwNI) * pc.bwFull + (mcu % pc.bwNI)
+        if (!progBlock(r, pc, bi * 64, ss, se, ah, al))
+          return Left(Malformed)
+      }
+      since += 1
+      mcu += 1
+    }
+    val m = r.nextMarker()
+    Right((m, r.pos))
+  }
+
+  /** Raw (non-extended) magnitude bits, or -1 on truncation. */
+  private def receiveRaw(r: BitReader, s: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < s) {
+      val b = r.nextBit()
+      if (b < 0) return -1
+      v = (v << 1) | b
+      i += 1
+    }
+    v
+  }
+
+  /** One block of one progressive scan: the four T.81 G.2 cases. */
+  private def progBlock(r: BitReader, pc: PComp, off: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+    val coefs = pc.coefs
+    if (ss == 0) {
+      if (ah == 0) { // DC first: diff at approximation al
+        val s = pc.c.dcTab.decode(r)
+        if (s < 0 || s > 11) return false
+        val diff = r.receiveExtend(s)
+        if (diff == Int.MinValue) return false
+        pc.c.pred += diff
+        coefs(off) = pc.c.pred << al
+      } else { // DC refinement: one raw bit
+        val b = r.nextBit()
+        if (b < 0) return false
+        if (b == 1) coefs(off) |= 1 << al
+      }
+      true
+    } else if (ah == 0) { // AC first scan of this band
+      if (pc.eobrun > 0) { pc.eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = pc.c.acTab.decode(r)
+        if (rs < 0) return false
+        val run = (rs >> 4) & 0xF
+        val s = rs & 0xF
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else { // EOBn: this block ends; run covers the NEXT eobrun blocks
+            var e = (1 << run) - 1
+            if (run > 0) {
+              val bits = receiveRaw(r, run)
+              if (bits < 0) return false
+              e += bits
+            }
+            pc.eobrun = e
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val v = r.receiveExtend(s)
+          if (v == Int.MinValue) return false
+          coefs(off + ZigZag(k)) = v << al
+          k += 1
+        }
+      }
+      true
+    } else refineAc(r, pc, off, ss, se, al)
+  }
+
+  /** AC successive-approximation refinement (the libjpeg
+    * `decode_mcu_AC_refine` algebra): each symbol optionally places a
+    * new ±1·2^al coefficient after skipping `run` ZERO-HISTORY
+    * positions, while every nonzero-history coefficient passed on the
+    * way consumes a correction bit; an EOBn switches the rest of the
+    * band (and the next eobrun−1 blocks) to corrections-only. */
+  private def refineAc(r: BitReader, pc: PComp, off: Int,
+      ss: Int, se: Int, al: Int): Boolean = {
+    val coefs = pc.coefs
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+    var k = ss
+    if (pc.eobrun == 0) {
+      var eob = false
+      while (k <= se && !eob) {
+        val rs = pc.c.acTab.decode(r)
+        if (rs < 0) return false
+        var run = (rs >> 4) & 0xF
+        val s = rs & 0xF
+        var newVal = 0
+        if (s != 0) {
+          if (s != 1) return false // refinement sends ±1 only
+          val b = r.nextBit()
+          if (b < 0) return false
+          newVal = if (b == 1) p1 else m1
+        } else if (run != 15) { // EOBn
+          pc.eobrun = 1 << run
+          if (run > 0) {
+            val bits = receiveRaw(r, run)
+            if (bits < 0) return false
+            pc.eobrun += bits
+          }
+          eob = true
+        }
+        if (!eob) {
+          var advancing = true
+          while (advancing && k <= se) {
+            val z = off + ZigZag(k)
+            if (coefs(z) != 0) {
+              val b = r.nextBit()
+              if (b < 0) return false
+              if (b == 1 && (coefs(z) & p1) == 0)
+                coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+              k += 1
+            } else {
+              run -= 1
+              if (run < 0) advancing = false // place the new value HERE
+              else k += 1
+            }
+          }
+          if (newVal != 0 && k <= se) coefs(off + ZigZag(k)) = newVal
+          k += 1
+        }
+      }
+    }
+    if (pc.eobrun > 0) { // corrections-only for the rest of the band
+      while (k <= se) {
+        val z = off + ZigZag(k)
+        if (coefs(z) != 0) {
+          val b = r.nextBit()
+          if (b < 0) return false
+          if (b == 1 && (coefs(z) & p1) == 0)
+            coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+        }
+        k += 1
+      }
+      pc.eobrun -= 1
+    }
+    true
+  }
+
+  /** Dequantize + IDCT every accumulated block into the component's
+    * sample plane (the baseline layout [[toImage]] expects). */
+  private def renderProgressive(pc: PComp, q: Array[Int]): Unit = {
+    val c = pc.c
+    c.planeW = pc.bwFull * 8
+    c.plane = new Array[Int](pc.bwFull * 8 * pc.bhFull * 8)
+    val deq = new Array[Int](64)
+    val block = new Array[Int](64)
+    var by = 0
+    while (by < pc.bhFull) {
+      var bx = 0
+      while (bx < pc.bwFull) {
+        val off = (by * pc.bwFull + bx) * 64
+        var k = 0
+        while (k < 64) {
+          val z = ZigZag(k)
+          deq(z) = pc.coefs(off + z) * q(k)
+          k += 1
+        }
+        idct(deq, block)
+        var yy = 0
+        while (yy < 8) {
+          System.arraycopy(block, yy * 8, c.plane,
+            (by * 8 + yy) * c.planeW + bx * 8, 8)
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
   }
 
   private def decodeScan(p: Array[Byte], start: Int, w: Int, h: Int,
@@ -700,6 +1125,122 @@ object Jpeg {
       my += 1
     }
     bw.flush()
+    o.write(0xFF); o.write(0xD9) // EOI
+    o.toByteArray
+  }
+
+  /** AC table for the progressive fixtures: 15 length-4 symbols — plain
+    * EOB (0x00) plus EOBn run symbols 0x10..0xE0 (r = 1..14). */
+  private val AcProgSpec: (Array[Int], Array[Int]) = (
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    Array.tabulate(15)(_ << 4))
+
+  /** Encode a DC-only PROGRESSIVE (SOF2) grayscale JPEG: three scans —
+    * DC first at Al=1 (arithmetic-shifted diffs), DC refinement
+    * delivering the dropped bit, and an AC first scan whose band is all
+    * zeros, emitted either as one spanning EOBn run (the eobrun decode
+    * path) or one plain EOB per block. Quant steps are all 8, so the
+    * fully-refined reconstruction is exactly `dcOf(bx, by)` per block —
+    * the q258 arithmetic-predictability discipline for SOF2. */
+  def encodeDcOnlyProgressive(wBlocks: Int, hBlocks: Int,
+      dcOf: (Int, Int) => Int, eobnAcScan: Boolean = true,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(!(eobnAcScan && restartInterval > 0),
+      "an EOBn run cannot span restart intervals")
+    val w = wBlocks * 8
+    val h = hBlocks * 8
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0xFF); o.write(0xD8) // SOI
+    o.write(0xFF); o.write(0xDB) // DQT table 0, all steps 8
+    w16(o, 2 + 65)
+    o.write(0)
+    var k = 0
+    while (k < 64) { o.write(8); k += 1 }
+    o.write(0xFF); o.write(0xC2) // SOF2 progressive
+    w16(o, 8 + 3)
+    o.write(8); w16(o, h); w16(o, w); o.write(1)
+    o.write(1); o.write(0x11); o.write(0)
+    writeDht(o, 0, 0, DcLumaSpec)
+    writeDht(o, 1, 0, AcProgSpec)
+    if (restartInterval > 0) {
+      o.write(0xFF); o.write(0xDD); w16(o, 4); w16(o, restartInterval)
+    }
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      o.write(0xFF); o.write(0xDA)
+      w16(o, 8)
+      o.write(1); o.write(1); o.write(0x00)
+      o.write(ss); o.write(se); o.write((ah << 4) | al)
+    }
+    val dcT = encTable(DcLumaSpec)
+    val acT = encTable(AcProgSpec)
+    val total = wBlocks * hBlocks
+    def eachBlock(f: (BitWriter, Int, Int, Boolean) => Unit): Unit = {
+      // raster order with optional restarts; f(bw, bx, by, afterRestart)
+      var bw = new BitWriter(o)
+      var n = 0
+      var rstIdx = 0
+      var by = 0
+      while (by < hBlocks) {
+        var bx = 0
+        while (bx < wBlocks) {
+          var reset = false
+          if (restartInterval > 0 && n > 0 && n % restartInterval == 0) {
+            bw.flush()
+            o.write(0xFF); o.write(0xD0 + rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            bw = new BitWriter(o)
+            reset = true
+          }
+          f(bw, bx, by, reset)
+          n += 1
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+    }
+    // scan 1: DC first, Al=1 — diffs over the arithmetic-shifted values
+    sos(0, 0, 0, 1)
+    var pred = 0
+    eachBlock { (bw, bx, by, reset) =>
+      if (reset) pred = 0
+      val v = dcOf(bx, by)
+      require(v >= 0 && v <= 255, s"sample out of range: $v")
+      val coef = (v - 128) >> 1 // arithmetic shift, the T.81 encode pair
+      val diff = coef - pred
+      pred = coef
+      var mag = if (diff < 0) -diff else diff
+      var s = 0
+      while (mag != 0) { s += 1; mag >>= 1 }
+      val (c, l) = dcT(s)
+      bw.put(c, l)
+      if (s > 0) {
+        val bits = if (diff < 0) diff + (1 << s) - 1 else diff
+        bw.put(bits & ((1 << s) - 1), s)
+      }
+    }
+    // scan 2: DC refinement, Ah=1/Al=0 — the dropped low bit, raw
+    sos(0, 0, 1, 0)
+    eachBlock { (bw, bx, by, _) =>
+      bw.put((dcOf(bx, by) - 128) & 1, 1)
+    }
+    // scan 3: AC first over the whole band — all zero
+    sos(1, 63, 0, 0)
+    if (eobnAcScan) {
+      // ONE spanning EOBn: current block + (total-1) more
+      val bw = new BitWriter(o)
+      val e = total - 1
+      var r = 0
+      while ((1 << (r + 1)) - 1 <= e) r += 1
+      val extra = e - ((1 << r) - 1)
+      val (c, l) = acT(r << 4)
+      bw.put(c, l)
+      if (r > 0) bw.put(extra, r)
+      bw.flush()
+    } else eachBlock { (bw, _, _, _) =>
+      val (c, l) = acT(0x00)
+      bw.put(c, l)
+    }
     o.write(0xFF); o.write(0xD9) // EOI
     o.toByteArray
   }

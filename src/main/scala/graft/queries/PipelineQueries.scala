@@ -1108,6 +1108,25 @@ private[graft] object PipelineQueries {
 
 
     // ----- JPEG pixel decode: in-repo baseline Huffman+IDCT ----------
+    "q293_jpeg_progressive" -> ((s, dir) => {
+      // SOF2 progressive decode under the q258 discipline: DC-only
+      // progressive fixtures (DC-first at Al=1 → DC refinement → AC
+      // band as EOBn run or per-block EOBs with restart resync) whose
+      // fully-refined pixels the oracle predicts from doc_id arithmetic
+      // — the engine must get there through real multi-scan coefficient
+      // accumulation; the truncated class must refuse (NULL stats)
+      import s.implicits._
+      val media = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, jpegProgressiveFixturePayload(d)))
+        .toDF("doc_id", "payload")
+        .withColumn("mime", lit("image/jpeg"))
+      Multimodal.imageStats(media)
+        .select(col("doc_id"),
+          col("img.mean_luma").as("mean_luma"),
+          col("img.width").as("width"), col("img.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
     "q258_jpeg_pixels" -> ((s, dir) => {
       // DC-only baseline JPEGs built per doc_id by the in-repo encoder
       // (graft.operators.Jpeg) — quant step 8 makes flat 8×8 blocks
@@ -3010,6 +3029,26 @@ private[graft] object PipelineQueries {
   /** q258's per-row fixture: a DC-only baseline JPEG whose pixels are a
     * pure function of doc_id (see the q258 banner). Runs inside the
     * Dataset map — must stay a pure, serializable function. */
+  /** Progressive (SOF2) fixtures for q293, classes by doc_id % 4:
+    * 0 = 2×2-block gray with one spanning EOBn run; 1 = the same image
+    * through per-block EOBs and restartInterval=1 (scan resync);
+    * 2 = truncated mid-scan (Malformed, NULL stats); 3 = 1×1 gray.
+    * All DC-only at quant 8, so pixels are doc_id arithmetic. */
+  private[graft] def jpegProgressiveFixturePayload(d: Long): Array[Byte] = {
+    def pm(x: Long): Int = (((x % 256) + 256) % 256).toInt
+    def block(bx: Int, by: Int): Int = pm(d * 3 + 10 * bx + 20 * by)
+    (d % 4).toInt match {
+      case 0 => graft.operators.Jpeg.encodeDcOnlyProgressive(2, 2, block)
+      case 1 => graft.operators.Jpeg.encodeDcOnlyProgressive(2, 2, block,
+        eobnAcScan = false, restartInterval = 1)
+      case 2 =>
+        val g = graft.operators.Jpeg.encodeDcOnlyProgressive(2, 2, block)
+        g.take(g.length - 8) // truncated mid-final-scan
+      case _ => graft.operators.Jpeg.encodeDcOnlyProgressive(1, 1,
+        (_, _) => pm(d * 11 + 23))
+    }
+  }
+
   private[graft] def jpegFixturePayload(d: Long): Array[Byte] = {
     def pm(x: Long): Int = (((x % 256) + 256) % 256).toInt
     val cls = (d % 6).toInt
@@ -4100,6 +4139,29 @@ private[graft] object PipelineQueries {
     // (x/65536 has a power-of-two denominator, so FLOOR over the
     // double division is exact). Classes % 6 == 3 (marker mid-scan)
     // and == 5 (truncated) must decode to NOTHING
+    // fully-refined progressive pixels from doc_id arithmetic; the
+    // truncated class is NULL (Malformed is terminal)
+    "q293_jpeg_progressive" ->
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls
+        |  FROM documents),
+        |blk AS (SELECT b.doc_id,
+        |    (b.doc_id * 3 + 10 * xs.bx + 20 * ys.by) % 256 AS v
+        |  FROM base b, (VALUES (0), (1)) xs(bx), (VALUES (0), (1)) ys(by)
+        |  WHERE b.cls IN (0, 1)),
+        |cagg AS (SELECT doc_id, SUM(v) / 4.0 AS ml FROM blk GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN cls = 2 THEN NULL
+        |       WHEN cls = 3 THEN CAST((b.doc_id * 11 + 23) % 256 AS DOUBLE)
+        |       ELSE ml END AS mean_luma,
+        |  CASE WHEN cls = 2 THEN NULL
+        |       WHEN cls = 3 THEN CAST(8 AS INTEGER)
+        |       ELSE CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN cls = 2 THEN NULL
+        |       WHEN cls = 3 THEN CAST(8 AS INTEGER)
+        |       ELSE CAST(16 AS INTEGER) END AS height
+        |FROM base b LEFT JOIN cagg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q258_jpeg_pixels" ->
       """WITH base AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
         |  (doc_id * 11 + 23) % 256 AS gy,

@@ -160,16 +160,113 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(tail) == Jpeg.Malformed)
   }
 
-  test("progressive / 12-bit / CMYK headers are Unsupported (fallback allowed)") {
+  test("arithmetic / 12-bit / CMYK headers are Unsupported (fallback allowed)") {
     val good = Jpeg.encodeDcOnly(2, 2, null, (_, bx, by) => 50 + bx + by)
     val sof = good.indices.find(i => (good(i) & 0xFF) == 0xFF &&
       i + 1 < good.length && (good(i + 1) & 0xFF) == 0xC0).get
-    val progressive = good.clone()
-    progressive(sof + 1) = 0xC2.toByte
-    assert(Jpeg.decode(progressive) == Jpeg.Unsupported)
+    val arithmetic = good.clone()
+    arithmetic(sof + 1) = 0xC9.toByte // SOF9 arithmetic sequential
+    assert(Jpeg.decode(arithmetic) == Jpeg.Unsupported)
     val twelveBit = good.clone()
     twelveBit(sof + 4) = 12.toByte // precision byte in SOF
     assert(Jpeg.decode(twelveBit) == Jpeg.Unsupported)
+    // an SOF2 frame whose SCAN claims the full baseline band is not a
+    // legal progressive scan script: Malformed, not a silent decode
+    val bogus = good.clone()
+    bogus(sof + 1) = 0xC2.toByte
+    assert(Jpeg.decode(bogus) == Jpeg.Malformed)
+  }
+
+  test("progressive DC-only fixtures round-trip exactly (EOBn and " +
+      "per-block EOB variants, restart resync)") {
+    def v(bx: Int, by: Int) = (37 * bx + 81 * by + 5) % 256
+    for (eobn <- Seq(true, false)) {
+      val bytes = Jpeg.encodeDcOnlyProgressive(3, 2, v, eobnAcScan = eobn)
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2), "must be SOF2")
+      val img = decodeOk(bytes)
+      assert(img.width == 24 && img.height == 16)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val e = v(x / 8, y / 8)
+        assert(rgb(img, x, y) == ((e, e, e)), s"pixel ($x,$y) eobn=$eobn")
+      }
+    }
+    // restart markers inside progressive scans resync predictors
+    val rst = Jpeg.encodeDcOnlyProgressive(4, 4, v, eobnAcScan = false,
+      restartInterval = 3)
+    assert(rst.sliding(2).exists(s =>
+      (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) >= 0xD0 && (s(1) & 0xFF) <= 0xD7))
+    val img = decodeOk(rst)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val e = v(x / 8, y / 8)
+      assert(rgb(img, x, y) == ((e, e, e)), s"pixel ($x,$y) rst")
+    }
+  }
+
+  test("progressive: third-party (imageio) progressive output decodes, " +
+      "gray and color, within the cross-decoder tolerance") {
+    def progressiveBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = w.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    // smooth gradients: the comparison is decoder-vs-decoder on the SAME
+    // bytes, so JPEG loss is irrelevant; ±2 covers IDCT/color rounding
+    val gray = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 48)
+      gray.getRaster.setSample(x, y, 0, (x * 3 + y * 2) % 256)
+    val gb = progressiveBytes(gray)
+    assert(gb.sliding(2).exists(s =>
+      (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2),
+      "imageio must have produced SOF2")
+    val mineG = decodeOk(gb)
+    val theirsG = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val (r, _, _) = rgb(mineG, x, y)
+      val t = theirsG.getRaster.getSample(x, y, 0)
+      assert(math.abs(t - r) <= 2, s"gray pixel ($x,$y): mine=$r theirs=$t")
+    }
+    // CHROMA-FLAT color (constant R−G / B−G): T.81 mandates no chroma
+    // upsampling filter, and replication (ours) vs libjpeg's fancy
+    // triangular filter legitimately differ by a few counts at chroma
+    // gradients — flat chroma isolates the progressive pipeline itself
+    val color = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = x * 3 + y * 2
+      color.setRGB(x, y, ((v + 20) << 16) | (v << 8) | (v + 40))
+    }
+    val cb = progressiveBytes(color)
+    val mineC = decodeOk(cb)
+    val theirsC = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val (r, g, b) = rgb(mineC, x, y)
+      val t = theirsC.getRGB(x, y)
+      assert(math.abs(((t >> 16) & 0xFF) - r) <= 2 &&
+        math.abs(((t >> 8) & 0xFF) - g) <= 2 &&
+        math.abs((t & 0xFF) - b) <= 2,
+        s"color pixel ($x,$y): mine=($r,$g,$b) theirs=${t.toHexString}")
+    }
+  }
+
+  test("progressive damage classes: truncation and bomb stay refused") {
+    val good = Jpeg.encodeDcOnlyProgressive(2, 2,
+      (bx, by) => (91 * bx + 13 * by + 60) % 256)
+    // truncated mid-scan
+    assert(Jpeg.decode(good.take(good.length - 6)) == Jpeg.Malformed)
+    // EOI destroyed
+    val tail = good.clone()
+    tail(tail.length - 1) = 0x00.toByte
+    assert(Jpeg.decode(tail) == Jpeg.Malformed)
+    // bomb guard fires from the SOF2 header
+    assert(Jpeg.decode(good, maxPixels = 10) == Jpeg.Malformed)
   }
 
   test("decompression bomb refused from the SOF, before pixel allocation") {
