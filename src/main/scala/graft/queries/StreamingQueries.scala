@@ -986,6 +986,83 @@ private[graft] object StreamingQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ----- streaming CDC off the lake's snapshot history --------------
+    "q294_cdc_stream_replay" -> ((s, dir) => {
+      // the lake as its own change feed: four mutation waves (append,
+      // merge-on-read delete, append, delete) each snapshot; the
+      // cdc=true STREAM replays exactly one snapshot transition per
+      // micro-batch, and a per-language aggregate maintained ONLY from
+      // the signed deltas must equal the oracle's full recompute. The
+      // first delete runs BEFORE the second append, so a consumer that
+      // nets waves out of order (or misses a DV-diff) diverges.
+      import s.implicits._
+      val run = memNonce.incrementAndGet()
+      val out = scratchPath(dir, s"q294_records_$run")
+      val ckpt = s"${out}_ckpt"
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out) // v1
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out) // v2
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out) // v3
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      graft.operators.LakeSnapshots.commit(s, out) // v4
+      // maintained state: lang -> (n, sum_chars, id_sum), driver-side
+      // (bounded by distinct languages); fed ONLY by the stream's waves
+      val state = scala.collection.mutable.Map
+        .empty[String, (Long, Long, Long)]
+      var waves = 0
+      val q = s.readStream.format("graft-records").option("path", out)
+        .option("fieldTypes", types)
+        .option("cdc", "true").option("startingVersion", "0")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val deltas = df.groupBy("Lang")
+            .agg(sum(col("m")).as("dn"),
+              sum(col("m") * col("Chars")).as("dsc"),
+              sum(col("m") * col("DocId")).as("dsi"))
+            .collect()
+          state.synchronized {
+            waves += 1
+            deltas.foreach { r =>
+              val lang = r.getString(0)
+              val (n0, c0, i0) = state.getOrElse(lang, (0L, 0L, 0L))
+              state(lang) = (n0 + r.getLong(1),
+                c0 + (if (r.isNullAt(2)) 0L else r.getDouble(2).toLong),
+                i0 + r.getDouble(3).toLong)
+            }
+          }
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      require(waves == 4,
+        s"expected one micro-batch per snapshot transition (4), got $waves")
+      state.toSeq.filter(_._2._1 > 0)
+        .map { case (lang, (n, sc, si)) => (lang, n, sc, si) }
+        .toDF("lang", "n_docs", "sum_chars", "id_sum")
+        .orderBy("lang")
+    }),
+
     // ----- per-epoch snapshot commits from the streaming sink ---------
     "q290_epoch_snapshots" -> ((s, dir) => {
       // the sink's snapshotPerEpoch option freezes a manifest after
@@ -1353,6 +1430,20 @@ private[graft] object StreamingQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the FINAL state from the mutation ordering;
+    // the engine must get there by streaming one signed delta wave per
+    // snapshot transition (delete1 precedes append2 — order matters)
+    "q294_cdc_stream_replay" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE NOT (doc_id % 10 = 7)
+        |    AND (doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE)))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the cumulative residue prefixes; the engine
     // must produce them by TIME TRAVEL over per-epoch snapshot commits

@@ -116,6 +116,38 @@ private[graft] object ParquetRecords {
     } finally in.close()
   }
 
+  /** The footer schema's signature — compaction merges only files whose
+    * schemas are IDENTICAL (schema evolution means a table's parquet
+    * files can differ; cross-schema merge would need column fill-in). */
+  def schemaSignature(conf: Configuration, file: Path): String = {
+    val in = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try in.getFooter.getFileMetaData.getSchema.toString finally in.close()
+  }
+
+  /** Rewrite-merge `srcs` (identical schemas) into one staged parquet
+    * file — the columnar tier's compaction (byte concat is a JSONL
+    * property; parquet merges by row copy through the Group API). */
+  def mergeFiles(conf: Configuration, srcs: Seq[Path], staged: Path): Unit = {
+    require(srcs.nonEmpty, "empty merge group")
+    val schema = {
+      val in = ParquetFileReader.open(HadoopInputFile.fromPath(srcs.head, conf))
+      try in.getFooter.getFileMetaData.getSchema finally in.close()
+    }
+    val w = writerFor(conf, staged, schema, ParquetWriter.DEFAULT_BLOCK_SIZE)
+    try srcs.foreach { src =>
+      val in = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+      try {
+        var pages = in.readNextRowGroup()
+        while (pages != null) {
+          val io = new ColumnIOFactory().getColumnIO(schema)
+          val rr = io.getRecordReader(pages, new GroupRecordConverter(schema))
+          (0L until pages.getRowCount).foreach(_ => w.write(rr.read()))
+          pages = in.readNextRowGroup()
+        }
+      } finally in.close()
+    } finally w.close()
+  }
+
   def writerFor(conf: Configuration, path: Path, schema: MessageType,
       rowGroupBytes: Long): ParquetWriter[Group] = {
     GroupWriteSupport.setSchema(schema, conf)

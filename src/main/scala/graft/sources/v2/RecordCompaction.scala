@@ -93,53 +93,70 @@ object RecordCompaction {
     // time travel AND changelog reads (LakeChangelog) working while the
     // table compacts around them
     val snapRefs = Snapshots.referencedFiles(fs, dir)
-    // byte-level merge is a JSONL property; parquet files compact by
-    // REWRITE (future tier) and are excluded here, never concatenated
-    val files = listed.filterNot { case (n, _) =>
-      snapRefs.contains(n) || n.endsWith(ParquetRecords.Extension) }
-    // byte-concatenation would RESURRECT deletion-vector'd rows (the
-    // merged file's line ordinals no longer match any input's vector):
-    // refuse loudly while any candidate carries a vector
-    val dvd = files.map(_._1).filter(n =>
+    val unpinned = listed.filterNot { case (n, _) => snapRefs.contains(n) }
+    // merging re-bases row ordinals either way (line concat or row
+    // copy), which would desync deletion vectors: refuse loudly while
+    // any candidate carries one — materialize first, as ever
+    val dvd = unpinned.map(_._1).filter(n =>
       fs.exists(DeletionVector.sidecar(dir, n)))
     require(dvd.isEmpty,
       s"graft-records compaction: ${dvd.length} input file(s) carry " +
         s"deletion vectors (${dvd.take(3).mkString(", ")}…) — run " +
         "DeletionVectors.materialize first (it rewrites those files " +
         "without the deleted rows and drops the sidecars)")
-    if (files.length < 2) return 0
+    // two families: JSONL byte-concats; parquet merges by ROW COPY, and
+    // only among files with IDENTICAL footer schemas (schema evolution
+    // legitimately mixes schemas — cross-schema merge stays unplanned)
+    val jsonlFiles = unpinned
+      .filterNot(_._1.endsWith(ParquetRecords.Extension))
+    val pqFamilies = unpinned
+      .filter(_._1.endsWith(ParquetRecords.Extension))
+      .groupBy { case (n, _) =>
+        ParquetRecords.schemaSignature(conf, new Path(dir, n)) }
+      .toSeq.sortBy(_._1).map(_._2)
 
     import spark.implicits._
-    val plan = graft.operators.Compaction.planSequential(
-      files.toSeq.toDF("name", "bytes"), "name", "bytes", targetBytes)
-      .select("name", "grp").as[(String, Long)].collect()
-    val groups = plan.groupBy(_._2).values
-      .map(_.map(_._1).sorted).filter(_.length >= 2).toSeq.sortBy(_.head)
+    def planFamily(fam: Seq[(String, Long)]): Seq[Seq[String]] =
+      if (fam.length < 2) Seq.empty
+      else graft.operators.Compaction.planSequential(
+          fam.toDF("name", "bytes"), "name", "bytes", targetBytes)
+        .select("name", "grp").as[(String, Long)].collect()
+        .groupBy(_._2).values
+        .map(_.map(_._1).sorted.toSeq).filter(_.length >= 2).toSeq.sortBy(_.head)
+    val groups: Seq[(Seq[String], String)] =
+      planFamily(jsonlFiles.toSeq).map(_ -> ".jsonl") ++
+        pqFamilies.flatMap(f => planFamily(f.toSeq))
+          .map(_ -> ParquetRecords.Extension)
     if (groups.isEmpty) return 0
 
     val runId = java.util.UUID.randomUUID().toString.take(12)
     val stagingName = s"_staging-compact-$runId"
-    // executor phase: byte-concat each group into its staged file and
-    // merge the inputs' zones (metadata only); a group with ANY
+    // executor phase: merge each group into its staged file (byte
+    // concat for JSONL, row copy for parquet) and union the inputs'
+    // zones (metadata only — format-agnostic); a group with ANY
     // statless input yields no merged sidecar (advisory contract)
     val staged: Array[(Int, Option[String])] = spark.sparkContext
-      .parallelize(groups.zipWithIndex.map(_.swap),
-        math.min(groups.length, 64))
-      .map { case (g, names) =>
+      .parallelize(groups.zipWithIndex.map { case ((names, ext), g) =>
+        (g, names, ext) }, math.min(groups.length, 64))
+      .map { case (g, names, ext) =>
         val c = RecordSource.confFrom(confProps)
         val d = new Path(path)
         val f = d.getFileSystem(c)
-        val stagedFile = new Path(new Path(path, stagingName), s"g$g.jsonl")
+        val stagedFile = new Path(new Path(path, stagingName), s"g$g$ext")
         f.mkdirs(stagedFile.getParent)
-        val out = f.create(stagedFile, true)
-        val buf = new Array[Byte](1 << 20)
-        names.foreach { name =>
-          val in = f.open(new Path(d, name))
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          in.close()
+        if (ext == ParquetRecords.Extension) {
+          ParquetRecords.mergeFiles(c, names.map(new Path(d, _)), stagedFile)
+        } else {
+          val out = f.create(stagedFile, true)
+          val buf = new Array[Byte](1 << 20)
+          names.foreach { name =>
+            val in = f.open(new Path(d, name))
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            in.close()
+          }
+          out.close()
         }
-        out.close()
         val zones = names.map(n => ZoneMap.load(f, new Path(d, n).toString))
         val merged =
           if (zones.forall(_.isDefined))
@@ -153,9 +170,10 @@ object RecordCompaction {
     // inputs are shielded (a competing writer touching them validates
     // against this entry and backs off); losing the validation here
     // throws CommitConflictException and the caller re-plans
-    val newNames = groups.indices.map(g => s"compact-$runId-g$g.jsonl")
+    val newNames = groups.zipWithIndex.map { case ((_, ext), g) =>
+      s"compact-$runId-g$g$ext" }
     val committed = try OptimisticCommit.commit(fs, dir, readVersion,
-        op = "compact", added = newNames, removed = groups.flatten,
+        op = "compact", added = newNames, removed = groups.flatMap(_._1),
         staging = Some(stagingName))
       catch { case e: OptimisticCommit.CommitConflictException =>
         fs.delete(new Path(path, stagingName), true) // abandon the stage
@@ -163,9 +181,9 @@ object RecordCompaction {
       }
 
     // driver phase: marker -> sidecar -> rename -> deletes, per group
-    groups.zipWithIndex.foreach { case (names, g) =>
-      val newName = s"compact-$runId-g$g.jsonl"
-      val stagedFile = new Path(new Path(path, stagingName), s"g$g.jsonl")
+    groups.zipWithIndex.foreach { case ((names, ext), g) =>
+      val newName = s"compact-$runId-g$g$ext"
+      val stagedFile = new Path(new Path(path, stagingName), s"g$g$ext")
       writeMarker(fs, dir, s"$runId-g$g", Marker(
         staging = stagedFile.toString, newFile = newName, olds = names))
       mergedZones(g).foreach(json => ZoneMap.write(fs, dir, newName, json))

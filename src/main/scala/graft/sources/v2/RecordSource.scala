@@ -47,8 +47,13 @@ import graft.schema.SchemaMapper
 class RecordSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-records"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RecordSource.fullSchema(RecordSource.fieldTypes(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = RecordSource.fullSchema(RecordSource.fieldTypes(options))
+    // cdc=true reads the table's CHANGE FEED: table columns + signed `m`
+    if (Option(options.get("cdc")).exists(_.toBoolean))
+      RecordCdc.cdcSchema(base)
+    else base
+  }
 
   // a write's schema comes from the DataFrame being written (so callers
   // don't have to restate it as a fieldTypes option); reads still infer
@@ -56,8 +61,16 @@ class RecordSourceProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new RecordTable(schema, properties.asScala.toMap)
+      properties: JMap[String, String]): Table = {
+    val props = properties.asScala.toMap
+    if (props.get("cdc").exists(_.toBoolean)) {
+      // the inferred schema already carries `m` — strip it back to the
+      // table columns the diff readers materialize
+      val tableSchema = StructType(
+        schema.fields.filterNot(_.name == RecordCdc.MultCol))
+      new RecordCdcTable(tableSchema, props)
+    } else new RecordTable(schema, props)
+  }
 }
 
 private[v2] object RecordSource {
@@ -321,10 +334,6 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       .orElse(props.get("dataFormat")).getOrElse("jsonl")
     require(dataFormat == "jsonl" || dataFormat == "parquet",
       s"dataFormat '$dataFormat' is not one of jsonl, parquet")
-    require(dataFormat == "jsonl" || clusterBy.isEmpty,
-      "clusterBy + dataFormat=parquet is not supported yet — the " +
-        "key-pure per-key routing writer is line-oriented; cluster a " +
-        "jsonl table or drop clusterBy")
     val rowGroupBytes = Option(info.options.get("parquetRowGroupBytes"))
       .map(_.toLong)
       .getOrElse(org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
@@ -2065,18 +2074,16 @@ private[v2] class RecordWriterFactory(schema: StructType, stagingDir: String,
     rowGroupBytes: Long = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    if (dataFormat == "parquet") {
-      val base = f"$stagingDir/part-$partitionId%05d-$taskId.parquet"
-      new ParquetRecordDataWriter(schema, base,
-        RecordSource.confFrom(confProps), bloomCols, bloomBits, rowGroupBytes)
-    } else {
-      val base = f"$stagingDir/part-$partitionId%05d-$taskId.jsonl"
-      clusterBy match {
-        case Some(k) => new ClusteredRecordDataWriter(schema, k, base,
-          RecordSource.confFrom(confProps), bloomCols, bloomBits)
-        case None => new RecordDataWriter(schema, base,
-          RecordSource.confFrom(confProps), bloomCols, bloomBits)
-      }
+    val ext = if (dataFormat == "parquet") ParquetRecords.Extension else ".jsonl"
+    val base = f"$stagingDir/part-$partitionId%05d-$taskId$ext"
+    val conf = RecordSource.confFrom(confProps)
+    clusterBy match {
+      case Some(k) => new ClusteredRecordDataWriter(schema, k, base, conf,
+        bloomCols, bloomBits, dataFormat, rowGroupBytes)
+      case None if dataFormat == "parquet" =>
+        new ParquetRecordDataWriter(schema, base, conf, bloomCols,
+          bloomBits, rowGroupBytes)
+      case None => new RecordDataWriter(schema, base, conf, bloomCols, bloomBits)
     }
   }
 }
@@ -2213,12 +2220,18 @@ private[v2] class ClusteredRecordDataWriter(schema: StructType,
     clusterBy: String, stagedBase: String,
     conf: org.apache.hadoop.conf.Configuration,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSidecar.DefaultBits) extends DataWriter[InternalRow] {
+    bloomBits: Int = BloomSidecar.DefaultBits,
+    dataFormat: String = "jsonl",
+    rowGroupBytes: Long = org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+    extends DataWriter[InternalRow] {
   private val ki = schema.fieldNames.indexOf(clusterBy)
   require(ki >= 0, s"clusterBy column '$clusterBy' absent from write schema")
+  private val ext =
+    if (dataFormat == "parquet") ParquetRecords.Extension else ".jsonl"
   private val base = stagedBase.stripSuffix(".jsonl")
+    .stripSuffix(ParquetRecords.Extension)
   private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[Any, RecordDataWriter]
+    scala.collection.mutable.LinkedHashMap.empty[Any, DataWriter[InternalRow]]
 
   private def keyOf(row: InternalRow): Any = schema.fields(ki).dataType match {
     case StringType => row.getUTF8String(ki).toString
@@ -2240,8 +2253,11 @@ private[v2] class ClusteredRecordDataWriter(schema: StructType,
           s"${ClusteredRecordDataWriter.MaxKeysPerTask} distinct " +
           s"'$clusterBy' keys in one task — repartition by the cluster " +
           "column first so each task sees few keys")
-      new RecordDataWriter(schema, s"$base-k${writers.size}.jsonl", conf,
-        bloomCols, bloomBits)
+      val staged = s"$base-k${writers.size}$ext"
+      if (dataFormat == "parquet")
+        new ParquetRecordDataWriter(schema, staged, conf, bloomCols,
+          bloomBits, rowGroupBytes)
+      else new RecordDataWriter(schema, staged, conf, bloomCols, bloomBits)
     })
     w.write(row)
   }

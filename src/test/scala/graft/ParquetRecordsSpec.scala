@@ -147,11 +147,88 @@ class ParquetRecordsSpec extends SparkSpec {
       Seq((false, 10L), (true, 10L)))
   }
 
-  test("compaction never byte-concats parquet files") {
+  test("parquet compaction merges by ROW COPY, same-schema only, " +
+      "never mixing with jsonl") {
     val dir = Files.createTempDirectory("graft_pq6").toString + "/t"
+    // two same-schema parquet files + two jsonl files: each family
+    // merges within itself (one group each), never across
     write(dir, mkRows(10))
     write(dir, mkRows(20).filter($"Score" >= 10))
+    mkRows(30).filter($"Score" >= 20).coalesce(1).write
+      .format("graft-records").option("path", dir).mode("append").save()
+    mkRows(40).filter($"Score" >= 30).coalesce(1).write
+      .format("graft-records").option("path", dir).mode("append").save()
+    assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1L << 30) == 2)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted
+    assert(data.length == 2 && data.forall(_.startsWith("compact-")),
+      data.toSeq.toString)
+    assert(data.count(_.endsWith(".parquet")) == 1 &&
+      data.count(_.endsWith(".jsonl")) == 1, data.toSeq.toString)
+    assert(read(dir).count() == 40L)
+    assert(read(dir).agg(sum($"Score")).as[Double].head() ==
+      (0 until 40).sum.toDouble)
+    // the merged parquet still row-group-prunes (real parquet, not a concat)
+    assert(read(dir).filter($"Score" === 5.0).count() == 1L)
+  }
+
+  test("clusterBy over parquet: key-pure files, storage-partitioned " +
+      "join with ZERO exchanges") {
+    val base = Files.createTempDirectory("graft_pq8").toString
+    def writeClustered(dir: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartition(col("Key")).write.format("graft-records")
+        .option("path", dir).option("dataFormat", "parquet")
+        .option("clusterBy", "Key").mode("append").save()
+    val facts = spark.range(0, 40).select(
+      concat(lit("f"), $"id".cast("string")).as("_record_id"),
+      concat(lit("k"), ($"id" % 4).cast("string")).as("Key"),
+      $"id".cast("double").as("V"))
+    val dims = spark.range(0, 4).select(
+      concat(lit("d"), $"id".cast("string")).as("_record_id"),
+      concat(lit("k"), $"id".cast("string")).as("Key"),
+      ($"id" * 100).cast("double").as("V"))
+    writeClustered(s"$base/facts", facts)
+    writeClustered(s"$base/dims", dims)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(s"$base/facts")).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_")).foreach { f =>
+        assert(f.getName.endsWith(".parquet"), f.getName)
+        val st = graft.sources.v2.ZoneMap.load(fs, f.toString).get.stats("Key")
+        assert(st.min == st.max && st.nulls == 0L, s"$f: $st")
+      }
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true"); spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "-1")
+    try {
+      def rdc(dir: String) = spark.read.format("graft-records")
+        .option("path", dir).option("fieldTypes", "Key:singleLineText,V:number")
+        .option("dataFormat", "parquet").option("clusterBy", "Key").load()
+      val j = rdc(s"$base/facts").join(rdc(s"$base/dims"), "Key")
+        .groupBy("Key").agg(count(lit(1)).as("n"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.orderBy("Key").as[(String, Long)].collect().toSeq ==
+        (0 until 4).map(k => (s"k$k", 10L)))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("parquet compaction skips files whose schemas differ") {
+    val dir = Files.createTempDirectory("graft_pq7").toString + "/t"
+    write(dir, mkRows(5))
+    // a second parquet file with a DIFFERENT schema (fewer columns)
+    spark.range(100, 105).select(
+        concat(lit("x"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1).write.format("graft-records").option("path", dir)
+      .option("dataFormat", "parquet").mode("append").save()
     assert(graft.sources.v2.RecordCompaction.compact(spark, dir, 1L << 30) == 0)
-    assert(read(dir).count() == 20L)
+    assert(read(dir).count() == 10L)
   }
 }
