@@ -68,30 +68,38 @@ private[graft] object DeletionVector {
   }
 
   /** Load the vector for `dataFile` (full path string). None = no
-    * sidecar (nothing deleted). An EXISTING-but-unreadable sidecar
+    * sidecar (nothing deleted). A sidecar may be mid-OVERWRITE by a
+    * concurrent DELETE's flip (deletes only grow, so pre- and post-flip
+    * contents are both consistent reads — read-committed); a transient
+    * partial read retries until stable. One that stays unreadable
     * throws — deletes must never silently un-apply. */
   def load(fs: FileSystem, dataFile: String): Option[Vector] = {
     val f = new Path(dataFile)
     val p = sidecar(f.getParent, f.getName)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text =
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          bytes.toString("UTF-8")
-        } finally in.close()
-      try Some(parse(text))
-      catch {
-        case scala.util.control.NonFatal(e) => throw new java.io.IOException(
-          s"graft-records: deletion-vector sidecar $p is unreadable — " +
-            "refusing to scan (a skipped vector would resurrect deleted " +
-            s"rows). Restore or remove the sidecar. Cause: ${e.getMessage}", e)
+    if (!fs.exists(p)) return None
+    val deadline = System.currentTimeMillis + 10000L
+    var last: Throwable = null
+    while (System.currentTimeMillis <= deadline) {
+      try {
+        val in = fs.open(p)
+        val text =
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+            bytes.toString("UTF-8")
+          } finally in.close()
+        return Some(parse(text))
+      } catch {
+        case scala.util.control.NonFatal(e) => last = e; Thread.sleep(10)
       }
     }
+    throw new java.io.IOException(
+      s"graft-records: deletion-vector sidecar $p stayed unreadable past " +
+        "the flip window — refusing to scan (a skipped vector would " +
+        "resurrect deleted rows). Restore or remove the sidecar. " +
+        s"Cause: ${last.getMessage}", last)
   }
 
   def parse(json: String): Vector = {

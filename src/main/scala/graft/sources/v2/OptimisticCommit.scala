@@ -68,6 +68,34 @@ private[graft] object OptimisticCommit {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
+  /** ATOMIC create-exclusive claim + content write. HDFS's
+    * `create(overwrite=false)` is atomic at the NameNode; the LOCAL
+    * filesystem's is CHECK-THEN-ACT (RawLocalFileSystem tests existence
+    * before opening), so two same-slot committers could both "win" —
+    * the chaos spec caught exactly that as interleaved writes. For
+    * `file:` we claim through `File.createNewFile()` (O_CREAT|O_EXCL).
+    * Content lands after the claim; readers retry the in-flight window.
+    * Object stores without atomic create need an external arbiter
+    * (the Delta/S3 LogStore problem) — out of scope, documented. */
+  private[v2] def createExclusive(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val local = new java.io.File(p.toUri.getPath)
+      local.getParentFile.mkdirs()
+      if (!local.createNewFile()) false
+      else {
+        val out = new java.io.FileOutputStream(local)
+        try out.write(bytes) finally out.close()
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
   private def entryPath(dir: Path, v: Long): Path =
     new Path(new Path(dir, Dir), s"c$v.json")
   private def appliedPath(dir: Path, v: Long): Path =
@@ -85,14 +113,31 @@ private[graft] object OptimisticCommit {
   def head(fs: FileSystem, dir: Path): Long =
     versions(fs, dir).lastOption.getOrElse(0L)
 
+  /** An entry becomes VISIBLE (create-exclusive claims the version
+    * slot) before its content lands — a concurrent reader can observe
+    * the in-flight window. Readers therefore retry a briefly-unparsable
+    * entry; one that stays unparsable is real corruption and throws. */
   def load(fs: FileSystem, dir: Path, v: Long): Entry = {
-    val root = new ObjectMapper().readTree(readFully(fs, entryPath(dir, v)))
-    def arr(k: String): Seq[String] =
-      root.get(k).elements().asScala.map(_.asText()).toSeq
-    Entry(root.get("version").asLong(), root.get("op").asText(),
-      root.get("ts").asLong(), arr("added"), arr("removed"), arr("dv"),
-      if (root.get("staging").isNull) None
-      else Some(root.get("staging").asText()))
+    val deadline = System.currentTimeMillis + 10000L
+    while (true) {
+      try {
+        val root = new ObjectMapper().readTree(readFully(fs, entryPath(dir, v)))
+        def arr(k: String): Seq[String] =
+          root.get(k).elements().asScala.map(_.asText()).toSeq
+        return Entry(root.get("version").asLong(), root.get("op").asText(),
+          root.get("ts").asLong(), arr("added"), arr("removed"), arr("dv"),
+          if (root.get("staging").isNull) None
+          else Some(root.get("staging").asText()))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(
+              s"commit entry c$v.json at $dir stayed unparsable past the " +
+                s"in-flight window — corrupted log: ${e.getMessage}", e)
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Entries in `(after, head]`, ascending — failing LOUDLY if any
@@ -158,13 +203,8 @@ private[graft] object OptimisticCommit {
         case Some(s) => root.put("staging", s)
         case None => root.putNull("staging")
       }
-      val claimed =
-        try {
-          val out = fs.create(entryPath(dir, v), false) // atomic CAS
-          try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      val claimed = createExclusive(fs, entryPath(dir, v),
+        mapper.writeValueAsString(root).getBytes("UTF-8"))
       if (claimed) return v
       // lost the slot: loop — revalidates the (now longer) window
     }

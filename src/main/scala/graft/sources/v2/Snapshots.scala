@@ -121,13 +121,10 @@ private[graft] object Snapshots {
           names
         }
       val p = manifestPath(dir, v)
-      val claimed =
-        try {
-          val out = fs.create(p, false) // CAS: the filesystem arbitrates
-          try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      // CAS: atomic create-exclusive (OptimisticCommit.createExclusive —
+      // the local filesystem's create(overwrite=false) is NOT atomic)
+      val claimed = OptimisticCommit.createExclusive(fs, p,
+        mapper.writeValueAsString(root).getBytes("UTF-8"))
       if (claimed) return v
       // lost the version slot: drop this attempt's shards, retry at v+1
       shardNames.foreach(n => fs.delete(new Path(new Path(dir, Dir), n), false))
@@ -161,7 +158,7 @@ private[graft] object Snapshots {
     require(fs.exists(p),
       s"versionAsOf $v: no snapshot manifest at $p (existing: " +
         s"${versions(fs, dir).mkString(", ")})")
-    val root = new ObjectMapper().readTree(readFully(fs, p))
+    val root = parseManifest(fs, p)
     val files = fileEntries(fs, dir, root).map { case (name, dv) =>
       require(fs.exists(new Path(dir, name)),
         s"versionAsOf $v references $name which no longer exists — the " +
@@ -177,8 +174,7 @@ private[graft] object Snapshots {
     val d = new Path(tableDir, Dir)
     if (!fs.exists(d)) return Set.empty
     versions(fs, tableDir).flatMap { v =>
-      val root = new ObjectMapper()
-        .readTree(readFully(fs, manifestPath(tableDir, v)))
+      val root = parseManifest(fs, manifestPath(tableDir, v))
       fileEntries(fs, tableDir, root).map(_._1)
     }.toSet
   }
@@ -193,13 +189,31 @@ private[graft] object Snapshots {
     val drop = vs.dropRight(keepLast)
     drop.lastOption.foreach(raiseHwm(fs, tableDir, _)) // never reuse ids
     drop.foreach { v =>
-      val root = new ObjectMapper()
-        .readTree(readFully(fs, manifestPath(tableDir, v)))
+      val root = parseManifest(fs, manifestPath(tableDir, v))
       Option(root.get("shards")).foreach(_.elements().asScala.foreach(s =>
         fs.delete(new Path(new Path(tableDir, Dir), s.asText()), false)))
       fs.delete(manifestPath(tableDir, v), false)
     }
     drop.length
+  }
+
+  /** A manifest is VISIBLE (create-exclusive claims the version) before
+    * its JSON lands; readers retry the in-flight window, then fail. */
+  private def parseManifest(fs: FileSystem, p: Path)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val deadline = System.currentTimeMillis + 10000L
+    while (true) {
+      try {
+        val root = new ObjectMapper().readTree(readFully(fs, p))
+        if (root != null && root.get("version") != null) return root
+      } catch { case scala.util.control.NonFatal(_) => () }
+      if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"snapshot manifest $p stayed unparsable past the in-flight " +
+            "window — corrupted manifest")
+      Thread.sleep(10)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {

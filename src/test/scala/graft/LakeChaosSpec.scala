@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors, Vacuum}
+import graft.sources.v2.{OptimisticCommit, RecordCompaction}
+
+/** Multi-writer chaos over one record lake: nondeterministic REAL
+  * interleavings (threads, no injected hooks) whose FINAL state is
+  * deterministic by construction — concurrent appends of disjoint
+  * ranges, then concurrent disjoint deletes racing a compaction loop.
+  * Every conflict resolution path (CAS retry, vectored-input refusal,
+  * applied-marker waits) runs under load; the verdict is the row
+  * multiset, the commit log's consistency, and a debris-free vacuum. */
+class LakeChaosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(dir: String) = spark.read.format("graft-records")
+    .option("path", dir).option("fieldTypes", "Score:number").load()
+
+  test("concurrent appenders + deleters + compactors converge to the " +
+      "deterministic final state") {
+    val dir = Files.createTempDirectory("graft_chaos").toString + "/t"
+    // seed so every thread finds the directory
+    spark.range(0, 1).select(lit("seed").as("_record_id"),
+        lit(-1.0).as("Score"))
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def spawn(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch {
+        case e: Throwable => errs.add(e)
+      })
+      t.start(); t
+    }
+    // phase 1: 4 appenders × 3 waves of disjoint ranges, racing one
+    // compaction loop (appends commute; compaction merges behind them)
+    val compacting = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def compactLoop(): Unit =
+      while (compacting.get()) {
+        try RecordCompaction.compact(spark, dir, targetBytes = 1L << 20)
+        catch {
+          // a DELETE winning the race leaves vectored inputs: the
+          // documented answer is materialize-then-retry — for the loop,
+          // skipping this round is the operational equivalent
+          case e: IllegalArgumentException
+            if e.getMessage.contains("materialize") => ()
+        }
+        Thread.sleep(20)
+      }
+    val compactor1 = spawn(compactLoop())
+    val appenders = (0 until 4).map { a =>
+      spawn {
+        (0 until 3).foreach { wave =>
+          val base = (a * 3 + wave) * 100L
+          spark.range(base, base + 100).select(
+              concat(lit("r"), lpad($"id".cast("string"), 5, "0"))
+                .as("_record_id"),
+              $"id".cast("double").as("Score"))
+            .coalesce(1).write.format("graft-records")
+            .option("path", dir).mode("append").save()
+        }
+      }
+    }
+    appenders.foreach(_.join(300000))
+    assert(errs.isEmpty, s"phase 1 failed: ${errs.peek()}")
+    assert(read(dir).count() == 1201L) // seed + 12 × 100
+
+    // phase 2: 4 deleters with disjoint predicates race the compactor
+    // (dv-vs-dv and dv-vs-compact conflicts both retry internally)
+    val deleters = (0 until 4).map { k =>
+      spawn {
+        DeletionVectors.delete(spark, dir, "Score:number",
+          pmod($"Score", lit(40.0)) === k * 10.0 && $"Score" >= 0.0)
+      }
+    }
+    deleters.foreach(_.join(300000))
+    compacting.set(false)
+    compactor1.join(300000)
+    assert(errs.isEmpty, s"phase 2 failed: ${errs.peek()}")
+
+    // the deterministic verdict: every Score ≡ 0,10,20,30 (mod 40) gone
+    val survivors = read(dir).filter($"Score" >= 0.0)
+      .select($"Score").as[Double].collect().sorted.toSeq
+    val expected = (0L until 1200L).map(_.toDouble)
+      .filterNot(v => v % 40 == 0 || v % 40 == 10 || v % 40 == 20 ||
+        v % 40 == 30)
+    assert(survivors == expected,
+      s"${survivors.length} survivors vs ${expected.length} expected")
+
+    // commit-log consistency: contiguous versions, everything applied
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = OptimisticCommit.versions(fs, new Path(dir))
+    assert(vs == (1L to vs.length.toLong), s"log gap: $vs")
+    assert(OptimisticCommit.unapplied(fs, new Path(dir)).isEmpty)
+
+    // quiesced vacuum leaves no debris and changes nothing
+    val before = read(dir).count()
+    val rep = Vacuum.clean(spark, dir)
+    assert(rep.stagingDirsRemoved == 0 && rep.markersReplayed == 0,
+      rep.toString)
+    assert(read(dir).count() == before)
+  }
+}
