@@ -40,15 +40,19 @@ object LakeChangelog {
     * option). */
   val MaxChangedFiles = 100000
 
-  /** The signed changes from snapshot `fromV` to `toV` (both must be
-    * live manifests): the table's columns plus `m`. */
+  /** The signed changes from snapshot `fromV` to `toV` (live manifests;
+    * `fromV = 0` is the bootstrap — "before the first snapshot", so the
+    * delta is toV's full content as inserts): the table's columns plus
+    * `m`. */
   def changes(spark: SparkSession, path: String, fieldTypes: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val m1 = Snapshots.load(fs, path, fromV)
+    val m1 =
+      if (fromV == 0L) Snapshots.Manifest(0L, Seq.empty)
+      else Snapshots.load(fs, path, fromV)
     val m2 = Snapshots.load(fs, path, toV)
     val f1 = m1.files.toMap
     val f2 = m2.files.toMap

@@ -642,6 +642,54 @@ private[graft] object ParityQueries {
 
 
     // ----- schema evolution: ADD COLUMNS over committed data ---------
+    "q295_lake_view" -> ((s, dir) => {
+      // the continuously-maintained materialized view packaged as one
+      // operator: three refreshes each consume ONLY their snapshot
+      // window (the persisted watermark proves it: 0→1, 1→2, 2→3), an
+      // idle refresh is a no-op, and the final persisted state must
+      // equal the oracle's full recompute — wrong deltas, a stale
+      // watermark, or a half-flipped pointer all break the totals.
+      val out = scratchPath(dir, "q295_records")
+      val view = scratchPath(dir, "q295_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(view), true)
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      def refresh() = graft.operators.LakeView.refreshAggregate(
+        s, out, types, view, Seq("Lang"), Seq("Chars", "DocId"))
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      val r1 = refresh()
+      require(r1.fromVersion == 0L && r1.toVersion == 1L, r1.toString)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      val r2 = refresh()
+      require(r2.fromVersion == 1L && r2.toVersion == 2L, r2.toString)
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      val r3 = refresh()
+      require(r3.fromVersion == 2L && r3.toVersion == 3L, r3.toString)
+      require(refresh().groupsChanged == 0L, "idle refresh must no-op")
+      graft.operators.LakeView.read(s, view)
+        .select(col("Lang").as("lang"), col("n").as("n_docs"),
+          col("sum_Chars").cast("long").as("sum_chars"),
+          col("sum_DocId").cast("long").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2023,6 +2071,19 @@ private[graft] object ParityQueries {
 
     // the phase split recomputed directly: even doc_ids predate the
     // column (NULL quality), odd ones carry doc_id % 5
+    // the oracle recomputes the final state from the mutation ordering;
+    // the engine must get there through three watermark-windowed
+    // incremental refreshes of the persisted view
+    "q295_lake_view" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the oracle recomputes both states from the straddling delete
     // predicates; the engine must get there through parquet row groups,
     // ordinal-keyed deletion vectors, and manifest-frozen DV state

@@ -219,6 +219,42 @@ class ParquetRecordsSpec extends SparkSpec {
     }
   }
 
+  test("RENAME COLUMN over the parquet tier: former wire keys resolve " +
+      "through footer schemas and row-group stats") {
+    val cat = s"graftpq${System.nanoTime()}"
+    val wh = Files.createTempDirectory("graft_pq_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.ns.p (Score DOUBLE) " +
+      "TBLPROPERTIES ('dataFormat'='parquet')")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.p
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE) FROM range(10)""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.ns.p RENAME COLUMN Score TO Pts")
+    spark.sql(
+      s"""INSERT INTO $cat.ns.p
+         |SELECT concat('r', CAST(id AS STRING)), CAST(NULL AS TIMESTAMP),
+         |  CAST(id AS DOUBLE) FROM range(10, 15)""".stripMargin)
+    // the data files really are parquet, with BOTH wire schemas present
+    val fs = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = fs.listStatus(new Path(s"$wh/ns/p")).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+    assert(data.forall(_.getName.endsWith(".parquet")))
+    val sigs = data.map(p => graft.sources.v2.ParquetRecords
+      .schemaSignature(spark.sparkContext.hadoopConfiguration, p)).toSet
+    assert(sigs.exists(_.contains("Score")) && sigs.exists(_.contains("Pts")),
+      sigs.toString)
+    // reads, filters (row-group stats under the OLD key), and deletes
+    // all resolve through the rename lineage
+    assert(spark.sql(s"SELECT sum(Pts) FROM $cat.ns.p")
+      .as[Double].head() == (0 until 15).sum.toDouble)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.p WHERE Pts >= 8")
+      .as[Long].head() == 7L)
+    spark.sql(s"DELETE FROM $cat.ns.p WHERE Pts < 3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.p").as[Long].head() == 12L)
+  }
+
   test("parquet compaction skips files whose schemas differ") {
     val dir = Files.createTempDirectory("graft_pq7").toString + "/t"
     write(dir, mkRows(5))
