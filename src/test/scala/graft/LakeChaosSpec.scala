@@ -20,13 +20,13 @@ class LakeChaosSpec extends SparkSpec {
   private def read(dir: String) = spark.read.format("graft-records")
     .option("path", dir).option("fieldTypes", "Score:number").load()
 
-  test("concurrent appenders + deleters + compactors converge to the " +
-      "deterministic final state") {
-    val dir = Files.createTempDirectory("graft_chaos").toString + "/t"
+  private def runChaos(dir: String, parquet: Boolean): Unit = {
     // seed so every thread finds the directory
-    spark.range(0, 1).select(lit("seed").as("_record_id"),
+    val seed = spark.range(0, 1).select(lit("seed").as("_record_id"),
         lit(-1.0).as("Score"))
-      .write.format("graft-records").option("path", dir).mode("append").save()
+      .write.format("graft-records").option("path", dir)
+    (if (parquet) seed.option("dataFormat", "parquet") else seed)
+      .mode("append").save()
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def spawn(body: => Unit): Thread = {
       val t = new Thread(() => try body catch {
@@ -54,12 +54,14 @@ class LakeChaosSpec extends SparkSpec {
       spawn {
         (0 until 3).foreach { wave =>
           val base = (a * 3 + wave) * 100L
-          spark.range(base, base + 100).select(
+          val w = spark.range(base, base + 100).select(
               concat(lit("r"), lpad($"id".cast("string"), 5, "0"))
                 .as("_record_id"),
               $"id".cast("double").as("Score"))
             .coalesce(1).write.format("graft-records")
-            .option("path", dir).mode("append").save()
+            .option("path", dir)
+          (if (parquet) w.option("dataFormat", "parquet") else w)
+            .mode("append").save()
         }
       }
     }
@@ -101,5 +103,17 @@ class LakeChaosSpec extends SparkSpec {
     assert(rep.stagingDirsRemoved == 0 && rep.markersReplayed == 0,
       rep.toString)
     assert(read(dir).count() == before)
+  }
+
+  test("concurrent appenders + deleters + compactors converge to the " +
+      "deterministic final state") {
+    runChaos(Files.createTempDirectory("graft_chaos").toString + "/t",
+      parquet = false)
+  }
+
+  test("the same chaos over the PARQUET tier (row-copy compaction, " +
+      "ordinal DVs) converges identically") {
+    runChaos(Files.createTempDirectory("graft_chaospq").toString + "/t",
+      parquet = true)
   }
 }
