@@ -279,6 +279,28 @@ private[v2] class ParquetRecordPartitionReader(file: String,
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
   private val blocks = reader.getFooter.getBlocks.asScala.toSeq
 
+  /** COLUMNAR projection — the point of the parquet tier: only the
+    * pages of columns the query projects OR filters are read
+    * (`setRequestedSchema`), with former wire keys resolved per file.
+    * An all-metadata projection (count(*)) still needs one column to
+    * drive row iteration — `id` is the narrowest always-present one. */
+  private val requested: MessageType = {
+    val needed = (readSchema.fieldNames.toSeq ++
+      filters.toSeq.flatMap(_.references.toSeq))
+      .distinct.filterNot(n => n == RecordSource.FileCol ||
+        n == RecordSource.PosCol || n == RecordSource.CorruptCol)
+    val wires = needed.flatMap { n =>
+      (ParquetRecords.wireName(n) +: former.getOrElse(n, Seq.empty))
+        .filter(fileSchema.containsField)
+    }.distinct
+    val keep = if (wires.isEmpty) Seq("id").filter(fileSchema.containsField)
+      else wires
+    new MessageType("record",
+      keep.map(w => fileSchema.getFields.get(fileSchema.getFieldIndex(w)))
+        .asJava)
+  }
+  reader.setRequestedSchema(requested)
+
   private val compiledFilters = filters.map(RecordFilterEval.compile)
 
   // --- row-group pruning: per-block FileZone from footer stats --------
@@ -344,8 +366,8 @@ private[v2] class ParquetRecordPartitionReader(file: String,
       } else {
         val pages = reader.readNextRowGroup()
         RecordSourceMetrics.rowGroupsRead.incrementAndGet()
-        val io = new ColumnIOFactory().getColumnIO(fileSchema)
-        groupReader = io.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        val io = new ColumnIOFactory().getColumnIO(requested)
+        groupReader = io.getRecordReader(pages, new GroupRecordConverter(requested))
         groupRemaining = pages.getRowCount
         return true
       }
@@ -380,7 +402,7 @@ private[v2] class ParquetRecordPartitionReader(file: String,
   /** Comparable raw value (the RecordFilterEval contract: String /
     * Double / Boolean / Long micros / Int days). */
   private def rawValue(g: Group, logical: String, dt: DataType): Any = {
-    val idx = fieldIndex(fileSchema, logical)
+    val idx = fieldIndex(requested, logical)
     if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
     else dt match {
       case StringType => g.getBinary(idx, 0).toStringUsingUTF8
@@ -403,7 +425,7 @@ private[v2] class ParquetRecordPartitionReader(file: String,
         case RecordSource.PosCol => pos: Any
         case RecordSource.CorruptCol => null // parquet rows cannot half-parse
         case name =>
-          val idx = fieldIndex(fileSchema, name)
+          val idx = fieldIndex(requested, name)
           if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
           else f.dataType match {
             case StringType =>

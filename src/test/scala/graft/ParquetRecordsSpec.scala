@@ -115,6 +115,20 @@ class ParquetRecordsSpec extends SparkSpec {
     assert(read(dir).agg(min($"Score")).as[Double].head() == 20.0)
   }
 
+  test("columnar projection: filter columns outside the projection " +
+      "still evaluate; count(*) drives on one column") {
+    val dir = Files.createTempDirectory("graft_pq9").toString + "/t"
+    write(dir, mkRows(100))
+    // project Name only, filter on Score (not projected): the requested
+    // parquet schema must include BOTH, and rows still filter exactly
+    val names = read(dir).filter($"Score" >= 95).select($"Name")
+      .as[String].collect().sorted.toSeq
+    assert(names == (95 until 100).map(i => s"name$i"))
+    // zero-column projections (count(*)) still iterate rows
+    assert(read(dir).count() == 100L)
+    assert(read(dir).filter($"Flag").count() == 50L)
+  }
+
   test("bloom sidecars ride the parquet commit; point lookups prune files") {
     val dir = Files.createTempDirectory("graft_pq4").toString + "/t"
     (0 until 4).foreach { b =>
