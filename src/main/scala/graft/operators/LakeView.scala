@@ -1,57 +1,120 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** Incrementally-maintained materialized views over a record lake: a
-  * per-key additive aggregate (count + sums) that refreshes by
-  * consuming ONLY the snapshot deltas since its recorded watermark —
-  * [[LakeChangelog]]'s signed Z-relations folded into persisted state,
-  * so keeping the view current costs ∝ what changed, never a rescan of
-  * the table. The continuously-maintained-view story (q286/q288's IVM
-  * algebra + q289/q294's change feeds) packaged as one operator with
-  * durable state.
+/** Incrementally-maintained materialized views over a record lake:
+  * per-key aggregates (count + sums + optional min/max) and two-table
+  * join views that refresh by consuming ONLY the snapshot deltas since
+  * their recorded watermarks — [[LakeChangelog]]'s signed Z-relations
+  * folded into persisted state, so keeping a view current costs ∝ what
+  * changed, never a rescan of the table. The continuously-maintained-
+  * view story (q286/q288's IVM algebra + q289/q294's change feeds)
+  * packaged as one operator with durable state.
   *
-  * Crash-safe refresh without transactions: the new state lands in a
-  * versioned data directory (`data-v<toVersion>`), and a tiny pointer
-  * file (`_view.json`: watermark + directory) flips LAST — a crash
-  * before the flip leaves the old pointer and an orphan directory the
-  * next refresh re-derives and replaces (re-consuming the same deltas
-  * onto the OLD state — idempotent because the pointer and the state it
-  * names always advance together); stale directories are swept on the
-  * next successful flip. Readers resolve the pointer, so they never see
-  * a half-written state. */
+  * Crash-safe refresh without transactions: each refresh lands its new
+  * state in a fresh GENERATION directory (`data-g<gen>`), then flips a
+  * generation-numbered pointer (`_ptr-<gen>.json`) into place by
+  * temp-write + atomic rename — the rename target never pre-exists, so
+  * the flip is atomic on `file:` and HDFS alike and a reader can never
+  * observe a torn pointer. A crash before the flip leaves the old
+  * pointer and an orphan directory the next refresh overwrites
+  * (re-consuming the same deltas onto the OLD state — idempotent
+  * because a pointer and the state it names always advance together).
+  * Readers resolve the HIGHEST pointer; retention keeps the current
+  * AND previous generation (pointer + data), so a reader that resolved
+  * the old pointer can finish its scan while one refresh lands — only
+  * the generation after that reclaims it. */
 object LakeView {
+
+  /** How many generations (pointer + state dir) survive a flip. 2 =
+    * current + previous: an in-flight reader of the superseded state
+    * survives one concurrent refresh; its files are reclaimed only by
+    * the NEXT one. */
+  val KeepGenerations = 2
 
   final case class Refresh(fromVersion: Long, toVersion: Long,
       groupsChanged: Long)
 
-  private def pointerPath(viewPath: String) =
-    new Path(viewPath, "_view.json")
+  /** One join-view refresh: the consumed snapshot windows of both
+    * sides and the (un-netted) delta row count folded into the state. */
+  final case class JoinRefresh(fromLeft: Long, toLeft: Long,
+      fromRight: Long, toRight: Long, deltaRows: Long)
 
-  private case class Pointer(watermark: Long, dir: String)
+  private case class Pointer(gen: Long, dir: String,
+      marks: Map[String, Long])
+
+  private val PtrPrefix = "_ptr-"
+
+  private def ptrGen(name: String): Option[Long] =
+    if (name.startsWith(PtrPrefix) && name.endsWith(".json"))
+      scala.util.Try(
+        name.stripPrefix(PtrPrefix).stripSuffix(".json").toLong).toOption
+    else None
 
   private def readPointer(spark: SparkSession,
       viewPath: String): Option[Pointer] = {
-    val p = pointerPath(viewPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      val root = new ObjectMapper().readTree(bytes.toString("UTF-8"))
-      Some(Pointer(root.get("watermark").asLong(), root.get("dir").asText()))
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).filter(_.isFile)
+      .flatMap(st => ptrGen(st.getPath.getName)).sorted
+    gens.lastOption.map { g =>
+      val root = new ObjectMapper().readTree(
+        readFully(fs, new Path(dir, s"$PtrPrefix$g.json")))
+      import scala.jdk.CollectionConverters._
+      val marks = root.get("marks").fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+      Pointer(g, root.get("dir").asText(), marks)
     }
   }
 
-  /** The view's current contents: `keyCols`, `n` (row count), and one
-    * `sum_<col>` per value column. Empty before the first refresh. */
+  /** Land `state` as the next generation and flip the pointer
+    * atomically (temp-write + rename to a never-pre-existing name),
+    * then reclaim everything older than [[KeepGenerations]]. */
+  private def flip(spark: SparkSession, viewPath: String,
+      prev: Option[Pointer], marks: Map[String, Long],
+      state: DataFrame): Unit = {
+    val gen = prev.map(_.gen).getOrElse(0L) + 1L
+    val dataDir = s"data-g$gen"
+    state.write.mode("overwrite").parquet(s"$viewPath/$dataDir")
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("gen", gen)
+    root.put("dir", dataDir)
+    val mnode = root.putObject("marks")
+    marks.foreach { case (k, v) => mnode.put(k, v) }
+    val tmp = new Path(dir, s".ptr-$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"$PtrPrefix$gen.json")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"view pointer flip failed: $tmp -> $dst (concurrent refresh?)")
+    // retention: keep the newest KeepGenerations pointers + their data
+    val live = fs.listStatus(dir).filter(_.isFile)
+      .flatMap(st => ptrGen(st.getPath.getName)).sorted
+      .takeRight(KeepGenerations).toSet
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        ptrGen(n).exists(!live.contains(_)) ||
+        (st.isDirectory && n.startsWith("data-g") &&
+          scala.util.Try(n.stripPrefix("data-g").toLong).toOption
+            .exists(g => !live.contains(g) && g != gen))
+      if (stale) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The view's current contents (aggregate views: `keyCols`, `n`, one
+    * `sum_<col>` per sum column, `mn_<col>`/`mx_<col>` per min-max
+    * column; join views: the joined columns plus the net multiplicity
+    * `m`). Empty before the first refresh. */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     readPointer(spark, viewPath) match {
       case Some(ptr) => spark.read.parquet(s"$viewPath/${ptr.dir}")
@@ -59,22 +122,37 @@ object LakeView {
         s"no materialized view at $viewPath — refreshAggregate first")
     }
 
+  private def tableHead(spark: SparkSession, tablePath: String): Long = {
+    val tdir = new Path(tablePath)
+    graft.sources.v2.Snapshots
+      .versions(tdir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), tdir)
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"table $tablePath has no snapshots — LakeSnapshots.commit " +
+          "first (the view watermarks on snapshot versions)"))
+  }
+
+  /** Null-safe equi-join condition on `keys` between `l` and `r` —
+    * USING-joins and plain `===` never match NULL key values, which
+    * would split a NULL-keyed group into a fresh row every refresh. */
+  private def nullSafeOn(l: DataFrame, r: DataFrame,
+      keys: Seq[String]): Column =
+    keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+
   /** Advance the view to the table's newest snapshot, consuming only
-    * `(watermark, head]` deltas. A no-op (0 changed) when the table has
-    * not snapshotted since the last refresh. */
+    * `(watermark, head]` deltas. Count and sums fold additively from
+    * the signed delta; `minMaxCols` (non-invertible under deletes)
+    * recompute ONLY the touched groups from the live table, pruned by
+    * a broadcast semi join on the delta's keys. A no-op (0 changed)
+    * when the table has not snapshotted since the last refresh. */
   def refreshAggregate(spark: SparkSession, tablePath: String,
       fieldTypes: String, viewPath: String,
-      keyCols: Seq[String], sumCols: Seq[String]): Refresh = {
+      keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Refresh = {
     require(keyCols.nonEmpty, "refreshAggregate needs key columns")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tdir = new Path(tablePath)
-    val head = graft.sources.v2.Snapshots
-      .versions(tdir.getFileSystem(conf), tdir).lastOption.getOrElse(
-        throw new IllegalStateException(
-          s"table $tablePath has no snapshots — LakeSnapshots.commit " +
-            "first (the view watermarks on snapshot versions)"))
+    val head = tableHead(spark, tablePath)
     val ptr = readPointer(spark, viewPath)
-    val from = ptr.map(_.watermark).getOrElse(0L)
+    val from = ptr.map(_.marks.getOrElse("watermark", 0L)).getOrElse(0L)
     require(head >= from,
       s"view watermark $from is ahead of the table head $head — the " +
         "table's snapshot history was reset under the view")
@@ -88,34 +166,150 @@ object LakeView {
       case Some(p) => spark.read.parquet(s"$viewPath/${p.dir}")
       case None =>
         val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
-          sumCols.map(c => lit(0.0).as(s"sum_$c")))
+          sumCols.map(c => lit(0.0).as(s"sum_$c"))) ++
+          minMaxCols.flatMap(c =>
+            Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c")))
         delta.limit(0).select(empty: _*)
     }
-    val merged = old.join(deltaAgg, keyCols, "full")
-      .select(keyCols.map(col) ++ Seq(
+    // delta keys ride under _d_ names so the null-safe join condition
+    // and the coalesced output keys stay unambiguous
+    val deltaR = deltaAgg.select(
+      keyCols.map(k => col(k).as(s"_d_$k")) ++
+        (col("dn") +: sumCols.map(c => col(s"dsum_$c"))): _*)
+    val joined = old.join(deltaR,
+      keyCols.map(k => old(k) <=> deltaR(s"_d_$k")).reduce(_ && _), "full")
+    val additive = joined.select(
+      keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n")) ++
-        sumCols.map(c =>
-          (coalesce(col(s"sum_$c"), lit(0.0)) +
-            coalesce(col(s"dsum_$c"), lit(0.0))).as(s"sum_$c")): _*)
+      sumCols.map(c =>
+        (coalesce(col(s"sum_$c"), lit(0.0)) +
+          coalesce(col(s"dsum_$c"), lit(0.0))).as(s"sum_$c")) ++
+      minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
       .filter(col("n") > 0)
-    val changed = deltaAgg.count()
 
-    // versioned state + pointer flip (see object doc for crash safety)
-    val dataDir = s"data-v$head"
-    merged.write.mode("overwrite").parquet(s"$viewPath/$dataDir")
-    val fs = new Path(viewPath).getFileSystem(conf)
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("watermark", head)
-    root.put("dir", dataDir)
-    val out = fs.create(pointerPath(viewPath), true)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    // sweep superseded state directories (the pointer no longer names them)
-    fs.listStatus(new Path(viewPath)).filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("data-v") && p.getName != dataDir)
-      .foreach(p => fs.delete(p, true))
+    val merged =
+      if (minMaxCols.isEmpty) additive
+      else {
+        // extrema: deletes are non-invertible, so recompute exactly the
+        // groups the delta touched from the table AT the new watermark
+        // (versionAsOf pins the state; concurrent appends past `head`
+        // stay invisible), pruned to those groups by a broadcast
+        // null-safe semi join — cost ∝ touched groups' rows, not the
+        // table
+        val touched = deltaAgg.select(keyCols.map(col): _*).distinct()
+        val live = spark.read.format("graft-records")
+          .option("path", tablePath).option("fieldTypes", fieldTypes)
+          .option("versionAsOf", head.toString).load()
+        val pruned = live.join(broadcast(touched),
+          nullSafeOn(live, touched, keyCols), "left_semi")
+        val rescanned = pruned.groupBy(keyCols.map(col): _*)
+          .agg(lit(true).as("_touched"),
+            minMaxCols.flatMap(c => Seq(min(col(c)).as(s"_mn_new_$c"),
+              max(col(c)).as(s"_mx_new_$c"))): _*)
+          .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
+            (col("_touched") +: minMaxCols.flatMap(c =>
+              Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c")))): _*)
+        val j = additive.join(broadcast(rescanned),
+          keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
+            .reduce(_ && _), "left")
+        // a touched group takes its recomputed extrema even when they
+        // are NULL (all surviving values null); an untouched group
+        // keeps its old ones — coalesce alone would wrongly resurrect
+        // a deleted minimum
+        j.select(keyCols.map(col) ++
+          Seq(col("n")) ++ sumCols.map(c => col(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(
+            when(col("_touched"), col(s"_mn_new_$c"))
+              .otherwise(col(s"mn_$c")).as(s"mn_$c"),
+            when(col("_touched"), col(s"_mx_new_$c"))
+              .otherwise(col(s"mx_$c")).as(s"mx_$c"))): _*)
+      }
+    val changed = deltaAgg.count()
+    flip(spark, viewPath, ptr, Map("watermark" -> head), merged)
     Refresh(from, head, changed)
+  }
+
+  /** Advance a JOIN view — the persisted Z-relation of
+    * `left ⋈ right on keys` — to both tables' newest snapshots,
+    * folding in the bilinear delta rule
+    * `Δ(L⋈R) = ΔL⋈R@old + L@old⋈ΔR + ΔL⋈ΔR`
+    * ([[IncrementalAgg.joinDelta]], multiplicities multiplying across
+    * the join) with each table's changes derived from its snapshot
+    * metadata ([[LakeChangelog.changes]]). The old-side scans are
+    * version-pinned (`versionAsOf` the previous watermark) and join a
+    * small broadcast delta, so the source's runtime-filter pushdown
+    * prunes them to the keys that changed. Non-key columns of the two
+    * sides must be disjoint; `leftCols`/`rightCols` must include
+    * `keys`. NULL join keys never match (standard join semantics). */
+  def refreshJoin(spark: SparkSession, viewPath: String,
+      leftPath: String, leftTypes: String, leftCols: Seq[String],
+      rightPath: String, rightTypes: String, rightCols: Seq[String],
+      keys: Seq[String]): JoinRefresh = {
+    require(keys.nonEmpty, "refreshJoin needs join keys")
+    require(keys.forall(leftCols.contains) && keys.forall(rightCols.contains),
+      s"join keys ${keys.mkString(",")} must appear in both column lists")
+    val overlap = (leftCols.toSet & rightCols.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} appear on both sides — " +
+        "project disjoint names")
+    val headL = tableHead(spark, leftPath)
+    val headR = tableHead(spark, rightPath)
+    val ptr = readPointer(spark, viewPath)
+    val wl = ptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L)
+    val wr = ptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L)
+    require(headL >= wl && headR >= wr,
+      s"view watermarks ($wl,$wr) ahead of table heads ($headL,$headR)" +
+        " — a table's snapshot history was reset under the view")
+    if (headL == wl && headR == wr)
+      return JoinRefresh(wl, headL, wr, headR, 0L)
+
+    def side(path: String, types: String, cols: Seq[String],
+        w: Long, head: Long): (DataFrame, DataFrame) = {
+      // the table AT the previous watermark (the "old" side of the
+      // bilinear rule), as a Z-relation with m=+1 per stored row
+      val reader = spark.read.format("graft-records")
+        .option("path", path).option("fieldTypes", types)
+      val old =
+        if (w == 0L)
+          reader.option("versionAsOf", head.toString).load()
+            .where(lit(false))
+            .select(cols.map(col): _*).withColumn("m", lit(1L))
+        else reader.option("versionAsOf", w.toString).load()
+          .select(cols.map(col): _*).withColumn("m", lit(1L))
+      // the signed delta, projected to the view's columns (projection
+      // of a Z-relation sums multiplicities: consolidate re-nets)
+      val d =
+        if (head == w) old.where(lit(false))
+        else IncrementalAgg.consolidate(
+          LakeChangelog.changes(spark, path, types, w, head)
+            .select((cols.map(col) :+ col("m")): _*))
+      (old, d)
+    }
+    val (oldL, dL) = side(leftPath, leftTypes, leftCols, wl, headL)
+    val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR)
+    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
+      .localCheckpoint()
+    val oldState = ptr match {
+      case Some(p) => spark.read.parquet(s"$viewPath/${p.dir}")
+      case None => delta.limit(0)
+    }
+    val newState = IncrementalAgg.consolidate(
+      oldState.unionByName(delta))
+    val deltaRows = delta.count()
+    flip(spark, viewPath, ptr,
+      Map("left" -> headL, "right" -> headR), newState)
+    JoinRefresh(wl, headL, wr, headR, deltaRows)
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
   }
 }

@@ -8,8 +8,10 @@ import graft.operators.{DeletionVectors, LakeSnapshots, LakeView}
 
 /** Incrementally-maintained materialized views: watermarked refreshes
   * consume only snapshot deltas, no-op when idle, survive the
-  * crash-before-pointer-flip window, and always equal a full
-  * recompute. */
+  * crash-before-pointer-flip window, keep NULL-keyed groups merged,
+  * extend to min/max (touched-group recompute) and two-table joins
+  * (bilinear delta rule), and always equal a full recompute. Readers
+  * racing refreshes never see a torn pointer or a missing file. */
 class LakeViewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -28,6 +30,7 @@ class LakeViewSpec extends SparkSpec {
     .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score").as("sum_Score"))
 
   private def viewRows(view: String) = LakeView.read(spark, view)
+    .select("Grp", "n", "sum_Score")
     .orderBy("Grp").as[(String, Long, Double)].collect().toSeq
 
   private def fullRows(dir: String) = full(dir)
@@ -67,21 +70,28 @@ class LakeViewSpec extends SparkSpec {
     LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
     append(dir, 10, 20)
     LakeSnapshots.commit(spark, dir)
-    // simulate the crash: the NEW state directory lands but the pointer
-    // never flips (write a bogus orphan where the next refresh will put
-    // its state — it must be overwritten, not trusted)
+    // simulate the crash: the NEW generation's state directory lands
+    // but the pointer never flips (write a bogus orphan where the next
+    // refresh will put its state — it must be overwritten, not trusted)
     val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(s"$view/data-v2"))
-    val out = fs.create(new Path(s"$view/data-v2/garbage"), true)
+    fs.mkdirs(new Path(s"$view/data-g2"))
+    val out = fs.create(new Path(s"$view/data-g2/garbage"), true)
     out.write("not parquet".getBytes("UTF-8")); out.close()
     val r = LakeView.refreshAggregate(spark, dir, types, view,
       Seq("Grp"), Seq("Score"))
     assert(r.fromVersion == 1L && r.toVersion == 2L)
     assert(viewRows(view) == fullRows(dir))
-    // superseded state dirs are swept after the flip
+    // retention: current + previous generation survive, nothing older
     val dirs = fs.listStatus(new Path(view)).filter(_.isDirectory)
-      .map(_.getPath.getName).toSeq
-    assert(dirs == Seq("data-v2"), dirs.toString)
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs == Seq("data-g1", "data-g2"), dirs.toString)
+    // a third refresh reclaims generation 1
+    append(dir, 20, 25)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
+    val dirs2 = fs.listStatus(new Path(view)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+    assert(dirs2 == Seq("data-g2", "data-g3"), dirs2.toString)
   }
 
   test("reading an unrefreshed view fails loudly; snapshotless tables " +
@@ -95,5 +105,160 @@ class LakeViewSpec extends SparkSpec {
       LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
     }
     assert(e2.getMessage.contains("no snapshots"), e2.getMessage)
+  }
+
+  test("NULL-keyed groups merge across refreshes (null-safe key join)") {
+    val dir = Files.createTempDirectory("graft_view4").toString + "/t"
+    val view = Files.createTempDirectory("graft_view4").toString + "/v"
+    def appendNulls(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          when($"id" % 2 === 0, concat(lit("g"), ($"id" % 3).cast("string")))
+            .as("Grp"), // odd ids -> NULL group key
+          $"id".cast("double").as("Score"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", dir).mode("append").save()
+    appendNulls(0, 20)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
+    appendNulls(20, 40)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
+    val got = LakeView.read(spark, view)
+    // exactly ONE row for the NULL group, with the merged totals
+    val nulls = got.filter($"Grp".isNull)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(nulls.length == 1, s"NULL group split: $nulls")
+    assert(nulls.head._2 == 20L, nulls.toString) // 20 odd ids in 0..40
+    val expect = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score").as("s"))
+      .orderBy("Grp").as[(String, Long, Double)].collect().toSeq
+    assert(got.orderBy("Grp").as[(String, Long, Double)].collect().toSeq
+      == expect)
+  }
+
+  test("min/max view: touched-group recompute tracks deletes that " +
+      "remove the extremum; untouched groups keep theirs") {
+    val dir = Files.createTempDirectory("graft_view5").toString + "/t"
+    val view = Files.createTempDirectory("graft_view5").toString + "/v"
+    append(dir, 0, 30) // groups g0,g1,g2; max of g0 = 27, min = 0
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("Grp"), Seq("Score"), minMaxCols = Seq("Score"))
+    def expectRows = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score").as("s"),
+        min($"Score").as("mn"), max($"Score").as("mx"))
+      .orderBy("Grp").as[(String, Long, Double, Double, Double)]
+      .collect().toSeq
+    def gotRows = LakeView.read(spark, view)
+      .select($"Grp", $"n", $"sum_Score", $"mn_Score", $"mx_Score")
+      .orderBy("Grp").as[(String, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(gotRows == expectRows)
+    // delete g0's current maximum (27) and minimum (0): only g0 is
+    // touched; its extrema must be RECOMPUTED, not kept
+    DeletionVectors.delete(spark, dir, types,
+      $"Score" === 27.0 || $"Score" === 0.0)
+    LakeSnapshots.commit(spark, dir)
+    val r = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("Grp"), Seq("Score"), minMaxCols = Seq("Score"))
+    assert(r.groupsChanged == 1L, r.toString)
+    assert(gotRows == expectRows)
+    // append a new global max to g1 only
+    append(dir, 100, 101) // id 100 -> g1
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("Grp"), Seq("Score"), minMaxCols = Seq("Score"))
+    assert(gotRows == expectRows)
+  }
+
+  test("join view: three refreshes over appends and deletes on both " +
+      "sides equal the full join recompute") {
+    val base = Files.createTempDirectory("graft_view6").toString
+    val lt = base + "/l"; val rt = base + "/r"; val view = base + "/v"
+    val ltypes = "K:number,Price:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    def appendL(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          ($"id" % 7).cast("double").as("K"),
+          ($"id" * 10).cast("double").as("Price"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", lt).mode("append").save()
+    def appendR(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          $"id".cast("double").as("K"),
+          concat(lit("s"), ($"id" % 2).cast("string")).as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", rt).mode("append").save()
+    def refresh() = LakeView.refreshJoin(spark, view,
+      lt, ltypes, Seq("K", "Price"), rt, rtypes, Seq("K", "Seg"), Seq("K"))
+    def expectRows = {
+      val l = spark.read.format("graft-records")
+        .option("path", lt).option("fieldTypes", ltypes).load()
+        .select("K", "Price")
+      val r = spark.read.format("graft-records")
+        .option("path", rt).option("fieldTypes", rtypes).load()
+        .select("K", "Seg")
+      l.join(r, "K").groupBy("Seg")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+        .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    }
+    def gotRows = LakeView.read(spark, view).groupBy("Seg")
+      .agg(sum($"m").as("n"), sum($"m" * $"Price").as("p"))
+      .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+
+    appendL(0, 20); appendR(0, 7)
+    LakeSnapshots.commit(spark, lt); LakeSnapshots.commit(spark, rt)
+    val j1 = refresh()
+    assert(j1.fromLeft == 0 && j1.toLeft == 1 &&
+      j1.fromRight == 0 && j1.toRight == 1, j1.toString)
+    assert(gotRows == expectRows)
+    // left-only append (right idle)
+    appendL(20, 35)
+    LakeSnapshots.commit(spark, lt)
+    val j2 = refresh()
+    assert(j2.toLeft == 2 && j2.toRight == 1, j2.toString)
+    assert(gotRows == expectRows)
+    // right-side delete: retracts every joined row of the deleted keys
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 3.0 || $"K" === 5.0)
+    LakeSnapshots.commit(spark, rt)
+    val j3 = refresh()
+    assert(j3.toLeft == 2 && j3.toRight == 2, j3.toString)
+    assert(gotRows == expectRows)
+    // idle no-op
+    assert(refresh().deltaRows == 0L)
+  }
+
+  test("chaos: readers racing refreshes never observe a torn pointer " +
+      "or a reclaimed state directory") {
+    val dir = Files.createTempDirectory("graft_view7").toString + "/t"
+    val view = Files.createTempDirectory("graft_view7").toString + "/v"
+    append(dir, 0, 10)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view, Seq("Grp"), Seq("Score"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        try while (!stop.get()) {
+          val n = LakeView.read(spark, view).count()
+          assert(n > 0 && n <= 3, s"view rows $n")
+        } catch { case t: Throwable => failure.set(t); stop.set(true) }
+      })
+    }
+    readers.foreach(_.start())
+    try (1 to 6).foreach { i =>
+      append(dir, 10L * i, 10L * (i + 1))
+      LakeSnapshots.commit(spark, dir)
+      LakeView.refreshAggregate(spark, dir, types, view,
+        Seq("Grp"), Seq("Score"))
+      if (failure.get() != null) throw failure.get()
+    } finally { stop.set(true); readers.foreach(_.join(30000)) }
+    if (failure.get() != null) throw failure.get()
+    assert(viewRows(view) == fullRows(dir))
   }
 }
