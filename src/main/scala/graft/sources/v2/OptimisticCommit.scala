@@ -50,8 +50,12 @@ private[graft] object OptimisticCommit {
 
   val Dir = "_commits"
 
-  /** Give up after this many whole-operation re-plans. */
-  val MaxAttempts = 8
+  /** Give up after this many whole-operation re-plans. File-overlapping
+    * writers serialize one-commit-per-round, so the attempts a tail
+    * writer needs grows with the contender count — 20 survives ~16-way
+    * all-touch-the-same-files contention (the chaos spec's worst case)
+    * with the jittered backoff in [[withRetry]] spreading the herd. */
+  val MaxAttempts = 20
 
   /** An unapplied entry older than this is presumed crashed and is
     * replayed by the next writer. Flips are metadata-only (renames +
@@ -68,47 +72,101 @@ private[graft] object OptimisticCommit {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
-  /** ATOMIC create-exclusive claim + content write. HDFS's
-    * `create(overwrite=false)` is atomic at the NameNode; the LOCAL
-    * filesystem's is CHECK-THEN-ACT (RawLocalFileSystem tests existence
-    * before opening), so two same-slot committers could both "win" —
-    * the chaos spec caught exactly that as interleaved writes. For
-    * `file:` we claim through `File.createNewFile()` (O_CREAT|O_EXCL).
-    * Content lands after the claim; readers retry the in-flight window.
-    * Object stores without atomic create need an external arbiter
-    * (the Delta/S3 LogStore problem) — out of scope, documented. */
+  /** The storage-specific atomic put-if-absent the whole protocol rests
+    * on — the Delta `LogStore` seam. An implementation must make `p`
+    * appear EXCLUSIVELY (exactly one concurrent claimant wins) and,
+    * ideally, CONTENT-COMPLETE (no observable empty/partial window).
+    * File:/HDFS impls ship below; an object store without atomic
+    * create-if-absent (S3 standalone) plugs a conditional-put or
+    * DynamoDB-arbitered impl in through [[CommitArbiter.set]] instead
+    * of rewriting the protocol. */
+  trait CommitArbiter {
+    /** Claim `p` with `bytes`: true = claimed, false = slot taken.
+      * Must never leave a HALF-claimed slot on success or failure. */
+    def tryClaim(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean
+  }
+
+  object CommitArbiter {
+    /** `file:` — hard-link publish: content lands fully in a temp file,
+      * then `link(tmp, slot)` makes it visible; link(2) is atomic AND
+      * fails with EEXIST when the slot is taken, so the claim is both
+      * exclusive and content-complete — no empty-slot crash window for
+      * `load` to wedge on. (A bare `createNewFile` claim would leave a
+      * permanently-empty `c<v>.json` if the committer died before its
+      * content write, blocking every later writer.) */
+    object LocalLink extends CommitArbiter {
+      override def tryClaim(fs: FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean = {
+        val slot = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(slot.getParent)
+        val tmp = slot.resolveSibling(
+          s".${slot.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.createLink(slot, tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+
+    /** HDFS (and stores with atomic create-if-absent): the NameNode
+      * arbitrates `create(overwrite=false)`; content streams after the
+      * claim, so readers retry the brief in-flight window ([[load]]). */
+    object AtomicCreate extends CommitArbiter {
+      override def tryClaim(fs: FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean =
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+
+    @volatile private var overrideArbiter: Option[CommitArbiter] = None
+
+    /** Deployment/test seam: route every claim through a custom
+      * arbiter (e.g. a conditional-put impl for an object store).
+      * `None` restores scheme dispatch. */
+    def set(a: Option[CommitArbiter]): Unit = overrideArbiter = a
+
+    def forScheme(fs: FileSystem): CommitArbiter =
+      overrideArbiter.getOrElse(
+        if (fs.getScheme == "file") LocalLink else AtomicCreate)
+  }
+
+  /** Atomic put-if-absent via the scheme's [[CommitArbiter]]. */
   private[v2] def createExclusive(fs: FileSystem, p: Path,
       bytes: Array[Byte]): Boolean =
-    if (fs.getScheme == "file") {
-      val local = new java.io.File(p.toUri.getPath)
-      local.getParentFile.mkdirs()
-      if (!local.createNewFile()) false
-      else {
-        val out = new java.io.FileOutputStream(local)
-        try out.write(bytes) finally out.close()
-        true
-      }
-    } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
+    CommitArbiter.forScheme(fs).tryClaim(fs, p, bytes)
 
   private def entryPath(dir: Path, v: Long): Path =
     new Path(new Path(dir, Dir), s"c$v.json")
   private def appliedPath(dir: Path, v: Long): Path =
     new Path(new Path(dir, Dir), s"c$v.applied")
 
-  def versions(fs: FileSystem, dir: Path): Seq[Long] = {
+  /** (committed versions ascending, applied subset) from ONE directory
+    * listing — the planners poll this on every read/commit, so the
+    * per-entry `exists()` probes a naive scan would issue are hoisted
+    * into a single `listStatus`. */
+  def logState(fs: FileSystem, dir: Path): (Seq[Long], Set[Long]) = {
     val d = new Path(dir, Dir)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
-      .collect { case n if n.startsWith("c") && n.endsWith(".json") =>
+    if (!fs.exists(d)) return (Seq.empty, Set.empty)
+    val names = fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+    val vs = names.collect {
+      case n if n.startsWith("c") && n.endsWith(".json") =>
         n.stripPrefix("c").stripSuffix(".json").toLong
-      }.sorted.toSeq
+    }.sorted.toSeq
+    val applied = names.collect {
+      case n if n.startsWith("c") && n.endsWith(".applied") =>
+        n.stripPrefix("c").stripSuffix(".applied").toLong
+    }.toSet
+    (vs, applied)
   }
+
+  def versions(fs: FileSystem, dir: Path): Seq[Long] =
+    logState(fs, dir)._1
 
   def head(fs: FileSystem, dir: Path): Long =
     versions(fs, dir).lastOption.getOrElse(0L)
@@ -168,7 +226,8 @@ private[graft] object OptimisticCommit {
 
   def commit(fs: FileSystem, dir: Path, readVersion: Long, op: String,
       added: Seq[String] = Seq.empty, removed: Seq[String] = Seq.empty,
-      dv: Seq[String] = Seq.empty, staging: Option[String] = None): Long = {
+      dv: Seq[String] = Seq.empty, staging: Option[String] = None,
+      reads: Set[String] = Set.empty): Long = {
     beforeCasHook(op)
     val mine = (removed ++ dv).toSet
     fs.mkdirs(new Path(dir, Dir))
@@ -177,9 +236,15 @@ private[graft] object OptimisticCommit {
       attempt += 1
       require(attempt <= 1000, s"commit CAS at $dir livelocked") // unreachable backstop
       val h = head(fs, dir)
-      if (mine.nonEmpty) {
+      if (mine.nonEmpty || reads.nonEmpty) {
+        // two validation axes: write-write (my touched files vs anything
+        // the window changed) and read stability (`reads` — files whose
+        // OBSERVED state this commit depends on, e.g. a snapshot's
+        // listing — vs the window's destructive touches; pure additions
+        // never destabilize a read set)
         val clash = entriesAfter(fs, dir, readVersion)
-          .map(e => e -> e.changed.intersect(mine)).filter(_._2.nonEmpty)
+          .map(e => e -> (e.changed.intersect(mine) ++
+            e.touched.intersect(reads))).filter(_._2.nonEmpty)
         if (clash.nonEmpty) {
           val (e, files) = clash.head
           throw new CommitConflictException(
@@ -219,8 +284,10 @@ private[graft] object OptimisticCommit {
 
   /** Entry versions committed but not yet applied (flips possibly in
     * flight or crashed). */
-  def unapplied(fs: FileSystem, dir: Path): Seq[Long] =
-    versions(fs, dir).filterNot(isApplied(fs, dir, _))
+  def unapplied(fs: FileSystem, dir: Path): Seq[Long] = {
+    val (vs, applied) = logState(fs, dir)
+    vs.filterNot(applied.contains)
+  }
 
   /** Block until every committed entry's flips are visible: a LIVE
     * owner marks its entry applied within moments (flips are metadata
@@ -299,8 +366,15 @@ private[graft] object OptimisticCommit {
     unapplied(fs, dir).map(load(fs, dir, _))
       .flatMap(_.staging).map(s => new Path(s).getName).toSet
 
+  /** Conflicted re-plans observed process-wide — contention telemetry
+    * (the chaos specs bound it; a deployment graphs it). */
+  val retriesObserved = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Run `body` (the whole plan→stage→commit→flip cycle), re-planning on
-    * [[CommitConflictException]] up to [[MaxAttempts]] times. */
+    * [[CommitConflictException]] up to [[MaxAttempts]] times with
+    * jittered exponential backoff between attempts — without it a herd
+    * of conflicted writers re-plans in lockstep and burns its whole
+    * attempt budget on plan→stage→abort cycles. */
   def withRetry[T](what: String, maxAttempts: Int = MaxAttempts)(body: => T): T = {
     var attempt = 0
     while (true) {
@@ -311,6 +385,12 @@ private[graft] object OptimisticCommit {
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"$what gave up after $maxAttempts conflicted attempts — " +
               s"the table is under sustained contention: ${e.getMessage}", e)
+          retriesObserved.incrementAndGet()
+          // full jitter over an exponentially-growing window, capped:
+          // desynchronizes the herd while keeping p50 wait small
+          val cap = math.min(2000L, 25L << math.min(attempt, 6))
+          Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(cap))
       }
     }
     throw new IllegalStateException("unreachable")

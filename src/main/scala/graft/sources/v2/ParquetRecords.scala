@@ -38,11 +38,31 @@ private[graft] object ParquetRecords {
 
   val Extension = ".parquet"
 
+  /** User column names the parquet wire schema reserves: `_record_id`
+    * serializes as `id` and `_created_time` as `createdTime`, so a USER
+    * field with either literal name would alias the record-id/created
+    * column in the flat wire namespace — the reader's wireName mapping
+    * and footer-stats zones would silently resolve it to the wrong
+    * column (the JSONL tier is immune: user fields nest under
+    * `fields.*`). Refused loudly at write planning. */
+  def validateUserNames(schema: StructType): Unit =
+    schema.fieldNames.filter(n => n == "id" || n == "createdTime")
+      .foreach { n =>
+        throw new IllegalArgumentException(
+          s"graft-records parquet tier: user column '$n' collides with " +
+            "the reserved wire name for " +
+            s"${if (n == "id") "_record_id" else "_created_time"} — " +
+            "rename the column before writing with dataFormat=parquet " +
+            "(the JSONL tier accepts it; a silent parquet migration " +
+            "would change its meaning)")
+      }
+
   /** The parquet schema for a record table: `id` + optional
     * `createdTime` + one optional column per user field. Wire names are
     * the COLUMN names (renames never rewrite files — the reader falls
     * back through former keys, as in JSONL). */
   def messageType(schema: StructType): MessageType = {
+    validateUserNames(schema)
     var b = Types.buildMessage()
       .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("id")
     schema.fields.foreach { f =>
@@ -147,6 +167,81 @@ private[graft] object ParquetRecords {
       } finally in.close()
     } finally w.close()
   }
+
+  /** The pruned wire schema a scan requests from a file: the projected
+    * and filtered logical columns resolved to wire names (with former
+    * keys falling back per file). An all-metadata projection (count(*))
+    * still needs one column to drive row iteration in the ROW reader —
+    * `id` is the narrowest always-present one; the COLUMNAR reader
+    * special-cases the empty projection to pure footer metadata. */
+  def requestedSchema(fileSchema: MessageType, readSchema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      former: Map[String, Seq[String]],
+      emptyNeedsDriver: Boolean): MessageType = {
+    val needed = (readSchema.fieldNames.toSeq ++
+      filters.toSeq.flatMap(_.references.toSeq))
+      .distinct.filterNot(n => n == RecordSource.FileCol ||
+        n == RecordSource.PosCol || n == RecordSource.CorruptCol)
+    val wires = needed.flatMap { n =>
+      (wireName(n) +: former.getOrElse(n, Seq.empty))
+        .filter(fileSchema.containsField)
+    }.distinct
+    val keep =
+      if (wires.isEmpty && emptyNeedsDriver)
+        Seq("id").filter(fileSchema.containsField)
+      else wires
+    new MessageType("record",
+      keep.map(w => fileSchema.getFields.get(fileSchema.getFieldIndex(w)))
+        .asJava)
+  }
+
+  /** Row-group footer stats as a [[ZoneMap.FileZone]] — the same
+    * pruning algebra the record sidecars use, fed from parquet's
+    * per-block min/max/nullCount. */
+  def blockZone(b: org.apache.parquet.hadoop.metadata.BlockMetaData)
+      : ZoneMap.FileZone = {
+    val fields = b.getColumns.asScala.flatMap { cc =>
+      if (cc.getPath.size != 1) None
+      else {
+        val wire = cc.getPath.iterator().next()
+        val st = cc.getStatistics
+        if (st == null || !st.isNumNullsSet) None
+        else if (!st.hasNonNullValue) {
+          if (st.getNumNulls == b.getRowCount)
+            Some(logicalName(wire) ->
+              ZoneMap.FieldStats(null, null, b.getRowCount))
+          else None
+        } else {
+          val conv: Any => Any = cc.getPrimitiveType.getPrimitiveTypeName match {
+            case BINARY => v =>
+              v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            case DOUBLE | BOOLEAN => identity
+            case INT64 => identity
+            case INT32 => identity
+            case _ => null
+          }
+          if (conv == null) None
+          else Some(logicalName(wire) -> ZoneMap.FieldStats(
+            conv(st.genericGetMin()), conv(st.genericGetMax()),
+            st.getNumNulls))
+        }
+      }
+    }.toMap
+    ZoneMap.FileZone(b.getRowCount, fields)
+  }
+
+  /** A block is skippable only on filters whose EVERY referenced column
+    * has stats in the block zone (directly or via a former key) —
+    * unknown columns must keep the block (footer stats, unlike record
+    * sidecars, say nothing about absent columns). */
+  def blockMayMatch(filters: Array[org.apache.spark.sql.sources.Filter],
+      former: Map[String, Seq[String]], z: ZoneMap.FileZone): Boolean =
+    filters.forall { f =>
+      val decidable = f.references.forall(c =>
+        z.fields.contains(c) ||
+          former.getOrElse(c, Seq.empty).exists(z.fields.contains))
+      !decidable || ZoneMap.mayMatch(f, z, former)
+    }
 
   def writerFor(conf: Configuration, path: Path, schema: MessageType,
       rowGroupBytes: Long): ParquetWriter[Group] = {
@@ -281,72 +376,15 @@ private[v2] class ParquetRecordPartitionReader(file: String,
 
   /** COLUMNAR projection — the point of the parquet tier: only the
     * pages of columns the query projects OR filters are read
-    * (`setRequestedSchema`), with former wire keys resolved per file.
-    * An all-metadata projection (count(*)) still needs one column to
-    * drive row iteration — `id` is the narrowest always-present one. */
-  private val requested: MessageType = {
-    val needed = (readSchema.fieldNames.toSeq ++
-      filters.toSeq.flatMap(_.references.toSeq))
-      .distinct.filterNot(n => n == RecordSource.FileCol ||
-        n == RecordSource.PosCol || n == RecordSource.CorruptCol)
-    val wires = needed.flatMap { n =>
-      (ParquetRecords.wireName(n) +: former.getOrElse(n, Seq.empty))
-        .filter(fileSchema.containsField)
-    }.distinct
-    val keep = if (wires.isEmpty) Seq("id").filter(fileSchema.containsField)
-      else wires
-    new MessageType("record",
-      keep.map(w => fileSchema.getFields.get(fileSchema.getFieldIndex(w)))
-        .asJava)
-  }
+    * (`setRequestedSchema`), with former wire keys resolved per file. */
+  private val requested: MessageType = ParquetRecords.requestedSchema(
+    fileSchema, readSchema, filters, former, emptyNeedsDriver = true)
   reader.setRequestedSchema(requested)
 
   private val compiledFilters = filters.map(RecordFilterEval.compile)
 
-  // --- row-group pruning: per-block FileZone from footer stats --------
-  private def blockZone(b: org.apache.parquet.hadoop.metadata.BlockMetaData)
-      : ZoneMap.FileZone = {
-    val fields = b.getColumns.asScala.flatMap { cc =>
-      if (cc.getPath.size != 1) None
-      else {
-        val wire = cc.getPath.iterator().next()
-        val st = cc.getStatistics
-        if (st == null || !st.isNumNullsSet) None
-        else if (!st.hasNonNullValue) {
-          if (st.getNumNulls == b.getRowCount)
-            Some(ParquetRecords.logicalName(wire) ->
-              ZoneMap.FieldStats(null, null, b.getRowCount))
-          else None
-        } else {
-          val conv: Any => Any = cc.getPrimitiveType.getPrimitiveTypeName match {
-            case BINARY => v =>
-              v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-            case DOUBLE | BOOLEAN => identity
-            case INT64 => identity
-            case INT32 => identity
-            case _ => null
-          }
-          if (conv == null) None
-          else Some(ParquetRecords.logicalName(wire) -> ZoneMap.FieldStats(
-            conv(st.genericGetMin()), conv(st.genericGetMax()),
-            st.getNumNulls))
-        }
-      }
-    }.toMap
-    ZoneMap.FileZone(b.getRowCount, fields)
-  }
-
-  /** A block is skippable only on filters whose EVERY referenced column
-    * has stats in the block zone (directly or via a former key) —
-    * unknown columns must keep the block (footer stats, unlike record
-    * sidecars, say nothing about absent columns). */
   private def blockMayMatch(z: ZoneMap.FileZone): Boolean =
-    filters.forall { f =>
-      val decidable = f.references.forall(c =>
-        z.fields.contains(c) ||
-          former.getOrElse(c, Seq.empty).exists(z.fields.contains))
-      !decidable || ZoneMap.mayMatch(f, z, former)
-    }
+    ParquetRecords.blockMayMatch(filters, former, z)
 
   // --- iteration ------------------------------------------------------
   private var rowIndex = 0L
@@ -359,7 +397,7 @@ private[v2] class ParquetRecordPartitionReader(file: String,
     while (blockIdx < blocks.length) {
       val b = blocks(blockIdx)
       blockIdx += 1
-      if (filters.nonEmpty && !blockMayMatch(blockZone(b))) {
+      if (filters.nonEmpty && !blockMayMatch(ParquetRecords.blockZone(b))) {
         reader.skipNextRowGroup()
         RecordSourceMetrics.rowGroupsSkipped.incrementAndGet()
         rowIndex += b.getRowCount

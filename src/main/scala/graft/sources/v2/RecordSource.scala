@@ -334,6 +334,8 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
       .orElse(props.get("dataFormat")).getOrElse("jsonl")
     require(dataFormat == "jsonl" || dataFormat == "parquet",
       s"dataFormat '$dataFormat' is not one of jsonl, parquet")
+    if (dataFormat == "parquet")
+      ParquetRecords.validateUserNames(info.schema())
     val rowGroupBytes = Option(info.options.get("parquetRowGroupBytes"))
       .map(_.toLong)
       .getOrElse(org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
@@ -629,7 +631,9 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
       case None => snapshot match {
         case Some(m) => m.files.map { case (n, _) =>
           new org.apache.hadoop.fs.Path(path, n).toString }.toArray
-        case None => RecordScan.listDataFiles(path, hadoopConf)
+        // LIVE read: reconcile against the commit log so a compaction
+        // flip mid-listing can't double-read or vanish files
+        case None => RecordScan.consistentDataFiles(path, hadoopConf)._1
       }
     }
     fileSubset match {
@@ -852,10 +856,36 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
     }
   }
 
+  /** Vectorized (ColumnarBatch) reads fit when the whole scan is
+    * parquet files read one-per-partition with a flat atomic
+    * projection: every candidate file `.parquet` (Spark refuses mixed
+    * row/columnar partitions in one scan), no keyed grouping, no
+    * pushed agg/topN (they fold rows inside the reader), no row-level
+    * rewrite (those feed whole-group copy-on-write), and every
+    * projected/filtered column a scalar the batch decoder carries.
+    * Everything else takes the row-materializing reader. */
+  private def columnarEligible: Boolean = {
+    if (!RecordSourceMetrics.columnarEnabled) return false
+    def flatOk(name: String, dt: org.apache.spark.sql.types.DataType): Boolean =
+      name == RecordSource.FileCol || name == RecordSource.PosCol ||
+        name == RecordSource.CorruptCol || (dt match {
+          case StringType | DoubleType | BooleanType | TimestampType |
+               DateType => true
+          case _ => false
+        })
+    agg.isEmpty && topN.isEmpty && clusterBy.isEmpty &&
+      rowLevelFiles.isEmpty &&
+      readSchema.fields.forall(f => flatOk(f.name, f.dataType)) && {
+        val files = candidateFiles
+        files.nonEmpty && files.forall(_.endsWith(ParquetRecords.Extension))
+      }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new RecordReaderFactory(readSchema, fullSchema, confProps,
       if (rowLevelFiles.isDefined) Array.empty else effectiveFilters,
-      topN, limit, agg, mode, dvOverrides, former)
+      topN, limit, agg, mode, dvOverrides, former,
+      columnarEligible = columnarEligible)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -882,6 +912,42 @@ private[v2] object RecordScan {
           st.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
     else Array(path)
+  }
+
+  /** A LIVE listing that is CONSISTENT with the commit log — the read
+    * side of the optimistic protocol. A raw listing taken mid-flip of a
+    * concurrent compaction/materialize can see BOTH the merged file and
+    * its inputs (silent double-read) or a file the flip then deletes
+    * (FileNotFound at open). Flips happen only inside a
+    * committed-but-unapplied window, so: settle every committed entry
+    * (wait for a live owner's applied marker; replay a crashed one),
+    * list, and accept the listing only if the log head did not move and
+    * nothing new is in flight — otherwise a flip may have straddled the
+    * listing, so re-list. Tables without a commit log (plain record
+    * dirs, single files) fall back to the raw listing. */
+  def consistentDataFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration): (Array[String], Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.getFileStatus(p).isDirectory ||
+        !fs.exists(new org.apache.hadoop.fs.Path(p, OptimisticCommit.Dir)))
+      return (listDataFiles(path, conf), 0L)
+    val deadline = System.currentTimeMillis + 120000L
+    while (true) {
+      OptimisticCommit.awaitApplied(fs, p,
+        OptimisticCommit.standardRecover(path, conf))
+      val h1 = OptimisticCommit.head(fs, p)
+      val files = listDataFiles(path, conf)
+      val (vs2, applied2) = OptimisticCommit.logState(fs, p)
+      if (vs2.lastOption.getOrElse(0L) == h1 && vs2.forall(applied2.contains))
+        return (files, h1)
+      if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"listing of $path never stabilized against the commit log — " +
+            "writers are committing faster than one listing completes")
+      Thread.sleep(5)
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 
@@ -1018,6 +1084,9 @@ private[graft] object RecordSourceMetrics {
   val rowGroupsRead = new java.util.concurrent.atomic.AtomicLong(0)
   val rowGroupsSkipped = new java.util.concurrent.atomic.AtomicLong(0)
   val dbgFilters = new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** Bench/debug seam: force the parquet tier onto the row-materializing
+    * reader to measure the vectorized path's gain (ProfileParquet). */
+  @volatile var columnarEnabled = true
 }
 
 private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: StructType,
@@ -1026,9 +1095,28 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     topN: Option[PushedTopN], limit: Option[Int],
     agg: Option[PushedAggSpec], mode: String = "FAILFAST",
     dvOverrides: Option[Map[String, Option[String]]] = None,
-    former: Map[String, Seq[String]] = Map.empty)
+    former: Map[String, Seq[String]] = Map.empty,
+    columnarEligible: Boolean = false)
     extends PartitionReaderFactory {
   @transient private lazy val conf = RecordSource.confFrom(confProps)
+
+  // the vectorized path: Spark requires the answer to be UNIFORM across
+  // a scan's partitions, so [[RecordScan.createReaderFactory]] grants
+  // eligibility only when EVERY candidate file is parquet and the
+  // projection/filters fit the batch decoder (flat atomic columns, no
+  // pushed agg/topN, single-file partitions)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarEligible && partition.isInstanceOf[RecordInputPartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case RecordInputPartition(file) =>
+        new ParquetColumnarPartitionReader(file, readSchema, fullSchema,
+          conf, filters, dvOverrides, former)
+      case other => throw new IllegalStateException(
+        s"columnar read of a non-columnar partition: $other")
+    }
   private def readerFor(file: String): PartitionReader[InternalRow] =
     if (file.endsWith(ParquetRecords.Extension)) {
       // the columnar tier: pushed LIMIT/TopN are declared partial, so a
@@ -1335,7 +1423,7 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
   private def utf8(n: JsonNode): UTF8String =
     if (n == null || n.isNull) null else UTF8String.fromString(n.asText())
 
-  private def tsMicros(n: JsonNode): java.lang.Long =
+  private[v2] def tsMicros(n: JsonNode): java.lang.Long =
     if (n == null || n.isNull) null
     else {
       val i = java.time.Instant.parse(n.asText())
@@ -1483,7 +1571,7 @@ private[v2] object RecordFilterEval {
 
   /** Double comparison in Spark's order: -0.0 == 0.0 (unlike
     * Double.compareTo); NaN sorts above everything, as in both. */
-  private def dblCmp(a: Double, b: Double): Int =
+  private[v2] def dblCmp(a: Double, b: Double): Int =
     java.lang.Double.compare(a + 0.0d, b + 0.0d)
 
   /** Three-valued comparison of a raw record value with a Spark literal.
@@ -1500,7 +1588,7 @@ private[v2] object RecordFilterEval {
     }
   }
 
-  private def numeric(v: Any): Option[java.lang.Double] = v match {
+  private[v2] def numeric(v: Any): Option[java.lang.Double] = v match {
     case d: java.lang.Double => Some(d)
     case f: java.lang.Float => Some(f.doubleValue())
     case l: java.lang.Long => Some(l.doubleValue())
@@ -1510,7 +1598,7 @@ private[v2] object RecordFilterEval {
     case _ => None
   }
 
-  private def tsMicros(v: Any): Option[java.lang.Long] = v match {
+  private[v2] def tsMicros(v: Any): Option[java.lang.Long] = v match {
     case t: java.sql.Timestamp =>
       // getTime is floored millis (incl. the nanos' ms part, negative-safe);
       // add only the sub-millisecond micros — `/1000*1000000 + nanos/1000`
@@ -1522,7 +1610,7 @@ private[v2] object RecordFilterEval {
     case _ => None
   }
 
-  private def epochDays(v: Any): Option[Int] = v match {
+  private[v2] def epochDays(v: Any): Option[Int] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
     case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
     case _ => None

@@ -78,6 +78,22 @@ private[graft] object Snapshots {
     }
 
   /** Freeze the current state as the next version; returns it.
+    *
+    * Participates in the optimistic commit protocol on BOTH ends:
+    * the file set comes from a log-consistent listing
+    * ([[RecordScan.consistentDataFiles]] — a raw listing taken
+    * mid-compaction-flip would freeze the merged file AND its inputs,
+    * silently duplicating rows for time travel/CDC), and after the
+    * manifest lands an `op=snapshot` entry commits to the SAME log with
+    * the listing as its read set — a destructive entry that slipped in
+    * between listing and manifest CAS invalidates the manifest (it may
+    * pin files the flip deleted), so the manifest is withdrawn and the
+    * whole cycle retries. Conversely the snapshot entry's `added` set
+    * makes any in-flight destructive writer that planned BEFORE this
+    * snapshot conflict at ITS commit, re-plan, and see the new manifest
+    * in its refusal set — closing the plan-time `referencedFiles` /
+    * delete-time write skew from both sides.
+    *
     * Concurrent committers race on an atomic create-exclusive of the
     * version manifest (CAS) — the loser recomputes the number and
     * retries; both snapshots land, ordered by who won each slot. */
@@ -85,19 +101,17 @@ private[graft] object Snapshots {
       conf: org.apache.hadoop.conf.Configuration,
       shardSize: Int = ShardSize): Long = {
     val dir = new Path(path)
-    val files = RecordScan.listDataFiles(path, conf).sorted.toSeq
-    require(files.length <= MaxFiles,
-      s"snapshot commit on $path covers ${files.length} data files, over " +
-        s"MaxFiles=$MaxFiles — compact the table before snapshotting " +
-        "(a manifest this size is a table-layout problem, not a " +
-        "metadata-format problem)")
     val mapper = new ObjectMapper()
     fs.mkdirs(new Path(dir, Dir))
     while (true) {
-      val v = math.max(versions(fs, dir).lastOption.getOrElse(0L),
-        hwm(fs, dir)) + 1L
+      val (listed, logHead) = RecordScan.consistentDataFiles(path, conf)
+      val files = listed.sorted.toSeq
+      require(files.length <= MaxFiles,
+        s"snapshot commit on $path covers ${files.length} data files, over " +
+          s"MaxFiles=$MaxFiles — compact the table before snapshotting " +
+          "(a manifest this size is a table-layout problem, not a " +
+          "metadata-format problem)")
       val root = mapper.createObjectNode()
-      root.put("version", v)
       val shardNames =
         if (files.length <= shardSize) {
           renderFiles(fs, dir, mapper, root.putArray("files"), files)
@@ -108,7 +122,7 @@ private[graft] object Snapshots {
           val token = java.util.UUID.randomUUID().toString.take(8)
           val names = files.grouped(shardSize).zipWithIndex.map {
             case (chunk, i) =>
-              val sname = s"v$v-$token-s$i.json"
+              val sname = s"s-$token-$i.json"
               val sroot = mapper.createObjectNode()
               renderFiles(fs, dir, mapper, sroot.putArray("files"), chunk)
               val out = fs.create(new Path(new Path(dir, Dir), sname), true)
@@ -120,14 +134,37 @@ private[graft] object Snapshots {
           names.foreach(arr.add)
           names
         }
-      val p = manifestPath(dir, v)
-      // CAS: atomic create-exclusive (OptimisticCommit.createExclusive —
-      // the local filesystem's create(overwrite=false) is NOT atomic)
-      val claimed = OptimisticCommit.createExclusive(fs, p,
-        mapper.writeValueAsString(root).getBytes("UTF-8"))
-      if (claimed) return v
-      // lost the version slot: drop this attempt's shards, retry at v+1
-      shardNames.foreach(n => fs.delete(new Path(new Path(dir, Dir), n), false))
+      def dropShards(): Unit = shardNames.foreach(n =>
+        fs.delete(new Path(new Path(dir, Dir), n), false))
+
+      // inner CAS loop: the rendered state is listing-dependent only,
+      // so losing a version SLOT (another snapshot won the number)
+      // re-claims under the next number without re-listing
+      var v = 0L
+      var claimed = false
+      while (!claimed) {
+        v = math.max(versions(fs, dir).lastOption.getOrElse(0L),
+          hwm(fs, dir)) + 1L
+        root.put("version", v)
+        claimed = OptimisticCommit.createExclusive(fs, manifestPath(dir, v),
+          mapper.writeValueAsString(root).getBytes("UTF-8"))
+      }
+      // serialize against destructive flips: conflict = some entry in
+      // (logHead, now] touched a listed file — the manifest may pin
+      // files that flip deleted, so withdraw it (version number burns;
+      // hwm forbids reuse) and re-list
+      val fileNames = files.map(f => new Path(f).getName)
+      try {
+        val entry = OptimisticCommit.commit(fs, dir, logHead,
+          op = "snapshot", added = fileNames, reads = fileNames.toSet)
+        OptimisticCommit.markApplied(fs, dir, entry)
+        return v
+      } catch {
+        case _: OptimisticCommit.CommitConflictException =>
+          raiseHwm(fs, dir, v)
+          fs.delete(manifestPath(dir, v), false)
+          dropShards()
+      }
     }
     throw new IllegalStateException("unreachable")
   }

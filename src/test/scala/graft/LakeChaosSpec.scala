@@ -111,6 +111,62 @@ class LakeChaosSpec extends SparkSpec {
       parquet = false)
   }
 
+  test("4x contention: 16 all-overlapping deleters + 2 compactors — " +
+      "no writer exhausts its attempts, total retries stay bounded") {
+    val dir = Files.createTempDirectory("graft_chaos4x").toString + "/t"
+    spark.range(0, 1200).select(
+        concat(lit("r"), lpad($"id".cast("string"), 5, "0")).as("_record_id"),
+        $"id".cast("double").as("Score"))
+      .repartition(6)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def spawn(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch {
+        case e: Throwable => errs.add(e)
+      })
+      t.start(); t
+    }
+    val retriesBefore = OptimisticCommit.retriesObserved.get()
+    val compacting = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val compactors = (0 until 2).map { _ =>
+      spawn {
+        while (compacting.get()) {
+          try RecordCompaction.compact(spark, dir, targetBytes = 1L << 20)
+          catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("materialize") => ()
+          }
+          Thread.sleep(20)
+        }
+      }
+    }
+    // every deleter's predicate hits rows in EVERY file, so all 16 dv
+    // commits pairwise conflict (worst case: strict serialization); the
+    // jittered backoff must get each one through within MaxAttempts
+    val deleters = (0 until 16).map { k =>
+      spawn {
+        DeletionVectors.delete(spark, dir, "Score:number",
+          pmod($"Score", lit(80.0)) === k.toDouble)
+      }
+    }
+    deleters.foreach(_.join(600000))
+    compacting.set(false)
+    compactors.foreach(_.join(300000))
+    assert(errs.isEmpty, s"a writer failed (attempt exhaustion?): " +
+      s"${errs.peek()}")
+    val survivors = read(dir).select($"Score").as[Double]
+      .collect().sorted.toSeq
+    val expected = (0L until 1200L).map(_.toDouble).filterNot(_ % 80 < 16)
+    assert(survivors == expected,
+      s"${survivors.length} survivors vs ${expected.length} expected")
+    val retries = OptimisticCommit.retriesObserved.get() - retriesBefore
+    // bounded: 16 serialized writers re-planning against each other plus
+    // compactor interference — well under attempt exhaustion territory
+    assert(retries <= 16L * 20L, s"retry storm: $retries re-plans")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(OptimisticCommit.unapplied(fs, new Path(dir)).isEmpty)
+  }
+
   test("the same chaos over the PARQUET tier (row-copy compaction, " +
       "ordinal DVs) converges identically") {
     runChaos(Files.createTempDirectory("graft_chaospq").toString + "/t",

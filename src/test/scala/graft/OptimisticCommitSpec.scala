@@ -150,7 +150,7 @@ class OptimisticCommitSpec extends SparkSpec {
     val v = Snapshots.commit(f, dir,
       spark.sparkContext.hadoopConfiguration, shardSize = 2)
     val shards = f.listStatus(new Path(d, Snapshots.Dir))
-      .map(_.getPath.getName).filter(_.contains("-s")).sorted
+      .map(_.getPath.getName).filter(_.startsWith("s-")).sorted
     assert(shards.length == 3, s"5 files / shardSize 2: ${shards.toSeq}") // 2+2+1
     assert(Snapshots.load(f, dir, v).files.length == 5)
     assert(Snapshots.referencedFiles(f, d).size == 5)
@@ -169,6 +169,108 @@ class OptimisticCommitSpec extends SparkSpec {
     assert(f.listStatus(new Path(d, Snapshots.Dir))
       .map(_.getPath.getName).forall(_.startsWith("_")), // only the hwm marker
       "shards must expire with their manifest")
+  }
+
+  test("the local claim is exclusive AND content-complete: N racing " +
+      "claimants -> one winner, no empty-slot crash window") {
+    val dir = Files.createTempDirectory("graft_occ_arb").toString
+    val f = fs(dir)
+    val slot = new Path(dir, "c1.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        val payload = s"""{"writer":$i}""" * 200 // big enough to tear
+        if (OptimisticCommit.CommitArbiter.LocalLink.tryClaim(
+            f, slot, payload.getBytes("UTF-8")))
+          wins.incrementAndGet()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(wins.get() == 1, s"${wins.get()} claimants won the same slot")
+    // the visible slot is COMPLETE (hard-link publish: content lands
+    // before the name) and from exactly one writer
+    val content = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(slot.toUri.getPath)), "UTF-8")
+    val writers = """"writer":(\d)""".r.findAllMatchIn(content)
+      .map(_.group(1)).toSet
+    assert(writers.size == 1 && content.length == s"""{"writer":0}""".length * 200,
+      s"torn content: writers=$writers len=${content.length}")
+    // losers leave no temp debris
+    val debris = f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(debris.isEmpty, s"tmp debris: ${debris.toSeq}")
+  }
+
+  test("the commit arbiter is a seam: a custom arbiter (conditional-put " +
+      "stand-in) carries the whole protocol") {
+    val dir = mkLake()
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new OptimisticCommit.CommitArbiter {
+      override def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: Path, bytes: Array[Byte]): Boolean = {
+        claims.incrementAndGet()
+        OptimisticCommit.CommitArbiter.LocalLink.tryClaim(f, p, bytes)
+      }
+    }
+    OptimisticCommit.CommitArbiter.set(Some(counting))
+    try {
+      DeletionVectors.delete(spark, dir, "Score:number", col("Score") < 3.0)
+      assert(read(dir).count() == 17L)
+    } finally OptimisticCommit.CommitArbiter.set(None)
+    assert(claims.get() >= 1, "the custom arbiter never saw a claim")
+  }
+
+  test("snapshot commit racing a destructive flip: the read-set skew is " +
+      "detected, the manifest is withdrawn, re-listed, and retried") {
+    val dir = mkLake() // 2 files
+    val f = fs(dir); val d = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    // interleave a DELETE between the snapshot's consistent listing
+    // (+ manifest CAS) and its log-entry commit: the entry's read-set
+    // validation must see the dv entry touching listed files, withdraw
+    // the manifest, and re-render from the post-delete state — as if
+    // the snapshot serialized AFTER the delete
+    OptimisticCommit.beforeCasHook = { op =>
+      if (op == "snapshot" && fired.getAndIncrement() == 0) {
+        val out = DeletionVectors.delete(spark, dir, "Score:number",
+          col("Score") < 5.0)
+        assert(out.map(_.rowsMarked).sum == 5L)
+      }
+    }
+    val v = try Snapshots.commit(f, dir, conf)
+      finally { OptimisticCommit.beforeCasHook = _ => () }
+    assert(fired.get() >= 2, "the snapshot entry must have retried")
+    val m = Snapshots.load(f, dir, v)
+    assert(m.files.forall { case (n, _) => f.exists(new Path(d, n)) },
+      s"dangling manifest: ${m.files}")
+    // the frozen state is post-delete, not the torn pre-delete listing
+    assert(spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", "Score:number")
+      .option("versionAsOf", v.toString).load().count() == 15L)
+    // the withdrawn version number is burnt, never reused
+    assert(Snapshots.versions(f, d) == Seq(v) && v >= 2L,
+      s"first manifest attempt must burn its number: v=$v, " +
+        s"versions=${Snapshots.versions(f, d)}")
+  }
+
+  test("a destructive commit planned BEFORE a snapshot landed conflicts " +
+      "at ITS commit (the other half of the write skew)") {
+    val dir = mkLake()
+    val f = fs(dir); val d = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val planTimeHead = OptimisticCommit.head(f, d) // "compaction plans here"
+    val dataFile = f.listStatus(d).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.head
+    Snapshots.commit(f, dir, conf) // snapshot lands after the plan
+    val e = intercept[OptimisticCommit.CommitConflictException] {
+      OptimisticCommit.commit(f, d, planTimeHead, op = "compact",
+        added = Seq("compact-x.jsonl"), removed = Seq(dataFile))
+    }
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
   }
 
   test("racing snapshot committers: both land on distinct versions") {

@@ -269,6 +269,31 @@ class ParquetRecordsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.p").as[Long].head() == 12L)
   }
 
+  test("user columns named 'id' or 'createdTime' are refused loudly — " +
+      "they would alias the reserved wire names") {
+    val dir = Files.createTempDirectory("graft_pq8").toString + "/t"
+    Seq("id", "createdTime").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.range(0, 3).select(
+            concat(lit("r"), $"id".cast("string")).as("_record_id"),
+            $"id".cast("double").as(bad))
+          .write.format("graft-records").option("path", dir)
+          .option("dataFormat", "parquet").mode("append").save()
+      }
+      assert(e.getMessage.contains("reserved wire name") ||
+        Option(e.getCause).exists(_.getMessage.contains("reserved wire name")),
+        s"'$bad': ${e.getMessage}")
+    }
+    // the JSONL tier accepts the same names (fields.* namespace)
+    spark.range(0, 3).select(
+        concat(lit("r"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("id"))
+      .write.format("graft-records").option("path", dir)
+      .mode("append").save()
+    assert(spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", "id:number").load().count() == 3L)
+  }
+
   test("parquet compaction skips files whose schemas differ") {
     val dir = Files.createTempDirectory("graft_pq7").toString + "/t"
     write(dir, mkRows(5))
