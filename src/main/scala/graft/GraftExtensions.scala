@@ -73,5 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "top_k_pairs takes (score, id, k)")
         TopKPairs(args.head, args(1), intLit(args(2), "k"))
       }))
+    // table-valued: the lake's change feed in FROM position —
+    // SELECT * FROM table_changes('cat.ns.t', v1, v2)
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.TableChanges.getClass.getName,
+        "table_changes"),
+      (args: Seq[Expression]) => graft.plans.TableChanges.plan(args)))
   }
 }

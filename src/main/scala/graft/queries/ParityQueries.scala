@@ -690,6 +690,248 @@ private[graft] object ParityQueries {
         .orderBy("lang")
     }),
 
+    "q296_lake_view_minmax" -> ((s, dir) => {
+      // min/max in a maintained view: non-invertible under deletes, so
+      // the refresh recomputes ONLY the delta-touched groups from the
+      // version-pinned table (a broadcast semi-join prune), while count
+      // and sum stay additive. The middle delete REMOVES each touched
+      // group's minimum (Chars < 200), so a view that kept old extrema
+      // — or rescanned the wrong version — breaks against the oracle's
+      // full recompute.
+      val out = scratchPath(dir, "q296_records")
+      val view = scratchPath(dir, "q296_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.delete(new org.apache.hadoop.fs.Path(view), true)
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      def refresh() = graft.operators.LakeView.refreshAggregate(
+        s, out, types, view, Seq("Lang"), Seq("Chars"),
+        minMaxCols = Seq("Chars"))
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      require(refresh().groupsChanged == 0L, "idle refresh must no-op")
+      graft.operators.LakeView.read(s, view)
+        .select(col("Lang").as("lang"), col("n").as("n_docs"),
+          col("sum_Chars").cast("long").as("sum_chars"),
+          col("mn_Chars").cast("long").as("min_chars"),
+          col("mx_Chars").cast("long").as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    "q297_lake_view_join" -> ((s, dir) => {
+      // a maintained JOIN view between two lake tables: the persisted
+      // Z-relation of orders ⋈ customer advances by the bilinear delta
+      // rule (ΔL⋈R + L⋈ΔR + ΔL⋈ΔR) with each side's changes derived
+      // from ITS snapshot metadata — a left append then a right DELETE,
+      // each folded by one refresh. The right-side delete must retract
+      // every joined row of the deleted keys; the oracle recomputes the
+      // final join from the predicates alone.
+      val lt = scratchPath(dir, "q297_orders")
+      val rt = scratchPath(dir, "q297_cust")
+      val view = scratchPath(dir, "q297_view")
+      val fs = new org.apache.hadoop.fs.Path(lt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(lt, rt, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ltypes = "OKey:number,CKey:number,Price:number"
+      val rtypes = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      val cust = rd(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+        col("c_custkey").cast("double").as("CKey"),
+        col("c_mktsegment").as("Seg"))
+      def refresh() = graft.operators.LakeView.refreshJoin(s, view,
+        lt, ltypes, Seq("CKey", "OKey", "Price"),
+        rt, rtypes, Seq("CKey", "Seg"), Seq("CKey"))
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", lt)
+        .mode("append").save()
+      cust.coalesce(1)
+        .write.format("graft-records").option("path", rt)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      refresh()
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", lt)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      refresh()
+      graft.operators.DeletionVectors.delete(s, rt, rtypes,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      refresh()
+      require(refresh().deltaRows == 0L, "idle join refresh must no-op")
+      graft.operators.LakeView.read(s, view)
+        .groupBy(col("Seg").as("segment"))
+        .agg(sum(col("m")).as("n_rows"),
+          sum((col("m") * col("Price")).cast("decimal(28,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy("segment")
+    }),
+
+    "q298_cdc_paced_replay" -> ((s, dir) => {
+      // CDC micro-batch pacing: a table built by MANY small commits (the
+      // shape a snapshotPerEpoch sink produces) is consumed with
+      // maxVersionsPerBatch=3 — adjacent version transitions coalesce
+      // into one manifest diff per batch (within-window churn nets
+      // away), so thousands of tiny commits never force thousands of
+      // micro-batches. The run GATES the equivalence internally
+      // (coalesced netted feed == per-version netted feed, batch counts
+      // 3 vs 8) and the oracle recomputes the final state from the
+      // mutation predicates.
+      val out = scratchPath(dir, "q298_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      (0 until 6).foreach { k => // 6 append commits
+        docs.filter(col("DocId") % 6 === k).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .mode("append").save()
+        graft.operators.LakeSnapshots.commit(s, out)
+      }
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out) // v7
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      graft.operators.LakeSnapshots.commit(s, out) // v8
+      def consume(extra: Map[String, String]): (Long, DataFrame) = {
+        val ckpt = scratchPath(dir, s"q298_ck_${extra.hashCode}")
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        val n = new java.util.concurrent.atomic.AtomicLong(0L)
+        val acc = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+          null)
+        var r = s.readStream.format("graft-records").option("path", out)
+          .option("fieldTypes", types)
+          .option("cdc", "true").option("startingVersion", "0")
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val d = df.groupBy("Lang")
+              .agg(sum(col("m")).as("dn"),
+                sum(col("m") * col("Chars")).as("dsc")).localCheckpoint()
+            if (d.limit(1).count() > 0) {
+              n.incrementAndGet()
+              acc.getAndUpdate(st =>
+                if (st == null) d
+                else st.unionByName(d).groupBy("Lang")
+                  .agg(sum(col("dn")).as("dn"), sum(col("dsc")).as("dsc"))
+                  .localCheckpoint())
+            }
+            ()
+          }.start()
+        q.processAllAvailable()
+        q.stop()
+        (n.get(), acc.get().filter(col("dn") > 0))
+      }
+      val (nCoal, coal) = consume(Map("maxVersionsPerBatch" -> "3"))
+      val (nPer, per) = consume(Map.empty)
+      require(nCoal == 3L && nPer == 8L,
+        s"pacing batch counts: coalesced $nCoal (want 3), " +
+          s"per-version $nPer (want 8)")
+      val diff = coal.join(per.withColumnRenamed("dn", "pn")
+          .withColumnRenamed("dsc", "psc"), Seq("Lang"), "full")
+        .filter(col("dn") =!= col("pn") ||
+          col("dsc") =!= col("psc"))
+      require(diff.limit(1).isEmpty,
+        "coalesced and per-version replay diverged")
+      coal.select(col("Lang").as("lang"), col("dn").as("n_docs"),
+          col("dsc").cast("long").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    "q299_sql_table_changes" -> ((s, dir) => {
+      // the change feed in FROM position: table_changes('cat.ns.t', a, b)
+      // resolves the catalog table (path, field types, rename lineage)
+      // and returns the signed delta of (a, b] — here the bootstrap
+      // window (0 → v1: the insert wave) and the delete window
+      // (v1 → v2: −1 retractions from the DV diff), each aggregated in
+      // PLAIN SQL. The run gates the TVF against the DataFrame cdc
+      // option path; the oracle recomputes both windows from the
+      // predicates.
+      val wh = scratchPath(dir, "q299_wh")
+      val cat = "g299c" + (wh.hashCode.toLong & 0xffffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.RecordCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_t")
+      s.sql(s"CREATE TABLE $cat.ns.docs_t " +
+        "(DocId DOUBLE, Chars DOUBLE, Lang STRING)")
+      val view = s"q299_docs_${wh.hashCode.toLong & 0xffffffffL}"
+      rd(s, dir, "documents").createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.ns.docs_t
+           |SELECT concat('d', CAST(doc_id AS STRING)),
+           |  CAST(NULL AS TIMESTAMP),
+           |  CAST(doc_id AS DOUBLE), CAST(n_chars AS DOUBLE), lang
+           |FROM $view WHERE lang IS NOT NULL""".stripMargin)
+      val path = s"$wh/ns/docs_t"
+      val v1 = graft.operators.LakeSnapshots.commit(s, path)
+      s.sql(s"DELETE FROM $cat.ns.docs_t WHERE Chars < 200.0")
+      val v2 = graft.operators.LakeSnapshots.commit(s, path)
+      val out = s.sql(
+        s"""SELECT 'boot' AS phase, Lang AS lang, sum(m) AS net_rows,
+           |  CAST(sum(m * Chars) AS BIGINT) AS net_chars
+           |FROM table_changes('$cat.ns.docs_t', 0, $v1) GROUP BY 2
+           |UNION ALL
+           |SELECT 'delta', Lang, sum(m),
+           |  CAST(sum(m * Chars) AS BIGINT)
+           |FROM table_changes('$cat.ns.docs_t', $v1, $v2) GROUP BY 2
+           |ORDER BY 1, 2""".stripMargin).localCheckpoint()
+      // gate: the TVF result equals the DataFrame cdc-option path
+      val dfPath = s.read.format("graft-records").option("path", path)
+        .option("fieldTypes", "DocId:number,Chars:number,Lang:singleLineText")
+        .option("cdc", "true").option("startingVersion", v1.toString)
+        .option("endingVersion", v2.toString).load()
+        .groupBy("Lang").agg(sum(col("m")).as("net_rows"),
+          sum(col("m") * col("Chars")).cast("long").as("net_chars"))
+      val sqlDelta = out.filter(col("phase") === "delta")
+        .select("lang", "net_rows", "net_chars")
+      val mism = sqlDelta.join(
+          dfPath.select(col("Lang").as("lang"),
+            col("net_rows").as("r2"), col("net_chars").as("c2")),
+          Seq("lang"), "full")
+        .filter(col("net_rows") =!= col("r2") ||
+          col("net_chars") =!= col("c2"))
+      require(mism.limit(1).isEmpty,
+        "table_changes TVF diverged from the DataFrame cdc path")
+      s.catalog.dropTempView(view)
+      out
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2083,6 +2325,61 @@ private[graft] object ParityQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same mutation ordering as q295; the engine must additionally keep
+    // min/max right through a delete that removes each group's minimum
+    // (touched-group recompute, not additive folding)
+    "q296_lake_view_minmax" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the final JOIN from the predicates; the
+    // engine gets there through three incremental refreshes of a
+    // persisted Z-relation (left append, right delete-with-retraction)
+    "q297_lake_view_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the final state; the engine reaches it by a
+    // COALESCED change-feed replay (3 micro-batches over 8 commits) and
+    // internally gates coalesced == per-version netting
+    "q298_cdc_paced_replay" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE NOT coalesce(n_chars < 200, FALSE)
+        |    AND NOT (doc_id % 10 = 7))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both TVF windows recomputed from the predicates: the bootstrap
+    // window is the insert wave (+1 per live-at-v1 row), the delete
+    // window is pure retraction (−1 per DV-diff row)
+    "q299_sql_table_changes" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |boot AS (SELECT 'boot' AS phase, lang, COUNT(*) AS net_rows,
+        |    CAST(SUM(n_chars) AS BIGINT) AS net_chars
+        |  FROM base GROUP BY 2),
+        |del AS (SELECT 'delta' AS phase, lang, -COUNT(*) AS net_rows,
+        |    CAST(-SUM(n_chars) AS BIGINT) AS net_chars
+        |  FROM base WHERE n_chars < 200 GROUP BY 2)
+        |SELECT phase, lang, net_rows, net_chars FROM boot
+        |UNION ALL
+        |SELECT phase, lang, net_rows, net_chars FROM del
+        |ORDER BY 1, 2""".stripMargin,
 
     // the oracle recomputes both states from the straddling delete
     // predicates; the engine must get there through parquet row groups,

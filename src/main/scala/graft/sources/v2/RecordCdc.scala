@@ -149,18 +149,37 @@ private[v2] class RecordCdcScan(tableSchema: StructType, path: String,
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
     import RecordCdc.CdcVersionOffset
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    override def initialOffset(): Offset = CdcVersionOffset(
-      opts.get("startingVersion").map(_.toLong).getOrElse(head))
-    // ONE snapshot transition per micro-batch: deterministic replay (a
-    // consumer maintaining a view applies the same deltas in the same
-    // waves on every run) — the engine drives the 2-arg latestOffset
-    // because SupportsAdmissionControl is present
+    private val startVersion =
+      opts.get("startingVersion").map(_.toLong).getOrElse(head)
+    // PACING: by default each micro-batch is exactly ONE snapshot
+    // transition (deterministic replay — a consumer maintaining a view
+    // applies the same deltas in the same waves on every run).
+    // `maxVersionsPerBatch=k` coalesces up to k adjacent transitions
+    // into one batch — the manifest diff COMPOSES (within-window churn
+    // nets away), so a table with thousands of tiny per-epoch commits
+    // (snapshotPerEpoch sinks) doesn't force thousands of micro-batches;
+    // replay stays deterministic because offsets are still version
+    // numbers laid down by this same rule. `initialSnapshotOneBatch`
+    // additionally jumps the FIRST batch straight to the live head —
+    // the bootstrap backfill as one scan, then per-`k` tailing.
+    private val maxVersions = {
+      val k = opts.get("maxVersionsPerBatch").map(_.toLong).getOrElse(1L)
+      require(k >= 1L, s"maxVersionsPerBatch $k must be >= 1")
+      k
+    }
+    private val initialOneBatch =
+      opts.get("initialSnapshotOneBatch").exists(_.toBoolean)
+    override def initialOffset(): Offset = CdcVersionOffset(startVersion)
+    // the engine drives the 2-arg latestOffset because
+    // SupportsAdmissionControl is present
     override def latestOffset(): Offset =
       throw new UnsupportedOperationException(
         "admission-controlled: latestOffset(start, limit)")
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      CdcVersionOffset(math.min(head,
-        start.asInstanceOf[CdcVersionOffset].version + 1))
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[CdcVersionOffset].version
+      if (initialOneBatch && s == startVersion) CdcVersionOffset(head)
+      else CdcVersionOffset(math.min(head, s + maxVersions))
+    }
     override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
     override def reportLatestOffset(): Offset = CdcVersionOffset(head)
     override def deserializeOffset(json: String): Offset =

@@ -129,6 +129,15 @@ private[v2] class RecordTable(schema: StructType, props: Map[String, String])
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** Surface the resolved table options (path, fieldTypes, formerNames,
+    * layout props) — SHOW TBLPROPERTIES and the `table_changes` TVF
+    * read the lake's addressing from here. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose condition is
     * outside the metadata surface) run as group-based COPY-ON-WRITE:
     * Spark rewrites the plan into "replacement rows for the read

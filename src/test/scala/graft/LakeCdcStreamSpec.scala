@@ -106,6 +106,90 @@ class LakeCdcStreamSpec extends SparkSpec {
     assert(d == want, d.toString)
   }
 
+  test("pacing: maxVersionsPerBatch coalesces adjacent transitions and " +
+      "initialSnapshotOneBatch backfills in one scan — every pacing " +
+      "nets to the SAME Z-relation as per-version replay") {
+    val dir = Files.createTempDirectory("graft_cdcs5").toString + "/t"
+    // ~50 tiny commits, the shape a snapshotPerEpoch sink produces;
+    // every 10th is a delete so coalescing exercises DV diffs too
+    (0 until 50).foreach { k =>
+      if (k % 10 == 9)
+        // retract a row the PREVIOUS commit appended (4·(k−1))
+        DeletionVectors.delete(spark, dir, "Score:number",
+          $"Score" === ((k - 1) * 4).toDouble)
+      else append(dir, k * 4L, k * 4L + 4L)
+      LakeSnapshots.commit(spark, dir)
+    }
+    def consume(extra: Map[String, String]): (Long, Map[Double, Long]) = {
+      val ckpt = Files.createTempDirectory("graft_cdcs5_ck").toString
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val acc = scala.collection.mutable.Map.empty[Double, Long]
+      var r = spark.readStream.format("graft-records").option("path", dir)
+        .option("fieldTypes", "Score:number")
+        .option("cdc", "true").option("startingVersion", "0")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.groupBy($"Score").agg(sum($"m").as("m"))
+            .as[(Double, Long)].collect()
+          acc.synchronized {
+            if (rows.nonEmpty) nBatches.incrementAndGet()
+            rows.foreach { case (s, m) =>
+              val nm = acc.getOrElse(s, 0L) + m
+              if (nm == 0L) acc.remove(s) else acc(s) = nm
+            }
+          }
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      (nBatches.get(), acc.toMap)
+    }
+    val (nPer, zPer) = consume(Map.empty)
+    val (nCoal, zCoal) = consume(Map("maxVersionsPerBatch" -> "7"))
+    val (nBoot, zBoot) = consume(Map("initialSnapshotOneBatch" -> "true"))
+    assert(zPer == zCoal && zPer == zBoot,
+      s"netted Z-relations diverge: per=${zPer.size} coal=${zCoal.size} " +
+        s"boot=${zBoot.size}")
+    assert(nPer == 50L, s"per-version replay: $nPer batches")
+    assert(nCoal == 8L, s"ceil(50/7): $nCoal batches") // 7×7 + 1
+    assert(nBoot == 1L, s"bootstrap-as-one-batch: $nBoot batches")
+    // and the netted feed equals the live table
+    val live = spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", "Score:number").load()
+      .groupBy($"Score").count().as[(Double, Long)].collect().toMap
+    assert(zPer == live.map { case (s, n) => s -> n }, "feed != table")
+  }
+
+  test("table_changes TVF: path form, to-head default, and loud " +
+      "rejection of non-literal / malformed arguments") {
+    val dir = Files.createTempDirectory("graft_cdcs6").toString + "/t"
+    append(dir, 0, 10)
+    LakeSnapshots.commit(spark, dir) // v1
+    DeletionVectors.delete(spark, dir, "Score:number", $"Score" < 3.0)
+    LakeSnapshots.commit(spark, dir) // v2
+    val got = spark.sql(
+      s"SELECT Score, m FROM table_changes('$dir', 'Score:number', 1, 2)")
+      .as[(Double, Long)].collect().toMap
+    assert(got == Map(0.0 -> -1L, 1.0 -> -1L, 2.0 -> -1L), got.toString)
+    // to-head default: (1, head] == (1, 2]
+    val toHead = spark.sql(
+      s"SELECT sum(m) FROM table_changes('$dir', 'Score:number', 1)")
+      .as[Long].head()
+    assert(toHead == -3L)
+    // bootstrap window 0 -> v2 nets to the live table
+    val boot = spark.sql(
+      s"SELECT count(*), sum(m) FROM table_changes('$dir', 'Score:number', 0, 2)")
+      .as[(Long, Long)].head()
+    assert(boot == ((7L, 7L)), boot.toString)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', 'Score:number')")
+        .collect()
+    }
+    assert(e.getMessage.contains("table_changes"), e.getMessage)
+  }
+
   test("the stream survives a restart from its checkpoint (offsets are " +
       "snapshot versions)") {
     val dir = Files.createTempDirectory("graft_cdcs4").toString + "/t"
