@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness for the q295-shaped lake-view lifecycle: per-
+  * phase wall times (seed write, delete, snapshot commits, each
+  * refresh) at one SF dir — run at sf0.1 / 10× / 100× to see which
+  * phase drives the decade ratios in SCALE.md. */
+object ProfileLakeView {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val out = java.nio.file.Files.createTempDirectory("graft_plv").toString + "/t"
+    val view = java.nio.file.Files.createTempDirectory("graft_plv").toString + "/v"
+    val types = "DocId:number,Chars:number,Lang:singleLineText"
+    val docs = graft.sources.Sources.readTable(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull)
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 9, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("n_chars").cast("double").as("Chars"),
+        col("lang").as("Lang"))
+    def refresh(tag: String) = t(s"refresh_$tag") {
+      graft.operators.LakeView.refreshAggregate(
+        spark, out, types, view, Seq("Lang"), Seq("Chars", "DocId"))
+    }
+    t("write_01")(docs.filter(col("DocId") % 3 < 2).coalesce(2)
+      .write.format("graft-records").option("path", out)
+      .mode("append").save())
+    t("snap1")(graft.operators.LakeSnapshots.commit(spark, out))
+    refresh("1")
+    t("delete")(graft.operators.DeletionVectors.delete(spark, out, types,
+      col("Chars") < 200))
+    t("snap2")(graft.operators.LakeSnapshots.commit(spark, out))
+    refresh("2")
+    t("write_2")(docs.filter(col("DocId") % 3 === 2).coalesce(1)
+      .write.format("graft-records").option("path", out)
+      .mode("append").save())
+    t("snap3")(graft.operators.LakeSnapshots.commit(spark, out))
+    refresh("3")
+    t("read_view")(graft.operators.LakeView.read(spark, view).count())
+    spark.stop()
+  }
+}

@@ -35,82 +35,31 @@ import graft.sources.v2.{DeletionVector, Snapshots}
   * the same deltas from snapshot metadata instead of rescans. */
 object LakeChangelog {
 
-  /** Driver-side bound on changed files per changelog read (the
-    * Stats.scala loud-cap discipline — the file-name list rides a read
-    * option). */
-  val MaxChangedFiles = 100000
-
   /** The signed changes from snapshot `fromV` to `toV` (live manifests;
     * `fromV = 0` is the bootstrap — "before the first snapshot", so the
     * delta is toV's full content as inserts): the table's columns plus
-    * `m`. */
+    * `m`.
+    *
+    * Delegates to the connector's CDC batch read
+    * ([[graft.sources.v2.RecordCdc]] — the `cdc=true` option): the
+    * manifest diff plans one partition per CHANGED file, each file's
+    * reader applies the frozen DV state and the DV-growth INCLUDE mask
+    * in place (binary search per ordinal) — cost strictly ∝ the delta.
+    * An earlier formulation joined base rows against the growth RANGES
+    * with a containment condition; scattered deletes make the range
+    * count ∝ deleted rows, so that join was QUADRATIC in the delta
+    * (rows × ranges — 100× data cost 400× in the round-11 probe) and
+    * was replaced by this per-file mask, which the streaming feed
+    * already used. */
   def changes(spark: SparkSession, path: String, fieldTypes: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    val m1 =
-      if (fromV == 0L) Snapshots.Manifest(0L, Seq.empty)
-      else Snapshots.load(fs, path, fromV)
-    val m2 = Snapshots.load(fs, path, toV)
-    val f1 = m1.files.toMap
-    val f2 = m2.files.toMap
-    val removed = (f1.keySet -- f2.keySet).toSeq.sorted
-    val added = (f2.keySet -- f1.keySet).toSeq.sorted
-    // retained files: positions deleted at v2 but not at v1, as ranges
-    val dvGrew = (f1.keySet & f2.keySet).toSeq.sorted.flatMap { n =>
-      val d2 = f2(n).map(DeletionVector.parse)
-      val d1 = f1(n).map(DeletionVector.parse)
-      d2 match {
-        case None => Seq.empty
-        case Some(v2) =>
-          val diff = subtractRanges(v2, d1)
-          diff.map { case (s, e) => (n, s, e) }
-      }
-    }
-    val changedCount = removed.length + added.length +
-      dvGrew.map(_._1).distinct.length
-    require(changedCount <= MaxChangedFiles,
-      s"changelog v$fromV→v$toV touches $changedCount files, over " +
-        s"MaxChangedFiles=$MaxChangedFiles — consume smaller snapshot " +
-        "windows (the changed-file list is driver-resident)")
-
-    def reader(v: Long, names: Seq[String]) = spark.read
-      .format("graft-records").option("path", path)
-      .option("fieldTypes", fieldTypes).option("versionAsOf", v.toString)
-      .option("fileSubset", names.mkString(","))
-      .load()
-
-    // template for empty branches (schema only; the manifest-pinned
-    // listing is metadata, and lit(false) prunes every row)
-    lazy val template = spark.read.format("graft-records")
+    val signed = spark.read.format("graft-records")
       .option("path", path).option("fieldTypes", fieldTypes)
-      .option("versionAsOf", toV.toString).load().where(lit(false))
-
-    val inserts =
-      if (added.isEmpty) template
-      else reader(toV, added)
-    val fileDeletes =
-      if (removed.isEmpty) template
-      else reader(fromV, removed)
-    val dvDeletes =
-      if (dvGrew.isEmpty) template
-      else {
-        import spark.implicits._
-        val ranges = broadcast(dvGrew.toDF("_cdc_name", "_cdc_s", "_cdc_e"))
-        val base = reader(fromV, dvGrew.map(_._1).distinct)
-        base.select(col("*"),
-            substring_index(col("_file"), "/", -1).as("_cdc_f"),
-            col("_pos").as("_cdc_p"))
-          .join(ranges, col("_cdc_f") === col("_cdc_name") &&
-            col("_cdc_p") >= col("_cdc_s") && col("_cdc_p") <= col("_cdc_e"))
-          .drop("_cdc_f", "_cdc_p", "_cdc_name", "_cdc_s", "_cdc_e")
-      }
-
-    val signed = inserts.withColumn("m", lit(1L))
-      .unionByName(fileDeletes.withColumn("m", lit(-1L)))
-      .unionByName(dvDeletes.withColumn("m", lit(-1L)))
+      .option("cdc", "true")
+      .option("startingVersion", fromV.toString)
+      .option("endingVersion", toV.toString)
+      .load()
     IncrementalAgg.consolidate(signed)
   }
 

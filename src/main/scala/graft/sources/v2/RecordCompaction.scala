@@ -72,13 +72,13 @@ object RecordCompaction {
     val readVersion = OptimisticCommit.head(fs, dir)
     OptimisticCommit.awaitApplied(fs, dir,
       OptimisticCommit.standardRecover(path, conf))
-    // orphaned staging (crash before its marker existed) is garbage —
-    // except staging a committed-but-unapplied entry still needs
-    val shielded = OptimisticCommit.protectedStaging(fs, dir)
-    fs.listStatus(dir).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("_staging-compact-"))
-      .filterNot(st => shielded.contains(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
+    // orphaned staging from a CRASHED run is debris, but sweeping it
+    // here is not this writer's call: a CONCURRENT compactor's
+    // pre-commit staging is indistinguishable from an orphan (its entry
+    // doesn't exist yet, so protectedStaging can't shield it), and the
+    // 16-writer chaos run caught this sweep deleting a live peer's
+    // stage mid-write. Debris collection belongs to Vacuum.clean, which
+    // quiesces first — a writer only ever touches ITS OWN staging.
 
     val listed = fs.listStatus(dir).filter(_.isFile)
       .filterNot(st => st.getPath.getName.startsWith("_") ||
