@@ -43,8 +43,13 @@ object LakeView {
   final case class JoinRefresh(fromLeft: Long, toLeft: Long,
       fromRight: Long, toRight: Long, deltaRows: Long)
 
-  private case class Pointer(gen: Long, dir: String,
-      marks: Map[String, Long])
+  /** A generation pointer: aggregate views name ONE state directory
+    * (`dir`); join views name one file path PER HASH BUCKET (`buckets`)
+    * — mostly inherited from earlier generations, so a refresh rewrites
+    * only the buckets its delta touched (the snapshot-manifest trick
+    * one level up). */
+  private case class Pointer(gen: Long, dir: Option[String],
+      buckets: Map[Int, String], marks: Map[String, Long])
 
   private val PtrPrefix = "_ptr-"
 
@@ -54,38 +59,51 @@ object LakeView {
         name.stripPrefix(PtrPrefix).stripSuffix(".json").toLong).toOption
     else None
 
+  private def parsePointer(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, g: Long): Pointer = {
+    val root = new ObjectMapper().readTree(
+      readFully(fs, new Path(dir, s"$PtrPrefix$g.json")))
+    import scala.jdk.CollectionConverters._
+    val marks = root.get("marks").fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+    val d = Option(root.get("dir")).filterNot(_.isNull).map(_.asText())
+    val buckets = Option(root.get("buckets")).filterNot(_.isNull)
+      .map(_.fields().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[Int, String])
+    Pointer(g, d, buckets, marks)
+  }
+
   private def readPointer(spark: SparkSession,
       viewPath: String): Option[Pointer] = {
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
-    val gens = fs.listStatus(dir).filter(_.isFile)
+    fs.listStatus(dir).filter(_.isFile)
       .flatMap(st => ptrGen(st.getPath.getName)).sorted
-    gens.lastOption.map { g =>
-      val root = new ObjectMapper().readTree(
-        readFully(fs, new Path(dir, s"$PtrPrefix$g.json")))
-      import scala.jdk.CollectionConverters._
-      val marks = root.get("marks").fields().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap
-      Pointer(g, root.get("dir").asText(), marks)
-    }
+      .lastOption.map(parsePointer(fs, dir, _))
   }
 
-  /** Land `state` as the next generation and flip the pointer
-    * atomically (temp-write + rename to a never-pre-existing name),
-    * then reclaim everything older than [[KeepGenerations]]. */
-  private def flip(spark: SparkSession, viewPath: String,
-      prev: Option[Pointer], marks: Map[String, Long],
-      state: DataFrame): Unit = {
-    val gen = prev.map(_.gen).getOrElse(0L) + 1L
-    val dataDir = s"data-g$gen"
-    state.write.mode("overwrite").parquet(s"$viewPath/$dataDir")
+  /** Atomically publish the pointer for `gen` (temp-write + rename to a
+    * never-pre-existing name), then reclaim state no live pointer
+    * references: retention is BY REFERENCE — the newest
+    * [[KeepGenerations]] pointers pin whole dirs (aggregate form) and
+    * individual bucket dirs (join form); a bucket dir an old generation
+    * wrote stays alive for as long as a live pointer inherits it. */
+  private def publish(spark: SparkSession, viewPath: String, gen: Long,
+      marks: Map[String, Long], dataDir: Option[String],
+      buckets: Map[Int, String]): Unit = {
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("gen", gen)
-    root.put("dir", dataDir)
+    dataDir match {
+      case Some(d) => root.put("dir", d)
+      case None =>
+        val b = root.putObject("buckets")
+        buckets.foreach { case (k, v) => b.put(k.toString, v) }
+    }
     val mnode = root.putObject("marks")
     marks.foreach { case (k, v) => mnode.put(k, v) }
     val tmp = new Path(dir, s".ptr-$gen.tmp")
@@ -96,19 +114,43 @@ object LakeView {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"view pointer flip failed: $tmp -> $dst (concurrent refresh?)")
-    // retention: keep the newest KeepGenerations pointers + their data
-    val live = fs.listStatus(dir).filter(_.isFile)
+
+    // retention by reference
+    val liveGens = fs.listStatus(dir).filter(_.isFile)
       .flatMap(st => ptrGen(st.getPath.getName)).sorted
       .takeRight(KeepGenerations).toSet
+    val refs: Set[String] = liveGens.flatMap { g =>
+      val p = parsePointer(fs, dir, g)
+      p.dir.toSeq ++ p.buckets.values
+    }
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      val stale =
-        ptrGen(n).exists(!live.contains(_)) ||
-        (st.isDirectory && n.startsWith("data-g") &&
-          scala.util.Try(n.stripPrefix("data-g").toLong).toOption
-            .exists(g => !live.contains(g) && g != gen))
-      if (stale) fs.delete(st.getPath, true)
+      if (ptrGen(n).exists(!liveGens.contains(_)))
+        fs.delete(st.getPath, false)
+      else if (st.isDirectory && n.startsWith("data-g")) {
+        if (!refs.contains(n)) {
+          // sweep unreferenced bucket subdirs; drop the dir when no
+          // referenced subdir survives
+          val anyRef = refs.exists(_.startsWith(n + "/"))
+          if (!anyRef) fs.delete(st.getPath, true)
+          else fs.listStatus(st.getPath).filter(_.isDirectory).foreach { sub =>
+            if (!refs.contains(s"$n/${sub.getPath.getName}"))
+              fs.delete(sub.getPath, true)
+          }
+        }
+      }
     }
+  }
+
+  /** Land `state` as the next generation (aggregate form: one whole
+    * directory) and flip the pointer. */
+  private def flip(spark: SparkSession, viewPath: String,
+      prev: Option[Pointer], marks: Map[String, Long],
+      state: DataFrame): Unit = {
+    val gen = prev.map(_.gen).getOrElse(0L) + 1L
+    val dataDir = s"data-g$gen"
+    state.write.mode("overwrite").parquet(s"$viewPath/$dataDir")
+    publish(spark, viewPath, gen, marks, Some(dataDir), Map.empty)
   }
 
   /** The view's current contents (aggregate views: `keyCols`, `n`, one
@@ -117,7 +159,10 @@ object LakeView {
     * `m`). Empty before the first refresh. */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     readPointer(spark, viewPath) match {
-      case Some(ptr) => spark.read.parquet(s"$viewPath/${ptr.dir}")
+      case Some(ptr) =>
+        val paths = ptr.dir.map(d => Seq(s"$viewPath/$d"))
+          .getOrElse(ptr.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
+        spark.read.parquet(paths: _*)
       case None => throw new IllegalStateException(
         s"no materialized view at $viewPath — refreshAggregate first")
     }
@@ -163,7 +208,10 @@ object LakeView {
       .agg(sum(col("m")).as("dn"),
         sumCols.map(c => sum(col("m") * col(c)).as(s"dsum_$c")): _*)
     val old = ptr match {
-      case Some(p) => spark.read.parquet(s"$viewPath/${p.dir}")
+      case Some(p) => spark.read.parquet(s"$viewPath/${p.dir.getOrElse(
+        throw new IllegalStateException(
+          s"$viewPath is a bucketed JOIN view — refreshAggregate cannot " +
+            "advance it"))}")
       case None =>
         val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
           sumCols.map(c => lit(0.0).as(s"sum_$c"))) ++
@@ -238,14 +286,24 @@ object LakeView {
     * metadata ([[LakeChangelog.changes]]). The old-side scans are
     * version-pinned (`versionAsOf` the previous watermark) and join a
     * small broadcast delta, so the source's runtime-filter pushdown
-    * prunes them to the keys that changed. Non-key columns of the two
-    * sides must be disjoint; `leftCols`/`rightCols` must include
-    * `keys`. NULL join keys never match (standard join semantics). */
+    * prunes them to the keys that changed.
+    *
+    * State is HASH-BUCKETED (`stateBuckets` by join key): a refresh
+    * rewrites ONLY the buckets its delta touches; untouched buckets
+    * carry forward BY REFERENCE in the generation pointer, so the
+    * materialization cost is ∝ |touched buckets' state|, never the
+    * whole view — the property that keeps a big join view refreshable
+    * at 100 TB. Bucket dirs are immutable once written (the atomic
+    * pointer flip + by-reference retention give the same crash story
+    * as the aggregate form). Non-key columns of the two sides must be
+    * disjoint; `leftCols`/`rightCols` must include `keys`. NULL join
+    * keys never match (standard join semantics). */
   def refreshJoin(spark: SparkSession, viewPath: String,
       leftPath: String, leftTypes: String, leftCols: Seq[String],
       rightPath: String, rightTypes: String, rightCols: Seq[String],
-      keys: Seq[String]): JoinRefresh = {
+      keys: Seq[String], stateBuckets: Int = 32): JoinRefresh = {
     require(keys.nonEmpty, "refreshJoin needs join keys")
+    require(stateBuckets >= 1, s"stateBuckets $stateBuckets must be >= 1")
     require(keys.forall(leftCols.contains) && keys.forall(rightCols.contains),
       s"join keys ${keys.mkString(",")} must appear in both column lists")
     val overlap = (leftCols.toSet & rightCols.toSet) -- keys.toSet
@@ -289,15 +347,59 @@ object LakeView {
     val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR)
     val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
       .localCheckpoint()
-    val oldState = ptr match {
-      case Some(p) => spark.read.parquet(s"$viewPath/${p.dir}")
-      case None => delta.limit(0)
-    }
-    val newState = IncrementalAgg.consolidate(
-      oldState.unionByName(delta))
     val deltaRows = delta.count()
-    flip(spark, viewPath, ptr,
-      Map("left" -> headL, "right" -> headR), newState)
+
+    val bucketExpr = pmod(xxhash64(keys.map(col): _*),
+      lit(stateBuckets.toLong)).cast("int")
+    val touched: Set[Int] = delta.select(bucketExpr.as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // old state restricted to the touched buckets — by construction a
+    // bucketed pointer's untouched buckets cannot change; a pre-bucketed
+    // (dir-form) pointer migrates by treating ALL its state as touched
+    val (oldTouched, inherited) = ptr match {
+      case Some(p) if p.dir.isDefined =>
+        (spark.read.parquet(s"$viewPath/${p.dir.get}"), Map.empty[Int, String])
+      case Some(p) =>
+        val paths = p.buckets.filter { case (k, _) => touched.contains(k) }
+          .values.toSeq.sorted.map(b => s"$viewPath/$b")
+        val old = if (paths.isEmpty) delta.limit(0)
+          else spark.read.parquet(paths: _*)
+        (old, p.buckets.filterNot { case (k, _) => touched.contains(k) })
+      case None => (delta.limit(0), Map.empty[Int, String])
+    }
+    // every delta row is in a touched bucket by construction, so the
+    // rewrite set is exactly: touched buckets' old state + the delta
+    val rewrite = IncrementalAgg.consolidate(oldTouched.unionByName(delta))
+    val gen = ptr.map(_.gen).getOrElse(0L) + 1L
+    val dataDir = s"data-g$gen"
+    // bucket-aligned repartition: ONE file per bucket dir (a scattered
+    // partitionBy would write files-per-task-per-bucket, and the next
+    // refresh pays the small-file tax reading them back)
+    rewrite.withColumn("_bucket", bucketExpr)
+      .repartition(math.min(stateBuckets, 200), col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite")
+      .parquet(s"$viewPath/$dataDir")
+    // what actually landed (a touched bucket whose rows all cancelled
+    // writes no dir and drops out of the pointer)
+    val fs = new Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val present = fs.listStatus(new Path(s"$viewPath/$dataDir"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_bucket="))
+      .map(n => n.stripPrefix("_bucket=").toInt)
+      .map(k => k -> s"$dataDir/_bucket=$k").toMap
+    val buckets = inherited ++ present
+    if (buckets.isEmpty) {
+      // empty view: land a schema-bearing empty bucket so read() keeps
+      // its shape
+      rewrite.limit(0).write.mode("overwrite")
+        .parquet(s"$viewPath/$dataDir/_bucket=-1")
+      publish(spark, viewPath, gen,
+        Map("left" -> headL, "right" -> headR), None,
+        Map(-1 -> s"$dataDir/_bucket=-1"))
+    } else
+      publish(spark, viewPath, gen,
+        Map("left" -> headL, "right" -> headR), None, buckets)
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 

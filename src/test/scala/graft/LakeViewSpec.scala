@@ -233,6 +233,78 @@ class LakeViewSpec extends SparkSpec {
     assert(refresh().deltaRows == 0L)
   }
 
+  test("join-view state is hash-bucketed: a single-key delta rewrites " +
+      "ONLY its bucket; untouched buckets carry forward by reference") {
+    val base = Files.createTempDirectory("graft_view8").toString
+    val lt = base + "/l"; val rt = base + "/r"; val view = base + "/v"
+    val ltypes = "K:number,Price:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    spark.range(0, 200).select(
+        concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        ($"id" % 40).cast("double").as("K"),
+        ($"id" * 10).cast("double").as("Price"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 40).select(
+        concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("s"), ($"id" % 4).cast("string")).as("Seg"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    LakeSnapshots.commit(spark, lt); LakeSnapshots.commit(spark, rt)
+    def refresh() = LakeView.refreshJoin(spark, view,
+      lt, ltypes, Seq("K", "Price"), rt, rtypes, Seq("K", "Seg"),
+      Seq("K"), stateBuckets = 16)
+    refresh() // bootstrap: every populated bucket written under gen 1
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(gen: Long): Seq[String] = {
+      val d = new Path(s"$view/data-g$gen")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("_bucket=")).toSeq.sorted
+    }
+    val gen1Buckets = bucketDirs(1)
+    assert(gen1Buckets.size > 4, s"bootstrap buckets: $gen1Buckets")
+    // delete ONE right-side key: the delta touches exactly one bucket
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 7.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh()
+    val gen2Buckets = bucketDirs(2)
+    assert(gen2Buckets.size <= 1,
+      s"single-key delta must rewrite at most one bucket: $gen2Buckets")
+    // gen-1 buckets survive (inherited by reference, and the previous
+    // pointer still pins them)
+    assert(bucketDirs(1).size >= gen1Buckets.size - 1)
+    // correctness: view == full recompute
+    def expectRows = {
+      val l = spark.read.format("graft-records")
+        .option("path", lt).option("fieldTypes", ltypes).load()
+        .select("K", "Price")
+      val r = spark.read.format("graft-records")
+        .option("path", rt).option("fieldTypes", rtypes).load()
+        .select("K", "Seg")
+      l.join(r, "K").groupBy("Seg")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+        .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    }
+    def gotRows = LakeView.read(spark, view).groupBy("Seg")
+      .agg(sum($"m").as("n"), sum($"m" * $"Price").as("p"))
+      .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    assert(gotRows == expectRows)
+    // two more single-key refreshes: retention (keep 2 generations of
+    // POINTERS) must never reclaim an inherited gen-1 bucket a live
+    // pointer still references
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 11.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh()
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 23.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh()
+    assert(bucketDirs(1).nonEmpty,
+      "inherited gen-1 buckets must survive by-reference retention")
+    assert(gotRows == expectRows)
+  }
+
   test("chaos: readers racing refreshes never observe a torn pointer " +
       "or a reclaimed state directory") {
     val dir = Files.createTempDirectory("graft_view7").toString + "/t"
