@@ -932,6 +932,48 @@ private[graft] object ParityQueries {
       out
     }),
 
+    "q300_parquet_agg_stats" -> ((s, dir) => {
+      // aggregate pushdown over the parquet tier: the PRE phase (no
+      // filters, no deletion vectors) answers count(*), count(col), and
+      // numeric min/max entirely from FOOTER STATISTICS — zero pages
+      // decoded (ParquetRecordsSpec pins the metric); the POST phase
+      // runs after a DV delete, which makes stats unsafe, so the reader
+      // falls back to decode-and-fold. Both phases must match the
+      // oracle's recompute: a stats path that miscounts nulls, trusts a
+      // stale extremum, or ignores the DV breaks a row.
+      val out = scratchPath(dir, "q300_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val docs = rd(s, dir, "documents").select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("n_chars").cast("double").as("Chars"),
+        col("lang").as("Lang")) // Lang NULLs survive into the lake
+      Seq(0, 1, 2).foreach { k =>
+        docs.filter(col("DocId") % 3 === k).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .option("dataFormat", "parquet").mode("append").save()
+      }
+      def rdOut = s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).option("dataFormat", "parquet").load()
+      def aggOf(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            count(col("Lang")).as("n_lang"),
+            min(col("Chars")).cast("long").as("min_chars"),
+            max(col("Chars")).cast("long").as("max_chars"),
+            max(col("DocId")).cast("long").as("max_id"))
+          .select(lit(phase).as("phase"), col("n_docs"), col("n_lang"),
+            col("min_chars"), col("max_chars"), col("max_id"))
+      val pre = aggOf(rdOut, "pre").localCheckpoint()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      val post = aggOf(rdOut, "zpost").localCheckpoint()
+      pre.unionByName(post).orderBy("phase")
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2363,6 +2405,24 @@ private[graft] object ParityQueries {
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes both phases; the engine's PRE phase answers
+    // from footer statistics alone and the POST phase decode-folds
+    // around the deletion vector
+    "q300_parquet_agg_stats" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents),
+        |pre AS (SELECT 'pre' AS phase, COUNT(*) AS n_docs,
+        |    COUNT(lang) AS n_lang,
+        |    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |    CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |  FROM base),
+        |post AS (SELECT 'zpost' AS phase, COUNT(*), COUNT(lang),
+        |    CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
+        |    CAST(MAX(doc_id) AS BIGINT)
+        |  FROM base WHERE NOT coalesce(n_chars < 200, FALSE))
+        |SELECT * FROM pre UNION ALL SELECT * FROM post
+        |ORDER BY 1""".stripMargin,
 
     // both TVF windows recomputed from the predicates: the bootstrap
     // window is the insert wave (+1 per live-at-v1 row), the delete

@@ -550,15 +550,11 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     * partition order. Partial pushdown only (`supportCompletePushDown`
     * stays false): each partition emits pre-aggregated rows and Spark
     * runs the final merge, so multi-file tables stay correct. */
-  // the parquet reader evaluates filters and prunes row groups but
-  // does not compute pushed aggregates — gate the pushdown off so the
-  // plan keeps Spark's own aggregation (correct, still pruned). The
-  // table option short-circuits; otherwise one listing at planning
-  // detects parquet files, so un-optioned reads of columnar/mixed
-  // directories stay correct rather than failing loudly at execution.
-  private lazy val aggPushable: Boolean = dataFormat != "parquet" &&
-    !RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
-      .exists(_.endsWith(ParquetRecords.Extension))
+  // both tiers fold pushed aggregates in-reader (JSONL:
+  // RecordPartitionReader.buildAgg; parquet: ParquetAggPartitionReader,
+  // with a footer-stats fast path), so mixed directories merge partials
+  // uniformly and the pushdown needs no format gate
+  private lazy val aggPushable: Boolean = true
 
   override def pushAggregation(aggregation:
       org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -1130,15 +1126,17 @@ private[v2] class RecordReaderFactory(readSchema: StructType, fullSchema: Struct
     if (file.endsWith(ParquetRecords.Extension)) {
       // the columnar tier: pushed LIMIT/TopN are declared partial, so a
       // reader that returns all matching rows is correct (Spark
-      // re-applies the global step); pushed AGGREGATES are gated off by
-      // dataFormat=parquet at planning — reaching here with one means a
-      // mixed directory was read without declaring the format
-      if (agg.isDefined) throw new IllegalStateException(
-        s"graft-records: aggregate pushdown reached parquet file $file — " +
-          "declare dataFormat=parquet on the table/read so planning " +
-          "gates the pushdown off")
-      new ParquetRecordPartitionReader(file, readSchema, fullSchema, conf,
-        filters, mode, dvOverrides, former)
+      // re-applies the global step); pushed AGGREGATES fold in-reader —
+      // footer-stats fast path when no filters/DV/groups, decode
+      // fallback otherwise (ParquetAgg)
+      agg match {
+        case Some(spec) =>
+          new ParquetAggPartitionReader(file, readSchema, fullSchema,
+            conf, filters, spec, mode, dvOverrides, former)
+        case None =>
+          new ParquetRecordPartitionReader(file, readSchema, fullSchema,
+            conf, filters, mode, dvOverrides, former)
+      }
     } else new RecordPartitionReader(file, readSchema, fullSchema,
       conf, filters, topN, limit, agg, mode, dvOverrides, former)
 

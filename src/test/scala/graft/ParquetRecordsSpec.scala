@@ -144,7 +144,7 @@ class ParquetRecordsSpec extends SparkSpec {
   }
 
   test("mixed directory: jsonl and parquet files read together; " +
-      "aggregate pushdown is gated off for parquet tables") {
+      "aggregate pushdown folds partials in BOTH tiers uniformly") {
     val dir = Files.createTempDirectory("graft_pq5").toString + "/t"
     mkRows(10).coalesce(1).write.format("graft-records")
       .option("path", dir).mode("append").save() // jsonl
@@ -152,13 +152,44 @@ class ParquetRecordsSpec extends SparkSpec {
     val all = read(dir)
     assert(all.count() == 20L)
     assert(all.agg(sum($"Score")).as[Double].head() == (0 until 20).sum.toDouble)
-    // dataFormat=parquet scan: no PushedAggregation in the plan, and
-    // the aggregate is still computed correctly by Spark
+    // grouped pushdown: each tier's reader emits per-file partials,
+    // Spark merges them — the plan shows the push, the result is exact
     val agg = read(dir).groupBy($"Flag").agg(count(lit(1)).as("n"))
-    assert(!agg.queryExecution.executedPlan.toString
-      .contains("PushedAggregation"), "agg pushdown must gate off")
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "agg must push into both tiers")
     assert(agg.orderBy($"Flag").as[(Boolean, Long)].collect().toSeq ==
       Seq((false, 10L), (true, 10L)))
+  }
+
+  test("parquet aggregate pushdown: global count/min/max answer from " +
+      "FOOTER STATS (zero pages); filters/DV/groups take the decode path") {
+    val dir = Files.createTempDirectory("graft_pq9").toString + "/t"
+    write(dir, mkRows(500))
+    write(dir, mkRows(1000).filter($"Score" >= 500))
+    def agg = read(dir).agg(count(lit(1)).as("n"),
+      count($"Name").as("ng"), min($"Score").as("mn"), max($"Score").as("mx"))
+    RecordSourceMetrics.rowGroupsRead.set(0L)
+    val (n, ng, mn, mx) = agg.as[(Long, Long, Double, Double)].head()
+    assert((n, ng, mn, mx) == ((1000L, 1000L, 0.0, 999.0)))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "global agg must push")
+    assert(RecordSourceMetrics.rowGroupsRead.get() == 0L,
+      "footer-stats aggregation must not decode any row group")
+    // string min/max: truncatable binary stats -> decode path, exact
+    val ids = read(dir).agg(min($"_record_id"), max($"_record_id"))
+      .as[(String, String)].head()
+    assert(ids == (("r0000", "r0999")))
+    // a DV makes stats unsafe: falls back to decode and stays exact
+    DeletionVectors.delete(spark, dir, types, $"Score" === 999.0 ||
+      $"Score" === 0.0)
+    val (n2, mn2, mx2) = read(dir)
+      .agg(count(lit(1)), min($"Score"), max($"Score"))
+      .as[(Long, Double, Double)].head()
+    assert((n2, mn2, mx2) == ((998L, 1.0, 998.0)))
+    // grouped aggregates decode and stay exact
+    val grouped = read(dir).groupBy($"Flag").agg(count(lit(1)).as("c"))
+      .orderBy($"Flag").as[(Boolean, Long)].collect().toSeq
+    assert(grouped == Seq((false, 499L), (true, 499L)))
   }
 
   test("parquet compaction merges by ROW COPY, same-schema only, " +
