@@ -19,15 +19,26 @@ object Bench {
     // because warning spam (plan-truncation notices over a huge expression
     // tree) interleaved with stdout in the merged capture
     spark.sparkContext.setLogLevel("ERROR")
-    // SPARK_GRAFT_SETTLE_SECONDS: optional pre-timing settle so the sbt
-    // launcher's own startup burst (project load pushes the 1-min load
-    // avg to ~3 for a moment) decays before the first timed query — the
-    // early-alphabet queries otherwise absorb it and read as phantom
-    // regressions (compare_bench's --max-load catches the symptom; this
-    // removes the cause for in-repo runs)
-    sys.env.get("SPARK_GRAFT_SETTLE_SECONDS").map(_.toInt).foreach { s =>
-      System.err.println(s"[bench] settling ${s}s before timing")
-      Thread.sleep(s * 1000L)
+    // Pre-timing settle: the sbt launcher's own startup burst pushes the
+    // 1-min load avg to ~3 for a moment, and the early-alphabet queries
+    // absorb it as phantom 2-4x regressions (compare_bench's --max-load
+    // catches the symptom; this removes the cause). Default is ADAPTIVE:
+    // wait until the 1-min load decays below 1.0 (cap 120s) — a fixed
+    // SPARK_GRAFT_SETTLE_SECONDS overrides; 0 disables.
+    def load1m: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    sys.env.get("SPARK_GRAFT_SETTLE_SECONDS").map(_.toInt) match {
+      case Some(s) =>
+        if (s > 0) {
+          System.err.println(s"[bench] settling ${s}s before timing")
+          Thread.sleep(s * 1000L)
+        }
+      case None =>
+        val deadline = System.currentTimeMillis + 120000L
+        while (load1m >= 1.0 && System.currentTimeMillis < deadline) {
+          System.err.println(f"[bench] load ${load1m}%.2f — settling")
+          Thread.sleep(5000L)
+        }
     }
     // AMBIENT load, sampled BEFORE the bench's own local[32] work exists
     // (but after the settle): this is the contention evidence a reader
