@@ -937,8 +937,9 @@ private[graft] object ParityQueries {
       // filters, no deletion vectors) answers count(*), count(col), and
       // numeric min/max entirely from FOOTER STATISTICS — zero pages
       // decoded (ParquetRecordsSpec pins the metric); the POST phase
-      // runs after a DV delete, which makes stats unsafe, so the reader
-      // falls back to decode-and-fold. Both phases must match the
+      // runs after a DV delete, which REJECTS the pushdown at planning
+      // (stats can't see deleted rows), so the vectorized columnar scan
+      // + Spark's aggregate answer it. Both phases must match the
       // oracle's recompute: a stats path that miscounts nulls, trusts a
       // stale extremum, or ignores the DV breaks a row.
       val out = scratchPath(dir, "q300_records")

@@ -550,17 +550,51 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     * partition order. Partial pushdown only (`supportCompletePushDown`
     * stays false): each partition emits pre-aggregated rows and Spark
     * runs the final merge, so multi-file tables stay correct. */
-  // both tiers fold pushed aggregates in-reader (JSONL:
-  // RecordPartitionReader.buildAgg; parquet: ParquetAggPartitionReader,
-  // with a footer-stats fast path), so mixed directories merge partials
-  // uniformly and the pushdown needs no format gate
-  private lazy val aggPushable: Boolean = true
+  // Both tiers fold pushed aggregates in-reader (JSONL:
+  // RecordPartitionReader.buildAgg; parquet: ParquetAggPartitionReader).
+  // For JSONL any accepted shape wins (folding beats parsing every
+  // field of every record). For PARQUET the pushdown is accepted ONLY
+  // when the footer-stats fast path can answer it — global (no group
+  // columns), no pushed filters, no deletion vectors, stats-safe ops —
+  // because for every other shape the VECTORIZED columnar scan +
+  // Spark's codegen aggregate beats a row-materializing in-reader fold
+  // (the same reasoning behind Spark's own parquet aggregate pushdown
+  // accepting only global MIN/MAX/COUNT). The reader still carries a
+  // decode fallback for races (a DV landing between planning and
+  // execution) and stats-less files.
+  private lazy val parquetPresent: Boolean = dataFormat == "parquet" ||
+    RecordScan.listDataFiles(path, RecordSource.confFrom(confProps))
+      .exists(_.endsWith(ParquetRecords.Extension))
+
+  /** Any deletion-vector state visible to this scan (live sidecars, or
+    * the pinned manifest's inline DVs for a versionAsOf read) — checked
+    * at planning; the reader re-checks at execution. */
+  private def anyDeletionVectors: Boolean = {
+    val conf = RecordSource.confFrom(confProps)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    versionAsOf match {
+      case Some(v) => Snapshots.load(fs, path, v).files.exists(_._2.isDefined)
+      case None =>
+        val dvDir = new org.apache.hadoop.fs.Path(dir, DeletionVector.Dir)
+        fs.exists(dvDir) && fs.listStatus(dvDir).exists(_.isFile)
+    }
+  }
+
+  private def parquetAggOk(spec: PushedAggSpec): Boolean =
+    spec.groupCols.isEmpty && pushed.isEmpty &&
+      spec.aggs.forall {
+        case PushedAggCol("count_star", _) | PushedAggCol("count", _) => true
+        case PushedAggCol(_, f) => fullSchema(f).dataType match {
+          case DoubleType | BooleanType | TimestampType | DateType => true
+          case _ => false // string extrema: truncatable binary stats
+        }
+      } && !anyDeletionVectors
 
   override def pushAggregation(aggregation:
       org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (!aggPushable) return false
     if (rowLevelFiles.isDefined) return false
     if (topN.nonEmpty || limit.nonEmpty) return false
     def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -580,6 +614,7 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     }
     if (cols.exists(_.isEmpty)) return false
     val spec = PushedAggSpec(groups.map(_.get), cols.map(_.get))
+    if (parquetPresent && !parquetAggOk(spec)) return false
     // scan output convention (V2ScanRelationPushDown zips positionally):
     // group columns first, then one column per aggregate — counts are
     // non-null longs, min/max carry the field's type

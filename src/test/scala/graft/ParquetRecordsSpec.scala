@@ -144,7 +144,7 @@ class ParquetRecordsSpec extends SparkSpec {
   }
 
   test("mixed directory: jsonl and parquet files read together; " +
-      "aggregate pushdown folds partials in BOTH tiers uniformly") {
+      "GROUPED aggregates keep the vectorized scan, GLOBAL ones push") {
     val dir = Files.createTempDirectory("graft_pq5").toString + "/t"
     mkRows(10).coalesce(1).write.format("graft-records")
       .option("path", dir).mode("append").save() // jsonl
@@ -152,13 +152,20 @@ class ParquetRecordsSpec extends SparkSpec {
     val all = read(dir)
     assert(all.count() == 20L)
     assert(all.agg(sum($"Score")).as[Double].head() == (0 until 20).sum.toDouble)
-    // grouped pushdown: each tier's reader emits per-file partials,
-    // Spark merges them — the plan shows the push, the result is exact
+    // a GROUPED aggregate with parquet present is deliberately NOT
+    // pushed: the columnar scan + codegen aggregate beats an in-reader
+    // row fold (Spark's own parquet pushdown draws the same line)
     val agg = read(dir).groupBy($"Flag").agg(count(lit(1)).as("n"))
-    assert(agg.queryExecution.executedPlan.toString
-      .contains("PushedAggregation"), "agg must push into both tiers")
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "grouped agg over parquet must keep the vectorized scan")
     assert(agg.orderBy($"Flag").as[(Boolean, Long)].collect().toSeq ==
       Seq((false, 10L), (true, 10L)))
+    // a GLOBAL stats-answerable aggregate pushes (both tiers fold)
+    val g = read(dir).agg(count(lit(1)), max($"Score"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "global agg must push")
+    assert(g.as[(Long, Double)].head() == ((20L, 19.0)))
   }
 
   test("parquet aggregate pushdown: global count/min/max answer from " +
