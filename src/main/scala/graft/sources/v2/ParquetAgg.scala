@@ -102,8 +102,19 @@ private[v2] class ParquetAggPartitionReader(file: String,
                 else {
                   val v: Any = cc.getPrimitiveType.getPrimitiveTypeName match {
                     case DOUBLE =>
-                      (if (op == "min") st.genericGetMin else st.genericGetMax)
-                        .asInstanceOf[java.lang.Double]
+                      // parquet-java folds double stats via Math.min/max:
+                      // one NaN row poisons both bounds to NaN, but under
+                      // Spark's NaN-greatest order the true min is the
+                      // smallest NON-NaN value — a NaN bound is not an
+                      // answer, so the decode path must answer. -0.0 is
+                      // normalized on adoption (Spark: -0.0 == 0.0),
+                      // matching dblCmp's comparison-side trick.
+                      val mn = st.genericGetMin.asInstanceOf[java.lang.Double]
+                      val mx = st.genericGetMax.asInstanceOf[java.lang.Double]
+                      if (mn.isNaN || mx.isNaN) return None
+                      java.lang.Double.valueOf(
+                        (if (op == "min") mn.doubleValue else mx.doubleValue)
+                          + 0.0d)
                     case BOOLEAN =>
                       (if (op == "min") st.genericGetMin else st.genericGetMax)
                         .asInstanceOf[java.lang.Boolean]

@@ -212,15 +212,30 @@ private[graft] object ParquetRecords {
               ZoneMap.FieldStats(null, null, b.getRowCount))
           else None
         } else {
-          val conv: Any => Any = cc.getPrimitiveType.getPrimitiveTypeName match {
+          val tn = cc.getPrimitiveType.getPrimitiveTypeName
+          val conv: Any => Any = tn match {
             case BINARY => v =>
               v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-            case DOUBLE | BOOLEAN => identity
+            // -0.0 normalized on adoption so the zone bound sorts exactly
+            // like dblCmp (Spark's -0.0 == 0.0)
+            case DOUBLE => v => java.lang.Double.valueOf(
+              v.asInstanceOf[java.lang.Double].doubleValue + 0.0d)
+            case BOOLEAN => identity
             case INT64 => identity
             case INT32 => identity
             case _ => null
           }
-          if (conv == null) None
+          // parquet-java folds double stats with Math.min/Math.max, so a
+          // single NaN row poisons BOTH bounds to NaN — under Spark's
+          // NaN-greatest order a NaN min is a lie (the true min is the
+          // smallest non-NaN value) and pruning on it would drop live
+          // blocks. No stats for the field → the block is kept.
+          def nanPoisoned: Boolean = tn == DOUBLE && {
+            val mn = st.genericGetMin().asInstanceOf[java.lang.Double]
+            val mx = st.genericGetMax().asInstanceOf[java.lang.Double]
+            mn.isNaN || mx.isNaN
+          }
+          if (conv == null || nanPoisoned) None
           else Some(logicalName(wire) -> ZoneMap.FieldStats(
             conv(st.genericGetMin()), conv(st.genericGetMax()),
             st.getNumNulls))

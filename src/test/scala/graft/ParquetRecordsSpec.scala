@@ -199,6 +199,60 @@ class ParquetRecordsSpec extends SparkSpec {
     assert(grouped == Seq((false, 499L), (true, 499L)))
   }
 
+  test("NaN-poisoned footer stats: parquet-java folds double min/max " +
+      "with Math.min/max, so one NaN poisons both bounds — the stats " +
+      "agg path must refuse and row-group pruning must keep the block") {
+    val dir = Files.createTempDirectory("graft_pqnan").toString + "/t"
+    // Score = id, except every id % 100 == 7 is NaN; tiny row groups so
+    // MANY groups carry a NaN (their footer min/max are both NaN)
+    val rows = spark.range(0, 2000).select(
+      concat(lit("r"), lpad($"id".cast("string"), 4, "0")).as("_record_id"),
+      when($"id" % 100 === 7, lit(Double.NaN))
+        .otherwise($"id".cast("double")).as("Score"))
+    rows.coalesce(1).write.format("graft-records")
+      .option("path", dir).option("dataFormat", "parquet")
+      .option("parquetRowGroupBytes", "4096").mode("append").save()
+    def rd = spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", "Score:number").option("dataFormat", "parquet")
+      .load()
+    // pruned scan bit-matches the filter semantics: Score < 50 keeps the
+    // 49 non-NaN rows even though their row group's footer min is NaN
+    // (pre-fix, the poisoned zone pruned the whole group)
+    val under50 = rd.filter($"Score" < 50).select($"_record_id")
+      .as[String].collect().sorted.toSeq
+    assert(under50.length == 49 && under50.head == "r0000" &&
+      !under50.contains("r0007"), s"got ${under50.length} rows")
+    // NaN sorts GREATEST in Spark: Score > 1990 admits every NaN row
+    assert(rd.filter($"Score" > 1990).count() == 9L + 20L)
+    // pushed global agg refuses the poisoned stats path and answers
+    // from data: min is the smallest NON-NaN value, max is NaN
+    RecordSourceMetrics.rowGroupsRead.set(0L)
+    val agg = rd.agg(count(lit(1)).as("n"), min($"Score").as("mn"),
+      max($"Score").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "global agg must still push")
+    val (n, mn, mx) = agg.as[(Long, Double, Double)].head()
+    assert(n == 2000L && mn == 0.0 && mx.isNaN, s"($n, $mn, $mx)")
+    assert(RecordSourceMetrics.rowGroupsRead.get() > 0L,
+      "NaN-poisoned stats must fall to the decode path")
+    // -0.0 in footer stats is normalized on adoption (Spark: -0.0 == 0.0)
+    // and the CLEAN file still answers min/max from the footer alone
+    val dir2 = Files.createTempDirectory("graft_pqnan2").toString + "/t"
+    spark.range(0, 10).select(
+        concat(lit("z"), $"id".cast("string")).as("_record_id"),
+        when($"id" === 0, lit(-0.0d))
+          .otherwise($"id".cast("double")).as("Score"))
+      .coalesce(1).write.format("graft-records").option("path", dir2)
+      .option("dataFormat", "parquet").mode("append").save()
+    RecordSourceMetrics.rowGroupsRead.set(0L)
+    val mn2 = spark.read.format("graft-records").option("path", dir2)
+      .option("fieldTypes", "Score:number").option("dataFormat", "parquet")
+      .load().agg(min($"Score")).as[Double].head()
+    assert(mn2 == 0.0 && 1.0 / mn2 > 0, s"footer -0.0 must adopt as +0.0, got $mn2")
+    assert(RecordSourceMetrics.rowGroupsRead.get() == 0L,
+      "clean doubles must keep the zero-page stats path")
+  }
+
   test("parquet compaction merges by ROW COPY, same-schema only, " +
       "never mixing with jsonl") {
     val dir = Files.createTempDirectory("graft_pq6").toString + "/t"
