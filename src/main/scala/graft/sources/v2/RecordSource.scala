@@ -664,8 +664,14 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
 
   /** The scan's candidate data files (full paths): the row-level
     * operation's frozen group set, a snapshot's frozen set, or the live
-    * listing. */
-  private def candidateFiles: Array[String] = {
+    * listing. CACHED for the scan's lifetime: columnar eligibility,
+    * partition planning, statistics, and cluster grouping must all see
+    * ONE consistent file set (a non-parquet file committed between two
+    * live listings would be planned into a scan that already promised
+    * columnar reads), and one scan should pay the commit-log settle
+    * loop once, not once per consumer. A Scan is created per query
+    * plan, so the freeze is exactly snapshot-at-plan semantics. */
+  private lazy val candidateFiles: Array[String] = {
     val base = rowLevelFiles match {
       case Some(fs) => fs.toArray
       case None => snapshot match {
