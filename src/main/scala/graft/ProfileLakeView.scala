@@ -58,6 +58,47 @@ object ProfileLakeView {
     t("snap3")(graft.operators.LakeSnapshots.commit(spark, out))
     refresh("3")
     t("read_view")(graft.operators.LakeView.read(spark, view).count())
+
+    // ---- q297-shaped JOIN view ------------------------------------
+    val base = java.nio.file.Files.createTempDirectory("graft_plvj").toString
+    val lt = s"$base/l"; val rt = s"$base/r"; val jview = s"$base/v"
+    val ltypes = "OKey:number,CKey:number,Price:number"
+    val rtypes = "CKey:number,Seg:singleLineText"
+    val orders = graft.sources.Sources.readTable(spark, sfDir, "orders")
+      .select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+    val cust = graft.sources.Sources.readTable(spark, sfDir, "customer")
+      .select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+        col("c_custkey").cast("double").as("CKey"),
+        col("c_mktsegment").as("Seg"))
+    def jrefresh(tag: String) = t(s"jrefresh_$tag") {
+      graft.operators.LakeView.refreshJoin(spark, jview,
+        lt, ltypes, Seq("CKey", "OKey", "Price"),
+        rt, rtypes, Seq("CKey", "Seg"), Seq("CKey"))
+    }
+    t("jwrite_1")(orders.filter(col("OKey") % 3 < 2).coalesce(2)
+      .write.format("graft-records").option("path", lt).mode("append").save())
+    t("jwrite_r")(cust.coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save())
+    t("jsnap_1") {
+      graft.operators.LakeSnapshots.commit(spark, lt)
+      graft.operators.LakeSnapshots.commit(spark, rt)
+    }
+    jrefresh("1")
+    t("jwrite_2")(orders.filter(col("OKey") % 3 === 2).coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save())
+    t("jsnap_2")(graft.operators.LakeSnapshots.commit(spark, lt))
+    jrefresh("2")
+    t("jdelete")(graft.operators.DeletionVectors.delete(spark, rt, rtypes,
+      col("CKey") % 5 === 0))
+    t("jsnap_3")(graft.operators.LakeSnapshots.commit(spark, rt))
+    jrefresh("3")
+    jrefresh("idle")
+    t("jread_view")(graft.operators.LakeView.read(spark, jview).count())
     spark.stop()
   }
 }

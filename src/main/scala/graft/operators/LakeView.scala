@@ -43,13 +43,30 @@ object LakeView {
   final case class JoinRefresh(fromLeft: Long, toLeft: Long,
       fromRight: Long, toRight: Long, deltaRows: Long)
 
+  /** `stateBuckets` sentinel: pick the modulus adaptively — ONE bucket
+    * while the state is small (bucket machinery is pure overhead at toy
+    * scale: 16+ dirs, 16+ files, 16+ read tasks for kilobytes), growing
+    * to [[DefaultBuckets]] once the bootstrap delta reaches
+    * [[AutoBucketRows]] rows or the persisted state reaches
+    * [[AutoBucketBytes]] — the scale where ∝-touched-bucket refreshes
+    * start paying for themselves. A modulus change migrates by treating
+    * every bucket as touched (one full rewrite), then sticks. */
+  val AutoBuckets = 0
+  val DefaultBuckets = 32
+  val AutoBucketRows: Long = 1L << 20
+  val AutoBucketBytes: Long = 64L << 20
+
   /** A generation pointer: aggregate views name ONE state directory
     * (`dir`); join views name one file path PER HASH BUCKET (`buckets`)
     * — mostly inherited from earlier generations, so a refresh rewrites
     * only the buckets its delta touched (the snapshot-manifest trick
-    * one level up). */
+    * one level up). `mod` records the hash modulus the bucket paths
+    * were written under: inherited buckets only net against deltas
+    * hashed with the SAME modulus, so a refresh under a different one
+    * must migrate (rewrite everything) rather than silently mix. */
   private case class Pointer(gen: Long, dir: Option[String],
-      buckets: Map[Int, String], marks: Map[String, Long])
+      buckets: Map[Int, String], marks: Map[String, Long],
+      mod: Option[Int])
 
   private val PtrPrefix = "_ptr-"
 
@@ -71,7 +88,9 @@ object LakeView {
       .map(_.fields().asScala
         .map(e => e.getKey.toInt -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[Int, String])
-    Pointer(g, d, buckets, marks)
+    val mod = Option(root.get("stateBuckets")).filterNot(_.isNull)
+      .map(_.asInt())
+    Pointer(g, d, buckets, marks, mod)
   }
 
   private def readPointer(spark: SparkSession,
@@ -92,7 +111,7 @@ object LakeView {
     * wrote stays alive for as long as a live pointer inherits it. */
   private def publish(spark: SparkSession, viewPath: String, gen: Long,
       marks: Map[String, Long], dataDir: Option[String],
-      buckets: Map[Int, String]): Unit = {
+      buckets: Map[Int, String], mod: Option[Int] = None): Unit = {
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new ObjectMapper()
@@ -104,6 +123,7 @@ object LakeView {
         val b = root.putObject("buckets")
         buckets.foreach { case (k, v) => b.put(k.toString, v) }
     }
+    mod.foreach(m => root.put("stateBuckets", m))
     val mnode = root.putObject("marks")
     marks.foreach { case (k, v) => mnode.put(k, v) }
     val tmp = new Path(dir, s".ptr-$gen.tmp")
@@ -204,9 +224,12 @@ object LakeView {
     if (head == from) return Refresh(from, head, 0L)
 
     val delta = LakeChangelog.changes(spark, tablePath, fieldTypes, from, head)
+    // checkpointed: the folded delta feeds the merge join, the touched-
+    // group semi join, AND the changed-count — one CDC read, not three
     val deltaAgg = delta.groupBy(keyCols.map(col): _*)
       .agg(sum(col("m")).as("dn"),
         sumCols.map(c => sum(col("m") * col(c)).as(s"dsum_$c")): _*)
+      .localCheckpoint()
     val old = ptr match {
       case Some(p) => spark.read.parquet(s"$viewPath/${p.dir.getOrElse(
         throw new IllegalStateException(
@@ -297,13 +320,23 @@ object LakeView {
     * pointer flip + by-reference retention give the same crash story
     * as the aggregate form). Non-key columns of the two sides must be
     * disjoint; `leftCols`/`rightCols` must include `keys`. NULL join
-    * keys never match (standard join semantics). */
+    * keys never match (standard join semantics).
+    *
+    * `stateBuckets` defaults to [[AutoBuckets]] (adaptive: 1 bucket
+    * while small, [[DefaultBuckets]] once the state crosses the
+    * documented thresholds); an explicit value pins the modulus. Either
+    * way the modulus in force is RECORDED in the generation pointer:
+    * a later refresh under a different modulus migrates by treating
+    * every inherited bucket as touched — mixing moduli would hash a
+    * key's old +1 rows and its new −1 delta into different buckets,
+    * where they silently never net. */
   def refreshJoin(spark: SparkSession, viewPath: String,
       leftPath: String, leftTypes: String, leftCols: Seq[String],
       rightPath: String, rightTypes: String, rightCols: Seq[String],
-      keys: Seq[String], stateBuckets: Int = 32): JoinRefresh = {
+      keys: Seq[String], stateBuckets: Int = AutoBuckets): JoinRefresh = {
     require(keys.nonEmpty, "refreshJoin needs join keys")
-    require(stateBuckets >= 1, s"stateBuckets $stateBuckets must be >= 1")
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
     require(keys.forall(leftCols.contains) && keys.forall(rightCols.contains),
       s"join keys ${keys.mkString(",")} must appear in both column lists")
     val overlap = (leftCols.toSet & rightCols.toSet) -- keys.toSet
@@ -335,30 +368,76 @@ object LakeView {
         else reader.option("versionAsOf", w.toString).load()
           .select(cols.map(col): _*).withColumn("m", lit(1L))
       // the signed delta, projected to the view's columns (projection
-      // of a Z-relation sums multiplicities: consolidate re-nets)
+      // of a Z-relation sums multiplicities). Netting BEFORE the
+      // bilinear join is pure optimization — the algebra is linear and
+      // the final consolidate nets regardless — so the extra shuffle is
+      // paid only for multi-version catch-up windows, where churn
+      // across versions can actually cancel; a single-version window
+      // (the steady refresh cadence) feeds the join raw.
       val d =
         if (head == w) old.where(lit(false))
-        else IncrementalAgg.consolidate(
-          LakeChangelog.changes(spark, path, types, w, head)
-            .select((cols.map(col) :+ col("m")): _*))
+        else {
+          val raw = LakeChangelog.changes(spark, path, types, w, head)
+            .select((cols.map(col) :+ col("m")): _*)
+          if (head - w > 1) IncrementalAgg.consolidate(raw) else raw
+        }
       (old, d)
     }
     val (oldL, dL) = side(leftPath, leftTypes, leftCols, wl, headL)
     val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR)
     val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
       .localCheckpoint()
-    val deltaRows = delta.count()
 
+    val fs = new Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // ONE job computes the delta row count AND the touched-bucket set:
+    // per-bucket counts under the modulus that WILL apply if no
+    // migration happens (migration paths below never consult `touched`
+    // — they treat all state as touched — so a modulus the growth check
+    // overrides makes this grouping advisory, never wrong)
+    val groupMod: Int =
+      if (stateBuckets > 0) stateBuckets
+      else ptr.flatMap(_.mod).getOrElse(DefaultBuckets)
+    val bucketCounts: Map[Int, Long] = delta
+      .groupBy(pmod(xxhash64(keys.map(col): _*), lit(groupMod.toLong))
+        .cast("int").as("_b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val deltaRows: Long = bucketCounts.values.sum
+    // the modulus in force: explicit pins; adaptive keeps the recorded
+    // one (growing 1 -> DefaultBuckets when the persisted state crosses
+    // AutoBucketBytes) and bootstraps from the first delta's row count
+    val effective: Int =
+      if (stateBuckets > 0) stateBuckets
+      else ptr.flatMap(_.mod) match {
+        case Some(1) =>
+          val bytes = ptr.get.buckets.values.map { b =>
+            val bp = new Path(s"$viewPath/$b")
+            if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
+          }.sum
+          if (bytes > AutoBucketBytes) DefaultBuckets else 1
+        case Some(m) => m // never shrinks: stability beats reclaiming dirs
+        case None =>
+          if (deltaRows >= AutoBucketRows) DefaultBuckets else 1
+      }
     val bucketExpr = pmod(xxhash64(keys.map(col): _*),
-      lit(stateBuckets.toLong)).cast("int")
-    val touched: Set[Int] = delta.select(bucketExpr.as("_b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+      lit(effective.toLong)).cast("int")
+    val touched: Set[Int] = bucketCounts.keySet
     // old state restricted to the touched buckets — by construction a
     // bucketed pointer's untouched buckets cannot change; a pre-bucketed
-    // (dir-form) pointer migrates by treating ALL its state as touched
+    // (dir-form) pointer, or one written under a DIFFERENT modulus
+    // (incl. legacy pointers that recorded none), migrates by treating
+    // ALL its state as touched: its bucket paths hash under the old
+    // modulus, so inheriting them next to new-modulus deltas would
+    // leave a key's +1 rows and -1 deltas in different buckets, never
+    // netting
     val (oldTouched, inherited) = ptr match {
       case Some(p) if p.dir.isDefined =>
         (spark.read.parquet(s"$viewPath/${p.dir.get}"), Map.empty[Int, String])
+      case Some(p) if !p.mod.contains(effective) =>
+        val paths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+        val old = if (paths.isEmpty) delta.limit(0)
+          else spark.read.parquet(paths: _*)
+        (old, Map.empty[Int, String])
       case Some(p) =>
         val paths = p.buckets.filter { case (k, _) => touched.contains(k) }
           .values.toSeq.sorted.map(b => s"$viewPath/$b")
@@ -372,17 +451,17 @@ object LakeView {
     val rewrite = IncrementalAgg.consolidate(oldTouched.unionByName(delta))
     val gen = ptr.map(_.gen).getOrElse(0L) + 1L
     val dataDir = s"data-g$gen"
-    // bucket-aligned repartition: ONE file per bucket dir (a scattered
+    // bucket-aligned layout: ONE file per bucket dir (a scattered
     // partitionBy would write files-per-task-per-bucket, and the next
-    // refresh pays the small-file tax reading them back)
-    rewrite.withColumn("_bucket", bucketExpr)
-      .repartition(math.min(stateBuckets, 200), col("_bucket"))
+    // refresh pays the small-file tax reading them back). At modulus 1
+    // a narrow coalesce replaces the hash shuffle outright.
+    val laid = rewrite.withColumn("_bucket", bucketExpr)
+    (if (effective == 1) laid.coalesce(1)
+     else laid.repartition(math.min(effective, 200), col("_bucket")))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(s"$viewPath/$dataDir")
     // what actually landed (a touched bucket whose rows all cancelled
     // writes no dir and drops out of the pointer)
-    val fs = new Path(viewPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val present = fs.listStatus(new Path(s"$viewPath/$dataDir"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("_bucket="))
@@ -396,10 +475,11 @@ object LakeView {
         .parquet(s"$viewPath/$dataDir/_bucket=-1")
       publish(spark, viewPath, gen,
         Map("left" -> headL, "right" -> headR), None,
-        Map(-1 -> s"$dataDir/_bucket=-1"))
+        Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective))
     } else
       publish(spark, viewPath, gen,
-        Map("left" -> headL, "right" -> headR), None, buckets)
+        Map("left" -> headL, "right" -> headR), None, buckets,
+        Some(effective))
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 

@@ -305,6 +305,116 @@ class LakeViewSpec extends SparkSpec {
     assert(gotRows == expectRows)
   }
 
+  test("join-view modulus is recorded in the pointer: a refresh under a " +
+      "DIFFERENT stateBuckets migrates instead of mixing hash spaces") {
+    val base = Files.createTempDirectory("graft_view9").toString
+    val lt = base + "/l"; val rt = base + "/r"; val view = base + "/v"
+    val ltypes = "K:number,Price:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    spark.range(0, 200).select(
+        concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        ($"id" % 40).cast("double").as("K"),
+        ($"id" * 10).cast("double").as("Price"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 40).select(
+        concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("s"), ($"id" % 4).cast("string")).as("Seg"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    LakeSnapshots.commit(spark, lt); LakeSnapshots.commit(spark, rt)
+    def refresh(buckets: Int) = LakeView.refreshJoin(spark, view,
+      lt, ltypes, Seq("K", "Price"), rt, rtypes, Seq("K", "Seg"),
+      Seq("K"), stateBuckets = buckets)
+    refresh(16) // bootstrap under modulus 16
+    // delete one key, then refresh under modulus 4: K=7's old +1 rows
+    // hash under 16, its -1 delta under 4 — without migration they land
+    // in different buckets and never net (duplicate un-cancelled rows)
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 7.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh(4)
+    def expectRows = {
+      val l = spark.read.format("graft-records")
+        .option("path", lt).option("fieldTypes", ltypes).load()
+        .select("K", "Price")
+      val r = spark.read.format("graft-records")
+        .option("path", rt).option("fieldTypes", rtypes).load()
+        .select("K", "Seg")
+      l.join(r, "K").groupBy("Seg")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+        .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    }
+    def gotRows = LakeView.read(spark, view).groupBy("Seg")
+      .agg(sum($"m").as("n"), sum($"m" * $"Price").as("p"))
+      .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    assert(gotRows == expectRows)
+    // the migrated state hashes under the NEW modulus: no bucket id >= 4
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g2 = fs.listStatus(new Path(s"$view/data-g2")).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_bucket="))
+      .map(_.stripPrefix("_bucket=").toInt).toSeq
+    assert(g2.nonEmpty && g2.forall(b => b >= 0 && b < 4), g2.toString)
+    // and a further single-key delta under the SAME modulus is again
+    // incremental: at most one bucket rewritten
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 11.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh(4)
+    val g3 = fs.listStatus(new Path(s"$view/data-g3")).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_bucket=")).toSeq
+    assert(g3.size <= 1, g3.toString)
+    assert(gotRows == expectRows)
+  }
+
+  test("adaptive stateBuckets: a small view bootstraps to ONE bucket, " +
+      "keeps it across refreshes, and stays correct") {
+    val base = Files.createTempDirectory("graft_view10").toString
+    val lt = base + "/l"; val rt = base + "/r"; val view = base + "/v"
+    val ltypes = "K:number,Price:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    spark.range(0, 50).select(
+        concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        ($"id" % 10).cast("double").as("K"),
+        ($"id" * 10).cast("double").as("Price"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 10).select(
+        concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("Seg"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    LakeSnapshots.commit(spark, lt); LakeSnapshots.commit(spark, rt)
+    def refresh() = LakeView.refreshJoin(spark, view,
+      lt, ltypes, Seq("K", "Price"), rt, rtypes, Seq("K", "Seg"), Seq("K"))
+    refresh()
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def buckets(gen: Long) =
+      fs.listStatus(new Path(s"$view/data-g$gen")).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("_bucket=")).toSeq
+    assert(buckets(1).size == 1, s"small bootstrap: ${buckets(1)}")
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 3.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh() // recorded modulus honored: still one bucket, no migration churn
+    assert(buckets(2).size == 1, s"steady small state: ${buckets(2)}")
+    def expectRows = {
+      val l = spark.read.format("graft-records")
+        .option("path", lt).option("fieldTypes", ltypes).load()
+        .select("K", "Price")
+      val r = spark.read.format("graft-records")
+        .option("path", rt).option("fieldTypes", rtypes).load()
+        .select("K", "Seg")
+      l.join(r, "K").groupBy("Seg")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+        .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    }
+    val gotRows = LakeView.read(spark, view).groupBy("Seg")
+      .agg(sum($"m").as("n"), sum($"m" * $"Price").as("p"))
+      .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    assert(gotRows == expectRows)
+    assert(refresh().deltaRows == 0L)
+  }
+
   test("chaos: readers racing refreshes never observe a torn pointer " +
       "or a reclaimed state directory") {
     val dir = Files.createTempDirectory("graft_view7").toString + "/t"
