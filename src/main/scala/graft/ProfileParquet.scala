@@ -47,7 +47,11 @@ object ProfileParquet {
         upper(col("lang")).as("S2"),
         concat(col("lang"), lit("-"), (col("doc_id") % 5).cast("string"))
           .as("S3"),
-        (col("doc_id") % 2 === 0).as("Flag"))
+        (col("doc_id") % 2 === 0).as("Flag"),
+        // embedding-shaped payload: a 32-wide double vector per record
+        array((0 until 32).map(k =>
+          ((col("doc_id") + lit(k)) % 997).cast("double")): _*).as("Emb"),
+        split(substring(col("text"), 1, 64), " ").as("Toks"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_prof")
       .toString + "/t"
@@ -55,7 +59,8 @@ object ProfileParquet {
       .option("path", dir).option("dataFormat", "parquet")
       .mode("append").save()
     val types = (0 to 11).map(i => s"N$i:number").mkString(",") + "," +
-      (0 to 3).map(i => s"S$i:singleLineText").mkString(",") + ",Flag:checkbox"
+      (0 to 3).map(i => s"S$i:singleLineText").mkString(",") +
+      ",Flag:checkbox,Emb:numberArray,Toks:multipleSelects"
     def rd = spark.read.format("graft-records").option("path", dir)
       .option("fieldTypes", types).load()
     println(s"PROFILE corpus rows=${rd.count()} files=8 repl=$repl")
@@ -79,6 +84,13 @@ object ProfileParquet {
         .collect().head.toLong),
       ("filtered_10pct", () => rd.filter(col("N4") < 100.0)
         .agg(sum(col("N1"))).collect().length.toLong),
+      // array decode: fold the whole embedding column (the ANN
+      // brute-force shape) and a string-array length scan
+      ("embedding_fold", () => rd.select(
+        sum(aggregate(col("Emb"), lit(0.0d),
+          (acc, x) => acc + x * x))).collect().length.toLong),
+      ("string_array_scan", () => rd.select(sum(size(col("Toks"))))
+        .collect().length.toLong),
       ("count_star", () => rd.count()))
 
     val results = scans.map { case (name, f) =>

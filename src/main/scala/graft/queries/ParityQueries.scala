@@ -975,6 +975,47 @@ private[graft] object ParityQueries {
       pre.unionByName(post).orderBy("phase")
     }),
 
+    "q301_lake_embedding_vectors" -> ((s, dir) => {
+      // embeddings as a FIRST-CLASS record-lake column: numberArray
+      // (array<double>) rides the parquet wire as a 3-level list and
+      // decodes through the VECTORIZED array path (ParquetColumnar) —
+      // the fixture's float vectors cast to double (exact), land in a
+      // parquet record table, lose every 7th label to a deletion
+      // vector, and fold back per label bucket. The per-element fold
+      // stays in the integer domain (floor(x*100 + 0.5)) so the
+      // oracle's recompute from the source parquet is IEEE-exact
+      // across engines; a decode that shifts one array boundary, drops
+      // a null element, or misaligns the DV ordinals moves a bucket
+      // sum.
+      val out = scratchPath(dir, "q301_records")
+      val types = "Vec:numberArray,Label:number"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val vecs = rd(s, dir, "embeddings")
+      Seq(0, 1).foreach { k =>
+        vecs.filter(col("vec_id") % 2 === k)
+          .select(
+            concat(lit("v"), lpad(col("vec_id").cast("string"), 7, "0"))
+              .as("_record_id"),
+            col("embedding").cast("array<double>").as("Vec"),
+            col("label").cast("double").as("Label"))
+          .coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .option("dataFormat", "parquet").mode("append").save()
+      }
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Label") % 7 === 0)
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).option("dataFormat", "parquet").load()
+        .groupBy((col("Label") % 4).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(size(col("Vec")).cast("long")).as("dims"),
+          sum(aggregate(col("Vec"), lit(0L),
+            (acc, x) => acc + floor(x * 100 + lit(0.5)))).as("qsum"))
+        .orderBy("bucket")
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2441,6 +2482,21 @@ private[graft] object ParityQueries {
         |UNION ALL
         |SELECT phase, lang, net_rows, net_chars FROM del
         |ORDER BY 1, 2""".stripMargin,
+
+    // the oracle recomputes the bucket folds straight off the source
+    // parquet; the engine must get there through the lake's list-typed
+    // wire column, the vectorized array decode, and the DV ordinals —
+    // integer-domain per-element math keeps both engines IEEE-exact
+    "q301_lake_embedding_vectors" ->
+      """SELECT CAST(label % 4 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(len(embedding)) AS BIGINT) AS dims,
+        |  CAST(SUM(list_sum(list_transform(embedding,
+        |    e -> CAST(floor(CAST(e AS DOUBLE) * 100 + 0.5) AS BIGINT))))
+        |    AS BIGINT) AS qsum
+        |FROM embeddings
+        |WHERE NOT coalesce(label % 7 = 0, FALSE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes both states from the straddling delete
     // predicates; the engine must get there through parquet row groups,

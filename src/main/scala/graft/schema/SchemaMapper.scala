@@ -26,6 +26,9 @@ object SchemaMapper {
     case "dateTime" => TimestampType
     case "multipleAttachments" => ArrayType(StringType) // urls only (reference: lib/DataProcessor.py:58-59)
     case "multipleSelects" => ArrayType(StringType)
+    // engine extension beyond the reference's type set: numeric vectors
+    // (embeddings) as a first-class lake column
+    case "numberArray" => ArrayType(DoubleType)
     case _ => StringType // pass-through arm (reference: lib/DataProcessor.py:62-63)
   }
 

@@ -22,8 +22,17 @@ import scala.jdk.CollectionConverters._
   * operators run their columnar/whole-stage-codegen paths over the
   * batches. This is the scan inner loop the 100 TB story rides on; the
   * row-materializing [[ParquetRecordPartitionReader]] remains the
-  * fallback for shapes the batch path doesn't carry (array columns,
-  * keyed/clustered partitions, mixed-format directories).
+  * fallback for shapes the batch path doesn't carry (keyed/clustered
+  * partitions, mixed-format directories).
+  *
+  * ARRAY columns (string and double elements — the embedding payload
+  * shape) ride the same path: parquet-java's `ColumnReader` exposes
+  * repetition levels, so list columns decode straight into the batch's
+  * array vectors — record boundaries are rep-level-0 positions, the
+  * value cursor carries across 4096-row chunks within a row group, and
+  * null array / empty array / null element distinguish by definition
+  * level against the element descriptor (optional- and required-element
+  * 3-level list shapes both supported).
   *
   * Everything the row reader guarantees is preserved:
   *  - row-group pruning from footer stats ([[ParquetRecords.blockZone]]
@@ -85,6 +94,20 @@ private[v2] class ParquetColumnarPartitionReader(file: String,
   private def resolveWire(logical: String): Option[String] =
     (ParquetRecords.wireName(logical) +: former.getOrElse(logical, Seq.empty))
       .find(requested.containsField)
+
+  /** The column-chunk path for a wire field: scalars are the field
+    * itself; LIST columns descend through the repeated group to the
+    * element leaf (names taken from the actual file schema, so any
+    * 3-level list spelling works). */
+  private def columnPath(w: String): Array[String] = {
+    val t = requested.getType(requested.getFieldIndex(w))
+    if (t.isPrimitive) Array(w)
+    else {
+      val rep = t.asGroupType().getFields.get(0)
+      if (rep.isPrimitive) Array(w, rep.getName)
+      else Array(w, rep.getName, rep.asGroupType().getFields.get(0).getName)
+    }
+  }
 
   /** Data columns to decode: the projected fields plus filter-only
     * references (decoded for the keep mask, not shipped). */
@@ -161,6 +184,13 @@ private[v2] class ParquetColumnarPartitionReader(file: String,
   private var groupRemaining = 0L
   private var readers: Map[String, ColumnReader] = Map.empty
   private var maxDefs: Map[String, Int] = Map.empty
+  // list-column state: def level meaning an empty (but present) array,
+  // and the value cursor — record boundaries don't align with the
+  // 4096-row chunk grid, so consumption carries across decode() calls
+  // within one row group
+  private var emptyDefs: Map[String, Int] = Map.empty
+  private var chunkTotals: Map[String, Long] = Map.empty
+  private val chunkConsumed = scala.collection.mutable.Map.empty[String, Long]
   private var batch: ColumnarBatch = _
 
   private def advanceBlock(): Boolean = {
@@ -183,12 +213,22 @@ private[v2] class ParquetColumnarPartitionReader(file: String,
         val store = new ColumnReadStoreImpl(pages,
           new GroupRecordConverter(requested).getRootConverter,
           requested, createdBy)
-        readers = slots.flatMap(s => s.wire.map(w =>
-          s.logical -> store.getColumnReader(
-            requested.getColumnDescription(Array(w))))).toMap
-        maxDefs = slots.flatMap(s => s.wire.map(w =>
-          s.logical -> requested.getColumnDescription(Array(w))
-            .getMaxDefinitionLevel)).toMap
+        val descs = slots.flatMap(s => s.wire.map(w =>
+          s.logical -> requested.getColumnDescription(columnPath(w)))).toMap
+        readers = descs.map { case (l, d) => l -> store.getColumnReader(d) }
+        maxDefs = descs.map { case (l, d) => l -> d.getMaxDefinitionLevel }
+        emptyDefs = descs.collect { case (l, d) if d.getPath.length > 1 =>
+          // 3-level list: value=maxDef; an OPTIONAL element spends one
+          // level on its own nullability (null element = maxDef-1,
+          // empty list = maxDef-2); a REQUIRED element has no
+          // null-element state (empty list = maxDef-1)
+          val elemOptional = d.getPrimitiveType.getRepetition ==
+            org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          l -> (d.getMaxDefinitionLevel - (if (elemOptional) 2 else 1))
+        }
+        chunkTotals = readers.map { case (l, cr) => l -> cr.getTotalValueCount }
+        chunkConsumed.clear()
+        readers.keysIterator.foreach(l => chunkConsumed(l) = 0L)
         groupRemaining = pages.getRowCount
         return true
       }
@@ -241,6 +281,49 @@ private[v2] class ParquetColumnarPartitionReader(file: String,
           else vec.putInt(i, cr.getInteger)
           cr.consume(); i += 1
         }
+      case ArrayType(et, _) =>
+        // elements append into the child vector; the parent row is set
+        // with an EXPLICIT putArray(row, startOffset, len) — startOffset
+        // captured BEFORE the element appends (appendArray would record
+        // the post-append child count as the offset, shifting every
+        // array one record forward)
+        val child = vec.arrayData()
+        val total = chunkTotals(s.logical)
+        var consumed = chunkConsumed(s.logical)
+        val emptyDef = emptyDefs(s.logical)
+        while (i < n) {
+          val d = cr.getCurrentDefinitionLevel
+          if (d < emptyDef) { // the outer optional group is null
+            vec.putNull(i)
+            cr.consume(); consumed += 1
+          } else if (d == emptyDef) { // present but no list entries
+            vec.putArray(i, child.getElementsAppended, 0)
+            cr.consume(); consumed += 1
+          } else {
+            val start = child.getElementsAppended
+            var len = 0
+            var more = true
+            while (more) {
+              if (cr.getCurrentDefinitionLevel < maxDef) child.appendNull()
+              else et match {
+                case StringType =>
+                  val b = cr.getBinary.getBytesUnsafe
+                  child.appendByteArray(b, 0, b.length)
+                case DoubleType => child.appendDouble(cr.getDouble)
+                case other => throw new IllegalStateException(
+                  s"unreachable: array<$other> passed the eligibility gate")
+              }
+              len += 1
+              cr.consume(); consumed += 1
+              // next rep-level-0 value starts the next record; guard the
+              // probe when the chunk is fully consumed
+              more = consumed < total && cr.getCurrentRepetitionLevel != 0
+            }
+            vec.putArray(i, start, len)
+          }
+          i += 1
+        }
+        chunkConsumed(s.logical) = consumed
       case dt => throw new IllegalStateException(
         s"unreachable: $dt passed the columnar eligibility gate")
     }
@@ -385,19 +468,43 @@ private[v2] class ParquetColumnarPartitionReader(file: String,
   }
 
   private def copyRow(src: WritableColumnVector, dt: DataType,
-      dst: WritableColumnVector, si: Int, di: Int): Unit =
-    if (src.isNullAt(si)) dst.putNull(di)
-    else dt match {
-      case StringType =>
-        val u = src.getUTF8String(si)
-        val b = u.getBytes
-        dst.putByteArray(di, b, 0, b.length)
-      case DoubleType => dst.putDouble(di, src.getDouble(si))
-      case BooleanType => dst.putBoolean(di, src.getBoolean(si))
-      case TimestampType => dst.putLong(di, src.getLong(si))
-      case DateType => dst.putInt(di, src.getInt(si))
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+      dst: WritableColumnVector, si: Int, di: Int): Unit = dt match {
+    // array columns copy append-style: the dst's element counter tracks
+    // child offsets, and survivors are copied in order so the appended
+    // row index always equals `di`
+    case ArrayType(et, _) =>
+      if (src.isNullAt(si)) dst.putNull(di)
+      else {
+        val a = src.getArray(si)
+        val m = a.numElements()
+        val child = dst.arrayData()
+        val start = child.getElementsAppended
+        var k = 0
+        while (k < m) {
+          if (a.isNullAt(k)) child.appendNull()
+          else et match {
+            case StringType =>
+              val b = a.getUTF8String(k).getBytes
+              child.appendByteArray(b, 0, b.length)
+            case DoubleType => child.appendDouble(a.getDouble(k))
+            case other => throw new IllegalStateException(
+              s"unreachable: array<$other>")
+          }
+          k += 1
+        }
+        dst.putArray(di, start, m)
+      }
+    case _ if src.isNullAt(si) => dst.putNull(di)
+    case StringType =>
+      val u = src.getUTF8String(si)
+      val b = u.getBytes
+      dst.putByteArray(di, b, 0, b.length)
+    case DoubleType => dst.putDouble(di, src.getDouble(si))
+    case BooleanType => dst.putBoolean(di, src.getBoolean(si))
+    case TimestampType => dst.putLong(di, src.getLong(si))
+    case DateType => dst.putInt(di, src.getInt(si))
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
 
   private val keep = new Array[Boolean](Cap)
 

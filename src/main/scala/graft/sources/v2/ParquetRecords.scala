@@ -90,6 +90,13 @@ private[graft] object ParquetRecords {
               .named("element")
               .named("list")
               .named(n)
+          case ArrayType(DoubleType, _) => // embedding-shaped payloads
+            b = b.optionalGroup().as(LogicalTypeAnnotation.listType())
+              .repeatedGroup()
+              .optional(DOUBLE)
+              .named("element")
+              .named("list")
+              .named(n)
           case dt => throw new IllegalArgumentException(
             s"graft-records parquet tier cannot store '$n': $dt")
         }
@@ -329,6 +336,14 @@ private[v2] class ParquetRecordDataWriter(schema: StructType,
                   e.add("element", a.getUTF8String(j).toString)
               }
               zone.observe(i, a)
+            case ArrayType(DoubleType, _) =>
+              val lg = g.addGroup(name)
+              val a = row.getArray(i)
+              (0 until a.numElements()).foreach { j =>
+                val e = lg.addGroup("list")
+                if (!a.isNullAt(j)) e.add("element", a.getDouble(j))
+              }
+              zone.observe(i, a)
             case dt => throw new IllegalStateException(
               s"unreachable: $dt passed validateWriteSchema")
           }
@@ -495,6 +510,15 @@ private[v2] class ParquetRecordPartitionReader(file: String,
                 if (e.getFieldRepetitionCount("element") == 0) null
                 else UTF8String.fromString(
                   e.getBinary("element", 0).toStringUsingUTF8): Any
+              }.toArray
+              new GenericArrayData(elems): ArrayData
+            case ArrayType(DoubleType, _) =>
+              val lg = g.getGroup(idx, 0)
+              val n = lg.getFieldRepetitionCount("list")
+              val elems = (0 until n).map { k =>
+                val e = lg.getGroup("list", k)
+                if (e.getFieldRepetitionCount("element") == 0) null
+                else java.lang.Double.valueOf(e.getDouble("element", 0)): Any
               }.toArray
               new GenericArrayData(elems): ArrayData
             case _ => UTF8String.fromString(g.getValueToString(idx, 0))

@@ -60,9 +60,11 @@ class RecordCatalog extends TableCatalog {
     case DateType => "date"
     case TimestampType => "dateTime"
     case ArrayType(StringType, _) => "multipleSelects"
+    case ArrayType(DoubleType, _) => "numberArray"
     case other => throw new IllegalArgumentException(
       s"graft catalog: unsupported column type $other (supported: " +
-        "STRING, DOUBLE, BOOLEAN, DATE, TIMESTAMP, ARRAY<STRING>)")
+        "STRING, DOUBLE, BOOLEAN, DATE, TIMESTAMP, ARRAY<STRING>, " +
+        "ARRAY<DOUBLE>)")
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

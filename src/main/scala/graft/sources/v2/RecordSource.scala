@@ -917,6 +917,7 @@ private[v2] class RecordScan(readSchema: StructType, fullSchema: StructType,
         name == RecordSource.CorruptCol || (dt match {
           case StringType | DoubleType | BooleanType | TimestampType |
                DateType => true
+          case ArrayType(StringType | DoubleType, _) => true // list decode
           case _ => false
         })
     agg.isEmpty && topN.isEmpty && clusterBy.isEmpty &&
@@ -1492,6 +1493,11 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
         UTF8String.fromString(s): Any
       }
       new GenericArrayData(elems): ArrayData
+    case ArrayType(DoubleType, _) => // embedding-shaped payloads
+      val elems = v.elements().asScala.toArray.map { e =>
+        if (e.isNull) null else java.lang.Double.valueOf(e.asDouble()): Any
+      }
+      new GenericArrayData(elems): ArrayData
     case _ => UTF8String.fromString(v.toString)
   }
 }
@@ -1709,14 +1715,14 @@ private[v2] object RecordWriteSupport {
     schema.fields.foreach { f =>
       val ok = f.dataType match {
         case StringType | DoubleType | BooleanType | TimestampType | DateType => true
-        case ArrayType(StringType, _) => true
+        case ArrayType(StringType | DoubleType, _) => true
         case _ => false
       }
       if (!ok) throw new IllegalArgumentException(
         s"graft-records cannot write column '${f.name}' of type " +
           s"${f.dataType.simpleString}: the record wire format carries " +
-          "string/double/boolean/timestamp/date/array<string> — cast the " +
-          "column first")
+          "string/double/boolean/timestamp/date/array<string>/" +
+          "array<double> — cast the column first")
     }
 
   def stagingDir(path: String, queryId: String): String =
@@ -2291,6 +2297,14 @@ private[v2] class RecordDataWriter(schema: StructType, stagedFile: String,
               (0 until a.numElements()).foreach { j =>
                 if (a.isNullAt(j)) arr.addNull()
                 else arr.add(a.getUTF8String(j).toString)
+              }
+              zone.observe(i, a) // non-null: counts only, no min/max
+            case ArrayType(DoubleType, _) =>
+              val arr = fields.putArray(name)
+              val a = row.getArray(i)
+              (0 until a.numElements()).foreach { j =>
+                if (a.isNullAt(j)) arr.addNull()
+                else arr.add(a.getDouble(j))
               }
               zone.observe(i, a) // non-null: counts only, no min/max
             case dt => throw new IllegalStateException(

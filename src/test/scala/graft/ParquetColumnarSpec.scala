@@ -126,25 +126,70 @@ class ParquetColumnarSpec extends SparkSpec {
       "renamed-column scan must stay columnar")
   }
 
-  test("fallbacks stay row-based: mixed directories, array columns, " +
-      "clusterBy key groups") {
+  test("array columns ride the columnar path: null array / empty array " +
+      "/ null element shapes bit-agree with the row reader, across " +
+      "chunk boundaries inside one row group") {
+    val dir = Files.createTempDirectory("graft_cols7").toString + "/t"
+    val atypes = "Tags:multipleSelects,Vec:numberArray,Score:number"
+    // 10k rows in ONE row group: the 4096-row chunk grid crosses record
+    // boundaries mid-group, exercising the carried value cursor
+    val df = spark.range(0, 10000).select(
+      concat(lit("r"), lpad($"id".cast("string"), 5, "0")).as("_record_id"),
+      when($"id" % 11 === 0, lit(null).cast("array<string>"))
+        .when($"id" % 11 === 1, array().cast("array<string>"))
+        .when($"id" % 11 === 2, array(lit(null).cast("string")))
+        .otherwise(array(concat(lit("t"), ($"id" % 5).cast("string")),
+          lit(null).cast("string"),
+          concat(lit("u"), $"id".cast("string")))).as("Tags"),
+      when($"id" % 7 === 0, lit(null).cast("array<double>"))
+        .when($"id" % 7 === 1, array().cast("array<double>"))
+        .otherwise(array($"id".cast("double") * 0.5,
+          lit(null).cast("double"),
+          ($"id" % 3).cast("double"))).as("Vec"),
+      $"id".cast("double").as("Score"))
+    df.coalesce(1).write.format("graft-records").option("path", dir)
+      .option("dataFormat", "parquet").mode("append").save()
+    def rd = spark.read.format("graft-records").option("path", dir)
+      .option("fieldTypes", atypes).load()
+    def shape(q: org.apache.spark.sql.DataFrame) = q
+      .select($"_record_id", $"Tags", $"Vec").orderBy("_record_id")
+      .as[(String, Seq[String], Seq[Option[Double]])].collect().toSeq
+    val colPath = shape(rd)
+    assert(isColumnar(rd.select("Tags", "Vec")),
+      "array projection must go columnar:\n" +
+        rd.select("Tags", "Vec").queryExecution.executedPlan.toString)
+    graft.sources.v2.RecordSourceMetrics.columnarEnabled = false
+    val rowPath = try shape(rd)
+      finally graft.sources.v2.RecordSourceMetrics.columnarEnabled = true
+    assert(colPath == rowPath, "columnar and row array decode must bit-agree")
+    assert(colPath.length == 10000)
+    assert(colPath(3)._2 == Seq("t3", null, "u3"))
+    assert(colPath(1)._2 == Seq.empty[String] && colPath(0)._2 == null)
+    assert(colPath(2)._3 == Seq(Some(1.0), None, Some(2.0)))
+    // pushed filter -> keep-mask COMPACTION with arrays projected
+    val filtered = rd.filter($"Score" >= 9990.0).select($"Score", $"Tags", $"Vec")
+      .as[(Double, Seq[String], Seq[Option[Double]])].collect().toSeq
+      .sortBy(_._1)
+    assert(filtered.size == 10)
+    // 9990 % 11 == 2 (single null element), % 7 == 1 (empty vector);
+    // 9991 hits the full-shape branches on both columns
+    assert(filtered.head._2 == Seq(null) && filtered.head._3 == Seq.empty)
+    assert(filtered(1)._2 == Seq("t1", null, "u9991") &&
+      filtered(1)._3 == Seq(Some(4995.5), None, Some(1.0)))
+    assert(isColumnar(rd.filter($"Score" >= 9990.0).select($"Tags")))
+    // DV subtraction keeps array/row alignment
+    DeletionVectors.delete(spark, dir, atypes, $"Score" < 9000.0)
+    val afterDelete = shape(rd)
+    assert(afterDelete == colPath.drop(9000))
+  }
+
+  test("fallbacks stay row-based: mixed directories, clusterBy key groups") {
     val base = Files.createTempDirectory("graft_cols6").toString
     // mixed formats
     val mixed = base + "/m"
     write(mixed, mkRows(10)); write(mixed, mkRows(10), parquet = false)
     assert(read(mixed).count() == 20L)
     assert(!isColumnar(read(mixed)), "mixed dirs cannot batch uniformly")
-    // array column in the projection
-    val arr = base + "/a"
-    spark.range(0, 5).select(
-        concat(lit("r"), $"id".cast("string")).as("_record_id"),
-        array(lit("x"), $"id".cast("string")).as("Tags"))
-      .coalesce(1).write.format("graft-records").option("path", arr)
-      .option("dataFormat", "parquet").mode("append").save()
-    val adf = spark.read.format("graft-records").option("path", arr)
-      .option("fieldTypes", "Tags:multipleSelects").load()
-    assert(adf.select("Tags").collect().length == 5)
-    assert(!isColumnar(adf.select("Tags")))
     // clusterBy → keyed partitions stay row-based (non-null keys only:
     // clustered writes refuse NULL cluster values)
     val cl = base + "/c"

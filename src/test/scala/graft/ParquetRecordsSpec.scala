@@ -199,6 +199,41 @@ class ParquetRecordsSpec extends SparkSpec {
     assert(grouped == Seq((false, 499L), (true, 499L)))
   }
 
+  test("numberArray (array<double>) round-trips BOTH wire tiers " +
+      "identically: nulls, empties, null elements, DV deletes") {
+    val base = Files.createTempDirectory("graft_pqvec").toString
+    val vt = "Vec:numberArray,K:number"
+    val rows = spark.range(0, 200).select(
+      concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+      when($"id" % 10 === 0, lit(null).cast("array<double>"))
+        .when($"id" % 10 === 1, array().cast("array<double>"))
+        .when($"id" % 10 === 2, array(lit(null).cast("double"), lit(1.5)))
+        .otherwise(array($"id".cast("double"), ($"id" * 0.25),
+          lit(null).cast("double"))).as("Vec"),
+      $"id".cast("double").as("K"))
+    Seq(true, false).foreach { parquet =>
+      val dir = s"$base/${if (parquet) "pq" else "js"}"
+      val w = rows.coalesce(1).write.format("graft-records")
+        .option("path", dir)
+      (if (parquet) w.option("dataFormat", "parquet") else w)
+        .mode("append").save()
+    }
+    def rd(dir: String) = spark.read.format("graft-records")
+      .option("path", s"$base/$dir").option("fieldTypes", vt).load()
+      .select($"_record_id", $"Vec", $"K").orderBy("_record_id")
+      .as[(String, Seq[Option[Double]], Double)].collect().toSeq
+    val (pq, js) = (rd("pq"), rd("js"))
+    assert(pq == js, "parquet and jsonl array<double> must bit-agree")
+    assert(pq(0)._2 == null && pq(1)._2 == Seq.empty &&
+      pq(2)._2 == Seq(None, Some(1.5)) &&
+      pq(3)._2 == Seq(Some(3.0), Some(0.75), None))
+    // the vector column survives a DV delete on both tiers
+    Seq("pq", "js").foreach { d =>
+      DeletionVectors.delete(spark, s"$base/$d", vt, $"K" < 100.0)
+      assert(rd(d) == pq.drop(100), s"tier $d after delete")
+    }
+  }
+
   test("NaN-poisoned footer stats: parquet-java folds double min/max " +
       "with Math.min/max, so one NaN poisons both bounds — the stats " +
       "agg path must refuse and row-group pruning must keep the block") {
