@@ -189,10 +189,12 @@ object LakeView {
 
   private def tableHead(spark: SparkSession, tablePath: String): Long = {
     val tdir = new Path(tablePath)
+    // headVersion: tolerant of a conflicting committer WITHDRAWING a
+    // just-listed manifest (the version number burns; re-listing heals)
     graft.sources.v2.Snapshots
-      .versions(tdir.getFileSystem(
+      .headVersion(tdir.getFileSystem(
         spark.sparkContext.hadoopConfiguration), tdir)
-      .lastOption.getOrElse(throw new IllegalStateException(
+      .getOrElse(throw new IllegalStateException(
         s"table $tablePath has no snapshots — LakeSnapshots.commit " +
           "first (the view watermarks on snapshot versions)"))
   }

@@ -29,7 +29,8 @@ import graft.sources.v2.{BloomSidecar, DeletionVector, OptimisticCommit, RecordC
 object Vacuum {
 
   final case class Report(markersReplayed: Int, stagingDirsRemoved: Int,
-      orphanSidecarsRemoved: Int, commitEntriesExpired: Int = 0)
+      orphanSidecarsRemoved: Int, commitEntriesExpired: Int = 0,
+      staleTmpSwept: Int = 0)
 
   /** `commitLogKeepLast` bounds the optimistic-commit history retained
     * for conflict validation — entries older than the newest N applied
@@ -55,6 +56,24 @@ object Vacuum {
       .map(_.getPath).filter(_.getName.startsWith("_staging-"))
     staging.foreach(p => fs.delete(p, true))
     val expired = OptimisticCommit.expire(fs, dir, commitLogKeepLast)
+    // 2b) stale arbiter temp files: LocalLink stages each claim payload
+    //     as a dot-prefixed `.c<v>.json.<uuid>.tmp` sibling before the
+    //     atomic link — a crash between the temp write and the link
+    //     strands it (inert to readers, but debris accumulates across
+    //     crashes). Age-gated by the same staleness bound as crashed
+    //     commits: a live claimant links within milliseconds.
+    var tmpSwept = 0
+    val logDir = new Path(dir, OptimisticCommit.Dir)
+    if (fs.exists(logDir)) {
+      val cutoff = System.currentTimeMillis - OptimisticCommit.DefaultStaleMs
+      fs.listStatus(logDir).filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp") &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); tmpSwept += 1
+        }
+      }
+    }
     // 3) orphan sidecars (their data file is gone)
     val live = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
@@ -66,6 +85,6 @@ object Vacuum {
         if (!live.contains(owner)) { fs.delete(st.getPath, false); orphans += 1 }
       }
     }
-    Report(replayed, staging.length, orphans, expired)
+    Report(replayed, staging.length, orphans, expired, tmpSwept)
   }
 }

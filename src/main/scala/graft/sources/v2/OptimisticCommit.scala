@@ -124,6 +124,50 @@ private[graft] object OptimisticCommit {
         } catch { case _: java.io.IOException => false }
     }
 
+    /** Object-store conditional put (S3 `If-None-Match: *`, GCS
+      * `ifGenerationMatch=0`, Azure `If-None-Match`): the STORE
+      * arbitrates the claim, not the filesystem. This implementation is
+      * the protocol-complete local double — arbitration lives in a
+      * process-wide CAS table standing in for the store's strong
+      * conditional PUT, and the payload then lands with a PLAIN
+      * non-atomic write, deliberately the weakest possible visibility
+      * (a reader can observe an empty or partial slot — exactly the
+      * in-flight window [[load]] already retries, and what a real
+      * multipart PUT shows a list-then-get reader). Green chaos over
+      * this arbiter proves the commit protocol needs only conditional
+      * put from its store, never filesystem rename/link atomicity — the
+      * property that makes the lake S3-deployable behind this seam.
+      * Pre-existing durable slots (a previous process's claims) refuse
+      * before the table is consulted, so a fresh arbiter instance never
+      * double-claims persisted state. */
+    final class ConditionalPut extends CommitArbiter {
+      private val table =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def tryClaim(fs: FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean = {
+        if (fs.exists(p)) return false // durable slot taken
+        if (!table.add(p.toUri.toString)) return false // lost the CAS
+        // claimed: land the payload with no atomicity at all (two
+        // writes + flush widen the observable-partial window on
+        // purpose); a failed upload releases the claim whole
+        try {
+          val out = fs.create(p, true)
+          try {
+            val half = bytes.length / 2
+            out.write(bytes, 0, half)
+            out.hflush()
+            out.write(bytes, half, bytes.length - half)
+          } finally out.close()
+          true
+        } catch {
+          case e: Throwable =>
+            try fs.delete(p, false) catch { case _: Exception => () }
+            table.remove(p.toUri.toString)
+            throw e
+        }
+      }
+    }
+
     @volatile private var overrideArbiter: Option[CommitArbiter] = None
 
     /** Deployment/test seam: route every claim through a custom

@@ -128,9 +128,11 @@ private[v2] class RecordCdcScan(tableSchema: StructType, path: String,
   override def description(): String = s"RecordCdcScan(path=$path)"
   override def toBatch: Batch = this
 
+  // headVersion, not versions(...).last: a conflicting snapshot commit
+  // can WITHDRAW a just-listed head; the stable head re-resolves
   private def head: Long = Snapshots
-    .versions(new Path(path).getFileSystem(conf), new Path(path))
-    .lastOption.getOrElse(0L)
+    .headVersion(new Path(path).getFileSystem(conf), new Path(path))
+    .getOrElse(0L)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val from = opts.get("startingVersion").map(_.toLong).getOrElse(

@@ -65,6 +65,32 @@ private[graft] object Snapshots {
       }.sorted.toSeq
   }
 
+  /** The newest version whose manifest is STILL PRESENT — the
+    * resolution head-consumers should use. [[commit]] WITHDRAWS an
+    * already-visible manifest when its log entry loses read-set
+    * validation (the number burns; hwm forbids reuse), so a raw
+    * `versions(...).last` taken in that window can name a manifest that
+    * vanishes before it is loaded. Re-listing is the whole cure: a
+    * withdrawn version disappears from the listing, and the conflicting
+    * committer's retry lands a higher number. The loop is bounded —
+    * withdrawal is a rare conflict path, never a steady state. */
+  def headVersion(fs: FileSystem, tableDir: Path): Option[Long] = {
+    val deadline = System.currentTimeMillis + 10000L
+    while (true) {
+      versions(fs, tableDir).lastOption match {
+        case None => return None
+        case Some(v) =>
+          if (fs.exists(manifestPath(tableDir, v))) return Some(v)
+          if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(
+              s"snapshot head of $tableDir kept vanishing for 10s — " +
+                "withdrawal is a conflict path, not a steady state")
+          Thread.sleep(5)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def renderFiles(fs: FileSystem, dir: Path, mapper: ObjectMapper,
       arr: com.fasterxml.jackson.databind.node.ArrayNode,
       files: Seq[String]): Unit =
@@ -188,18 +214,33 @@ private[graft] object Snapshots {
 
   /** Load manifest v, failing LOUDLY when absent or when a referenced
     * data file no longer exists (expired out from under the snapshot —
-    * only possible if the refusal guards were bypassed). */
+    * only possible if the refusal guards were bypassed). A version that
+    * was WITHDRAWN by [[commit]]'s conflict path (listed, then its
+    * manifest vanished, or its manifest resolved but pins files the
+    * conflicting flip deleted) reports itself as such: the caller
+    * resolved a head that never became durable and must re-resolve
+    * ([[headVersion]] does). */
   def load(fs: FileSystem, path: String, v: Long): Manifest = {
     val dir = new Path(path)
     val p = manifestPath(dir, v)
     require(fs.exists(p),
       s"versionAsOf $v: no snapshot manifest at $p (existing: " +
-        s"${versions(fs, dir).mkString(", ")})")
+        s"${versions(fs, dir).mkString(", ")})" +
+        (if (v <= hwm(fs, dir))
+          " — the version number is burnt (hwm): it was withdrawn by a " +
+            "conflicting snapshot commit or expired; re-resolve the head"
+        else ""))
     val root = parseManifest(fs, p)
     val files = fileEntries(fs, dir, root).map { case (name, dv) =>
-      require(fs.exists(new Path(dir, name)),
-        s"versionAsOf $v references $name which no longer exists — the " +
-          "snapshot was expired out from under this read")
+      if (!fs.exists(new Path(dir, name))) {
+        if (!fs.exists(p)) throw new IllegalStateException(
+          s"versionAsOf $v was WITHDRAWN mid-read by a conflicting " +
+            "snapshot commit (its manifest is gone) — re-resolve the " +
+            "head and retry")
+        throw new IllegalArgumentException(
+          s"versionAsOf $v references $name which no longer exists — " +
+            "the snapshot was expired out from under this read")
+      }
       (name, dv)
     }.toSeq
     Manifest(root.get("version").asLong(), files)

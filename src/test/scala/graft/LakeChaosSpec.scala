@@ -111,6 +111,22 @@ class LakeChaosSpec extends SparkSpec {
       parquet = false)
   }
 
+  test("the same chaos under the CONDITIONAL-PUT arbiter: the protocol " +
+      "holds with no filesystem atomicity at all (object-store shape)") {
+    // every claim routes through the store-arbitrated CAS double whose
+    // payloads land with plain non-atomic writes — green here means the
+    // commit protocol needs only conditional put from its store, which
+    // is what an S3-class deployment plugs into this seam. (AtomicCreate
+    // is NOT raced locally: its exclusivity is the NameNode's, a
+    // property the local filesystem does not provide.)
+    OptimisticCommit.CommitArbiter.set(
+      Some(new OptimisticCommit.CommitArbiter.ConditionalPut))
+    try runChaos(
+      Files.createTempDirectory("graft_chaos_cp").toString + "/t",
+      parquet = false)
+    finally OptimisticCommit.CommitArbiter.set(None)
+  }
+
   test("4x contention: 16 all-overlapping deleters + 2 compactors — " +
       "no writer exhausts its attempts, total retries stay bounded") {
     val dir = Files.createTempDirectory("graft_chaos4x").toString + "/t"

@@ -204,6 +204,90 @@ class OptimisticCommitSpec extends SparkSpec {
     assert(debris.isEmpty, s"tmp debris: ${debris.toSeq}")
   }
 
+  test("conditional-put arbiter: N racing claimants -> one winner; a " +
+      "pre-existing durable slot refuses a fresh arbiter instance") {
+    val dir = Files.createTempDirectory("graft_occ_cp").toString
+    val f = fs(dir)
+    val arb = new OptimisticCommit.CommitArbiter.ConditionalPut
+    val slot = new Path(dir, "c1.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (arb.tryClaim(f, slot, (s"""{"writer":$i}""" * 200).getBytes("UTF-8")))
+          wins.incrementAndGet()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(wins.get() == 1, s"${wins.get()} claimants won the same slot")
+    // after all claimants finish, the winning payload is complete and
+    // from exactly one writer (DURING the write a partial is observable
+    // — that is the in-flight window load() retries, by design)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(slot.toUri.getPath)), "UTF-8")
+    val writers = """"writer":(\d)""".r.findAllMatchIn(content)
+      .map(_.group(1)).toSet
+    assert(writers.size == 1 &&
+      content.length == s"""{"writer":0}""".length * 200,
+      s"torn content: writers=$writers len=${content.length}")
+    // a FRESH arbiter (simulated process restart) must not re-claim the
+    // durable slot its table never saw
+    val fresh = new OptimisticCommit.CommitArbiter.ConditionalPut
+    assert(!fresh.tryClaim(f, slot, "usurper".getBytes("UTF-8")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(slot.toUri.getPath)), "UTF-8") == content)
+  }
+
+  test("the full conflict protocol carries over the conditional-put " +
+      "arbiter: delete + interleaved compaction + snapshot withdraw") {
+    OptimisticCommit.CommitArbiter.set(
+      Some(new OptimisticCommit.CommitArbiter.ConditionalPut))
+    try {
+      val dir = mkLake()
+      val f = fs(dir); val d = new Path(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      // snapshot racing a destructive flip: read-set skew detected, the
+      // manifest WITHDRAWN (a plain delete under this arbiter), retried
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      OptimisticCommit.beforeCasHook = { op =>
+        if (op == "snapshot" && fired.getAndIncrement() == 0) {
+          DeletionVectors.delete(spark, dir, "Score:number",
+            col("Score") < 5.0)
+        }
+      }
+      val v = try Snapshots.commit(f, dir, conf)
+        finally { OptimisticCommit.beforeCasHook = _ => () }
+      assert(fired.get() >= 2, "the snapshot entry must have retried")
+      assert(spark.read.format("graft-records").option("path", dir)
+        .option("fieldTypes", "Score:number")
+        .option("versionAsOf", v.toString).load().count() == 15L)
+      // and a compaction lands on top, all through conditional puts
+      assert(graft.sources.v2.Snapshots.expire(f, d, keepLast = 0) == 1)
+      assert(DeletionVectors.materialize(spark, dir) >= 1)
+      assert(RecordCompaction.compact(spark, dir, targetBytes = 1 << 20) == 1)
+      assert(read(dir).count() == 15L)
+      assert(OptimisticCommit.unapplied(f, d).isEmpty)
+    } finally OptimisticCommit.CommitArbiter.set(None)
+  }
+
+  test("vacuum sweeps STALE arbiter temp debris from _commits, keeps " +
+      "fresh ones (a live claimant links within milliseconds)") {
+    val dir = mkLake()
+    val f = fs(dir)
+    val logDir = new Path(dir, OptimisticCommit.Dir)
+    val stale = new Path(logDir, ".c9.json.deadbeef.tmp")
+    val out = f.create(stale, true); out.write("{}".getBytes); out.close()
+    f.setTimes(stale,
+      System.currentTimeMillis - OptimisticCommit.DefaultStaleMs - 1000L, -1)
+    val freshTmp = new Path(logDir, ".c10.json.cafebabe.tmp")
+    val out2 = f.create(freshTmp, true); out2.write("{}".getBytes); out2.close()
+    val rep = graft.operators.Vacuum.clean(spark, dir)
+    assert(rep.staleTmpSwept == 1, rep.toString)
+    assert(!f.exists(stale) && f.exists(freshTmp))
+    assert(read(dir).count() == 20L)
+  }
+
   test("the commit arbiter is a seam: a custom arbiter (conditional-put " +
       "stand-in) carries the whole protocol") {
     val dir = mkLake()
