@@ -80,5 +80,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.TableChanges.getClass.getName,
         "table_changes"),
       (args: Seq[Expression]) => graft.plans.TableChanges.plan(args)))
+    // maintained materialized views in SQL: define / advance / read
+    // (graft.plans.LakeViewSql over graft.operators.LakeView)
+    ext.injectTableFunction((
+      new FunctionIdentifier("create_lake_view"),
+      new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
+        "create_lake_view"),
+      (args: Seq[Expression]) => graft.plans.LakeViewSql.createPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("refresh_lake_view"),
+      new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
+        "refresh_lake_view"),
+      (args: Seq[Expression]) => graft.plans.LakeViewSql.refreshPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("lake_view"),
+      new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
+        "lake_view"),
+      (args: Seq[Expression]) => graft.plans.LakeViewSql.readPlan(args)))
   }
 }

@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The maintained-materialized-view surface ([[graft.operators.LakeView]])
+  * in SQL `FROM` position — the same injection pattern as
+  * [[TableChanges]], so a SQL-only user can define, advance, and read an
+  * incrementally-maintained view without dropping to Scala:
+  *
+  * {{{
+  * -- define (persists _view.json at the view path; idempotent)
+  * SELECT * FROM create_lake_view('/v', 'aggregate',
+  *   '/lake/t', 'K:singleLineText,X:number', 'K', 'X', 'X')
+  * SELECT * FROM create_lake_view('/v', 'join',
+  *   '/lake/l', 'K:number,A:number', 'K,A',
+  *   '/lake/r', 'K:number,B:singleLineText', 'K,B', 'K')
+  * -- advance to the tables' newest snapshots (∝-delta, like the Scala
+  * -- API); returns the consumed windows + the folded delta size
+  * SELECT * FROM refresh_lake_view('/v')
+  * -- read the maintained state
+  * SELECT * FROM lake_view('/v')
+  * }}}
+  *
+  * The DEFINITION is durable (`_view.json` beside the generation
+  * pointers — LakeView's retention never touches non-pointer files), so
+  * `refresh_lake_view` needs only the path: the aggregate form records
+  * (table, fieldTypes, keys, sums, minMax), the join form records both
+  * sides' (path, fieldTypes, cols) plus keys and the stateBuckets pin.
+  * Column lists are comma-separated; '' = none. `create_lake_view` is
+  * idempotent on an IDENTICAL definition and refuses a conflicting one
+  * (a silent redefinition would desync the persisted state from the
+  * fold rules that built it).
+  *
+  * `refresh_lake_view` runs the refresh when the statement is ANALYZED
+  * (spark.sql(...) analyzes eagerly) — command-at-resolution, the same
+  * contract as `table_changes`' catalog resolution — and returns one
+  * row: (kind, from_left, to_left, from_right, to_right, changed);
+  * aggregate views report their single window in the left slots with
+  * NULL rights. */
+object LakeViewSql {
+
+  private val DefName = "_view.json"
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case Literal(null, _) => throw new IllegalArgumentException(
+      s"lake_view: $what must be a string literal, got NULL")
+    case other => throw new IllegalArgumentException(
+      s"lake_view: $what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"lake_view: $what must be an integer literal, got $other")
+  }
+
+  private def cols(s: String): Seq[String] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def oneRow(spark: SparkSession, schema: StructType,
+      row: Row): LogicalPlan =
+    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
+      .queryExecution.logical
+
+  // ---- create_lake_view -------------------------------------------------
+
+  private val createSchema = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("created", BooleanType, nullable = false)))
+
+  def createPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.length >= 2, "create_lake_view(viewPath, kind, ...)")
+    val viewPath = strLit(args.head, "viewPath")
+    val kind = strLit(args(1), "kind")
+    val mapper = new ObjectMapper()
+    val def_ = mapper.createObjectNode()
+    def_.put("kind", kind)
+    def putList(field: String, v: Seq[String]): Unit = {
+      val a = def_.putArray(field); v.foreach(a.add)
+    }
+    kind match {
+      case "aggregate" =>
+        require(args.length == 6 || args.length == 7,
+          "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
+            "keys, sums[, minMax]) — comma-separated column lists")
+        def_.put("table", strLit(args(2), "tablePath"))
+        def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
+        putList("keys", cols(strLit(args(4), "keys")))
+        putList("sums", cols(strLit(args(5), "sums")))
+        putList("minMax",
+          args.lift(6).map(a => cols(strLit(a, "minMax"))).getOrElse(Nil))
+      case "join" =>
+        require(args.length == 9 || args.length == 10,
+          "create_lake_view(viewPath, 'join', leftPath, leftTypes, " +
+            "leftCols, rightPath, rightTypes, rightCols, keys" +
+            "[, stateBuckets])")
+        def_.put("left", strLit(args(2), "leftPath"))
+        def_.put("leftTypes", strLit(args(3), "leftTypes"))
+        putList("leftCols", cols(strLit(args(4), "leftCols")))
+        def_.put("right", strLit(args(5), "rightPath"))
+        def_.put("rightTypes", strLit(args(6), "rightTypes"))
+        putList("rightCols", cols(strLit(args(7), "rightCols")))
+        putList("keys", cols(strLit(args(8), "keys")))
+        def_.put("stateBuckets",
+          args.lift(9).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
+      case other => throw new IllegalArgumentException(
+        s"create_lake_view: kind must be 'aggregate' or 'join', got '$other'")
+    }
+    val json = mapper.writeValueAsString(def_)
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val defPath = new Path(dir, DefName)
+    val created =
+      if (fs.exists(defPath)) {
+        val existing = mapper.readTree(readFully(fs, defPath))
+        require(existing == mapper.readTree(json),
+          s"create_lake_view: $viewPath already holds a DIFFERENT " +
+            s"definition ($existing) — a view's fold rules are fixed at " +
+            "creation; use a new path")
+        false
+      } else {
+        fs.mkdirs(dir)
+        // temp-write + rename: a reader never sees a torn definition
+        val tmp = new Path(dir, s".$DefName.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, defPath)) {
+          // lost a create race: verify the winner wrote the same thing
+          require(fs.exists(defPath) &&
+            mapper.readTree(readFully(fs, defPath)) == mapper.readTree(json),
+            s"create_lake_view: concurrent conflicting create at $viewPath")
+          fs.delete(tmp, false)
+          false
+        } else true
+      }
+    oneRow(spark, createSchema, Row(kind, created))
+  }
+
+  // ---- refresh_lake_view ------------------------------------------------
+
+  private val refreshSchema = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("from_left", LongType, nullable = false),
+    StructField("to_left", LongType, nullable = false),
+    StructField("from_right", LongType, nullable = true),
+    StructField("to_right", LongType, nullable = true),
+    StructField("changed", LongType, nullable = false)))
+
+  def refreshPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.length == 1, "refresh_lake_view(viewPath)")
+    val viewPath = strLit(args.head, "viewPath")
+    val d = loadDef(spark, viewPath)
+    import scala.jdk.CollectionConverters._
+    def list(f: String): Seq[String] =
+      Option(d.get(f)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil)
+    val row = d.get("kind").asText() match {
+      case "aggregate" =>
+        val r = graft.operators.LakeView.refreshAggregate(spark,
+          d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
+          list("keys"), list("sums"), list("minMax"))
+        Row("aggregate", r.fromVersion, r.toVersion, null, null,
+          r.groupsChanged)
+      case "join" =>
+        val r = graft.operators.LakeView.refreshJoin(spark, viewPath,
+          d.get("left").asText(), d.get("leftTypes").asText(),
+          list("leftCols"),
+          d.get("right").asText(), d.get("rightTypes").asText(),
+          list("rightCols"), list("keys"),
+          stateBuckets = d.get("stateBuckets").asInt())
+        Row("join", r.fromLeft, r.toLeft, r.fromRight, r.toRight,
+          r.deltaRows)
+    }
+    oneRow(spark, refreshSchema, row)
+  }
+
+  // ---- lake_view (read) -------------------------------------------------
+
+  def readPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.length == 1, "lake_view(viewPath)")
+    val viewPath = strLit(args.head, "viewPath")
+    loadDef(spark, viewPath) // a defined view, not a bare state dir
+    graft.operators.LakeView.read(spark, viewPath).queryExecution.logical
+  }
+
+  private def loadDef(spark: SparkSession,
+      viewPath: String): com.fasterxml.jackson.databind.JsonNode = {
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val defPath = new Path(dir, DefName)
+    require(fs.exists(defPath),
+      s"no lake view defined at $viewPath — create_lake_view first")
+    new ObjectMapper().readTree(readFully(fs, defPath))
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+}

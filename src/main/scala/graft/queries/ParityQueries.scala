@@ -1016,6 +1016,153 @@ private[graft] object ParityQueries {
         .orderBy("bucket")
     }),
 
+    "q302_sql_lake_view_agg" -> ((s, dir) => {
+      // the maintained-view surface in PURE SQL: create_lake_view
+      // persists the fold rules (_view.json), refresh_lake_view
+      // advances to the table head consuming only the snapshot delta,
+      // lake_view reads the state — same machinery as q296 but the
+      // Scala API never appears on the view path. The run gates the
+      // SQL-maintained state against a TWIN view advanced through the
+      // Scala API over the identical commit sequence (byte-equal
+      // rows), plus the create-idempotence and idle-no-op contracts;
+      // the oracle recomputes the final aggregates from the
+      // predicates.
+      val out = scratchPath(dir, "q302_records")
+      val view = scratchPath(dir, "q302_view")
+      val twin = scratchPath(dir, "q302_twin")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view, twin).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      val created = s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', 'Chars', 'Chars')""".stripMargin)
+        .collect()(0)
+      require(created.getBoolean(1), "first create must write the definition")
+      val re = s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', 'Chars', 'Chars')""".stripMargin)
+        .collect()(0)
+      require(!re.getBoolean(1), "identical re-create must be a no-op")
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      def twinRefresh() = graft.operators.LakeView.refreshAggregate(
+        s, out, types, twin, Seq("Lang"), Seq("Chars"),
+        minMaxCols = Seq("Chars"))
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh(); twinRefresh()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh(); twinRefresh()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      val r3 = refresh(); twinRefresh()
+      require(r3.getLong(5) > 0L, "third refresh must fold a delta")
+      require(refresh().getLong(5) == 0L, "idle SQL refresh must no-op")
+      val sqlState = s.sql(s"SELECT * FROM lake_view('$view')")
+      val mism = sqlState.join(
+          graft.operators.LakeView.read(s, twin)
+            .select(col("Lang"), col("n").as("tn"),
+              col("sum_Chars").as("ts"), col("mn_Chars").as("tmn"),
+              col("mx_Chars").as("tmx")),
+          Seq("Lang"), "full")
+        .filter(!(col("n") <=> col("tn")) ||
+          !(col("sum_Chars") <=> col("ts")) ||
+          !(col("mn_Chars") <=> col("tmn")) ||
+          !(col("mx_Chars") <=> col("tmx")))
+      require(mism.limit(1).isEmpty,
+        "SQL-maintained view diverged from the Scala-API twin")
+      sqlState
+        .select(col("Lang").as("lang"), col("n").as("n_docs"),
+          col("sum_Chars").cast("long").as("sum_chars"),
+          col("mn_Chars").cast("long").as("min_chars"),
+          col("mx_Chars").cast("long").as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    "q303_sql_lake_view_join" -> ((s, dir) => {
+      // the maintained JOIN view through the SQL surface: the same
+      // three-refresh commit sequence as q297 (left append, right
+      // delete-with-retraction) but defined, advanced, and read
+      // entirely in SQL — the definition file carries both sides'
+      // paths/types/columns and the stateBuckets pin, so
+      // refresh_lake_view needs only the view path. The refresh rows
+      // expose the consumed snapshot windows (gated below); the final
+      // aggregation over the Z-relation happens in plain SQL over
+      // lake_view(...), and the oracle recomputes the join from the
+      // predicates.
+      val lt = scratchPath(dir, "q303_orders")
+      val rt = scratchPath(dir, "q303_cust")
+      val view = scratchPath(dir, "q303_view")
+      val fs = new org.apache.hadoop.fs.Path(lt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(lt, rt, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ltypes = "OKey:number,CKey:number,Price:number"
+      val rtypes = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      val cust = rd(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+        col("c_custkey").cast("double").as("CKey"),
+        col("c_mktsegment").as("Seg"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'join',
+           |  '$lt', '$ltypes', 'CKey,OKey,Price',
+           |  '$rt', '$rtypes', 'CKey,Seg', 'CKey')""".stripMargin).collect()
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", lt)
+        .mode("append").save()
+      cust.coalesce(1)
+        .write.format("graft-records").option("path", rt)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      val r1 = refresh()
+      require(r1.getString(0) == "join" && r1.getLong(5) > 0L,
+        "bootstrap refresh must fold the initial join")
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", lt)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      val r2 = refresh()
+      require(r2.getLong(1) == 1L && r2.getLong(2) == 2L &&
+        r2.getLong(4) == 1L,
+        s"second refresh must consume the left (1,2] window: $r2")
+      graft.operators.DeletionVectors.delete(s, rt, rtypes,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      refresh()
+      require(refresh().getLong(5) == 0L, "idle SQL join refresh must no-op")
+      // final aggregation in plain SQL over the maintained Z-relation,
+      // decimal-exact like the oracle
+      s.sql(
+        s"""SELECT Seg AS segment, CAST(sum(m) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(m * Price AS DECIMAL(28,2))) AS DOUBLE)
+           |    AS sum_price
+           |FROM lake_view('$view')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2428,6 +2575,32 @@ private[graft] object ParityQueries {
     // engine gets there through three incremental refreshes of a
     // persisted Z-relation (left append, right delete-with-retraction)
     "q297_lake_view_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the final aggregates; the engine gets there
+    // through the SQL-only view surface (create_lake_view /
+    // refresh_lake_view / lake_view) and internally gates byte-equality
+    // against a Scala-API twin advanced over the same commits
+    "q302_sql_lake_view_agg" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the final join; the engine's SQL surface
+    // reaches it through three incremental refreshes of the persisted
+    // Z-relation, with the consumed snapshot windows gated in-run
+    "q303_sql_lake_view_join" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
         |    AS sum_price

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors, LakeSnapshots, LakeView}
+
+/** The SQL surface over maintained views: create_lake_view persists the
+  * fold rules, refresh_lake_view advances by the watermarked delta and
+  * reports the consumed windows, lake_view reads the state — and every
+  * contract the Scala API enforces (idle no-op, definition immutability,
+  * defined-view-only reads) holds through SQL. */
+class LakeViewSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val types = "Grp:singleLineText,Score:number"
+
+  private def append(dir: String, from: Long, until: Long): Unit =
+    spark.range(from, until).select(
+        concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        concat(lit("g"), ($"id" % 3).cast("string")).as("Grp"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+
+  test("aggregate view through SQL: create is idempotent on the same " +
+      "definition, refresh reports windows, state equals full recompute") {
+    val dir = Files.createTempDirectory("graft_vsql").toString + "/t"
+    val view = Files.createTempDirectory("graft_vsql").toString + "/v"
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    def create() = spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+         |  '$dir', '$types', 'Grp', 'Score', 'Score')""".stripMargin)
+      .collect()(0)
+    assert(create().getBoolean(1)) // first create writes
+    assert(!create().getBoolean(1)) // identical re-create no-ops
+    // a CONFLICTING definition is refused
+    val e = intercept[Exception](spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+         |  '$dir', '$types', 'Grp', '', '')""".stripMargin))
+    assert(e.getMessage.contains("DIFFERENT definition"))
+
+    def refresh() =
+      spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+    val r1 = refresh()
+    assert(r1.getString(0) == "aggregate")
+    assert(r1.getLong(1) == 0L && r1.getLong(2) == 1L) // window (0,1]
+    assert(r1.isNullAt(3) && r1.isNullAt(4)) // no right side
+    assert(r1.getLong(5) == 3L) // three groups folded
+    assert(refresh().getLong(5) == 0L) // idle no-op
+
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(5.0)) === 0.0)
+    LakeSnapshots.commit(spark, dir)
+    append(dir, 30, 40)
+    LakeSnapshots.commit(spark, dir)
+    val r2 = refresh()
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 3L) // both deltas, once
+
+    val got = spark.sql(
+      s"""SELECT Grp, n, sum_Score, mn_Score, mx_Score
+         |FROM lake_view('$view') ORDER BY Grp""".stripMargin)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val want = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score"),
+        min($"Score"), max($"Score"))
+      .orderBy("Grp")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("join view through SQL: bilinear refresh with both sides' " +
+      "windows reported; reads refuse undefined or bare state paths") {
+    val base = Files.createTempDirectory("graft_vsql").toString
+    val lt = s"$base/l"; val rt = s"$base/r"; val view = s"$base/v"
+    spark.range(0, 20).select(
+        concat(lit("o"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("OKey"),
+        ($"id" % 5).cast("double").as("K"),
+        ($"id" * 2).cast("double").as("X"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 5).select(
+        concat(lit("c"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("Seg"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    LakeSnapshots.commit(spark, lt)
+    LakeSnapshots.commit(spark, rt)
+    val ltypes = "OKey:number,K:number,X:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'join',
+         |  '$lt', '$ltypes', 'K,OKey,X',
+         |  '$rt', '$rtypes', 'K,Seg', 'K')""".stripMargin).collect()
+    def refresh() =
+      spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+    val r1 = refresh()
+    assert(r1.getString(0) == "join")
+    assert(r1.getLong(1) == 0L && r1.getLong(2) == 1L)
+    assert(r1.getLong(3) == 0L && r1.getLong(4) == 1L)
+    assert(r1.getLong(5) == 20L) // every left row matches one right row
+    // right-side delete retracts the joined rows through one refresh
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 2.0)
+    LakeSnapshots.commit(spark, rt)
+    assert(refresh().getLong(5) > 0L)
+    assert(refresh().getLong(5) == 0L) // idle
+    val got = spark.sql(
+      s"""SELECT Seg, CAST(sum(m) AS BIGINT) AS n, sum(m * X) AS sx
+         |FROM lake_view('$view') GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long, Double)].collect().toSeq
+    val l = spark.read.format("graft-records").option("path", lt)
+      .option("fieldTypes", ltypes).load()
+    val r = spark.read.format("graft-records").option("path", rt)
+      .option("fieldTypes", rtypes).load()
+    val want = l.join(r, "K").groupBy("Seg")
+      .agg(count(lit(1)).as("n"), sum($"X").as("sx"))
+      .orderBy("Seg").as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+
+    // refresh/read of an undefined path refuse loudly
+    val miss = intercept[Exception](spark.sql(
+      s"SELECT * FROM refresh_lake_view('$base/nope')"))
+    assert(miss.getMessage.contains("create_lake_view first"))
+    // a bare Scala-API view dir (state but no _view.json) is not a
+    // DEFINED view — lake_view refuses rather than guessing fold rules
+    val scalaOnly = s"$base/scala_only"
+    LakeView.refreshAggregate(spark, lt, ltypes, scalaOnly,
+      Seq("K"), Seq("X"))
+    val bare = intercept[Exception](spark.sql(
+      s"SELECT * FROM lake_view('$scalaOnly')"))
+    assert(bare.getMessage.contains("create_lake_view first"))
+  }
+
+  test("argument shape errors are loud: non-literal args, bad kind, " +
+      "wrong arity") {
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM lake_view(1)"))
+    assert(e1.getMessage.contains("string literal"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM create_lake_view('/x', 'snapshot', '/t', 'A:number', " +
+        "'A', '')"))
+    assert(e2.getMessage.contains("'aggregate' or 'join'"))
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM create_lake_view('/x', 'aggregate', '/t')"))
+    assert(e3.getMessage.contains("aggregate"))
+  }
+}
