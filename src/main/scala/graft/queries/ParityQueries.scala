@@ -1163,6 +1163,47 @@ private[graft] object ParityQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    "q304_sum_pushdown" -> ((s, dir) => {
+      // grouped SUM/AVG aggregate pushdown on the JSONL record tier:
+      // sum partials fold in-reader (one double slot per group buffer)
+      // and AVG rides Spark's sum/count decomposition — the run GATES
+      // that the plan actually pushed (PushedAggregation naming the
+      // sums), and integer-valued doubles keep the partial-merge
+      // IEEE-exact against the oracle's recompute. The parquet tier
+      // deliberately refuses this shape (codegen agg over the
+      // vectorized scan beats a row-materializing fold), so the gate
+      // also pins the JSONL tier as the decode path that carries it.
+      val out = scratchPath(dir, "q304_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+        .coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      val q = s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).load()
+        .groupBy("Lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("Chars")).cast("long").as("sum_chars"),
+          avg(col("Chars")).as("avg_chars"),
+          sum(col("DocId")).cast("long").as("id_sum"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation=[groupBy=Lang") &&
+        plan.contains("sum(Chars)") && plan.contains("count(Chars)"),
+        s"sum/avg pushdown missing from the plan:\n$plan")
+      q.select(col("Lang").as("lang"), col("n_docs"), col("sum_chars"),
+          col("avg_chars"), col("id_sum"))
+        .orderBy("lang")
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2607,6 +2648,20 @@ private[graft] object ParityQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the grouped sums; the engine's plan is
+    // run-gated to have PUSHED them (in-reader sum partials + AVG via
+    // Spark's sum/count decomposition), integer-domain so the partial
+    // merge is IEEE-exact across engines
+    "q304_sum_pushdown" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the final state; the engine reaches it by a
     // COALESCED change-feed replay (3 micro-batches over 8 commits) and

@@ -53,6 +53,7 @@ private[v2] class ParquetAggPartitionReader(file: String,
       spec.aggs.forall {
         case PushedAggCol("count_star", _) => true
         case PushedAggCol("count", _) => true
+        case PushedAggCol("sum", _) => false // footers carry no sums
         case PushedAggCol(_, f) => fullSchema(f).dataType match {
           case DoubleType | BooleanType | TimestampType | DateType => true
           case _ => false // strings: truncatable binary stats
@@ -199,6 +200,18 @@ private[v2] class ParquetAggPartitionReader(file: String,
             case "count" =>
               if (valueAt(row, ac.field) != null)
                 st(i) = st(i).asInstanceOf[Long] + 1L
+            case "sum" => // reached only by a parquet file landing in a
+              // directory whose PLANNING saw none (the push gate refuses
+              // sums when parquet is present) — fold it anyway so the
+              // mixed-directory race stays correct
+              val v = valueAt(row, ac.field)
+              if (v != null) {
+                val d = v.asInstanceOf[java.lang.Double].doubleValue
+                st(i) =
+                  if (st(i) == null) java.lang.Double.valueOf(d)
+                  else java.lang.Double.valueOf(
+                    st(i).asInstanceOf[java.lang.Double].doubleValue + d)
+              }
             case op =>
               val v = valueAt(row, ac.field)
               val better = v != null && (st(i) == null ||

@@ -585,6 +585,10 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     spec.groupCols.isEmpty && pushed.isEmpty &&
       spec.aggs.forall {
         case PushedAggCol("count_star", _) | PushedAggCol("count", _) => true
+        // sums are never stats-answerable; on the parquet tier Spark's
+        // codegen agg over the vectorized scan beats a row-materializing
+        // in-reader fold, so refuse the push rather than decode-fold
+        case PushedAggCol("sum", _) => false
         case PushedAggCol(_, f) => fullSchema(f).dataType match {
           case DoubleType | BooleanType | TimestampType | DateType => true
           case _ => false // string extrema: truncatable binary stats
@@ -610,6 +614,13 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
       case c: Count if !c.isDistinct => name(c.column).map(PushedAggCol("count", _))
       case m: Min => name(m.column).map(PushedAggCol("min", _))
       case m: Max => name(m.column).map(PushedAggCol("max", _))
+      // SUM partials fold in-reader at no structural cost (one double
+      // slot per buffer); doubles only — the engine's numeric wire type.
+      // AVG rides for free: Spark rewrites it to sum/count before
+      // pushing partial aggregates (V2ScanRelationPushDown).
+      case s: Sum if !s.isDistinct =>
+        name(s.column).filter(f => fullSchema(f).dataType == DoubleType)
+          .map(PushedAggCol("sum", _))
       case _ => None
     }
     if (cols.exists(_.isEmpty)) return false
@@ -1367,6 +1378,15 @@ private[v2] class RecordPartitionReader(file: String, readSchema: StructType,
             case "count" =>
               if (fieldValue(node, raw, ac.field, fullSchema(ac.field).dataType) != null)
                 st(i) = st(i).asInstanceOf[Long] + 1L
+            case "sum" => // doubles only (gated at push); all-null -> null
+              val v = fieldValue(node, raw, ac.field, fullSchema(ac.field).dataType)
+              if (v != null) {
+                val d = v.asInstanceOf[java.lang.Double].doubleValue
+                st(i) =
+                  if (st(i) == null) java.lang.Double.valueOf(d)
+                  else java.lang.Double.valueOf(
+                    st(i).asInstanceOf[java.lang.Double].doubleValue + d)
+              }
             case "min" | "max" =>
               val v = fieldValue(node, raw, ac.field, fullSchema(ac.field).dataType)
               val better = v != null && (st(i) == null || {

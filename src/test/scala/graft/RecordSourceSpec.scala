@@ -165,6 +165,22 @@ class RecordSourceSpec extends SparkSpec {
     val cd = read().agg(countDistinct($"Active").as("n"))
     assert(!cd.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     assert(cd.collect().head.getLong(0) == 2L)
+    // SUM partials push for doubles; AVG rides Spark's sum/count rewrite
+    // (V2ScanRelationPushDown decomposes it before pushing partials)
+    val summed = read().groupBy($"Active")
+      .agg(sum($"Score").as("s"), avg($"Score").as("a"))
+    val splan = summed.queryExecution.executedPlan.toString
+    assert(splan.contains("PushedAggregation=[groupBy=Active; " +
+      "sum(Score),count(Score)]"), splan)
+    val sg = summed.collect()
+      .map(r => Option(r.get(0)) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(sg(Some(true)) == ((Some(5.0), Some(5.0))))
+    assert(sg(Some(false)) == ((Some(2.5), Some(2.5))))
+    assert(sg(None) == ((None, None))) // all-null group sums to NULL
+    // sum over a non-double (string) column must NOT push
+    val sstr = read().agg(sum($"Name").as("s"))
+    assert(!sstr.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
   }
 
   test("pushed aggregation fails loudly past the group-key bound, not OOM") {
