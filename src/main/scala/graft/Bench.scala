@@ -63,6 +63,9 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // iteration aid: SPARK_GRAFT_REPS=7 takes min-of-7 for a stable
+    // signal on a noisy box; the driver's mode stays min-of-2
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -70,8 +73,8 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq.fill(reps)(once())
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

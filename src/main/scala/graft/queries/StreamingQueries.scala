@@ -76,9 +76,23 @@ private[graft] object StreamingQueries {
     * Result rows are partition-count-invariant (DeterminismSpec's
     * engine-wide contract). */
   private def withReplayPartitions[A](s: SparkSession)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.get(noData)
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // every micro-batch costs ~0.3-0.5s of pure machinery (re-plan +
+    // state-store instantiate/commit + offset/commit WAL — measured by
+    // ProfileReplay: a 40-row 4-batch replay pays 2.2s), and a
+    // watermarked gate fires a NO-DATA batch after every data batch.
+    // The replays don't rely on them: watermark-closed emissions are
+    // forced deterministically by sentinel DATA batches (q242's
+    // discipline), so the no-data batches are pure fixed cost here.
+    // Scoped set+restore; the oracle gates pin the results unchanged.
+    s.conf.set(noData, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(noData, prevNoData)
+    }
   }
 
   /** Run `gate` (a streaming frame fed by `in`) over the batched feed
@@ -90,7 +104,14 @@ private[graft] object StreamingQueries {
       gate: DataFrame, batches: Seq[Seq[T]])(
       finish: DataFrame => DataFrame): DataFrame = withReplayPartitions(s) {
     val mem = s"graft_stream_replay_${memNonce.incrementAndGet()}"
+    // explicit checkpoint on the scratch root (tmpfs when available):
+    // a Spark-generated temp checkpoint lands under java.io.tmpdir, and
+    // the per-batch checkpoint + state-store file I/O there is the
+    // replay family's dominant fixed cost. Deleted on completion —
+    // replays are one-shot, never restarted.
+    val ckpt = new java.io.File(QueryShared.scratchRoot, mem)
     val q = gate.writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .outputMode("update").start()
     try {
       batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
@@ -99,6 +120,7 @@ private[graft] object StreamingQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(mem)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
     }
   }
 
@@ -114,12 +136,12 @@ private[graft] object StreamingQueries {
       // event time), not just how many.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q238_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("event_id").isNotNull &&
           typeCode.isNotNull)
         .select(typeCode.as("k"), col("ts"), col("event_id").cast("long").as("id"))
         .as[(Long, java.sql.Timestamp, Long)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long)]
       val gate = graft.streaming.StreamingSync.quotaPerKey(
@@ -199,13 +221,13 @@ private[graft] object StreamingQueries {
       // micro-batch timing), so every real window emits exactly once.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q242_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("event_type").isNotNull &&
           col("value").isNotNull)
         .select(col("ts"), col("event_type"),
           col("value").cast("double").as("value"))
         .as[(java.sql.Timestamp, String, Double)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val gate = graft.streaming.StreamingSync.windowedCounts(
@@ -263,13 +285,13 @@ private[graft] object StreamingQueries {
       // value-tiebreak never fires).
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q240_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("value").isNotNull &&
           col("user_id").isNotNull)
         .select(col("user_id").cast("long").as("k"), col("ts"),
           col("value").cast("double").as("v"))
         .as[(Long, java.sql.Timestamp, Double)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Double)]
       val gate = graft.streaming.StreamingSync.emaPerKey(
@@ -305,13 +327,13 @@ private[graft] object StreamingQueries {
           col("event_type").isNotNull)
         .select(col("user_id").cast("long").as("k"), col("ts"),
           col("event_type").cast("string").as("et"))
-      val rows = all
+      val rows = memoFeed("q245_rows_feed", dir) { all
         .withColumn("_day", floor(col("ts").cast("long") / 86400))
         .filter(col("_day") === all.agg(
           min(floor(col("ts").cast("long") / 86400))).head().getLong(0))
         .drop("_day")
         .as[(Long, java.sql.Timestamp, String)]
-        .collect()
+        .collect() }
       require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
       // fixture-assumption guard (round-8 advice): the oracle's strict
       // `ts >` chaining assumes no (user, ts) ties among funnel-STEP
@@ -358,7 +380,7 @@ private[graft] object StreamingQueries {
       // order than the oracle's window can express.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q239_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("event_id").isNotNull &&
           col("value").isNotNull && typeCode.isNotNull)
         .select(typeCode.as("k"),
@@ -366,7 +388,7 @@ private[graft] object StreamingQueries {
           col("event_id").cast("long").as("id"),
           col("value").cast("double").as("v"))
         .as[(Long, java.sql.Timestamp, Long, Double)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
       val gate = graft.streaming.StreamingSync.anomalyPerKey(
@@ -396,13 +418,13 @@ private[graft] object StreamingQueries {
       // state folds >= 1 retained event).
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q248_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
           col("value").isNotNull)
         .select(col("user_id").cast("long").as("k"), col("ts"),
           floor(col("value").cast("double") * 100).as("v"))
         .as[(Long, java.sql.Timestamp, Double)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Double)]
       val gate = graft.streaming.StreamingSync.rollingPerKeyStream(
@@ -438,13 +460,13 @@ private[graft] object StreamingQueries {
       // n_events (the seen-counter is strictly increasing per fold).
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q249_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("event_id").isNotNull &&
           typeCode.isNotNull)
         .select(typeCode.as("k"), col("ts"),
           col("event_id").cast("string").as("v"))
         .as[(Long, java.sql.Timestamp, String)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, String)]
       val gate = graft.streaming.StreamingSync.hllPerKey(
@@ -476,13 +498,13 @@ private[graft] object StreamingQueries {
       // total_value rides the DECIMAL(18,2) route (order-insensitive).
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q250_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
           col("value").isNotNull)
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
           col("value").cast("double").as("value"))
         .as[(Long, java.sql.Timestamp, Double)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Double)]
       val gate = graft.streaming.StreamingSync.sessionize(
@@ -554,8 +576,8 @@ private[graft] object StreamingQueries {
         .unionByName(lRow(-1L)(orders.filter(col("okey") % 7 === 0)))
         .unionByName(rRow(1L)(cust.filter(col("k") % 2 === 1)))
         .unionByName(rRow(-1L)(cust.filter(col("k") % 5 === 0)))
-      val waves = Seq(wave1, wave2).map(
-        _.as[(String, Long, Long, Double, String, Long)].collect().toSeq)
+      val waves = memoFeed("q288_waves_feed", dir) { Seq(wave1, wave2).map(
+        _.as[(String, Long, Long, Double, String, Long)].collect().toSeq) }
       require(waves.forall(w => w.nonEmpty && w.length <= 2000000),
         "bad replay fixture")
       val empty = lRow(1L)(orders).limit(0)
@@ -603,13 +625,13 @@ private[graft] object StreamingQueries {
       // store provider (TWS requires it), restored after the replay.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = rd(s, dir, "events")
+      val rows = memoFeed("q276_rows_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
           col("event_id").isNotNull)
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
           col("event_id").cast("long").as("id"))
         .as[(Long, java.sql.Timestamp, Long)]
-        .collect()
+        .collect() }
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long)]
       val gate = graft.streaming.StreamingSync.sessionizeTws(
@@ -665,14 +687,14 @@ private[graft] object StreamingQueries {
       // self-join; the per-user id sums pin exactly WHICH pairs joined.
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = rd(s, dir, "events")
+      val ev = memoFeed("q251_ev_feed", dir) { rd(s, dir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
           col("event_id").isNotNull)
         .select(col("user_id").cast("long").as("u"), col("ts"),
           col("event_id").cast("long").as("id"),
           col("event_type").cast("string").as("et"))
         .as[(Long, java.sql.Timestamp, Long, String)]
-        .collect()
+        .collect() }
       val views = ev.filter(_._4 == "view").map(r => (r._1, r._2, r._3))
       val purch = ev.filter(_._4 == "purchase").map(r => (r._1, r._2, r._3))
       require(views.nonEmpty && purch.nonEmpty, "bad replay fixture")
@@ -747,11 +769,11 @@ private[graft] object StreamingQueries {
       def rawAfter(n: Int): DataFrame = ev
         .filter(!(col("event_id") % 7 === 0 && col("event_id") % 2 < n))
         .unionByName(ins.drop("op").filter(col("event_id") % 2 < n))
-      val ops = dels.unionByName(ins)
+      val ops = memoFeed("q252_ops_feed", dir) { dels.unionByName(ins)
         .select(col("user_id"), col("event_id"), col("ts"),
           col("value").cast("double").as("value"), col("op"))
         .as[(Long, Long, java.sql.Timestamp, Double, String)]
-        .collect()
+        .collect() }
       require(ops.nonEmpty && ops.length <= 2000000, "bad replay fixture")
       var state = graft.operators.IncrementalAgg.partials(
         ev, Seq("user_id"), day(col("ts")), "value").localCheckpoint()
@@ -798,7 +820,7 @@ private[graft] object StreamingQueries {
         col("c_custkey").cast("long").as("c_custkey"),
         col("c_acctbal").cast("double").as("c_acctbal"))
       val corpus = cust.filter(col("c_custkey") % 3 =!= 0)
-      val rows = cust.as[(Long, Double)].collect()
+      val rows = memoFeed("q253_rows_feed", dir) { cust.as[(Long, Double)].collect() }
       require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Double)]
@@ -851,12 +873,12 @@ private[graft] object StreamingQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val base = docsBase(s, dir)
-      val incoming = base.filter(col("doc_id") % 7 === 0)
+      val incoming = memoFeed("q254_incoming_feed", dir) { base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
         .unionByName(base.filter(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-        .as[(Long, String)].collect()
+        .as[(Long, String)].collect() }
       require(incoming.nonEmpty && incoming.length <= 2000000,
         "bad replay fixture")
       val in = org.apache.spark.sql.execution.streaming.runtime
@@ -951,11 +973,11 @@ private[graft] object StreamingQueries {
       val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       fs.delete(new Path(ckpt), true)
-      val rows = rd(s, dir, "customer")
+      val rows = memoFeed("q255_rows_feed", dir) { rd(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("k"),
           col("c_acctbal").cast("double").as("bal"),
           col("c_mktsegment").cast("string").as("seg"))
-        .as[(Long, Double, String)].collect()
+        .as[(Long, Double, String)].collect() }
       require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Double, String)]
@@ -1080,10 +1102,10 @@ private[graft] object StreamingQueries {
       val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       fs.delete(new Path(ckpt), true)
-      val rows = rd(s, dir, "customer")
+      val rows = memoFeed("q290_rows_feed", dir) { rd(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("k"),
           col("c_acctbal").cast("double").as("bal"))
-        .as[(Long, Double)].collect()
+        .as[(Long, Double)].collect() }
       require(rows.nonEmpty && rows.length <= 2000000, "bad replay fixture")
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Double)]
