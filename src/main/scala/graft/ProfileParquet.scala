@@ -55,7 +55,11 @@ object ProfileParquet {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_prof")
       .toString + "/t"
-    wide.repartition(8).write.format("graft-records")
+    // SPARK_GRAFT_PQ_FILES scales the FILE count at constant rows (the
+    // 100×-files probe: per-file overheads — footer reads, reader
+    // instantiation, DV lookups — must not erode the columnar gain)
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_PQ_FILES", "8").toInt
+    wide.repartition(nFiles).write.format("graft-records")
       .option("path", dir).option("dataFormat", "parquet")
       .mode("append").save()
     val types = (0 to 11).map(i => s"N$i:number").mkString(",") + "," +
@@ -63,7 +67,7 @@ object ProfileParquet {
       ",Flag:checkbox,Emb:numberArray,Toks:multipleSelects"
     def rd = spark.read.format("graft-records").option("path", dir)
       .option("fieldTypes", types).load()
-    println(s"PROFILE corpus rows=${rd.count()} files=8 repl=$repl")
+    println(s"PROFILE corpus rows=${rd.count()} files=$nFiles repl=$repl")
 
     def minOfK(k: Int)(f: => Long): Double =
       (0 until k).map { _ =>

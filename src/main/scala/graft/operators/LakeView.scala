@@ -53,8 +53,14 @@ object LakeView {
     * every bucket as touched (one full rewrite), then sticks. */
   val AutoBuckets = 0
   val DefaultBuckets = 32
-  val AutoBucketRows: Long = 1L << 20
-  val AutoBucketBytes: Long = 64L << 20
+  // thresholds sized so the single-bucket form never writes big state
+  // SERIALLY: past ~128k delta rows / 8 MB persisted state the bucketed
+  // form's parallel writes beat coalesce(1) by more than the per-dir
+  // overhead costs (measured: a 1M-row bootstrap under modulus 1 paid a
+  // single-task state write per refresh plus a mid-chain migration —
+  // 2.2× the whole q297 10× probe)
+  val AutoBucketRows: Long = 1L << 17
+  val AutoBucketBytes: Long = 8L << 20
 
   /** A generation pointer: aggregate views name ONE state directory
     * (`dir`); join views name one file path PER HASH BUCKET (`buckets`)

@@ -769,16 +769,16 @@ private[graft] object ParityQueries {
         rt, rtypes, Seq("CKey", "Seg"), Seq("CKey"))
       orders.filter(col("OKey") % 3 < 2).coalesce(2)
         .write.format("graft-records").option("path", lt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       cust.coalesce(1)
         .write.format("graft-records").option("path", rt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       graft.operators.LakeSnapshots.commit(s, lt)
       graft.operators.LakeSnapshots.commit(s, rt)
       refresh()
       orders.filter(col("OKey") % 3 === 2).coalesce(1)
         .write.format("graft-records").option("path", lt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       graft.operators.LakeSnapshots.commit(s, lt)
       refresh()
       graft.operators.DeletionVectors.delete(s, rt, rtypes,
@@ -1131,10 +1131,10 @@ private[graft] object ParityQueries {
         s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
       orders.filter(col("OKey") % 3 < 2).coalesce(2)
         .write.format("graft-records").option("path", lt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       cust.coalesce(1)
         .write.format("graft-records").option("path", rt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       graft.operators.LakeSnapshots.commit(s, lt)
       graft.operators.LakeSnapshots.commit(s, rt)
       val r1 = refresh()
@@ -1142,7 +1142,7 @@ private[graft] object ParityQueries {
         "bootstrap refresh must fold the initial join")
       orders.filter(col("OKey") % 3 === 2).coalesce(1)
         .write.format("graft-records").option("path", lt)
-        .mode("append").save()
+        .option("dataFormat", "parquet").mode("append").save()
       graft.operators.LakeSnapshots.commit(s, lt)
       val r2 = refresh()
       require(r2.getLong(1) == 1L && r2.getLong(2) == 2L &&
