@@ -97,5 +97,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
         "lake_view"),
       (args: Seq[Expression]) => graft.plans.LakeViewSql.readPlan(args)))
+    // lake maintenance in SQL: compaction, DV materialization, snapshot
+    // retention, vacuum (graft.plans.LakeMaintenance — one-row reports)
+    ext.injectTableFunction((
+      new FunctionIdentifier("optimize_lake"),
+      new ExpressionInfo(graft.plans.LakeMaintenance.getClass.getName,
+        "optimize_lake"),
+      (args: Seq[Expression]) => graft.plans.LakeMaintenance.optimizePlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("materialize_lake_dvs"),
+      new ExpressionInfo(graft.plans.LakeMaintenance.getClass.getName,
+        "materialize_lake_dvs"),
+      (args: Seq[Expression]) =>
+        graft.plans.LakeMaintenance.materializeDvsPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("expire_lake_snapshots"),
+      new ExpressionInfo(graft.plans.LakeMaintenance.getClass.getName,
+        "expire_lake_snapshots"),
+      (args: Seq[Expression]) =>
+        graft.plans.LakeMaintenance.expireSnapshotsPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("vacuum_lake"),
+      new ExpressionInfo(graft.plans.LakeMaintenance.getClass.getName,
+        "vacuum_lake"),
+      (args: Seq[Expression]) => graft.plans.LakeMaintenance.vacuumPlan(args)))
   }
 }

@@ -1204,6 +1204,70 @@ private[graft] object ParityQueries {
         .orderBy("lang")
     }),
 
+    "q305_sql_lake_maintenance" -> ((s, dir) => {
+      // the lake's MAINTENANCE plane in pure SQL: a 6-small-file table
+      // takes a DV delete, then materialize_lake_dvs rewrites the
+      // vectored files (DV sidecars gone), optimize_lake compacts the
+      // debris to ONE file, snapshots straddle a second delete and
+      // expire_lake_snapshots retires the older manifest, and
+      // vacuum_lake confirms a debris-free table — every effect gated
+      // in-run (file counts, sidecar absence, surviving versions) and
+      // the final state ≡ the oracle's recompute from the two delete
+      // predicates. Maintenance must never change WHAT the table says,
+      // only how it's laid out.
+      val out = scratchPath(dir, "q305_records")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      (0 until 6).foreach { k =>
+        docs.filter(col("DocId") % 6 === k).coalesce(1)
+          .write.format("graft-records").option("path", out)
+          .mode("append").save()
+      }
+      def dataFiles(): Int = fs.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".jsonl"))
+      require(dataFiles() == 6, s"expected 6 small files, got ${dataFiles()}")
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      val mat = s.sql(s"SELECT * FROM materialize_lake_dvs('$out')")
+        .collect()(0)
+      require(mat.getInt(0) > 0, "materialize must rewrite vectored files")
+      val dvDir = new org.apache.hadoop.fs.Path(p,
+        graft.sources.v2.DeletionVector.Dir)
+      require(!fs.exists(dvDir) || fs.listStatus(dvDir).forall(!_.isFile),
+        "DV sidecars must be gone after materialization")
+      val opt = s.sql(s"SELECT * FROM optimize_lake('$out')").collect()(0)
+      require(opt.getInt(0) == 1 && dataFiles() == 1,
+        s"compaction must leave ONE file (wrote ${opt.getInt(0)}, " +
+          s"have ${dataFiles()})")
+      val v1 = graft.operators.LakeSnapshots.commit(s, out)
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("DocId") % 10 === 7)
+      val v2 = graft.operators.LakeSnapshots.commit(s, out)
+      val exp = s.sql(s"SELECT * FROM expire_lake_snapshots('$out', 1)")
+        .collect()(0)
+      require(exp.getInt(0) == 1 &&
+        graft.operators.LakeSnapshots.versions(s, out) == Seq(v2),
+        s"expire must retire exactly v$v1 and keep v$v2")
+      val vac = s.sql(s"SELECT * FROM vacuum_lake('$out')").collect()(0)
+      require(vac.getInt(1) == 0, "a healthy table has no staging debris")
+      s.read.format("graft-records").option("path", out)
+        .option("fieldTypes", types).load()
+        .groupBy(col("Lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("Chars")).cast("long").as("sum_chars"),
+          sum(col("DocId")).cast("long").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2662,6 +2726,22 @@ private[graft] object ParityQueries {
         |    AS avg_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the final state from the two delete
+    // predicates; the engine gets there through SQL-driven maintenance
+    // (DV materialize, compaction, snapshot expiry, vacuum) whose
+    // layout effects are gated in-run — maintenance must never change
+    // what the table says
+    "q305_sql_lake_maintenance" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE NOT coalesce(n_chars < 200, FALSE)
+        |    AND NOT (doc_id % 10 = 7))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the final state; the engine reaches it by a
     // COALESCED change-feed replay (3 micro-batches over 8 commits) and

@@ -625,6 +625,11 @@ private[v2] class RecordScanBuilder(fullSchema: StructType, path: String,
     }
     if (cols.exists(_.isEmpty)) return false
     val spec = PushedAggSpec(groups.map(_.get), cols.map(_.get))
+    // a clusterBy table grouped ON its cluster key aggregates
+    // shuffle-free off the reported KeyGroupedPartitioning — pushing
+    // partials would REINTRODUCE the merge exchange Spark otherwise
+    // elides, strictly worse than the storage-partitioned plan
+    if (clusterBy.exists(spec.groupCols.contains)) return false
     if (parquetPresent && !parquetAggOk(spec)) return false
     // scan output convention (V2ScanRelationPushDown zips positionally):
     // group columns first, then one column per aggregate — counts are
