@@ -182,16 +182,48 @@ object LakeView {
   /** The view's current contents (aggregate views: `keyCols`, `n`, one
     * `sum_<col>` per sum column, `mn_<col>`/`mx_<col>` per min-max
     * column; join views: the joined columns plus the net multiplicity
-    * `m`). Empty before the first refresh. */
-  def read(spark: SparkSession, viewPath: String): DataFrame =
-    readPointer(spark, viewPath) match {
-      case Some(ptr) =>
-        val paths = ptr.dir.map(d => Seq(s"$viewPath/$d"))
-          .getOrElse(ptr.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
+    * `m`). Empty before the first refresh.
+    *
+    * `generationAsOf` reads a SPECIFIC generation instead of the newest
+    * — view-level time travel, symmetric with the table's
+    * `versionAsOf`. Only the newest [[KeepGenerations]] generations are
+    * resolvable (retention reclaims older state); an expired or unknown
+    * generation refuses loudly, listing what is live. */
+  def read(spark: SparkSession, viewPath: String,
+      generationAsOf: Option[Long] = None): DataFrame = {
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = generationAsOf match {
+      case Some(g) =>
+        val live =
+          if (!fs.exists(dir)) Seq.empty[Long]
+          else fs.listStatus(dir).filter(_.isFile)
+            .flatMap(st => ptrGen(st.getPath.getName)).sorted.toSeq
+        if (!live.contains(g)) throw new IllegalStateException(
+          s"view generation $g is not live at $viewPath (live: " +
+            s"${live.mkString(", ")}) — retention keeps the newest " +
+            s"$KeepGenerations generations")
+        Some(parsePointer(fs, dir, g))
+      case None => readPointer(spark, viewPath)
+    }
+    ptr match {
+      case Some(p) =>
+        val paths = p.dir.map(d => Seq(s"$viewPath/$d"))
+          .getOrElse(p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
         spark.read.parquet(paths: _*)
       case None => throw new IllegalStateException(
         s"no materialized view at $viewPath — refreshAggregate first")
     }
+  }
+
+  /** Live (resolvable) generation numbers at `viewPath`, ascending. */
+  def generations(spark: SparkSession, viewPath: String): Seq[Long] = {
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile)
+      .flatMap(st => ptrGen(st.getPath.getName)).sorted.toSeq
+  }
 
   private def tableHead(spark: SparkSession, tablePath: String): Long = {
     val tdir = new Path(tablePath)

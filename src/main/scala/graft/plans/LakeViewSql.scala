@@ -23,8 +23,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * -- advance to the tables' newest snapshots (∝-delta, like the Scala
   * -- API); returns the consumed windows + the folded delta size
   * SELECT * FROM refresh_lake_view('/v')
-  * -- read the maintained state
+  * -- read the maintained state (optionally a specific live generation
+  * -- — view-level time travel, retention keeps current + previous)
   * SELECT * FROM lake_view('/v')
+  * SELECT * FROM lake_view('/v', 3)
   * }}}
   *
   * The DEFINITION is durable (`_view.json` beside the generation
@@ -189,10 +191,13 @@ object LakeViewSql {
 
   def readPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    require(args.length == 1, "lake_view(viewPath)")
+    require(args.length == 1 || args.length == 2,
+      "lake_view(viewPath[, generationAsOf])")
     val viewPath = strLit(args.head, "viewPath")
     loadDef(spark, viewPath) // a defined view, not a bare state dir
-    graft.operators.LakeView.read(spark, viewPath).queryExecution.logical
+    val gen = args.lift(1).map(intLit(_, "generationAsOf").toLong)
+    graft.operators.LakeView.read(spark, viewPath, gen)
+      .queryExecution.logical
   }
 
   private def loadDef(spark: SparkSession,

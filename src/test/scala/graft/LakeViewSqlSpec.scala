@@ -69,6 +69,23 @@ class LakeViewSqlSpec extends SparkSpec {
       .orderBy("Grp")
       .as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(got == want)
+
+    // view-level time travel: the PREVIOUS generation (retention keeps
+    // current + previous) reads the pre-r2 state; an expired one refuses
+    assert(LakeView.generations(spark, view) == Seq(1L, 2L))
+    val gen1 = spark.sql(
+      s"""SELECT Grp, CAST(n AS BIGINT) AS n FROM lake_view('$view', 1)
+         |ORDER BY Grp""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(gen1 == Seq(("g0", 10L), ("g1", 10L), ("g2", 10L)))
+    LakeSnapshots.commit(spark, dir) // a third refresh expires gen 1
+    DeletionVectors.delete(spark, dir, types, $"Score" === 1.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    val gone = intercept[Exception](spark.sql(
+      s"SELECT * FROM lake_view('$view', 1)"))
+    assert(gone.getMessage.contains("not live"))
+    assert(spark.sql(s"SELECT * FROM lake_view('$view', 2)").count() > 0)
   }
 
   test("join view through SQL: bilinear refresh with both sides' " +
