@@ -1086,12 +1086,19 @@ private[graft] object ParityQueries {
           !(col("mx_Chars") <=> col("tmx")))
       require(mism.limit(1).isEmpty,
         "SQL-maintained view diverged from the Scala-API twin")
-      sqlState
-        .select(col("Lang").as("lang"), col("n").as("n_docs"),
+      def shape(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.select(lit(phase).as("phase"), col("Lang").as("lang"),
+          col("n").as("n_docs"),
           col("sum_Chars").cast("long").as("sum_chars"),
           col("mn_Chars").cast("long").as("min_chars"),
           col("mx_Chars").cast("long").as("max_chars"))
-        .orderBy("lang")
+      // view-level TIME TRAVEL under the oracle: generation 2 (the
+      // state after the delete refresh, retained as the previous
+      // generation) reads back alongside the live state — both phases
+      // recomputed by the oracle from the predicates alone
+      val prev = shape(s.sql(s"SELECT * FROM lake_view('$view', 2)"), "v2")
+      shape(sqlState, "zlive").unionByName(prev)
+        .orderBy("phase", "lang")
     }),
 
     "q303_sql_lake_view_join" -> ((s, dir) => {
@@ -2695,12 +2702,21 @@ private[graft] object ParityQueries {
       """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
         |  WHERE lang IS NOT NULL),
         |live AS (SELECT * FROM base
-        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
-        |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE)),
+        |v2 AS (SELECT * FROM base
+        |  WHERE doc_id % 3 < 2 AND NOT coalesce(n_chars < 200, FALSE)),
+        |agg_live AS (SELECT 'zlive' AS phase, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |  FROM live GROUP BY 2),
+        |agg_v2 AS (SELECT 'v2', lang, COUNT(*),
+        |    CAST(SUM(n_chars) AS BIGINT),
+        |    CAST(MIN(n_chars) AS BIGINT),
+        |    CAST(MAX(n_chars) AS BIGINT)
+        |  FROM v2 GROUP BY 2)
+        |SELECT * FROM agg_live UNION ALL SELECT * FROM agg_v2
+        |ORDER BY 1, 2""".stripMargin,
 
     // the oracle recomputes the final join; the engine's SQL surface
     // reaches it through three incremental refreshes of the persisted
