@@ -443,6 +443,69 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cells")
 
+  /** Fold a SIGNED change batch — the lake change feed's shape
+    * ([[LakeChangelog.changes]] / the `cdc=true` read: the table's
+    * columns + net multiplicity `m`) — into a persisted IVF index, so
+    * the index tracks a mutating table at cost ∝ the DELTA:
+    *
+    *  - inserts (`m > 0`) assign with the index's own centroids and
+    *    append into their cell directories ([[appendToIvfIndex]]'s
+    *    append ≡ rebuild law — existing files untouched);
+    *  - deletes (`m < 0`) rewrite ONLY the cell directories holding
+    *    retracted ids — each deleted row carries its vector, so its
+    *    cell is pure arithmetic (no index scan to find it), and the
+    *    rewrite is an anti-join per touched cell, swapped in by
+    *    temp-write + rename. A cell whose rows all retract becomes an
+    *    EMPTY directory (dynamic partition overwrite would silently
+    *    keep it — the reason for the per-cell swap).
+    *
+    * Re-indexing a 100-TB corpus per mutation wave is the non-starter
+    * this exists to avoid: the touched-cell set is bounded by the
+    * centroid count, and untouched cells are never read. Deletes are
+    * applied BEFORE inserts so a re-added id (delete + insert of a new
+    * vector in one window) survives. Same completion-marker discipline
+    * as the build: dropped first, restored last — a crash mid-fold
+    * leaves an unmarked, rebuildable index, never a complete-looking
+    * partial one. Single-maintainer, like every index build here.
+    * Returns (inserted, deleted) row counts. */
+  def applyChangesToIvfIndex(changes: DataFrame, idCol: String,
+      vecCol: String, path: String,
+      centroids: Seq[Seq[Float]]): (Long, Long) = {
+    val spark = changes.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
+    // one CDC read feeds the delete sweep, the append, and both counts
+    val assigned = changes
+      .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .localCheckpoint()
+    val delIds = assigned.filter(col("m") < 0)
+      .select(col("ivf_cell").as("_del_cell"), col(idCol).as("_del_id"))
+    // touched cells: bounded by |centroids|, so the collect is metadata
+    val touched = delIds.select(col("_del_cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val nDel = delIds.count()
+    touched.foreach { c =>
+      val cellDir = new org.apache.hadoop.fs.Path(s"$path/cells/ivf_cell=$c")
+      if (fs.exists(cellDir)) {
+        val survivors = spark.read.parquet(cellDir.toString)
+          .join(delIds.filter(col("_del_cell") === c).select(col("_del_id")),
+            col(idCol) === col("_del_id"), "left_anti")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.cellswap-$c")
+        fs.delete(tmp, true)
+        survivors.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(cellDir, true)
+        require(fs.rename(tmp, cellDir), s"cell swap failed for $cellDir")
+      }
+    }
+    val ins = assigned.filter(col("m") > 0).drop("m")
+    val nIns = ins.count()
+    if (nIns > 0)
+      ins.write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    (nIns, nDel)
+  }
+
   /** Probe a persisted IVF index: rank cells driver-side (no job), read
     * only those partitions, exact-rank the survivors. `centroids` MUST be
     * the set the index was written with — key the path by [[ivfSignature]]

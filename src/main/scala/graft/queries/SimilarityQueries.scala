@@ -274,6 +274,77 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ----- IVF maintained off the lake's change feed ------------------
+    "q306_ivf_cdc_maintenance" -> ((s, dir) => {
+      // the full CDC -> ANN-index loop: an IVF index built from the
+      // table AT v1 is advanced to v2 by folding the SIGNED change feed
+      // (appends assigned into their cells, deletes retracted by
+      // touched-cell rewrite) — cost ∝ the delta, never a corpus
+      // re-assignment. The delete wave removes vec_id%9==4, which
+      // includes a CENTROID SEED (id 4): its vector scores cos=1.0
+      // against its own cell, so a stale index entry would top the
+      // ranking — the probe result is the retraction detector. The run
+      // also gates folded ≡ rebuilt-from-live cell-for-cell; the oracle
+      // replays assignment + probe over the live set in SQL.
+      val out = scratchPath(dir, "q306_records")
+      val idxPath = scratchPath(dir, "q306_index")
+      val rebuiltPath = scratchPath(dir, "q306_rebuild")
+      val types = "Vec:numberArray,VecId:number"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, idxPath, rebuiltPath).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      def asLake(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("v"), lpad(col("vec_id").cast("string"), 7, "0"))
+          .as("_record_id"),
+        col("embedding").cast("array<double>").as("Vec"),
+        col("vec_id").cast("double").as("VecId"))
+      def toVecs(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("VecId").cast("long").as("vec_id"),
+        col("Vec").cast("array<float>").as("embedding")) // exact roundtrip
+      asLake(e.filter(col("vec_id") % 3 < 2)).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .option("dataFormat", "parquet").mode("append").save()
+      val v1 = graft.operators.LakeSnapshots.commit(s, out)
+      Similarity.writeIvfIndex(
+        toVecs(s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).option("versionAsOf", v1.toString)
+          .load()),
+        "embedding", idxPath, cents)
+      asLake(e.filter(col("vec_id") % 3 === 2)).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("VecId") % 9 === 4)
+      val v2 = graft.operators.LakeSnapshots.commit(s, out)
+      val changes = graft.operators.LakeChangelog
+        .changes(s, out, types, v1, v2)
+      val (nIns, nDel) = Similarity.applyChangesToIvfIndex(
+        changes.select(col("VecId").cast("long").as("vec_id"),
+          col("Vec").cast("array<float>").as("embedding"), col("m")),
+        "vec_id", "embedding", idxPath, cents)
+      require(nIns > 0 && nDel > 0,
+        s"the window must carry both signs: +$nIns -$nDel")
+      // folded ≡ rebuilt-from-live, cell for cell (assignment is pure
+      // arithmetic over fixed geometry, so the sets must be identical)
+      Similarity.writeIvfIndex(
+        toVecs(s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()),
+        "embedding", rebuiltPath, cents)
+      val a = Similarity.readIvfIndex(s, idxPath)
+        .select(col("vec_id"), col("ivf_cell"))
+      val b = Similarity.readIvfIndex(s, rebuiltPath)
+        .select(col("vec_id"), col("ivf_cell"))
+      require(a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).isEmpty,
+        "CDC-folded index diverged from a rebuild over the live table")
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, idxPath),
+        "vec_id", "embedding", cents, probeVec(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), r(col("cos"), 6).as("cos"))
+    }),
+
+
     // ----- k-means refinement step (Lloyd iteration for IVF) ---------
     "q68_kmeans_step" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -665,6 +736,16 @@ private[graft] object SimilarityQueries {
     // append ≡ rebuild: the incrementally-built index must reproduce
     // q49's from-scratch ranking exactly, so both gates share ONE oracle
     "q115_ivf_incremental" -> ivfTopKOracle,
+
+    // the SAME assignment + probe replay as q49/q115, restricted to the
+    // LIVE set (the delete predicate) — centroid geometry and the probe
+    // stay corpus-derived, exactly as the engine's fixed-geometry fold;
+    // derived from ivfTopKOracle so the three cannot drift apart
+    "q306_ivf_cdc_maintenance" ->
+      ("WITH live AS (SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4)),\n" +
+        ivfTopKOracle.stripPrefix("WITH ")
+          .replace("FROM embeddings e CROSS JOIN cent c",
+            "FROM live e CROSS JOIN cent c")),
 
 
     "q68_kmeans_step" ->

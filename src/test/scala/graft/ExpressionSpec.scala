@@ -260,6 +260,58 @@ class ExpressionSpec extends SparkSpec {
     assert(top(incr) == top(full))
   }
 
+  test("applyChangesToIvfIndex: fold equals rebuild; emptied cells sweep; " +
+      "re-added ids survive; marker discipline") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cdc").toString
+    val n = 120
+    def vec(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)),
+      d => cos(seed * 17 + d).cast("float")).as("embedding")
+    val emb = spark.range(n).select($"id".as("vec_id"), vec($"id"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 5)
+    Similarity.writeIvfIndex(emb, "embedding", idx, cents)
+    // one signed batch: delete every id in cell 0 AND ids %7==3, insert
+    // new ids 1000-1019, and RE-ADD id 3 with a NEW vector (a -1 and a
+    // +1 for the same id in one window — the re-added row must survive)
+    val assigned = emb.withColumn("ivf_cell",
+      Similarity.ivfAssign($"embedding", cents))
+    val cell0 = assigned.filter($"ivf_cell" === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(cell0.nonEmpty, "fixture must populate cell 0")
+    val delIds = cell0 ++ (0L until n.toLong).filter(_ % 7 == 3)
+    val dels = emb.filter($"vec_id".isin(delIds.toSeq: _*))
+      .withColumn("m", lit(-1L))
+    val ins = spark.range(1000, 1020)
+      .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m"))
+      .unionByName(spark.range(3, 4)
+        .select($"id".as("vec_id"), vec($"id" + 5000), lit(1L).as("m")))
+    val (nIns, nDel) = Similarity.applyChangesToIvfIndex(
+      dels.unionByName(ins), "vec_id", "embedding", idx, cents)
+    assert(nIns == 21L && nDel == delIds.size.toLong)
+    val marker = new org.apache.hadoop.fs.Path(idx, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "fold must restore the completion marker")
+    // fold ≡ rebuild over the post-change corpus
+    val live = emb.filter(!$"vec_id".isin(delIds.toSeq: _*))
+      .unionByName(ins.drop("m"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cdc_rb").toString
+    Similarity.writeIvfIndex(live, "embedding", rebuilt, cents)
+    def snap(p: String) = Similarity.readIvfIndex(spark, p)
+      .select($"vec_id", $"ivf_cell").as[(Long, Long)].collect().toSet
+    assert(snap(idx) == snap(rebuilt))
+    // the re-added id carries the NEW vector (cell of seed id+5000)
+    val readded = Similarity.readIvfIndex(spark, idx)
+      .filter($"vec_id" === 3L).collect()
+    assert(readded.length == 1)
+    // a cell whose rows ALL retracted reads back empty unless re-added
+    // rows landed there (dir swap, not dynamic-overwrite retention)
+    val stale = Similarity.readIvfIndex(spark, idx)
+      .filter($"ivf_cell" === 0 && $"vec_id" < 1000L && $"vec_id" =!= 3L)
+    assert(stale.isEmpty,
+      "emptied cell 0 must not retain pre-delete rows")
+  }
+
   test("top_k_pairs: equals the window form, merges across partitions, O(k)") {
     import graft.functions.TopKPairs
     val df = spark.range(1000).select(
