@@ -65,7 +65,11 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     // iteration aid: SPARK_GRAFT_REPS=7 takes min-of-7 for a stable
     // signal on a noisy box; the driver's mode stays min-of-2
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map { v =>
+      val n = scala.util.Try(v.toInt).getOrElse(-1)
+      require(n >= 1, s"SPARK_GRAFT_REPS must be a positive integer, got '$v'")
+      n
+    }.getOrElse(2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

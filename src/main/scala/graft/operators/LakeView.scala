@@ -195,10 +195,7 @@ object LakeView {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr = generationAsOf match {
       case Some(g) =>
-        val live =
-          if (!fs.exists(dir)) Seq.empty[Long]
-          else fs.listStatus(dir).filter(_.isFile)
-            .flatMap(st => ptrGen(st.getPath.getName)).sorted.toSeq
+        val live = generations(spark, viewPath)
         if (!live.contains(g)) throw new IllegalStateException(
           s"view generation $g is not live at $viewPath (live: " +
             s"${live.mkString(", ")}) — retention keeps the newest " +
@@ -448,15 +445,20 @@ object LakeView {
     // AutoBucketBytes) and bootstraps from the first delta's row count
     val effective: Int =
       if (stateBuckets > 0) stateBuckets
-      else ptr.flatMap(_.mod) match {
-        case Some(1) =>
-          val bytes = ptr.get.buckets.values.map { b =>
-            val bp = new Path(s"$viewPath/$b")
-            if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
-          }.sum
-          if (bytes > AutoBucketBytes) DefaultBuckets else 1
-        case Some(m) => m // never shrinks: stability beats reclaiming dirs
-        case None =>
+      else ptr match {
+        case Some(p) => p.mod match {
+          case Some(1) =>
+            val bytes = p.buckets.values.map { b =>
+              val bp = new Path(s"$viewPath/$b")
+              if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
+            }.sum
+            if (bytes > AutoBucketBytes) DefaultBuckets else 1
+          case Some(m) => m // never shrinks: stability beats reclaiming dirs
+          case None => DefaultBuckets // LEGACY pointer (mod unrecorded):
+            // never shrink existing state to the serial single-bucket
+            // form — migrate once under the default modulus instead
+        }
+        case None => // true bootstrap: size off the first delta
           if (deltaRows >= AutoBucketRows) DefaultBuckets else 1
       }
     val bucketExpr = pmod(xxhash64(keys.map(col): _*),

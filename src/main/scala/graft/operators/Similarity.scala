@@ -475,8 +475,12 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
-    // one CDC read feeds the delete sweep, the append, and both counts
-    val assigned = changes
+    // NET the batch first: a multi-version window emits per-version rows
+    // (an id inserted then deleted nets to zero — without consolidation
+    // the delete sweep no-ops on the absent id and the stale +1 row
+    // would be appended anyway). One CDC read then feeds the delete
+    // sweep, the append, and both counts.
+    val assigned = IncrementalAgg.consolidate(changes)
       .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
       .localCheckpoint()
     val delIds = assigned.filter(col("m") < 0)

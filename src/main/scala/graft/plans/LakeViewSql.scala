@@ -132,8 +132,12 @@ object LakeViewSql {
         false
       } else {
         fs.mkdirs(dir)
-        // temp-write + rename: a reader never sees a torn definition
-        val tmp = new Path(dir, s".$DefName.tmp")
+        // temp-write + rename: a reader never sees a torn definition.
+        // The temp name is UNIQUE per attempt — a fixed name would let
+        // two racing creators overwrite each other's staged payload and
+        // rename the OTHER's definition into place as their own.
+        val tmp = new Path(dir,
+          s".$DefName.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, true)
         try out.write(json.getBytes("UTF-8")) finally out.close()
         if (!fs.rename(tmp, defPath)) {
@@ -183,6 +187,9 @@ object LakeViewSql {
           stateBuckets = d.get("stateBuckets").asInt())
         Row("join", r.fromLeft, r.toLeft, r.fromRight, r.toRight,
           r.deltaRows)
+      case other => throw new IllegalArgumentException(
+        s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
+          "expected 'aggregate' or 'join' (damaged _view.json?)")
     }
     oneRow(spark, refreshSchema, row)
   }

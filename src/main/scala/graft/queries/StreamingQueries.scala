@@ -28,6 +28,11 @@ import QueryShared._
 private[graft] object StreamingQueries {
 
   private val memNonce = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** pid@host, sanitized — distinguishes overlapping JVMs' checkpoints
+    * (the same reason QueryShared.scratchPath embeds it). */
+  private val procNonce =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
 
   /** event_type -> integer key code, mirrored verbatim in the oracles
     * (the streaming state ops key by integral columns). */
@@ -107,9 +112,13 @@ private[graft] object StreamingQueries {
     // explicit checkpoint on the scratch root (tmpfs when available):
     // a Spark-generated temp checkpoint lands under java.io.tmpdir, and
     // the per-batch checkpoint + state-store file I/O there is the
-    // replay family's dominant fixed cost. Deleted on completion —
+    // replay family's dominant fixed cost. The name carries a PROCESS
+    // nonce on top of the per-JVM counter — the driver runs Verify and
+    // Bench as overlapping JVMs, and a shared counter-only path would
+    // let one replay resume the other's WAL. Deleted on completion —
     // replays are one-shot, never restarted.
-    val ckpt = new java.io.File(QueryShared.scratchRoot, mem)
+    val ckpt = new java.io.File(QueryShared.scratchRoot,
+      s"${mem}_$procNonce")
     val q = gate.writeStream.format("memory").queryName(mem)
       .option("checkpointLocation", ckpt.getAbsolutePath)
       .outputMode("update").start()

@@ -285,9 +285,19 @@ class ExpressionSpec extends SparkSpec {
       .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m"))
       .unionByName(spark.range(3, 4)
         .select($"id".as("vec_id"), vec($"id" + 5000), lit(1L).as("m")))
+    // a NET-ZERO id (inserted then deleted inside the window — the
+    // per-version feed carries both rows): must never reach the index
+    val netZero = spark.range(9000, 9001)
+      .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m"))
+      .unionByName(spark.range(9000, 9001)
+        .select($"id".as("vec_id"), vec($"id"), lit(-1L).as("m")))
     val (nIns, nDel) = Similarity.applyChangesToIvfIndex(
-      dels.unionByName(ins), "vec_id", "embedding", idx, cents)
+      dels.unionByName(ins).unionByName(netZero),
+      "vec_id", "embedding", idx, cents)
     assert(nIns == 21L && nDel == delIds.size.toLong)
+    assert(Similarity.readIvfIndex(spark, idx)
+      .filter($"vec_id" === 9000L).isEmpty,
+      "a net-zero change row must not be resurrected into the index")
     val marker = new org.apache.hadoop.fs.Path(idx, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(marker), "fold must restore the completion marker")
