@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
         "lake_view"),
       (args: Seq[Expression]) => graft.plans.LakeViewSql.readPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("drop_lake_view"),
+      new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
+        "drop_lake_view"),
+      (args: Seq[Expression]) => graft.plans.LakeViewSql.dropPlan(args)))
     // lake maintenance in SQL: compaction, DV materialization, snapshot
     // retention, vacuum (graft.plans.LakeMaintenance — one-row reports)
     ext.injectTableFunction((

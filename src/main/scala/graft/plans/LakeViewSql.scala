@@ -152,6 +152,33 @@ object LakeViewSql {
     oneRow(spark, createSchema, Row(kind, created))
   }
 
+  // ---- drop_lake_view ---------------------------------------------------
+
+  private val dropSchema = StructType(Seq(
+    StructField("dropped", BooleanType, nullable = false)))
+
+  /** Remove a view: definition, generation pointers, and state. Returns
+    * dropped=false when nothing was defined there (idempotent drops);
+    * refuses a path that exists but holds no definition — deleting a
+    * directory this surface did not create is not a view drop. */
+  def dropPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.length == 1, "drop_lake_view(viewPath)")
+    val viewPath = strLit(args.head, "viewPath")
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped =
+      if (!fs.exists(dir)) false
+      else {
+        require(fs.exists(new Path(dir, DefName)),
+          s"drop_lake_view: $viewPath exists but holds no view " +
+            "definition — refusing to delete a directory this surface " +
+            "did not create")
+        fs.delete(dir, true)
+      }
+    oneRow(spark, dropSchema, Row(dropped))
+  }
+
   // ---- refresh_lake_view ------------------------------------------------
 
   private val refreshSchema = StructType(Seq(

@@ -152,6 +152,33 @@ class LakeViewSqlSpec extends SparkSpec {
     assert(bare.getMessage.contains("create_lake_view first"))
   }
 
+  test("drop_lake_view removes definition + state, is idempotent, and " +
+      "refuses foreign directories") {
+    val base = Files.createTempDirectory("graft_vsql").toString
+    val dir = s"$base/t"; val view = s"$base/v"
+    append(dir, 0, 10)
+    LakeSnapshots.commit(spark, dir)
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+         |  '$dir', '$types', 'Grp', '', '')""".stripMargin).collect()
+    spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()
+    assert(spark.sql(s"SELECT * FROM drop_lake_view('$view')")
+      .collect()(0).getBoolean(0))
+    // gone: reads refuse, a re-create starts fresh, re-drop is a no-op
+    intercept[Exception](spark.sql(s"SELECT * FROM lake_view('$view')"))
+    assert(!spark.sql(s"SELECT * FROM drop_lake_view('$view')")
+      .collect()(0).getBoolean(0))
+    // a directory this surface did not create is refused
+    val foreign = s"$base/foreign"
+    new java.io.File(foreign).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(foreign, "data.txt"), "not a view")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM drop_lake_view('$foreign')"))
+    assert(e.getMessage.contains("no view definition"))
+    assert(new java.io.File(foreign, "data.txt").exists())
+  }
+
   test("argument shape errors are loud: non-literal args, bad kind, " +
       "wrong arity") {
     val e1 = intercept[Exception](spark.sql(
