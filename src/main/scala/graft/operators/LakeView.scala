@@ -247,10 +247,19 @@ object LakeView {
     * recompute ONLY the touched groups from the live table, pruned by
     * a broadcast semi join on the delta's keys. A no-op (0 changed)
     * when the table has not snapshotted since the last refresh. */
+  /** `rowFilter`: an optional SQL predicate restricting the view to
+    * matching rows (`SELECT keys, aggs FROM t WHERE pred GROUP BY keys`,
+    * maintained incrementally). Aggregation is LINEAR over the signed
+    * delta, so filtering the delta row-wise is exactly filtering the
+    * table — a delete of rows the predicate excludes folds as a no-op.
+    * The predicate is part of the view's FOLD RULES: pass the same one
+    * every refresh (the SQL surface persists it in the definition and
+    * enforces this structurally). */
   def refreshAggregate(spark: SparkSession, tablePath: String,
       fieldTypes: String, viewPath: String,
       keyCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): Refresh = {
+      minMaxCols: Seq[String] = Seq.empty,
+      rowFilter: Option[String] = None): Refresh = {
     require(keyCols.nonEmpty, "refreshAggregate needs key columns")
     val head = tableHead(spark, tablePath)
     val ptr = readPointer(spark, viewPath)
@@ -260,7 +269,10 @@ object LakeView {
         "table's snapshot history was reset under the view")
     if (head == from) return Refresh(from, head, 0L)
 
-    val delta = LakeChangelog.changes(spark, tablePath, fieldTypes, from, head)
+    def filtered(df: DataFrame): DataFrame =
+      rowFilter.fold(df)(f => df.where(expr(f)))
+    val delta = filtered(
+      LakeChangelog.changes(spark, tablePath, fieldTypes, from, head))
     // checkpointed: the folded delta feeds the merge join, the touched-
     // group semi join, AND the changed-count — one CDC read, not three
     val deltaAgg = delta.groupBy(keyCols.map(col): _*)
@@ -305,9 +317,12 @@ object LakeView {
         // null-safe semi join — cost ∝ touched groups' rows, not the
         // table
         val touched = deltaAgg.select(keyCols.map(col): _*).distinct()
-        val live = spark.read.format("graft-records")
+        // the rescan sees the VIEW's row population: rowFilter applies
+        // here too, or a touched group's extrema would resurrect
+        // filtered-out rows
+        val live = filtered(spark.read.format("graft-records")
           .option("path", tablePath).option("fieldTypes", fieldTypes)
-          .option("versionAsOf", head.toString).load()
+          .option("versionAsOf", head.toString).load())
         val pruned = live.join(broadcast(touched),
           nullSafeOn(live, touched, keyCols), "left_semi")
         val rescanned = pruned.groupBy(keyCols.map(col): _*)

@@ -91,15 +91,18 @@ object LakeViewSql {
     }
     kind match {
       case "aggregate" =>
-        require(args.length == 6 || args.length == 7,
+        require(args.length >= 6 && args.length <= 8,
           "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
-            "keys, sums[, minMax]) — comma-separated column lists")
+            "keys, sums[, minMax[, filter]]) — comma-separated column " +
+            "lists; filter is a SQL predicate ('' = none)")
         def_.put("table", strLit(args(2), "tablePath"))
         def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
         putList("keys", cols(strLit(args(4), "keys")))
         putList("sums", cols(strLit(args(5), "sums")))
         putList("minMax",
           args.lift(6).map(a => cols(strLit(a, "minMax"))).getOrElse(Nil))
+        args.lift(7).map(strLit(_, "filter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("filter", _))
       case "join" =>
         require(args.length == 9 || args.length == 10,
           "create_lake_view(viewPath, 'join', leftPath, leftTypes, " +
@@ -202,7 +205,8 @@ object LakeViewSql {
       case "aggregate" =>
         val r = graft.operators.LakeView.refreshAggregate(spark,
           d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
-          list("keys"), list("sums"), list("minMax"))
+          list("keys"), list("sums"), list("minMax"),
+          rowFilter = Option(d.get("filter")).map(_.asText()))
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged)
       case "join" =>

@@ -1275,6 +1275,62 @@ private[graft] object ParityQueries {
         .orderBy("lang")
     }),
 
+    "q307_lake_view_filtered" -> ((s, dir) => {
+      // a FILTERED maintained view (WHERE in the fold rules): the view
+      // is `... FROM t WHERE Chars >= 300 GROUP BY Lang`, maintained by
+      // filtering the SIGNED delta row-wise — aggregation is linear, so
+      // the filtered fold is exactly the filtered table. The middle
+      // delete removes ONLY filtered-out rows (Chars < 200): the
+      // refresh must fold ZERO groups (gated) while still advancing the
+      // watermark; the last delete removes in-filter maxima
+      // (Chars >= 800), driving the extrema recompute THROUGH the
+      // filter — a rescan that forgot it would resurrect sub-300 rows
+      // into mn_Chars. Defined/advanced/read in pure SQL; the oracle
+      // recomputes from the predicates.
+      val out = scratchPath(dir, "q307_records")
+      val view = scratchPath(dir, "q307_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', 'Chars', 'Chars',
+           |  'Chars >= 300.0')""".stripMargin).collect()
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      docs.coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh().getLong(5) > 0L, "bootstrap must fold groups")
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      val r2 = refresh()
+      require(r2.getLong(5) == 0L && r2.getLong(2) == 2L,
+        s"deleting only filtered-out rows must fold zero groups while " +
+          s"advancing the watermark: $r2")
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") >= 800)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(sum_Chars AS BIGINT) AS sum_chars,
+           |  CAST(mn_Chars AS BIGINT) AS min_chars,
+           |  CAST(mx_Chars AS BIGINT) AS max_chars
+           |FROM lake_view('$view') ORDER BY lang""".stripMargin)
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2742,6 +2798,21 @@ private[graft] object ParityQueries {
         |    AS avg_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the filtered aggregates from the view
+    // predicate + both delete predicates; the engine maintains them
+    // through filtered signed-delta folds (zero-group middle refresh
+    // gated in-run) and a filter-aware extrema recompute
+    "q307_lake_view_filtered" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE n_chars >= 300 AND NOT coalesce(n_chars >= 800, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the final state from the two delete
     // predicates; the engine gets there through SQL-driven maintenance

@@ -174,6 +174,43 @@ class LakeViewSpec extends SparkSpec {
     assert(gotRows == expectRows)
   }
 
+  test("filtered view (rowFilter): deltas fold through the predicate, " +
+      "excluded-row deletes no-op, extrema rescan honors the filter") {
+    val dir = Files.createTempDirectory("graft_view").toString + "/t"
+    val view = Files.createTempDirectory("graft_view").toString + "/v"
+    append(dir, 0, 30) // Score 0..29, filter keeps 10..29
+    LakeSnapshots.commit(spark, dir)
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("Grp"), Seq("Score"), minMaxCols = Seq("Score"),
+      rowFilter = Some("Score >= 10.0"))
+    def want() = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .where($"Score" >= 10.0)
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score"),
+        min($"Score"), max($"Score"))
+      .orderBy("Grp").as[(String, Long, Double, Double, Double)]
+      .collect().toSeq
+    def got() = LakeView.read(spark, view)
+      .select("Grp", "n", "sum_Score", "mn_Score", "mx_Score")
+      .orderBy("Grp").as[(String, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(refresh().groupsChanged == 3L)
+    assert(got() == want())
+    // delete ONLY excluded rows: zero groups fold, watermark advances
+    DeletionVectors.delete(spark, dir, types, $"Score" < 10.0)
+    LakeSnapshots.commit(spark, dir)
+    val r2 = refresh()
+    assert(r2.groupsChanged == 0L && r2.toVersion == 2L)
+    assert(got() == want())
+    // delete in-filter maxima: the touched-group rescan must apply the
+    // filter, or sub-10 rows would resurface as minima
+    DeletionVectors.delete(spark, dir, types, $"Score" >= 27.0)
+    LakeSnapshots.commit(spark, dir)
+    assert(refresh().groupsChanged > 0L)
+    assert(got() == want())
+    assert(got().forall { case (_, _, _, mn, _) => mn >= 10.0 })
+  }
+
   test("join view: three refreshes over appends and deletes on both " +
       "sides equal the full join recompute") {
     val base = Files.createTempDirectory("graft_view6").toString
