@@ -382,10 +382,19 @@ object LakeView {
     * every inherited bucket as touched — mixing moduli would hash a
     * key's old +1 rows and its new −1 delta into different buckets,
     * where they silently never net. */
+  /** `leftFilter`/`rightFilter`: optional SQL predicates restricting
+    * each side's row population (the join of two filtered relations,
+    * maintained incrementally). The bilinear rule is linear in each
+    * side, so filtering a side's OLD scan and its DELTA row-wise is
+    * exactly joining the filtered sides; excluded-row churn folds as a
+    * no-op. Part of the fold rules — pass the same predicates every
+    * refresh (the SQL surface persists them in the definition). */
   def refreshJoin(spark: SparkSession, viewPath: String,
       leftPath: String, leftTypes: String, leftCols: Seq[String],
       rightPath: String, rightTypes: String, rightCols: Seq[String],
-      keys: Seq[String], stateBuckets: Int = AutoBuckets): JoinRefresh = {
+      keys: Seq[String], stateBuckets: Int = AutoBuckets,
+      leftFilter: Option[String] = None,
+      rightFilter: Option[String] = None): JoinRefresh = {
     require(keys.nonEmpty, "refreshJoin needs join keys")
     require(stateBuckets >= 0,
       s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
@@ -407,7 +416,13 @@ object LakeView {
       return JoinRefresh(wl, headL, wr, headR, 0L)
 
     def side(path: String, types: String, cols: Seq[String],
-        w: Long, head: Long): (DataFrame, DataFrame) = {
+        w: Long, head: Long,
+        rowFilter: Option[String]): (DataFrame, DataFrame) = {
+      // the side's row population: rowFilter applies to the old scan
+      // AND the delta alike — filter-then-project on a Z-relation is
+      // linear, so the filtered fold equals the filtered join
+      def keep(df: DataFrame): DataFrame =
+        rowFilter.fold(df)(f => df.where(expr(f)))
       // the table AT the previous watermark (the "old" side of the
       // bilinear rule), as a Z-relation with m=+1 per stored row
       val reader = spark.read.format("graft-records")
@@ -417,7 +432,7 @@ object LakeView {
           reader.option("versionAsOf", head.toString).load()
             .where(lit(false))
             .select(cols.map(col): _*).withColumn("m", lit(1L))
-        else reader.option("versionAsOf", w.toString).load()
+        else keep(reader.option("versionAsOf", w.toString).load())
           .select(cols.map(col): _*).withColumn("m", lit(1L))
       // the signed delta, projected to the view's columns (projection
       // of a Z-relation sums multiplicities). Netting BEFORE the
@@ -429,14 +444,16 @@ object LakeView {
       val d =
         if (head == w) old.where(lit(false))
         else {
-          val raw = LakeChangelog.changes(spark, path, types, w, head)
+          val raw = keep(LakeChangelog.changes(spark, path, types, w, head))
             .select((cols.map(col) :+ col("m")): _*)
           if (head - w > 1) IncrementalAgg.consolidate(raw) else raw
         }
       (old, d)
     }
-    val (oldL, dL) = side(leftPath, leftTypes, leftCols, wl, headL)
-    val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR)
+    val (oldL, dL) = side(leftPath, leftTypes, leftCols, wl, headL,
+      leftFilter)
+    val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR,
+      rightFilter)
     val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
       .localCheckpoint()
 

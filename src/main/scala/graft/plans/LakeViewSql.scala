@@ -104,10 +104,11 @@ object LakeViewSql {
         args.lift(7).map(strLit(_, "filter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("filter", _))
       case "join" =>
-        require(args.length == 9 || args.length == 10,
+        require(args.length >= 9 && args.length <= 12,
           "create_lake_view(viewPath, 'join', leftPath, leftTypes, " +
             "leftCols, rightPath, rightTypes, rightCols, keys" +
-            "[, stateBuckets])")
+            "[, stateBuckets[, leftFilter[, rightFilter]]]) — filters " +
+            "are SQL predicates ('' = none)")
         def_.put("left", strLit(args(2), "leftPath"))
         def_.put("leftTypes", strLit(args(3), "leftTypes"))
         putList("leftCols", cols(strLit(args(4), "leftCols")))
@@ -118,6 +119,10 @@ object LakeViewSql {
         def_.put("stateBuckets",
           args.lift(9).map(intLit(_, "stateBuckets"))
             .getOrElse(graft.operators.LakeView.AutoBuckets))
+        args.lift(10).map(strLit(_, "leftFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
+        args.lift(11).map(strLit(_, "rightFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
       case other => throw new IllegalArgumentException(
         s"create_lake_view: kind must be 'aggregate' or 'join', got '$other'")
     }
@@ -215,7 +220,9 @@ object LakeViewSql {
           list("leftCols"),
           d.get("right").asText(), d.get("rightTypes").asText(),
           list("rightCols"), list("keys"),
-          stateBuckets = d.get("stateBuckets").asInt())
+          stateBuckets = d.get("stateBuckets").asInt(),
+          leftFilter = Option(d.get("leftFilter")).map(_.asText()),
+          rightFilter = Option(d.get("rightFilter")).map(_.asText()))
         Row("join", r.fromLeft, r.toLeft, r.fromRight, r.toRight,
           r.deltaRows)
       case other => throw new IllegalArgumentException(

@@ -1331,6 +1331,71 @@ private[graft] object ParityQueries {
            |FROM lake_view('$view') ORDER BY lang""".stripMargin)
     }),
 
+    "q308_lake_view_join_filtered" -> ((s, dir) => {
+      // a FILTERED join view: the persisted Z-relation of
+      // `orders ⋈ customer WHERE Price >= 10000 AND Seg <> 'BUILDING'`
+      // — the bilinear rule is linear in each side, so each side's OLD
+      // scan and DELTA filter row-wise and the fold equals the filtered
+      // join. The middle delete removes ONLY left rows the filter
+      // excludes (Price < 10000): that refresh must fold ZERO delta
+      // rows (gated) while advancing the left watermark; the last
+      // delete retracts in-filter right keys through the join. Defined,
+      // advanced, and read in pure SQL; the oracle recomputes the
+      // filtered join from the predicates.
+      val lt = scratchPath(dir, "q308_orders")
+      val rt = scratchPath(dir, "q308_cust")
+      val view = scratchPath(dir, "q308_view")
+      val fs = new org.apache.hadoop.fs.Path(lt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(lt, rt, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ltypes = "OKey:number,CKey:number,Price:number"
+      val rtypes = "CKey:number,Seg:singleLineText"
+      rd(s, dir, "orders").select(
+          concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+          col("o_orderkey").cast("double").as("OKey"),
+          col("o_custkey").cast("double").as("CKey"),
+          col("o_totalprice").cast("double").as("Price"))
+        .coalesce(2)
+        .write.format("graft-records").option("path", lt)
+        .option("dataFormat", "parquet").mode("append").save()
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_mktsegment").as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", rt)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'join',
+           |  '$lt', '$ltypes', 'CKey,OKey,Price',
+           |  '$rt', '$rtypes', 'CKey,Seg', 'CKey', 0,
+           |  'Price >= 10000.0', 'Seg <> \\'BUILDING\\'')""".stripMargin)
+        .collect()
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      require(refresh().getLong(5) > 0L, "bootstrap must fold the join")
+      // delete ONLY left rows the view's filter excludes: zero fold
+      graft.operators.DeletionVectors.delete(s, lt, ltypes,
+        col("Price") < 10000)
+      graft.operators.LakeSnapshots.commit(s, lt)
+      val r2 = refresh()
+      require(r2.getLong(5) == 0L && r2.getLong(2) == 2L,
+        s"excluded-row churn must fold zero delta rows: $r2")
+      graft.operators.DeletionVectors.delete(s, rt, rtypes,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      require(refresh().getLong(5) > 0L, "in-filter retraction must fold")
+      s.sql(
+        s"""SELECT Seg AS segment, CAST(sum(m) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(m * Price AS DECIMAL(28,2))) AS DOUBLE)
+           |    AS sum_price
+           |FROM lake_view('$view')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     "q292_parquet_tier" -> ((s, dir) => {
       // the record lake's COLUMNAR data tier (dataFormat=parquet):
       // same sidecar discipline — deletion vectors by row ordinal,
@@ -2813,6 +2878,19 @@ private[graft] object ParityQueries {
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the filtered join from the predicates; the
+    // engine maintains its Z-relation through per-side filtered deltas
+    // (excluded-row churn gated to fold zero rows in-run)
+    "q308_lake_view_join_filtered" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice >= 10000
+        |  AND c_mktsegment <> 'BUILDING'
+        |  AND NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the final state from the two delete
     // predicates; the engine gets there through SQL-driven maintenance
