@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** Incrementally-maintained materialized views over a record lake:
-  * per-key aggregates (count + sums + optional min/max) and two-table
-  * join views that refresh by consuming ONLY the snapshot deltas since
+  * per-key aggregates (count + sums + optional min/max), two-table
+  * join views, and COMPOSED views (an aggregate maintained over a join
+  * view) that refresh by consuming ONLY the snapshot deltas since
   * their recorded watermarks — [[LakeChangelog]]'s signed Z-relations
   * folded into persisted state, so keeping a view current costs ∝ what
   * changed, never a rescan of the table. The continuously-maintained-
@@ -26,7 +27,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * Readers resolve the HIGHEST pointer; retention keeps the current
   * AND previous generation (pointer + data), so a reader that resolved
   * the old pointer can finish its scan while one refresh lands — only
-  * the generation after that reclaims it. */
+  * the generation after that reclaims it.
+  *
+  * BOTH forms hash-bucket their state by key (`stateBuckets`): a
+  * refresh rewrites ONLY the buckets its delta touches, and untouched
+  * buckets carry forward BY REFERENCE in the generation pointer — the
+  * materialization cost is ∝ |touched buckets' state|, never the whole
+  * view. For the aggregate form this is what makes a per-document /
+  * per-URL keyed view (the reference's per-pk keyed target collection,
+  * `lib/FirestoreWrapper.py:37-169`, at training-data cardinality)
+  * refreshable forever: a bounded delta touches a bounded bucket set
+  * no matter how many groups the state holds. */
 object LakeView {
 
   /** How many generations (pointer + state dir) survive a flip. 2 =
@@ -42,6 +53,13 @@ object LakeView {
     * sides and the (un-netted) delta row count folded into the state. */
   final case class JoinRefresh(fromLeft: Long, toLeft: Long,
       fromRight: Long, toRight: Long, deltaRows: Long)
+
+  /** One composed (aggregate-over-join) refresh: the inner join fold's
+    * consumed windows and delta row count, plus the aggregate fold's
+    * changed-group count. */
+  final case class ComposedRefresh(fromLeft: Long, toLeft: Long,
+      fromRight: Long, toRight: Long, deltaRows: Long,
+      groupsChanged: Long)
 
   /** `stateBuckets` sentinel: pick the modulus adaptively — ONE bucket
     * while the state is small (bucket machinery is pure overhead at toy
@@ -62,14 +80,53 @@ object LakeView {
   val AutoBucketRows: Long = 1L << 17
   val AutoBucketBytes: Long = 8L << 20
 
-  /** A generation pointer: aggregate views name ONE state directory
-    * (`dir`); join views name one file path PER HASH BUCKET (`buckets`)
-    * — mostly inherited from earlier generations, so a refresh rewrites
-    * only the buckets its delta touched (the snapshot-manifest trick
-    * one level up). `mod` records the hash modulus the bucket paths
-    * were written under: inherited buckets only net against deltas
-    * hashed with the SAME modulus, so a refresh under a different one
-    * must migrate (rewrite everything) rather than silently mix. */
+  /** Broadcast gate for the extrema-rescan joins: the delta's distinct
+    * key set (and the per-group recomputed extrema frame, same
+    * cardinality) is broadcast only while the changed-group count stays
+    * under this bound. An explicit `broadcast()` hint OVERRIDES
+    * `autoBroadcastJoinThreshold`, so an unbounded key set — the
+    * bootstrap refresh of a min/max view touches EVERY group in the
+    * table, and a long catch-up window can too — would ship the whole
+    * key dimension to every executor and can kill the driver building
+    * it. Above the bound the semi join falls through to a plain
+    * shuffled join (the planner's choice). Overridable per session via
+    * `spark.graft.view.broadcastKeyLimit`. */
+  val BroadcastKeyLimit: Long = 1L << 18
+
+  private def broadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.view.broadcastKeyLimit")
+      .map(_.toLong).getOrElse(BroadcastKeyLimit)
+
+  /** A sum-column spec: either a bare column name (`Chars` → state
+    * column `sum_Chars`) or `alias:expression`
+    * (`rev:CAST(Price AS DECIMAL(18,2))` → state column `sum_rev`,
+    * folding `sum(m * (expression))`). Any deterministic row-level
+    * expression is fair game because aggregation over the signed delta
+    * is LINEAR — filtering and projecting a Z-relation commute with the
+    * fold. The expression's TYPE is preserved in the state schema (the
+    * merged sum is cast back to the delta aggregate's type so the
+    * schema cannot drift across generations): decimals give exact,
+    * fold-order-independent money sums; doubles stay doubles. */
+  private[graft] final case class SumSpec(alias: String, sql: String)
+
+  private[graft] def parseSum(spec: String): SumSpec = {
+    val i = spec.indexOf(':')
+    if (i > 0 && i < spec.length - 1 &&
+        spec.take(i).trim.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      SumSpec(spec.take(i).trim, spec.drop(i + 1).trim)
+    else SumSpec(spec.trim, spec.trim)
+  }
+
+  /** A generation pointer: one state-file path PER HASH BUCKET
+    * (`buckets`) — mostly inherited from earlier generations, so a
+    * refresh rewrites only the buckets its delta touched (the
+    * snapshot-manifest trick one level up). Legacy aggregate pointers
+    * (pre-bucketing) name ONE whole directory (`dir`) and migrate on
+    * their next refresh. `mod` records the hash modulus the bucket
+    * paths were written under: inherited buckets only net against
+    * deltas hashed with the SAME modulus, so a refresh under a
+    * different one must migrate (rewrite everything) rather than
+    * silently mix. */
   private case class Pointer(gen: Long, dir: Option[String],
       buckets: Map[Int, String], marks: Map[String, Long],
       mod: Option[Int])
@@ -112,8 +169,8 @@ object LakeView {
   /** Atomically publish the pointer for `gen` (temp-write + rename to a
     * never-pre-existing name), then reclaim state no live pointer
     * references: retention is BY REFERENCE — the newest
-    * [[KeepGenerations]] pointers pin whole dirs (aggregate form) and
-    * individual bucket dirs (join form); a bucket dir an old generation
+    * [[KeepGenerations]] pointers pin whole dirs (legacy aggregate
+    * form) and individual bucket dirs; a bucket dir an old generation
     * wrote stays alive for as long as a live pointer inherits it. */
   private def publish(spark: SparkSession, viewPath: String, gen: Long,
       marks: Map[String, Long], dataDir: Option[String],
@@ -168,21 +225,11 @@ object LakeView {
     }
   }
 
-  /** Land `state` as the next generation (aggregate form: one whole
-    * directory) and flip the pointer. */
-  private def flip(spark: SparkSession, viewPath: String,
-      prev: Option[Pointer], marks: Map[String, Long],
-      state: DataFrame): Unit = {
-    val gen = prev.map(_.gen).getOrElse(0L) + 1L
-    val dataDir = s"data-g$gen"
-    state.write.mode("overwrite").parquet(s"$viewPath/$dataDir")
-    publish(spark, viewPath, gen, marks, Some(dataDir), Map.empty)
-  }
-
   /** The view's current contents (aggregate views: `keyCols`, `n`, one
-    * `sum_<col>` per sum column, `mn_<col>`/`mx_<col>` per min-max
+    * `sum_<alias>` per sum spec, `mn_<col>`/`mx_<col>` per min-max
     * column; join views: the joined columns plus the net multiplicity
-    * `m`). Empty before the first refresh.
+    * `m`; composed views: the aggregate shape over the aggregate keys).
+    * Empty before the first refresh.
     *
     * `generationAsOf` reads a SPECIFIC generation instead of the newest
     * — view-level time travel, symmetric with the table's
@@ -241,28 +288,86 @@ object LakeView {
       keys: Seq[String]): Column =
     keys.map(k => l(k) <=> r(k)).reduce(_ && _)
 
+  /** Persisted bytes of the state a pointer references. */
+  private def stateBytes(fs: org.apache.hadoop.fs.FileSystem,
+      viewPath: String, p: Pointer): Long =
+    (p.dir.toSeq ++ p.buckets.values).map { b =>
+      val bp = new Path(s"$viewPath/$b")
+      if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
+    }.sum
+
+  /** Land `rows` as generation `gen`'s bucketed state and flip the
+    * pointer. Bucket-aligned layout: ONE file per bucket dir (a
+    * scattered partitionBy would write files-per-task-per-bucket, and
+    * the next refresh pays the small-file tax reading them back); at
+    * modulus 1 a narrow coalesce replaces the hash shuffle outright.
+    * A touched bucket whose rows all cancelled writes no dir and drops
+    * out of the pointer; `inherited` buckets carry forward untouched. */
+  private def landBuckets(spark: SparkSession, viewPath: String,
+      gen: Long, rows: DataFrame, keyCols: Seq[String], effective: Int,
+      inherited: Map[Int, String], marks: Map[String, Long]): Unit = {
+    val fs = new Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketExpr = pmod(xxhash64(keyCols.map(col): _*),
+      lit(effective.toLong)).cast("int")
+    val dataDir = s"data-g$gen"
+    val laid = rows.withColumn("_bucket", bucketExpr)
+    (if (effective == 1) laid.coalesce(1)
+     else laid.repartition(math.min(effective, 200), col("_bucket")))
+      .write.partitionBy("_bucket").mode("overwrite")
+      .parquet(s"$viewPath/$dataDir")
+    // what actually landed
+    val present = fs.listStatus(new Path(s"$viewPath/$dataDir"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_bucket="))
+      .map(n => n.stripPrefix("_bucket=").toInt)
+      .map(k => k -> s"$dataDir/_bucket=$k").toMap
+    val buckets = inherited ++ present
+    if (buckets.isEmpty) {
+      // empty view: land a schema-bearing empty bucket so read() keeps
+      // its shape
+      rows.limit(0).write.mode("overwrite")
+        .parquet(s"$viewPath/$dataDir/_bucket=-1")
+      publish(spark, viewPath, gen, marks, None,
+        Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective))
+    } else
+      publish(spark, viewPath, gen, marks, None, buckets, Some(effective))
+  }
+
   /** Advance the view to the table's newest snapshot, consuming only
     * `(watermark, head]` deltas. Count and sums fold additively from
     * the signed delta; `minMaxCols` (non-invertible under deletes)
     * recompute ONLY the touched groups from the live table, pruned by
-    * a broadcast semi join on the delta's keys. A no-op (0 changed)
-    * when the table has not snapshotted since the last refresh. */
-  /** `rowFilter`: an optional SQL predicate restricting the view to
+    * a semi join on the delta's keys (broadcast while the changed-group
+    * count is under [[BroadcastKeyLimit]], shuffled above it). A no-op
+    * (0 changed) when the table has not snapshotted since the last
+    * refresh.
+    *
+    * `sumCols` entries are [[SumSpec]] strings: a bare column name or
+    * `alias:expression` for derived-column sums (the expression string
+    * is part of the view's fold rules — pass the same one every
+    * refresh; the SQL surface persists it in the definition).
+    *
+    * `rowFilter`: an optional SQL predicate restricting the view to
     * matching rows (`SELECT keys, aggs FROM t WHERE pred GROUP BY keys`,
     * maintained incrementally). Aggregation is LINEAR over the signed
     * delta, so filtering the delta row-wise is exactly filtering the
     * table — a delete of rows the predicate excludes folds as a no-op.
     * The predicate is part of the view's FOLD RULES: pass the same one
-    * every refresh (the SQL surface persists it in the definition and
-    * enforces this structurally). */
+    * every refresh (the SQL surface enforces this structurally). */
   def refreshAggregate(spark: SparkSession, tablePath: String,
       fieldTypes: String, viewPath: String,
       keyCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty,
-      rowFilter: Option[String] = None): Refresh = {
+      rowFilter: Option[String] = None,
+      stateBuckets: Int = AutoBuckets): Refresh = {
     require(keyCols.nonEmpty, "refreshAggregate needs key columns")
     val head = tableHead(spark, tablePath)
     val ptr = readPointer(spark, viewPath)
+    ptr.foreach(p => require(p.marks.contains("watermark"),
+      s"$viewPath is not an aggregate-over-table view (marks: " +
+        s"${p.marks.keys.mkString(",")}) — refreshAggregate cannot " +
+        "advance it"))
     val from = ptr.map(_.marks.getOrElse("watermark", 0L)).getOrElse(0L)
     require(head >= from,
       s"view watermark $from is ahead of the table head $head — the " +
@@ -273,37 +378,133 @@ object LakeView {
       rowFilter.fold(df)(f => df.where(expr(f)))
     val delta = filtered(
       LakeChangelog.changes(spark, tablePath, fieldTypes, from, head))
+    def rescan: DataFrame = filtered(spark.read.format("graft-records")
+      .option("path", tablePath).option("fieldTypes", fieldTypes)
+      .option("versionAsOf", head.toString).load())
+    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
+      sumCols.map(parseSum), minMaxCols, rescan,
+      Map("watermark" -> head), stateBuckets)
+    Refresh(from, head, changed)
+  }
+
+  /** Fold a signed Z-relation `delta` (columns ⊇ keys ++ sum inputs,
+    * plus multiplicity `m`) into hash-bucketed aggregate state at
+    * `viewPath`. The shared engine under [[refreshAggregate]] (delta =
+    * the table changelog) and [[refreshJoinAggregate]] (delta = the
+    * bilinear join delta). One checkpointed grouped delta feeds the
+    * merge join, the touched-bucket counts, AND the changed count;
+    * only the touched buckets' old state is read, merged by a
+    * null-safe full-outer join, and rewritten — untouched buckets are
+    * inherited by reference. `rescanSource` (forced only when
+    * `minMaxCols` is non-empty) is the view's row population at the
+    * NEW watermark, for the touched-group extrema recompute. Returns
+    * the changed-group count. */
+  private def foldAggState(spark: SparkSession, viewPath: String,
+      ptr: Option[Pointer], delta: DataFrame, keyCols: Seq[String],
+      sums: Seq[SumSpec], minMaxCols: Seq[String],
+      rescanSource: => DataFrame, marks: Map[String, Long],
+      stateBuckets: Int): Long = {
+    val fs = new Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     // checkpointed: the folded delta feeds the merge join, the touched-
     // group semi join, AND the changed-count — one CDC read, not three
     val deltaAgg = delta.groupBy(keyCols.map(col): _*)
       .agg(sum(col("m")).as("dn"),
-        sumCols.map(c => sum(col("m") * col(c)).as(s"dsum_$c")): _*)
+        sums.map(sp =>
+          sum(col("m") * expr(sp.sql)).as(s"dsum_${sp.alias}")): _*)
       .localCheckpoint()
-    val old = ptr match {
-      case Some(p) => spark.read.parquet(s"$viewPath/${p.dir.getOrElse(
-        throw new IllegalStateException(
-          s"$viewPath is a bucketed JOIN view — refreshAggregate cannot " +
-            "advance it"))}")
-      case None =>
-        val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
-          sumCols.map(c => lit(0.0).as(s"sum_$c"))) ++
-          minMaxCols.flatMap(c =>
-            Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c")))
-        delta.limit(0).select(empty: _*)
+    // the fold preserves each sum expression's type (decimal sums stay
+    // exact and fold-order-independent); merged sums cast back so the
+    // state schema cannot drift across generations
+    val sumType: Map[String, org.apache.spark.sql.types.DataType] =
+      sums.map(sp =>
+        sp.alias -> deltaAgg.schema(s"dsum_${sp.alias}").dataType).toMap
+    // ONE job computes the changed-group count AND the touched-bucket
+    // set: per-bucket group counts under the modulus that WILL apply if
+    // no migration happens (migration paths never consult `touched`)
+    val groupMod: Int =
+      if (stateBuckets > 0) stateBuckets
+      else ptr.flatMap(_.mod).getOrElse(DefaultBuckets)
+    val bucketCounts: Map[Int, Long] = deltaAgg
+      .groupBy(pmod(xxhash64(keyCols.map(col): _*), lit(groupMod.toLong))
+        .cast("int").as("_b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val changed: Long = bucketCounts.values.sum
+    if (changed == 0L && ptr.isDefined) {
+      // nothing to fold: advance the watermark on the INHERITED state
+      // (every bucket carries forward by reference — no data rewrite)
+      val p = ptr.get
+      if (p.dir.isDefined)
+        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty, p.mod)
+      else
+        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets, p.mod)
+      return 0L
+    }
+    // the modulus in force: explicit pins; adaptive keeps the recorded
+    // one (growing 1 -> DefaultBuckets when the persisted state crosses
+    // AutoBucketBytes; a legacy whole-dir pointer migrates either way,
+    // sized by its state) and bootstraps from the first delta's groups
+    val effective: Int =
+      if (stateBuckets > 0) stateBuckets
+      else ptr match {
+        case Some(p) => p.mod match {
+          case Some(m) if m > 1 => m // never shrinks: stability beats
+            // reclaiming dirs
+          case _ => // mod 1, or a legacy dir-form pointer (migrating
+            // regardless): grow once the persisted state crosses the
+            // serial-write bound
+            if (stateBytes(fs, viewPath, p) > AutoBucketBytes)
+              DefaultBuckets else 1
+        }
+        case None => // true bootstrap: size off the first delta
+          if (changed >= AutoBucketRows) DefaultBuckets else 1
+      }
+    val touchedSet: Set[Int] = bucketCounts.keySet
+    def emptyState: DataFrame = {
+      val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
+        sums.map(sp =>
+          lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
+        minMaxCols.flatMap(c =>
+          Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c")))
+      delta.limit(0).select(empty: _*)
+    }
+    // old state restricted to the touched buckets — by construction a
+    // bucketed pointer's untouched buckets cannot change; a legacy
+    // whole-dir pointer, or one written under a DIFFERENT modulus,
+    // migrates by treating ALL its state as touched (mixing moduli
+    // would put a key's old row and its delta in different buckets,
+    // where they silently never meet)
+    val (old, inherited) = ptr match {
+      case Some(p) if p.dir.isDefined =>
+        (spark.read.parquet(s"$viewPath/${p.dir.get}"),
+          Map.empty[Int, String])
+      case Some(p) if !p.mod.contains(effective) =>
+        val paths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+        (if (paths.isEmpty) emptyState else spark.read.parquet(paths: _*),
+          Map.empty[Int, String])
+      case Some(p) =>
+        val paths = p.buckets.filter { case (k, _) => touchedSet(k) }
+          .values.toSeq.sorted.map(b => s"$viewPath/$b")
+        (if (paths.isEmpty) emptyState else spark.read.parquet(paths: _*),
+          p.buckets.filterNot { case (k, _) => touchedSet(k) })
+      case None => (emptyState, Map.empty[Int, String])
     }
     // delta keys ride under _d_ names so the null-safe join condition
     // and the coalesced output keys stay unambiguous
     val deltaR = deltaAgg.select(
       keyCols.map(k => col(k).as(s"_d_$k")) ++
-        (col("dn") +: sumCols.map(c => col(s"dsum_$c"))): _*)
+        (col("dn") +: sums.map(sp => col(s"dsum_${sp.alias}"))): _*)
     val joined = old.join(deltaR,
       keyCols.map(k => old(k) <=> deltaR(s"_d_$k")).reduce(_ && _), "full")
     val additive = joined.select(
       keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n")) ++
-      sumCols.map(c =>
-        (coalesce(col(s"sum_$c"), lit(0.0)) +
-          coalesce(col(s"dsum_$c"), lit(0.0))).as(s"sum_$c")) ++
+      sums.map { sp =>
+        val z = lit(0).cast(sumType(sp.alias))
+        (coalesce(col(s"sum_${sp.alias}"), z) +
+          coalesce(col(s"dsum_${sp.alias}"), z))
+          .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
+      } ++
       minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
       .filter(col("n") > 0)
 
@@ -311,19 +512,16 @@ object LakeView {
       if (minMaxCols.isEmpty) additive
       else {
         // extrema: deletes are non-invertible, so recompute exactly the
-        // groups the delta touched from the table AT the new watermark
-        // (versionAsOf pins the state; concurrent appends past `head`
-        // stay invisible), pruned to those groups by a broadcast
-        // null-safe semi join — cost ∝ touched groups' rows, not the
-        // table
-        val touched = deltaAgg.select(keyCols.map(col): _*).distinct()
-        // the rescan sees the VIEW's row population: rowFilter applies
-        // here too, or a touched group's extrema would resurrect
-        // filtered-out rows
-        val live = filtered(spark.read.format("graft-records")
-          .option("path", tablePath).option("fieldTypes", fieldTypes)
-          .option("versionAsOf", head.toString).load())
-        val pruned = live.join(broadcast(touched),
+        // groups the delta touched from the view's row population AT
+        // the new watermark, pruned to those groups by a null-safe semi
+        // join — cost ∝ touched groups' rows, not the table. The
+        // broadcast hint applies only under the key-count gate (an
+        // unbounded bootstrap delta falls back to a shuffled join).
+        def hinted(df: DataFrame): DataFrame =
+          if (changed <= broadcastLimit(spark)) broadcast(df) else df
+        val touched = deltaAgg.select(keyCols.map(col): _*)
+        val live = rescanSource
+        val pruned = live.join(hinted(touched),
           nullSafeOn(live, touched, keyCols), "left_semi")
         val rescanned = pruned.groupBy(keyCols.map(col): _*)
           .agg(lit(true).as("_touched"),
@@ -332,7 +530,7 @@ object LakeView {
           .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
             (col("_touched") +: minMaxCols.flatMap(c =>
               Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c")))): _*)
-        val j = additive.join(broadcast(rescanned),
+        val j = additive.join(hinted(rescanned),
           keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
             .reduce(_ && _), "left")
         // a touched group takes its recomputed extrema even when they
@@ -340,81 +538,31 @@ object LakeView {
         // keeps its old ones — coalesce alone would wrongly resurrect
         // a deleted minimum
         j.select(keyCols.map(col) ++
-          Seq(col("n")) ++ sumCols.map(c => col(s"sum_$c")) ++
+          Seq(col("n")) ++ sums.map(sp => col(s"sum_${sp.alias}")) ++
           minMaxCols.flatMap(c => Seq(
             when(col("_touched"), col(s"_mn_new_$c"))
               .otherwise(col(s"mn_$c")).as(s"mn_$c"),
             when(col("_touched"), col(s"_mx_new_$c"))
               .otherwise(col(s"mx_$c")).as(s"mx_$c"))): _*)
       }
-    val changed = deltaAgg.count()
-    flip(spark, viewPath, ptr, Map("watermark" -> head), merged)
-    Refresh(from, head, changed)
+    landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
+      merged, keyCols, effective, inherited, marks)
+    changed
   }
 
-  /** Advance a JOIN view — the persisted Z-relation of
-    * `left ⋈ right on keys` — to both tables' newest snapshots,
-    * folding in the bilinear delta rule
+  /** The bilinear join delta between two tables' snapshot windows:
     * `Δ(L⋈R) = ΔL⋈R@old + L@old⋈ΔR + ΔL⋈ΔR`
     * ([[IncrementalAgg.joinDelta]], multiplicities multiplying across
     * the join) with each table's changes derived from its snapshot
     * metadata ([[LakeChangelog.changes]]). The old-side scans are
     * version-pinned (`versionAsOf` the previous watermark) and join a
     * small broadcast delta, so the source's runtime-filter pushdown
-    * prunes them to the keys that changed.
-    *
-    * State is HASH-BUCKETED (`stateBuckets` by join key): a refresh
-    * rewrites ONLY the buckets its delta touches; untouched buckets
-    * carry forward BY REFERENCE in the generation pointer, so the
-    * materialization cost is ∝ |touched buckets' state|, never the
-    * whole view — the property that keeps a big join view refreshable
-    * at 100 TB. Bucket dirs are immutable once written (the atomic
-    * pointer flip + by-reference retention give the same crash story
-    * as the aggregate form). Non-key columns of the two sides must be
-    * disjoint; `leftCols`/`rightCols` must include `keys`. NULL join
-    * keys never match (standard join semantics).
-    *
-    * `stateBuckets` defaults to [[AutoBuckets]] (adaptive: 1 bucket
-    * while small, [[DefaultBuckets]] once the state crosses the
-    * documented thresholds); an explicit value pins the modulus. Either
-    * way the modulus in force is RECORDED in the generation pointer:
-    * a later refresh under a different modulus migrates by treating
-    * every inherited bucket as touched — mixing moduli would hash a
-    * key's old +1 rows and its new −1 delta into different buckets,
-    * where they silently never net. */
-  /** `leftFilter`/`rightFilter`: optional SQL predicates restricting
-    * each side's row population (the join of two filtered relations,
-    * maintained incrementally). The bilinear rule is linear in each
-    * side, so filtering a side's OLD scan and its DELTA row-wise is
-    * exactly joining the filtered sides; excluded-row churn folds as a
-    * no-op. Part of the fold rules — pass the same predicates every
-    * refresh (the SQL surface persists them in the definition). */
-  def refreshJoin(spark: SparkSession, viewPath: String,
+    * prunes them to the keys that changed. */
+  private def joinDeltaBetween(spark: SparkSession,
       leftPath: String, leftTypes: String, leftCols: Seq[String],
       rightPath: String, rightTypes: String, rightCols: Seq[String],
-      keys: Seq[String], stateBuckets: Int = AutoBuckets,
-      leftFilter: Option[String] = None,
-      rightFilter: Option[String] = None): JoinRefresh = {
-    require(keys.nonEmpty, "refreshJoin needs join keys")
-    require(stateBuckets >= 0,
-      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
-    require(keys.forall(leftCols.contains) && keys.forall(rightCols.contains),
-      s"join keys ${keys.mkString(",")} must appear in both column lists")
-    val overlap = (leftCols.toSet & rightCols.toSet) -- keys.toSet
-    require(overlap.isEmpty,
-      s"non-key columns ${overlap.mkString(",")} appear on both sides — " +
-        "project disjoint names")
-    val headL = tableHead(spark, leftPath)
-    val headR = tableHead(spark, rightPath)
-    val ptr = readPointer(spark, viewPath)
-    val wl = ptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L)
-    val wr = ptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L)
-    require(headL >= wl && headR >= wr,
-      s"view watermarks ($wl,$wr) ahead of table heads ($headL,$headR)" +
-        " — a table's snapshot history was reset under the view")
-    if (headL == wl && headR == wr)
-      return JoinRefresh(wl, headL, wr, headR, 0L)
-
+      keys: Seq[String], wl: Long, wr: Long, headL: Long, headR: Long,
+      leftFilter: Option[String], rightFilter: Option[String]): DataFrame = {
     def side(path: String, types: String, cols: Seq[String],
         w: Long, head: Long,
         rowFilter: Option[String]): (DataFrame, DataFrame) = {
@@ -454,9 +602,15 @@ object LakeView {
       leftFilter)
     val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR,
       rightFilter)
-    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
-      .localCheckpoint()
+    IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
+  }
 
+  /** Fold a (checkpointed) signed join `delta` into the hash-bucketed
+    * Z-relation state at `viewPath`. Returns the (un-netted) delta row
+    * count. */
+  private def foldJoinState(spark: SparkSession, viewPath: String,
+      ptr: Option[Pointer], delta: DataFrame, keys: Seq[String],
+      stateBuckets: Int, marks: Map[String, Long]): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // ONE job computes the delta row count AND the touched-bucket set:
@@ -472,6 +626,17 @@ object LakeView {
         .cast("int").as("_b"))
       .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val deltaRows: Long = bucketCounts.values.sum
+    if (deltaRows == 0L && ptr.isDefined) {
+      // nothing to fold (e.g. every changed row excluded by a side
+      // filter): advance the watermarks on the INHERITED state — every
+      // bucket carries forward by reference, no data rewrite
+      val p = ptr.get
+      if (p.dir.isDefined)
+        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty, p.mod)
+      else
+        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets, p.mod)
+      return 0L
+    }
     // the modulus in force: explicit pins; adaptive keeps the recorded
     // one (growing 1 -> DefaultBuckets when the persisted state crosses
     // AutoBucketBytes) and bootstraps from the first delta's row count
@@ -480,11 +645,8 @@ object LakeView {
       else ptr match {
         case Some(p) => p.mod match {
           case Some(1) =>
-            val bytes = p.buckets.values.map { b =>
-              val bp = new Path(s"$viewPath/$b")
-              if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
-            }.sum
-            if (bytes > AutoBucketBytes) DefaultBuckets else 1
+            if (stateBytes(fs, viewPath, p) > AutoBucketBytes)
+              DefaultBuckets else 1
           case Some(m) => m // never shrinks: stability beats reclaiming dirs
           case None => DefaultBuckets // LEGACY pointer (mod unrecorded):
             // never shrink existing state to the serial single-bucket
@@ -493,8 +655,6 @@ object LakeView {
         case None => // true bootstrap: size off the first delta
           if (deltaRows >= AutoBucketRows) DefaultBuckets else 1
       }
-    val bucketExpr = pmod(xxhash64(keys.map(col): _*),
-      lit(effective.toLong)).cast("int")
     val touched: Set[Int] = bucketCounts.keySet
     // old state restricted to the touched buckets — by construction a
     // bucketed pointer's untouched buckets cannot change; a pre-bucketed
@@ -523,38 +683,169 @@ object LakeView {
     // every delta row is in a touched bucket by construction, so the
     // rewrite set is exactly: touched buckets' old state + the delta
     val rewrite = IncrementalAgg.consolidate(oldTouched.unionByName(delta))
-    val gen = ptr.map(_.gen).getOrElse(0L) + 1L
-    val dataDir = s"data-g$gen"
-    // bucket-aligned layout: ONE file per bucket dir (a scattered
-    // partitionBy would write files-per-task-per-bucket, and the next
-    // refresh pays the small-file tax reading them back). At modulus 1
-    // a narrow coalesce replaces the hash shuffle outright.
-    val laid = rewrite.withColumn("_bucket", bucketExpr)
-    (if (effective == 1) laid.coalesce(1)
-     else laid.repartition(math.min(effective, 200), col("_bucket")))
-      .write.partitionBy("_bucket").mode("overwrite")
-      .parquet(s"$viewPath/$dataDir")
-    // what actually landed (a touched bucket whose rows all cancelled
-    // writes no dir and drops out of the pointer)
-    val present = fs.listStatus(new Path(s"$viewPath/$dataDir"))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("_bucket="))
-      .map(n => n.stripPrefix("_bucket=").toInt)
-      .map(k => k -> s"$dataDir/_bucket=$k").toMap
-    val buckets = inherited ++ present
-    if (buckets.isEmpty) {
-      // empty view: land a schema-bearing empty bucket so read() keeps
-      // its shape
-      rewrite.limit(0).write.mode("overwrite")
-        .parquet(s"$viewPath/$dataDir/_bucket=-1")
-      publish(spark, viewPath, gen,
-        Map("left" -> headL, "right" -> headR), None,
-        Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective))
-    } else
-      publish(spark, viewPath, gen,
-        Map("left" -> headL, "right" -> headR), None, buckets,
-        Some(effective))
+    landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
+      rewrite, keys, effective, inherited, marks)
+    deltaRows
+  }
+
+  private def validateJoinCols(leftCols: Seq[String],
+      rightCols: Seq[String], keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "a join view needs join keys")
+    require(keys.forall(leftCols.contains) && keys.forall(rightCols.contains),
+      s"join keys ${keys.mkString(",")} must appear in both column lists")
+    val overlap = (leftCols.toSet & rightCols.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.mkString(",")} appear on both sides — " +
+        "project disjoint names")
+  }
+
+  /** Advance a JOIN view — the persisted Z-relation of
+    * `left ⋈ right on keys` — to both tables' newest snapshots, folding
+    * the bilinear delta ([[joinDeltaBetween]]) into the hash-bucketed
+    * state ([[foldJoinState]]): a refresh rewrites ONLY the buckets its
+    * delta touches; untouched buckets carry forward BY REFERENCE in the
+    * generation pointer, so the materialization cost is ∝ |touched
+    * buckets' state|, never the whole view — the property that keeps a
+    * big join view refreshable at 100 TB. Bucket dirs are immutable
+    * once written (the atomic pointer flip + by-reference retention
+    * give the same crash story as the aggregate form). Non-key columns
+    * of the two sides must be disjoint; `leftCols`/`rightCols` must
+    * include `keys`. NULL join keys never match (standard join
+    * semantics).
+    *
+    * `stateBuckets` defaults to [[AutoBuckets]] (adaptive: 1 bucket
+    * while small, [[DefaultBuckets]] once the state crosses the
+    * documented thresholds); an explicit value pins the modulus. Either
+    * way the modulus in force is RECORDED in the generation pointer:
+    * a later refresh under a different modulus migrates by treating
+    * every inherited bucket as touched — mixing moduli would hash a
+    * key's old +1 rows and its new −1 delta into different buckets,
+    * where they silently never net.
+    *
+    * `leftFilter`/`rightFilter`: optional SQL predicates restricting
+    * each side's row population (the join of two filtered relations,
+    * maintained incrementally). The bilinear rule is linear in each
+    * side, so filtering a side's OLD scan and its DELTA row-wise is
+    * exactly joining the filtered sides; excluded-row churn folds as a
+    * no-op. Part of the fold rules — pass the same predicates every
+    * refresh (the SQL surface persists them in the definition). */
+  def refreshJoin(spark: SparkSession, viewPath: String,
+      leftPath: String, leftTypes: String, leftCols: Seq[String],
+      rightPath: String, rightTypes: String, rightCols: Seq[String],
+      keys: Seq[String], stateBuckets: Int = AutoBuckets,
+      leftFilter: Option[String] = None,
+      rightFilter: Option[String] = None): JoinRefresh = {
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
+    validateJoinCols(leftCols, rightCols, keys)
+    val headL = tableHead(spark, leftPath)
+    val headR = tableHead(spark, rightPath)
+    val ptr = readPointer(spark, viewPath)
+    ptr.foreach(p => require(p.marks.contains("left"),
+      s"$viewPath is not a join view (marks: " +
+        s"${p.marks.keys.mkString(",")}) — refreshJoin cannot advance it"))
+    val wl = ptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L)
+    val wr = ptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L)
+    require(headL >= wl && headR >= wr,
+      s"view watermarks ($wl,$wr) ahead of table heads ($headL,$headR)" +
+        " — a table's snapshot history was reset under the view")
+    if (headL == wl && headR == wr)
+      return JoinRefresh(wl, headL, wr, headR, 0L)
+    val delta = joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
+      rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
+      leftFilter, rightFilter).localCheckpoint()
+    val deltaRows = foldJoinState(spark, viewPath, ptr, delta, keys,
+      stateBuckets, Map("left" -> headL, "right" -> headR))
     JoinRefresh(wl, headL, wr, headR, deltaRows)
+  }
+
+  /** Advance a COMPOSED view — a maintained aggregate OVER a maintained
+    * join (the classic star-rollup: `orders ⋈ customer` grouped to
+    * per-segment sums) — to both tables' newest snapshots. Two chained
+    * folds under ONE definition:
+    *
+    *  1. the INNER join Z-relation at `<viewPath>/inner` folds the
+    *     bilinear delta exactly like [[refreshJoin]];
+    *  2. the OUTER aggregate state at `<viewPath>` folds the SAME
+    *     signed delta (it is already a Z-relation — aggregation is
+    *     linear, so feeding the join's delta into the aggregate fold
+    *     IS maintaining the aggregate of the join) grouped by
+    *     `aggKeys` with `aggSums` ([[SumSpec]] strings, so derived
+    *     columns like `rev:CAST(Price AS DECIMAL(18,2))` fold exactly).
+    *
+    * Both folds keep their OWN watermarks (inner lands first): a crash
+    * between the two publishes leaves the aggregate one window behind,
+    * and the next refresh recomputes its window from the TABLES'
+    * changelog — the lag heals without coordination, because both
+    * folds are deterministic functions of the snapshot history. In the
+    * steady (no-crash) path the checkpointed delta is computed ONCE and
+    * feeds both folds. `minMaxCols` extrema recompute touched groups
+    * from the INNER state (the view's row population) — the same
+    * rescan discipline as the aggregate form.
+    *
+    * Reading `<viewPath>` returns the maintained AGGREGATE — the
+    * readout is ∝ |groups|, never a scan of the join's Z-relation
+    * (q303's decade-dominating readout, served from maintained state).
+    * The inner Z-relation stays readable via `read(<viewPath>/inner)`. */
+  def refreshJoinAggregate(spark: SparkSession, viewPath: String,
+      leftPath: String, leftTypes: String, leftCols: Seq[String],
+      rightPath: String, rightTypes: String, rightCols: Seq[String],
+      keys: Seq[String], aggKeys: Seq[String], aggSums: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty,
+      stateBuckets: Int = AutoBuckets,
+      leftFilter: Option[String] = None,
+      rightFilter: Option[String] = None): ComposedRefresh = {
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
+    validateJoinCols(leftCols, rightCols, keys)
+    require(aggKeys.nonEmpty, "refreshJoinAggregate needs aggregate keys")
+    val joinedCols = (leftCols ++ rightCols).toSet
+    require(aggKeys.forall(joinedCols.contains),
+      s"aggregate keys ${aggKeys.mkString(",")} must appear in the " +
+        "joined columns")
+    val innerPath = s"$viewPath/inner"
+    val headL = tableHead(spark, leftPath)
+    val headR = tableHead(spark, rightPath)
+    val iptr = readPointer(spark, innerPath)
+    val aptr = readPointer(spark, viewPath)
+    aptr.foreach(p => require(p.marks.contains("left"),
+      s"$viewPath is not a composed view (marks: " +
+        s"${p.marks.keys.mkString(",")}) — refreshJoinAggregate cannot " +
+        "advance it"))
+    val (wlI, wrI) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
+      iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
+    val (wlA, wrA) = (aptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
+      aptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
+    require(headL >= wlI && headR >= wrI && headL >= wlA && headR >= wrA,
+      s"view watermarks (inner $wlI,$wrI; agg $wlA,$wrA) ahead of table " +
+        s"heads ($headL,$headR) — a table's snapshot history was reset " +
+        "under the view")
+    def deltaFor(wl: Long, wr: Long): DataFrame =
+      joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
+        rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
+        leftFilter, rightFilter).localCheckpoint()
+    val marks = Map("left" -> headL, "right" -> headR)
+    // inner first: the upstream state lands before the derived fold
+    val deltaI =
+      if (wlI == headL && wrI == headR) None else Some(deltaFor(wlI, wrI))
+    val deltaRows = deltaI.map(d =>
+      foldJoinState(spark, innerPath, iptr, d, keys, stateBuckets, marks))
+      .getOrElse(0L)
+    // the aggregate folds ITS OWN window (== inner's unless a crash
+    // left it behind, in which case the delta is recomputed from the
+    // tables' changelog for the lagging window)
+    val deltaA =
+      if (wlA == headL && wrA == headR) None
+      else if ((wlA, wrA) == (wlI, wrI)) deltaI
+      else Some(deltaFor(wlA, wrA))
+    val groupsChanged = deltaA.map { d =>
+      // extrema rescan source: the INNER state at the new generation
+      // (the view's row population — already filtered and joined)
+      def rescan: DataFrame = read(spark, innerPath).filter(col("m") > 0)
+      foldAggState(spark, viewPath, aptr, d, aggKeys,
+        aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets)
+    }.getOrElse(0L)
+    ComposedRefresh(wlI, headL, wrI, headR, deltaRows, groupsChanged)
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,

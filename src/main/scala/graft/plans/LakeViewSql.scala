@@ -33,8 +33,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * pointers — LakeView's retention never touches non-pointer files), so
   * `refresh_lake_view` needs only the path: the aggregate form records
   * (table, fieldTypes, keys, sums, minMax), the join form records both
-  * sides' (path, fieldTypes, cols) plus keys and the stateBuckets pin.
-  * Column lists are comma-separated; '' = none. `create_lake_view` is
+  * sides' (path, fieldTypes, cols) plus keys and the stateBuckets pin,
+  * and the COMPOSED form (`'join_aggregate'` — a maintained aggregate
+  * over a maintained join, [[graft.operators.LakeView.refreshJoinAggregate]])
+  * records both. Column lists are comma-separated; '' = none; a sums
+  * entry may be `alias:expr` for a derived-column sum (expression
+  * commas inside parentheses are respected). `create_lake_view` is
   * idempotent on an IDENTICAL definition and refuses a conflicting one
   * (a silent redefinition would desync the persisted state from the
   * fold rules that built it).
@@ -67,6 +71,23 @@ object LakeViewSql {
   private def cols(s: String): Seq[String] =
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Split a sums list on TOP-LEVEL commas only: a derived-column entry
+    * (`rev:CAST(Price AS DECIMAL(18,2))`) legitimately contains commas
+    * inside parentheses. */
+  private def sumSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    out += cur.result()
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private def oneRow(spark: SparkSession, schema: StructType,
       row: Row): LogicalPlan =
     spark.createDataFrame(java.util.Collections.singletonList(row), schema)
@@ -91,18 +112,23 @@ object LakeViewSql {
     }
     kind match {
       case "aggregate" =>
-        require(args.length >= 6 && args.length <= 8,
+        require(args.length >= 6 && args.length <= 9,
           "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
-            "keys, sums[, minMax[, filter]]) — comma-separated column " +
-            "lists; filter is a SQL predicate ('' = none)")
+            "keys, sums[, minMax[, filter[, stateBuckets]]]) — comma-" +
+            "separated column lists; a sums entry may be `alias:expr` " +
+            "for a derived-column sum; filter is a SQL predicate " +
+            "('' = none)")
         def_.put("table", strLit(args(2), "tablePath"))
         def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
         putList("keys", cols(strLit(args(4), "keys")))
-        putList("sums", cols(strLit(args(5), "sums")))
+        putList("sums", sumSpecs(strLit(args(5), "sums")))
         putList("minMax",
           args.lift(6).map(a => cols(strLit(a, "minMax"))).getOrElse(Nil))
         args.lift(7).map(strLit(_, "filter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("filter", _))
+        def_.put("stateBuckets",
+          args.lift(8).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
       case "join" =>
         require(args.length >= 9 && args.length <= 12,
           "create_lake_view(viewPath, 'join', leftPath, leftTypes, " +
@@ -123,8 +149,34 @@ object LakeViewSql {
           .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
         args.lift(11).map(strLit(_, "rightFilter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
+      case "join_aggregate" =>
+        require(args.length >= 11 && args.length <= 15,
+          "create_lake_view(viewPath, 'join_aggregate', leftPath, " +
+            "leftTypes, leftCols, rightPath, rightTypes, rightCols, " +
+            "joinKeys, aggKeys, aggSums[, minMax[, stateBuckets" +
+            "[, leftFilter[, rightFilter]]]]) — aggSums entries may be " +
+            "`alias:expr`; filters are SQL predicates ('' = none)")
+        def_.put("left", strLit(args(2), "leftPath"))
+        def_.put("leftTypes", strLit(args(3), "leftTypes"))
+        putList("leftCols", cols(strLit(args(4), "leftCols")))
+        def_.put("right", strLit(args(5), "rightPath"))
+        def_.put("rightTypes", strLit(args(6), "rightTypes"))
+        putList("rightCols", cols(strLit(args(7), "rightCols")))
+        putList("keys", cols(strLit(args(8), "joinKeys")))
+        putList("aggKeys", cols(strLit(args(9), "aggKeys")))
+        putList("aggSums", sumSpecs(strLit(args(10), "aggSums")))
+        putList("minMax",
+          args.lift(11).map(a => cols(strLit(a, "minMax"))).getOrElse(Nil))
+        def_.put("stateBuckets",
+          args.lift(12).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
+        args.lift(13).map(strLit(_, "leftFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
+        args.lift(14).map(strLit(_, "rightFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
       case other => throw new IllegalArgumentException(
-        s"create_lake_view: kind must be 'aggregate' or 'join', got '$other'")
+        "create_lake_view: kind must be 'aggregate', 'join', or " +
+          s"'join_aggregate', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
     val dir = new Path(viewPath)
@@ -206,12 +258,15 @@ object LakeViewSql {
     def list(f: String): Seq[String] =
       Option(d.get(f)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
+    def buckets: Int = Option(d.get("stateBuckets")).map(_.asInt())
+      .getOrElse(graft.operators.LakeView.AutoBuckets)
     val row = d.get("kind").asText() match {
       case "aggregate" =>
         val r = graft.operators.LakeView.refreshAggregate(spark,
           d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
           list("keys"), list("sums"), list("minMax"),
-          rowFilter = Option(d.get("filter")).map(_.asText()))
+          rowFilter = Option(d.get("filter")).map(_.asText()),
+          stateBuckets = buckets)
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged)
       case "join" =>
@@ -220,14 +275,28 @@ object LakeViewSql {
           list("leftCols"),
           d.get("right").asText(), d.get("rightTypes").asText(),
           list("rightCols"), list("keys"),
-          stateBuckets = d.get("stateBuckets").asInt(),
+          stateBuckets = buckets,
           leftFilter = Option(d.get("leftFilter")).map(_.asText()),
           rightFilter = Option(d.get("rightFilter")).map(_.asText()))
         Row("join", r.fromLeft, r.toLeft, r.fromRight, r.toRight,
           r.deltaRows)
+      case "join_aggregate" =>
+        val r = graft.operators.LakeView.refreshJoinAggregate(spark,
+          viewPath,
+          d.get("left").asText(), d.get("leftTypes").asText(),
+          list("leftCols"),
+          d.get("right").asText(), d.get("rightTypes").asText(),
+          list("rightCols"), list("keys"),
+          list("aggKeys"), list("aggSums"), list("minMax"),
+          stateBuckets = buckets,
+          leftFilter = Option(d.get("leftFilter")).map(_.asText()),
+          rightFilter = Option(d.get("rightFilter")).map(_.asText()))
+        Row("join_aggregate", r.fromLeft, r.toLeft, r.fromRight,
+          r.toRight, r.deltaRows)
       case other => throw new IllegalArgumentException(
         s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
-          "expected 'aggregate' or 'join' (damaged _view.json?)")
+          "expected 'aggregate', 'join', or 'join_aggregate' (damaged " +
+          "_view.json?)")
     }
     oneRow(spark, refreshSchema, row)
   }

@@ -452,6 +452,197 @@ class LakeViewSpec extends SparkSpec {
     assert(refresh().deltaRows == 0L)
   }
 
+  test("aggregate-view state is hash-bucketed: a single-group delta " +
+      "rewrites ONLY its bucket; untouched buckets carry forward by " +
+      "reference; a zero-fold refresh rewrites nothing") {
+    val base = Files.createTempDirectory("graft_view11").toString
+    val dir = base + "/t"; val view = base + "/v"
+    // 40 distinct groups so a 16-bucket modulus populates many buckets
+    spark.range(0, 200).select(
+        concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        concat(lit("g"), lpad(($"id" % 40).cast("string"), 2, "0")).as("Grp"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    LakeSnapshots.commit(spark, dir)
+    def refresh(filter: Option[String] = None) =
+      LakeView.refreshAggregate(spark, dir, types, view,
+        Seq("Grp"), Seq("Score"), rowFilter = filter, stateBuckets = 16)
+    refresh()
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(gen: Long): Seq[String] = {
+      val d = new Path(s"$view/data-g$gen")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("_bucket=")).toSeq.sorted
+    }
+    val gen1 = bucketDirs(1)
+    assert(gen1.size > 4, s"bootstrap buckets: $gen1")
+    // delete ONE group's rows: the delta touches exactly one bucket
+    DeletionVectors.delete(spark, dir, types, $"Grp" === "g07")
+    LakeSnapshots.commit(spark, dir)
+    val r2 = refresh()
+    assert(r2.groupsChanged == 1L, r2.toString)
+    assert(bucketDirs(2).size <= 1,
+      s"single-group delta must rewrite at most one bucket: ${bucketDirs(2)}")
+    assert(bucketDirs(1).size >= gen1.size - 1,
+      "untouched gen-1 buckets must survive by reference")
+    assert(viewRows(view) == fullRows(dir))
+    // a refresh whose delta folds ZERO groups (every changed row
+    // excluded by the view filter) advances the watermark on fully
+    // inherited state — no data directory written at all.
+    // (fresh view: fold rules incl. the filter are fixed at creation)
+    val fview = base + "/vf"
+    LakeView.refreshAggregate(spark, dir, types, fview,
+      Seq("Grp"), Seq("Score"), rowFilter = Some("Score >= 100.0"),
+      stateBuckets = 16)
+    DeletionVectors.delete(spark, dir, types,
+      $"Score" < 50.0 && $"Grp" =!= "g07")
+    LakeSnapshots.commit(spark, dir)
+    val r3 = LakeView.refreshAggregate(spark, dir, types, fview,
+      Seq("Grp"), Seq("Score"), rowFilter = Some("Score >= 100.0"),
+      stateBuckets = 16)
+    assert(r3.groupsChanged == 0L && r3.toVersion == 3L, r3.toString)
+    val ffs = new Path(fview).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDirs = ffs.listStatus(new Path(fview)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("data-g")).toSeq.sorted
+    assert(dataDirs == Seq("data-g1"),
+      s"zero-fold refresh must not write a state dir: $dataDirs")
+    // and the inherited state still equals the filtered recompute
+    val want = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .filter($"Score" >= 100.0)
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score").as("s"))
+      .orderBy("Grp").as[(String, Long, Double)].collect().toSeq
+    val got = LakeView.read(spark, fview).select("Grp", "n", "sum_Score")
+      .orderBy("Grp").as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("extrema-rescan broadcast is gated by changed-group count: the " +
+      "shuffled fallback path produces the identical state") {
+    val base = Files.createTempDirectory("graft_view12").toString
+    val dir = base + "/t"
+    spark.range(0, 120).select(
+        concat(lit("r"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        concat(lit("g"), lpad(($"id" % 30).cast("string"), 2, "0")).as("Grp"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    LakeSnapshots.commit(spark, dir)
+    def run(view: String): Unit = {
+      LakeView.refreshAggregate(spark, dir, types, view,
+        Seq("Grp"), Seq("Score"), minMaxCols = Seq("Score"))
+      ()
+    }
+    val limitKey = "spark.graft.view.broadcastKeyLimit"
+    // bootstrap + a delete-the-maximum refresh under limit 0 (every
+    // semi join takes the shuffled path — the bootstrap's touched set
+    // is EVERY group, the shape the gate exists for)
+    spark.conf.set(limitKey, "0")
+    try run(base + "/v_shuffled")
+    finally spark.conf.unset(limitKey)
+    run(base + "/v_broadcast") // default: hinted broadcast path
+    DeletionVectors.delete(spark, dir, types, $"Score" >= 110.0)
+    LakeSnapshots.commit(spark, dir)
+    spark.conf.set(limitKey, "0")
+    try run(base + "/v_shuffled")
+    finally spark.conf.unset(limitKey)
+    run(base + "/v_broadcast")
+    def rows(view: String) = LakeView.read(spark, view)
+      .select("Grp", "n", "sum_Score", "mn_Score", "mx_Score")
+      .orderBy("Grp")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val (s, b) = (rows(base + "/v_shuffled"), rows(base + "/v_broadcast"))
+    assert(s == b, s"shuffled $s != broadcast $b")
+    // and both equal the recompute
+    val want = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", types).load()
+      .groupBy("Grp").agg(count(lit(1)).as("n"), sum($"Score"),
+        min($"Score"), max($"Score"))
+      .orderBy("Grp")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(s == want)
+  }
+
+  test("composed view (aggregate over join): chained folds across " +
+      "appends and deletes equal the recompute; a lagging aggregate " +
+      "watermark heals from the tables' changelog") {
+    val base = Files.createTempDirectory("graft_view13").toString
+    val lt = base + "/l"; val rt = base + "/r"; val view = base + "/v"
+    val ltypes = "K:number,Price:number"
+    val rtypes = "K:number,Seg:singleLineText"
+    def appendL(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          ($"id" % 7).cast("double").as("K"),
+          ($"id" * 10).cast("double").as("Price"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 7).select(
+        concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("Seg"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    // derived-column sum (SumSpec expression) + extrema over the join
+    def refresh() = LakeView.refreshJoinAggregate(spark, view,
+      lt, ltypes, Seq("K", "Price"), rt, rtypes, Seq("K", "Seg"),
+      keys = Seq("K"), aggKeys = Seq("Seg"),
+      aggSums = Seq("Price", "half:Price * 0.5"),
+      minMaxCols = Seq("Price"))
+    def expectRows = {
+      val l = spark.read.format("graft-records")
+        .option("path", lt).option("fieldTypes", ltypes).load()
+        .select("K", "Price")
+      val r = spark.read.format("graft-records")
+        .option("path", rt).option("fieldTypes", rtypes).load()
+        .select("K", "Seg")
+      l.join(r, "K").groupBy("Seg")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"),
+          sum($"Price" * 0.5).as("h"), min($"Price").as("mn"),
+          max($"Price").as("mx"))
+        .orderBy("Seg")
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    }
+    def gotRows = LakeView.read(spark, view)
+      .select($"Seg", $"n", $"sum_Price", $"sum_half",
+        $"mn_Price", $"mx_Price")
+      .orderBy("Seg")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+
+    appendL(0, 20)
+    LakeSnapshots.commit(spark, lt); LakeSnapshots.commit(spark, rt)
+    val c1 = refresh()
+    assert(c1.deltaRows > 0L && c1.groupsChanged == 2L, c1.toString)
+    assert(gotRows == expectRows)
+    // the inner Z-relation is maintained alongside and stays readable
+    assert(LakeView.read(spark, s"$view/inner").columns.contains("m"))
+    // cycle 2: left append; cycle 3: right delete retracts joined rows
+    appendL(20, 35)
+    LakeSnapshots.commit(spark, lt)
+    refresh()
+    assert(gotRows == expectRows)
+    DeletionVectors.delete(spark, rt, rtypes, $"K" === 3.0 || $"K" === 5.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh()
+    assert(gotRows == expectRows)
+    assert(refresh().deltaRows == 0L) // idle no-op
+    // crash between the two publishes: inner advanced, aggregate did
+    // not (simulated by deleting the aggregate's newest pointer). The
+    // next refresh must recompute the aggregate's LAGGING window from
+    // the tables' changelog and converge.
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aggGens = LakeView.generations(spark, view)
+    fs.delete(new Path(s"$view/_ptr-${aggGens.last}.json"), false)
+    appendL(35, 45)
+    LakeSnapshots.commit(spark, lt)
+    val c4 = refresh()
+    assert(c4.groupsChanged > 0L, c4.toString)
+    assert(gotRows == expectRows)
+  }
+
   test("chaos: readers racing refreshes never observe a torn pointer " +
       "or a reclaimed state directory") {
     val dir = Files.createTempDirectory("graft_view7").toString + "/t"

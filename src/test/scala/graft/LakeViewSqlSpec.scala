@@ -187,7 +187,7 @@ class LakeViewSqlSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM create_lake_view('/x', 'snapshot', '/t', 'A:number', " +
         "'A', '')"))
-    assert(e2.getMessage.contains("'aggregate' or 'join'"))
+    assert(e2.getMessage.contains("'join_aggregate'"))
     val e3 = intercept[Exception](spark.sql(
       "SELECT * FROM create_lake_view('/x', 'aggregate', '/t')"))
     assert(e3.getMessage.contains("aggregate"))
