@@ -1102,16 +1102,20 @@ private[graft] object ParityQueries {
     }),
 
     "q303_sql_lake_view_join" -> ((s, dir) => {
-      // the maintained JOIN view through the SQL surface: the same
-      // three-refresh commit sequence as q297 (left append, right
-      // delete-with-retraction) but defined, advanced, and read
-      // entirely in SQL — the definition file carries both sides'
-      // paths/types/columns and the stateBuckets pin, so
-      // refresh_lake_view needs only the view path. The refresh rows
-      // expose the consumed snapshot windows (gated below); the final
-      // aggregation over the Z-relation happens in plain SQL over
-      // lake_view(...), and the oracle recomputes the join from the
-      // predicates.
+      // the maintained JOIN view COMPOSED with its rollup through the
+      // SQL surface: kind 'join_aggregate' chains a per-segment
+      // aggregate fold off the join view's OWN signed delta, persisted
+      // under one definition — so the READOUT reads the maintained
+      // per-segment state (∝ |segments|) instead of aggregating the
+      // whole Z-relation per query (∝ |join rows| — the cost that
+      // dominated this query's decade probe). Same three-refresh
+      // commit sequence as q297 (left append, right delete-with-
+      // retraction), defined/advanced/read entirely in SQL; the
+      // consumed snapshot windows stay gated; the price sum folds in
+      // DECIMAL via a SumSpec expression (exact and fold-order-
+      // independent, so three incremental folds reproduce the oracle's
+      // one-shot decimal sum bit-for-bit); the oracle recomputes the
+      // join from the predicates.
       val lt = scratchPath(dir, "q303_orders")
       val rt = scratchPath(dir, "q303_cust")
       val view = scratchPath(dir, "q303_view")
@@ -1131,9 +1135,11 @@ private[graft] object ParityQueries {
         col("c_custkey").cast("double").as("CKey"),
         col("c_mktsegment").as("Seg"))
       s.sql(
-        s"""SELECT * FROM create_lake_view('$view', 'join',
+        s"""SELECT * FROM create_lake_view('$view', 'join_aggregate',
            |  '$lt', '$ltypes', 'CKey,OKey,Price',
-           |  '$rt', '$rtypes', 'CKey,Seg', 'CKey')""".stripMargin).collect()
+           |  '$rt', '$rtypes', 'CKey,Seg', 'CKey',
+           |  'Seg', 'price:CAST(Price AS DECIMAL(18,2))')""".stripMargin)
+        .collect()
       def refresh(): org.apache.spark.sql.Row =
         s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
       orders.filter(col("OKey") % 3 < 2).coalesce(2)
@@ -1145,7 +1151,7 @@ private[graft] object ParityQueries {
       graft.operators.LakeSnapshots.commit(s, lt)
       graft.operators.LakeSnapshots.commit(s, rt)
       val r1 = refresh()
-      require(r1.getString(0) == "join" && r1.getLong(5) > 0L,
+      require(r1.getString(0) == "join_aggregate" && r1.getLong(5) > 0L,
         "bootstrap refresh must fold the initial join")
       orders.filter(col("OKey") % 3 === 2).coalesce(1)
         .write.format("graft-records").option("path", lt)
@@ -1160,14 +1166,12 @@ private[graft] object ParityQueries {
       graft.operators.LakeSnapshots.commit(s, rt)
       refresh()
       require(refresh().getLong(5) == 0L, "idle SQL join refresh must no-op")
-      // final aggregation in plain SQL over the maintained Z-relation,
-      // decimal-exact like the oracle
+      // the readout IS the maintained per-segment state — no Z-relation
+      // scan (the inner Z-relation stays readable at <view>/inner)
       s.sql(
-        s"""SELECT Seg AS segment, CAST(sum(m) AS BIGINT) AS n_rows,
-           |  CAST(sum(CAST(m * Price AS DECIMAL(28,2))) AS DOUBLE)
-           |    AS sum_price
-           |FROM lake_view('$view')
-           |GROUP BY 1 ORDER BY 1""".stripMargin)
+        s"""SELECT Seg AS segment, CAST(n AS BIGINT) AS n_rows,
+           |  CAST(sum_price AS DOUBLE) AS sum_price
+           |FROM lake_view('$view') ORDER BY 1""".stripMargin)
     }),
 
     "q304_sum_pushdown" -> ((s, dir) => {
@@ -1394,6 +1398,158 @@ private[graft] object ParityQueries {
            |    AS sum_price
            |FROM lake_view('$view')
            |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    "q309_lake_view_composed" -> ((s, dir) => {
+      // the COMPOSED maintained view at full strength: per-side WHERE
+      // filters, a derived-column DECIMAL sum (SumSpec expression), and
+      // extrema — `SELECT Seg, count, sum(price), sum(2*price),
+      // min/max(Price) FROM orders ⋈ customer WHERE Price >= 10000 AND
+      // Seg <> 'BUILDING' GROUP BY Seg`, maintained through three
+      // refresh cycles by chaining the aggregate fold off the join
+      // view's signed delta. Gated in-run: excluded-row churn folds
+      // ZERO delta rows while advancing the watermark; after every
+      // fold the maintained aggregate must equal a recompute over the
+      // inner Z-relation (fold ≡ recompute, the q303 discipline); the
+      // oracle recomputes everything from the predicates.
+      val lt = scratchPath(dir, "q309_orders")
+      val rt = scratchPath(dir, "q309_cust")
+      val view = scratchPath(dir, "q309_view")
+      val fs = new org.apache.hadoop.fs.Path(lt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(lt, rt, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val ltypes = "OKey:number,CKey:number,Price:number"
+      val rtypes = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", lt)
+        .option("dataFormat", "parquet").mode("append").save()
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_mktsegment").as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", rt)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'join_aggregate',
+           |  '$lt', '$ltypes', 'CKey,OKey,Price',
+           |  '$rt', '$rtypes', 'CKey,Seg', 'CKey',
+           |  'Seg', 'price:CAST(Price AS DECIMAL(18,2)),
+           |         dbl:CAST(Price * 2 AS DECIMAL(19,2))',
+           |  'Price', 0,
+           |  'Price >= 10000.0', 'Seg <> \\'BUILDING\\'')""".stripMargin)
+        .collect()
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      def gateFoldEqualsRecompute(): Unit = {
+        // the maintained aggregate ≡ a recompute over the inner
+        // Z-relation (both read maintained state; nothing rescans the
+        // base tables)
+        val inner = graft.operators.LakeView.read(s, s"$view/inner")
+        val re = inner.filter(col("m") > 0).groupBy("Seg")
+          .agg(sum(col("m")).as("rn"),
+            sum(col("m") * expr("CAST(Price AS DECIMAL(18,2))")).as("rp"),
+            sum(col("m") * expr("CAST(Price * 2 AS DECIMAL(19,2))")).as("rd"),
+            min(col("Price")).as("rmn"), max(col("Price")).as("rmx"))
+        val st = graft.operators.LakeView.read(s, view)
+        val mism = st.join(re, Seq("Seg"), "full")
+          .filter(!(col("n") <=> col("rn")) ||
+            !(col("sum_price") <=> col("rp").cast("decimal(38,2)")) ||
+            !(col("sum_dbl") <=> col("rd").cast("decimal(38,2)")) ||
+            !(col("mn_Price") <=> col("rmn")) ||
+            !(col("mx_Price") <=> col("rmx")))
+        require(mism.limit(1).isEmpty,
+          "composed fold diverged from a recompute over the inner state")
+      }
+      require(refresh().getLong(5) > 0L, "bootstrap must fold the join")
+      gateFoldEqualsRecompute()
+      // cycle 2: the remaining left third appends THROUGH the filter
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", lt)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, lt)
+      require(refresh().getLong(5) > 0L, "in-filter append must fold")
+      gateFoldEqualsRecompute()
+      // excluded-row churn: deleting only sub-filter left rows must
+      // fold ZERO delta rows while the watermark still advances
+      graft.operators.DeletionVectors.delete(s, lt, ltypes,
+        col("Price") < 10000)
+      graft.operators.LakeSnapshots.commit(s, lt)
+      val r3 = refresh()
+      require(r3.getLong(5) == 0L && r3.getLong(2) == 3L,
+        s"excluded-row churn must fold zero delta rows: $r3")
+      // cycle 3: in-filter right retraction through the join AND the
+      // aggregate (extrema recompute from the inner state)
+      graft.operators.DeletionVectors.delete(s, rt, rtypes,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, rt)
+      require(refresh().getLong(5) > 0L, "in-filter retraction must fold")
+      gateFoldEqualsRecompute()
+      require(refresh().getLong(5) == 0L, "idle refresh must no-op")
+      s.sql(
+        s"""SELECT Seg AS segment, CAST(n AS BIGINT) AS n_rows,
+           |  CAST(sum_price AS DOUBLE) AS sum_price,
+           |  CAST(sum_dbl AS DOUBLE) AS sum_dbl,
+           |  mn_Price AS min_price, mx_Price AS max_price
+           |FROM lake_view('$view') ORDER BY 1""".stripMargin)
+    }),
+
+    "q310_lake_view_expr" -> ((s, dir) => {
+      // a DERIVED-COLUMN maintained aggregate through pure SQL: the
+      // sums list carries a SumSpec expression (`wsum:Chars * DocId`),
+      // persisted in the fold rules — aggregation over the signed
+      // delta is linear, so an arbitrary row-level expression folds
+      // exactly like a plain column. Same commit shape as q302
+      // (append, delete, append); integer-valued products keep the
+      // double fold IEEE-exact against the oracle's one-shot recompute.
+      val out = scratchPath(dir, "q310_records")
+      val view = scratchPath(dir, "q310_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang',
+           |  'Chars,wsum:Chars * DocId')""".stripMargin).collect()
+      def refresh(): org.apache.spark.sql.Row =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh().getLong(5) > 0L, "bootstrap must fold groups")
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      require(refresh().getLong(5) == 0L, "idle refresh must no-op")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(sum_Chars AS BIGINT) AS sum_chars,
+           |  CAST(sum_wsum AS BIGINT) AS wsum
+           |FROM lake_view('$view') ORDER BY lang""".stripMargin)
     }),
 
     "q292_parquet_tier" -> ((s, dir) => {
@@ -2839,16 +2995,49 @@ private[graft] object ParityQueries {
         |SELECT * FROM agg_live UNION ALL SELECT * FROM agg_v2
         |ORDER BY 1, 2""".stripMargin,
 
-    // the oracle recomputes the final join; the engine's SQL surface
-    // reaches it through three incremental refreshes of the persisted
-    // Z-relation, with the consumed snapshot windows gated in-run
+    // the oracle recomputes the final join+rollup; the engine's SQL
+    // surface reaches it through three incremental refreshes of a
+    // COMPOSED view (join Z-relation + chained per-segment aggregate
+    // fold), windows gated in-run, readout from the maintained
+    // aggregate state (never a Z-relation scan)
     "q303_sql_lake_view_join" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the filtered join + derived-column rollup
+    // from the predicates; the engine maintains it as a composed view
+    // (per-side filtered bilinear folds chained into a decimal
+    // aggregate fold with extrema), gated fold ≡ recompute in-run
+    "q309_lake_view_composed" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(19,2))) AS DOUBLE)
+        |    AS sum_dbl,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice >= 10000
+        |  AND c_mktsegment <> 'BUILDING'
+        |  AND NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the derived-column aggregates; the engine
+    // maintains them through a SumSpec expression persisted in the
+    // view's fold rules (linearity makes any row-level expression fold
+    // exactly like a plain column)
+    "q310_lake_view_expr" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars * doc_id) AS BIGINT) AS wsum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the grouped sums; the engine's plan is
     // run-gated to have PUSHED them (in-reader sum partials + AVG via
