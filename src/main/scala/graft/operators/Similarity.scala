@@ -463,17 +463,29 @@ object Similarity {
     * this exists to avoid: the touched-cell set is bounded by the
     * centroid count, and untouched cells are never read. Deletes are
     * applied BEFORE inserts so a re-added id (delete + insert of a new
-    * vector in one window) survives. Same completion-marker discipline
-    * as the build: dropped first, restored last — a crash mid-fold
-    * leaves an unmarked, rebuildable index, never a complete-looking
-    * partial one. Single-maintainer, like every index build here.
-    * Returns (inserted, deleted) row counts. */
+    * vector in one window) survives.
+    *
+    * Crash safety is the lake compaction's MARKER protocol
+    * ([[graft.sources.v2.RecordCompaction]]): all new bytes stage under
+    * `.ivfstage-<id>/` (cells untouched), then a marker
+    * `_ivffold-<id>.json` records every flip (cell swaps + append
+    * renames), then the flips apply, then marker + stage are swept and
+    * the completion marker returns. A crash BEFORE the marker leaves
+    * the index intact at the old watermark (the caller re-folds); a
+    * crash AFTER it replays to completion via [[recoverIvfIndex]] —
+    * never a full rebuild, never a complete-looking partial index.
+    * Single-maintainer, like every index build here. Returns
+    * (inserted, deleted) row counts. */
   def applyChangesToIvfIndex(changes: DataFrame, idCol: String,
       vecCol: String, path: String,
       centroids: Seq[Seq[Float]]): (Long, Long) = {
     val spark = changes.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any crashed fold first (the RecordCompaction discipline);
+    // a crash BEFORE its marker left the cells untouched, so the caller
+    // simply re-folds the window — recovery only sweeps the orphan stage
+    recoverIvfIndex(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
     // NET the batch first: a multi-version window emits per-version rows
     // (an id inserted then deleted nets to zero — without consolidation
@@ -483,31 +495,186 @@ object Similarity {
     val assigned = IncrementalAgg.consolidate(changes)
       .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
       .localCheckpoint()
+    // the fold assumes SET semantics (the lake's _record_id-unique
+    // change feed): |m| == 1 after netting. A generic Z-relation with
+    // multiplicities would silently diverge from the fold ≡ rebuild
+    // law (the append lands ONE row per id, the sweep retracts ALL),
+    // so a non-set batch fails loudly instead of corrupting the index.
+    require(assigned.filter(abs(col("m")) =!= 1L).limit(1).isEmpty,
+      "applyChangesToIvfIndex needs a set-semantics change batch " +
+        "(|m| == 1 per id after consolidation)")
     val delIds = assigned.filter(col("m") < 0)
       .select(col("ivf_cell").as("_del_cell"), col(idCol).as("_del_id"))
     // touched cells: bounded by |centroids|, so the collect is metadata
-    val touched = delIds.select(col("_del_cell")).distinct()
+    val touched: Array[Int] = delIds.select(col("_del_cell")).distinct()
       .collect().map(_.getInt(0)).sorted
+    val touchedSet = touched.toSet
     val nDel = delIds.count()
-    touched.foreach { c =>
-      val cellDir = new org.apache.hadoop.fs.Path(s"$path/cells/ivf_cell=$c")
-      if (fs.exists(cellDir)) {
-        val survivors = spark.read.parquet(cellDir.toString)
-          .join(delIds.filter(col("_del_cell") === c).select(col("_del_id")),
-            col(idCol) === col("_del_id"), "left_anti")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.cellswap-$c")
-        fs.delete(tmp, true)
-        survivors.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(cellDir, true)
-        require(fs.rename(tmp, cellDir), s"cell swap failed for $cellDir")
-      }
-    }
     val ins = assigned.filter(col("m") > 0).drop("m")
     val nIns = ins.count()
+
+    // ---- STAGE (index untouched until the marker lands) ----
+    // Swap-staged content: per delete-touched cell, its survivors plus
+    // its OWN inserts — the inserts ride the swap so a replayed swap
+    // can never orphan an already-renamed append file. Inserts into
+    // untouched cells stage separately and rename in one-by-one.
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val stage = s".ivfstage-$runId"
+    val existingTouched = touched.filter(c =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/ivf_cell=$c")))
+    if (existingTouched.nonEmpty) {
+      val oldTouched = spark.read
+        .option("basePath", s"$path/cells")
+        .parquet(existingTouched.toSeq
+          .map(c => s"$path/cells/ivf_cell=$c"): _*)
+        .join(delIds, col("ivf_cell") === col("_del_cell") &&
+          col(idCol) === col("_del_id"), "left_anti")
+        .drop("_del_cell", "_del_id")
+      oldTouched.unionByName(ins.filter(col("ivf_cell").isin(
+          existingTouched.map(Integer.valueOf).toSeq: _*)))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$path/$stage/swap")
+    }
+    val insElsewhere = ins.filter(!col("ivf_cell").isin(
+      existingTouched.map(Integer.valueOf).toSeq: _*))
     if (nIns > 0)
-      ins.write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+      insElsewhere.write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$path/$stage/ins")
+    // enumerate staged append files and assign deterministic dest names
+    val appends: Seq[(String, String)] = {
+      val insDir = new org.apache.hadoop.fs.Path(s"$path/$stage/ins")
+      if (!fs.exists(insDir)) Seq.empty
+      else fs.listStatus(insDir).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("ivf_cell="))
+        .sortBy(_.getPath.getName)
+        .flatMap { cd =>
+          val cell = cd.getPath.getName.stripPrefix("ivf_cell=")
+          fs.listStatus(cd.getPath).filter(_.isFile)
+            .map(_.getPath.getName).filterNot(_.startsWith("_"))
+            .sorted.zipWithIndex.map { case (f, i) =>
+              (s"$stage/ins/ivf_cell=$cell/$f",
+                s"cells/ivf_cell=$cell/fold-$runId-$i.parquet")
+            }
+        }.toSeq
+    }
+    // swaps: every delete-touched EXISTING cell; staged=false means the
+    // cell's rows all retracted with no inserts — apply leaves no dir
+    val swaps: Seq[(Int, Boolean)] = existingTouched.toSeq.map { c =>
+      c -> fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/$stage/swap/ivf_cell=$c"))
+    }
+
+    // ---- MARKER: from here the fold is committed; any crash replays
+    // to completion via recoverIvfIndex ----
+    writeIvfMarker(fs, root, runId, stage, swaps, appends)
+    applyIvfMarker(fs, root, stage, swaps, appends)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"_ivffold-$runId.json"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$stage"), true)
     fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    // the flips happen by RENAME under Spark's back: drop any cached
+    // file listing so a session that already read the index sees the
+    // folded cells (datasource writes invalidate this themselves)
+    spark.catalog.refreshByPath(s"$path/cells")
     (nIns, nDel)
+  }
+
+  private def writeIvfMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, runId: String, stage: String,
+      swaps: Seq[(Int, Boolean)], appends: Seq[(String, String)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("stage", stage)
+    val sw = node.putArray("swaps")
+    swaps.foreach { case (c, staged) =>
+      val e = sw.addObject(); e.put("cell", c); e.put("staged", staged)
+    }
+    val ap = node.putArray("appends")
+    appends.foreach { case (src, dst) =>
+      val e = ap.addObject(); e.put("src", src); e.put("dst", dst)
+    }
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"_ivffold-$runId.json"), true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Apply (or re-apply) a fold's directory flips — idempotent at every
+    * crash position:
+    *  - a staged swap cell still holding its stage dir gets (re)built:
+    *    drop the live cell dir, rename the staged one in (the staged
+    *    content is FINAL — survivors + that cell's inserts — so a
+    *    replay after a partial apply just rebuilds the same bytes);
+    *    a swap whose stage dir is gone already applied — skipped;
+    *  - an all-retracted swap (staged=false) deletes the cell dir —
+    *    deleting again is harmless, nothing recreates it;
+    *  - a staged append file renames to its RECORDED dest name; gone
+    *    means applied. Appends only target cells no swap touches, so
+    *    replayed swaps can never eat a renamed append. */
+  private def applyIvfMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, stage: String,
+      swaps: Seq[(Int, Boolean)], appends: Seq[(String, String)]): Unit = {
+    swaps.foreach { case (c, staged) =>
+      val cellDir = new org.apache.hadoop.fs.Path(root, s"cells/ivf_cell=$c")
+      if (staged) {
+        val st = new org.apache.hadoop.fs.Path(root, s"$stage/swap/ivf_cell=$c")
+        if (fs.exists(st)) {
+          fs.delete(cellDir, true)
+          require(fs.rename(st, cellDir), s"cell swap failed for $cellDir")
+        }
+      } else fs.delete(cellDir, true)
+    }
+    appends.foreach { case (src, dst) =>
+      val s = new org.apache.hadoop.fs.Path(root, src)
+      if (fs.exists(s)) {
+        val d = new org.apache.hadoop.fs.Path(root, dst)
+        fs.mkdirs(d.getParent)
+        require(fs.rename(s, d), s"append rename failed: $s -> $d")
+      }
+    }
+  }
+
+  /** Replay any pending fold markers to completion, then sweep orphan
+    * stage directories (a crash BEFORE its marker staged bytes but
+    * never touched the cells — the index is intact at the old
+    * watermark, the caller re-folds the window). Returns the number of
+    * markers replayed. The completion marker is restored only when a
+    * marker was actually replayed to done — an unmarked index with no
+    * pending marker stays unmarked (it may be a crashed BUILD, which
+    * only a rebuild can finish). Single-maintainer, like the fold. */
+  def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val markers = fs.listStatus(root).filter(_.isFile).map(_.getPath)
+      .filter(_.getName.startsWith("_ivffold-"))
+    import scala.jdk.CollectionConverters._
+    markers.foreach { mp =>
+      val in = fs.open(mp)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes.toString("UTF-8"))
+      val stage = node.get("stage").asText()
+      val swaps = node.get("swaps").elements().asScala
+        .map(e => e.get("cell").asInt() -> e.get("staged").asBoolean()).toSeq
+      val appends = node.get("appends").elements().asScala
+        .map(e => e.get("src").asText() -> e.get("dst").asText()).toSeq
+      applyIvfMarker(fs, root, stage, swaps, appends)
+      fs.delete(mp, false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, stage), true)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+      spark.catalog.refreshByPath(s"$path/cells")
+    }
+    // pre-marker orphan stages: never applied, safe to drop
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(".ivfstage-"))
+      .foreach(fs.delete(_, true))
+    markers.length
   }
 
   /** Probe a persisted IVF index: rank cells driver-side (no job), read

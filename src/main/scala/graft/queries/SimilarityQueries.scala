@@ -328,17 +328,24 @@ private[graft] object SimilarityQueries {
       require(nIns > 0 && nDel > 0,
         s"the window must carry both signs: +$nIns -$nDel")
       // folded ≡ rebuilt-from-live, cell for cell (assignment is pure
-      // arithmetic over fixed geometry, so the sets must be identical)
-      Similarity.writeIvfIndex(
-        toVecs(s.read.format("graft-records").option("path", out)
-          .option("fieldTypes", types).load()),
-        "embedding", rebuiltPath, cents)
-      val a = Similarity.readIvfIndex(s, idxPath)
-        .select(col("vec_id"), col("ivf_cell"))
-      val b = Similarity.readIvfIndex(s, rebuiltPath)
-        .select(col("vec_id"), col("ivf_cell"))
-      require(a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).isEmpty,
-        "CDC-folded index diverged from a rebuild over the live table")
+      // arithmetic over fixed geometry, so the sets must be identical).
+      // The rebuild is a SECOND full index build run purely as a gate —
+      // production only ever pays the ∝-delta fold — so it runs at the
+      // correctness SFs (sf0.001/sf0.01, where the driver's oracle gate
+      // executes) and the bench SF measures the fold alone.
+      val sfName = new java.io.File(dir).getName
+      if (sfName == "sf0.001" || sfName == "sf0.01") {
+        Similarity.writeIvfIndex(
+          toVecs(s.read.format("graft-records").option("path", out)
+            .option("fieldTypes", types).load()),
+          "embedding", rebuiltPath, cents)
+        val a = Similarity.readIvfIndex(s, idxPath)
+          .select(col("vec_id"), col("ivf_cell"))
+        val b = Similarity.readIvfIndex(s, rebuiltPath)
+          .select(col("vec_id"), col("ivf_cell"))
+        require(a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).isEmpty,
+          "CDC-folded index diverged from a rebuild over the live table")
+      }
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, idxPath),
         "vec_id", "embedding", cents, probeVec(s, dir), k = 10, nProbe = 2)
         .select(col("vec_id"), r(col("cos"), 6).as("cos"))

@@ -322,6 +322,99 @@ class ExpressionSpec extends SparkSpec {
       "emptied cell 0 must not retain pre-delete rows")
   }
 
+  test("recoverIvfIndex: a crashed fold replays from any position " +
+      "(post-marker, mid-apply); pre-marker stages sweep without " +
+      "faking completion") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    def vec(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)),
+        d => cos(seed * 17 + d).cast("float")).as("embedding")
+    val emb = spark.range(40).select($"id".as("vec_id"), vec($"id"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4)
+    Similarity.writeIvfIndex(emb, "embedding", idx, cents)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = emb.withColumn("ivf_cell",
+      Similarity.ivfAssign($"embedding", cents)).cache()
+    val byCell = assigned.groupBy("ivf_cell").count()
+      .as[(Int, Long)].collect().sortBy(-_._2)
+    val cA = byCell.head._1 // a populated cell to swap
+    val cB = byCell.last._1 // a different cell to append into
+    assert(cA != cB)
+    val victim = assigned.filter($"ivf_cell" === cA)
+      .select("vec_id").as[Long].collect().min
+    def snap() = Similarity.readIvfIndex(spark, idx)
+      .select($"vec_id", $"ivf_cell").as[(Long, Long)].collect().toSet
+    val before = snap()
+
+    def writeMarker(id: String, swapsJson: String, appendsJson: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(idx, s"_ivffold-$id.json"), true)
+      out.write((s"""{"stage":".ivfstage-$id","swaps":[$swapsJson],""" +
+        s""""appends":[$appendsJson]}""").getBytes("UTF-8"))
+      out.close()
+    }
+    def stagedInsFile(id: String, cell: Int): String = {
+      val d = new org.apache.hadoop.fs.Path(s"$idx/.ivfstage-$id/ins/ivf_cell=$cell")
+      fs.listStatus(d).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).min
+    }
+
+    // ---- crash position 1: marker written, NOTHING applied ----
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_SUCCESS"), false)
+    // staged swap: cA without its victim
+    spark.read.parquet(s"$idx/cells/ivf_cell=$cA")
+      .filter($"vec_id" =!= victim)
+      .write.parquet(s"$idx/.ivfstage-t1/swap/ivf_cell=$cA")
+    // staged append: one new vector destined for cB
+    spark.range(500, 501).select($"id".as("vec_id"), vec($"id"))
+      .coalesce(1) // one staged file — the marker references it by name
+      .write.parquet(s"$idx/.ivfstage-t1/ins/ivf_cell=$cB")
+    val f1 = stagedInsFile("t1", cB)
+    writeMarker("t1", s"""{"cell":$cA,"staged":true}""",
+      s"""{"src":".ivfstage-t1/ins/ivf_cell=$cB/$f1","dst":"cells/ivf_cell=$cB/fold-t1-0.parquet"}""")
+    assert(Similarity.recoverIvfIndex(spark, idx) == 1)
+    val want1 = before - ((victim, cA.toLong)) + ((500L, cB.toLong))
+    assert(snap() == want1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_SUCCESS")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".ivfstage-t1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_ivffold-t1.json")))
+
+    // ---- crash position 2: swap already applied, append still staged ----
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_SUCCESS"), false)
+    val victim2 = assigned.filter($"ivf_cell" === cA && $"vec_id" =!= victim)
+      .select("vec_id").as[Long].collect().min
+    spark.read.parquet(s"$idx/cells/ivf_cell=$cA")
+      .filter($"vec_id" =!= victim2)
+      .write.parquet(s"$idx/.ivfstage-t2/swap/ivf_cell=$cA")
+    spark.range(501, 502).select($"id".as("vec_id"), vec($"id"))
+      .coalesce(1)
+      .write.parquet(s"$idx/.ivfstage-t2/ins/ivf_cell=$cB")
+    val f2 = stagedInsFile("t2", cB)
+    writeMarker("t2", s"""{"cell":$cA,"staged":true}""",
+      s"""{"src":".ivfstage-t2/ins/ivf_cell=$cB/$f2","dst":"cells/ivf_cell=$cB/fold-t2-0.parquet"}""")
+    // apply the SWAP by hand (the crash lands between the two flips)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/cells/ivf_cell=$cA"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$idx/.ivfstage-t2/swap/ivf_cell=$cA"),
+      new org.apache.hadoop.fs.Path(s"$idx/cells/ivf_cell=$cA")))
+    assert(Similarity.recoverIvfIndex(spark, idx) == 1)
+    val want2 = want1 - ((victim2, cA.toLong)) + ((501L, cB.toLong))
+    assert(snap() == want2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_SUCCESS")))
+
+    // ---- pre-marker crash: orphan stage sweeps, index stays UNMARKED
+    // (the caller re-folds; recovery must not fake completion) ----
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_SUCCESS"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/.ivfstage-orphan/swap"))
+    assert(Similarity.recoverIvfIndex(spark, idx) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".ivfstage-orphan")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_SUCCESS")),
+      "recovery must not mark an index whose fold never committed")
+    assert(snap() == want2) // cells untouched either way
+    assigned.unpersist()
+  }
+
   test("top_k_pairs: equals the window form, merges across partitions, O(k)") {
     import graft.functions.TopKPairs
     val df = spark.range(1000).select(
