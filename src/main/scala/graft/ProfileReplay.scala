@@ -73,6 +73,10 @@ object ProfileReplay {
       run(s"data-4-batches #$i", quarters, "4")
       run(s"data-2-batches #$i", halves, "4")
       run(s"data-1-batch  #$i", Seq(rows.toSeq), "4")
+      run(s"tiny-4-batches-p2 #$i", tiny, "2")
+      run(s"data-4-batches-p2 #$i", quarters, "2")
+      run(s"tiny-4-batches-p1 #$i", tiny, "1")
+      run(s"data-4-batches-p1 #$i", quarters, "1")
     }
     spark.stop()
   }

@@ -25,7 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * one-row report. The operations themselves are unchanged — same
   * single-maintainer discipline, same conflict validation against the
   * optimistic commit log, same crashed-swap recovery — so the SQL
-  * surface adds no new failure modes, only reach. */
+  * surface adds no new failure modes, only reach.
+  *
+  * CAVEAT of command-at-resolution: ANALYSIS-ONLY paths run the side
+  * effect too — `EXPLAIN SELECT * FROM optimize_lake(...)` compacts,
+  * a CACHE/CTAS whose outer statement later fails has still vacuumed,
+  * and a dry plan against a production table is not dry. Don't probe
+  * plans against tables you aren't prepared to maintain; every
+  * operation here is semantics-preserving (layout only), so the blast
+  * radius is wasted work, never changed answers — but refreshes DO
+  * advance view watermarks. Same contract as `table_changes`'
+  * resolution-time catalog reads, documented here because maintenance
+  * is the surface where users habitually EXPLAIN first. */
 object LakeMaintenance {
 
   /** Delta-ish default target: 128 MB output files. */

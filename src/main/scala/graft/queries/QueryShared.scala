@@ -27,18 +27,22 @@ private[graft] object QueryShared {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Scratch root: tmpfs (`/dev/shm`) when writable, else the JVM temp
-    * dir; `SPARK_GRAFT_SCRATCH` overrides. Scratch artifacts are
-    * per-run throwaways (lake fixtures, stream checkpoints, state-store
-    * deltas), and the streaming replays in particular pay per-batch
-    * checkpoint + state-store fsync-ish file I/O that is pure fixed
-    * cost on disk — tmpfs removes it without touching any gate. A real
+  /** Scratch root: tmpfs (`/dev/shm`) when writable AND roomy, else the
+    * JVM temp dir; `SPARK_GRAFT_SCRATCH` overrides. Scratch artifacts
+    * are per-run throwaways (lake fixtures, stream checkpoints,
+    * state-store deltas), and the streaming replays in particular pay
+    * per-batch checkpoint + state-store fsync-ish file I/O that is pure
+    * fixed cost on disk — tmpfs removes it without touching any gate.
+    * The free-space gate (16 GiB) keeps scale-probe fixtures (multi-GB
+    * lake tables at 10×/100×) off a small RAM-backed tmpfs where they
+    * would exhaust memory mid-run — such hosts fall back to disk, and
+    * SPARK_GRAFT_SCRATCH pins either choice explicitly. A real
     * deployment would point this at fast local storage the same way. */
   private[graft] lazy val scratchRoot: String =
     sys.env.get("SPARK_GRAFT_SCRATCH")
       .orElse(Some("/dev/shm").filter(p => {
         val f = new java.io.File(p)
-        f.isDirectory && f.canWrite
+        f.isDirectory && f.canWrite && f.getUsableSpace >= (16L << 30)
       }))
       .getOrElse(sys.props("java.io.tmpdir"))
 
@@ -53,12 +57,23 @@ private[graft] object QueryShared {
     * them per JVM so a bench's min-of-N runs time the streaming engine,
     * not repeated fixture preparation (the same reasoning as q30's
     * persisted LSH index). Correctness is unaffected: Verify runs each
-    * query once, and the memo key pins the (query, dir) identity. */
+    * query once, and the memo key pins the (query, dir) identity.
+    *
+    * CONTRACT: `build` must be a pure function of the read-only SF dir,
+    * and consumers must treat the result as immutable — arrays are
+    * defensively CLONED per call (cheap next to the collect they
+    * replace) so an in-place sort in one rep can never poison the next,
+    * but a non-array fixture (Seq, Map) is returned as the shared
+    * instance and must not be mutated or derived from per-run scratch
+    * state. */
   private val feedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private[graft] def memoFeed[T](key: String, dir: String)(build: => T): T =
     feedMemo.computeIfAbsent(s"${key}_$dir",
-      _ => build.asInstanceOf[AnyRef]).asInstanceOf[T]
+      _ => build.asInstanceOf[AnyRef]) match {
+      case a: Array[_] => a.clone().asInstanceOf[T]
+      case v => v.asInstanceOf[T]
+    }
 
   private[graft] def cfg(ut: UpdateType, v: Long, pk: String, table: String): PipelineConfig =
     PipelineConfig(SourceConfig("/", table), StoreConfig("/na", table), ut, pk, v)

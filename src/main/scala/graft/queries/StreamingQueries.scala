@@ -84,7 +84,19 @@ private[graft] object StreamingQueries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = s.conf.get(noData)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // 4 -> 2 (round 13): ProfileReplay reads ~10-15% off both the pure-
+    // machinery and data-batch shapes — the per-partition state-store
+    // instantiate/commit is the dominant fixed cost and the replays key
+    // by a handful of codes, so 2 partitions still exercises multi-
+    // partition state while halving the store count. Results are
+    // partition-count-invariant (DeterminismSpec).
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val retain = "spark.sql.streaming.minBatchesToRetain"
+    val prevRetain = s.conf.getOption(retain)
+    // replays never restart from an old batch: retain the minimum
+    // checkpoint history instead of the 100-batch default (less
+    // per-commit file churn in the state store)
+    s.conf.set(retain, "2")
     // every micro-batch costs ~0.3-0.5s of pure machinery (re-plan +
     // state-store instantiate/commit + offset/commit WAL — measured by
     // ProfileReplay: a 40-row 4-batch replay pays 2.2s), and a
@@ -97,13 +109,31 @@ private[graft] object StreamingQueries {
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set(noData, prevNoData)
+      prevRetain match {
+        case Some(v) => s.conf.set(retain, v)
+        case None => s.conf.unset(retain)
+      }
     }
   }
 
   /** Run `gate` (a streaming frame fed by `in`) over the batched feed
     * in update mode, then hand the caller's aggregation of the memory
     * sink back MATERIALIZED, so sink and temp view can be dropped
-    * before returning. */
+    * before returning.
+    *
+    * REPLAY CONTRACT (applies to every gate driven under
+    * [[withReplayPartitions]], including the hand-rolled ones below
+    * that don't go through this helper): no-data micro-batches are
+    * DISABLED for the whole family, so a watermark-closed emission
+    * (append-mode window close, event-time timeout) happens only when
+    * a LATER DATA batch advances the watermark past it. Every replay's
+    * final emission must therefore be forced by a sentinel DATA batch
+    * (q242's discipline) — a gate relying on a trailing no-data batch
+    * after its last data batch will silently emit fewer rows. The
+    * day-ranged batching satisfies this for closed-window gates (each
+    * batch's data closes the previous batch's windows); gates whose
+    * LAST window must close append an explicit sentinel event past the
+    * horizon. */
   private def replay[T](s: SparkSession,
       in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
       gate: DataFrame, batches: Seq[Seq[T]])(

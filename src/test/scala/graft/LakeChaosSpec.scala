@@ -127,6 +127,88 @@ class LakeChaosSpec extends SparkSpec {
     finally OptimisticCommit.CommitArbiter.set(None)
   }
 
+  test("a conditional PUT that dies mid-upload claims nothing (the " +
+      "store discards incomplete puts): the failed commit is invisible, " +
+      "racing committers keep the log contiguous, vacuum sweeps the " +
+      "dead writer's staging") {
+    val dir = Files.createTempDirectory("graft_chaos_cpc").toString + "/t"
+    spark.range(0, 300).select(
+        concat(lit("r"), lpad($"id".cast("string"), 5, "0")).as("_record_id"),
+        $"id".cast("double").as("Score"))
+      .repartition(3)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+    // Fault model: a single-shot conditional PUT is atomic at the
+    // store — a writer that dies mid-upload materializes NOTHING and
+    // holds NO claim (the store discards the incomplete put). The
+    // injected arbiter surfaces that as a storage error on the dying
+    // writer's claim; the slot stays free for whoever commits next.
+    val inner = new OptimisticCommit.CommitArbiter.ConditionalPut
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    OptimisticCommit.CommitArbiter.set(Some(
+      new OptimisticCommit.CommitArbiter {
+        override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+            p: Path, bytes: Array[Byte]): Boolean = {
+          if (Thread.currentThread().getName == "dying-writer" &&
+              fired.compareAndSet(false, true))
+            throw new java.io.IOException(
+              "simulated writer death mid conditional PUT")
+          inner.tryClaim(fs, p, bytes)
+        }
+      }))
+    try {
+      val death = new java.util.concurrent.atomic
+        .AtomicReference[Throwable]()
+      val dying = new Thread(() =>
+        try DeletionVectors.delete(spark, dir, "Score:number",
+          pmod($"Score", lit(3.0)) === 0.0)
+        catch { case t: Throwable => death.set(t) }, "dying-writer")
+      dying.start(); dying.join(120000)
+      assert(fired.get(), "the fault must actually fire")
+      assert(death.get() != null &&
+        death.get().getMessage.contains("mid conditional PUT"),
+        s"the dying writer must die on its claim: ${death.get()}")
+      // a real process death runs no abort hooks — materialize the
+      // staging debris a dead writer leaves (the documented
+      // _staging-* shape the in-JVM exception path cleans up)
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dead = new Path(dir, "_staging-deadwriter")
+      fs.mkdirs(dead)
+      val o = fs.create(new Path(dead, "part-0.jsonl"), true)
+      o.write("{\"_record_id\":\"zombie\"}\n".getBytes("UTF-8")); o.close()
+      // racing committers proceed under the SAME arbiter: the slot the
+      // dead writer aimed at is simply taken by the next commit
+      DeletionVectors.delete(spark, dir, "Score:number",
+        pmod($"Score", lit(100.0)) === 1.0)
+      spark.range(1000, 1100).select(
+          concat(lit("a"), lpad($"id".cast("string"), 5, "0"))
+            .as("_record_id"),
+          $"id".cast("double").as("Score"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", dir)
+        .mode("append").save()
+      // the failed commit is INVISIBLE: its predicate never applied
+      val scores = read(dir).select($"Score").as[Double].collect().toSet
+      assert(scores.contains(0.0) && scores.contains(3.0),
+        "the dead writer's delete must not have landed")
+      assert(!scores.contains(1.0) && !scores.contains(101.0),
+        "the healthy delete must have landed")
+      assert(scores.contains(1000.0), "the healthy append must have landed")
+      assert(read(dir).count() == 300L - 3L + 100L)
+      // the log is DENSE: every version slot from 1..head holds a
+      // complete, parsable entry (no burned slot, no torn payload)
+      val (vs, _) = OptimisticCommit.logState(fs, new Path(dir))
+      assert(vs == (1L to vs.length), s"log not contiguous: $vs")
+      vs.foreach(v => OptimisticCommit.load(fs, new Path(dir), v))
+      // vacuum sweeps the dead writer's staging and changes nothing
+      val before = read(dir).count()
+      val rep = Vacuum.clean(spark, dir)
+      assert(rep.stagingDirsRemoved >= 1, rep.toString)
+      assert(!fs.exists(dead))
+      assert(read(dir).count() == before)
+    } finally OptimisticCommit.CommitArbiter.set(None)
+  }
+
   test("4x contention: 16 all-overlapping deleters + 2 compactors — " +
       "no writer exhausts its attempts, total retries stay bounded") {
     val dir = Files.createTempDirectory("graft_chaos4x").toString + "/t"
