@@ -99,6 +99,42 @@ object ProfileLakeView {
     jrefresh("3")
     jrefresh("idle")
     t("jread_view")(graft.operators.LakeView.read(spark, jview).count())
+
+    // ---- KEYED aggregate view (group count ∝ SF) --------------------
+    // The training-data shape: one group PER DOCUMENT (the reference's
+    // per-pk keyed target collection at corpus cardinality). The probe
+    // separates bootstrap (∝ table) from the steady refreshes the
+    // bucketed state exists for: a single-key delta and a spread 1%-of-
+    // keys delta — refresh cost must track the DELTA (touched buckets'
+    // state, bounded per bucket by the growth rule), never |groups|.
+    val kbase = java.nio.file.Files.createTempDirectory("graft_plvk").toString
+    val kt = s"$kbase/t"; val kview = s"$kbase/v"
+    val ktypes = "DocId:number,Chars:number"
+    val kdocs = graft.sources.Sources.readTable(spark, sfDir, "documents")
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 9, "0"))
+          .as("_record_id"),
+        col("doc_id").cast("double").as("DocId"),
+        col("n_chars").cast("double").as("Chars"))
+    def krefresh(tag: String) = t(s"krefresh_$tag") {
+      graft.operators.LakeView.refreshAggregate(spark, kt, ktypes, kview,
+        Seq("DocId"), Seq("Chars"))
+    }
+    t("kwrite")(kdocs.coalesce(4)
+      .write.format("graft-records").option("path", kt)
+      .option("dataFormat", "parquet").mode("append").save())
+    t("ksnap_1")(graft.operators.LakeSnapshots.commit(spark, kt))
+    krefresh("bootstrap")
+    t("kdelete_1key")(graft.operators.DeletionVectors.delete(spark, kt,
+      ktypes, col("DocId") === 42.0))
+    t("ksnap_2")(graft.operators.LakeSnapshots.commit(spark, kt))
+    krefresh("1key")
+    t("kdelete_1pct")(graft.operators.DeletionVectors.delete(spark, kt,
+      ktypes, pmod(col("DocId"), lit(100.0)) === 7.0))
+    t("ksnap_3")(graft.operators.LakeSnapshots.commit(spark, kt))
+    krefresh("1pct")
+    krefresh("idle")
+    t("kread_view")(graft.operators.LakeView.read(spark, kview).count())
     spark.stop()
   }
 }

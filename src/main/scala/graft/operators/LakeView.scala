@@ -80,6 +80,33 @@ object LakeView {
   val AutoBucketRows: Long = 1L << 17
   val AutoBucketBytes: Long = 8L << 20
 
+  /** Adaptive-modulus GROWTH bound: keep per-bucket state under this
+    * many bytes by doubling the modulus (hash-table-resize discipline —
+    * one amortized full migration per doubling, the same migration path
+    * a pinned-modulus change takes). Without growth a fixed modulus
+    * makes a single-key refresh cost state/modulus — which is ∝ state
+    * in disguise once the view outgrows its bucket count; with it a
+    * touched-bucket rewrite is bounded no matter how big the view
+    * grows. Overridable per session via
+    * `spark.graft.view.targetBucketBytes` (specs shrink it to exercise
+    * the doubling); [[MaxBuckets]] caps the directory fan-out. */
+  val TargetBucketBytes: Long = 32L << 20
+  val MaxBuckets: Int = 4096
+
+  private def targetBucketBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.view.targetBucketBytes")
+      .map(_.toLong).getOrElse(TargetBucketBytes)
+
+  /** Smallest power-of-two multiple of `cur` (never shrinking) that
+    * keeps bytes/modulus under the growth bound, capped. */
+  private def grownModulus(spark: SparkSession, cur: Int,
+      bytes: Long): Int = {
+    val bound = targetBucketBytes(spark)
+    var m = math.max(cur, 1)
+    while (m < MaxBuckets && bytes / m > bound) m = math.min(m * 2, MaxBuckets)
+    m
+  }
+
   /** Broadcast gate for the extrema-rescan joins: the delta's distinct
     * key set (and the per-group recomputed extrema frame, same
     * cardinality) is broadcast only while the changed-group count stays
@@ -448,13 +475,17 @@ object LakeView {
       if (stateBuckets > 0) stateBuckets
       else ptr match {
         case Some(p) => p.mod match {
-          case Some(m) if m > 1 => m // never shrinks: stability beats
-            // reclaiming dirs
+          case Some(m) if m > 1 => // never shrinks; DOUBLES when the
+            // per-bucket state outgrows the growth bound, so a
+            // touched-bucket rewrite stays bounded as the view grows
+            grownModulus(spark, m, stateBytes(fs, viewPath, p))
           case _ => // mod 1, or a legacy dir-form pointer (migrating
             // regardless): grow once the persisted state crosses the
             // serial-write bound
-            if (stateBytes(fs, viewPath, p) > AutoBucketBytes)
-              DefaultBuckets else 1
+            val bytes = stateBytes(fs, viewPath, p)
+            if (bytes > AutoBucketBytes)
+              grownModulus(spark, DefaultBuckets, bytes)
+            else 1
         }
         case None => // true bootstrap: size off the first delta
           if (changed >= AutoBucketRows) DefaultBuckets else 1
@@ -645,9 +676,13 @@ object LakeView {
       else ptr match {
         case Some(p) => p.mod match {
           case Some(1) =>
-            if (stateBytes(fs, viewPath, p) > AutoBucketBytes)
-              DefaultBuckets else 1
-          case Some(m) => m // never shrinks: stability beats reclaiming dirs
+            val bytes = stateBytes(fs, viewPath, p)
+            if (bytes > AutoBucketBytes)
+              grownModulus(spark, DefaultBuckets, bytes)
+            else 1
+          case Some(m) => // never shrinks; DOUBLES when per-bucket
+            // state outgrows the growth bound (bounded rewrites)
+            grownModulus(spark, m, stateBytes(fs, viewPath, p))
           case None => DefaultBuckets // LEGACY pointer (mod unrecorded):
             // never shrink existing state to the serial single-bucket
             // form — migrate once under the default modulus instead

@@ -520,6 +520,65 @@ class LakeViewSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("adaptive modulus DOUBLES when per-bucket state outgrows the " +
+      "growth bound: one migration, then bounded touched-bucket " +
+      "rewrites; the grown modulus never shrinks") {
+    val base = Files.createTempDirectory("graft_view14").toString
+    val dir = base + "/t"; val view = base + "/v"
+    val keyedTypes = "K:number,Score:number"
+    // 200k distinct groups: the bootstrap delta crosses AutoBucketRows,
+    // so the adaptive view starts at DefaultBuckets
+    spark.range(0, 200000).select(
+        concat(lit("r"), lpad($"id".cast("string"), 7, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        ($"id" % 97).cast("double").as("Score"))
+      .coalesce(4)
+      .write.format("graft-records").option("path", dir)
+      .option("dataFormat", "parquet").mode("append").save()
+    LakeSnapshots.commit(spark, dir)
+    def refresh() = LakeView.refreshAggregate(spark, dir, keyedTypes, view,
+      Seq("K"), Seq("Score"))
+    refresh()
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketDirs(gen: Long): Int = {
+      val d = new Path(s"$view/data-g$gen")
+      if (!fs.exists(d)) 0
+      else fs.listStatus(d).filter(_.isDirectory)
+        .count(_.getPath.getName.startsWith("_bucket="))
+    }
+    assert(bucketDirs(1) == LakeView.DefaultBuckets,
+      s"200k-group bootstrap must open at DefaultBuckets: ${bucketDirs(1)}")
+    // shrink the growth bound: the next refresh must migrate to a
+    // DOUBLED modulus (per-bucket bytes exceed the bound at 32)
+    val key = "spark.graft.view.targetBucketBytes"
+    spark.conf.set(key, "16384")
+    try {
+      DeletionVectors.delete(spark, dir, keyedTypes, $"K" === 7.0)
+      LakeSnapshots.commit(spark, dir)
+      refresh()
+    } finally spark.conf.unset(key)
+    val grown = bucketDirs(2)
+    assert(grown > LakeView.DefaultBuckets,
+      s"growth must double past DefaultBuckets, got $grown")
+    // back under the DEFAULT bound the grown modulus STICKS (never
+    // shrinks), and a single-key delta touches at most one bucket
+    DeletionVectors.delete(spark, dir, keyedTypes, $"K" === 11.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    assert(bucketDirs(3) <= 1,
+      s"single-key refresh after growth must stay bounded: ${bucketDirs(3)}")
+    // correctness through migration + growth
+    val want = spark.read.format("graft-records")
+      .option("path", dir).option("fieldTypes", keyedTypes).load()
+      .groupBy("K").agg(count(lit(1)).as("n"), sum($"Score").as("s"))
+      .agg(count(lit(1)), sum($"n"), sum($"s"))
+      .as[(Long, Long, Double)].collect().head
+    val got = LakeView.read(spark, view)
+      .agg(count(lit(1)), sum($"n"), sum($"sum_Score"))
+      .as[(Long, Long, Double)].collect().head
+    assert(got == want)
+  }
+
   test("extrema-rescan broadcast is gated by changed-group count: the " +
       "shuffled fallback path produces the identical state") {
     val base = Files.createTempDirectory("graft_view12").toString
