@@ -287,6 +287,51 @@ object LakeView {
     }
   }
 
+  /** Point/key reads served from the BUCKETED layout: hash the probe
+    * keys under the pointer's recorded modulus and read ONLY the bucket
+    * directories those keys land in — a key lookup against a huge
+    * maintained view costs ∝ touched buckets (bounded per bucket by the
+    * growth rule), never a state scan. The hash is evaluated through a
+    * tiny Spark plan over the probe values AT THE STATE'S KEY TYPES, so
+    * driver arithmetic can never drift from the xxhash64 the writer
+    * bucketed with. Falls back to a filtered full read for legacy
+    * whole-dir or single-bucket state (nothing to prune). Matching is
+    * null-safe equality on `keyCols`, like the fold's key join. */
+  def readKeys(spark: SparkSession, viewPath: String,
+      keyCols: Seq[String], keyValues: Seq[Seq[Any]]): DataFrame = {
+    require(keyCols.nonEmpty && keyValues.nonEmpty,
+      "readKeys needs key columns and at least one probe row")
+    require(keyValues.forall(_.length == keyCols.length),
+      "every probe row must bind every key column")
+    val ptr = readPointer(spark, viewPath).getOrElse(
+      throw new IllegalStateException(
+        s"no materialized view at $viewPath — refreshAggregate first"))
+    val full = read(spark, viewPath)
+    def matches(df: DataFrame): Column = keyValues.map { vs =>
+      keyCols.zip(vs).map { case (k, v) => df(k) <=> lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val mod = ptr.mod.getOrElse(1)
+    if (ptr.dir.isDefined || mod <= 1 || ptr.buckets.size <= 1)
+      return full.filter(matches(full))
+    // probe rows at the state's key types -> bucket ids (one tiny job)
+    val keyFields = keyCols.map(k => full.schema(k))
+    val probeRows = keyValues.map(vs =>
+      org.apache.spark.sql.Row.fromSeq(vs)).toList
+    import scala.jdk.CollectionConverters._
+    val probes = spark.createDataFrame(probeRows.asJava,
+      org.apache.spark.sql.types.StructType(keyFields))
+    val touched: Set[Int] = probes
+      .select(pmod(xxhash64(keyCols.map(col): _*), lit(mod.toLong))
+        .cast("int").as("_b"))
+      .collect().map(_.getInt(0)).toSet
+    val paths = ptr.buckets.filter { case (b, _) => touched.contains(b) }
+      .values.toSeq.sorted.map(p => s"$viewPath/$p")
+    if (paths.isEmpty) return full.filter(lit(false))
+    val pruned = spark.read.parquet(paths: _*)
+    pruned.filter(matches(pruned))
+  }
+
   /** Live (resolvable) generation numbers at `viewPath`, ascending. */
   def generations(spark: SparkSession, viewPath: String): Seq[Long] = {
     val dir = new Path(viewPath)

@@ -1502,6 +1502,69 @@ private[graft] object ParityQueries {
            |FROM lake_view('$view') ORDER BY 1""".stripMargin)
     }),
 
+    "q311_lake_view_lookup" -> ((s, dir) => {
+      // BUCKET-PRUNED point reads of a maintained view: a per-document
+      // keyed aggregate (group count ∝ corpus) is probed for three
+      // keys, and the lookup reads ONLY the bucket files those keys
+      // hash into — gated in-run by inputFiles (strictly fewer files
+      // than the full state) AND by equivalence to the filtered full
+      // read. The 100-TB shape: serving key lookups from a huge
+      // maintained view without scanning its state. Oracle recomputes
+      // the probed groups from the delete predicate.
+      val out = scratchPath(dir, "q311_records")
+      val view = scratchPath(dir, "q311_view")
+      val types = "DocId:number,Chars:number"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      rd(s, dir, "documents")
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"))
+        .coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      // pinned 16-bucket modulus: the pruning is the point at ANY size
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'DocId', 'Chars', '', '', 16)""".stripMargin)
+        .collect()
+      def refresh(): Unit =
+        { s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect(); () }
+      refresh()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      val probes = Seq(Seq[Any](5.0), Seq[Any](8.0), Seq[Any](13.0))
+      val looked = graft.operators.LakeView.readKeys(s, view,
+        Seq("DocId"), probes)
+      // gate 1: the lookup read strictly fewer state files than the
+      // full view holds (bucket pruning actually happened)
+      val fullFiles = graft.operators.LakeView.read(s, view)
+        .inputFiles.length
+      val lookFiles = looked.inputFiles.length
+      require(lookFiles > 0 && lookFiles < fullFiles,
+        s"lookup must prune buckets: read $lookFiles of $fullFiles files")
+      // gate 2: pruned ≡ filtered full read
+      val fullRead = graft.operators.LakeView.read(s, view)
+        .filter(col("DocId").isin(5.0, 8.0, 13.0))
+      val mism = looked.select(col("DocId"), col("n"), col("sum_Chars"))
+        .exceptAll(fullRead.select(col("DocId"), col("n"), col("sum_Chars")))
+        .unionByName(fullRead.select(col("DocId"), col("n"), col("sum_Chars"))
+          .exceptAll(looked.select(col("DocId"), col("n"), col("sum_Chars"))))
+      require(mism.limit(1).isEmpty,
+        "bucket-pruned lookup diverged from the filtered full read")
+      looked.select(col("DocId").cast("bigint").as("doc_id"),
+          col("n").as("n_docs"),
+          col("sum_Chars").cast("bigint").as("sum_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q310_lake_view_expr" -> ((s, dir) => {
       // a DERIVED-COLUMN maintained aggregate through pure SQL: the
       // sums list carries a SumSpec expression (`wsum:Chars * DocId`),
@@ -3023,6 +3086,17 @@ private[graft] object ParityQueries {
         |WHERE o_totalprice >= 10000
         |  AND c_mktsegment <> 'BUILDING'
         |  AND NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the probed groups; the engine serves them
+    // by bucket-pruned point reads of the maintained state (inputFiles
+    // pruning + full-read equivalence gated in-run)
+    "q311_lake_view_lookup" ->
+      """WITH live AS (SELECT doc_id, n_chars FROM documents
+        |  WHERE NOT coalesce(n_chars < 200, FALSE))
+        |SELECT doc_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM live WHERE doc_id IN (5, 8, 13)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the derived-column aggregates; the engine
