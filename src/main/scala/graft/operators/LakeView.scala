@@ -839,6 +839,127 @@ object LakeView {
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 
+  final case class Join3Refresh(toHeads: (Long, Long, Long),
+      innerDeltaRows: Long, deltaRows: Long)
+
+  /** Advance a THREE-TABLE join view — the persisted Z-relation of
+    * `t0 ⋈ t1 ⋈ t2` chained by `keys01` then `keys12` (the star shape:
+    * fact ⋈ dim ⋈ dim) — to all three tables' newest snapshots at cost
+    * ∝ the deltas. Two chained bilinear folds under ONE definition:
+    *
+    *  1. the INNER pair `t0 ⋈ t1` maintains its Z-relation at
+    *     `<viewPath>/inner` exactly like [[refreshJoin]];
+    *  2. the ROOT treats the inner VIEW as its left relation:
+    *     `Δ(I⋈t2) = ΔI⋈t2@old + I@old⋈Δt2 + ΔI⋈Δt2`, where `ΔI` is
+    *     the checkpointed inner delta (already computed — never a
+    *     state diff) and `I@old` is the inner state read from the
+    *     PRE-FOLD generation pointer (retention keeps the superseded
+    *     generation alive through exactly one flip, so the capture is
+    *     safe by construction).
+    *
+    * Watermarks are per-level and SELF-HEAL: a root lagging the inner
+    * (crash between the two publishes) recomputes its window's `ΔI`
+    * from the tables' changelog ([[joinDeltaBetween]] — deterministic
+    * in the snapshot history) and rebuilds `I@lagging-watermark` as
+    * `I@current ∪ negate(ΔI)` — Z-relation algebra, one state read
+    * plus the delta, no coordination. This chains: an N-way view is
+    * N−1 nested levels of the same two-step fold (scoped to three
+    * tables here — the star-join shape; deeper chains recurse the same
+    * healing rule). Non-key columns of all three tables must be
+    * mutually disjoint; `keys12` may draw from either side of the
+    * inner pair. NULL join keys never match. */
+  def refreshJoin3(spark: SparkSession, viewPath: String,
+      p0: String, types0: String, cols0: Seq[String],
+      p1: String, types1: String, cols1: Seq[String],
+      p2: String, types2: String, cols2: Seq[String],
+      keys01: Seq[String], keys12: Seq[String],
+      stateBuckets: Int = AutoBuckets,
+      filter0: Option[String] = None, filter1: Option[String] = None,
+      filter2: Option[String] = None): Join3Refresh = {
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
+    validateJoinCols(cols0, cols1, keys01)
+    val innerCols = (cols0 ++ cols1).distinct
+    validateJoinCols(innerCols, cols2, keys12)
+    val innerPath = s"$viewPath/inner"
+    val h0 = tableHead(spark, p0)
+    val h1 = tableHead(spark, p1)
+    val h2 = tableHead(spark, p2)
+    val iptr = readPointer(spark, innerPath)
+    val rptr = readPointer(spark, viewPath)
+    rptr.foreach(p => require(p.marks.contains("w2"),
+      s"$viewPath is not a 3-way join view (marks: " +
+        s"${p.marks.keys.mkString(",")}) — refreshJoin3 cannot advance it"))
+    val (w0i, w1i) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
+      iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
+    val (w0r, w1r, w2r) = (
+      rptr.map(_.marks.getOrElse("w0", 0L)).getOrElse(0L),
+      rptr.map(_.marks.getOrElse("w1", 0L)).getOrElse(0L),
+      rptr.map(_.marks.getOrElse("w2", 0L)).getOrElse(0L))
+    require(h0 >= w0i && h1 >= w1i && h0 >= w0r && h1 >= w1r && h2 >= w2r,
+      s"view watermarks (inner $w0i,$w1i; root $w0r,$w1r,$w2r) ahead of " +
+        s"table heads ($h0,$h1,$h2) — a table's snapshot history was " +
+        "reset under the view")
+    if (h0 == w0r && h1 == w1r && h2 == w2r && h0 == w0i && h1 == w1i)
+      return Join3Refresh((h0, h1, h2), 0L, 0L)
+
+    def innerDeltaFor(w0: Long, w1: Long): DataFrame =
+      joinDeltaBetween(spark, p0, types0, cols0, p1, types1, cols1,
+        keys01, w0, w1, h0, h1, filter0, filter1).localCheckpoint()
+    // capture the inner's PRE-FOLD state paths before folding it (the
+    // superseded generation stays readable through one flip)
+    val innerPreFold: Option[DataFrame] =
+      iptr.map(_ => read(spark, innerPath))
+    // level 1: fold the inner pair
+    val deltaI: Option[DataFrame] =
+      if (w0i == h0 && w1i == h1) None else Some(innerDeltaFor(w0i, w1i))
+    val innerDeltaRows = deltaI.map(d => foldJoinState(spark, innerPath,
+      iptr, d, keys01, stateBuckets,
+      Map("left" -> h0, "right" -> h1))).getOrElse(0L)
+    // level 2: the root's inner-side delta and old state at ITS window
+    val (deltaAB, innerOld): (DataFrame, DataFrame) =
+      if (w0r == h0 && w1r == h1) {
+        // inner side idle for the root: empty delta, old = current
+        val cur = read(spark, viewPath = innerPath)
+        (cur.where(lit(false)), cur)
+      } else if ((w0r, w1r) == (w0i, w1i)) {
+        // steady path: reuse the checkpointed delta + pre-fold state
+        (deltaI.get, innerPreFold.getOrElse(deltaI.get.where(lit(false))))
+      } else {
+        // lagging root (crash between publishes): recompute the window
+        // from the tables, rebuild the old state by Z-algebra
+        val d = innerDeltaFor(w0r, w1r)
+        val cur = read(spark, innerPath)
+        (d, cur.unionByName(
+          d.withColumn("m", -col("m"))))
+      }
+    def keepT2(df: DataFrame): DataFrame =
+      filter2.fold(df)(f => df.where(expr(f)))
+    val reader2 = spark.read.format("graft-records")
+      .option("path", p2).option("fieldTypes", types2)
+    val oldT2 =
+      if (w2r == 0L)
+        reader2.option("versionAsOf", h2.toString).load()
+          .where(lit(false))
+          .select(cols2.map(col): _*).withColumn("m", lit(1L))
+      else keepT2(reader2.option("versionAsOf", w2r.toString).load())
+        .select(cols2.map(col): _*).withColumn("m", lit(1L))
+    val deltaT2 =
+      if (h2 == w2r) oldT2.where(lit(false))
+      else {
+        val raw = keepT2(
+          LakeChangelog.changes(spark, p2, types2, w2r, h2))
+          .select((cols2.map(col) :+ col("m")): _*)
+        if (h2 - w2r > 1) IncrementalAgg.consolidate(raw) else raw
+      }
+    val deltaRoot = IncrementalAgg.joinDelta(innerOld, oldT2,
+      deltaAB, deltaT2, keys12).localCheckpoint()
+    val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
+      keys12, stateBuckets,
+      Map("w0" -> h0, "w1" -> h1, "w2" -> h2))
+    Join3Refresh((h0, h1, h2), innerDeltaRows, deltaRows)
+  }
+
   /** Advance a COMPOSED view — a maintained aggregate OVER a maintained
     * join (the classic star-rollup: `orders ⋈ customer` grouped to
     * per-segment sums) — to both tables' newest snapshots. Two chained

@@ -1502,6 +1502,109 @@ private[graft] object ParityQueries {
            |FROM lake_view('$view') ORDER BY 1""".stripMargin)
     }),
 
+    "q312_lake_view_join3" -> ((s, dir) => {
+      // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
+      // — the star shape): two chained bilinear folds under one
+      // definition, the root treating the maintained inner pair as its
+      // left relation (its delta is the checkpointed inner delta, its
+      // old state the pre-fold generation — never a state diff). The
+      // middle-table delete retracts through BOTH joins in one
+      // refresh; the fold ≡ recompute gate runs over the inner state
+      // after every cycle; the oracle recomputes the 3-way join from
+      // the predicates.
+      val t0 = scratchPath(dir, "q312_orders")
+      val t1 = scratchPath(dir, "q312_cust")
+      val t2 = scratchPath(dir, "q312_nation")
+      val view = scratchPath(dir, "q312_view")
+      val fs = new org.apache.hadoop.fs.Path(t0)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(t0, t1, t2, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val types0 = "OKey:number,CKey:number,Price:number"
+      val types1 = "CKey:number,NKey:number"
+      val types2 = "NKey:number,NName:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_nationkey").cast("double").as("NKey"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", t1)
+        .option("dataFormat", "parquet").mode("append").save()
+      rd(s, dir, "nation").select(
+          concat(lit("n"), col("n_nationkey").cast("string")).as("_record_id"),
+          col("n_nationkey").cast("double").as("NKey"),
+          col("n_name").as("NName"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", t2)
+        .option("dataFormat", "parquet").mode("append").save()
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", t0)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(t0, t1, t2).foreach(p =>
+        graft.operators.LakeSnapshots.commit(s, p))
+      def refresh() = graft.operators.LakeView.refreshJoin3(s, view,
+        t0, types0, Seq("CKey", "OKey", "Price"),
+        t1, types1, Seq("CKey", "NKey"),
+        t2, types2, Seq("NKey", "NName"),
+        keys01 = Seq("CKey"), keys12 = Seq("NKey"))
+      def gate(): Unit = {
+        // root ≡ recompute over (inner state ⋈ live nation): the
+        // chained fold must agree with a one-shot join of its inputs
+        val inner = graft.operators.LakeView.read(s, s"$view/inner")
+        val nat = s.read.format("graft-records").option("path", t2)
+          .option("fieldTypes", types2).load()
+        val want = inner.join(nat, "NKey")
+          .groupBy("NName")
+          .agg(sum(col("m")).as("wn"),
+            sum(col("m") * expr("CAST(Price AS DECIMAL(18,2))")).as("wp"))
+        val got = graft.operators.LakeView.read(s, view)
+          .groupBy("NName")
+          .agg(sum(col("m")).as("gn"),
+            sum(col("m") * expr("CAST(Price AS DECIMAL(18,2))")).as("gp"))
+        val mism = got.join(want, Seq("NName"), "full")
+          .filter(!(col("gn") <=> col("wn")) || !(col("gp") <=> col("wp")))
+        require(mism.limit(1).isEmpty,
+          "3-way fold diverged from inner ⋈ live recompute")
+      }
+      val r1 = refresh()
+      require(r1.deltaRows > 0L && r1.innerDeltaRows > 0L,
+        s"bootstrap must fold both levels: $r1")
+      gate()
+      // cycle 2: fact append flows through both joins
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", t0)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, t0)
+      require(refresh().deltaRows > 0L, "fact append must fold")
+      gate()
+      // cycle 3: MIDDLE-table delete retracts through both joins
+      graft.operators.DeletionVectors.delete(s, t1, types1,
+        col("CKey") % 7 === 0)
+      graft.operators.LakeSnapshots.commit(s, t1)
+      require(refresh().deltaRows > 0L, "middle retraction must fold")
+      gate()
+      // cycle 4: LAST-table delete retracts whole nations
+      graft.operators.DeletionVectors.delete(s, t2, types2,
+        col("NKey") % 5 === 2)
+      graft.operators.LakeSnapshots.commit(s, t2)
+      require(refresh().deltaRows > 0L, "dim retraction must fold")
+      gate()
+      val idle = refresh()
+      require(idle.deltaRows == 0L && idle.innerDeltaRows == 0L,
+        s"idle refresh must no-op: $idle")
+      graft.operators.LakeView.read(s, view)
+        .groupBy(col("NName").as("nation"))
+        .agg(sum(col("m")).cast("bigint").as("n_rows"),
+          sum(col("m") * expr("CAST(Price AS DECIMAL(18,2))"))
+            .cast("double").as("sum_price"))
+        .orderBy("nation")
+    }),
+
     "q311_lake_view_lookup" -> ((s, dir) => {
       // BUCKET-PRUNED point reads of a maintained view: a per-document
       // keyed aggregate (group count ∝ corpus) is probed for three
@@ -3086,6 +3189,20 @@ private[graft] object ParityQueries {
         |WHERE o_totalprice >= 10000
         |  AND c_mktsegment <> 'BUILDING'
         |  AND NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the 3-way star join from the predicates;
+    // the engine maintains it as two chained bilinear folds (the root
+    // consuming the maintained inner pair's delta), with middle- and
+    // last-table retractions flowing through both joins
+    "q312_lake_view_join3" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT (c_custkey % 7 = 0) AND NOT (n_nationkey % 5 = 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the probed groups; the engine serves them

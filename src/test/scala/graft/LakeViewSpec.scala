@@ -702,6 +702,83 @@ class LakeViewSpec extends SparkSpec {
     assert(gotRows == expectRows)
   }
 
+  test("3-way join view: chained folds across appends and deletes on " +
+      "every level equal the recompute; a lagging root heals by " +
+      "Z-algebra from the tables' changelog") {
+    val base = Files.createTempDirectory("graft_view15").toString
+    val t0 = base + "/f"; val t1 = base + "/d1"; val t2 = base + "/d2"
+    val view = base + "/v"
+    val types0 = "OKey:number,CKey:number,Price:number"
+    val types1 = "CKey:number,NKey:number"
+    val types2 = "NKey:number,NName:singleLineText"
+    def appendFact(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+          $"id".cast("double").as("OKey"),
+          ($"id" % 11).cast("double").as("CKey"),
+          ($"id" * 10).cast("double").as("Price"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", t0).mode("append").save()
+    spark.range(0, 11).select(
+        concat(lit("c"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("CKey"),
+        ($"id" % 4).cast("double").as("NKey"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t1).mode("append").save()
+    spark.range(0, 4).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("NKey"),
+        concat(lit("nat"), $"id".cast("string")).as("NName"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t2).mode("append").save()
+    def refresh() = LakeView.refreshJoin3(spark, view,
+      t0, types0, Seq("CKey", "OKey", "Price"),
+      t1, types1, Seq("CKey", "NKey"),
+      t2, types2, Seq("NKey", "NName"),
+      keys01 = Seq("CKey"), keys12 = Seq("NKey"))
+    def expectRows = {
+      def tbl(p: String, t: String) = spark.read.format("graft-records")
+        .option("path", p).option("fieldTypes", t).load()
+      tbl(t0, types0).join(tbl(t1, types1), "CKey")
+        .join(tbl(t2, types2), "NKey")
+        .groupBy("NName")
+        .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+        .orderBy("NName").as[(String, Long, Double)].collect().toSeq
+    }
+    def gotRows = LakeView.read(spark, view).groupBy("NName")
+      .agg(sum($"m").as("n"), sum($"m" * $"Price").as("p"))
+      .orderBy("NName").as[(String, Long, Double)].collect().toSeq
+
+    appendFact(0, 40)
+    Seq(t0, t1, t2).foreach(LakeSnapshots.commit(spark, _))
+    val c1 = refresh()
+    assert(c1.deltaRows > 0L && c1.innerDeltaRows > 0L, c1.toString)
+    assert(gotRows == expectRows)
+    // middle delete retracts through both joins
+    DeletionVectors.delete(spark, t1, types1, $"CKey" === 3.0)
+    LakeSnapshots.commit(spark, t1)
+    refresh()
+    assert(gotRows == expectRows)
+    // last-table delete retracts whole NName groups
+    DeletionVectors.delete(spark, t2, types2, $"NKey" === 1.0)
+    LakeSnapshots.commit(spark, t2)
+    refresh()
+    assert(gotRows == expectRows)
+    assert(refresh().deltaRows == 0L)
+    // crash between the two publishes: inner advanced, root did not
+    // (delete the root's newest pointer) — the next refresh must
+    // recompute the root's lagging window from the tables and rebuild
+    // the inner-old side by Z-algebra (current ∪ negate(Δ))
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootGens = LakeView.generations(spark, view)
+    fs.delete(new Path(s"$view/_ptr-${rootGens.last}.json"), false)
+    appendFact(40, 55)
+    LakeSnapshots.commit(spark, t0)
+    val c4 = refresh()
+    assert(c4.deltaRows > 0L, c4.toString)
+    assert(gotRows == expectRows)
+  }
+
   test("chaos: readers racing refreshes never observe a torn pointer " +
       "or a reclaimed state directory") {
     val dir = Files.createTempDirectory("graft_view7").toString + "/t"
