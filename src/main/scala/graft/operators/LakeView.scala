@@ -478,13 +478,23 @@ object LakeView {
       stateBuckets: Int): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // checkpointed: the folded delta feeds the merge join, the touched-
-    // group semi join, AND the changed-count — one CDC read, not three
+    // cached: the folded delta feeds the merge join, the touched-group
+    // semi join, AND the changed-count — one CDC read, not three. cache
+    // (not localCheckpoint) so the FIRST consumer materializes it — no
+    // separate eager job — and eviction recomputes safely: the lineage
+    // reads version-pinned snapshots and a fixed changelog window, both
+    // deterministic
     val deltaAgg = delta.groupBy(keyCols.map(col): _*)
       .agg(sum(col("m")).as("dn"),
         sums.map(sp =>
           sum(col("m") * expr(sp.sql)).as(s"dsum_${sp.alias}")): _*)
-      .localCheckpoint()
+      .cache()
+    // unpersisted in the finally below: a cached plan outliving its
+    // refresh would stay registered in the session CacheManager keyed
+    // by canonicalized plan, and a LATER run over the same (mutable)
+    // paths could plan-match it and replay stale snapshot versions —
+    // cache entries must not outlive the fold that made them
+    try {
     // the fold preserves each sum expression's type (decimal sums stay
     // exact and fold-order-independent); merged sums cast back so the
     // state schema cannot drift across generations
@@ -624,6 +634,7 @@ object LakeView {
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
       merged, keyCols, effective, inherited, marks)
     changed
+    } finally deltaAgg.unpersist(false)
   }
 
   /** The bilinear join delta between two tables' snapshot windows:
@@ -833,9 +844,11 @@ object LakeView {
       return JoinRefresh(wl, headL, wr, headR, 0L)
     val delta = joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
       rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
-      leftFilter, rightFilter).localCheckpoint()
-    val deltaRows = foldJoinState(spark, viewPath, ptr, delta, keys,
-      stateBuckets, Map("left" -> headL, "right" -> headR))
+      leftFilter, rightFilter).cache()
+    val deltaRows =
+      try foldJoinState(spark, viewPath, ptr, delta, keys,
+        stateBuckets, Map("left" -> headL, "right" -> headR))
+      finally delta.unpersist(false)
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 
@@ -903,9 +916,14 @@ object LakeView {
     if (h0 == w0r && h1 == w1r && h2 == w2r && h0 == w0i && h1 == w1i)
       return Join3Refresh((h0, h1, h2), 0L, 0L)
 
-    def innerDeltaFor(w0: Long, w1: Long): DataFrame =
-      joinDeltaBetween(spark, p0, types0, cols0, p1, types1, cols1,
-        keys01, w0, w1, h0, h1, filter0, filter1).localCheckpoint()
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def innerDeltaFor(w0: Long, w1: Long): DataFrame = {
+      val d = joinDeltaBetween(spark, p0, types0, cols0, p1, types1, cols1,
+        keys01, w0, w1, h0, h1, filter0, filter1).cache()
+      cached += d
+      d
+    }
+    try {
     // capture the inner's PRE-FOLD state paths before folding it (the
     // superseded generation stays readable through one flip)
     val innerPreFold: Option[DataFrame] =
@@ -953,11 +971,13 @@ object LakeView {
         if (h2 - w2r > 1) IncrementalAgg.consolidate(raw) else raw
       }
     val deltaRoot = IncrementalAgg.joinDelta(innerOld, oldT2,
-      deltaAB, deltaT2, keys12).localCheckpoint()
+      deltaAB, deltaT2, keys12).cache()
+    cached += deltaRoot
     val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
       keys12, stateBuckets,
       Map("w0" -> h0, "w1" -> h1, "w2" -> h2))
     Join3Refresh((h0, h1, h2), innerDeltaRows, deltaRows)
+    } finally cached.foreach(_.unpersist(false))
   }
 
   /** Advance a COMPOSED view — a maintained aggregate OVER a maintained
@@ -1021,11 +1041,16 @@ object LakeView {
       s"view watermarks (inner $wlI,$wrI; agg $wlA,$wrA) ahead of table " +
         s"heads ($headL,$headR) — a table's snapshot history was reset " +
         "under the view")
-    def deltaFor(wl: Long, wr: Long): DataFrame =
-      joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def deltaFor(wl: Long, wr: Long): DataFrame = {
+      val d = joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
         rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
-        leftFilter, rightFilter).localCheckpoint()
+        leftFilter, rightFilter).cache()
+      cached += d
+      d
+    }
     val marks = Map("left" -> headL, "right" -> headR)
+    try {
     // inner first: the upstream state lands before the derived fold
     val deltaI =
       if (wlI == headL && wrI == headR) None else Some(deltaFor(wlI, wrI))
@@ -1047,6 +1072,7 @@ object LakeView {
         aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets)
     }.getOrElse(0L)
     ComposedRefresh(wlI, headL, wrI, headR, deltaRows, groupsChanged)
+    } finally cached.foreach(_.unpersist(false))
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,

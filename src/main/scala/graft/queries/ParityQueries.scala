@@ -1449,7 +1449,12 @@ private[graft] object ParityQueries {
         .collect()
       def refresh(): org.apache.spark.sql.Row =
         s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
-      def gateFoldEqualsRecompute(): Unit = {
+      // the recompute-equality gates run at the correctness SFs (the
+      // driver's oracle gate executes there) — the q306 discipline:
+      // production pays only the folds, so the bench SF measures those
+      val gateSf = Set("sf0.001", "sf0.01")
+        .contains(new java.io.File(dir).getName)
+      def gateFoldEqualsRecompute(): Unit = if (gateSf) {
         // the maintained aggregate ≡ a recompute over the inner
         // Z-relation (both read maintained state; nothing rescans the
         // base tables)
@@ -1552,7 +1557,11 @@ private[graft] object ParityQueries {
         t1, types1, Seq("CKey", "NKey"),
         t2, types2, Seq("NKey", "NName"),
         keys01 = Seq("CKey"), keys12 = Seq("NKey"))
-      def gate(): Unit = {
+      // recompute-equality at the correctness SFs only (q306
+      // discipline): the bench SF measures the chained folds alone
+      val gateSf = Set("sf0.001", "sf0.01")
+        .contains(new java.io.File(dir).getName)
+      def gate(): Unit = if (gateSf) {
         // root ≡ recompute over (inner state ⋈ live nation): the
         // chained fold must agree with a one-shot join of its inputs
         val inner = graft.operators.LakeView.read(s, s"$view/inner")
