@@ -852,8 +852,8 @@ object LakeView {
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 
-  final case class Join3Refresh(toHeads: (Long, Long, Long),
-      innerDeltaRows: Long, deltaRows: Long)
+  final case class Join3Refresh(fromHeads: (Long, Long, Long),
+      toHeads: (Long, Long, Long), innerDeltaRows: Long, deltaRows: Long)
 
   /** Advance a THREE-TABLE join view — the persisted Z-relation of
     * `t0 ⋈ t1 ⋈ t2` chained by `keys01` then `keys12` (the star shape:
@@ -914,7 +914,7 @@ object LakeView {
         s"table heads ($h0,$h1,$h2) — a table's snapshot history was " +
         "reset under the view")
     if (h0 == w0r && h1 == w1r && h2 == w2r && h0 == w0i && h1 == w1i)
-      return Join3Refresh((h0, h1, h2), 0L, 0L)
+      return Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), 0L, 0L)
 
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def innerDeltaFor(w0: Long, w1: Long): DataFrame = {
@@ -976,7 +976,7 @@ object LakeView {
     val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
       keys12, stateBuckets,
       Map("w0" -> h0, "w1" -> h1, "w2" -> h2))
-    Join3Refresh((h0, h1, h2), innerDeltaRows, deltaRows)
+    Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), innerDeltaRows, deltaRows)
     } finally cached.foreach(_.unpersist(false))
   }
 

@@ -34,9 +34,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * `refresh_lake_view` needs only the path: the aggregate form records
   * (table, fieldTypes, keys, sums, minMax), the join form records both
   * sides' (path, fieldTypes, cols) plus keys and the stateBuckets pin,
-  * and the COMPOSED form (`'join_aggregate'` — a maintained aggregate
+  * the COMPOSED form (`'join_aggregate'` — a maintained aggregate
   * over a maintained join, [[graft.operators.LakeView.refreshJoinAggregate]])
-  * records both. Column lists are comma-separated; '' = none; a sums
+  * records both, and the THREE-TABLE form (`'join3'` — a chained star
+  * join, [[graft.operators.LakeView.refreshJoin3]]) records all three
+  * sides plus both key lists. Column lists are comma-separated; '' = none; a sums
   * entry may be `alias:expr` for a derived-column sum (expression
   * commas inside parentheses are respected). `create_lake_view` is
   * idempotent on an IDENTICAL definition and refuses a conflicting one
@@ -46,9 +48,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * `refresh_lake_view` runs the refresh when the statement is ANALYZED
   * (spark.sql(...) analyzes eagerly) — command-at-resolution, the same
   * contract as `table_changes`' catalog resolution — and returns one
-  * row: (kind, from_left, to_left, from_right, to_right, changed);
-  * aggregate views report their single window in the left slots with
-  * NULL rights. */
+  * row: (kind, from_left, to_left, from_right, to_right, changed,
+  * from_third, to_third); aggregate views report their single window in
+  * the left slots with NULL rights, and only 'join3' fills the
+  * appended third-table slots. */
 object LakeViewSql {
 
   private val DefName = "_view.json"
@@ -174,9 +177,33 @@ object LakeViewSql {
           .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
         args.lift(14).map(strLit(_, "rightFilter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
+      case "join3" =>
+        require(args.length >= 13 && args.length <= 17,
+          "create_lake_view(viewPath, 'join3', p0, types0, cols0, " +
+            "p1, types1, cols1, p2, types2, cols2, keys01, keys12" +
+            "[, stateBuckets[, filter0[, filter1[, filter2]]]]) — " +
+            "filters are SQL predicates ('' = none)")
+        def_.put("p0", strLit(args(2), "p0"))
+        def_.put("types0", strLit(args(3), "types0"))
+        putList("cols0", cols(strLit(args(4), "cols0")))
+        def_.put("p1", strLit(args(5), "p1"))
+        def_.put("types1", strLit(args(6), "types1"))
+        putList("cols1", cols(strLit(args(7), "cols1")))
+        def_.put("p2", strLit(args(8), "p2"))
+        def_.put("types2", strLit(args(9), "types2"))
+        putList("cols2", cols(strLit(args(10), "cols2")))
+        putList("keys01", cols(strLit(args(11), "keys01")))
+        putList("keys12", cols(strLit(args(12), "keys12")))
+        def_.put("stateBuckets",
+          args.lift(13).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
+        Seq(("filter0", 14), ("filter1", 15), ("filter2", 16)).foreach {
+          case (f, i) => args.lift(i).map(strLit(_, f)).map(_.trim)
+            .filter(_.nonEmpty).foreach(def_.put(f, _))
+        }
       case other => throw new IllegalArgumentException(
-        "create_lake_view: kind must be 'aggregate', 'join', or " +
-          s"'join_aggregate', got '$other'")
+        "create_lake_view: kind must be 'aggregate', 'join', " +
+          s"'join_aggregate', or 'join3', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
     val dir = new Path(viewPath)
@@ -247,7 +274,11 @@ object LakeViewSql {
     StructField("to_left", LongType, nullable = false),
     StructField("from_right", LongType, nullable = true),
     StructField("to_right", LongType, nullable = true),
-    StructField("changed", LongType, nullable = false)))
+    StructField("changed", LongType, nullable = false),
+    // third-table window, 'join3' only (appended nullable columns so
+    // the two-table kinds' row positions never move)
+    StructField("from_third", LongType, nullable = true),
+    StructField("to_third", LongType, nullable = true)))
 
   def refreshPlan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -268,7 +299,7 @@ object LakeViewSql {
           rowFilter = Option(d.get("filter")).map(_.asText()),
           stateBuckets = buckets)
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
-          r.groupsChanged)
+          r.groupsChanged, null, null)
       case "join" =>
         val r = graft.operators.LakeView.refreshJoin(spark, viewPath,
           d.get("left").asText(), d.get("leftTypes").asText(),
@@ -279,7 +310,7 @@ object LakeViewSql {
           leftFilter = Option(d.get("leftFilter")).map(_.asText()),
           rightFilter = Option(d.get("rightFilter")).map(_.asText()))
         Row("join", r.fromLeft, r.toLeft, r.fromRight, r.toRight,
-          r.deltaRows)
+          r.deltaRows, null, null)
       case "join_aggregate" =>
         val r = graft.operators.LakeView.refreshJoinAggregate(spark,
           viewPath,
@@ -292,11 +323,23 @@ object LakeViewSql {
           leftFilter = Option(d.get("leftFilter")).map(_.asText()),
           rightFilter = Option(d.get("rightFilter")).map(_.asText()))
         Row("join_aggregate", r.fromLeft, r.toLeft, r.fromRight,
-          r.toRight, r.deltaRows)
+          r.toRight, r.deltaRows, null, null)
+      case "join3" =>
+        val r = graft.operators.LakeView.refreshJoin3(spark, viewPath,
+          d.get("p0").asText(), d.get("types0").asText(), list("cols0"),
+          d.get("p1").asText(), d.get("types1").asText(), list("cols1"),
+          d.get("p2").asText(), d.get("types2").asText(), list("cols2"),
+          list("keys01"), list("keys12"),
+          stateBuckets = buckets,
+          filter0 = Option(d.get("filter0")).map(_.asText()),
+          filter1 = Option(d.get("filter1")).map(_.asText()),
+          filter2 = Option(d.get("filter2")).map(_.asText()))
+        Row("join3", r.fromHeads._1, r.toHeads._1, r.fromHeads._2,
+          r.toHeads._2, r.deltaRows, r.fromHeads._3, r.toHeads._3)
       case other => throw new IllegalArgumentException(
         s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
-          "expected 'aggregate', 'join', or 'join_aggregate' (damaged " +
-          "_view.json?)")
+          "expected 'aggregate', 'join', 'join_aggregate', or 'join3' " +
+          "(damaged _view.json?)")
     }
     oneRow(spark, refreshSchema, row)
   }

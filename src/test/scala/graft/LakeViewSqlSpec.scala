@@ -152,6 +152,66 @@ class LakeViewSqlSpec extends SparkSpec {
     assert(bare.getMessage.contains("create_lake_view first"))
   }
 
+  test("3-way join view through SQL: 'join3' persists three tables' " +
+      "fold rules; the refresh row reports all three windows") {
+    val base = Files.createTempDirectory("graft_vsql3").toString
+    val t0 = s"$base/f"; val t1 = s"$base/d1"; val t2 = s"$base/d2"
+    val view = s"$base/v"
+    spark.range(0, 30).select(
+        concat(lit("o"), lpad($"id".cast("string"), 3, "0")).as("_record_id"),
+        $"id".cast("double").as("OKey"),
+        ($"id" % 6).cast("double").as("CKey"),
+        ($"id" * 10).cast("double").as("Price"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t0).mode("append").save()
+    spark.range(0, 6).select(
+        concat(lit("c"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("CKey"),
+        ($"id" % 3).cast("double").as("NKey"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t1).mode("append").save()
+    spark.range(0, 3).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("NKey"),
+        concat(lit("nat"), $"id".cast("string")).as("NName"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t2).mode("append").save()
+    Seq(t0, t1, t2).foreach(graft.operators.LakeSnapshots.commit(spark, _))
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'join3',
+         |  '$t0', 'OKey:number,CKey:number,Price:number', 'CKey,OKey,Price',
+         |  '$t1', 'CKey:number,NKey:number', 'CKey,NKey',
+         |  '$t2', 'NKey:number,NName:singleLineText', 'NKey,NName',
+         |  'CKey', 'NKey')""".stripMargin).collect()
+    def refresh() =
+      spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+    val r1 = refresh()
+    assert(r1.getString(0) == "join3")
+    assert(r1.getLong(1) == 0L && r1.getLong(2) == 1L) // t0 window
+    assert(r1.getLong(3) == 0L && r1.getLong(4) == 1L) // t1 window
+    assert(r1.getLong(6) == 0L && r1.getLong(7) == 1L) // t2 window
+    assert(r1.getLong(5) == 30L) // every fact row joins once
+    // middle-table delete retracts through BOTH joins via SQL refresh
+    graft.operators.DeletionVectors.delete(spark, t1,
+      "CKey:number,NKey:number", $"CKey" === 2.0)
+    graft.operators.LakeSnapshots.commit(spark, t1)
+    assert(refresh().getLong(5) > 0L)
+    assert(refresh().getLong(5) == 0L) // idle
+    val got = spark.sql(
+      s"""SELECT NName, CAST(sum(m) AS BIGINT) AS n, sum(m * Price) AS p
+         |FROM lake_view('$view') GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long, Double)].collect().toSeq
+    def tbl(p: String, t: String) = spark.read.format("graft-records")
+      .option("path", p).option("fieldTypes", t).load()
+    val want = tbl(t0, "OKey:number,CKey:number,Price:number")
+      .join(tbl(t1, "CKey:number,NKey:number"), "CKey")
+      .join(tbl(t2, "NKey:number,NName:singleLineText"), "NKey")
+      .groupBy("NName")
+      .agg(count(lit(1)).as("n"), sum($"Price").as("p"))
+      .orderBy("NName").as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("drop_lake_view removes definition + state, is idempotent, and " +
       "refuses foreign directories") {
     val base = Files.createTempDirectory("graft_vsql").toString
