@@ -98,7 +98,15 @@ object LakeView {
       .map(_.toLong).getOrElse(TargetBucketBytes)
 
   /** Smallest power-of-two multiple of `cur` (never shrinking) that
-    * keeps bytes/modulus under the growth bound, capped. */
+    * keeps bytes/modulus under the growth bound, capped.
+    *
+    * Cost note: the adaptive path sizes the persisted state with one
+    * content-summary sweep per refresh — bounded metadata, ∝ bucket
+    * count, capped by [[MaxBuckets]]. If that sweep ever matters (a
+    * 4096-bucket view on a high-latency store), the upgrade path is to
+    * carry per-bucket byte counts in the generation pointer (inherited
+    * buckets keep theirs verbatim; written buckets list once — ∝ delta),
+    * which the pointer format has room for. */
   private def grownModulus(spark: SparkSession, cur: Int,
       bytes: Long): Int = {
     val bound = targetBucketBytes(spark)
