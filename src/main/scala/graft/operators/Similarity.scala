@@ -475,10 +475,27 @@ object Similarity {
     * crash AFTER it replays to completion via [[recoverIvfIndex]] —
     * never a full rebuild, never a complete-looking partial index.
     * Single-maintainer, like every index build here. Returns
-    * (inserted, deleted) row counts. */
+    * (inserted, deleted) row counts.
+    *
+    * `windowToken` makes the retry contract EXACTLY-ONCE: pass a token
+    * naming the consumed window (e.g. `"v3-5"` for snapshot window
+    * `(3,5]`) and the fold persists it as the index's watermark
+    * (`_ivfwatermark.json`) in the same committed unit as the flips —
+    * the marker carries it, so a crash-after-marker replay also lands
+    * it. A retrying caller whose token EQUALS the persisted watermark
+    * no-ops with (0,0): without this, a crash after the marker would
+    * replay window W at recovery and then the caller's re-fold would
+    * append W's inserts a SECOND time (deletes are idempotent
+    * anti-joins; inserts are not), breaking fold ≡ rebuild. Tokens are
+    * opaque — only equality with the LAST committed window is checked,
+    * which is exactly the crash-retry shape (single-maintainer callers
+    * fold windows in order). Without a token the weaker contract
+    * stands: the caller must not re-fold a window whose first attempt
+    * reached the marker. */
   def applyChangesToIvfIndex(changes: DataFrame, idCol: String,
       vecCol: String, path: String,
-      centroids: Seq[Seq[Float]]): (Long, Long) = {
+      centroids: Seq[Seq[Float]],
+      windowToken: Option[String] = None): (Long, Long) = {
     val spark = changes.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -486,6 +503,10 @@ object Similarity {
     // a crash BEFORE its marker left the cells untouched, so the caller
     // simply re-folds the window — recovery only sweeps the orphan stage
     recoverIvfIndex(spark, path)
+    // exactly-once under retry: a replayed (or previously completed)
+    // fold already committed this window — its token is the watermark
+    if (windowToken.isDefined && windowToken == readIvfWatermark(fs, root))
+      return (0L, 0L)
     fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
     // NET the batch first: a multi-version window emits per-version rows
     // (an id inserted then deleted nets to zero — without consolidation
@@ -566,8 +587,12 @@ object Similarity {
 
     // ---- MARKER: from here the fold is committed; any crash replays
     // to completion via recoverIvfIndex ----
-    writeIvfMarker(fs, root, runId, stage, swaps, appends)
+    writeIvfMarker(fs, root, runId, stage, swaps, appends, windowToken)
     applyIvfMarker(fs, root, stage, swaps, appends)
+    // watermark BEFORE the marker sweep: a crash in between leaves the
+    // marker, whose replay rewrites the same watermark — so a torn
+    // watermark file always has a live marker to heal it
+    windowToken.foreach(writeIvfWatermark(fs, root, _))
     fs.delete(new org.apache.hadoop.fs.Path(root, s"_ivffold-$runId.json"),
       false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$stage"), true)
@@ -579,12 +604,47 @@ object Similarity {
     (nIns, nDel)
   }
 
+  private val IvfWatermarkName = "_ivfwatermark.json"
+
+  /** The last committed fold window's token, if any. A torn file reads
+    * as absent — by the write ordering a torn watermark always has a
+    * live marker whose replay rewrites it. */
+  private def readIvfWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, IvfWatermarkName)
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes.toString("UTF-8")))
+        .flatMap(r => Option(r.get("token"))).map(_.asText())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeIvfWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, token: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("token", token)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, IvfWatermarkName), true)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def writeIvfMarker(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, runId: String, stage: String,
-      swaps: Seq[(Int, Boolean)], appends: Seq[(String, String)]): Unit = {
+      swaps: Seq[(Int, Boolean)], appends: Seq[(String, String)],
+      windowToken: Option[String] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("stage", stage)
+    windowToken.foreach(node.put("token", _))
     val sw = node.putArray("swaps")
     swaps.foreach { case (c, staged) =>
       val e = sw.addObject(); e.put("cell", c); e.put("staged", staged)
@@ -665,6 +725,11 @@ object Similarity {
       val appends = node.get("appends").elements().asScala
         .map(e => e.get("src").asText() -> e.get("dst").asText()).toSeq
       applyIvfMarker(fs, root, stage, swaps, appends)
+      // the replayed window's token becomes the watermark (before the
+      // marker sweep, same ordering as the fold path) so a retrying
+      // caller skips the window instead of double-appending its inserts
+      Option(node.get("token")).filterNot(_.isNull).map(_.asText())
+        .foreach(writeIvfWatermark(fs, root, _))
       fs.delete(mp, false)
       fs.delete(new org.apache.hadoop.fs.Path(root, stage), true)
       fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()

@@ -76,17 +76,36 @@ object LakeViewSql {
 
   /** Split a sums list on TOP-LEVEL commas only: a derived-column entry
     * (`rev:CAST(Price AS DECIMAL(18,2))`) legitimately contains commas
-    * inside parentheses. */
-  private def sumSpecs(s: String): Seq[String] = {
+    * inside parentheses. SQL string literals are opaque to the scan —
+    * a quoted `','`, `'('`, or `')'` is expression content, not
+    * structure (a doubled `''` inside a literal is the standard escape
+    * and stays inside it). Unbalanced parentheses or an unterminated
+    * literal refuse loudly instead of silently misparsing the persisted
+    * fold rules. */
+  private[plans] def sumSpecs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
-    s.foreach {
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
-      case c =>
-        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+    var inQuote = false
+    s.foreach { c =>
+      if (inQuote) {
+        if (c == '\'') inQuote = false // a following '' re-enters below
         cur.append(c)
+      } else c match {
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c2 =>
+          if (c2 == '\'') inQuote = true
+          else if (c2 == '(') depth += 1
+          else if (c2 == ')') {
+            depth -= 1
+            require(depth >= 0,
+              s"lake_view: unbalanced ')' in sums list: $s")
+          }
+          cur.append(c2)
+      }
     }
+    require(!inQuote, s"lake_view: unterminated string literal in sums list: $s")
+    require(depth == 0, s"lake_view: unbalanced '(' in sums list: $s")
     out += cur.result()
     out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }

@@ -62,10 +62,13 @@ private[graft] object QueryShared {
     * CONTRACT: `build` must be a pure function of the read-only SF dir,
     * and consumers must treat the result as immutable — arrays are
     * defensively CLONED per call (cheap next to the collect they
-    * replace) so an in-place sort in one rep can never poison the next,
-    * but a non-array fixture (Seq, Map) is returned as the shared
-    * instance and must not be mutated or derived from per-run scratch
-    * state. */
+    * replace) so an in-place sort in one rep can never poison the next.
+    * The clone is SHALLOW: elements are shared across reps, so mutating
+    * an element in place (sorting a nested array, updating a mutable
+    * case object) is forbidden just like mutating a non-array fixture
+    * (Seq, Map), which is returned as the shared instance outright.
+    * Reordering the cloned top-level array is the only sanctioned
+    * mutation. */
   private val feedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private[graft] def memoFeed[T](key: String, dir: String)(build: => T): T =

@@ -321,12 +321,22 @@ private[graft] object SimilarityQueries {
       val v2 = graft.operators.LakeSnapshots.commit(s, out)
       val changes = graft.operators.LakeChangelog
         .changes(s, out, types, v1, v2)
+      // the window token makes a crash-retry exactly-once: a re-fold of
+      // an already-committed window no-ops instead of double-appending
       val (nIns, nDel) = Similarity.applyChangesToIvfIndex(
         changes.select(col("VecId").cast("long").as("vec_id"),
           col("Vec").cast("array<float>").as("embedding"), col("m")),
-        "vec_id", "embedding", idxPath, cents)
+        "vec_id", "embedding", idxPath, cents,
+        windowToken = Some(s"v$v1-$v2"))
       require(nIns > 0 && nDel > 0,
         s"the window must carry both signs: +$nIns -$nDel")
+      val retried = Similarity.applyChangesToIvfIndex(
+        changes.select(col("VecId").cast("long").as("vec_id"),
+          col("Vec").cast("array<float>").as("embedding"), col("m")),
+        "vec_id", "embedding", idxPath, cents,
+        windowToken = Some(s"v$v1-$v2"))
+      require(retried == ((0L, 0L)),
+        s"a retried committed window must no-op, got $retried")
       // folded ≡ rebuilt-from-live, cell for cell (assignment is pure
       // arithmetic over fixed geometry, so the sets must be identical).
       // The rebuild is a SECOND full index build run purely as a gate —

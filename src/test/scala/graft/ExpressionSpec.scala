@@ -415,6 +415,73 @@ class ExpressionSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("applyChangesToIvfIndex windowToken: a committed window retried " +
+      "is exactly-once — both after a clean commit and after a " +
+      "crash-after-marker replay") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_tok").toString
+    def vec(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)),
+        d => cos(seed * 17 + d).cast("float")).as("embedding")
+    val emb = spark.range(40).select($"id".as("vec_id"), vec($"id"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4)
+    Similarity.writeIvfIndex(emb, "embedding", idx, cents)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snap() = Similarity.readIvfIndex(spark, idx)
+      .select($"vec_id", $"ivf_cell").as[(Long, Long)].collect()
+    val batch = emb.filter($"vec_id" === 5L).withColumn("m", lit(-1L))
+      .unionByName(spark.range(600, 601)
+        .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m")))
+    val (i1, d1) = Similarity.applyChangesToIvfIndex(batch,
+      "vec_id", "embedding", idx, cents, windowToken = Some("v1-2"))
+    assert(i1 == 1L && d1 == 1L)
+    val committed = snap().toSet
+    assert(committed.count(_._1 == 600L) == 1)
+    // clean retry of the committed window: no-op, index bit-identical
+    assert(Similarity.applyChangesToIvfIndex(batch,
+      "vec_id", "embedding", idx, cents,
+      windowToken = Some("v1-2")) == ((0L, 0L)))
+    assert(snap().toSet == committed && snap().length == committed.size,
+      "a retried committed window must not duplicate inserts")
+    // crash-after-marker: hand-stage window v2-3's append + marker
+    // (the fold died between the marker and the sweep), then the
+    // retrying caller's fold must REPLAY it and skip its own window
+    val cell = Similarity.readIvfIndex(spark, idx)
+      .select("ivf_cell").as[Int].collect().min
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_SUCCESS"), false)
+    spark.range(601, 602).select($"id".as("vec_id"), vec($"id"))
+      .coalesce(1)
+      .write.parquet(s"$idx/.ivfstage-tk/ins/ivf_cell=$cell")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$idx/.ivfstage-tk/ins/ivf_cell=$cell"))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).min
+    val mout = fs.create(
+      new org.apache.hadoop.fs.Path(idx, "_ivffold-tk.json"), true)
+    mout.write((s"""{"stage":".ivfstage-tk","token":"v2-3","swaps":[],""" +
+      s""""appends":[{"src":".ivfstage-tk/ins/ivf_cell=$cell/$staged",""" +
+      s""""dst":"cells/ivf_cell=$cell/fold-tk-0.parquet"}]}""")
+      .getBytes("UTF-8"))
+    mout.close()
+    val retryBatch = spark.range(601, 602)
+      .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m"))
+    assert(Similarity.applyChangesToIvfIndex(retryBatch,
+      "vec_id", "embedding", idx, cents,
+      windowToken = Some("v2-3")) == ((0L, 0L)),
+      "a retry after a crash-after-marker replay must skip its window")
+    val after = snap()
+    assert(after.count(_._1 == 601L) == 1,
+      "the replayed window's insert must land exactly once")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_SUCCESS")))
+    // a NEW window folds normally on top of the healed watermark
+    val (i3, d3) = Similarity.applyChangesToIvfIndex(
+      spark.range(602, 603)
+        .select($"id".as("vec_id"), vec($"id"), lit(1L).as("m")),
+      "vec_id", "embedding", idx, cents, windowToken = Some("v3-4"))
+    assert(i3 == 1L && d3 == 0L)
+    assert(snap().count(_._1 == 602L) == 1)
+  }
+
   test("top_k_pairs: equals the window form, merges across partitions, O(k)") {
     import graft.functions.TopKPairs
     val df = spark.range(1000).select(
