@@ -63,6 +63,18 @@ object LakeChangelog {
     IncrementalAgg.consolidate(signed)
   }
 
+  /** The signed changes of a MAINTAINED VIEW between two live
+    * generations — the same Z-relation shape as [[changes]], derived by
+    * diffing generation pointers instead of snapshot manifests (a
+    * pointer IS a manifest: one immutable state path per bucket,
+    * untouched buckets inherited by reference, so the diff names
+    * exactly the rewritten buckets). Views thereby emit the same change
+    * feed tables do, and any view can consume any other view — see
+    * [[LakeView.changesBetween]] (this is its changelog-surface name). */
+  def viewChanges(spark: SparkSession, viewPath: String,
+      fromGen: Long, toGen: Long): DataFrame =
+    LakeView.changesBetween(spark, viewPath, fromGen, toGen)
+
   /** Ranges of `v` not covered by `minus` (None = subtract nothing) —
     * linear in the two range counts, never materializing positions. */
   private[graft] def subtractRanges(v: DeletionVector.Vector,

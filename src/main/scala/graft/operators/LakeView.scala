@@ -43,8 +43,17 @@ object LakeView {
   /** How many generations (pointer + state dir) survive a flip. 2 =
     * current + previous: an in-flight reader of the superseded state
     * survives one concurrent refresh; its files are reclaimed only by
-    * the NEXT one. */
+    * the NEXT one. Overridable per session via
+    * `spark.graft.view.keepGenerations` — raise it when DOWNSTREAM
+    * views consume this view's change feed ([[changesBetween]]) on a
+    * slower cadence than it refreshes: a consumer's generation
+    * watermark must still be live when it catches up, exactly a lake
+    * table's snapshot-retention contract. */
   val KeepGenerations = 2
+
+  private def keepGenerations(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.view.keepGenerations")
+      .map(_.toInt).getOrElse(KeepGenerations)
 
   final case class Refresh(fromVersion: Long, toVersion: Long,
       groupsChanged: Long)
@@ -100,13 +109,14 @@ object LakeView {
   /** Smallest power-of-two multiple of `cur` (never shrinking) that
     * keeps bytes/modulus under the growth bound, capped.
     *
-    * Cost note: the adaptive path sizes the persisted state with one
-    * content-summary sweep per refresh — bounded metadata, ∝ bucket
-    * count, capped by [[MaxBuckets]]. If that sweep ever matters (a
-    * 4096-bucket view on a high-latency store), the upgrade path is to
-    * carry per-bucket byte counts in the generation pointer (inherited
-    * buckets keep theirs verbatim; written buckets list once — ∝ delta),
-    * which the pointer format has room for. */
+    * Cost note: the adaptive path sizes the persisted state from the
+    * generation pointer's recorded per-bucket byte counts (inherited
+    * buckets keep theirs verbatim; written buckets record at land time
+    * off the landing listing — ∝ delta) — ZERO filesystem metadata
+    * calls on the steady path. Only state written by a pre-`bytes`
+    * pointer falls back to a per-bucket content-summary sweep, and
+    * each rewrite stamps its buckets, so the fallback decays to
+    * nothing ([[contentSweeps]] counts it). */
   private def grownModulus(spark: SparkSession, cur: Int,
       bytes: Long): Int = {
     val bound = targetBucketBytes(spark)
@@ -161,10 +171,26 @@ object LakeView {
     * paths were written under: inherited buckets only net against
     * deltas hashed with the SAME modulus, so a refresh under a
     * different one must migrate (rewrite everything) rather than
-    * silently mix. */
+    * silently mix.
+    *
+    * `kind` records which refresh form owns the state ("aggregate",
+    * "join", "join_aggregate", "join3", "aggregate_over_view",
+    * "join_of_views") — the wrong-refresh guard checks it explicitly
+    * instead of inferring from mark names (a composed view's outer
+    * aggregate and a plain join view both mark {left,right}, so marks
+    * alone cannot tell them apart). It also tells [[changesBetween]]
+    * whether the state is a Z-relation (rows carry `m`) or plain rows.
+    *
+    * `bytes` records each bucket's persisted size AT LAND TIME:
+    * inherited buckets keep their recorded bytes verbatim, so the
+    * adaptive growth check reads the pointer instead of sweeping the
+    * filesystem — zero metadata RPCs on the steady path (a bucket a
+    * pre-`bytes` pointer wrote falls back to a per-bucket sweep until
+    * its next rewrite stamps it). */
   private case class Pointer(gen: Long, dir: Option[String],
       buckets: Map[Int, String], marks: Map[String, Long],
-      mod: Option[Int])
+      mod: Option[Int], kind: Option[String],
+      bytes: Map[Int, Long])
 
   private val PtrPrefix = "_ptr-"
 
@@ -188,7 +214,12 @@ object LakeView {
       .getOrElse(Map.empty[Int, String])
     val mod = Option(root.get("stateBuckets")).filterNot(_.isNull)
       .map(_.asInt())
-    Pointer(g, d, buckets, marks, mod)
+    val kind = Option(root.get("kind")).filterNot(_.isNull).map(_.asText())
+    val bytes = Option(root.get("bytes")).filterNot(_.isNull)
+      .map(_.fields().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[Int, Long])
+    Pointer(g, d, buckets, marks, mod, kind, bytes)
   }
 
   private def readPointer(spark: SparkSession,
@@ -209,7 +240,9 @@ object LakeView {
     * wrote stays alive for as long as a live pointer inherits it. */
   private def publish(spark: SparkSession, viewPath: String, gen: Long,
       marks: Map[String, Long], dataDir: Option[String],
-      buckets: Map[Int, String], mod: Option[Int] = None): Unit = {
+      buckets: Map[Int, String], mod: Option[Int] = None,
+      kind: Option[String] = None,
+      bytes: Map[Int, Long] = Map.empty): Unit = {
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new ObjectMapper()
@@ -222,6 +255,14 @@ object LakeView {
         buckets.foreach { case (k, v) => b.put(k.toString, v) }
     }
     mod.foreach(m => root.put("stateBuckets", m))
+    kind.foreach(root.put("kind", _))
+    if (bytes.nonEmpty) {
+      val bn = root.putObject("bytes")
+      // only buckets the pointer actually references (a dropped bucket's
+      // recorded size must not survive it)
+      bytes.filter { case (k, _) => buckets.contains(k) }
+        .foreach { case (k, v) => bn.put(k.toString, v) }
+    }
     val mnode = root.putObject("marks")
     marks.foreach { case (k, v) => mnode.put(k, v) }
     val tmp = new Path(dir, s".ptr-$gen.tmp")
@@ -236,7 +277,7 @@ object LakeView {
     // retention by reference
     val liveGens = fs.listStatus(dir).filter(_.isFile)
       .flatMap(st => ptrGen(st.getPath.getName)).sorted
-      .takeRight(KeepGenerations).toSet
+      .takeRight(keepGenerations(spark)).toSet
     val refs: Set[String] = liveGens.flatMap { g =>
       val p = parsePointer(fs, dir, g)
       p.dir.toSeq ++ p.buckets.values
@@ -281,7 +322,8 @@ object LakeView {
         if (!live.contains(g)) throw new IllegalStateException(
           s"view generation $g is not live at $viewPath (live: " +
             s"${live.mkString(", ")}) — retention keeps the newest " +
-            s"$KeepGenerations generations")
+            s"${keepGenerations(spark)} generations (raise " +
+            "spark.graft.view.keepGenerations for slower consumers)")
         Some(parsePointer(fs, dir, g))
       case None => readPointer(spark, viewPath)
     }
@@ -349,6 +391,212 @@ object LakeView {
       .flatMap(st => ptrGen(st.getPath.getName)).sorted.toSeq
   }
 
+  /** The view's newest generation number — its "snapshot head" as a
+    * change-feed source (0 = nothing materialized yet). Downstream
+    * consumers watermark on this exactly as table consumers watermark
+    * on snapshot versions. */
+  def currentGeneration(spark: SparkSession, viewPath: String): Long =
+    readPointer(spark, viewPath).map(_.gen).getOrElse(0L)
+
+  /** The refresh form that owns the state at `viewPath` ("aggregate",
+    * "join", "join_aggregate", "join3", "aggregate_over_view",
+    * "join_of_views"). None for a legacy pointer that predates kind
+    * stamping — one refresh under this build stamps it. */
+  def viewKind(spark: SparkSession, viewPath: String): Option[String] =
+    readPointer(spark, viewPath).flatMap(_.kind)
+
+  /** Kinds whose state is a Z-relation (rows carry a net multiplicity
+    * `m`) rather than plain rows. */
+  private def isZRelation(kind: String): Boolean =
+    kind == "join" || kind == "join3" || kind == "join_of_views"
+
+  /** The signed content delta of a maintained view between two LIVE
+    * generations — the view's CHANGE FEED, same Z-relation shape as a
+    * table's [[LakeChangelog.changes]], which is what makes views
+    * first-class IVM sources: any view form can consume any other view
+    * exactly as it consumes a table.
+    *
+    * Derivation is metadata-first at the view layer: the two generation
+    * pointers are manifests (one immutable state path per bucket,
+    * untouched buckets inherited BY REFERENCE), so the pointer diff
+    * names exactly the rewritten buckets — their old paths read with
+    * multiplicity −1, their new paths +1, content-netted so unchanged
+    * rows inside a rewritten bucket cancel. Cost ∝ touched buckets'
+    * state (bounded per bucket by the growth rule), never the view.
+    * Aggregate-shaped state emits rows ± 1; Z-relation state (join
+    * kinds) emits each row at ± its stored multiplicity — in both
+    * cases the columns are the view's own plus `m`.
+    *
+    * `fromGen = 0` is the bootstrap window ("before the first
+    * generation"): the whole current state as inserts. Both named
+    * generations must still be live — a consumer lagging past
+    * retention fails loudly (raise `spark.graft.view.keepGenerations`,
+    * the view-layer analog of snapshot retention). Requires a
+    * kind-stamped pointer (any refresh under this build stamps it). */
+  def changesBetween(spark: SparkSession, viewPath: String,
+      fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen >= 0 && fromGen < toGen,
+      s"changesBetween: need 0 <= fromGen < toGen, got ($fromGen, $toGen)")
+    val dir = new Path(viewPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = generations(spark, viewPath)
+    def resolve(g: Long): Pointer = {
+      if (!live.contains(g)) throw new IllegalStateException(
+        s"view generation $g is not live at $viewPath (live: " +
+          s"${live.mkString(", ")}) — a change-feed consumer lagging " +
+          "past retention must either raise " +
+          "spark.graft.view.keepGenerations or rebuild from generation 0")
+      parsePointer(fs, dir, g)
+    }
+    val to = resolve(toGen)
+    val kind = to.kind.getOrElse(throw new IllegalStateException(
+      s"the pointer at $viewPath predates kind stamping — refresh the " +
+        "view once under this build before consuming its change feed"))
+    val z = isZRelation(kind)
+    def pathsOf(p: Pointer): Set[String] =
+      (p.dir.toSeq ++ p.buckets.values.toSeq).toSet
+    val toPaths = pathsOf(to)
+    val fromPaths = if (fromGen == 0L) Set.empty[String]
+      else pathsOf(resolve(fromGen))
+    def side(rel: Set[String], sign: Long): Option[DataFrame] =
+      if (rel.isEmpty) None
+      else {
+        val df = spark.read.parquet(
+          rel.toSeq.sorted.map(r => s"$viewPath/$r"): _*)
+        Some(if (z) df.withColumn("m", col("m") * lit(sign))
+        else df.withColumn("m", lit(sign)))
+      }
+    val added = side(toPaths -- fromPaths, 1L)
+    val removed = side(fromPaths -- toPaths, -1L)
+    val raw = (added, removed) match {
+      case (Some(a), Some(r)) => a.unionByName(r)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None) =>
+        // identical path sets: nothing changed between the generations
+        val cur = read(spark, viewPath, Some(toGen))
+        (if (z) cur else cur.withColumn("m", lit(1L))).where(lit(false))
+    }
+    IncrementalAgg.consolidate(raw)
+  }
+
+  /** Advance an aggregate view maintained OVER ANOTHER MAINTAINED VIEW
+    * — the general composition primitive: the source view's generation
+    * feed ([[changesBetween]]) plays the role a table's changelog plays
+    * in [[refreshAggregate]], folded by the SAME engine into the same
+    * hash-bucketed state. Aggregate-over-aggregate, rollups over
+    * composed views, arbitrary depth — each level watermarks on its
+    * source's generation number and refreshes ∝ the source's touched
+    * state. `minMaxCols`/`distinctCols` recompute touched groups from
+    * the SOURCE VIEW's current contents (its row population), the same
+    * rescan discipline as the table form. Refresh the SOURCE first,
+    * then this view — a consumer lagging more than
+    * `spark.graft.view.keepGenerations − 1` source refreshes must raise
+    * that retention (the loud failure names it). */
+  def refreshAggregateOverView(spark: SparkSession,
+      sourceViewPath: String, viewPath: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty,
+      rowFilter: Option[String] = None,
+      stateBuckets: Int = AutoBuckets,
+      distinctCols: Seq[String] = Seq.empty): Refresh = {
+    require(keyCols.nonEmpty, "refreshAggregateOverView needs key columns")
+    val head = currentGeneration(spark, sourceViewPath)
+    require(head > 0L,
+      s"source view $sourceViewPath has no materialized generation — " +
+        "refresh it before folding a view over it")
+    val ptr = readPointer(spark, viewPath)
+    requireKind(ptr, viewPath, "aggregate_over_view", "srcgen",
+      "refreshAggregateOverView")
+    val from = ptr.map(_.marks.getOrElse("srcgen", 0L)).getOrElse(0L)
+    require(head >= from,
+      s"view watermark $from is ahead of the source view's generation " +
+        s"$head — the source's generation history was reset under " +
+        "this view")
+    if (head == from) return Refresh(from, head, 0L)
+    def filtered(df: DataFrame): DataFrame =
+      rowFilter.fold(df)(f => df.where(expr(f)))
+    val delta = filtered(
+      changesBetween(spark, sourceViewPath, from, head))
+    val srcZ = viewKind(spark, sourceViewPath).exists(isZRelation)
+    def rescan: DataFrame = {
+      val cur = read(spark, sourceViewPath, Some(head))
+      filtered(if (srcZ) cur.filter(col("m") > 0) else cur)
+    }
+    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
+      sumCols.map(parseSum), minMaxCols, rescan,
+      Map("srcgen" -> head), stateBuckets, "aggregate_over_view",
+      distinctCols)
+    Refresh(from, head, changed)
+  }
+
+  /** Advance a JOIN view whose BOTH sides are maintained views — the
+    * other half of general composition. The bilinear rule is the same
+    * as [[refreshJoin]]'s, with each side's "table at the old
+    * watermark" being the source view READ AT ITS WATERMARKED
+    * GENERATION (retention keeps it live across one source refresh;
+    * raise `spark.graft.view.keepGenerations` for slower cadences) and
+    * each side's delta the generation feed ([[changesBetween]]).
+    * Z-relation sources contribute their stored multiplicities;
+    * aggregate-shaped sources contribute each row once. Non-key
+    * columns of the two sides must be disjoint; `leftCols`/`rightCols`
+    * must include `keys` and name columns of the source views' states
+    * (an aggregate source exposes its keys, `n`, `sum_*`, `mn_*`/
+    * `mx_*`, `dc_*`). */
+  def refreshJoinOfViews(spark: SparkSession, viewPath: String,
+      leftViewPath: String, leftCols: Seq[String],
+      rightViewPath: String, rightCols: Seq[String],
+      keys: Seq[String], stateBuckets: Int = AutoBuckets,
+      leftFilter: Option[String] = None,
+      rightFilter: Option[String] = None): JoinRefresh = {
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
+    validateJoinCols(leftCols, rightCols, keys)
+    val headL = currentGeneration(spark, leftViewPath)
+    val headR = currentGeneration(spark, rightViewPath)
+    require(headL > 0L && headR > 0L,
+      s"both source views need a materialized generation (left " +
+        s"$leftViewPath at $headL, right $rightViewPath at $headR) — " +
+        "refresh them before joining them")
+    val ptr = readPointer(spark, viewPath)
+    requireKind(ptr, viewPath, "join_of_views", "lgen",
+      "refreshJoinOfViews")
+    val wl = ptr.map(_.marks.getOrElse("lgen", 0L)).getOrElse(0L)
+    val wr = ptr.map(_.marks.getOrElse("rgen", 0L)).getOrElse(0L)
+    require(headL >= wl && headR >= wr,
+      s"view watermarks ($wl,$wr) ahead of source generations " +
+        s"($headL,$headR) — a source view's generation history was " +
+        "reset under this view")
+    if (headL == wl && headR == wr)
+      return JoinRefresh(wl, headL, wr, headR, 0L)
+    def side(srcPath: String, cols: Seq[String], w: Long, head: Long,
+        rowFilter: Option[String]): (DataFrame, DataFrame) = {
+      val z = viewKind(spark, srcPath).exists(isZRelation)
+      def keep(df: DataFrame): DataFrame =
+        rowFilter.fold(df)(f => df.where(expr(f)))
+      def project(df: DataFrame): DataFrame =
+        df.select((cols.map(col) :+ col("m")): _*)
+      def asZ(df: DataFrame): DataFrame =
+        if (z) df else df.withColumn("m", lit(1L))
+      val old =
+        if (w == 0L)
+          project(asZ(read(spark, srcPath, Some(head)))).where(lit(false))
+        else project(keep(asZ(read(spark, srcPath, Some(w)))))
+      val d =
+        if (head == w) old.where(lit(false))
+        else project(keep(changesBetween(spark, srcPath, w, head)))
+      (old, d)
+    }
+    val (oldL, dL) = side(leftViewPath, leftCols, wl, headL, leftFilter)
+    val (oldR, dR) = side(rightViewPath, rightCols, wr, headR, rightFilter)
+    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
+    val deltaRows =
+      try foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
+        Map("lgen" -> headL, "rgen" -> headR), "join_of_views")
+      finally delta.unpersist(false)
+    JoinRefresh(wl, headL, wr, headR, deltaRows)
+  }
+
   private def tableHead(spark: SparkSession, tablePath: String): Long = {
     val tdir = new Path(tablePath)
     // headVersion: tolerant of a conflicting committer WITHDRAWING a
@@ -368,13 +616,29 @@ object LakeView {
       keys: Seq[String]): Column =
     keys.map(k => l(k) <=> r(k)).reduce(_ && _)
 
-  /** Persisted bytes of the state a pointer references. */
+  /** Test hook: counts filesystem content-summary sweeps taken because
+    * a pointer lacked a recorded byte size (legacy pointers only — the
+    * steady path reads sizes from the pointer and never sweeps). */
+  private[graft] val contentSweeps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Persisted bytes of the state a pointer references: recorded
+    * per-bucket sizes from the pointer where present (inherited buckets
+    * carry them verbatim — zero metadata RPCs), a content-summary sweep
+    * only for state a pre-`bytes` pointer wrote (each rewrite stamps
+    * its buckets, so the fallback decays to nothing). */
   private def stateBytes(fs: org.apache.hadoop.fs.FileSystem,
-      viewPath: String, p: Pointer): Long =
-    (p.dir.toSeq ++ p.buckets.values).map { b =>
-      val bp = new Path(s"$viewPath/$b")
+      viewPath: String, p: Pointer): Long = {
+    def sweep(rel: String): Long = {
+      contentSweeps.incrementAndGet()
+      val bp = new Path(s"$viewPath/$rel")
       if (fs.exists(bp)) fs.getContentSummary(bp).getLength else 0L
-    }.sum
+    }
+    p.dir.map(sweep).getOrElse(0L) +
+      p.buckets.iterator.map { case (k, rel) =>
+        p.bytes.getOrElse(k, sweep(rel))
+      }.sum
+  }
 
   /** Land `rows` as generation `gen`'s bucketed state and flip the
     * pointer. Bucket-aligned layout: ONE file per bucket dir (a
@@ -385,7 +649,8 @@ object LakeView {
     * out of the pointer; `inherited` buckets carry forward untouched. */
   private def landBuckets(spark: SparkSession, viewPath: String,
       gen: Long, rows: DataFrame, keyCols: Seq[String], effective: Int,
-      inherited: Map[Int, String], marks: Map[String, Long]): Unit = {
+      inherited: Map[Int, String], marks: Map[String, Long],
+      kind: String, inheritedBytes: Map[Int, Long]): Unit = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val bucketExpr = pmod(xxhash64(keyCols.map(col): _*),
@@ -396,11 +661,20 @@ object LakeView {
      else laid.repartition(math.min(effective, 200), col("_bucket")))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(s"$viewPath/$dataDir")
-    // what actually landed
-    val present = fs.listStatus(new Path(s"$viewPath/$dataDir"))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("_bucket="))
-      .map(n => n.stripPrefix("_bucket=").toInt)
+    // what actually landed, with per-bucket bytes off the SAME listing
+    // (recorded in the pointer so the growth check never sweeps)
+    val landedBytes = scala.collection.mutable.Map.empty[Int, Long]
+    val files = fs.listFiles(new Path(s"$viewPath/$dataDir"), true)
+    while (files.hasNext) {
+      val st = files.next()
+      val parent = st.getPath.getParent.getName
+      if (st.isFile && parent.startsWith("_bucket=") &&
+          !st.getPath.getName.startsWith("_")) {
+        val k = parent.stripPrefix("_bucket=").toInt
+        landedBytes.update(k, landedBytes.getOrElse(k, 0L) + st.getLen)
+      }
+    }
+    val present = landedBytes.keysIterator
       .map(k => k -> s"$dataDir/_bucket=$k").toMap
     val buckets = inherited ++ present
     if (buckets.isEmpty) {
@@ -409,9 +683,13 @@ object LakeView {
       rows.limit(0).write.mode("overwrite")
         .parquet(s"$viewPath/$dataDir/_bucket=-1")
       publish(spark, viewPath, gen, marks, None,
-        Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective))
+        Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective), Some(kind),
+        Map(-1 -> 0L))
     } else
-      publish(spark, viewPath, gen, marks, None, buckets, Some(effective))
+      publish(spark, viewPath, gen, marks, None, buckets, Some(effective),
+        Some(kind),
+        inheritedBytes.filter { case (k, _) => inherited.contains(k) } ++
+          landedBytes)
   }
 
   /** Advance the view to the table's newest snapshot, consuming only
@@ -440,14 +718,12 @@ object LakeView {
       keyCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty,
       rowFilter: Option[String] = None,
-      stateBuckets: Int = AutoBuckets): Refresh = {
+      stateBuckets: Int = AutoBuckets,
+      distinctCols: Seq[String] = Seq.empty): Refresh = {
     require(keyCols.nonEmpty, "refreshAggregate needs key columns")
     val head = tableHead(spark, tablePath)
     val ptr = readPointer(spark, viewPath)
-    ptr.foreach(p => require(p.marks.contains("watermark"),
-      s"$viewPath is not an aggregate-over-table view (marks: " +
-        s"${p.marks.keys.mkString(",")}) — refreshAggregate cannot " +
-        "advance it"))
+    requireKind(ptr, viewPath, "aggregate", "watermark", "refreshAggregate")
     val from = ptr.map(_.marks.getOrElse("watermark", 0L)).getOrElse(0L)
     require(head >= from,
       s"view watermark $from is ahead of the table head $head — the " +
@@ -463,9 +739,27 @@ object LakeView {
       .option("versionAsOf", head.toString).load())
     val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
       sumCols.map(parseSum), minMaxCols, rescan,
-      Map("watermark" -> head), stateBuckets)
+      Map("watermark" -> head), stateBuckets, "aggregate", distinctCols)
     Refresh(from, head, changed)
   }
+
+  /** Wrong-refresh guard: a pointer stamped with a `kind` must match
+    * the refresh form exactly; a legacy pointer (pre-kind) falls back
+    * to its distinguishing mark name. Explicit kinds close the marks
+    * ambiguity (a composed view's outer aggregate and a plain join view
+    * both mark {left,right}). */
+  private def requireKind(ptr: Option[Pointer], viewPath: String,
+      expected: String, legacyMark: String, op: String): Unit =
+    ptr.foreach { p =>
+      p.kind match {
+        case Some(k) => require(k == expected,
+          s"$viewPath holds a '$k' view — $op advances only " +
+            s"'$expected' views")
+        case None => require(p.marks.contains(legacyMark),
+          s"$viewPath is not a '$expected' view (marks: " +
+            s"${p.marks.keys.mkString(",")}) — $op cannot advance it")
+      }
+    }
 
   /** Fold a signed Z-relation `delta` (columns ⊇ keys ++ sum inputs,
     * plus multiplicity `m`) into hash-bucketed aggregate state at
@@ -483,7 +777,8 @@ object LakeView {
       ptr: Option[Pointer], delta: DataFrame, keyCols: Seq[String],
       sums: Seq[SumSpec], minMaxCols: Seq[String],
       rescanSource: => DataFrame, marks: Map[String, Long],
-      stateBuckets: Int): Long = {
+      stateBuckets: Int, kind: String,
+      distinctCols: Seq[String] = Seq.empty): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // cached: the folded delta feeds the merge join, the touched-group
@@ -522,12 +817,15 @@ object LakeView {
     val changed: Long = bucketCounts.values.sum
     if (changed == 0L && ptr.isDefined) {
       // nothing to fold: advance the watermark on the INHERITED state
-      // (every bucket carries forward by reference — no data rewrite)
+      // (every bucket carries forward by reference — no data rewrite;
+      // recorded byte sizes carry verbatim)
       val p = ptr.get
       if (p.dir.isDefined)
-        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty, p.mod)
+        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty,
+          p.mod, Some(kind), p.bytes)
       else
-        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets, p.mod)
+        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets,
+          p.mod, Some(kind), p.bytes)
       return 0L
     }
     // the modulus in force: explicit pins; adaptive keeps the recorded
@@ -559,7 +857,8 @@ object LakeView {
         sums.map(sp =>
           lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
         minMaxCols.flatMap(c =>
-          Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c")))
+          Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c"))) ++
+        distinctCols.map(c => lit(0L).as(s"dc_$c"))
       delta.limit(0).select(empty: _*)
     }
     // old state restricted to the touched buckets — by construction a
@@ -599,16 +898,19 @@ object LakeView {
           coalesce(col(s"dsum_${sp.alias}"), z))
           .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
       } ++
-      minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
+      minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
+      distinctCols.map(c => col(s"dc_$c")): _*)
       .filter(col("n") > 0)
 
     val merged =
-      if (minMaxCols.isEmpty) additive
+      if (minMaxCols.isEmpty && distinctCols.isEmpty) additive
       else {
-        // extrema: deletes are non-invertible, so recompute exactly the
-        // groups the delta touched from the view's row population AT
-        // the new watermark, pruned to those groups by a null-safe semi
-        // join — cost ∝ touched groups' rows, not the table. The
+        // extrema and distinct counts: deletes are non-invertible, so
+        // recompute exactly the groups the delta touched from the
+        // view's row population AT the new watermark, pruned to those
+        // groups by a null-safe semi join — cost ∝ touched groups'
+        // rows, not the table (untouched groups' populations cannot
+        // have changed, so their stored values stay exact). The
         // broadcast hint applies only under the key-count gate (an
         // unbounded bootstrap delta falls back to a shuffled join).
         def hinted(df: DataFrame): DataFrame =
@@ -617,30 +919,38 @@ object LakeView {
         val live = rescanSource
         val pruned = live.join(hinted(touched),
           nullSafeOn(live, touched, keyCols), "left_semi")
+        val rescanAggs = minMaxCols.flatMap(c =>
+            Seq(min(col(c)).as(s"_mn_new_$c"),
+              max(col(c)).as(s"_mx_new_$c"))) ++
+          distinctCols.map(c => countDistinct(col(c)).as(s"_dc_new_$c"))
         val rescanned = pruned.groupBy(keyCols.map(col): _*)
-          .agg(lit(true).as("_touched"),
-            minMaxCols.flatMap(c => Seq(min(col(c)).as(s"_mn_new_$c"),
-              max(col(c)).as(s"_mx_new_$c"))): _*)
+          .agg(lit(true).as("_touched"), rescanAggs: _*)
           .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
-            (col("_touched") +: minMaxCols.flatMap(c =>
-              Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c")))): _*)
+            (col("_touched") +: (minMaxCols.flatMap(c =>
+              Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c"))) ++
+              distinctCols.map(c => col(s"_dc_new_$c")))): _*)
         val j = additive.join(hinted(rescanned),
           keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
             .reduce(_ && _), "left")
         // a touched group takes its recomputed extrema even when they
         // are NULL (all surviving values null); an untouched group
         // keeps its old ones — coalesce alone would wrongly resurrect
-        // a deleted minimum
+        // a deleted minimum. Distinct counts follow the same rule
+        // (a touched group with only NULL values recomputes to 0).
         j.select(keyCols.map(col) ++
           Seq(col("n")) ++ sums.map(sp => col(s"sum_${sp.alias}")) ++
           minMaxCols.flatMap(c => Seq(
             when(col("_touched"), col(s"_mn_new_$c"))
               .otherwise(col(s"mn_$c")).as(s"mn_$c"),
             when(col("_touched"), col(s"_mx_new_$c"))
-              .otherwise(col(s"mx_$c")).as(s"mx_$c"))): _*)
+              .otherwise(col(s"mx_$c")).as(s"mx_$c"))) ++
+          distinctCols.map(c =>
+            when(col("_touched"), col(s"_dc_new_$c"))
+              .otherwise(col(s"dc_$c")).as(s"dc_$c")): _*)
       }
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
-      merged, keyCols, effective, inherited, marks)
+      merged, keyCols, effective, inherited, marks, kind,
+      ptr.map(_.bytes).getOrElse(Map.empty))
     changed
     } finally deltaAgg.unpersist(false)
   }
@@ -705,7 +1015,8 @@ object LakeView {
     * count. */
   private def foldJoinState(spark: SparkSession, viewPath: String,
       ptr: Option[Pointer], delta: DataFrame, keys: Seq[String],
-      stateBuckets: Int, marks: Map[String, Long]): Long = {
+      stateBuckets: Int, marks: Map[String, Long],
+      kind: String): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // ONE job computes the delta row count AND the touched-bucket set:
@@ -724,12 +1035,15 @@ object LakeView {
     if (deltaRows == 0L && ptr.isDefined) {
       // nothing to fold (e.g. every changed row excluded by a side
       // filter): advance the watermarks on the INHERITED state — every
-      // bucket carries forward by reference, no data rewrite
+      // bucket carries forward by reference, no data rewrite; recorded
+      // byte sizes carry verbatim
       val p = ptr.get
       if (p.dir.isDefined)
-        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty, p.mod)
+        publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty,
+          p.mod, Some(kind), p.bytes)
       else
-        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets, p.mod)
+        publish(spark, viewPath, p.gen + 1, marks, None, p.buckets,
+          p.mod, Some(kind), p.bytes)
       return 0L
     }
     // the modulus in force: explicit pins; adaptive keeps the recorded
@@ -783,7 +1097,8 @@ object LakeView {
     // rewrite set is exactly: touched buckets' old state + the delta
     val rewrite = IncrementalAgg.consolidate(oldTouched.unionByName(delta))
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
-      rewrite, keys, effective, inherited, marks)
+      rewrite, keys, effective, inherited, marks, kind,
+      ptr.map(_.bytes).getOrElse(Map.empty))
     deltaRows
   }
 
@@ -840,9 +1155,7 @@ object LakeView {
     val headL = tableHead(spark, leftPath)
     val headR = tableHead(spark, rightPath)
     val ptr = readPointer(spark, viewPath)
-    ptr.foreach(p => require(p.marks.contains("left"),
-      s"$viewPath is not a join view (marks: " +
-        s"${p.marks.keys.mkString(",")}) — refreshJoin cannot advance it"))
+    requireKind(ptr, viewPath, "join", "left", "refreshJoin")
     val wl = ptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L)
     val wr = ptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L)
     require(headL >= wl && headR >= wr,
@@ -855,7 +1168,7 @@ object LakeView {
       leftFilter, rightFilter).cache()
     val deltaRows =
       try foldJoinState(spark, viewPath, ptr, delta, keys,
-        stateBuckets, Map("left" -> headL, "right" -> headR))
+        stateBuckets, Map("left" -> headL, "right" -> headR), "join")
       finally delta.unpersist(false)
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
@@ -908,9 +1221,8 @@ object LakeView {
     val h2 = tableHead(spark, p2)
     val iptr = readPointer(spark, innerPath)
     val rptr = readPointer(spark, viewPath)
-    rptr.foreach(p => require(p.marks.contains("w2"),
-      s"$viewPath is not a 3-way join view (marks: " +
-        s"${p.marks.keys.mkString(",")}) — refreshJoin3 cannot advance it"))
+    requireKind(iptr, innerPath, "join", "left", "refreshJoin3 (inner)")
+    requireKind(rptr, viewPath, "join3", "w2", "refreshJoin3")
     val (w0i, w1i) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
       iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
     val (w0r, w1r, w2r) = (
@@ -941,7 +1253,7 @@ object LakeView {
       if (w0i == h0 && w1i == h1) None else Some(innerDeltaFor(w0i, w1i))
     val innerDeltaRows = deltaI.map(d => foldJoinState(spark, innerPath,
       iptr, d, keys01, stateBuckets,
-      Map("left" -> h0, "right" -> h1))).getOrElse(0L)
+      Map("left" -> h0, "right" -> h1), "join")).getOrElse(0L)
     // level 2: the root's inner-side delta and old state at ITS window
     val (deltaAB, innerOld): (DataFrame, DataFrame) =
       if (w0r == h0 && w1r == h1) {
@@ -983,7 +1295,7 @@ object LakeView {
     cached += deltaRoot
     val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
       keys12, stateBuckets,
-      Map("w0" -> h0, "w1" -> h1, "w2" -> h2))
+      Map("w0" -> h0, "w1" -> h1, "w2" -> h2), "join3")
     Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), innerDeltaRows, deltaRows)
     } finally cached.foreach(_.unpersist(false))
   }
@@ -1023,7 +1335,8 @@ object LakeView {
       minMaxCols: Seq[String] = Seq.empty,
       stateBuckets: Int = AutoBuckets,
       leftFilter: Option[String] = None,
-      rightFilter: Option[String] = None): ComposedRefresh = {
+      rightFilter: Option[String] = None,
+      distinctCols: Seq[String] = Seq.empty): ComposedRefresh = {
     require(stateBuckets >= 0,
       s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
     validateJoinCols(leftCols, rightCols, keys)
@@ -1037,10 +1350,10 @@ object LakeView {
     val headR = tableHead(spark, rightPath)
     val iptr = readPointer(spark, innerPath)
     val aptr = readPointer(spark, viewPath)
-    aptr.foreach(p => require(p.marks.contains("left"),
-      s"$viewPath is not a composed view (marks: " +
-        s"${p.marks.keys.mkString(",")}) — refreshJoinAggregate cannot " +
-        "advance it"))
+    requireKind(iptr, innerPath, "join", "left",
+      "refreshJoinAggregate (inner)")
+    requireKind(aptr, viewPath, "join_aggregate", "left",
+      "refreshJoinAggregate")
     val (wlI, wrI) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
       iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
     val (wlA, wrA) = (aptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
@@ -1063,8 +1376,8 @@ object LakeView {
     val deltaI =
       if (wlI == headL && wrI == headR) None else Some(deltaFor(wlI, wrI))
     val deltaRows = deltaI.map(d =>
-      foldJoinState(spark, innerPath, iptr, d, keys, stateBuckets, marks))
-      .getOrElse(0L)
+      foldJoinState(spark, innerPath, iptr, d, keys, stateBuckets, marks,
+        "join")).getOrElse(0L)
     // the aggregate folds ITS OWN window (== inner's unless a crash
     // left it behind, in which case the delta is recomputed from the
     // tables' changelog for the lagging window)
@@ -1077,7 +1390,8 @@ object LakeView {
       // (the view's row population — already filtered and joined)
       def rescan: DataFrame = read(spark, innerPath).filter(col("m") > 0)
       foldAggState(spark, viewPath, aptr, d, aggKeys,
-        aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets)
+        aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets,
+        "join_aggregate", distinctCols)
     }.getOrElse(0L)
     ComposedRefresh(wlI, headL, wrI, headR, deltaRows, groupsChanged)
     } finally cached.foreach(_.unpersist(false))

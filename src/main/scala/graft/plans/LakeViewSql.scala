@@ -134,12 +134,13 @@ object LakeViewSql {
     }
     kind match {
       case "aggregate" =>
-        require(args.length >= 6 && args.length <= 9,
+        require(args.length >= 6 && args.length <= 10,
           "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
-            "keys, sums[, minMax[, filter[, stateBuckets]]]) — comma-" +
-            "separated column lists; a sums entry may be `alias:expr` " +
-            "for a derived-column sum; filter is a SQL predicate " +
-            "('' = none)")
+            "keys, sums[, minMax[, filter[, stateBuckets[, distincts]]]]) " +
+            "— comma-separated column lists; a sums entry may be " +
+            "`alias:expr` for a derived-column sum; filter is a SQL " +
+            "predicate ('' = none); distincts maintains exact per-group " +
+            "COUNT(DISTINCT col) as dc_<col>")
         def_.put("table", strLit(args(2), "tablePath"))
         def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
         putList("keys", cols(strLit(args(4), "keys")))
@@ -151,6 +152,45 @@ object LakeViewSql {
         def_.put("stateBuckets",
           args.lift(8).map(intLit(_, "stateBuckets"))
             .getOrElse(graft.operators.LakeView.AutoBuckets))
+        putList("distincts",
+          args.lift(9).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+      case "aggregate_over_view" =>
+        require(args.length >= 5 && args.length <= 9,
+          "create_lake_view(viewPath, 'aggregate_over_view', " +
+            "sourceViewPath, keys, sums[, minMax[, filter" +
+            "[, stateBuckets[, distincts]]]]) — an aggregate maintained " +
+            "over ANOTHER maintained view's generation feed; refresh " +
+            "the source first")
+        def_.put("source", strLit(args(2), "sourceViewPath"))
+        putList("keys", cols(strLit(args(3), "keys")))
+        putList("sums", sumSpecs(strLit(args(4), "sums")))
+        putList("minMax",
+          args.lift(5).map(a => cols(strLit(a, "minMax"))).getOrElse(Nil))
+        args.lift(6).map(strLit(_, "filter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("filter", _))
+        def_.put("stateBuckets",
+          args.lift(7).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
+        putList("distincts",
+          args.lift(8).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+      case "join_of_views" =>
+        require(args.length >= 7 && args.length <= 10,
+          "create_lake_view(viewPath, 'join_of_views', leftViewPath, " +
+            "leftCols, rightViewPath, rightCols, keys[, stateBuckets" +
+            "[, leftFilter[, rightFilter]]]) — a join view whose both " +
+            "sides are maintained views; refresh the sources first")
+        def_.put("left", strLit(args(2), "leftViewPath"))
+        putList("leftCols", cols(strLit(args(3), "leftCols")))
+        def_.put("right", strLit(args(4), "rightViewPath"))
+        putList("rightCols", cols(strLit(args(5), "rightCols")))
+        putList("keys", cols(strLit(args(6), "keys")))
+        def_.put("stateBuckets",
+          args.lift(7).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
+        args.lift(8).map(strLit(_, "leftFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
+        args.lift(9).map(strLit(_, "rightFilter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
       case "join" =>
         require(args.length >= 9 && args.length <= 12,
           "create_lake_view(viewPath, 'join', leftPath, leftTypes, " +
@@ -222,7 +262,8 @@ object LakeViewSql {
         }
       case other => throw new IllegalArgumentException(
         "create_lake_view: kind must be 'aggregate', 'join', " +
-          s"'join_aggregate', or 'join3', got '$other'")
+          "'join_aggregate', 'join3', 'aggregate_over_view', or " +
+          s"'join_of_views', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
     val dir = new Path(viewPath)
@@ -316,9 +357,29 @@ object LakeViewSql {
           d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
           list("keys"), list("sums"), list("minMax"),
           rowFilter = Option(d.get("filter")).map(_.asText()),
-          stateBuckets = buckets)
+          stateBuckets = buckets,
+          distinctCols = list("distincts"))
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
+      case "aggregate_over_view" =>
+        val r = graft.operators.LakeView.refreshAggregateOverView(spark,
+          d.get("source").asText(), viewPath,
+          list("keys"), list("sums"), list("minMax"),
+          rowFilter = Option(d.get("filter")).map(_.asText()),
+          stateBuckets = buckets,
+          distinctCols = list("distincts"))
+        Row("aggregate_over_view", r.fromVersion, r.toVersion, null, null,
+          r.groupsChanged, null, null)
+      case "join_of_views" =>
+        val r = graft.operators.LakeView.refreshJoinOfViews(spark,
+          viewPath,
+          d.get("left").asText(), list("leftCols"),
+          d.get("right").asText(), list("rightCols"), list("keys"),
+          stateBuckets = buckets,
+          leftFilter = Option(d.get("leftFilter")).map(_.asText()),
+          rightFilter = Option(d.get("rightFilter")).map(_.asText()))
+        Row("join_of_views", r.fromLeft, r.toLeft, r.fromRight,
+          r.toRight, r.deltaRows, null, null)
       case "join" =>
         val r = graft.operators.LakeView.refreshJoin(spark, viewPath,
           d.get("left").asText(), d.get("leftTypes").asText(),
@@ -357,8 +418,8 @@ object LakeViewSql {
           r.toHeads._2, r.deltaRows, r.fromHeads._3, r.toHeads._3)
       case other => throw new IllegalArgumentException(
         s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
-          "expected 'aggregate', 'join', 'join_aggregate', or 'join3' " +
-          "(damaged _view.json?)")
+          "expected 'aggregate', 'join', 'join_aggregate', 'join3', " +
+          "'aggregate_over_view', or 'join_of_views' (damaged _view.json?)")
     }
     oneRow(spark, refreshSchema, row)
   }

@@ -1507,6 +1507,248 @@ private[graft] object ParityQueries {
            |FROM lake_view('$view') ORDER BY 1""".stripMargin)
     }),
 
+    "q313_lake_view_over_view" -> ((s, dir) => {
+      // VIEW OVER VIEW — the general composition primitive: a
+      // maintained per-document rollup (view A) is itself the SOURCE
+      // of a maintained per-language rollup (view B). B consumes A's
+      // GENERATION FEED (LakeChangelog.viewChanges — generation
+      // pointers diffed exactly like snapshot manifests) the same way
+      // A consumes the table's snapshot feed, so composition is the
+      // same fold at every level and costs ∝ touched state, never a
+      // rescan. Three mutation cycles flow table -> A -> B with
+      // B ≡ recompute-from-A gated each cycle at the correctness SFs;
+      // the oracle recomputes the two-level rollup from the predicates.
+      val out = scratchPath(dir, "q313_records")
+      val va = scratchPath(dir, "q313_va")
+      val vb = scratchPath(dir, "q313_vb")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, va, vb).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$va', 'aggregate',
+           |  '$out', '$types', 'Lang,DocId', 'Chars')""".stripMargin)
+        .collect()
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$vb', 'aggregate_over_view',
+           |  '$va', 'Lang', 'docs:n,chars:sum_Chars')""".stripMargin)
+        .collect()
+      def refresh(): Long = {
+        s.sql(s"SELECT * FROM refresh_lake_view('$va')").collect()
+        s.sql(s"SELECT * FROM refresh_lake_view('$vb')").collect()(0)
+          .getLong(5)
+      }
+      val gateSf = Set("sf0.001", "sf0.01")
+        .contains(new java.io.File(dir).getName)
+      def gate(): Unit = if (gateSf) {
+        val got = graft.operators.LakeView.read(s, vb)
+          .select(col("Lang"), col("n"), col("sum_docs"), col("sum_chars"))
+        val want = graft.operators.LakeView.read(s, va)
+          .groupBy("Lang").agg(count(lit(1)).as("wn"),
+            sum(col("n")).as("wdocs"), sum(col("sum_Chars")).as("wchars"))
+        val mism = got.join(want, Seq("Lang"), "full")
+          .filter(!(col("n") <=> col("wn")) ||
+            !(col("sum_docs") <=> col("wdocs")) ||
+            !(col("sum_chars") <=> col("wchars")))
+        require(mism.limit(1).isEmpty,
+          "view-over-view fold diverged from the recompute over its source")
+      }
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "bootstrap must fold groups through B")
+      gate()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "the delete wave must flow table -> A -> B")
+      gate()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op through the chain")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(sum_chars AS BIGINT) AS sum_chars
+           |FROM lake_view('$vb') ORDER BY lang""".stripMargin)
+    }),
+
+    "q314_lake_view_join_of_views" -> ((s, dir) => {
+      // a JOIN OF TWO MAINTAINED VIEWS: the per-customer order rollup
+      // (view L, decimal SumSpec) joined to a per-customer dimension
+      // view (view R) under the bilinear rule, each side's delta being
+      // its GENERATION FEED and each side's old state its watermarked
+      // generation (view-level time travel). Cycle 2 moves only the
+      // fact table — the right feed is idle and its watermark must not
+      // move; cycle 3 retracts customers through the join. J ≡
+      // recompute(L ⋈ R) gates each cycle at the correctness SFs.
+      val to = scratchPath(dir, "q314_orders")
+      val tc = scratchPath(dir, "q314_cust")
+      val vl = scratchPath(dir, "q314_vl")
+      val vr = scratchPath(dir, "q314_vr")
+      val vj = scratchPath(dir, "q314_vj")
+      val fs = new org.apache.hadoop.fs.Path(to)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(to, tc, vl, vr, vj).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val typesO = "OKey:number,CKey:number,Price:number"
+      val typesC = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_mktsegment").as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", tc)
+        .option("dataFormat", "parquet").mode("append").save()
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(to, tc).foreach(p => graft.operators.LakeSnapshots.commit(s, p))
+      def refreshSources(): Unit = {
+        graft.operators.LakeView.refreshAggregate(s, to, typesO, vl,
+          Seq("CKey"), Seq("price:CAST(Price AS DECIMAL(18,2))"))
+        graft.operators.LakeView.refreshAggregate(s, tc, typesC, vr,
+          Seq("CKey", "Seg"), Seq.empty)
+        ()
+      }
+      def refreshJ() = graft.operators.LakeView.refreshJoinOfViews(s, vj,
+        vl, Seq("CKey", "n", "sum_price"),
+        vr, Seq("CKey", "Seg"), Seq("CKey"))
+      val gateSf = Set("sf0.001", "sf0.01")
+        .contains(new java.io.File(dir).getName)
+      def gate(): Unit = if (gateSf) {
+        val l = graft.operators.LakeView.read(s, vl)
+          .select(col("CKey"), col("n"), col("sum_price"))
+        val r = graft.operators.LakeView.read(s, vr)
+          .select(col("CKey"), col("Seg"))
+        val want = l.join(r, Seq("CKey")).withColumn("wm", lit(1L))
+        val got = graft.operators.LakeView.read(s, vj)
+        val mism = got.join(want, Seq("CKey"), "full")
+          .filter(!(col("m") <=> col("wm")) ||
+            !(got("n") <=> want("n")) ||
+            !(got("sum_price") <=> want("sum_price")) ||
+            !(got("Seg") <=> want("Seg")))
+        require(mism.limit(1).isEmpty,
+          "join-of-views state diverged from the recomputed join of " +
+            "the current source states")
+      }
+      refreshSources()
+      require(refreshJ().deltaRows > 0L, "bootstrap must fold the join")
+      gate()
+      // cycle 2: only the fact table moves — the right generation feed
+      // is idle, and the join's right watermark must stand still
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, to)
+      refreshSources()
+      val r2 = refreshJ()
+      require(r2.deltaRows > 0L && r2.fromRight == r2.toRight,
+        s"a one-side window must not advance the idle side: $r2")
+      gate()
+      // cycle 3: customer retraction flows dimension-view -> join
+      graft.operators.DeletionVectors.delete(s, tc, typesC,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, tc)
+      refreshSources()
+      require(refreshJ().deltaRows > 0L, "the retraction must fold")
+      gate()
+      refreshSources()
+      require(refreshJ().deltaRows == 0L, "idle refresh must no-op")
+      graft.operators.LakeView.read(s, vj)
+        .groupBy(col("Seg").as("segment"))
+        .agg(sum(col("m")).cast("bigint").as("n_cust"),
+          sum(col("m") * col("n")).cast("bigint").as("n_orders"),
+          sum(col("m") * col("sum_price")).cast("double").as("total_price"))
+        .orderBy("segment")
+    }),
+
+    "q315_lake_view_distinct" -> ((s, dir) => {
+      // DISTINCT-COUNT in the view fold rules: per-language
+      // COUNT(DISTINCT n_chars) maintained EXACTLY — non-invertible
+      // under deletes like extrema, so inserts and the delete wave
+      // alike recompute only the TOUCHED groups from the
+      // version-pinned table, and untouched groups carry their stored
+      // exact count forward (their populations cannot have changed).
+      // The delete wave removes whole value classes, the case a
+      // register-merge design would get wrong. The 10th
+      // create_lake_view argument persists the rule.
+      val out = scratchPath(dir, "q315_records")
+      val view = scratchPath(dir, "q315_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', 'Chars', '', '', 0,
+           |  'Chars')""".stripMargin).collect()
+      def refresh(): Long =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+          .getLong(5)
+      val gateSf = Set("sf0.001", "sf0.01")
+        .contains(new java.io.File(dir).getName)
+      def gate(): Unit = if (gateSf) {
+        val got = graft.operators.LakeView.read(s, view)
+          .select(col("Lang"), col("dc_Chars"))
+        val want = s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()
+          .groupBy("Lang").agg(countDistinct(col("Chars")).as("wdc"))
+        val mism = got.join(want, Seq("Lang"), "full")
+          .filter(!(col("dc_Chars") <=> col("wdc")))
+        require(mism.limit(1).isEmpty,
+          "maintained distinct counts diverged from the recompute")
+      }
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "bootstrap must fold groups")
+      gate()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(dc_Chars AS BIGINT) AS dc_chars,
+           |  CAST(sum_Chars AS BIGINT) AS sum_chars
+           |FROM lake_view('$view') ORDER BY lang""".stripMargin)
+    }),
+
     "q312_lake_view_join3" -> ((s, dir) => {
       // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
       // — the star shape): two chained bilinear folds under one
@@ -3199,6 +3441,48 @@ private[graft] object ParityQueries {
         |  AND c_mktsegment <> 'BUILDING'
         |  AND NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the two-level rollup from the predicates;
+    // the engine maintains it as a view OVER a view — the outer
+    // aggregate consumes the inner view's generation feed (pointer
+    // diff), never rescanning either level
+    "q313_lake_view_over_view" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE)),
+        |per_doc AS (SELECT lang, doc_id, COUNT(*) AS n,
+        |  SUM(n_chars) AS s FROM live GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(s) AS BIGINT) AS sum_chars
+        |FROM per_doc GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // the oracle recomputes the per-customer rollup joined to the
+    // dimension from the predicates; the engine maintains it as a JOIN
+    // OF TWO MAINTAINED VIEWS folding both sides' generation feeds
+    "q314_lake_view_join_of_views" ->
+      """WITH per_cust AS (SELECT o_custkey AS ck, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+        |  CAST(SUM(n) AS BIGINT) AS n_orders,
+        |  CAST(SUM(sp) AS DOUBLE) AS total_price
+        |FROM per_cust JOIN customer ON ck = c_custkey
+        |WHERE NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes COUNT(DISTINCT) per group; the engine
+    // maintains it exactly in the view state via touched-group
+    // recompute (the extrema discipline — deletes are non-invertible)
+    "q315_lake_view_distinct" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT n_chars) AS dc_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM live GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // the oracle recomputes the 3-way star join from the predicates;
     // the engine maintains it as two chained bilinear folds (the root

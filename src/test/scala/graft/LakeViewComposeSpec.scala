@@ -1,0 +1,366 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeletionVectors, IncrementalAgg, LakeChangelog,
+  LakeSnapshots, LakeView}
+
+/** Views as first-class change-feed SOURCES: a maintained view emits
+  * the same signed Z-relation feed a table does (generation-pointer
+  * diff ≡ snapshot-manifest diff), so any view form composes over any
+  * other — aggregate over aggregate, join of two maintained views —
+  * with per-level generation watermarks and the same loud retention
+  * contract tables have. Plus the round's pointer upgrades: explicit
+  * `kind` guards and per-bucket byte counts that keep the adaptive
+  * growth check off the filesystem. */
+class LakeViewComposeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val types = "G5:singleLineText,G2:singleLineText,Score:number"
+
+  private def append(dir: String, from: Long, until: Long): Unit =
+    spark.range(from, until).select(
+        concat(lit("r"), lpad($"id".cast("string"), 4, "0")).as("_record_id"),
+        concat(lit("g"), ($"id" % 5).cast("string")).as("G5"),
+        concat(lit("h"), ($"id" % 2).cast("string")).as("G2"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dir).mode("append").save()
+
+  private def table(dir: String) = spark.read.format("graft-records")
+    .option("path", dir).option("fieldTypes", types).load()
+
+  private def tmp(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** Z-relation set equality (order- and layout-free). */
+  private def zSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().map(_.toSeq.toIndexedSeq: Seq[Any])
+      .toSet
+  }
+
+  test("changesBetween: a view's generation feed is the exact signed " +
+      "content diff — old ∪ feed consolidates to new, for aggregate " +
+      "and join (Z-relation) state alike") {
+    val dir = tmp("feed") + "/t"
+    val view = tmp("feed") + "/v"
+    append(dir, 0, 40)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G5"), Seq("Score"))
+    val g1 = LakeView.currentGeneration(spark, view)
+    // bootstrap feed = the whole state as inserts
+    val boot = LakeChangelog.viewChanges(spark, view, 0L, g1)
+    assert(zSet(boot) ==
+      zSet(LakeView.read(spark, view).withColumn("m", lit(1L))))
+    // mutate: delete wave + append, one refresh window
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(3.0)) === 0.0)
+    LakeSnapshots.commit(spark, dir)
+    append(dir, 40, 55)
+    LakeSnapshots.commit(spark, dir)
+    val oldState = LakeView.read(spark, view).withColumn("m", lit(1L))
+      .collect() // capture before the flip retires nothing (2 kept)
+    LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G5"), Seq("Score"))
+    val g2 = LakeView.currentGeneration(spark, view)
+    val feed = LakeChangelog.viewChanges(spark, view, g1, g2)
+    val newState = LakeView.read(spark, view).withColumn("m", lit(1L))
+    val replayed = IncrementalAgg.consolidate(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(oldState.toIndexedSeq),
+        newState.schema).unionByName(feed))
+    assert(zSet(replayed) == zSet(newState),
+      "old ∪ feed must consolidate to exactly the new state")
+    // untouched buckets never enter the feed: every feed row's group
+    // actually changed between the generations
+    assert(feed.count() > 0)
+
+    // join-view feed: rows carry ± their stored multiplicity
+    val dirR = tmp("feedr") + "/t"
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        lit("x").as("Tag"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dirR).mode("append").save()
+    LakeSnapshots.commit(spark, dirR)
+    val jview = tmp("feedj") + "/v"
+    def refreshJ() = LakeView.refreshJoin(spark, jview,
+      dir, types, Seq("G5", "Score"),
+      dirR, "G5:singleLineText,Tag:singleLineText", Seq("G5", "Tag"),
+      Seq("G5"))
+    refreshJ()
+    val jg1 = LakeView.currentGeneration(spark, jview)
+    val jOld = LakeView.read(spark, jview).collect()
+    val jSchema = LakeView.read(spark, jview).schema
+    DeletionVectors.delete(spark, dir, types, $"Score" >= 50.0)
+    LakeSnapshots.commit(spark, dir)
+    refreshJ()
+    val jg2 = LakeView.currentGeneration(spark, jview)
+    val jFeed = LakeChangelog.viewChanges(spark, jview, jg1, jg2)
+    val jNew = LakeView.read(spark, jview)
+    val jReplayed = IncrementalAgg.consolidate(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(jOld.toIndexedSeq), jSchema)
+        .unionByName(jFeed))
+    assert(zSet(jReplayed) == zSet(jNew),
+      "join-view feed must replay old state to new by Z-algebra")
+  }
+
+  test("aggregate over a maintained aggregate: generation-feed folds " +
+      "across cycles equal the recompute; a lagging consumer heals " +
+      "across a multi-generation window; past retention it refuses") {
+    spark.conf.set("spark.graft.view.keepGenerations", "4")
+    try {
+      val dir = tmp("aoa") + "/t"
+      val a = tmp("aoa") + "/va"
+      val b = tmp("aoa") + "/vb"
+      def refreshA() = LakeView.refreshAggregate(spark, dir, types, a,
+        Seq("G2", "G5"), Seq("Score"))
+      def refreshB() = LakeView.refreshAggregateOverView(spark, a, b,
+        Seq("G2"), Seq("rows:n", "score:sum_Score"))
+      def gate(): Unit = {
+        val got = LakeView.read(spark, b)
+          .select($"G2", $"n", $"sum_rows", $"sum_score")
+          .orderBy("G2").collect().toSeq
+        val want = table(dir)
+          .groupBy("G2", "G5")
+          .agg(count(lit(1)).as("n"), sum($"Score").as("s"))
+          .groupBy("G2")
+          .agg(count(lit(1)).as("n"), sum($"n").as("sum_rows"),
+            sum($"s").as("sum_score"))
+          .select($"G2", $"n", $"sum_rows", $"sum_score")
+          .orderBy("G2").collect().toSeq
+        assert(got == want, s"got $got, want $want")
+      }
+      append(dir, 0, 40)
+      LakeSnapshots.commit(spark, dir)
+      refreshA()
+      val r1 = refreshB()
+      assert(r1.groupsChanged > 0L)
+      gate()
+      // cycle 2: delete wave flows A -> B
+      DeletionVectors.delete(spark, dir, types,
+        pmod($"Score", lit(4.0)) === 1.0)
+      LakeSnapshots.commit(spark, dir)
+      refreshA()
+      refreshB()
+      gate()
+      // idle: B sees no new A generation... but A's idle refresh DOES
+      // publish a new (inherited) generation, whose feed is empty —
+      // B must fold zero groups either way
+      assert(refreshA().groupsChanged == 0L)
+      assert(refreshB().groupsChanged == 0L)
+      gate()
+      // lagging consumer: TWO A refreshes, then one B refresh spanning
+      // both generations
+      append(dir, 40, 50)
+      LakeSnapshots.commit(spark, dir)
+      refreshA()
+      DeletionVectors.delete(spark, dir, types, $"Score" < 5.0)
+      LakeSnapshots.commit(spark, dir)
+      refreshA()
+      val lag = refreshB()
+      assert(lag.toVersion - lag.fromVersion >= 2L,
+        s"the window must span both source generations: $lag")
+      gate()
+      // past retention: shrink retention, advance A until B's
+      // watermark generation expires, then B must refuse loudly
+      spark.conf.set("spark.graft.view.keepGenerations", "2")
+      append(dir, 50, 52); LakeSnapshots.commit(spark, dir); refreshA()
+      append(dir, 52, 54); LakeSnapshots.commit(spark, dir); refreshA()
+      append(dir, 54, 56); LakeSnapshots.commit(spark, dir); refreshA()
+      val e = intercept[IllegalStateException](refreshB())
+      assert(e.getMessage.contains("keepGenerations"),
+        s"retention refusal must name the knob: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.view.keepGenerations")
+  }
+
+  test("join of two maintained views: bilinear folds across cycles " +
+      "equal the recompute, including a one-side-idle window") {
+    val dirL = tmp("jov") + "/tl"
+    val dirR = tmp("jov") + "/tr"
+    val vl = tmp("jov") + "/vl"
+    val vr = tmp("jov") + "/vr"
+    val j = tmp("jov") + "/vj"
+    val typesR = "G5:singleLineText,W:number"
+    def appendR(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("s"), lpad($"id".cast("string"), 4, "0"))
+            .as("_record_id"),
+          concat(lit("g"), ($"id" % 5).cast("string")).as("G5"),
+          ($"id" * 2).cast("double").as("W"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", dirR)
+        .mode("append").save()
+    def refreshSources(): Unit = {
+      LakeView.refreshAggregate(spark, dirL, types, vl,
+        Seq("G5"), Seq("Score"))
+      LakeView.refreshAggregate(spark, dirR, typesR, vr,
+        Seq("G5"), Seq("w:W"))
+      ()
+    }
+    def refreshJ() = LakeView.refreshJoinOfViews(spark, j,
+      vl, Seq("G5", "n", "sum_Score"),
+      vr, Seq("G5", "sum_w"), Seq("G5"))
+    def gate(): Unit = {
+      val got = LakeView.read(spark, j)
+      val want = LakeView.read(spark, vl)
+        .select($"G5", $"n", $"sum_Score")
+        .join(LakeView.read(spark, vr).select($"G5", $"sum_w"), Seq("G5"))
+        .withColumn("m", lit(1L))
+      assert(zSet(IncrementalAgg.consolidate(got)) == zSet(want),
+        "join-of-views state must equal the recomputed join of the " +
+          "current source states")
+    }
+    append(dirL, 0, 30)
+    appendR(0, 20)
+    Seq(dirL, dirR).foreach(LakeSnapshots.commit(spark, _))
+    refreshSources()
+    assert(refreshJ().deltaRows > 0L)
+    gate()
+    // one-side-idle: only the LEFT table moves; the right view's idle
+    // refresh publishes an inherited generation with an empty feed
+    append(dirL, 30, 45)
+    LakeSnapshots.commit(spark, dirL)
+    refreshSources()
+    assert(refreshJ().deltaRows > 0L)
+    gate()
+    // retraction through the join: delete right-table rows
+    DeletionVectors.delete(spark, dirR, typesR, $"W" >= 20.0)
+    LakeSnapshots.commit(spark, dirR)
+    refreshSources()
+    assert(refreshJ().deltaRows > 0L)
+    gate()
+    // idle end-to-end
+    refreshSources()
+    assert(refreshJ().deltaRows == 0L)
+    gate()
+  }
+
+  test("distinct-count fold rules: exact across appends and a delete " +
+      "wave (touched-group recompute), coexisting with sums and " +
+      "extrema; untouched groups carry forward") {
+    val dir = tmp("dc") + "/t"
+    val view = tmp("dc") + "/v"
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G2"), Seq("Score"), minMaxCols = Seq("Score"),
+      distinctCols = Seq("G5"))
+    def gate(): Unit = {
+      val got = LakeView.read(spark, view)
+        .select($"G2", $"n", $"sum_Score", $"mn_Score", $"mx_Score",
+          $"dc_G5")
+        .orderBy("G2").collect().toSeq
+      val want = table(dir).groupBy("G2")
+        .agg(count(lit(1)).as("n"), sum($"Score").as("s"),
+          min($"Score").as("mn"), max($"Score").as("mx"),
+          countDistinct($"G5").as("dc"))
+        .orderBy("G2").collect().toSeq
+      assert(got == want, s"got $got, want $want")
+    }
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    assert(refresh().groupsChanged > 0L)
+    gate()
+    // delete a whole G5 slice: distinct counts must DROP (the
+    // non-invertible case a register-merge would get wrong)
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(5.0)) === 2.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    append(dir, 30, 42)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    assert(refresh().groupsChanged == 0L, "idle refresh must no-op")
+    gate()
+  }
+
+  test("kind guards: the wrong refresh form refuses with the recorded " +
+      "kind instead of failing deep in the fold") {
+    val dirL = tmp("kind") + "/tl"
+    val dirR = tmp("kind") + "/tr"
+    val v = tmp("kind") + "/v"
+    val typesR = "G5:singleLineText,Tag:singleLineText"
+    append(dirL, 0, 10)
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        lit("x").as("Tag"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dirR).mode("append").save()
+    Seq(dirL, dirR).foreach(LakeSnapshots.commit(spark, _))
+    // a composed view's outer aggregate marks {left,right} exactly like
+    // a join view — the kind field is what tells them apart
+    LakeView.refreshJoinAggregate(spark, v,
+      dirL, types, Seq("G5", "Score"),
+      dirR, typesR, Seq("G5", "Tag"),
+      keys = Seq("G5"), aggKeys = Seq("Tag"), aggSums = Seq("Score"))
+    val e = intercept[IllegalArgumentException] {
+      LakeView.refreshJoin(spark, v,
+        dirL, types, Seq("G5", "Score"),
+        dirR, typesR, Seq("G5", "Tag"), Seq("G5"))
+    }
+    assert(e.getMessage.contains("join_aggregate"),
+      s"the guard must name the recorded kind: ${e.getMessage}")
+    // and the aggregate guard catches a join target
+    val e2 = intercept[IllegalArgumentException] {
+      LakeView.refreshAggregate(spark, dirL, types, s"$v/inner",
+        Seq("G5"), Seq("Score"))
+    }
+    assert(e2.getMessage.contains("'join'"),
+      s"the guard must name the recorded kind: ${e2.getMessage}")
+  }
+
+  test("per-bucket bytes ride the pointer: steady adaptive refreshes " +
+      "take ZERO filesystem content-summary sweeps; a pointer with " +
+      "stripped bytes falls back to sweeping until restamped") {
+    val dir = tmp("bytes") + "/t"
+    val view = tmp("bytes") + "/v"
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G5"), Seq("Score")) // adaptive modulus — the path that sizes
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    refresh() // bootstrap (no pointer yet: no sizing either)
+    append(dir, 30, 60)
+    LakeSnapshots.commit(spark, dir)
+    val before = LakeView.contentSweeps.get()
+    refresh() // steady: sizes state from the pointer's recorded bytes
+    assert(LakeView.contentSweeps.get() == before,
+      "a steady refresh must not sweep the filesystem for state sizes")
+    // strip the bytes field (simulate a pre-upgrade pointer): the next
+    // refresh sweeps exactly the unstamped buckets, then restamps
+    val fs = new Path(view).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ptrFile = fs.listStatus(new Path(view)).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("_ptr-"))
+      .maxBy(_.getName)
+    val in = fs.open(ptrFile)
+    val raw = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(raw)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("bytes")
+    val out = fs.create(ptrFile, true)
+    out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    out.close()
+    append(dir, 60, 90)
+    LakeSnapshots.commit(spark, dir)
+    val b2 = LakeView.contentSweeps.get()
+    refresh()
+    assert(LakeView.contentSweeps.get() > b2,
+      "an unstamped pointer must fall back to sweeping")
+    append(dir, 90, 120)
+    LakeSnapshots.commit(spark, dir)
+    val b3 = LakeView.contentSweeps.get()
+    refresh() // restamped by the previous rewrite: steady again
+    assert(LakeView.contentSweeps.get() == b3,
+      "a rewrite must restamp its buckets (fallback decays to nothing)")
+  }
+}
