@@ -20,23 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM vacuum_lake('/lake/t')                  -- crash-debris sweep
   * }}}
   *
-  * Each executes when the statement is analyzed (command-at-resolution,
-  * the `table_changes`/`refresh_lake_view` contract) and returns a
-  * one-row report. The operations themselves are unchanged — same
-  * single-maintainer discipline, same conflict validation against the
-  * optimistic commit log, same crashed-swap recovery — so the SQL
-  * surface adds no new failure modes, only reach.
-  *
-  * CAVEAT of command-at-resolution: ANALYSIS-ONLY paths run the side
-  * effect too — `EXPLAIN SELECT * FROM optimize_lake(...)` compacts,
-  * a CACHE/CTAS whose outer statement later fails has still vacuumed,
-  * and a dry plan against a production table is not dry. Don't probe
-  * plans against tables you aren't prepared to maintain; every
-  * operation here is semantics-preserving (layout only), so the blast
-  * radius is wasted work, never changed answers — but refreshes DO
-  * advance view watermarks. Same contract as `table_changes`'
-  * resolution-time catalog reads, documented here because maintenance
-  * is the surface where users habitually EXPLAIN first. */
+  * Each resolves to a [[LakeCommand]] — a proper Catalyst command:
+  * executing the statement runs the operation exactly once and returns
+  * a one-row report (`spark.sql(...)` executes commands eagerly, so
+  * callers need no action), while ANALYSIS-ONLY paths are INERT —
+  * `EXPLAIN SELECT * FROM optimize_lake(...)` prints the plan and
+  * touches nothing (commands plan under `CommandExecutionMode.SKIP`),
+  * the same contract `EXPLAIN INSERT` has. Maintenance is the surface
+  * users habitually EXPLAIN first, which is why these were the nodes
+  * that most needed execution-time side effects. The operations
+  * themselves are unchanged — same single-maintainer discipline, same
+  * conflict validation against the optimistic commit log, same
+  * crashed-swap recovery — so the SQL surface adds no new failure
+  * modes, only reach. Argument-shape errors still surface at analysis
+  * (a malformed call is an analysis error, like a missing table). */
 object LakeMaintenance {
 
   /** Delta-ish default target: 128 MB output files. */
@@ -55,59 +52,54 @@ object LakeMaintenance {
       s"lake maintenance: $what must be an integer literal, got $other")
   }
 
-  private def oneRow(spark: SparkSession, schema: StructType,
-      row: Row): LogicalPlan =
-    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
-      .queryExecution.logical
-
   def optimizePlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 1 || args.length == 2,
       "optimize_lake(path[, targetBytes])")
     val path = strLit(args.head, "path")
     val target = args.lift(1).map(longLit(_, "targetBytes"))
       .getOrElse(DefaultTargetBytes)
-    val written =
-      graft.sources.v2.RecordCompaction.compact(spark, path, target)
-    oneRow(spark, StructType(Seq(
-      StructField("files_written", IntegerType, nullable = false))),
-      Row(written))
+    LakeCommand.oneRow("optimize_lake", StructType(Seq(
+      StructField("files_written", IntegerType, nullable = false)))) {
+      spark => Row(
+        graft.sources.v2.RecordCompaction.compact(spark, path, target))
+    }
   }
 
   def materializeDvsPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 1, "materialize_lake_dvs(path)")
-    val rewritten = graft.operators.DeletionVectors.materialize(
-      spark, strLit(args.head, "path"))
-    oneRow(spark, StructType(Seq(
-      StructField("files_rewritten", IntegerType, nullable = false))),
-      Row(rewritten))
+    val path = strLit(args.head, "path")
+    LakeCommand.oneRow("materialize_lake_dvs", StructType(Seq(
+      StructField("files_rewritten", IntegerType, nullable = false)))) {
+      spark => Row(graft.operators.DeletionVectors.materialize(spark, path))
+    }
   }
 
   def expireSnapshotsPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 2, "expire_lake_snapshots(path, keepLast)")
-    val expired = graft.operators.LakeSnapshots.expire(spark,
-      strLit(args.head, "path"), longLit(args(1), "keepLast").toInt)
-    oneRow(spark, StructType(Seq(
-      StructField("snapshots_expired", IntegerType, nullable = false))),
-      Row(expired))
+    val path = strLit(args.head, "path")
+    val keep = longLit(args(1), "keepLast").toInt
+    LakeCommand.oneRow("expire_lake_snapshots", StructType(Seq(
+      StructField("snapshots_expired", IntegerType, nullable = false)))) {
+      spark => Row(graft.operators.LakeSnapshots.expire(spark, path, keep))
+    }
   }
 
   def vacuumPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 1 || args.length == 2,
       "vacuum_lake(path[, commitLogKeepLast])")
-    val r = graft.operators.Vacuum.clean(spark, strLit(args.head, "path"),
-      args.lift(1).map(longLit(_, "commitLogKeepLast").toInt)
-        .getOrElse(1000))
-    oneRow(spark, StructType(Seq(
+    val path = strLit(args.head, "path")
+    val keep = args.lift(1).map(longLit(_, "commitLogKeepLast").toInt)
+      .getOrElse(1000)
+    LakeCommand.oneRow("vacuum_lake", StructType(Seq(
       StructField("markers_replayed", IntegerType, nullable = false),
       StructField("staging_dirs_removed", IntegerType, nullable = false),
       StructField("orphan_sidecars_removed", IntegerType, nullable = false),
       StructField("commit_entries_expired", IntegerType, nullable = false),
-      StructField("stale_tmp_swept", IntegerType, nullable = false))),
-      Row(r.markersReplayed, r.stagingDirsRemoved, r.orphanSidecarsRemoved,
-        r.commitEntriesExpired, r.staleTmpSwept))
+      StructField("stale_tmp_swept", IntegerType, nullable = false)))) {
+      spark =>
+        val r = graft.operators.Vacuum.clean(spark, path, keep)
+        Row(r.markersReplayed, r.stagingDirsRemoved,
+          r.orphanSidecarsRemoved, r.commitEntriesExpired, r.staleTmpSwept)
+    }
   }
 }

@@ -45,13 +45,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * (a silent redefinition would desync the persisted state from the
   * fold rules that built it).
   *
-  * `refresh_lake_view` runs the refresh when the statement is ANALYZED
-  * (spark.sql(...) analyzes eagerly) — command-at-resolution, the same
-  * contract as `table_changes`' catalog resolution — and returns one
-  * row: (kind, from_left, to_left, from_right, to_right, changed,
-  * from_third, to_third); aggregate views report their single window in
-  * the left slots with NULL rights, and only 'join3' fills the
-  * appended third-table slots. */
+  * `create_lake_view`/`drop_lake_view`/`refresh_lake_view` resolve to
+  * proper Catalyst COMMANDS ([[LakeCommand]]): executing the statement
+  * runs the work exactly once (`spark.sql(...)` executes commands
+  * eagerly — no caller change), while `EXPLAIN` is INERT — it prints
+  * the plan and advances no watermark, writes no definition (the
+  * `EXPLAIN INSERT` contract). Definition loading and argument-shape
+  * validation stay at analysis, like a missing table. The refresh
+  * returns one row: (kind, from_left, to_left, from_right, to_right,
+  * changed, from_third, to_third); aggregate-shaped views report their
+  * single window in the left slots with NULL rights, and only 'join3'
+  * fills the appended third-table slots. */
 object LakeViewSql {
 
   private val DefName = "_view.json"
@@ -110,11 +114,6 @@ object LakeViewSql {
     out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def oneRow(spark: SparkSession, schema: StructType,
-      row: Row): LogicalPlan =
-    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
-      .queryExecution.logical
-
   // ---- create_lake_view -------------------------------------------------
 
   private val createSchema = StructType(Seq(
@@ -122,7 +121,6 @@ object LakeViewSql {
     StructField("created", BooleanType, nullable = false)))
 
   def createPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length >= 2, "create_lake_view(viewPath, kind, ...)")
     val viewPath = strLit(args.head, "viewPath")
     val kind = strLit(args(1), "kind")
@@ -266,37 +264,39 @@ object LakeViewSql {
           s"'join_of_views', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
-    val dir = new Path(viewPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val defPath = new Path(dir, DefName)
-    val created =
-      if (fs.exists(defPath)) {
-        val existing = mapper.readTree(readFully(fs, defPath))
-        require(existing == mapper.readTree(json),
-          s"create_lake_view: $viewPath already holds a DIFFERENT " +
-            s"definition ($existing) — a view's fold rules are fixed at " +
-            "creation; use a new path")
-        false
-      } else {
-        fs.mkdirs(dir)
-        // temp-write + rename: a reader never sees a torn definition.
-        // The temp name is UNIQUE per attempt — a fixed name would let
-        // two racing creators overwrite each other's staged payload and
-        // rename the OTHER's definition into place as their own.
-        val tmp = new Path(dir,
-          s".$DefName.${java.util.UUID.randomUUID()}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(json.getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(tmp, defPath)) {
-          // lost a create race: verify the winner wrote the same thing
-          require(fs.exists(defPath) &&
-            mapper.readTree(readFully(fs, defPath)) == mapper.readTree(json),
-            s"create_lake_view: concurrent conflicting create at $viewPath")
-          fs.delete(tmp, false)
+    LakeCommand.oneRow("create_lake_view", createSchema) { spark2 =>
+      val dir = new Path(viewPath)
+      val fs = dir.getFileSystem(spark2.sparkContext.hadoopConfiguration)
+      val defPath = new Path(dir, DefName)
+      val created =
+        if (fs.exists(defPath)) {
+          val existing = mapper.readTree(readFully(fs, defPath))
+          require(existing == mapper.readTree(json),
+            s"create_lake_view: $viewPath already holds a DIFFERENT " +
+              s"definition ($existing) — a view's fold rules are fixed at " +
+              "creation; use a new path")
           false
-        } else true
-      }
-    oneRow(spark, createSchema, Row(kind, created))
+        } else {
+          fs.mkdirs(dir)
+          // temp-write + rename: a reader never sees a torn definition.
+          // The temp name is UNIQUE per attempt — a fixed name would let
+          // two racing creators overwrite each other's staged payload and
+          // rename the OTHER's definition into place as their own.
+          val tmp = new Path(dir,
+            s".$DefName.${java.util.UUID.randomUUID()}.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, defPath)) {
+            // lost a create race: verify the winner wrote the same thing
+            require(fs.exists(defPath) &&
+              mapper.readTree(readFully(fs, defPath)) == mapper.readTree(json),
+              s"create_lake_view: concurrent conflicting create at $viewPath")
+            fs.delete(tmp, false)
+            false
+          } else true
+        }
+      Row(kind, created)
+    }
   }
 
   // ---- drop_lake_view ---------------------------------------------------
@@ -309,21 +309,22 @@ object LakeViewSql {
     * refuses a path that exists but holds no definition — deleting a
     * directory this surface did not create is not a view drop. */
   def dropPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 1, "drop_lake_view(viewPath)")
     val viewPath = strLit(args.head, "viewPath")
-    val dir = new Path(viewPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dropped =
-      if (!fs.exists(dir)) false
-      else {
-        require(fs.exists(new Path(dir, DefName)),
-          s"drop_lake_view: $viewPath exists but holds no view " +
-            "definition — refusing to delete a directory this surface " +
-            "did not create")
-        fs.delete(dir, true)
-      }
-    oneRow(spark, dropSchema, Row(dropped))
+    LakeCommand.oneRow("drop_lake_view", dropSchema) { spark =>
+      val dir = new Path(viewPath)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dropped =
+        if (!fs.exists(dir)) false
+        else {
+          require(fs.exists(new Path(dir, DefName)),
+            s"drop_lake_view: $viewPath exists but holds no view " +
+              "definition — refusing to delete a directory this surface " +
+              "did not create")
+          fs.delete(dir, true)
+        }
+      Row(dropped)
+    }
   }
 
   // ---- refresh_lake_view ------------------------------------------------
@@ -341,17 +342,19 @@ object LakeViewSql {
     StructField("to_third", LongType, nullable = true)))
 
   def refreshPlan(args: Seq[Expression]): LogicalPlan = {
-    val spark = SparkSession.active
     require(args.length == 1, "refresh_lake_view(viewPath)")
     val viewPath = strLit(args.head, "viewPath")
-    val d = loadDef(spark, viewPath)
+    // the definition loads at ANALYSIS (a missing view is an analysis
+    // error, like a missing table); the refresh itself is command WORK
+    // and runs at execution — EXPLAIN advances no watermark
+    val d = loadDef(SparkSession.active, viewPath)
     import scala.jdk.CollectionConverters._
     def list(f: String): Seq[String] =
       Option(d.get(f)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
     def buckets: Int = Option(d.get("stateBuckets")).map(_.asInt())
       .getOrElse(graft.operators.LakeView.AutoBuckets)
-    val row = d.get("kind").asText() match {
+    def row(spark: SparkSession): Row = d.get("kind").asText() match {
       case "aggregate" =>
         val r = graft.operators.LakeView.refreshAggregate(spark,
           d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
@@ -421,7 +424,7 @@ object LakeViewSql {
           "expected 'aggregate', 'join', 'join_aggregate', 'join3', " +
           "'aggregate_over_view', or 'join_of_views' (damaged _view.json?)")
     }
-    oneRow(spark, refreshSchema, row)
+    LakeCommand.oneRow("refresh_lake_view", refreshSchema)(row)
   }
 
   // ---- lake_view (read) -------------------------------------------------

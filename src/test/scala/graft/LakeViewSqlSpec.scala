@@ -239,6 +239,59 @@ class LakeViewSqlSpec extends SparkSpec {
     assert(new java.io.File(foreign, "data.txt").exists())
   }
 
+  test("EXPLAIN of side-effecting TVFs is INERT: no layout change, no " +
+      "watermark advance, no definition write — while plain execution " +
+      "still runs the work exactly once") {
+    val base = Files.createTempDirectory("graft_vsql_ex").toString
+    val dir = s"$base/t"; val view = s"$base/v"; val fresh = s"$base/w"
+    append(dir, 0, 10)
+    append(dir, 10, 20)
+    append(dir, 20, 30)
+    LakeSnapshots.commit(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir)).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".jsonl"))
+    assert(dataFiles() == 3)
+    // EXPLAIN a compaction: the plan prints, the layout stands still
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM optimize_lake('$dir')")
+      .collect()(0).getString(0)
+    assert(plan.contains("LakeCommand(optimize_lake)"),
+      s"the command node must be visible in the plan: $plan")
+    assert(dataFiles() == 3, "EXPLAIN must not compact")
+    // EXPLAIN a refresh: the view's watermark stands still
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+         |  '$dir', '$types', 'Grp', 'Score')""".stripMargin).collect()
+    spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()
+    val gen = LakeView.currentGeneration(spark, view)
+    append(dir, 30, 40)
+    LakeSnapshots.commit(spark, dir)
+    spark.sql(s"EXPLAIN SELECT * FROM refresh_lake_view('$view')")
+      .collect()
+    assert(LakeView.currentGeneration(spark, view) == gen,
+      "EXPLAIN must not advance the view")
+    // EXPLAIN a create: no definition lands
+    spark.sql(
+      s"""EXPLAIN SELECT * FROM create_lake_view('$fresh', 'aggregate',
+         |  '$dir', '$types', 'Grp', 'Score')""".stripMargin).collect()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$fresh/_view.json")),
+      "EXPLAIN must not write a definition")
+    // and plain execution still does the work, exactly once per call
+    val r = spark.sql(s"SELECT * FROM refresh_lake_view('$view')")
+      .collect()(0)
+    assert(r.getLong(5) > 0L, "the real refresh must fold the append")
+    assert(LakeView.currentGeneration(spark, view) == gen + 1)
+    // compaction refuses files live manifests pin — expire them first
+    // (the expire TVF is itself one of the commands under test)
+    spark.sql(s"SELECT * FROM expire_lake_snapshots('$dir', 0)").collect()
+    assert(spark.sql(s"SELECT * FROM optimize_lake('$dir')")
+      .collect()(0).getInt(0) == 1)
+    assert(dataFiles() == 1, "the real call must compact")
+  }
+
   test("argument shape errors are loud: non-literal args, bad kind, " +
       "wrong arity") {
     val e1 = intercept[Exception](spark.sql(
