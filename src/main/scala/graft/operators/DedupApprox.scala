@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupApprox {
 
+  /** Default cap for [[prefixFilterPairsTokens]]'s candidate-pair
+    * forecast fence (~8.6e9): far above any legitimate single-corpus
+    * exact-join run here, far below the quadratic blowup a
+    * boilerplate-heavy crawl produces. Overridable per session via
+    * `spark.graft.prefixJoin.maxCandidatePairs`. */
+  val MaxCandidatePairs: Long = 1L << 33
+
   /** Exact dedup by content hash: keep the smallest id per normalized-text
     * group. groupBy(hash) with map-side partial aggregation — one shuffle
     * on a uniformly distributed key. */
@@ -491,6 +498,32 @@ object DedupApprox {
     val prefixes = sets.select(col("sid"), col("n"),
       posexplode(slice(col("toks"), lit(1), prefixLen.cast("int"))))
       .select(col("sid"), col("n"), col("pos").as("p"), col("col").as("h"))
+    // PAIR-VOLUME FENCE: this join is output-quadratic in duplication
+    // density BY DESIGN (an exact all-pairs result cannot be smaller
+    // than the true pair volume), so a boilerplate-heavy corpus must
+    // refuse LOUDLY before the candidate join materializes — the
+    // forecast is the q144 machinery (sum over shared prefix tokens of
+    // cnt·(cnt−1)/2, decimal-routed), computed from per-token counts
+    // without running the join. An over-budget corpus should run the
+    // SAMPLED exactness auditor ([[auditRecall]], q256 — fixed budget,
+    // flat in corpus size) instead, or raise the cap deliberately.
+    val maxCand = docs.sparkSession.conf
+      .getOption("spark.graft.prefixJoin.maxCandidatePairs")
+      .map(_.toLong).getOrElse(MaxCandidatePairs)
+    val estCand = prefixes.groupBy(col("h"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).as("pairs"))
+      .collect()(0).getDecimal(0)
+    if (estCand != null &&
+        estCand.compareTo(new java.math.BigDecimal(maxCand)) > 0)
+      throw new IllegalStateException(
+        s"prefix-filter join refused: forecast candidate pair volume " +
+          s"~$estCand exceeds the cap $maxCand (the corpus is too " +
+          s"duplication-dense for an exact all-pairs join at threshold " +
+          s"$threshold). Run the sampled exactness auditor instead " +
+          "(DedupApprox.auditRecall — fixed budget, flat in corpus " +
+          "size), or raise spark.graft.prefixJoin.maxCandidatePairs " +
+          "if the cluster can really verify that many pairs")
     // PPJoin positional filter: both arrays share the (df, h) total
     // order, so a pair's overlap tokens all sit at or after the shared
     // token's position on each side — overlap <= min(n_a - p_a, n_b -

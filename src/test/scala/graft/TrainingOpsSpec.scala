@@ -1178,6 +1178,39 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterPairs pair-volume fence: a duplication-dense corpus " +
+      "refuses LOUDLY before the candidate join, pointing at the " +
+      "sampled auditor; under the cap it runs unchanged") {
+    // 40 DISTINCT token sets all sharing their rare prefix tokens (the
+    // boilerplate shape: exact-set collapse cannot save this) — the
+    // candidate forecast is ~40·39/2 per shared token, over a cap of 10
+    val dense = (1 to 40).map(i =>
+      (i.toLong, s"shared1 shared2 shared3 shared4 uniq$i"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.prefixJoin.maxCandidatePairs", "10")
+    try {
+      val e = intercept[IllegalStateException](
+        DedupApprox.prefixFilterPairs(dense, "doc_id", "text", 0.6)
+          .collect())
+      assert(e.getMessage.contains("auditRecall") &&
+        e.getMessage.contains("maxCandidatePairs"),
+        s"the refusal must point at the sampled auditor and the cap: " +
+          s"${e.getMessage}")
+    } finally
+      spark.conf.unset("spark.graft.prefixJoin.maxCandidatePairs")
+    // default cap: same corpus runs and matches brute force
+    val got = DedupApprox.prefixFilterPairs(dense, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = dense.as("x").join(dense.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        DedupApprox.jaccard(col("x.text"), col("y.text"), k = 1).as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
   test("auditRecall: per-stratum sampled recall from exact in-sample counts") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", "a"),
