@@ -135,6 +135,108 @@ object ProfileLakeView {
     krefresh("1pct")
     krefresh("idle")
     t("kread_view")(graft.operators.LakeView.read(spark, kview).count())
+
+    // ---- q312-shaped JOIN3 + q309-shaped COMPOSED, with per-phase
+    // attribution from LakeView.phaseSink: where does a chained
+    // refresh's wall time actually go (delta jobs vs state write vs
+    // metadata)? ------------------------------------------------------
+    val phases = new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+    graft.operators.LakeView.phaseSink = (name, sec) =>
+      phases.merge(name, (1L, sec),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    def dumpPhases(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      phases.asScala.toSeq.sortBy(-_._2._2).foreach { case (n, (c, s)) =>
+        println(f"PROFILE   $tag.phase $n%-14s n=$c%-3d ${s}%.2fs")
+      }
+      phases.clear()
+    }
+
+    val profBuckets =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_BUCKETS", "0").toInt
+    val b3 = java.nio.file.Files.createTempDirectory("graft_plv3").toString
+    val (t0p, t1p, t2p, v3) = (s"$b3/f", s"$b3/d1", s"$b3/d2", s"$b3/v")
+    val nat = graft.sources.Sources.readTable(spark, sfDir, "nation")
+      .select(concat(lit("n"), col("n_nationkey").cast("string"))
+          .as("_record_id"),
+        col("n_nationkey").cast("double").as("NKey"),
+        col("n_name").as("NName"))
+    val cust3 = graft.sources.Sources.readTable(spark, sfDir, "customer")
+      .select(concat(lit("c"), col("c_custkey").cast("string"))
+          .as("_record_id"),
+        col("c_custkey").cast("double").as("CKey"),
+        col("c_nationkey").cast("double").as("NKey"))
+    def refresh3(tag: String) = {
+      t(s"j3refresh_$tag")(graft.operators.LakeView.refreshJoin3(spark, v3,
+        t0p, "OKey:number,CKey:number,Price:number",
+        Seq("CKey", "OKey", "Price"),
+        t1p, "CKey:number,NKey:number", Seq("CKey", "NKey"),
+        t2p, "NKey:number,NName:singleLineText", Seq("NKey", "NName"),
+        keys01 = Seq("CKey"), keys12 = Seq("NKey"),
+        stateBuckets = profBuckets))
+      dumpPhases(s"j3_$tag")
+    }
+    t("j3fixtures") {
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", t0p)
+        .option("dataFormat", "parquet").mode("append").save()
+      cust3.coalesce(1).write.format("graft-records").option("path", t1p)
+        .option("dataFormat", "parquet").mode("append").save()
+      nat.coalesce(1).write.format("graft-records").option("path", t2p)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(t0p, t1p, t2p).foreach(graft.operators.LakeSnapshots.commit(spark, _))
+    }
+    refresh3("boot")
+    t("j3append")(orders.filter(col("OKey") % 3 === 2).coalesce(1)
+      .write.format("graft-records").option("path", t0p)
+      .option("dataFormat", "parquet").mode("append").save())
+    t("j3snap")(graft.operators.LakeSnapshots.commit(spark, t0p))
+    refresh3("append")
+    t("j3del_mid")(graft.operators.DeletionVectors.delete(spark, t1p,
+      "CKey:number,NKey:number", col("CKey") % 7 === 0))
+    t("j3snap2")(graft.operators.LakeSnapshots.commit(spark, t1p))
+    refresh3("mid_del")
+    t("j3del_dim")(graft.operators.DeletionVectors.delete(spark, t2p,
+      "NKey:number,NName:singleLineText", col("NKey") % 5 === 2))
+    t("j3snap3")(graft.operators.LakeSnapshots.commit(spark, t2p))
+    refresh3("dim_del")
+    refresh3("idle")
+
+    // composed (q309 shape, filters + extrema elided for the cost core)
+    val bc = java.nio.file.Files.createTempDirectory("graft_plvc").toString
+    val (clt, crt, cv) = (s"$bc/l", s"$bc/r", s"$bc/v")
+    def crefresh(tag: String) = {
+      t(s"crefresh_$tag")(graft.operators.LakeView.refreshJoinAggregate(
+        spark, cv,
+        clt, ltypes, Seq("CKey", "OKey", "Price"),
+        crt, rtypes, Seq("CKey", "Seg"), Seq("CKey"),
+        aggKeys = Seq("Seg"),
+        aggSums = Seq("price:CAST(Price AS DECIMAL(18,2))"),
+        minMaxCols = sys.env.get("SPARK_GRAFT_PROFILE_MINMAX")
+          .map(_ => Seq("Price")).getOrElse(Seq.empty),
+        stateBuckets = profBuckets))
+      dumpPhases(s"c_$tag")
+    }
+    t("cfixtures") {
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", clt)
+        .option("dataFormat", "parquet").mode("append").save()
+      cust.coalesce(1).write.format("graft-records").option("path", crt)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(clt, crt).foreach(graft.operators.LakeSnapshots.commit(spark, _))
+    }
+    crefresh("boot")
+    t("cappend")(orders.filter(col("OKey") % 3 === 2).coalesce(1)
+      .write.format("graft-records").option("path", clt)
+      .option("dataFormat", "parquet").mode("append").save())
+    t("csnap")(graft.operators.LakeSnapshots.commit(spark, clt))
+    crefresh("append")
+    t("cdel")(graft.operators.DeletionVectors.delete(spark, crt, rtypes,
+      col("CKey") % 5 === 0))
+    t("csnap2")(graft.operators.LakeSnapshots.commit(spark, crt))
+    crefresh("del")
+    crefresh("idle")
+    graft.operators.LakeView.phaseSink = null
     spark.stop()
   }
 }

@@ -242,7 +242,7 @@ object LakeView {
       marks: Map[String, Long], dataDir: Option[String],
       buckets: Map[Int, String], mod: Option[Int] = None,
       kind: Option[String] = None,
-      bytes: Map[Int, Long] = Map.empty): Unit = {
+      bytes: Map[Int, Long] = Map.empty): Unit = phase("publish") {
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new ObjectMapper()
@@ -331,7 +331,7 @@ object LakeView {
       case Some(p) =>
         val paths = p.dir.map(d => Seq(s"$viewPath/$d"))
           .getOrElse(p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
-        spark.read.parquet(paths: _*)
+        phase("read.plan")(spark.read.parquet(paths: _*))
       case None => throw new IllegalStateException(
         s"no materialized view at $viewPath — refreshAggregate first")
     }
@@ -523,10 +523,17 @@ object LakeView {
       val cur = read(spark, sourceViewPath, Some(head))
       filtered(if (srcZ) cur.filter(col("m") > 0) else cur)
     }
+    // a source view under the single-bucket bound makes the rescan
+    // bounded — the fold may recompute all groups in one job
+    val srcBounded = readPointer(spark, sourceViewPath).exists { p =>
+      val sfs = new Path(sourceViewPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      stateBytes(sfs, sourceViewPath, p) <= AutoBucketBytes
+    }
     val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
       sumCols.map(parseSum), minMaxCols, rescan,
       Map("srcgen" -> head), stateBuckets, "aggregate_over_view",
-      distinctCols)
+      distinctCols, rescanBounded = srcBounded)
     Refresh(from, head, changed)
   }
 
@@ -597,17 +604,35 @@ object LakeView {
     JoinRefresh(wl, headL, wr, headR, deltaRows)
   }
 
-  private def tableHead(spark: SparkSession, tablePath: String): Long = {
-    val tdir = new Path(tablePath)
-    // headVersion: tolerant of a conflicting committer WITHDRAWING a
-    // just-listed manifest (the version number burns; re-listing heals)
-    graft.sources.v2.Snapshots
-      .headVersion(tdir.getFileSystem(
-        spark.sparkContext.hadoopConfiguration), tdir)
-      .getOrElse(throw new IllegalStateException(
-        s"table $tablePath has no snapshots — LakeSnapshots.commit " +
-          "first (the view watermarks on snapshot versions)"))
-  }
+  private def tableHead(spark: SparkSession, tablePath: String): Long =
+    phase("head") {
+      val tdir = new Path(tablePath)
+      // headVersion: tolerant of a conflicting committer WITHDRAWING a
+      // just-listed manifest (the version number burns; re-listing heals)
+      graft.sources.v2.Snapshots
+        .headVersion(tdir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration), tdir)
+        .getOrElse(throw new IllegalStateException(
+          s"table $tablePath has no snapshots — LakeSnapshots.commit " +
+            "first (the view watermarks on snapshot versions)"))
+    }
+
+  /** The RAW (un-netted) CDC feed of `(fromV, toV]` — the fold paths
+    * read this instead of [[LakeChangelog.changes]] because every fold
+    * is LINEAR in the delta: the aggregate fold's own group-by and the
+    * join fold's final consolidate subsume content-level netting, so
+    * paying `changes`' groupBy-all-columns shuffle up front would be a
+    * pure extra stage per delta side per refresh. Multi-version windows
+    * still net early where churn can actually cancel (the existing
+    * joinDeltaBetween optimization). */
+  private def rawChanges(spark: SparkSession, path: String,
+      fieldTypes: String, fromV: Long, toV: Long): DataFrame =
+    spark.read.format("graft-records")
+      .option("path", path).option("fieldTypes", fieldTypes)
+      .option("cdc", "true")
+      .option("startingVersion", fromV.toString)
+      .option("endingVersion", toV.toString)
+      .load()
 
   /** Null-safe equi-join condition on `keys` between `l` and `r` —
     * USING-joins and plain `===` never match NULL key values, which
@@ -621,6 +646,22 @@ object LakeView {
     * steady path reads sizes from the pointer and never sweeps). */
   private[graft] val contentSweeps =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Dev profiling sink: when set (ProfileLakeView), every internal
+    * phase reports its wall time; nil by default — one volatile read
+    * per phase on the production path. */
+  @volatile private[graft] var phaseSink: (String, Double) => Unit = null
+
+  @inline private def phase[T](name: String)(f: => T): T = {
+    val sink = phaseSink
+    if (sink == null) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      sink(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+  }
 
   /** Persisted bytes of the state a pointer references: recorded
     * per-bucket sizes from the pointer where present (inherited buckets
@@ -656,14 +697,27 @@ object LakeView {
     val bucketExpr = pmod(xxhash64(keyCols.map(col): _*),
       lit(effective.toLong)).cast("int")
     val dataDir = s"data-g$gen"
-    val laid = rows.withColumn("_bucket", bucketExpr)
-    (if (effective == 1) laid.coalesce(1)
-     else laid.repartition(math.min(effective, 200), col("_bucket")))
-      .write.partitionBy("_bucket").mode("overwrite")
-      .parquet(s"$viewPath/$dataDir")
+    phase("land.write")(
+      if (effective == 1)
+        // single-bucket: write the consolidated state straight into its
+        // bucket dir — no dynamic-partition machinery (whose write-side
+        // sort is pure overhead for one constant partition value), and
+        // repartition(1) (not coalesce) keeps the upstream merge
+        // aggregation PARALLEL: coalesce(1) would fuse the final
+        // aggregate into the single write task, serializing the whole
+        // fold behind one core (measured ~2× the refresh wall time on
+        // the composed/join3 chains)
+        rows.repartition(1).write.mode("overwrite")
+          .parquet(s"$viewPath/$dataDir/_bucket=0")
+      else
+        rows.withColumn("_bucket", bucketExpr)
+          .repartition(math.min(effective, 200), col("_bucket"))
+          .write.partitionBy("_bucket").mode("overwrite")
+          .parquet(s"$viewPath/$dataDir"))
     // what actually landed, with per-bucket bytes off the SAME listing
     // (recorded in the pointer so the growth check never sweeps)
     val landedBytes = scala.collection.mutable.Map.empty[Int, Long]
+    phase("land.list") {
     val files = fs.listFiles(new Path(s"$viewPath/$dataDir"), true)
     while (files.hasNext) {
       val st = files.next()
@@ -673,6 +727,7 @@ object LakeView {
         val k = parent.stripPrefix("_bucket=").toInt
         landedBytes.update(k, landedBytes.getOrElse(k, 0L) + st.getLen)
       }
+    }
     }
     val present = landedBytes.keysIterator
       .map(k => k -> s"$dataDir/_bucket=$k").toMap
@@ -733,7 +788,7 @@ object LakeView {
     def filtered(df: DataFrame): DataFrame =
       rowFilter.fold(df)(f => df.where(expr(f)))
     val delta = filtered(
-      LakeChangelog.changes(spark, tablePath, fieldTypes, from, head))
+      rawChanges(spark, tablePath, fieldTypes, from, head))
     def rescan: DataFrame = filtered(spark.read.format("graft-records")
       .option("path", tablePath).option("fieldTypes", fieldTypes)
       .option("versionAsOf", head.toString).load())
@@ -778,7 +833,8 @@ object LakeView {
       sums: Seq[SumSpec], minMaxCols: Seq[String],
       rescanSource: => DataFrame, marks: Map[String, Long],
       stateBuckets: Int, kind: String,
-      distinctCols: Seq[String] = Seq.empty): Long = {
+      distinctCols: Seq[String] = Seq.empty,
+      rescanBounded: Boolean = false): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // cached: the folded delta feeds the merge join, the touched-group
@@ -804,16 +860,130 @@ object LakeView {
     val sumType: Map[String, org.apache.spark.sql.types.DataType] =
       sums.map(sp =>
         sp.alias -> deltaAgg.schema(s"dsum_${sp.alias}").dataType).toMap
+    def mergeAdditive(deltaGrouped: DataFrame, old: DataFrame): DataFrame = {
+      // delta keys ride under _d_ names so the null-safe join condition
+      // and the coalesced output keys stay unambiguous
+      val deltaR = deltaGrouped.select(
+        keyCols.map(k => col(k).as(s"_d_$k")) ++
+          (col("dn") +: sums.map(sp => col(s"dsum_${sp.alias}"))): _*)
+      val joined = old.join(deltaR,
+        keyCols.map(k => old(k) <=> deltaR(s"_d_$k")).reduce(_ && _), "full")
+      joined.select(
+        keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++ Seq(
+          (coalesce(col("n"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n")) ++
+        sums.map { sp =>
+          val z = lit(0).cast(sumType(sp.alias))
+          (coalesce(col(s"sum_${sp.alias}"), z) +
+            coalesce(col(s"dsum_${sp.alias}"), z))
+            .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
+        } ++
+        minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
+        distinctCols.map(c => col(s"dc_$c")): _*)
+        .filter(col("n") > 0)
+    }
+    // rescan-merge: additive state joined with per-group recomputed
+    // extrema/distinct counts. `hintGate = Some(changed)` is the
+    // two-phase shape — the semi-join prune with the count-gated
+    // broadcast hint (runtime-filter pushdown into a BIG rescan source
+    // needs the forced broadcast, and forcing it is only safe under the
+    // key-count gate). `hintGate = None` skips the prune entirely and
+    // recomputes EVERY group — correct always, and the right plan when
+    // the rescan source is a maintained state under the single-bucket
+    // bound (pruning a few-MB scan buys nothing; dropping the gate
+    // frees the fold from needing the count before the write).
+    def mergeWithRescan(deltaGrouped: DataFrame, old: DataFrame,
+        hintGate: Option[Long]): DataFrame = {
+      val additive = mergeAdditive(deltaGrouped, old)
+      val live = rescanSource
+      val pruned = hintGate match {
+        case Some(changed) =>
+          def hinted(df: DataFrame): DataFrame =
+            if (changed <= broadcastLimit(spark)) broadcast(df) else df
+          val touched = deltaGrouped.select(keyCols.map(col): _*)
+          live.join(hinted(touched),
+            nullSafeOn(live, touched, keyCols), "left_semi")
+        case None => live
+      }
+      def maybeHint(df: DataFrame): DataFrame = hintGate match {
+        case Some(changed) if changed <= broadcastLimit(spark) =>
+          broadcast(df)
+        case _ => df
+      }
+      val rescanAggs = minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"_mn_new_$c"),
+            max(col(c)).as(s"_mx_new_$c"))) ++
+        distinctCols.map(c => countDistinct(col(c)).as(s"_dc_new_$c"))
+      val rescanned = pruned.groupBy(keyCols.map(col): _*)
+        .agg(lit(true).as("_touched"), rescanAggs: _*)
+        .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
+          (col("_touched") +: (minMaxCols.flatMap(c =>
+            Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c"))) ++
+            distinctCols.map(c => col(s"_dc_new_$c")))): _*)
+      val j = additive.join(maybeHint(rescanned),
+        keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
+          .reduce(_ && _), "left")
+      // a touched group takes its recomputed extrema even when they
+      // are NULL (all surviving values null); an untouched group
+      // keeps its old ones — coalesce alone would wrongly resurrect
+      // a deleted minimum. Distinct counts follow the same rule
+      // (a touched group with only NULL values recomputes to 0).
+      j.select(keyCols.map(col) ++
+        Seq(col("n")) ++ sums.map(sp => col(s"sum_${sp.alias}")) ++
+        minMaxCols.flatMap(c => Seq(
+          when(col("_touched"), col(s"_mn_new_$c"))
+            .otherwise(col(s"mn_$c")).as(s"mn_$c"),
+          when(col("_touched"), col(s"_mx_new_$c"))
+            .otherwise(col(s"mx_$c")).as(s"mx_$c"))) ++
+        distinctCols.map(c =>
+          when(col("_touched"), col(s"_dc_new_$c"))
+            .otherwise(col(s"dc_$c")).as(s"dc_$c")): _*)
+    }
+    val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty
+    if ((additiveOnly || rescanBounded) &&
+        fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
+      // FUSED single-bucket fold: one job, the changed-group count
+      // observed on the write. Pure-additive folds qualify outright;
+      // rescan folds qualify when the CALLER vouches the rescan source
+      // is bounded (a maintained state under the single-bucket growth
+      // bound) — then every group recomputes and no count is needed
+      // before the write. Zero-change windows roll back like the join
+      // form.
+      val p = ptr.get
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = deltaAgg.observe(obs, count(lit(1)).as("groups"))
+      val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+      val old = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
+        sumType, minMaxCols, distinctCols)
+      else spark.read.parquet(oldPaths: _*)
+      val gen = p.gen + 1
+      val bytes = landSingle(spark, fs, viewPath, gen,
+        if (additiveOnly) mergeAdditive(observed, old)
+        else mergeWithRescan(observed, old, None))
+      // AQE's empty-relation propagation PRUNES the CollectMetrics node
+      // exactly when the observed delta turned out runtime-empty (an
+      // all-filtered churn window) — a missing key therefore MEANS zero
+      val changed = obs.get.getOrElse("groups", 0L).asInstanceOf[Long]
+      if (changed == 0L) {
+        fs.delete(new Path(s"$viewPath/data-g$gen"), true)
+        publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
+          Some(kind), p.bytes)
+      } else
+        publish(spark, viewPath, gen, marks, None,
+          Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
+          Map(0 -> bytes))
+      return changed
+    }
     // ONE job computes the changed-group count AND the touched-bucket
     // set: per-bucket group counts under the modulus that WILL apply if
     // no migration happens (migration paths never consult `touched`)
     val groupMod: Int =
       if (stateBuckets > 0) stateBuckets
       else ptr.flatMap(_.mod).getOrElse(DefaultBuckets)
-    val bucketCounts: Map[Int, Long] = deltaAgg
+    val bucketCounts: Map[Int, Long] = phase("afold.counts")(deltaAgg
       .groupBy(pmod(xxhash64(keyCols.map(col): _*), lit(groupMod.toLong))
         .cast("int").as("_b"))
-      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val changed: Long = bucketCounts.values.sum
     if (changed == 0L && ptr.isDefined) {
       // nothing to fold: advance the watermark on the INHERITED state
@@ -852,15 +1022,8 @@ object LakeView {
           if (changed >= AutoBucketRows) DefaultBuckets else 1
       }
     val touchedSet: Set[Int] = bucketCounts.keySet
-    def emptyState: DataFrame = {
-      val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
-        sums.map(sp =>
-          lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
-        minMaxCols.flatMap(c =>
-          Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c"))) ++
-        distinctCols.map(c => lit(0L).as(s"dc_$c"))
-      delta.limit(0).select(empty: _*)
-    }
+    def emptyState: DataFrame =
+      emptyStateOf(delta, keyCols, sums, sumType, minMaxCols, distinctCols)
     // old state restricted to the touched buckets — by construction a
     // bucketed pointer's untouched buckets cannot change; a legacy
     // whole-dir pointer, or one written under a DIFFERENT modulus,
@@ -882,72 +1045,15 @@ object LakeView {
           p.buckets.filterNot { case (k, _) => touchedSet(k) })
       case None => (emptyState, Map.empty[Int, String])
     }
-    // delta keys ride under _d_ names so the null-safe join condition
-    // and the coalesced output keys stay unambiguous
-    val deltaR = deltaAgg.select(
-      keyCols.map(k => col(k).as(s"_d_$k")) ++
-        (col("dn") +: sums.map(sp => col(s"dsum_${sp.alias}"))): _*)
-    val joined = old.join(deltaR,
-      keyCols.map(k => old(k) <=> deltaR(s"_d_$k")).reduce(_ && _), "full")
-    val additive = joined.select(
-      keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++ Seq(
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n")) ++
-      sums.map { sp =>
-        val z = lit(0).cast(sumType(sp.alias))
-        (coalesce(col(s"sum_${sp.alias}"), z) +
-          coalesce(col(s"dsum_${sp.alias}"), z))
-          .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
-      } ++
-      minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
-      distinctCols.map(c => col(s"dc_$c")): _*)
-      .filter(col("n") > 0)
-
+    // extrema and distinct counts: deletes are non-invertible, so
+    // recompute exactly the groups the delta touched from the view's
+    // row population AT the new watermark, pruned to those groups by a
+    // null-safe semi join (mergeWithRescan above) — cost ∝ touched
+    // groups' rows, not the table (untouched groups' populations
+    // cannot have changed, so their stored values stay exact).
     val merged =
-      if (minMaxCols.isEmpty && distinctCols.isEmpty) additive
-      else {
-        // extrema and distinct counts: deletes are non-invertible, so
-        // recompute exactly the groups the delta touched from the
-        // view's row population AT the new watermark, pruned to those
-        // groups by a null-safe semi join — cost ∝ touched groups'
-        // rows, not the table (untouched groups' populations cannot
-        // have changed, so their stored values stay exact). The
-        // broadcast hint applies only under the key-count gate (an
-        // unbounded bootstrap delta falls back to a shuffled join).
-        def hinted(df: DataFrame): DataFrame =
-          if (changed <= broadcastLimit(spark)) broadcast(df) else df
-        val touched = deltaAgg.select(keyCols.map(col): _*)
-        val live = rescanSource
-        val pruned = live.join(hinted(touched),
-          nullSafeOn(live, touched, keyCols), "left_semi")
-        val rescanAggs = minMaxCols.flatMap(c =>
-            Seq(min(col(c)).as(s"_mn_new_$c"),
-              max(col(c)).as(s"_mx_new_$c"))) ++
-          distinctCols.map(c => countDistinct(col(c)).as(s"_dc_new_$c"))
-        val rescanned = pruned.groupBy(keyCols.map(col): _*)
-          .agg(lit(true).as("_touched"), rescanAggs: _*)
-          .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
-            (col("_touched") +: (minMaxCols.flatMap(c =>
-              Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c"))) ++
-              distinctCols.map(c => col(s"_dc_new_$c")))): _*)
-        val j = additive.join(hinted(rescanned),
-          keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
-            .reduce(_ && _), "left")
-        // a touched group takes its recomputed extrema even when they
-        // are NULL (all surviving values null); an untouched group
-        // keeps its old ones — coalesce alone would wrongly resurrect
-        // a deleted minimum. Distinct counts follow the same rule
-        // (a touched group with only NULL values recomputes to 0).
-        j.select(keyCols.map(col) ++
-          Seq(col("n")) ++ sums.map(sp => col(s"sum_${sp.alias}")) ++
-          minMaxCols.flatMap(c => Seq(
-            when(col("_touched"), col(s"_mn_new_$c"))
-              .otherwise(col(s"mn_$c")).as(s"mn_$c"),
-            when(col("_touched"), col(s"_mx_new_$c"))
-              .otherwise(col(s"mx_$c")).as(s"mx_$c"))) ++
-          distinctCols.map(c =>
-            when(col("_touched"), col(s"_dc_new_$c"))
-              .otherwise(col(s"dc_$c")).as(s"dc_$c")): _*)
-      }
+      if (additiveOnly) mergeAdditive(deltaAgg, old)
+      else mergeWithRescan(deltaAgg, old, Some(changed))
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
       merged, keyCols, effective, inherited, marks, kind,
       ptr.map(_.bytes).getOrElse(Map.empty))
@@ -997,7 +1103,7 @@ object LakeView {
       val d =
         if (head == w) old.where(lit(false))
         else {
-          val raw = keep(LakeChangelog.changes(spark, path, types, w, head))
+          val raw = keep(rawChanges(spark, path, types, w, head))
             .select((cols.map(col) :+ col("m")): _*)
           if (head - w > 1) IncrementalAgg.consolidate(raw) else raw
         }
@@ -1013,12 +1119,104 @@ object LakeView {
   /** Fold a (checkpointed) signed join `delta` into the hash-bucketed
     * Z-relation state at `viewPath`. Returns the (un-netted) delta row
     * count. */
+  /** Executor for the CONCURRENT level folds of chained views (join3,
+    * join_aggregate): the two levels' Spark jobs are independent — the
+    * outer level consumes the PRE-fold inner state and the checkpointed
+    * delta, never the inner fold's output — so they overlap on the
+    * cluster's slack instead of serializing two ~equal-sized jobs.
+    * Daemon threads; shared cached deltas dedupe at the block-manager
+    * level (the second job waits on the block, never recomputes). */
+  private lazy val foldEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "lakeview-fold")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Schema-bearing empty aggregate state (bootstrap's "old" side). */
+  private def emptyStateOf(delta: DataFrame, keyCols: Seq[String],
+      sums: Seq[SumSpec],
+      sumType: Map[String, org.apache.spark.sql.types.DataType],
+      minMaxCols: Seq[String], distinctCols: Seq[String]): DataFrame = {
+    val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
+      sums.map(sp =>
+        lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
+      minMaxCols.flatMap(c =>
+        Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c"))) ++
+      distinctCols.map(c => lit(0L).as(s"dc_$c"))
+    delta.limit(0).select(empty: _*)
+  }
+
+  /** True when a steady refresh of this pointer resolves to modulus 1
+    * and stays there — the precondition for the FUSED one-job fold
+    * (the per-bucket count pass exists only to prune the old-state
+    * read, and a single-bucket pointer has nothing to prune). Pinned
+    * modulus 1 qualifies outright; adaptive qualifies while the
+    * recorded state bytes stay under the growth bound. */
+  private def fusedMod1(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, viewPath: String,
+      ptr: Option[Pointer], stateBuckets: Int): Boolean =
+    ptr.exists(p => p.dir.isEmpty && p.mod.contains(1) &&
+      (stateBuckets == 1 ||
+        (stateBuckets == AutoBuckets &&
+          stateBytes(fs, viewPath, p) <= AutoBucketBytes)))
+
+  /** Land `rows` as generation `gen`'s SINGLE bucket and return its
+    * byte size off the landing listing (the fused fold's write step —
+    * same layout [[landBuckets]]'s modulus-1 branch produces). */
+  private def landSingle(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, viewPath: String, gen: Long,
+      rows: DataFrame): Long = {
+    val dataDir = s"data-g$gen"
+    phase("land.write")(
+      rows.repartition(1).write.mode("overwrite")
+        .parquet(s"$viewPath/$dataDir/_bucket=0"))
+    phase("land.list") {
+      fs.listStatus(new Path(s"$viewPath/$dataDir/_bucket=0"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    }
+  }
+
   private def foldJoinState(spark: SparkSession, viewPath: String,
       ptr: Option[Pointer], delta: DataFrame, keys: Seq[String],
       stateBuckets: Int, marks: Map[String, Long],
       kind: String): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    if (fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
+      // FUSED single-bucket fold: ONE Spark job — the delta row count
+      // rides the WRITE job as an observed metric instead of paying a
+      // second action's plan/schedule/shuffle fixed cost (measured
+      // ~25-40% of a steady composed/join3 refresh). A zero-delta
+      // window is detected AFTER the write (rare — idle windows
+      // short-circuit before the fold) and rolls the orphan directory
+      // back, publishing the inherited state exactly like the
+      // two-phase path.
+      val p = ptr.get
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = delta.observe(obs, count(lit(1)).as("rows"))
+      val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+      val old = if (oldPaths.isEmpty) delta.limit(0)
+        else spark.read.parquet(oldPaths: _*)
+      val rewrite = IncrementalAgg.consolidate(old.unionByName(observed))
+      val gen = p.gen + 1
+      val bytes = landSingle(spark, fs, viewPath, gen, rewrite)
+      // missing key = the metrics node was pruned by AQE's
+      // empty-relation propagation = the delta was runtime-empty
+      val deltaRows = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
+      if (deltaRows == 0L) {
+        fs.delete(new Path(s"$viewPath/data-g$gen"), true)
+        publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
+          Some(kind), p.bytes)
+      } else
+        publish(spark, viewPath, gen, marks, None,
+          Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
+          Map(0 -> bytes))
+      return deltaRows
+    }
     // ONE job computes the delta row count AND the touched-bucket set:
     // per-bucket counts under the modulus that WILL apply if no
     // migration happens (migration paths below never consult `touched`
@@ -1027,10 +1225,10 @@ object LakeView {
     val groupMod: Int =
       if (stateBuckets > 0) stateBuckets
       else ptr.flatMap(_.mod).getOrElse(DefaultBuckets)
-    val bucketCounts: Map[Int, Long] = delta
+    val bucketCounts: Map[Int, Long] = phase("jfold.counts")(delta
       .groupBy(pmod(xxhash64(keys.map(col): _*), lit(groupMod.toLong))
         .cast("int").as("_b"))
-      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val deltaRows: Long = bucketCounts.values.sum
     if (deltaRows == 0L && ptr.isDefined) {
       // nothing to fold (e.g. every changed row excluded by a side
@@ -1243,29 +1441,49 @@ object LakeView {
       cached += d
       d
     }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    var innerF: Future[Long] = null
     try {
     // capture the inner's PRE-FOLD state paths before folding it (the
     // superseded generation stays readable through one flip)
     val innerPreFold: Option[DataFrame] =
       iptr.map(_ => read(spark, innerPath))
-    // level 1: fold the inner pair
+    // level 1: fold the inner pair — CONCURRENTLY with level 2, whose
+    // steady path consumes only the pre-fold state and the checkpointed
+    // delta. Either level may therefore publish first: a crash leaves
+    // the OTHER level one window behind, and both lags self-heal — a
+    // lagging root recomputes its window from the tables' changelog
+    // (below); a lagging inner simply folds its window on the next
+    // refresh while the root's side reads idle. Both levels are
+    // deterministic functions of the snapshot history, so the healed
+    // states are exactly the crash-free ones.
     val deltaI: Option[DataFrame] =
       if (w0i == h0 && w1i == h1) None else Some(innerDeltaFor(w0i, w1i))
-    val innerDeltaRows = deltaI.map(d => foldJoinState(spark, innerPath,
-      iptr, d, keys01, stateBuckets,
-      Map("left" -> h0, "right" -> h1), "join")).getOrElse(0L)
+    innerF = deltaI match {
+      case Some(d) => Future(foldJoinState(spark, innerPath,
+        iptr, d, keys01, stateBuckets,
+        Map("left" -> h0, "right" -> h1), "join"))(foldEc)
+      case None => Future.successful(0L)
+    }
     // level 2: the root's inner-side delta and old state at ITS window
     val (deltaAB, innerOld): (DataFrame, DataFrame) =
       if (w0r == h0 && w1r == h1) {
-        // inner side idle for the root: empty delta, old = current
+        // inner side idle for the root: empty delta, old = current —
+        // which must be the FOLDED state, so this (non-steady) branch
+        // waits for level 1 before resolving the pointer
+        Await.result(innerF, Duration.Inf)
         val cur = read(spark, viewPath = innerPath)
         (cur.where(lit(false)), cur)
       } else if ((w0r, w1r) == (w0i, w1i)) {
         // steady path: reuse the checkpointed delta + pre-fold state
+        // (no dependency on level 1's write — fully concurrent)
         (deltaI.get, innerPreFold.getOrElse(deltaI.get.where(lit(false))))
       } else {
         // lagging root (crash between publishes): recompute the window
-        // from the tables, rebuild the old state by Z-algebra
+        // from the tables, rebuild the old state by Z-algebra from the
+        // FOLDED state (wait for level 1)
+        Await.result(innerF, Duration.Inf)
         val d = innerDeltaFor(w0r, w1r)
         val cur = read(spark, innerPath)
         (d, cur.unionByName(
@@ -1286,7 +1504,7 @@ object LakeView {
       if (h2 == w2r) oldT2.where(lit(false))
       else {
         val raw = keepT2(
-          LakeChangelog.changes(spark, p2, types2, w2r, h2))
+          rawChanges(spark, p2, types2, w2r, h2))
           .select((cols2.map(col) :+ col("m")): _*)
         if (h2 - w2r > 1) IncrementalAgg.consolidate(raw) else raw
       }
@@ -1296,8 +1514,16 @@ object LakeView {
     val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
       keys12, stateBuckets,
       Map("w0" -> h0, "w1" -> h1, "w2" -> h2), "join3")
+    val innerDeltaRows = Await.result(innerF, Duration.Inf)
     Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), innerDeltaRows, deltaRows)
-    } finally cached.foreach(_.unpersist(false))
+    } finally {
+      // the inner fold may still be running if the root path threw —
+      // let it settle (ready, not result: a failed fold must not mask
+      // the root's exception) before pulling the shared caches
+      if (innerF != null)
+        scala.util.Try(Await.ready(innerF, Duration.Inf))
+      cached.foreach(_.unpersist(false))
+    }
   }
 
   /** Advance a COMPOSED view — a maintained aggregate OVER a maintained
@@ -1371,13 +1597,28 @@ object LakeView {
       d
     }
     val marks = Map("left" -> headL, "right" -> headR)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    var innerF: Future[Long] = null
     try {
-    // inner first: the upstream state lands before the derived fold
+    // capture the inner's PRE-FOLD state before folding it (retention
+    // keeps the superseded generation readable through one flip): the
+    // aggregate level derives everything it needs from this plus the
+    // checkpointed delta, so the TWO LEVELS' folds run CONCURRENTLY —
+    // either may publish first; a crash leaves the other one window
+    // behind and both lags self-heal (the aggregate recomputes its
+    // window from the tables' changelog; a lagging inner folds its
+    // window next refresh), because both levels are deterministic
+    // functions of the snapshot history.
+    val innerPreFold: Option[DataFrame] =
+      iptr.map(_ => read(spark, innerPath))
     val deltaI =
       if (wlI == headL && wrI == headR) None else Some(deltaFor(wlI, wrI))
-    val deltaRows = deltaI.map(d =>
-      foldJoinState(spark, innerPath, iptr, d, keys, stateBuckets, marks,
-        "join")).getOrElse(0L)
+    innerF = deltaI match {
+      case Some(d) => Future(foldJoinState(spark, innerPath, iptr, d,
+        keys, stateBuckets, marks, "join"))(foldEc)
+      case None => Future.successful(0L)
+    }
     // the aggregate folds ITS OWN window (== inner's unless a crash
     // left it behind, in which case the delta is recomputed from the
     // tables' changelog for the lagging window)
@@ -1385,16 +1626,41 @@ object LakeView {
       if (wlA == headL && wrA == headR) None
       else if ((wlA, wrA) == (wlI, wrI)) deltaI
       else Some(deltaFor(wlA, wrA))
+    // extrema/distinct rescan source: the view's row population AT THE
+    // NEW WATERMARK, derived by Z-ALGEBRA (pre-fold state ∪ the inner
+    // window's delta, consolidated) instead of reading the inner fold's
+    // write — the algebraic identity new ≡ old ∪ Δ is what frees the
+    // aggregate level from waiting on the inner level's I/O
+    def innerAtHead: DataFrame = deltaI match {
+      case Some(d) =>
+        IncrementalAgg.consolidate(
+          innerPreFold.getOrElse(d.where(lit(false))).unionByName(d))
+      case None => innerPreFold.getOrElse(
+        read(spark, innerPath)) // inner idle: pre-fold IS the head
+    }
+    // the rescan source (the inner state) is BOUNDED when its recorded
+    // bytes sit under the single-bucket growth bound — then the
+    // aggregate fold may recompute every group in ONE job instead of
+    // paying a count job to gate the semi-join prune (pruning a few-MB
+    // scan buys nothing)
+    val innerBounded = iptr.exists { p =>
+      val ifs = new Path(innerPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      stateBytes(ifs, innerPath, p) <= AutoBucketBytes
+    }
     val groupsChanged = deltaA.map { d =>
-      // extrema rescan source: the INNER state at the new generation
-      // (the view's row population — already filtered and joined)
-      def rescan: DataFrame = read(spark, innerPath).filter(col("m") > 0)
+      def rescan: DataFrame = innerAtHead.filter(col("m") > 0)
       foldAggState(spark, viewPath, aptr, d, aggKeys,
         aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets,
-        "join_aggregate", distinctCols)
+        "join_aggregate", distinctCols, rescanBounded = innerBounded)
     }.getOrElse(0L)
+    val deltaRows = Await.result(innerF, Duration.Inf)
     ComposedRefresh(wlI, headL, wrI, headR, deltaRows, groupsChanged)
-    } finally cached.foreach(_.unpersist(false))
+    } finally {
+      if (innerF != null)
+        scala.util.Try(Await.ready(innerF, Duration.Inf))
+      cached.foreach(_.unpersist(false))
+    }
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,
