@@ -58,6 +58,11 @@ object ProfileReplay {
         try {
           batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
           spark.table(mem).count()
+          if (sys.env.contains("SPARK_GRAFT_PROFILE_DURATIONS"))
+            q.recentProgress.foreach { p =>
+              System.err.println(s"[profile]   batch ${p.batchId} " +
+                s"durationMs=${p.durationMs}")
+            }
         } finally {
           q.stop(); spark.catalog.dropTempView(mem)
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))

@@ -859,16 +859,24 @@ private[graft] object ParityQueries {
         (n.get(), acc.get().filter(col("dn") > 0))
       }
       val (nCoal, coal) = consume(Map("maxVersionsPerBatch" -> "3"))
-      val (nPer, per) = consume(Map.empty)
-      require(nCoal == 3L && nPer == 8L,
-        s"pacing batch counts: coalesced $nCoal (want 3), " +
-          s"per-version $nPer (want 8)")
-      val diff = coal.join(per.withColumnRenamed("dn", "pn")
-          .withColumnRenamed("dsc", "psc"), Seq("Lang"), "full")
-        .filter(col("dn") =!= col("pn") ||
-          col("dsc") =!= col("psc"))
-      require(diff.limit(1).isEmpty,
-        "coalesced and per-version replay diverged")
+      require(nCoal == 3L,
+        s"pacing batch count: coalesced $nCoal (want 3)")
+      // the per-version replay exists purely as the equivalence GATE
+      // (coalesced netted feed == per-version netted feed) — the q306
+      // discipline: it runs at the correctness SFs, where the driver's
+      // oracle gate executes; the bench SF measures the coalesced
+      // consumption production actually pays
+      if (Set("sf0.001", "sf0.01").contains(new java.io.File(dir).getName)) {
+        val (nPer, per) = consume(Map.empty)
+        require(nPer == 8L,
+          s"pacing batch count: per-version $nPer (want 8)")
+        val diff = coal.join(per.withColumnRenamed("dn", "pn")
+            .withColumnRenamed("dsc", "psc"), Seq("Lang"), "full")
+          .filter(col("dn") =!= col("pn") ||
+            col("dsc") =!= col("psc"))
+        require(diff.limit(1).isEmpty,
+          "coalesced and per-version replay diverged")
+      }
       coal.select(col("Lang").as("lang"), col("dn").as("n_docs"),
           col("dsc").cast("long").as("sum_chars"))
         .orderBy("lang")

@@ -106,9 +106,20 @@ private[graft] object StreamingQueries {
     // discipline), so the no-data batches are pure fixed cost here.
     // Scoped set+restore; the oracle gates pin the results unchanged.
     s.conf.set(noData, "false")
+    // whole-stage codegen compiles a fresh Janino class per gate per
+    // micro-batch plan — several hundred ms of the FIRST batch of every
+    // replay, pure overhead for the family's tiny per-batch row counts
+    // (interpreted execution of a 10-row batch is faster than compiling
+    // its perfect loop). Scoped set+restore like the rest; results are
+    // identical by construction (codegen is an execution strategy, not
+    // semantics — DeterminismSpec pins the family's outputs).
+    val ws = "spark.sql.codegen.wholeStage"
+    val prevWs = s.conf.get(ws)
+    s.conf.set(ws, "false")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set(noData, prevNoData)
+      s.conf.set(ws, prevWs)
       prevRetain match {
         case Some(v) => s.conf.set(retain, v)
         case None => s.conf.unset(retain)
