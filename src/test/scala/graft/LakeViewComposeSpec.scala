@@ -242,6 +242,80 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("three-level chain: an aggregate maintained over a JOIN OF TWO " +
+      "MAINTAINED VIEWS — the generation feed composes through " +
+      "Z-relation sources with multiplicities intact") {
+    val dirL = tmp("l3") + "/tl"
+    val dirR = tmp("l3") + "/tr"
+    val vl = tmp("l3") + "/vl"
+    val vr = tmp("l3") + "/vr"
+    val vj = tmp("l3") + "/vj"
+    val vc = tmp("l3") + "/vc"
+    val typesR = "G5:singleLineText,Cat:singleLineText,W:number"
+    def appendR(from: Long, until: Long): Unit =
+      spark.range(from, until).select(
+          concat(lit("s"), lpad($"id".cast("string"), 4, "0"))
+            .as("_record_id"),
+          concat(lit("g"), ($"id" % 5).cast("string")).as("G5"),
+          concat(lit("c"), ($"id" % 2).cast("string")).as("Cat"),
+          ($"id" * 2).cast("double").as("W"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", dirR)
+        .mode("append").save()
+    def gate(): Unit = {
+      val got = LakeView.read(spark, vc)
+        .select($"Cat", $"n", $"sum_cnt", $"sum_score")
+        .orderBy("Cat").collect().toSeq
+      val want = LakeView.read(spark, vj).filter($"m" > 0)
+        .groupBy("Cat")
+        .agg(sum($"m").as("n"), sum($"m" * $"n").as("sum_cnt"),
+          sum($"m" * $"sum_Score").as("sum_score"))
+        .select($"Cat", $"n", $"sum_cnt", $"sum_score")
+        .orderBy("Cat").collect().toSeq
+      assert(got == want, s"got $got, want $want")
+    }
+    append(dirL, 0, 30)
+    appendR(0, 20)
+    Seq(dirL, dirR).foreach(LakeSnapshots.commit(spark, _))
+    LakeView.refreshAggregate(spark, dirL, types, vl,
+      Seq("G5"), Seq("Score"))
+    LakeView.refreshAggregate(spark, dirR, typesR, vr,
+      Seq("G5", "Cat"), Seq("w:W"))
+    LakeView.refreshJoinOfViews(spark, vj,
+      vl, Seq("G5", "n", "sum_Score"),
+      vr, Seq("G5", "Cat", "sum_w"), Seq("G5"))
+    val c1 = LakeView.refreshAggregateOverView(spark, vj, vc,
+      Seq("Cat"), Seq("cnt:n", "score:sum_Score"))
+    assert(c1.groupsChanged > 0L)
+    gate()
+    // mutate BOTH base tables; the wave flows four levels
+    DeletionVectors.delete(spark, dirL, types,
+      pmod($"Score", lit(3.0)) === 0.0)
+    LakeSnapshots.commit(spark, dirL)
+    appendR(20, 28)
+    LakeSnapshots.commit(spark, dirR)
+    LakeView.refreshAggregate(spark, dirL, types, vl,
+      Seq("G5"), Seq("Score"))
+    LakeView.refreshAggregate(spark, dirR, typesR, vr,
+      Seq("G5", "Cat"), Seq("w:W"))
+    LakeView.refreshJoinOfViews(spark, vj,
+      vl, Seq("G5", "n", "sum_Score"),
+      vr, Seq("G5", "Cat", "sum_w"), Seq("G5"))
+    val c2 = LakeView.refreshAggregateOverView(spark, vj, vc,
+      Seq("Cat"), Seq("cnt:n", "score:sum_Score"))
+    assert(c2.groupsChanged > 0L)
+    gate()
+    // and the whole chain no-ops when idle
+    LakeView.refreshAggregate(spark, dirL, types, vl,
+      Seq("G5"), Seq("Score"))
+    LakeView.refreshAggregate(spark, dirR, typesR, vr,
+      Seq("G5", "Cat"), Seq("w:W"))
+    assert(LakeView.refreshJoinOfViews(spark, vj,
+      vl, Seq("G5", "n", "sum_Score"),
+      vr, Seq("G5", "Cat", "sum_w"), Seq("G5")).deltaRows == 0L)
+    gate()
+  }
+
   test("distinct-count fold rules: exact across appends and a delete " +
       "wave (touched-group recompute), coexisting with sums and " +
       "extrema; untouched groups carry forward") {
