@@ -6,14 +6,31 @@ import org.apache.spark.sql.functions._
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** Incrementally-maintained materialized views over a record lake:
-  * per-key aggregates (count + sums + optional min/max), two-table
-  * join views, and COMPOSED views (an aggregate maintained over a join
-  * view) that refresh by consuming ONLY the snapshot deltas since
-  * their recorded watermarks — [[LakeChangelog]]'s signed Z-relations
-  * folded into persisted state, so keeping a view current costs ∝ what
-  * changed, never a rescan of the table. The continuously-maintained-
-  * view story (q286/q288's IVM algebra + q289/q294's change feeds)
-  * packaged as one operator with durable state.
+  * per-key aggregates (count + sums + optional min/max + exact
+  * distinct counts), two-table join views, and COMPOSED views (an
+  * aggregate maintained over a join view; three-table chains) that
+  * refresh by consuming ONLY the snapshot deltas since their recorded
+  * watermarks — [[LakeChangelog]]'s signed Z-relations folded into
+  * persisted state, so keeping a view current costs ∝ what changed,
+  * never a rescan of the table. The continuously-maintained-view story
+  * (q286/q288's IVM algebra + q289/q294's change feeds) packaged as
+  * one operator with durable state.
+  *
+  * Views are themselves CHANGE-FEED SOURCES: [[changesBetween]] diffs
+  * two generation pointers exactly as the table changelog diffs
+  * snapshot manifests, so ANY view form composes over any other —
+  * [[refreshAggregateOverView]] folds a view's feed through the shared
+  * aggregate engine, [[refreshJoinOfViews]] joins two maintained views
+  * under the bilinear rule, and chains nest to any depth (each level
+  * watermarks on its source's generation; consumer lag is bounded by
+  * `spark.graft.view.keepGenerations`, refusing loudly past it). The
+  * pre-packaged chains ([[refreshJoinAggregate]], [[refreshJoin3]])
+  * are the FUSED fast paths of that same composition: one definition,
+  * the checkpointed delta computed once feeding both levels, and the
+  * two levels' folds running CONCURRENTLY (the outer level consumes
+  * the pre-fold inner state + the delta, never the inner fold's
+  * output) — use them for the star shapes they name, and the general
+  * primitives for everything else.
   *
   * Crash-safe refresh without transactions: each refresh lands its new
   * state in a fresh GENERATION directory (`data-g<gen>`), then flips a
