@@ -210,12 +210,14 @@ object LakeViewSql {
         args.lift(11).map(strLit(_, "rightFilter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
       case "join_aggregate" =>
-        require(args.length >= 11 && args.length <= 15,
+        require(args.length >= 11 && args.length <= 16,
           "create_lake_view(viewPath, 'join_aggregate', leftPath, " +
             "leftTypes, leftCols, rightPath, rightTypes, rightCols, " +
             "joinKeys, aggKeys, aggSums[, minMax[, stateBuckets" +
-            "[, leftFilter[, rightFilter]]]]) — aggSums entries may be " +
-            "`alias:expr`; filters are SQL predicates ('' = none)")
+            "[, leftFilter[, rightFilter[, distincts]]]]]) — aggSums " +
+            "entries may be `alias:expr`; filters are SQL predicates " +
+            "('' = none); distincts maintains exact per-group " +
+            "COUNT(DISTINCT col) over the joined rows as dc_<col>")
         def_.put("left", strLit(args(2), "leftPath"))
         def_.put("leftTypes", strLit(args(3), "leftTypes"))
         putList("leftCols", cols(strLit(args(4), "leftCols")))
@@ -234,6 +236,8 @@ object LakeViewSql {
           .filter(_.nonEmpty).foreach(def_.put("leftFilter", _))
         args.lift(14).map(strLit(_, "rightFilter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
+        putList("distincts",
+          args.lift(15).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
       case "join3" =>
         require(args.length >= 13 && args.length <= 17,
           "create_lake_view(viewPath, 'join3', p0, types0, cols0, " +
@@ -404,7 +408,8 @@ object LakeViewSql {
           list("aggKeys"), list("aggSums"), list("minMax"),
           stateBuckets = buckets,
           leftFilter = Option(d.get("leftFilter")).map(_.asText()),
-          rightFilter = Option(d.get("rightFilter")).map(_.asText()))
+          rightFilter = Option(d.get("rightFilter")).map(_.asText()),
+          distinctCols = list("distincts"))
         Row("join_aggregate", r.fromLeft, r.toLeft, r.fromRight,
           r.toRight, r.deltaRows, null, null)
       case "join3" =>

@@ -355,6 +355,45 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("composed distinct-count through SQL: the 16th join_aggregate " +
+      "argument maintains exact COUNT(DISTINCT) over the joined rows " +
+      "across a retraction wave") {
+    val base = tmp("jadc")
+    val dirL = s"$base/tl"; val dirR = s"$base/tr"; val v = s"$base/v"
+    val typesR = "G5:singleLineText,Cat:singleLineText"
+    append(dirL, 0, 30)
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        concat(lit("c"), ($"id" % 2).cast("string")).as("Cat"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", dirR).mode("append").save()
+    Seq(dirL, dirR).foreach(LakeSnapshots.commit(spark, _))
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$v', 'join_aggregate',
+         |  '$dirL', '$types', 'G5,G2,Score',
+         |  '$dirR', '$typesR', 'G5,Cat', 'G5',
+         |  'Cat', 'Score', '', 0, '', '', 'G5')""".stripMargin).collect()
+    def refresh(): Unit =
+      { spark.sql(s"SELECT * FROM refresh_lake_view('$v')").collect(); () }
+    def gate(): Unit = {
+      val got = LakeView.read(spark, v)
+        .select($"Cat", $"dc_G5").orderBy("Cat").collect().toSeq
+      val want = LakeView.read(spark, s"$v/inner").filter($"m" > 0)
+        .groupBy("Cat").agg(countDistinct($"G5").as("dc"))
+        .orderBy("Cat").collect().toSeq
+      assert(got == want, s"got $got, want $want")
+    }
+    refresh(); gate()
+    // retract one whole join key: its Cat's distinct count must DROP
+    DeletionVectors.delete(spark, dirL, types, $"G5" === "g2")
+    LakeSnapshots.commit(spark, dirL)
+    refresh(); gate()
+    append(dirL, 30, 40)
+    LakeSnapshots.commit(spark, dirL)
+    refresh(); gate()
+  }
+
   test("kind guards: the wrong refresh form refuses with the recorded " +
       "kind instead of failing deep in the fold") {
     val dirL = tmp("kind") + "/tl"
