@@ -430,6 +430,111 @@ class LakeViewComposeSpec extends SparkSpec {
       s"the guard must name the recorded kind: ${e2.getMessage}")
   }
 
+  test("concurrent level folds: a crash that lands the OUTER level but " +
+      "not the inner (the ordering the concurrency permits) heals on " +
+      "the next refresh — join3 root-ahead and composed agg-ahead") {
+    // join3: refresh, then regress the INNER pointer one generation
+    // (simulating root-published-inner-not); a refresh with no new
+    // commits must fold the inner forward and leave root ≡ recompute
+    val b = tmp("ahead")
+    val (t0, t1, t2, v3) = (s"$b/f", s"$b/d1", s"$b/d2", s"$b/v3")
+    append(t0, 0, 30)
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        ($"id" % 3).cast("double").as("NK"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t1).mode("append").save()
+    spark.range(0, 3).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("NK"),
+        concat(lit("nat"), $"id".cast("string")).as("NName"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t2).mode("append").save()
+    Seq(t0, t1, t2).foreach(LakeSnapshots.commit(spark, _))
+    val types1 = "G5:singleLineText,NK:number"
+    val types2 = "NK:number,NName:singleLineText"
+    def refresh3() = LakeView.refreshJoin3(spark, v3,
+      t0, types, Seq("G5", "G2", "Score"),
+      t1, types1, Seq("G5", "NK"),
+      t2, types2, Seq("NK", "NName"),
+      keys01 = Seq("G5"), keys12 = Seq("NK"))
+    def gate3(): Unit = {
+      val inner = LakeView.read(spark, s"$v3/inner")
+      val nat = spark.read.format("graft-records").option("path", t2)
+        .option("fieldTypes", types2).load()
+      val want = inner.join(nat, "NK").withColumn("wm", $"m")
+        .groupBy("NName").agg(sum($"wm").as("w"))
+      val got = LakeView.read(spark, v3)
+        .groupBy("NName").agg(sum($"m").as("g"))
+      val mism = got.join(want, Seq("NName"), "full")
+        .filter(!($"g" <=> $"w"))
+      assert(mism.isEmpty, "root diverged from inner ⋈ live recompute")
+    }
+    refresh3()
+    // second window so the inner has a generation to regress past
+    DeletionVectors.delete(spark, t0, types,
+      pmod($"Score", lit(4.0)) === 1.0)
+    LakeSnapshots.commit(spark, t0)
+    refresh3()
+    gate3()
+    val fs = new Path(s"$v3/inner").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(new Path(s"$v3/inner")).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("_ptr-"))
+      .maxBy(_.getName.stripPrefix("_ptr-").stripSuffix(".json").toLong)
+    assert(fs.delete(newest, false)) // inner regresses; root stays ahead
+    val healed = refresh3()
+    assert(healed.innerDeltaRows > 0L,
+      s"the lagging inner must re-fold its window: $healed")
+    assert(healed.deltaRows == 0L,
+      s"the already-current root must fold nothing: $healed")
+    gate3()
+
+    // composed: same regression on the inner under a join_aggregate
+    val (cl, cr, cv) = (s"$b/cl", s"$b/cr", s"$b/cv")
+    append(cl, 0, 30)
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        concat(lit("c"), ($"id" % 2).cast("string")).as("Cat"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", cr).mode("append").save()
+    Seq(cl, cr).foreach(LakeSnapshots.commit(spark, _))
+    def refreshC() = LakeView.refreshJoinAggregate(spark, cv,
+      cl, types, Seq("G5", "G2", "Score"),
+      cr, "G5:singleLineText,Cat:singleLineText", Seq("G5", "Cat"),
+      keys = Seq("G5"), aggKeys = Seq("Cat"), aggSums = Seq("Score"),
+      minMaxCols = Seq("Score"))
+    def gateC(): Unit = {
+      val want = LakeView.read(spark, s"$cv/inner").filter($"m" > 0)
+        .groupBy("Cat").agg(sum($"m").as("wn"),
+          sum($"m" * $"Score").as("ws"),
+          min($"Score").as("wmn"), max($"Score").as("wmx"))
+      val got = LakeView.read(spark, cv)
+      val mism = got.join(want, Seq("Cat"), "full")
+        .filter(!($"n" <=> $"wn") || !($"sum_Score" <=> $"ws") ||
+          !($"mn_Score" <=> $"wmn") || !($"mx_Score" <=> $"wmx"))
+      assert(mism.isEmpty, "composed agg diverged from inner recompute")
+    }
+    refreshC()
+    DeletionVectors.delete(spark, cl, types,
+      pmod($"Score", lit(5.0)) === 2.0)
+    LakeSnapshots.commit(spark, cl)
+    refreshC()
+    gateC()
+    val newestC = fs.listStatus(new Path(s"$cv/inner")).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("_ptr-"))
+      .maxBy(_.getName.stripPrefix("_ptr-").stripSuffix(".json").toLong)
+    assert(fs.delete(newestC, false))
+    val healedC = refreshC()
+    assert(healedC.deltaRows > 0L,
+      s"the lagging inner must re-fold its window: $healedC")
+    assert(healedC.groupsChanged == 0L,
+      s"the already-current aggregate must fold nothing: $healedC")
+    gateC()
+  }
+
   test("per-bucket bytes ride the pointer: steady adaptive refreshes " +
       "take ZERO filesystem content-summary sweeps; a pointer with " +
       "stripped bytes falls back to sweeping until restamped") {
