@@ -68,10 +68,32 @@ object LakeView {
     * table's snapshot-retention contract. */
   val KeepGenerations = 2
 
-  private def keepGenerations(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.view.keepGenerations")
-      .map(_.toInt).getOrElse(KeepGenerations)
+  private def keepGenerations(spark: SparkSession): Int = {
+    val raw = spark.conf.getOption("spark.graft.view.keepGenerations")
+      .getOrElse(KeepGenerations.toString)
+    val k = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.view.keepGenerations must be an integer >= 2, " +
+          s"got '$raw'")
+    }
+    // below 2 the invariants break outright: 0 would make publish
+    // reclaim the just-flipped pointer and all state; 1 would reclaim
+    // the superseded generation DURING the one concurrent refresh its
+    // readers (and the concurrent level folds' pre-fold captures) are
+    // entitled to survive
+    require(k >= 2,
+      s"spark.graft.view.keepGenerations must be >= 2 (got $k) — " +
+        "retention below current+previous breaks in-flight readers")
+    k
+  }
 
+  /** One aggregate-form refresh: the consumed snapshot window and the
+    * TOUCHED-group count. `groupsChanged` counts groups the delta
+    * touched, not groups whose stored values changed: a churn window
+    * (insert + delete of identical rows) touches its group with a
+    * net-zero delta, which folds to the same values but still reports —
+    * and, under minMax/distinct rules, still rescans — that group.
+    * `0` still means exactly "nothing to fold, nothing rewritten". */
   final case class Refresh(fromVersion: Long, toVersion: Long,
       groupsChanged: Long)
 
@@ -260,6 +282,11 @@ object LakeView {
       buckets: Map[Int, String], mod: Option[Int] = None,
       kind: Option[String] = None,
       bytes: Map[Int, Long] = Map.empty): Unit = phase("publish") {
+    // validate the retention conf BEFORE the pointer flips: a bad value
+    // leaves the view at its previous generation with an orphan data
+    // dir (the crash-before-flip shape the next refresh overwrites),
+    // never a flipped pointer whose retention half was skipped
+    val keep = keepGenerations(spark)
     val dir = new Path(viewPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mapper = new ObjectMapper()
@@ -294,7 +321,7 @@ object LakeView {
     // retention by reference
     val liveGens = fs.listStatus(dir).filter(_.isFile)
       .flatMap(st => ptrGen(st.getPath.getName)).sorted
-      .takeRight(keepGenerations(spark)).toSet
+      .takeRight(keep).toSet
     val refs: Set[String] = liveGens.flatMap { g =>
       val p = parsePointer(fs, dir, g)
       p.dir.toSeq ++ p.buckets.values
@@ -448,8 +475,15 @@ object LakeView {
     * generation"): the whole current state as inserts. Both named
     * generations must still be live — a consumer lagging past
     * retention fails loudly (raise `spark.graft.view.keepGenerations`,
-    * the view-layer analog of snapshot retention). Requires a
-    * kind-stamped pointer (any refresh under this build stamps it). */
+    * the view-layer analog of snapshot retention). Liveness is checked
+    * at RESOLVE time, like every snapshot read here: a feed holds TWO
+    * generations, so a maintainer refreshing CONCURRENTLY with a
+    * consumer of the last closed window needs `keepGenerations >= 3`
+    * (current + the feed's two) for the scan to be guaranteed its
+    * files — at the default 2 a single concurrent flip can reclaim
+    * `fromGen` mid-scan, surfacing as a file-not-found rather than the
+    * loud refusal. Requires a kind-stamped pointer (any refresh under
+    * this build stamps it). */
   def changesBetween(spark: SparkSession, viewPath: String,
       fromGen: Long, toGen: Long): DataFrame = {
     require(fromGen >= 0 && fromGen < toGen,
@@ -541,12 +575,15 @@ object LakeView {
       filtered(if (srcZ) cur.filter(col("m") > 0) else cur)
     }
     // a source view under the single-bucket bound makes the rescan
-    // bounded — the fold may recompute all groups in one job
-    val srcBounded = readPointer(spark, sourceViewPath).exists { p =>
-      val sfs = new Path(sourceViewPath).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      stateBytes(sfs, sourceViewPath, p) <= AutoBucketBytes
-    }
+    // bounded — the fold may recompute all groups in one job. Only
+    // computed when a rescan fold exists (dead pointer-parse work on
+    // the additive-only steady path otherwise).
+    val srcBounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
+      readPointer(spark, sourceViewPath).exists { p =>
+        val sfs = new Path(sourceViewPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        stateBytes(sfs, sourceViewPath, p) <= AutoBucketBytes
+      }
     val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
       sumCols.map(parseSum), minMaxCols, rescan,
       Map("srcgen" -> head), stateBuckets, "aggregate_over_view",
@@ -714,38 +751,33 @@ object LakeView {
     val bucketExpr = pmod(xxhash64(keyCols.map(col): _*),
       lit(effective.toLong)).cast("int")
     val dataDir = s"data-g$gen"
-    phase("land.write")(
+    val landedBytes: Map[Int, Long] =
       if (effective == 1)
-        // single-bucket: write the consolidated state straight into its
-        // bucket dir — no dynamic-partition machinery (whose write-side
-        // sort is pure overhead for one constant partition value), and
-        // repartition(1) (not coalesce) keeps the upstream merge
-        // aggregation PARALLEL: coalesce(1) would fuse the final
-        // aggregate into the single write task, serializing the whole
-        // fold behind one core (measured ~2× the refresh wall time on
-        // the composed/join3 chains)
-        rows.repartition(1).write.mode("overwrite")
-          .parquet(s"$viewPath/$dataDir/_bucket=0")
-      else
-        rows.withColumn("_bucket", bucketExpr)
-          .repartition(math.min(effective, 200), col("_bucket"))
-          .write.partitionBy("_bucket").mode("overwrite")
-          .parquet(s"$viewPath/$dataDir"))
-    // what actually landed, with per-bucket bytes off the SAME listing
-    // (recorded in the pointer so the growth check never sweeps)
-    val landedBytes = scala.collection.mutable.Map.empty[Int, Long]
-    phase("land.list") {
-    val files = fs.listFiles(new Path(s"$viewPath/$dataDir"), true)
-    while (files.hasNext) {
-      val st = files.next()
-      val parent = st.getPath.getParent.getName
-      if (st.isFile && parent.startsWith("_bucket=") &&
-          !st.getPath.getName.startsWith("_")) {
-        val k = parent.stripPrefix("_bucket=").toInt
-        landedBytes.update(k, landedBytes.getOrElse(k, 0L) + st.getLen)
+        Map(0 -> landSingle(spark, fs, viewPath, gen, rows))
+      else {
+        phase("land.write")(
+          rows.withColumn("_bucket", bucketExpr)
+            .repartition(math.min(effective, 200), col("_bucket"))
+            .write.partitionBy("_bucket").mode("overwrite")
+            .parquet(s"$viewPath/$dataDir"))
+        // what actually landed, with per-bucket bytes off the SAME
+        // listing (recorded in the pointer so the growth check never
+        // sweeps)
+        val acc = scala.collection.mutable.Map.empty[Int, Long]
+        phase("land.list") {
+          val files = fs.listFiles(new Path(s"$viewPath/$dataDir"), true)
+          while (files.hasNext) {
+            val st = files.next()
+            val parent = st.getPath.getParent.getName
+            if (st.isFile && parent.startsWith("_bucket=") &&
+                !st.getPath.getName.startsWith("_")) {
+              val k = parent.stripPrefix("_bucket=").toInt
+              acc.update(k, acc.getOrElse(k, 0L) + st.getLen)
+            }
+          }
+        }
+        acc.toMap
       }
-    }
-    }
     val present = landedBytes.keysIterator
       .map(k => k -> s"$dataDir/_bucket=$k").toMap
     val buckets = inherited ++ present
@@ -1659,12 +1691,14 @@ object LakeView {
     // bytes sit under the single-bucket growth bound — then the
     // aggregate fold may recompute every group in ONE job instead of
     // paying a count job to gate the semi-join prune (pruning a few-MB
-    // scan buys nothing)
-    val innerBounded = iptr.exists { p =>
-      val ifs = new Path(innerPath).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      stateBytes(ifs, innerPath, p) <= AutoBucketBytes
-    }
+    // scan buys nothing). Only consulted (and only computed — the
+    // pointer parse is dead work otherwise) when a rescan fold exists.
+    val innerBounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
+      iptr.exists { p =>
+        val ifs = new Path(innerPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        stateBytes(ifs, innerPath, p) <= AutoBucketBytes
+      }
     val groupsChanged = deltaA.map { d =>
       def rescan: DataFrame = innerAtHead.filter(col("m") > 0)
       foldAggState(spark, viewPath, aptr, d, aggKeys,

@@ -91,9 +91,15 @@ object LakeViewSql {
     val cur = new StringBuilder
     var depth = 0
     var inQuote = false
+    var escaped = false
     s.foreach { c =>
       if (inQuote) {
-        if (c == '\'') inQuote = false // a following '' re-enters below
+        // Spark's default (non-ANSI) parser honors backslash escapes
+        // inside string literals ('it\'s'), and '' re-enters a literal
+        // immediately — both must stay INSIDE the quote state
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '\'') inQuote = false
         cur.append(c)
       } else c match {
         case ',' if depth == 0 => out += cur.result(); cur.clear()

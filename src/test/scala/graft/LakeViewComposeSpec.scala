@@ -394,6 +394,32 @@ class LakeViewComposeSpec extends SparkSpec {
     refresh(); gate()
   }
 
+  test("keepGenerations guard: values below 2 (or non-numeric) refuse " +
+      "LOUDLY before any retention runs") {
+    val dir = tmp("kg") + "/t"
+    val view = tmp("kg") + "/v"
+    append(dir, 0, 10)
+    LakeSnapshots.commit(spark, dir)
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G5"), Seq("Score"))
+    refresh() // healthy baseline
+    var lo = 10L
+    for (bad <- Seq("0", "1", "-3", "two")) {
+      spark.conf.set("spark.graft.view.keepGenerations", bad)
+      try {
+        append(dir, lo, lo + 5)
+        lo += 5
+        LakeSnapshots.commit(spark, dir)
+        val e = intercept[IllegalArgumentException](refresh())
+        assert(e.getMessage.contains("keepGenerations"),
+          s"'$bad' must refuse by name: ${e.getMessage}")
+      } finally spark.conf.unset("spark.graft.view.keepGenerations")
+      refresh() // and the view still works after the refusal
+    }
+    // the state survived every refused attempt
+    assert(LakeView.read(spark, view).count() > 0)
+  }
+
   test("kind guards: the wrong refresh form refuses with the recorded " +
       "kind instead of failing deep in the fold") {
     val dirL = tmp("kind") + "/tl"
