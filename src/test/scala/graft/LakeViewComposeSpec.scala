@@ -394,6 +394,76 @@ class LakeViewComposeSpec extends SparkSpec {
     refresh(); gate()
   }
 
+  test("join of a join-of-views: a Z-relation view is itself a join " +
+      "side — the star composes as two nested join_of_views levels " +
+      "with multiplicities multiplying through") {
+    val b = tmp("jj")
+    val (tf, td, tn) = (s"$b/f", s"$b/d", s"$b/n")
+    val (vf, vd, vn, j1, j2) =
+      (s"$b/vf", s"$b/vd", s"$b/vn", s"$b/j1", s"$b/j2")
+    val typesD = "G5:singleLineText,NK:number"
+    val typesN = "NK:number,NName:singleLineText"
+    append(tf, 0, 40)
+    spark.range(0, 5).select(
+        concat(lit("d"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        ($"id" % 3).cast("double").as("NK"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", td).mode("append").save()
+    spark.range(0, 3).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("NK"),
+        concat(lit("nat"), $"id".cast("string")).as("NName"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", tn).mode("append").save()
+    Seq(tf, td, tn).foreach(LakeSnapshots.commit(spark, _))
+    def chain(): Unit = {
+      LakeView.refreshAggregate(spark, tf, types, vf,
+        Seq("G5"), Seq("Score"))
+      LakeView.refreshAggregate(spark, td, typesD, vd,
+        Seq("G5", "NK"), Seq.empty)
+      LakeView.refreshAggregate(spark, tn, typesN, vn,
+        Seq("NK", "NName"), Seq.empty)
+      LakeView.refreshJoinOfViews(spark, j1,
+        vf, Seq("G5", "n", "sum_Score"),
+        vd, Seq("G5", "NK"), Seq("G5"))
+      // LEFT SIDE IS ITSELF A join_of_views (Z-relation source): its
+      // feed carries ± stored multiplicities and its old side reads at
+      // the watermarked generation like any other source
+      LakeView.refreshJoinOfViews(spark, j2,
+        j1, Seq("NK", "G5", "n", "sum_Score"),
+        vn, Seq("NK", "NName"), Seq("NK"))
+      ()
+    }
+    def gate(): Unit = {
+      val want = LakeView.read(spark, j1)
+        .join(LakeView.read(spark, vn).select($"NK", $"NName"), Seq("NK"))
+      val g = IncrementalAgg.consolidate(LakeView.read(spark, j2))
+        .withColumnRenamed("m", "gm")
+      val w = IncrementalAgg.consolidate(want).withColumnRenamed("m", "wm")
+      // full-join on all data cols: a row on one side only (or a
+      // multiplicity mismatch) surfaces as gm <≠> wm
+      val bad = g.join(w,
+          Seq("NK", "G5", "n", "sum_Score", "NName"), "full")
+        .filter(!($"gm" <=> $"wm"))
+      assert(bad.isEmpty,
+        "nested join-of-views diverged from the recomputed join")
+    }
+    chain()
+    gate()
+    // retraction three levels down: delete fact rows, flow up the chain
+    DeletionVectors.delete(spark, tf, types,
+      pmod($"Score", lit(3.0)) === 0.0)
+    LakeSnapshots.commit(spark, tf)
+    chain()
+    gate()
+    // dimension retraction through the OUTER join
+    DeletionVectors.delete(spark, tn, typesN, $"NK" === 1.0)
+    LakeSnapshots.commit(spark, tn)
+    chain()
+    gate()
+  }
+
   test("keepGenerations guard: values below 2 (or non-numeric) refuse " +
       "LOUDLY before any retention runs") {
     val dir = tmp("kg") + "/t"
