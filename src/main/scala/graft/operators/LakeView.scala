@@ -18,19 +18,23 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Views are themselves CHANGE-FEED SOURCES: [[changesBetween]] diffs
   * two generation pointers exactly as the table changelog diffs
-  * snapshot manifests, so ANY view form composes over any other —
-  * [[refreshAggregateOverView]] folds a view's feed through the shared
-  * aggregate engine, [[refreshJoinOfViews]] joins two maintained views
-  * under the bilinear rule, and chains nest to any depth (each level
+  * snapshot manifests, so ANY view form composes over any other. There
+  * is ONE fold engine per state shape, written against the [[ZSource]]
+  * seam (a lake table or a maintained view, each exposing a head, a
+  * versioned Z-relation, and a signed change feed): every public
+  * refresh form is sugar binding sources to it —
+  * [[refreshAggregate]]/[[refreshAggregateOverView]] are the aggregate
+  * fold over a table/view source, [[refreshJoin]]/[[refreshJoinOfViews]]
+  * the bilinear join fold over two of them, and the pre-packaged chains
+  * ([[refreshJoinAggregate]], [[refreshJoin3]]) are LITERALLY
+  * compositions: refresh the inner join at `<viewPath>/inner`, then
+  * fold the outer level from the inner's generation feed. Each level
   * watermarks on its source's generation; consumer lag is bounded by
-  * `spark.graft.view.keepGenerations`, refusing loudly past it). The
-  * pre-packaged chains ([[refreshJoinAggregate]], [[refreshJoin3]])
-  * are the FUSED fast paths of that same composition: one definition,
-  * the checkpointed delta computed once feeding both levels, and the
-  * two levels' folds running CONCURRENTLY (the outer level consumes
-  * the pre-fold inner state + the delta, never the inner fold's
-  * output) — use them for the star shapes they name, and the general
-  * primitives for everything else.
+  * `spark.graft.view.keepGenerations`, refusing loudly past it. A crash
+  * between the two publishes leaves the outer exactly one source
+  * generation behind, and the next chained refresh CATCHES UP from the
+  * feed before advancing the inner — so the lag never outruns default
+  * retention and heals without bespoke Z-algebra.
   *
   * Crash-safe refresh without transactions: each refresh lands its new
   * state in a fresh GENERATION directory (`data-g<gen>`), then flips a
@@ -531,10 +535,358 @@ object LakeView {
     IncrementalAgg.consolidate(raw)
   }
 
+  // ---- the source seam ---------------------------------------------------
+
+  /** A Z-relation change-feed SOURCE for the generic fold drivers: a
+    * lake TABLE (watermarks = snapshot versions, feed = the manifest
+    * CDC) or a maintained VIEW (watermarks = generation numbers, feed =
+    * the pointer diff, [[changesBetween]]). The aggregate and join
+    * drivers ([[refreshAggFrom]], [[refreshJoinFrom]]) are written ONCE
+    * against this seam; every public refresh form is sugar binding
+    * sources to them — one fold engine per state shape, one crash story
+    * for all six view kinds. */
+  private sealed trait ZSource {
+    def describe: String
+    /** Newest consumable version/generation; refuses loudly when the
+      * source has nothing to consume yet. */
+    def head(spark: SparkSession): Long
+    /** Rows at version `v` as a Z-relation (`m` = stored multiplicity;
+      * +1 per row for plain-row sources). */
+    def rowsAt(spark: SparkSession, v: Long): DataFrame
+    /** The source's live row population at `v` (no signed rows) — the
+      * extrema/distinct rescan input. */
+    def liveRowsAt(spark: SparkSession, v: Long): DataFrame
+    /** Signed delta over `(from, to]`. [[netted]] tells the caller
+      * whether content-level netting already happened (view feeds) or
+      * the rows are the raw CDC (table feeds — netting a single window
+      * there would be a pure extra shuffle; the folds' own grouping
+      * subsumes it). */
+    def changes(spark: SparkSession, from: Long, to: Long): DataFrame
+    def netted: Boolean
+    /** True when the rescan source is BOUNDED (a maintained state under
+      * the single-bucket growth bound) — frees the aggregate fold to
+      * recompute every group in one job instead of gating a semi-join
+      * prune behind a count job. */
+    def rescanBounded(spark: SparkSession): Boolean
+  }
+
+  private final case class TableZ(path: String, fieldTypes: String)
+      extends ZSource {
+    def describe = s"table $path"
+    def head(spark: SparkSession): Long = tableHead(spark, path)
+    def rowsAt(spark: SparkSession, v: Long): DataFrame =
+      liveRowsAt(spark, v).withColumn("m", lit(1L))
+    def liveRowsAt(spark: SparkSession, v: Long): DataFrame =
+      spark.read.format("graft-records")
+        .option("path", path).option("fieldTypes", fieldTypes)
+        .option("versionAsOf", v.toString).load()
+    def changes(spark: SparkSession, from: Long, to: Long): DataFrame =
+      rawChanges(spark, path, fieldTypes, from, to)
+    def netted = false
+    def rescanBounded(spark: SparkSession) = false
+  }
+
+  private final case class ViewZ(path: String) extends ZSource {
+    def describe = s"view $path"
+    def head(spark: SparkSession): Long = {
+      val g = currentGeneration(spark, path)
+      require(g > 0L,
+        s"source view $path has no materialized generation — refresh " +
+          "it before folding a view over it")
+      g
+    }
+    private def isZ(spark: SparkSession): Boolean =
+      viewKind(spark, path).exists(isZRelation)
+    def rowsAt(spark: SparkSession, v: Long): DataFrame = {
+      val df = read(spark, path, Some(v))
+      if (isZ(spark)) df else df.withColumn("m", lit(1L))
+    }
+    def liveRowsAt(spark: SparkSession, v: Long): DataFrame = {
+      val df = read(spark, path, Some(v))
+      if (isZ(spark)) df.filter(col("m") > 0) else df
+    }
+    def changes(spark: SparkSession, from: Long, to: Long): DataFrame =
+      changesBetween(spark, path, from, to)
+    def netted = true
+    def rescanBounded(spark: SparkSession): Boolean =
+      readPointer(spark, path).exists { p =>
+        val fs = new Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        stateBytes(fs, path, p) <= AutoBucketBytes
+      }
+  }
+
+  /** A view source whose NEWEST window's feed is already in hand: the
+    * chained refreshes hold the signed delta they just folded into the
+    * source view, and by Z-algebra `new − old ≡ that delta` (the
+    * pointer diff content-nets to exactly what the fold consumed), so
+    * serving it for THAT window skips re-reading the rewritten buckets
+    * — the fused fast path of the composition. Any other window
+    * (catch-up after a crash, consumer lag) falls through to the
+    * generic pointer diff, so the crash story stays the feed's. The
+    * delta may be un-netted; every consumer is linear in the
+    * Z-relation. */
+  private final case class FedViewZ(src: ViewZ, from: Long, to: Long,
+      feed: DataFrame) extends ZSource {
+    def describe = src.describe
+    /** `to` IS the head by construction — the inner fold that produces
+      * generation `to` may still be LANDING (the chained folds overlap),
+      * so the pointer cannot be consulted. */
+    def head(spark: SparkSession): Long = to
+    /** The state at `to` by Z-ALGEBRA (pre-fold state ∪ feed,
+      * consolidated) — generation `to`'s files may not exist yet (the
+      * inner fold is landing concurrently); the identity `new ≡ old ∪ Δ`
+      * frees the outer level from waiting on the inner level's I/O. */
+    def rowsAt(spark: SparkSession, v: Long): DataFrame =
+      if (v == to) {
+        val old = if (from == 0L) feed.where(lit(false))
+          else src.rowsAt(spark, from)
+        IncrementalAgg.consolidate(old.unionByName(feed))
+      } else src.rowsAt(spark, v)
+    def liveRowsAt(spark: SparkSession, v: Long): DataFrame =
+      if (v == to) rowsAt(spark, v).filter(col("m") > 0)
+      else src.liveRowsAt(spark, v)
+    def changes(spark: SparkSession, f: Long, t: Long): DataFrame =
+      if (f == from && t == to) feed else src.changes(spark, f, t)
+    def netted = true
+    def rescanBounded(spark: SparkSession): Boolean =
+      src.rescanBounded(spark)
+  }
+
+  /** One side of a bilinear join fold: the source's Z-relation at the
+    * old watermark and its signed delta over `(w, head]`, row-filtered
+    * then projected to the view's columns. `w == 0` is the bootstrap —
+    * an empty old side carrying the head's schema. Multi-version table
+    * windows net early (churn across versions can actually cancel);
+    * single windows and view feeds (already netted) feed the join raw —
+    * the fold's final consolidate subsumes any remaining netting. */
+  private def zSide(spark: SparkSession, src: ZSource,
+      colNames: Seq[String], w: Long, head: Long,
+      rowFilter: Option[String]): (DataFrame, DataFrame) = {
+    def keep(df: DataFrame): DataFrame =
+      rowFilter.fold(df)(f => df.where(expr(f)))
+    def project(df: DataFrame): DataFrame =
+      df.select((colNames.map(col) :+ col("m")): _*)
+    val old =
+      if (w == 0L) project(src.rowsAt(spark, head)).where(lit(false))
+      else project(keep(src.rowsAt(spark, w)))
+    val d =
+      if (head == w) old.where(lit(false))
+      else {
+        val raw = project(keep(src.changes(spark, w, head)))
+        if (!src.netted && head - w > 1) IncrementalAgg.consolidate(raw)
+        else raw
+      }
+    (old, d)
+  }
+
+  /** The ONE aggregate-refresh driver: advance the keyed aggregate
+    * state at `viewPath` to `src`'s newest head, folding only the
+    * signed feed of `(watermark, head]` ([[foldAggState]]); extrema/
+    * distinct recomputes rescan `src`'s live rows at the new head,
+    * pruned to the touched groups. [[refreshAggregate]] binds a table
+    * source, [[refreshAggregateOverView]] a view source, and the
+    * composed chain's outer level ([[refreshJoinAggregate]]) the inner
+    * join view — same engine, same crash story. */
+  private def refreshAggFrom(spark: SparkSession, src: ZSource,
+      viewPath: String, keyCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String], rowFilter: Option[String],
+      stateBuckets: Int, distinctCols: Seq[String],
+      kind: String, mark: String, op: String,
+      extraMarks: Map[String, Long] = Map.empty): Refresh = {
+    require(keyCols.nonEmpty, s"$op needs key columns")
+    val head = src.head(spark)
+    val ptr = readPointer(spark, viewPath)
+    requireKind(ptr, viewPath, kind, mark, op)
+    val from = ptr.map(_.marks.getOrElse(mark, 0L)).getOrElse(0L)
+    require(head >= from,
+      s"view watermark $from is ahead of ${src.describe}'s head $head " +
+        "— the source's history was reset under this view")
+    if (head == from) return Refresh(from, head, 0L)
+    def filtered(df: DataFrame): DataFrame =
+      rowFilter.fold(df)(f => df.where(expr(f)))
+    val delta = filtered(src.changes(spark, from, head))
+    def rescan: DataFrame = filtered(src.liveRowsAt(spark, head))
+    // a bounded rescan source frees the fold to recompute all groups in
+    // one job. Only computed when a rescan fold exists (dead
+    // pointer-parse work on the additive-only steady path otherwise).
+    val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
+      src.rescanBounded(spark)
+    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
+      sumCols.map(parseSum), minMaxCols, rescan,
+      Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
+      rescanBounded = bounded)
+    Refresh(from, head, changed)
+  }
+
+  /** The ONE join-refresh driver: advance the Z-relation state at
+    * `viewPath` to both sources' newest heads, folding the bilinear
+    * delta `Δ(L⋈R) = ΔL⋈R@old + L@old⋈ΔR + ΔL⋈ΔR`
+    * ([[IncrementalAgg.joinDelta]], multiplicities multiplying across
+    * the join) into the bucketed state ([[foldJoinState]]). Old-side
+    * scans are version/generation-pinned and join a small broadcast
+    * delta, so a table source's runtime-filter pushdown prunes them to
+    * the keys that changed. [[refreshJoin]] binds two tables,
+    * [[refreshJoinOfViews]] two views, and [[refreshJoin3]]'s root an
+    * inner view and a table. */
+  private def refreshJoinFrom(spark: SparkSession, viewPath: String,
+      left: ZSource, leftCols: Seq[String],
+      right: ZSource, rightCols: Seq[String], keys: Seq[String],
+      stateBuckets: Int, leftFilter: Option[String],
+      rightFilter: Option[String], kind: String,
+      markL: String, markR: String, op: String,
+      extraMarks: Map[String, Long] = Map.empty): JoinRefresh = {
+    val p = planJoin(spark, viewPath, left, leftCols, right, rightCols,
+      keys, stateBuckets, leftFilter, rightFilter, kind, markL, markR,
+      op, extraMarks)
+    val rows =
+      try p.fold()
+      finally p.delta.foreach(_.unpersist(false))
+    JoinRefresh(p.wl, p.headL, p.wr, p.headR, rows)
+  }
+
+  /** A PLANNED (not yet executed) join refresh: the resolved windows,
+    * the CACHED signed delta (None = idle), and the fold to run. The
+    * split lets the chained forms overlap the inner's fold with the
+    * outer level's — the outer consumes the cached delta and the
+    * PRE-fold state ([[FedViewZ]]), never the inner fold's output, so
+    * the two levels' Spark jobs share the cluster instead of
+    * serializing. The planner's caller owns the cached delta's
+    * unpersist — a cache entry must never outlive the refresh that made
+    * it (a later run over the same mutable paths could plan-match the
+    * stale relation). `fold()` publishes generation `gen+1` and returns
+    * the (un-netted) delta row count; with no delta it returns 0
+    * without publishing. */
+  private final case class PlannedJoin(wl: Long, headL: Long, wr: Long,
+      headR: Long, delta: Option[DataFrame], fold: () => Long)
+
+  private def planJoin(spark: SparkSession, viewPath: String,
+      left: ZSource, leftCols: Seq[String],
+      right: ZSource, rightCols: Seq[String], keys: Seq[String],
+      stateBuckets: Int, leftFilter: Option[String],
+      rightFilter: Option[String], kind: String,
+      markL: String, markR: String, op: String,
+      extraMarks: Map[String, Long]): PlannedJoin = {
+    require(stateBuckets >= 0,
+      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
+    validateJoinCols(leftCols, rightCols, keys)
+    val headL = left.head(spark)
+    val headR = right.head(spark)
+    val ptr = readPointer(spark, viewPath)
+    requireKind(ptr, viewPath, kind, markL, op)
+    val wl = ptr.map(_.marks.getOrElse(markL, 0L)).getOrElse(0L)
+    val wr = ptr.map(_.marks.getOrElse(markR, 0L)).getOrElse(0L)
+    require(headL >= wl && headR >= wr,
+      s"view watermarks ($wl,$wr) ahead of source heads ($headL,$headR)" +
+        s" — a source's history (${left.describe}; ${right.describe}) " +
+        "was reset under the view")
+    if (headL == wl && headR == wr)
+      return PlannedJoin(wl, headL, wr, headR, None, () => 0L)
+    val (oldL, dL) = zSide(spark, left, leftCols, wl, headL, leftFilter)
+    val (oldR, dR) = zSide(spark, right, rightCols, wr, headR, rightFilter)
+    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
+    PlannedJoin(wl, headL, wr, headR, Some(delta),
+      () => foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
+        Map(markL -> headL, markR -> headR) ++ extraMarks, kind))
+  }
+
+  /** Executor for the CONCURRENT level folds of the chained forms: the
+    * two levels' Spark jobs are independent (the outer consumes the
+    * pre-fold state and the cached delta, never the inner fold's
+    * output), so they overlap on the cluster's slack instead of
+    * serializing two ~equal-sized jobs. Daemon threads; the shared
+    * cached delta dedupes at the block-manager level. */
+  private lazy val foldEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "lakeview-fold")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** The shared two-level chain driver under [[refreshJoinAggregate]]
+    * and [[refreshJoin3]]: catch the outer level up from the inner's
+    * generation feed when a crash left it BEHIND (before the inner
+    * advances, while default retention still holds the window); plan
+    * the inner table-join fold; run it concurrently with the outer
+    * fold (the outer consumes the cached delta as the feed of
+    * `(preGen, preGen+1]` — [[FedViewZ]]); await both. Either level may
+    * therefore publish first, and both crash orderings heal: a lagging
+    * OUTER catches up from the feed; a lagging INNER refolds its
+    * window deterministically while the outer idles at the matched
+    * generation — guarded by the source heads stamped on the outer's
+    * pointer (`src_left`/`src_right`), because a refold after FURTHER
+    * source commits would contain more than the outer consumed and the
+    * difference would otherwise be skipped silently.
+    *
+    * Returns (inner refresh, outer units — whatever `foldOuter`
+    * reports, changed groups or delta rows, summed across the catch-up
+    * and steady folds). */
+  private def chainedRefresh(spark: SparkSession, viewPath: String,
+      innerPath: String, mark: String, op: String,
+      planInner: () => PlannedJoin,
+      foldOuter: (ZSource, Map[String, Long]) => Long)
+      : (JoinRefresh, Long) = {
+    def srcMarks(): Map[String, Long] =
+      readPointer(spark, innerPath).map(ip => Map(
+        "src_left" -> ip.marks.getOrElse("left", 0L),
+        "src_right" -> ip.marks.getOrElse("right", 0L)))
+        .getOrElse(Map.empty)
+    val outerPtr = readPointer(spark, viewPath)
+    val outerGen = outerPtr.map(_.marks.getOrElse(mark, 0L)).getOrElse(0L)
+    val preGen = currentGeneration(spark, innerPath)
+    var outerUnits = 0L
+    if (preGen > outerGen)
+      outerUnits += foldOuter(ViewZ(innerPath), srcMarks())
+    val p = planInner()
+    if (outerGen > preGen) {
+      require(outerGen == preGen + 1,
+        s"$op: the outer level at $viewPath is ${outerGen - preGen} " +
+          s"source generations ahead of $innerPath — the inner's " +
+          "generation history was reset under it; rebuild the view")
+      val okL = outerPtr.flatMap(_.marks.get("src_left"))
+        .forall(_ == p.headL)
+      val okR = outerPtr.flatMap(_.marks.get("src_right"))
+        .forall(_ == p.headR)
+      require(okL && okR,
+        s"$op: a crashed chained refresh left $viewPath one source " +
+          s"generation ahead of $innerPath AND the source tables " +
+          "advanced since — the inner refold can no longer reproduce " +
+          "the exact window the outer consumed; rebuild the view from " +
+          "generation 0")
+    }
+    p.delta match {
+      case None =>
+        // inner idle: the outer is current (or just caught up) — its
+        // no-op check costs a pointer read
+        outerUnits += foldOuter(ViewZ(innerPath), srcMarks())
+        (JoinRefresh(p.wl, p.headL, p.wr, p.headR, 0L), outerUnits)
+      case Some(d) =>
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val innerF = Future(p.fold())(foldEc)
+          val steady =
+            try foldOuter(FedViewZ(ViewZ(innerPath), preGen, preGen + 1, d),
+              Map("src_left" -> p.headL, "src_right" -> p.headR))
+            catch { case t: Throwable =>
+              // let the inner settle (ready, not result: a failed fold
+              // must not mask the outer's exception) before rethrowing
+              scala.util.Try(Await.ready(innerF, Duration.Inf))
+              throw t
+            }
+          outerUnits += steady
+          val rows = Await.result(innerF, Duration.Inf)
+          (JoinRefresh(p.wl, p.headL, p.wr, p.headR, rows), outerUnits)
+        } finally d.unpersist(false)
+    }
+  }
+
   /** Advance an aggregate view maintained OVER ANOTHER MAINTAINED VIEW
-    * — the general composition primitive: the source view's generation
-    * feed ([[changesBetween]]) plays the role a table's changelog plays
-    * in [[refreshAggregate]], folded by the SAME engine into the same
+    * — general composition: the source view's generation feed
+    * ([[changesBetween]]) plays the role a table's changelog plays in
+    * [[refreshAggregate]], folded by the SAME engine into the same
     * hash-bucketed state. Aggregate-over-aggregate, rollups over
     * composed views, arbitrary depth — each level watermarks on its
     * source's generation number and refreshes ∝ the source's touched
@@ -550,46 +902,10 @@ object LakeView {
       minMaxCols: Seq[String] = Seq.empty,
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
-      distinctCols: Seq[String] = Seq.empty): Refresh = {
-    require(keyCols.nonEmpty, "refreshAggregateOverView needs key columns")
-    val head = currentGeneration(spark, sourceViewPath)
-    require(head > 0L,
-      s"source view $sourceViewPath has no materialized generation — " +
-        "refresh it before folding a view over it")
-    val ptr = readPointer(spark, viewPath)
-    requireKind(ptr, viewPath, "aggregate_over_view", "srcgen",
-      "refreshAggregateOverView")
-    val from = ptr.map(_.marks.getOrElse("srcgen", 0L)).getOrElse(0L)
-    require(head >= from,
-      s"view watermark $from is ahead of the source view's generation " +
-        s"$head — the source's generation history was reset under " +
-        "this view")
-    if (head == from) return Refresh(from, head, 0L)
-    def filtered(df: DataFrame): DataFrame =
-      rowFilter.fold(df)(f => df.where(expr(f)))
-    val delta = filtered(
-      changesBetween(spark, sourceViewPath, from, head))
-    val srcZ = viewKind(spark, sourceViewPath).exists(isZRelation)
-    def rescan: DataFrame = {
-      val cur = read(spark, sourceViewPath, Some(head))
-      filtered(if (srcZ) cur.filter(col("m") > 0) else cur)
-    }
-    // a source view under the single-bucket bound makes the rescan
-    // bounded — the fold may recompute all groups in one job. Only
-    // computed when a rescan fold exists (dead pointer-parse work on
-    // the additive-only steady path otherwise).
-    val srcBounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
-      readPointer(spark, sourceViewPath).exists { p =>
-        val sfs = new Path(sourceViewPath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        stateBytes(sfs, sourceViewPath, p) <= AutoBucketBytes
-      }
-    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
-      sumCols.map(parseSum), minMaxCols, rescan,
-      Map("srcgen" -> head), stateBuckets, "aggregate_over_view",
-      distinctCols, rescanBounded = srcBounded)
-    Refresh(from, head, changed)
-  }
+      distinctCols: Seq[String] = Seq.empty): Refresh =
+    refreshAggFrom(spark, ViewZ(sourceViewPath), viewPath, keyCols,
+      sumCols, minMaxCols, rowFilter, stateBuckets, distinctCols,
+      "aggregate_over_view", "srcgen", "refreshAggregateOverView")
 
   /** Advance a JOIN view whose BOTH sides are maintained views — the
     * other half of general composition. The bilinear rule is the same
@@ -609,54 +925,10 @@ object LakeView {
       rightViewPath: String, rightCols: Seq[String],
       keys: Seq[String], stateBuckets: Int = AutoBuckets,
       leftFilter: Option[String] = None,
-      rightFilter: Option[String] = None): JoinRefresh = {
-    require(stateBuckets >= 0,
-      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
-    validateJoinCols(leftCols, rightCols, keys)
-    val headL = currentGeneration(spark, leftViewPath)
-    val headR = currentGeneration(spark, rightViewPath)
-    require(headL > 0L && headR > 0L,
-      s"both source views need a materialized generation (left " +
-        s"$leftViewPath at $headL, right $rightViewPath at $headR) — " +
-        "refresh them before joining them")
-    val ptr = readPointer(spark, viewPath)
-    requireKind(ptr, viewPath, "join_of_views", "lgen",
-      "refreshJoinOfViews")
-    val wl = ptr.map(_.marks.getOrElse("lgen", 0L)).getOrElse(0L)
-    val wr = ptr.map(_.marks.getOrElse("rgen", 0L)).getOrElse(0L)
-    require(headL >= wl && headR >= wr,
-      s"view watermarks ($wl,$wr) ahead of source generations " +
-        s"($headL,$headR) — a source view's generation history was " +
-        "reset under this view")
-    if (headL == wl && headR == wr)
-      return JoinRefresh(wl, headL, wr, headR, 0L)
-    def side(srcPath: String, cols: Seq[String], w: Long, head: Long,
-        rowFilter: Option[String]): (DataFrame, DataFrame) = {
-      val z = viewKind(spark, srcPath).exists(isZRelation)
-      def keep(df: DataFrame): DataFrame =
-        rowFilter.fold(df)(f => df.where(expr(f)))
-      def project(df: DataFrame): DataFrame =
-        df.select((cols.map(col) :+ col("m")): _*)
-      def asZ(df: DataFrame): DataFrame =
-        if (z) df else df.withColumn("m", lit(1L))
-      val old =
-        if (w == 0L)
-          project(asZ(read(spark, srcPath, Some(head)))).where(lit(false))
-        else project(keep(asZ(read(spark, srcPath, Some(w)))))
-      val d =
-        if (head == w) old.where(lit(false))
-        else project(keep(changesBetween(spark, srcPath, w, head)))
-      (old, d)
-    }
-    val (oldL, dL) = side(leftViewPath, leftCols, wl, headL, leftFilter)
-    val (oldR, dR) = side(rightViewPath, rightCols, wr, headR, rightFilter)
-    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
-    val deltaRows =
-      try foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
-        Map("lgen" -> headL, "rgen" -> headR), "join_of_views")
-      finally delta.unpersist(false)
-    JoinRefresh(wl, headL, wr, headR, deltaRows)
-  }
+      rightFilter: Option[String] = None): JoinRefresh =
+    refreshJoinFrom(spark, viewPath, ViewZ(leftViewPath), leftCols,
+      ViewZ(rightViewPath), rightCols, keys, stateBuckets, leftFilter,
+      rightFilter, "join_of_views", "lgen", "rgen", "refreshJoinOfViews")
 
   private def tableHead(spark: SparkSession, tablePath: String): Long =
     phase("head") {
@@ -823,29 +1095,10 @@ object LakeView {
       minMaxCols: Seq[String] = Seq.empty,
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
-      distinctCols: Seq[String] = Seq.empty): Refresh = {
-    require(keyCols.nonEmpty, "refreshAggregate needs key columns")
-    val head = tableHead(spark, tablePath)
-    val ptr = readPointer(spark, viewPath)
-    requireKind(ptr, viewPath, "aggregate", "watermark", "refreshAggregate")
-    val from = ptr.map(_.marks.getOrElse("watermark", 0L)).getOrElse(0L)
-    require(head >= from,
-      s"view watermark $from is ahead of the table head $head — the " +
-        "table's snapshot history was reset under the view")
-    if (head == from) return Refresh(from, head, 0L)
-
-    def filtered(df: DataFrame): DataFrame =
-      rowFilter.fold(df)(f => df.where(expr(f)))
-    val delta = filtered(
-      rawChanges(spark, tablePath, fieldTypes, from, head))
-    def rescan: DataFrame = filtered(spark.read.format("graft-records")
-      .option("path", tablePath).option("fieldTypes", fieldTypes)
-      .option("versionAsOf", head.toString).load())
-    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
-      sumCols.map(parseSum), minMaxCols, rescan,
-      Map("watermark" -> head), stateBuckets, "aggregate", distinctCols)
-    Refresh(from, head, changed)
-  }
+      distinctCols: Seq[String] = Seq.empty): Refresh =
+    refreshAggFrom(spark, TableZ(tablePath, fieldTypes), viewPath,
+      keyCols, sumCols, minMaxCols, rowFilter, stateBuckets,
+      distinctCols, "aggregate", "watermark", "refreshAggregate")
 
   /** Wrong-refresh guard: a pointer stamped with a `kind` must match
     * the refresh form exactly; a legacy pointer (pre-kind) falls back
@@ -1110,80 +1363,6 @@ object LakeView {
     } finally deltaAgg.unpersist(false)
   }
 
-  /** The bilinear join delta between two tables' snapshot windows:
-    * `Δ(L⋈R) = ΔL⋈R@old + L@old⋈ΔR + ΔL⋈ΔR`
-    * ([[IncrementalAgg.joinDelta]], multiplicities multiplying across
-    * the join) with each table's changes derived from its snapshot
-    * metadata ([[LakeChangelog.changes]]). The old-side scans are
-    * version-pinned (`versionAsOf` the previous watermark) and join a
-    * small broadcast delta, so the source's runtime-filter pushdown
-    * prunes them to the keys that changed. */
-  private def joinDeltaBetween(spark: SparkSession,
-      leftPath: String, leftTypes: String, leftCols: Seq[String],
-      rightPath: String, rightTypes: String, rightCols: Seq[String],
-      keys: Seq[String], wl: Long, wr: Long, headL: Long, headR: Long,
-      leftFilter: Option[String], rightFilter: Option[String]): DataFrame = {
-    def side(path: String, types: String, cols: Seq[String],
-        w: Long, head: Long,
-        rowFilter: Option[String]): (DataFrame, DataFrame) = {
-      // the side's row population: rowFilter applies to the old scan
-      // AND the delta alike — filter-then-project on a Z-relation is
-      // linear, so the filtered fold equals the filtered join
-      def keep(df: DataFrame): DataFrame =
-        rowFilter.fold(df)(f => df.where(expr(f)))
-      // the table AT the previous watermark (the "old" side of the
-      // bilinear rule), as a Z-relation with m=+1 per stored row
-      val reader = spark.read.format("graft-records")
-        .option("path", path).option("fieldTypes", types)
-      val old =
-        if (w == 0L)
-          reader.option("versionAsOf", head.toString).load()
-            .where(lit(false))
-            .select(cols.map(col): _*).withColumn("m", lit(1L))
-        else keep(reader.option("versionAsOf", w.toString).load())
-          .select(cols.map(col): _*).withColumn("m", lit(1L))
-      // the signed delta, projected to the view's columns (projection
-      // of a Z-relation sums multiplicities). Netting BEFORE the
-      // bilinear join is pure optimization — the algebra is linear and
-      // the final consolidate nets regardless — so the extra shuffle is
-      // paid only for multi-version catch-up windows, where churn
-      // across versions can actually cancel; a single-version window
-      // (the steady refresh cadence) feeds the join raw.
-      val d =
-        if (head == w) old.where(lit(false))
-        else {
-          val raw = keep(rawChanges(spark, path, types, w, head))
-            .select((cols.map(col) :+ col("m")): _*)
-          if (head - w > 1) IncrementalAgg.consolidate(raw) else raw
-        }
-      (old, d)
-    }
-    val (oldL, dL) = side(leftPath, leftTypes, leftCols, wl, headL,
-      leftFilter)
-    val (oldR, dR) = side(rightPath, rightTypes, rightCols, wr, headR,
-      rightFilter)
-    IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
-  }
-
-  /** Fold a (checkpointed) signed join `delta` into the hash-bucketed
-    * Z-relation state at `viewPath`. Returns the (un-netted) delta row
-    * count. */
-  /** Executor for the CONCURRENT level folds of chained views (join3,
-    * join_aggregate): the two levels' Spark jobs are independent — the
-    * outer level consumes the PRE-fold inner state and the checkpointed
-    * delta, never the inner fold's output — so they overlap on the
-    * cluster's slack instead of serializing two ~equal-sized jobs.
-    * Daemon threads; shared cached deltas dedupe at the block-manager
-    * level (the second job waits on the block, never recomputes). */
-  private lazy val foldEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(
-        (r: Runnable) => {
-          val t = new Thread(r, "lakeview-fold")
-          t.setDaemon(true)
-          t
-        }))
-
   /** Schema-bearing empty aggregate state (bootstrap's "old" side). */
   private def emptyStateOf(delta: DataFrame, keyCols: Seq[String],
       sums: Seq[SumSpec],
@@ -1395,30 +1574,11 @@ object LakeView {
       rightPath: String, rightTypes: String, rightCols: Seq[String],
       keys: Seq[String], stateBuckets: Int = AutoBuckets,
       leftFilter: Option[String] = None,
-      rightFilter: Option[String] = None): JoinRefresh = {
-    require(stateBuckets >= 0,
-      s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
-    validateJoinCols(leftCols, rightCols, keys)
-    val headL = tableHead(spark, leftPath)
-    val headR = tableHead(spark, rightPath)
-    val ptr = readPointer(spark, viewPath)
-    requireKind(ptr, viewPath, "join", "left", "refreshJoin")
-    val wl = ptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L)
-    val wr = ptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L)
-    require(headL >= wl && headR >= wr,
-      s"view watermarks ($wl,$wr) ahead of table heads ($headL,$headR)" +
-        " — a table's snapshot history was reset under the view")
-    if (headL == wl && headR == wr)
-      return JoinRefresh(wl, headL, wr, headR, 0L)
-    val delta = joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
-      rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
-      leftFilter, rightFilter).cache()
-    val deltaRows =
-      try foldJoinState(spark, viewPath, ptr, delta, keys,
-        stateBuckets, Map("left" -> headL, "right" -> headR), "join")
-      finally delta.unpersist(false)
-    JoinRefresh(wl, headL, wr, headR, deltaRows)
-  }
+      rightFilter: Option[String] = None): JoinRefresh =
+    refreshJoinFrom(spark, viewPath, TableZ(leftPath, leftTypes),
+      leftCols, TableZ(rightPath, rightTypes), rightCols, keys,
+      stateBuckets, leftFilter, rightFilter, "join", "left", "right",
+      "refreshJoin")
 
   final case class Join3Refresh(fromHeads: (Long, Long, Long),
       toHeads: (Long, Long, Long), innerDeltaRows: Long, deltaRows: Long)
@@ -1426,27 +1586,24 @@ object LakeView {
   /** Advance a THREE-TABLE join view — the persisted Z-relation of
     * `t0 ⋈ t1 ⋈ t2` chained by `keys01` then `keys12` (the star shape:
     * fact ⋈ dim ⋈ dim) — to all three tables' newest snapshots at cost
-    * ∝ the deltas. Two chained bilinear folds under ONE definition:
+    * ∝ the deltas. LITERALLY a composition of the join primitives
+    * under one definition:
     *
     *  1. the INNER pair `t0 ⋈ t1` maintains its Z-relation at
     *     `<viewPath>/inner` exactly like [[refreshJoin]];
-    *  2. the ROOT treats the inner VIEW as its left relation:
-    *     `Δ(I⋈t2) = ΔI⋈t2@old + I@old⋈Δt2 + ΔI⋈Δt2`, where `ΔI` is
-    *     the checkpointed inner delta (already computed — never a
-    *     state diff) and `I@old` is the inner state read from the
-    *     PRE-FOLD generation pointer (retention keeps the superseded
-    *     generation alive through exactly one flip, so the capture is
-    *     safe by construction).
+    *  2. the ROOT is a bilinear join fold ([[refreshJoinFrom]]) whose
+    *     LEFT source is the inner VIEW (old side = the inner read at
+    *     the root's watermarked generation, delta = the inner's
+    *     generation feed, [[changesBetween]]) and whose RIGHT source
+    *     is `t2` — the same driver every other join form binds.
     *
-    * Watermarks are per-level and SELF-HEAL: a root lagging the inner
-    * (crash between the two publishes) recomputes its window's `ΔI`
-    * from the tables' changelog ([[joinDeltaBetween]] — deterministic
-    * in the snapshot history) and rebuilds `I@lagging-watermark` as
-    * `I@current ∪ negate(ΔI)` — Z-relation algebra, one state read
-    * plus the delta, no coordination. This chains: an N-way view is
-    * N−1 nested levels of the same two-step fold (scoped to three
-    * tables here — the star-join shape; deeper chains recurse the same
-    * healing rule). Non-key columns of all three tables must be
+    * Watermarks are per-level and SELF-HEAL: the root watermarks the
+    * inner's GENERATION, and a crash between the two publishes leaves
+    * it exactly one generation behind — the next refresh CATCHES UP
+    * from the feed BEFORE the inner advances again, so the lag never
+    * outruns default retention. This chains: an N-way view is N−1
+    * nested levels of the same fold (scoped to three tables here — the
+    * star-join shape). Non-key columns of all three tables must be
     * mutually disjoint; `keys12` may draw from either side of the
     * inner pair. NULL join keys never match. */
   def refreshJoin3(spark: SparkSession, viewPath: String,
@@ -1463,141 +1620,52 @@ object LakeView {
     val innerCols = (cols0 ++ cols1).distinct
     validateJoinCols(innerCols, cols2, keys12)
     val innerPath = s"$viewPath/inner"
-    val h0 = tableHead(spark, p0)
-    val h1 = tableHead(spark, p1)
-    val h2 = tableHead(spark, p2)
-    val iptr = readPointer(spark, innerPath)
     val rptr = readPointer(spark, viewPath)
-    requireKind(iptr, innerPath, "join", "left", "refreshJoin3 (inner)")
-    requireKind(rptr, viewPath, "join3", "w2", "refreshJoin3")
-    val (w0i, w1i) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
-      iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
-    val (w0r, w1r, w2r) = (
-      rptr.map(_.marks.getOrElse("w0", 0L)).getOrElse(0L),
-      rptr.map(_.marks.getOrElse("w1", 0L)).getOrElse(0L),
-      rptr.map(_.marks.getOrElse("w2", 0L)).getOrElse(0L))
-    require(h0 >= w0i && h1 >= w1i && h0 >= w0r && h1 >= w1r && h2 >= w2r,
-      s"view watermarks (inner $w0i,$w1i; root $w0r,$w1r,$w2r) ahead of " +
-        s"table heads ($h0,$h1,$h2) — a table's snapshot history was " +
-        "reset under the view")
-    if (h0 == w0r && h1 == w1r && h2 == w2r && h0 == w0i && h1 == w1i)
-      return Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), 0L, 0L)
-
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def innerDeltaFor(w0: Long, w1: Long): DataFrame = {
-      val d = joinDeltaBetween(spark, p0, types0, cols0, p1, types1, cols1,
-        keys01, w0, w1, h0, h1, filter0, filter1).cache()
-      cached += d
-      d
-    }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    var innerF: Future[Long] = null
-    try {
-    // capture the inner's PRE-FOLD state paths before folding it (the
-    // superseded generation stays readable through one flip)
-    val innerPreFold: Option[DataFrame] =
-      iptr.map(_ => read(spark, innerPath))
-    // level 1: fold the inner pair — CONCURRENTLY with level 2, whose
-    // steady path consumes only the pre-fold state and the checkpointed
-    // delta. Either level may therefore publish first: a crash leaves
-    // the OTHER level one window behind, and both lags self-heal — a
-    // lagging root recomputes its window from the tables' changelog
-    // (below); a lagging inner simply folds its window on the next
-    // refresh while the root's side reads idle. Both levels are
-    // deterministic functions of the snapshot history, so the healed
-    // states are exactly the crash-free ones.
-    val deltaI: Option[DataFrame] =
-      if (w0i == h0 && w1i == h1) None else Some(innerDeltaFor(w0i, w1i))
-    innerF = deltaI match {
-      case Some(d) => Future(foldJoinState(spark, innerPath,
-        iptr, d, keys01, stateBuckets,
-        Map("left" -> h0, "right" -> h1), "join"))(foldEc)
-      case None => Future.successful(0L)
-    }
-    // level 2: the root's inner-side delta and old state at ITS window
-    val (deltaAB, innerOld): (DataFrame, DataFrame) =
-      if (w0r == h0 && w1r == h1) {
-        // inner side idle for the root: empty delta, old = current —
-        // which must be the FOLDED state, so this (non-steady) branch
-        // waits for level 1 before resolving the pointer
-        Await.result(innerF, Duration.Inf)
-        val cur = read(spark, viewPath = innerPath)
-        (cur.where(lit(false)), cur)
-      } else if ((w0r, w1r) == (w0i, w1i)) {
-        // steady path: reuse the checkpointed delta + pre-fold state
-        // (no dependency on level 1's write — fully concurrent)
-        (deltaI.get, innerPreFold.getOrElse(deltaI.get.where(lit(false))))
-      } else {
-        // lagging root (crash between publishes): recompute the window
-        // from the tables, rebuild the old state by Z-algebra from the
-        // FOLDED state (wait for level 1)
-        Await.result(innerF, Duration.Inf)
-        val d = innerDeltaFor(w0r, w1r)
-        val cur = read(spark, innerPath)
-        (d, cur.unionByName(
-          d.withColumn("m", -col("m"))))
-      }
-    def keepT2(df: DataFrame): DataFrame =
-      filter2.fold(df)(f => df.where(expr(f)))
-    val reader2 = spark.read.format("graft-records")
-      .option("path", p2).option("fieldTypes", types2)
-    val oldT2 =
-      if (w2r == 0L)
-        reader2.option("versionAsOf", h2.toString).load()
-          .where(lit(false))
-          .select(cols2.map(col): _*).withColumn("m", lit(1L))
-      else keepT2(reader2.option("versionAsOf", w2r.toString).load())
-        .select(cols2.map(col): _*).withColumn("m", lit(1L))
-    val deltaT2 =
-      if (h2 == w2r) oldT2.where(lit(false))
-      else {
-        val raw = keepT2(
-          rawChanges(spark, p2, types2, w2r, h2))
-          .select((cols2.map(col) :+ col("m")): _*)
-        if (h2 - w2r > 1) IncrementalAgg.consolidate(raw) else raw
-      }
-    val deltaRoot = IncrementalAgg.joinDelta(innerOld, oldT2,
-      deltaAB, deltaT2, keys12).cache()
-    cached += deltaRoot
-    val deltaRows = foldJoinState(spark, viewPath, rptr, deltaRoot,
-      keys12, stateBuckets,
-      Map("w0" -> h0, "w1" -> h1, "w2" -> h2), "join3")
-    val innerDeltaRows = Await.result(innerF, Duration.Inf)
-    Join3Refresh((w0r, w1r, w2r), (h0, h1, h2), innerDeltaRows, deltaRows)
-    } finally {
-      // the inner fold may still be running if the root path threw —
-      // let it settle (ready, not result: a failed fold must not mask
-      // the root's exception) before pulling the shared caches
-      if (innerF != null)
-        scala.util.Try(Await.ready(innerF, Duration.Inf))
-      cached.foreach(_.unpersist(false))
-    }
+    requireKind(rptr, viewPath, "join3", "lgen", "refreshJoin3")
+    val w2Before = rptr.map(_.marks.getOrElse("w2", 0L)).getOrElse(0L)
+    var h2 = w2Before
+    // the root: inner view ⋈ t2 through the generic driver. Filters 0/1
+    // are already part of the inner's fold rules; only t2's applies here.
+    val (jr, rows) = chainedRefresh(spark, viewPath, innerPath,
+      "lgen", "refreshJoin3",
+      planInner = () => planJoin(spark, innerPath,
+        TableZ(p0, types0), cols0, TableZ(p1, types1), cols1, keys01,
+        stateBuckets, filter0, filter1, "join", "left", "right",
+        "refreshJoin", Map.empty),
+      foldOuter = (src, marks) => {
+        val r = refreshJoinFrom(spark, viewPath, src, innerCols,
+          TableZ(p2, types2), cols2, keys12, stateBuckets,
+          leftFilter = None, rightFilter = filter2,
+          "join3", "lgen", "w2", "refreshJoin3", extraMarks = marks)
+        h2 = r.toRight
+        r.deltaRows
+      })
+    Join3Refresh((jr.fromLeft, jr.fromRight, w2Before),
+      (jr.toLeft, jr.toRight, h2), jr.deltaRows, rows)
   }
 
   /** Advance a COMPOSED view — a maintained aggregate OVER a maintained
     * join (the classic star-rollup: `orders ⋈ customer` grouped to
-    * per-segment sums) — to both tables' newest snapshots. Two chained
-    * folds under ONE definition:
+    * per-segment sums) — to both tables' newest snapshots. LITERALLY a
+    * composition of the two primitives under one definition:
     *
     *  1. the INNER join Z-relation at `<viewPath>/inner` folds the
     *     bilinear delta exactly like [[refreshJoin]];
-    *  2. the OUTER aggregate state at `<viewPath>` folds the SAME
-    *     signed delta (it is already a Z-relation — aggregation is
-    *     linear, so feeding the join's delta into the aggregate fold
-    *     IS maintaining the aggregate of the join) grouped by
-    *     `aggKeys` with `aggSums` ([[SumSpec]] strings, so derived
-    *     columns like `rev:CAST(Price AS DECIMAL(18,2))` fold exactly).
+    *  2. the OUTER aggregate state at `<viewPath>` folds the inner's
+    *     GENERATION FEED ([[refreshAggFrom]] over a view source) —
+    *     aggregation is linear, so folding the join's signed feed IS
+    *     maintaining the aggregate of the join — grouped by `aggKeys`
+    *     with `aggSums` ([[SumSpec]] strings, so derived columns like
+    *     `rev:CAST(Price AS DECIMAL(18,2))` fold exactly).
     *
     * Both folds keep their OWN watermarks (inner lands first): a crash
-    * between the two publishes leaves the aggregate one window behind,
-    * and the next refresh recomputes its window from the TABLES'
-    * changelog — the lag heals without coordination, because both
-    * folds are deterministic functions of the snapshot history. In the
-    * steady (no-crash) path the checkpointed delta is computed ONCE and
-    * feeds both folds. `minMaxCols` extrema recompute touched groups
-    * from the INNER state (the view's row population) — the same
-    * rescan discipline as the aggregate form.
+    * between the two publishes leaves the aggregate exactly one source
+    * generation behind, and the next refresh CATCHES UP from the feed
+    * BEFORE the inner advances again — the lag never outruns default
+    * retention and heals with no bespoke recovery algebra. `minMaxCols`
+    * extrema (and `distinctCols` counts) recompute touched groups from
+    * the INNER state (the view's row population) — the same rescan
+    * discipline as the aggregate form.
     *
     * Reading `<viewPath>` returns the maintained AGGREGATE — the
     * readout is ∝ |groups|, never a scan of the join's Z-relation
@@ -1621,97 +1689,21 @@ object LakeView {
       s"aggregate keys ${aggKeys.mkString(",")} must appear in the " +
         "joined columns")
     val innerPath = s"$viewPath/inner"
-    val headL = tableHead(spark, leftPath)
-    val headR = tableHead(spark, rightPath)
-    val iptr = readPointer(spark, innerPath)
-    val aptr = readPointer(spark, viewPath)
-    requireKind(iptr, innerPath, "join", "left",
-      "refreshJoinAggregate (inner)")
-    requireKind(aptr, viewPath, "join_aggregate", "left",
-      "refreshJoinAggregate")
-    val (wlI, wrI) = (iptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
-      iptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
-    val (wlA, wrA) = (aptr.map(_.marks.getOrElse("left", 0L)).getOrElse(0L),
-      aptr.map(_.marks.getOrElse("right", 0L)).getOrElse(0L))
-    require(headL >= wlI && headR >= wrI && headL >= wlA && headR >= wrA,
-      s"view watermarks (inner $wlI,$wrI; agg $wlA,$wrA) ahead of table " +
-        s"heads ($headL,$headR) — a table's snapshot history was reset " +
-        "under the view")
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def deltaFor(wl: Long, wr: Long): DataFrame = {
-      val d = joinDeltaBetween(spark, leftPath, leftTypes, leftCols,
-        rightPath, rightTypes, rightCols, keys, wl, wr, headL, headR,
-        leftFilter, rightFilter).cache()
-      cached += d
-      d
-    }
-    val marks = Map("left" -> headL, "right" -> headR)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    var innerF: Future[Long] = null
-    try {
-    // capture the inner's PRE-FOLD state before folding it (retention
-    // keeps the superseded generation readable through one flip): the
-    // aggregate level derives everything it needs from this plus the
-    // checkpointed delta, so the TWO LEVELS' folds run CONCURRENTLY —
-    // either may publish first; a crash leaves the other one window
-    // behind and both lags self-heal (the aggregate recomputes its
-    // window from the tables' changelog; a lagging inner folds its
-    // window next refresh), because both levels are deterministic
-    // functions of the snapshot history.
-    val innerPreFold: Option[DataFrame] =
-      iptr.map(_ => read(spark, innerPath))
-    val deltaI =
-      if (wlI == headL && wrI == headR) None else Some(deltaFor(wlI, wrI))
-    innerF = deltaI match {
-      case Some(d) => Future(foldJoinState(spark, innerPath, iptr, d,
-        keys, stateBuckets, marks, "join"))(foldEc)
-      case None => Future.successful(0L)
-    }
-    // the aggregate folds ITS OWN window (== inner's unless a crash
-    // left it behind, in which case the delta is recomputed from the
-    // tables' changelog for the lagging window)
-    val deltaA =
-      if (wlA == headL && wrA == headR) None
-      else if ((wlA, wrA) == (wlI, wrI)) deltaI
-      else Some(deltaFor(wlA, wrA))
-    // extrema/distinct rescan source: the view's row population AT THE
-    // NEW WATERMARK, derived by Z-ALGEBRA (pre-fold state ∪ the inner
-    // window's delta, consolidated) instead of reading the inner fold's
-    // write — the algebraic identity new ≡ old ∪ Δ is what frees the
-    // aggregate level from waiting on the inner level's I/O
-    def innerAtHead: DataFrame = deltaI match {
-      case Some(d) =>
-        IncrementalAgg.consolidate(
-          innerPreFold.getOrElse(d.where(lit(false))).unionByName(d))
-      case None => innerPreFold.getOrElse(
-        read(spark, innerPath)) // inner idle: pre-fold IS the head
-    }
-    // the rescan source (the inner state) is BOUNDED when its recorded
-    // bytes sit under the single-bucket growth bound — then the
-    // aggregate fold may recompute every group in ONE job instead of
-    // paying a count job to gate the semi-join prune (pruning a few-MB
-    // scan buys nothing). Only consulted (and only computed — the
-    // pointer parse is dead work otherwise) when a rescan fold exists.
-    val innerBounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
-      iptr.exists { p =>
-        val ifs = new Path(innerPath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        stateBytes(ifs, innerPath, p) <= AutoBucketBytes
-      }
-    val groupsChanged = deltaA.map { d =>
-      def rescan: DataFrame = innerAtHead.filter(col("m") > 0)
-      foldAggState(spark, viewPath, aptr, d, aggKeys,
-        aggSums.map(parseSum), minMaxCols, rescan, marks, stateBuckets,
-        "join_aggregate", distinctCols, rescanBounded = innerBounded)
-    }.getOrElse(0L)
-    val deltaRows = Await.result(innerF, Duration.Inf)
-    ComposedRefresh(wlI, headL, wrI, headR, deltaRows, groupsChanged)
-    } finally {
-      if (innerF != null)
-        scala.util.Try(Await.ready(innerF, Duration.Inf))
-      cached.foreach(_.unpersist(false))
-    }
+    requireKind(readPointer(spark, viewPath), viewPath, "join_aggregate",
+      "srcgen", "refreshJoinAggregate")
+    val (jr, groups) = chainedRefresh(spark, viewPath, innerPath,
+      "srcgen", "refreshJoinAggregate",
+      planInner = () => planJoin(spark, innerPath,
+        TableZ(leftPath, leftTypes), leftCols,
+        TableZ(rightPath, rightTypes), rightCols, keys, stateBuckets,
+        leftFilter, rightFilter, "join", "left", "right", "refreshJoin",
+        Map.empty),
+      foldOuter = (src, marks) => refreshAggFrom(spark, src, viewPath,
+        aggKeys, aggSums, minMaxCols, rowFilter = None, stateBuckets,
+        distinctCols, "join_aggregate", "srcgen", "refreshJoinAggregate",
+        extraMarks = marks).groupsChanged)
+    ComposedRefresh(jr.fromLeft, jr.toLeft, jr.fromRight, jr.toRight,
+      jr.deltaRows, groups)
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,
