@@ -275,6 +275,56 @@ object LakeView {
       .lastOption.map(parsePointer(fs, dir, _))
   }
 
+  // ---- feed pins ----------------------------------------------------------
+
+  /** In-JVM generation pins: a feed consumer registers the generations
+    * its scan needs and retention ([[publish]]) DEFERS reclaiming them —
+    * pointer file and state dirs — until the pin drops, so a same-process
+    * maintainer can flip as often as it likes without pulling files out
+    * from under an in-flight feed scan (the engine's concurrency model
+    * is one driver JVM, many threads — exactly the chained-view and
+    * maintainer/consumer shapes). Keyed by the fs-qualified view URI.
+    * A maintainer in ANOTHER process cannot see these pins: there the
+    * contract stays `spark.graft.view.keepGenerations` — raise it to
+    * cover the consumer's lag, as [[changesBetween]]'s refusal says. */
+  private val feedPins =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+        java.lang.Integer]]()
+
+  private def pinKey(spark: SparkSession, viewPath: String): String = {
+    val p = new Path(viewPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  private def pinnedGens(key: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    Option(feedPins.get(key))
+      .map(_.keySet().asScala.map(Long2long).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Run `f` with `gens` pinned at `viewPath`: a concurrent SAME-JVM
+    * refresh can flip past them, but retention will not reclaim their
+    * pointer or state until `f` returns. The internal fold drivers pin
+    * their source windows automatically; scope an EXTERNAL consumer's
+    * whole action (resolve feed → run the job) in this when a
+    * concurrent maintainer is possible. Reentrant (pins count). */
+  def withPinnedGenerations[T](spark: SparkSession, viewPath: String,
+      gens: Seq[Long])(f: => T): T = {
+    val key = pinKey(spark, viewPath)
+    val held = gens.filter(_ > 0L).distinct
+    val m = feedPins.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+    held.foreach(g => m.compute(g,
+      (_, c) => Integer.valueOf(if (c == null) 1 else c.intValue() + 1)))
+    try f
+    finally held.foreach(g => m.compute(g,
+      (_, c) => if (c == null || c.intValue() <= 1) null
+        else Integer.valueOf(c.intValue() - 1)))
+  }
+
   /** Atomically publish the pointer for `gen` (temp-write + rename to a
     * never-pre-existing name), then reclaim state no live pointer
     * references: retention is BY REFERENCE — the newest
@@ -322,10 +372,12 @@ object LakeView {
       throw new java.io.IOException(
         s"view pointer flip failed: $tmp -> $dst (concurrent refresh?)")
 
-    // retention by reference
-    val liveGens = fs.listStatus(dir).filter(_.isFile)
+    // retention by reference; in-flight feed scans PIN generations
+    // (same-JVM), deferring their reclaim to a post-release publish
+    val allGens = fs.listStatus(dir).filter(_.isFile)
       .flatMap(st => ptrGen(st.getPath.getName)).sorted
-      .takeRight(keep).toSet
+    val liveGens = allGens.takeRight(keep).toSet ++
+      (pinnedGens(pinKey(spark, viewPath)) & allGens.toSet)
     val refs: Set[String] = liveGens.flatMap { g =>
       val p = parsePointer(fs, dir, g)
       p.dir.toSeq ++ p.buckets.values
@@ -376,13 +428,20 @@ object LakeView {
       case None => readPointer(spark, viewPath)
     }
     ptr match {
-      case Some(p) =>
-        val paths = p.dir.map(d => Seq(s"$viewPath/$d"))
-          .getOrElse(p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
-        phase("read.plan")(spark.read.parquet(paths: _*))
+      case Some(p) => readFrom(spark, viewPath, p)
       case None => throw new IllegalStateException(
         s"no materialized view at $viewPath — refreshAggregate first")
     }
+  }
+
+  /** The state a RESOLVED pointer names — the one read path under
+    * [[read]] and [[readKeys]], so a caller that already holds a
+    * pointer can never mix two generations within one call. */
+  private def readFrom(spark: SparkSession, viewPath: String,
+      p: Pointer): DataFrame = {
+    val paths = p.dir.map(d => Seq(s"$viewPath/$d"))
+      .getOrElse(p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
+    phase("read.plan")(spark.read.parquet(paths: _*))
   }
 
   /** Point/key reads served from the BUCKETED layout: hash the probe
@@ -401,10 +460,13 @@ object LakeView {
       "readKeys needs key columns and at least one probe row")
     require(keyValues.forall(_.length == keyCols.length),
       "every probe row must bind every key column")
+    // ONE pointer resolve: both the pruned path and the fallback read
+    // come from the same Pointer, so a refresh landing mid-call can
+    // never mix one generation's bucket map with another's full read
     val ptr = readPointer(spark, viewPath).getOrElse(
       throw new IllegalStateException(
         s"no materialized view at $viewPath — refreshAggregate first"))
-    val full = read(spark, viewPath)
+    val full = readFrom(spark, viewPath, ptr)
     def matches(df: DataFrame): Column = keyValues.map { vs =>
       keyCols.zip(vs).map { case (k, v) => df(k) <=> lit(v) }
         .reduce(_ && _)
@@ -480,14 +542,17 @@ object LakeView {
     * generations must still be live — a consumer lagging past
     * retention fails loudly (raise `spark.graft.view.keepGenerations`,
     * the view-layer analog of snapshot retention). Liveness is checked
-    * at RESOLVE time, like every snapshot read here: a feed holds TWO
-    * generations, so a maintainer refreshing CONCURRENTLY with a
-    * consumer of the last closed window needs `keepGenerations >= 3`
-    * (current + the feed's two) for the scan to be guaranteed its
-    * files — at the default 2 a single concurrent flip can reclaim
-    * `fromGen` mid-scan, surfacing as a file-not-found rather than the
-    * loud refusal. Requires a kind-stamped pointer (any refresh under
-    * this build stamps it). */
+    * at RESOLVE time; against a concurrent SAME-JVM maintainer the scan
+    * itself is protected by pinning: the internal fold drivers pin
+    * their source windows automatically, and an external consumer
+    * scopes its action in [[withPinnedGenerations]] — retention defers
+    * reclaiming a pinned generation, so a flip can never pull files out
+    * from under the scan (never a file-not-found; lagging past
+    * retention before the pin still refuses loudly at resolve). A
+    * maintainer in ANOTHER process cannot see pins — there, size
+    * `keepGenerations >= 3` (current + the feed's two) to guarantee a
+    * concurrent consumer its files. Requires a kind-stamped pointer
+    * (any refresh under this build stamps it). */
   def changesBetween(spark: SparkSession, viewPath: String,
       fromGen: Long, toGen: Long): DataFrame = {
     require(fromGen >= 0 && fromGen < toGen,
@@ -568,6 +633,10 @@ object LakeView {
       * recompute every group in one job instead of gating a semi-join
       * prune behind a count job. */
     def rescanBounded(spark: SparkSession): Boolean
+    /** Run `f` with the source versions a fold scans PINNED against
+      * concurrent reclaim ([[withPinnedGenerations]]) — a no-op for
+      * tables (snapshot retention is the table tier's contract). */
+    def withPins[T](spark: SparkSession, vers: Seq[Long])(f: => T): T = f
   }
 
   private final case class TableZ(path: String, fieldTypes: String)
@@ -614,6 +683,8 @@ object LakeView {
           spark.sparkContext.hadoopConfiguration)
         stateBytes(fs, path, p) <= AutoBucketBytes
       }
+    override def withPins[T](spark: SparkSession, vers: Seq[Long])(
+        f: => T): T = withPinnedGenerations(spark, path, vers)(f)
   }
 
   /** A view source whose NEWEST window's feed is already in hand: the
@@ -651,6 +722,8 @@ object LakeView {
     def netted = true
     def rescanBounded(spark: SparkSession): Boolean =
       src.rescanBounded(spark)
+    override def withPins[T](spark: SparkSession, vers: Seq[Long])(
+        f: => T): T = src.withPins(spark, vers)(f)
   }
 
   /** One side of a bilinear join fold: the source's Z-relation at the
@@ -703,20 +776,24 @@ object LakeView {
       s"view watermark $from is ahead of ${src.describe}'s head $head " +
         "— the source's history was reset under this view")
     if (head == from) return Refresh(from, head, 0L)
-    def filtered(df: DataFrame): DataFrame =
-      rowFilter.fold(df)(f => df.where(expr(f)))
-    val delta = filtered(src.changes(spark, from, head))
-    def rescan: DataFrame = filtered(src.liveRowsAt(spark, head))
-    // a bounded rescan source frees the fold to recompute all groups in
-    // one job. Only computed when a rescan fold exists (dead
-    // pointer-parse work on the additive-only steady path otherwise).
-    val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
-      src.rescanBounded(spark)
-    val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
-      sumCols.map(parseSum), minMaxCols, rescan,
-      Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
-      rescanBounded = bounded)
-    Refresh(from, head, changed)
+    // the window's generations stay pinned against a concurrent
+    // same-JVM maintainer reclaiming them mid-scan
+    src.withPins(spark, Seq(from, head)) {
+      def filtered(df: DataFrame): DataFrame =
+        rowFilter.fold(df)(f => df.where(expr(f)))
+      val delta = filtered(src.changes(spark, from, head))
+      def rescan: DataFrame = filtered(src.liveRowsAt(spark, head))
+      // a bounded rescan source frees the fold to recompute all groups
+      // in one job. Only computed when a rescan fold exists (dead
+      // pointer-parse work on the additive-only steady path otherwise).
+      val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
+        src.rescanBounded(spark)
+      val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
+        sumCols.map(parseSum), minMaxCols, rescan,
+        Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
+        rescanBounded = bounded)
+      Refresh(from, head, changed)
+    }
   }
 
   /** The ONE join-refresh driver: advance the Z-relation state at
@@ -785,9 +862,15 @@ object LakeView {
     val (oldL, dL) = zSide(spark, left, leftCols, wl, headL, leftFilter)
     val (oldR, dR) = zSide(spark, right, rightCols, wr, headR, rightFilter)
     val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
+    // view-source windows stay pinned for the fold's scans against a
+    // concurrent same-JVM maintainer reclaiming them (no-op for tables)
     PlannedJoin(wl, headL, wr, headR, Some(delta),
-      () => foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
-        Map(markL -> headL, markR -> headR) ++ extraMarks, kind))
+      () => left.withPins(spark, Seq(wl, headL)) {
+        right.withPins(spark, Seq(wr, headR)) {
+          foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
+            Map(markL -> headL, markR -> headR) ++ extraMarks, kind)
+        }
+      })
   }
 
   /** Executor for the CONCURRENT level folds of the chained forms: the

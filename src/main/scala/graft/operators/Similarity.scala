@@ -504,9 +504,21 @@ object Similarity {
     // simply re-folds the window — recovery only sweeps the orphan stage
     recoverIvfIndex(spark, path)
     // exactly-once under retry: a replayed (or previously completed)
-    // fold already committed this window — its token is the watermark
-    if (windowToken.isDefined && windowToken == readIvfWatermark(fs, root))
-      return (0L, 0L)
+    // fold already committed this window — its token is the watermark.
+    // A token in the RECENT HISTORY but no longer the watermark is a
+    // rewound caller (e.g. replaying from an older checkpoint after the
+    // maintainer advanced): re-folding it would double-append that
+    // window's inserts, so it refuses loudly instead of corrupting.
+    val (lastToken, tokenHistory) = readIvfWatermark(fs, root)
+    windowToken.foreach { t =>
+      if (lastToken.contains(t)) return (0L, 0L)
+      if (tokenHistory.contains(t)) throw new IllegalStateException(
+        s"applyChangesToIvfIndex: window token '$t' was already " +
+          s"committed and the index has since advanced to " +
+          s"'${lastToken.getOrElse("")}' — re-folding an older window " +
+          "would double-append its inserts; resume from the committed " +
+          "watermark instead")
+    }
     fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
     // NET the batch first: a multi-version window emits per-version rows
     // (an id inserted then deleted nets to zero — without consolidation
@@ -606,13 +618,19 @@ object Similarity {
 
   private val IvfWatermarkName = "_ivfwatermark.json"
 
-  /** The last committed fold window's token, if any. A torn file reads
-    * as absent — by the write ordering a torn watermark always has a
-    * live marker whose replay rewrites it. */
+  /** How many committed window tokens the watermark file remembers —
+    * enough to catch any realistic checkpoint replay depth at a few
+    * hundred bytes of metadata. */
+  private val IvfTokenHistory = 64
+
+  /** The committed fold windows' tokens: (last, recent history
+    * most-recent-last, last included). A torn file reads as absent — by
+    * the write ordering a torn watermark always has a live marker whose
+    * replay rewrites it. */
   private def readIvfWatermark(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[String] = {
+      root: org.apache.hadoop.fs.Path): (Option[String], Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(root, IvfWatermarkName)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return (None, Nil)
     try {
       val in = fs.open(p)
       val bytes = new java.io.ByteArrayOutputStream()
@@ -620,17 +638,30 @@ object Similarity {
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       in.close()
-      Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      val rootNode = Option(new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(bytes.toString("UTF-8")))
-        .flatMap(r => Option(r.get("token"))).map(_.asText())
-    } catch { case scala.util.control.NonFatal(_) => None }
+      val last = rootNode.flatMap(r => Option(r.get("token"))).map(_.asText())
+      import scala.jdk.CollectionConverters._
+      val hist = rootNode.flatMap(r => Option(r.get("history")))
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(last.toSeq)
+      (last, hist)
+    } catch { case scala.util.control.NonFatal(_) => (None, Nil) }
   }
 
   private def writeIvfWatermark(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, token: String): Unit = {
+    // carry a bounded, deduped history so a caller replaying a window
+    // OLDER than the watermark (a rewound checkpoint) can be refused
+    // instead of silently double-appending its inserts
+    val (_, prior) = readIvfWatermark(fs, root)
+    val hist = (prior.filterNot(_ == token) :+ token)
+      .takeRight(IvfTokenHistory)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("token", token)
+    val arr = node.putArray("history")
+    hist.foreach(arr.add)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(root, IvfWatermarkName), true)
     try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))

@@ -866,7 +866,7 @@ private[graft] object ParityQueries {
       // discipline: it runs at the correctness SFs, where the driver's
       // oracle gate executes; the bench SF measures the coalesced
       // consumption production actually pays
-      if (Set("sf0.001", "sf0.01").contains(new java.io.File(dir).getName)) {
+      if (isCorrectnessSf(dir)) {
         val (nPer, per) = consume(Map.empty)
         require(nPer == 8L,
           s"pacing batch count: per-version $nPer (want 8)")
@@ -1460,8 +1460,7 @@ private[graft] object ParityQueries {
       // the recompute-equality gates run at the correctness SFs (the
       // driver's oracle gate executes there) — the q306 discipline:
       // production pays only the folds, so the bench SF measures those
-      val gateSf = Set("sf0.001", "sf0.01")
-        .contains(new java.io.File(dir).getName)
+      val gateSf = isCorrectnessSf(dir)
       def gateFoldEqualsRecompute(): Unit = if (gateSf) {
         // the maintained aggregate ≡ a recompute over the inner
         // Z-relation (both read maintained state; nothing rescans the
@@ -1554,8 +1553,7 @@ private[graft] object ParityQueries {
         s.sql(s"SELECT * FROM refresh_lake_view('$vb')").collect()(0)
           .getLong(5)
       }
-      val gateSf = Set("sf0.001", "sf0.01")
-        .contains(new java.io.File(dir).getName)
+      val gateSf = isCorrectnessSf(dir)
       def gate(): Unit = if (gateSf) {
         val got = graft.operators.LakeView.read(s, vb)
           .select(col("Lang"), col("n"), col("sum_docs"), col("sum_chars"))
@@ -1639,8 +1637,7 @@ private[graft] object ParityQueries {
       def refreshJ() = graft.operators.LakeView.refreshJoinOfViews(s, vj,
         vl, Seq("CKey", "n", "sum_price"),
         vr, Seq("CKey", "Seg"), Seq("CKey"))
-      val gateSf = Set("sf0.001", "sf0.01")
-        .contains(new java.io.File(dir).getName)
+      val gateSf = isCorrectnessSf(dir)
       def gate(): Unit = if (gateSf) {
         val l = graft.operators.LakeView.read(s, vl)
           .select(col("CKey"), col("n"), col("sum_price"))
@@ -1719,8 +1716,7 @@ private[graft] object ParityQueries {
       def refresh(): Long =
         s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
           .getLong(5)
-      val gateSf = Set("sf0.001", "sf0.01")
-        .contains(new java.io.File(dir).getName)
+      val gateSf = isCorrectnessSf(dir)
       def gate(): Unit = if (gateSf) {
         val got = graft.operators.LakeView.read(s, view)
           .select(col("Lang"), col("dc_Chars"))
@@ -1809,8 +1805,7 @@ private[graft] object ParityQueries {
         keys01 = Seq("CKey"), keys12 = Seq("NKey"))
       // recompute-equality at the correctness SFs only (q306
       // discipline): the bench SF measures the chained folds alone
-      val gateSf = Set("sf0.001", "sf0.01")
-        .contains(new java.io.File(dir).getName)
+      val gateSf = isCorrectnessSf(dir)
       def gate(): Unit = if (gateSf) {
         // root ≡ recompute over (inner state ⋈ live nation): the
         // chained fold must agree with a one-shot join of its inputs

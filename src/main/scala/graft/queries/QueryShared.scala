@@ -46,6 +46,14 @@ private[graft] object QueryShared {
       }))
       .getOrElse(sys.props("java.io.tmpdir"))
 
+  /** True at the CORRECTNESS scale factors — the SFs where the driver's
+    * oracle gate executes, so in-run equivalence gates (fold ≡
+    * recompute, pacing counts) run there and the bench SF measures only
+    * what production pays. ONE definition: adding a correctness SF here
+    * re-arms every gate at once instead of silently skipping it. */
+  private[graft] def isCorrectnessSf(dir: String): Boolean =
+    Set("sf0.001", "sf0.01").contains(new java.io.File(dir).getName)
+
   private[graft] def scratchPath(dir: String, tag: String): String =
     new java.io.File(scratchRoot,
       s"graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$scratchNonce")

@@ -480,6 +480,17 @@ class ExpressionSpec extends SparkSpec {
       "vec_id", "embedding", idx, cents, windowToken = Some("v3-4"))
     assert(i3 == 1L && d3 == 0L)
     assert(snap().count(_._1 == 602L) == 1)
+    // a token OLDER than the watermark (a rewound checkpoint replaying
+    // v1-2 after the maintainer advanced to v3-4) must refuse LOUDLY —
+    // re-folding it would double-append that window's inserts
+    val before = snap().toSet
+    val stale = intercept[IllegalStateException] {
+      Similarity.applyChangesToIvfIndex(batch,
+        "vec_id", "embedding", idx, cents, windowToken = Some("v1-2"))
+    }
+    assert(stale.getMessage.contains("older window") ||
+      stale.getMessage.contains("already"), stale.getMessage)
+    assert(snap().toSet == before, "a refused stale window must not fold")
   }
 
   test("top_k_pairs: equals the window form, merges across partitions, O(k)") {

@@ -270,4 +270,99 @@ class LakeChaosSpec extends SparkSpec {
     runChaos(Files.createTempDirectory("graft_chaospq").toString + "/t",
       parquet = true)
   }
+
+  test("view feed scans survive a concurrent maintainer at default " +
+      "retention: pins defer reclaim for the in-flight scan (never a " +
+      "FileNotFoundException); unpinned lag past retention refuses " +
+      "loudly at resolve") {
+    import graft.operators.{LakeSnapshots, LakeView}
+    val base = Files.createTempDirectory("graft_feedrace").toString
+    val (tbl, src, dst) = (s"$base/t", s"$base/src", s"$base/dst")
+    val types = "K:number,X:number"
+    def append(from: Long, until: Long): Unit = {
+      spark.range(from, until).select(
+          concat(lit("r"), lpad($"id".cast("string"), 6, "0"))
+            .as("_record_id"),
+          ($"id" % 97).cast("double").as("K"),
+          $"id".cast("double").as("X"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", tbl)
+        .option("dataFormat", "parquet").mode("append").save()
+      LakeSnapshots.commit(spark, tbl)
+    }
+    def refreshSrc() =
+      LakeView.refreshAggregate(spark, tbl, types, src, Seq("K"), Seq("X"))
+    append(0, 2000); refreshSrc() // gen 1
+    append(2000, 3000); refreshSrc() // gen 2
+
+    // 1) the deterministic race: resolve a feed over (1, 2], then let
+    // the maintainer flip PAST default retention while the window is
+    // pinned — the scan must still find its files
+    val fed = LakeView.withPinnedGenerations(spark, src, Seq(1L, 2L)) {
+      val feed = LakeView.changesBetween(spark, src, 1L, 2L)
+      append(3000, 3200); refreshSrc() // gen 3
+      append(3200, 3400); refreshSrc() // gen 4 — without pins, 1 and 2
+      // would both be reclaimed by now (keepGenerations = 2)
+      feed.count() // the scan that would otherwise FileNotFound
+    }
+    assert(fed > 0L, "the pinned feed scan must read its window")
+    // pins released: the next flip reclaims the old generations, and
+    // the same feed now refuses LOUDLY at resolve
+    append(3400, 3600); refreshSrc() // gen 5 sweeps 1 and 2
+    val e = intercept[IllegalStateException](
+      LakeView.changesBetween(spark, src, 1L, 2L))
+    assert(e.getMessage.contains("not live"), e.getMessage)
+
+    // 2) racing maintainer + downstream consumer at default retention:
+    // the consumer folds the source's feed while the maintainer flips —
+    // every outcome must be a success or the loud lag refusal, never a
+    // scan dying on reclaimed files
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintainer = new Thread(() => {
+      try {
+        var next = 4000L
+        while (!stop.get()) {
+          append(next, next + 200); next += 200
+          refreshSrc()
+        }
+      } catch { case t: Throwable => errs.add(t); stop.set(true) }
+    })
+    var refusals = 0
+    val consumer = new Thread(() => {
+      try (0 until 5).foreach { _ =>
+        try LakeView.refreshAggregateOverView(spark, src, dst,
+          Seq("K"), Seq("sum_X"))
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("not live") => refusals += 1
+        }
+        Thread.sleep(25)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    maintainer.start(); consumer.start()
+    consumer.join(180000); stop.set(true); maintainer.join(180000)
+    assert(errs.isEmpty, s"feed race surfaced: ${errs}")
+    // quiescent catch-up: either the consumer converges to the source's
+    // current per-key sums, or (having lagged past retention mid-run)
+    // it keeps refusing loudly — both contracts, nothing silent
+    val converged =
+      try {
+        LakeView.refreshAggregateOverView(spark, src, dst,
+          Seq("K"), Seq("sum_X"))
+        true
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("not live") =>
+          false
+      }
+    if (converged) {
+      val want = LakeView.read(spark, src).select($"K", $"sum_X")
+      val got = LakeView.read(spark, dst)
+        .select($"K", $"sum_sum_X".as("sum_X"))
+      val mism = got.join(want, Seq("K"), "full")
+        .filter(!(got("sum_X") <=> want("sum_X")))
+      assert(mism.limit(1).isEmpty,
+        "consumer diverged from the source under the race")
+    }
+  }
 }
