@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
         "drop_lake_view"),
       (args: Seq[Expression]) => graft.plans.LakeViewSql.dropPlan(args)))
+    // a view's generation feed in FROM position — the view-layer twin
+    // of table_changes: SELECT * FROM view_changes('/v', 1, 3)
+    ext.injectTableFunction((
+      new FunctionIdentifier("view_changes"),
+      new ExpressionInfo(graft.plans.LakeViewSql.getClass.getName,
+        "view_changes"),
+      (args: Seq[Expression]) => graft.plans.LakeViewSql.changesPlan(args)))
     // lake maintenance in SQL: compaction, DV materialization, snapshot
     // retention, vacuum (graft.plans.LakeMaintenance — one-row reports)
     ext.injectTableFunction((

@@ -438,6 +438,40 @@ object LakeViewSql {
     LakeCommand.oneRow("refresh_lake_view", refreshSchema)(row)
   }
 
+  // ---- view_changes (feed read) -----------------------------------------
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"view_changes: $what must be an integer literal, got $other")
+  }
+
+  /** `view_changes(viewPath, fromGen[, toGen])` — a maintained view's
+    * generation feed in FROM position, mirroring [[TableChanges]]: the
+    * signed content delta between two LIVE generations (columns = the
+    * view's own plus `m`; aggregate-shaped state emits ±1, Z-relation
+    * state ± its stored multiplicity), derived by diffing generation
+    * pointers ([[graft.operators.LakeView.changesBetween]] — reads only
+    * rewritten buckets, cost ∝ touched state). `fromGen = 0` is the
+    * bootstrap window; `toGen` defaults to the newest generation.
+    * Read-only, so it resolves to a plain relation — EXPLAIN is
+    * trivially inert — and liveness refuses loudly at resolve; a
+    * consumer racing a same-JVM maintainer scopes the whole read in
+    * [[graft.operators.LakeView.withPinnedGenerations]]. */
+  def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    require(args.length == 2 || args.length == 3,
+      "view_changes(viewPath, fromGen[, toGen])")
+    val viewPath = strLit(args.head, "viewPath")
+    loadDef(spark, viewPath) // a defined view, not a bare state dir
+    val from = longLit(args(1), "fromGen")
+    val to = args.lift(2).map(longLit(_, "toGen")).getOrElse(
+      graft.operators.LakeView.currentGeneration(spark, viewPath))
+    graft.operators.LakeView.changesBetween(spark, viewPath, from, to)
+      .queryExecution.logical
+  }
+
   // ---- lake_view (read) -------------------------------------------------
 
   def readPlan(args: Seq[Expression]): LogicalPlan = {

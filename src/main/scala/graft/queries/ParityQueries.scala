@@ -1753,6 +1753,160 @@ private[graft] object ParityQueries {
            |FROM lake_view('$view') ORDER BY lang""".stripMargin)
     }),
 
+    "q316_view_changes_sql" -> ((s, dir) => {
+      // the view-layer CHANGE FEED in SQL: `view_changes(path, from,
+      // to)` mirrors table_changes one level up — the signed content
+      // delta of a maintained view between two generations, derived by
+      // diffing generation pointers (reads only rewritten buckets,
+      // never the view). One mutation wave (delete + append in a
+      // single snapshot window) advances the view one generation; the
+      // readout is the signed per-group delta, and the oracle
+      // recomputes both states from the predicates and diffs them.
+      // In-run gate at the correctness SFs: state@1 ∪ feed consolidates
+      // to state@2 (the algebra the SQL surface now exposes).
+      val out = scratchPath(dir, "q316_records")
+      val view = scratchPath(dir, "q316_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang',
+           |  'chars:CAST(Chars AS BIGINT)')""".stripMargin).collect()
+      def refresh(): Unit =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh() // generation 1
+      // one wave: retract small docs AND append the remaining third,
+      // committed as a single snapshot window
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh() // generation 2
+      if (isCorrectnessSf(dir)) {
+        // the feed IS the algebraic difference: state@1 ∪ feed ≡ state@2
+        val g1 = graft.operators.LakeView.read(s, view, Some(1L))
+          .withColumn("m", lit(1L))
+        val feed = s.sql(s"SELECT * FROM view_changes('$view', 1, 2)")
+        val rebuilt = graft.operators.IncrementalAgg
+          .consolidate(g1.unionByName(feed))
+        val g2 = graft.operators.LakeView.read(s, view, Some(2L))
+          .withColumn("m", lit(1L))
+        val mism = rebuilt.unionByName(g2.withColumn("m", -col("m")))
+        require(graft.operators.IncrementalAgg.consolidate(mism)
+          .limit(1).isEmpty,
+          "state@1 ∪ view_changes(1,2) must consolidate to state@2")
+      }
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(sum_chars AS BIGINT) AS sum_chars, CAST(m AS BIGINT) AS m
+           |FROM view_changes('$view', 1, 2)
+           |ORDER BY lang, m""".stripMargin)
+    }),
+
+    "q317_composed_view_as_source" -> ((s, dir) => {
+      // a COMPOSED kind as a FEED SOURCE: the 'join_aggregate' view C
+      // (orders ⋈ customer rolled up per segment × customer) is itself
+      // the source of a maintained per-segment rollup D, consumed
+      // through C's generation feed exactly like any other view — the
+      // kind partition (join_aggregate state is plain rows, not a
+      // Z-relation) pinned by an actual downstream consumer. Three
+      // mutation cycles (bootstrap, fact append, customer retraction)
+      // flow tables -> C -> D with D ≡ recompute-from-C gated each
+      // cycle at the correctness SFs; the oracle recomputes the
+      // two-level rollup from the predicates.
+      val to = scratchPath(dir, "q317_orders")
+      val tc = scratchPath(dir, "q317_cust")
+      val vc = scratchPath(dir, "q317_vc")
+      val vd = scratchPath(dir, "q317_vd")
+      val fs = new org.apache.hadoop.fs.Path(to)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(to, tc, vc, vd).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val typesO = "OKey:number,CKey:number,Price:number"
+      val typesC = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"),
+        col("o_totalprice").cast("double").as("Price"))
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_mktsegment").as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", tc)
+        .option("dataFormat", "parquet").mode("append").save()
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(to, tc).foreach(p => graft.operators.LakeSnapshots.commit(s, p))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$vc', 'join_aggregate',
+           |  '$to', '$typesO', 'OKey,CKey,Price',
+           |  '$tc', '$typesC', 'CKey,Seg', 'CKey',
+           |  'Seg,CKey', 'price:CAST(Price AS DECIMAL(18,2))')"""
+          .stripMargin).collect()
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$vd', 'aggregate_over_view',
+           |  '$vc', 'Seg', 'orders:n,price:sum_price')""".stripMargin)
+        .collect()
+      def refresh(): Long = {
+        s.sql(s"SELECT * FROM refresh_lake_view('$vc')").collect()
+        s.sql(s"SELECT * FROM refresh_lake_view('$vd')").collect()(0)
+          .getLong(5)
+      }
+      val gateSf = isCorrectnessSf(dir)
+      def gate(): Unit = if (gateSf) {
+        val got = graft.operators.LakeView.read(s, vd)
+          .select(col("Seg"), col("n"), col("sum_orders"), col("sum_price"))
+        val want = graft.operators.LakeView.read(s, vc)
+          .groupBy("Seg").agg(count(lit(1)).as("wn"),
+            sum(col("n")).as("worders"), sum(col("sum_price")).as("wprice"))
+        val mism = got.join(want, Seq("Seg"), "full")
+          .filter(!(col("n") <=> col("wn")) ||
+            !(col("sum_orders") <=> col("worders")) ||
+            !(col("sum_price") <=>
+              col("wprice").cast(got.schema("sum_price").dataType)))
+        require(mism.limit(1).isEmpty,
+          "rollup over the composed view diverged from its source")
+      }
+      require(refresh() > 0L, "bootstrap must fold through C into D")
+      gate()
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, to)
+      require(refresh() > 0L, "the fact append must flow C -> D")
+      gate()
+      graft.operators.DeletionVectors.delete(s, tc, typesC,
+        col("CKey") % 5 === 0)
+      graft.operators.LakeSnapshots.commit(s, tc)
+      require(refresh() > 0L, "the retraction wave must flow C -> D")
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op through the chain")
+      s.sql(
+        s"""SELECT Seg AS segment, CAST(n AS BIGINT) AS n_cust,
+           |  CAST(sum_orders AS BIGINT) AS n_orders,
+           |  CAST(sum_price AS DOUBLE) AS total_price
+           |FROM lake_view('$vd') ORDER BY 1""".stripMargin)
+    }),
+
     "q312_lake_view_join3" -> ((s, dir) => {
       // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
       // — the star shape): two chained bilinear folds under one
@@ -3486,6 +3640,43 @@ private[graft] object ParityQueries {
         |  COUNT(DISTINCT n_chars) AS dc_chars,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM live GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // the oracle recomputes the view's state at BOTH generations from
+    // the predicates and diffs them (EXCEPT both ways, signed); the
+    // engine serves the same rows from the generation-pointer diff —
+    // the SQL change feed one level up from table_changes
+    "q316_view_changes_sql" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |s1 AS (SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |  FROM base WHERE doc_id % 3 < 2 GROUP BY 1),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE)),
+        |s2 AS (SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |  FROM live GROUP BY 1)
+        |SELECT lang, n AS n_docs, sum_chars, CAST(1 AS BIGINT) AS m
+        |  FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+        |UNION ALL
+        |SELECT lang, n AS n_docs, sum_chars, CAST(-1 AS BIGINT) AS m
+        |  FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+        |ORDER BY lang, m""".stripMargin,
+
+    // the oracle recomputes the two-level rollup from the predicates;
+    // the engine maintains the outer level OVER the composed
+    // ('join_aggregate') view's generation feed — a composed kind as a
+    // first-class feed source
+    "q317_composed_view_as_source" ->
+      """WITH per AS (SELECT c_mktsegment AS seg, o_custkey AS ck,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE NOT (c_custkey % 5 = 0) GROUP BY 1, 2)
+        |SELECT seg AS segment, COUNT(*) AS n_cust,
+        |  CAST(SUM(n) AS BIGINT) AS n_orders,
+        |  CAST(SUM(sp) AS DOUBLE) AS total_price
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the 3-way star join from the predicates;
     // the engine maintains it as two chained bilinear folds (the root

@@ -631,6 +631,65 @@ class LakeViewComposeSpec extends SparkSpec {
     gateC()
   }
 
+  test("a join3 ROOT is itself a feed source: an aggregate maintained " +
+      "over the composed Z-relation folds stored multiplicities " +
+      "through a delete wave (fold ≡ recompute) — the Z side of the " +
+      "kind partition pinned by an actual consumer") {
+    val b = tmp("j3src")
+    val (t0, t1, t2, v3, agg) =
+      (s"$b/f", s"$b/d1", s"$b/d2", s"$b/v3", s"$b/agg")
+    append(t0, 0, 40)
+    spark.range(0, 5).select(
+        concat(lit("k"), $"id".cast("string")).as("_record_id"),
+        concat(lit("g"), $"id".cast("string")).as("G5"),
+        ($"id" % 3).cast("double").as("NK"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t1).mode("append").save()
+    spark.range(0, 3).select(
+        concat(lit("n"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("NK"),
+        concat(lit("nat"), $"id".cast("string")).as("NName"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", t2).mode("append").save()
+    Seq(t0, t1, t2).foreach(LakeSnapshots.commit(spark, _))
+    val types1 = "G5:singleLineText,NK:number"
+    val types2 = "NK:number,NName:singleLineText"
+    def refresh3() = LakeView.refreshJoin3(spark, v3,
+      t0, types, Seq("G5", "Score"),
+      t1, types1, Seq("G5", "NK"),
+      t2, types2, Seq("NK", "NName"),
+      keys01 = Seq("G5"), keys12 = Seq("NK"))
+    // the consumer: per-nation rollup folding the ROOT's generation
+    // feed — a Z-relation source, so n folds as Σm and sums as Σ m·expr
+    def refreshAgg() = LakeView.refreshAggregateOverView(spark, v3, agg,
+      Seq("NName"), Seq("score:Score"))
+    def gate(): Unit = {
+      val want = LakeView.read(spark, v3).groupBy("NName")
+        .agg(sum($"m").as("wn"), sum($"m" * $"Score").as("ws"))
+      val got = LakeView.read(spark, agg)
+      val mism = got.join(want, Seq("NName"), "full")
+        .filter(!($"n" <=> $"wn") || !($"sum_score" <=> $"ws"))
+      assert(mism.isEmpty,
+        "the rollup over the join3 root diverged from a recompute")
+    }
+    assert(LakeView.viewKind(spark, v3).isEmpty)
+    refresh3()
+    assert(LakeView.viewKind(spark, v3).contains("join3"))
+    assert(refreshAgg().groupsChanged > 0L)
+    gate()
+    // delete wave through the MIDDLE table retracts joined rows with
+    // their multiplicities — the feed must carry ±m, not ±1
+    DeletionVectors.delete(spark, t1, types1, $"NK" === 1.0)
+    LakeSnapshots.commit(spark, t1)
+    refresh3()
+    assert(refreshAgg().groupsChanged > 0L)
+    gate()
+    // idle window through the whole chain
+    refresh3()
+    assert(refreshAgg().groupsChanged == 0L)
+    gate()
+  }
+
   test("per-bucket bytes ride the pointer: steady adaptive refreshes " +
       "take ZERO filesystem content-summary sweeps; a pointer with " +
       "stripped bytes falls back to sweeping until restamped") {

@@ -212,6 +212,68 @@ class LakeViewSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("view_changes: the generation feed in FROM position — signed " +
+      "rows equal to the Scala feed, toGen defaults to the head, " +
+      "bootstrap window 0 = the whole state as inserts, undefined " +
+      "paths refuse") {
+    val base = Files.createTempDirectory("graft_vsqlfeed").toString
+    val dir = s"$base/t"
+    val view = s"$base/v"
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    spark.sql(
+      s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+         |  '$dir', '$types', 'Grp', 'Score')""".stripMargin).collect()
+    def refresh() =
+      spark.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()
+    refresh() // generation 1
+    // partial per-group deletes: every group keeps rows, so the feed
+    // carries a −1 (old state row) AND a +1 (its rewrite) per group
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(5.0)) === 1.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh() // generation 2
+    def rows(sql: String): Set[Seq[Any]] =
+      spark.sql(sql).collect()
+        .map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
+    val feed = rows(s"SELECT Grp, n, sum_Score, m " +
+      s"FROM view_changes('$view', 1, 2)")
+    assert(feed.nonEmpty && feed.exists(_.last == -1L) &&
+      feed.exists(_.last == 1L),
+      s"a rewrite wave must emit signed rows both ways: $feed")
+    // ≡ the Scala surface
+    val scalaFeed = graft.operators.LakeChangelog
+      .viewChanges(spark, view, 1L, 2L)
+      .select($"Grp", $"n", $"sum_Score", $"m").collect()
+      .map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
+    assert(feed == scalaFeed)
+    // toGen defaults to the newest generation
+    assert(rows(s"SELECT Grp, n, sum_Score, m " +
+      s"FROM view_changes('$view', 1)") == feed)
+    // bootstrap window: the whole current state as +1 rows
+    val boot = rows(s"SELECT Grp, n, sum_Score, m " +
+      s"FROM view_changes('$view', 0, 2)")
+    val state = rows(s"SELECT Grp, n, sum_Score, CAST(1 AS BIGINT) " +
+      s"FROM lake_view('$view')")
+    assert(boot == state)
+    // EXPLAIN of the read-only TVF plans without touching anything
+    assert(spark.sql(s"EXPLAIN SELECT * FROM view_changes('$view', 1, 2)")
+      .collect().nonEmpty)
+    // an undefined path refuses at analysis, like a missing table
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM view_changes('$base/nowhere', 0)"))
+    assert(e.getMessage.contains("no lake view defined"), e.getMessage)
+    // an expired generation refuses with the retention contract
+    refresh() // idle: no flip
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(7.0)) === 2.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh() // generation 3 reclaims 1
+    val e2 = intercept[IllegalStateException](spark.sql(
+      s"SELECT * FROM view_changes('$view', 1, 2)"))
+    assert(e2.getMessage.contains("not live"), e2.getMessage)
+  }
+
   test("drop_lake_view removes definition + state, is idempotent, and " +
       "refuses foreign directories") {
     val base = Files.createTempDirectory("graft_vsql").toString
