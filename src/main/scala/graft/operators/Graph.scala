@@ -249,18 +249,26 @@ object Graph {
     * should keep apart).
     *
     * Each phase runs min-label propagation to fixpoint along WITHIN-
-    * CLASS edges, forward then backward, and re-keys every class by the
-    * labels found (new class id = min node of the refined group):
+    * CLASS edges in BOTH directions INDEPENDENTLY (the two propagations
+    * share one within-class edge set and run CONCURRENTLY — neither
+    * reads the other's output), then re-keys every class by the label
+    * PAIR (new class id = min node of the (class, fwdLabel, bwdLabel)
+    * group) — the FW-BW intersection argument, label-ified:
     *   - an SCC is never split: a propagation path between two members
     *     stays inside the SCC, hence inside their class, so both always
-    *     see the same label;
-    *   - any class that is NOT a single SCC is split: its condensation
-    *     has a source SCC whose min either propagates forward into the
-    *     rest but cannot be reached backward from it, or vice versa.
+    *     see the same forward label and the same backward label;
+    *   - any class that is NOT a single SCC is split: with m the class
+    *     minimum, exactly SCC(m) has fwdLabel = bwdLabel = m (mutual
+    *     reachability with m inside the class), so the rest lands in
+    *     different pair-groups.
     * Phases are bounded by the condensation's chain depth; inner
-    * propagation by the class diameter — every step is an equi-join +
-    * min-aggregation (both partial-aggregated), with lineage truncated
-    * per round, the CC scale discipline.
+    * propagation by O(log diameter) via pointer doubling — every step
+    * is an equi-join + min-aggregation (both partial-aggregated), with
+    * lineage truncated per round, the CC scale discipline. Inner
+    * convergence is detected IN the round that converges (an observed
+    * moved-count rides the truncation action — no confirming round, no
+    * separate count job), and phase convergence reads off the class-id
+    * sum (refinement only splits, so the sum is monotone).
     *
     * Output: `(node, scc)` with scc = the component's minimum node id. */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
@@ -278,107 +286,183 @@ object Graph {
     // with fresh default stats, capping planner cost at O(1) per round.
     // checkpointDir switches the truncation to RELIABLE checkpointing
     // (round state survives executor loss) — see [[truncator]].
-    val truncate = truncator(spark, checkpointDir)
-    val e = truncate(edges.select(col(srcCol).cast("long").as("s"),
+    val seed = truncator(spark, checkpointDir)(
+      edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .distinct())
+    val edgeCount = seed.count()
+    if (edgeCount == 0L)
+      return seed.select(col("s").as("node"), col("s").as("scc"))
+    // the refinement runs tens of TINY chained jobs; size their shuffle
+    // parallelism to the graph instead of inheriting the session's
+    // (32-to-hundreds of near-empty tasks per stage dominate wall time
+    // on a small condensation) — ~100k edges per shuffle partition,
+    // never above the caller's setting, so a trillion-edge graph keeps
+    // its full parallelism. An isolated child session scopes the knob:
+    // the caller's conf is never touched.
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        edgeCount / 100000L + 1L)).toString)
+    val truncate = truncator(loop, checkpointDir)
+    val e = loop.createDataFrame(seed.rdd, seed.schema)
     val nodes = truncate(e.select(col("s").as("node"))
       .union(e.select(col("d").as("node"))).distinct())
-    if (nodes.isEmpty)
-      return nodes.select(col("node"), col("node").as("scc"))
-    // min-label propagation to FIXPOINT along within-class edges.
-    // direction: "fwd" pushes labels along s->d (label(x) = min id that
-    // reaches x inside its class); "bwd" along d->s (min id x reaches).
-    // The within-class edge set is computed ONCE per phase (classes are
-    // frozen inside a phase), so each inner round is one equi-join +
-    // one min-aggregation; convergence is read off the label SUM, which
-    // is strictly monotone decreasing while any label still moves — one
-    // scalar action per round, no change-join.
-    def propagate(cls: DataFrame, dir: String,
-        trivialPartition: Boolean = false): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_SCC_DEBUG")
+    def tms = System.nanoTime() / 1000000
+    // min-label propagation to FIXPOINT along the within-class edges
+    // `ec` (computed ONCE per phase, shared by both directions —
+    // "bwd" just swaps the endpoints). Each round is one equi-join +
+    // one min-aggregation, truncated, with convergence read off an
+    // observed MOVED count on the same action: a round that moves no
+    // label IS the fixpoint, detected without a confirming round.
+    def propagate(cls: DataFrame, ec: DataFrame, dir: String): DataFrame = {
       val (from, to) = if (dir == "fwd") ("s", "d") else ("d", "s")
-      // phase 0 puts every node in one class, so EVERY edge is
-      // within-class — skip the two class-lookup joins over the largest
-      // graph state the loop will ever see
-      val ec = if (trivialPartition)
-        e.select(col(from).as("src"), col(to).as("dst"))
-      else truncate(e
-        .join(cls.select(col("node").as("s"), col("cls").as("sc")), "s")
-        .join(cls.select(col("node").as("d"), col("cls").as("dc")), "d")
-        .filter(col("sc") === col("dc"))
-        .select(col(from).as("src"), col(to).as("dst")))
-      var lab = truncate(cls.withColumn("lab", col("node")))
-      var prev: java.math.BigDecimal =
-        lab.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
-      var it = 0
-      var converged = false
-      while (!converged && it < maxIter) {
-        // edge step: pull the best label one hop along a within-class
-        // edge. jump step (pointer doubling on the label): lab(x) names
-        // a same-class node with a path to x (or from x, in bwd), and
-        // reachability is transitive, so lab(lab(x)) is also a valid
-        // label for x — composing doubles the covered path length each
-        // round, O(log diameter) rounds where the edge step alone is
-        // O(diameter). Both candidate streams fold in ONE aggregation.
-        val cand = ec
-          .join(lab.select(col("node").as("src"), col("lab").as("c")), "src")
+      val edgesDir = ec.select(col(from).as("src"), col(to).as("dst"))
+      // one HOP: pull the best label one step along a within-class
+      // edge, plus the jump stream (lab(x) names a same-class node with
+      // a path to x — or from x, in bwd — and reachability is
+      // transitive, so lab(lab(x)) is also a valid label; it shortcuts
+      // chains of decreasing labels, though a minimum crossing a cycle
+      // still needs edge steps). Both candidate streams fold in ONE
+      // aggregation.
+      def hop(lab: DataFrame): DataFrame = {
+        val cand = edgesDir
+          .join(lab.select(col("node").as("src"), col("lab").as("c")),
+            "src")
           .select(col("dst").as("node"), col("c"))
           .unionByName(lab
             .join(lab.select(col("node").as("jn"), col("lab").as("jl")),
               col("lab") === col("jn"))
             .select(col("node"), col("jl").as("c")))
           .groupBy("node").agg(min(col("c")).as("best"))
-        // the convergence signal rides the checkpoint action as an
-        // observed metric — labels only decrease, so an unchanged sum
-        // is fixpoint; no second job per round
-        val obs = org.apache.spark.sql.Observation()
-        val next = truncate(lab
-          .join(cand, Seq("node"), "left")
+        lab.join(cand, Seq("node"), "left")
           .select(col("node"), col("cls"),
             least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"))
-          .observe(obs, sum(col("lab").cast("decimal(38,0)")).as("s")))
-        val cur = obs.get("s").asInstanceOf[java.math.BigDecimal]
-        if (sys.env.contains("GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc] dir=$dir it=$it sum=$cur t=${System.nanoTime() / 1000000}")
-        converged = cur.compareTo(prev) == 0
-        prev = cur
-        lab = next
-        it += 1
       }
-      require(converged, s"SCC label propagation unconverged after $maxIter rounds")
+      var lab = cls.withColumn("lab", col("node"))
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        // TWO hops per driver action (min spreading is diameter-bound
+        // on cycles, and the per-action fixed cost — scheduling,
+        // truncation — dominates at condensation scale): the first
+        // hop's frame persists so the second reads it instead of
+        // recomputing, and the convergence signal rides the action as
+        // an observed metric. A second hop that moves NOTHING means the
+        // first hop's output was already a fixpoint, and the final
+        // frame equals it — so moved == 0 is exactly convergence.
+        val mid = hop(lab).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val second = hop(mid)
+        val obs = org.apache.spark.sql.Observation()
+        val next =
+          try truncate(second
+            .join(mid.select(col("node"), col("lab").as("_mid")), "node")
+            .observe(obs,
+              sum(when(col("lab") < col("_mid"), 1L).otherwise(0L))
+                .as("moved"))
+            .drop("_mid"))
+          finally mid.unpersist(false)
+        // a runtime-empty observed subtree can be pruned under AQE —
+        // a missing key therefore MEANS nothing moved
+        val moved = obs.get.getOrElse("moved", null) match {
+          case null => 0L
+          case v: java.lang.Long => v.longValue()
+          case v => v.asInstanceOf[Long]
+        }
+        if (dbg)
+          System.err.println(s"[scc] dir=$dir it=$it moved=$moved t=$tms")
+        converged = moved == 0L
+        lab = next
+        it += 2
+      }
+      require(converged,
+        s"SCC label propagation unconverged after $maxIter rounds")
       lab
     }
-    // refine: new class id = min node over the (class, label) group
-    def refine(lab: DataFrame): DataFrame =
-      lab.withColumn("g", struct(col("cls"), col("lab")))
-        .select(col("node"), col("g"))
-        .join(lab.groupBy(col("cls"), col("lab"))
-          .agg(min(col("node")).as("newCls"))
-          .withColumn("g", struct(col("cls"), col("lab")))
-          .select(col("g"), col("newCls")), "g")
-        .select(col("node"), col("newCls").as("cls"))
     var cls = truncate(nodes.withColumn("cls", lit(0L)))
     var phase = 0
     var moving = true
-    val dbg = sys.env.contains("GRAFT_SCC_DEBUG")
-    def tms = System.nanoTime() / 1000000
+    // refinement only SPLITS classes (new id = min node of the refined
+    // subgroup), so every node's class id is non-decreasing and the
+    // class-id SUM is strictly monotone while anything still moves —
+    // phase convergence reads off an observed metric on the refine's
+    // own truncation action instead of a dedicated change-count job
+    var clsSum: java.math.BigDecimal = java.math.BigDecimal.ZERO
     while (moving && phase < maxPhases) {
       val t0 = tms
-      val pf = propagate(cls, "fwd", trivialPartition = phase == 0); val t1 = tms
-      val afterFwd = truncate(refine(pf)); val t2 = tms
-      val pb = propagate(afterFwd, "bwd"); val t3 = tms
-      val afterBwd = truncate(refine(pb)); val t4 = tms
-      moving = afterBwd.join(cls.select(col("node"), col("cls").as("old")), "node")
-        .filter(col("cls") =!= col("old")).count() > 0
-      if (dbg) System.err.println(s"[scc] phase=$phase pf=${t1 - t0} rf=${t2 - t1} " +
-        s"pb=${t3 - t2} rb=${t4 - t3} mv=${tms - t4} moving=$moving")
-      cls = afterBwd
+      // within-class edges ONCE per phase (classes are frozen inside a
+      // phase; phase 0 has everything in one class, so EVERY edge
+      // qualifies and the class-lookup joins are skipped). Persisted:
+      // both directions' every round reads it; no dedicated action.
+      val ec = (if (phase == 0) e
+        else e
+          .join(cls.select(col("node").as("s"), col("cls").as("sc")), "s")
+          .join(cls.select(col("node").as("d"), col("cls").as("dc")), "d")
+          .filter(col("sc") === col("dc"))
+          .select(col("s"), col("d")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (pf, pb, t1) =
+        try {
+          // the two directions are INDEPENDENT (both start from `cls`,
+          // neither reads the other), so they overlap on the cluster
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val fwdF = Future(propagate(cls, ec, "fwd"))(graphEc)
+          val b = propagate(cls, ec, "bwd")
+          val f =
+            try Await.result(fwdF, Duration.Inf)
+            catch { case t: Throwable =>
+              scala.util.Try(Await.ready(fwdF, Duration.Inf)); throw t }
+          (f, b, tms)
+        } finally ec.unpersist(false)
+      // refine by the label PAIR: new class id = min node over the
+      // (class, fwdLabel, bwdLabel) group — the FW-BW intersection
+      val pair = pf.select(col("node"), col("cls"), col("lab").as("fl"))
+        .join(pb.select(col("node"), col("lab").as("bl")), "node")
+      val key = struct(col("cls"), col("fl"), col("bl"))
+      val obs = org.apache.spark.sql.Observation()
+      val refined = truncate(pair.withColumn("g", key)
+        .select(col("node"), col("g"))
+        .join(pair.groupBy(col("cls"), col("fl"), col("bl"))
+          .agg(min(col("node")).as("newCls"))
+          .withColumn("g", key)
+          .select(col("g"), col("newCls")), "g")
+        .select(col("node"), col("newCls").as("cls"))
+        .observe(obs, sum(col("cls").cast("decimal(38,0)")).as("s")))
+      val cur = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      // phase 0's baseline (the literal all-zero class) is not
+      // member-derived, so its sum carries no monotonicity guarantee —
+      // always run a confirming phase 1
+      moving = phase == 0 || cur.compareTo(clsSum) != 0
+      clsSum = cur
+      if (dbg) System.err.println(
+        s"[scc] phase=$phase prop=${t1 - t0} refine=${tms - t1} moving=$moving")
+      cls = refined
       phase += 1
     }
     require(!moving, s"SCC refinement unconverged after $maxPhases phases")
-    cls.select(col("node"), col("cls").as("scc"))
+    // re-root the result in the CALLER's session (the loop ran under
+    // the tuned child session; handing its frame back would leak the
+    // child's conf into downstream plans)
+    val out = cls.select(col("node"), col("cls").as("scc"))
+    spark.createDataFrame(out.rdd, out.schema)
   }
+
+  /** Executor for the concurrent propagation directions of
+    * [[stronglyConnectedComponents]] — daemon threads, jobs overlap on
+    * the scheduler's slack. */
+  private lazy val graphEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graph-scc")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Bounded-hop BFS distances from a SOURCE SET along directed edges:
     * `(node, dist)` with dist = minimum hops <= maxHops (unreached nodes
