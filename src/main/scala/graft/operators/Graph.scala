@@ -306,10 +306,21 @@ object Graph {
       math.max(1L, math.min(
         spark.sessionState.conf.numShufflePartitions.toLong,
         edgeCount / 100000L + 1L)).toString)
+    // on a SMALL graph the refinement's wall time is pure per-stage
+    // coordination, and AQE's stage-by-stage replanning is most of it
+    // (each of a round's ~3 exchanges becomes a separately scheduled
+    // and re-optimized query stage); a large graph keeps AQE — skew and
+    // runtime re-plan matter there, coordination is amortized
+    if (edgeCount < 1000000L && sys.env.get("GRAFT_SCC_AQE").isEmpty)
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
+    // the unrolled K-hop plans are wide (2^K small nodes); bound the
+    // UI/listener plan-description string so building it can never
+    // dominate (or OOM) an action
+    loop.conf.set("spark.sql.maxPlanStringLength", "100000")
     val truncate = truncator(loop, checkpointDir)
     val e = loop.createDataFrame(seed.rdd, seed.schema)
-    val nodes = truncate(e.select(col("s").as("node"))
-      .union(e.select(col("d").as("node"))).distinct())
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct()
     val dbg = sys.env.contains("GRAFT_SCC_DEBUG")
     def tms = System.nanoTime() / 1000000
     // min-label propagation to FIXPOINT along the within-class edges
@@ -318,54 +329,90 @@ object Graph {
     // one min-aggregation, truncated, with convergence read off an
     // observed MOVED count on the same action: a round that moves no
     // label IS the fixpoint, detected without a confirming round.
+    val hopsPerAction = math.max(1, spark.conf
+      .getOption("spark.graft.scc.hopsPerAction")
+      .orElse(sys.env.get("GRAFT_SCC_HOPS")).map(_.toInt).getOrElse(5))
     def propagate(cls: DataFrame, ec: DataFrame, dir: String): DataFrame = {
       val (from, to) = if (dir == "fwd") ("s", "d") else ("d", "s")
       val edgesDir = ec.select(col(from).as("src"), col(to).as("dst"))
+      val nullL = lit(null).cast("long")
       // one HOP: pull the best label one step along a within-class
-      // edge, plus the jump stream (lab(x) names a same-class node with
-      // a path to x — or from x, in bwd — and reachability is
-      // transitive, so lab(lab(x)) is also a valid label; it shortcuts
-      // chains of decreasing labels, though a minimum crossing a cycle
-      // still needs edge steps). Both candidate streams fold in ONE
-      // aggregation.
-      def hop(lab: DataFrame): DataFrame = {
-        val cand = edgesDir
-          .join(lab.select(col("node").as("src"), col("lab").as("c")),
+      // edge, plus a SELF stream carrying the node's current label,
+      // class, and — on the convergence hop — the label entering the
+      // hop. Every node has a self row, so ONE min/max aggregation
+      // replaces the candidate-merge left join: min(c) is the new
+      // label, max over the self-only columns recovers them. The jump
+      // stream (lab(x) names a same-class node with a path to x — or
+      // from x, in bwd — and reachability is transitive, so
+      // lab(lab(x)) is also a valid label, shortcutting chains of
+      // decreasing labels; a minimum crossing a cycle still needs edge
+      // steps) runs only on the FIRST hop after a truncation boundary:
+      // there the input is an O(1) LogicalRDD, so its two extra plan
+      // references are free, while on inner unrolled hops they would
+      // compound — each reference duplicates the whole unrolled
+      // subtree at ANALYSIS time (persist dedups execution, not
+      // planning), and 3^K-node trees make Catalyst the bottleneck.
+      // Inner hops keep 2 references → 2^K SMALL nodes, still cheap.
+      // below ~1M edges the label frame is megabytes — hint it as the
+      // joins' build side so each hop spends one exchange (the agg)
+      // instead of three; a big graph keeps shuffle joins (the hint
+      // would collect the full label frame to the driver)
+      def bc(df: DataFrame): DataFrame =
+        if (edgeCount < 1000000L) broadcast(df) else df
+      def hop(lab: DataFrame, withJump: Boolean,
+          withPrev: Boolean): DataFrame = {
+        val pull = edgesDir
+          .join(bc(lab.select(col("node").as("src"), col("lab").as("c"))),
             "src")
-          .select(col("dst").as("node"), col("c"))
-          .unionByName(lab
-            .join(lab.select(col("node").as("jn"), col("lab").as("jl")),
+          .select(col("dst").as("node"), nullL.as("cls"), col("c"),
+            nullL.as("plab"))
+        val cand = if (withJump) pull.unionByName(lab
+            .join(bc(lab.select(col("node").as("jn"), col("lab").as("jl"))),
               col("lab") === col("jn"))
-            .select(col("node"), col("jl").as("c")))
-          .groupBy("node").agg(min(col("c")).as("best"))
-        lab.join(cand, Seq("node"), "left")
-          .select(col("node"), col("cls"),
-            least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"))
+            .select(col("node"), nullL.as("cls"), col("jl").as("c"),
+              nullL.as("plab")))
+          else pull
+        val self = lab.select(col("node"), col("cls"),
+          col("lab").as("c"), col("lab").as("plab"))
+        val agg = cand.unionByName(self)
+          .groupBy("node")
+          .agg(max(col("cls")).as("cls"), min(col("c")).as("lab"),
+            max(col("plab")).as("plab"))
+        if (withPrev) agg else agg.drop("plab")
       }
       var lab = cls.withColumn("lab", col("node"))
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
-        // TWO hops per driver action (min spreading is diameter-bound
-        // on cycles, and the per-action fixed cost — scheduling,
-        // truncation — dominates at condensation scale): the first
-        // hop's frame persists so the second reads it instead of
-        // recomputing, and the convergence signal rides the action as
-        // an observed metric. A second hop that moves NOTHING means the
-        // first hop's output was already a fixpoint, and the final
-        // frame equals it — so moved == 0 is exactly convergence.
-        val mid = hop(lab).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val second = hop(mid)
+        // K hops per driver action — the q224/q226 lazy-unrolling trick
+        // (min spreading is diameter-bound on cycles, and the per-
+        // action fixed cost of scheduling + truncation dominates at
+        // condensation scale). Intermediate hops persist (a hop reads
+        // its input twice — edge pull and self — so an unpersisted
+        // chain recomputes exponentially in K); the convergence signal
+        // rides the action as an observed metric on the LAST hop's
+        // carried previous label: a final hop that moves NOTHING means
+        // its input was already a fixpoint, and the final frame equals
+        // it — so moved == 0 is exactly convergence.
+        val k = math.min(hopsPerAction, math.max(1, maxIter - it))
+        val mids = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var cur = lab
+        var i = 0
+        while (i < k - 1) {
+          val m = hop(cur, withJump = i == 0, withPrev = false).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          mids += m
+          cur = m
+          i += 1
+        }
         val obs = org.apache.spark.sql.Observation()
         val next =
-          try truncate(second
-            .join(mid.select(col("node"), col("lab").as("_mid")), "node")
+          try truncate(hop(cur, withJump = k == 1, withPrev = true)
             .observe(obs,
-              sum(when(col("lab") < col("_mid"), 1L).otherwise(0L))
+              sum(when(col("lab") < col("plab"), 1L).otherwise(0L))
                 .as("moved"))
-            .drop("_mid"))
-          finally mid.unpersist(false)
+            .drop("plab"))
+          finally mids.foreach(_.unpersist(false))
         // a runtime-empty observed subtree can be pruned under AQE —
         // a missing key therefore MEANS nothing moved
         val moved = obs.get.getOrElse("moved", null) match {
@@ -374,10 +421,10 @@ object Graph {
           case v => v.asInstanceOf[Long]
         }
         if (dbg)
-          System.err.println(s"[scc] dir=$dir it=$it moved=$moved t=$tms")
+          System.err.println(s"[scc] dir=$dir it=$it k=$k moved=$moved t=$tms")
         converged = moved == 0L
         lab = next
-        it += 2
+        it += k
       }
       require(converged,
         s"SCC label propagation unconverged after $maxIter rounds")
@@ -396,29 +443,30 @@ object Graph {
       val t0 = tms
       // within-class edges ONCE per phase (classes are frozen inside a
       // phase; phase 0 has everything in one class, so EVERY edge
-      // qualifies and the class-lookup joins are skipped). Persisted:
-      // both directions' every round reads it; no dedicated action.
-      val ec = (if (phase == 0) e
-        else e
+      // qualifies and the class-lookup joins are skipped). TRUNCATED,
+      // not just persisted: every unrolled hop of both directions
+      // references it, so it must be an O(1) plan node or the
+      // class-lookup joins reappear K times in every action's tree.
+      val ecBase = if (phase == 0) e
+        else truncate(e
           .join(cls.select(col("node").as("s"), col("cls").as("sc")), "s")
           .join(cls.select(col("node").as("d"), col("cls").as("dc")), "d")
           .filter(col("sc") === col("dc"))
           .select(col("s"), col("d")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (pf, pb, t1) =
-        try {
-          // the two directions are INDEPENDENT (both start from `cls`,
-          // neither reads the other), so they overlap on the cluster
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          val fwdF = Future(propagate(cls, ec, "fwd"))(graphEc)
-          val b = propagate(cls, ec, "bwd")
-          val f =
-            try Await.result(fwdF, Duration.Inf)
-            catch { case t: Throwable =>
-              scala.util.Try(Await.ready(fwdF, Duration.Inf)); throw t }
-          (f, b, tms)
-        } finally ec.unpersist(false)
+      val ec = ecBase
+      val (pf, pb, t1) = {
+        // the two directions are INDEPENDENT (both start from `cls`,
+        // neither reads the other), so they overlap on the cluster
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val fwdF = Future(propagate(cls, ec, "fwd"))(graphEc)
+        val b = propagate(cls, ec, "bwd")
+        val f =
+          try Await.result(fwdF, Duration.Inf)
+          catch { case t: Throwable =>
+            scala.util.Try(Await.ready(fwdF, Duration.Inf)); throw t }
+        (f, b, tms)
+      }
       // refine by the label PAIR: new class id = min node over the
       // (class, fwdLabel, bwdLabel) group — the FW-BW intersection
       val pair = pf.select(col("node"), col("cls"), col("lab").as("fl"))
