@@ -510,10 +510,30 @@ object DedupApprox {
     val maxCand = docs.sparkSession.conf
       .getOption("spark.graft.prefixJoin.maxCandidatePairs")
       .map(_.toLong).getOrElse(MaxCandidatePairs)
-    val estCand = prefixes.groupBy(col("h"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
-      .agg(sum(col("c") * (col("c") - 1) / 2).as("pairs"))
-      .collect()(0).getDecimal(0)
+    // cheap pre-check before the forecast pass: C(P, 2) over the TOTAL
+    // prefix-token count P bounds the per-token sum from above (the sum
+    // is maximized when every token shares one hash), and P needs only
+    // a scalar aggregate over the persisted `sets` frame — no explode,
+    // no groupBy. A corpus that cannot trip the cap even in the
+    // all-one-bucket worst case skips the forecast job entirely; the
+    // grouped forecast runs only where the refusal is actually in play.
+    val pRow = sets.agg(sum((col("n") -
+        ceil(lit(threshold) * col("n").cast("double")) + 1)
+      .cast("decimal(38,0)")).as("p")).collect()(0)
+    val pTotal = if (pRow.isNullAt(0)) java.math.BigDecimal.ZERO
+      else pRow.getDecimal(0)
+    val pBound = pTotal.multiply(
+        pTotal.subtract(java.math.BigDecimal.ONE))
+      .divide(new java.math.BigDecimal(2))
+    if (sys.env.contains("GRAFT_FENCE_DEBUG"))
+      System.err.println(s"[fence] P=$pTotal bound=$pBound cap=$maxCand " +
+        s"skip=${pBound.compareTo(new java.math.BigDecimal(maxCand)) <= 0}")
+    val estCand = if (pBound.compareTo(
+        new java.math.BigDecimal(maxCand)) <= 0) null
+      else prefixes.groupBy(col("h"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).as("pairs"))
+        .collect()(0).getDecimal(0)
     if (estCand != null &&
         estCand.compareTo(new java.math.BigDecimal(maxCand)) > 0)
       throw new IllegalStateException(
