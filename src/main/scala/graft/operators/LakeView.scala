@@ -1013,6 +1013,75 @@ object LakeView {
       ViewZ(rightViewPath), rightCols, keys, stateBuckets, leftFilter,
       rightFilter, "join_of_views", "lgen", "rgen", "refreshJoinOfViews")
 
+  /** One distinct-count chain refresh: the table snapshot window the
+    * value level consumed, the touched (group, value) multiplicity rows,
+    * and the outer level's changed-group count. */
+  final case class ChainRefresh(fromVersion: Long, toVersion: Long,
+      valuesChanged: Long, groupsChanged: Long)
+
+  /** Exact per-group `COUNT(DISTINCT valueCol)` maintained FULLY
+    * INCREMENTALLY — no rescan under inserts OR retractions — by the
+    * classic IVM factorization into two chained ADDITIVE views:
+    *
+    *  - the VALUE level (state at `chainPath/_values`): multiplicities
+    *    keyed by `(keyCols..., valueCol)` via [[refreshAggregate]] —
+    *    a state row is live ⟺ its value still occurs (the fold drops
+    *    `n = 0` rows);
+    *  - the COUNT level (state at `chainPath`): an aggregate over the
+    *    value level's GENERATION FEED via [[refreshAggregateOverView]]
+    *    — aggregate-shaped state emits ±1 per row, so the per-group
+    *    `n` is exactly the number of live `(group, value)` rows =
+    *    `COUNT(DISTINCT valueCol)`. A value whose multiplicity merely
+    *    CHANGED emits a −1/+1 pair that folds to zero; a value born
+    *    (or killed — a delete wave removing a whole value class) emits
+    *    a lone +1 (−1), moving the count by exactly one.
+    *
+    * Contrast with `distinctCols` on [[refreshAggregate]] (the `dc_`
+    * rule): that form recomputes TOUCHED groups by rescanning the
+    * source's rows for those groups — exact and self-contained, but a
+    * HOT group pays its full history on every window that touches it.
+    * Here both folds are ∝ delta (the feed reads only rewritten value-
+    * level buckets, bounded by the growth rule), at the price of the
+    * value-level state (∝ live distinct `(group, value)` pairs — the
+    * information-theoretic floor for exactness under retraction; an
+    * HLL register carry would be smaller but approximate AND wrong
+    * under deletes). NULLs are excluded, matching `COUNT(DISTINCT)`;
+    * a group whose every value is NULL has no row (its count is 0 by
+    * absence, not a stored 0). Read the counts with
+    * `read(spark, chainPath)`: `(keyCols..., n)` where `n` IS the
+    * distinct count.
+    *
+    * Crash discipline is catch-up-before-advance, like the composed
+    * kinds: the outer level folds to the inner's CURRENT head before
+    * the inner advances, so the outer's watermark never lags more than
+    * one value-level generation and default retention (2) always keeps
+    * its feed window live — a crash between the two level refreshes
+    * heals on the next call with no bespoke recovery. */
+  def refreshDistinctCount(spark: SparkSession, tablePath: String,
+      fieldTypes: String, chainPath: String, keyCols: Seq[String],
+      valueCol: String, rowFilter: Option[String] = None,
+      stateBuckets: Int = AutoBuckets): ChainRefresh = {
+    require(!valueCol.contains("`"),
+      s"refreshDistinctCount: backtick in value column name '$valueCol'")
+    val valuesPath = s"$chainPath/_values"
+    val notNull = s"`$valueCol` IS NOT NULL"
+    val filter = rowFilter.map(f => s"($f) AND $notNull").orElse(Some(notNull))
+    def foldOuter(): Long =
+      refreshAggregateOverView(spark, valuesPath, chainPath,
+        keyCols, Seq.empty, stateBuckets = stateBuckets).groupsChanged
+    // catch-up: heal a crash that advanced the value level but not the
+    // count level (idle cost = one pointer read); skipped before the
+    // value level's very first generation exists
+    val caughtUp =
+      if (readPointer(spark, valuesPath).isDefined) foldOuter() else 0L
+    val inner = refreshAggregate(spark, tablePath, fieldTypes, valuesPath,
+      keyCols :+ valueCol, Seq.empty, rowFilter = filter,
+      stateBuckets = stateBuckets)
+    val steady = foldOuter()
+    ChainRefresh(inner.fromVersion, inner.toVersion, inner.groupsChanged,
+      caughtUp + steady)
+  }
+
   private def tableHead(spark: SparkSession, tablePath: String): Long =
     phase("head") {
       val tdir = new Path(tablePath)

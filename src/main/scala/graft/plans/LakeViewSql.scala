@@ -244,6 +244,22 @@ object LakeViewSql {
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
         putList("distincts",
           args.lift(15).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+      case "distinct_count" =>
+        require(args.length >= 6 && args.length <= 8,
+          "create_lake_view(viewPath, 'distinct_count', tablePath, " +
+            "fieldTypes, keys, valueCol[, filter[, stateBuckets]]) — " +
+            "exact per-group COUNT(DISTINCT valueCol) maintained FULLY " +
+            "incrementally (no rescan under inserts or deletes) as a " +
+            "chain of two additive views; read it back as column `n`")
+        def_.put("table", strLit(args(2), "tablePath"))
+        def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
+        putList("keys", cols(strLit(args(4), "keys")))
+        def_.put("valueCol", strLit(args(5), "valueCol"))
+        args.lift(6).map(strLit(_, "filter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("filter", _))
+        def_.put("stateBuckets",
+          args.lift(7).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
       case "join3" =>
         require(args.length >= 13 && args.length <= 17,
           "create_lake_view(viewPath, 'join3', p0, types0, cols0, " +
@@ -270,8 +286,8 @@ object LakeViewSql {
         }
       case other => throw new IllegalArgumentException(
         "create_lake_view: kind must be 'aggregate', 'join', " +
-          "'join_aggregate', 'join3', 'aggregate_over_view', or " +
-          s"'join_of_views', got '$other'")
+          "'join_aggregate', 'join3', 'aggregate_over_view', " +
+          s"'join_of_views', or 'distinct_count', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
     LakeCommand.oneRow("create_lake_view", createSchema) { spark2 =>
@@ -418,6 +434,14 @@ object LakeViewSql {
           distinctCols = list("distincts"))
         Row("join_aggregate", r.fromLeft, r.toLeft, r.fromRight,
           r.toRight, r.deltaRows, null, null)
+      case "distinct_count" =>
+        val r = graft.operators.LakeView.refreshDistinctCount(spark,
+          d.get("table").asText(), d.get("fieldTypes").asText(), viewPath,
+          list("keys"), d.get("valueCol").asText(),
+          rowFilter = Option(d.get("filter")).map(_.asText()),
+          stateBuckets = buckets)
+        Row("distinct_count", r.fromVersion, r.toVersion, null, null,
+          r.groupsChanged, null, null)
       case "join3" =>
         val r = graft.operators.LakeView.refreshJoin3(spark, viewPath,
           d.get("p0").asText(), d.get("types0").asText(), list("cols0"),
@@ -433,7 +457,8 @@ object LakeViewSql {
       case other => throw new IllegalArgumentException(
         s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
           "expected 'aggregate', 'join', 'join_aggregate', 'join3', " +
-          "'aggregate_over_view', or 'join_of_views' (damaged _view.json?)")
+          "'aggregate_over_view', 'join_of_views', or 'distinct_count' " +
+          "(damaged _view.json?)")
     }
     LakeCommand.oneRow("refresh_lake_view", refreshSchema)(row)
   }

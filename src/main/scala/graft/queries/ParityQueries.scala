@@ -1907,6 +1907,74 @@ private[graft] object ParityQueries {
            |FROM lake_view('$vd') ORDER BY 1""".stripMargin)
     }),
 
+    "q318_distinct_count_chain" -> ((s, dir) => {
+      // the FULLY-INCREMENTAL exact distinct count: q315's answer
+      // (per-language COUNT(DISTINCT n_chars)) maintained with NO
+      // rescan anywhere — the 'distinct_count' kind chains two ADDITIVE
+      // views (multiplicities by (Lang, Chars) at _values; an aggregate
+      // over that level's ±1 generation feed, so the outer n IS the
+      // live-value count). The delete wave removes whole value classes
+      // — each dead class reaches the outer fold as a lone −1 from the
+      // feed, no recompute; chain ≡ recompute gated per cycle at the
+      // correctness SFs. This is the hot-group scale path: a window's
+      // cost is ∝ touched value-level buckets, never a group's row
+      // history (decade table in SCALE.md).
+      val out = scratchPath(dir, "q318_records")
+      val chain = scratchPath(dir, "q318_chain")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, chain).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$chain', 'distinct_count',
+           |  '$out', '$types', 'Lang', 'Chars')""".stripMargin).collect()
+      def refresh(): Long =
+        s.sql(s"SELECT * FROM refresh_lake_view('$chain')").collect()(0)
+          .getLong(5)
+      val gateSf = isCorrectnessSf(dir)
+      def gate(): Unit = if (gateSf) {
+        val got = graft.operators.LakeView.read(s, chain)
+          .select(col("Lang"), col("n"))
+        val want = s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()
+          .filter(col("Chars").isNotNull)
+          .groupBy("Lang").agg(countDistinct(col("Chars")).as("wdc"))
+        val mism = got.join(want, Seq("Lang"), "full")
+          .filter(!(col("n") <=> col("wdc")))
+        require(mism.limit(1).isEmpty,
+          "chained distinct counts diverged from the recompute")
+      }
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "bootstrap must fold through the chain")
+      gate()
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 200)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op through the chain")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(n AS BIGINT) AS dc_chars
+           |FROM lake_view('$chain') ORDER BY lang""".stripMargin)
+    }),
+
     "q312_lake_view_join3" -> ((s, dir) => {
       // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
       // — the star shape): two chained bilinear folds under one
@@ -3677,6 +3745,18 @@ private[graft] object ParityQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_orders,
         |  CAST(SUM(sp) AS DOUBLE) AS total_price
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes COUNT(DISTINCT) per group; the engine
+    // maintains it with NO rescan as a chain of two additive views
+    // (value-level multiplicities, then a count over that level's ±1
+    // generation feed)
+    "q318_distinct_count_chain" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
+        |SELECT lang, COUNT(DISTINCT n_chars) AS dc_chars
+        |FROM live GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // the oracle recomputes the 3-way star join from the predicates;
     // the engine maintains it as two chained bilinear folds (the root

@@ -355,6 +355,46 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("distinct-count CHAIN: two additive levels stay exact across " +
+      "appends and a whole-value-class delete wave with NO rescan, and " +
+      "a crash between the levels heals by catch-up on the next call") {
+    val dir = tmp("dcc") + "/t"
+    val chain = tmp("dcc") + "/v"
+    def refresh() = LakeView.refreshDistinctCount(spark, dir, types,
+      chain, Seq("G2"), "G5")
+    def gate(): Unit = {
+      val got = LakeView.read(spark, chain)
+        .select($"G2", $"n").orderBy("G2").collect().toSeq
+      val want = table(dir).filter($"G5".isNotNull).groupBy("G2")
+        .agg(countDistinct($"G5").as("n")).orderBy("G2").collect().toSeq
+      assert(got == want, s"got $got, want $want")
+    }
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    assert(refresh().groupsChanged > 0L)
+    gate()
+    // kill the whole G5 = "g2" value class (every id % 5 == 2 row):
+    // each dead class reaches the outer fold as a lone −1 from the
+    // value level's feed — the count DROPS with no recompute anywhere
+    DeletionVectors.delete(spark, dir, types,
+      pmod($"Score", lit(5.0)) === 2.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    // crash between the levels: the value level advances, the count
+    // level does not — the next wrapper call must catch the outer up
+    // BEFORE consuming the new window (retention never outruns it)
+    append(dir, 30, 42)
+    LakeSnapshots.commit(spark, dir)
+    LakeView.refreshAggregate(spark, dir, types, s"$chain/_values",
+      Seq("G2", "G5"), Seq.empty, rowFilter = Some("`G5` IS NOT NULL"))
+    val healed = refresh()
+    assert(healed.groupsChanged > 0L, "catch-up must fold the orphan window")
+    gate()
+    assert(refresh().groupsChanged == 0L, "idle refresh must no-op")
+    gate()
+  }
+
   test("composed distinct-count through SQL: the 16th join_aggregate " +
       "argument maintains exact COUNT(DISTINCT) over the joined rows " +
       "across a retraction wave") {
