@@ -1060,9 +1060,38 @@ object LakeView {
   def refreshDistinctCount(spark: SparkSession, tablePath: String,
       fieldTypes: String, chainPath: String, keyCols: Seq[String],
       valueCol: String, rowFilter: Option[String] = None,
-      stateBuckets: Int = AutoBuckets): ChainRefresh = {
+      stateBuckets: Int = AutoBuckets): ChainRefresh =
+    refreshDistinctChain(spark, chainPath, keyCols, valueCol, rowFilter,
+      stateBuckets, (valuesPath, filter) =>
+        refreshAggregate(spark, tablePath, fieldTypes, valuesPath,
+          keyCols :+ valueCol, Seq.empty, rowFilter = filter,
+          stateBuckets = stateBuckets))
+
+  /** [[refreshDistinctCount]] with ANOTHER MAINTAINED VIEW as the
+    * source — `COUNT(DISTINCT valueCol)` over a view's rows, ∝ delta.
+    * Z-relation sources (join kinds) contribute their stored
+    * multiplicities to the value level, so over a maintained JOIN view
+    * this counts distinct values of the JOIN RESULT per group —
+    * e.g. distinct customers per segment over orders ⋈ customer —
+    * with retractions on either base table flowing through the join's
+    * feed into a lone −1 per dying value class. Refresh the source
+    * view first, then this chain. */
+  def refreshDistinctCountOverView(spark: SparkSession,
+      sourceViewPath: String, chainPath: String, keyCols: Seq[String],
+      valueCol: String, rowFilter: Option[String] = None,
+      stateBuckets: Int = AutoBuckets): ChainRefresh =
+    refreshDistinctChain(spark, chainPath, keyCols, valueCol, rowFilter,
+      stateBuckets, (valuesPath, filter) =>
+        refreshAggregateOverView(spark, sourceViewPath, valuesPath,
+          keyCols :+ valueCol, Seq.empty, rowFilter = filter,
+          stateBuckets = stateBuckets))
+
+  private def refreshDistinctChain(spark: SparkSession, chainPath: String,
+      keyCols: Seq[String], valueCol: String, rowFilter: Option[String],
+      stateBuckets: Int,
+      foldValues: (String, Option[String]) => Refresh): ChainRefresh = {
     require(!valueCol.contains("`"),
-      s"refreshDistinctCount: backtick in value column name '$valueCol'")
+      s"distinct-count chain: backtick in value column name '$valueCol'")
     val valuesPath = s"$chainPath/_values"
     val notNull = s"`$valueCol` IS NOT NULL"
     val filter = rowFilter.map(f => s"($f) AND $notNull").orElse(Some(notNull))
@@ -1074,9 +1103,7 @@ object LakeView {
     // value level's very first generation exists
     val caughtUp =
       if (readPointer(spark, valuesPath).isDefined) foldOuter() else 0L
-    val inner = refreshAggregate(spark, tablePath, fieldTypes, valuesPath,
-      keyCols :+ valueCol, Seq.empty, rowFilter = filter,
-      stateBuckets = stateBuckets)
+    val inner = foldValues(valuesPath, filter)
     val steady = foldOuter()
     ChainRefresh(inner.fromVersion, inner.toVersion, inner.groupsChanged,
       caughtUp + steady)

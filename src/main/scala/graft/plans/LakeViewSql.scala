@@ -260,6 +260,21 @@ object LakeViewSql {
         def_.put("stateBuckets",
           args.lift(7).map(intLit(_, "stateBuckets"))
             .getOrElse(graft.operators.LakeView.AutoBuckets))
+      case "distinct_count_over_view" =>
+        require(args.length >= 5 && args.length <= 7,
+          "create_lake_view(viewPath, 'distinct_count_over_view', " +
+            "sourceViewPath, keys, valueCol[, filter[, stateBuckets]]) — " +
+            "COUNT(DISTINCT valueCol) over ANOTHER maintained view's " +
+            "rows (join kinds contribute stored multiplicities), " +
+            "maintained fully incrementally; refresh the source first")
+        def_.put("source", strLit(args(2), "sourceViewPath"))
+        putList("keys", cols(strLit(args(3), "keys")))
+        def_.put("valueCol", strLit(args(4), "valueCol"))
+        args.lift(5).map(strLit(_, "filter")).map(_.trim)
+          .filter(_.nonEmpty).foreach(def_.put("filter", _))
+        def_.put("stateBuckets",
+          args.lift(6).map(intLit(_, "stateBuckets"))
+            .getOrElse(graft.operators.LakeView.AutoBuckets))
       case "join3" =>
         require(args.length >= 13 && args.length <= 17,
           "create_lake_view(viewPath, 'join3', p0, types0, cols0, " +
@@ -287,7 +302,8 @@ object LakeViewSql {
       case other => throw new IllegalArgumentException(
         "create_lake_view: kind must be 'aggregate', 'join', " +
           "'join_aggregate', 'join3', 'aggregate_over_view', " +
-          s"'join_of_views', or 'distinct_count', got '$other'")
+          s"'join_of_views', 'distinct_count', or " +
+          s"'distinct_count_over_view', got '$other'")
     }
     val json = mapper.writeValueAsString(def_)
     LakeCommand.oneRow("create_lake_view", createSchema) { spark2 =>
@@ -442,6 +458,14 @@ object LakeViewSql {
           stateBuckets = buckets)
         Row("distinct_count", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
+      case "distinct_count_over_view" =>
+        val r = graft.operators.LakeView.refreshDistinctCountOverView(
+          spark, d.get("source").asText(), viewPath,
+          list("keys"), d.get("valueCol").asText(),
+          rowFilter = Option(d.get("filter")).map(_.asText()),
+          stateBuckets = buckets)
+        Row("distinct_count_over_view", r.fromVersion, r.toVersion, null,
+          null, r.groupsChanged, null, null)
       case "join3" =>
         val r = graft.operators.LakeView.refreshJoin3(spark, viewPath,
           d.get("p0").asText(), d.get("types0").asText(), list("cols0"),
@@ -457,8 +481,8 @@ object LakeViewSql {
       case other => throw new IllegalArgumentException(
         s"refresh_lake_view: definition at $viewPath has kind '$other' — " +
           "expected 'aggregate', 'join', 'join_aggregate', 'join3', " +
-          "'aggregate_over_view', 'join_of_views', or 'distinct_count' " +
-          "(damaged _view.json?)")
+          "'aggregate_over_view', 'join_of_views', 'distinct_count', or " +
+          "'distinct_count_over_view' (damaged _view.json?)")
     }
     LakeCommand.oneRow("refresh_lake_view", refreshSchema)(row)
   }

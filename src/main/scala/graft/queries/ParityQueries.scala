@@ -1975,6 +1975,95 @@ private[graft] object ParityQueries {
            |FROM lake_view('$chain') ORDER BY lang""".stripMargin)
     }),
 
+    "q319_distinct_over_join_view" -> ((s, dir) => {
+      // COUNT(DISTINCT) over a maintained JOIN's result, ∝ delta: the
+      // 'distinct_count_over_view' chain counts distinct CUSTOMERS per
+      // segment among those holding ≥1 live order — the value level
+      // folds the join view's Z-relation feed (stored multiplicities),
+      // so an order append, an order retraction that kills a customer's
+      // LAST order, and a customer retraction all flow join → chain as
+      // ±1s per (segment, customer) liveness transition, no rescan of
+      // anything. Chain ≡ recompute-from-join gated per cycle at the
+      // correctness SFs; the oracle recomputes from the predicates.
+      val to = scratchPath(dir, "q319_orders")
+      val tc = scratchPath(dir, "q319_cust")
+      val jv = scratchPath(dir, "q319_join")
+      val chain = scratchPath(dir, "q319_chain")
+      val fs = new org.apache.hadoop.fs.Path(to)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(to, tc, jv, chain).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val typesO = "OKey:number,CKey:number"
+      val typesC = "CKey:number,Seg:singleLineText"
+      val orders = rd(s, dir, "orders").select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
+        col("o_orderkey").cast("double").as("OKey"),
+        col("o_custkey").cast("double").as("CKey"))
+      rd(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("_record_id"),
+          col("c_custkey").cast("double").as("CKey"),
+          col("c_mktsegment").as("Seg"))
+        .coalesce(1)
+        .write.format("graft-records").option("path", tc)
+        .option("dataFormat", "parquet").mode("append").save()
+      orders.filter(col("OKey") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      Seq(to, tc).foreach(p => graft.operators.LakeSnapshots.commit(s, p))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$jv', 'join',
+           |  '$to', '$typesO', 'CKey,OKey',
+           |  '$tc', '$typesC', 'CKey,Seg', 'CKey')""".stripMargin).collect()
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$chain',
+           |  'distinct_count_over_view', '$jv', 'Seg', 'CKey')"""
+          .stripMargin).collect()
+      def refresh(): Long = {
+        s.sql(s"SELECT * FROM refresh_lake_view('$jv')").collect()
+        s.sql(s"SELECT * FROM refresh_lake_view('$chain')").collect()(0)
+          .getLong(5)
+      }
+      val gateSf = isCorrectnessSf(dir)
+      def gate(): Unit = if (gateSf) {
+        val got = graft.operators.LakeView.read(s, chain)
+          .select(col("Seg"), col("n"))
+        // recompute from the join view's LIVE rows (multiplicity > 0
+        // by construction) — the chain must agree with its source
+        val want = graft.operators.LakeView.read(s, jv)
+          .groupBy("Seg").agg(countDistinct(col("CKey")).as("wdc"))
+        val mism = got.join(want, Seq("Seg"), "full")
+          .filter(!(col("n") <=> col("wdc")))
+        require(mism.limit(1).isEmpty,
+          "distinct-over-join chain diverged from its source view")
+      }
+      require(refresh() > 0L, "bootstrap must fold join -> chain")
+      gate()
+      // order appends: customers gaining their FIRST order tick up
+      orders.filter(col("OKey") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", to)
+        .option("dataFormat", "parquet").mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, to)
+      refresh()
+      gate()
+      // order retraction killing every order of OKey % 7 == 0 shape:
+      // customers losing their LAST live order must tick down
+      graft.operators.DeletionVectors.delete(s, to, typesO,
+        pmod(col("OKey"), lit(7.0)) === 0.0)
+      graft.operators.LakeSnapshots.commit(s, to)
+      refresh()
+      gate()
+      // customer retraction: their join rows vanish wholesale
+      graft.operators.DeletionVectors.delete(s, tc, typesC,
+        pmod(col("CKey"), lit(5.0)) === 0.0)
+      graft.operators.LakeSnapshots.commit(s, tc)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op through the chain")
+      s.sql(
+        s"""SELECT Seg AS segment, CAST(n AS BIGINT) AS n_customers
+           |FROM lake_view('$chain') ORDER BY 1""".stripMargin)
+    }),
+
     "q312_lake_view_join3" -> ((s, dir) => {
       // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
       // — the star shape): two chained bilinear folds under one
@@ -3757,6 +3846,16 @@ private[graft] object ParityQueries {
         |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 200, FALSE))
         |SELECT lang, COUNT(DISTINCT n_chars) AS dc_chars
         |FROM live GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // the oracle recomputes distinct customers-with-orders per segment
+    // from the predicates; the engine maintains it as a chain over the
+    // join view's Z-relation feed — liveness transitions arrive as ±1s
+    "q319_distinct_over_join_view" ->
+      """SELECT c_mktsegment AS segment,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderkey % 7 = 0) AND NOT (c_custkey % 5 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the 3-way star join from the predicates;
     // the engine maintains it as two chained bilinear folds (the root

@@ -395,6 +395,64 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("distinct-count chain OVER a maintained join view: liveness " +
+      "transitions of the join result arrive as ±1s — a key losing its " +
+      "LAST contributing row ticks the count down, no rescan") {
+    val base = tmp("dcj")
+    val lt = s"$base/l"; val rt = s"$base/r"
+    val jv = s"$base/j"; val chain = s"$base/c"
+    val ltypes = "K:number,Tag:singleLineText"
+    val rtypes = "K:number,Grp:singleLineText"
+    // left: two rows per key (multiplicity matters); right: key -> group
+    spark.range(0, 20).select(
+        concat(lit("l"), $"id".cast("string")).as("_record_id"),
+        ($"id" % 10).cast("double").as("K"),
+        concat(lit("t"), ($"id" % 3).cast("string")).as("Tag"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 10).select(
+        concat(lit("r"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("g"), ($"id" % 2).cast("string")).as("Grp"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    Seq(lt, rt).foreach(p => LakeSnapshots.commit(spark, p))
+    def refresh(): Long = {
+      LakeView.refreshJoin(spark, jv, lt, ltypes, Seq("K", "Tag"),
+        rt, rtypes, Seq("K", "Grp"), Seq("K"))
+      LakeView.refreshDistinctCountOverView(spark, jv, chain,
+        Seq("Grp"), "K").groupsChanged
+    }
+    def gate(): Unit = {
+      val got = LakeView.read(spark, chain)
+        .select($"Grp", $"n").orderBy("Grp").collect().toSeq
+      val want = LakeView.read(spark, jv).groupBy("Grp")
+        .agg(countDistinct($"K").as("n")).orderBy("Grp").collect().toSeq
+      assert(got == want, s"got $got, want $want")
+    }
+    assert(refresh() > 0L)
+    gate()
+    // kill ONE of key 4's two left rows: multiplicity 2 -> 1, the
+    // distinct count must NOT move (the -1/+1 pair nets at the value
+    // level's feed)
+    DeletionVectors.delete(spark, lt, ltypes,
+      $"K" === 4.0 && $"Tag" === "t1")
+    LakeSnapshots.commit(spark, lt)
+    val before = LakeView.read(spark, chain)
+      .select($"Grp", $"n").orderBy("Grp").collect().toSeq
+    refresh()
+    gate()
+    assert(LakeView.read(spark, chain)
+      .select($"Grp", $"n").orderBy("Grp").collect().toSeq == before,
+      "a multiplicity-only change must not move the distinct count")
+    // kill key 4's LAST left row: liveness transition, count ticks down
+    DeletionVectors.delete(spark, lt, ltypes, $"K" === 4.0)
+    LakeSnapshots.commit(spark, lt)
+    refresh()
+    gate()
+    assert(refresh() == 0L, "idle refresh must no-op")
+  }
+
   test("composed distinct-count through SQL: the 16th join_aggregate " +
       "argument maintains exact COUNT(DISTINCT) over the joined rows " +
       "across a retraction wave") {
