@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BitmapDistinct, CosineSimilarity, LshCode, Md5Prefix60, NfcNormalize, TopKPairs}
+import graft.functions.{BitmapDistinct, CosineSimilarity, LshCode, Md5Prefix60, NfcNormalize, TopKDistinct, TopKPairs}
 
 /** Session extensions: registers the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) ...")`,
@@ -72,6 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "top_k_pairs takes (score, id, k)")
         TopKPairs(args.head, args(1), intLit(args(2), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_distinct"),
+      new ExpressionInfo(classOf[TopKDistinct].getName, "top_k_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k_distinct takes (value, k)")
+        TopKDistinct(args.head, intLit(args(1), "k"))
       }))
     // table-valued: the lake's change feed in FROM position —
     // SELECT * FROM table_changes('cat.ns.t', v1, v2)

@@ -766,7 +766,8 @@ object LakeView {
       minMaxCols: Seq[String], rowFilter: Option[String],
       stateBuckets: Int, distinctCols: Seq[String],
       kind: String, mark: String, op: String,
-      extraMarks: Map[String, Long] = Map.empty): Refresh = {
+      extraMarks: Map[String, Long] = Map.empty,
+      topKs: Seq[(String, Int)] = Seq.empty): Refresh = {
     require(keyCols.nonEmpty, s"$op needs key columns")
     val head = src.head(spark)
     val ptr = readPointer(spark, viewPath)
@@ -786,12 +787,13 @@ object LakeView {
       // a bounded rescan source frees the fold to recompute all groups
       // in one job. Only computed when a rescan fold exists (dead
       // pointer-parse work on the additive-only steady path otherwise).
-      val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty) &&
+      val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty ||
+          topKs.nonEmpty) &&
         src.rescanBounded(spark)
       val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
         sumCols.map(parseSum), minMaxCols, rescan,
         Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
-        rescanBounded = bounded)
+        rescanBounded = bounded, topKs = topKs)
       Refresh(from, head, changed)
     }
   }
@@ -985,10 +987,12 @@ object LakeView {
       minMaxCols: Seq[String] = Seq.empty,
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
-      distinctCols: Seq[String] = Seq.empty): Refresh =
+      distinctCols: Seq[String] = Seq.empty,
+      topKs: Seq[(String, Int)] = Seq.empty): Refresh =
     refreshAggFrom(spark, ViewZ(sourceViewPath), viewPath, keyCols,
       sumCols, minMaxCols, rowFilter, stateBuckets, distinctCols,
-      "aggregate_over_view", "srcgen", "refreshAggregateOverView")
+      "aggregate_over_view", "srcgen", "refreshAggregateOverView",
+      topKs = topKs)
 
   /** Advance a JOIN view whose BOTH sides are maintained views — the
     * other half of general composition. The bilinear rule is the same
@@ -1274,10 +1278,12 @@ object LakeView {
       minMaxCols: Seq[String] = Seq.empty,
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
-      distinctCols: Seq[String] = Seq.empty): Refresh =
+      distinctCols: Seq[String] = Seq.empty,
+      topKs: Seq[(String, Int)] = Seq.empty): Refresh =
     refreshAggFrom(spark, TableZ(tablePath, fieldTypes), viewPath,
       keyCols, sumCols, minMaxCols, rowFilter, stateBuckets,
-      distinctCols, "aggregate", "watermark", "refreshAggregate")
+      distinctCols, "aggregate", "watermark", "refreshAggregate",
+      topKs = topKs)
 
   /** Wrong-refresh guard: a pointer stamped with a `kind` must match
     * the refresh form exactly; a legacy pointer (pre-kind) falls back
@@ -1315,7 +1321,8 @@ object LakeView {
       rescanSource: => DataFrame, marks: Map[String, Long],
       stateBuckets: Int, kind: String,
       distinctCols: Seq[String] = Seq.empty,
-      rescanBounded: Boolean = false): Long = {
+      rescanBounded: Boolean = false,
+      topKs: Seq[(String, Int)] = Seq.empty): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // cached: the folded delta feeds the merge join, the touched-group
@@ -1360,7 +1367,8 @@ object LakeView {
             .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
         } ++
         minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
-        distinctCols.map(c => col(s"dc_$c")): _*)
+        distinctCols.map(c => col(s"dc_$c")) ++
+        topKs.map { case (c, _) => col(s"tk_$c") }: _*)
         .filter(col("n") > 0)
     }
     // rescan-merge: additive state joined with per-group recomputed
@@ -1394,13 +1402,17 @@ object LakeView {
       val rescanAggs = minMaxCols.flatMap(c =>
           Seq(min(col(c)).as(s"_mn_new_$c"),
             max(col(c)).as(s"_mx_new_$c"))) ++
-        distinctCols.map(c => countDistinct(col(c)).as(s"_dc_new_$c"))
+        distinctCols.map(c => countDistinct(col(c)).as(s"_dc_new_$c")) ++
+        topKs.map { case (c, k) =>
+          graft.functions.TopKDistinct.topKDistinct(col(c), k)
+            .as(s"_tk_new_$c") }
       val rescanned = pruned.groupBy(keyCols.map(col): _*)
         .agg(lit(true).as("_touched"), rescanAggs: _*)
         .select(keyCols.map(k => col(k).as(s"_r_$k")) ++
           (col("_touched") +: (minMaxCols.flatMap(c =>
             Seq(col(s"_mn_new_$c"), col(s"_mx_new_$c"))) ++
-            distinctCols.map(c => col(s"_dc_new_$c")))): _*)
+            distinctCols.map(c => col(s"_dc_new_$c")) ++
+            topKs.map { case (c, _) => col(s"_tk_new_$c") })): _*)
       val j = additive.join(maybeHint(rescanned),
         keyCols.map(k => additive(k) <=> rescanned(s"_r_$k"))
           .reduce(_ && _), "left")
@@ -1418,9 +1430,13 @@ object LakeView {
             .otherwise(col(s"mx_$c")).as(s"mx_$c"))) ++
         distinctCols.map(c =>
           when(col("_touched"), col(s"_dc_new_$c"))
-            .otherwise(col(s"dc_$c")).as(s"dc_$c")): _*)
+            .otherwise(col(s"dc_$c")).as(s"dc_$c")) ++
+        topKs.map { case (c, _) =>
+          when(col("_touched"), col(s"_tk_new_$c"))
+            .otherwise(col(s"tk_$c")).as(s"tk_$c") }: _*)
     }
-    val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty
+    val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty &&
+      topKs.isEmpty
     if ((additiveOnly || rescanBounded) &&
         fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
       // FUSED single-bucket fold: one job, the changed-group count
@@ -1435,7 +1451,7 @@ object LakeView {
       val observed = deltaAgg.observe(obs, count(lit(1)).as("groups"))
       val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
       val old = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
-        sumType, minMaxCols, distinctCols)
+        sumType, minMaxCols, distinctCols, topKs)
       else spark.read.parquet(oldPaths: _*)
       val gen = p.gen + 1
       val bytes = landSingle(spark, fs, viewPath, gen,
@@ -1504,7 +1520,8 @@ object LakeView {
       }
     val touchedSet: Set[Int] = bucketCounts.keySet
     def emptyState: DataFrame =
-      emptyStateOf(delta, keyCols, sums, sumType, minMaxCols, distinctCols)
+      emptyStateOf(delta, keyCols, sums, sumType, minMaxCols, distinctCols,
+        topKs)
     // old state restricted to the touched buckets — by construction a
     // bucketed pointer's untouched buckets cannot change; a legacy
     // whole-dir pointer, or one written under a DIFFERENT modulus,
@@ -1546,13 +1563,17 @@ object LakeView {
   private def emptyStateOf(delta: DataFrame, keyCols: Seq[String],
       sums: Seq[SumSpec],
       sumType: Map[String, org.apache.spark.sql.types.DataType],
-      minMaxCols: Seq[String], distinctCols: Seq[String]): DataFrame = {
+      minMaxCols: Seq[String], distinctCols: Seq[String],
+      topKs: Seq[(String, Int)] = Seq.empty): DataFrame = {
     val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
       sums.map(sp =>
         lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
       minMaxCols.flatMap(c =>
         Seq(col(c).as(s"mn_$c"), col(c).as(s"mx_$c"))) ++
-      distinctCols.map(c => lit(0L).as(s"dc_$c"))
+      distinctCols.map(c => lit(0L).as(s"dc_$c")) ++
+      topKs.map { case (c, _) =>
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as(s"tk_$c") }
     delta.limit(0).select(empty: _*)
   }
 

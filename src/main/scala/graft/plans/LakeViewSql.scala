@@ -138,13 +138,15 @@ object LakeViewSql {
     }
     kind match {
       case "aggregate" =>
-        require(args.length >= 6 && args.length <= 10,
+        require(args.length >= 6 && args.length <= 11,
           "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
-            "keys, sums[, minMax[, filter[, stateBuckets[, distincts]]]]) " +
+            "keys, sums[, minMax[, filter[, stateBuckets[, distincts" +
+            "[, topks]]]]]) " +
             "— comma-separated column lists; a sums entry may be " +
             "`alias:expr` for a derived-column sum; filter is a SQL " +
             "predicate ('' = none); distincts maintains exact per-group " +
-            "COUNT(DISTINCT col) as dc_<col>")
+            "COUNT(DISTINCT col) as dc_<col>; a topks entry is `col:k` " +
+            "and maintains the k largest distinct values as tk_<col>")
         def_.put("table", strLit(args(2), "tablePath"))
         def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
         putList("keys", cols(strLit(args(4), "keys")))
@@ -158,13 +160,15 @@ object LakeViewSql {
             .getOrElse(graft.operators.LakeView.AutoBuckets))
         putList("distincts",
           args.lift(9).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+        putList("topks",
+          args.lift(10).map(a => cols(strLit(a, "topks"))).getOrElse(Nil))
       case "aggregate_over_view" =>
-        require(args.length >= 5 && args.length <= 9,
+        require(args.length >= 5 && args.length <= 10,
           "create_lake_view(viewPath, 'aggregate_over_view', " +
             "sourceViewPath, keys, sums[, minMax[, filter" +
-            "[, stateBuckets[, distincts]]]]) — an aggregate maintained " +
-            "over ANOTHER maintained view's generation feed; refresh " +
-            "the source first")
+            "[, stateBuckets[, distincts[, topks]]]]]) — an aggregate " +
+            "maintained over ANOTHER maintained view's generation feed; " +
+            "refresh the source first; a topks entry is `col:k`")
         def_.put("source", strLit(args(2), "sourceViewPath"))
         putList("keys", cols(strLit(args(3), "keys")))
         putList("sums", sumSpecs(strLit(args(4), "sums")))
@@ -177,6 +181,8 @@ object LakeViewSql {
             .getOrElse(graft.operators.LakeView.AutoBuckets))
         putList("distincts",
           args.lift(8).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+        putList("topks",
+          args.lift(9).map(a => cols(strLit(a, "topks"))).getOrElse(Nil))
       case "join_of_views" =>
         require(args.length >= 7 && args.length <= 10,
           "create_lake_view(viewPath, 'join_of_views', leftViewPath, " +
@@ -396,6 +402,15 @@ object LakeViewSql {
         .getOrElse(Nil)
     def buckets: Int = Option(d.get("stateBuckets")).map(_.asInt())
       .getOrElse(graft.operators.LakeView.AutoBuckets)
+    def topKs: Seq[(String, Int)] = list("topks").map { e =>
+      val i = e.lastIndexOf(':')
+      require(i > 0 && i < e.length - 1,
+        s"refresh_lake_view: a topks entry must be `col:k`, got '$e'")
+      val k = e.substring(i + 1).trim
+      require(k.forall(_.isDigit),
+        s"refresh_lake_view: topks k must be a positive integer, got '$e'")
+      (e.substring(0, i).trim, k.toInt)
+    }
     def row(spark: SparkSession): Row = d.get("kind").asText() match {
       case "aggregate" =>
         val r = graft.operators.LakeView.refreshAggregate(spark,
@@ -403,7 +418,7 @@ object LakeViewSql {
           list("keys"), list("sums"), list("minMax"),
           rowFilter = Option(d.get("filter")).map(_.asText()),
           stateBuckets = buckets,
-          distinctCols = list("distincts"))
+          distinctCols = list("distincts"), topKs = topKs)
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
       case "aggregate_over_view" =>
@@ -412,7 +427,7 @@ object LakeViewSql {
           list("keys"), list("sums"), list("minMax"),
           rowFilter = Option(d.get("filter")).map(_.asText()),
           stateBuckets = buckets,
-          distinctCols = list("distincts"))
+          distinctCols = list("distincts"), topKs = topKs)
         Row("aggregate_over_view", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
       case "join_of_views" =>

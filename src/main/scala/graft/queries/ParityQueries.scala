@@ -2064,6 +2064,85 @@ private[graft] object ParityQueries {
            |FROM lake_view('$chain') ORDER BY 1""".stripMargin)
     }),
 
+    "q320_lake_view_topk" -> ((s, dir) => {
+      // TOP-K in the view fold rules: the k LARGEST DISTINCT values
+      // per group maintained EXACTLY as tk_<col> (the 11th
+      // create_lake_view argument, entries `col:k`). Non-invertible
+      // under deletes like extrema — when a stored top value's class
+      // dies, the replacement comes from the touched-group rescan
+      // (the stored k-element state cannot supply it); the rescan
+      // primitive is the native bounded-heap top_k_distinct, O(k)
+      // state per group, never collect_set of the full value set. The
+      // delete wave here kills the globally largest Chars values, so
+      // every group's stored top-k loses members in one window.
+      val out = scratchPath(dir, "q320_records")
+      val view = scratchPath(dir, "q320_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', 'Chars', '', '', 0, '',
+           |  'Chars:3')""".stripMargin).collect()
+      def refresh(): Long =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+          .getLong(5)
+      val gateSf = isCorrectnessSf(dir)
+      def gate(): Unit = if (gateSf) {
+        val got = s.sql(
+          s"""SELECT Lang, pos, v FROM lake_view('$view')
+             |LATERAL VIEW posexplode(tk_Chars) AS pos, v""".stripMargin)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("Lang").orderBy(col("Chars").desc)
+        val want = s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()
+          .filter(col("Chars").isNotNull)
+          .select(col("Lang"), col("Chars")).distinct()
+          .withColumn("pos", row_number().over(w) - 1)
+          .filter(col("pos") < 3)
+          .select(col("Lang"), col("pos"), col("Chars").as("wv"))
+        val mism = got.join(want, Seq("Lang", "pos"), "full")
+          .filter(!(col("v") <=> col("wv")))
+        require(mism.limit(1).isEmpty,
+          "maintained top-k diverged from the recompute")
+      }
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "bootstrap must fold groups")
+      gate()
+      // kill the global top of the Chars distribution: every group's
+      // stored top-k must refill from below via the rescan
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") >= 2000)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(pos + 1 AS BIGINT) AS rk,
+           |  CAST(v AS BIGINT) AS chars
+           |FROM lake_view('$view')
+           |LATERAL VIEW posexplode(tk_Chars) AS pos, v
+           |ORDER BY lang, rk""".stripMargin)
+    }),
+
     "q312_lake_view_join3" -> ((s, dir) => {
       // a THREE-TABLE maintained join view (orders ⋈ customer ⋈ nation
       // — the star shape): two chained bilinear folds under one
@@ -3856,6 +3935,23 @@ private[graft] object ParityQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (o_orderkey % 7 = 0) AND NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the per-group top-k distinct values with a
+    // window over the distinct set; the engine maintains them in the
+    // view state via the bounded-heap rescan (extrema discipline)
+    "q320_lake_view_topk" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars >= 2000, FALSE)),
+        |dv AS (SELECT DISTINCT lang, n_chars FROM live
+        |  WHERE n_chars IS NOT NULL),
+        |r AS (SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+        |      AS rk FROM dv)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk,
+        |  CAST(n_chars AS BIGINT) AS chars
+        |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
     // the oracle recomputes the 3-way star join from the predicates;
     // the engine maintains it as two chained bilinear folds (the root

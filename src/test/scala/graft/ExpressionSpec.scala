@@ -525,6 +525,41 @@ class ExpressionSpec extends SparkSpec {
     assert(small.length == 2)
   }
 
+  test("top_k_distinct: equals the sorted-distinct-slice form, merges " +
+      "across partitions, dedups heavy repetition, skips NULLs") {
+    import graft.functions.TopKDistinct
+    // values repeat ~8x per group (id % 125): the bounded set must
+    // DEDUP, not evict a larger value to admit a duplicate
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("g"),
+      ((col("id") % 125).cast("double")).as("v"))
+      .repartition(16)
+    val got = df.groupBy("g")
+      .agg(TopKDistinct.topKDistinct(col("v"), k = 4).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .orderBy("g", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = df.distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("v").desc)) - 1)
+      .filter(col("rn") < 4)
+      .select(col("g"), col("rn"), col("v"))
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // NULLs skipped; k beyond the distinct count returns the whole set;
+    // SQL-registered form coerces integer input
+    import spark.implicits._
+    val nulls = Seq((1L, Some(5)), (1L, None), (1L, Some(7)), (1L, Some(7)))
+      .toDF("g", "v")
+    nulls.createOrReplaceTempView("tkd_in")
+    val small = spark.sql(
+      "SELECT top_k_distinct(v, 10) AS t FROM tkd_in GROUP BY g")
+      .select(explode(col("t"))).collect().map(_.getDouble(0)).toSeq
+    assert(small == Seq(7.0, 5.0))
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, handles negatives and NULLs") {
     import graft.functions.BitmapDistinct
     // dense ids, sparse far-apart ids, negatives, duplicates — across a

@@ -355,6 +355,46 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("top-k-distinct fold rules: tk_ keeps the k largest distinct " +
+      "values exactly across appends and a delete wave that kills a " +
+      "stored top value (touched-group rescan), coexisting with sums, " +
+      "extrema, and distinct counts") {
+    val dir = tmp("tk") + "/t"
+    val view = tmp("tk") + "/v"
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G2"), Seq("Score"), minMaxCols = Seq("Score"),
+      distinctCols = Seq("G5"), topKs = Seq(("Score", 3)))
+    def gate(): Unit = {
+      val got = LakeView.read(spark, view)
+        .select($"G2", $"tk_Score").orderBy("G2").collect().toSeq
+        .map(r => (r.getString(0), r.getSeq[Double](1).toList))
+      val want = table(dir).select($"G2", $"Score").collect().toSeq
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted(Ordering[Double].reverse)
+          .take(3).toList)
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"got $got, want $want")
+    }
+    append(dir, 0, 30)
+    LakeSnapshots.commit(spark, dir)
+    assert(refresh().groupsChanged > 0L)
+    gate()
+    // the delete wave kills the TOP score of each parity group (29, 28
+    // are the two maxima) — the replacement values must surface from
+    // the rescan, which the stored k-element state alone cannot supply
+    DeletionVectors.delete(spark, dir, types, $"Score" >= 28.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    append(dir, 30, 40)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    assert(refresh().groupsChanged == 0L, "idle refresh must no-op")
+    gate()
+  }
+
   test("distinct-count CHAIN: two additive levels stay exact across " +
       "appends and a whole-value-class delete wave with NO rescan, and " +
       "a crash between the levels heals by catch-up on the next call") {
