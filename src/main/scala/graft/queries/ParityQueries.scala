@@ -1995,7 +1995,11 @@ private[graft] object ParityQueries {
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       val typesO = "OKey:number,CKey:number"
       val typesC = "CKey:number,Seg:singleLineText"
-      val orders = rd(s, dir, "orders").select(
+      // the even-orderkey HALF of the fact table: every liveness
+      // transition the gate needs survives, the bench-SF state stays
+      // under the adaptive bucket threshold (no mid-chain migration)
+      val orders = rd(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0).select(
         concat(lit("o"), col("o_orderkey").cast("string")).as("_record_id"),
         col("o_orderkey").cast("double").as("OKey"),
         col("o_custkey").cast("double").as("CKey"))
@@ -2038,24 +2042,22 @@ private[graft] object ParityQueries {
       }
       require(refresh() > 0L, "bootstrap must fold join -> chain")
       gate()
-      // order appends: customers gaining their FIRST order tick up
+      // ONE combined mutation window, both sides and both directions:
+      // order appends (customers gaining their FIRST order tick up),
+      // an order retraction of OKey % 7 == 0 (customers losing their
+      // LAST live order tick down), and a customer retraction of
+      // CKey % 5 == 0 (their join rows vanish wholesale) — the
+      // bilinear fold consumes both sides' deltas in a single refresh,
+      // and all three liveness-transition shapes reach the chain
+      // through one feed window
       orders.filter(col("OKey") % 3 === 2).coalesce(1)
         .write.format("graft-records").option("path", to)
         .option("dataFormat", "parquet").mode("append").save()
-      graft.operators.LakeSnapshots.commit(s, to)
-      refresh()
-      gate()
-      // order retraction killing every order of OKey % 7 == 0 shape:
-      // customers losing their LAST live order must tick down
       graft.operators.DeletionVectors.delete(s, to, typesO,
         pmod(col("OKey"), lit(7.0)) === 0.0)
-      graft.operators.LakeSnapshots.commit(s, to)
-      refresh()
-      gate()
-      // customer retraction: their join rows vanish wholesale
       graft.operators.DeletionVectors.delete(s, tc, typesC,
         pmod(col("CKey"), lit(5.0)) === 0.0)
-      graft.operators.LakeSnapshots.commit(s, tc)
+      Seq(to, tc).foreach(p => graft.operators.LakeSnapshots.commit(s, p))
       refresh()
       gate()
       require(refresh() == 0L, "idle refresh must no-op through the chain")
@@ -3933,7 +3935,8 @@ private[graft] object ParityQueries {
       """SELECT c_mktsegment AS segment,
         |  COUNT(DISTINCT o_custkey) AS n_customers
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE NOT (o_orderkey % 7 = 0) AND NOT (c_custkey % 5 = 0)
+        |WHERE o_orderkey % 4 = 0
+        |  AND NOT (o_orderkey % 7 = 0) AND NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle recomputes the per-group top-k distinct values with a
