@@ -197,6 +197,21 @@ object LakeView {
     * fold-order-independent money sums; doubles stay doubles. */
   private[graft] final case class SumSpec(alias: String, sql: String)
 
+  /** A maintained per-group HISTOGRAM fold rule: fixed bin edges over
+    * `[lo, hi)` in `bins` equal steps, stored as `hs_<col>` —
+    * `array<long>` of length `bins + 2` (index 0 = underflow,
+    * 1..bins = in-range, bins+1 = overflow; NULLs contribute nothing).
+    * Bin counts are ADDITIVE in the signed delta — invertible under
+    * deletes, unlike extrema/top-k — so histograms ride the pure
+    * additive fold: no rescan ever, cost ∝ delta at any scale. */
+  final case class HistSpec(col: String, lo: Double, hi: Double, bins: Int) {
+    require(bins >= 1 && bins <= 512,
+      s"histogram bins for '$col' must be in [1, 512], got $bins")
+    require(hi > lo,
+      s"histogram range for '$col' must have hi > lo, got [$lo, $hi)")
+    private[graft] def width: Int = bins + 2
+  }
+
   private[graft] def parseSum(spec: String): SumSpec = {
     val i = spec.indexOf(':')
     if (i > 0 && i < spec.length - 1 &&
@@ -767,7 +782,8 @@ object LakeView {
       stateBuckets: Int, distinctCols: Seq[String],
       kind: String, mark: String, op: String,
       extraMarks: Map[String, Long] = Map.empty,
-      topKs: Seq[(String, Int)] = Seq.empty): Refresh = {
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): Refresh = {
     require(keyCols.nonEmpty, s"$op needs key columns")
     val head = src.head(spark)
     val ptr = readPointer(spark, viewPath)
@@ -793,7 +809,7 @@ object LakeView {
       val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
         sumCols.map(parseSum), minMaxCols, rescan,
         Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
-        rescanBounded = bounded, topKs = topKs)
+        rescanBounded = bounded, topKs = topKs, hists = hists)
       Refresh(from, head, changed)
     }
   }
@@ -988,11 +1004,12 @@ object LakeView {
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
       distinctCols: Seq[String] = Seq.empty,
-      topKs: Seq[(String, Int)] = Seq.empty): Refresh =
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): Refresh =
     refreshAggFrom(spark, ViewZ(sourceViewPath), viewPath, keyCols,
       sumCols, minMaxCols, rowFilter, stateBuckets, distinctCols,
       "aggregate_over_view", "srcgen", "refreshAggregateOverView",
-      topKs = topKs)
+      topKs = topKs, hists = hists)
 
   /** Advance a JOIN view whose BOTH sides are maintained views — the
     * other half of general composition. The bilinear rule is the same
@@ -1279,11 +1296,12 @@ object LakeView {
       rowFilter: Option[String] = None,
       stateBuckets: Int = AutoBuckets,
       distinctCols: Seq[String] = Seq.empty,
-      topKs: Seq[(String, Int)] = Seq.empty): Refresh =
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): Refresh =
     refreshAggFrom(spark, TableZ(tablePath, fieldTypes), viewPath,
       keyCols, sumCols, minMaxCols, rowFilter, stateBuckets,
       distinctCols, "aggregate", "watermark", "refreshAggregate",
-      topKs = topKs)
+      topKs = topKs, hists = hists)
 
   /** Wrong-refresh guard: a pointer stamped with a `kind` must match
     * the refresh form exactly; a legacy pointer (pre-kind) falls back
@@ -1322,7 +1340,8 @@ object LakeView {
       stateBuckets: Int, kind: String,
       distinctCols: Seq[String] = Seq.empty,
       rescanBounded: Boolean = false,
-      topKs: Seq[(String, Int)] = Seq.empty): Long = {
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // cached: the folded delta feeds the merge join, the touched-group
@@ -1331,10 +1350,21 @@ object LakeView {
     // separate eager job — and eviction recomputes safely: the lineage
     // reads version-pinned snapshots and a fixed changelog window, both
     // deterministic
+    def binIdx(h: HistSpec): Column = {
+      val step = (h.hi - h.lo) / h.bins
+      when(col(h.col) < h.lo, 0)
+        .when(col(h.col) >= h.hi, h.bins + 1)
+        .otherwise(floor((col(h.col) - h.lo) / step).cast("int") + 1)
+    }
     val deltaAgg = delta.groupBy(keyCols.map(col): _*)
       .agg(sum(col("m")).as("dn"),
         sums.map(sp =>
-          sum(col("m") * expr(sp.sql)).as(s"dsum_${sp.alias}")): _*)
+          sum(col("m") * expr(sp.sql)).as(s"dsum_${sp.alias}")) ++
+        // signed per-bin counts in one pass (a NULL value binds no bin:
+        // the when-condition goes NULL -> otherwise(0))
+        hists.map(h => array((0 until h.width).map(b =>
+          sum(when(binIdx(h) === b, col("m")).otherwise(0L))): _*)
+          .as(s"dhs_${h.col}")): _*)
       .cache()
     // unpersisted in the finally below: a cached plan outliving its
     // refresh would stay registered in the session CacheManager keyed
@@ -1353,7 +1383,8 @@ object LakeView {
       // and the coalesced output keys stay unambiguous
       val deltaR = deltaGrouped.select(
         keyCols.map(k => col(k).as(s"_d_$k")) ++
-          (col("dn") +: sums.map(sp => col(s"dsum_${sp.alias}"))): _*)
+          (col("dn") +: (sums.map(sp => col(s"dsum_${sp.alias}")) ++
+            hists.map(h => col(s"dhs_${h.col}")))): _*)
       val joined = old.join(deltaR,
         keyCols.map(k => old(k) <=> deltaR(s"_d_$k")).reduce(_ && _), "full")
       joined.select(
@@ -1365,6 +1396,12 @@ object LakeView {
           (coalesce(col(s"sum_${sp.alias}"), z) +
             coalesce(col(s"dsum_${sp.alias}"), z))
             .cast(sumType(sp.alias)).as(s"sum_${sp.alias}")
+        } ++
+        hists.map { h =>
+          val zero = array_repeat(lit(0L), lit(h.width))
+          zip_with(coalesce(col(s"hs_${h.col}"), zero),
+            coalesce(col(s"dhs_${h.col}"), zero),
+            (x, y) => x + y).as(s"hs_${h.col}")
         } ++
         minMaxCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
         distinctCols.map(c => col(s"dc_$c")) ++
@@ -1423,6 +1460,7 @@ object LakeView {
       // (a touched group with only NULL values recomputes to 0).
       j.select(keyCols.map(col) ++
         Seq(col("n")) ++ sums.map(sp => col(s"sum_${sp.alias}")) ++
+        hists.map(h => col(s"hs_${h.col}")) ++
         minMaxCols.flatMap(c => Seq(
           when(col("_touched"), col(s"_mn_new_$c"))
             .otherwise(col(s"mn_$c")).as(s"mn_$c"),
@@ -1451,7 +1489,7 @@ object LakeView {
       val observed = deltaAgg.observe(obs, count(lit(1)).as("groups"))
       val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
       val old = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
-        sumType, minMaxCols, distinctCols, topKs)
+        sumType, minMaxCols, distinctCols, topKs, hists)
       else spark.read.parquet(oldPaths: _*)
       val gen = p.gen + 1
       val bytes = landSingle(spark, fs, viewPath, gen,
@@ -1521,7 +1559,7 @@ object LakeView {
     val touchedSet: Set[Int] = bucketCounts.keySet
     def emptyState: DataFrame =
       emptyStateOf(delta, keyCols, sums, sumType, minMaxCols, distinctCols,
-        topKs)
+        topKs, hists)
     // old state restricted to the touched buckets — by construction a
     // bucketed pointer's untouched buckets cannot change; a legacy
     // whole-dir pointer, or one written under a DIFFERENT modulus,
@@ -1564,7 +1602,8 @@ object LakeView {
       sums: Seq[SumSpec],
       sumType: Map[String, org.apache.spark.sql.types.DataType],
       minMaxCols: Seq[String], distinctCols: Seq[String],
-      topKs: Seq[(String, Int)] = Seq.empty): DataFrame = {
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): DataFrame = {
     val empty = keyCols.map(k => col(k)) ++ (lit(0L).as("n") +:
       sums.map(sp =>
         lit(null).cast(sumType(sp.alias)).as(s"sum_${sp.alias}"))) ++
@@ -1573,7 +1612,10 @@ object LakeView {
       distinctCols.map(c => lit(0L).as(s"dc_$c")) ++
       topKs.map { case (c, _) =>
         lit(null).cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)).as(s"tk_$c") }
+          org.apache.spark.sql.types.DoubleType)).as(s"tk_$c") } ++
+      hists.map(h =>
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)).as(s"hs_${h.col}"))
     delta.limit(0).select(empty: _*)
   }
 

@@ -138,15 +138,18 @@ object LakeViewSql {
     }
     kind match {
       case "aggregate" =>
-        require(args.length >= 6 && args.length <= 11,
+        require(args.length >= 6 && args.length <= 12,
           "create_lake_view(viewPath, 'aggregate', tablePath, fieldTypes, " +
             "keys, sums[, minMax[, filter[, stateBuckets[, distincts" +
-            "[, topks]]]]]) " +
+            "[, topks[, hists]]]]]]) " +
             "— comma-separated column lists; a sums entry may be " +
             "`alias:expr` for a derived-column sum; filter is a SQL " +
             "predicate ('' = none); distincts maintains exact per-group " +
             "COUNT(DISTINCT col) as dc_<col>; a topks entry is `col:k` " +
-            "and maintains the k largest distinct values as tk_<col>")
+            "and maintains the k largest distinct values as tk_<col>; a " +
+            "hists entry is `col:lo:hi:bins` and maintains an ADDITIVE " +
+            "per-group histogram as hs_<col> (underflow + bins + " +
+            "overflow counts — invertible under deletes, no rescan)")
         def_.put("table", strLit(args(2), "tablePath"))
         def_.put("fieldTypes", strLit(args(3), "fieldTypes"))
         putList("keys", cols(strLit(args(4), "keys")))
@@ -162,13 +165,16 @@ object LakeViewSql {
           args.lift(9).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
         putList("topks",
           args.lift(10).map(a => cols(strLit(a, "topks"))).getOrElse(Nil))
+        putList("hists",
+          args.lift(11).map(a => cols(strLit(a, "hists"))).getOrElse(Nil))
       case "aggregate_over_view" =>
-        require(args.length >= 5 && args.length <= 10,
+        require(args.length >= 5 && args.length <= 11,
           "create_lake_view(viewPath, 'aggregate_over_view', " +
             "sourceViewPath, keys, sums[, minMax[, filter" +
-            "[, stateBuckets[, distincts[, topks]]]]]) — an aggregate " +
-            "maintained over ANOTHER maintained view's generation feed; " +
-            "refresh the source first; a topks entry is `col:k`")
+            "[, stateBuckets[, distincts[, topks[, hists]]]]]]) — an " +
+            "aggregate maintained over ANOTHER maintained view's " +
+            "generation feed; refresh the source first; a topks entry " +
+            "is `col:k`, a hists entry `col:lo:hi:bins`")
         def_.put("source", strLit(args(2), "sourceViewPath"))
         putList("keys", cols(strLit(args(3), "keys")))
         putList("sums", sumSpecs(strLit(args(4), "sums")))
@@ -183,6 +189,8 @@ object LakeViewSql {
           args.lift(8).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
         putList("topks",
           args.lift(9).map(a => cols(strLit(a, "topks"))).getOrElse(Nil))
+        putList("hists",
+          args.lift(10).map(a => cols(strLit(a, "hists"))).getOrElse(Nil))
       case "join_of_views" =>
         require(args.length >= 7 && args.length <= 10,
           "create_lake_view(viewPath, 'join_of_views', leftViewPath, " +
@@ -402,6 +410,21 @@ object LakeViewSql {
         .getOrElse(Nil)
     def buckets: Int = Option(d.get("stateBuckets")).map(_.asInt())
       .getOrElse(graft.operators.LakeView.AutoBuckets)
+    def hists: Seq[graft.operators.LakeView.HistSpec] =
+      list("hists").map { e =>
+        val parts = e.split(":")
+        require(parts.length == 4,
+          s"refresh_lake_view: a hists entry must be `col:lo:hi:bins`, " +
+            s"got '$e'")
+        try graft.operators.LakeView.HistSpec(parts(0).trim,
+          parts(1).trim.toDouble, parts(2).trim.toDouble,
+          parts(3).trim.toInt)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"refresh_lake_view: hists entry '$e' has non-numeric " +
+              "lo/hi/bins")
+        }
+      }
     def topKs: Seq[(String, Int)] = list("topks").map { e =>
       val i = e.lastIndexOf(':')
       require(i > 0 && i < e.length - 1,
@@ -418,7 +441,7 @@ object LakeViewSql {
           list("keys"), list("sums"), list("minMax"),
           rowFilter = Option(d.get("filter")).map(_.asText()),
           stateBuckets = buckets,
-          distinctCols = list("distincts"), topKs = topKs)
+          distinctCols = list("distincts"), topKs = topKs, hists = hists)
         Row("aggregate", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
       case "aggregate_over_view" =>
@@ -427,7 +450,7 @@ object LakeViewSql {
           list("keys"), list("sums"), list("minMax"),
           rowFilter = Option(d.get("filter")).map(_.asText()),
           stateBuckets = buckets,
-          distinctCols = list("distincts"), topKs = topKs)
+          distinctCols = list("distincts"), topKs = topKs, hists = hists)
         Row("aggregate_over_view", r.fromVersion, r.toVersion, null, null,
           r.groupsChanged, null, null)
       case "join_of_views" =>

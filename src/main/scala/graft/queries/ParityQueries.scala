@@ -2066,6 +2066,81 @@ private[graft] object ParityQueries {
            |FROM lake_view('$chain') ORDER BY 1""".stripMargin)
     }),
 
+    "q321_lake_view_histogram" -> ((s, dir) => {
+      // HISTOGRAMS in the view fold rules: per-language doc-length
+      // histograms maintained as hs_<col> (the 12th create_lake_view
+      // argument, entries `col:lo:hi:bins`). Bin counts are ADDITIVE
+      // in the signed delta — invertible under deletes, unlike
+      // extrema/top-k — so the delete wave DECREMENTS the emptied bins
+      // through the pure additive fold; no rescan exists on this path
+      // at any scale. Readout explodes (lang, bin, cnt); bin 0 is
+      // underflow, bins+1 overflow.
+      val out = scratchPath(dir, "q321_records")
+      val view = scratchPath(dir, "q321_view")
+      val types = "DocId:number,Chars:number,Lang:singleLineText"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = rd(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(
+          concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("_record_id"),
+          col("doc_id").cast("double").as("DocId"),
+          col("n_chars").cast("double").as("Chars"),
+          col("lang").as("Lang"))
+      s.sql(
+        s"""SELECT * FROM create_lake_view('$view', 'aggregate',
+           |  '$out', '$types', 'Lang', '', '', '', 0, '', '',
+           |  'Chars:0:4000:8')""".stripMargin).collect()
+      def refresh(): Long =
+        s.sql(s"SELECT * FROM refresh_lake_view('$view')").collect()(0)
+          .getLong(5)
+      val gateSf = isCorrectnessSf(dir)
+      def gate(): Unit = if (gateSf) {
+        val got = s.sql(
+          s"""SELECT Lang, pos, v FROM lake_view('$view')
+             |LATERAL VIEW posexplode(hs_Chars) AS pos, v""".stripMargin)
+        val want = s.read.format("graft-records").option("path", out)
+          .option("fieldTypes", types).load()
+          .filter(col("Chars").isNotNull)
+          .withColumn("pos",
+            when(col("Chars") < 0, 0).when(col("Chars") >= 4000, 9)
+              .otherwise(floor(col("Chars") / 500).cast("int") + 1))
+          .groupBy("Lang", "pos").agg(count(lit(1)).as("wv"))
+        val mism = got.join(want, Seq("Lang", "pos"), "full")
+          .filter(!(coalesce(col("v"), lit(0L)) <=>
+            coalesce(col("wv"), lit(0L))))
+        require(mism.limit(1).isEmpty,
+          "maintained histogram diverged from the recompute")
+      }
+      docs.filter(col("DocId") % 3 < 2).coalesce(2)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      require(refresh() > 0L, "bootstrap must fold groups")
+      gate()
+      // empty out the low bins: the additive fold must decrement
+      graft.operators.DeletionVectors.delete(s, out, types,
+        col("Chars") < 500)
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      docs.filter(col("DocId") % 3 === 2).coalesce(1)
+        .write.format("graft-records").option("path", out)
+        .mode("append").save()
+      graft.operators.LakeSnapshots.commit(s, out)
+      refresh()
+      gate()
+      require(refresh() == 0L, "idle refresh must no-op")
+      s.sql(
+        s"""SELECT Lang AS lang, CAST(pos AS BIGINT) AS bin,
+           |  CAST(v AS BIGINT) AS cnt
+           |FROM lake_view('$view')
+           |LATERAL VIEW posexplode(hs_Chars) AS pos, v
+           |WHERE v <> 0 ORDER BY lang, bin""".stripMargin)
+    }),
+
     "q320_lake_view_topk" -> ((s, dir) => {
       // TOP-K in the view fold rules: the k LARGEST DISTINCT values
       // per group maintained EXACTLY as tk_<col> (the 11th
@@ -3938,6 +4013,21 @@ private[graft] object ParityQueries {
         |WHERE o_orderkey % 4 = 0
         |  AND NOT (o_orderkey % 7 = 0) AND NOT (c_custkey % 5 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recomputes the bin counts from the predicates; the
+    // engine maintains them additively in the view state (invertible
+    // under deletes — the emptied bins decrement, no rescan)
+    "q321_lake_view_histogram" ->
+      """WITH base AS (SELECT doc_id, n_chars, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |live AS (SELECT * FROM base
+        |  WHERE doc_id % 3 = 2 OR NOT coalesce(n_chars < 500, FALSE)),
+        |b AS (SELECT lang,
+        |    CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 4000 THEN 9
+        |      ELSE CAST(floor(n_chars / 500.0) AS INT) + 1 END AS bin
+        |  FROM live WHERE n_chars IS NOT NULL)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     // the oracle recomputes the per-group top-k distinct values with a
     // window over the distinct set; the engine maintains them in the

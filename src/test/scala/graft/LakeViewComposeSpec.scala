@@ -395,6 +395,51 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("histogram fold rules: hs_ bin counts stay exact across appends " +
+      "and a delete wave with NO rescan (additive and invertible), " +
+      "coexisting with sums; NULL-range rows bind no bin") {
+    val dir = tmp("hist") + "/t"
+    val view = tmp("hist") + "/v"
+    val spec = LakeView.HistSpec("Score", 10.0, 30.0, 4)
+    def refresh() = LakeView.refreshAggregate(spark, dir, types, view,
+      Seq("G2"), Seq("Score"), hists = Seq(spec))
+    def gate(): Unit = {
+      val got = LakeView.read(spark, view)
+        .select($"G2", $"hs_Score").orderBy("G2").collect().toSeq
+        .map(r => (r.getString(0), r.getSeq[Long](1).toList))
+      val want = table(dir).select($"G2", $"Score").collect().toSeq
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues { vs =>
+          val counts = Array.fill(6)(0L)
+          vs.foreach { case (_, v) =>
+            val b = if (v < 10.0) 0
+              else if (v >= 30.0) 5
+              else ((v - 10.0) / 5.0).toInt + 1
+            counts(b) += 1
+          }
+          counts.toList
+        }.toSeq.sortBy(_._1)
+      assert(got == want, s"got $got, want $want")
+    }
+    append(dir, 0, 40)
+    LakeSnapshots.commit(spark, dir)
+    assert(refresh().groupsChanged > 0L)
+    gate()
+    // the delete wave empties specific bins — counts must DECREMENT
+    // through the additive fold, never a recompute
+    DeletionVectors.delete(spark, dir, types,
+      $"Score" >= 15.0 && $"Score" < 25.0)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    append(dir, 40, 50)
+    LakeSnapshots.commit(spark, dir)
+    refresh()
+    gate()
+    assert(refresh().groupsChanged == 0L, "idle refresh must no-op")
+    gate()
+  }
+
   test("distinct-count CHAIN: two additive levels stay exact across " +
       "appends and a whole-value-class delete wave with NO rescan, and " +
       "a crash between the levels heals by catch-up on the next call") {
