@@ -1921,7 +1921,9 @@ object LakeView {
       stateBuckets: Int = AutoBuckets,
       leftFilter: Option[String] = None,
       rightFilter: Option[String] = None,
-      distinctCols: Seq[String] = Seq.empty): ComposedRefresh = {
+      distinctCols: Seq[String] = Seq.empty,
+      topKs: Seq[(String, Int)] = Seq.empty,
+      hists: Seq[HistSpec] = Seq.empty): ComposedRefresh = {
     require(stateBuckets >= 0,
       s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
     validateJoinCols(leftCols, rightCols, keys)
@@ -1943,7 +1945,7 @@ object LakeView {
       foldOuter = (src, marks) => refreshAggFrom(spark, src, viewPath,
         aggKeys, aggSums, minMaxCols, rowFilter = None, stateBuckets,
         distinctCols, "join_aggregate", "srcgen", "refreshJoinAggregate",
-        extraMarks = marks).groupsChanged)
+        extraMarks = marks, topKs = topKs, hists = hists).groupsChanged)
     ComposedRefresh(jr.fromLeft, jr.toLeft, jr.fromRight, jr.toRight,
       jr.deltaRows, groups)
   }

@@ -230,14 +230,16 @@ object LakeViewSql {
         args.lift(11).map(strLit(_, "rightFilter")).map(_.trim)
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
       case "join_aggregate" =>
-        require(args.length >= 11 && args.length <= 16,
+        require(args.length >= 11 && args.length <= 18,
           "create_lake_view(viewPath, 'join_aggregate', leftPath, " +
             "leftTypes, leftCols, rightPath, rightTypes, rightCols, " +
             "joinKeys, aggKeys, aggSums[, minMax[, stateBuckets" +
-            "[, leftFilter[, rightFilter[, distincts]]]]]) — aggSums " +
+            "[, leftFilter[, rightFilter[, distincts[, topks" +
+            "[, hists]]]]]]]) — aggSums " +
             "entries may be `alias:expr`; filters are SQL predicates " +
             "('' = none); distincts maintains exact per-group " +
-            "COUNT(DISTINCT col) over the joined rows as dc_<col>")
+            "COUNT(DISTINCT col) over the joined rows as dc_<col>; a " +
+            "topks entry is `col:k`, a hists entry `col:lo:hi:bins`")
         def_.put("left", strLit(args(2), "leftPath"))
         def_.put("leftTypes", strLit(args(3), "leftTypes"))
         putList("leftCols", cols(strLit(args(4), "leftCols")))
@@ -258,6 +260,10 @@ object LakeViewSql {
           .filter(_.nonEmpty).foreach(def_.put("rightFilter", _))
         putList("distincts",
           args.lift(15).map(a => cols(strLit(a, "distincts"))).getOrElse(Nil))
+        putList("topks",
+          args.lift(16).map(a => cols(strLit(a, "topks"))).getOrElse(Nil))
+        putList("hists",
+          args.lift(17).map(a => cols(strLit(a, "hists"))).getOrElse(Nil))
       case "distinct_count" =>
         require(args.length >= 6 && args.length <= 8,
           "create_lake_view(viewPath, 'distinct_count', tablePath, " +
@@ -485,7 +491,7 @@ object LakeViewSql {
           stateBuckets = buckets,
           leftFilter = Option(d.get("leftFilter")).map(_.asText()),
           rightFilter = Option(d.get("rightFilter")).map(_.asText()),
-          distinctCols = list("distincts"))
+          distinctCols = list("distincts"), topKs = topKs, hists = hists)
         Row("join_aggregate", r.fromLeft, r.toLeft, r.fromRight,
           r.toRight, r.deltaRows, null, null)
       case "distinct_count" =>

@@ -440,6 +440,63 @@ class LakeViewComposeSpec extends SparkSpec {
     gate()
   }
 
+  test("composed join_aggregate carries top-k and histogram rules over " +
+      "the joined rows: exact across a right-side retraction wave") {
+    val base = tmp("jath")
+    val lt = s"$base/l"; val rt = s"$base/r"; val view = s"$base/v"
+    val ltypes = "K:number,Score:number"
+    val rtypes = "K:number,Grp:singleLineText"
+    spark.range(0, 40).select(
+        concat(lit("l"), $"id".cast("string")).as("_record_id"),
+        ($"id" % 10).cast("double").as("K"),
+        $"id".cast("double").as("Score"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", lt).mode("append").save()
+    spark.range(0, 10).select(
+        concat(lit("r"), $"id".cast("string")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        concat(lit("g"), ($"id" % 2).cast("string")).as("Grp"))
+      .coalesce(1)
+      .write.format("graft-records").option("path", rt).mode("append").save()
+    Seq(lt, rt).foreach(p => LakeSnapshots.commit(spark, p))
+    def refresh() = LakeView.refreshJoinAggregate(spark, view,
+      lt, ltypes, Seq("K", "Score"), rt, rtypes, Seq("K", "Grp"),
+      Seq("K"), Seq("Grp"), Seq("Score"),
+      topKs = Seq(("Score", 3)),
+      hists = Seq(LakeView.HistSpec("Score", 0.0, 40.0, 4)))
+    def gate(): Unit = {
+      val inner = LakeView.read(spark, s"$view/inner")
+      val got = LakeView.read(spark, view)
+        .select($"Grp", $"tk_Score", $"hs_Score")
+        .orderBy("Grp").collect().toSeq
+        .map(r => (r.getString(0), r.getSeq[Double](1).toList,
+          r.getSeq[Long](2).toList))
+      val want = inner.select($"Grp", $"Score", $"m").collect().toSeq
+        .flatMap(r => Seq.fill(r.getLong(2).toInt)(
+          (r.getString(0), r.getDouble(1))))
+        .groupBy(_._1).view.mapValues { vs =>
+          val tk = vs.map(_._2).distinct
+            .sorted(Ordering[Double].reverse).take(3).toList
+          val hs = Array.fill(6)(0L)
+          vs.foreach { case (_, v) =>
+            val b = if (v < 0.0) 0 else if (v >= 40.0) 5
+              else (v / 10.0).toInt + 1
+            hs(b) += 1
+          }
+          (tk, hs.toList)
+        }.toSeq.sortBy(_._1).map { case (g, (tk, hs)) => (g, tk, hs) }
+      assert(got == want, s"got $got, want $want")
+    }
+    assert(refresh().groupsChanged > 0L)
+    gate()
+    // right-side retraction: K % 3 == 0 rows leave the join — stored
+    // top scores die (rescan refills) and their bins decrement
+    DeletionVectors.delete(spark, rt, rtypes, pmod($"K", lit(3.0)) === 0.0)
+    LakeSnapshots.commit(spark, rt)
+    refresh()
+    gate()
+  }
+
   test("distinct-count CHAIN: two additive levels stay exact across " +
       "appends and a whole-value-class delete wave with NO rescan, and " +
       "a crash between the levels heals by catch-up on the next call") {
