@@ -560,6 +560,41 @@ class ExpressionSpec extends SparkSpec {
     assert(small == Seq(7.0, 5.0))
   }
 
+  test("histQuantile: bin-midpoint estimates off a maintained histogram " +
+      "array — rank math, under/overflow clamps, empty -> NULL") {
+    import graft.functions.HistQuantile.histQuantile
+    import spark.implicits._
+    // hs over [0, 40) x 4 bins: [uf, b1, b2, b3, b4, of]
+    val df = Seq(
+      ("mid", Seq(0L, 2L, 0L, 3L, 0L, 0L)),
+      ("under", Seq(4L, 0L, 0L, 0L, 0L, 1L)),
+      ("empty", Seq(0L, 0L, 0L, 0L, 0L, 0L))).toDF("tag", "hs")
+    val got = df.select($"tag",
+        histQuantile($"hs", 0.0, 40.0, 0.5).as("p50"),
+        histQuantile($"hs", 0.0, 40.0, 0.2).as("p20"),
+        histQuantile($"hs", 0.0, 40.0, 1.0).as("p100"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    // 2 values in [0,10), 3 in [20,30): median and max sit in bin 3
+    assert(got("mid") == (Some(25.0), Some(5.0), Some(25.0)))
+    // rank lands in the underflow bin -> lo; p=1.0 reaches overflow -> hi
+    assert(got("under") == (Some(0.0), Some(0.0), Some(40.0)))
+    assert(got("empty") == (None, None, None))
+    // against an exact percentile on a folded fixture: the estimate
+    // must sit within half a bin width (2.5 over [0,100) x 20 bins)
+    val vals = spark.range(0, 1000)
+      .select((col("id") % 100).cast("double").as("v"))
+    val hs = vals.select(array((0 until 22).map { b =>
+      val bin = when(col("v") < 0, 0).when(col("v") >= 100, 21)
+        .otherwise(floor(col("v") / 5.0).cast("int") + 1)
+      sum(when(bin === b, 1L).otherwise(0L))
+    }: _*).as("hs"))
+    val est = hs.select(histQuantile(col("hs"), 0.0, 100.0, 0.5))
+      .head().getDouble(0)
+    val exact = vals.stat.approxQuantile("v", Array(0.5), 0.0).head
+    assert(math.abs(est - exact) <= 2.5, s"est $est vs exact $exact")
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, handles negatives and NULLs") {
     import graft.functions.BitmapDistinct
     // dense ids, sparse far-apart ids, negatives, duplicates — across a
