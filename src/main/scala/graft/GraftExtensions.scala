@@ -74,6 +74,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairs(args.head, args(1), intLit(args(2), "k"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hist_quantile"),
+      new ExpressionInfo(graft.functions.HistQuantile.getClass.getName,
+        "hist_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "hist_quantile takes (hs, lo, hi, p) with literal lo/hi/p")
+        def dbl(e: Expression, what: String): Double = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"hist_quantile: $what must be a numeric literal, got $other")
+        }
+        graft.functions.HistQuantile.sqlExpression(args.head,
+          dbl(args(1), "lo"), dbl(args(2), "hi"), dbl(args(3), "p"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("top_k_distinct"),
       new ExpressionInfo(classOf[TopKDistinct].getName, "top_k_distinct"),
       (args: Seq[Expression]) => {

@@ -42,4 +42,54 @@ object HistQuantile {
       .when(found === size(hs) - 1, lit(hi))
       .otherwise(mid)
   }
+
+  /** The SAME estimator as a catalyst Expression for the SQL-registered
+    * form (`hist_quantile(hs, lo, hi, p)` with literal bounds): the
+    * function-registry builder must return a catalyst tree the analyzer
+    * can finish — a composite built through the public Column API would
+    * leak unresolved Column AST nodes into codegen — so the fold is a
+    * parsed SQL template with the `hs` argument spliced in for a
+    * placeholder attribute. `transform(array(<idx>), i -> ...)` binds
+    * the found index once as a lambda variable (the template would
+    * otherwise repeat the fold three times). */
+  def sqlExpression(hs: org.apache.spark.sql.catalyst.expressions.Expression,
+      lo: Double, hi: Double, p: Double)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(p > 0.0 && p <= 1.0, s"quantile p must be in (0, 1], got $p")
+    val idx =
+      s"""aggregate(
+         |  zip_with(__hs, sequence(0, size(__hs) - 1),
+         |    (c, i) -> struct(c AS c, i AS i)),
+         |  struct(CAST(0 AS BIGINT) AS cum, -1 AS idx),
+         |  (acc, x) -> struct(acc.cum + x.c AS cum,
+         |    CASE WHEN acc.idx >= 0 THEN acc.idx
+         |         WHEN acc.cum + x.c >= CAST(ceil(${p}D *
+         |           CAST(aggregate(__hs, CAST(0 AS BIGINT),
+         |             (a, v) -> a + v) AS DOUBLE)) AS BIGINT)
+         |           THEN x.i
+         |         ELSE -1 END AS idx)).idx""".stripMargin
+    val step = s"((${hi}D - ${lo}D) / CAST(size(__hs) - 2 AS DOUBLE))"
+    val tpl =
+      s"""CASE
+         |  WHEN __hs IS NULL
+         |    OR aggregate(__hs, CAST(0 AS BIGINT), (a, v) -> a + v) <= 0
+         |    THEN CAST(NULL AS DOUBLE)
+         |  ELSE element_at(transform(array($idx), i ->
+         |    CASE WHEN i = 0 THEN ${lo}D
+         |         WHEN i = size(__hs) - 1 THEN ${hi}D
+         |         ELSE ${lo}D + (CAST(i AS DOUBLE) - 0.5D) * $step
+         |    END), 1)
+         |END""".stripMargin
+    val parsed = org.apache.spark.sql.SparkSession.active.sessionState
+      .sqlParser.parseExpression(tpl)
+    parsed.transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.name == "__hs" => hs
+      // inside a lambda body the parser emits lambda-variable
+      // candidates, not attributes — the placeholder appears there too
+      case v: org.apache.spark.sql.catalyst.expressions
+          .UnresolvedNamedLambdaVariable
+          if v.nameParts == Seq("__hs") => hs
+    }
+  }
 }

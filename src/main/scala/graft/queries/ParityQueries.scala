@@ -2135,7 +2135,9 @@ private[graft] object ParityQueries {
       require(refresh() == 0L, "idle refresh must no-op")
       s.sql(
         s"""SELECT Lang AS lang, CAST(pos AS BIGINT) AS bin,
-           |  CAST(v AS BIGINT) AS cnt
+           |  CAST(v AS BIGINT) AS cnt,
+           |  CAST(hist_quantile(hs_Chars, 0, 4000, 0.5) AS DOUBLE)
+           |    AS p50_est
            |FROM lake_view('$view')
            |LATERAL VIEW posexplode(hs_Chars) AS pos, v
            |WHERE v <> 0 ORDER BY lang, bin""".stripMargin)
@@ -4025,9 +4027,21 @@ private[graft] object ParityQueries {
         |b AS (SELECT lang,
         |    CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 4000 THEN 9
         |      ELSE CAST(floor(n_chars / 500.0) AS INT) + 1 END AS bin
-        |  FROM live WHERE n_chars IS NOT NULL)
-        |SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS cnt
-        |FROM b GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+        |  FROM live WHERE n_chars IS NOT NULL),
+        |counts AS (SELECT lang, CAST(bin AS BIGINT) AS bin,
+        |    COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |-- the deterministic bin-midpoint median the engine's
+        |-- hist_quantile computes from the same stored counts
+        |ranked AS (SELECT lang, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS total FROM counts),
+        |med AS (SELECT lang, MIN(bin) AS mbin FROM ranked
+        |  WHERE cum >= CAST(ceil(0.5 * total) AS BIGINT) GROUP BY lang)
+        |SELECT c.lang, c.bin, c.cnt,
+        |  CASE WHEN m.mbin = 0 THEN 0.0 WHEN m.mbin = 9 THEN 4000.0
+        |    ELSE (CAST(m.mbin AS DOUBLE) - 0.5) * 500.0 END AS p50_est
+        |FROM counts c JOIN med m ON c.lang = m.lang
+        |ORDER BY c.lang, c.bin""".stripMargin,
 
     // the oracle recomputes the per-group top-k distinct values with a
     // window over the distinct set; the engine maintains them in the
