@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", LocalScratch.dir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: round-2's driver run failed to parse the JSON line

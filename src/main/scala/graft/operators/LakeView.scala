@@ -652,6 +652,13 @@ object LakeView {
       * concurrent reclaim ([[withPinnedGenerations]]) — a no-op for
       * tables (snapshot retention is the table tier's contract). */
     def withPins[T](spark: SparkSession, vers: Seq[Long])(f: => T): T = f
+    /** `(bytes, rowsUpperBound)` of the source's state at version `v`,
+      * when the source's metadata can answer WITHOUT a Spark job (a
+      * table's manifest file list + parquet footers, a view pointer's
+      * recorded bucket bytes) — the BOOTSTRAP size signal that lets a
+      * fold skip its separate count action when the whole source is
+      * plainly small. None means "unknown, take the counted path". */
+    def sizeHint(spark: SparkSession, v: Long): Option[(Long, Long)] = None
   }
 
   private final case class TableZ(path: String, fieldTypes: String)
@@ -668,6 +675,35 @@ object LakeView {
       rawChanges(spark, path, fieldTypes, from, to)
     def netted = false
     def rescanBounded(spark: SparkSession) = false
+    /** Manifest file lengths + row counts from parquet footers (a
+      * jsonl file bounds rows by bytes/20 — a JSON row under 20 bytes
+      * cannot carry a record id) — driver metadata only. Capped: a
+      * manifest past 64 files is never "plainly small", so answer None
+      * without stat-ing anything. */
+    override def sizeHint(spark: SparkSession, v: Long)
+        : Option[(Long, Long)] = {
+      val dir = new Path(path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val hfs = dir.getFileSystem(conf)
+      try {
+        val m = graft.sources.v2.Snapshots.load(hfs, path, v)
+        if (m.files.size > 64) None
+        else Some(m.files.iterator.map { case (name, _) =>
+          val p = new Path(dir, name)
+          val len = hfs.getFileStatus(p).getLen
+          val rows =
+            if (name.endsWith(".jsonl")) len / 20 + 1
+            else {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(p, conf))
+              try r.getRecordCount finally r.close()
+            }
+          (len, rows)
+        }.foldLeft((0L, 0L)) { case ((b, r), (db, dr)) =>
+          (b + db, r + dr) })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   private final case class ViewZ(path: String) extends ZSource {
@@ -700,6 +736,21 @@ object LakeView {
       }
     override def withPins[T](spark: SparkSession, vers: Seq[Long])(
         f: => T): T = withPinnedGenerations(spark, path, vers)(f)
+    /** The pointer's recorded per-bucket bytes — zero filesystem calls.
+      * Only answers for the pointer's OWN generation with fully
+      * recorded bytes (a legacy pointer or another generation would
+      * need a sweep — that's the counted path's job). View state is
+      * parquet at ≥ 8 B/row even for degenerate columns, so bytes/8
+      * bounds the rows. */
+    override def sizeHint(spark: SparkSession, v: Long)
+        : Option[(Long, Long)] =
+      readPointer(spark, path) match {
+        case Some(p) if p.gen == v && p.dir.isEmpty &&
+            p.buckets.keySet.subsetOf(p.bytes.keySet) =>
+          val b = p.bytes.values.sum
+          Some((b, b / 8 + 1))
+        case _ => None
+      }
   }
 
   /** A view source whose NEWEST window's feed is already in hand: the
@@ -739,6 +790,13 @@ object LakeView {
       src.rescanBounded(spark)
     override def withPins[T](spark: SparkSession, vers: Seq[Long])(
         f: => T): T = src.withPins(spark, vers)(f)
+    /** `to`'s files may still be landing; the pre-fold generation's
+      * recorded bytes stand in (an underestimate by one delta — the
+      * growth check on the NEXT refresh self-heals a wrong guess). */
+    override def sizeHint(spark: SparkSession, v: Long)
+        : Option[(Long, Long)] =
+      src.sizeHint(spark, if (v == to) from else v)
+        .filter(_ => from > 0L)
   }
 
   /** One side of a bilinear join fold: the source's Z-relation at the
@@ -803,13 +861,22 @@ object LakeView {
       // a bounded rescan source frees the fold to recompute all groups
       // in one job. Only computed when a rescan fold exists (dead
       // pointer-parse work on the additive-only steady path otherwise).
+      // bootstrap-only size signal: grouped state cannot exceed the
+      // source's bytes/rows, so a plainly-small source fuses the
+      // bootstrap
+      val smallBoot = ptr.isEmpty && stateBuckets == AutoBuckets &&
+        plainlySmall(src.sizeHint(spark, head))
       val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty ||
           topKs.nonEmpty) &&
-        src.rescanBounded(spark)
+        (src.rescanBounded(spark) ||
+          // at a small bootstrap the rescan source IS the small input
+          // and every group is touched — all-group recompute is exact
+          smallBoot)
       val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
         sumCols.map(parseSum), minMaxCols, rescan,
         Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
-        rescanBounded = bounded, topKs = topKs, hists = hists)
+        rescanBounded = bounded, topKs = topKs, hists = hists,
+        fusedBootstrap = smallBoot)
       Refresh(from, head, changed)
     }
   }
@@ -880,13 +947,19 @@ object LakeView {
     val (oldL, dL) = zSide(spark, left, leftCols, wl, headL, leftFilter)
     val (oldR, dR) = zSide(spark, right, rightCols, wr, headR, rightFilter)
     val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
+    // bootstrap-only size signal: both sides' metadata must answer
+    val smallBoot = ptr.isEmpty && stateBuckets == AutoBuckets &&
+      plainlySmall(for (l <- left.sizeHint(spark, headL);
+        r <- right.sizeHint(spark, headR))
+        yield (l._1 + r._1, l._2 + r._2))
     // view-source windows stay pinned for the fold's scans against a
     // concurrent same-JVM maintainer reclaiming them (no-op for tables)
     PlannedJoin(wl, headL, wr, headR, Some(delta),
       () => left.withPins(spark, Seq(wl, headL)) {
         right.withPins(spark, Seq(wr, headR)) {
           foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
-            Map(markL -> headL, markR -> headR) ++ extraMarks, kind)
+            Map(markL -> headL, markR -> headR) ++ extraMarks, kind,
+            fusedBootstrap = smallBoot)
         }
       })
   }
@@ -1341,7 +1414,8 @@ object LakeView {
       distinctCols: Seq[String] = Seq.empty,
       rescanBounded: Boolean = false,
       topKs: Seq[(String, Int)] = Seq.empty,
-      hists: Seq[HistSpec] = Seq.empty): Long = {
+      hists: Seq[HistSpec] = Seq.empty,
+      fusedBootstrap: Boolean = false): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // cached: the folded delta feeds the merge join, the touched-group
@@ -1475,8 +1549,16 @@ object LakeView {
     }
     val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty &&
       topKs.isEmpty
+    // a BOOTSTRAP qualifies for the fused form when the source's own
+    // metadata says the whole input is plainly small (well under the
+    // single-bucket growth bound AND the bucketed-bootstrap row bound):
+    // the separate changed-count action exists only to size the modulus
+    // and prune the old-state read, and a pointerless view has no old
+    // state to prune. A wrong guess self-heals — the next refresh's
+    // growth check reads the ACTUAL persisted bytes and migrates.
     if ((additiveOnly || rescanBounded) &&
-        fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
+        ((fusedBootstrap && ptr.isEmpty) ||
+          fusedMod1(spark, fs, viewPath, ptr, stateBuckets))) {
       // FUSED single-bucket fold: one job, the changed-group count
       // observed on the write. Pure-additive folds qualify outright;
       // rescan folds qualify when the CALLER vouches the rescan source
@@ -1484,14 +1566,14 @@ object LakeView {
       // bound) — then every group recomputes and no count is needed
       // before the write. Zero-change windows roll back like the join
       // form.
-      val p = ptr.get
       val obs = new org.apache.spark.sql.Observation()
       val observed = deltaAgg.observe(obs, count(lit(1)).as("groups"))
-      val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+      val oldPaths = ptr.toSeq.flatMap(_.buckets.values).sorted
+        .map(b => s"$viewPath/$b")
       val old = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
         sumType, minMaxCols, distinctCols, topKs, hists)
       else spark.read.parquet(oldPaths: _*)
-      val gen = p.gen + 1
+      val gen = ptr.map(_.gen).getOrElse(0L) + 1
       val bytes = landSingle(spark, fs, viewPath, gen,
         if (additiveOnly) mergeAdditive(observed, old)
         else mergeWithRescan(observed, old, None))
@@ -1499,14 +1581,18 @@ object LakeView {
       // exactly when the observed delta turned out runtime-empty (an
       // all-filtered churn window) — a missing key therefore MEANS zero
       val changed = obs.get.getOrElse("groups", 0L).asInstanceOf[Long]
-      if (changed == 0L) {
-        fs.delete(new Path(s"$viewPath/data-g$gen"), true)
-        publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
-          Some(kind), p.bytes)
-      } else
-        publish(spark, viewPath, gen, marks, None,
-          Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
-          Map(0 -> bytes))
+      ptr match {
+        case Some(p) if changed == 0L =>
+          fs.delete(new Path(s"$viewPath/data-g$gen"), true)
+          publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
+            Some(kind), p.bytes)
+        case _ =>
+          // a zero-change BOOTSTRAP keeps the landed schema-bearing
+          // empty bucket — the empty-view shape, just keyed 0
+          publish(spark, viewPath, gen, marks, None,
+            Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
+            Map(0 -> bytes))
+      }
       return changed
     }
     // ONE job computes the changed-group count AND the touched-bucket
@@ -1619,6 +1705,19 @@ object LakeView {
     delta.limit(0).select(empty: _*)
   }
 
+  /** "Plainly small" gate for the FUSED BOOTSTRAP: the source metadata's
+    * byte count is well under the single-bucket growth bound AND its
+    * row upper bound is under the bucketed-bootstrap threshold — both
+    * halves of the adaptive-modulus contract hold without a count job.
+    * Rows matter independently of bytes: dictionary/RLE-heavy parquet
+    * packs AutoBucketRows-scale row counts into very few bytes, and a
+    * single-task write of that many rows is the serial-write trap the
+    * row bound exists to avoid. */
+  private def plainlySmall(hint: Option[(Long, Long)]): Boolean =
+    hint.exists { case (bytes, rows) =>
+      bytes <= AutoBucketBytes / 2 && rows < AutoBucketRows
+    }
+
   /** True when a steady refresh of this pointer resolves to modulus 1
     * and stays there — the precondition for the FUSED one-job fold
     * (the per-bucket count pass exists only to prune the old-state
@@ -1640,8 +1739,13 @@ object LakeView {
       fs: org.apache.hadoop.fs.FileSystem, viewPath: String, gen: Long,
       rows: DataFrame): Long = {
     val dataDir = s"data-g$gen"
+    // coalesce, not repartition: the single-bucket state is small by
+    // construction (the fused path engages only under AutoBucketBytes),
+    // so collapsing the LAST stage to one task is free — repartition(1)
+    // would add a whole round-robin exchange (plus its sort-before-
+    // repartition pass) just to land one file
     phase("land.write")(
-      rows.repartition(1).write.mode("overwrite")
+      rows.coalesce(1).write.mode("overwrite")
         .parquet(s"$viewPath/$dataDir/_bucket=0"))
     phase("land.list") {
       fs.listStatus(new Path(s"$viewPath/$dataDir/_bucket=0"))
@@ -1653,10 +1757,15 @@ object LakeView {
   private def foldJoinState(spark: SparkSession, viewPath: String,
       ptr: Option[Pointer], delta: DataFrame, keys: Seq[String],
       stateBuckets: Int, marks: Map[String, Long],
-      kind: String): Long = {
+      kind: String, fusedBootstrap: Boolean = false): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
+    // bootstrap-fusion gate: both sides' metadata said "plainly small"
+    // (see foldAggState — same self-healing growth story; a join's
+    // output can exceed its inputs, which the NEXT refresh's byte check
+    // corrects by migrating)
+    if ((fusedBootstrap && ptr.isEmpty) ||
+        fusedMod1(spark, fs, viewPath, ptr, stateBuckets)) {
       // FUSED single-bucket fold: ONE Spark job — the delta row count
       // rides the WRITE job as an observed metric instead of paying a
       // second action's plan/schedule/shuffle fixed cost (measured
@@ -1665,26 +1774,30 @@ object LakeView {
       // short-circuit before the fold) and rolls the orphan directory
       // back, publishing the inherited state exactly like the
       // two-phase path.
-      val p = ptr.get
       val obs = new org.apache.spark.sql.Observation()
       val observed = delta.observe(obs, count(lit(1)).as("rows"))
-      val oldPaths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
+      val oldPaths = ptr.toSeq.flatMap(_.buckets.values).sorted
+        .map(b => s"$viewPath/$b")
       val old = if (oldPaths.isEmpty) delta.limit(0)
         else spark.read.parquet(oldPaths: _*)
       val rewrite = IncrementalAgg.consolidate(old.unionByName(observed))
-      val gen = p.gen + 1
+      val gen = ptr.map(_.gen).getOrElse(0L) + 1
       val bytes = landSingle(spark, fs, viewPath, gen, rewrite)
       // missing key = the metrics node was pruned by AQE's
       // empty-relation propagation = the delta was runtime-empty
       val deltaRows = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
-      if (deltaRows == 0L) {
-        fs.delete(new Path(s"$viewPath/data-g$gen"), true)
-        publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
-          Some(kind), p.bytes)
-      } else
-        publish(spark, viewPath, gen, marks, None,
-          Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
-          Map(0 -> bytes))
+      ptr match {
+        case Some(p) if deltaRows == 0L =>
+          fs.delete(new Path(s"$viewPath/data-g$gen"), true)
+          publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
+            Some(kind), p.bytes)
+        case _ =>
+          // a zero-delta BOOTSTRAP keeps the landed schema-bearing
+          // empty bucket — the empty-view shape, just keyed 0
+          publish(spark, viewPath, gen, marks, None,
+            Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
+            Map(0 -> bytes))
+      }
       return deltaRows
     }
     // ONE job computes the delta row count AND the touched-bucket set:

@@ -14,6 +14,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.local.dir", LocalScratch.dir)
     .config("spark.ui.enabled", "false")
     // bucketed-table specs saveAsTable into the warehouse — keep it out
     // of the repo working tree
