@@ -528,23 +528,34 @@ object Similarity {
     val assigned = IncrementalAgg.consolidate(changes)
       .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
       .localCheckpoint()
+    // ONE metadata job over the checkpointed batch — per-cell
+    // delete/insert counts plus the set-semantics guard (this was four
+    // separate actions: a |m|-probe, a distinct-cell collect, and two
+    // counts; per-cell rows are bounded by |centroids|, so the collect
+    // is metadata either way).
+    val cellStats: Array[(Int, Long, Long, Long)] = assigned
+      .groupBy(col("ivf_cell"))
+      .agg(sum(when(col("m") < 0, 1L).otherwise(0L)).as("_dels"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("_inss"),
+        max(abs(col("m"))).as("_maxAbs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // the fold assumes SET semantics (the lake's _record_id-unique
     // change feed): |m| == 1 after netting. A generic Z-relation with
     // multiplicities would silently diverge from the fold ≡ rebuild
     // law (the append lands ONE row per id, the sweep retracts ALL),
     // so a non-set batch fails loudly instead of corrupting the index.
-    require(assigned.filter(abs(col("m")) =!= 1L).limit(1).isEmpty,
+    require(cellStats.forall(_._4 == 1L),
       "applyChangesToIvfIndex needs a set-semantics change batch " +
         "(|m| == 1 per id after consolidation)")
     val delIds = assigned.filter(col("m") < 0)
       .select(col("ivf_cell").as("_del_cell"), col(idCol).as("_del_id"))
-    // touched cells: bounded by |centroids|, so the collect is metadata
-    val touched: Array[Int] = delIds.select(col("_del_cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val touched: Array[Int] =
+      cellStats.filter(_._2 > 0).map(_._1).sorted
     val touchedSet = touched.toSet
-    val nDel = delIds.count()
+    val nDel = cellStats.map(_._2).sum
     val ins = assigned.filter(col("m") > 0).drop("m")
-    val nIns = ins.count()
+    val nIns = cellStats.map(_._3).sum
 
     // ---- STAGE (index untouched until the marker lands) ----
     // Swap-staged content: per delete-touched cell, its survivors plus
