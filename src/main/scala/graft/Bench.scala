@@ -122,7 +122,17 @@ object Bench {
     val arr = results.map(kv => ms(kv._2)).mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_start":${math.rint(loadStart * 100) / 100},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","qorder":"sorted_query_name","queries_ms":$arr,"slowest":$slowest,"detail":"BENCH_LOCAL_latest.json"}""")
+    // names_hash: sha-256 (first 16 hex) of the sorted query names
+    // joined by "," — lets a reader JOIN the positional ms array back to
+    // names from any artifact whose key set hashes the same (e.g. the
+    // CORRECTNESS_r*.json keys), without carrying 321 names in the
+    // bounded-tail line (the round-7 overflow lesson)
+    val namesHash = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(results.map(_._1).mkString(",").getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"load_start":${math.rint(loadStart * 100) / 100},"load_avg":${math.rint(load * 100) / 100},"qunit":"ms","qorder":"sorted_query_name","names_hash":"$namesHash","queries_ms":$arr,"slowest":$slowest,"detail":"BENCH_LOCAL_latest.json"}""")
     System.out.flush()
     spark.stop()
   }

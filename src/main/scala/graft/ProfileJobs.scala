@@ -40,16 +40,6 @@ object ProfileJobs {
       var deserMs: Long = 0L, var gcMs: Long = 0L, var runMs: Long = 0L,
       var resSerMs: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
-    val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.put(e.jobId, Job(e.time))
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        val j = jobs.get(e.jobId); if (j != null) j.end = e.time
-      }
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        jobs.forEach((_, j) => ())
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = ()
-    }
     // per-stage/task attribution via the stage->job mapping
     val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener2 = new SparkListener {
@@ -109,8 +99,16 @@ object ProfileJobs {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // let the listener bus drain before reading
-      Thread.sleep(500)
+      // drain the listener bus COMPLETELY before reading (a fixed sleep
+      // under-drains on a loaded box and skews the printed job stats).
+      // listenerBus is private[spark] in Scala but public in bytecode —
+      // reflection keeps this dev harness off Spark internals at compile
+      // time
+      locally {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      }
       val js = {
         val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Job)]
         jobs.forEach((k, v) => b += ((k, v)))

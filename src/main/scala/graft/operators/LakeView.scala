@@ -132,6 +132,29 @@ object LakeView {
   val AutoBucketRows: Long = 1L << 17
   val AutoBucketBytes: Long = 8L << 20
 
+  /** SEQUENTIAL-TINY-FOLD bounds: when a steady refresh's delta window
+    * AND old-side scans are metadata-proven under these (manifest-diff
+    * lengths + parquet-footer rows; pointer-recorded bucket bytes/rows),
+    * every exchange in the fold plan is pure fixed cost — one task
+    * chews through ≤ half a million narrow rows in a few hundred ms,
+    * while the parallel plan pays several 32-way shuffle stages plus
+    * their AQE rounds for the same kilobytes. Above the bounds the
+    * parallel plan is untouched, so a 100 TB refresh never serializes:
+    * the gate is a DATA bound, not a core-count tune. Overridable per
+    * session (`spark.graft.view.tinyFoldBytes` / `...tinyFoldRows`);
+    * 0 disables the tiny plan outright. */
+  val TinyFoldBytes: Long = 32L << 20
+  val TinyFoldRows: Long = 1L << 19
+
+  private def tinySmall(spark: SparkSession,
+      hint: Option[(Long, Long)]): Boolean = {
+    val bb = spark.conf.getOption("spark.graft.view.tinyFoldBytes")
+      .map(_.toLong).getOrElse(TinyFoldBytes)
+    val rb = spark.conf.getOption("spark.graft.view.tinyFoldRows")
+      .map(_.toLong).getOrElse(TinyFoldRows)
+    hint.exists { case (bytes, rows) => bytes <= bb && rows < rb }
+  }
+
   /** Adaptive-modulus GROWTH bound: keep per-bucket state under this
     * many bytes by doubling the modulus (hash-table-resize discipline —
     * one amortized full migration per doubling, the same migration path
@@ -244,11 +267,26 @@ object LakeView {
     * adaptive growth check reads the pointer instead of sweeping the
     * filesystem — zero metadata RPCs on the steady path (a bucket a
     * pre-`bytes` pointer wrote falls back to a per-bucket sweep until
-    * its next rewrite stamps it). */
+    * its next rewrite stamps it).
+    *
+    * `rows` records each bucket's EXACT row count at land time (parquet
+    * footer of the landed file — one driver-local footer read per
+    * written bucket, skipped past 64 touched buckets), inherited
+    * verbatim like `bytes`: the "plainly small" gates get a sound row
+    * bound instead of guessing rows from bytes (dictionary/RLE parquet
+    * packs far more than bytes/8 rows — the round-15 advice hole).
+    *
+    * `schema` records the state schema AT LAND TIME (the writing
+    * frame's schema, nullable-normalized to match parquet inference):
+    * every state read passes it to the reader explicitly, so the
+    * steady path never pays driver-side footer schema inference — a
+    * measurable per-refresh fixed cost when a composed chain reads
+    * state, feeds, and rescans several times per fold. */
   private case class Pointer(gen: Long, dir: Option[String],
       buckets: Map[Int, String], marks: Map[String, Long],
       mod: Option[Int], kind: Option[String],
-      bytes: Map[Int, Long])
+      bytes: Map[Int, Long], rows: Map[Int, Long],
+      schema: Option[org.apache.spark.sql.types.StructType])
 
   private val PtrPrefix = "_ptr-"
 
@@ -277,7 +315,15 @@ object LakeView {
       .map(_.fields().asScala
         .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
       .getOrElse(Map.empty[Int, Long])
-    Pointer(g, d, buckets, marks, mod, kind, bytes)
+    val rows = Option(root.get("rows")).filterNot(_.isNull)
+      .map(_.fields().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[Int, Long])
+    val schema = Option(root.get("schema")).filterNot(_.isNull)
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    Pointer(g, d, buckets, marks, mod, kind, bytes, rows, schema)
   }
 
   private def readPointer(spark: SparkSession,
@@ -350,7 +396,10 @@ object LakeView {
       marks: Map[String, Long], dataDir: Option[String],
       buckets: Map[Int, String], mod: Option[Int] = None,
       kind: Option[String] = None,
-      bytes: Map[Int, Long] = Map.empty): Unit = phase("publish") {
+      bytes: Map[Int, Long] = Map.empty,
+      rows: Map[Int, Long] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = phase("publish") {
     // validate the retention conf BEFORE the pointer flips: a bad value
     // leaves the view at its previous generation with an orphan data
     // dir (the crash-before-flip shape the next refresh overwrites),
@@ -376,6 +425,12 @@ object LakeView {
       bytes.filter { case (k, _) => buckets.contains(k) }
         .foreach { case (k, v) => bn.put(k.toString, v) }
     }
+    if (rows.nonEmpty) {
+      val rn = root.putObject("rows")
+      rows.filter { case (k, _) => buckets.contains(k) }
+        .foreach { case (k, v) => rn.put(k.toString, v) }
+    }
+    schema.foreach(s => root.put("schema", s.json))
     val mnode = root.putObject("marks")
     marks.foreach { case (k, v) => mnode.put(k, v) }
     val tmp = new Path(dir, s".ptr-$gen.tmp")
@@ -449,14 +504,33 @@ object LakeView {
     }
   }
 
+  /** Parquet reader primed with the pointer-recorded state schema when
+    * present — skips driver-side footer schema inference on every
+    * steady-path state read (legacy pointers fall back to inference). */
+  private def stateReader(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.DataFrameReader =
+    schema.fold(spark.read)(s => spark.read.schema(s))
+
   /** The state a RESOLVED pointer names — the one read path under
     * [[read]] and [[readKeys]], so a caller that already holds a
-    * pointer can never mix two generations within one call. */
+    * pointer can never mix two generations within one call.
+    *
+    * A single-bucket state under the growth bound reads as one scan
+    * partition anyway; COALESCE(1) exposes that fact to the planner as
+    * SinglePartition (which satisfies every non-broadcast required
+    * distribution), so a downstream global sort or aggregation skips
+    * its exchange outright — tiny readouts drop a 32-way
+    * rangepartitioning plus the range-bounds sampling job it needs.
+    * Multi-bucket or unbounded state keeps its parallel scan. */
   private def readFrom(spark: SparkSession, viewPath: String,
       p: Pointer): DataFrame = {
     val paths = p.dir.map(d => Seq(s"$viewPath/$d"))
       .getOrElse(p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b"))
-    phase("read.plan")(spark.read.parquet(paths: _*))
+    val df = phase("read.plan")(stateReader(spark, p.schema).parquet(paths: _*))
+    if (p.dir.isEmpty && p.buckets.size <= 1 &&
+        p.buckets.keySet.subsetOf(p.bytes.keySet) &&
+        p.bytes.values.sum <= AutoBucketBytes) df.coalesce(1) else df
   }
 
   /** Point/key reads served from the BUCKETED layout: hash the probe
@@ -503,7 +577,7 @@ object LakeView {
     val paths = ptr.buckets.filter { case (b, _) => touched.contains(b) }
       .values.toSeq.sorted.map(p => s"$viewPath/$p")
     if (paths.isEmpty) return full.filter(lit(false))
-    val pruned = spark.read.parquet(paths: _*)
+    val pruned = stateReader(spark, ptr.schema).parquet(paths: _*)
     pruned.filter(matches(pruned))
   }
 
@@ -591,18 +665,20 @@ object LakeView {
     def pathsOf(p: Pointer): Set[String] =
       (p.dir.toSeq ++ p.buckets.values.toSeq).toSet
     val toPaths = pathsOf(to)
-    val fromPaths = if (fromGen == 0L) Set.empty[String]
-      else pathsOf(resolve(fromGen))
-    def side(rel: Set[String], sign: Long): Option[DataFrame] =
+    val fromPtr = if (fromGen == 0L) None else Some(resolve(fromGen))
+    val fromPaths = fromPtr.map(pathsOf).getOrElse(Set.empty[String])
+    def side(rel: Set[String], sign: Long,
+        schema: Option[org.apache.spark.sql.types.StructType])
+        : Option[DataFrame] =
       if (rel.isEmpty) None
       else {
-        val df = spark.read.parquet(
+        val df = stateReader(spark, schema).parquet(
           rel.toSeq.sorted.map(r => s"$viewPath/$r"): _*)
         Some(if (z) df.withColumn("m", col("m") * lit(sign))
         else df.withColumn("m", lit(sign)))
       }
-    val added = side(toPaths -- fromPaths, 1L)
-    val removed = side(fromPaths -- toPaths, -1L)
+    val added = side(toPaths -- fromPaths, 1L, to.schema)
+    val removed = side(fromPaths -- toPaths, -1L, fromPtr.flatMap(_.schema))
     val raw = (added, removed) match {
       case (Some(a), Some(r)) => a.unionByName(r)
       case (Some(a), None) => a
@@ -659,6 +735,17 @@ object LakeView {
       * fold skip its separate count action when the whole source is
       * plainly small. None means "unknown, take the counted path". */
     def sizeHint(spark: SparkSession, v: Long): Option[(Long, Long)] = None
+    /** `(bytes, rowsUpperBound)` of the signed delta over `(from, to]`,
+      * when source metadata can bound it without a Spark job — for a
+      * table, the manifest diff's changed files (exactly the file set
+      * the CDC scan will read: added, removed, dv-grown); for a view,
+      * the generation pointers' differing buckets with their recorded
+      * bytes/rows. The STEADY-path size signal behind the sequential
+      * tiny fold (guide §2.4): a provably-tiny delta folding into a
+      * provably-tiny state needs no exchanges at all. None means
+      * "unknown, keep the parallel plan" — the scale-safe default. */
+    def windowHint(spark: SparkSession, from: Long, to: Long)
+        : Option[(Long, Long)] = None
   }
 
   private final case class TableZ(path: String, fieldTypes: String)
@@ -675,11 +762,36 @@ object LakeView {
       rawChanges(spark, path, fieldTypes, from, to)
     def netted = false
     def rescanBounded(spark: SparkSession) = false
-    /** Manifest file lengths + row counts from parquet footers (a
-      * jsonl file bounds rows by bytes/20 — a JSON row under 20 bytes
-      * cannot carry a record id) — driver metadata only. Capped: a
-      * manifest past 64 files is never "plainly small", so answer None
-      * without stat-ing anything. */
+    /** `(len, rowsUpper)` of one data file — stat + parquet footer (a
+      * jsonl file bounds rows by bytes/3 — the only PROVABLE per-row
+      * floor is the `{}` + newline framing; /20 assumed a record id,
+      * which a minimal row need not carry, and the gate must never
+      * UNDERcount rows). Driver metadata only. */
+    private def fileHint(hfs: org.apache.hadoop.fs.FileSystem,
+        conf: org.apache.hadoop.conf.Configuration, dir: Path,
+        name: String): (Long, Long) = {
+      val p = new Path(dir, name)
+      val len = hfs.getFileStatus(p).getLen
+      val rows =
+        if (name.endsWith(".jsonl")) len / 3 + 1
+        else {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, conf))
+          try r.getRecordCount finally r.close()
+        }
+      (len, rows)
+    }
+
+    private def sumHints(hfs: org.apache.hadoop.fs.FileSystem,
+        conf: org.apache.hadoop.conf.Configuration, dir: Path,
+        names: Iterable[String]): (Long, Long) =
+      names.iterator.map(fileHint(hfs, conf, dir, _))
+        .foldLeft((0L, 0L)) { case ((b, r), (db, dr)) => (b + db, r + dr) }
+
+    /** Manifest file lengths + row counts from parquet footers —
+      * driver metadata only. Capped: a manifest past 64 files is never
+      * "plainly small", so answer None without stat-ing anything. */
     override def sizeHint(spark: SparkSession, v: Long)
         : Option[(Long, Long)] = {
       val dir = new Path(path)
@@ -688,20 +800,31 @@ object LakeView {
       try {
         val m = graft.sources.v2.Snapshots.load(hfs, path, v)
         if (m.files.size > 64) None
-        else Some(m.files.iterator.map { case (name, _) =>
-          val p = new Path(dir, name)
-          val len = hfs.getFileStatus(p).getLen
-          val rows =
-            if (name.endsWith(".jsonl")) len / 20 + 1
-            else {
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromPath(p, conf))
-              try r.getRecordCount finally r.close()
-            }
-          (len, rows)
-        }.foldLeft((0L, 0L)) { case ((b, r), (db, dr)) =>
-          (b + db, r + dr) })
+        else Some(sumHints(hfs, conf, dir, m.files.map(_._1)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** The manifest DIFF's changed files — exactly the set the CDC
+      * scan of `(from, to]` will read (added, removed, and dv-changed
+      * files; a dv-diff scan reads at most the whole file, so the full
+      * length/rows are a sound upper bound). Capped at 64 changed
+      * files, mirroring [[sizeHint]]. */
+    override def windowHint(spark: SparkSession, from: Long, to: Long)
+        : Option[(Long, Long)] = {
+      if (to <= from) return Some((0L, 0L))
+      val dir = new Path(path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val hfs = dir.getFileSystem(conf)
+      try {
+        def mf(v: Long): Map[String, Option[String]] =
+          if (v == 0L) Map.empty
+          else graft.sources.v2.Snapshots.load(hfs, path, v).files.toMap
+        val f1 = mf(from)
+        val f2 = mf(to)
+        val changed = (f2.keySet -- f1.keySet) ++ (f1.keySet -- f2.keySet) ++
+          (f1.keySet & f2.keySet).filter(n => f1(n) != f2(n))
+        if (changed.size > 64) None
+        else Some(sumHints(hfs, conf, dir, changed))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
@@ -736,21 +859,58 @@ object LakeView {
       }
     override def withPins[T](spark: SparkSession, vers: Seq[Long])(
         f: => T): T = withPinnedGenerations(spark, path, vers)(f)
-    /** The pointer's recorded per-bucket bytes — zero filesystem calls.
-      * Only answers for the pointer's OWN generation with fully
-      * recorded bytes (a legacy pointer or another generation would
-      * need a sweep — that's the counted path's job). View state is
-      * parquet at ≥ 8 B/row even for degenerate columns, so bytes/8
-      * bounds the rows. */
+    /** The pointer's recorded per-bucket bytes AND rows — one pointer
+      * JSON read, zero data I/O, and the row count is EXACT
+      * (landed-footer counts carried in the pointer), closing the
+      * round-15 advice hole where bytes/8 under-counted
+      * dictionary/RLE-packed rows. Answers for ANY live generation
+      * whose pointer carries full bytes+rows (a legacy pointer would
+      * need a sweep — that's the counted path's job). */
     override def sizeHint(spark: SparkSession, v: Long)
-        : Option[(Long, Long)] =
-      readPointer(spark, path) match {
-        case Some(p) if p.gen == v && p.dir.isEmpty &&
-            p.buckets.keySet.subsetOf(p.bytes.keySet) =>
-          val b = p.bytes.values.sum
-          Some((b, b / 8 + 1))
-        case _ => None
-      }
+        : Option[(Long, Long)] = {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        if (!generations(spark, path).contains(v)) return None
+        parsePointer(fs, dir, v) match {
+          case p if p.dir.isEmpty &&
+              p.buckets.keySet.subsetOf(p.bytes.keySet) &&
+              p.buckets.keySet.subsetOf(p.rows.keySet) =>
+            Some((p.bytes.values.sum, p.rows.values.sum))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** The generation-pointer DIFF's bytes/rows — exactly the buckets
+      * [[changesBetween]] will read for `(from, to]`, from each
+      * pointer's recorded per-bucket sizes. Zero data I/O; None when
+      * either pointer predates rows recording or uses the legacy
+      * whole-dir form. */
+    override def windowHint(spark: SparkSession, from: Long, to: Long)
+        : Option[(Long, Long)] = {
+      if (from <= 0L) return None // bootstrap window: sizeHint's job
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        val live = generations(spark, path)
+        if (!live.contains(from) || !live.contains(to)) return None
+        def entries(p: Pointer): Option[Map[String, (Long, Long)]] =
+          if (p.dir.isEmpty &&
+              p.buckets.keySet.subsetOf(p.bytes.keySet) &&
+              p.buckets.keySet.subsetOf(p.rows.keySet))
+            Some(p.buckets.map { case (k, rel) =>
+              rel -> ((p.bytes(k), p.rows(k))) })
+          else None
+        for (ef <- entries(parsePointer(fs, dir, from));
+             et <- entries(parsePointer(fs, dir, to))) yield {
+          val diff = (et.keySet -- ef.keySet).toSeq.map(et) ++
+            (ef.keySet -- et.keySet).toSeq.map(ef)
+          diff.foldLeft((0L, 0L)) { case ((b, r), (db, dr)) =>
+            (b + db, r + dr) }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** A view source whose NEWEST window's feed is already in hand: the
@@ -797,6 +957,13 @@ object LakeView {
         : Option[(Long, Long)] =
       src.sizeHint(spark, if (v == to) from else v)
         .filter(_ => from > 0L)
+    /** The fed window's delta is an in-flight JOIN delta — no sound
+      * metadata bound exists for a join's output volume, so the fed
+      * window never claims tiny (None keeps the parallel plan); other
+      * windows delegate to the real pointers. */
+    override def windowHint(spark: SparkSession, f: Long, t: Long)
+        : Option[(Long, Long)] =
+      if (f == from && t == to) None else src.windowHint(spark, f, t)
   }
 
   /** One side of a bilinear join fold: the source's Z-relation at the
@@ -808,18 +975,23 @@ object LakeView {
     * the fold's final consolidate subsumes any remaining netting. */
   private def zSide(spark: SparkSession, src: ZSource,
       colNames: Seq[String], w: Long, head: Long,
-      rowFilter: Option[String]): (DataFrame, DataFrame) = {
+      rowFilter: Option[String], tiny: Boolean = false)
+      : (DataFrame, DataFrame) = {
     def keep(df: DataFrame): DataFrame =
       rowFilter.fold(df)(f => df.where(expr(f)))
     def project(df: DataFrame): DataFrame =
       df.select((colNames.map(col) :+ col("m")): _*)
+    // tiny (sequential tiny fold): the caller metadata-proved this
+    // side's old scan and delta window small — SinglePartition inputs
+    // let every downstream join/agg skip its exchange
+    def lay(df: DataFrame): DataFrame = if (tiny) df.coalesce(1) else df
     val old =
       if (w == 0L) project(src.rowsAt(spark, head)).where(lit(false))
-      else project(keep(src.rowsAt(spark, w)))
+      else lay(project(keep(src.rowsAt(spark, w))))
     val d =
       if (head == w) old.where(lit(false))
       else {
-        val raw = project(keep(src.changes(spark, w, head)))
+        val raw = lay(project(keep(src.changes(spark, w, head))))
         if (!src.netted && head - w > 1) IncrementalAgg.consolidate(raw)
         else raw
       }
@@ -872,11 +1044,16 @@ object LakeView {
           // at a small bootstrap the rescan source IS the small input
           // and every group is touched — all-group recompute is exact
           smallBoot)
+      // steady-path tiny-window signal (sequential tiny fold): only
+      // probed when the pointer could fuse at all (mod-1 bucketed) —
+      // the hint costs manifest/pointer metadata reads
+      val tinyWin = ptr.exists(p => p.dir.isEmpty && p.mod.contains(1)) &&
+        tinySmall(spark, src.windowHint(spark, from, head))
       val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
         sumCols.map(parseSum), minMaxCols, rescan,
         Map(mark -> head) ++ extraMarks, stateBuckets, kind, distinctCols,
         rescanBounded = bounded, topKs = topKs, hists = hists,
-        fusedBootstrap = smallBoot)
+        fusedBootstrap = smallBoot, tinyWindow = tinyWin)
       Refresh(from, head, changed)
     }
   }
@@ -928,7 +1105,8 @@ object LakeView {
       stateBuckets: Int, leftFilter: Option[String],
       rightFilter: Option[String], kind: String,
       markL: String, markR: String, op: String,
-      extraMarks: Map[String, Long]): PlannedJoin = {
+      extraMarks: Map[String, Long],
+      shared: Boolean = false): PlannedJoin = {
     require(stateBuckets >= 0,
       s"stateBuckets $stateBuckets must be >= 1 (or 0 = adaptive)")
     validateJoinCols(leftCols, rightCols, keys)
@@ -944,14 +1122,40 @@ object LakeView {
         "was reset under the view")
     if (headL == wl && headR == wr)
       return PlannedJoin(wl, headL, wr, headR, None, () => 0L)
-    val (oldL, dL) = zSide(spark, left, leftCols, wl, headL, leftFilter)
-    val (oldR, dR) = zSide(spark, right, rightCols, wr, headR, rightFilter)
-    val delta = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys).cache()
     // bootstrap-only size signal: both sides' metadata must answer
     val smallBoot = ptr.isEmpty && stateBuckets == AutoBuckets &&
       plainlySmall(for (l <- left.sizeHint(spark, headL);
         r <- right.sizeHint(spark, headR))
         yield (l._1 + r._1, l._2 + r._2))
+    // steady-path tiny signal (sequential tiny fold): the state could
+    // fuse (mod-1 pointer), AND both sides' delta windows AND old-side
+    // scans are metadata-proven tiny — then no exchange in the bilinear
+    // fold pays for itself. A side's missing hint keeps the parallel
+    // plan (None never claims tiny).
+    val tinySteady = ptr.exists(p => p.dir.isEmpty && p.mod.contains(1)) &&
+      tinySmall(spark, for {
+        lw <- left.windowHint(spark, wl, headL)
+        rw <- right.windowHint(spark, wr, headR)
+        lo <- if (wl == 0L) Some((0L, 0L)) else left.sizeHint(spark, wl)
+        ro <- if (wr == 0L) Some((0L, 0L)) else right.sizeHint(spark, wr)
+      } yield (lw._1 + rw._1 + lo._1 + ro._1,
+        lw._2 + rw._2 + lo._2 + ro._2))
+    val tiny = smallBoot || tinySteady
+    val (oldL, dL) = zSide(spark, left, leftCols, wl, headL, leftFilter,
+      tiny)
+    val (oldR, dR) = zSide(spark, right, rightCols, wr, headR, rightFilter,
+      tiny)
+    val delta0 = IncrementalAgg.joinDelta(oldL, oldR, dL, dR, keys)
+    // cached only when a SECOND consumer exists: the chained forms feed
+    // the same delta to the outer fold (shared), and the counted path
+    // reads it twice (bucket counts + rewrite). The fused unchained
+    // fold consumes it exactly once — an InMemoryRelation there is a
+    // columnar materialization bought for nothing.
+    val fs = new Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val willFuse = (smallBoot && ptr.isEmpty) ||
+      fusedMod1(spark, fs, viewPath, ptr, stateBuckets)
+    val delta = if (shared || !willFuse) delta0.cache() else delta0
     // view-source windows stay pinned for the fold's scans against a
     // concurrent same-JVM maintainer reclaiming them (no-op for tables)
     PlannedJoin(wl, headL, wr, headR, Some(delta),
@@ -959,7 +1163,7 @@ object LakeView {
         right.withPins(spark, Seq(wr, headR)) {
           foldJoinState(spark, viewPath, ptr, delta, keys, stateBuckets,
             Map(markL -> headL, markR -> headR) ++ extraMarks, kind,
-            fusedBootstrap = smallBoot)
+            fusedBootstrap = smallBoot, tinyWindow = tinySteady)
         }
       })
   }
@@ -1290,16 +1494,20 @@ object LakeView {
   private def landBuckets(spark: SparkSession, viewPath: String,
       gen: Long, rows: DataFrame, keyCols: Seq[String], effective: Int,
       inherited: Map[Int, String], marks: Map[String, Long],
-      kind: String, inheritedBytes: Map[Int, Long]): Unit = {
+      kind: String, inheritedBytes: Map[Int, Long],
+      inheritedRows: Map[Int, Long]): Unit = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val bucketExpr = pmod(xxhash64(keyCols.map(col): _*),
       lit(effective.toLong)).cast("int")
     val dataDir = s"data-g$gen"
-    val landedBytes: Map[Int, Long] =
-      if (effective == 1)
-        Map(0 -> landSingle(spark, fs, viewPath, gen, rows))
-      else {
+    val stateSchema = Some(org.apache.spark.sql.types.StructType(
+      rows.schema.map(_.copy(nullable = true))))
+    val (landedBytes, landedRows): (Map[Int, Long], Map[Int, Long]) =
+      if (effective == 1) {
+        val (b, r) = landSingle(spark, fs, viewPath, gen, rows)
+        (Map(0 -> b), Map(0 -> r))
+      } else {
         phase("land.write")(
           rows.withColumn("_bucket", bucketExpr)
             .repartition(math.min(effective, 200), col("_bucket"))
@@ -1307,8 +1515,11 @@ object LakeView {
             .parquet(s"$viewPath/$dataDir"))
         // what actually landed, with per-bucket bytes off the SAME
         // listing (recorded in the pointer so the growth check never
-        // sweeps)
+        // sweeps), and per-bucket footer row counts (recorded so the
+        // size gates get exact rows — skipped past 64 touched buckets,
+        // where the view is plainly not "small" anyway)
         val acc = scala.collection.mutable.Map.empty[Int, Long]
+        val paths = scala.collection.mutable.ArrayBuffer.empty[(Int, Path)]
         phase("land.list") {
           val files = fs.listFiles(new Path(s"$viewPath/$dataDir"), true)
           while (files.hasNext) {
@@ -1318,10 +1529,17 @@ object LakeView {
                 !st.getPath.getName.startsWith("_")) {
               val k = parent.stripPrefix("_bucket=").toInt
               acc.update(k, acc.getOrElse(k, 0L) + st.getLen)
+              paths += ((k, st.getPath))
             }
           }
         }
-        acc.toMap
+        val rAcc =
+          if (paths.size > 64) Map.empty[Int, Long]
+          else phase("land.rows")(paths.foldLeft(Map.empty[Int, Long]) {
+            case (m, (k, p)) =>
+              m.updated(k, m.getOrElse(k, 0L) + footerRows(spark, p))
+          })
+        (acc.toMap, rAcc)
       }
     val present = landedBytes.keysIterator
       .map(k => k -> s"$dataDir/_bucket=$k").toMap
@@ -1333,12 +1551,15 @@ object LakeView {
         .parquet(s"$viewPath/$dataDir/_bucket=-1")
       publish(spark, viewPath, gen, marks, None,
         Map(-1 -> s"$dataDir/_bucket=-1"), Some(effective), Some(kind),
-        Map(-1 -> 0L))
+        Map(-1 -> 0L), Map(-1 -> 0L), stateSchema)
     } else
       publish(spark, viewPath, gen, marks, None, buckets, Some(effective),
         Some(kind),
         inheritedBytes.filter { case (k, _) => inherited.contains(k) } ++
-          landedBytes)
+          landedBytes,
+        inheritedRows.filter { case (k, _) => inherited.contains(k) } ++
+          landedRows,
+        stateSchema)
   }
 
   /** Advance the view to the table's newest snapshot, consuming only
@@ -1415,22 +1636,41 @@ object LakeView {
       rescanBounded: Boolean = false,
       topKs: Seq[(String, Int)] = Seq.empty,
       hists: Seq[HistSpec] = Seq.empty,
-      fusedBootstrap: Boolean = false): Long = {
+      fusedBootstrap: Boolean = false,
+      tinyWindow: Boolean = false): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // cached: the folded delta feeds the merge join, the touched-group
-    // semi join, AND the changed-count — one CDC read, not three. cache
-    // (not localCheckpoint) so the FIRST consumer materializes it — no
-    // separate eager job — and eviction recomputes safely: the lineage
-    // reads version-pinned snapshots and a fixed changelog window, both
-    // deterministic
+    val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty &&
+      topKs.isEmpty
+    // a BOOTSTRAP qualifies for the fused form when the source's own
+    // metadata says the whole input is plainly small (well under the
+    // single-bucket growth bound AND the bucketed-bootstrap row bound):
+    // the separate changed-count action exists only to size the modulus
+    // and prune the old-state read, and a pointerless view has no old
+    // state to prune. A wrong guess self-heals — the next refresh's
+    // growth check reads the ACTUAL persisted bytes and migrates.
+    val fused = (additiveOnly || rescanBounded) &&
+      ((fusedBootstrap && ptr.isEmpty) ||
+        fusedMod1(spark, fs, viewPath, ptr, stateBuckets))
+    // SEQUENTIAL TINY FOLD (guide §2.4): when the DELTA WINDOW itself is
+    // metadata-proven tiny (bootstrap: the whole source; steady: the
+    // manifest/pointer diff — `tinyWindow`) on top of the fused gate's
+    // tiny STATE, every exchange in the fold plan is pure fixed cost:
+    // coalesce(1) on the inputs makes each operator's SinglePartition
+    // satisfy its required distribution, so the whole fold (delta agg,
+    // full-outer merge, rescan join, landing write) runs as ONE
+    // exchange-free single-task stage — no AQE stage rounds, no 32-task
+    // shuffle fan-out for kilobytes. At scale the hints exceed the
+    // bounds and the parallel plan below is untouched.
+    val tiny = fused && (if (ptr.isEmpty) fusedBootstrap else tinyWindow)
     def binIdx(h: HistSpec): Column = {
       val step = (h.hi - h.lo) / h.bins
       when(col(h.col) < h.lo, 0)
         .when(col(h.col) >= h.hi, h.bins + 1)
         .otherwise(floor((col(h.col) - h.lo) / step).cast("int") + 1)
     }
-    val deltaAgg = delta.groupBy(keyCols.map(col): _*)
+    val deltaAgg0 = (if (tiny) delta.coalesce(1) else delta)
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("m")).as("dn"),
         sums.map(sp =>
           sum(col("m") * expr(sp.sql)).as(s"dsum_${sp.alias}")) ++
@@ -1439,7 +1679,16 @@ object LakeView {
         hists.map(h => array((0 until h.width).map(b =>
           sum(when(binIdx(h) === b, col("m")).otherwise(0L))): _*)
           .as(s"dhs_${h.col}")): _*)
-      .cache()
+    // cached ONLY on the counted path, where the folded delta feeds the
+    // merge join, the touched-group semi join, AND the changed-count —
+    // one CDC read, not three. The fused path has exactly ONE consumer
+    // (the landing write), so an InMemoryRelation there is pure
+    // overhead (a columnar materialization plus a CacheManager entry
+    // per fold). cache (not localCheckpoint) so the FIRST consumer
+    // materializes it — no separate eager job — and eviction recomputes
+    // safely: the lineage reads version-pinned snapshots and a fixed
+    // changelog window, both deterministic
+    val deltaAgg = if (fused) deltaAgg0 else deltaAgg0.cache()
     // unpersisted in the finally below: a cached plan outliving its
     // refresh would stay registered in the session CacheManager keyed
     // by canonicalized plan, and a LATER run over the same (mutable)
@@ -1495,7 +1744,7 @@ object LakeView {
     def mergeWithRescan(deltaGrouped: DataFrame, old: DataFrame,
         hintGate: Option[Long]): DataFrame = {
       val additive = mergeAdditive(deltaGrouped, old)
-      val live = rescanSource
+      val live = if (tiny) rescanSource.coalesce(1) else rescanSource
       val pruned = hintGate match {
         case Some(changed) =>
           def hinted(df: DataFrame): DataFrame =
@@ -1547,18 +1796,7 @@ object LakeView {
           when(col("_touched"), col(s"_tk_new_$c"))
             .otherwise(col(s"tk_$c")).as(s"tk_$c") }: _*)
     }
-    val additiveOnly = minMaxCols.isEmpty && distinctCols.isEmpty &&
-      topKs.isEmpty
-    // a BOOTSTRAP qualifies for the fused form when the source's own
-    // metadata says the whole input is plainly small (well under the
-    // single-bucket growth bound AND the bucketed-bootstrap row bound):
-    // the separate changed-count action exists only to size the modulus
-    // and prune the old-state read, and a pointerless view has no old
-    // state to prune. A wrong guess self-heals — the next refresh's
-    // growth check reads the ACTUAL persisted bytes and migrates.
-    if ((additiveOnly || rescanBounded) &&
-        ((fusedBootstrap && ptr.isEmpty) ||
-          fusedMod1(spark, fs, viewPath, ptr, stateBuckets))) {
+    if (fused) {
       // FUSED single-bucket fold: one job, the changed-group count
       // observed on the write. Pure-additive folds qualify outright;
       // rescan folds qualify when the CALLER vouches the rescan source
@@ -1570,13 +1808,15 @@ object LakeView {
       val observed = deltaAgg.observe(obs, count(lit(1)).as("groups"))
       val oldPaths = ptr.toSeq.flatMap(_.buckets.values).sorted
         .map(b => s"$viewPath/$b")
-      val old = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
+      val old0 = if (oldPaths.isEmpty) emptyStateOf(delta, keyCols, sums,
         sumType, minMaxCols, distinctCols, topKs, hists)
-      else spark.read.parquet(oldPaths: _*)
+      else stateReader(spark, ptr.flatMap(_.schema)).parquet(oldPaths: _*)
+      val old = if (tiny) old0.coalesce(1) else old0
       val gen = ptr.map(_.gen).getOrElse(0L) + 1
-      val bytes = landSingle(spark, fs, viewPath, gen,
+      val outFrame =
         if (additiveOnly) mergeAdditive(observed, old)
-        else mergeWithRescan(observed, old, None))
+        else mergeWithRescan(observed, old, None)
+      val (bytes, outRows) = landSingle(spark, fs, viewPath, gen, outFrame)
       // AQE's empty-relation propagation PRUNES the CollectMetrics node
       // exactly when the observed delta turned out runtime-empty (an
       // all-filtered churn window) — a missing key therefore MEANS zero
@@ -1585,13 +1825,15 @@ object LakeView {
         case Some(p) if changed == 0L =>
           fs.delete(new Path(s"$viewPath/data-g$gen"), true)
           publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
-            Some(kind), p.bytes)
+            Some(kind), p.bytes, p.rows, p.schema)
         case _ =>
           // a zero-change BOOTSTRAP keeps the landed schema-bearing
           // empty bucket — the empty-view shape, just keyed 0
           publish(spark, viewPath, gen, marks, None,
             Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
-            Map(0 -> bytes))
+            Map(0 -> bytes), Map(0 -> outRows),
+            Some(org.apache.spark.sql.types.StructType(
+              outFrame.schema.map(_.copy(nullable = true)))))
       }
       return changed
     }
@@ -1613,10 +1855,10 @@ object LakeView {
       val p = ptr.get
       if (p.dir.isDefined)
         publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty,
-          p.mod, Some(kind), p.bytes)
+          p.mod, Some(kind), p.bytes, p.rows, p.schema)
       else
         publish(spark, viewPath, p.gen + 1, marks, None, p.buckets,
-          p.mod, Some(kind), p.bytes)
+          p.mod, Some(kind), p.bytes, p.rows, p.schema)
       return 0L
     }
     // the modulus in force: explicit pins; adaptive keeps the recorded
@@ -1654,16 +1896,18 @@ object LakeView {
     // where they silently never meet)
     val (old, inherited) = ptr match {
       case Some(p) if p.dir.isDefined =>
-        (spark.read.parquet(s"$viewPath/${p.dir.get}"),
+        (stateReader(spark, p.schema).parquet(s"$viewPath/${p.dir.get}"),
           Map.empty[Int, String])
       case Some(p) if !p.mod.contains(effective) =>
         val paths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
-        (if (paths.isEmpty) emptyState else spark.read.parquet(paths: _*),
+        (if (paths.isEmpty) emptyState
+          else stateReader(spark, p.schema).parquet(paths: _*),
           Map.empty[Int, String])
       case Some(p) =>
         val paths = p.buckets.filter { case (k, _) => touchedSet(k) }
           .values.toSeq.sorted.map(b => s"$viewPath/$b")
-        (if (paths.isEmpty) emptyState else spark.read.parquet(paths: _*),
+        (if (paths.isEmpty) emptyState
+          else stateReader(spark, p.schema).parquet(paths: _*),
           p.buckets.filterNot { case (k, _) => touchedSet(k) })
       case None => (emptyState, Map.empty[Int, String])
     }
@@ -1678,7 +1922,8 @@ object LakeView {
       else mergeWithRescan(deltaAgg, old, Some(changed))
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
       merged, keyCols, effective, inherited, marks, kind,
-      ptr.map(_.bytes).getOrElse(Map.empty))
+      ptr.map(_.bytes).getOrElse(Map.empty),
+      ptr.map(_.rows).getOrElse(Map.empty))
     changed
     } finally deltaAgg.unpersist(false)
   }
@@ -1732,12 +1977,23 @@ object LakeView {
         (stateBuckets == AutoBuckets &&
           stateBytes(fs, viewPath, p) <= AutoBucketBytes)))
 
+  /** Exact row count of one landed parquet file, off its footer — a
+    * driver-local metadata read that makes the pointer's recorded
+    * per-bucket `rows` exact (the "plainly small" gates' row bound). */
+  private def footerRows(spark: SparkSession, p: Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
+  }
+
   /** Land `rows` as generation `gen`'s SINGLE bucket and return its
-    * byte size off the landing listing (the fused fold's write step —
-    * same layout [[landBuckets]]'s modulus-1 branch produces). */
+    * (bytes, rowCount) off the landing listing + footer (the fused
+    * fold's write step — same layout [[landBuckets]]'s modulus-1
+    * branch produces). */
   private def landSingle(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, viewPath: String, gen: Long,
-      rows: DataFrame): Long = {
+      rows: DataFrame): (Long, Long) = {
     val dataDir = s"data-g$gen"
     // coalesce, not repartition: the single-bucket state is small by
     // construction (the fused path engages only under AutoBucketBytes),
@@ -1748,16 +2004,18 @@ object LakeView {
       rows.coalesce(1).write.mode("overwrite")
         .parquet(s"$viewPath/$dataDir/_bucket=0"))
     phase("land.list") {
-      fs.listStatus(new Path(s"$viewPath/$dataDir/_bucket=0"))
+      val files = fs.listStatus(new Path(s"$viewPath/$dataDir/_bucket=0"))
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        .map(_.getLen).sum
+      (files.map(_.getLen).sum,
+        files.map(st => footerRows(spark, st.getPath)).sum)
     }
   }
 
   private def foldJoinState(spark: SparkSession, viewPath: String,
       ptr: Option[Pointer], delta: DataFrame, keys: Seq[String],
       stateBuckets: Int, marks: Map[String, Long],
-      kind: String, fusedBootstrap: Boolean = false): Long = {
+      kind: String, fusedBootstrap: Boolean = false,
+      tinyWindow: Boolean = false): Long = {
     val fs = new Path(viewPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // bootstrap-fusion gate: both sides' metadata said "plainly small"
@@ -1774,15 +2032,23 @@ object LakeView {
       // short-circuit before the fold) and rolls the orphan directory
       // back, publishing the inherited state exactly like the
       // two-phase path.
+      // Sequential tiny fold on top: when the caller metadata-proved
+      // the windows/old scans tiny (zSide already laid the delta's
+      // inputs out as SinglePartition), coalescing the union before
+      // the consolidate keeps the WHOLE rewrite exchange-free — one
+      // single-task stage instead of 3-5 AQE shuffle rounds.
+      val tiny = if (ptr.isEmpty) fusedBootstrap else tinyWindow
       val obs = new org.apache.spark.sql.Observation()
       val observed = delta.observe(obs, count(lit(1)).as("rows"))
       val oldPaths = ptr.toSeq.flatMap(_.buckets.values).sorted
         .map(b => s"$viewPath/$b")
       val old = if (oldPaths.isEmpty) delta.limit(0)
-        else spark.read.parquet(oldPaths: _*)
-      val rewrite = IncrementalAgg.consolidate(old.unionByName(observed))
+        else stateReader(spark, ptr.flatMap(_.schema)).parquet(oldPaths: _*)
+      val unioned = old.unionByName(observed)
+      val rewrite = IncrementalAgg.consolidate(
+        if (tiny) unioned.coalesce(1) else unioned)
       val gen = ptr.map(_.gen).getOrElse(0L) + 1
-      val bytes = landSingle(spark, fs, viewPath, gen, rewrite)
+      val (bytes, outRows) = landSingle(spark, fs, viewPath, gen, rewrite)
       // missing key = the metrics node was pruned by AQE's
       // empty-relation propagation = the delta was runtime-empty
       val deltaRows = obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
@@ -1790,13 +2056,15 @@ object LakeView {
         case Some(p) if deltaRows == 0L =>
           fs.delete(new Path(s"$viewPath/data-g$gen"), true)
           publish(spark, viewPath, gen, marks, None, p.buckets, p.mod,
-            Some(kind), p.bytes)
+            Some(kind), p.bytes, p.rows, p.schema)
         case _ =>
           // a zero-delta BOOTSTRAP keeps the landed schema-bearing
           // empty bucket — the empty-view shape, just keyed 0
           publish(spark, viewPath, gen, marks, None,
             Map(0 -> s"data-g$gen/_bucket=0"), Some(1), Some(kind),
-            Map(0 -> bytes))
+            Map(0 -> bytes), Map(0 -> outRows),
+            Some(org.apache.spark.sql.types.StructType(
+              rewrite.schema.map(_.copy(nullable = true)))))
       }
       return deltaRows
     }
@@ -1821,10 +2089,10 @@ object LakeView {
       val p = ptr.get
       if (p.dir.isDefined)
         publish(spark, viewPath, p.gen + 1, marks, p.dir, Map.empty,
-          p.mod, Some(kind), p.bytes)
+          p.mod, Some(kind), p.bytes, p.rows, p.schema)
       else
         publish(spark, viewPath, p.gen + 1, marks, None, p.buckets,
-          p.mod, Some(kind), p.bytes)
+          p.mod, Some(kind), p.bytes, p.rows, p.schema)
       return 0L
     }
     // the modulus in force: explicit pins; adaptive keeps the recorded
@@ -1860,17 +2128,18 @@ object LakeView {
     // netting
     val (oldTouched, inherited) = ptr match {
       case Some(p) if p.dir.isDefined =>
-        (spark.read.parquet(s"$viewPath/${p.dir.get}"), Map.empty[Int, String])
+        (stateReader(spark, p.schema).parquet(s"$viewPath/${p.dir.get}"),
+          Map.empty[Int, String])
       case Some(p) if !p.mod.contains(effective) =>
         val paths = p.buckets.values.toSeq.sorted.map(b => s"$viewPath/$b")
         val old = if (paths.isEmpty) delta.limit(0)
-          else spark.read.parquet(paths: _*)
+          else stateReader(spark, p.schema).parquet(paths: _*)
         (old, Map.empty[Int, String])
       case Some(p) =>
         val paths = p.buckets.filter { case (k, _) => touched.contains(k) }
           .values.toSeq.sorted.map(b => s"$viewPath/$b")
         val old = if (paths.isEmpty) delta.limit(0)
-          else spark.read.parquet(paths: _*)
+          else stateReader(spark, p.schema).parquet(paths: _*)
         (old, p.buckets.filterNot { case (k, _) => touched.contains(k) })
       case None => (delta.limit(0), Map.empty[Int, String])
     }
@@ -1879,7 +2148,8 @@ object LakeView {
     val rewrite = IncrementalAgg.consolidate(oldTouched.unionByName(delta))
     landBuckets(spark, viewPath, ptr.map(_.gen).getOrElse(0L) + 1L,
       rewrite, keys, effective, inherited, marks, kind,
-      ptr.map(_.bytes).getOrElse(Map.empty))
+      ptr.map(_.bytes).getOrElse(Map.empty),
+      ptr.map(_.rows).getOrElse(Map.empty))
     deltaRows
   }
 
@@ -1986,7 +2256,7 @@ object LakeView {
       planInner = () => planJoin(spark, innerPath,
         TableZ(p0, types0), cols0, TableZ(p1, types1), cols1, keys01,
         stateBuckets, filter0, filter1, "join", "left", "right",
-        "refreshJoin", Map.empty),
+        "refreshJoin", Map.empty, shared = true),
       foldOuter = (src, marks) => {
         val r = refreshJoinFrom(spark, viewPath, src, innerCols,
           TableZ(p2, types2), cols2, keys12, stateBuckets,
@@ -2054,7 +2324,7 @@ object LakeView {
         TableZ(leftPath, leftTypes), leftCols,
         TableZ(rightPath, rightTypes), rightCols, keys, stateBuckets,
         leftFilter, rightFilter, "join", "left", "right", "refreshJoin",
-        Map.empty),
+        Map.empty, shared = true),
       foldOuter = (src, marks) => refreshAggFrom(spark, src, viewPath,
         aggKeys, aggSums, minMaxCols, rowFilter = None, stateBuckets,
         distinctCols, "join_aggregate", "srcgen", "refreshJoinAggregate",

@@ -807,4 +807,79 @@ class LakeViewSpec extends SparkSpec {
     if (failure.get() != null) throw failure.get()
     assert(viewRows(view) == fullRows(dir))
   }
+
+  test("sequential tiny fold ≡ parallel fold: identical state and " +
+      "refresh accounting with the tiny plan disabled") {
+    // same data through the same mutation cycles, one view with the
+    // tiny single-task plan armed (metadata-proven small windows), one
+    // with it disabled (tinyFoldRows=0 -> no window is ever 'tiny') —
+    // the plan shape must be invisible in every observable
+    val base = Files.createTempDirectory("graft_view_tiny").toString
+    val dir = base + "/t"; val vTiny = base + "/vt"; val vPar = base + "/vp"
+    def cycle(i: Int): Unit = {
+      append(dir, 40L * i, 40L * (i + 1))
+      if (i % 2 == 1)
+        DeletionVectors.delete(spark, dir, types,
+          pmod($"Score", lit(7.0)) === 0.0)
+      LakeSnapshots.commit(spark, dir)
+    }
+    // additive-only: table-sourced minMax folds take the counted path
+    // at steady either way (no bounded rescan), which would leave the
+    // tiny plan unexercised — the rescan-tiny shape is pinned by the
+    // oracle-gated view queries instead
+    def refresh(view: String) = LakeView.refreshAggregate(spark, dir,
+      types, view, Seq("Grp"), Seq("Score"))
+    cycle(0)
+    val key = "spark.graft.view.tinyFoldRows"
+    val rTiny = scala.collection.mutable.ArrayBuffer.empty[LakeView.Refresh]
+    val rPar = scala.collection.mutable.ArrayBuffer.empty[LakeView.Refresh]
+    rTiny += refresh(vTiny)
+    spark.conf.set(key, "0")
+    try rPar += refresh(vPar) finally spark.conf.unset(key)
+    (1 to 3).foreach { i =>
+      cycle(i)
+      rTiny += refresh(vTiny)
+      spark.conf.set(key, "0")
+      try rPar += refresh(vPar) finally spark.conf.unset(key)
+    }
+    assert(rTiny.toSeq == rPar.toSeq,
+      s"refresh accounting diverged: $rTiny vs $rPar")
+    assert(viewRows(vTiny) == viewRows(vPar))
+    assert(viewRows(vTiny).nonEmpty && viewRows(vTiny) == fullRows(dir))
+  }
+
+  test("pointer-recorded row counts make the fused-bootstrap gate " +
+      "exact: a dictionary-packed source view with AutoBucketRows-scale " +
+      "rows cannot spoof it (the old bytes/8 bound could)") {
+    val base = Files.createTempDirectory("graft_view_rows").toString
+    val dir = base + "/t"; val vA = base + "/va"; val vB = base + "/vb"
+    val keyedTypes = "K:number,Score:number"
+    // 200k distinct keys, low-entropy values: parquet packs this far
+    // denser than 8 B/row, which is exactly how a bytes-derived row
+    // bound under-counts
+    spark.range(0, 200000).select(
+        concat(lit("r"), lpad($"id".cast("string"), 7, "0")).as("_record_id"),
+        $"id".cast("double").as("K"),
+        lit(1.0).as("Score"))
+      .coalesce(4)
+      .write.format("graft-records").option("path", dir)
+      .option("dataFormat", "parquet").mode("append").save()
+    LakeSnapshots.commit(spark, dir)
+    // A: pinned single bucket, 200k state rows in few bytes
+    LakeView.refreshAggregate(spark, dir, keyedTypes, vA,
+      Seq("K"), Seq("Score"), stateBuckets = 1)
+    assert(LakeView.read(spark, vA).count() == 200000L)
+    // B over A's feed: the bootstrap gate must see A's TRUE row count
+    // (pointer-recorded) and refuse the fused mod-1 bootstrap — B's
+    // 200k-group first delta opens at DefaultBuckets
+    LakeView.refreshAggregateOverView(spark, vA, vB, Seq("K"), Seq("n"))
+    val fs = new Path(vB).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bBuckets = fs.listStatus(new Path(s"$vB/data-g1"))
+      .filter(_.isDirectory)
+      .count(_.getPath.getName.startsWith("_bucket="))
+    assert(bBuckets == LakeView.DefaultBuckets,
+      s"a 200k-row source must take the counted bucketed bootstrap, " +
+        s"got $bBuckets bucket(s)")
+  }
 }
