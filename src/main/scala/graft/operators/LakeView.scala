@@ -1038,16 +1038,26 @@ object LakeView {
       // bootstrap
       val smallBoot = ptr.isEmpty && stateBuckets == AutoBuckets &&
         plainlySmall(src.sizeHint(spark, head))
+      // a mod-1 pointer is the precondition for every fused/tiny form —
+      // checked once, cheap (the pointer is already in hand)
+      val mod1 = ptr.exists(p => p.dir.isEmpty && p.mod.contains(1))
+      // a STEADY rescan fold is also bounded when the source itself is
+      // metadata-proven tiny at the new head: recomputing every group
+      // costs one scan of a tiny input, so the semi-join prune (and the
+      // count job that gates its broadcast hint) buys nothing — at
+      // scale the hint answers None/large and the two-phase path is
+      // untouched
+      val tinyRescan = mod1 && tinySmall(spark, src.sizeHint(spark, head))
       val bounded = (minMaxCols.nonEmpty || distinctCols.nonEmpty ||
           topKs.nonEmpty) &&
         (src.rescanBounded(spark) ||
           // at a small bootstrap the rescan source IS the small input
           // and every group is touched — all-group recompute is exact
-          smallBoot)
+          smallBoot || tinyRescan)
       // steady-path tiny-window signal (sequential tiny fold): only
       // probed when the pointer could fuse at all (mod-1 bucketed) —
       // the hint costs manifest/pointer metadata reads
-      val tinyWin = ptr.exists(p => p.dir.isEmpty && p.mod.contains(1)) &&
+      val tinyWin = mod1 &&
         tinySmall(spark, src.windowHint(spark, from, head))
       val changed = foldAggState(spark, viewPath, ptr, delta, keyCols,
         sumCols.map(parseSum), minMaxCols, rescan,
