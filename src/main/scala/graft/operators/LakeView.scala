@@ -746,6 +746,15 @@ object LakeView {
       * "unknown, keep the parallel plan" — the scale-safe default. */
     def windowHint(spark: SparkSession, from: Long, to: Long)
         : Option[(Long, Long)] = None
+    /** True when this source VOUCHES for a fused bootstrap despite
+      * having no numeric size hint: the chained forms set it on the
+      * fed inner feed when the inner join itself was gated smallBoot —
+      * the outer aggregate's bootstrap volume is bounded by the SAME
+      * join rows the inner fold just accepted for a serial
+      * single-bucket landing, so fusing the outer adds no exposure the
+      * inner did not already take (and the growth check migrates a
+      * wrong guess at the next refresh either way). */
+    def bootVouched: Boolean = false
   }
 
   private final case class TableZ(path: String, fieldTypes: String)
@@ -924,7 +933,7 @@ object LakeView {
     * delta may be un-netted; every consumer is linear in the
     * Z-relation. */
   private final case class FedViewZ(src: ViewZ, from: Long, to: Long,
-      feed: DataFrame) extends ZSource {
+      feed: DataFrame, innerSmallBoot: Boolean = false) extends ZSource {
     def describe = src.describe
     /** `to` IS the head by construction — the inner fold that produces
       * generation `to` may still be LANDING (the chained folds overlap),
@@ -964,6 +973,10 @@ object LakeView {
     override def windowHint(spark: SparkSession, f: Long, t: Long)
         : Option[(Long, Long)] =
       if (f == from && t == to) None else src.windowHint(spark, f, t)
+    /** The inner fold's smallBoot gate carries over: see
+      * [[ZSource.bootVouched]]. Only meaningful at the fed BOOTSTRAP
+      * window (from == 0) — steady windows keep the hint discipline. */
+    override def bootVouched: Boolean = innerSmallBoot && from == 0L
   }
 
   /** One side of a bilinear join fold: the source's Z-relation at the
@@ -1037,7 +1050,7 @@ object LakeView {
       // source's bytes/rows, so a plainly-small source fuses the
       // bootstrap
       val smallBoot = ptr.isEmpty && stateBuckets == AutoBuckets &&
-        plainlySmall(src.sizeHint(spark, head))
+        (plainlySmall(src.sizeHint(spark, head)) || src.bootVouched)
       // a mod-1 pointer is the precondition for every fused/tiny form —
       // checked once, cheap (the pointer is already in hand)
       val mod1 = ptr.exists(p => p.dir.isEmpty && p.mod.contains(1))
@@ -1107,7 +1120,8 @@ object LakeView {
     * the (un-netted) delta row count; with no delta it returns 0
     * without publishing. */
   private final case class PlannedJoin(wl: Long, headL: Long, wr: Long,
-      headR: Long, delta: Option[DataFrame], fold: () => Long)
+      headR: Long, delta: Option[DataFrame], fold: () => Long,
+      smallBoot: Boolean = false)
 
   private def planJoin(spark: SparkSession, viewPath: String,
       left: ZSource, leftCols: Seq[String],
@@ -1175,7 +1189,7 @@ object LakeView {
             Map(markL -> headL, markR -> headR) ++ extraMarks, kind,
             fusedBootstrap = smallBoot, tinyWindow = tinySteady)
         }
-      })
+      }, smallBoot = smallBoot)
   }
 
   /** Executor for the CONCURRENT level folds of the chained forms: the
@@ -1256,7 +1270,8 @@ object LakeView {
           import scala.concurrent.duration.Duration
           val innerF = Future(p.fold())(foldEc)
           val steady =
-            try foldOuter(FedViewZ(ViewZ(innerPath), preGen, preGen + 1, d),
+            try foldOuter(FedViewZ(ViewZ(innerPath), preGen, preGen + 1, d,
+                innerSmallBoot = p.smallBoot),
               Map("src_left" -> p.headL, "src_right" -> p.headR))
             catch { case t: Throwable =>
               // let the inner settle (ready, not result: a failed fold
